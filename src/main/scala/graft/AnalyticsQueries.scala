@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General analytics queries over the TPC-H-ish driver tables — these are the bench
+  * headliners (scan/agg/join shapes that dominate at 100 TB).
+  *
+  * Oracle-parity discipline: every aggregated measure is computed in EXACT integer space
+  * (cents / basis-point-cents as BIGINT) because float sums are order-dependent and Spark
+  * and DuckDB would disagree in the last ulps. Doubles only ever appear as a final single
+  * division of two exact integers (associative-order-free), rounded.
+  */
+object AnalyticsQueries {
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** money → exact integer cents (both engines: round(x*100) then integral cast). */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** extended price × (1 − discount) in exact basis-point-cents. */
+  private def revenueBp(price: Column, discount: Column): Column =
+    cents(price) * (lit(100L) - cents(discount))
+
+  /** Q1-style pricing summary: single-pass scan + hash agg (map-side combinable). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(revenueBp(col("l_extendedprice"), col("l_discount"))).as("sum_disc_bp"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** Q3-style top-N: pre-aggregate lineitem BEFORE the join (shrinks the join input from
+    * |lineitem| to |orders|), then join and take a deterministic top-10.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val byOrder = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenueBp(col("l_extendedprice"), col("l_discount"))).as("revenue_bp"))
+    byOrder
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("revenue_bp"))
+      .orderBy(col("revenue_bp").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-style star join: lineitem→orders→customer→nation→region. The dimension chain is
+    * broadcast (region/nation/customer are tiny next to the fact tables).
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), revenueBp(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val dims = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val ord = table(spark, dir, "orders")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).as("revenue_bp"), count(lit(1)).as("n_items"))
+  }
+
+  /** Per-user event profile: scan + hash agg with a distinct-agg. */
+  def userEventStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(cents(col("value"))).as("value_cents"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event")
+      )
+}

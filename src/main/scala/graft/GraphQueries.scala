@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.queries._
+import graft.service.FlockService
+import graft.store.EdgeStore
+import graft.testgraph.TestGraph
+
+/** Driver-verifiable queries over the FlockDB-shaped test graph (TestGraph derivation of
+  * `events`). Each function here has a lockstep DuckDB oracle in [[SparkEntry.oracleSql]].
+  * These exercise the library's operator surface (SURVEY.md §2) end-to-end.
+  */
+object GraphQueries {
+
+  private val snapCols =
+    Seq(col("graph_id"), col("source_id"), col("destination_id"),
+      col("position"), col("updated_at"), col("state"))
+
+  /** S7/S9 + §1.3 — the LWW snapshot (grouped max-by, one shuffle). */
+  def lwwSnapshot(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).snapshot.select(snapCols: _*)
+
+  /** S3/T1/T4 — per-vertex top-3 neighbors by recency (position desc), Normal only. */
+  def adjacencyTopK(spark: SparkSession, dir: String): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+    val w = Window.partitionBy(col("graph_id"), col("source_id")).orderBy(col("position").desc)
+    snap
+      .filter(col("state") === State.Normal)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("graph_id"), col("source_id"), col("destination_id"), col("position"), col("rank"))
+  }
+
+  /** J1 — intersection (left-semi join): neighbors(1) ∩ neighbors(2), graph 1. */
+  def intersection(spark: SparkSession, dir: String): DataFrame = {
+    import Select.Ops
+    (Select(1L, 1) intersect Select(2L, 1)).ids(TestGraph.store(spark, dir))
+  }
+
+  /** J2 — difference (left-anti join): neighbors(1) − neighbors(2), graph 1. */
+  def difference(spark: SparkSession, dir: String): DataFrame = {
+    import Select.Ops
+    (Select(1L, 1) difference Select(2L, 1)).ids(TestGraph.store(spark, dir))
+  }
+
+  /** J3 — union (distinct): neighbors(1) ∪ neighbors(2), graph 1. */
+  def union(spark: SparkSession, dir: String): DataFrame = {
+    import Select.Ops
+    (Select(1L, 1) union Select(2L, 1)).ids(TestGraph.store(spark, dir))
+  }
+
+  /** J1 at scale — reciprocal pairs (a→b ∧ b→a), a distributed self-semi-join on the
+    * full snapshot (no per-vertex constants; survives 100×).
+    */
+  def reciprocal(spark: SparkSession, dir: String): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot.filter(col("state") === State.Normal)
+    val fwd = snap.select(col("graph_id"), col("source_id"), col("destination_id"))
+    val bwd = snap.select(
+      col("graph_id"),
+      col("destination_id").as("source_id"),
+      col("source_id").as("destination_id")
+    )
+    fwd.join(bwd, Seq("graph_id", "source_id", "destination_id"), "left_semi")
+  }
+
+  /** A1/A3 — per-vertex metadata (dominant state + count). */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).metadata
+      .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
+
+  /** A4 — count2 estimate formulas between vertices 1 and 2, per graph. */
+  def count2Estimates(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val config = GraftConfig()
+    val rows = (1 to 3).map { g =>
+      val c1 = SimpleNode(QueryTerm(1L, g)).sizeEstimate(store, config)
+      val c2 = SimpleNode(QueryTerm(2L, g)).sizeEstimate(store, config)
+      Row(g, (math.min(c1, c2) * config.averageIntersectionProportion).toLong, math.max(c1, c2), c1)
+    }
+    val schema = StructType(Seq(
+      StructField("graph_id", IntegerType, nullable = false),
+      StructField("est_intersection", LongType, nullable = false),
+      StructField("est_union", LongType, nullable = false),
+      StructField("est_difference", LongType, nullable = false)
+    ))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  /** T3 — keyset cursor page: neighbors of vertex 1 below the mid-position cursor. */
+  def cursorPage(spark: SparkSession, dir: String): DataFrame = {
+    val adj = TestGraph.store(spark, dir)
+      .adjacency(QueryTerm(1L, 1))
+      .select(col("neighbor_id"), col("position"))
+    val mm = adj.agg(min(col("position")), max(col("position"))).collect()(0)
+    val cursor = (mm.getLong(0) + mm.getLong(1)) / 2
+    Pagination.pageDF(adj, col("position"), Page(5, cursor))
+  }
+
+  /** P5 — `contains` projection: pairs whose current state means "exists" ({Normal, Negative}). */
+  def containsSet(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && State.existsCol(col("state")))
+      .select(col("source_id"), col("destination_id"), col("state"))
+
+  /** P3 — where-in probe: neighbors of vertex 1 restricted to an id list. */
+  def whereIn(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir)
+      .adjacency(QueryTerm(1L, 1, isForward = true, destinationIds = Some((1L to 30L))))
+      .select(col("neighbor_id"))
+
+  /** W1/W2 — execute a derived batch of remove/archive ops, then re-snapshot. */
+  def executeLww(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val eid = col("event_id")
+    val ops = spark.read.parquet(s"$dir/events.parquet")
+      .filter(eid % 7 === 0)
+      .select(
+        (lit(1) + eid % 3).cast("int").as("graph_id"),
+        col("user_id").as("source_id"),
+        (lit(1) + (eid * 7919) % 97).as("destination_id"),
+        when(eid % 2 === 0, State.Removed).otherwise(State.Archived).cast("int").as("state"),
+        (lit(2000000) + eid % 100).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position")
+      )
+    store.applyOperations(ops).snapshot.select(snapCols: _*)
+  }
+
+  /** W3 — bulk wildcard archive (`Multi` job): archive every vertex ≡0 (mod 10) in graph 2. */
+  def bulkArchive(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val targets = store.snapshot
+      .filter(col("graph_id") === 2 && col("source_id") % 10 === 0)
+      .select(col("graph_id"), col("source_id"))
+      .distinct()
+      .select(
+        col("graph_id"), col("source_id"),
+        lit(null).cast("long").as("destination_id"),
+        lit(State.Archived).cast("int").as("state"),
+        lit(3000000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position")
+      )
+    store.applyOperations(targets).snapshot.select(snapCols: _*)
+  }
+
+  /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
+  def copyRepair(spark: SparkSession, dir: String): DataFrame = {
+    val log = TestGraph.edgeLog(spark, dir)
+    val replicaA = EdgeStore(log.filter(col("position") % 5 =!= 0))
+    val replicaB = EdgeStore(log.filter(col("position") % 5 =!= 1))
+    replicaA.repairWith(replicaB).snapshot
+      .groupBy(col("graph_id"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("position")).as("sum_pos"),
+        sum(col("state").cast("long")).as("sum_state")
+      )
+  }
+}

@@ -1,13 +1,260 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.testgraph.TestGraph
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (graph engine) or one
+  * training-data-pipeline operator, and every entry in [[oracleSql]] is the equivalent
+  * DuckDB SQL over the same parquet tables. Column names and types are aligned pairwise
+  * (the driver's compare sorts columns by name and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GraphQueries.adjacencyTopK(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
+  def queries: Map[String, Q] = Map[String, Q](
+    // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
+    "g01_lww_snapshot"     -> (GraphQueries.lwwSnapshot _),
+    "g02_adjacency_topk"   -> (GraphQueries.adjacencyTopK _),
+    "g03_intersection"     -> (GraphQueries.intersection _),
+    "g04_difference"       -> (GraphQueries.difference _),
+    "g05_union"            -> (GraphQueries.union _),
+    "g06_reciprocal"       -> (GraphQueries.reciprocal _),
+    "g07_metadata"         -> (GraphQueries.metadata _),
+    "g08_count2_estimates" -> (GraphQueries.count2Estimates _),
+    "g09_cursor_page"      -> (GraphQueries.cursorPage _),
+    "g10_contains"         -> (GraphQueries.containsSet _),
+    "g11_where_in"         -> (GraphQueries.whereIn _),
+    "g12_execute_lww"      -> (GraphQueries.executeLww _),
+    "g13_bulk_archive"     -> (GraphQueries.bulkArchive _),
+    "g14_copy_repair"      -> (GraphQueries.copyRepair _),
+    // --- general analytics (bench headliners) ---
+    "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
+    "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
+    "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
+    "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
+    // --- training-data pipeline: dedup / text analysis ---
+    "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t01_lang_id" -> ((s: SparkSession, dir: String) =>
+      TextStats.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", Some("lang"))),
+    "t02_quality_score" -> ((s: SparkSession, dir: String) =>
+      TextStats.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t03_token_stats" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t04_fingerprint" -> ((s: SparkSession, dir: String) =>
+      TextStats.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles. Shared CTE fragments live in TestGraph to stay in lockstep
+  // with the DataFrame derivation.
+  // ---------------------------------------------------------------------------
+
+  private val snap = TestGraph.snapshotCte
+  private val meta = TestGraph.metadataCte
+  private val prio = TestGraph.prioritySql
+
+  /** revenue in exact basis-point-cents (mirror of AnalyticsQueries.revenueBp). */
+  private val revBp =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  private def occSql(needle: String): String = {
+    val esc = needle.replace("'", "''")
+    s"(length(text) - length(replace(text, '$esc', ''))) // ${needle.length}"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "g01_lww_snapshot" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""",
+
+    "g02_adjacency_topk" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT graph_id, source_id, destination_id, position,
+         |         row_number() OVER (PARTITION BY graph_id, source_id ORDER BY position DESC) AS rank
+         |  FROM edges WHERE state = 0)
+         |WHERE rank <= 3""".stripMargin,
+
+    "g03_intersection" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |  AND destination_id IN (SELECT destination_id FROM edges
+         |                         WHERE graph_id = 1 AND source_id = 2 AND state = 0)""".stripMargin,
+
+    "g04_difference" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |  AND destination_id NOT IN (SELECT destination_id FROM edges
+         |                             WHERE graph_id = 1 AND source_id = 2 AND state = 0)""".stripMargin,
+
+    "g05_union" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |UNION
+         |SELECT destination_id FROM edges WHERE graph_id = 1 AND source_id = 2 AND state = 0""".stripMargin,
+
+    "g06_reciprocal" ->
+      s"""$snap SELECT a.graph_id, a.source_id, a.destination_id FROM edges a
+         |WHERE a.state = 0 AND EXISTS (
+         |  SELECT 1 FROM edges b
+         |  WHERE b.graph_id = a.graph_id AND b.source_id = a.destination_id
+         |    AND b.destination_id = a.source_id AND b.state = 0)""".stripMargin,
+
+    "g07_metadata" ->
+      s"""$meta SELECT graph_id, source_id, state, c AS "count", mu AS updated_at FROM meta""",
+
+    "g08_count2_estimates" ->
+      s"""$meta,
+         |g AS (SELECT DISTINCT graph_id FROM edges),
+         |m1 AS (SELECT graph_id, c FROM meta WHERE source_id = 1 AND state = 0),
+         |m2 AS (SELECT graph_id, c FROM meta WHERE source_id = 2 AND state = 0)
+         |SELECT g.graph_id,
+         |       CAST(FLOOR(LEAST(COALESCE(m1.c, 0), COALESCE(m2.c, 0)) * 0.1) AS BIGINT) AS est_intersection,
+         |       CAST(GREATEST(COALESCE(m1.c, 0), COALESCE(m2.c, 0)) AS BIGINT) AS est_union,
+         |       CAST(COALESCE(m1.c, 0) AS BIGINT) AS est_difference
+         |FROM g LEFT JOIN m1 USING (graph_id) LEFT JOIN m2 USING (graph_id)""".stripMargin,
+
+    "g09_cursor_page" ->
+      s"""$snap,
+         |adj AS (SELECT destination_id AS neighbor_id, position FROM edges
+         |        WHERE graph_id = 1 AND source_id = 1 AND state = 0)
+         |SELECT neighbor_id, position FROM adj
+         |WHERE position < (SELECT (MIN(position) + MAX(position)) // 2 FROM adj)
+         |ORDER BY position DESC LIMIT 5""".stripMargin,
+
+    "g10_contains" ->
+      s"""$snap SELECT source_id, destination_id, state FROM edges
+         |WHERE graph_id = 1 AND state IN (0, 3)""".stripMargin,
+
+    "g11_where_in" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0 AND destination_id BETWEEN 1 AND 30""".stripMargin,
+
+    "g12_execute_lww" ->
+      s"""$snap,
+         |ops AS (SELECT CAST(1 + event_id % 3 AS INTEGER) AS graph_id,
+         |               user_id AS source_id,
+         |               1 + (event_id * 7919) % 97 AS destination_id,
+         |               CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS state,
+         |               CAST(2000000 + event_id % 100 AS INTEGER) AS updated_at
+         |        FROM events WHERE event_id % 7 = 0),
+         |ops_edges AS (
+         |  SELECT o.graph_id, o.source_id, o.destination_id, e.position, o.updated_at, o.state
+         |  FROM ops o JOIN edges e USING (graph_id, source_id, destination_id)),
+         |combined AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM ops_edges)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM combined)
+         |WHERE rn = 1""".stripMargin,
+
+    "g13_bulk_archive" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position,
+         |  CAST(CASE WHEN graph_id = 2 AND source_id % 10 = 0 AND state <> 1
+         |            THEN 3000000 ELSE updated_at END AS INTEGER) AS updated_at,
+         |  CAST(CASE WHEN graph_id = 2 AND source_id % 10 = 0 AND state <> 1
+         |            THEN 2 ELSE state END AS INTEGER) AS state
+         |FROM edges""".stripMargin,
+
+    "g14_copy_repair" ->
+      s"""$snap SELECT graph_id, COUNT(*) AS n_edges,
+         |  CAST(SUM(position) AS BIGINT) AS sum_pos,
+         |  CAST(SUM(CAST(state AS BIGINT)) AS BIGINT) AS sum_state
+         |FROM edges GROUP BY graph_id""".stripMargin,
+
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         |  CAST(SUM($revBp) AS BIGINT) AS sum_disc_bp,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_top_revenue_orders" ->
+      s"""WITH rev AS (
+         |  SELECT l_orderkey, CAST(SUM($revBp) AS BIGINT) AS revenue_bp
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT o_orderkey, o_custkey, revenue_bp
+         |FROM rev JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY revenue_bp DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_region_revenue" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "ev1_user_event_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "d01_dedup_exact" ->
+      s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "t01_lang_id" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" of ")} AS BIGINT) AS s_en,
+         |    CAST(${occSql(" der ")} + ${occSql(" und ")} + ${occSql(" das ")} AS BIGINT) AS s_de,
+         |    CAST(${occSql(" el ")} + ${occSql(" los ")} + ${occSql(" que ")} AS BIGINT) AS s_es,
+         |    CAST(${occSql(" le ")} + ${occSql(" les ")} + ${occSql(" et ")} AS BIGINT) AS s_fr,
+         |    CAST(${occSql(" de ")} + ${occSql(" shi ")} + ${occSql(" bu ")} AS BIGINT) AS s_zh
+         |  FROM documents),
+         |f1 AS (SELECT *, CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b1,
+         |               CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS b1s FROM scores),
+         |f2 AS (SELECT *, CASE WHEN s_es > b1s THEN 'es' ELSE b1 END AS b2,
+         |               CASE WHEN s_es > b1s THEN s_es ELSE b1s END AS b2s FROM f1),
+         |f3 AS (SELECT *, CASE WHEN s_fr > b2s THEN 'fr' ELSE b2 END AS b3,
+         |               CASE WHEN s_fr > b2s THEN s_fr ELSE b2s END AS b3s FROM f2)
+         |SELECT doc_id,
+         |       CASE WHEN s_zh > b3s THEN 'zh' ELSE b3 END AS predicted_lang,
+         |       lang,
+         |       CAST(CASE WHEN s_zh > b3s THEN 'zh' ELSE b3 END = lang AS INTEGER) AS correct
+         |FROM f3""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens, stop_hits,
+         |  round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |        + CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE) * 10.0, 6) AS quality
+         |FROM (SELECT doc_id, length(text) AS c,
+         |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |        CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |      FROM documents)""".stripMargin,
+
+    "t03_token_stats" ->
+      s"""SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM((length(tok) + 3) // 4) AS BIGINT) AS n_bpe
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |GROUP BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""WITH chars AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
+         |SELECT doc_id,
+         |  CAST(SUM(ascii(substr(text, i, 1)) *
+         |       ([1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111])[((i - 1) % 8) + 1])
+         |       % 1000000007 AS BIGINT) AS fingerprint
+         |FROM chars GROUP BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,116 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.queries._
+import graft.store.EdgeStore
+
+/** The compatibility façade — same surface as the reference Thrift service
+  * (`Flockdb.thrift:138-167`, `EdgesService.scala`): `contains`, `get`, `get_metadata`,
+  * `contains_metadata`, `select2`, `count2`, `select_edges`, `execute`. Batch-of-queries
+  * methods evaluate each query as its own Spark job (the reference fans out with
+  * `Future.collect`, `EdgesService.scala:88-100`; jobs on one SparkSession already run
+  * concurrently per action, and each action is internally distributed).
+  */
+final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftConfig()) {
+
+  def contains(sourceId: Long, graphId: Int, destinationId: Long): Boolean =
+    store.contains(graphId, sourceId, destinationId)
+
+  def get(sourceId: Long, graphId: Int, destinationId: Long): Option[Edge] =
+    store.get(graphId, sourceId, destinationId)
+
+  def getMetadata(sourceId: Long, graphId: Int): Option[Metadata] = {
+    val spark = store.log.sparkSession
+    import spark.implicits._
+    store.metadata
+      .filter(col("graph_id") === graphId && col("source_id") === sourceId)
+      .select(
+        col("graph_id").as("graphId"),
+        col("source_id").as("sourceId"),
+        col("state"),
+        col("count"),
+        col("updated_at").as("updatedAt")
+      )
+      .as[Metadata]
+      .collect()
+      .headOption
+  }
+
+  def containsMetadata(sourceId: Long, graphId: Int): Boolean =
+    getMetadata(sourceId, graphId).isDefined
+
+  /** Paged compound select (reference `select2`). */
+  def select2(queries: Seq[(Seq[SelectOperation], Page)]): Seq[PagedResult[Long]] =
+    queries.map { case (program, page) => SelectCompiler(program).select(store, page) }
+
+  def select(program: Seq[SelectOperation], page: Page): PagedResult[Long] =
+    select2(Seq((program, page))).head
+
+  /** Cardinalities (reference `count2`): documented estimates by default, exact behind
+    * the flag (SURVEY.md §2.5 A4 recommends exact for oracle comparisons).
+    */
+  def count2(programs: Seq[Seq[SelectOperation]], exact: Boolean = false): Seq[Long] =
+    programs.map { p =>
+      val node = SelectCompiler(p)
+      if (exact) node.exactCount(store) else node.sizeEstimate(store, config)
+    }
+
+  /** Edge-object select (reference `select_edges`) — simple terms only, position order
+    * (`Flockdb.thrift:158-160`: compound queries unsupported there).
+    */
+  def selectEdges(term: QueryTerm, page: Page): PagedResult[Edge] = {
+    val (vertexCol, _) =
+      if (term.isForward) ("source_id", "destination_id") else ("destination_id", "source_id")
+    var df = store.snapshot
+      .filter(col("graph_id") === term.graphId && col(vertexCol) === term.sourceId)
+      .filter(col("state").isin(term.effectiveStates: _*))
+    term.destinationIds.foreach { ids =>
+      val other = if (term.isForward) "destination_id" else "source_id"
+      df = df.filter(col(other).isin(ids: _*))
+    }
+    val paged = Pagination.paginateRows(df, "position", page)
+    PagedResult(paged.items.map(rowToEdge), paged.nextCursor, paged.prevCursor)
+  }
+
+  /** Async write pipeline entry (reference `execute`): applies a batch of operations and
+    * returns the service over the merged store. At-least-once replay is safe because the
+    * merge is idempotent and commutative (reference `doc/blog.md:67-75`).
+    */
+  def execute(ops: Seq[WriteOp]): FlockService = {
+    val spark = store.log.sparkSession
+    import spark.implicits._
+    val df = ops
+      .toDF("graphId", "sourceId", "destinationId", "state", "updatedAt", "position")
+      .select(
+        col("graphId").as("graph_id"),
+        col("sourceId").as("source_id"),
+        col("destinationId").as("destination_id"),
+        col("state"),
+        col("updatedAt").as("updated_at"),
+        col("position")
+      )
+    executeDF(df)
+  }
+
+  /** Set-based execute for large op batches (columns: graph_id, source_id,
+    * destination_id (nullable = wildcard), state, updated_at, position (nullable)).
+    */
+  def executeDF(ops: DataFrame): FlockService =
+    new FlockService(store.applyOperations(ops), config)
+
+  private def rowToEdge(r: Row): Edge = {
+    val i = r.fieldIndex _
+    Edge(
+      r.getInt(i("graph_id")),
+      r.getLong(i("source_id")),
+      r.getLong(i("destination_id")),
+      r.getLong(i("position")),
+      r.getInt(i("updated_at")),
+      r.getInt(i("count")),
+      r.getInt(i("state"))
+    )
+  }
+}
