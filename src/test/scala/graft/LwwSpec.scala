@@ -1,0 +1,159 @@
+package graft
+
+import graft.model._
+
+/** The LWW write-conflict truth table — ported from the reference's
+  * `unit/SqlShardSpec.scala:323-561` via FIXTURES.md §2.4. This is the heart of the
+  * write model: idempotent, commutative, (updatedAt, statePriority)-ordered.
+  */
+class LwwSpec extends SparkSpec {
+
+  private def applied(initial: Seq[Edge], ops: (Long, Long, Int, Int, Option[Long])*): Map[(Long, Long), Edge] =
+    snapshotOf(storeOf(initial: _*).applyOperations(opsDF(ops: _*)))
+
+  test("newer add wins but position is NOT refreshed (Normal -> Normal)") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Normal)),
+      (alice, bob, State.Normal, 110, Some(999L))
+    )
+    val e = m((alice, bob))
+    assert(e.state == State.Normal && e.updatedAt == 110)
+    assert(e.position == 3, "position only refreshes on Removed/Negative -> Normal")
+  }
+
+  test("Archived -> add: state flips to Normal, position unchanged") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Archived)),
+      (alice, bob, State.Normal, 110, Some(999L))
+    )
+    val e = m((alice, bob))
+    assert(e.state == State.Normal && e.updatedAt == 110 && e.position == 3)
+  }
+
+  test("Removed -> add resurrects WITH the new position") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Removed)),
+      (alice, bob, State.Normal, 110, Some(999L))
+    )
+    val e = m((alice, bob))
+    assert(e.state == State.Normal && e.updatedAt == 110 && e.position == 999L)
+  }
+
+  test("older add is ignored") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Normal)),
+      (alice, bob, State.Normal, 99, Some(999L))
+    )
+    val e = m((alice, bob))
+    assert(e.state == State.Normal && e.updatedAt == 100 && e.position == 3)
+  }
+
+  test("same-timestamp tie: Removed beats Normal") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Removed)),
+      (alice, bob, State.Normal, 100, None)
+    )
+    assert(m((alice, bob)).state == State.Removed)
+  }
+
+  test("same-timestamp tie: Negative beats Normal") {
+    val m = applied(
+      Seq(edge(alice, bob, pos = 3, at = 100, state = State.Negative)),
+      (alice, bob, State.Normal, 100, None)
+    )
+    assert(m((alice, bob)).state == State.Negative)
+  }
+
+  test("replayed intermediate write does not regress newest state") {
+    // Removed@t, Removed@t+2 exist; an add@t+1 replays in between -> Removed@t+2 holds
+    val m = applied(
+      Seq(
+        edge(alice, bob, pos = 3, at = 100, state = State.Removed),
+        edge(alice, bob, pos = 3, at = 102, state = State.Removed)
+      ),
+      (alice, bob, State.Normal, 101, None)
+    )
+    val e = m((alice, bob))
+    assert(e.state == State.Removed && e.updatedAt == 102)
+  }
+
+  test("merge is commutative and idempotent (log replay in any order converges)") {
+    val writes = Seq(
+      edge(alice, bob, pos = 1, at = 100, state = State.Normal),
+      edge(alice, bob, pos = 1, at = 101, state = State.Removed),
+      edge(alice, bob, pos = 1, at = 101, state = State.Archived),
+      edge(alice, bob, pos = 1, at = 99, state = State.Negative)
+    )
+    val expected = snapshotOf(storeOf(writes: _*))
+    assert(snapshotOf(storeOf(writes.reverse: _*)) == expected)
+    assert(snapshotOf(storeOf((writes ++ writes): _*)) == expected)
+    // tie at 101: Removed (priority 3) beats Archived (priority 2)
+    assert(expected((alice, bob)).state == State.Removed)
+  }
+
+  test("vertex metadata tie-breaks: removed > archived > negative > normal") {
+    import org.apache.spark.sql.functions._
+    // same updatedAt on all edge writes of the vertex -> dominant state by priority
+    def vertexState(states: Int*): Int = {
+      val es = states.zipWithIndex.map { case (s, i) => edge(alice, 100L + i, pos = i, at = 50, state = s) }
+      storeOf(es: _*).metadata.select(col("state")).collect()(0).getInt(0)
+    }
+    assert(vertexState(State.Normal, State.Removed) == State.Removed)
+    assert(vertexState(State.Normal, State.Archived) == State.Archived)
+    assert(vertexState(State.Negative, State.Archived) == State.Archived)
+    assert(vertexState(State.Archived, State.Removed) == State.Removed)
+  }
+
+  test("metadata count covers only the dominant state; other states read 0") {
+    import org.apache.spark.sql.functions._
+    // 2 Normal edges newest, 3 Archived older -> vertex Normal, count = 2
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100, state = State.Normal),
+      edge(alice, carl, 2, at = 100, state = State.Normal),
+      edge(alice, darcy, 3, at = 90, state = State.Archived),
+      edge(alice, earl, 4, at = 90, state = State.Archived),
+      edge(alice, frank, 5, at = 90, state = State.Archived)
+    )
+    val row = st.metadata.select(col("state"), col("count")).collect()(0)
+    assert(row.getInt(0) == State.Normal)
+    assert(row.getLong(1) == 2L)
+  }
+
+  test("bulk wildcard archive touches every non-Removed edge of the vertex") {
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100, state = State.Normal),
+      edge(alice, carl, 2, at = 100, state = State.Negative),
+      edge(alice, darcy, 3, at = 100, state = State.Removed),
+      edge(bob, carl, 4, at = 100, state = State.Normal)
+    )
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wildcard = Seq((FOLLOWS, alice, State.Archived, 200))
+      .toDF("graph_id", "source_id", "state", "updated_at")
+      .select(
+        col("graph_id"), col("source_id"),
+        lit(null).cast("long").as("destination_id"),
+        col("state"), col("updated_at"), lit(null).cast("long").as("position")
+      )
+    val m = snapshotOf(st.applyOperations(wildcard))
+    assert(m((alice, bob)).state == State.Archived)
+    assert(m((alice, carl)).state == State.Archived)
+    assert(m((alice, darcy)).state == State.Removed, "Removed edges are skipped by bulk jobs")
+    assert(m((bob, carl)).state == State.Normal, "other vertices untouched")
+  }
+
+  test("repair between diverged replicas converges to the newest write per key") {
+    val a = storeOf(
+      edge(alice, bob, 1, at = 100, state = State.Normal),
+      edge(alice, carl, 2, at = 105, state = State.Removed)
+    )
+    val b = storeOf(
+      edge(alice, bob, 1, at = 102, state = State.Archived),
+      edge(alice, darcy, 3, at = 101, state = State.Normal)
+    )
+    val m = snapshotOf(a.repairWith(b))
+    assert(m((alice, bob)).state == State.Archived && m((alice, bob)).updatedAt == 102)
+    assert(m((alice, carl)).state == State.Removed)
+    assert(m((alice, darcy)).state == State.Normal)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.store.EdgeStore
+
+/** Shared local SparkSession for all suites (one JVM, forked by sbt). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Actors from the reference specs (`unit/SqlShardSpec.scala:32-37`). */
+  val (alice, bob, carl, darcy, earl, frank) = (1L, 2L, 3L, 4L, 5L, 6L)
+  val FOLLOWS = 1
+
+  def edge(
+      src: Long, dst: Long, pos: Long,
+      at: Int = 100, state: Int = State.Normal, graph: Int = FOLLOWS
+  ): Edge = Edge(graph, src, dst, pos, at, 0, state)
+
+  def storeOf(edges: Edge*): EdgeStore = EdgeStore.fromEdges(spark, edges)
+
+  def opsDF(ops: (Long, Long, Int, Int, Option[Long])*): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    ops.toSeq
+      .toDF("source_id", "destination_id", "state", "updated_at", "position")
+      .select(
+        lit(FOLLOWS).as("graph_id"), col("source_id"), col("destination_id"),
+        col("state"), col("updated_at"), col("position")
+      )
+  }
+
+  def snapshotOf(store: EdgeStore): Map[(Long, Long), Edge] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    store.snapshot
+      .select(
+        col("graph_id").as("graphId"), col("source_id").as("sourceId"),
+        col("destination_id").as("destinationId"), col("position"),
+        col("updated_at").as("updatedAt"), col("count"), col("state")
+      )
+      .as[Edge].collect().map(e => (e.sourceId, e.destinationId) -> e).toMap
+  }
+}
