@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
 import graft.testgraph.TestGraph
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,7 +53,33 @@ object SparkEntry {
     "t03_token_stats" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t04_fingerprint" -> ((s: SparkSession, dir: String) =>
-      TextStats.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      TextStats.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // --- training-data pipeline: near-dup detection ---
+    "d02_minhash_lsh" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 1)),
+    "d03_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d04_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.2)),
+    // --- similarity search over embeddings ---
+    "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 10)
+    }),
+    "s02_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5, nPlanes = 6)
+    }),
+    "s03_embed_neardup" -> ((s: SparkSession, dir: String) =>
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)),
+    // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
+    "m01_media_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featurizeDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media"))
   )
 
   // ---------------------------------------------------------------------------
@@ -73,6 +99,28 @@ object SparkEntry {
     val esc = needle.replace("'", "''")
     s"(length(text) - length(replace(text, '$esc', ''))) // ${needle.length}"
   }
+
+  /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+
+  /** ±1 hyperplane weights as a DuckDB array literal — mirror of Similarity.planeWeight. */
+  private def lshPlaneSql(j: Int, dims: Int): String =
+    (0 until dims)
+      .map(i => if ((i * (2 * j + 3) + j) % 2 == 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** LSH bucket id — mirror of Similarity.lshBucket (64-dim embeddings, 6 planes). */
+  private def lshBucketSql(v: String, nPlanes: Int, dims: Int): String =
+    (0 until nPlanes)
+      .map(j => s"(CASE WHEN list_dot_product($v, ${lshPlaneSql(j, dims)}) >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** distinct word-3-gram shingles per doc — mirror of Dedup.shingles(n=3). */
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+      |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "g01_lww_snapshot" ->
@@ -247,6 +295,78 @@ object SparkEntry {
          |  CAST(SUM((length(tok) + 3) // 4) AS BIGINT) AS n_bpe
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          |GROUP BY doc_id""".stripMargin,
+
+    "d02_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS minhash
+         |       FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh)
+         |       GROUP BY doc_id, k)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin,
+
+    "d03_simhash" -> {
+      val sums = (0 until 16)
+        .map(i => s"SUM(CASE WHEN ascii(substr(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT doc_id, md5(token) AS h FROM toks),
+         |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    },
+
+    "d04_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b)
+         |WHERE jaccard >= 0.2""".stripMargin,
+
+    "s01_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |  FROM q, e c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s03_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin,
+
+    "m01_media_features" ->
+      s"""SELECT doc_id AS asset_id, source AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST((octet_length(encode(text)) * 7) % 1920 + 1 AS INTEGER) AS width,
+         |  CAST((octet_length(encode(text)) * 13) % 1080 + 1 AS INTEGER) AS height,
+         |  round((octet_length(encode(text)) % 256) / 255.0, 6) AS brightness
+         |FROM documents""".stripMargin,
 
     "t04_fingerprint" ->
       s"""WITH chars AS (

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** Training-data pipeline operators on planted fixtures: exact/near duplicates,
+  * similarity search, multimodal featurization.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different content about spark distributed engines here"),
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content and keeps the min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(r.length == 4)
+    val dupGroup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidate pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3, bands = 16, rowsPerBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must share every band")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup shares most minhashes")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc shares nothing")
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup is high, unrelated absent") {
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+    assert(!rows.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs hash identically; near dup is close in hamming distance") {
+    val h = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) <= hamming(h(1L), h(4L)))
+  }
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f, 0.0f)), // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))   // anti-parallel to 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force ANN ranks the nearly-parallel vector first") {
+    val r = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy(col("rank")).collect()
+    assert(r(0).getAs[Long]("neighbor_id") == 1L)
+    assert(r(0).getAs[Double]("cos_sim") > 0.99)
+    assert(r.length == 2)
+  }
+
+  test("near-dup pairs by cosine threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("LSH buckets: identical vectors collide; ANN within bucket finds the dup") {
+    val r = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3, nPlanes = 4)
+      .collect()
+    // vector 1 is in the same half-space as 0 for every hyperplane (tiny angle)
+    assert(r.exists(row => row.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("multimodal featurize: deterministic stub features via mapPartitions plumbing") {
+    val assets = docs.select(col("doc_id"), lit("text/plain").as("kind"), encode(col("text"), "UTF-8").as("bin"))
+    val feats = Multimodal.featurizeDF(assets, "doc_id", "kind", "bin").collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(feats.size == 5)
+    val f1 = feats(1L)
+    assert(f1.getAs[Long]("n_bytes") == docs.filter(col("doc_id") === 1).head().getString(1).length)
+    assert(f1.getAs[Int]("width") >= 1 && f1.getAs[Int]("width") <= 1920)
+    // identical bytes -> identical features
+    assert(feats(1L).toSeq.drop(1) == feats(2L).toSeq.drop(1))
+  }
+}
