@@ -54,32 +54,35 @@ object GraphQueries {
     (Select(1L, 1) union Select(2L, 1)).ids(TestGraph.store(spark, dir))
   }
 
-  /** J1 at scale — reciprocal pairs (a→b ∧ b→a), a distributed self-semi-join on the
-    * full snapshot (no per-vertex constants; survives 100×).
+  /** J1 at scale — reciprocal pairs (a→b ∧ b→a) over the full snapshot (no per-vertex
+    * constants; survives 100×). One grouped aggregation on the unordered pair key — see
+    * EdgeStore.reciprocal for why this beats the self-semi-join at scale.
     */
-  def reciprocal(spark: SparkSession, dir: String): DataFrame = {
-    val snap = TestGraph.store(spark, dir).snapshot.filter(col("state") === State.Normal)
-    val fwd = snap.select(col("graph_id"), col("source_id"), col("destination_id"))
-    val bwd = snap.select(
-      col("graph_id"),
-      col("destination_id").as("source_id"),
-      col("source_id").as("destination_id")
-    )
-    fwd.join(bwd, Seq("graph_id", "source_id", "destination_id"), "left_semi")
-  }
+  def reciprocal(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).reciprocal(Seq(State.Normal))
 
   /** A1/A3 — per-vertex metadata (dominant state + count). */
   def metadata(spark: SparkSession, dir: String): DataFrame =
     TestGraph.store(spark, dir).metadata
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
 
-  /** A4 — count2 estimate formulas between vertices 1 and 2, per graph. */
+  /** A4 — count2 estimate formulas between vertices 1 and 2, per graph. All leaf
+    * cardinalities come from ONE pass over the metadata aggregate (the reference reads
+    * materialized per-vertex counts, never edge rows — `SimpleQuery.scala:24-27`).
+    */
   def count2Estimates(spark: SparkSession, dir: String): DataFrame = {
     val store = TestGraph.store(spark, dir)
     val config = GraftConfig()
+    // metadata count reads 0 unless the vertex's dominant state is the requested (Normal)
+    val counts = store.metadata
+      .filter(col("source_id").isin(1L, 2L) && col("state") === State.Normal)
+      .select(col("graph_id"), col("source_id"), col("count"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
     val rows = (1 to 3).map { g =>
-      val c1 = SimpleNode(QueryTerm(1L, g)).sizeEstimate(store, config)
-      val c2 = SimpleNode(QueryTerm(2L, g)).sizeEstimate(store, config)
+      val c1 = counts.getOrElse((g, 1L), 0L)
+      val c2 = counts.getOrElse((g, 2L), 0L)
       Row(g, (math.min(c1, c2) * config.averageIntersectionProportion).toLong, math.max(c1, c2), c1)
     }
     val schema = StructType(Seq(
@@ -145,6 +148,72 @@ object GraphQueries {
         lit(null).cast("long").as("position")
       )
     store.applyOperations(targets).snapshot.select(snapCols: _*)
+  }
+
+  /** J4 — nested compound query through the RPN compiler:
+    * (neighbors(1) ∪ neighbors(2)) ∩ neighbors(3) on graph 1.
+    */
+  def nestedCompound(spark: SparkSession, dir: String): DataFrame = {
+    val program = Seq(
+      TermOp(QueryTerm(1L, 1)),
+      TermOp(QueryTerm(2L, 1)),
+      UnionOp,
+      TermOp(QueryTerm(3L, 1)),
+      IntersectionOp
+    )
+    SelectCompiler(program).ids(TestGraph.store(spark, dir))
+  }
+
+  /** F1/F4 — scalar functions: ordered-uuid position from updatedAt, its inverse, and
+    * the graph/direction translation.
+    */
+  def uuidFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("source_id") === 1)
+      .select(
+        col("source_id"),
+        col("destination_id"),
+        positionFromUpdatedAt(col("updated_at")).as("uuid_position"),
+        uuidToMillis(positionFromUpdatedAt(col("updated_at"))).as("millis_roundtrip"),
+        directedGraphId(col("graph_id"), lit(false)).as("backward_graph_id")
+      )
+  }
+
+  /** GraphX-style analytics: 3 unrolled PageRank iterations in FIXED-POINT integer
+    * arithmetic (micro-units) — integer sums are order-independent, so the distributed
+    * result hash-matches the oracle exactly (float PageRank would drift in summation
+    * order). Graph 1, Normal edges, damping 85/100.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val vertices = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nVertices = vertices.count()
+    val init = lit(1000000000000L / nVertices)
+
+    // every arithmetic step is exact integer division (Spark `DIV` == DuckDB `//`);
+    // float division would truncate differently between engines at scale
+    var rank = vertices.select(col("v"), init.as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(outDeg, "src")
+        .join(rank.select(col("v").as("src"), col("pr")), "src")
+        .select(col("dst").as("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("in_sum"))
+      rank = vertices
+        .join(contrib, Seq("v"), "left")
+        .select(
+          col("v"),
+          (lit(150000000000L / nVertices) +
+            expr("(COALESCE(in_sum, CAST(0 AS BIGINT)) * 85) DIV 100")).as("pr")
+        )
+    }
+    rank.select(col("v").as("vertex_id"), col("pr").as("pagerank_fp"))
   }
 
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */

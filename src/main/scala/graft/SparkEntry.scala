@@ -38,6 +38,9 @@ object SparkEntry {
     "g12_execute_lww"      -> (GraphQueries.executeLww _),
     "g13_bulk_archive"     -> (GraphQueries.bulkArchive _),
     "g14_copy_repair"      -> (GraphQueries.copyRepair _),
+    "g15_nested_compound"  -> (GraphQueries.nestedCompound _),
+    "g16_uuid_functions"   -> (GraphQueries.uuidFunctions _),
+    "g17_pagerank"         -> (GraphQueries.pageRank _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -223,6 +226,45 @@ object SparkEntry {
          |  CAST(SUM(position) AS BIGINT) AS sum_pos,
          |  CAST(SUM(CAST(state AS BIGINT)) AS BIGINT) AS sum_state
          |FROM edges GROUP BY graph_id""".stripMargin,
+
+    "g15_nested_compound" ->
+      s"""$snap,
+         |u AS (SELECT destination_id AS neighbor_id FROM edges
+         |      WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |      UNION
+         |      SELECT destination_id FROM edges WHERE graph_id = 1 AND source_id = 2 AND state = 0)
+         |SELECT neighbor_id FROM u
+         |WHERE neighbor_id IN (SELECT destination_id FROM edges
+         |                      WHERE graph_id = 1 AND source_id = 3 AND state = 0)""".stripMargin,
+
+    "g16_uuid_functions" ->
+      s"""$snap SELECT source_id, destination_id,
+         |  (CAST(updated_at AS BIGINT) * 1000) << 20 AS uuid_position,
+         |  ((CAST(updated_at AS BIGINT) * 1000) << 20) >> 20 AS millis_roundtrip,
+         |  CAST(-graph_id AS INTEGER) AS backward_graph_id
+         |FROM edges WHERE graph_id = 1 AND source_id = 1""".stripMargin,
+
+    "g17_pagerank" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM vx),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS pr FROM vx),
+         |c1 AS (SELECT e.dst AS v, CAST(SUM(r0.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+         |r1 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c1.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c1 USING (v)),
+         |c2 AS (SELECT e.dst AS v, CAST(SUM(r1.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+         |r2 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c2.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c2 USING (v)),
+         |c3 AS (SELECT e.dst AS v, CAST(SUM(r2.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+         |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c3 USING (v))
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS pagerank_fp FROM r3""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

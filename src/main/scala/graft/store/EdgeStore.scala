@@ -184,6 +184,45 @@ final class EdgeStore(val log: DataFrame) {
     new EdgeStore(log.select(edgeCols: _*).unionByName(single).unionByName(bulk))
   }
 
+  /** Reciprocal edges: every edge (s, d) in the given states whose reverse (d, s) also
+    * exists in those states. Computed as ONE grouped aggregation on the unordered pair
+    * key (graphId, min(s,d), max(s,d)) instead of a self-join — the snapshot is scanned
+    * once, and the second shuffle moves only deduped edges (at 100 TB the self-join
+    * formulation computes the LWW snapshot twice and shuffles it twice).
+    */
+  def reciprocal(states: Seq[Int] = Seq(State.Normal)): DataFrame = {
+    val src = col("source_id")
+    val dst = col("destination_id")
+    val grouped = snapshot
+      .filter(col("state").isin(states: _*))
+      .select(
+        col("graph_id"),
+        least(src, dst).as("lo"),
+        greatest(src, dst).as("hi"),
+        (src <= dst).as("fwd"),
+        (src >= dst).as("bwd")
+      )
+      .groupBy(col("graph_id"), col("lo"), col("hi"))
+      .agg(max(col("fwd")).as("has_fwd"), max(col("bwd")).as("has_bwd"))
+      .filter(col("has_fwd") && col("has_bwd"))
+    grouped
+      .select(
+        col("graph_id"),
+        explode(
+          when(
+            col("lo") === col("hi"),
+            array(struct(col("lo").as("s"), col("hi").as("d")))
+          ).otherwise(
+            array(
+              struct(col("lo").as("s"), col("hi").as("d")),
+              struct(col("hi").as("s"), col("lo").as("d"))
+            )
+          )
+        ).as("p")
+      )
+      .select(col("graph_id"), col("p.s").as("source_id"), col("p.d").as("destination_id"))
+  }
+
   /** Replica repair (reference `jobs/Copy.scala:65-214`): the reference runs a k-way
     * cursor-paged merge between replicas, newest-wins. In Spark the whole repair is one
     * LWW merge over the union of both logs — no paging loop, no per-row RPCs.
