@@ -46,8 +46,13 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
   def select2(queries: Seq[(Seq[SelectOperation], Page)]): Seq[PagedResult[Long]] =
     queries.map { case (program, page) => SelectCompiler(program).select(store, page) }
 
+  /** Deprecated single-query form (reference `FlockDB.scala:193-196`). */
   def select(program: Seq[SelectOperation], page: Page): PagedResult[Long] =
     select2(Seq((program, page))).head
+
+  /** Deprecated single-count form (reference `FlockDB.scala:210-213`). */
+  def count(program: Seq[SelectOperation]): Long =
+    count2(Seq(program)).head
 
   /** Cardinalities (reference `count2`): documented estimates by default, exact behind
     * the flag (SURVEY.md §2.5 A4 recommends exact for oracle comparisons).

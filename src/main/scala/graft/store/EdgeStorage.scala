@@ -1,0 +1,49 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence layout for edge stores at cluster scale.
+  *
+  * The reference shards edges by (graphId, sourceId-hash-range) across MySQL hosts with
+  * a forwarding table (`ForwardingManager.scala:24-38`, `doc/blog.md:84-93`). The Spark
+  * equivalent is directory partitioning + in-file ordering:
+  *
+  *   - `partitionBy(graph_id)` → partition pruning: a query on one graph never lists the
+  *     others' files (the reference's per-graph tables).
+  *   - `repartition(source_id)` + `sortWithinPartitions(source_id, state, position)` →
+  *     each file covers a hash-bucket of vertices, laid out in the PK order of the
+  *     reference's index `(source_id, state, position)` (`SqlShard.scala:56-68`): an
+  *     adjacency scan touches one bucket and reads rows min/max-pruned by the sort —
+  *     parquet row-group stats on source_id become the "index".
+  *
+  * At 100 TB: ~`buckets` files per graph, each internally sorted; adjacency queries
+  * prune to 1 partition dir × few row groups; the LWW snapshot shuffle hashes on the
+  * same key the layout is bucketed by.
+  */
+object EdgeStorage {
+
+  /** Write a snapshot (or log) with the scale layout. `buckets` ≈ cluster write
+    * parallelism; at 100 TB choose so each file is 128-512 MB.
+    */
+  def save(df: DataFrame, path: String, buckets: Int = 32): Unit =
+    df.repartition(buckets, col("source_id"))
+      .sortWithinPartitions(col("source_id"), col("state"), col("position"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("graph_id")
+      .parquet(path)
+
+  /** Reload. Filters on graph_id prune directories; filters on source_id prune row
+    * groups via parquet min/max stats (verify with `.explain`: PushedFilters).
+    */
+  def load(spark: SparkSession, path: String): EdgeStore =
+    EdgeStore(spark.read.parquet(path))
+
+  /** S10 — bulk unsafe insert (reference `bulkUnsafeInsertEdges`,
+    * `SqlShard.scala:402-417`): append without conflict handling; the next LWW snapshot
+    * resolves duplicates.
+    */
+  def appendUnsafe(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("graph_id").parquet(path)
+}

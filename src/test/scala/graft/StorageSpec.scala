@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.store.{EdgeStorage, EdgeStore}
+
+/** Partitioned persistence: graph_id directory pruning + source_id row-group layout. */
+class StorageSpec extends SparkSpec {
+
+  test("save/load round-trips and prunes partitions on graph_id") {
+    val dir = Files.createTempDirectory("graft-storage").toString + "/edges"
+    val st = storeOf(
+      edge(alice, bob, 1, graph = 1),
+      edge(alice, carl, 2, graph = 1),
+      edge(bob, carl, 3, graph = 2)
+    )
+    EdgeStorage.save(st.snapshot, dir, buckets = 2)
+
+    val loaded = EdgeStorage.load(spark, dir)
+    assert(snapshotOf(loaded).keySet == Set((alice, bob), (alice, carl), (bob, carl)))
+
+    // graph filter must reach the scan as a partition filter (directory pruning)
+    val plan = loaded.log.filter(col("graph_id") === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("graph_id"), plan.take(500))
+
+    // source filter must be pushed to parquet (row-group pruning via min/max stats)
+    val plan2 = loaded.log.filter(col("source_id") === alice).queryExecution.executedPlan.toString
+    assert(plan2.contains("PushedFilters") && plan2.contains("source_id"), plan2.take(500))
+  }
+
+  test("appendUnsafe: duplicates resolve at the next LWW snapshot") {
+    val dir = Files.createTempDirectory("graft-storage2").toString + "/edges"
+    val st = storeOf(edge(alice, bob, 1, at = 100, state = State.Normal))
+    EdgeStorage.save(st.log, dir)
+    // replayed + newer write appended without conflict handling (S10)
+    EdgeStorage.appendUnsafe(
+      storeOf(
+        edge(alice, bob, 1, at = 100, state = State.Normal), // replay
+        edge(alice, bob, 1, at = 105, state = State.Archived)
+      ).log,
+      dir
+    )
+    val m = snapshotOf(EdgeStorage.load(spark, dir))
+    assert(m((alice, bob)).state == State.Archived && m((alice, bob)).updatedAt == 105)
+  }
+}
