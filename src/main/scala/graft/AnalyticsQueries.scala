@@ -66,6 +66,48 @@ object AnalyticsQueries {
       .agg(sum(col("rev")).as("revenue_bp"), count(lit(1)).as("n_items"))
   }
 
+  /** Event-time sessionization: a session breaks on a >1h gap in the user's stream.
+    * `ts` reads as BIGINT nanos (nanosAsLong) — all session math is exact integer
+    * arithmetic, hash-matching DuckDB's `epoch_ns`.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    // µs resolution on both sides: Spark reads raw nanos (nanosAsLong) while DuckDB
+    // truncates ns->µs on load, so all event-time math here is `ts DIV 1000`
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > 3600000000L, 1L).otherwise(0L)
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("brk")).as("n_sessions"),
+        (max(col("tsu")) - min(col("tsu"))).as("span_us")
+      )
+  }
+
+  /** Hourly rollup by integer bucket (µs DIV 1h) × event type. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
+  /** Semi-structured extraction: JSON `props` column → typed aggregate per user. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(k.cast("long")).as("sum_k"),
+        max(k.cast("long")).as("max_k"),
+        countDistinct(k).as("n_distinct_k")
+      )
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

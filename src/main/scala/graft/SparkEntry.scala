@@ -46,6 +46,9 @@ object SparkEntry {
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
     "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
     "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
+    "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
+    "ev3_hourly_rollup"      -> (AnalyticsQueries.hourlyRollup _),
+    "ev4_props_extract"      -> (AnalyticsQueries.propsExtract _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -296,6 +299,30 @@ object SparkEntry {
          |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
          |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
          |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "ev2_sessionize" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |s AS (SELECT user_id, tsu,
+         |        CASE WHEN prev IS NULL OR tsu - prev > 3600000000 THEN 1 ELSE 0 END AS brk
+         |      FROM (SELECT user_id, tsu,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t))
+         |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+         |       CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS span_us
+         |FROM s GROUP BY user_id""".stripMargin,
+
+    "ev3_hourly_rollup" ->
+      s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev4_props_extract" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  CAST(MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS max_k,
+         |  CAST(COUNT(DISTINCT json_extract_string(props, '$$.k')) AS BIGINT) AS n_distinct_k
          |FROM events GROUP BY user_id""".stripMargin,
 
     "d01_dedup_exact" ->
