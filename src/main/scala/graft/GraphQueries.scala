@@ -216,6 +216,43 @@ object GraphQueries {
     rank.select(col("v").as("vertex_id"), col("pr").as("pagerank_fp"))
   }
 
+  /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
+    * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
+    * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose
+    * source vertex is archived resolve to Archived, not Normal — effective state =
+    * max(fwdVertexState, bwdVertexState, preferred) (reference
+    * `jobs/single/Single.scala:104-107`, matrix `unit/JobSpec.scala:126-148`).
+    */
+  def vertexDomination(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val sources = store.snapshot
+      .filter(col("graph_id") === 1)
+      .select(col("graph_id"), col("source_id"))
+      .distinct()
+    val batch1 = sources
+      .filter(col("source_id") % 7 === 0)
+      .select(
+        col("graph_id"), col("source_id"),
+        lit(null).cast("long").as("destination_id"),
+        lit(State.Archived).cast("int").as("state"),
+        lit(2000000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position")
+      )
+    val batch2 = sources
+      .filter(col("source_id") % 3 === 0)
+      .select(
+        col("graph_id"), col("source_id"),
+        (lit(1) + (col("source_id") * 13) % 97).as("destination_id"),
+        lit(State.Normal).cast("int").as("state"),
+        lit(2500000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position")
+      )
+    store.applyOperations(batch1).applyOperations(batch2)
+      .snapshot
+      .filter(col("graph_id") === 1)
+      .select(snapCols: _*)
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     val log = TestGraph.edgeLog(spark, dir)

@@ -41,6 +41,7 @@ object SparkEntry {
     "g15_nested_compound"  -> (GraphQueries.nestedCompound _),
     "g16_uuid_functions"   -> (GraphQueries.uuidFunctions _),
     "g17_pagerank"         -> (GraphQueries.pageRank _),
+    "g18_vertex_domination" -> (GraphQueries.vertexDomination _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -269,6 +270,51 @@ object SparkEntry {
          |       FROM vx LEFT JOIN c3 USING (v))
          |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS pagerank_fp FROM r3""".stripMargin,
 
+    // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
+    // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);
+    // batch2 = adds from vertices ≡0 (mod 3), whose effective state is Archived when the
+    // source's register is archived (W2 domination). Position refreshes only on
+    // Removed/Negative -> effective-Normal resurrection.
+    "g18_vertex_domination" ->
+      s"""$snap,
+         |src AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 1),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2000000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e
+         |       WHERE e.graph_id = 1 AND e.source_id % 7 = 0 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |b2 AS (SELECT CAST(1 AS INTEGER) AS graph_id, s.source_id,
+         |              1 + (s.source_id * 13) % 97 AS destination_id,
+         |              CAST(CASE WHEN s.source_id % 7 = 0 THEN 2 ELSE 0 END AS INTEGER) AS state,
+         |              CAST(2500000 AS INTEGER) AS updated_at
+         |       FROM src s WHERE s.source_id % 3 = 0),
+         |b2p AS (SELECT b2.graph_id, b2.source_id, b2.destination_id,
+         |               CASE WHEN s1.position IS NULL OR (s1.state IN (1, 3) AND b2.state = 0)
+         |                    THEN (CAST(2500000 AS BIGINT) * 1000) << 20
+         |                    ELSE s1.position END AS position,
+         |               b2.updated_at, b2.state
+         |        FROM b2 LEFT JOIN snap1 s1 USING (graph_id, source_id, destination_id)),
+         |log2 AS (
+         |  SELECT * FROM log1
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b2p)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM log2)
+         |WHERE rn = 1 AND graph_id = 1""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -437,13 +483,18 @@ object SparkEntry {
          |  round((octet_length(encode(text)) % 256) / 255.0, 6) AS brightness
          |FROM documents""".stripMargin,
 
+    // LEFT JOIN back to documents so empty docs (dropped by the unnest+GROUP BY) pin
+    // fingerprint 0 — lockstep with TextStats.fingerprint's empty-doc guard.
     "t04_fingerprint" ->
       s"""WITH chars AS (
-         |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
-         |SELECT doc_id,
-         |  CAST(SUM(ascii(substr(text, i, 1)) *
-         |       ([1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111])[((i - 1) % 8) + 1])
-         |       % 1000000007 AS BIGINT) AS fingerprint
-         |FROM chars GROUP BY doc_id""".stripMargin
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(ascii(substr(text, i, 1)) *
+         |         ([1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111])[((i - 1) % 8) + 1])
+         |         % 1000000007 AS BIGINT) AS fingerprint
+         |  FROM chars GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin
   )
 }

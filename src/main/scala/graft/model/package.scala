@@ -106,8 +106,12 @@ package object model {
     val Negate: Int   = State.Negative
   }
 
-  /** One write op: upsert of (graphId, sourceId, destinationId) toward `state` at `updatedAt`.
-    * `destinationId=None` is a wildcard (whole-vertex bulk op, the reference's `Multi` job).
+  /** One write op: upsert of (graphId, sourceId, destinationId) toward preferred `state`
+    * at `updatedAt`. `destinationId=None` is a wildcard (whole-vertex bulk op, the
+    * reference's `Multi` job). `isForward=false` is a backward term: single-edge backward
+    * ops swap (source, destination) before applying (reference
+    * `queries/ExecuteCompiler.scala:86-99`); wildcard backward ops target the vertex's
+    * INCOMING edges and its backward register (`jobs/multi/Multi.scala:110-115`).
     */
   case class WriteOp(
       graphId: Int,
@@ -115,7 +119,8 @@ package object model {
       destinationId: Option[Long],
       state: Int,
       updatedAt: Int,
-      position: Option[Long] = None
+      position: Option[Long] = None,
+      isForward: Boolean = true
   )
 
   class InvalidQueryException(msg: String) extends RuntimeException(msg)

@@ -91,18 +91,22 @@ object TextStats {
   /** Document fingerprint: exact-integer polynomial hash over character codepoints,
     * `sum(codepoint(i) · 31^(i mod 8)) mod 1e9+7`. Order-independent integer sum ⇒
     * bit-identical across engines; bounded: 600 chars × 255 × 31^7 ≈ 4·10^15 < 2^63.
+    * Empty docs are pinned to fingerprint 0: `sequence(1, 0)` in Spark is the DESCENDING
+    * array [1, 0] (not empty), so without the guard an empty doc would hash garbage.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      expr(
-        s"""CAST(aggregate(
-           |  sequence(1, length($textCol)),
-           |  CAST(0 AS BIGINT),
-           |  (acc, i) -> acc + CAST(ascii(substring($textCol, i, 1)) AS BIGINT) *
-           |    element_at(array(CAST(1 AS BIGINT), 31, 961, 29791, 923521, 28629151, 887503681, 27512614111),
-           |               ((i - 1) % 8) + 1)
-           |) % 1000000007 AS BIGINT)""".stripMargin
-      ).as("fingerprint")
+      when(length(col(textCol)) > 0,
+        expr(
+          s"""CAST(aggregate(
+             |  sequence(1, length($textCol)),
+             |  CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + CAST(ascii(substring($textCol, i, 1)) AS BIGINT) *
+             |    element_at(array(CAST(1 AS BIGINT), 31, 961, 29791, 923521, 28629151, 887503681, 27512614111),
+             |               ((i - 1) % 8) + 1)
+             |) % 1000000007 AS BIGINT)""".stripMargin
+        )
+      ).otherwise(lit(0L)).as("fingerprint")
     )
 }

@@ -13,7 +13,11 @@ import graft.store.EdgeStore
 case class GraftConfig(
     averageIntersectionProportion: Double = 0.1,
     intersectionPageSizeMax: Int = 4000,
-    aggregateJobsPageSize: Int = 500
+    aggregateJobsPageSize: Int = 500,
+    /** Configured graphs (the reference's forwarding table): when set, `execute` rejects
+      * ops on unknown graphs (`ExecuteCompiler.scala:45-46`). None = accept any graph.
+      */
+    knownGraphs: Option[Set[Int]] = None
 )
 
 /** The compiled query IR — mirrors the reference's `QueryTree` (`queries/Query.scala:40-72`)

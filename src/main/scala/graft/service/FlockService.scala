@@ -83,19 +83,32 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
   /** Async write pipeline entry (reference `execute`): applies a batch of operations and
     * returns the service over the merged store. At-least-once replay is safe because the
     * merge is idempotent and commutative (reference `doc/blog.md:67-75`).
+    *
+    * Validation mirrors `ExecuteCompiler.apply`: an empty batch and ops on graphs
+    * outside `config.knownGraphs` (when configured) are rejected with
+    * `InvalidQueryException` (`ExecuteCompiler.scala:38, 45-46`;
+    * `integration/EdgesSpec.scala:81-84`).
     */
   def execute(ops: Seq[WriteOp]): FlockService = {
+    if (ops.isEmpty)
+      throw new InvalidQueryException("You must have at least one operation")
+    config.knownGraphs.foreach { known =>
+      ops.find(op => !known.contains(op.graphId)).foreach { bad =>
+        throw new InvalidQueryException(s"nonexistent graph ${bad.graphId}")
+      }
+    }
     val spark = store.log.sparkSession
     import spark.implicits._
     val df = ops
-      .toDF("graphId", "sourceId", "destinationId", "state", "updatedAt", "position")
+      .toDF("graphId", "sourceId", "destinationId", "state", "updatedAt", "position", "isForward")
       .select(
         col("graphId").as("graph_id"),
         col("sourceId").as("source_id"),
         col("destinationId").as("destination_id"),
         col("state"),
         col("updatedAt").as("updated_at"),
-        col("position")
+        col("position"),
+        col("isForward").as("is_forward")
       )
     executeDF(df)
   }

@@ -2,24 +2,29 @@ package graft.store
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.model._
 
-/** Distributed edge store over an append-only log of edge writes.
+/** Distributed edge store over an append-only log of edge writes plus a vertex-level
+  * state-register log.
   *
   * The reference (FlockDB) materializes each write eagerly into MySQL with a guarded
-  * last-writer-wins upsert (`shards/SqlShard.scala:432-524`). On Spark we instead keep the
-  * *log* of writes as the source of truth and derive the current snapshot with a single
-  * grouped max-by aggregation — idempotent and commutative exactly like the reference's
-  * write model (`doc/blog.md:67-75`): replaying any subset of the log in any order yields
-  * the same snapshot.
+  * last-writer-wins upsert (`shards/SqlShard.scala:432-524`) and keeps a per-vertex
+  * metadata row whose `state` is its own LWW register (`shards/SqlShard.scala:646-697`).
+  * On Spark we instead keep the *logs* of writes as the source of truth and derive the
+  * current snapshots with grouped max-by aggregations — idempotent and commutative exactly
+  * like the reference's write model (`doc/blog.md:67-75`): replaying any subset of either
+  * log in any order yields the same snapshots.
   *
   * Scale posture: the snapshot is `groupBy(graphId, sourceId, destinationId).agg(max_by(...))`
   * — a map-side-combinable hash aggregation, one shuffle on the edge key, no window sort.
   * At 100 TB this is the cheapest possible shape (partial aggregation collapses duplicate
-  * writes before the shuffle; AQE handles skewed vertices).
+  * writes before the shuffle; AQE handles skewed vertices). The vertex-register table is
+  * per-vertex (orders of magnitude smaller than edges), so the write-path domination joins
+  * against it broadcast under AQE.
   */
-final class EdgeStore(val log: DataFrame) {
+final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = None) {
   import EdgeStore._
 
   /** Current edge snapshot: per (graphId, sourceId, destinationId) the row with max
@@ -29,18 +34,33 @@ final class EdgeStore(val log: DataFrame) {
     */
   def snapshot: DataFrame = lwwMerge(log)
 
-  /** Per-vertex metadata: dominant vertex state + count of edges in that state.
+  private def vertexLogOrEmpty: DataFrame =
+    vertexLog.getOrElse(
+      log.sparkSession.createDataFrame(
+        log.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], vertexLogSchema))
+
+  /** Current vertex-register snapshot: per (graphId, vertexId, direction) the LWW-max
+    * (updatedAt, statePriority) register — the reference's metadata-state register
+    * (`Metadata.scala:40-47`, `SqlShard.scala:646-697`), written by wildcard (Multi)
+    * ops (`jobs/multi/Multi.scala:101-125`). Vertices without a register are implicitly
+    * Normal (`Optimism.scala:69-70`: absent metadata reads as Normal).
+    */
+  def vertexStates: DataFrame = vertexLww(vertexLogOrEmpty)
+
+  /** Per-vertex metadata: vertex state + count of edges in that state.
     *
-    * The reference materializes this incrementally with count deltas
-    * (`SqlShard.scala:470-524`); in batch we recompute exactly: per-vertex counts by state,
-    * then keep the count of the vertex's dominant (LWW-max) state — reads for other states
-    * return 0 (`SqlShard.scala:175-188`, spec `unit/SqlShardSpec.scala:140-146`).
-    * Here vertex state is derived as the LWW-newest edge write's state projected to the
-    * vertex level, matching the "metadata converges with the edges" repair semantics.
+    * State rule (reference semantics): when the vertex has a first-class register
+    * (written by a wildcard op / metadata write), the register IS the vertex state —
+    * edge writes never change it (`SqlShard.scala:646-697`); the count is then the
+    * number of current edges in the register's state (`computeCount`,
+    * `SqlShard.scala:208-214`), possibly 0 — a register may exist for a vertex with no
+    * edges at all. Vertices without a register fall back to the derived dominant state
+    * (LWW-newest edge write projected to the vertex), which is what the reference's
+    * lazy `populateMetadata` + repair path converge to.
     */
   def metadata: DataFrame = {
     val snap = snapshot
-    snap
+    val derived = snap
       .groupBy(col("graph_id"), col("source_id"))
       .agg(
         max_by(
@@ -48,23 +68,46 @@ final class EdgeStore(val log: DataFrame) {
           struct(col("updated_at"), State.priorityCol(col("state")))
         ).as("m"),
         count(lit(1)).as("total"),
-        // counts per state, map-side combined; we pick the dominant one below
+        // counts per state, map-side combined; we pick the vertex state's one below
         sum(when(col("state") === State.Normal, 1L).otherwise(0L)).as("c0"),
         sum(when(col("state") === State.Removed, 1L).otherwise(0L)).as("c1"),
         sum(when(col("state") === State.Archived, 1L).otherwise(0L)).as("c2"),
         sum(when(col("state") === State.Negative, 1L).otherwise(0L)).as("c3")
       )
-      .select(
-        col("graph_id"),
-        col("source_id"),
-        col("m.state").as("state"),
-        when(col("m.state") === State.Normal, col("c0"))
-          .when(col("m.state") === State.Removed, col("c1"))
-          .when(col("m.state") === State.Archived, col("c2"))
-          .otherwise(col("c3"))
-          .as("count"),
-        col("m.updated_at").as("updated_at")
-      )
+
+    def countFor(state: Column): Column =
+      when(state === State.Normal, coalesce(col("c0"), lit(0L)))
+        .when(state === State.Removed, coalesce(col("c1"), lit(0L)))
+        .when(state === State.Archived, coalesce(col("c2"), lit(0L)))
+        .otherwise(coalesce(col("c3"), lit(0L)))
+
+    vertexLog match {
+      case None =>
+        derived.select(
+          col("graph_id"),
+          col("source_id"),
+          col("m.state").as("state"),
+          countFor(col("m.state")).as("count"),
+          col("m.updated_at").as("updated_at")
+        )
+      case Some(_) =>
+        val reg = vertexStates
+          .filter(col("is_forward"))
+          .select(
+            col("graph_id"), col("vertex_id").as("source_id"),
+            col("state").as("reg_state"), col("updated_at").as("reg_updated_at")
+          )
+        val vState = coalesce(col("reg_state"), col("m.state"))
+        derived
+          .join(reg, Seq("graph_id", "source_id"), "full_outer")
+          .select(
+            col("graph_id"),
+            col("source_id"),
+            vState.as("state"),
+            countFor(vState).as("count"),
+            coalesce(col("reg_updated_at"), col("m.updated_at")).as("updated_at")
+          )
+    }
   }
 
   /** Adjacency relation for one query term, direction-normalized: the result column
@@ -117,29 +160,106 @@ final class EdgeStore(val log: DataFrame) {
     get(graphId, sourceId, destinationId).exists(e => e.state == State.Normal || e.state == State.Negative)
 
   /** Apply a batch of write ops (the reference's async `execute` pipeline, applied
-    * set-based): single-edge ops become new log rows; wildcard ops (the `Multi` bulk job,
-    * `jobs/multi/Multi.scala:101-125`) expand against the current snapshot — every
-    * non-Removed edge of the vertex gets a write toward the op's state
-    * (`selectIncludingArchived` semantics, `SqlShard.scala:246-250`).
+    * set-based). Op columns: graph_id, source_id, destination_id (null = wildcard),
+    * state (preferred state), updated_at, position (nullable), and optionally
+    * is_forward (absent = all forward).
     *
-    * Ops without explicit position keep the existing edge's position when one exists —
-    * matching the reference rule that position is only refreshed on
-    * Removed/Negative→Normal transitions with a supplied position (`SqlShard.scala:436-446`).
+    * Pipeline (mirrors `ExecuteCompiler` → `Multi`/`Single`):
+    *  1. Wildcard ops first write the vertex's state REGISTER
+    *     (`jobs/multi/Multi.scala:101-109` updates metadata before fanning out), then
+    *     expand against the current snapshot: every non-Removed edge on the op's side
+    *     of the vertex gets a per-edge write (`selectIncludingArchived` semantics,
+    *     `SqlShard.scala:246-250`).
+    *  2. Single-edge ops are direction-normalized: backward terms swap (source, dest)
+    *     (`queries/ExecuteCompiler.scala:86-99`).
+    *  3. Every per-edge write resolves its EFFECTIVE state as
+    *     `max(forwardVertexState, backwardVertexState, preferredState)` by state
+    *     priority — vertex archival/negation dominates the edge write
+    *     (`jobs/single/Single.scala:104-107`; truth table `unit/JobSpec.scala:126-148`).
+    *     Registers written by this same batch are visible to the batch's edge writes
+    *     (the reference applies Multi metadata writes before its fanned-out Singles;
+    *     for cross-op races the LWW register itself is the deterministic tiebreak).
+    *  4. Position rule (reference `SqlShard.scala:436-446`, spec
+    *     `unit/SqlShardSpec.scala:332-377`): an existing edge keeps its position UNLESS
+    *     it is resurrected from Removed/Negative into effective-Normal, in which case
+    *     the op's position (or one derived from the op timestamp) applies.
+    *
     * Batch-atomicity makes the reference's optimistic per-vertex lock unnecessary
-    * (SURVEY.md §2.8 W5).
+    * (SURVEY.md §2.8 W5). The "lost lock" rows of the JobSpec matrix are therefore
+    * unrepresentable here by design.
     */
   def applyOperations(ops: DataFrame): EdgeStore = {
     val snap = snapshot
-    // Position rule (reference `SqlShard.scala:436-446`, spec `unit/SqlShardSpec.scala:332-377`):
-    // an existing edge keeps its position UNLESS it is being resurrected from
-    // Removed/Negative into Normal, in which case the op's position (or one derived from
-    // the op timestamp) applies. Brand-new edges take the op position / derived position.
+    val withDir =
+      if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
+
+    val wild    = withDir.filter(col("destination_id").isNull)
+    val singles = withDir.filter(col("destination_id").isNotNull)
+
+    // 1. vertex-register writes from wildcard ops
+    val newRegisters = wild.select(
+      col("graph_id"), col("source_id").as("vertex_id"), col("is_forward"),
+      col("state"), col("updated_at")
+    )
+    val mergedVertexLog = vertexLogOrEmpty.unionByName(newRegisters)
+
+    // wildcard expansion: the op's side of the vertex, skipping Removed edges
+    val notRemoved = snap.filter(col("state") =!= State.Removed)
+    def expand(isFwd: Boolean): DataFrame = {
+      val vcol = if (isFwd) "source_id" else "destination_id"
+      wild
+        .filter(if (isFwd) col("is_forward") else !col("is_forward"))
+        .select(
+          col("graph_id"), col("source_id").as(vcol),
+          col("state").as("op_state"), col("updated_at").as("op_updated_at")
+        )
+        .join(notRemoved.select(col("graph_id"), col("source_id"), col("destination_id")),
+          Seq("graph_id", vcol))
+        .select(
+          col("graph_id"), col("source_id"), col("destination_id"),
+          col("op_state").as("state"), col("op_updated_at").as("updated_at"),
+          lit(null).cast("long").as("position")
+        )
+    }
+
+    // 2. direction normalization for single-edge ops
+    val normSingles = singles.select(
+      col("graph_id"),
+      when(col("is_forward"), col("source_id")).otherwise(col("destination_id")).as("source_id"),
+      when(col("is_forward"), col("destination_id")).otherwise(col("source_id")).as("destination_id"),
+      col("state"), col("updated_at"), col("position").cast("long").as("position")
+    )
+
+    val perEdge = normSingles.unionByName(expand(isFwd = true)).unionByName(expand(isFwd = false))
+
+    // 3. vertex-state domination
+    val vs = vertexLww(mergedVertexLog)
+    val fwdReg = vs.filter(col("is_forward"))
+      .select(col("graph_id"), col("vertex_id").as("source_id"), col("state").as("fwd_state"))
+    val bwdReg = vs.filter(!col("is_forward"))
+      .select(col("graph_id"), col("vertex_id").as("destination_id"), col("state").as("bwd_state"))
+
+    val f = coalesce(col("fwd_state"), lit(State.Normal))
+    val b = coalesce(col("bwd_state"), lit(State.Normal))
+    val o = col("state")
+    val (pf, pb, po) = (State.priorityCol(f), State.priorityCol(b), State.priorityCol(o))
+    val effState =
+      when(pf >= pb && pf >= po, f).when(pb >= po, b).otherwise(o)
+
+    val dominated = perEdge
+      .join(fwdReg, Seq("graph_id", "source_id"), "left")
+      .join(bwdReg, Seq("graph_id", "destination_id"), "left")
+      .select(
+        col("graph_id"), col("source_id"), col("destination_id"),
+        effState.as("state"), col("updated_at"), col("position")
+      )
+
+    // 4. position rule against the pre-batch snapshot
     val resurrected =
       col("old_state").isin(State.Removed, State.Negative) && col("op.state") === State.Normal
     val opPosition =
       coalesce(col("op.position"), graft.functions.GraftFunctions.positionFromUpdatedAt(col("op.updated_at")))
-    val single = ops
-      .filter(col("destination_id").isNotNull)
+    val newRows = dominated
       .alias("op")
       .join(
         snap.select(
@@ -161,27 +281,7 @@ final class EdgeStore(val log: DataFrame) {
         col("op.state").as("state")
       )
 
-    val bulk = ops
-      .filter(col("destination_id").isNull)
-      .select(
-        col("graph_id"), col("source_id"),
-        col("state").as("new_state"), col("updated_at").as("new_updated_at")
-      )
-      .join(
-        snap.filter(col("state") =!= State.Removed),
-        Seq("graph_id", "source_id")
-      )
-      .select(
-        col("graph_id"),
-        col("source_id"),
-        col("destination_id"),
-        col("position"),
-        col("new_updated_at").as("updated_at"),
-        lit(0).as("count"),
-        col("new_state").as("state")
-      )
-
-    new EdgeStore(log.select(edgeCols: _*).unionByName(single).unionByName(bulk))
+    new EdgeStore(log.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
   }
 
   /** Reciprocal edges: every edge (s, d) in the given states whose reverse (d, s) also
@@ -225,10 +325,16 @@ final class EdgeStore(val log: DataFrame) {
 
   /** Replica repair (reference `jobs/Copy.scala:65-214`): the reference runs a k-way
     * cursor-paged merge between replicas, newest-wins. In Spark the whole repair is one
-    * LWW merge over the union of both logs — no paging loop, no per-row RPCs.
+    * LWW merge over the union of both logs (edges AND vertex registers) — no paging
+    * loop, no per-row RPCs.
     */
-  def repairWith(other: EdgeStore): EdgeStore =
-    new EdgeStore(log.select(edgeCols: _*).unionByName(other.log.select(edgeCols: _*)))
+  def repairWith(other: EdgeStore): EdgeStore = {
+    val mergedVertex = (vertexLog, other.vertexLog) match {
+      case (None, None) => None
+      case _            => Some(vertexLogOrEmpty.unionByName(other.vertexLogOrEmpty))
+    }
+    new EdgeStore(log.select(edgeCols: _*).unionByName(other.log.select(edgeCols: _*)), mergedVertex)
+  }
 }
 
 object EdgeStore {
@@ -236,6 +342,17 @@ object EdgeStore {
   val edgeColNames: Seq[String] =
     Seq("graph_id", "source_id", "destination_id", "position", "updated_at", "count", "state")
   def edgeCols: Seq[Column] = edgeColNames.map(col)
+
+  /** Vertex-register log schema: one row per register write (reference `Metadata.scala:29`
+    * minus the count, which we derive).
+    */
+  val vertexLogSchema: StructType = StructType(Seq(
+    StructField("graph_id", IntegerType, nullable = false),
+    StructField("vertex_id", LongType, nullable = false),
+    StructField("is_forward", BooleanType, nullable = false),
+    StructField("state", IntegerType, nullable = false),
+    StructField("updated_at", IntegerType, nullable = false)
+  ))
 
   def apply(log: DataFrame): EdgeStore = new EdgeStore(log)
 
@@ -268,5 +385,22 @@ object EdgeStore {
         col("w.updated_at").as("updated_at"),
         col("w.count").as("count"),
         col("w.state").as("state")
+      )
+
+  /** LWW over the vertex-register log: winner = max (updatedAt, statePriority) — identical
+    * ordering to `Metadata.compare` (`Metadata.scala:40-47`).
+    */
+  private[store] def vertexLww(vertexLog: DataFrame): DataFrame =
+    vertexLog
+      .groupBy(col("graph_id"), col("vertex_id"), col("is_forward"))
+      .agg(
+        max_by(
+          struct(col("state"), col("updated_at")),
+          struct(col("updated_at"), State.priorityCol(col("state")))
+        ).as("w")
+      )
+      .select(
+        col("graph_id"), col("vertex_id"), col("is_forward"),
+        col("w.state").as("state"), col("w.updated_at").as("updated_at")
       )
 }
