@@ -117,10 +117,12 @@ object SparkEntry {
       .map(i => if ((i * (2 * j + 3) + j) % 2 == 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]::DOUBLE[]")
 
-  /** LSH bucket id — mirror of Similarity.lshBucket (64-dim embeddings, 6 planes). */
-  private def lshBucketSql(v: String, nPlanes: Int, dims: Int): String =
+  /** LSH bucket id — mirror of Similarity.lshBucket (64-dim embeddings; `offset` selects
+    * the plane family = hash table).
+    */
+  private def lshBucketSql(v: String, nPlanes: Int, dims: Int, offset: Int = 0): String =
     (0 until nPlanes)
-      .map(j => s"(CASE WHEN list_dot_product($v, ${lshPlaneSql(j, dims)}) >= 0 THEN ${1L << j} ELSE 0 END)")
+      .map(j => s"(CASE WHEN list_dot_product($v, ${lshPlaneSql(offset + j, dims)}) >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
   /** distinct word-3-gram shingles per doc — mirror of Dedup.shingles(n=3). */
@@ -411,10 +413,13 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          |GROUP BY doc_id""".stripMargin,
 
+    // mirror of Dedup.minhashWide: base hash = first 60 bits of md5(shingle) mod p,
+    // permutation k = (2k+1)·h + 12289k + 1 mod p (p = 1e9+7); bands of size 1.
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,
-         |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS minhash
-         |       FROM (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS k FROM sh)
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
          |       GROUP BY doc_id, k)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin,
@@ -432,11 +437,15 @@ object SparkEntry {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
     },
 
+    // Jaccard over RARE shingles only (doc-freq <= 100) — lockstep with the engine's
+    // document-frequency skew guard in Dedup.ngramJaccardPairs.
     "d04_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |           GROUP BY 1, 2)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b,
@@ -469,11 +478,23 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
 
+    // LSH-bucketed near-dup (mirror of Similarity.nearDupPairs): candidates collide in
+    // either of 2 hash tables (disjoint plane families), exact cosine on candidates only.
     "s03_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = id_a
+         |JOIN e eb ON eb.vec_id = id_b
+         |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

@@ -33,21 +33,48 @@ object Dedup {
     df.select(col(idCol), explode(windows).as("shingle")).distinct()
   }
 
-  /** MinHash signatures: for permutation k, minhash_k = min over shingles of
-    * md5(k || '|' || shingle) — the md5-as-permutation trick keeps it oracle-reproducible.
-    * Output: (id, k, minhash).
+  /** Modulus of the affine minhash permutation family (fits 32 bits, so
+    * a_k·h + b_k stays far from 64-bit overflow in both engines).
+    */
+  val MinhashPrime: Long = 1000000007L
+
+  /** MinHash signatures in ONE aggregation with ONE md5 per shingle: base hash
+    * h = first 60 bits of md5(shingle) mod p (oracle-reproducible:
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` in DuckDB == `conv(substring(md5(s),1,15),16,10)`
+    * in Spark — exact integer arithmetic, no engine drift); permutation k is the affine
+    * map (2k+1)·h + 12289k + 1 mod p. Output: (id, mh0..mh{numHashes-1}), one row per doc.
+    *
+    * Scale shape: the k minhashes are k integer-only aggregate expressions in a single
+    * map-side-combinable groupBy — the per-shingle row count is NEVER amplified k×
+    * (an explode(sequence(0, k-1)) form shuffles k× the shingle rows), and md5 — the
+    * dominant per-row cost — runs once per shingle, not once per (shingle, k).
+    */
+  def minhashWide(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hashed = sh.select(
+      col(idCol),
+      (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashPrime).as("hm")
+    )
+    val aggs = (0 until numHashes).map { k =>
+      min((lit(2L * k + 1) * col("hm") + lit(12289L * k + 1)) % MinhashPrime).as(s"mh$k")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long form of [[minhashWide]] — (id, k, minhash) rows; the per-doc explode happens
+    * AFTER the aggregation (numHashes rows per document, not per shingle).
     */
   def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    sh.select(
+    minhashWide(sh, idCol, numHashes)
+      .select(
         col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"),
-        col("shingle")
+        explode(array((0 until numHashes).map(k =>
+          struct(lit(k).as("k"), col(s"mh$k").as("minhash"))): _*)).as("x")
       )
-      .groupBy(col(idCol), col("k"))
-      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("shingle")))).as("minhash"))
+      .select(col(idCol), col("x.k").as("k"), col("x.minhash").as("minhash"))
 
   /** MinHash + LSH banding: documents sharing any band signature become candidate
-    * duplicate pairs. numHashes = bands × rowsPerBand.
+    * duplicate pairs. numHashes = bands × rowsPerBand. Band signatures concatenate the
+    * band's minhashes in k order straight from the wide signature row.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -58,16 +85,15 @@ object Dedup {
       rowsPerBand: Int = 4
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mh = minhash(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
-    val bandSigs = mh
-      .withColumn("band", (col("k") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("k"), col("minhash")))), _.getField("minhash")),
-          ""
-        ).as("sig")
-      )
+    val wide = minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k").cast("string")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bandSigs = wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
     val b = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -93,17 +119,30 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup: inverted-index self-join on shingles (candidates = pairs
-    * sharing ≥1 shingle), then |∩| / |∪| ≥ threshold. The only float is one final
-    * division of two exact integers.
+    * sharing ≥1 shingle), then |∩| / |∪| ≥ threshold over the same shingle relation.
+    * The only float is one final division of two exact integers.
+    *
+    * Skew guard: shingles appearing in more than `maxShingleDocFreq` documents
+    * (boilerplate like " of the ") are dropped BEFORE the self-join — standard
+    * document-frequency / prefix filtering. Without it one hot shingle makes the
+    * candidate join quadratic on that key at corpus scale. The Jaccard is then defined
+    * over the rare-shingle sets (sizes and intersections from the same filtered
+    * relation, so the score stays internally consistent).
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.2
+      threshold: Double = 0.2,
+      maxShingleDocFreq: Int = 100
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+    val shAll = shingles(df, idCol, textCol, shingleSize)
+    val rare = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleDocFreq)
+      .select(col("shingle"))
+    val sh = shAll.join(rare, Seq("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))

@@ -75,14 +75,16 @@ object Similarity {
     if ((i * (2 * j + 3) + j) % 2 == 0) 1.0 else -1.0
 
   /** LSH bucket id from `nPlanes` random hyperplanes over `dims`-dimensional vectors:
-    * bit j = [⟨v, h_j⟩ ≥ 0]. Planes are constant literal arrays (folded once, not
-    * re-derived per row); the projection is the codegen'd dot product.
+    * bit j = [⟨v, h_{planeOffset+j}⟩ ≥ 0]. Planes are constant literal arrays (folded
+    * once, not re-derived per row); the projection is the codegen'd dot product.
+    * `planeOffset` selects an independent plane family — used to build multiple hash
+    * tables for recall (each table hashes with a disjoint plane range).
     */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
     val v = toDouble(vec)
     (0 until nPlanes)
       .map { j =>
-        val plane = array((0 until dims).map(i => lit(planeWeight(i, j))): _*)
+        val plane = array((0 until dims).map(i => lit(planeWeight(i, planeOffset + j))): _*)
         when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
       }
       .reduce(_ + _)
@@ -119,19 +121,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b). */
+  /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b).
+    *
+    * Candidate pairs come from LSH hyperplane buckets — `nTables` independent hash
+    * tables (disjoint plane families), pair = candidate iff it collides in ANY table —
+    * then exact cosine is computed on candidates only. Everything is equi-join on
+    * (table, bucket): no all-pairs cross join, no full-side broadcast, so the plan
+    * survives corpora where O(n²) comparison is infeasible. Recall < 1 by design
+    * (pairs above threshold that collide in no table are missed); raise `nTables` /
+    * lower `planesPerTable` to trade cost for recall.
+    */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      nTables: Int = 2,
+      planesPerTable: Int = 6,
+      dims: Int = 64
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
-      .withColumn("na", norm2(col("va")))
-    val b = df.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
-      .withColumn("nb", norm2(col("vb")))
-    a.crossJoin(broadcast(b))
+    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+    val tables = (0 until nTables).map { t =>
+      struct(
+        lit(t).as("tbl"),
+        lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
+      )
+    }
+    val buckets = vecs
+      .select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim")

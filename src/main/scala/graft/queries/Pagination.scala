@@ -26,59 +26,52 @@ object Pagination {
 
   /** Paginate `df` by `keyCol` (must be unique per row). Returns the page of key values. */
   def paginate(df: DataFrame, keyCol: String, page: Page): PagedResult[Long] = {
+    val rows = paginateRows(df.select(col(keyCol)), keyCol, page)
+    PagedResult(rows.items.map(_.getLong(0)), rows.nextCursor, rows.prevCursor)
+  }
+
+  /** Pagination returning whole rows in display (descending-key) order — ONE pass over
+    * the input: the page itself is a single `limit(n+1)` collect carrying every payload
+    * column (no re-query of the snapshot per page), plus at most one 1-row probe for the
+    * opposite-direction cursor. Jobs per page ≤ 2 (first forward page needs no probe).
+    */
+  def paginateRows(df: DataFrame, keyCol: String, page: Page): PagedResult[Row] = {
     val key = col(keyCol)
     val n = page.count
+    def k(r: Row): Long = r.getLong(r.fieldIndex(keyCol))
 
-    def keys(rows: Array[Row]): Seq[Long] = rows.toSeq.map(_.getLong(0))
-
-    if (page.cursor >= Cursor.Start && page.cursor != Cursor.End) {
+    if (page.cursor == Cursor.End) {
+      PagedResult(Nil, Cursor.End, Cursor.End)
+    } else if (page.cursor >= Cursor.Start) {
       // Forward page (Start or positive cursor).
       val filtered =
         if (page.cursor == Cursor.Start) df else df.filter(key < page.cursor)
-      val fetched = keys(filtered.select(key).orderBy(key.desc).limit(n + 1).collect())
+      val fetched = filtered.orderBy(key.desc).limit(n + 1).collect().toSeq
       val displayed = fetched.take(n)
       if (displayed.isEmpty) PagedResult(Nil, Cursor.End, Cursor.End)
       else {
-        val next = if (fetched.size > n) displayed.last else Cursor.End
+        val next = if (fetched.size > n) k(displayed.last) else Cursor.End
         val prev =
           if (page.cursor == Cursor.Start) Cursor.End
           else {
-            val above = df.filter(key > displayed.head).select(key).limit(1).count()
-            if (above > 0) -displayed.head else Cursor.End
+            val above = df.filter(key > k(displayed.head)).select(key).limit(1).count()
+            if (above > 0) -k(displayed.head) else Cursor.End
           }
         PagedResult(displayed, next, prev)
       }
-    } else if (page.cursor == Cursor.End) {
-      PagedResult(Nil, Cursor.End, Cursor.End)
     } else {
       // Backward page: cursor = −c, rows with key > c ascending; display first n, reversed.
       val c = -page.cursor
-      val fetched = keys(df.filter(key > c).select(key).orderBy(key.asc).limit(n + 1).collect())
+      val fetched = df.filter(key > c).orderBy(key.asc).limit(n + 1).collect().toSeq
       val displayedAsc = fetched.take(n)
       if (displayedAsc.isEmpty) PagedResult(Nil, Cursor.End, Cursor.End)
       else {
         val displayed = displayedAsc.reverse
-        val prev = if (fetched.size > n) -displayed.head else Cursor.End
+        val prev = if (fetched.size > n) -k(displayed.head) else Cursor.End
         val below = df.filter(key <= c).select(key).limit(1).count()
-        val next = if (below > 0) displayed.last else Cursor.End
+        val next = if (below > 0) k(displayed.last) else Cursor.End
         PagedResult(displayed, next, prev)
       }
-    }
-  }
-
-  /** Same pagination but returning whole rows (for `select_edges`). The key column must
-    * still be unique; rows come back in display (descending-key) order.
-    */
-  def paginateRows(df: DataFrame, keyCol: String, page: Page): PagedResult[Row] = {
-    val idPage = paginate(df, keyCol, page)
-    if (idPage.items.isEmpty) PagedResult(Nil, idPage.nextCursor, idPage.prevCursor)
-    else {
-      val rows = df
-        .filter(col(keyCol).isin(idPage.items: _*))
-        .orderBy(col(keyCol).desc)
-        .collect()
-        .toSeq
-      PagedResult(rows, idPage.nextCursor, idPage.prevCursor)
     }
   }
 

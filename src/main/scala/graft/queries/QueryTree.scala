@@ -49,69 +49,115 @@ sealed trait QueryNode {
 
   /** Paged select — reference `select2` semantics. Simple top-level terms page in
     * position (recency) order (`SqlShard.scala:252-256`); compound queries page in
-    * destination-id order (`SqlShard.scala:240-244`).
+    * destination-id order (`SqlShard.scala:240-244`). A page is ONE `limit(n+1)`
+    * collect (the neighbor id rides along as a payload column) plus at most one
+    * opposite-direction probe — the snapshot aggregation runs once per page.
     */
   def select(store: EdgeStore, page: Page): PagedResult[Long] = this match {
     case SimpleNode(term) =>
-      val adj = store.adjacency(term)
-      val byPos = Pagination.paginate(adj, "position", page)
-      // results are ids, in position order — map positions back to neighbor ids
-      if (byPos.items.isEmpty) PagedResult(Nil, byPos.nextCursor, byPos.prevCursor)
-      else {
-        val rows = adj
-          .filter(col("position").isin(byPos.items: _*))
-          .orderBy(col("position").desc)
-          .select(col("neighbor_id"))
-          .collect()
-          .toSeq
-          .map(_.getLong(0))
-        PagedResult(rows, byPos.nextCursor, byPos.prevCursor)
-      }
+      val adj = store.adjacency(term).select(col("position"), col("neighbor_id"))
+      val paged = Pagination.paginateRows(adj, "position", page)
+      PagedResult(
+        paged.items.map(r => r.getLong(r.fieldIndex("neighbor_id"))),
+        paged.nextCursor,
+        paged.prevCursor
+      )
     case _ =>
       Pagination.paginate(ids(store), "neighbor_id", page)
   }
 
-  /** Cardinality estimate — reference `count2` semantics (`Flockdb.thrift:154-156`):
-    * documented ESTIMATES, not exact counts. Simple terms read the materialized metadata
-    * count (`SimpleQuery.scala:24-27`); compounds combine estimates
-    * (intersection ≈ min·proportion, union = max, difference = left —
-    * `IntersectionQuery.scala:24-28`, `UnionQuery.scala:23`, `DifferenceQuery.scala:25`).
+  /** All leaf terms of this tree, left-to-right. */
+  def leafTerms: Seq[QueryTerm] = this match {
+    case SimpleNode(term)      => Seq(term)
+    case IntersectNode(l, r)   => l.leafTerms ++ r.leafTerms
+    case UnionNode(l, r)       => l.leafTerms ++ r.leafTerms
+    case DifferenceNode(l, r)  => l.leafTerms ++ r.leafTerms
+  }
+
+  /** Combine precomputed leaf cardinalities into the compound estimate — reference
+    * `count2` semantics (`Flockdb.thrift:154-156`): documented ESTIMATES, not exact
+    * counts (intersection ≈ min·proportion, union = max, difference = left —
+    * `IntersectionQuery.scala:24-28`, `UnionQuery.scala:23`, `DifferenceQuery.scala:25`;
+    * where-in = list size, `WhereInQuery.scala:26`).
     */
-  def sizeEstimate(store: EdgeStore, config: GraftConfig): Long = this match {
+  def estimateWith(stats: QueryNode.LeafStats, config: GraftConfig): Long = this match {
     case SimpleNode(term) =>
       term.destinationIds match {
-        case Some(ids) => ids.size.toLong // where-in estimate = list size (`WhereInQuery.scala:26`)
+        case Some(ids) => ids.size.toLong
         case None =>
-          // Metadata count semantics: the materialized count covers edges in the vertex's
-          // dominant state; reads for other states return 0 (`SqlShard.scala:175-188`,
-          // spec `unit/SqlShardSpec.scala:140-146`). For backward terms the reference keeps
-          // a mirrored metadata table; we recompute grouped by the queried column.
-          val vertexCol = if (term.isForward) "source_id" else "destination_id"
-          val perState = store.snapshot
-            .filter(col("graph_id") === term.graphId && col(vertexCol) === term.sourceId)
-            .groupBy(col("state"))
-            .agg(count(lit(1)).as("c"), max(col("updated_at")).as("maxUpd"))
-            .collect()
-            .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
-          if (perState.isEmpty) 0L
-          else {
-            // vertex state = LWW over the vertex's edge writes: max (updatedAt, priority)
-            val (vertexState, vertexCount, _) =
-              perState.maxBy { case (s, _, upd) => (upd, State.priority(s)) }
-            if (term.effectiveStates.contains(vertexState)) vertexCount else 0L
+          // Metadata count semantics: the materialized count covers edges in the
+          // vertex's dominant state; reads for other states return 0
+          // (`SqlShard.scala:175-188`, spec `unit/SqlShardSpec.scala:140-146`).
+          stats.get((term.graphId, term.sourceId, term.isForward)) match {
+            case Some((vertexState, vertexCount)) if term.effectiveStates.contains(vertexState) =>
+              vertexCount
+            case _ => 0L
           }
       }
     case IntersectNode(l, r) =>
-      val (a, b) = (l.sizeEstimate(store, config), r.sizeEstimate(store, config))
+      val (a, b) = (l.estimateWith(stats, config), r.estimateWith(stats, config))
       (math.min(a, b) * config.averageIntersectionProportion).toLong
     case UnionNode(l, r) =>
-      math.max(l.sizeEstimate(store, config), r.sizeEstimate(store, config))
+      math.max(l.estimateWith(stats, config), r.estimateWith(stats, config))
     case DifferenceNode(l, _) =>
-      l.sizeEstimate(store, config)
+      l.estimateWith(stats, config)
   }
+
+  /** Single-tree convenience: one metadata job for this tree's leaves. Prefer
+    * `QueryNode.leafStats` + [[estimateWith]] to batch many trees into one job.
+    */
+  def sizeEstimate(store: EdgeStore, config: GraftConfig): Long =
+    estimateWith(QueryNode.leafStats(store, leafTerms), config)
 
   /** Exact count — the config-flagged alternative to estimates (SURVEY.md §2.5 A4). */
   def exactCount(store: EdgeStore): Long = ids(store).count()
+}
+
+object QueryNode {
+
+  /** (graphId, vertexId, isForward) -> (dominant vertex state, count in that state). */
+  type LeafStats = Map[(Int, Long, Boolean), (Int, Long)]
+
+  /** Vertex cardinalities for ALL wildcard leaves of a program batch in ONE Spark job
+    * (the reference reads materialized per-vertex counts, never edge rows —
+    * `SimpleQuery.scala:24-27`; a count2 batch of N compound queries must not issue
+    * O(N·leaves) driver round-trips). The wanted (graph, vertex, direction) keys are
+    * broadcast against the snapshot; per-key per-state counts aggregate map-side.
+    */
+  def leafStats(store: EdgeStore, terms: Seq[QueryTerm]): LeafStats = {
+    val want = terms.filter(_.destinationIds.isEmpty)
+      .map(t => (t.graphId, t.sourceId, t.isForward))
+      .distinct
+    if (want.isEmpty) return Map.empty
+    val spark = store.log.sparkSession
+    import spark.implicits._
+
+    val snap = store.snapshot
+    // only project the directions actually queried (each side re-aggregates the snapshot)
+    val sides = Seq(true, false).filter(f => want.exists(_._3 == f)).map { f =>
+      val vcol = if (f) "source_id" else "destination_id"
+      snap.select(
+        col("graph_id"), col(vcol).as("vertex_id"), lit(f).as("is_fwd"),
+        col("state"), col("updated_at")
+      )
+    }
+    val wantDF = broadcast(want.toDF("graph_id", "vertex_id", "is_fwd"))
+    val rows = sides.reduce(_ unionByName _)
+      .join(wantDF, Seq("graph_id", "vertex_id", "is_fwd"))
+      .groupBy(col("graph_id"), col("vertex_id"), col("is_fwd"), col("state"))
+      .agg(count(lit(1)).as("c"), max(col("updated_at")).as("mu"))
+      .collect()
+
+    rows
+      .groupBy(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+      .view
+      .mapValues { perState =>
+        // vertex state = LWW over the vertex's edge writes: max (updatedAt, priority)
+        val dominant = perState.maxBy(r => (r.getInt(5), State.priority(r.getInt(3))))
+        (dominant.getInt(3), dominant.getLong(4))
+      }
+      .toMap
+  }
 }
 
 final case class SimpleNode(term: QueryTerm)                        extends QueryNode

@@ -55,13 +55,19 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
     count2(Seq(program)).head
 
   /** Cardinalities (reference `count2`): documented estimates by default, exact behind
-    * the flag (SURVEY.md §2.5 A4 recommends exact for oracle comparisons).
+    * the flag (SURVEY.md §2.5 A4 recommends exact for oracle comparisons). The estimate
+    * path gathers every leaf of every program and runs ONE metadata job for the whole
+    * batch (`QueryNode.leafStats`), then combines estimates driver-side — a batch of N
+    * compound queries is one Spark job, not O(N·leaves).
     */
-  def count2(programs: Seq[Seq[SelectOperation]], exact: Boolean = false): Seq[Long] =
-    programs.map { p =>
-      val node = SelectCompiler(p)
-      if (exact) node.exactCount(store) else node.sizeEstimate(store, config)
+  def count2(programs: Seq[Seq[SelectOperation]], exact: Boolean = false): Seq[Long] = {
+    val nodes = programs.map(SelectCompiler(_))
+    if (exact) nodes.map(_.exactCount(store))
+    else {
+      val stats = QueryNode.leafStats(store, nodes.flatMap(_.leafTerms))
+      nodes.map(_.estimateWith(stats, config))
     }
+  }
 
   /** Edge-object select (reference `select_edges`) — simple terms only, position order
     * (`Flockdb.thrift:158-160`: compound queries unsupported there).

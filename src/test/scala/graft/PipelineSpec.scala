@@ -71,10 +71,17 @@ class PipelineSpec extends SparkSpec {
     assert(r.length == 2)
   }
 
-  test("near-dup pairs by cosine threshold") {
-    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+  test("near-dup pairs by cosine threshold (LSH-bucketed candidates)") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9, dims = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("near-dup plan contains no cross join (candidates are equi-joins)") {
+    val plan = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9, dims = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), s"plan must not be all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan must not be all-pairs:\n$plan")
   }
 
   test("LSH buckets: identical vectors collide; ANN within bucket finds the dup") {
