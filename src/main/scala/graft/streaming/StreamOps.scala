@@ -6,8 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.model.{Edge, State}
 
-/** Streaming query operators over the edge-write stream. */
-object StreamOps {
+/** Streaming query operators over the edge-write stream. (Serializable: the
+  * flatMapGroupsWithState closure calls [[StreamOps.mergeDegreeState]] and so captures
+  * this object into the task.)
+  */
+object StreamOps extends Serializable {
 
   /** Windowed write-rate monitoring: writes per (graph, event-time window) with a
     * watermark bounding state. `updated_at` epoch-seconds is the event time.
@@ -30,38 +33,68 @@ object StreamOps {
 
   case class VertexDegree(graphId: Int, sourceId: Long, degree: Long)
 
+  /** Compact per-destination LWW register — only what conflict resolution needs
+    * (updatedAt, statePriority-via-state, position), NOT the whole Edge row.
+    */
+  case class Reg(updatedAt: Int, position: Long, state: Int)
+
+  /** Per-vertex degree state: compact registers + the max event time seen (the
+    * replay-horizon clock).
+    */
+  case class DegreeState(regs: Map[Long, Reg], maxSeen: Int)
+
+  private def wins(aUpd: Int, aState: Int, aPos: Long, b: Reg): Boolean = {
+    implicit val ord: Ordering[(Int, Int, Long)] = Ordering.Tuple3
+    ord.gt((aUpd, State.priority(aState), aPos), (b.updatedAt, State.priority(b.state), b.position))
+  }
+
+  /** Pure state-merge step (unit-testable): fold a batch of writes into the vertex's
+    * registers with the LWW (updatedAt, statePriority, position) rule, then BOUND the
+    * state: Removed tombstones older than `maxSeen - horizonSeconds` are dropped, and
+    * incoming writes older than that cutoff are ignored outright (they could otherwise
+    * resurrect a dropped tombstone). The contract is the standard replay-horizon one:
+    * convergence is exact for any replay within `horizonSeconds` of the newest write
+    * seen; older replays are no-ops. Without the horizon a celebrity vertex accumulates
+    * one register per neighbor it EVER had, unboundedly.
+    */
+  def mergeDegreeState(current: DegreeState, batch: Iterator[Edge], horizonSeconds: Int): DegreeState = {
+    val items = batch.toSeq
+    // clock first, filter second: the merge result must not depend on within-batch order
+    val maxSeen = (current.maxSeen +: items.map(_.updatedAt)).max
+    val cutoff = maxSeen.toLong - horizonSeconds
+    var regs = current.regs
+    items.foreach { e =>
+      if (e.updatedAt.toLong >= cutoff) {
+        regs.get(e.destinationId) match {
+          case Some(old) if !wins(e.updatedAt, e.state, e.position, old) => ()
+          case _ => regs = regs.updated(e.destinationId, Reg(e.updatedAt, e.position, e.state))
+        }
+      }
+    }
+    val bounded = regs.filter { case (_, r) => r.state != State.Removed || r.updatedAt.toLong >= cutoff }
+    DegreeState(bounded, maxSeen)
+  }
+
   /** Incremental per-vertex degree maintenance — the reference's A2 count-delta path
     * (`SqlShard.scala:470-524`) as streaming state: each vertex's group state holds its
-    * current adjacency LWW registers; every micro-batch folds new writes in with the
-    * same (updatedAt, statePriority, position) rule and emits the updated Normal-degree.
-    * Out-of-order and replayed writes converge exactly like the batch merge.
+    * current adjacency LWW registers (compact, tombstone-aged — see [[mergeDegreeState]]);
+    * every micro-batch folds new writes in with the same (updatedAt, statePriority,
+    * position) rule and emits the updated Normal-degree. Out-of-order and replayed
+    * writes within the horizon converge exactly like the batch merge.
     */
-  def streamingDegree(writes: Dataset[Edge]): Dataset[VertexDegree] = {
+  def streamingDegree(writes: Dataset[Edge], horizonSeconds: Int = 7 * 86400): Dataset[VertexDegree] = {
     import writes.sparkSession.implicits._
-
-    def wins(a: Edge, b: Edge): Boolean = {
-      implicit val ord: Ordering[(Int, Int, Long)] = Ordering.Tuple3
-      ord.gt(
-        (a.updatedAt, State.priority(a.state), a.position),
-        (b.updatedAt, State.priority(b.state), b.position)
-      )
-    }
 
     def fold(
         key: (Int, Long),
         batch: Iterator[Edge],
-        state: GroupState[Map[Long, Edge]]
+        state: GroupState[DegreeState]
     ): Iterator[VertexDegree] = {
-      val current = state.getOption.getOrElse(Map.empty[Long, Edge])
-      val merged = batch.foldLeft(current) { (m, e) =>
-        m.get(e.destinationId) match {
-          case Some(old) if !wins(e, old) => m
-          case _                          => m.updated(e.destinationId, e)
-        }
-      }
+      val current = state.getOption.getOrElse(DegreeState(Map.empty, Int.MinValue))
+      val merged = mergeDegreeState(current, batch, horizonSeconds)
       state.update(merged)
       Iterator.single(
-        VertexDegree(key._1, key._2, merged.valuesIterator.count(_.state == State.Normal).toLong)
+        VertexDegree(key._1, key._2, merged.regs.valuesIterator.count(_.state == State.Normal).toLong)
       )
     }
 

@@ -59,4 +59,40 @@ class StreamOpsSpec extends SparkSpec {
       assert(last == 1L, "bob removed, stale carl-removal ignored")
     } finally query.stop()
   }
+
+  test("degree state is bounded: aged-out tombstones are dropped, degree stays exact") {
+    import graft.streaming.StreamOps.{mergeDegreeState, DegreeState}
+    val horizon = 1000
+    // high-degree vertex: 10k adds, then 9k removals
+    val adds = (1L to 10000L).map(d => edge(alice, d, pos = d, at = 100))
+    val removes = (1L to 9000L).map(d => edge(alice, d, pos = d, at = 200, state = State.Removed))
+    val s1 = mergeDegreeState(DegreeState(Map.empty, Int.MinValue), (adds ++ removes).iterator, horizon)
+    assert(s1.regs.valuesIterator.count(_.state == State.Normal) == 1000)
+    assert(s1.regs.size == 10000, "tombstones inside the horizon are retained")
+
+    // time passes beyond the horizon -> the 9k tombstones age out of the state store
+    val later = Seq(edge(alice, 20000L, pos = 1, at = 200 + horizon + 1))
+    val s2 = mergeDegreeState(s1, later.iterator, horizon)
+    assert(s2.regs.size == 1001, "9k aged tombstones dropped; live registers kept")
+    assert(s2.regs.valuesIterator.count(_.state == State.Normal) == 1001)
+
+    // a replay from beyond the horizon is a no-op (cannot resurrect a dropped tombstone)
+    val stale = Seq(edge(alice, 5L, pos = 5, at = 100))
+    val s3 = mergeDegreeState(s2, stale.iterator, horizon)
+    assert(s3 == s2, "writes older than the replay horizon are ignored")
+  }
+
+  test("mergeDegreeState is within-batch order independent") {
+    import graft.streaming.StreamOps.{mergeDegreeState, DegreeState}
+    val batch = Seq(
+      edge(alice, bob, 1, at = 100),
+      edge(alice, bob, 1, at = 150, state = State.Removed),
+      edge(alice, carl, 2, at = 120),
+      edge(alice, darcy, 3, at = 90, state = State.Negative)
+    )
+    val init = DegreeState(Map.empty, Int.MinValue)
+    val a = mergeDegreeState(init, batch.iterator, 1000)
+    val b = mergeDegreeState(init, batch.reverse.iterator, 1000)
+    assert(a == b)
+  }
 }
