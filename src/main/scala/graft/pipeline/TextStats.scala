@@ -13,19 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** # occurrences of `needle` in `text` (length-difference trick — codegen-friendly). */
+  /** # of non-overlapping occurrences of `needle` in `text` — a native codegen'd
+    * indexOf loop (org.apache.spark.sql.graft.CountOccurrences); counts are identical
+    * to the oracle's `(length - length(replace)) // len(needle)` arithmetic but skip
+    * the per-needle regex walk over every document.
+    */
   def occurrences(text: Column, needle: String): Column =
-    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+    org.apache.spark.sql.graft.CountOccurrences.column(text, lit(needle))
 
-  private def occ(text: Column, needle: String): Column =
-    ((length(text) - length(replaceLit(text, needle))) / needle.length).cast("long")
-
-  private def replaceLit(text: Column, needle: String): Column =
-    regexp_replace(text, java.util.regex.Pattern.quote(needle), "")
+  private def occ(text: Column, needle: String): Column = occurrences(text, needle)
 
   /** Whitespace token count: #spaces + 1. */
   def tokenCount(text: Column): Column =
-    (length(text) - length(replaceLit(text, " ")) + 1).cast("long")
+    occ(text, " ") + 1L
 
   /** Token inventory: (id, token) pairs — the shared explode for shingle-based ops. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -66,20 +66,30 @@ object TextStats {
     */
   def langId(df: DataFrame, idCol: String, textCol: String, truthCol: Option[String]): DataFrame = {
     val t = col(textCol)
-    val scores = Seq(
-      "en" -> (occ(t, " the ") + occ(t, " and ") + occ(t, " of ")),
-      "de" -> (occ(t, " der ") + occ(t, " und ") + occ(t, " das ")),
-      "es" -> (occ(t, " el ") + occ(t, " los ") + occ(t, " que ")),
-      "fr" -> (occ(t, " le ") + occ(t, " les ") + occ(t, " et ")),
-      "zh" -> (occ(t, " de ") + occ(t, " shi ") + occ(t, " bu "))
+    val langs = Seq(
+      "en" -> Seq(" the ", " and ", " of "),
+      "de" -> Seq(" der ", " und ", " das "),
+      "es" -> Seq(" el ", " los ", " que "),
+      "fr" -> Seq(" le ", " les ", " et "),
+      "zh" -> Seq(" de ", " shi ", " bu ")
+    )
+    // score each language ONCE into its own column; the argmax fold below then chains
+    // cheap column references — folding over the raw score expressions would duplicate
+    // every occurrence-count subtree exponentially through the when() nesting
+    val scored = df.select(
+      (col(idCol) +: truthCol.map(c => col(c)).toSeq) ++
+        langs.map { case (lang, markers) =>
+          markers.map(m => occ(t, m)).reduce(_ + _).as(s"score_$lang")
+        }: _*
     )
     // argmax with fixed priority order (earlier wins ties)
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+    val scoreCols = langs.map { case (lang, _) => lang -> col(s"score_$lang") }
+    val best = scoreCols.tail.foldLeft((lit(scoreCols.head._1), scoreCols.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>
         (when(score > bestScore, lang).otherwise(bestLang),
           when(score > bestScore, score).otherwise(bestScore))
     }
-    val base = df.select(
+    val base = scored.select(
       col(idCol) +: (best._1.as("predicted_lang") +: truthCol.map(c => col(c)).toSeq): _*
     )
     truthCol match {
@@ -89,24 +99,15 @@ object TextStats {
   }
 
   /** Document fingerprint: exact-integer polynomial hash over character codepoints,
-    * `sum(codepoint(i) · 31^(i mod 8)) mod 1e9+7`. Order-independent integer sum ⇒
-    * bit-identical across engines; bounded: 600 chars × 255 × 31^7 ≈ 4·10^15 < 2^63.
-    * Empty docs are pinned to fingerprint 0: `sequence(1, 0)` in Spark is the DESCENDING
-    * array [1, 0] (not empty), so without the guard an empty doc would hash garbage.
+    * `sum(codepoint(i) · 31^(i mod 8)) mod 1e9+7` — a native codegen'd one-pass
+    * expression (org.apache.spark.sql.graft.PolyFingerprint; the HOF-fold formulation
+    * was O(len²) because substring(s, i, 1) seeks from the start of the string).
+    * Exact-integer arithmetic ⇒ bit-identical to the DuckDB oracle; empty docs pin
+    * fingerprint 0.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      when(length(col(textCol)) > 0,
-        expr(
-          s"""CAST(aggregate(
-             |  sequence(1, length($textCol)),
-             |  CAST(0 AS BIGINT),
-             |  (acc, i) -> acc + CAST(ascii(substring($textCol, i, 1)) AS BIGINT) *
-             |    element_at(array(CAST(1 AS BIGINT), 31, 961, 29791, 923521, 28629151, 887503681, 27512614111),
-             |               ((i - 1) % 8) + 1)
-             |) % 1000000007 AS BIGINT)""".stripMargin
-        )
-      ).otherwise(lit(0L)).as("fingerprint")
+      org.apache.spark.sql.graft.PolyFingerprint.column(col(textCol)).as("fingerprint")
     )
 }

@@ -69,6 +69,19 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
     }
   }
 
+  /** Wire-shaped `select2` (reference `FlockDB.scala:274-287`): each page's ids packed
+    * as a little-endian i64 buffer + next/prev cursors — byte-compatible with the
+    * reference's Thrift `Results` payload (F3).
+    */
+  def select2Packed(queries: Seq[(Seq[SelectOperation], Page)]): Seq[(Array[Byte], Long, Long)] =
+    select2(queries).map(r => (graft.functions.Packing.packLongs(r.items), r.nextCursor, r.prevCursor))
+
+  /** Wire-shaped `count2` (reference `FlockDB.scala:215-217`): counts packed as one
+    * little-endian i32 buffer (F3).
+    */
+  def count2Packed(programs: Seq[Seq[SelectOperation]], exact: Boolean = false): Array[Byte] =
+    graft.functions.Packing.packInts(count2(programs, exact).map(_.min(Int.MaxValue).toInt))
+
   /** Edge-object select (reference `select_edges`) — simple terms only, position order
     * (`Flockdb.thrift:158-160`: compound queries unsupported there).
     */
