@@ -20,18 +20,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles, distinct per document: (id, shingle). One narrow map + explode
-    * — no shuffle until the consumer aggregates.
+  /** Word n-gram shingles, distinct per document: (id, shingle) — a native generator
+    * (org.apache.spark.sql.graft.WordShingles) doing one pass per document. No shuffle
+    * at all: dedup happens inside the generator, which is equivalent to a global
+    * `distinct()` because each document is one input row. (The HOF formulation —
+    * explode(transform(sequence, slice+concat_ws)) + distinct — evaluated interpreted
+    * and shuffled the whole shingle relation just to dedup.)
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ", -1)
-    // guard: sequence(a, b) is DESCENDING when a > b, so short docs need the empty array
-    val windows = when(
-      size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - n + 1), i => concat_ws(" ", slice(toks, i, lit(n))))
-    ).otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(windows).as("shingle")).distinct()
-  }
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), org.apache.spark.sql.graft.WordShingles.column(col(textCol), n).as("shingle"))
 
   /** Modulus of the affine minhash permutation family (fits 32 bits, so
     * a_k·h + b_k stays far from 64-bit overflow in both engines).
@@ -91,9 +88,12 @@ object Dedup {
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k").cast("string")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
+    // one band-sig row per (doc, band) — tiny; materialized once so the self-join below
+    // doesn't re-run the whole shingle+minhash pipeline for each side
     val bandSigs = wide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(true)
     val a = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
     val b = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -137,12 +137,15 @@ object Dedup {
       threshold: Double = 0.2,
       maxShingleDocFreq: Int = 100
   ): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, shingleSize)
+    // the shingle relation feeds four consumers (doc-freq agg, filter join, sizes, both
+    // sides of the candidate self-join); materialize it once instead of re-running the
+    // split+explode+distinct shuffle per consumer
+    val shAll = shingles(df, idCol, textCol, shingleSize).localCheckpoint(true)
     val rare = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleDocFreq)
       .select(col("shingle"))
-    val sh = shAll.join(rare, Seq("shingle"))
+    val sh = shAll.join(rare, Seq("shingle")).localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))

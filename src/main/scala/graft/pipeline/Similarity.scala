@@ -140,8 +140,11 @@ object Similarity {
       planesPerTable: Int = 6,
       dims: Int = 64
   ): DataFrame = {
+    // vectors feed three consumers (bucket derivation + the two joins back onto the
+    // candidate pairs) and the bucket relation self-joins; materialize each once
     val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
+      .localCheckpoint(true)
     val tables = (0 until nTables).map { t =>
       struct(
         lit(t).as("tbl"),
@@ -151,6 +154,7 @@ object Similarity {
     val buckets = vecs
       .select(col("id"), explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true)
     val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
