@@ -187,9 +187,18 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     * Batch-atomicity makes the reference's optimistic per-vertex lock unnecessary
     * (SURVEY.md §2.8 W5). The "lost lock" rows of the JobSpec matrix are therefore
     * unrepresentable here by design.
+    *
+    * This method is EAGER: the pre-batch snapshot is materialized once (eager local
+    * checkpoint) because three independent joins consume it — their differing pushed
+    * projections defeat exchange reuse, so the lazy form re-runs the full LWW
+    * aggregation per join. The returned store's log is the COMPACTED
+    * `snapshot ∪ batchRows` (sound because the merge is idempotent:
+    * lww(lww(L) ∪ R) = lww(L ∪ R)) — write batches also act as state compaction, the
+    * same materialization discipline the reference's eager upserts give it, and the
+    * shape that keeps a 100 TB log from being re-folded from scratch every batch.
     */
   def applyOperations(ops: DataFrame): EdgeStore = {
-    val snap = snapshot
+    val snap = snapshot.localCheckpoint(true)
     val withDir =
       if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
 
@@ -281,7 +290,7 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
         col("op.state").as("state")
       )
 
-    new EdgeStore(log.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+    new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
   }
 
   /** Reciprocal edges: every edge (s, d) in the given states whose reverse (d, s) also
