@@ -259,6 +259,73 @@ object GraphQueries {
       .select(snapCols: _*)
   }
 
+  /** W2/W3 backward direction end-to-end: batch 1 wildcard-archives graph-2 vertices
+    * ≡0 (mod 5) BACKWARD (their backward register + all their INCOMING edges); batch 2
+    * replays backward single adds (term (sourceId=v, destinationIds=[d], backward) ⇒
+    * edge (d, v) — reference `ExecuteCompiler.scala:86-99`), dominated by the target
+    * vertex's backward register.
+    */
+  def backwardOps(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val destVertices = store.snapshot
+      .filter(col("graph_id") === 2)
+      .select(col("graph_id"), col("destination_id").as("vertex_id"))
+      .distinct()
+    val batch1 = destVertices
+      .filter(col("vertex_id") % 5 === 0)
+      .select(
+        col("graph_id"), col("vertex_id").as("source_id"),
+        lit(null).cast("long").as("destination_id"),
+        lit(State.Archived).cast("int").as("state"),
+        lit(2100000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position"),
+        lit(false).as("is_forward")
+      )
+    val batch2 = destVertices
+      .filter(col("vertex_id") % 3 === 0)
+      .select(
+        col("graph_id"), col("vertex_id").as("source_id"),
+        (lit(1) + (col("vertex_id") * 11) % 150).as("destination_id"),
+        lit(State.Normal).cast("int").as("state"),
+        lit(2600000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position"),
+        lit(false).as("is_forward")
+      )
+    store.applyOperations(batch1).applyOperations(batch2)
+      .snapshot
+      .filter(col("graph_id") === 2)
+      .select(snapCols: _*)
+  }
+
+  /** S12/A1 with first-class registers: wildcard-archive graph-3 vertices ≡0 (mod 4)
+    * plus two vertices with NO edges at all, then read metadata. Register vertices
+    * report the register's state/time with the count of edges in that state (0 for the
+    * edgeless ones — unrepresentable without a vertex-level register); others fall back
+    * to the derived dominant state.
+    */
+  def metadataRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.store(spark, dir)
+    val targets = store.snapshot
+      .filter(col("graph_id") === 3 && col("source_id") % 4 === 0)
+      .select(col("graph_id"), col("source_id"))
+      .distinct()
+      .unionByName(
+        spark.range(2).select(
+          lit(3).cast("int").as("graph_id"),
+          (col("id") + 1000001L).as("source_id"))
+      )
+    val batch = targets.select(
+      col("graph_id"), col("source_id"),
+      lit(null).cast("long").as("destination_id"),
+      lit(State.Archived).cast("int").as("state"),
+      lit(2200000).cast("int").as("updated_at"),
+      lit(null).cast("long").as("position")
+    )
+    store.applyOperations(batch).metadata
+      .filter(col("graph_id") === 3)
+      .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     val log = TestGraph.edgeLog(spark, dir)

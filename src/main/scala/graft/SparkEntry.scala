@@ -42,6 +42,8 @@ object SparkEntry {
     "g16_uuid_functions"   -> (GraphQueries.uuidFunctions _),
     "g17_pagerank"         -> (GraphQueries.pageRank _),
     "g18_vertex_domination" -> (GraphQueries.vertexDomination _),
+    "g19_backward_ops"      -> (GraphQueries.backwardOps _),
+    "g20_metadata_registers" -> (GraphQueries.metadataRegisters _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -316,6 +318,90 @@ object SparkEntry {
          |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
          |  FROM log2)
          |WHERE rn = 1 AND graph_id = 1""".stripMargin,
+
+    // Backward-direction write pipeline: batch1 = backward wildcard archive of graph-2
+    // vertices ≡0 (mod 5) (backward register + INCOMING-edge fanout); batch2 = backward
+    // single adds, (source, destination) swapped per the normalization rule, dominated
+    // by the target vertex's backward register.
+    "g19_backward_ops" ->
+      s"""$snap,
+         |dv AS (SELECT DISTINCT destination_id AS v FROM edges WHERE graph_id = 2),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2100000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e
+         |       WHERE e.graph_id = 2 AND e.destination_id % 5 = 0 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |b2 AS (SELECT CAST(2 AS INTEGER) AS graph_id,
+         |              1 + (v * 11) % 150 AS source_id,
+         |              v AS destination_id,
+         |              CAST(CASE WHEN v % 5 = 0 THEN 2 ELSE 0 END AS INTEGER) AS state,
+         |              CAST(2600000 AS INTEGER) AS updated_at
+         |       FROM dv WHERE v % 3 = 0),
+         |b2p AS (SELECT b2.graph_id, b2.source_id, b2.destination_id,
+         |               CASE WHEN s1.position IS NULL OR (s1.state IN (1, 3) AND b2.state = 0)
+         |                    THEN (CAST(2600000 AS BIGINT) * 1000) << 20
+         |                    ELSE s1.position END AS position,
+         |               b2.updated_at, b2.state
+         |        FROM b2 LEFT JOIN snap1 s1 USING (graph_id, source_id, destination_id)),
+         |log2 AS (
+         |  SELECT * FROM log1
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b2p)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM log2)
+         |WHERE rn = 1 AND graph_id = 2""".stripMargin,
+
+    // Register-aware metadata: archived vertices (incl. two with no edges at all)
+    // report the register's state/time + the count of edges in that state; vertices
+    // without a register keep the derived dominant-state metadata.
+    "g20_metadata_registers" ->
+      s"""$snap,
+         |tgt AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 3 AND source_id % 4 = 0
+         |        UNION SELECT 1000001 UNION SELECT 1000002),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2200000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e JOIN tgt USING (source_id)
+         |       WHERE e.graph_id = 3 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |ps AS (SELECT source_id, state, COUNT(*) AS c, MAX(updated_at) AS mu
+         |       FROM snap1 WHERE graph_id = 3 GROUP BY 1, 2),
+         |derived AS (SELECT source_id, state, c, mu FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY source_id ORDER BY mu DESC, $prio DESC) AS rn
+         |    FROM ps)
+         |  WHERE rn = 1),
+         |reg_meta AS (SELECT t.source_id, CAST(2 AS INTEGER) AS state,
+         |                    CAST(COALESCE(ps.c, 0) AS BIGINT) AS c,
+         |                    CAST(2200000 AS INTEGER) AS mu
+         |             FROM tgt t LEFT JOIN ps ON ps.source_id = t.source_id AND ps.state = 2)
+         |SELECT CAST(3 AS INTEGER) AS graph_id, source_id, state, c AS "count", mu AS updated_at
+         |FROM (
+         |  SELECT * FROM reg_meta
+         |  UNION ALL
+         |  SELECT * FROM derived WHERE source_id NOT IN (SELECT source_id FROM tgt))""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
