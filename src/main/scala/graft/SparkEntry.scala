@@ -83,6 +83,11 @@ object SparkEntry {
     }),
     "s03_embed_neardup" -> ((s: SparkSession, dir: String) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)),
+    "s04_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5,
+        centroidMod = 97, nProbe = 2)
+    }),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -581,6 +586,34 @@ object SparkEntry {
          |JOIN e ea ON ea.vec_id = id_a
          |JOIN e eb ON eb.vec_id = id_b
          |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin,
+
+    // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each
+    // vector in its nearest cell (rounded cosine, cid tiebreak); queries probe the 2
+    // nearest cells; exact cosine top-5 within them.
+    "s04_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id AS rid, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, v AS cv2, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, v AS qv, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv2")} AS cos_sim
+         |  FROM probes JOIN cells USING (cid)
+         |  WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

@@ -121,6 +121,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid cell; queries probe only the `nProbe` nearest cells and compute exact
+    * cosine within them. Centroids here are a deterministic 1-in-`centroidMod` sample
+    * of the corpus (id ≡ 0 mod `centroidMod`) so the oracle reproduces the cells
+    * bit-for-bit; a production deployment would train them (k-means on a sample) —
+    * the query/assignment plumbing is identical.
+    *
+    * Scale shape: assignment is each vector against the BROADCAST centroid table
+    * (K = n/centroidMod ≪ n, the defining IVF property), one window per relation for
+    * the argmax, then an equi-join on cell id. Recall < 1 by design (a true neighbor
+    * in an unprobed cell is missed); raise `nProbe` to trade cost for recall.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidMod: Int = 97,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val cents = broadcast(
+      candidates.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm2(col("cv"))))
+
+    // score relation r (id, v, nv) against every centroid; keep the top `keep` cells
+    // per id by (rounded cosine desc, cid asc) — rounded so the argmax tie-break is
+    // engine-independent
+    def nearestCells(r: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+      r.crossJoin(cents)
+        .select(
+          col("rid"), col("v"), col("nv"), col("cid"),
+          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col("rid"), col("v"), col("nv"), col("cid"))
+    }
+
+    val cells = nearestCells(
+      candidates.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v"))), keep = 1)
+      .select(col("rid").as("neighbor_id"), col("v").as("cv2"), col("nv").as("cn2"), col("cid"))
+    val probes = nearestCells(
+      queries.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v"))), keep = nProbe)
+      .select(col("rid").as("query_id"), col("v").as("qv"), col("nv").as("qn"), col("cid"))
+
+    val scored = probes
+      .join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv2")), col("qn"), col("cn2")), 6).as("cos_sim"))
+    // no dedup needed: every candidate lives in exactly one cell (keep = 1), so the
+    // nProbe distinct probed cells can't surface the same neighbor twice
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b).
     *
     * Candidate pairs come from LSH hyperplane buckets — `nTables` independent hash

@@ -84,6 +84,14 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan must not be all-pairs:\n$plan")
   }
 
+  test("IVF ANN: query probes nearest cells and finds the near-parallel vector") {
+    // centroids = ids 0, 2, 4; vector 1 lands in vector 0's cell; query 0 probes it
+    val r = Similarity.ivfTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+        k = 3, centroidMod = 2, nProbe = 2)
+      .collect()
+    assert(r.exists(row => row.getAs[Long]("neighbor_id") == 1L && row.getAs[Int]("rank") == 1))
+  }
+
   test("LSH buckets: identical vectors collide; ANN within bucket finds the dup") {
     val r = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3, nPlanes = 4)
       .collect()
