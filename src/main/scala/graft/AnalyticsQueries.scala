@@ -66,6 +66,29 @@ object AnalyticsQueries {
       .agg(sum(col("rev")).as("revenue_bp"), count(lit(1)).as("n_items"))
   }
 
+  /** Q2/Q9-style supplier-side star: lineitem→supplier→nation + lineitem→part, volume
+    * and revenue per (nation, part brand). Both dimension sides broadcast.
+    */
+  def brandNationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val supNation = broadcast(
+      table(spark, dir, "supplier")
+        .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+    val parts = broadcast(table(spark, dir, "part").select(col("p_partkey"), col("p_brand")))
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+        revenueBp(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("rev")).as("revenue_bp"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
   /** Event-time sessionization: a session breaks on a >1h gap in the user's stream.
     * `ts` reads as BIGINT nanos (nanosAsLong) — all session math is exact integer
     * arithmetic, hash-matching DuckDB's `epoch_ns`.

@@ -48,6 +48,7 @@ object SparkEntry {
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
     "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
+    "q02_brand_nation_volume" -> (AnalyticsQueries.brandNationVolume _),
     "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
     "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
     "ev3_hourly_rollup"      -> (AnalyticsQueries.hourlyRollup _),
@@ -432,6 +433,17 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    "q02_brand_nation_volume" ->
+      s"""SELECT n_name, p_brand,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM($revBp) AS BIGINT) AS revenue_bp,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY n_name, p_brand""".stripMargin,
 
     "ev1_user_event_stats" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
