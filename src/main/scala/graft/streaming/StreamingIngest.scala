@@ -24,20 +24,39 @@ final class StreamingEdgeIngest(initial: EdgeStore, compactEvery: Int = 8) {
   /** Current consistent view (replaced atomically per micro-batch). */
   def current: EdgeStore = store
 
-  /** Attach to a stream of edge writes (columns: graph_id, source_id, destination_id,
-    * position, updated_at, count, state). Caller starts the returned writer.
+  /** Attach to a stream of raw edge writes (columns: graph_id, source_id,
+    * destination_id, position, updated_at, count, state). Caller starts the returned
+    * writer. The vertex-register log rides along untouched (raw edge rows are the
+    * replication/copy stream — they never carry vertex ops).
     */
   def writer(writes: DataFrame): DataStreamWriter[Row] =
     writes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val merged = new EdgeStore(store.log.unionByName(batch.select(EdgeStore.edgeCols: _*)))
+        val merged = new EdgeStore(
+          store.log.unionByName(batch.select(EdgeStore.edgeCols: _*)), store.vertexLog)
         store =
           if (batchId % compactEvery == compactEvery - 1)
             // compact: LWW-collapse the log so it doesn't grow with write volume
-            new EdgeStore(merged.snapshot.localCheckpoint(eager = true))
+            new EdgeStore(merged.snapshot.localCheckpoint(eager = true), store.vertexLog)
           else merged
       }
 
   def start(writes: DataFrame): StreamingQuery = writer(writes).start()
+
+  /** Attach to a stream of write OPERATIONS (the reference's execute pipeline as a
+    * stream: columns graph_id, source_id, destination_id (null = wildcard), state,
+    * updated_at, position, optional is_forward). Each micro-batch runs the full write
+    * semantics — vertex-register writes, direction normalization, W2 state domination,
+    * wildcard fanout — via `EdgeStore.applyOperations`, which also compacts the log per
+    * batch, so no separate compaction cadence is needed.
+    */
+  def opsWriter(ops: DataFrame): DataStreamWriter[Row] =
+    ops.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store = store.applyOperations(batch)
+      }
+
+  def startOps(ops: DataFrame): StreamingQuery = opsWriter(ops).start()
 }

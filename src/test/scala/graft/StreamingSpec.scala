@@ -6,6 +6,11 @@ import graft.model._
 import graft.store.EdgeStore
 import graft.streaming.StreamingEdgeIngest
 
+/** Top-level so Spark can derive an encoder (inner-class case classes can't). */
+case class OpRow(
+    graph_id: Int, source_id: Long, destination_id: Option[Long],
+    state: Int, updated_at: Int, position: Option[Long], is_forward: Boolean)
+
 /** The async write pipeline as Structured Streaming (reference W1-W4): micro-batches of
   * writes fold into the store via the LWW merge; replays and out-of-order arrivals
   * converge without watermarks (`doc/blog.md:67-75`).
@@ -44,6 +49,35 @@ class StreamingSpec extends SparkSpec {
       stream.addData(edge(alice, bob, pos = 1, at = 120, state = State.Removed))
       query.processAllAvailable()
       assert(snapshotOf(ingest.current) == afterRemove)
+    } finally query.stop()
+  }
+
+  test("streamed write OPERATIONS run full execute semantics incl. vertex domination") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[OpRow]
+    val ingest = new StreamingEdgeIngest(storeOf(edge(alice, bob, pos = 1, at = 50)))
+    val query = ingest.startOps(stream.toDS().toDF())
+
+    try {
+      // batch 1: wildcard archive of alice -> register written, existing edge archived
+      stream.addData(OpRow(FOLLOWS, alice, None, State.Archived, 100, None, is_forward = true))
+      query.processAllAvailable()
+      val s1 = snapshotOf(ingest.current)
+      assert(s1((alice, bob)).state == State.Archived)
+
+      // batch 2: a later add from alice is DOMINATED by her archived register
+      stream.addData(OpRow(FOLLOWS, alice, Some(carl), State.Normal, 150, None, is_forward = true))
+      query.processAllAvailable()
+      val s2 = snapshotOf(ingest.current)
+      assert(s2((alice, carl)).state == State.Archived, "register dominates streamed add")
+
+      // batch 3: backward single normalizes (source, destination)
+      stream.addData(OpRow(FOLLOWS, darcy, Some(earl), State.Normal, 200, None, is_forward = false))
+      query.processAllAvailable()
+      val s3 = snapshotOf(ingest.current)
+      assert(s3.contains((earl, darcy)) && !s3.contains((darcy, earl)))
     } finally query.stop()
   }
 }
