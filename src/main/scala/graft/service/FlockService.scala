@@ -42,9 +42,22 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
   def containsMetadata(sourceId: Long, graphId: Int): Boolean =
     getMetadata(sourceId, graphId).isDefined
 
-  /** Paged compound select (reference `select2`). */
-  def select2(queries: Seq[(Seq[SelectOperation], Page)]): Seq[PagedResult[Long]] =
-    queries.map { case (program, page) => SelectCompiler(program).select(store, page) }
+  /** Paged compound select (reference `select2`): the batch fans out concurrently
+    * (reference `EdgesService.scala:88-100` uses `Future.collect`; Spark actions are
+    * thread-safe on one session, and concurrent small page jobs hide per-job scheduling
+    * latency). Compilation — and its validation errors — happens up front on the
+    * caller's thread, like the reference's compile-then-execute split.
+    */
+  def select2(queries: Seq[(Seq[SelectOperation], Page)]): Seq[PagedResult[Long]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val compiled = queries.map { case (program, page) => (SelectCompiler(program), page) }
+    Await.result(
+      Future.traverse(compiled) { case (node, page) => Future(node.select(store, page)) },
+      Duration.Inf
+    )
+  }
 
   /** Deprecated single-query form (reference `FlockDB.scala:193-196`). */
   def select(program: Seq[SelectOperation], page: Page): PagedResult[Long] =

@@ -17,8 +17,9 @@ import graft.model._
   * like the reference's write model (`doc/blog.md:67-75`): replaying any subset of either
   * log in any order yields the same snapshots.
   *
-  * Scale posture: the snapshot is `groupBy(graphId, sourceId, destinationId).agg(max_by(...))`
-  * — a map-side-combinable hash aggregation, one shuffle on the edge key, no window sort.
+  * Scale posture: the snapshot is `groupBy(graphId, sourceId, destinationId).agg(lwwWinner)`
+  * — a map-side-combinable hash aggregation (custom ObjectHashAggregate-eligible
+  * aggregate), one shuffle on the edge key, no window or partition sort.
   * At 100 TB this is the cheapest possible shape (partial aggregation collapses duplicate
   * writes before the shuffle; AQE handles skewed vertices). The vertex-register table is
   * per-vertex (orders of magnitude smaller than edges), so the write-path domination joins
@@ -63,10 +64,10 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     val derived = snap
       .groupBy(col("graph_id"), col("source_id"))
       .agg(
-        max_by(
-          struct(col("state"), col("updated_at")),
-          struct(col("updated_at"), State.priorityCol(col("state")))
-        ).as("m"),
+        // LwwWinner (not max_by) keeps this in ObjectHashAggregate — see lwwMerge
+        org.apache.spark.sql.graft.LwwWinner
+          .column(lit(0L), col("updated_at"), lit(0), col("state"))
+          .as("m"),
         count(lit(1)).as("total"),
         // counts per state, map-side combined; we pick the vertex state's one below
         sum(when(col("state") === State.Normal, 1L).otherwise(0L)).as("c0"),
@@ -374,17 +375,22 @@ object EdgeStore {
   }
 
   /** The LWW merge: one hash aggregation, winner = max (updatedAt, statePriority, position).
-    * `max_by(struct(allCols), struct(orderingKey))` gets partial (map-side) aggregation from
-    * Catalyst — strictly cheaper than the window-function formulation at scale.
+    *
+    * Implemented with the custom `LwwWinner` TypedImperativeAggregate rather than
+    * `max_by(struct(allCols), struct(orderingKey))`: the built-in's struct aggregation
+    * buffer disqualifies HashAggregateExec, so Catalyst silently plans a SortAggregate
+    * that sorts EVERY partition of the write log by the edge key. LwwWinner runs in
+    * ObjectHashAggregateExec — hash-based, partial (map-side) aggregation, no sort —
+    * verified identical output, and the plan shape a 100 TB log fold needs
+    * (PlanSpec pins it).
     */
   def lwwMerge(writes: DataFrame): DataFrame =
     writes
       .groupBy(col("graph_id"), col("source_id"), col("destination_id"))
       .agg(
-        max_by(
-          struct(col("position"), col("updated_at"), col("count"), col("state")),
-          struct(col("updated_at"), State.priorityCol(col("state")), col("position"))
-        ).as("w")
+        org.apache.spark.sql.graft.LwwWinner
+          .column(col("position"), col("updated_at"), col("count"), col("state"))
+          .as("w")
       )
       .select(
         col("graph_id"),
@@ -397,16 +403,17 @@ object EdgeStore {
       )
 
   /** LWW over the vertex-register log: winner = max (updatedAt, statePriority) — identical
-    * ordering to `Metadata.compare` (`Metadata.scala:40-47`).
+    * ordering to `Metadata.compare` (`Metadata.scala:40-47`). Same ObjectHashAggregate
+    * shape as [[lwwMerge]] (position/count pinned to 0 — a full ordering tie implies an
+    * identical register, so the result is order-independent).
     */
   private[store] def vertexLww(vertexLog: DataFrame): DataFrame =
     vertexLog
       .groupBy(col("graph_id"), col("vertex_id"), col("is_forward"))
       .agg(
-        max_by(
-          struct(col("state"), col("updated_at")),
-          struct(col("updated_at"), State.priorityCol(col("state")))
-        ).as("w")
+        org.apache.spark.sql.graft.LwwWinner
+          .column(lit(0L), col("updated_at"), lit(0), col("state"))
+          .as("w")
       )
       .select(
         col("graph_id"), col("vertex_id"), col("is_forward"),
