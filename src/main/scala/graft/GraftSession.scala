@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (the LwwWinner merge) reverts to SORT-based aggregation
+      // once a task's hash map exceeds this many keys — the 128 default re-introduces
+      // exactly the per-partition sort LwwWinner exists to avoid. The LWW buffer is a
+      // 6-field object (~64 B); 4M keys ≈ 256 MB/task worst case, fine for the target
+      // executor sizing and far above per-task key counts after map-side combine.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 }
