@@ -94,7 +94,19 @@ object SparkEntry {
       Multimodal.featurizeDF(
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
-        "doc_id", "source", "media"))
+        "doc_id", "source", "media")),
+    "m02_media_resize" -> ((s: SparkSession, dir: String) =>
+      Multimodal.resizeDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media", targetW = 641, targetH = 480)
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), md5(col("media")).as("media_md5"))),
+    "m03_frame_sample" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSampleDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)
+        .select(col("asset_id"), col("frame_index"), col("frame_offset"), md5(col("frame")).as("frame_md5")))
   )
 
   // ---------------------------------------------------------------------------
@@ -634,6 +646,23 @@ object SparkEntry {
          |  CAST((octet_length(encode(text)) * 13) % 1080 + 1 AS INTEGER) AS height,
          |  round((octet_length(encode(text)) % 256) / 255.0, 6) AS brightness
          |FROM documents""".stripMargin,
+
+    // stub resize truncates to (641*480) % 4096 = 480 bytes (ASCII text: byte truncation
+    // == substr); md5 compared instead of raw binary so the diff stays engine-neutral
+    "m02_media_resize" ->
+      s"""SELECT doc_id AS asset_id, source AS media_type,
+         |  CAST(LEAST(length(text), 480) AS BIGINT) AS n_bytes,
+         |  md5(substr(text, 1, 480)) AS media_md5
+         |FROM documents""".stripMargin,
+
+    // every 2nd 64-byte window of the byte stream is a "frame" (stub framing)
+    "m03_frame_sample" ->
+      s"""SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_index,
+         |  CAST(i * 64 AS BIGINT) AS frame_offset,
+         |  md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |      FROM documents)
+         |WHERE i % 2 = 0""".stripMargin,
 
     // LEFT JOIN back to documents so empty docs (dropped by the unnest+GROUP BY) pin
     // fingerprint 0 — lockstep with TextStats.fingerprint's empty-doc guard.

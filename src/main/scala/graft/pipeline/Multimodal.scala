@@ -62,4 +62,66 @@ object Multimodal {
       .as[MediaAsset]
     featurize(ds).toDF()
   }
+
+  case class ResizedAsset(asset_id: Long, media_type: String, media: Array[Byte], n_bytes: Long)
+
+  trait MediaResizer extends Serializable {
+    def resize(mediaType: String, bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  /** STUB resize — a real deployment re-encodes through a codec; here the payload is
+    * deterministically truncated/cycled to a size proportional to the target area so
+    * the Spark plumbing (binary in → binary out, per-partition batches) is exercised
+    * end-to-end and oracle-reproducible.
+    */
+  object ResizeStub extends MediaResizer {
+    def resize(mediaType: String, bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val target = math.max(1, math.min(bytes.length, (targetW.toLong * targetH % 4096).toInt))
+      java.util.Arrays.copyOf(bytes, target)
+    }
+  }
+
+  /** Batch resize: binary → binary, one resizer per partition, payloads stay on the
+    * executors (the distributed shape of an image-preprocessing stage).
+    */
+  def resizeDF(
+      df: DataFrame, idCol: String, typeCol: String, binCol: String,
+      targetW: Int, targetH: Int, resizer: MediaResizer = ResizeStub
+  ): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("asset_id"), col(typeCol).as("media_type"), col(binCol).as("media"))
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val out = resizer.resize(a.media_type, a.media, targetW, targetH)
+          ResizedAsset(a.asset_id, a.media_type, out, out.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  case class FrameSample(asset_id: Long, frame_index: Int, frame_offset: Long, frame: Array[Byte])
+
+  /** Frame sampling for video-like payloads: every `stride`-th fixed-size window of the
+    * byte stream becomes a "frame" (stub framing — a real deployment demuxes containers;
+    * the fan-out shape, one row in → many frame rows out, is the real plumbing).
+    */
+  def frameSampleDF(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int
+  ): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("asset_id"), lit("video").as("media_type"), col(binCol).as("media"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        val nFrames = a.media.length / frameBytes
+        (0 until nFrames by stride).map { i =>
+          val off = i.toLong * frameBytes
+          FrameSample(a.asset_id, i, off,
+            java.util.Arrays.copyOfRange(a.media, off.toInt, off.toInt + frameBytes))
+        }
+      }
+      .toDF()
+  }
 }

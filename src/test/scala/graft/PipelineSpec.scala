@@ -99,6 +99,24 @@ class PipelineSpec extends SparkSpec {
     assert(r.exists(row => row.getAs[Long]("neighbor_id") == 1L))
   }
 
+  test("multimodal resize truncates payloads; frame sampling fans out stride windows") {
+    val assets = docs.select(col("doc_id"), lit("text/plain").as("kind"), encode(col("text"), "UTF-8").as("bin"))
+    // (641*480) % 4096 = 480 -> payloads cap at 480 bytes
+    val resized = Multimodal.resizeDF(assets, "doc_id", "kind", "bin", targetW = 641, targetH = 480)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("n_bytes")).toMap
+    assert(resized(5L) == 4L, "short payload unchanged ('tiny')")
+    assert(resized.values.forall(_ <= 480L))
+
+    val frames = Multimodal.frameSampleDF(
+        assets.select(col("doc_id"), col("bin")), "doc_id", "bin", frameBytes = 8, stride = 2)
+      .collect()
+    val f1 = frames.filter(_.getAs[Long]("asset_id") == 1L).map(_.getAs[Int]("frame_index")).sorted
+    val len1 = docs.filter(col("doc_id") === 1).head().getString(1).length
+    val expected = (0 until len1 / 8 by 2).toArray
+    assert(f1.sameElements(expected), s"frame indices ${f1.toSeq} vs ${expected.toSeq}")
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
+  }
+
   test("multimodal featurize: deterministic stub features via mapPartitions plumbing") {
     val assets = docs.select(col("doc_id"), lit("text/plain").as("kind"), encode(col("text"), "UTF-8").as("bin"))
     val feats = Multimodal.featurizeDF(assets, "doc_id", "kind", "bin").collect()
