@@ -52,11 +52,25 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val compiled = queries.map { case (program, page) => (SelectCompiler(program), page) }
+    val compiled = queries.map { case (program, page) => (compile(program), page) }
     Await.result(
       Future.traverse(compiled) { case (node, page) => Future(node.select(store, page)) },
       Duration.Inf
     )
+  }
+
+  /** Compile + validate: the reference resolves every term's graph through the
+    * forwarding table during compilation, so an unknown graph throws before any
+    * execution (`ForwardingManager.find` inside `SelectCompiler.scala:54-77`).
+    */
+  private def compile(program: Seq[SelectOperation]): QueryNode = {
+    val node = SelectCompiler(program)
+    config.knownGraphs.foreach { known =>
+      node.leafTerms.find(t => !known.contains(t.graphId)).foreach { bad =>
+        throw new InvalidQueryException(s"nonexistent graph ${bad.graphId}")
+      }
+    }
+    node
   }
 
   /** Deprecated single-query form (reference `FlockDB.scala:193-196`). */
@@ -74,7 +88,7 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
     * compound queries is one Spark job, not O(N·leaves).
     */
   def count2(programs: Seq[Seq[SelectOperation]], exact: Boolean = false): Seq[Long] = {
-    val nodes = programs.map(SelectCompiler(_))
+    val nodes = programs.map(compile)
     if (exact) nodes.map(_.exactCount(store))
     else {
       val stats = QueryNode.leafStats(store, nodes.flatMap(_.leafTerms))

@@ -126,6 +126,16 @@ class JobMatrixSpec extends SparkSpec {
     assert(ok.get(bob, FOLLOWS, mary).isDefined)
   }
 
+  test("select and count reject unknown graphs at compile time") {
+    import graft.queries.{QueryNode => _, _}
+    val svc = new FlockService(storeOf(), GraftConfig(knownGraphs = Some(Set(FOLLOWS))))
+    val badProgram = Seq(TermOp(QueryTerm(bob, 99)))
+    intercept[InvalidQueryException] { svc.select(badProgram, Page(5, Cursor.Start)) }
+    intercept[InvalidQueryException] { svc.count2(Seq(badProgram)) }
+    // known graph queries still run
+    assert(svc.count2(Seq(Seq(TermOp(QueryTerm(bob, FOLLOWS))))) == Seq(0L))
+  }
+
   test("repair merges vertex registers from both replicas") {
     val a = service().execute(Seq(vertexOp(bob, State.Archived, at = 100)))
     val b = service().execute(Seq(vertexOp(bob, State.Normal, at = 200)))
