@@ -326,6 +326,31 @@ object GraphQueries {
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
   }
 
+  /** Extended analytics: per-vertex triangle participation over the undirected closure
+    * of graph-1 Normal edges. Wedge enumeration on the id-oriented edge list (lo < hi)
+    * — two equi-joins, no cross product; at extreme skew the standard refinement is
+    * degree-orientation instead of id-orientation, same plan shape.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+    val und = snap
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(
+        least(col("source_id"), col("destination_id")).as("lo"),
+        greatest(col("source_id"), col("destination_id")).as("hi"))
+      .distinct()
+      .localCheckpoint(true) // three self-join consumers
+    val tri = und.alias("e1")
+      .join(und.alias("e2"), col("e2.lo") === col("e1.hi"))
+      .join(und.alias("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex_id"))
+      .groupBy(col("vertex_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     val log = TestGraph.edgeLog(spark, dir)

@@ -44,6 +44,7 @@ object SparkEntry {
     "g18_vertex_domination" -> (GraphQueries.vertexDomination _),
     "g19_backward_ops"      -> (GraphQueries.backwardOps _),
     "g20_metadata_registers" -> (GraphQueries.metadataRegisters _),
+    "g21_triangles"         -> (GraphQueries.triangleCounts _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -420,6 +421,22 @@ object SparkEntry {
          |  SELECT * FROM reg_meta
          |  UNION ALL
          |  SELECT * FROM derived WHERE source_id NOT IN (SELECT source_id FROM tgt))""".stripMargin,
+
+    "g21_triangles" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+         |SELECT v AS vertex_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS v FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY v""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
