@@ -200,8 +200,13 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     */
   def applyOperations(ops: DataFrame): EdgeStore = {
     val snap = snapshot.localCheckpoint(true)
-    val withDir =
-      if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
+    // the batch is consumed by four consumers (register writes, both wildcard
+    // expansions, the normalized singles) — materialize it once; callers routinely
+    // derive ops from a snapshot query, which would otherwise be re-folded per consumer
+    val withDir = {
+      val d = if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
+      d.localCheckpoint(true)
+    }
 
     val wild    = withDir.filter(col("destination_id").isNull)
     val singles = withDir.filter(col("destination_id").isNotNull)
