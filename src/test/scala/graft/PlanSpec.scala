@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(fp.contains("*("), s"fingerprint fell out of codegen:\n$fp")
   }
 
+  test("adjacency/point filters push BELOW the LWW aggregation into the scan") {
+    // at 100 TB this is the difference between a point lookup and folding the whole
+    // log: predicates on grouping keys must reach the source as PushedFilters, with
+    // only the post-merge state filter evaluated above the aggregation
+    val p = plan(TestGraph.store(spark, dir).adjacency(model.QueryTerm(1L, 1)))
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), IsNotNull(user_id), EqualTo(user_id,1)]"),
+      s"vertex predicate did not reach the scan:\n$p")
+    val aggAboveScan = p.indexOf("ObjectHashAggregate")
+    val filterAtScan = p.indexOf("EqualTo(user_id,1)")
+    assert(aggAboveScan >= 0 && filterAtScan > aggAboveScan,
+      "filter must sit below the aggregation in the plan")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))
