@@ -136,6 +136,26 @@ class JobMatrixSpec extends SparkSpec {
     assert(svc.count2(Seq(Seq(TermOp(QueryTerm(bob, FOLLOWS))))) == Seq(0L))
   }
 
+  test("bulk unarchive restores edges at their ORIGINAL positions (FlockFixRegression)") {
+    // reference `integration/FlockFixRegressionSpec.scala:41-67`: archive a vertex, then
+    // bulk-unarchive it — adjacency order (position) must be exactly what it was; a
+    // position refresh on unarchive would reshuffle the user's timeline
+    var svc = service(
+      edge(bob, mary, pos = 500, at = 50, state = State.Normal),
+      edge(bob, darcy, pos = 300, at = 50, state = State.Normal),
+      edge(bob, earl, pos = 100, at = 50, state = State.Normal)
+    )
+    svc = svc.execute(Seq(vertexOp(bob, State.Archived, at = 100)))
+    assert(Seq(mary, darcy, earl).forall(d => stateOf(svc, bob, d) == State.Archived))
+    svc = svc.execute(Seq(vertexOp(bob, State.Normal, at = 200)))
+    val after = Seq(mary -> 500L, darcy -> 300L, earl -> 100L).map { case (d, _) =>
+      svc.get(bob, FOLLOWS, d).get
+    }
+    assert(after.forall(_.state == State.Normal))
+    assert(after.map(_.position) == Seq(500L, 300L, 100L),
+      "positions must survive the archive/unarchive round trip")
+  }
+
   test("repair merges vertex registers from both replicas") {
     val a = service().execute(Seq(vertexOp(bob, State.Archived, at = 100)))
     val b = service().execute(Seq(vertexOp(bob, State.Normal, at = 200)))
