@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !SparkEntry.queries.contains(args(0))) {
+      System.err.println("usage: runMain graft.Explain <queryName> [sfDir]\navailable:")
+      SparkEntry.queries.keys.toSeq.sorted.foreach(n => System.err.println(s"  $n"))
+      sys.exit(if (args.isEmpty) 0 else 1)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder(8).getOrCreate()
