@@ -351,6 +351,32 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Extended analytics: 3 rounds of min-label propagation over the undirected graph-1
+    * Normal edges (the connected-components kernel, bounded iterations so the result is
+    * deterministic and oracle-expressible; full CC = iterate to fixpoint). All-integer:
+    * label(v) ← min(label(v), min of neighbors' labels) per round.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val dirEdges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("a"), col("destination_id").as("b"))
+    val und = dirEdges
+      .unionByName(dirEdges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // reused every round
+    val vertices = und.select(col("a").as("v")).distinct()
+    var labels = vertices.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to 3) {
+      val nbrMin = und
+        .join(labels.select(col("v").as("b"), col("label").as("nbl")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("nbl")).as("m"))
+      labels = labels
+        .join(nbrMin.select(col("a").as("v"), col("m")), Seq("v"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+    }
+    labels.select(col("v").as("vertex_id"), col("label").as("label_min3"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     val log = TestGraph.edgeLog(spark, dir)

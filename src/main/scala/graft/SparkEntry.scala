@@ -45,6 +45,7 @@ object SparkEntry {
     "g19_backward_ops"      -> (GraphQueries.backwardOps _),
     "g20_metadata_registers" -> (GraphQueries.metadataRegisters _),
     "g21_triangles"         -> (GraphQueries.triangleCounts _),
+    "g22_label_propagation" -> (GraphQueries.labelPropagation _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -437,6 +438,24 @@ object SparkEntry {
          |  UNION ALL SELECT b FROM tri
          |  UNION ALL SELECT c FROM tri)
          |GROUP BY v""".stripMargin,
+
+    "g22_label_propagation" ->
+      s"""$snap,
+         |de AS (SELECT source_id AS a, destination_id AS b FROM edges
+         |       WHERE graph_id = 1 AND state = 0),
+         |und AS (SELECT a, b FROM de UNION ALL SELECT b, a FROM de),
+         |v AS (SELECT DISTINCT a AS v FROM und),
+         |l0 AS (SELECT v, v AS label FROM v),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
+         |SELECT v AS vertex_id, label AS label_min3 FROM l3""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
