@@ -75,6 +75,8 @@ object SparkEntry {
     "d04_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, threshold = 0.2)),
+    "d05_dedup_clusters" -> ((s: SparkSession, dir: String) =>
+      Dedup.dedupClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -605,6 +607,29 @@ object SparkEntry {
          |  JOIN sizes na ON na.doc_id = id_a
          |  JOIN sizes nb ON nb.doc_id = id_b)
          |WHERE jaccard >= 0.2""".stripMargin,
+
+    // near-dup clusters: d02's pair graph + 3 min-label rounds (cluster id = min doc id
+    // reachable in <=3 hops; singletons cluster as themselves)
+    "d05_dedup_clusters" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
+         |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
 
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -102,6 +102,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate CLUSTERS — the end-to-end training-data dedup flow: MinHash-LSH
+    * candidate pairs become an undirected similarity graph; bounded min-label
+    * propagation (the connected-components kernel, `rounds` iterations) assigns every
+    * document a cluster id = the minimum doc id reachable within `rounds` hops; the
+    * cluster id doubles as the canonical "keep" document. Singletons (no near-dup)
+    * cluster as themselves. All-integer, so the oracle reproduces it exactly.
+    */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3
+  ): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true) // reused every round
+    var labels = df.select(col(idCol).as("v")).distinct().select(col("v"), col("v").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = und
+        .join(labels.select(col("v").as("b"), col("label").as("nbl")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("nbl")).as("m"))
+      labels = labels
+        .join(nbrMin.select(col("a").as("v"), col("m")), Seq("v"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("m"), col("label"))).as("label"))
+    }
+    labels.select(col("v").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** SimHash: 16-bit signature from per-token md5 hex-digit parities. Bit i of the
     * signature is the sign of Σ_tokens (2·parity(hexdigit_i(md5(token))) − 1).
     */

@@ -44,6 +44,14 @@ class PipelineSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedup clusters: near-dups share the min-id cluster; singletons keep their own") {
+    val clusters = Dedup.dedupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      "exact + near dups collapse onto the minimum doc id")
+    assert(clusters(4L) == 4L && clusters(5L) == 5L, "unrelated docs are their own cluster")
+  }
+
   test("simhash: identical docs hash identically; near dup is close in hamming distance") {
     val h = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
