@@ -66,6 +66,10 @@ object SparkEntry {
       TextStats.tokenStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t04_fingerprint" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprint(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t05_quality_filter" -> ((s: SparkSession, dir: String) =>
+      TextStats.qualityFilter(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t06_corpus_stats" -> ((s: SparkSession, dir: String) =>
+      TextStats.corpusStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang", "source")),
     // --- training-data pipeline: near-dup detection ---
     "d02_minhash_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -568,6 +572,35 @@ object SparkEntry {
 
     // mirror of Dedup.minhashWide: base hash = first 60 bits of md5(shingle) mod p,
     // permutation k = (2k+1)·h + 12289k + 1 mod p (p = 1e9+7); bands of size 1.
+    "t05_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+         |     + CASE WHEN stop_hits < 1 THEN 2 ELSE 0 END
+         |     + CASE WHEN (n_chars - (n_tokens - 1)) > 12 * n_tokens THEN 4 ELSE 0 END AS BIGINT) AS reasons,
+         |  CAST(CASE WHEN n_tokens >= 10 AND stop_hits >= 1
+         |            AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM q""".stripMargin,
+
+    "t06_corpus_stats" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(CASE WHEN n_tokens >= 10 AND stop_hits >= 1
+         |                AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM q GROUP BY lang, source""".stripMargin,
+
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),

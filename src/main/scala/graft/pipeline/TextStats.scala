@@ -98,6 +98,62 @@ object TextStats {
     }
   }
 
+  /** C4-style quality FILTER: each heuristic sets a bit in `reasons`; `kept` = no bits.
+    * Bit 0: too few tokens (< minTokens). Bit 1: stopword hits below minStopHits
+    * (non-language-like). Bit 2: mean token length > maxMeanTokenLen (gibberish /
+    * code-ish). All exact-integer tests (mean-length compare cross-multiplied), so the
+    * oracle reproduces the verdicts bit-for-bit.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 10L,
+      minStopHits: Long = 1L,
+      maxMeanTokenLen: Long = 12L
+  ): DataFrame = {
+    val t = col(textCol)
+    val nTokens = tokenCount(t)
+    val stopHits = occ(t, " the ") + occ(t, " a ") + occ(t, " of ") + occ(t, " and ")
+    val charLen = length(t).cast("long")
+    // mean token length > max  ⇔  (len - (nTokens - 1)) > max * nTokens, integer-exact
+    val gibberish = (charLen - (nTokens - 1L)) > lit(maxMeanTokenLen) * nTokens
+    val reasons =
+      when(nTokens < minTokens, 1L).otherwise(0L) +
+        when(stopHits < minStopHits, 2L).otherwise(0L) +
+        when(gibberish, 4L).otherwise(0L)
+    df.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      reasons.as("reasons"),
+      (reasons === 0L).cast("int").as("kept")
+    )
+  }
+
+  /** Dataset-card rollup: corpus composition per (language, source) — documents, exact
+    * token/byte volume, kept-fraction under [[qualityFilter]]. The numbers a curation
+    * run reports after each pipeline stage.
+    */
+  def corpusStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), col(langCol).as("lang"), col(sourceCol).as("source"),
+        tokenCount(t).as("n_tokens"), length(t).cast("long").as("n_chars"))
+      .join(qualityFilter(df, idCol, textCol).select(col(idCol), col("kept")), idCol)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("kept").cast("long")).as("n_kept")
+      )
+  }
+
   /** Document fingerprint: exact-integer polynomial hash over character codepoints,
     * `sum(codepoint(i) · 31^(i mod 8)) mod 1e9+7` — a native codegen'd one-pass
     * expression (org.apache.spark.sql.graft.PolyFingerprint; the HOF-fold formulation
