@@ -120,7 +120,12 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
       .filter(col("state").isin(term.effectiveStates: _*))
     term.destinationIds.foreach { ids =>
       val other = if (term.isForward) "destination_id" else "source_id"
-      df = df.filter(col(other).isin(ids: _*))
+      if (ids.size <= EdgeStore.WhereInPredicateMax) df = df.filter(col(other).isin(ids: _*))
+      else {
+        val spark = store.log.sparkSession
+        import spark.implicits._
+        df = df.join(broadcast(ids.toDF(other)), Seq(other), "left_semi")
+      }
     }
     val paged = Pagination.paginateRows(df, "position", page)
     PagedResult(paged.items.map(rowToEdge), paged.nextCursor, paged.prevCursor)

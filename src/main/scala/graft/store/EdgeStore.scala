@@ -122,7 +122,17 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     var df = snapshot
       .filter(col("graph_id") === term.graphId && col(vertexCol) === term.sourceId)
       .filter(col("state").isin(term.effectiveStates: _*))
-    term.destinationIds.foreach { ids => df = df.filter(col(neighborCol).isin(ids: _*)) }
+    term.destinationIds.foreach { ids =>
+      // small id lists stay an IN predicate (pushes to the scan); large ones become a
+      // broadcast semi-join — a million-id isin would blow up the expression tree
+      // (the reference routes big IN-lists to a separate query class, SqlShard.scala:323-349)
+      if (ids.size <= WhereInPredicateMax) df = df.filter(col(neighborCol).isin(ids: _*))
+      else {
+        val spark = log.sparkSession
+        import spark.implicits._
+        df = df.join(broadcast(ids.toDF(neighborCol)), Seq(neighborCol), "left_semi")
+      }
+    }
     df.select(
       col(neighborCol).as("neighbor_id"),
       col("position"),
@@ -353,6 +363,12 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
 }
 
 object EdgeStore {
+
+  /** Where-in lists longer than this become broadcast semi-joins instead of IN
+    * predicates (reference analog: IN-list size routes to different query classes,
+    * `SqlShard.scala:323-349`).
+    */
+  val WhereInPredicateMax: Int = 1000
 
   val edgeColNames: Seq[String] =
     Seq("graph_id", "source_id", "destination_id", "position", "updated_at", "count", "state")

@@ -113,6 +113,17 @@ class SetOpsSpec extends SparkSpec {
     assert(r.items == Seq(bob))
   }
 
+  test("huge where-in lists route through a broadcast semi-join, same results") {
+    val st = storeOf(
+      edge(alice, bob, 1), edge(alice, carl, 2), edge(alice, darcy, 3)
+    )
+    val bigList = (bob to 500000L) // 499999 ids — far past the IN-predicate cutoff
+    val got = st.adjacency(model.QueryTerm(alice, FOLLOWS, destinationIds = Some(bigList)))
+      .select(org.apache.spark.sql.functions.col("neighbor_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(bob, carl, darcy))
+  }
+
   test("backward direction swaps source/destination roles") {
     val st = storeOf(edge(alice, bob, 3), edge(carl, bob, 5), edge(bob, darcy, 7))
     val r = SimpleNode(QueryTerm(bob, FOLLOWS, isForward = false)).select(st, Page(10, Cursor.Start))
