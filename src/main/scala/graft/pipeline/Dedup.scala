@@ -139,7 +139,9 @@ object Dedup {
     * signature is the sign of Σ_tokens (2·parity(hexdigit_i(md5(token))) − 1).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val toks = TextStats.tokens(df, idCol, textCol).select(col(idCol), col("token")).distinct()
+    // shingles(n=1) = per-document-distinct tokens straight from the generator — the
+    // posexplode + global distinct() formulation shuffled the whole token relation
+    val toks = shingles(df, idCol, textCol, 1).withColumnRenamed("shingle", "token")
     val withHash = toks.withColumn("h", md5(col("token")))
     val bitSums = (0 until bits).map { i =>
       sum((ascii(substring(col("h"), i + 1, 1)) % 2 * 2 - 1).cast("long")).as(s"s$i")
