@@ -148,15 +148,35 @@ object QueryNode {
       .agg(count(lit(1)).as("c"), max(col("updated_at")).as("mu"))
       .collect()
 
-    rows
-      .groupBy(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
-      .view
-      .mapValues { perState =>
-        // vertex state = LWW over the vertex's edge writes: max (updatedAt, priority)
-        val dominant = perState.maxBy(r => (r.getInt(5), State.priority(r.getInt(3))))
-        (dominant.getInt(3), dominant.getLong(4))
-      }
-      .toMap
+    // first-class vertex registers override the derived state (reference: the count
+    // read is `metadata.state` + its count — `SqlShard.scala:175-188` — and edge
+    // writes never change the register); one extra tiny job, only when registers exist
+    val registers: Map[(Int, Long, Boolean), Int] = store.vertexLog match {
+      case None => Map.empty
+      case Some(_) =>
+        store.vertexStates
+          .join(
+            wantDF.select(col("graph_id"), col("vertex_id"), col("is_fwd").as("is_forward")),
+            Seq("graph_id", "vertex_id", "is_forward"))
+          .select(col("graph_id"), col("vertex_id"), col("is_forward"), col("state"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)) -> r.getInt(3))
+          .toMap
+    }
+
+    val perKey = rows.groupBy(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    val derived = perKey.view.mapValues { perState =>
+      // vertex state = LWW over the vertex's edge writes: max (updatedAt, priority)
+      val dominant = perState.maxBy(r => (r.getInt(5), State.priority(r.getInt(3))))
+      (dominant.getInt(3), dominant.getLong(4))
+    }.toMap
+    val registered = registers.map { case (key, regState) =>
+      val countInRegState = perKey.getOrElse(key, Array.empty)
+        .collectFirst { case r if r.getInt(3) == regState => r.getLong(4) }
+        .getOrElse(0L)
+      key -> (regState, countInRegState)
+    }
+    derived ++ registered
   }
 }
 

@@ -156,6 +156,23 @@ class JobMatrixSpec extends SparkSpec {
       "positions must survive the archive/unarchive round trip")
   }
 
+  test("count2 reads the vertex register, not the derived edge state") {
+    import graft.queries._
+    var svc = service(
+      edge(bob, mary, pos = 1, at = 50, state = State.Normal),
+      edge(bob, darcy, pos = 2, at = 50, state = State.Normal)
+    )
+    svc = svc.execute(Seq(vertexOp(bob, State.Archived, at = 100)))
+    // register Archived; both edges archived by fanout -> count(Archived) = 2, Normal = 0
+    val program = Seq(TermOp(QueryTerm(bob, FOLLOWS, states = Seq(State.Archived))))
+    assert(svc.count2(Seq(program)) == Seq(2L))
+    assert(svc.count2(Seq(Seq(TermOp(QueryTerm(bob, FOLLOWS))))) == Seq(0L),
+      "Normal count reads 0 while the register says Archived")
+    // register for a vertex with NO edges: count 0 for its own state too
+    svc = svc.execute(Seq(vertexOp(frank, State.Archived, at = 100)))
+    assert(svc.count2(Seq(Seq(TermOp(QueryTerm(frank, FOLLOWS, states = Seq(State.Archived)))))) == Seq(0L))
+  }
+
   test("repair merges vertex registers from both replicas") {
     val a = service().execute(Seq(vertexOp(bob, State.Archived, at = 100)))
     val b = service().execute(Seq(vertexOp(bob, State.Normal, at = 200)))
