@@ -309,6 +309,19 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
   }
 
+  /** S12 — direct metadata sink (reference `writeMetadata`/`writeMetadatas`,
+    * `SqlShard.scala:646-697`): append vertex-register writes WITHOUT edge fanout —
+    * the path copy/repair uses to move vertex state between replicas (the Multi job's
+    * register-plus-fanout is the wildcard branch of [[applyOperations]]). Columns:
+    * graph_id, vertex_id, is_forward, state, updated_at.
+    */
+  def writeVertexStates(registers: DataFrame): EdgeStore =
+    new EdgeStore(
+      log,
+      Some(vertexLogOrEmpty.unionByName(
+        registers.select(vertexLogSchema.fieldNames.map(col): _*)))
+    )
+
   /** Reciprocal edges: every edge (s, d) in the given states whose reverse (d, s) also
     * exists in those states. Computed as ONE grouped aggregation on the unordered pair
     * key (graphId, min(s,d), max(s,d)) instead of a self-join — the snapshot is scanned

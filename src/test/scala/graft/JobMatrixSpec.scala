@@ -173,6 +173,28 @@ class JobMatrixSpec extends SparkSpec {
     assert(svc.count2(Seq(Seq(TermOp(QueryTerm(frank, FOLLOWS, states = Seq(State.Archived)))))) == Seq(0L))
   }
 
+  test("direct metadata sink writes the register WITHOUT touching edges (S12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val st = storeOf(edge(bob, mary, pos = 1, at = 50, state = State.Normal))
+    val regs = Seq((FOLLOWS, bob, true, State.Archived, 100))
+      .toDF("graph_id", "vertex_id", "is_forward", "state", "updated_at")
+    val withReg = st.writeVertexStates(regs)
+    // edge untouched (no fanout), but the register is live...
+    assert(snapshotOf(withReg)((bob, mary)).state == State.Normal)
+    val meta = new FlockService(withReg).getMetadata(bob, FOLLOWS).get
+    assert(meta.state == State.Archived && meta.count == 0L)
+    // ...and dominates subsequent single-edge writes
+    val after = new FlockService(withReg).execute(Seq(edgeOp(bob, darcy, State.Normal, 200)))
+    assert(stateOf(after, bob, darcy) == State.Archived)
+    // LWW on the register itself: newer write wins
+    val newer = withReg.writeVertexStates(
+      Seq((FOLLOWS, bob, true, State.Normal, 150))
+        .toDF("graph_id", "vertex_id", "is_forward", "state", "updated_at"))
+    val regState = newer.vertexStates.filter(col("vertex_id") === bob).collect()(0).getAs[Int]("state")
+    assert(regState == State.Normal)
+  }
+
   test("repair merges vertex registers from both replicas") {
     val a = service().execute(Seq(vertexOp(bob, State.Archived, at = 100)))
     val b = service().execute(Seq(vertexOp(bob, State.Normal, at = 200)))
