@@ -119,17 +119,19 @@ object AnalyticsQueries {
       .groupBy(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
 
-  /** Semi-structured extraction: JSON `props` column → typed aggregate per user. */
-  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k")
+  /** Semi-structured extraction: JSON `props` column → typed aggregate per user. The
+    * path is extracted ONCE in a projection before the groupBy — as three separate
+    * aggregate inputs the parse would run per aggregate per row.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("k"))
       .groupBy(col("user_id"))
       .agg(
-        sum(k.cast("long")).as("sum_k"),
-        max(k.cast("long")).as("max_k"),
-        countDistinct(k).as("n_distinct_k")
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k").cast("long")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k")
       )
-  }
 
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
