@@ -118,7 +118,7 @@ object GraphQueries {
 
   /** W1/W2 — execute a derived batch of remove/archive ops, then re-snapshot. */
   def executeLww(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.store(spark, dir)
+    val store = TestGraph.compactedStore(spark, dir)
     val eid = col("event_id")
     val ops = spark.read.parquet(s"$dir/events.parquet")
       .filter(eid % 7 === 0)
@@ -135,7 +135,7 @@ object GraphQueries {
 
   /** W3 — bulk wildcard archive (`Multi` job): archive every vertex ≡0 (mod 10) in graph 2. */
   def bulkArchive(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.store(spark, dir)
+    val store = TestGraph.compactedStore(spark, dir)
     val targets = store.snapshot
       .filter(col("graph_id") === 2 && col("source_id") % 10 === 0)
       .select(col("graph_id"), col("source_id"))
@@ -230,7 +230,7 @@ object GraphQueries {
     * `jobs/single/Single.scala:104-107`, matrix `unit/JobSpec.scala:126-148`).
     */
   def vertexDomination(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.store(spark, dir)
+    val store = TestGraph.compactedStore(spark, dir)
     val sources = store.snapshot
       .filter(col("graph_id") === 1)
       .select(col("graph_id"), col("source_id"))
@@ -266,7 +266,7 @@ object GraphQueries {
     * vertex's backward register.
     */
   def backwardOps(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.store(spark, dir)
+    val store = TestGraph.compactedStore(spark, dir)
     val destVertices = store.snapshot
       .filter(col("graph_id") === 2)
       .select(col("graph_id"), col("destination_id").as("vertex_id"))
@@ -304,7 +304,7 @@ object GraphQueries {
     * to the derived dominant state.
     */
   def metadataRegisters(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.store(spark, dir)
+    val store = TestGraph.compactedStore(spark, dir)
     val targets = store.snapshot
       .filter(col("graph_id") === 3 && col("source_id") % 4 === 0)
       .select(col("graph_id"), col("source_id"))
@@ -379,7 +379,8 @@ object GraphQueries {
 
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
-    val log = TestGraph.edgeLog(spark, dir)
+    // both replicas filter the same derived log; materialize it once
+    val log = TestGraph.edgeLog(spark, dir).localCheckpoint(true)
     val replicaA = EdgeStore(log.filter(col("position") % 5 =!= 0))
     val replicaB = EdgeStore(log.filter(col("position") % 5 =!= 1))
     replicaA.repairWith(replicaB).snapshot

@@ -41,6 +41,16 @@ object TestGraph {
 
   def store(spark: SparkSession, sfDir: String): EdgeStore = EdgeStore(edgeLog(spark, sfDir))
 
+  /** Store over the already-folded snapshot, eagerly materialized. Write-pipeline
+    * queries consume the base state several times (op derivation, domination joins,
+    * final merge) with different pushed projections, so the lazy form re-runs the
+    * events→log derivation and the LWW fold per consumer. Folding once and sharing the
+    * compacted materialized form is sound (lww is idempotent: lww(lww(L)) = lww(L)) and
+    * mirrors a real deployment, where the stored table IS the compacted snapshot.
+    */
+  def compactedStore(spark: SparkSession, sfDir: String): EdgeStore =
+    EdgeStore(store(spark, sfDir).snapshot.localCheckpoint(eager = true))
+
   // ---------------------------------------------------------------------------
   // DuckDB oracle fragments (dialect: DuckDB 1.0). Keep in lockstep with above.
   // ---------------------------------------------------------------------------
