@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.testgraph.TestGraph
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -70,6 +70,14 @@ object SparkEntry {
       TextStats.qualityFilter(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t06_corpus_stats" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang", "source")),
+    // --- training-data pipeline: deterministic sampling / splits / composition ---
+    "t07_hash_split" -> ((s: SparkSession, dir: String) =>
+      Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
+    "t08_corpus_mix" -> ((s: SparkSession, dir: String) =>
+      Sampling.weightedMix(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25), defaultWeight = 0.6)),
+    "t09_source_cap" -> ((s: SparkSession, dir: String) =>
+      Sampling.sourceCap(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", k = 10)),
     // --- training-data pipeline: near-dup detection ---
     "d02_minhash_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -92,6 +100,10 @@ object SparkEntry {
     }),
     "s03_embed_neardup" -> ((s: SparkSession, dir: String) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)),
+    "s05_label_centroids" -> ((s: SparkSession, dir: String) =>
+      Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
+    "s06_nearest_centroid" -> ((s: SparkSession, dir: String) =>
+      Similarity.nearestCentroid(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "label", "embedding")),
     "s04_ann_ivf" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5,

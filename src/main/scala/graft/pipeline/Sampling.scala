@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split / corpus-composition operators for training-data
+  * pipelines. Everything keys off a content-independent hash bucket of the document id
+  * (md5 → first 60 bits → mod), so results are:
+  *   - reproducible across runs, engines, and cluster sizes (no RNG, no partition
+  *     dependence — `rand()` changes with partitioning and retries);
+  *   - stable under corpus growth (a document keeps its split/sample fate when new
+  *     documents arrive — the property train/test splits need to avoid leakage);
+  *   - oracle-checkable (the same arithmetic runs in DuckDB).
+  *
+  * Scale shape: [[hashSplit]] and [[weightedMix]] are pure map-side column expressions
+  * (no shuffle at all); [[sourceCap]] is one window per source partition (see its note).
+  */
+object Sampling {
+
+  /** Bucket granularity: weights/fractions resolve to 1/10000ths. */
+  val Buckets: Int = 10000
+
+  /** Deterministic hash bucket in [0, Buckets) from the id column (+ optional salt —
+    * different salts give independent splits, e.g. one per experiment).
+    */
+  def bucketCol(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % Buckets
+
+  /** Train/validation/test split assignment: `trainPct`% of buckets → train, next
+    * `valPct`% → val, rest → test. Map-only; a document's split never changes as the
+    * corpus grows.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 90,
+      valPct: Int = 5,
+      salt: String = ""
+  ): DataFrame = {
+    val b = bucketCol(col(idCol), salt)
+    df.select(
+      col(idCol),
+      b.as("bucket"),
+      when(b < trainPct * Buckets / 100, "train")
+        .when(b < (trainPct + valPct) * Buckets / 100, "val")
+        .otherwise("test")
+        .as("split")
+    )
+  }
+
+  /** Weighted corpus mixing: downsample each source to its target weight (fraction in
+    * [0,1]) — the "mix web at 0.5, books at 1.0" step of corpus composition. A row
+    * survives iff its hash bucket falls below `weight(source) · Buckets`. Map-only
+    * filter; deterministic per document.
+    */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = ""
+  ): DataFrame = {
+    // thresholds resolve to exact integers driver-side: comparing the bucket against
+    // w·Buckets as a double would put documents on the 1-ulp boundary (0.8·10000 =
+    // 8000.0000000000004) on different sides in different engines
+    def thr(w: Double): Long = math.round(w * Buckets)
+    val threshold = weights.foldLeft(lit(thr(defaultWeight))) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(thr(w))).otherwise(acc)
+    }
+    val b = bucketCol(col(idCol), salt)
+    df.filter(b < threshold).select(col(idCol), col(sourceCol), b.as("bucket"))
+  }
+
+  /** Per-source document cap: keep the `k` documents with the smallest hash buckets in
+    * each source — a deterministic uniform subsample per domain (the "cap any one
+    * domain's contribution" step). Tie-break on id so the result is total-ordered.
+    *
+    * Scale note: one ranking window partitioned by source. Window partitions are not
+    * splittable, so a single source with ~10^9 docs bottlenecks one task; at that scale
+    * switch to the two-pass threshold form (per-source approximate k-th bucket via
+    * sample, then a map-only filter + exact trim). k here is assumed ≪ source size.
+    */
+  def sourceCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(bucketCol(col(idCol), salt), col(idCol))
+    df.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

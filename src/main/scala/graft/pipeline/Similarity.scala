@@ -182,6 +182,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-label centroids in long form: (label, dim 1-based, centroid = avg of that
+    * dimension, rounded to 6). The posexplode multiplies rows by `dims` BEFORE the
+    * shuffle, but partial aggregation collapses each partition to ≤ labels×dims rows,
+    * so the exchange moves a constant-size relation regardless of corpus size.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(toDouble(col(vecCol))))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("col")), 6).as("centroid"))
+
+  /** Nearest-centroid assignment (the k-means assignment step / a centroid classifier):
+    * every vector is scored against the per-label centroids of the corpus itself and
+    * assigned the argmax-cosine label. Centroids are rounded to 6 BEFORE scoring so the
+    * assignment is engine-independent (the argmax tie-break is (cosine desc, label)).
+    *
+    * Scale shape: the centroid table is labels×dims (constant) — broadcast; vectors
+    * stream through one codegen'd dot-product pass. This is the building block an
+    * iterative distributed k-means repeats.
+    */
+  def nearestCentroid(df: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
+    val cents = broadcast(
+      labelCentroids(df, labelCol, vecCol)
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+        .select(col("label").as("c_label"), transform(col("dc"), x => x("centroid")).as("cv"))
+        .withColumn("cn", norm2(col("cv"))))
+    val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+    val scored = v.crossJoin(cents)
+      .select(
+        col("vec_id"), col("c_label"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("c_label").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("assigned_label"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b).
     *
     * Candidate pairs come from LSH hyperplane buckets — `nTables` independent hash
