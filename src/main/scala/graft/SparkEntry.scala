@@ -165,6 +165,10 @@ object SparkEntry {
       .map(j => s"(CASE WHEN list_dot_product($v, ${lshPlaneSql(offset + j, dims)}) >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Deterministic hash bucket in [0, 10000) — mirror of Sampling.bucketCol (salt ""). */
+  private def bucketSql(idExpr: String): String =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
   /** distinct word-3-gram shingles per doc — mirror of Dedup.shingles(n=3). */
   private val shinglesCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -612,6 +616,58 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN n_tokens >= 10 AND stop_hits >= 1
          |                AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM q GROUP BY lang, source""".stripMargin,
+
+    // deterministic md5-bucket split — mirror of Sampling.hashSplit(90, 5)
+    "t07_hash_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS bucket FROM documents)""".stripMargin,
+
+    // weighted corpus mix — mirror of Sampling.weightedMix(src0→1.0, src1→0.8,
+    // src2→0.5, src3→0.25, default 0.6); thresholds in exact 1/10000ths
+    "t08_corpus_mix" ->
+      s"""SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket,
+         |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+         |                WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+         |                ELSE 6000 END AS thr
+         |  FROM documents)
+         |WHERE bucket < thr""".stripMargin,
+
+    // per-source cap: k=10 smallest buckets per source — mirror of Sampling.sourceCap
+    // (the engine computes it two-pass via KthSmallest; the top-k set is identical)
+    "t09_source_cap" ->
+      s"""SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+         |  FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))
+         |WHERE rk <= 10""".stripMargin,
+
+    // per-label per-dimension centroids — mirror of Similarity.labelCentroids
+    "s05_label_centroids" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT label, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid
+         |FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |GROUP BY label, i""".stripMargin,
+
+    // nearest-centroid assignment — mirror of Similarity.nearestCentroid: centroids
+    // from the FULL corpus rounded to 6 before scoring; zero-norm vectors and all-zero
+    // centroids excluded in lockstep with the engine's degenerate-input guard
+    "s06_nearest_centroid" ->
+      s"""WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT label, i, round(avg(v[i]), 6) AS c
+         |         FROM a, unnest(generate_series(1, len(v))) AS t(i)
+         |         GROUP BY label, i),
+         |cv AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |cvf AS (SELECT c_label, cv FROM cv WHERE list_dot_product(cv, cv) > 0),
+         |e AS (SELECT vec_id, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT vec_id, c_label, ${cosSql("v", "cv")} AS cos_sim FROM e, cvf)
+         |SELECT vec_id, c_label AS assigned_label, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_label) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin,
 
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -5,12 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional extra args = subset of query names (local iteration); driver passes 2
+    val selected =
+      if (args.length <= 2) SparkEntry.queries
+      else {
+        args.drop(2).filterNot(SparkEntry.queries.contains).foreach { n =>
+          System.err.println(s"[verify] unknown query name: $n")
+        }
+        SparkEntry.queries.filter { case (n, _) => args.drop(2).contains(n) }
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

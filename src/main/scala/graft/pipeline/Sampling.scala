@@ -77,10 +77,14 @@ object Sampling {
     * each source — a deterministic uniform subsample per domain (the "cap any one
     * domain's contribution" step). Tie-break on id so the result is total-ordered.
     *
-    * Scale note: one ranking window partitioned by source. Window partitions are not
-    * splittable, so a single source with ~10^9 docs bottlenecks one task; at that scale
-    * switch to the two-pass threshold form (per-source approximate k-th bucket via
-    * sample, then a map-only filter + exact trim). k here is assumed ≪ source size.
+    * Scale shape (two-pass exact): pass 1 reduces each source to its exact k-th smallest
+    * (bucket, id) pair with a bounded k-element aggregate
+    * ([[org.apache.spark.sql.graft.KthSmallest]] — map-side combinable, O(k) state, runs
+    * in ObjectHashAggregate); pass 2 broadcasts the per-source thresholds (one tiny row
+    * per source) and keeps rows at-or-below them with a map-only filter. The final
+    * row_number window only ranks the ≤ k survivors per source. This replaces the naive
+    * `row_number() over (partition by source)` form, whose unsplittable window partition
+    * serializes a ~10^9-doc source through one task.
     */
   def sourceCap(
       df: DataFrame,
@@ -89,11 +93,22 @@ object Sampling {
       k: Int,
       salt: String = ""
   ): DataFrame = {
+    val rows = df.select(col(idCol), col(sourceCol))
+      .withColumn("bucket", bucketCol(col(idCol), salt))
+    val thresholds = rows
+      .groupBy(col(sourceCol))
+      .agg(org.apache.spark.sql.graft.KthSmallest.column(col("bucket"), col(idCol), k).as("thr"))
+    val kept = rows
+      .join(broadcast(thresholds), Seq(sourceCol))
+      .filter(
+        col("bucket") < col("thr.major") ||
+          (col("bucket") === col("thr.major") && col(idCol) <= col("thr.minor")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
-      .orderBy(bucketCol(col(idCol), salt), col(idCol))
-    df.select(col(idCol), col(sourceCol))
+      .orderBy(col("bucket"), col(idCol))
+    kept
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .filter(col("rk") <= k) // defensive trim if ids are not unique within a source
+      .select(col(idCol), col(sourceCol), col("rk"))
   }
 }

@@ -200,6 +200,12 @@ object Similarity {
     * Scale shape: the centroid table is labels×dims (constant) — broadcast; vectors
     * stream through one codegen'd dot-product pass. This is the building block an
     * iterative distributed k-means repeats.
+    *
+    * Degenerate inputs are excluded explicitly rather than silently mislabeled: a
+    * zero-norm vector (cosine undefined against everything) is dropped from the
+    * assignment side, and an all-zero label centroid is dropped from the candidate side
+    * — otherwise the null cosine would fall through to the label tie-break and assign a
+    * meaningless label.
     */
   def nearestCentroid(df: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
     val cents = broadcast(
@@ -207,9 +213,11 @@ object Similarity {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
         .select(col("label").as("c_label"), transform(col("dc"), x => x("centroid")).as("cv"))
-        .withColumn("cn", norm2(col("cv"))))
+        .withColumn("cn", norm2(col("cv")))
+        .filter(col("cn") > 0))
     val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
     val scored = v.crossJoin(cents)
       .select(
         col("vec_id"), col("c_label"),
