@@ -199,27 +199,27 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     * (SURVEY.md §2.8 W5). The "lost lock" rows of the JobSpec matrix are therefore
     * unrepresentable here by design.
     *
-    * This method is EAGER: the pre-batch snapshot is materialized once (eager local
-    * checkpoint) because three independent joins consume it — their differing pushed
-    * projections defeat exchange reuse, so the lazy form re-runs the full LWW
-    * aggregation per join. The returned store's log is the COMPACTED
-    * `snapshot ∪ batchRows` (sound because the merge is idempotent:
-    * lww(lww(L) ∪ R) = lww(L ∪ R)) — write batches also act as state compaction, the
-    * same materialization discipline the reference's eager upserts give it, and the
-    * shape that keeps a 100 TB log from being re-folded from scratch every batch.
+    * Scale shape — the write path touches only batch-scale data, like the reference's
+    * per-key upserts (`SqlShard.scala:432-524`), never the whole store:
+    *  - The batch is materialized once (eager local checkpoint; callers routinely derive
+    *    ops from a snapshot query, which would otherwise re-fold per consumer).
+    *  - The pre-batch state the pipeline joins against is the LWW fold of the
+    *    KEY-PRUNED log: one scan of the log, broadcast-joined against the batch's
+    *    distinct touched (graph, vertex) keys (same trick as `QueryNode.leafStats`) —
+    *    at 100 TB with vertex-partitioned storage this is partition pruning, not a full
+    *    scan, and the fold collapses only the touched keys' rows.
+    *  - The result is APPENDED to the log (newRows, batch-scale, materialized); folding
+    *    the log stays on the compaction cadences (`EdgeStorage.compact`,
+    *    `StreamingIngest`). A 10-row execute() therefore writes ~10 rows, not the store.
+    *  - Batches larger than `incrementalMax` (default [[EdgeStore.IncrementalBatchMax]])
+    *    fall back to the compacting form: fold the full snapshot once, return
+    *    `snapshot ∪ newRows` (sound because lww is idempotent: lww(lww(L) ∪ R) =
+    *    lww(L ∪ R)) — a bulk migration touching most keys rewrites the store anyway,
+    *    and its key set would not be broadcastable.
     */
-  def applyOperations(ops: DataFrame): EdgeStore = {
-    val snap = snapshot.localCheckpoint(true)
-    // the batch is consumed by four consumers (register writes, both wildcard
-    // expansions, the normalized singles) — materialize it once; callers routinely
-    // derive ops from a snapshot query, which would otherwise be re-folded per consumer
-    val withDir = {
-      val d = if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
-      d.localCheckpoint(true)
-    }
-
+  def applyOperations(ops: DataFrame, incrementalMax: Long = IncrementalBatchMax): EdgeStore = {
+    val withDir = withDirection(ops).localCheckpoint(true)
     val wild    = withDir.filter(col("destination_id").isNull)
-    val singles = withDir.filter(col("destination_id").isNotNull)
 
     // 1. vertex-register writes from wildcard ops
     val newRegisters = wild.select(
@@ -227,6 +227,72 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
       col("state"), col("updated_at")
     )
     val mergedVertexLog = vertexLogOrEmpty.unionByName(newRegisters)
+
+    val incremental = withDir.count() <= incrementalMax
+    // three joins consume the base state with differing pushed projections (defeating
+    // exchange reuse) — materialize it once; on the incremental path it is batch-scale
+    val snap =
+      (if (incremental) lwwMerge(prunedLog(withDir)) else snapshot).localCheckpoint(true)
+    val newRows = writeRows(withDir, snap, mergedVertexLog)
+
+    // newRows stays LAZY: both of its inputs (the pruned snap and the batch) are
+    // already checkpointed, so recompute is batch-scale joins — cheaper at every scale
+    // tested than materializing it (a localCheckpoint additionally produces a
+    // LogicalRDD whose origin constraints reference pre-checkpoint attribute ids and
+    // break Union constraint rewriting downstream).
+    if (incremental)
+      new EdgeStore(
+        log.select(edgeCols: _*).unionByName(newRows),
+        Some(mergedVertexLog))
+    else
+      new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+  }
+
+  private def withDirection(ops: DataFrame): DataFrame =
+    if (ops.columns.contains("is_forward")) ops else ops.withColumn("is_forward", lit(true))
+
+  /** Log rows that can interact with the batch: one scan of the log with two broadcast
+    * marker joins on the batch's distinct touched (graph, vertex) keys — forward keys
+    * prune by source, backward-wildcard keys by destination (an OR of two semi-joins,
+    * evaluated in a single pass). LWW-folding duplicates is idempotent, so a row
+    * matching both sides is harmless.
+    */
+  private def prunedLog(withDir: DataFrame): DataFrame = {
+    val wild    = withDir.filter(col("destination_id").isNull)
+    val singles = withDir.filter(col("destination_id").isNotNull)
+    val kFwd = singles
+      .select(col("graph_id"),
+        when(col("is_forward"), col("source_id")).otherwise(col("destination_id")).as("source_id"))
+      .unionByName(wild.filter(col("is_forward")).select(col("graph_id"), col("source_id")))
+      .distinct()
+    val kBwd = wild.filter(!col("is_forward"))
+      .select(col("graph_id"), col("source_id").as("destination_id"))
+      .distinct()
+    log.select(edgeCols: _*)
+      .join(broadcast(kFwd.withColumn("pf", lit(true))), Seq("graph_id", "source_id"), "left")
+      .join(broadcast(kBwd.withColumn("pb", lit(true))), Seq("graph_id", "destination_id"), "left")
+      .filter(coalesce(col("pf"), lit(false)) || coalesce(col("pb"), lit(false)))
+      .select(edgeCols: _*)
+  }
+
+  /** Uncheckpointed incremental write delta, exposed so PlanSpec can assert the fold
+    * runs over the key-pruned scan (the production path checkpoints eagerly, which
+    * hides the plan).
+    */
+  private[graft] def plannedIncrementalRows(ops: DataFrame): DataFrame = {
+    val withDir = withDirection(ops)
+    writeRows(withDir, lwwMerge(prunedLog(withDir)), vertexLogOrEmpty.unionByName(
+      withDir.filter(col("destination_id").isNull).select(
+        col("graph_id"), col("source_id").as("vertex_id"), col("is_forward"),
+        col("state"), col("updated_at"))))
+  }
+
+  /** Steps 1b–4 of the write pipeline: per-edge writes from the batch against the given
+    * pre-batch state `snap`, vertex-state dominated and position-resolved.
+    */
+  private def writeRows(withDir: DataFrame, snap: DataFrame, mergedVertexLog: DataFrame): DataFrame = {
+    val wild    = withDir.filter(col("destination_id").isNull)
+    val singles = withDir.filter(col("destination_id").isNotNull)
 
     // wildcard expansion: the op's side of the vertex, skipping Removed edges
     val notRemoved = snap.filter(col("state") =!= State.Removed)
@@ -305,8 +371,7 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
         lit(0).as("count"),
         col("op.state").as("state")
       )
-
-    new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+    newRows
   }
 
   /** S12 — direct metadata sink (reference `writeMetadata`/`writeMetadatas`,
@@ -382,6 +447,12 @@ object EdgeStore {
     * `SqlShard.scala:323-349`).
     */
   val WhereInPredicateMax: Int = 1000
+
+  /** Largest op batch (rows) that takes the incremental key-pruned write path; bigger
+    * batches fall back to the compacting full-fold form. ~1M distinct touched keys is
+    * a ~12 MB broadcast — comfortably inside executor broadcast budgets.
+    */
+  val IncrementalBatchMax: Long = 1000000L
 
   val edgeColNames: Seq[String] =
     Seq("graph_id", "source_id", "destination_id", "position", "updated_at", "count", "state")

@@ -66,6 +66,34 @@ class PlanSpec extends SparkSpec {
       "filter must sit below the aggregation in the plan")
   }
 
+  test("a small write batch folds only the key-pruned log, not the whole store") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides children from collect
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val store = TestGraph.store(spark, dir)
+      val ops = {
+        import spark.implicits._
+        Seq((1, 1L, Some(5L), 1, 3000000, None: Option[Long]),
+            (1, 2L, None: Option[Long], 2, 3000000, None: Option[Long]))
+          .toDF("graph_id", "source_id", "destination_id", "state", "updated_at", "position")
+      }
+      val exec = store.plannedIncrementalRows(ops).queryExecution.executedPlan
+      // the edge-key LWW folds (grouping includes destination_id) must each consume the
+      // broadcast key-pruned scan — never the raw full log
+      val edgeFolds = exec.collect {
+        case a: ObjectHashAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("destination_id")) => a
+      }
+      assert(edgeFolds.nonEmpty, s"expected a pruned LWW fold in the write plan:\n$exec")
+      edgeFolds.foreach { f =>
+        assert(f.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+          s"LWW fold input is not key-pruned (no broadcast prune below it):\n$f")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))

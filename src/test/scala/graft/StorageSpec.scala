@@ -63,4 +63,43 @@ class StorageSpec extends SparkSpec {
     val m = snapshotOf(EdgeStorage.load(spark, dir))
     assert(m((alice, bob)).state == State.Archived && m((alice, bob)).updatedAt == 105)
   }
+
+  test("incremental write path appends the batch delta instead of rewriting the store") {
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100),
+      edge(alice, carl, 2, at = 100),
+      edge(bob, carl, 3, at = 100),
+      edge(carl, darcy, 4, at = 100)
+    )
+    // one single-edge archive: the new log must be old log + ONE delta row
+    val st2 = st.applyOperations(opsDF((alice, bob, State.Archived, 200, None)))
+    assert(st2.log.count() == st.log.count() + 1, "a 1-op batch must write ~1 row")
+    val m = snapshotOf(st2)
+    assert(m((alice, bob)).state == State.Archived)
+    assert(m((alice, carl)).state == State.Normal, "untouched keys unchanged")
+  }
+
+  test("compacting fallback (large batch) and incremental path produce the same store") {
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100),
+      edge(alice, carl, 2, at = 100, state = State.Negative),
+      edge(bob, alice, 3, at = 100),
+      edge(darcy, earl, 4, at = 100)
+    )
+    // mixed batch: a resurrect (position rule), an archive, and a forward wildcard
+    val ops = {
+      import spark.implicits._
+      Seq(
+        (FOLLOWS, alice, Some(carl), State.Normal, 200, None: Option[Long]),
+        (FOLLOWS, bob, Some(alice), State.Archived, 200, None: Option[Long]),
+        (FOLLOWS, darcy, None: Option[Long], State.Archived, 200, None: Option[Long])
+      ).toDF("graph_id", "source_id", "destination_id", "state", "updated_at", "position")
+    }
+    val inc  = st.applyOperations(ops)
+    val full = st.applyOperations(ops, incrementalMax = -1L) // force the compacting form
+    assert(snapshotOf(inc) == snapshotOf(full))
+    val mv = inc.metadata.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val mf = full.metadata.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(mv == mf, "register-aware metadata must agree across paths")
+  }
 }
