@@ -691,15 +691,17 @@ object SparkEntry {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
     },
 
-    // Jaccard over RARE shingles only (doc-freq <= 100) — lockstep with the engine's
-    // document-frequency skew guard in Dedup.ngramJaccardPairs.
+    // Jaccard over RARE shingles only (doc-freq <= 100), on 60-bit md5 shingle hashes
+    // — lockstep with the skew guard and the hashed shuffle keys in
+    // Dedup.ngramJaccardPairs.
     "d04_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
-         |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
+         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-         |           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
          |           GROUP BY 1, 2)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b,

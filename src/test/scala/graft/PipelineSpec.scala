@@ -44,6 +44,26 @@ class PipelineSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard equals the unfiltered all-pairs reference (lossless pruning)") {
+    import spark.implicits._
+    // 40 docs with overlapping shingle sets at many sizes, several pairs near threshold
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until (6 + (i % 9)).toInt).map(j => s"w${(i + j * 3) % 23}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: exact jaccard over every pair, straight from collected shingle sets
+    val sets = Dedup.shingles(corpus, "doc_id", "text", 2)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val slow = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.3
+    } yield (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
+  }
+
   test("dedup clusters: near-dups share the min-id cluster; singletons keep their own") {
     val clusters = Dedup.dedupClusters(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
