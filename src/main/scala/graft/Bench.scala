@@ -16,10 +16,13 @@ object Bench {
     Seq("g12_execute_lww", "d03_simhash", "q05_region_revenue", "s02_ann_lsh").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
       }
     }
     // optional args = subset of query names (local iteration); no args = full suite
+    args.filterNot(SparkEntry.queries.contains).foreach { n =>
+      System.err.println(s"[bench] unknown query name: $n")
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else args.toSeq.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
@@ -27,14 +30,28 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — under .count() Catalyst prunes unused
       // columns and map-only queries would be timed as little more than a scan
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop checkpoint/cache blocks between queries: every query builds its own
+      // stores, and eager localCheckpoints would otherwise accumulate in storage
+      // memory across the 50+ query run
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val st = results.map { case (k, _, ok) => s"\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
+      .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as a
+    // failure, not as a speedup
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,13 +45,16 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
   /** Paged compound select (reference `select2`): the batch fans out concurrently
     * (reference `EdgesService.scala:88-100` uses `Future.collect`; Spark actions are
     * thread-safe on one session, and concurrent small page jobs hide per-job scheduling
-    * latency). Compilation — and its validation errors — happens up front on the
-    * caller's thread, like the reference's compile-then-execute split.
+    * latency). The fan-out runs on the BOUNDED shared pool
+    * ([[FlockService.SelectParallelism]] threads) — an arbitrarily large batch queues
+    * there instead of launching unbounded concurrent Spark actions. Compilation — and
+    * its validation errors — happens up front on the caller's thread, like the
+    * reference's compile-then-execute split.
     */
   def select2(queries: Seq[(Seq[SelectOperation], Page)]): Seq[PagedResult[Long]] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec = FlockService.pagePool
     val compiled = queries.map { case (program, page) => (compile(program), page) }
     Await.result(
       Future.traverse(compiled) { case (node, page) => Future(node.select(store, page)) },
@@ -182,4 +185,27 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
       r.getInt(i("state"))
     )
   }
+}
+
+object FlockService {
+
+  /** Concurrent page-query fan-out cap for `select2` batches: enough concurrency to
+    * hide per-job scheduling latency, bounded so a large batch queues instead of
+    * launching unbounded concurrent Spark actions (the reference bounds its fan-out by
+    * its RPC worker pool; `ExecutionContext.global` would grow with the batch).
+    */
+  val SelectParallelism: Int = 8
+
+  /** Shared daemon pool — `execute` returns a new service per batch, so a per-instance
+    * pool would leak threads across chained writes.
+    */
+  private lazy val pagePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        SelectParallelism,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-select2")
+          t.setDaemon(true)
+          t
+        }))
 }

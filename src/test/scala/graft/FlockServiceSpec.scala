@@ -89,6 +89,22 @@ class FlockServiceSpec extends SparkSpec {
     assert(page.items.head.updatedAt == 105)
   }
 
+  test("select2 batch larger than the fan-out pool queues and answers every query") {
+    val svc = freshService.execute(
+      (1L to 6L).flatMap(s => (1L to 4L).map(d => add(s, s * 10 + d, 100 + d.toInt))))
+    // 24 page queries > SelectParallelism (8): the excess must queue, not spawn
+    val batch = (1L to 6L).flatMap { s =>
+      Seq.fill(4)((Seq(TermOp(QueryTerm(s, FOLLOWS))): Seq[SelectOperation], Page(10, Cursor.Start)))
+    }
+    assert(batch.size > FlockService.SelectParallelism)
+    val results = svc.select2(batch)
+    assert(results.size == batch.size)
+    results.zipWithIndex.foreach { case (r, i) =>
+      val s = 1L + i / 4
+      assert(r.items.toSet == (1L to 4L).map(d => s * 10 + d).toSet, s"query $i (source $s)")
+    }
+  }
+
   test("getMetadata reflects dominant state count") {
     val svc = freshService.execute(Seq(add(alice, bob, 100), add(alice, carl, 100)))
     val meta = svc.getMetadata(alice, FOLLOWS)
