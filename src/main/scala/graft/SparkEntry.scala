@@ -109,6 +109,10 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5,
         centroidMod = 97, nProbe = 2)
     }),
+    "s07_ann_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annRecall(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5)
+    }),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -802,6 +806,64 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the LSH and IVF searches vs the exact brute-force top-5 — mirror of
+    // Similarity.annRecall, composed from the s01/s02/s04 oracle fragments
+    "s07_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM q, e c WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64)} AS bucket FROM e),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosSql("a.v", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM b a JOIN b c USING (bucket)
+         |    WHERE a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id AS rid, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, v AS cv2, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, v AS qv, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "cv2")} DESC, neighbor_id) AS rank
+         |    FROM probes JOIN cells USING (cid)
+         |    WHERE query_id <> neighbor_id)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+         |hits AS (
+         |  SELECT method, query_id, COUNT(*) AS n_hit
+         |  FROM approx SEMI JOIN truth USING (query_id, neighbor_id)
+         |  GROUP BY method, query_id),
+         |base AS (
+         |  SELECT query_id, method
+         |  FROM (SELECT DISTINCT query_id FROM truth), (VALUES ('lsh'), ('ivf')) m(method))
+         |SELECT method, query_id,
+         |       round(COALESCE(n_hit, 0) / 5.0, 6) AS recall_at_k
+         |FROM base LEFT JOIN hits USING (method, query_id)""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

@@ -227,6 +227,50 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("assigned_label"), col("cos_sim"))
   }
 
+  /** Recall@k of the approximate ANN paths against the exact brute-force top-k — the
+    * diagnostic that makes LSH/IVF parameter changes measurable instead of guessed:
+    * one row per (method, query), recall = |approx top-k ∩ true top-k| / k.
+    * Deterministic end-to-end (pinned hyperplanes, modulus-sampled centroids, rounded
+    * cosines, id tie-breaks), so it is oracle-checkable like the searches themselves.
+    *
+    * Scale shape: the truth relation is |Q|·k rows (materialized once for its two
+    * consumers); everything else reuses the searches' own bucketed plans, and the
+    * hit-count join is an equi-join on (query, neighbor).
+    */
+  def annRecall(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 6,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val approx = lshTopK(queries, candidates, idCol, vecCol, k, nPlanes, dims)
+      .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+      .unionByName(
+        ivfTopK(queries, candidates, idCol, vecCol, k, centroidMod, nProbe)
+          .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+    val hits = approx
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    // every (method, query) must appear, including total misses (recall 0)
+    val base = truth.select(col("query_id")).distinct()
+      .select(col("query_id"), explode(array(lit("lsh"), lit("ivf"))).as("method"))
+    base
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(
+        col("method"), col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b).
     *
     * Candidate pairs come from LSH hyperplane buckets — `nTables` independent hash

@@ -46,6 +46,29 @@ class CentroidSpec extends SparkSpec {
     assert(r.forall(x => !x.isNullAt(2)), "emitted assignments must have a defined cosine")
   }
 
+  test("annRecall: brute force scores recall 1.0 against itself via the lsh path shape") {
+    import spark.implicits._
+    // 30 vectors in 4 dims; queries = ids % 10 == 0
+    val vs = (1L to 30L).map { i =>
+      (i, 0, Array(math.sin(i * 1.0).toFloat, math.cos(i * 2.0).toFloat,
+        math.sin(i * 3.0).toFloat, math.cos(i * 5.0).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val r = Similarity.annRecall(
+      vs.filter(col("vec_id") % 10 === 0), vs, "vec_id", "embedding", k = 3,
+      nPlanes = 2, dims = 4, centroidMod = 7, nProbe = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val queries = (1L to 30L).filter(_ % 10 == 0)
+    assert(r.keySet == (for (m <- Seq("lsh", "ivf"); q <- queries) yield (m, q)).toSet,
+      "one row per (method, query), including total misses")
+    r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // deterministic: same inputs give identical recall on a second run
+    val r2 = Similarity.annRecall(
+      vs.filter(col("vec_id") % 10 === 0), vs, "vec_id", "embedding", k = 3,
+      nPlanes = 2, dims = 4, centroidMod = 7, nProbe = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == r2)
+  }
+
   test("nearestCentroid scoring side broadcasts the constant-size centroid table") {
     val plan = Similarity.nearestCentroid(vecs, "vec_id", "label", "embedding")
       .queryExecution.executedPlan.toString
