@@ -70,6 +70,10 @@ object SparkEntry {
       TextStats.qualityFilter(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t06_corpus_stats" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang", "source")),
+    "t10_repetition" -> ((s: SparkSession, dir: String) =>
+      TextStats.repetitionStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t11_vocabulary" -> ((s: SparkSession, dir: String) =>
+      TextStats.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 50)),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -620,6 +624,27 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN n_tokens >= 10 AND stop_hits >= 1
          |                AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM q GROUP BY lang, source""".stripMargin,
+
+    // within-doc repetition signals — mirror of TextStats.repetitionStats
+    "t10_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |pt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |               COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_count
+         |        FROM pt GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio,
+         |  round(CAST(max_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_ratio
+         |FROM agg""".stripMargin,
+
+    // corpus top-50 tokens by occurrences (token tie-break) — mirror of TextStats.vocabulary
+    "t11_vocabulary" ->
+      s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT 50""".stripMargin,
 
     // deterministic md5-bucket split — mirror of Sampling.hashSplit(90, 5)
     "t07_hash_split" ->

@@ -166,4 +166,47 @@ object TextStats {
       col(idCol),
       org.apache.spark.sql.graft.PolyFingerprint.column(col(textCol)).as("fingerprint")
     )
+
+  /** Within-document repetition signals (the Gopher-style repetition filters): token
+    * total, distinct-token count, duplicate-token ratio (1 − distinct/total), and the
+    * most-frequent token's share. High dup/top ratios flag boilerplate and generated
+    * spam that length/stopword filters miss.
+    *
+    * Scale shape: explode → two hash aggregations ((id, token) then id) — the standard
+    * shuffle-partitioned token pipeline; no windows, no driver state.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_count")
+      )
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("max_count").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_ratio")
+      )
+
+  /** Corpus vocabulary: the `k` most frequent tokens with document frequency — the
+    * vocabulary-building / tokenizer-training precursor. Global top-k via
+    * order-by-limit (planned as a distributed TakeOrdered: per-partition heaps, no full
+    * sort); ties broken by token so the cut is deterministic.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int = 50): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs")
+      )
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
 }

@@ -64,6 +64,30 @@ class PipelineSpec extends SparkSpec {
     assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
   }
 
+  test("repetitionStats: duplicate and top-token ratios from exact token counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),    // 4 tokens, 2 distinct, max count 3
+      (2L, "x y z w"),    // no repetition
+      (3L, "")            // empty text = one empty token
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((4L, 2L, 0.5, 0.75)))
+    assert(r(2L) == ((4L, 4L, 0.0, 0.25)))
+    assert(r(3L) == ((1L, 1L, 0.0, 1.0)))
+  }
+
+  test("vocabulary: top-k tokens by occurrences with doc frequency, token tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, "b a b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val r = TextStats.vocabulary(d, "doc_id", "text", k = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("b", 3L, 2L), ("a", 2L, 2L), ("c", 1L, 1L)),
+      "ordered by count desc then token asc; doc frequency distinct per doc")
+  }
+
   test("dedup clusters: near-dups share the min-id cluster; singletons keep their own") {
     val clusters = Dedup.dedupClusters(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
