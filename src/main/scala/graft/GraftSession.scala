@@ -12,6 +12,9 @@ object GraftSession {
   def builder(cpus: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's native expressions as SQL functions (graft_dot, graft_lww_winner,
+      // ...) — same injection path a cluster uses via --conf spark.sql.extensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // driver test data carries TIMESTAMP(NANOS) columns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
