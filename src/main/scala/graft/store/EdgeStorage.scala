@@ -40,6 +40,28 @@ object EdgeStorage {
   def load(spark: SparkSession, path: String): EdgeStore =
     EdgeStore(spark.read.parquet(path))
 
+  /** Bucketed-table variant of [[save]]: `bucketBy(source_id)` + in-bucket sort,
+    * registered in the catalog. Where [[save]] gives row-group pruning, a bucketed
+    * table additionally gives Spark a PROVABLE `HashPartitioning(source_id)` at scan
+    * time, so every operation that clusters on the vertex — the LWW snapshot fold
+    * (grouping contains source_id), merge/copy joins between two stores bucketed the
+    * same way, adjacency groupBys — plans with NO shuffle at all: at 100 TB the
+    * store's dominant recurring cost (re-shuffling the log on every fold) is paid
+    * once at write time and amortized over every subsequent read. This is the Spark
+    * equivalent of the reference keeping each shard pre-ordered by its
+    * `(source_id, state, position)` index (`SqlShard.scala:56-68`).
+    */
+  def saveTable(df: DataFrame, table: String, buckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "source_id")
+      .sortBy("source_id", "state", "position")
+      .saveAsTable(table)
+
+  /** Reload a [[saveTable]] store; folds/joins keyed on source_id are shuffle-free. */
+  def loadTable(spark: SparkSession, table: String): EdgeStore =
+    EdgeStore(spark.table(table))
+
   /** S10 — bulk unsafe insert (reference `bulkUnsafeInsertEdges`,
     * `SqlShard.scala:402-417`): append without conflict handling; the next LWW snapshot
     * resolves duplicates.

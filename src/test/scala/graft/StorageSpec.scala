@@ -31,6 +31,54 @@ class StorageSpec extends SparkSpec {
     assert(plan2.contains("PushedFilters") && plan2.contains("source_id"), plan2.take(500))
   }
 
+  test("bucketed table: the LWW snapshot fold runs with NO shuffle") {
+    // the 100 TB payoff of saveTable: scan-time HashPartitioning(source_id) already
+    // satisfies the fold's clustering (source_id ⊆ grouping key), so the recurring
+    // log→snapshot cost has zero Exchange. AQE off so the executed plan is inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val st = storeOf(
+        edge(alice, bob, 1, at = 100),
+        edge(alice, bob, 2, at = 200, state = State.Archived), // conflicting write
+        edge(alice, carl, 3),
+        edge(bob, carl, 4)
+      )
+      EdgeStorage.saveTable(st.log, "edges_bucketed", buckets = 4)
+      val loaded = EdgeStorage.loadTable(spark, "edges_bucketed")
+
+      val e = snapshotOf(loaded)
+      assert(e.keySet == Set((alice, bob), (alice, carl), (bob, carl)))
+      assert(e((alice, bob)).state == State.Archived, "LWW semantics survive the table round-trip")
+
+      val p = loaded.snapshot.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"), p)
+      assert(p.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed fold must be shuffle-free:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("two same-bucketed stores repair with no shuffle on either side") {
+    // W6 copy/repair between replicas — with both tables bucketed the same way the
+    // merge-diff equi-join co-locates for free (the reference's same-hash-range copy)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      EdgeStorage.saveTable(storeOf(edge(alice, bob, 1, at = 100)).log, "repair_a", buckets = 4)
+      EdgeStorage.saveTable(storeOf(edge(alice, bob, 1, at = 200, state = State.Archived)).log,
+        "repair_b", buckets = 4)
+      val a = EdgeStorage.loadTable(spark, "repair_a")
+      val b = EdgeStorage.loadTable(spark, "repair_b")
+      val repaired = a.repairWith(b)
+      assert(snapshotOf(repaired)((alice, bob)).state == State.Archived)
+      val p = repaired.snapshot.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"same-bucketed repair must not re-shuffle either side:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("compact folds the on-disk log to its snapshot (size bounded by |edges|)") {
     val dir = Files.createTempDirectory("graft-storage3").toString + "/edges"
     EdgeStorage.save(storeOf(edge(alice, bob, 1, at = 100)).log, dir)
