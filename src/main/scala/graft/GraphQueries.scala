@@ -377,6 +377,33 @@ object GraphQueries {
     labels.select(col("v").as("vertex_id"), col("label").as("label_min3"))
   }
 
+  /** Extended analytics: 2-hop neighborhood size (friends-of-friends) over graph-1
+    * Normal edges — the classic "people you may know" expansion a FlockDB deployment
+    * runs client-side with chained select2 calls, here one declarative plan: n_two_hop(a)
+    * = |{c : a→b→c, c ≠ a, no direct a→c}|. Two equi-joins (hop join on the shared
+    * vertex, anti-join to remove direct edges) + a distinct — never a cross product;
+    * at celebrity-vertex skew AQE's skew-join split handles the hot intermediate key.
+    */
+  def twoHop(spark: SparkSession, dir: String): DataFrame =
+    twoHopCounts(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst"))
+        .localCheckpoint(true)) // three consumers: both hop sides + the anti-join
+
+  /** Kernel of [[twoHop]] over a distinct (src, dst) edge relation. */
+  def twoHopCounts(edges: DataFrame): DataFrame = {
+    val hops = edges.alias("a")
+      .join(edges.alias("b"), col("a.dst") === col("b.src"))
+      .filter(col("b.dst") =!= col("a.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .distinct()
+    hops.join(edges, Seq("src", "dst"), "left_anti")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_two_hop"))
+      .select(col("src").as("source_id"), col("n_two_hop"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

@@ -46,6 +46,7 @@ object SparkEntry {
     "g20_metadata_registers" -> (GraphQueries.metadataRegisters _),
     "g21_triangles"         -> (GraphQueries.triangleCounts _),
     "g22_label_propagation" -> (GraphQueries.labelPropagation _),
+    "g23_two_hop"           -> (GraphQueries.twoHop _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -93,6 +94,8 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.2)),
     "d05_dedup_clusters" -> ((s: SparkSession, dir: String) =>
       Dedup.dedupClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d06_contamination" -> ((s: SparkSession, dir: String) =>
+      Dedup.contamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -117,6 +120,8 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.annRecall(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5)
     }),
+    "s08_quantize" -> ((s: SparkSession, dir: String) =>
+      Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -487,6 +492,16 @@ object SparkEntry {
          |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
          |SELECT v AS vertex_id, label AS label_min3 FROM l3""".stripMargin,
 
+    // 2-hop expansion: a→b→c wedges, minus self-returns and direct edges
+    "g23_two_hop" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |t AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+         |      FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src),
+         |tf AS (SELECT t.src, t.dst FROM t ANTI JOIN e ON e.src = t.src AND e.dst = t.dst)
+         |SELECT src AS source_id, COUNT(*) AS n_two_hop FROM tf GROUP BY src""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -763,6 +778,28 @@ object SparkEntry {
          |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
 
+    // d02's minhash bands + t07's split buckets: eval docs sharing a band with a train doc
+    "d06_contamination" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${bucketSql("doc_id")} < 9000 THEN 'train'
+         |              WHEN ${bucketSql("doc_id")} < 9500 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |tr AS (SELECT k, minhash, mh.doc_id AS train_id
+         |       FROM mh JOIN sp USING (doc_id) WHERE split = 'train'),
+         |ev AS (SELECT k, minhash, mh.doc_id AS eval_id, split
+         |       FROM mh JOIN sp USING (doc_id) WHERE split <> 'train')
+         |SELECT eval_id AS doc_id, split,
+         |       CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_matches,
+         |       MIN(train_id) AS first_train_id
+         |FROM ev JOIN tr USING (k, minhash)
+         |GROUP BY eval_id, split""".stripMargin,
+
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -889,6 +926,21 @@ object SparkEntry {
          |SELECT method, query_id,
          |       round(COALESCE(n_hit, 0) / 5.0, 6) AS recall_at_k
          |FROM base LEFT JOIN hits USING (method, query_id)""".stripMargin,
+
+    // int8 quantization diagnostics — mirror of Similarity.quantizeError (⌊x+½⌋
+    // rounding; max err, not mean, so fp order can't drift)
+    "s08_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+         |m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS maxabs FROM v),
+         |s AS (SELECT vec_id, dv, maxabs / 127.0 AS scale FROM m WHERE maxabs > 0)
+         |SELECT vec_id,
+         |  CAST(len(dv) AS INTEGER) AS n_dims,
+         |  round(scale, 6) AS scale,
+         |  CAST(list_sum(list_transform(dv,
+         |    x -> CAST(abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS BIGINT))) AS BIGINT) AS sum_abs_q,
+         |  round(list_max(list_transform(dv,
+         |    x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale))), 6) AS max_abs_err
+         |FROM s""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

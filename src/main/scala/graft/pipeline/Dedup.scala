@@ -135,6 +135,43 @@ object Dedup {
     labels.select(col("v").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Train/eval contamination detection — the decontamination step of a training-data
+    * pipeline: documents land in train/val/test via the deterministic hash split
+    * ([[Sampling.hashSplit]]), and an eval document is CONTAMINATED if it shares a
+    * MinHash band signature with any train document (the same near-dup evidence d02
+    * uses, applied across the split boundary; exact duplicates collide in every band).
+    * Output: one row per contaminated eval doc — its split, how many train docs it
+    * collides with, and the smallest such train id (the audit pointer).
+    *
+    * Scale shape: signatures are the one-aggregation minhash ([[minhashWide]]); the
+    * cross-split match is an equi-join on (band, signature) — shuffle-partitioned by
+    * band key like d02, never eval × train. The eval side of a 95/5 split is small but
+    * NOT broadcast-safe at 10⁹ docs, so both sides shuffle on the band key.
+    */
+  def contamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      trainPct: Int = 90,
+      valPct: Int = 5
+  ): DataFrame = {
+    val splits = Sampling.hashSplit(df, idCol, trainPct, valPct).select(col(idCol), col("split"))
+    val bands = minhash(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
+      .join(splits, idCol)
+    val train = bands.filter(col("split") === "train")
+      .select(col("k"), col("minhash"), col(idCol).as("train_id"))
+    val eval = bands.filter(col("split") =!= "train")
+      .select(col("k"), col("minhash"), col(idCol).as("eval_id"), col("split"))
+    eval.join(train, Seq("k", "minhash"))
+      .groupBy(col("eval_id"), col("split"))
+      .agg(
+        countDistinct(col("train_id")).as("n_train_matches"),
+        min(col("train_id")).as("first_train_id"))
+      .select(col("eval_id").as(idCol), col("split"), col("n_train_matches"), col("first_train_id"))
+  }
+
   /** SimHash: 16-bit signature from per-token md5 hex-digit parities. Bit i of the
     * signature is the sign of Σ_tokens (2·parity(hexdigit_i(md5(token))) − 1).
     */

@@ -319,4 +319,40 @@ object Similarity {
       )
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Symmetric int8 quantization diagnostics — the compression step before an ANN index
+    * is shipped to serving: per vector, scale = max|x|/127, q_i = clamp(⌊x_i/scale + ½⌋),
+    * and the reconstruction quality that decides whether int8 is acceptable for the
+    * corpus. Outputs per vector: n_dims, scale, Σ|q_i| (exact integer — the signature of
+    * the quantized vector) and max_i |x_i − q_i·scale| (max is order-independent, unlike
+    * a mean, so the distributed result is bitwise deterministic).
+    *
+    * Everything is one codegen'd map pass over the vectors — no shuffle, no UDF. The
+    * rounding is ⌊x + ½⌋ (half-toward-+∞) rather than `round` because both engines
+    * define floor identically on doubles, while round's half-case tie-breaking differs
+    * by sign convention across engines. Zero vectors (scale undefined) are excluded
+    * explicitly rather than emitted with null metrics.
+    */
+  def quantizeError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def quant(x: Column, scale: Column): Column =
+      greatest(lit(-127.0), least(lit(127.0), floor(x / scale + lit(0.5))))
+    // NB: the raw scale column must NOT be named "scale" — the output alias
+    // `round(..).as("scale")` would shadow it via lateral column alias resolution,
+    // silently quantizing against the 6-digit-rounded scale instead of the real one.
+    df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("dv"))
+      .withColumn("maxabs", array_max(transform(col("dv"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale_raw", col("maxabs") / lit(127.0))
+      .select(
+        col("vec_id"),
+        size(col("dv")).as("n_dims"),
+        round(col("scale_raw"), 6).as("scale"),
+        aggregate(
+          transform(col("dv"), x => abs(quant(x, col("scale_raw"))).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_abs_q"),
+        round(
+          array_max(transform(col("dv"), x => abs(x - quant(x, col("scale_raw")) * col("scale_raw")))),
+          6).as("max_abs_err")
+      )
+  }
 }

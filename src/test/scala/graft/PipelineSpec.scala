@@ -180,4 +180,53 @@ class PipelineSpec extends SparkSpec {
     // identical bytes -> identical features
     assert(feats(1L).toSeq.drop(1) == feats(2L).toSeq.drop(1))
   }
+
+  test("int8 quantization: hand-computed scale, |q| mass and max reconstruction error") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)) // zero vector: scale undefined, excluded
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeError(df, "vec_id", "embedding").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("vec_id") == 1L)
+    assert(row.getAs[Int]("n_dims") == 3)
+    // scale = 2/127; q = (64, -127, 32) -> sum |q| = 223; worst dim err = |1 - 64·(2/127)|
+    assert(row.getAs[Double]("scale") == 0.015748)
+    assert(row.getAs[Long]("sum_abs_q") == 223L)
+    assert(row.getAs[Double]("max_abs_err") == 0.007874)
+  }
+
+  test("contamination flags an eval doc that duplicates a train doc, and nothing else") {
+    import spark.implicits._
+    val ids = (1L to 60L)
+    val split = Sampling.hashSplit(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = ids.find(split(_) == "train").get
+    val evalId = ids.find(split(_) != "train").get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ids.map { id =>
+      val text =
+        if (id == trainId || id == evalId) dupText
+        else s"w${id}a w${id}b w${id}c w${id}d w${id}e w${id}f" // disjoint shingle sets
+      (id, text)
+    }.toDF("doc_id", "text")
+    val rows = Dedup.contamination(corpus, "doc_id", "text").collect()
+    assert(rows.length == 1, s"expected exactly the planted leak, got ${rows.toSeq}")
+    val row = rows.head
+    assert(row.getAs[Long]("doc_id") == evalId)
+    assert(row.getAs[String]("split") == split(evalId))
+    assert(row.getAs[Long]("n_train_matches") == 1L)
+    assert(row.getAs[Long]("first_train_id") == trainId)
+  }
+
+  test("two-hop counts exclude self-returns and direct edges") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = GraphQueries.twoHopCounts(e)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1: {3 via 2 (direct, dropped), 4 via 2} = 1; 2: {1 via 3} = 1; 3: {2 via 1} = 1
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
