@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("int8 quantization is one map-only pass: no shuffle, inside codegen") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.quantizeError(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    assert(p.contains("*("), s"quantization fell out of whole-stage codegen:\n$p")
+  }
+
+  test("contamination and two-hop never degrade to non-equi joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pc = plan(pipeline.Dedup.contamination(docs, "doc_id", "text"))
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"contamination match must stay an equi-join on (band, signature):\n$pc")
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ph = plan(GraphQueries.twoHopCounts(edges))
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"),
+      s"two-hop must stay equi-joins (hop + anti):\n$ph")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))
