@@ -404,6 +404,32 @@ object GraphQueries {
       .select(col("src").as("source_id"), col("n_two_hop"))
   }
 
+  /** Out-degree distribution histogram: per graph, the number of vertices in each
+    * power-of-two degree bucket (bucket b holds degrees in [2^b, 2^(b+1))) over
+    * Normal-state edges. The skew-audit a graph operator runs before choosing join
+    * strategies — the bucket of the hottest vertices tells you whether salting / AQE
+    * skew handling is needed.
+    *
+    * Bucketing is a pure integer CASE ladder (NOT floor(log2(·)) — `log2` is computed
+    * as log(x)/log(2) in doubles and lands exact powers of two on different sides of
+    * floor() in different engines).
+    */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    degreeHistogramOf(TestGraph.store(spark, dir).snapshot)
+
+  /** Kernel of [[degreeHistogram]] over any edge snapshot. */
+  def degreeHistogramOf(snapshot: DataFrame): DataFrame = {
+    val deg = snapshot
+      .filter(col("state") === State.Normal)
+      .groupBy(col("graph_id"), col("source_id"))
+      .agg(count(lit(1)).as("degree"))
+    val bucket = (0 until 20).foldRight(lit(20): org.apache.spark.sql.Column) {
+      (b, acc) => when(col("degree") < (1L << (b + 1)), b).otherwise(acc)
+    }
+    deg.groupBy(col("graph_id"), bucket.cast("int").as("deg_bucket"))
+      .agg(count(lit(1)).as("n_vertices"), max(col("degree")).as("max_degree"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

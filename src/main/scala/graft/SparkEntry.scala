@@ -47,6 +47,7 @@ object SparkEntry {
     "g21_triangles"         -> (GraphQueries.triangleCounts _),
     "g22_label_propagation" -> (GraphQueries.labelPropagation _),
     "g23_two_hop"           -> (GraphQueries.twoHop _),
+    "g24_degree_histogram"  -> (GraphQueries.degreeHistogram _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -75,6 +76,10 @@ object SparkEntry {
       TextStats.repetitionStats(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t11_vocabulary" -> ((s: SparkSession, dir: String) =>
       TextStats.vocabulary(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 50)),
+    "t12_pii_redact" -> ((s: SparkSession, dir: String) =>
+      TextStats.piiRedact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t13_chunk" -> ((s: SparkSession, dir: String) =>
+      TextStats.chunk(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", chunkTokens = 64)),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -83,6 +88,9 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25), defaultWeight = 0.6)),
     "t09_source_cap" -> ((s: SparkSession, dir: String) =>
       Sampling.sourceCap(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", k = 10)),
+    "t14_sequence_pack" -> ((s: SparkSession, dir: String) =>
+      Sampling.sequencePack(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", "text",
+        budgetTokens = 512L, nGroups = 8)),
     // --- training-data pipeline: near-dup detection ---
     "d02_minhash_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -96,6 +104,9 @@ object SparkEntry {
       Dedup.dedupClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "d06_contamination" -> ((s: SparkSession, dir: String) =>
       Dedup.contamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d07_boilerplate" -> ((s: SparkSession, dir: String) =>
+      Dedup.boilerplate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, minDocFreq = 25)),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -122,6 +133,8 @@ object SparkEntry {
     }),
     "s08_quantize" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+    "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
+      Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -502,6 +515,21 @@ object SparkEntry {
          |tf AS (SELECT t.src, t.dst FROM t ANTI JOIN e ON e.src = t.src AND e.dst = t.dst)
          |SELECT src AS source_id, COUNT(*) AS n_two_hop FROM tf GROUP BY src""".stripMargin,
 
+    // power-of-two degree buckets via an integer CASE ladder — mirror of
+    // GraphQueries.degreeHistogram (floor(log2) is engine-divergent at exact powers)
+    "g24_degree_histogram" -> {
+      val ladder = (0 until 20)
+        .map(b => s"WHEN degree < ${1L << (b + 1)} THEN $b")
+        .mkString(" ")
+      s"""$snap,
+         |deg AS (SELECT graph_id, source_id, COUNT(*) AS degree
+         |        FROM edges WHERE state = 0 GROUP BY 1, 2)
+         |SELECT graph_id,
+         |  CAST(CASE $ladder ELSE 20 END AS INTEGER) AS deg_bucket,
+         |  COUNT(*) AS n_vertices, CAST(MAX(degree) AS BIGINT) AS max_degree
+         |FROM deg GROUP BY 1, 2""".stripMargin
+    },
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -661,6 +689,29 @@ object SparkEntry {
          |ORDER BY n_occurrences DESC, token
          |LIMIT 50""".stripMargin,
 
+    // PII counts + redacted-text hash — mirror of TextStats.piiRedact (patterns use
+    // only Java-regex/RE2-common syntax; DuckDB needs the 'g' flag for replace-all)
+    "t12_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextStats.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${TextStats.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |        '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+         |        '${TextStats.Ipv4Re}', '<IP>', 'g'),
+         |        '${TextStats.PhoneRe}', '<PHONE>', 'g')) AS clean_md5
+         |FROM documents""".stripMargin,
+
+    // 64-token window chunking — mirror of TextStats.chunk (1-based inclusive list
+    // slicing clamps at the array end in both engines)
+    "t13_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts, unnest(generate_series(0, (len(ts) - 1) // 64)) AS i FROM toks)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  CAST(len(ts[i * 64 + 1 : i * 64 + 64]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ts[i * 64 + 1 : i * 64 + 64], ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
+
     // deterministic md5-bucket split — mirror of Sampling.hashSplit(90, 5)
     "t07_hash_split" ->
       s"""SELECT doc_id, bucket,
@@ -689,6 +740,22 @@ object SparkEntry {
          |  FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))
          |WHERE rk <= 10""".stripMargin,
 
+    // concat-and-cut sequence packing — mirror of Sampling.sequencePack(512, 8):
+    // layout order (bucket, doc_id) inside (source, bucket % 8); bin = exclusive
+    // running token total // 512. (bucket, doc_id) is unique so ROWS ≡ RANGE framing.
+    "t14_sequence_pack" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, bucket % 8 AS pack_group, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source, bucket % 8
+         |          ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+         |      FROM r)
+         |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
     // per-label per-dimension centroids — mirror of Similarity.labelCentroids
     "s05_label_centroids" ->
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -712,6 +779,21 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_label) AS rk
          |  FROM scored)
          |WHERE rk = 1""".stripMargin,
+
+    // per-label cohesion to own round-6 centroid — mirror of Similarity.clusterQuality
+    // (same degenerate-input guards as s06)
+    "s09_cluster_quality" ->
+      s"""WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT label, i, round(avg(v[i]), 6) AS c
+         |         FROM a, unnest(generate_series(1, len(v))) AS t(i)
+         |         GROUP BY label, i),
+         |cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |cvf AS (SELECT label, cv FROM cv WHERE list_dot_product(cv, cv) > 0),
+         |e AS (SELECT label, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT e.label, ${cosSql("v", "cv")} AS cos FROM e JOIN cvf USING (label))
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
+         |FROM scored GROUP BY label""".stripMargin,
 
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,
@@ -799,6 +881,21 @@ object SparkEntry {
          |       MIN(train_id) AS first_train_id
          |FROM ev JOIN tr USING (k, minhash)
          |GROUP BY eval_id, split""".stripMargin,
+
+    // boilerplate-passage fraction per doc (doc-freq >= 25 shingles) — mirror of
+    // Dedup.boilerplate on 60-bit md5 shingle hashes
+    "d07_boilerplate" ->
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) >= 25),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hsh GROUP BY doc_id),
+         |hp AS (SELECT doc_id, COUNT(*) AS n_boilerplate
+         |       FROM hsh JOIN hot USING (h) GROUP BY doc_id)
+         |SELECT per.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+         |  round(CAST(COALESCE(n_boilerplate, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |    AS boilerplate_frac
+         |FROM per LEFT JOIN hp ON per.doc_id = hp.doc_id""".stripMargin,
 
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -190,6 +190,47 @@ object Dedup {
     sums.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Boilerplate-passage scoring: the fraction of each document's shingles that are
+    * corpus-wide boilerplate (doc frequency ≥ `minDocFreq`) — the template/navigation
+    * detection step of web-corpus curation (documents that are mostly high-frequency
+    * passages are near-templates and get filtered or stripped). Output: one row per
+    * shingle-bearing document (docs shorter than `shingleSize` tokens have no shingles
+    * and are not scored).
+    *
+    * Scale shape: the hot-shingle set is SMALL by construction (shingles repeated in
+    * ≥ minDocFreq documents are a tiny fraction of the shingle vocabulary even at
+    * 10⁹ docs — Zipf tail), so it is computed with one map-side-combinable agg and then
+    * BROADCAST against the shingle stream: the per-doc counts are partition-local
+    * aggregations of generator output, never a shuffle of the full shingle relation
+    * through a join. The only full shuffles move 8-byte hashed shingle keys (the d04
+    * idiom).
+    */
+  def boilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minDocFreq: Int = 25
+  ): DataFrame = {
+    val shAll = shingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true)
+    val hot = shAll.groupBy(col("h"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minDocFreq)
+      .select(col("h"))
+    val perDoc = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hotPerDoc = shAll.join(broadcast(hot), Seq("h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boilerplate"))
+    perDoc.join(hotPerDoc, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_boilerplate"))
+      .select(
+        col(idCol), col("n_shingles"), col("n_boilerplate"),
+        round(col("n_boilerplate").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("boilerplate_frac"))
+  }
+
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =
     * pairs sharing ≥1 shingle, with the intersection count falling out of the same
     * groupBy), then |∩| / |∪| ≥ threshold. The only float is one final division of two

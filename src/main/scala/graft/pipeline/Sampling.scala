@@ -73,6 +73,48 @@ object Sampling {
     df.filter(b < threshold).select(col(idCol), col(sourceCol), b.as("bucket"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training bins
+    * ("concat-and-cut" packing — documents are laid out in a deterministic order and
+    * the stream is cut every `budgetTokens` tokens; a document belongs to the bin its
+    * first token falls in). Output: one row per (source, pack_group, bin) with the
+    * packed document/token counts — the composition report a packing run emits.
+    *
+    * Determinism: layout order is (hash bucket, id) inside each (source, pack_group),
+    * where pack_group = bucket % nGroups — no RNG, no partition dependence, so the
+    * binning is reproducible across engines and cluster sizes.
+    *
+    * Scale shape: packing is inherently sequential in layout order, so the window runs
+    * per (source, pack_group) — `nGroups` independent bounded partitions per source
+    * rather than one unsplittable per-source window (the t09 lesson): each group is
+    * ~1/nGroups of a source, and real packing jobs only need intra-worker order, which
+    * this models. Raise nGroups with corpus size; everything else is map + one
+    * hash-aggregation.
+    */
+  def sequencePack(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    val rows = df.select(
+      col(idCol),
+      col(sourceCol),
+      bucketCol(col(idCol), salt).as("bucket"),
+      TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("pack_group", col("bucket") % nGroups)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("pack_group"))
+      .orderBy(col("bucket"), col(idCol))
+    rows
+      .withColumn("tok_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", (col("tok_before") / budgetTokens).cast("long"))
+      .groupBy(col(sourceCol), col("pack_group"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Per-source document cap: keep the `k` documents with the smallest hash buckets in
     * each source — a deterministic uniform subsample per domain (the "cap any one
     * domain's contribution" step). Tie-break on id so the result is total-ordered.

@@ -227,6 +227,38 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("assigned_label"), col("cos_sim"))
   }
 
+  /** Cluster-quality diagnostic: per label, how tightly its vectors hug their own
+    * centroid — vector count, mean and minimum cosine-to-centroid. The cohesion report
+    * that makes embedding-space labels (or k-means output) auditable: a label whose
+    * min_cos is low contains outliers/mislabels; a low mean_cos label is diffuse.
+    * Centroids are the round-6 [[labelCentroids]] (same degenerate-input guards as
+    * [[nearestCentroid]]: zero-norm vectors and all-zero centroids are excluded).
+    *
+    * Scale shape: the centroid table is labels×dims (constant) — broadcast equi-join on
+    * label; vectors stream through one codegen'd dot-product pass into a
+    * map-side-combinable per-label aggregation. One shuffle of |labels| rows.
+    */
+  def clusterQuality(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val cents = broadcast(
+      labelCentroids(df, labelCol, vecCol)
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+        .select(col("label"), transform(col("dc"), x => x("centroid")).as("cv"))
+        .withColumn("cn", norm2(col("cv")))
+        .filter(col("cn") > 0))
+    val v = df.select(col(labelCol).as("label"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
+    v.join(cents, Seq("label"))
+      .select(col("label"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+  }
+
   /** Recall@k of the approximate ANN paths against the exact brute-force top-k — the
     * diagnostic that makes LSH/IVF parameter changes measurable instead of guessed:
     * one row per (method, query), recall = |approx top-k ∩ true top-k| / k.

@@ -195,6 +195,66 @@ object TextStats {
           .as("top_ratio")
       )
 
+  /** PII detection + redaction: count and mask email addresses, IPv4 addresses, and
+    * international-format phone numbers. The redaction step every pre-training corpus
+    * runs before anything else sees the text. Counts are taken on the original text;
+    * redaction applies the three patterns in a fixed order (email → ipv4 → phone) so the
+    * output is deterministic. The redacted text itself is returned hashed (`clean_md5`)
+    * — the driver's oracle hashes values anyway, and at 100 TB the redacted corpus
+    * would be written to a sink, not carried through a diagnostic result set.
+    *
+    * Pattern discipline: the regexes use only syntax with identical semantics in Java's
+    * engine (Spark) and RE2 (DuckDB) — character classes, bounded repetition, `\b`,
+    * no backreferences or lookaround.
+    *
+    * Scale shape: pure map over the corpus (whole-stage codegen; regex per row is the
+    * dominant cost and is embarrassingly parallel).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phone"),
+      md5(clean).as("clean_md5")
+    )
+  }
+
+  /** Fixed-size token-window chunking: split each document into consecutive
+    * `chunkTokens`-token training sequences (the "cut the corpus into context windows"
+    * step before tokenization/packing). Output: one row per chunk with its index,
+    * exact token count (the last chunk is short), and content hash.
+    *
+    * Scale shape: map + generator explode — each document expands to ⌈tokens/chunk⌉
+    * rows with no shuffle; array slicing happens once per chunk on the already-split
+    * token array.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String, chunkTokens: Int = 64): DataFrame = {
+    val ts = split(col(textCol), " ", -1)
+    df.select(col(idCol), ts.as("ts"))
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("ts")) - 1) / chunkTokens).cast("int")),
+          i => slice(col("ts"), i * chunkTokens + 1, lit(chunkTokens))
+        )).as(Seq("chunk_idx", "chunk"))
+      )
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5")
+      )
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with document frequency — the
     * vocabulary-building / tokenizer-training precursor. Global top-k via
     * order-by-limit (planned as a distributed TakeOrdered: per-partition heaps, no full

@@ -1,0 +1,160 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
+
+/** Round-4 curation operators: PII redaction, token-window chunking, boilerplate
+  * scoring, sequence packing, cluster quality, degree histogram.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // --- piiRedact ---
+
+  test("piiRedact counts and masks emails, IPv4s, and phone numbers") {
+    val docs = docsOf(
+      1L -> "contact alice@example.com or bob.smith@mail.co today",
+      2L -> "server at 10.0.0.1 and 192.168.1.254 up",
+      3L -> "call +1 555 123 4567 now",
+      4L -> "no pii here at all"
+    )
+    val out = TextStats.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 0 && out(1L).getLong(3) == 0)
+    assert(out(1L).getString(4) == md5hex("contact <EMAIL> or <EMAIL> today"))
+    assert(out(2L).getLong(2) == 2)
+    assert(out(2L).getString(4) == md5hex("server at <IP> and <IP> up"))
+    assert(out(3L).getLong(3) == 1)
+    assert(out(3L).getString(4) == md5hex("call <PHONE> now"))
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 && out(4L).getLong(3) == 0)
+    assert(out(4L).getString(4) == md5hex("no pii here at all"))
+  }
+
+  test("piiRedact does not mask over-long octet runs or bare number runs") {
+    val docs = docsOf(1L -> "version 1.2.3.4567 build 555 123 4567")
+    val r = TextStats.piiRedact(docs, "doc_id", "text").collect()(0)
+    // 4567 exceeds the 1-3 digit octet, and the phone pattern requires a leading +
+    assert(r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(r.getString(4) == md5hex("version 1.2.3.4567 build 555 123 4567"))
+  }
+
+  // --- chunk ---
+
+  test("chunk cuts exact 64-token windows with a short last chunk") {
+    val words = (1 to 130).map(i => s"w$i")
+    val docs = docsOf(7L -> words.mkString(" "))
+    val out = TextStats.chunk(docs, "doc_id", "text", chunkTokens = 64)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getLong(2)).toSeq == Seq(64L, 64L, 2L))
+    assert(out(0).getString(3) == md5hex(words.slice(0, 64).mkString(" ")))
+    assert(out(2).getString(3) == md5hex(words.slice(128, 130).mkString(" ")))
+  }
+
+  test("chunk emits one chunk for short and empty documents") {
+    val docs = docsOf(1L -> "a b", 2L -> "")
+    val out = TextStats.chunk(docs, "doc_id", "text", chunkTokens = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 2L && out(1L).getString(3) == md5hex("a b"))
+    // split("") = [""] in both engines: one 1-token chunk hashing the empty string
+    assert(out(2L).getLong(2) == 1L && out(2L).getString(3) == md5hex(""))
+  }
+
+  // --- boilerplate ---
+
+  test("boilerplate scores the shared-passage fraction per document") {
+    // 30 docs share the 3-gram "x y z"; their other 3 shingles are unique per doc
+    val shared = (1 to 30).map(i => (i.toLong, s"x y z u$i a$i b$i"))
+    val unique = (31 to 35).map(i => (i.toLong, s"p$i q$i r$i s$i t$i u$i"))
+    val out = Dedup.boilerplate(docsOf(shared ++ unique: _*), "doc_id", "text",
+      shingleSize = 3, minDocFreq = 25)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1 to 30).foreach { i =>
+      assert(out(i.toLong) == ((4L, 1L, 0.25)), s"doc $i")
+    }
+    (31 to 35).foreach { i =>
+      assert(out(i.toLong) == ((4L, 0L, 0.0)), s"doc $i")
+    }
+  }
+
+  // --- sequencePack ---
+
+  test("sequencePack reproduces an independent concat-and-cut computation") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, "s", Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.sequencePack(docs, "doc_id", "source", "text",
+      budgetTokens = 10L, nGroups = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // independent recomputation: same bucket fn as SamplingSpec, layout (bucket, id)
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Sampling.Buckets
+    }
+    val expected = (1L to 60L)
+      .map(i => (i, bucket(i), i % 7 + 1))
+      .groupBy { case (_, b, _) => b % 4 }
+      .flatMap { case (grp, rows) =>
+        val ordered = rows.sortBy { case (id, b, _) => (b, id) }
+        val cum = ordered.scanLeft(0L) { case (acc, (_, _, n)) => acc + n }
+        ordered.zip(cum).map { case ((id, _, n), before) => (grp, before / 10L, n) }
+      }
+      .groupBy { case (grp, bin, _) => ("s", grp, bin) }
+      .map { case (k, rows) => k -> ((rows.size.toLong, rows.map(_._3).sum)) }
+    assert(out == expected)
+    assert(out.values.map(_._1).sum == 60L)
+  }
+
+  // --- clusterQuality ---
+
+  test("clusterQuality reports per-label cohesion against the round-6 centroid") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 1, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(0.0f, 1.0f)),
+      (3L, 2, Seq(2.0f, 0.0f)),
+      (4L, 3, Seq(0.0f, 0.0f)) // zero-norm: label 3 must not appear
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.clusterQuality(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // label 1 centroid (0.5, 0.5); both vectors at cos 1/sqrt(2) = 0.707107
+    assert(out(1) == ((2L, 0.707107, 0.707107)))
+    assert(out(2) == ((1L, 1.0, 1.0)))
+    assert(!out.contains(3))
+  }
+
+  // --- degreeHistogram ---
+
+  test("degreeHistogram buckets degrees into power-of-two bins, Normal edges only") {
+    import graft.model.State
+    val edges =
+      (1 to 1).map(d => edge(alice, d, d)) ++ // degree 1 -> bucket 0
+        (1 to 2).map(d => edge(bob, d, d)) ++ // degree 2 -> bucket 1
+        (1 to 3).map(d => edge(carl, d, d)) ++ // degree 3 -> bucket 1
+        (1 to 4).map(d => edge(darcy, d, d)) ++ // degree 4 -> bucket 2
+        (1 to 2).map(d => edge(earl, d, d, state = State.Archived)) // excluded
+    val out = GraphQueries.degreeHistogramOf(storeOf(edges: _*).snapshot)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0) == ((1L, 1L)))
+    assert(out(1) == ((2L, 3L)))
+    assert(out(2) == ((1L, 4L)))
+    assert(out.size == 3)
+  }
+}
