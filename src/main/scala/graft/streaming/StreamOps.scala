@@ -75,6 +75,65 @@ object StreamOps extends Serializable {
     DegreeState(bounded, maxSeen)
   }
 
+  case class DedupVerdict(docId: Long, textHash: String, isDuplicate: Boolean, keepId: Long)
+
+  /** Pure per-key dedup step (unit-testable): given the current keeper (if any) and the
+    * batch's doc ids for one content hash, pick the keeper (existing, else the batch
+    * minimum — deterministic under within-batch reordering) and emit one verdict per
+    * incoming id. A replayed keeper id re-emits `isDuplicate = true` with
+    * `keepId == docId` — the at-least-once signature downstream can recognize.
+    */
+  def mergeDedupBatch(current: Option[Long], ids: Seq[Long]): (Long, Seq[(Long, Boolean)]) = {
+    val keeper = current.getOrElse(ids.min)
+    (keeper, ids.sorted.map(id => id -> !(current.isEmpty && id == keeper)))
+  }
+
+  /** Streaming exact dedup — d01 at ingestion time: documents stream in, the first id
+    * seen for each content hash is the keeper, every later arrival is flagged a
+    * duplicate of it. One verdict row per input document (Update mode); filtering
+    * `isDuplicate = false` downstream yields the deduped stream, the flagged rows are
+    * the audit log.
+    *
+    * Scale shape: state is one (hash → keeper id) register per DISTINCT document —
+    * shuffle-partitioned by content hash like the batch hash-groupBy, so a 10⁹-doc
+    * corpus spreads across executors. `ttl` ages keeper registers out on processing
+    * time (the standard bounded-state tradeoff: a duplicate arriving after the TTL is
+    * re-admitted as a keeper — exactly the replay-horizon contract streamingDegree
+    * documents for tombstones; None keeps exact state forever).
+    */
+  def streamingDedup(
+      docs: Dataset[(Long, String)],
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+
+    def fold(
+        hash: String,
+        batch: Iterator[(Long, String)],
+        state: GroupState[Long]
+    ): Iterator[DedupVerdict] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val ids = batch.map(_._1).toSeq
+        val (keeper, verdicts) = mergeDedupBatch(state.getOption, ids)
+        state.update(keeper)
+        ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+        verdicts.iterator.map { case (id, dup) => DedupVerdict(id, hash, dup, keeper) }
+      }
+    }
+
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .map { case (id, text) =>
+        (id, java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(fold)
+  }
+
   /** Incremental per-vertex degree maintenance — the reference's A2 count-delta path
     * (`SqlShard.scala:470-524`) as streaming state: each vertex's group state holds its
     * current adjacency LWW registers (compact, tombstone-aged — see [[mergeDegreeState]]);

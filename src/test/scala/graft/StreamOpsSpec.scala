@@ -82,6 +82,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(s3 == s2, "writes older than the replay horizon are ignored")
   }
 
+  test("streaming exact dedup keeps the first-seen id and flags later arrivals") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val verdicts = StreamOps.streamingDedup(stream.toDS())
+    val query = verdicts.toDF().writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((5L, "same text"), (3L, "same text"), (7L, "other"))
+      query.processAllAvailable()
+      val b1 = spark.sql("SELECT docId, isDuplicate, keepId FROM dedup").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+      // within-batch: min id 3 is the keeper, 5 is its duplicate; 7 is unique
+      assert(b1 == Set((3L, false, 3L), (5L, true, 3L), (7L, false, 7L)))
+
+      // a later batch with the same content is a duplicate of the original keeper
+      stream.addData((9L, "same text"))
+      query.processAllAvailable()
+      val b2 = spark.sql("SELECT isDuplicate, keepId FROM dedup WHERE docId = 9").collect()
+        .map(r => (r.getBoolean(0), r.getLong(1))).toSeq
+      assert(b2 == Seq((true, 3L)))
+    } finally query.stop()
+  }
+
+  test("mergeDedupBatch is deterministic and replay-recognizable") {
+    import graft.streaming.StreamOps.mergeDedupBatch
+    // fresh key: batch min wins regardless of order
+    assert(mergeDedupBatch(None, Seq(5L, 3L, 7L)) ==
+      ((3L, Seq(3L -> false, 5L -> true, 7L -> true))))
+    assert(mergeDedupBatch(None, Seq(7L, 3L, 5L)) ==
+      ((3L, Seq(3L -> false, 5L -> true, 7L -> true))))
+    // existing keeper: everything is a duplicate, including a replay of the keeper
+    assert(mergeDedupBatch(Some(3L), Seq(3L, 9L)) ==
+      ((3L, Seq(3L -> true, 9L -> true))))
+  }
+
   test("mergeDegreeState is within-batch order independent") {
     import graft.streaming.StreamOps.{mergeDegreeState, DegreeState}
     val batch = Seq(
