@@ -113,6 +113,39 @@ class PlanSpec extends SparkSpec {
       s"two-hop must stay equi-joins (hop + anti):\n$ph")
   }
 
+  test("PII redaction and chunking are shuffle-free map/generate passes") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pr = plan(TextStats.piiRedact(docs, "doc_id", "text"))
+    assert(!pr.contains("Exchange"), s"piiRedact must not shuffle:\n$pr")
+    assert(pr.contains("*("), s"piiRedact fell out of whole-stage codegen:\n$pr")
+    val pc = plan(TextStats.chunk(docs, "doc_id", "text"))
+    assert(!pc.contains("Exchange"), s"chunk must not shuffle:\n$pc")
+    assert(pc.contains("Generate"), s"chunk should explode via a generator:\n$pc")
+  }
+
+  test("boilerplate probes the hot-shingle set via broadcast, never a shuffled join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.boilerplate(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"hot-set probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the full shingle relation must never shuffle through a sort-merge join:\n$p")
+  }
+
+  test("cluster quality broadcasts the centroid table against the vector stream") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.clusterQuality(emb, "label", "embedding"))
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vector stream must not shuffle for the join:\n$p")
+  }
+
+  test("sequence packing windows over bounded (source, pack_group) partitions") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Sampling.sequencePack(docs, "doc_id", "source", "text"))
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.contains("pack_group"),
+      s"window must partition by (source, pack_group), not source alone:\n$p")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))
