@@ -96,9 +96,12 @@ object GraphQueries {
 
   /** T3 — keyset cursor page: neighbors of vertex 1 below the mid-position cursor. */
   def cursorPage(spark: SparkSession, dir: String): DataFrame = {
+    // one vertex's adjacency is page-scale — materialize it once for the two passes
+    // (cursor-pick aggregation + the page itself) instead of re-deriving per action
     val adj = TestGraph.store(spark, dir)
       .adjacency(QueryTerm(1L, 1))
       .select(col("neighbor_id"), col("position"))
+      .localCheckpoint(true)
     val mm = adj.agg(min(col("position")), max(col("position"))).collect()(0)
     val cursor = (mm.getLong(0) + mm.getLong(1)) / 2
     Pagination.pageDF(adj, col("position"), Page(5, cursor))
@@ -428,6 +431,52 @@ object GraphQueries {
     }
     deg.groupBy(col("graph_id"), bucket.cast("int").as("deg_bucket"))
       .agg(count(lit(1)).as("n_vertices"), max(col("degree")).as("max_degree"))
+  }
+
+  /** Shared-neighbor vertex similarity ("people you may know"): pairs of sources whose
+    * Normal adjacency sets overlap with Jaccard ≥ threshold. The same inverted-index
+    * self-join shape as d04 (candidates = pairs sharing ≥ 1 destination, intersection
+    * size falls out of the join's groupBy) — never an all-pairs product over sources.
+    *
+    * Skew guard (the d04 lesson on graphs): a celebrity destination followed by s
+    * sources contributes s² candidate rows, so destinations with in-degree >
+    * `maxInDegree` are dropped BEFORE the self-join; sizes come from the same capped
+    * relation so the Jaccard stays internally consistent. At follower-graph scale the
+    * cap is the difference between |pairs-sharing-a-niche-interest| and a broken job.
+    */
+  def nodeJaccard(spark: SparkSession, dir: String): DataFrame =
+    nodeJaccardOf(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst")),
+      threshold = 0.3)
+
+  /** Kernel of [[nodeJaccard]] over a distinct (src, dst) edge relation. */
+  def nodeJaccardOf(
+      edges: DataFrame,
+      threshold: Double,
+      maxInDegree: Int = 10000
+  ): DataFrame = {
+    val e = edges.localCheckpoint(true) // three consumers: cap, sizes, both join sides
+    val keepDst = e.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_deg"))
+      .filter(col("in_deg") <= maxInDegree)
+      .select(col("dst"))
+    val capped = e.join(keepDst, Seq("dst")).localCheckpoint(true)
+    val sizes = capped.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val common = capped.select(col("src").as("src_a"), col("dst"))
+      .join(capped.select(col("src").as("src_b"), col("dst")), Seq("dst"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard"))
   }
 
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */

@@ -48,6 +48,7 @@ object SparkEntry {
     "g22_label_propagation" -> (GraphQueries.labelPropagation _),
     "g23_two_hop"           -> (GraphQueries.twoHop _),
     "g24_degree_histogram"  -> (GraphQueries.degreeHistogram _),
+    "g25_node_jaccard"      -> (GraphQueries.nodeJaccard _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -135,6 +136,9 @@ object SparkEntry {
       Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
+    "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
+      Similarity.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 8, dims = 64)),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -530,6 +534,27 @@ object SparkEntry {
          |FROM deg GROUP BY 1, 2""".stripMargin
     },
 
+    // shared-neighbor Jaccard over graph-1 Normal adjacency sets — mirror of
+    // GraphQueries.nodeJaccard (in-degree cap 10000 is a no-op at test scale but
+    // stays in lockstep with the engine's skew guard)
+    "g25_node_jaccard" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |keep AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 10000),
+         |c AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+         |sizes AS (SELECT src, COUNT(*) AS n FROM c GROUP BY src),
+         |common AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+         |           FROM c a JOIN c b ON a.dst = b.dst AND a.src < b.src
+         |           GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, jaccard FROM (
+         |  SELECT src_a, src_b, n_common,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes na ON na.src = src_a
+         |  JOIN sizes nb ON nb.src = src_b)
+         |WHERE jaccard >= 0.3""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -794,6 +819,24 @@ object SparkEntry {
          |SELECT label, COUNT(*) AS n_vecs,
          |  round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
          |FROM scored GROUP BY label""".stripMargin,
+
+    // one Lloyd's iteration from the first-8-by-id seeds — mirror of
+    // Similarity.kmeansStep(k = 8): cosine argmax assignment (tie-break cluster asc),
+    // then per-(cluster, dim) mean rounded to 6
+    "s10_kmeans_step" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM a
+         |          WHERE vec_id < 8 AND list_dot_product(v, v) > 0),
+         |e AS (SELECT vec_id, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT vec_id, cluster, v, ${cosSql("v", "cv")} AS cos FROM e, seeds),
+         |best AS (SELECT vec_id, cluster, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk
+         |    FROM scored)
+         |  WHERE rk = 1)
+         |SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid,
+         |       COUNT(*) AS n_members
+         |FROM best, unnest(generate_series(1, len(v))) AS t(i)
+         |GROUP BY cluster, i""".stripMargin,
 
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,

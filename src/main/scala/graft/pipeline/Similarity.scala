@@ -259,6 +259,45 @@ object Similarity {
         min(col("cos")).as("min_cos"))
   }
 
+  /** One Lloyd's iteration of distributed k-means (cosine assignment): seed centroids
+    * are the first `k` vectors by id (deterministic — no RNG), every vector is assigned
+    * to its argmax-cosine seed, and the new per-cluster mean centroids come back with
+    * member counts. Iterating this operator IS distributed k-means; one step is exposed
+    * as the query so the oracle can replay it exactly.
+    *
+    * Scale shape: seeds are k×dims — broadcast; assignment is one codegen'd
+    * dot-product pass. The centroid recompute aggregates ELEMENT-WISE SUMS in a single
+    * map-side-combinable wide aggregation (`dims` sum columns — the minhashWide trick),
+    * NOT a posexplode: the shuffle moves k·dims partial sums per map task instead of
+    * amplifying every assigned row ×dims.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    val seeds = broadcast(
+      df.filter(col(idCol) < k)
+        .select(col(idCol).cast("int").as("cluster"), toDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm2(col("cv")))
+        .filter(col("cn") > 0))
+    val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)
+    val best = v.crossJoin(seeds)
+      .select(col("vec_id"), col("cluster"), col("v"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val aggs = count(lit(1)).as("n_members") +:
+      (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
+    best.groupBy(col("cluster"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("cluster"), col("n_members"),
+        posexplode(array((0 until dims).map(i => col(s"s$i")): _*)).as(Seq("pos", "s")))
+      .select(
+        col("cluster"), (col("pos") + 1).as("dim"),
+        round(col("s") / col("n_members"), 6).as("centroid"), col("n_members"))
+  }
+
   /** Recall@k of the approximate ANN paths against the exact brute-force top-k — the
     * diagnostic that makes LSH/IVF parameter changes measurable instead of guessed:
     * one row per (method, query), recall = |approx top-k ∩ true top-k| / k.

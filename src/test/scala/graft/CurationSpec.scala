@@ -140,6 +140,38 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3))
   }
 
+  // --- nodeJaccard ---
+
+  test("nodeJaccard scores shared-neighbor overlap and honors the in-degree cap") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 99L)
+    ).toDF("src", "dst")
+    val out = GraphQueries.nodeJaccardOf(edges, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 0.75)))
+    // a cap of 1 drops every shared destination before the self-join
+    assert(GraphQueries.nodeJaccardOf(edges, threshold = 0.0, maxInDegree = 1).count() == 0)
+  }
+
+  // --- kmeansStep ---
+
+  test("kmeansStep assigns by cosine to seed vectors and recomputes mean centroids") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), // seed cluster 0
+      (1L, Seq(0.0f, 1.0f)), // seed cluster 1
+      (2L, Seq(2.0f, 0.1f)),
+      (3L, Seq(0.1f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(vecs, "vec_id", "embedding", k = 2, dims = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out((0, 1)) == ((1.5, 2L)) && out((0, 2)) == ((0.05, 2L)))
+    assert(out((1, 1)) == ((0.05, 2L)) && out((1, 2)) == ((2.0, 2L)))
+  }
+
   // --- degreeHistogram ---
 
   test("degreeHistogram buckets degrees into power-of-two bins, Normal edges only") {
