@@ -81,6 +81,8 @@ object SparkEntry {
       TextStats.piiRedact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t13_chunk" -> ((s: SparkSession, dir: String) =>
       TextStats.chunk(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", chunkTokens = 64)),
+    "t15_vocab_coverage" -> ((s: SparkSession, dir: String) =>
+      TextStats.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 20)),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -736,6 +738,19 @@ object SparkEntry {
          |  CAST(len(ts[i * 64 + 1 : i * 64 + 64]) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(ts[i * 64 + 1 : i * 64 + 64], ' ')) AS chunk_md5
          |FROM c""".stripMargin,
+
+    // per-doc OOV rate vs the corpus top-20 vocabulary — mirror of
+    // TextStats.vocabCoverage (vocab cut ordered by occurrences desc, token asc)
+    "t15_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |vocab AS (SELECT token FROM toks GROUP BY token
+         |          ORDER BY COUNT(*) DESC, token LIMIT 20),
+         |j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS iv
+         |      FROM toks t LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(COUNT(*) - SUM(iv) AS BIGINT) AS n_oov,
+         |  round(CAST(COUNT(*) - SUM(iv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     // deterministic md5-bucket split — mirror of Sampling.hashSplit(90, 5)
     "t07_hash_split" ->

@@ -255,6 +255,32 @@ object TextStats {
       )
   }
 
+  /** Vocabulary coverage: per-document out-of-vocabulary rate against the corpus
+    * top-`k` token vocabulary — the coverage check run after tokenizer training (a
+    * document whose tokens mostly fall outside the vocabulary will shatter into
+    * byte-level pieces and is usually noise). Exact-integer counts, one final division.
+    *
+    * Scale shape: the vocabulary is top-k (constant) — computed once with the
+    * distributed TakeOrdered of [[vocabulary]] and BROADCAST against the token stream;
+    * the per-doc rollup is a map-side-combinable aggregation of generator output. No
+    * full-token-relation shuffle.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
+    val vocab = broadcast(
+      vocabulary(df, idCol, textCol, k).select(col("token")).withColumn("in_vocab", lit(1L)))
+    tokens(df, idCol, textCol)
+      .join(vocab, Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with document frequency — the
     * vocabulary-building / tokenizer-training precursor. Global top-k via
     * order-by-limit (planned as a distributed TakeOrdered: per-partition heaps, no full

@@ -140,6 +140,17 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3))
   }
 
+  // --- vocabCoverage ---
+
+  test("vocabCoverage counts tokens outside the top-k vocabulary with multiplicity") {
+    val docs = docsOf(1L -> "x x x y", 2L -> "x z z")
+    // k=1: vocabulary = {x} (5 occurrences)
+    val out = TextStats.vocabCoverage(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((3L, 2L, 0.666667)))
+  }
+
   // --- nodeJaccard ---
 
   test("nodeJaccard scores shared-neighbor overlap and honors the in-degree cap") {

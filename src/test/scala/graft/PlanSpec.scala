@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
       s"window must partition by (source, pack_group), not source alone:\n$p")
   }
 
+  test("vocabCoverage broadcasts the top-k vocabulary against the token stream") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(TextStats.vocabCoverage(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"vocab probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token relation must never shuffle through the vocab join:\n$p")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))
