@@ -329,6 +329,30 @@ object GraphQueries {
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
   }
 
+  /** A2 incremental metadata maintenance, end-to-end: apply a batch of single-edge
+    * adds, then produce the post-write metadata via [[graft.store.EdgeStore.metadataPatched]]
+    * — only the touched vertices are re-aggregated; every other row is carried over
+    * from the pre-write metadata. The oracle computes the FULL post-write metadata, so
+    * a hash match proves the incremental path ≡ the full recompute.
+    */
+  def metadataPatchedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = TestGraph.compactedStore(spark, dir)
+    val batch = store.snapshot
+      .filter(col("graph_id") === 2 && col("source_id") % 5 === 0)
+      .select(col("graph_id"), col("source_id")).distinct()
+      .select(
+        col("graph_id"), col("source_id"),
+        (lit(1) + (col("source_id") * 17) % 97).as("destination_id"),
+        lit(State.Normal).cast("int").as("state"),
+        lit(2600000).cast("int").as("updated_at"),
+        lit(null).cast("long").as("position"))
+    val prev = store.metadata
+    val (after, touched) = store.applyOperationsWithDelta(batch)
+    after.metadataPatched(prev, touched)
+      .filter(col("graph_id") === 2)
+      .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
+  }
+
   /** Extended analytics: per-vertex triangle participation over the undirected closure
     * of graph-1 Normal edges. Wedge enumeration on the id-oriented edge list (lo < hi)
     * — two equi-joins, no cross product; at extreme skew the standard refinement is

@@ -49,6 +49,7 @@ object SparkEntry {
     "g23_two_hop"           -> (GraphQueries.twoHop _),
     "g24_degree_histogram"  -> (GraphQueries.degreeHistogram _),
     "g25_node_jaccard"      -> (GraphQueries.nodeJaccard _),
+    "g26_metadata_patched"  -> (GraphQueries.metadataPatchedQuery _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -535,6 +536,43 @@ object SparkEntry {
          |  COUNT(*) AS n_vertices, CAST(MAX(degree) AS BIGINT) AS max_degree
          |FROM deg GROUP BY 1, 2""".stripMargin
     },
+
+    // FULL post-write metadata recompute — the engine answers via the INCREMENTAL
+    // metadataPatched path, so the hash match proves incremental ≡ full (A2).
+    // Position rule for the adds mirrors g18: new-or-resurrected Normal edges take
+    // the deterministic uuid position (ms << 20), existing live edges keep theirs.
+    "g26_metadata_patched" ->
+      s"""$snap,
+         |src AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 2),
+         |b AS (SELECT CAST(2 AS INTEGER) AS graph_id, s.source_id,
+         |             1 + (s.source_id * 17) % 97 AS destination_id,
+         |             CAST(0 AS INTEGER) AS state, CAST(2600000 AS INTEGER) AS updated_at
+         |      FROM src s WHERE s.source_id % 5 = 0),
+         |bp AS (SELECT b.graph_id, b.source_id, b.destination_id,
+         |              CASE WHEN e.position IS NULL OR (e.state IN (1, 3) AND b.state = 0)
+         |                   THEN (CAST(2600000 AS BIGINT) * 1000) << 20
+         |                   ELSE e.position END AS position,
+         |              b.updated_at, b.state
+         |       FROM b LEFT JOIN edges e USING (graph_id, source_id, destination_id)),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM bp),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |ps AS (SELECT source_id, state, COUNT(*) AS c, MAX(updated_at) AS mu
+         |       FROM snap1 WHERE graph_id = 2 GROUP BY 1, 2)
+         |SELECT CAST(2 AS INTEGER) AS graph_id, source_id, state, c AS "count", mu AS updated_at
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source_id ORDER BY mu DESC, $prio DESC) AS rn
+         |  FROM ps)
+         |WHERE rn = 1""".stripMargin,
 
     // shared-neighbor Jaccard over graph-1 Normal adjacency sets — mirror of
     // GraphQueries.nodeJaccard (in-degree cap 10000 is a no-op at test scale but

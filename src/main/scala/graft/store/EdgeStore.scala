@@ -217,7 +217,19 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     *    lww(L ∪ R)) — a bulk migration touching most keys rewrites the store anyway,
     *    and its key set would not be broadcastable.
     */
-  def applyOperations(ops: DataFrame, incrementalMax: Long = IncrementalBatchMax): EdgeStore = {
+  def applyOperations(ops: DataFrame, incrementalMax: Long = IncrementalBatchMax): EdgeStore =
+    applyOperationsWithDelta(ops, incrementalMax)._1
+
+  /** [[applyOperations]] additionally returning the touched-vertex key set — the
+    * distinct (graph_id, source_id) of every written edge row plus every register
+    * write's vertex. This is exactly the set whose metadata rows can have changed,
+    * i.e. the input [[metadataPatched]] needs for incremental maintenance (backward
+    * wildcards touch SOURCES of affected edges, which only the write delta knows).
+    */
+  def applyOperationsWithDelta(
+      ops: DataFrame,
+      incrementalMax: Long = IncrementalBatchMax
+  ): (EdgeStore, DataFrame) = {
     val withDir = withDirection(ops).localCheckpoint(true)
     val wild    = withDir.filter(col("destination_id").isNull)
 
@@ -240,12 +252,37 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     // tested than materializing it (a localCheckpoint additionally produces a
     // LogicalRDD whose origin constraints reference pre-checkpoint attribute ids and
     // break Union constraint rewriting downstream).
-    if (incremental)
-      new EdgeStore(
-        log.select(edgeCols: _*).unionByName(newRows),
-        Some(mergedVertexLog))
-    else
-      new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+    val store =
+      if (incremental)
+        new EdgeStore(
+          log.select(edgeCols: _*).unionByName(newRows),
+          Some(mergedVertexLog))
+      else
+        new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+    val touched = newRows.select(col("graph_id"), col("source_id"))
+      .unionByName(newRegisters.select(col("graph_id"), col("vertex_id").as("source_id")))
+      .distinct()
+    (store, touched)
+  }
+
+  /** Incremental metadata maintenance — the batch restatement of the reference's A2
+    * count-delta path (`SqlShard.scala:470-524`): given the PRE-write metadata table
+    * and the touched-vertex keys from [[applyOperationsWithDelta]], recompute metadata
+    * ONLY for those vertices (key-pruned broadcast semi-join on the log, same trick as
+    * the incremental write path) and keep every other row of `prev` as-is. At 100 TB a
+    * 10-row `execute()` re-aggregates ~10 vertices' adjacency, not the store.
+    * Equivalent to a full [[metadata]] recompute by construction (pinned by LwwSpec
+    * and the g26 oracle).
+    */
+  def metadataPatched(prev: DataFrame, touched: DataFrame): DataFrame = {
+    val keys = touched.select(col("graph_id"), col("source_id")).distinct().localCheckpoint(true)
+    val prunedStore = new EdgeStore(
+      log.select(edgeCols: _*).join(broadcast(keys), Seq("graph_id", "source_id"), "left_semi"),
+      vertexLog.map(_.join(
+        broadcast(keys.withColumnRenamed("source_id", "vertex_id")),
+        Seq("graph_id", "vertex_id"), "left_semi")))
+    prev.join(broadcast(keys), Seq("graph_id", "source_id"), "left_anti")
+      .unionByName(prunedStore.metadata)
   }
 
   private def withDirection(ops: DataFrame): DataFrame =

@@ -119,6 +119,39 @@ class LwwSpec extends SparkSpec {
     assert(row.getLong(1) == 2L)
   }
 
+  test("metadataPatched equals the full metadata recompute after a mixed batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = storeOf(
+      edge(alice, bob, 1, at = 100), edge(alice, carl, 2, at = 100),
+      edge(bob, alice, 3, at = 100), edge(carl, darcy, 4, at = 100, state = State.Archived))
+    // forward add on a NEW vertex, backward remove, forward wildcard (register +
+    // fanout), and a register-only wildcard on a vertex with no edges at all
+    val ops = Seq(
+      (FOLLOWS, earl, Some(bob), State.Normal, 200, None: Option[Long], true),
+      (FOLLOWS, alice, Some(bob), State.Removed, 200, None: Option[Long], false),
+      (FOLLOWS, alice, None: Option[Long], State.Archived, 210, None: Option[Long], true),
+      (FOLLOWS, frank, None: Option[Long], State.Archived, 210, None: Option[Long], true)
+    ).toDF("graph_id", "source_id", "destination_id", "state", "updated_at", "position",
+      "is_forward")
+    val prev = store.metadata
+    val (after, touched) = store.applyOperationsWithDelta(ops)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val full = rows(after.metadata)
+    val patched = rows(after.metadataPatched(prev, touched))
+    assert(patched == full)
+    // the batch exercised every maintenance case: new vertex, backward-touched vertex,
+    // register fanout, and a register-only vertex with zero edges
+    assert(full.exists(r => r._2 == earl))
+    assert(full.exists(r => r._2 == frank && r._4 == 0L && r._3 == State.Archived))
+    // untouched vertices' rows really are carried over from prev (no recompute drift)
+    val untouchedPrev = rows(prev).filter(r => r._2 == carl)
+    assert(untouchedPrev.subsetOf(patched))
+  }
+
   test("bulk wildcard archive touches every non-Removed edge of the vertex") {
     val st = storeOf(
       edge(alice, bob, 1, at = 100, state = State.Normal),
