@@ -146,6 +146,37 @@ class PlanSpec extends SparkSpec {
       s"window must partition by (source, pack_group), not source alone:\n$p")
   }
 
+  test("metadataPatched folds only the key-pruned log below a broadcast prune") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val store = TestGraph.store(spark, dir)
+      val ops = {
+        import spark.implicits._
+        Seq((1, 1L, Some(5L), 0, 3000000, None: Option[Long]))
+          .toDF("graph_id", "source_id", "destination_id", "state", "updated_at", "position")
+      }
+      val (after, touched) = store.applyOperationsWithDelta(ops)
+      val exec = after.metadataPatched(store.metadata, touched)
+        .queryExecution.executedPlan
+      // the recompute side's metadata fold (grouping WITHOUT destination_id) must sit
+      // above a broadcast key-prune of the log — never a full-log aggregation
+      val metaFolds = exec.collect {
+        case a: ObjectHashAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("source_id")) &&
+              !a.groupingExpressions.exists(_.toString.contains("destination_id")) &&
+              a.aggregateExpressions.exists(_.toString.contains("partial")) => a
+      }
+      val (pruned, unpruned) = metaFolds.partition(
+        _.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined)
+      assert(pruned.nonEmpty, s"expected a key-pruned metadata fold:\n$exec")
+      // the only unpruned fold allowed is `prev` itself (the pre-existing table)
+      assert(unpruned.size <= 1,
+        s"more than one full-log metadata fold in the patched plan:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("vocabCoverage broadcasts the top-k vocabulary against the token stream") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.vocabCoverage(docs, "doc_id", "text"))
