@@ -133,6 +133,27 @@ object AnalyticsQueries {
         countDistinct(col("k")).as("n_distinct_k")
       )
 
+  /** Hourly heavy hitters: the top-3 users by event count in every hour (tie-break
+    * user_id asc) — the per-window top-k monitoring query of an event pipeline.
+    *
+    * Scale shape: pre-aggregate to (hour, user) counts first (map-side-combinable; the
+    * row count entering the window is |active users per hour|, not |events|), then
+    * rank inside each hour — windows are bounded by per-hour cardinality, never a
+    * global sort.
+    */
+  def hourlyTopUsers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = table(spark, dir, "events")
+      .groupBy(
+        expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_bucket"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("hour_bucket"), col("rank"), col("user_id"), col("n_events"))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -59,6 +59,8 @@ object SparkEntry {
     "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
     "ev3_hourly_rollup"      -> (AnalyticsQueries.hourlyRollup _),
     "ev4_props_extract"      -> (AnalyticsQueries.propsExtract _),
+    "ev5_hourly_top_users"   -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.hourlyTopUsers(s, dir, k = 3)),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -654,6 +656,17 @@ object SparkEntry {
          |  COUNT(*) AS n,
          |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // per-hour top-3 users by event count — mirror of AnalyticsQueries.hourlyTopUsers
+    "ev5_hourly_top_users" ->
+      s"""SELECT hour_bucket, CAST(rank AS INTEGER) AS rank, user_id, n_events FROM (
+         |  SELECT hour_bucket, user_id, n_events,
+         |         row_number() OVER (PARTITION BY hour_bucket
+         |                            ORDER BY n_events DESC, user_id) AS rank
+         |  FROM (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id,
+         |               COUNT(*) AS n_events
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rank <= 3""".stripMargin,
 
     "ev4_props_extract" ->
       s"""SELECT user_id,
