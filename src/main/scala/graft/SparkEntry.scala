@@ -886,13 +886,14 @@ object SparkEntry {
          |  round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
          |FROM scored GROUP BY label""".stripMargin,
 
-    // one Lloyd's iteration from the first-8-by-id seeds — mirror of
+    // one Lloyd's iteration from the k-smallest-id seeds — mirror of
     // Similarity.kmeansStep(k = 8): cosine argmax assignment (tie-break cluster asc),
     // then per-(cluster, dim) mean rounded to 6
     "s10_kmeans_step" ->
       s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM a
-         |          WHERE vec_id < 8 AND list_dot_product(v, v) > 0),
+         |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+         |          FROM (SELECT vec_id, v FROM a ORDER BY vec_id LIMIT 8)
+         |          WHERE list_dot_product(v, v) > 0),
          |e AS (SELECT vec_id, v FROM a WHERE list_dot_product(v, v) > 0),
          |scored AS (SELECT vec_id, cluster, v, ${cosSql("v", "cv")} AS cos FROM e, seeds),
          |best AS (SELECT vec_id, cluster, v FROM (

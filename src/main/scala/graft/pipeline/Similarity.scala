@@ -272,9 +272,13 @@ object Similarity {
     * amplifying every assigned row ×dims.
     */
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    // seeds = the k smallest ids (distributed TakeOrdered) — NOT `id < k`, which
+    // silently under-seeds on sparse or offset id spaces
     val seeds = broadcast(
-      df.filter(col(idCol) < k)
-        .select(col(idCol).cast("int").as("cluster"), toDouble(col(vecCol)).as("cv"))
+      df.select(col(idCol).cast("long").as("seed_id"), toDouble(col(vecCol)).as("cv"))
+        .orderBy(col("seed_id").asc)
+        .limit(k)
+        .select(col("seed_id").cast("int").as("cluster"), col("cv"))
         .withColumn("cn", norm2(col("cv")))
         .filter(col("cn") > 0))
     val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))

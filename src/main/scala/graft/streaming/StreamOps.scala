@@ -80,12 +80,17 @@ object StreamOps extends Serializable {
   /** Pure per-key dedup step (unit-testable): given the current keeper (if any) and the
     * batch's doc ids for one content hash, pick the keeper (existing, else the batch
     * minimum — deterministic under within-batch reordering) and emit one verdict per
-    * incoming id. A replayed keeper id re-emits `isDuplicate = true` with
-    * `keepId == docId` — the at-least-once signature downstream can recognize.
+    * incoming id. Exactly ONE verdict ever says `isDuplicate = false` per key — the
+    * keeper's first sighting; any replay of the keeper id (same batch or later) re-emits
+    * `isDuplicate = true` with `keepId == docId`, the at-least-once signature
+    * downstream can recognize.
     */
   def mergeDedupBatch(current: Option[Long], ids: Seq[Long]): (Long, Seq[(Long, Boolean)]) = {
     val keeper = current.getOrElse(ids.min)
-    (keeper, ids.sorted.map(id => id -> !(current.isEmpty && id == keeper)))
+    val verdicts = ids.sorted.zipWithIndex.map { case (id, i) =>
+      id -> !(current.isEmpty && id == keeper && i == 0)
+    }
+    (keeper, verdicts)
   }
 
   /** Streaming exact dedup — d01 at ingestion time: documents stream in, the first id
@@ -126,9 +131,13 @@ object StreamOps extends Serializable {
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     docs
-      .map { case (id, text) =>
-        (id, java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .mapPartitions { it =>
+        // one digest per partition, reset per record — not a per-row JCA lookup
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          (id, md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        }
       }
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update(), timeout)(fold)

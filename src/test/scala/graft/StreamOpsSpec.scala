@@ -116,6 +116,9 @@ class StreamOpsSpec extends SparkSpec {
     // existing keeper: everything is a duplicate, including a replay of the keeper
     assert(mergeDedupBatch(Some(3L), Seq(3L, 9L)) ==
       ((3L, Seq(3L -> true, 9L -> true))))
+    // a keeper id replayed WITHIN its first batch: only the first copy passes
+    assert(mergeDedupBatch(None, Seq(3L, 3L, 9L)) ==
+      ((3L, Seq(3L -> false, 3L -> true, 9L -> true))))
   }
 
   test("mergeDegreeState is within-batch order independent") {
