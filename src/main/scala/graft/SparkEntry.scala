@@ -144,6 +144,11 @@ object SparkEntry {
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
       Similarity.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = 8, dims = 64)),
+    "s11_ann_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.rerankTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5, coarseDims = 16, overfetch = 4)
+    }),
     // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
     "m01_media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.featurizeDF(
@@ -870,6 +875,27 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_label) AS rk
          |  FROM scored)
          |WHERE rk = 1""".stripMargin,
+
+    // two-stage rerank: coarse 16-dim-prefix cosine keeps 4k per query, exact cosine
+    // reranks to top-5 — mirror of Similarity.rerankTopK
+    "s11_ann_rerank" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qc FROM a WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, v[1:16] AS cc FROM a),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id, qv, cv, ${cosSql("qc", "cc")} AS coarse_sim
+         |  FROM q, c WHERE neighbor_id <> query_id),
+         |surv AS (SELECT query_id, neighbor_id, qv, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY coarse_sim DESC, neighbor_id) AS crk
+         |    FROM coarse)
+         |  WHERE crk <= 20)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id) AS rank
+         |  FROM surv)
+         |WHERE rank <= 5""".stripMargin,
 
     // per-label cohesion to own round-6 centroid — mirror of Similarity.clusterQuality
     // (same degenerate-input guards as s06)

@@ -227,6 +227,57 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("assigned_label"), col("cos_sim"))
   }
 
+  /** Two-stage retrieval with dimension truncation (coarse-then-rerank — the standard
+    * production ANN pattern): stage 1 scores every candidate on only the FIRST
+    * `coarseDims` dimensions (a cheap proxy — Matryoshka-style prefix embeddings) and
+    * keeps `overfetch`·k per query; stage 2 reranks those survivors with the exact
+    * full-dimension cosine and returns top-k. Recall < 1 exactly when the truncated
+    * prefix misranks a true neighbor out of the overfetch window — raise `overfetch`
+    * to trade cost for recall.
+    *
+    * Scale shape: stage 1 streams candidates against the broadcast query side but
+    * folds only `coarseDims`/dims of each vector (the dominant cost of brute force is
+    * the dot-product length); stage 2's exact pass runs on |Q|·overfetch·k rows —
+    * vanishing next to the corpus. A production variant fuses stage 1 with an
+    * LSH/IVF bucket prune ([[lshTopK]], [[ivfTopK]]); the rerank stage is identical.
+    */
+  def rerankTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarseDims: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qc", slice(col("qv"), 1, coarseDims))
+        .withColumn("qn", norm2(col("qv")))
+        .withColumn("qcn", norm2(col("qc"))))
+    val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cc", slice(col("cv"), 1, coarseDims))
+      .withColumn("cn", norm2(col("cv")))
+      .withColumn("ccn", norm2(col("cc")))
+    val coarse = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("qv"), col("cv"), col("qn"), col("cn"),
+        round(cosineFromNorms(dot(col("qc"), col("cc")), col("qcn"), col("ccn")), 6)
+          .as("coarse_sim"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id").asc)
+    val survivors = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= k * overfetch)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    survivors
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+  }
+
   /** Cluster-quality diagnostic: per label, how tightly its vectors hug their own
     * centroid — vector count, mean and minimum cosine-to-centroid. The cohesion report
     * that makes embedding-space labels (or k-means output) auditable: a label whose

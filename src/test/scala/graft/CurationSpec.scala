@@ -183,6 +183,27 @@ class CurationSpec extends SparkSpec {
     assert(out((1, 1)) == ((0.05, 2L)) && out((1, 2)) == ((2.0, 2L)))
   }
 
+  // --- rerankTopK ---
+
+  test("rerank with full-dimension coarse stage equals brute force; truncation can differ") {
+    import spark.implicits._
+    val vecs = (0L to 19L).map(i =>
+      (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 5).toFloat, (i % 3).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5))
+    val rerank = rows(Similarity.rerankTopK(q, vecs, "vec_id", "embedding", 5,
+      coarseDims = 4, overfetch = 4))
+    assert(rerank == brute, "coarse = full dims must reproduce exact search")
+    // tight overfetch with a 1-dim coarse proxy is allowed to miss, never to crash
+    val truncated = Similarity.rerankTopK(q, vecs, "vec_id", "embedding", 5,
+      coarseDims = 1, overfetch = 1)
+    assert(truncated.count() == 5)
+  }
+
   // --- degreeHistogram ---
 
   test("degreeHistogram buckets degrees into power-of-two bins, Normal edges only") {
