@@ -329,6 +329,40 @@ object GraphQueries {
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
   }
 
+  /** Bounded k-core peeling over the undirected closure of graph-1 Normal edges: each
+    * round drops vertices with degree < k and their edges; survivors after `rounds`
+    * rounds are reported with their residual degree. The community-mining / spam-ring
+    * primitive (the full k-core is this iterated to fixpoint; rounds are pinned so the
+    * oracle replays exactly — the d05 discipline for iterative kernels).
+    *
+    * Scale shape per round: one map-side-combinable degree aggregation + two
+    * broadcast/shuffled semi-joins on the survivor set (equi-joins only); lineage is
+    * truncated per round with an eager checkpoint like pageRank's loop.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 20, rounds: Int = 3): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val und = snap.unionByName(snap.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    kCoreOf(und, k, rounds)
+  }
+
+  /** Kernel of [[kCore]] over a symmetric, self-loop-free (src, dst) relation. */
+  def kCoreOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = und.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("source_id"), col("degree"))
+  }
+
   /** A2 incremental metadata maintenance, end-to-end: apply a batch of single-edge
     * adds, then produce the post-write metadata via [[graft.store.EdgeStore.metadataPatched]]
     * — only the touched vertices are re-aggregated; every other row is carried over

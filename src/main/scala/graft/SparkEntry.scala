@@ -50,6 +50,8 @@ object SparkEntry {
     "g24_degree_histogram"  -> (GraphQueries.degreeHistogram _),
     "g25_node_jaccard"      -> (GraphQueries.nodeJaccard _),
     "g26_metadata_patched"  -> (GraphQueries.metadataPatchedQuery _),
+    "g27_kcore"             -> ((s: SparkSession, dir: String) =>
+      GraphQueries.kCore(s, dir, k = 20, rounds = 3)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -580,6 +582,26 @@ object SparkEntry {
          |    PARTITION BY source_id ORDER BY mu DESC, $prio DESC) AS rn
          |  FROM ps)
          |WHERE rn = 1""".stripMargin,
+
+    // 3-round k-core peeling (k = 20) on the undirected closure — mirror of
+    // GraphQueries.kCore; survivors with residual degree
+    "g27_kcore" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |        UNION
+         |        SELECT DISTINCT destination_id, source_id FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |k1 AS (SELECT src FROM und GROUP BY src HAVING COUNT(*) >= 20),
+         |e1 AS (SELECT u.src, u.dst FROM und u JOIN k1 a ON a.src = u.src
+         |       JOIN k1 b ON b.src = u.dst),
+         |k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 20),
+         |e2 AS (SELECT u.src, u.dst FROM e1 u JOIN k2 a ON a.src = u.src
+         |       JOIN k2 b ON b.src = u.dst),
+         |k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 20),
+         |e3 AS (SELECT u.src, u.dst FROM e2 u JOIN k3 a ON a.src = u.src
+         |       JOIN k3 b ON b.src = u.dst)
+         |SELECT src AS source_id, COUNT(*) AS degree FROM e3 GROUP BY src""".stripMargin,
 
     // shared-neighbor Jaccard over graph-1 Normal adjacency sets — mirror of
     // GraphQueries.nodeJaccard (in-degree cap 10000 is a no-op at test scale but

@@ -204,6 +204,19 @@ class CurationSpec extends SparkSpec {
     assert(truncated.count() == 5)
   }
 
+  // --- kCore ---
+
+  test("kCore peels low-degree vertices and reports residual degrees") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus pendant 5 attached to 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val und = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = GraphQueries.kCoreOf(und, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pendant peeled in round 1; the clique survives with degree 3 each
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   // --- degreeHistogram ---
 
   test("degreeHistogram buckets degrees into power-of-two bins, Normal edges only") {
