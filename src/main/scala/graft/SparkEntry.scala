@@ -168,7 +168,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", frameBytes = 64, stride = 2)
-        .select(col("asset_id"), col("frame_index"), col("frame_offset"), md5(col("frame")).as("frame_md5")))
+        .select(col("asset_id"), col("frame_index"), col("frame_offset"), md5(col("frame")).as("frame_md5"))),
+    "m04_frame_dedup" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameDedupDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2))
   )
 
   // ---------------------------------------------------------------------------
@@ -1221,6 +1226,19 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
          |      FROM documents)
          |WHERE i % 2 = 0""".stripMargin,
+
+    // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2)
+    "m04_frame_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0)
+         |SELECT frame_md5, CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |       COUNT(*) AS n_frames, MIN(asset_id) AS keep_asset
+         |FROM f GROUP BY frame_md5
+         |HAVING COUNT(DISTINCT asset_id) > 1""".stripMargin,
 
     // LEFT JOIN back to documents so empty docs (dropped by the unnest+GROUP BY) pin
     // fingerprint 0 — lockstep with TextStats.fingerprint's empty-doc guard.

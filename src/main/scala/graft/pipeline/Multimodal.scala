@@ -124,4 +124,24 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Cross-asset frame dedup — the video-dedup primitive: sample frames from every
+    * asset ([[frameSampleDF]]), hash the frame payloads, and report each frame content
+    * seen in more than one asset (keeper = smallest (asset, index)). At corpus scale
+    * this is how near-identical clips (re-uploads, watermarked copies sharing most
+    * frames) are surfaced: a hash-groupBy over the frame stream, no pairwise compare.
+    */
+  def frameDedupDF(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int
+  ): DataFrame = {
+    frameSampleDF(df, idCol, binCol, frameBytes, stride)
+      .select(col("asset_id"), col("frame_index"), md5(col("frame")).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(
+        countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_frames"),
+        min(col("asset_id")).as("keep_asset"))
+      .filter(col("n_assets") > 1)
+  }
 }
