@@ -115,6 +115,8 @@ object SparkEntry {
     "d07_boilerplate" -> ((s: SparkSession, dir: String) =>
       Dedup.boilerplate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, minDocFreq = 25)),
+    "d08_curation_funnel" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.funnel(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1044,6 +1046,41 @@ object SparkEntry {
          |       MIN(train_id) AS first_train_id
          |FROM ev JOIN tr USING (k, minhash)
          |GROUP BY eval_id, split""".stripMargin,
+
+    // cumulative curation funnel: total -> t05 quality-kept -> d05 cluster keeper —
+    // mirror of Curation.funnel (stage CTEs reuse the t05/d05 oracle fragments)
+    "d08_curation_funnel" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |q AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |      CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+         |      CAST(length(text) AS BIGINT) AS n_chars
+         |    FROM documents)
+         |  WHERE n_tokens >= 10 AND stop_hits >= 1 AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens),
+         |keep AS (SELECT v AS doc_id FROM l3 WHERE label = v),
+         |s2 AS (SELECT d.doc_id FROM documents d JOIN q USING (doc_id)),
+         |s3 AS (SELECT s2.doc_id FROM s2 JOIN keep USING (doc_id))
+         |SELECT '00_total' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT '01_quality', COUNT(*) FROM s2
+         |UNION ALL SELECT '02_dedup_keeper', COUNT(*) FROM s3""".stripMargin,
 
     // boilerplate-passage fraction per doc (doc-freq >= 25 shingles) — mirror of
     // Dedup.boilerplate on 60-bit md5 shingle hashes
