@@ -204,6 +204,36 @@ class CurationSpec extends SparkSpec {
     assert(truncated.count() == 5)
   }
 
+  // --- frameDedupDF ---
+
+  test("frameDedupDF surfaces frame payloads shared across assets") {
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.functions.encode
+    // assets 1 and 2 share their first 8-byte frame; asset 3 is disjoint
+    val docs = docsOf(
+      1L -> "AAAABBBBxxxxxxxx",
+      2L -> "AAAABBBByyyyyyyy",
+      3L -> "zzzzzzzzqqqqqqqq")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val out = Multimodal.frameDedupDF(docs, "doc_id", "media", frameBytes = 8, stride = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 2L, 1L))) // one shared frame: 2 assets, 2 copies, keeper 1
+  }
+
+  // --- Curation.funnel ---
+
+  test("curation funnel reports cumulative survivors per stage") {
+    import graft.pipeline.Curation
+    // 2 near-identical quality docs (cluster keeper = min id), 1 low-quality doc
+    val good = "the fast a key of order and sort table scan merge part window hash join"
+    val docs = docsOf(1L -> good, 2L -> (good + " extra"), 3L -> "tiny")
+    val out = Curation.funnel(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("00_total") == 3L)
+    assert(out("01_quality") == 2L) // doc 3 fails the min-token filter
+    assert(out("02_dedup_keeper") == 1L) // docs 1 and 2 collapse; keeper = 1
+  }
+
   // --- kCore ---
 
   test("kCore peels low-degree vertices and reports residual degrees") {
