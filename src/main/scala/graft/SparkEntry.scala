@@ -1047,18 +1047,27 @@ object SparkEntry {
          |FROM ev JOIN tr USING (k, minhash)
          |GROUP BY eval_id, split""".stripMargin,
 
-    // cumulative curation funnel: total -> t05 quality-kept -> d05 cluster keeper —
-    // mirror of Curation.funnel (stage CTEs reuse the t05/d05 oracle fragments)
+    // cumulative curation funnel: total -> t05 quality-kept -> d05 cluster keeper
+    // OVER THE SURVIVORS — mirror of Curation.funnel (clustering runs on the
+    // quality-filtered corpus; every stage always reports, 0 included)
     "d08_curation_funnel" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |q AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |      CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+         |      CAST(length(text) AS BIGINT) AS n_chars
+         |    FROM documents)
+         |  WHERE n_tokens >= 10 AND stop_hits >= 1 AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens),
+         |shq AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN q USING (doc_id)),
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM shq),
          |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
          |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
          |       GROUP BY doc_id, k),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
          |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |l0 AS (SELECT doc_id AS v, doc_id AS label FROM q),
          |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
          |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
          |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
@@ -1068,13 +1077,6 @@ object SparkEntry {
          |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
          |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
          |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
-         |q AS (SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-         |      CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
-         |      CAST(length(text) AS BIGINT) AS n_chars
-         |    FROM documents)
-         |  WHERE n_tokens >= 10 AND stop_hits >= 1 AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens),
          |keep AS (SELECT v AS doc_id FROM l3 WHERE label = v),
          |s2 AS (SELECT d.doc_id FROM documents d JOIN q USING (doc_id)),
          |s3 AS (SELECT s2.doc_id FROM s2 JOIN keep USING (doc_id))
@@ -1264,16 +1266,19 @@ object SparkEntry {
          |      FROM documents)
          |WHERE i % 2 = 0""".stripMargin,
 
-    // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2)
+    // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2);
+    // keeper = lexicographic min (asset, frame index), via struct-min in both engines
     "m04_frame_dedup" ->
       s"""WITH f AS (
-         |  SELECT doc_id AS asset_id,
+         |  SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_index,
          |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
          |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
          |        FROM documents)
          |  WHERE i % 2 = 0)
          |SELECT frame_md5, CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
-         |       COUNT(*) AS n_frames, MIN(asset_id) AS keep_asset
+         |       COUNT(*) AS n_frames,
+         |       (MIN({'a': asset_id, 'f': frame_index})).a AS keep_asset,
+         |       (MIN({'a': asset_id, 'f': frame_index})).f AS keep_frame
          |FROM f GROUP BY frame_md5
          |HAVING COUNT(DISTINCT asset_id) > 1""".stripMargin,
 

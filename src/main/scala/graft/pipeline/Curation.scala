@@ -12,24 +12,29 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Cumulative funnel: total → quality-kept → near-dup cluster keeper. One row per
-    * stage with the surviving document count.
+    * stage with the surviving document count — ALWAYS three rows (an empty stage
+    * reports 0, it does not vanish), and each stage runs over the PREVIOUS stage's
+    * survivors the way a chained production pass does: clustering sees only the
+    * quality-filtered corpus, so a cluster whose would-be keeper was quality-rejected
+    * still keeps its best surviving member.
     *
     * Scale shape: stages exchange only document-id sets (left-semi joins — never the
     * text), and each underlying operator keeps its own bucketed/broadcast plan; the
-    * final rollup is a 3-row aggregate.
+    * rollup is three scalar aggregates unioned.
     */
   def funnel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val all = df.select(col(idCol))
     val quality = TextStats.qualityFilter(df, idCol, textCol)
       .filter(col("kept") === 1).select(col(idCol))
-    val keepers = Dedup.dedupClusters(df, idCol, textCol)
-      .filter(col("cluster_id") === col(idCol)).select(col(idCol))
     val s2 = all.join(quality, Seq(idCol), "left_semi")
+    val qualityDocs = df.join(s2, Seq(idCol), "left_semi")
+    val keepers = Dedup.dedupClusters(qualityDocs, idCol, textCol)
+      .filter(col("cluster_id") === col(idCol)).select(col(idCol))
     val s3 = s2.join(keepers, Seq(idCol), "left_semi")
-    all.select(lit("00_total").as("stage"), col(idCol))
-      .unionByName(s2.select(lit("01_quality").as("stage"), col(idCol)))
-      .unionByName(s3.select(lit("02_dedup_keeper").as("stage"), col(idCol)))
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_docs"))
+    def stage(name: String, ids: DataFrame): DataFrame =
+      ids.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("00_total", all)
+      .unionByName(stage("01_quality", s2))
+      .unionByName(stage("02_dedup_keeper", s3))
   }
 }

@@ -141,7 +141,11 @@ object Multimodal {
       .agg(
         countDistinct(col("asset_id")).as("n_assets"),
         count(lit(1)).as("n_frames"),
-        min(col("asset_id")).as("keep_asset"))
+        min(struct(col("asset_id"), col("frame_index"))).as("keep"))
       .filter(col("n_assets") > 1)
+      .select(
+        col("frame_md5"), col("n_assets"), col("n_frames"),
+        col("keep.asset_id").as("keep_asset"),
+        col("keep.frame_index").as("keep_frame"))
   }
 }

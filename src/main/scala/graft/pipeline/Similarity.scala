@@ -237,9 +237,12 @@ object Similarity {
     *
     * Scale shape: stage 1 streams candidates against the broadcast query side but
     * folds only `coarseDims`/dims of each vector (the dominant cost of brute force is
-    * the dot-product length); stage 2's exact pass runs on |Q|·overfetch·k rows —
-    * vanishing next to the corpus. A production variant fuses stage 1 with an
-    * LSH/IVF bucket prune ([[lshTopK]], [[ivfTopK]]); the rerank stage is identical.
+    * the dot-product length), and its ranking shuffle carries ONLY
+    * (query_id, neighbor_id, coarse_sim) — the full vectors are fetched back by
+    * joining the |Q|·overfetch·k survivor ids (broadcast) against the candidate
+    * table, so the per-pair shuffle payload is 3 scalars, not 2·dims doubles.
+    * A production variant fuses stage 1 with an LSH/IVF bucket prune ([[lshTopK]],
+    * [[ivfTopK]]); the rerank stage is identical.
     */
   def rerankTopK(
       queries: DataFrame,
@@ -257,21 +260,25 @@ object Similarity {
         .withColumn("qcn", norm2(col("qc"))))
     val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cc", slice(col("cv"), 1, coarseDims))
-      .withColumn("cn", norm2(col("cv")))
       .withColumn("ccn", norm2(col("cc")))
-    val coarse = q.crossJoin(c)
+    val coarse = q.select(col("query_id"), col("qc"), col("qcn"))
+      .crossJoin(c.select(col("neighbor_id"), col("cc"), col("ccn")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
-        col("query_id"), col("neighbor_id"), col("qv"), col("cv"), col("qn"), col("cn"),
+        col("query_id"), col("neighbor_id"),
         round(cosineFromNorms(dot(col("qc"), col("cc")), col("qcn"), col("ccn")), 6)
           .as("coarse_sim"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse_sim").desc, col("neighbor_id").asc)
     val survivors = coarse.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    survivors
+    candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(wf))

@@ -216,8 +216,9 @@ class CurationSpec extends SparkSpec {
       3L -> "zzzzzzzzqqqqqqqq")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
     val out = Multimodal.frameDedupDF(docs, "doc_id", "media", frameBytes = 8, stride = 1)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == Seq((2L, 2L, 1L))) // one shared frame: 2 assets, 2 copies, keeper 1
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // one shared frame: 2 assets, 2 copies, keeper = (asset 1, frame 0)
+    assert(out.toSeq == Seq((2L, 2L, 1L, 0)))
   }
 
   // --- Curation.funnel ---
