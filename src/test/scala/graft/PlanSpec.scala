@@ -185,6 +185,18 @@ class PlanSpec extends SparkSpec {
       s"the token relation must never shuffle through the vocab join:\n$p")
   }
 
+  test("rerank coarse stage shuffles scores only — full vectors never enter its window") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val p = plan(pipeline.Similarity.rerankTopK(q, emb, "vec_id", "embedding", 5))
+    // two ranking windows: the coarse one must rank (query, neighbor, coarse_sim)
+    // without carrying the 64-dim qv/cv arrays through its sort+exchange
+    val coarseWindow = p.linesIterator.find(l => l.contains("Window") && l.contains("coarse_sim"))
+    assert(coarseWindow.isDefined, s"no coarse ranking window found:\n$p")
+    assert(!coarseWindow.get.contains("qv#") && !coarseWindow.get.contains("cv#"),
+      s"full vectors leaked into the coarse ranking shuffle:\n${coarseWindow.get}")
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.tokenStats(docs, "doc_id", "text"))
