@@ -26,8 +26,13 @@ object Curation {
     val all = df.select(col(idCol))
     val quality = TextStats.qualityFilter(df, idCol, textCol)
       .filter(col("kept") === 1).select(col(idCol))
-    val s2 = all.join(quality, Seq(idCol), "left_semi")
-    val qualityDocs = df.join(s2, Seq(idCol), "left_semi")
+    // the survivor id set feeds three consumers (its stage count, the filtered-corpus
+    // derivation, the final intersection) — materialize the id list once
+    val s2 = all.join(quality, Seq(idCol), "left_semi").localCheckpoint(true)
+    // materialize the filtered corpus once: dedupClusters' label-propagation rounds
+    // re-evaluate their base relation per round, which would otherwise re-run the
+    // scan + quality scoring each time
+    val qualityDocs = df.join(s2, Seq(idCol), "left_semi").localCheckpoint(true)
     val keepers = Dedup.dedupClusters(qualityDocs, idCol, textCol)
       .filter(col("cluster_id") === col(idCol)).select(col(idCol))
     val s3 = s2.join(keepers, Seq(idCol), "left_semi")
