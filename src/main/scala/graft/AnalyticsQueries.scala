@@ -154,6 +154,28 @@ object AnalyticsQueries {
       .select(col("hour_bucket"), col("rank"), col("user_id"), col("n_events"))
   }
 
+  /** Hour-over-hour retention: for each hour, how many active users are still active
+    * in the next hour — the cohort/stickiness primitive of event analytics.
+    * Exact-integer counts, one final division.
+    *
+    * Scale shape: dedupe to (hour, user) pairs first (map-side-combinable distinct),
+    * then ONE self equi-join on (hour+1, user) — |active pairs| rows, never events².
+    */
+  def hourlyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = table(spark, dir, "events")
+      .select(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("user_id"))
+      .distinct()
+    val next = active.select((col("hour_bucket") - 1).as("hour_bucket"), col("user_id"),
+      lit(1L).as("retained"))
+    active.join(next, Seq("hour_bucket", "user_id"), "left_outer")
+      .groupBy(col("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(coalesce(col("retained"), lit(0L))).as("n_retained"))
+      .withColumn("retention",
+        round(col("n_retained").cast("double") / col("n_active").cast("double"), 6))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -63,6 +63,7 @@ object SparkEntry {
     "ev4_props_extract"      -> (AnalyticsQueries.propsExtract _),
     "ev5_hourly_top_users"   -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.hourlyTopUsers(s, dir, k = 3)),
+    "ev6_hourly_retention"   -> (AnalyticsQueries.hourlyRetention _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -88,6 +89,8 @@ object SparkEntry {
       TextStats.chunk(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", chunkTokens = 64)),
     "t15_vocab_coverage" -> ((s: SparkSession, dir: String) =>
       TextStats.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 20)),
+    "t16_source_novelty" -> ((s: SparkSession, dir: String) =>
+      Dedup.sourceNovelty(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -702,6 +705,18 @@ object SparkEntry {
          |        FROM events GROUP BY 1, 2))
          |WHERE rank <= 3""".stripMargin,
 
+    // hour-over-hour user retention — mirror of AnalyticsQueries.hourlyRetention
+    "ev6_hourly_retention" ->
+      s"""WITH a AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour_bucket, user_id
+         |           FROM events),
+         |n AS (SELECT hour_bucket - 1 AS hour_bucket, user_id, 1 AS retained FROM a)
+         |SELECT a.hour_bucket, COUNT(*) AS n_active,
+         |  CAST(SUM(COALESCE(n.retained, 0)) AS BIGINT) AS n_retained,
+         |  round(CAST(SUM(COALESCE(n.retained, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS retention
+         |FROM a LEFT JOIN n USING (hour_bucket, user_id)
+         |GROUP BY a.hour_bucket""".stripMargin,
+
     "ev4_props_extract" ->
       s"""SELECT user_id,
          |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -800,6 +815,22 @@ object SparkEntry {
          |GROUP BY token
          |ORDER BY n_occurrences DESC, token
          |LIMIT 50""".stripMargin,
+
+    // per-source shingle novelty (shingles in no other source) — mirror of
+    // Dedup.sourceNovelty on 60-bit md5 shingle hashes
+    "t16_source_novelty" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |shs AS (SELECT DISTINCT source,
+         |          ('0x' || substr(md5(array_to_string(ts[i:i+2], ' ')), 1, 15))::BIGINT AS h
+         |        FROM (SELECT source, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |              FROM toks)),
+         |spread AS (SELECT h, COUNT(*) AS n_sources FROM shs GROUP BY h)
+         |SELECT source, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+         |FROM shs JOIN spread USING (h)
+         |GROUP BY source""".stripMargin,
 
     // PII counts + redacted-text hash — mirror of TextStats.piiRedact (patterns use
     // only Java-regex/RE2-common syntax; DuckDB needs the 'g' flag for replace-all)

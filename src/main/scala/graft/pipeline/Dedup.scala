@@ -231,6 +231,36 @@ object Dedup {
           .as("boilerplate_frac"))
   }
 
+  /** Per-source n-gram novelty: for each source, the fraction of its distinct shingles
+    * that appear in NO other source — the diversity signal corpus-mixing decisions
+    * weigh (a source whose shingles are mostly shared adds little new content at any
+    * mixing weight). Exact-integer counts, one final division.
+    *
+    * Scale shape: per-(source, shingle-hash) distinct (one shuffle of 8-byte keys),
+    * then a shingle-spread aggregation and a per-source rollup — all
+    * map-side-combinable hash aggregations on hashed keys; no self-join at all.
+    */
+  def sourceNovelty(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val ss = shingles(df, sourceCol, textCol, shingleSize)
+      .select(col(sourceCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: the spread agg and the rollup join
+    val spread = ss.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
+    ss.join(spread, Seq("h"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =
     * pairs sharing ≥1 shingle, with the intersection count falling out of the same
     * groupBy), then |∩| / |∪| ≥ threshold. The only float is one final division of two

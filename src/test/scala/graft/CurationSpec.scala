@@ -151,6 +151,20 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((3L, 2L, 0.666667)))
   }
 
+  // --- sourceNovelty ---
+
+  test("sourceNovelty counts shingles unique to each source") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x y z a b c"), // shingles: xyz yza zab abc
+      ("B", "x y z q r s")  // shares only "x y z" with A
+    ).toDF("source", "text")
+    val out = Dedup.sourceNovelty(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((4L, 3L, 0.75)))
+    assert(out("B") == ((4L, 3L, 0.75)))
+  }
+
   // --- nodeJaccard ---
 
   test("nodeJaccard scores shared-neighbor overlap and honors the in-degree cap") {
