@@ -40,6 +40,8 @@ object Bench {
       // stores, and eager localCheckpoints would otherwise accumulate in storage
       // memory across the 50+ query run
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // (measured: a System.gc() here tightens the per-query max by moving major
+      // collections out of timed regions, but raises the TOTAL ~10% — rejected)
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
