@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextStats}
 import graft.testgraph.TestGraph
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -178,7 +178,22 @@ object SparkEntry {
       Multimodal.frameDedupDF(
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
-        "doc_id", "media", frameBytes = 64, stride = 2))
+        "doc_id", "media", frameBytes = 64, stride = 2)),
+    // --- distributed sketches: HLL / count-min / bloom ---
+    "sk01_hll_distinct" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sketches.hllDistinct(
+        Dedup.shingles(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("shingle")),
+        "source", "shingle", b = 6)
+    }),
+    "sk02_countmin" -> ((s: SparkSession, dir: String) =>
+      Sketches.countMin(
+        Dedup.shingles(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+        "shingle", depth = 4, width = 256, topK = 100)),
+    "sk03_bloom_contamination" -> ((s: SparkSession, dir: String) =>
+      Sketches.bloomContamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------------------
@@ -1325,6 +1340,78 @@ object SparkEntry {
          |         % 1000000007 AS BIGINT) AS fingerprint
          |  FROM chars GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
-         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin,
+
+    // per-source HyperLogLog distinct-shingle estimate — mirror of Sketches.hllDistinct
+    // (b=6: idx = top 6 bits of the 32-bit md5 prefix, rho over the low 26 bits via the
+    // same lpad(bin())+strpos arithmetic; register sum is exact-dyadic so aggregation
+    // order cannot change the float result in either engine)
+    "sk01_hll_distinct" -> {
+      val m = 64
+      val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m // same expression as hllDistinct
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+2], ' ') AS shingle
+         |       FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM toks)),
+         |hm AS (SELECT source, shingle, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |rg AS (SELECT source, h >> 26 AS idx,
+         |         max(CASE WHEN (h & 67108863) = 0 THEN 27
+         |                  ELSE strpos(lpad(bin(h & 67108863), 26, '0'), '1') END) AS rho
+         |       FROM hm GROUP BY 1, 2),
+         |sm AS (SELECT source,
+         |         sum(1.0::DOUBLE / (1::BIGINT << rho)) + ($m - count(*))::DOUBLE AS ssum
+         |       FROM rg GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT shingle) AS exact_distinct FROM hm GROUP BY 1),
+         |est AS (SELECT source, round(CAST('$alphaMM' AS DOUBLE) / ssum, 3) AS hll_est,
+         |               exact_distinct
+         |        FROM sm JOIN ex USING (source))
+         |SELECT source, hll_est, exact_distinct,
+         |  round(abs(hll_est - exact_distinct::DOUBLE) / exact_distinct::DOUBLE, 4) AS rel_err
+         |FROM est""".stripMargin
+    },
+
+    // count-min doc-frequency estimates for the top-100 shingles — mirror of
+    // Sketches.countMin (depth 4, width 256; salt 'r:' prepended before the md5)
+    "sk02_countmin" ->
+      s"""WITH $shinglesCte,
+         |ex AS (SELECT shingle, count(*) AS exact_n FROM sh GROUP BY 1),
+         |ib AS (SELECT shingle, exact_n, r,
+         |         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT % 256 AS bucket
+         |       FROM (SELECT shingle, exact_n, unnest(generate_series(0, 3)) AS r FROM ex)),
+         |bc AS (SELECT r, bucket, CAST(sum(exact_n) AS BIGINT) AS bucket_n FROM ib GROUP BY 1, 2),
+         |est AS (SELECT shingle, min(bucket_n) AS cms_n, max(exact_n) AS exact_n
+         |        FROM ib JOIN bc USING (r, bucket) GROUP BY shingle)
+         |SELECT shingle, exact_n, cms_n, cms_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, shingle LIMIT 100""".stripMargin,
+
+    // bloom-filter contamination screen (k=3 positions from disjoint md5 fields,
+    // m=2^18 bits, train split = hash bucket < 9000) — mirror of
+    // Sketches.bloomContamination
+    "sk03_bloom_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${bucketSql("doc_id")} < 9000 THEN 'train'
+         |              WHEN ${bucketSql("doc_id")} < 9500 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |ps AS (SELECT doc_id, split, shingle,
+         |         unnest([('0x' || substr(md5(shingle), 1, 8))::BIGINT % 262144,
+         |                 ('0x' || substr(md5(shingle), 9, 8))::BIGINT % 262144,
+         |                 ('0x' || substr(md5(shingle), 17, 8))::BIGINT % 262144]) AS pos
+         |       FROM sh JOIN sp USING (doc_id)),
+         |bits AS (SELECT DISTINCT pos FROM ps WHERE split = 'train'),
+         |probe AS (SELECT DISTINCT doc_id, split, shingle, pos FROM ps WHERE split <> 'train'),
+         |probed AS (SELECT doc_id, split, shingle, count(*) AS n_pos
+         |           FROM probe GROUP BY 1, 2, 3),
+         |hits AS (SELECT doc_id, split, shingle, count(*) AS n_hit
+         |         FROM probe JOIN bits USING (pos) GROUP BY 1, 2, 3)
+         |SELECT doc_id, split, count(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN COALESCE(n_hit, 0) = n_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  round(CAST(SUM(CASE WHEN COALESCE(n_hit, 0) = n_pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+         |FROM probed LEFT JOIN hits USING (doc_id, split, shingle)
+         |GROUP BY doc_id, split""".stripMargin
   )
 }

@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distributed sketch operators — the canonical 100 TB substitutes for exact global
+  * aggregation: HyperLogLog distinct counting, count-min frequency estimation, and
+  * Bloom-filter set membership.
+  *
+  * Unlike Spark's built-ins (`approx_count_distinct`, `DataFrameStatFunctions.bloomFilter`),
+  * every sketch here is built from explicit md5 arithmetic so the DuckDB oracle can
+  * reproduce the estimate bit-for-bit — the driver hash-compares results, so the
+  * "approximate" answer must still be deterministic. The price is a hash that is md5
+  * instead of xxhash; the plan shapes (map-side partial agg into a tiny register/bucket
+  * relation) are identical to what the production sketch would do, so the 100 TB posture
+  * is the real one.
+  *
+  * Float-determinism discipline: every floating sum is a sum of exact dyadic rationals
+  * (1/2^rho with rho ≤ 27 and ≤ m ≤ 64 terms), so each partial sum is exactly
+  * representable in a double and the result is independent of Spark's aggregation
+  * order. Integer arithmetic everywhere else; one final IEEE division before `round`.
+  */
+object Sketches {
+
+  /** 32-bit hash: first 8 hex chars of md5 — oracle mirror
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-key HyperLogLog distinct estimate, with the exact count alongside as the
+    * error diagnostic.
+    *
+    * b register-index bits (m = 2^b registers); the remaining 32−b hash bits feed the
+    * rank rho = position of the first 1-bit (all-zero tail ⇒ 32−b+1). Raw HLL estimate
+    * αm·m²/Σ2^(−M_j) with absent registers contributing 2^0 = 1; no small-range linear
+    * counting (it needs ln(), whose libm rounding is not oracle-portable at hash
+    * granularity) — callers pick b so n/m stays in the raw-formula regime.
+    *
+    * Plan: one map-side-combinable max-agg into m rows per key, then an m-row fold —
+    * the full item stream is never shuffled beyond (key, idx), so a 100 TB scan reduces
+    * to m·|keys| rows of state exactly like production HLL.
+    */
+  def hllDistinct(items: DataFrame, keyCol: String, itemCol: String, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits out of range: $b")
+    val m = 1 << b
+    val wBits = 32 - b
+    val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val h = h32(col(itemCol))
+    val withReg = items.select(
+      col(keyCol),
+      col(itemCol),
+      shiftright(h, wBits).as("idx"),
+      h.bitwiseAND(lit((1L << wBits) - 1)).as("w"))
+    // rank of the first 1-bit in the wBits-wide tail, via the binary-string position
+    // (instr of lpad(bin)) — integer-exact and shared verbatim with the oracle SQL
+    val rho = when(col("w") === 0L, lit(wBits + 1))
+      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
+    val regs = withReg
+      .groupBy(col(keyCol), col("idx"))
+      .agg(max(rho).as("rho"))
+    val sums = regs
+      .groupBy(col(keyCol))
+      .agg(
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")).as("hit_sum"),
+        count(lit(1)).as("n_regs"))
+      .select(
+        col(keyCol),
+        (col("hit_sum") + (lit(m.toLong) - col("n_regs")).cast("double")).as("ssum"))
+    val exact = items
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col(itemCol)).as("exact_distinct"))
+    sums
+      .join(exact, keyCol)
+      .withColumn("hll_est", round(lit(alphaMM) / col("ssum"), 3))
+      .select(
+        col(keyCol),
+        col("hll_est"),
+        col("exact_distinct"),
+        round(
+          abs(col("hll_est") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"),
+          4
+        ).as("rel_err"))
+  }
+
+  /** Count-min frequency estimates over a weighted item stream: `depth` hash rows ×
+    * `width` buckets; estimate = min over rows of the bucket total. Reported for the
+    * `topK` heaviest items (deterministic (count desc, item) order) so output stays
+    * bounded at any scale factor; `cms_n ≥ exact_n` always (one-sided error).
+    *
+    * The bucket table is built from the exact per-item counts (one shuffle on item —
+    * needed anyway for the diagnostic), then re-keyed to depth·width rows: equivalent
+    * to streaming increments, but the second shuffle moves |distinct items| rows, not
+    * the raw stream. At 100 TB the (r, bucket) relation is depth·width rows total —
+    * broadcastable state, like a production CMS merge.
+    */
+  def countMin(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 256,
+      topK: Int = 100
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact_n"))
+    val itemBuckets = exact
+      .select(
+        col(itemCol),
+        col("exact_n"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn(
+        "bucket",
+        pmod(h32(concat(col("r").cast("string"), lit(":"), col(itemCol))), lit(width.toLong)))
+      .localCheckpoint(true) // two consumers: bucket totals + the probe join
+    val bucketCounts = itemBuckets
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("exact_n")).as("bucket_n"))
+    itemBuckets
+      .join(bucketCounts, Seq("r", "bucket"))
+      .groupBy(col(itemCol))
+      .agg(min(col("bucket_n")).as("cms_n"), max(col("exact_n")).as("exact_n"))
+      .orderBy(col("exact_n").desc, col(itemCol))
+      .limit(topK)
+      .select(col(itemCol), col("exact_n"), col("cms_n"), (col("cms_n") - col("exact_n")).as("overcount"))
+  }
+
+  /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
+    * shingles, probe every eval-split document's shingles against it. No false
+    * negatives (every true train-shingle hit is flagged); false-positive rate set by
+    * mBits vs train cardinality. Per eval doc: shingle count, flagged count, flag rate.
+    *
+    * The three bit positions come from disjoint 8-hex-char fields of ONE md5 — one hash
+    * pass per shingle, same as d02's minhash discipline. The bit-set relation is
+    * |train shingles|·3 distinct ints ≤ mBits — at production scale this becomes
+    * Spark's `bloomFilter` aggregate exchanged as a literal; the equi-join here keeps
+    * the same semantics while staying oracle-reproducible, and AQE picks broadcast vs
+    * shuffle join by the bit-set's actual size.
+    */
+  def bloomContamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mBits: Int = 1 << 18,
+      shingleSize: Int = 3,
+      trainPct: Int = 90
+  ): DataFrame = {
+    val split = Sampling.hashSplit(docs, idCol, trainPct, 5).select(col(idCol), col("split"))
+    val sh = Dedup
+      .shingles(docs, idCol, textCol, shingleSize)
+      .join(split, idCol)
+    val md = md5(col("shingle"))
+    def pos(start: Int): Column =
+      pmod(conv(substring(md, start, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    val withPos = sh.select(
+      col(idCol),
+      col("split"),
+      col("shingle"),
+      explode(array(pos(1), pos(9), pos(17))).as("pos"))
+    val bits = withPos
+      .filter(col("split") === "train")
+      .select(col("pos"))
+      .distinct()
+    val probe = withPos
+      .filter(col("split") =!= "train")
+      .select(col(idCol), col("split"), col("shingle"), col("pos"))
+      .distinct() // duplicate positions within one shingle collapse (p_i collisions)
+      .localCheckpoint(true) // two consumers: probed-position counts + the bit-set join
+    val probed = probe
+      .groupBy(col(idCol), col("split"), col("shingle"))
+      .agg(count(lit(1)).as("n_pos"))
+    val hits = probe
+      .join(bits, Seq("pos"))
+      .groupBy(col(idCol), col("split"), col("shingle"))
+      .agg(count(lit(1)).as("n_hit"))
+    probed
+      .join(hits, Seq(idCol, "split", "shingle"), "left")
+      .select(
+        col(idCol),
+        col("split"),
+        col("shingle"),
+        (coalesce(col("n_hit"), lit(0L)) === col("n_pos")).as("flagged"))
+      .groupBy(col(idCol), col("split"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn(
+        "flag_rate",
+        round(col("n_flagged").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+}
