@@ -176,6 +176,45 @@ object AnalyticsQueries {
         round(col("n_retained").cast("double") / col("n_active").cast("double"), 6))
   }
 
+  /** Hourly anomaly scores: each hour's event count z-scored against the trailing
+    * 24 hours (RANGE window on the integer hour bucket, so gaps in the hour sequence
+    * shrink the baseline instead of silently stretching it). Baseline sums are exact
+    * integers (Σn, Σn², count) — the mean/variance floats are one fixed IEEE sequence
+    * per row, so the oracle reproduces them bit-for-bit. Hours with under 12 baseline
+    * points are suppressed (z needs a baseline before it means anything).
+    *
+    * Scale: one shuffle to hourly grain (map-side combined), then a window over the
+    * TINY hourly relation — the raw event stream never reaches the window.
+    */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = table(spark, dir, "events")
+      .groupBy(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hour_bucket")).rangeBetween(-24, -1)
+    val withBase = hourly.select(
+      col("hour_bucket"),
+      col("n"),
+      sum(col("n")).over(w).as("base_n"),
+      sum(col("n") * col("n")).over(w).as("base_sq"),
+      count(lit(1)).over(w).as("base_cnt"))
+    // fixed float sequence (mirrored verbatim in the oracle): mean, then
+    // var = E[x²] − mean², clamped at 0 against cancellation
+    val mean = col("base_n").cast("double") / col("base_cnt").cast("double")
+    val variance = greatest(
+      col("base_sq").cast("double") / col("base_cnt").cast("double") - mean * mean,
+      lit(0.0))
+    withBase
+      .filter(col("base_cnt") >= 12)
+      .select(
+        col("hour_bucket"),
+        col("n"),
+        round(mean, 4).as("base_mean"),
+        when(variance > 0.0, round((col("n").cast("double") - mean) / sqrt(variance), 4))
+          .otherwise(lit(0.0))
+          .as("z"))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -412,6 +412,47 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over the same
+    * undirected graph-1 Normal closure as triangleCounts; degree-<2 vertices pin 0.
+    * All-integer inputs (triangle and degree counts), one final division + round —
+    * oracle-stable. The undirected edge list is materialized once for its four
+    * consumers (degree agg + the 3-way triangle self-join).
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val und = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(
+        least(col("source_id"), col("destination_id")).as("lo"),
+        greatest(col("source_id"), col("destination_id")).as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und
+      .select(explode(array(col("lo"), col("hi"))).as("vertex_id"))
+      .groupBy(col("vertex_id"))
+      .agg(count(lit(1)).as("degree"))
+    val tri = und.alias("e1")
+      .join(und.alias("e2"), col("e2.lo") === col("e1.hi"))
+      .join(und.alias("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex_id"))
+      .groupBy(col("vertex_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(tri, Seq("vertex_id"), "left")
+      .select(
+        col("vertex_id"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"),
+            6))
+          .as("clustering"))
+  }
+
   /** Extended analytics: 3 rounds of min-label propagation over the undirected graph-1
     * Normal edges (the connected-components kernel, bounded iterations so the result is
     * deterministic and oracle-expressible; full CC = iterate to fixpoint). All-integer:

@@ -52,6 +52,7 @@ object SparkEntry {
     "g26_metadata_patched"  -> (GraphQueries.metadataPatchedQuery _),
     "g27_kcore"             -> ((s: SparkSession, dir: String) =>
       GraphQueries.kCore(s, dir, k = 20, rounds = 3)),
+    "g28_clustering_coeff"  -> (GraphQueries.clusteringCoefficient _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "ev5_hourly_top_users"   -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.hourlyTopUsers(s, dir, k = 3)),
     "ev6_hourly_retention"   -> (AnalyticsQueries.hourlyRetention _),
+    "ev7_hourly_anomaly"     -> (AnalyticsQueries.hourlyAnomaly _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -120,6 +122,9 @@ object SparkEntry {
         shingleSize = 3, minDocFreq = 25)),
     "d08_curation_funnel" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.funnel(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d09_containment" -> ((s: SparkSession, dir: String) =>
+      Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.3)),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -146,6 +151,8 @@ object SparkEntry {
     }),
     "s08_quantize" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+    "s12_dim_stats" -> ((s: SparkSession, dir: String) =>
+      Similarity.dimStats(s.read.parquet(s"$dir/embeddings.parquet"), "embedding")),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -1341,6 +1348,91 @@ object SparkEntry {
          |  FROM chars GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
          |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin,
+
+    // local clustering coefficient over the g21 undirected closure — mirror of
+    // GraphQueries.clusteringCoefficient (2·tri/(deg·(deg−1)), degree-<2 pins 0)
+    "g28_clustering_coeff" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |deg AS (SELECT v AS vertex_id, COUNT(*) AS degree FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY v),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |tcnt AS (SELECT v AS vertex_id, COUNT(*) AS n_triangles FROM (
+         |           SELECT a AS v FROM tri
+         |           UNION ALL SELECT b FROM tri
+         |           UNION ALL SELECT c FROM tri)
+         |         GROUP BY v)
+         |SELECT d.vertex_id, d.degree,
+         |  COALESCE(t.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree < 2 THEN 0.0::DOUBLE
+         |       ELSE round(2.0::DOUBLE * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+         |                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS clustering
+         |FROM deg d LEFT JOIN tcnt t USING (vertex_id)""".stripMargin,
+
+    // hourly event-count z-scores vs the trailing-24h RANGE window — mirror of
+    // AnalyticsQueries.hourlyAnomaly (fixed float sequence: mean, E[x²]−mean², sqrt)
+    "ev7_hourly_anomaly" ->
+      s"""WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n
+         |                FROM events GROUP BY 1),
+         |wb AS (SELECT hour_bucket, n,
+         |         CAST(sum(n) OVER w AS BIGINT) AS base_n,
+         |         CAST(sum(n * n) OVER w AS BIGINT) AS base_sq,
+         |         count(*) OVER w AS base_cnt
+         |       FROM hourly
+         |       WINDOW w AS (ORDER BY hour_bucket RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT hour_bucket, n,
+         |  round(base_n::DOUBLE / base_cnt::DOUBLE, 4) AS base_mean,
+         |  CASE WHEN greatest(base_sq::DOUBLE / base_cnt::DOUBLE
+         |                     - (base_n::DOUBLE / base_cnt::DOUBLE) * (base_n::DOUBLE / base_cnt::DOUBLE),
+         |                     0.0::DOUBLE) > 0.0
+         |       THEN round((n::DOUBLE - base_n::DOUBLE / base_cnt::DOUBLE)
+         |                  / sqrt(greatest(base_sq::DOUBLE / base_cnt::DOUBLE
+         |                                  - (base_n::DOUBLE / base_cnt::DOUBLE) * (base_n::DOUBLE / base_cnt::DOUBLE),
+         |                                  0.0::DOUBLE)), 4)
+         |       ELSE 0.0::DOUBLE END AS z
+         |FROM wb WHERE base_cnt >= 12""".stripMargin,
+
+    // shingle containment C(a→b) = n_common/n_a over doc-freq-capped shingles, both
+    // directions — mirror of Dedup.containmentPairs
+    "d09_containment" ->
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
+         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT id_a, id_b,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment
+         |  FROM common
+         |  JOIN sizes na ON na.doc_id = id_a)
+         |WHERE containment >= 0.3""".stripMargin,
+
+    // per-dimension quantized mean/std of the embedding corpus — mirror of
+    // Similarity.dimStats (floor(x·1000+0.5) milliunit quantization ⇒ exact Σq, Σq²)
+    "s12_dim_stats" ->
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+         |             CAST(floor(v[i] * 1000 + 0.5) AS BIGINT) AS q
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |a AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+         |             CAST(sum(q * q) AS BIGINT) AS sum_sq
+         |      FROM q GROUP BY 1)
+         |SELECT dim, n,
+         |  round((sum_q::DOUBLE / n::DOUBLE) / 1000.0, 6) AS mean,
+         |  round(sqrt(greatest(sum_sq::DOUBLE / n::DOUBLE
+         |                      - (sum_q::DOUBLE / n::DOUBLE) * (sum_q::DOUBLE / n::DOUBLE),
+         |                      0.0::DOUBLE)) / 1000.0, 6) AS std
+         |FROM a""".stripMargin,
 
     // per-source HyperLogLog distinct-shingle estimate — mirror of Sketches.hllDistinct
     // (b=6: idx = top 6 bits of the 32-bit md5 prefix, rho over the low 26 bits via the

@@ -322,4 +322,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Shingle containment C(a→b) = |A∩B| / |A| — the asymmetric near-dup signal that
+    * Jaccard misses: a short document quoted wholesale inside a long one scores high
+    * containment but low Jaccard. Emits BOTH directions of every candidate pair
+    * (a→b and b→a score differently), threshold on the containment of the LEFT doc.
+    *
+    * Same scale discipline as ngramJaccardPairs: one hashed-shingle relation
+    * materialized for all consumers, boilerplate shingles above maxShingleDocFreq
+    * dropped before the inverted-index self-join (the cap applies to numerator AND
+    * denominator, in lockstep with the oracle).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.3,
+      maxShingleDocFreq: Int = 100
+  ): DataFrame = {
+    val shAll = shingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true)
+    val rare = shAll.groupBy(col("h"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleDocFreq)
+      .select(col("h"))
+    val sh = shAll.join(rare, Seq("h")).localCheckpoint(true)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = sh.select(col(idCol).as("id_a"), col("h"))
+      .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .withColumn(
+        "containment",
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -488,4 +488,35 @@ object Similarity {
           6).as("max_abs_err")
       )
   }
+
+  /** Per-dimension corpus statistics (mean/std) — the embedding-drift telemetry query.
+    * Components are quantized to integer milliunits BEFORE aggregation so Σq and Σq²
+    * are exact longs (a raw float sum's value depends on Spark's aggregation order;
+    * the quantized one can't). One fixed IEEE sequence per dim at the end — mean, then
+    * var = E[q²] − mean_q², clamped at 0 — mirrored verbatim in the oracle.
+    *
+    * Scale: posexplode → map-side-combinable agg keyed by dim; state is one row per
+    * dimension regardless of corpus size.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    // floor(x+0.5) quantization, not round(): the proven oracle-portable idiom
+    // (quantizeError) — round()'s tie behavior differs across engines
+    val q = floor(col("x").cast("double") * 1000 + lit(0.5)).cast("long")
+    val meanQ = col("sum_q").cast("double") / col("n").cast("double")
+    val varQ = greatest(
+      col("sum_sq").cast("double") / col("n").cast("double") - meanQ * meanQ,
+      lit(0.0))
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"), q.as("q"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_sq"))
+      .select(
+        col("dim"),
+        col("n"),
+        round(meanQ / 1000.0, 6).as("mean"),
+        round(sqrt(varQ) / 1000.0, 6).as("std"))
+  }
 }

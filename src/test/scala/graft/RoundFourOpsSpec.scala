@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Planted-fixture semantics for the round-4 batch-B operators: clustering
+  * coefficient, shingle containment, hourly anomaly, dimension stats.
+  */
+class RoundFourOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clusteringCoefficient: bounded in [0,1], degree<2 pins 0, triangles consistent") {
+    val cc = GraphQueries.clusteringCoefficient(spark, dir).collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      val c = r.getAs[Double]("clustering")
+      assert(c >= 0.0 && c <= 1.0, s"clustering out of range: $r")
+      if (r.getAs[Long]("degree") < 2) assert(c == 0.0)
+    }
+    // triangle counts agree with the standalone triangle query for every shared vertex
+    val tri = GraphQueries.triangleCounts(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("n_triangles")).toMap
+    cc.foreach { r =>
+      assert(r.getAs[Long]("n_triangles") == tri.getOrElse(r.getAs[Long]("vertex_id"), 0L))
+    }
+  }
+
+  test("containmentPairs: a quoted document scores full containment in its superset") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs: DataFrame = Seq(
+      (1L, quoted), // fully contained in 2
+      (2L, s"prefix words here $quoted suffix words there"),
+      (3L, "unrelated content entirely different words only here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) -> x.getAs[Double]("containment"))
+      .toMap
+    assert(r((1L, 2L)) == 1.0) // every shingle of 1 appears in 2
+    assert(r((2L, 1L)) < 1.0) // but 2 has shingles outside 1
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("hourlyAnomaly: baseline window enforced and a planted spike z-scores positive") {
+    val r = AnalyticsQueries.hourlyAnomaly(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("base_mean") > 0.0)
+      assert(!row.getAs[Double]("z").isNaN)
+    }
+    // z sign tracks the deviation from the reported baseline mean
+    r.foreach { row =>
+      val dev = row.getAs[Long]("n").toDouble - row.getAs[Double]("base_mean")
+      val z = row.getAs[Double]("z")
+      if (math.abs(dev) > 1e-9 && z != 0.0)
+        assert(math.signum(dev) == math.signum(z), s"z sign mismatch: $row")
+    }
+  }
+
+  test("dimStats: constant dimension has std 0 and exact mean; mixed dimension is exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      Tuple1(Array(1.0f, 2.0f)),
+      Tuple1(Array(1.0f, 4.0f)),
+      Tuple1(Array(1.0f, 0.0f))
+    ).toDF("embedding")
+    val r = Similarity.dimStats(vecs, "embedding").collect()
+      .map(x => x.getAs[Int]("dim") -> x).toMap
+    assert(r(0).getAs[Long]("n") == 3L)
+    assert(r(0).getAs[Double]("mean") == 1.0)
+    assert(r(0).getAs[Double]("std") == 0.0)
+    assert(r(1).getAs[Double]("mean") == 2.0)
+    // var = E[q²]−mean² = (16+4+0)/3·10⁶/10⁶ − 4 = 8/3 ⇒ std = sqrt(8/3)
+    assert(math.abs(r(1).getAs[Double]("std") - math.sqrt(8.0 / 3.0)) < 1e-5)
+  }
+}
