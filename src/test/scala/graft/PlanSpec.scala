@@ -203,4 +203,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan must read only (doc_id, text):\n$p")
   }
+
+  test("HLL registers reduce map-side: partial max before the (key, idx) exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val items = pipeline.Dedup.shingles(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle"))
+    val p = plan(pipeline.Sketches.hllDistinct(items, "source", "shingle", b = 6))
+    assert(p.contains("partial_max"), s"register max must combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"), s"register agg degraded to sort-based:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hourly anomaly windows over the post-aggregate hourly grain, not raw events") {
+    val p = plan(AnalyticsQueries.hourlyAnomaly(spark, dir))
+    val window = p.linesIterator.find(_.contains("Window"))
+    assert(window.isDefined, s"no window found:\n$p")
+    // the window must consume (hour_bucket, n) — raw event columns would mean the
+    // window runs over the full event stream instead of the tiny hourly relation
+    assert(!window.get.contains("event_id#") && !window.get.contains("user_id#"),
+      s"raw event columns leaked into the anomaly window:\n${window.get}")
+    assert(p.contains("partial_count"), s"hourly rollup must combine map-side:\n$p")
+  }
+
+  test("dimension stats stay in hash aggregation with map-side combine") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.dimStats(emb, "embedding"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"dim agg must combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"), s"dim agg degraded to sort-based:\n$p")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"scan must read only the embedding column:\n$p")
+  }
+
+  test("bloom probe joins bit positions with equi-joins only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Sketches.bloomContamination(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom membership must stay an equi-join:\n$p")
+  }
 }
