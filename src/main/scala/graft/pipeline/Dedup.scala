@@ -351,11 +351,15 @@ object Dedup {
       .select(col("h"))
     val sh = shAll.join(rare, Seq("h")).localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val common = sh.select(col(idCol).as("id_a"), col("h"))
+    // aggregate ordered pairs once (half the shuffle/agg state) and mirror after:
+    // n_common is symmetric, only the n_a join below is direction-specific
+    val half = sh.select(col(idCol).as("id_a"), col("h"))
       .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("h"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    val common = half.unionByName(
+      half.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("n_common")))
     common
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .withColumn(

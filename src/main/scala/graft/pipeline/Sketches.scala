@@ -147,46 +147,50 @@ object Sketches {
       trainPct: Int = 90
   ): DataFrame = {
     val split = Sampling.hashSplit(docs, idCol, trainPct, 5).select(col(idCol), col("split"))
-    val sh = Dedup
-      .shingles(docs, idCol, textCol, shingleSize)
-      .join(split, idCol)
     val md = md5(col("shingle"))
     def pos(start: Int): Column =
       pmod(conv(substring(md, start, 8), 16, 10).cast("long"), lit(mBits.toLong))
-    val withPos = sh.select(
-      col(idCol),
-      col("split"),
-      col("shingle"),
-      explode(array(pos(1), pos(9), pos(17))).as("pos"))
-    val bits = withPos
-      .filter(col("split") === "train")
-      .select(col("pos"))
-      .distinct()
-    val probe = withPos
-      .filter(col("split") =!= "train")
-      .select(col(idCol), col("split"), col("shingle"), col("pos"))
-      .distinct() // duplicate positions within one shingle collapse (p_i collisions)
-      .localCheckpoint(true) // two consumers: probed-position counts + the bit-set join
-    val probed = probe
-      .groupBy(col(idCol), col("split"), col("shingle"))
-      .agg(count(lit(1)).as("n_pos"))
-    val hits = probe
-      .join(bits, Seq("pos"))
-      .groupBy(col(idCol), col("split"), col("shingle"))
-      .agg(count(lit(1)).as("n_hit"))
-    probed
-      .join(hits, Seq(idCol, "split", "shingle"), "left")
+    // positions deduped WITHIN the row (p_i collisions) before any explode — a
+    // relation-level distinct here would shuffle the 3×-exploded stream for nothing
+    val withPos = Dedup
+      .shingles(docs, idCol, textCol, shingleSize)
+      .join(split, idCol)
       .select(
         col(idCol),
         col("split"),
         col("shingle"),
-        (coalesce(col("n_hit"), lit(0L)) === col("n_pos")).as("flagged"))
+        array_distinct(array(pos(1), pos(9), pos(17))).as("ps"))
+      .localCheckpoint(true) // two consumers: the train bit set and the eval probes
+    val bits = withPos
+      .filter(col("split") === "train")
+      .select(explode(col("ps")).as("pos"))
+      .distinct()
+    val probes = withPos.filter(col("split") =!= "train")
+    val flagged = probes
+      .select(
+        col(idCol),
+        col("split"),
+        col("shingle"),
+        size(col("ps")).as("n_pos"),
+        explode(col("ps")).as("pos"))
+      .join(bits, Seq("pos"))
+      .groupBy(col(idCol), col("split"), col("shingle"), col("n_pos"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_pos")) // all probed bits set => bloom positive
       .groupBy(col(idCol), col("split"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
-      .withColumn(
-        "flag_rate",
-        round(col("n_flagged").cast("double") / col("n_shingles").cast("double"), 6))
+      .agg(count(lit(1)).as("n_flagged"))
+    probes
+      .groupBy(col(idCol), col("split"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(flagged, Seq(idCol, "split"), "left")
+      .select(
+        col(idCol),
+        col("split"),
+        col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        round(
+          coalesce(col("n_flagged"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"),
+          6).as("flag_rate"))
   }
 }
