@@ -170,4 +170,67 @@ object StreamOps extends Serializable {
       .groupByKey(e => (e.graphId, e.sourceId))
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
+
+  // --- streaming HyperLogLog (Sketches.hllDistinct batch parity) ---
+
+  case class HllEstimate(key: String, hllEst: Double, nRegs: Int)
+
+  /** Rank of the first 1-bit in the wBits-wide tail — integer-identical to the batch
+    * operator's instr(lpad(bin(w)), '1') and the oracle's strpos arithmetic.
+    */
+  def hllRho(w: Long, wBits: Int): Int =
+    if (w == 0L) wBits + 1 else wBits - 63 + java.lang.Long.numberOfLeadingZeros(w)
+
+  /** Pure register merge (unit-testable): max-rho per index. Max is idempotent and
+    * commutative, so replays and reordering converge — the same replay-safety argument
+    * as the LWW registers, with O(m) state per key FOREVER (no horizon needed).
+    */
+  def mergeHllRegs(regs: Map[Int, Int], hashes: Iterator[Long], b: Int): Map[Int, Int] = {
+    val wBits = 32 - b
+    val mask = (1L << wBits) - 1
+    hashes.foldLeft(regs) { (acc, h) =>
+      val idx = (h >>> wBits).toInt
+      val r = hllRho(h & mask, wBits)
+      if (r > acc.getOrElse(idx, 0)) acc.updated(idx, r) else acc
+    }
+  }
+
+  /** Raw HLL estimate from the register map — the same exact-dyadic sum as the batch
+    * operator, so iteration order cannot change the float result.
+    */
+  def hllEstimate(regs: Map[Int, Int], b: Int): Double = {
+    val m = 1 << b
+    val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val ssum = regs.valuesIterator.map(r => 1.0 / (1L << r)).sum + (m - regs.size).toDouble
+    alphaMM / ssum
+  }
+
+  /** Streaming distinct-count estimation: per-key HLL registers as group state,
+    * current estimate emitted every micro-batch. After any prefix of the stream the
+    * estimate equals `Sketches.hllDistinct` on the same prefix (same md5 hash, same
+    * register arithmetic — StreamOpsSpec pins the parity). This is the streaming
+    * answer to "how many distinct shingles/users/urls so far" that an exact
+    * distinct-count would need unbounded state for.
+    */
+  def streamingHllDistinct(
+      items: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      b: Int = 6
+  ): Dataset[HllEstimate] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(
+        col(keyCol).cast("string").as("key"),
+        conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long)], state: GroupState[Map[Int, Int]]) =>
+          val regs = mergeHllRegs(state.getOption.getOrElse(Map.empty), batch.map(_._2), b)
+          state.update(regs)
+          HllEstimate(key, hllEstimate(regs, b), regs.size)
+      }
+  }
 }

@@ -134,4 +134,55 @@ class StreamOpsSpec extends SparkSpec {
     val b = mergeDegreeState(init, batch.reverse.iterator, 1000)
     assert(a == b)
   }
+
+  test("streaming HLL estimate matches the batch sketch after any stream prefix") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 300).map(i => (s"k${i % 2}", s"item_$i"))
+    val (first, second) = all.splitAt(120)
+
+    val stream = MemoryStream[(String, String)]
+    val est = StreamOps.streamingHllDistinct(
+      stream.toDS().toDF("key", "item"), "key", "item")
+    val query = est.toDF().writeStream.format("memory").queryName("hll")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // the memory sink accumulates one row per (key, batch); registers only
+      // max-merge so the estimate is monotone non-decreasing => latest == max
+      def streamingNow(): Map[String, Double] =
+        spark.sql("SELECT key, round(max(hllEst), 3) e FROM hll GROUP BY key").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      def batchOn(prefix: Seq[(String, String)]): Map[String, Double] =
+        graft.pipeline.Sketches
+          .hllDistinct(prefix.toDF("key", "item"), "key", "item", b = 6)
+          .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("hll_est")).toMap
+
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      assert(streamingNow() == batchOn(first))
+
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      assert(streamingNow() == batchOn(all))
+
+      // replay the whole first batch: registers are max-merged, estimate unchanged
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      assert(streamingNow() == batchOn(all))
+    } finally query.stop()
+  }
+
+  test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
+    import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
+    for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
+      val viaString =
+        if (w == 0L) 27
+        else ("0" * 26 + w.toBinaryString).takeRight(26).indexOf('1') + 1
+      assert(hllRho(w, 26) == viaString, s"rho mismatch for w=$w")
+    }
+    val hashes = Seq(0x12345678L, 0xABCDEF01L, 0x00000001L, 0xFFFFFFFFL)
+    val a = mergeHllRegs(Map.empty, hashes.iterator, 6)
+    val b = mergeHllRegs(Map.empty, hashes.reverse.iterator, 6)
+    assert(a == b)
+  }
 }
