@@ -215,6 +215,73 @@ object AnalyticsQueries {
           .as("z"))
   }
 
+  /** As-of join — the time-series operator Spark has no built-in for: each `leftType`
+    * event is matched to the user's most recent `rightType` event at-or-before it
+    * (ties at the same timestamp broken by max event id). Composed as tagged-union +
+    * one ordered window with last(ignoreNulls) — the standard Spark-native as-of
+    * shape: ONE shuffle on the join key, no range join, no per-row subquery. At 100 TB
+    * this is a single (user_id)-partitioned sort, skew-safe under AQE; the oracle
+    * mirrors the semantics with an explicit max-ts/max-id formulation.
+    */
+  def asofJoin(
+      spark: SparkSession,
+      dir: String,
+      leftType: String = "purchase",
+      rightType: String = "click"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        expr("ts DIV 1000").as("ts_us"),
+        // right rows sort BEFORE left rows at the same timestamp: at-or-before
+        when(col("event_type") === rightType, lit(0)).otherwise(lit(1)).as("side"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("r_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("r_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("r_ts").as("click_ts_us"),
+        col("r_id").as("click_event_id"),
+        (col("ts_us") - col("r_ts")).as("gap_us"))
+  }
+
+  /** Ordered conversion funnel: first signup, then the first click at-or-after it,
+    * then the first purchase at-or-after that — per user, with nulls where the chain
+    * breaks. Three stage-aggregations on the user key (each map-side combinable);
+    * the event stream is scanned once and reused via an eager materialization.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      .localCheckpoint(true) // three stage consumers
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_ts"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") >= col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_ts"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") >= col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_ts"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -363,6 +363,51 @@ object GraphQueries {
       .select(col("src").as("source_id"), col("degree"))
   }
 
+  /** Connected components to FIXPOINT (min reachable vertex id), not the bounded-round
+    * approximation of g22: min-label propagation iterates until a round changes no
+    * label (≤ component diameter rounds, checked with a driver-side count per round —
+    * one scalar action over the label relation, not a collect). maxRounds is a
+    * runaway guard; hitting it raises rather than returning a wrong answer.
+    *
+    * Scale: each round is one (vertex)-keyed equi-join + min-agg over the label
+    * relation, lineage truncated per round. For graphs whose diameter makes
+    * O(diameter) rounds painful, the known refinement is large-star/small-star
+    * (O(log n) rounds, same per-round join shape) — the round structure here is the
+    * harness either way. The oracle computes true reachability with a recursive CTE,
+    * so a hash match proves the fixpoint, not just round-parity.
+    */
+  def connectedComponents(spark: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val adj = snap
+      .unionByName(snap.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = adj.select(col("src").as("v"), col("src").as("component")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds, s"connectedComponents did not converge in $maxRounds rounds")
+      val viaNeighbor = adj
+        .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("v"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // labels only decrease; a strict-decrease count is the convergence signal
+      changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("v"))
+        .filter(col("component") < col("prev"))
+        .count()
+      labels = next
+    }
+    labels.select(col("v").as("vertex_id"), col("component"))
+  }
+
   /** A2 incremental metadata maintenance, end-to-end: apply a batch of single-edge
     * adds, then produce the post-write metadata via [[graft.store.EdgeStore.metadataPatched]]
     * — only the touched vertices are re-aggregated; every other row is carried over

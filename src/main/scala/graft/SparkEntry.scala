@@ -53,6 +53,8 @@ object SparkEntry {
     "g27_kcore"             -> ((s: SparkSession, dir: String) =>
       GraphQueries.kCore(s, dir, k = 20, rounds = 3)),
     "g28_clustering_coeff"  -> (GraphQueries.clusteringCoefficient _),
+    "g29_connected_components" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.connectedComponents(s, dir)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -66,6 +68,9 @@ object SparkEntry {
       AnalyticsQueries.hourlyTopUsers(s, dir, k = 3)),
     "ev6_hourly_retention"   -> (AnalyticsQueries.hourlyRetention _),
     "ev7_hourly_anomaly"     -> (AnalyticsQueries.hourlyAnomaly _),
+    "ev8_asof_join"          -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.asofJoin(s, dir)),
+    "ev9_funnel_stages"      -> (AnalyticsQueries.funnelStages _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1375,6 +1380,52 @@ object SparkEntry {
          |       ELSE round(2.0::DOUBLE * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
          |                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS clustering
          |FROM deg d LEFT JOIN tcnt t USING (vertex_id)""".stripMargin,
+
+    // connected components to fixpoint — the oracle computes TRUE reachability with a
+    // recursive CTE (component = min reachable id), so a hash match proves the Spark
+    // fixpoint loop converged, not merely that both ran the same number of rounds
+    "g29_connected_components" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS a, hi AS b FROM und UNION SELECT hi, lo FROM und),
+         |verts AS (SELECT DISTINCT a AS v FROM adj),
+         |reach AS (SELECT v, v AS r FROM verts
+         |          UNION
+         |          SELECT adj.b AS v, reach.r FROM reach JOIN adj ON adj.a = reach.v)
+         |SELECT v AS vertex_id, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+
+    // as-of join: each purchase matched to the user's most recent click at-or-before
+    // it (ties: max click event id) — mirror of AnalyticsQueries.asofJoin, formulated
+    // here as explicit max-ts/max-id instead of the engine's tagged-union window
+    "ev8_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         |      WHERE event_type = 'click'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts_us, max(c.ts_us) AS click_ts_us
+         |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+         |      GROUP BY 1, 2, 3)
+         |SELECT m.event_id, m.user_id, m.ts_us, m.click_ts_us,
+         |  (SELECT max(c2.event_id) FROM c c2
+         |   WHERE c2.user_id = m.user_id AND c2.ts_us = m.click_ts_us) AS click_event_id,
+         |  m.ts_us - m.click_ts_us AS gap_us
+         |FROM m""".stripMargin,
+
+    // ordered signup→click→purchase funnel with at-or-after stage gating — mirror of
+    // AnalyticsQueries.funnelStages
+    "ev9_funnel_stages" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS signup_ts FROM ev
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(ts_us) AS click_ts FROM ev JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND ts_us >= signup_ts GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(ts_us) AS purchase_ts FROM ev JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
+         |SELECT s1.user_id, signup_ts, click_ts, purchase_ts
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // hourly event-count z-scores vs the trailing-24h RANGE window — mirror of
     // AnalyticsQueries.hourlyAnomaly (fixed float sequence: mean, E[x²]−mean², sqrt)

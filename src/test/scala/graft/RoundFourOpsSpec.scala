@@ -60,6 +60,50 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: edges never cross components, component = min member id") {
+    val cc = GraphQueries.connectedComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("component")).toMap
+    assert(cc.nonEmpty)
+    // every component label is the min vertex id among its members
+    cc.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp, s"component $comp is not its min member")
+    }
+    // both endpoints of every Normal graph-1 edge agree
+    import graft.model.State
+    val edges = graft.testgraph.TestGraph.store(spark, dir).snapshot
+      .filter(org.apache.spark.sql.functions.col("graph_id") === 1 &&
+        org.apache.spark.sql.functions.col("state") === State.Normal)
+      .select("source_id", "destination_id").collect()
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      if (a != b) assert(cc(a) == cc(b), s"edge ($a,$b) crosses components")
+    }
+  }
+
+  test("asofJoin: matched click is at-or-before the purchase with a real click id") {
+    val r = AnalyticsQueries.asofJoin(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.filter(!_.isNullAt(3)).foreach { row =>
+      assert(row.getAs[Long]("click_ts_us") <= row.getAs[Long]("ts_us"))
+      assert(row.getAs[Long]("gap_us") ==
+        row.getAs[Long]("ts_us") - row.getAs[Long]("click_ts_us"))
+      assert(!row.isNullAt(4), s"matched ts without a click id: $row")
+    }
+  }
+
+  test("funnelStages: stage timestamps are ordered and null-chained") {
+    val r = AnalyticsQueries.funnelStages(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val signup = row.getAs[Long]("signup_ts")
+      if (!row.isNullAt(2)) assert(row.getAs[Long]("click_ts") >= signup)
+      if (!row.isNullAt(3)) {
+        assert(!row.isNullAt(2), s"purchase without click stage: $row")
+        assert(row.getAs[Long]("purchase_ts") >= row.getAs[Long]("click_ts"))
+      }
+    }
+  }
+
   test("dimStats: constant dimension has std 0 and exact mean; mixed dimension is exact") {
     import spark.implicits._
     val vecs = Seq(
