@@ -1469,7 +1469,9 @@ object SparkEntry {
          |WHERE containment >= 0.3""".stripMargin,
 
     // per-dimension quantized mean/std of the embedding corpus — mirror of
-    // Similarity.dimStats (floor(x·1000+0.5) milliunit quantization ⇒ exact Σq, Σq²)
+    // Similarity.dimStats (floor(x·1000+0.5) milliunit quantization ⇒ exact Σq, Σq²;
+    // the mean is rounded in INTEGER microunits, half away from zero — a float
+    // round(,6) ties at the last digit because these rationals terminate there)
     "s12_dim_stats" ->
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
@@ -1479,7 +1481,8 @@ object SparkEntry {
          |             CAST(sum(q * q) AS BIGINT) AS sum_sq
          |      FROM q GROUP BY 1)
          |SELECT dim, n,
-         |  round((sum_q::DOUBLE / n::DOUBLE) / 1000.0, 6) AS mean,
+         |  (CASE WHEN sum_q < 0 THEN -1 ELSE 1 END
+         |   * ((abs(sum_q) * 2000 + n) // (2 * n)))::DOUBLE / 1000000.0 AS mean,
          |  round(sqrt(greatest(sum_sq::DOUBLE / n::DOUBLE
          |                      - (sum_q::DOUBLE / n::DOUBLE) * (sum_q::DOUBLE / n::DOUBLE),
          |                      0.0::DOUBLE)) / 1000.0, 6) AS std

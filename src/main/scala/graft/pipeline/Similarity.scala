@@ -502,6 +502,13 @@ object Similarity {
     // floor(x+0.5) quantization, not round(): the proven oracle-portable idiom
     // (quantizeError) — round()'s tie behavior differs across engines
     val q = floor(col("x").cast("double") * 1000 + lit(0.5)).cast("long")
+    // the mean is a RATIONAL whose decimal expansion often terminates exactly at the
+    // rounding digit (n is a round number), so round(double, 6) is tie-exposed —
+    // round it in integer microunits instead (half away from zero), then one exact
+    // integer division. |sum_q|·2000 stays under 2^63 up to ~10^12 rows per dim.
+    val meanMicro =
+      (when(col("sum_q") < 0, lit(-1L)).otherwise(lit(1L)) *
+        expr("(abs(sum_q) * 2000 + n) DIV (2 * n)")).as("mean_micro")
     val meanQ = col("sum_q").cast("double") / col("n").cast("double")
     val varQ = greatest(
       col("sum_sq").cast("double") / col("n").cast("double") - meanQ * meanQ,
@@ -516,7 +523,9 @@ object Similarity {
       .select(
         col("dim"),
         col("n"),
-        round(meanQ / 1000.0, 6).as("mean"),
+        (meanMicro / lit(1000000.0)).as("mean"),
+        // std keeps the float path: sqrt's output is (near-)irrational, so a
+        // terminating-decimal tie at the rounding digit cannot realistically occur
         round(sqrt(varQ) / 1000.0, 6).as("std"))
   }
 }
