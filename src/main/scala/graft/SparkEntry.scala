@@ -98,6 +98,8 @@ object SparkEntry {
       TextStats.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 20)),
     "t16_source_novelty" -> ((s: SparkSession, dir: String) =>
       Dedup.sourceNovelty(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
+    "t17_length_quantiles" -> ((s: SparkSession, dir: String) =>
+      TextStats.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -1380,6 +1382,24 @@ object SparkEntry {
          |       ELSE round(2.0::DOUBLE * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
          |                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS clustering
          |FROM deg d LEFT JOIN tcnt t USING (vertex_id)""".stripMargin,
+
+    // exact per-source token-length quantiles via the cumulated length histogram —
+    // mirror of TextStats.lengthQuantiles (integer cum·100 ≥ p·total thresholds)
+    "t17_length_quantiles" ->
+      s"""WITH lens AS (SELECT source,
+         |                (length(text) - length(replace(text, ' ', ''))) + 1 AS len
+         |              FROM documents),
+         |hist AS (SELECT source, len, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+         |cw AS (SELECT source, len,
+         |         CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+         |       FROM hist)
+         |SELECT source, max(total) AS n_docs,
+         |  min(CASE WHEN cum * 100 >= 50 * total THEN len END) AS p50,
+         |  min(CASE WHEN cum * 100 >= 90 * total THEN len END) AS p90,
+         |  min(CASE WHEN cum * 100 >= 99 * total THEN len END) AS p99
+         |FROM cw GROUP BY source""".stripMargin,
 
     // connected components to fixpoint — the oracle computes TRUE reachability with a
     // recursive CTE (component = min reachable id), so a hash match proves the Spark

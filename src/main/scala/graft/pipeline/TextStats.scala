@@ -295,4 +295,36 @@ object TextStats {
       )
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
+
+  /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
+    * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
+    * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group
+    * LENGTH HISTOGRAM — the full corpus is never sorted; window state is one row per
+    * distinct length per group. Thresholds compare `cum·100 ≥ p·total` in integers, so
+    * there is no float quantile arithmetic to drift.
+    *
+    * This is the exact-quantile scale path for discrete metrics (length domains are
+    * bounded); for unbounded continuous domains the approximate-sketch alternative is
+    * `percentile_approx`, which trades the histogram for a fixed-size digest.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(col(groupCol), tokenCount(col(textCol)).as("len"))
+      .groupBy(col(groupCol), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+    def q(p: Int): Column =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("len"))).as(s"p$p")
+    hist
+      .select(
+        col(groupCol),
+        col("len"),
+        sum(col("c")).over(cumW).as("cum"),
+        sum(col("c")).over(totW).as("total"))
+      .groupBy(col(groupCol))
+      .agg(max(col("total")).as("n_docs"), q(50), q(90), q(99))
+  }
 }

@@ -104,6 +104,18 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantiles: exact order statistics on a planted length distribution") {
+    import spark.implicits._
+    // 100 docs with 1..100 tokens: p50=50, p90=90, p99=99 by the ceil(q·n) definition
+    val docs = (1 to 100).map(n => ("s", Seq.fill(n)("w").mkString(" "))).toDF("source", "text")
+    val r = graft.pipeline.TextStats.lengthQuantiles(docs, "source", "text").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 100L)
+    assert(r.head.getAs[Long]("p50") == 50L)
+    assert(r.head.getAs[Long]("p90") == 90L)
+    assert(r.head.getAs[Long]("p99") == 99L)
+  }
+
   test("dimStats: constant dimension has std 0 and exact mean; mixed dimension is exact") {
     import spark.implicits._
     val vecs = Seq(
