@@ -100,6 +100,8 @@ object SparkEntry {
       Dedup.sourceNovelty(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
     "t17_length_quantiles" -> ((s: SparkSession, dir: String) =>
       TextStats.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
+    "t18_tfidf_top" -> ((s: SparkSession, dir: String) =>
+      TextStats.tfIdfTop(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -1400,6 +1402,21 @@ object SparkEntry {
          |  min(CASE WHEN cum * 100 >= 90 * total THEN len END) AS p90,
          |  min(CASE WHEN cum * 100 >= 99 * total THEN len END) AS p99
          |FROM cw GROUP BY source""".stripMargin,
+
+    // top-3 terms per doc by log-free TF-IDF (tf·N/df: exact ints, one division, no
+    // rounding ⇒ bit-identical doubles) — mirror of TextStats.tfIdfTop
+    "t18_tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, tf.token, tf, df_count,
+         |        CAST(tf * n_docs AS DOUBLE) / CAST(df_count AS DOUBLE) AS score
+         |      FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n)
+         |SELECT doc_id, token, tf, df_count, score, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, token) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
 
     // connected components to fixpoint — the oracle computes TRUE reachability with a
     // recursive CTE (component = min reachable id), so a hash match proves the Spark

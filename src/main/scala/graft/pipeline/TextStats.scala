@@ -307,6 +307,34 @@ object TextStats {
     * bounded); for unbounded continuous domains the approximate-sketch alternative is
     * `percentile_approx`, which trades the histogram for a fixed-size digest.
     */
+  /** Top-k distinguishing terms per document by log-free TF-IDF: score =
+    * tf · N / df — the same ordering as tf·(N/df) without the log, so the score is ONE
+    * exact-integer multiply + ONE IEEE division and therefore bit-identical across
+    * engines with NO rounding step (a logarithm's libm rounding is not
+    * oracle-portable). Ties break on token so the rank-k cut is deterministic.
+    *
+    * Scale: tf is a map-side-combinable agg; document frequency is an agg over the
+    * (token, doc) relation; N is a 1-row broadcast; the rank window partitions by
+    * document (bounded by per-doc vocabulary).
+    */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    tf
+      .join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df_count").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df_count"), col("score"), col("rank"))
+  }
+
   def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df

@@ -116,6 +116,26 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("p99") == 99L)
   }
 
+  test("tfIdfTop: rare terms outrank ubiquitous ones; rank cut is deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TextStats.tfIdfTop(docs, "doc_id", "text", k = 2).collect()
+    val top1 = r.filter(x => x.getAs[Long]("doc_id") == 1L && x.getAs[Int]("rank") == 1).head
+    // doc 1: 'rare' df=1 score=1*3/1=3 beats 'common' tf=3 df=3 score=3*3/3=3 — tie!
+    // tie breaks on token asc: 'common' < 'rare', so common is rank 1
+    assert(top1.getAs[String]("token") == "common")
+    assert(top1.getAs[Double]("score") == 3.0)
+    val top2 = r.filter(x => x.getAs[Long]("doc_id") == 1L && x.getAs[Int]("rank") == 2).head
+    assert(top2.getAs[String]("token") == "rare" && top2.getAs[Double]("score") == 3.0)
+    // docs 2/3: 'other' (df=2) outranks 'common' (df=3): 1*3/2 > 1*3/3
+    val d2 = r.filter(x => x.getAs[Long]("doc_id") == 2L && x.getAs[Int]("rank") == 1).head
+    assert(d2.getAs[String]("token") == "other")
+  }
+
   test("dimStats: constant dimension has std 0 and exact mean; mixed dimension is exact") {
     import spark.implicits._
     val vecs = Seq(
