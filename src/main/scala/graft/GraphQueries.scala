@@ -387,9 +387,15 @@ object GraphQueries {
       .localCheckpoint(true)
     var labels = adj.select(col("src").as("v"), col("src").as("component")).distinct()
       .localCheckpoint(true)
+    // labels only decrease over a fixed vertex set, so ANY change strictly lowers
+    // Σcomponent — one scalar aggregate per round detects convergence, no join
+    // (decimal sum: a 64-bit-id graph's label sum overflows a long)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       round += 1
       require(round <= maxRounds, s"connectedComponents did not converge in $maxRounds rounds")
       val viaNeighbor = adj
@@ -399,10 +405,9 @@ object GraphQueries {
         .groupBy(col("v"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      // labels only decrease; a strict-decrease count is the convergence signal
-      changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("v"))
-        .filter(col("component") < col("prev"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     labels.select(col("v").as("vertex_id"), col("component"))
@@ -437,34 +442,14 @@ object GraphQueries {
     * — two equi-joins, no cross product; at extreme skew the standard refinement is
     * degree-orientation instead of id-orientation, same plan shape.
     */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val snap = TestGraph.store(spark, dir).snapshot
-    val und = snap
-      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
-        col("source_id") =!= col("destination_id"))
-      .select(
-        least(col("source_id"), col("destination_id")).as("lo"),
-        greatest(col("source_id"), col("destination_id")).as("hi"))
-      .distinct()
-      .localCheckpoint(true) // three self-join consumers
-    val tri = und.alias("e1")
-      .join(und.alias("e2"), col("e2.lo") === col("e1.hi"))
-      .join(und.alias("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex_id"))
-      .groupBy(col("vertex_id"))
-      .agg(count(lit(1)).as("n_triangles"))
-  }
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsOf(undirectedClosure(spark, dir))
 
-  /** Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over the same
-    * undirected graph-1 Normal closure as triangleCounts; degree-<2 vertices pin 0.
-    * All-integer inputs (triangle and degree counts), one final division + round —
-    * oracle-stable. The undirected edge list is materialized once for its four
-    * consumers (degree agg + the 3-way triangle self-join).
+  /** Undirected id-oriented closure (lo < hi) of graph-1 Normal edges, materialized
+    * once for its self-join/degree consumers.
     */
-  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
-    val und = TestGraph.store(spark, dir).snapshot
+  private def undirectedClosure(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal &&
         col("source_id") =!= col("destination_id"))
       .select(
@@ -472,11 +457,12 @@ object GraphQueries {
         greatest(col("source_id"), col("destination_id")).as("hi"))
       .distinct()
       .localCheckpoint(true)
-    val deg = und
-      .select(explode(array(col("lo"), col("hi"))).as("vertex_id"))
-      .groupBy(col("vertex_id"))
-      .agg(count(lit(1)).as("degree"))
-    val tri = und.alias("e1")
+
+  /** Per-vertex triangle counts via oriented wedge enumeration over the closure —
+    * each triangle found exactly once, then credited to all three corners.
+    */
+  private def triangleCountsOf(und: DataFrame): DataFrame =
+    und.alias("e1")
       .join(und.alias("e2"), col("e2.lo") === col("e1.hi"))
       .join(und.alias("e3"),
         col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
@@ -484,6 +470,20 @@ object GraphQueries {
       .select(explode(array(col("a"), col("b"), col("c"))).as("vertex_id"))
       .groupBy(col("vertex_id"))
       .agg(count(lit(1)).as("n_triangles"))
+
+  /** Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over the same
+    * undirected graph-1 Normal closure as triangleCounts; degree-<2 vertices pin 0.
+    * All-integer inputs (triangle and degree counts), one final division + round —
+    * oracle-stable. The shared closure is materialized once for its four consumers
+    * (degree agg + the 3-way triangle self-join).
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedClosure(spark, dir)
+    val deg = und
+      .select(explode(array(col("lo"), col("hi"))).as("vertex_id"))
+      .groupBy(col("vertex_id"))
+      .agg(count(lit(1)).as("degree"))
+    val tri = triangleCountsOf(und)
     deg
       .join(tri, Seq("vertex_id"), "left")
       .select(

@@ -48,7 +48,8 @@ object Sketches {
     val wBits = 32 - b
     val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
     val h = h32(col(itemCol))
-    val withReg = items.select(
+    val mat = items.localCheckpoint(true) // two consumers: registers + exact diagnostic
+    val withReg = mat.select(
       col(keyCol),
       col(itemCol),
       shiftright(h, wBits).as("idx"),
@@ -68,7 +69,7 @@ object Sketches {
       .select(
         col(keyCol),
         (col("hit_sum") + (lit(m.toLong) - col("n_regs")).cast("double")).as("ssum"))
-    val exact = items
+    val exact = mat
       .groupBy(col(keyCol))
       .agg(countDistinct(col(itemCol)).as("exact_distinct"))
     sums

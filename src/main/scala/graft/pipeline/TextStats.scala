@@ -296,17 +296,6 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
-  /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
-    * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
-    * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group
-    * LENGTH HISTOGRAM — the full corpus is never sorted; window state is one row per
-    * distinct length per group. Thresholds compare `cum·100 ≥ p·total` in integers, so
-    * there is no float quantile arithmetic to drift.
-    *
-    * This is the exact-quantile scale path for discrete metrics (length domains are
-    * bounded); for unbounded continuous domains the approximate-sketch alternative is
-    * `percentile_approx`, which trades the histogram for a fixed-size digest.
-    */
   /** Top-k distinguishing terms per document by log-free TF-IDF: score =
     * tf · N / df — the same ordering as tf·(N/df) without the log, so the score is ONE
     * exact-integer multiply + ONE IEEE division and therefore bit-identical across
@@ -335,6 +324,17 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("df_count"), col("score"), col("rank"))
   }
 
+  /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
+    * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
+    * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group
+    * LENGTH HISTOGRAM — the full corpus is never sorted; window state is one row per
+    * distinct length per group. Thresholds compare `cum·100 ≥ p·total` in integers, so
+    * there is no float quantile arithmetic to drift.
+    *
+    * This is the exact-quantile scale path for discrete metrics (length domains are
+    * bounded); for unbounded continuous domains the approximate-sketch alternative is
+    * `percentile_approx`, which trades the histogram for a fixed-size digest.
+    */
   def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df
