@@ -215,6 +215,50 @@ object AnalyticsQueries {
           .as("z"))
   }
 
+  /** Event-type pivot: per-user counts spread into one column per event type — the
+    * wide-format export every BI/feature-store handoff wants. The type list is
+    * PINNED (not discovered with an extra collect pass): a 100 TB pivot must know its
+    * columns up front, and unknown types land in nothing rather than silently adding
+    * columns the downstream schema contract doesn't have.
+    *
+    * Formulated as conditional sums rather than `.pivot()`: Dataset.pivot plans a
+    * pre-aggregation on (user, type) plus a pivotfirst pass — TWO shuffles — where
+    * the conditional aggregation is ONE map-side-combinable shuffle on the user key
+    * (PlanSpec pins this).
+    */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Region→nation revenue ROLLUP: subtotals per region and a grand total in one
+    * aggregation pass (Spark plans grouping sets as a single Expand + hash agg — no
+    * re-scan per level). `grouping()` flags distinguish subtotal rows from data rows
+    * because a NULL dimension value would be ambiguous. Exact basis-point-cents.
+    */
+  def regionRevenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), revenueBp(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val dims = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val ord = table(spark, dir, "orders")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("rev")).as("revenue_bp"),
+        count(lit(1)).as("n_items"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"))
+  }
+
   /** As-of join — the time-series operator Spark has no built-in for: each `leftType`
     * event is matched to the user's most recent `rightType` event at-or-before it
     * (ties at the same timestamp broken by max event id). Composed as tagged-union +

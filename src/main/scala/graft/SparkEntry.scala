@@ -59,6 +59,7 @@ object SparkEntry {
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
     "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
+    "q06_revenue_rollup"     -> (AnalyticsQueries.regionRevenueRollup _),
     "q02_brand_nation_volume" -> (AnalyticsQueries.brandNationVolume _),
     "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
     "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "ev8_asof_join"          -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.asofJoin(s, dir)),
     "ev9_funnel_stages"      -> (AnalyticsQueries.funnelStages _),
+    "ev10_type_pivot"        -> (AnalyticsQueries.eventTypePivot _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -689,6 +691,30 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name""".stripMargin,
+
+    // region→nation revenue ROLLUP with grouping flags — mirror of
+    // AnalyticsQueries.regionRevenueRollup (one grouping-sets aggregation)
+    "q06_revenue_rollup" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items,
+         |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+         |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    // per-user event-type pivot (pinned type list) — mirror of
+    // AnalyticsQueries.eventTypePivot
+    "ev10_type_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         |FROM events GROUP BY user_id""".stripMargin,
 
     "q02_brand_nation_volume" ->
       s"""SELECT n_name, p_brand,

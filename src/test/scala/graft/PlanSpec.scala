@@ -236,6 +236,22 @@ class PlanSpec extends SparkSpec {
       s"scan must read only the embedding column:\n$p")
   }
 
+  test("rollup plans as one Expand + aggregation, not a re-scan per grouping level") {
+    val p = plan(AnalyticsQueries.regionRevenueRollup(spark, dir))
+    assert(p.contains("Expand"), s"rollup must plan through Expand:\n$p")
+    assert("Scan parquet .*lineitem".r.findAllMatchIn(p).size == 1,
+      s"lineitem must be scanned exactly once across grouping levels:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension joins must broadcast:\n$p")
+  }
+
+  test("event-type pivot is a single user-keyed aggregation (pinned columns, no extra pass)") {
+    val p = plan(AnalyticsQueries.eventTypePivot(spark, dir))
+    assert("Scan parquet .*events".r.findAllMatchIn(p).size == 1,
+      s"pivot must not re-scan events to discover its columns:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"pivot should shuffle once on user_id, saw $exchanges:\n$p")
+  }
+
   test("bloom probe joins bit positions with equi-joins only") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(pipeline.Sketches.bloomContamination(docs, "doc_id", "text"))
