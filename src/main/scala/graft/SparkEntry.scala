@@ -136,6 +136,8 @@ object SparkEntry {
     "d09_containment" -> ((s: SparkSession, dir: String) =>
       Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, threshold = 0.3)),
+    "d10_fuzzy_pairs" -> ((s: SparkSession, dir: String) =>
+      Dedup.fuzzyPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1512,6 +1514,24 @@ object SparkEntry {
          |                                  0.0::DOUBLE)), 4)
          |       ELSE 0.0::DOUBLE END AS z
          |FROM wb WHERE base_cnt >= 12""".stripMargin,
+
+    // minhash-candidate pairs verified by Levenshtein on 48-char prefixes — mirror of
+    // Dedup.fuzzyPairs (same 60-bit md5 + affine permutation family as d02)
+    "d10_fuzzy_pairs" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash
+         |                            AND a.doc_id < b.doc_id),
+         |pref AS (SELECT doc_id, substr(text, 1, 48) AS pref FROM documents)
+         |SELECT id_a, id_b, CAST(levenshtein(pa.pref, pb.pref) AS INTEGER) AS edit_dist
+         |FROM cand
+         |JOIN pref pa ON pa.doc_id = id_a
+         |JOIN pref pb ON pb.doc_id = id_b
+         |WHERE levenshtein(pa.pref, pb.pref) <= 16""".stripMargin,
 
     // shingle containment C(a→b) = n_common/n_a over doc-freq-capped shingles, both
     // directions — mirror of Dedup.containmentPairs

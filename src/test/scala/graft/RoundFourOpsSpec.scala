@@ -104,6 +104,22 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: small in-word edit is caught; unrelated docs never pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")), // 1 in-word edit => prefix distance 1
+      (3L, "completely different text about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val r = Dedup.fuzzyPairs(docs, "doc_id", "text")
+      .collect()
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b")) -> x.getAs[Int]("edit_dist"))
+      .toMap
+    assert(r((1L, 2L)) == 1, s"expected edit distance 1 for the planted edit: $r")
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("lengthQuantiles: exact order statistics on a planted length distribution") {
     import spark.implicits._
     // 100 docs with 1..100 tokens: p50=50, p90=90, p99=99 by the ceil(q·n) definition
