@@ -363,6 +363,45 @@ object GraphQueries {
       .select(col("src").as("source_id"), col("degree"))
   }
 
+  /** Degree assortativity: the Pearson correlation of endpoint degrees over the
+    * undirected edge list — one number saying whether hubs attach to hubs (>0) or to
+    * leaves (<0). Every sum (Σx, Σy, Σxy, Σx², Σy², n over BOTH edge orientations) is
+    * an exact integer, so the one-shot correlation formula is a fixed IEEE sequence —
+    * oracle-stable with no rounding anywhere before the final round.
+    *
+    * Scale: degree table (one shuffle) + two broadcast-ready equi-joins onto the edge
+    * list + one scalar aggregation; nothing grows beyond the edge count.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedClosure(spark, dir)
+    val deg = und
+      .select(explode(array(col("lo"), col("hi"))).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+    // both orientations so the correlation is symmetric in x/y
+    val pairs = und
+      .unionByName(und.select(col("hi").as("lo"), col("lo").as("hi")))
+      .join(deg.select(col("v").as("lo"), col("d").as("dx")), Seq("lo"))
+      .join(deg.select(col("v").as("hi"), col("d").as("dy")), Seq("hi"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"),
+      sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    // each variance term stays an exact long (≲10¹⁸ up to ~10¹² edge endpoints ×
+    // deg² 10⁶); their PRODUCT would overflow, so it happens in double space —
+    // one exact-int→double cast each, then a fixed multiply/sqrt/divide sequence
+    agg.select(
+      col("n").as("n_endpoints"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("assortativity"))
+  }
+
   /** Connected components to FIXPOINT (min reachable vertex id), not the bounded-round
     * approximation of g22: min-label propagation iterates until a round changes no
     * label (≤ component diameter rounds, checked with a driver-side count per round —

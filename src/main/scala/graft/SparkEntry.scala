@@ -55,6 +55,7 @@ object SparkEntry {
     "g28_clustering_coeff"  -> (GraphQueries.clusteringCoefficient _),
     "g29_connected_components" -> ((s: SparkSession, dir: String) =>
       GraphQueries.connectedComponents(s, dir)),
+    "g30_assortativity"     -> (GraphQueries.assortativity _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -1461,6 +1462,33 @@ object SparkEntry {
          |          UNION
          |          SELECT adj.b AS v, reach.r FROM reach JOIN adj ON adj.a = reach.v)
          |SELECT v AS vertex_id, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+
+    // degree assortativity (Pearson over endpoint degrees, exact integer sums,
+    // variance-term product in double space) — mirror of GraphQueries.assortativity
+    "g30_assortativity" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY v),
+         |pairs AS (SELECT dx.d AS dx, dy.d AS dy
+         |          FROM (SELECT lo, hi FROM und UNION ALL SELECT hi, lo FROM und) e
+         |          JOIN deg dx ON dx.v = e.lo
+         |          JOIN deg dy ON dy.v = e.hi),
+         |a AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |        CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |        CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |      FROM pairs)
+         |SELECT n AS n_endpoints,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |        / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+         |    AS assortativity
+         |FROM a""".stripMargin,
 
     // as-of join: each purchase matched to the user's most recent click at-or-before
     // it (ties: max click event id) — mirror of AnalyticsQueries.asofJoin, formulated
