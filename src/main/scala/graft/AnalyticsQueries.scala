@@ -215,6 +215,18 @@ object AnalyticsQueries {
           .as("z"))
   }
 
+  /** Q6-style selective revenue: a two-predicate scan + one global sum. The point at
+    * 100 TB is the SCAN, not the agg: both predicates and the 3-column projection
+    * must reach the parquet reader (PlanSpec pins PushedFilters + ReadSchema), so the
+    * query reads a fraction of the table instead of all of it.
+    */
+  def selectiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 25 && col("l_discount") >= 0.05)
+      .agg(
+        sum(revenueBp(col("l_extendedprice"), col("l_discount"))).as("revenue_bp"),
+        count(lit(1)).as("n_items"))
+
   /** Event-type pivot: per-user counts spread into one column per event type — the
     * wide-format export every BI/feature-store handoff wants. The type list is
     * PINNED (not discovered with an extra collect pass): a 100 TB pivot must know its

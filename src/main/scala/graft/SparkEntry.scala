@@ -61,6 +61,7 @@ object SparkEntry {
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
     "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
     "q06_revenue_rollup"     -> (AnalyticsQueries.regionRevenueRollup _),
+    "q07_selective_revenue"  -> (AnalyticsQueries.selectiveRevenue _),
     "q02_brand_nation_volume" -> (AnalyticsQueries.brandNationVolume _),
     "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
     "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
@@ -105,6 +106,8 @@ object SparkEntry {
       TextStats.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"), "source", "text")),
     "t18_tfidf_top" -> ((s: SparkSession, dir: String) =>
       TextStats.tfIdfTop(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
+    "t19_char_classes" -> ((s: SparkSession, dir: String) =>
+      TextStats.charClassProfile(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- training-data pipeline: deterministic sampling / splits / composition ---
     "t07_hash_split" -> ((s: SparkSession, dir: String) =>
       Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
@@ -707,6 +710,23 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    // Q6-style selective revenue (pushed predicates + pruned scan) — mirror of
+    // AnalyticsQueries.selectiveRevenue
+    "q07_selective_revenue" ->
+      s"""SELECT CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items
+         |FROM lineitem WHERE l_quantity < 25 AND l_discount >= 0.05""".stripMargin,
+
+    // char-class profile via class-strip length differences — mirror of
+    // TextStats.charClassProfile ('g' flag: DuckDB replaces first match by default)
+    "t19_char_classes" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
+         |FROM documents""".stripMargin,
 
     // per-user event-type pivot (pinned type list) — mirror of
     // AnalyticsQueries.eventTypePivot

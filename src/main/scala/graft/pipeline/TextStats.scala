@@ -296,6 +296,30 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Character-class profile: digit / uppercase / punctuation / whitespace counts and
+    * an alpha ratio per document — the cheap structural signal that separates prose
+    * from tables, code, and boilerplate before any expensive scoring runs. Counts via
+    * length-difference over class stripping (regexp_replace with the same class in
+    * both engines); exact integers, one final division.
+    */
+  def charClassProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def classCount(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val nDigit = classCount("[0-9]")
+    val nUpper = classCount("[A-Z]")
+    val nSpace = classCount("[ ]")
+    val nAlpha = classCount("[A-Za-z]")
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"), // long: DuckDB length() is BIGINT
+      nDigit.cast("long").as("n_digit"),
+      nUpper.cast("long").as("n_upper"),
+      nSpace.cast("long").as("n_space"),
+      round(nAlpha.cast("double") / greatest(length(t), lit(1)).cast("double"), 6)
+        .as("alpha_ratio"))
+  }
+
   /** Top-k distinguishing terms per document by log-free TF-IDF: score =
     * tf · N / df — the same ordering as tf·(N/df) without the log, so the score is ONE
     * exact-integer multiply + ONE IEEE division and therefore bit-identical across

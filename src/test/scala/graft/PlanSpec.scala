@@ -236,6 +236,15 @@ class PlanSpec extends SparkSpec {
       s"scan must read only the embedding column:\n$p")
   }
 
+  test("selective revenue pushes both predicates and prunes to three columns") {
+    val p = plan(AnalyticsQueries.selectiveRevenue(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount)"),
+      s"predicates must reach the parquet scan:\n$p")
+    assert(p.contains("LessThan(l_quantity,25"), s"quantity predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"),
+      s"scan must prune to the three referenced columns:\n$p")
+  }
+
   test("rollup plans as one Expand + aggregation, not a re-scan per grouping level") {
     val p = plan(AnalyticsQueries.regionRevenueRollup(spark, dir))
     assert(p.contains("Expand"), s"rollup must plan through Expand:\n$p")
