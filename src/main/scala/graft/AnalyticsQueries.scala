@@ -338,6 +338,59 @@ object AnalyticsQueries {
       .select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Q4-style order-priority check: orders in a one-year window that have at least one
+    * line shipped more than 60 days after the order date, counted per priority.
+    *
+    * Scale shape: the EXISTS is a left-semi join — the lineitem side is pre-filtered
+    * to late lines only and projected to the single join column before the shuffle,
+    * so the semi-join input is a fraction of |lineitem|, and the date predicate on
+    * orders reaches the parquet scan.
+    */
+  def latePriorityOrders(spark: SparkSession, dir: String): DataFrame = {
+    // order/lineitem dates are µs-precision TIMESTAMP_NTZ (unlike events.ts, whose
+    // ns precision reads as BIGINT under nanosAsLong) — comparisons and the +60d
+    // offset are exact integer µs under the hood in both engines
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val late = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"))
+    ord.join(late, ord("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Rolling active users: per day, the distinct users active that day and over the
+    * trailing 7 days (inclusive) — the DAU/WAU primitive of event analytics.
+    *
+    * Scale shape: the event stream collapses to distinct (day, user) pairs FIRST
+    * (map-side-combinable distinct, |users|×|days| rows at most); the trailing window
+    * is then a bounded self equi-join on the day offset (7 rows per pair), never a
+    * rolling distinct over raw events.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day_bucket"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: the DAU agg and the trailing join
+    val dau = daily.groupBy(col("day_bucket")).agg(count(lit(1)).as("n_dau"))
+    val offsets = spark.range(0, 7).select(col("id").as("off"))
+    val wau = daily
+      .join(broadcast(offsets))
+      .select((col("day_bucket") + col("off")).as("day_bucket"), col("user_id"))
+      .distinct()
+      .groupBy(col("day_bucket")).agg(count(lit(1)).as("n_wau"))
+    // only days that actually occur in the data (the +off fanout manufactures
+    // trailing buckets past the last day)
+    dau.join(wau, Seq("day_bucket"))
+      .select(col("day_bucket"), col("n_dau"), col("n_wau"))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -44,16 +44,19 @@ object Bench {
       // collections out of timed regions, but raises the TOTAL ~10% — rejected)
       (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val st = results.map { case (k, _, ok) => s"\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
+    // keep the emitted line SHORT: the driver retains only the tail of stdout, and a
+    // long line gets head-truncated into unparseable JSON. Millisecond precision and a
+    // failed-list (instead of a per-query status map that is all "ok" in the common
+    // case) keep the full line within the captured window.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as a
     // failure, not as a speedup
     val total = results.collect { case (_, v, true) => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

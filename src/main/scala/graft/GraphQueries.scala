@@ -662,6 +662,59 @@ object GraphQueries {
       .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Adamic-Adar link prediction: for unlinked vertex pairs sharing ≥ `minCommon`
+    * neighbors in the undirected Normal closure, score = Σ_z 1/ln(deg(z)) over common
+    * neighbors z — the classic "friend of friends, weighted against hubs" signal
+    * (degree-1 vertices can't be common neighbors; deg ≥ 2 keeps ln positive).
+    *
+    * Determinism: each neighbor's weight is fixed to integer MICRO-units
+    * (round(1e6/ln d) as BIGINT) before summing, so the aggregate is an exact integer
+    * sum in any order — float summation order across engines never enters (the
+    * dim-stats microunit pattern).
+    *
+    * Scale shape: same inverted-index self-join as [[nodeJaccardOf]] — candidates are
+    * pairs sharing a neighbor, never an all-pairs product — with the hub cap applied
+    * BEFORE the self-join (a hub with s neighbors contributes s² pair rows; capping is
+    * the difference between link prediction and a broken job — and hubs are exactly
+    * the neighbors AA down-weights toward 0 anyway). Existing edges leave via one
+    * anti-join on the pair key.
+    */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    adamicAdarOf(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+          col("source_id") =!= col("destination_id"))
+        .select(
+          least(col("source_id"), col("destination_id")).as("lo"),
+          greatest(col("source_id"), col("destination_id")).as("hi"))
+        .distinct(),
+      minCommon = 2)
+
+  /** Kernel of [[adamicAdar]] over a distinct undirected (lo, hi) edge relation. */
+  def adamicAdarOf(
+      und: DataFrame,
+      minCommon: Int,
+      maxDegree: Int = 10000
+  ): DataFrame = {
+    val u = und.localCheckpoint(true) // consumers: degrees, both join sides, anti-join
+    val adj = u.select(col("lo").as("v"), col("hi").as("w"))
+      .union(u.select(col("hi").as("v"), col("lo").as("w")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val weighted = adj
+      .join(deg.filter(col("d").between(2, maxDegree)), Seq("w"))
+      .withColumn("aa_micro", round(lit(1000000.0) / log(col("d")), 0).cast("long"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val pairs = weighted.select(col("v").as("src_a"), col("w"), col("aa_micro"))
+      .join(weighted.select(col("v").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_micro")).as("aa_micro"))
+      .filter(col("n_common") >= minCommon)
+    pairs.join(
+      u.select(col("lo").as("src_a"), col("hi").as("src_b")),
+      Seq("src_a", "src_b"), "left_anti")
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

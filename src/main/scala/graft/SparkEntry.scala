@@ -56,6 +56,7 @@ object SparkEntry {
     "g29_connected_components" -> ((s: SparkSession, dir: String) =>
       GraphQueries.connectedComponents(s, dir)),
     "g30_assortativity"     -> (GraphQueries.assortativity _),
+    "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -75,6 +76,8 @@ object SparkEntry {
       AnalyticsQueries.asofJoin(s, dir)),
     "ev9_funnel_stages"      -> (AnalyticsQueries.funnelStages _),
     "ev10_type_pivot"        -> (AnalyticsQueries.eventTypePivot _),
+    "ev11_rolling_actives"   -> (AnalyticsQueries.rollingActiveUsers _),
+    "q04_late_priority"      -> (AnalyticsQueries.latePriorityOrders _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -142,6 +145,10 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.3)),
     "d10_fuzzy_pairs" -> ((s: SparkSession, dir: String) =>
       Dedup.fuzzyPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d11_dup_ngrams" -> ((s: SparkSession, dir: String) =>
+      Dedup.dupNgramFraction(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t20_unigram_logprob" -> ((s: SparkSession, dir: String) =>
+      TextStats.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -170,6 +177,9 @@ object SparkEntry {
       Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
     "s12_dim_stats" -> ((s: SparkSession, dir: String) =>
       Similarity.dimStats(s.read.parquet(s"$dir/embeddings.parquet"), "embedding")),
+    "s13_random_projection" -> ((s: SparkSession, dir: String) =>
+      Similarity.randomProjection(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        outDims = 8, dims = 64)),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -1689,6 +1699,98 @@ object SparkEntry {
          |  round(CAST(SUM(CASE WHEN COALESCE(n_hit, 0) = n_pos THEN 1 ELSE 0 END) AS DOUBLE)
          |        / CAST(count(*) AS DOUBLE), 6) AS flag_rate
          |FROM probed LEFT JOIN hits USING (doc_id, split, shingle)
-         |GROUP BY doc_id, split""".stripMargin
+         |GROUP BY doc_id, split""".stripMargin,
+
+    // Q4-style late-order priority counts: EXISTS a line shipped >60 days after the
+    // order date, one-year order window — mirror of AnalyticsQueries.latePriorityOrders
+    // (exact epoch-µs arithmetic; 9131/9496 = epoch-days of 1995-01-01/1996-01-01)
+    "q04_late_priority" ->
+      """WITH ord AS (SELECT o_orderkey, o_orderpriority, o_orderdate
+        |             FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |               AND o_orderdate <  TIMESTAMP '1996-01-01')
+        |SELECT o_orderpriority, count(*) AS n_orders FROM ord
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = ord.o_orderkey
+        |                AND l.l_shipdate > ord.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    // DAU + trailing-7-day WAU per day bucket — mirror of
+    // AnalyticsQueries.rollingActiveUsers (distinct (day, user) first, then a bounded
+    // 7-offset fanout; only days that occur in the data survive the join)
+    "ev11_rolling_actives" ->
+      """WITH daily AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_bucket, user_id
+        |               FROM events),
+        |dau AS (SELECT day_bucket, count(*) AS n_dau FROM daily GROUP BY 1),
+        |fan AS (SELECT DISTINCT day_bucket + off AS day_bucket, user_id
+        |        FROM daily, (SELECT unnest(generate_series(0, 6)) AS off)),
+        |wau AS (SELECT day_bucket, count(*) AS n_wau FROM fan GROUP BY 1)
+        |SELECT day_bucket, n_dau, n_wau FROM dau JOIN wau USING (day_bucket)""".stripMargin,
+
+    // Adamic-Adar link prediction over the undirected Normal closure of graph 1:
+    // unlinked pairs with ≥2 common neighbors, score = Σ 1/ln(deg) in exact integer
+    // micro-units — mirror of GraphQueries.adamicAdar
+    "g31_adamic_adar" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS v, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+         |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1),
+         |wt AS (SELECT adj.v, adj.w, CAST(round(1000000.0 / ln(d)) AS BIGINT) AS aa_micro
+         |       FROM adj JOIN deg USING (w) WHERE d BETWEEN 2 AND 10000),
+         |pairs AS (SELECT a.v AS src_a, b.v AS src_b,
+         |                 count(*) AS n_common, CAST(sum(a.aa_micro) AS BIGINT) AS aa_micro
+         |          FROM wt a JOIN wt b ON a.w = b.w AND a.v < b.v
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.src_a, p.src_b, p.n_common, p.aa_micro
+         |FROM pairs p LEFT JOIN und ON und.lo = p.src_a AND und.hi = p.src_b
+         |WHERE und.lo IS NULL""".stripMargin,
+
+    // duplicate 3-gram fraction per document (60-bit md5 shingle hashes; empty-shingle
+    // docs kept at fraction 0 via LEFT JOIN) — mirror of Dedup.dupNgramFraction
+    "d11_dup_ngrams" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |dfq AS (SELECT h, count(*) AS n_docs FROM hm GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |               CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |        FROM hm JOIN dfq USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
+         |       ELSE round(n_dup::DOUBLE / n_shingles::DOUBLE, 6) END AS dup_fraction
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // corpus-unigram log-probability score per document (per-token micro-unit ln, exact
+    // integer sums) — mirror of TextStats.unigramLogProb
+    "t20_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM corpus),
+        |lp AS (SELECT token,
+        |         CAST(round(1000000.0 * ln(cnt::DOUBLE / n_total::DOUBLE)) AS BIGINT) AS lp_micro
+        |       FROM corpus CROSS JOIN tot),
+        |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |               CAST(sum(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+        |        FROM tf JOIN lp USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_lp_micro,
+        |  round(sum_lp_micro::DOUBLE / (n_tokens * 1000000)::DOUBLE, 6) AS avg_logprob
+        |FROM per""".stripMargin,
+
+    // 8-dim ±1 random projection (plane family offset 32, disjoint from the LSH/rerank
+    // families) — mirror of Similarity.randomProjection
+    "s13_random_projection" -> {
+      val projs = (0 until 8)
+        .map(j => s"round(list_dot_product(v, ${lshPlaneSql(32 + j, 64)}), 6) AS p$j")
+        .mkString(",\n|  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |  $projs
+         |FROM e""".stripMargin
+    }
   )
 }

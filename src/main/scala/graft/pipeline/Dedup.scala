@@ -261,6 +261,44 @@ object Dedup {
         round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
+  /** Duplicate n-gram fraction — the Gopher-style per-document quality signal: the share
+    * of a document's distinct word n-grams that also occur in at least one OTHER
+    * document. High values flag boilerplate/templated docs that exact and pairwise
+    * near-dup both miss (no single pair is similar, but every shingle is corpus-common).
+    *
+    * Scale shape: one doc-frequency hash-agg over 60-bit shingle hashes (map-side
+    * combinable, 8-byte keys) + one equi-join back — no self-join, no pair blowup.
+    * Docs too short to have any n-gram are kept via the left join with fraction 0
+    * (the t04 empty-doc lesson: dropping them silently would corrupt downstream
+    * per-doc joins).
+    */
+  def dupNgramFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true) // two consumers: doc-frequency agg and the rollup join
+    val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = sh.join(docFreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6))
+          .as("dup_fraction"))
+  }
+
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =
     * pairs sharing ≥1 shingle, with the intersection count falling out of the same
     * groupBy), then |∩| / |∪| ≥ threshold. The only float is one final division of two

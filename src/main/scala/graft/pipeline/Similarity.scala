@@ -489,6 +489,33 @@ object Similarity {
       )
   }
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss with ±1 sign
+    * matrices): each vector folds to `outDims` coordinates, coordinate j = ⟨v, h_j⟩
+    * with the same deterministic hyperplane family as [[lshBucket]] — LSH's bucket
+    * bits are exactly the SIGNS of these projections, so this is the continuous
+    * counterpart (used for cheap pre-filtering, visualization, and coarse clustering).
+    *
+    * Scale shape: pure map — `outDims` codegen'd dot products against constant-folded
+    * literal planes per row; no shuffle at all. Projections are rounded to 6 digits
+    * (sums of ±x_i; a dot product evaluates left-to-right identically in both
+    * engines, the proven s01/s02 contract).
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int,
+      dims: Int,
+      planeOffset: Int = 32
+  ): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val projections = (0 until outDims).map { j =>
+      val plane = array((0 until dims).map(i => lit(planeWeight(i, planeOffset + j))): _*)
+      round(dot(v, plane), 6).as(s"p$j")
+    }
+    df.select(col(idCol).as("vec_id") +: projections: _*)
+  }
+
   /** Per-dimension corpus statistics (mean/std) — the embedding-drift telemetry query.
     * Components are quantized to integer milliunits BEFORE aggregation so Σq and Σq²
     * are exact longs (a raw float sum's value depends on Spark's aggregation order;

@@ -348,6 +348,43 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("df_count"), col("score"), col("rank"))
   }
 
+  /** Unigram language-model score — the perplexity proxy of training-data curation:
+    * each document scored by the average log-probability of its tokens under the
+    * corpus's own unigram MLE (p(tok) = corpus_count/total). Outlier-low scores flag
+    * gibberish/rare-charset docs; outlier-high flag degenerate repetition.
+    *
+    * Determinism: ln(p) is fixed to integer MICRO-units per DISTINCT token
+    * (round(1e6·ln(cnt/N)) as BIGINT), so per-document sums are exact integer
+    * arithmetic in any order — the only float per output row is one final division of
+    * two exact integers (the dim-stats microunit pattern).
+    *
+    * Scale shape: token counts are two map-side-combinable hash-aggs (per-(doc,token)
+    * tf, then corpus counts over distinct tokens); the corpus total joins in as a
+    * 1-row broadcast. No windows, no sorts.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // two consumers: corpus counts and the per-doc rollup
+    val corpus = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = corpus.select(sum(col("cnt")).as("n_total"))
+    val lp = corpus.crossJoin(broadcast(total))
+      .select(
+        col("token"),
+        round(lit(1000000.0) *
+          log(col("cnt").cast("double") / col("n_total").cast("double")), 0)
+          .cast("long").as("lp_micro"))
+    tf.join(lp, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        round(col("sum_lp_micro").cast("double") /
+          (col("n_tokens") * lit(1000000L)).cast("double"), 6))
+  }
+
   /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
     * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
     * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group

@@ -267,4 +267,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bloom membership must stay an equi-join:\n$p")
   }
+
+  test("random projection is a pure map: no exchange, codegen'd dot products") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.randomProjection(emb, "vec_id", "embedding", 8, 64))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(p.contains("graft_dot"), s"planes must use the native dot product:\n$p")
+    assert(p.contains("*("), s"projection fell out of whole-stage codegen:\n$p")
+  }
+
+  test("adamic-adar candidates come from equi-joins, never a pair product") {
+    val p = plan(GraphQueries.adamicAdar(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an inverted-index equi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"existing edges must leave via one anti-join:\n$p")
+  }
+
+  test("unigram LM score: corpus total joins as a 1-row broadcast, aggs combine map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.unigramLogProb(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast, not shuffle:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"token counts must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window needed in the LM score:\n$p")
+  }
+
+  test("rolling actives: events collapse to distinct (day,user) before the offset fanout") {
+    val p = plan(AnalyticsQueries.rollingActiveUsers(spark, dir))
+    // the 7-offset fanout must join the deduped daily relation, not raw events:
+    // events is scanned exactly once (into the checkpoint), and the offset join is
+    // a broadcast of the tiny 7-row offsets relation
+    assert("Scan parquet .*events".r.findAllMatchIn(p).size <= 1,
+      s"events must be scanned at most once (checkpointed daily relation):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"offset fanout must broadcast, not cartesian:\n$p")
+  }
 }
