@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Echo the forked JVM's output verbatim: sbt's default LoggedOutput prefixes
+// every line with "[info] ", which makes Bench's machine-read JSON line start
+// with a non-'{' character and defeats line-oriented JSON parsers.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

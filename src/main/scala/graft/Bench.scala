@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline subset whose per-query seconds go into the emitted JSON line.
+    * The driver retains only a ~2000-char tail of the run's output, so the
+    * full 100-query map (~2.4 KB) cannot be reported per-query without the
+    * line being head-truncated into unparseable JSON. The headline set covers
+    * every operator family plus every historically-expensive query; the
+    * "value" field is still the total over ALL queries run.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_top_revenue_orders", "q05_region_revenue", "q06_revenue_rollup",
+    "g01_lww_snapshot", "g02_adjacency_topk", "g06_reciprocal", "g12_execute_lww",
+    "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
+    "g27_kcore", "g29_connected_components",
+    "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
+    "d10_fuzzy_pairs",
+    "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
+    "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank",
+    "t01_lang_id", "t06_corpus_stats", "t13_chunk", "t14_sequence_pack",
+    "t18_tfidf_top", "t20_unigram_logprob",
+    "ev2_sessionize", "ev3_hourly_rollup", "ev8_asof_join", "ev11_rolling_actives",
+    "sk01_hll_distinct", "sk03_bloom_contamination",
+    "m01_media_features", "m03_frame_sample",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -38,25 +62,29 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // drop checkpoint/cache blocks between queries: every query builds its own
       // stores, and eager localCheckpoints would otherwise accumulate in storage
-      // memory across the 50+ query run
+      // memory across the 100-query run
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // (measured: a System.gc() here tightens the per-query max by moving major
       // collections out of timed regions, but raises the TOTAL ~10% — rejected)
       (name, sec, ok)
     }
-    // keep the emitted line SHORT: the driver retains only the tail of stdout, and a
-    // long line gets head-truncated into unparseable JSON. Millisecond precision and a
-    // failed-list (instead of a per-query status map that is all "ok" in the common
-    // case) keep the full line within the captured window.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val secByName = results.map { case (k, v, _) => k -> v }.toMap
+    // every failure is always reported, even off-headline
+    val failed = results.filterNot(_._3).map(_._1)
+    val mapped = (headline.filter(secByName.contains) ++ failed).distinct
+    val qs = mapped.map(k => "\"" + k + "\":" + f(secByName(k))).mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as a
     // failure, not as a speedup
     val total = results.collect { case (_, v, true) => v }.sum
-    println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop Spark BEFORE emitting: shutdown logging must not land after the JSON
+    // line, which has to sit at the very end of the captured output tail
     spark.stop()
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed the captured tail")
+    println(line)
   }
 }
