@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextStats}
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
 import graft.testgraph.TestGraph
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +57,7 @@ object SparkEntry {
       GraphQueries.connectedComponents(s, dir)),
     "g30_assortativity"     -> (GraphQueries.assortativity _),
     "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
+    "g32_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -149,6 +150,12 @@ object SparkEntry {
       Dedup.dupNgramFraction(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t20_unigram_logprob" -> ((s: SparkSession, dir: String) =>
       TextStats.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t21_bm25_top" -> ((s: SparkSession, dir: String) =>
+      TextStats.bm25Top(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
+    "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "o01_zorder" -> ((s: SparkSession, dir: String) =>
+      Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -180,6 +187,8 @@ object SparkEntry {
     "s13_random_projection" -> ((s: SparkSession, dir: String) =>
       Similarity.randomProjection(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         outDims = 8, dims = 64)),
+    "s14_pq_codes" -> ((s: SparkSession, dir: String) =>
+      Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -1103,6 +1112,29 @@ object SparkEntry {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
     },
 
+    // banded simhash near-dup pairs: 32-bit signature over word 3-grams, 4×8-bit
+    // bands for candidates (pigeonhole-complete for hamming ≤ 3), exact bit_count
+    // verification — mirror of Dedup.simhashHammingPairs
+    "d12_simhash_hamming" -> {
+      val sums = (0 until 32)
+        .map(i => s"SUM(CASE WHEN ascii(substr(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte,
+         |h AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM sums),
+         |bd AS (SELECT doc_id, sig, band, (sig >> (8 * band)) & 255 AS bval
+         |       FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sig)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |                CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bval = y.bval
+         |                            AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+    },
+
     // Jaccard over RARE shingles only (doc-freq <= 100), on 60-bit md5 shingle hashes
     // — lockstep with the skew guard and the hashed shuffle keys in
     // Dedup.ngramJaccardPairs.
@@ -1462,6 +1494,27 @@ object SparkEntry {
          |  min(CASE WHEN cum * 100 >= 99 * total THEN len END) AS p99
          |FROM cw GROUP BY source""".stripMargin,
 
+    // BM25 top-3 terms per doc, log-free: tf-part and raw idf as exact-integer
+    // rationals, two IEEE divisions + one product per row (no libm ln) — mirror of
+    // TextStats.bm25Top (k1=1.2, b=0.75 multiplied through by 10^6)
+    "t21_bm25_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df_count,
+         |        (2200000 * tf)::DOUBLE
+         |          / (1000000 * tf + 300000
+         |             + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE
+         |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE) AS score_raw
+         |      FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
+         |SELECT doc_id, token, tf, df_count, round(score_raw, 6) AS score,
+         |       CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score_raw DESC, token) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
+
     // top-3 terms per doc by log-free TF-IDF (tf·N/df: exact ints, one division, no
     // rounding ⇒ bit-identical doubles) — mirror of TextStats.tfIdfTop
     "t18_tfidf_top" ->
@@ -1476,6 +1529,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |                              ORDER BY score DESC, token) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+
+    // personalized PageRank — same unrolled integer-fixpoint shape as g17, teleport
+    // mass restricted to the seed set (v ≡ 0 mod 100) — mirror of
+    // GraphQueries.personalizedPageRank
+    "g32_personalized_pagerank" -> {
+      def r(prev: String, cur: String, contrib: String) =
+        s"""$contrib AS (SELECT e.dst AS v, CAST(SUM($prev.pr // deg.deg) AS BIGINT) AS in_sum
+           |       FROM e JOIN deg USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst),
+           |$cur AS (SELECT vx.v,
+           |         CASE WHEN vx.v % 100 = 0 THEN 150000000000 // (SELECT n FROM ns) ELSE 0 END
+           |           + (COALESCE($contrib.in_sum, 0) * 85) // 100 AS pr
+           |       FROM vx LEFT JOIN $contrib USING (v))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |ns AS (SELECT COUNT(*) AS n FROM vx WHERE v % 100 = 0),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT v, CASE WHEN v % 100 = 0
+         |                      THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS pr FROM vx),
+         |${r("r0", "r1", "c1")},
+         |${r("r1", "r2", "c2")},
+         |${r("r2", "r3", "c3")}
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS ppr_fp FROM r3""".stripMargin
+    },
 
     // connected components to fixpoint — the oracle computes TRUE reachability with a
     // recursive CTE (component = min reachable id), so a hash match proves the Spark
@@ -1791,6 +1869,35 @@ object SparkEntry {
          |SELECT vec_id,
          |  $projs
          |FROM e""".stripMargin
+    },
+
+    // product-quantization code assignment: 8×8-dim subspaces, 16 lowest-id codebook
+    // seeds, d² = ⟨s,s⟩−2⟨s,c⟩+⟨c,c⟩, argmin tie-broken on code id — mirror of
+    // Similarity.pqCodes
+    "s14_pq_codes" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |scored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s)
+         |SELECT vec_id, CAST(s AS INTEGER) AS sub, code, round(d2, 6) AS err FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+
+    // Z-order (Morton) layout keys over (user_id, hour): 20-bit interleave, bucket =
+    // high bits of the key — mirror of Layout.zorderKeys
+    "o01_zorder" -> {
+      val terms = (0 until 20)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH xy AS (SELECT event_id, user_id & 1048575 AS x,
+         |                   (epoch_us(ts) // 3600000000) & 1048575 AS y FROM events),
+         |z AS (SELECT event_id, CAST($terms AS BIGINT) AS zkey FROM xy)
+         |SELECT event_id, zkey, zkey >> 26 AS bucket FROM z""".stripMargin
     }
   )
 }

@@ -172,13 +172,18 @@ object Dedup {
       .select(col("eval_id").as(idCol), col("split"), col("n_train_matches"), col("first_train_id"))
   }
 
-  /** SimHash: 16-bit signature from per-token md5 hex-digit parities. Bit i of the
-    * signature is the sign of Σ_tokens (2·parity(hexdigit_i(md5(token))) − 1).
+  /** SimHash: `bits`-bit signature from per-feature md5 hex-digit parities. Bit i of
+    * the signature is the sign of Σ_features (2·parity(hexdigit_i(md5(feature))) − 1).
+    * Features are word `shingleSize`-grams: unigrams (the default) profile a doc's
+    * VOCABULARY; 3-grams profile its phrasing and are far more doc-discriminative
+    * (on vocab-shared corpora unigram signatures collapse — most doc pairs land
+    * within a few bits — while shingle signatures spread).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16,
+      shingleSize: Int = 1): DataFrame = {
     // shingles(n=1) = per-document-distinct tokens straight from the generator — the
     // posexplode + global distinct() formulation shuffled the whole token relation
-    val toks = shingles(df, idCol, textCol, 1).withColumnRenamed("shingle", "token")
+    val toks = shingles(df, idCol, textCol, shingleSize).withColumnRenamed("shingle", "token")
     val withHash = toks.withColumn("h", md5(col("token")))
     val bitSums = (0 until bits).map { i =>
       sum((ascii(substring(col("h"), i + 1, 1)) % 2 * 2 - 1).cast("long")).as(s"s$i")
@@ -188,6 +193,53 @@ object Dedup {
       .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup PAIRS: documents whose `bits`-bit simhash signatures differ in at
+    * most `maxDist` bits. Candidate generation is banded (the signature split into
+    * `bands` contiguous bit-bands; a pair is a candidate iff SOME band matches
+    * exactly), so by pigeonhole every pair within `maxDist < bands` Hamming distance
+    * is found WITHOUT an all-pairs comparison — the simhash analogue of d02's
+    * MinHash-LSH banding. Verification is exact: `bit_count(sig_a ^ sig_b)`.
+    *
+    * Scale shape: one map-side-combinable agg for signatures (see [[simhash]]), a
+    * 4×-explode into (band, band_value) keys, one equi-join on those keys, and a
+    * distinct over surviving pairs. Band values are `bits/bands`-wide, so bucket
+    * population — and with it the candidate-pair count — falls geometrically with
+    * band width; no cross join anywhere (pinned by spec).
+    */
+  def simhashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxDist: Int = 3,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    require(bits % bands == 0 && maxDist < bands,
+      "banding finds all pairs only when maxDist < bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    // 3-gram features, NOT unigrams: phrase-level signatures keep the band buckets
+    // sparse (unigram simhash collapses on vocab-shared corpora — measured 31% of all
+    // pairs within hamming 3 vs 0.02% for shingles on the sf0.01 table)
+    val sig = simhash(df, idCol, textCol, bits, shingleSize)
+      .localCheckpoint(true) // consumed by both sides of the band self-join
+    val banded = sig.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bval"))
+    val left = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"), col("band"), col("bval"))
+    val right = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"), col("band"), col("bval"))
+    left.join(right, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
+      .distinct() // a pair agreeing in several bands is one result row
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Boilerplate-passage scoring: the fraction of each document's shingles that are

@@ -489,6 +489,47 @@ object Similarity {
       )
   }
 
+  /** Product-quantization code assignment: each vector splits into `nSub` contiguous
+    * `subDim`-dim subvectors; each subvector is assigned to its nearest of `nCodes`
+    * codebook entries by squared L2 — the index-compression step of IVF-PQ ANN (a
+    * 64-dim float vector compresses to `nSub` byte codes). The codebook here is the
+    * deterministic seed choice (the `nCodes` lowest-id vectors, the s10 kmeans-seed
+    * idiom); production would iterate it with [[kmeansStep]] per subspace.
+    *
+    * Determinism: d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ with the sequential-fold [[dot]], a
+    * fixed IEEE op sequence; argmin tie-breaks on code id via one lexicographic
+    * struct-min.
+    *
+    * Scale shape: the codebook (nCodes·nSub rows) broadcasts; vectors explode to
+    * nSub subvector rows and score nCodes candidates each in one codegen'd map pass —
+    * per-vector work is O(nSub·nCodes·subDim) with NO shuffle for scoring; the only
+    * shuffle is the (vec, subspace) argmin hash-agg, map-side combinable.
+    */
+  def pqCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+    val subs = base.select(
+      col("vec_id"),
+      explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val codebook = broadcast(
+      subs.filter(col("vec_id") < nCodes)
+        .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv")))
+    subs.join(codebook, "sub")
+      .withColumn("d2", norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"),
+        round(col("m.d2"), 6).as("err"))
+  }
+
   /** Random-projection dimensionality reduction (Johnson-Lindenstrauss with ±1 sign
     * matrices): each vector folds to `outDims` coordinates, coordinate j = ⟨v, h_j⟩
     * with the same deterministic hyperplane family as [[lshBucket]] — LSH's bucket

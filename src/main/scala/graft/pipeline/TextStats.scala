@@ -385,6 +385,51 @@ object TextStats {
           (col("n_tokens") * lit(1000000L)).cast("double"), 6))
   }
 
+  /** BM25 top-k terms per document (k1 = 1.2, b = 0.75) — the retrieval-grade term
+    * salience score (length-normalized TF against corpus rarity), used for keyword
+    * extraction and quality-weighted retrieval indexes over training corpora.
+    *
+    * Determinism (the t18 log-free discipline, extended): the BM25 tf-part and the
+    * raw idf ratio are both EXACT-INTEGER rationals —
+    *   tf_part = 2 200 000·tf / (1 000 000·tf + 300 000 + rr),
+    *     rr = round(900 000·dl·N / Σdl)  (k1=6/5, b=3/4 multiplied through by 10⁶)
+    *   idf_raw = (2N − 2df + 1) / (2df + 1)   (the +0.5 idf, doubled through)
+    * so the only float ops per row are two exact-int divisions and one product — all
+    * IEEE-correctly-rounded primitives, bit-identical in any engine (no ln: a log-idf
+    * would hit libm, which IS allowed to differ between JVM and C).
+    *
+    * Scale shape: two map-side-combinable hash-aggs (per-(doc,token) tf, per-token
+    * df), doc length folded from tf, corpus totals join in as a 1-row broadcast; the
+    * only sort is the per-doc top-k window, partitioned by doc_id.
+    */
+  def bm25Top(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // three consumers: df counts, doc lengths, final scoring
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val rr = round((lit(900000L) * col("dl") * col("n_docs")).cast("double") /
+      col("sum_dl").cast("double")).cast("long")
+    val tfPart = (lit(2200000L) * col("tf")).cast("double") /
+      (lit(1000000L) * col("tf") + lit(300000L) + col("rr")).cast("double")
+    val idfRaw = (lit(2L) * col("n_docs") - lit(2L) * col("df_count") + lit(1L)).cast("double") /
+      (lit(2L) * col("df_count") + lit(1L)).cast("double")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_raw").desc, col("token"))
+    tf
+      .join(dfreq, "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("rr", rr)
+      .withColumn("score_raw", tfPart * idfRaw)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df_count"),
+        round(col("score_raw"), 6).as("score"), col("rank"))
+  }
+
   /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
     * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
     * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group

