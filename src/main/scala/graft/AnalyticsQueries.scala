@@ -113,6 +113,36 @@ object AnalyticsQueries {
       )
   }
 
+  /** Per-session rollup: sessions are maximal runs with ≤ 1 h gaps (the ev2 break
+    * rule), numbered per user by a running sum of break flags; each session reports
+    * its event count and exact µs duration. This is the session-level detail under
+    * ev2's per-user rollup — the table session-length and dwell-time distributions
+    * are computed from.
+    *
+    * Scale shape: one window sort per user partition (the canonical sessionization
+    * shape — state never leaves the user's partition), then a map-side-combinable
+    * hash-agg on (user, session).
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > 3600000000L, 1L).otherwise(0L)
+      )
+      .withColumn("session_idx", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("duration_us")
+      )
+  }
+
   /** Hourly rollup by integer bucket (µs DIV 1h) × event type. */
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

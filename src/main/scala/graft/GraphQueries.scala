@@ -763,6 +763,52 @@ object GraphQueries {
       Seq("src_a", "src_b"), "left_anti")
   }
 
+  /** HITS hubs & authorities (2 full iterations) in exact integer arithmetic: after
+    * each half-step the scores renormalize to [0, 10⁶] by integer division against the
+    * step's max (`(s·10⁶) DIV max` — HITS' usual L2 norm would need a float sqrt; the
+    * max-norm keeps every intermediate an exact BIGINT and bounds growth at any graph
+    * size, where unnormalized sums overflow). Directed graph-1 Normal edges: hubs
+    * score by the authorities they point TO, authorities by the hubs pointing AT them.
+    *
+    * Scale shape: like [[pageRank]] — the edge list materializes once; each half-step
+    * is one equi-join + one map-side-combinable sum; the max is a 1-row broadcast.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true)
+    val vertices = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+
+    // one half-step: scores flow across `edges` from `fromCol` to `toCol`, then
+    // max-normalize back to the [0, 1e6] grid
+    def halfStep(scores: DataFrame, fromCol: String, toCol: String): DataFrame = {
+      val flowed = edges
+        .join(scores.select(col("v").as(fromCol), col("s")), fromCol)
+        .groupBy(col(toCol).as("v"))
+        .agg(sum(col("s")).as("raw"))
+      val mx = flowed.agg(max(col("raw")).as("mx"))
+      vertices
+        .join(flowed, Seq("v"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("v"),
+          expr("(COALESCE(raw, CAST(0 AS BIGINT)) * 1000000) DIV mx").as("s"))
+    }
+
+    var hub = vertices.select(col("v"), lit(1000000L).as("s"))
+    var auth = vertices.select(col("v"), lit(1000000L).as("s"))
+    for (_ <- 1 to 2) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    vertices
+      .join(auth.select(col("v"), col("s").as("auth_fp")), Seq("v"))
+      .join(hub.select(col("v"), col("s").as("hub_fp")), Seq("v"))
+      .select(col("v").as("vertex_id"), col("auth_fp"), col("hub_fp"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

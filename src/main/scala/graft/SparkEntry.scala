@@ -58,6 +58,7 @@ object SparkEntry {
     "g30_assortativity"     -> (GraphQueries.assortativity _),
     "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
     "g32_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
+    "g33_hits"              -> (GraphQueries.hits _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "ev10_type_pivot"        -> (AnalyticsQueries.eventTypePivot _),
     "ev11_rolling_actives"   -> (AnalyticsQueries.rollingActiveUsers _),
     "q04_late_priority"      -> (AnalyticsQueries.latePriorityOrders _),
+    "ev12_session_stats"     -> (AnalyticsQueries.sessionStats _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1555,6 +1557,29 @@ object SparkEntry {
          |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS ppr_fp FROM r3""".stripMargin
     },
 
+    // HITS hubs/authorities, 2 iterations, integer max-normalization after every
+    // half-step — mirror of GraphQueries.hits
+    "g33_hits" -> {
+      def half(prev: String, cur: String, from: String, to: String) =
+        s"""${cur}r AS (SELECT e.$to AS v, CAST(SUM($prev.s) AS BIGINT) AS raw
+           |       FROM e JOIN $prev ON $prev.v = e.$from GROUP BY e.$to),
+           |${cur}m AS (SELECT MAX(raw) AS mx FROM ${cur}r),
+           |$cur AS (SELECT vx.v,
+           |         CAST((COALESCE(${cur}r.raw, 0) * 1000000) // (SELECT mx FROM ${cur}m) AS BIGINT) AS s
+           |       FROM vx LEFT JOIN ${cur}r USING (v))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, 1000000 AS s FROM vx),
+         |${half("h0", "a1", "src", "dst")},
+         |${half("a1", "h1", "dst", "src")},
+         |${half("h1", "a2", "src", "dst")},
+         |${half("a2", "h2", "dst", "src")}
+         |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
+         |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
+    },
+
     // connected components to fixpoint — the oracle computes TRUE reachability with a
     // recursive CTE (component = min reachable id), so a hash match proves the Spark
     // fixpoint loop converged, not merely that both ran the same number of rounds
@@ -1627,6 +1652,24 @@ object SparkEntry {
          |       WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
          |SELECT s1.user_id, signup_ts, click_ts, purchase_ts
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // per-session event counts and exact µs durations (ev2's break rule, running-sum
+    // session numbering) — mirror of AnalyticsQueries.sessionStats
+    "ev12_session_stats" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |b AS (SELECT user_id, event_id, tsu,
+         |        CASE WHEN prev IS NULL OR tsu - prev > 3600000000 THEN 1 ELSE 0 END AS brk
+         |      FROM (SELECT user_id, tsu, event_id,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t)),
+         |s AS (SELECT user_id, tsu,
+         |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS session_idx
+         |      FROM b)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |       CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS duration_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
 
     // hourly event-count z-scores vs the trailing-24h RANGE window — mirror of
     // AnalyticsQueries.hourlyAnomaly (fixed float sequence: mean, E[x²]−mean², sqrt)

@@ -97,6 +97,33 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("hits: scores stay on the [0, 1e6] grid and each side attains its max") {
+    val rows = GraphQueries.hits(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("auth_fp") >= 0L && r.getAs[Long]("auth_fp") <= 1000000L)
+      assert(r.getAs[Long]("hub_fp") >= 0L && r.getAs[Long]("hub_fp") <= 1000000L)
+    }
+    // max-normalization makes the argmax land exactly on 1e6 in every half-step
+    assert(rows.map(_.getAs[Long]("auth_fp")).max == 1000000L)
+    assert(rows.map(_.getAs[Long]("hub_fp")).max == 1000000L)
+  }
+
+  test("sessionStats: per-session detail folds back to ev2's per-user rollup") {
+    val detail = AnalyticsQueries.sessionStats(spark, dir).collect()
+    val rollup = AnalyticsQueries.sessionize(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    val byUser = detail.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.keySet == rollup.keySet)
+    byUser.foreach { case (u, sessions) =>
+      assert(sessions.map(_.getAs[Long]("session_idx")).max == rollup(u),
+        s"user $u: session count mismatch")
+      sessions.foreach(s => assert(s.getAs[Long]("duration_us") >= 0L))
+    }
+    val totalEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(detail.map(_.getAs[Long]("n_events")).sum == totalEvents)
+  }
+
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
     val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
     assert(rows.nonEmpty)
