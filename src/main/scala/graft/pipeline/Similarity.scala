@@ -530,6 +530,82 @@ object Similarity {
         round(col("m.d2"), 6).as("err"))
   }
 
+  /** PQ asymmetric-distance search (ADC) with exact rerank — the compressed-index ANN
+    * path: candidates are represented ONLY by their [[pqCodes]] (nSub byte codes, a
+    * 64× compression of a 64-dim float vector); each query precomputes a lookup table
+    * of exact subspace distances to every codebook entry, so a candidate's
+    * approximate distance is nSub table lookups summed — no float math against the
+    * full vectors until the final exact rerank of the top `overfetch·k`.
+    *
+    * Determinism: per-subspace LUT distances are fixed to integer MICRO-units
+    * (round(10⁶·d²) as BIGINT) before the per-candidate sum, so the 8-way add is
+    * order-independent integer arithmetic (the t20 micro-unit pattern); the rerank is
+    * the pinned cosine sequence.
+    *
+    * Scale shape: the LUT is |Q|·nSub·nCodes rows — tiny, broadcast; the scoring pass
+    * is one equi-join of the code relation (N·nSub rows of 3 small ints) against that
+    * broadcast + a map-side-combinable integer sum: the full-precision vectors are
+    * touched only for overfetch·k rows per query. This is why PQ wins at 100 TB — the
+    * scan side is 1/64th the bytes of the raw embedding column.
+    */
+  def pqSearchTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame = {
+    def subspaces(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .select(
+          col("rid"), col("v"),
+          explode(array((0 until nSub).map(s =>
+            struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+        .select(col("rid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+    val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val codebook = broadcast(
+      subspaces(candidates).filter(col("rid") < nCodes)
+        .select(col("sub"), col("rid").cast("int").as("code"), col("sv").as("cv")))
+    val lut = broadcast(
+      subspaces(queries).join(codebook, "sub")
+        .select(
+          col("rid").as("query_id"), col("sub"), col("code"),
+          round(lit(1000000.0) *
+            (norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv"))))
+            .cast("long").as("d2m")))
+
+    val approx = codes.join(lut, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("approx_d2m"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"))
+
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("cn", norm2(col("nv")))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"), col("approx_d2m"),
+        round(cosineFromNorms(dot(col("qv"), col("nv")), col("qn"), col("cn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-projection dimensionality reduction (Johnson-Lindenstrauss with ±1 sign
     * matrices): each vector folds to `outDims` coordinates, coordinate j = ⟨v, h_j⟩
     * with the same deterministic hyperplane family as [[lshBucket]] — LSH's bucket

@@ -124,6 +124,29 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(detail.map(_.getAs[Long]("n_events")).sum == totalEvents)
   }
 
+  test("pqSearchTopK: full result shape, codebook self-queries resolve exactly") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.pqSearchTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+    val rows = out.collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        assert(r.getAs[Long]("approx_d2m") >= 0L)
+        val c = r.getAs[Double]("cos_sim")
+        assert(c >= -1.0 && c <= 1.0)
+      }
+    }
+    // ADC scoring stays a broadcast join — the code relation must never shuffle
+    // against the LUT, and nothing may degenerate to a cross join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
     val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
     assert(rows.nonEmpty)
