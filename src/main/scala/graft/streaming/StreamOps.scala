@@ -31,6 +31,77 @@ object StreamOps extends Serializable {
         col("n_writes")
       )
 
+  case class SessionEvent(userId: Long, eventId: Long, tsUs: Long)
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  case class SessionOut(
+      userId: Long, sessionStartUs: Long, nEvents: Long, durationUs: Long, closed: Boolean)
+
+  /** Pure per-user sessionization step (unit-testable): fold one batch of event
+    * timestamps into the open session (if any) under the ≤ `gapUs` break rule —
+    * ev12's rule, incrementally. Returns (new open session, sessions CLOSED by this
+    * batch, in order). Events sort within the batch; ACROSS batches the contract is
+    * the watermark's — an event older than the open session's last-seen minus the
+    * gap would need reprocessing, exactly like any streaming sessionizer.
+    */
+  def mergeSessionBatch(
+      current: Option[SessionState],
+      tss: Seq[Long],
+      gapUs: Long
+  ): (SessionState, Seq[SessionState]) = {
+    var closed = List.empty[SessionState]
+    var cur = current
+    tss.sorted.foreach { t =>
+      cur match {
+        case Some(s) if t - s.lastUs <= gapUs =>
+          cur = Some(SessionState(s.startUs, math.max(s.lastUs, t), s.nEvents + 1))
+        case Some(s) =>
+          closed = s :: closed
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (cur.get, closed.reverse)
+  }
+
+  /** Streaming sessionization — ev12 at ingestion time: per-user custom state holds
+    * the one OPEN session; each micro-batch folds its events in, emits every session
+    * the batch closed (`closed = true`, immutable thereafter) plus a snapshot of the
+    * open session (`closed = false`, superseded by later updates — Update-mode
+    * semantics, same contract as [[streamingDegree]]'s running counts).
+    *
+    * Scale shape: state is ONE fixed-size register per active user (not the user's
+    * events), shuffle-partitioned by user like the batch window; emitted rows are
+    * bounded by batch size + one snapshot per touched user.
+    */
+  def streamingSessionize(
+      events: Dataset[SessionEvent],
+      gapUs: Long = 3600000000L
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(
+        userId: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]
+    ): Iterator[SessionOut] = {
+      val tss = batch.map(_.tsUs).toSeq
+      if (tss.isEmpty) Iterator.empty
+      else {
+        val (open, closedSessions) = mergeSessionBatch(state.getOption, tss, gapUs)
+        state.update(open)
+        (closedSessions.map(s =>
+          SessionOut(userId, s.startUs, s.nEvents, s.lastUs - s.startUs, closed = true)) :+
+          SessionOut(userId, open.startUs, open.nEvents, open.lastUs - open.startUs, closed = false))
+          .iterator
+      }
+    }
+
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   case class VertexDegree(graphId: Int, sourceId: Long, degree: Long)
 
   /** Compact per-destination LWW register — only what conflict resolution needs

@@ -172,6 +172,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mergeSessionBatch: gap splits, in-batch reordering tolerated, open session continues") {
+    import graft.streaming.StreamOps.{mergeSessionBatch, SessionState}
+    val hour = 3600000000L
+    // one batch, shuffled order: two sessions (gap between 3h and 1h marks)
+    val (open1, closed1) = mergeSessionBatch(None, Seq(3 * hour, 0L, hour / 2, 3 * hour + 1), hour)
+    assert(closed1 == Seq(SessionState(0L, hour / 2, 2)))
+    assert(open1 == SessionState(3 * hour, 3 * hour + 1, 2))
+    // next batch continues the open session within the gap
+    val (open2, closed2) = mergeSessionBatch(Some(open1), Seq(4 * hour), hour)
+    assert(closed2.isEmpty && open2 == SessionState(3 * hour, 4 * hour, 3))
+    // and a far-future event closes it
+    val (open3, closed3) = mergeSessionBatch(Some(open2), Seq(9 * hour), hour)
+    assert(closed3 == Seq(open2) && open3 == SessionState(9 * hour, 9 * hour, 1))
+  }
+
+  test("streamingSessionize: sessions close across micro-batches; parity with ev12 on one batch") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600000000L
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamOps.streamingSessionize(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(SessionEvent(7L, 1L, 0L), SessionEvent(7L, 2L, hour / 2))
+      query.processAllAvailable()
+      stream.addData(SessionEvent(7L, 3L, 5 * hour)) // closes the first session
+      query.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT sessionStartUs, nEvents, durationUs FROM sessions WHERE closed").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getLong(0) == 0L && closed.head.getLong(1) == 2L
+        && closed.head.getLong(2) == hour / 2)
+      val open = spark.sql(
+        "SELECT sessionStartUs, nEvents FROM sessions WHERE NOT closed ORDER BY sessionStartUs")
+        .collect()
+      assert(open.last.getLong(0) == 5 * hour && open.last.getLong(1) == 1L)
+    } finally query.stop()
+
+    // batch parity: all fixture events in ONE batch reproduce ev12's session set
+    val dir = "/root/testdata/sf0.001"
+    val fixture = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_id", "ts DIV 1000 AS tsu").collect()
+      .groupBy(_.getLong(0))
+    val expected = AnalyticsQueries.sessionStats(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    fixture.foreach { case (u, rows) =>
+      val (open, closedS) = StreamOps.mergeSessionBatch(None, rows.map(_.getLong(2)).toSeq, hour)
+      val streamed = (closedS :+ open).map(s => (s.nEvents, s.lastUs - s.startUs))
+      val batch = expected(u).sortBy(_.getAs[Long]("session_idx"))
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toSeq
+      assert(streamed == batch, s"user $u session parity")
+    }
+  }
+
   test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
     import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
     for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
