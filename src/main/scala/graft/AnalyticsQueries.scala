@@ -66,6 +66,35 @@ object AnalyticsQueries {
       .agg(sum(col("rev")).as("revenue_bp"), count(lit(1)).as("n_items"))
   }
 
+  /** Q8-style market share: each nation's fraction of its region-year revenue.
+    * Revenue stays in exact basis-point integers through the aggregation and the
+    * region-year window total; the share is one final double division rounded to 6
+    * digits (the order-free-ratio discipline).
+    *
+    * Scale shape: same broadcast star as [[regionRevenue]] (all dimension sides
+    * broadcast, one fact shuffle on the group keys), plus one window over the
+    * (region, year) groups — 5 regions × a few years of rows, trivial state.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"), col("o_year"))
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), revenueBp(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val dims = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val ord = table(spark, dir, "orders")
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_year"))
+      .agg(sum(col("rev")).as("revenue_bp"))
+      .withColumn("share",
+        round(col("revenue_bp").cast("double") /
+          sum(col("revenue_bp")).over(w).cast("double"), 6))
+  }
+
   /** Q2/Q9-style supplier-side star: lineitem→supplier→nation + lineitem→part, volume
     * and revenue per (nation, part brand). Both dimension sides broadcast.
     */

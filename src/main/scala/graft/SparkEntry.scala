@@ -81,6 +81,7 @@ object SparkEntry {
     "ev11_rolling_actives"   -> (AnalyticsQueries.rollingActiveUsers _),
     "q04_late_priority"      -> (AnalyticsQueries.latePriorityOrders _),
     "ev12_session_stats"     -> (AnalyticsQueries.sessionStats _),
+    "q08_market_share"       -> (AnalyticsQueries.marketShare _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1656,6 +1657,24 @@ object SparkEntry {
          |       WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
          |SELECT s1.user_id, signup_ts, click_ts, purchase_ts
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // Q8-style nation market share of region-year revenue: exact bp integers through
+    // the window total, one rounded division — mirror of AnalyticsQueries.marketShare
+    "q08_market_share" ->
+      s"""WITH rev AS (
+         |  SELECT r_name, n_name, year(o_orderdate) AS o_year,
+         |         CAST(SUM($revBp) AS BIGINT) AS revenue_bp
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT r_name, n_name, o_year, revenue_bp,
+         |  round(revenue_bp::DOUBLE
+         |        / CAST(SUM(revenue_bp) OVER (PARTITION BY r_name, o_year) AS BIGINT)::DOUBLE,
+         |        6) AS share
+         |FROM rev""".stripMargin,
 
     // per-session event counts and exact µs durations (ev2's break rule, running-sum
     // session numbering) — mirror of AnalyticsQueries.sessionStats
