@@ -809,6 +809,34 @@ object GraphQueries {
       .select(col("v").as("vertex_id"), col("auth_fp"), col("hub_fp"))
   }
 
+  /** Bounded BFS hop distance from a seed set (vertices ≡ 0 mod 100), following edge
+    * direction, `maxHops` rounds: dist(v) = min #hops from any seed, vertices beyond
+    * the horizon absent. Each round expands ONLY the previous round's frontier
+    * (dist = h−1) — already-settled vertices are never re-expanded, which is what
+    * keeps round h's join |frontier|-sized instead of |reached|-sized.
+    *
+    * Scale shape: per round one equi-join frontier⋈edges + one min-agg; the distance
+    * relation stays (v, dist) — 12 bytes/vertex. Exact integer labels, so the
+    * distributed min is order-free and the unrolled oracle reproduces it.
+    */
+  def bfsDistance(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true)
+    val vertices = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+    var dist = vertices.filter(col("v") % 100 === 0)
+      .select(col("v"), lit(0).as("dist"))
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("dist") === h - 1)
+        .join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), lit(h).as("dist"))
+      dist = dist.unionByName(next).groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("v").as("vertex_id"), col("dist"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

@@ -59,6 +59,8 @@ object SparkEntry {
     "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
     "g32_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
     "g33_hits"              -> (GraphQueries.hits _),
+    "g34_bfs_distance"      -> ((s: SparkSession, dir: String) =>
+      GraphQueries.bfsDistance(s, dir, maxHops = 3)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -155,6 +157,8 @@ object SparkEntry {
       TextStats.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t21_bm25_top" -> ((s: SparkSession, dir: String) =>
       TextStats.bm25Top(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
+    "t22_bpe_pairs" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpePairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 100)),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
@@ -243,7 +247,15 @@ object SparkEntry {
         Dedup.shingles(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
         "shingle", depth = 4, width = 256, topK = 100)),
     "sk03_bloom_contamination" -> ((s: SparkSession, dir: String) =>
-      Sketches.bloomContamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      Sketches.bloomContamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "sk04_hll_overlap" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sketches.hllOverlap(
+        Dedup.shingles(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("shingle")),
+        "source", "shingle", b = 6)
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -1501,6 +1513,16 @@ object SparkEntry {
          |  min(CASE WHEN cum * 100 >= 99 * total THEN len END) AS p99
          |FROM cw GROUP BY source""".stripMargin,
 
+    // corpus-wide adjacent char-pair counts (the BPE merge statistic), top-100 by the
+    // (count desc, pair) total order — mirror of TextStats.bpePairs
+    "t22_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |t2 AS (SELECT token FROM toks WHERE length(token) >= 2),
+         |pr AS (SELECT substr(token, i, 2) AS pair
+         |       FROM (SELECT token, unnest(generate_series(1, length(token) - 1)) AS i FROM t2))
+         |SELECT pair, COUNT(*) AS n FROM pr GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
     // BM25 top-3 terms per doc, log-free: tf-part and raw idf as exact-integer
     // rationals, two IEEE divisions + one product per row (no libm ln) — mirror of
     // TextStats.bm25Top (k1=1.2, b=0.75 multiplied through by 10^6)
@@ -1583,6 +1605,25 @@ object SparkEntry {
          |${half("a2", "h2", "dst", "src")}
          |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
          |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
+    },
+
+    // bounded BFS from the seed set, 3 unrolled frontier expansions with min-label
+    // folds — mirror of GraphQueries.bfsDistance
+    "g34_bfs_distance" -> {
+      def round(h: Int) =
+        s"""n$h AS (SELECT e.dst AS v, CAST($h AS INTEGER) AS dist
+           |       FROM r${h - 1} JOIN e ON r${h - 1}.v = e.src WHERE r${h - 1}.dist = ${h - 1}),
+           |r$h AS (SELECT v, MIN(dist) AS dist FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY v)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT v, CAST(0 AS INTEGER) AS dist FROM vx WHERE v % 100 = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS vertex_id, CAST(dist AS INTEGER) AS dist FROM r3""".stripMargin
     },
 
     // connected components to fixpoint — the oracle computes TRUE reachability with a
@@ -1799,6 +1840,40 @@ object SparkEntry {
          |SELECT source, hll_est, exact_distinct,
          |  round(abs(hll_est - exact_distinct::DOUBLE) / exact_distinct::DOUBLE, 4) AS rel_err
          |FROM est""".stripMargin
+    },
+
+    // pairwise source-overlap estimates by HLL register algebra (inclusion-exclusion
+    // on rounded estimates, union = register max-merge) — mirror of Sketches.hllOverlap
+    "sk04_hll_overlap" -> {
+      val m = 64
+      val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val fold = s"sum(1.0::DOUBLE / (1::BIGINT << rho)) + ($m - count(*))::DOUBLE"
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+2], ' ') AS shingle
+         |       FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM toks)),
+         |hm AS (SELECT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |rg AS (SELECT source, h >> 26 AS idx,
+         |         max(CASE WHEN (h & 67108863) = 0 THEN 27
+         |                  ELSE strpos(lpad(bin(h & 67108863), 26, '0'), '1') END) AS rho
+         |       FROM hm GROUP BY 1, 2),
+         |es AS (SELECT source, round(CAST('$alphaMM' AS DOUBLE) / ($fold), 3) AS est
+         |       FROM rg GROUP BY source),
+         |ps AS (SELECT a.source AS key_a, b.source AS key_b
+         |       FROM (SELECT DISTINCT source FROM rg) a
+         |       JOIN (SELECT DISTINCT source FROM rg) b ON a.source < b.source),
+         |ur AS (SELECT key_a, key_b, idx, MAX(rho) AS rho FROM (
+         |         SELECT ps.key_a, ps.key_b, rg.idx, rg.rho FROM ps JOIN rg ON rg.source = ps.key_a
+         |         UNION ALL
+         |         SELECT ps.key_a, ps.key_b, rg.idx, rg.rho FROM ps JOIN rg ON rg.source = ps.key_b)
+         |       GROUP BY 1, 2, 3),
+         |uu AS (SELECT key_a, key_b, round(CAST('$alphaMM' AS DOUBLE) / ($fold), 3) AS est_union
+         |       FROM ur GROUP BY 1, 2)
+         |SELECT key_a, key_b, ea.est AS est_a, eb.est AS est_b, est_union,
+         |  greatest(0.0::DOUBLE, round(ea.est + eb.est - est_union, 3)) AS overlap_est
+         |FROM uu
+         |JOIN es ea ON ea.source = key_a
+         |JOIN es eb ON eb.source = key_b""".stripMargin
     },
 
     // count-min doc-frequency estimates for the top-100 shingles — mirror of

@@ -127,6 +127,71 @@ object Sketches {
       .select(col(itemCol), col("exact_n"), col("cms_n"), (col("cms_n") - col("exact_n")).as("overcount"))
   }
 
+  /** Pairwise set-overlap estimates between keys via HLL register algebra — the
+    * source-overlap matrix of corpus curation ("how much does crawl A duplicate
+    * crawl B") WITHOUT ever joining item sets: HLL registers merge by max, unions
+    * are free, and |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion.
+    *
+    * Same deterministic md5 registers and dyadic-rational fold as [[hllDistinct]]
+    * (see the object scaladoc); inclusion-exclusion runs on the ROUNDED per-set
+    * estimates in a fixed order, so the oracle reproduces it bit-for-bit. Negative
+    * estimates are floored at 0 (inclusion-exclusion noise for near-disjoint sets).
+    *
+    * Scale shape: the item stream folds once into |keys|·m register rows; every
+    * pairwise union is register-table self-algebra — |keys|²·m tiny rows, no
+    * re-scan of the data. This is why sketch overlap wins at 100 TB: the exact
+    * answer needs a |keys|²-way join of the full item sets.
+    */
+  def hllOverlap(items: DataFrame, keyCol: String, itemCol: String, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits out of range: $b")
+    val m = 1 << b
+    val wBits = 32 - b
+    val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val h = h32(col(itemCol))
+    val rho = when(col("w") === 0L, lit(wBits + 1))
+      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
+    val regs = items
+      .select(
+        col(keyCol).as("key"),
+        shiftright(h, wBits).as("idx"),
+        h.bitwiseAND(lit((1L << wBits) - 1)).as("w"))
+      .groupBy(col("key"), col("idx"))
+      .agg(max(rho).as("rho"))
+      .localCheckpoint(true) // three consumers: per-key fold + both sides of the pair union
+
+    def estimate(grouped: DataFrame, ks: Seq[String]): DataFrame =
+      grouped
+        .groupBy(ks.map(col): _*)
+        .agg(
+          sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")).as("hit_sum"),
+          count(lit(1)).as("n_regs"))
+        .withColumn("est",
+          round(lit(alphaMM) /
+            (col("hit_sum") + (lit(m.toLong) - col("n_regs")).cast("double")), 3))
+
+    val ests = estimate(regs, Seq("key")).select(col("key"), col("est"))
+    val keys = regs.select(col("key")).distinct()
+    val pairs = broadcast(keys.select(col("key").as("key_a")))
+      .crossJoin(broadcast(keys.select(col("key").as("key_b"))))
+      .filter(col("key_a") < col("key_b"))
+    val unionRegs = pairs
+      .join(regs.withColumnRenamed("key", "key_a"), "key_a")
+      .select(col("key_a"), col("key_b"), col("idx"), col("rho"))
+      .unionByName(
+        pairs.join(regs.withColumnRenamed("key", "key_b"), "key_b")
+          .select(col("key_a"), col("key_b"), col("idx"), col("rho")))
+      .groupBy(col("key_a"), col("key_b"), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+    estimate(unionRegs, Seq("key_a", "key_b"))
+      .select(col("key_a"), col("key_b"), col("est").as("est_union"))
+      .join(broadcast(ests.select(col("key").as("key_a"), col("est").as("est_a"))), "key_a")
+      .join(broadcast(ests.select(col("key").as("key_b"), col("est").as("est_b"))), "key_b")
+      .select(
+        col("key_a"), col("key_b"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), round(col("est_a") + col("est_b") - col("est_union"), 3))
+          .as("overlap_est"))
+  }
+
   /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
     * shingles, probe every eval-split document's shingles against it. No false
     * negatives (every true train-shingle hit is flagged); false-positive rate set by

@@ -430,6 +430,26 @@ object TextStats {
         round(col("score_raw"), 6).as("score"), col("rank"))
   }
 
+  /** Corpus-wide adjacent character-pair counts — the inner statistic of BPE
+    * tokenizer training (each merge round picks the most frequent adjacent pair;
+    * this computes that frequency table over token occurrences, so a merge decision
+    * is one `limit(1)` away). Top-k by (count desc, pair) — a total order, so the
+    * cut is deterministic.
+    *
+    * Scale shape: pure generator (one `transform(sequence(...))` per token, no
+    * shuffle of raw text) into a map-side-combinable count over a key space bounded
+    * by |alphabet|² — the final sort touches only that tiny aggregate.
+    */
+  def bpePairs(df: DataFrame, idCol: String, textCol: String, k: Int = 100): DataFrame =
+    tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
     * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
     * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group

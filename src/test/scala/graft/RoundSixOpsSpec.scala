@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-import graft.pipeline.{Dedup, Layout, Similarity, TextStats}
+import graft.pipeline.{Dedup, Layout, Similarity, Sketches, TextStats}
 
 /** Planted-fixture semantics for the round-6 operators: personalized PageRank, BM25
   * term salience, banded simhash Hamming pairs, product-quantization codes, and
@@ -145,6 +145,43 @@ class RoundSixOpsSpec extends SparkSpec {
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bfsDistance: seeds at 0, every level-h vertex reached from level h-1") {
+    val rows = GraphQueries.bfsDistance(spark, dir, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Int]("dist")).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(d => d >= 0 && d <= 3))
+    rows.foreach { case (v, d) => if (v % 100 == 0) assert(d == 0, s"seed $v at dist $d") }
+    assert(rows.exists { case (v, d) => d == 0 && v % 100 == 0 })
+  }
+
+  test("bpePairs: planted pair counts weight by token occurrences") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab abc"), (2L, "x yz")).toDF("doc_id", "text")
+    val rows = TextStats.bpePairs(docs, "doc_id", "text", k = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    // "ab" appears in tokens ab, ab, abc; "bc" only in abc; 1-char token "x" has none
+    assert(rows("ab") == 3L && rows("bc") == 1L && rows("yz") == 1L)
+    assert(!rows.contains("x "))
+  }
+
+  test("hllOverlap: identical sources fully overlap; union bounded by the sum") {
+    import spark.implicits._
+    val items = ((1 to 200).map(i => ("a", s"item$i")) ++
+      (1 to 200).map(i => ("b", s"item$i")) ++          // b identical to a
+      (1 to 200).map(i => ("c", s"other$i"))).toDF("src", "item")
+    val rows = Sketches.hllOverlap(items, "src", "item").collect()
+      .map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) -> r).toMap
+    val ab = rows(("a", "b"))
+    // identical register sets: union estimate equals both sides, overlap = the estimate
+    assert(ab.getAs[Double]("est_union") == ab.getAs[Double]("est_a"))
+    assert(ab.getAs[Double]("overlap_est") == ab.getAs[Double]("est_a"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("overlap_est") >= 0.0)
+      assert(r.getAs[Double]("est_union") <=
+        r.getAs[Double]("est_a") + r.getAs[Double]("est_b") + 1e-9)
+    }
   }
 
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
