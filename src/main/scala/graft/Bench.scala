@@ -14,14 +14,16 @@ object Bench {
     "g01_lww_snapshot", "g02_adjacency_topk", "g06_reciprocal", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
+    "g33_hits", "g34_bfs_distance",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "t01_lang_id", "t06_corpus_stats", "t13_chunk", "t14_sequence_pack",
-    "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top",
+    "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
     "ev2_sessionize", "ev3_hourly_rollup", "ev8_asof_join", "ev11_rolling_actives",
-    "sk01_hll_distinct", "sk03_bloom_contamination",
+    "ev12_session_stats", "q08_market_share",
+    "sk01_hll_distinct", "sk03_bloom_contamination", "sk04_hll_overlap",
     "m01_media_features", "m03_frame_sample", "o01_zorder",
   )
 

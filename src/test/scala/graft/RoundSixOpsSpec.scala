@@ -147,6 +147,22 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("zorderKeys plan: pure map, zero exchanges") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val p = Layout.zorderKeys(events).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"layout key computation must not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"expected one whole-stage-codegen span ('*(1)'):\n$p")
+  }
+
+  test("bm25Top plan: corpus totals broadcast, no cartesian beyond the 1-row totals") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = TextStats.bm25Top(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the 1-row totals broadcast (same shape
+    // t18 pins); the tf/df/dl joins must all be hash joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bfsDistance: seeds at 0, every level-h vertex reached from level h-1") {
     val rows = GraphQueries.bfsDistance(spark, dir, maxHops = 3).collect()
       .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Int]("dist")).toMap
