@@ -66,6 +66,26 @@ object AnalyticsQueries {
       .agg(sum(col("rev")).as("revenue_bp"), count(lit(1)).as("n_items"))
   }
 
+  /** Per-user churn rollup: activity span, distinct active days, and a churned flag
+    * (no event in the trailing 72 h of the corpus window). All integer µs arithmetic
+    * against a 1-row broadcast corpus-end — one map-side-combinable aggregation.
+    */
+  def churnRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("tsu"))
+      .withColumn("day", expr("tsu DIV 86400000000"))
+    val end = ev.agg(max(col("tsu")).as("end_us"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_active_days"),
+        max(col("tsu")).as("last_seen_us"))
+      .crossJoin(broadcast(end))
+      .select(
+        col("user_id"), col("n_events"), col("n_active_days"), col("last_seen_us"),
+        (col("last_seen_us") < col("end_us") - lit(259200000000L)).cast("int").as("churned"))
+  }
+
   /** Q8-style market share: each nation's fraction of its region-year revenue.
     * Revenue stays in exact basis-point integers through the aggregation and the
     * region-year window total; the share is one final double division rounded to 6

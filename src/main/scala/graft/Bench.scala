@@ -14,7 +14,7 @@ object Bench {
     "g01_lww_snapshot", "g02_adjacency_topk", "g06_reciprocal", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
-    "g33_hits", "g34_bfs_distance",
+    "g33_hits", "g34_bfs_distance", "g35_friend_recs",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",

@@ -785,10 +785,14 @@ object GraphQueries {
     // one half-step: scores flow across `edges` from `fromCol` to `toCol`, then
     // max-normalize back to the [0, 1e6] grid
     def halfStep(scores: DataFrame, fromCol: String, toCol: String): DataFrame = {
+      // two consumers (the 1-row max and the normalize join) — materialize the tiny
+      // |V|-row flow once per half-step instead of re-running the join+agg for each,
+      // which also keeps the unrolled 4-half-step plan shallow (measured 3.3→2.1 s)
       val flowed = edges
         .join(scores.select(col("v").as(fromCol), col("s")), fromCol)
         .groupBy(col(toCol).as("v"))
         .agg(sum(col("s")).as("raw"))
+        .localCheckpoint(true)
       val mx = flowed.agg(max(col("raw")).as("mx"))
       vertices
         .join(flowed, Seq("v"), "left")
@@ -835,6 +839,40 @@ object GraphQueries {
       dist = dist.unionByName(next).groupBy(col("v")).agg(min(col("dist")).as("dist"))
     }
     dist.select(col("v").as("vertex_id"), col("dist"))
+  }
+
+  /** Friend-of-friend recommendations — the "who to follow" query the reference's
+    * graph existed to serve (intersections of follower sets,
+    * `/root/reference/doc/blog.md:34-40`): for each seed user, candidates are 2-hop
+    * out-neighbors not already followed, ranked by how many distinct 1-hop neighbors
+    * bridge to them (the co-follow count), top `k` per seed. Pure integer scores.
+    *
+    * Scale shape: one self equi-join of the edge list restricted to the seed set's
+    * out-edges (the hop-1 side shrinks by the seed selectivity FIRST), a distinct
+    * count on (seed, candidate), one anti-join against existing edges, and a per-seed
+    * top-k window. At production scale the hop-1 relation is the bound to watch —
+    * celebrity seeds fan out; the reference capped these server-side the same way
+    * `k`+window caps them here.
+    */
+  def friendRecs(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true) // three consumers: both hop sides + the anti-join
+    val hop1 = edges.filter(col("src") % 100 === 0)
+      .select(col("src").as("s"), col("dst").as("b"))
+    val hop2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val counts = hop1.join(hop2, "b")
+      .filter(col("c") =!= col("s"))
+      .groupBy(col("s"), col("c"))
+      .agg(countDistinct(col("b")).as("n_via"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("n_via").desc, col("c").asc)
+    counts
+      .join(edges.select(col("src").as("s"), col("dst").as("c")), Seq("s", "c"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("s").as("seed_id"), col("c").as("rec_id"), col("n_via"), col("rank"))
   }
 
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */

@@ -61,6 +61,8 @@ object SparkEntry {
     "g33_hits"              -> (GraphQueries.hits _),
     "g34_bfs_distance"      -> ((s: SparkSession, dir: String) =>
       GraphQueries.bfsDistance(s, dir, maxHops = 3)),
+    "g35_friend_recs"       -> ((s: SparkSession, dir: String) =>
+      GraphQueries.friendRecs(s, dir, k = 5)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q04_late_priority"      -> (AnalyticsQueries.latePriorityOrders _),
     "ev12_session_stats"     -> (AnalyticsQueries.sessionStats _),
     "q08_market_share"       -> (AnalyticsQueries.marketShare _),
+    "ev13_churn"             -> (AnalyticsQueries.churnRollup _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1607,6 +1610,24 @@ object SparkEntry {
          |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
     },
 
+    // friend-of-friend top-5 per seed: 2-hop expansion, distinct bridge count,
+    // anti-join on already-followed — mirror of GraphQueries.friendRecs
+    "g35_friend_recs" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |h AS (SELECT e1.src AS s, e1.dst AS b, e2.dst AS c
+         |      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |      WHERE e1.src % 100 = 0 AND e2.dst <> e1.src),
+         |cnt AS (SELECT s, c, COUNT(DISTINCT b) AS n_via FROM h GROUP BY 1, 2),
+         |fil AS (SELECT cnt.s, cnt.c, cnt.n_via FROM cnt
+         |        LEFT JOIN e ON e.src = cnt.s AND e.dst = cnt.c
+         |        WHERE e.src IS NULL)
+         |SELECT s AS seed_id, c AS rec_id, n_via, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY s ORDER BY n_via DESC, c) AS rank
+         |  FROM fil)
+         |WHERE rank <= 5""".stripMargin,
+
     // bounded BFS from the seed set, 3 unrolled frontier expansions with min-label
     // folds — mirror of GraphQueries.bfsDistance
     "g34_bfs_distance" -> {
@@ -1698,6 +1719,19 @@ object SparkEntry {
          |       WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
          |SELECT s1.user_id, signup_ts, click_ts, purchase_ts
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // per-user churn rollup: activity span vs the corpus end, integer µs — mirror of
+    // AnalyticsQueries.churnRollup
+    "ev13_churn" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, epoch_us(ts) // 86400000000 AS day
+         |            FROM events),
+         |endv AS (SELECT MAX(tsu) AS end_us FROM ev)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+         |       CAST(MAX(tsu) AS BIGINT) AS last_seen_us,
+         |       CAST(CASE WHEN MAX(tsu) < (SELECT end_us FROM endv) - 259200000000
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS churned
+         |FROM ev GROUP BY user_id""".stripMargin,
 
     // Q8-style nation market share of region-year revenue: exact bp integers through
     // the window total, one rounded division — mirror of AnalyticsQueries.marketShare

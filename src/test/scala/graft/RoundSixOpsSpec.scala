@@ -200,6 +200,37 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("friendRecs: recommendations are unfollowed 2-hop candidates, ranked by bridges") {
+    val dir01 = "/root/testdata/sf0.01"
+    val recs = GraphQueries.friendRecs(spark, dir01, k = 5).collect()
+    assert(recs.nonEmpty)
+    val followed = GraphQueries.lwwSnapshot(spark, dir01)
+      .filter(col("graph_id") === 1 && col("state") === 0)
+      .select(col("source_id"), col("destination_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    recs.foreach { r =>
+      val (s, c) = (r.getAs[Long]("seed_id"), r.getAs[Long]("rec_id"))
+      assert(s % 100 == 0 && s != c)
+      assert(!followed.contains((s, c)), s"$s already follows $c")
+      assert(r.getAs[Long]("n_via") >= 1L)
+    }
+    recs.groupBy(_.getAs[Long]("seed_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("churnRollup: flags exactly the users silent in the trailing 72h") {
+    val rows = AnalyticsQueries.churnRollup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val end = rows.map(_.getAs[Long]("last_seen_us")).max
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("last_seen_us") < end - 259200000000L) 1 else 0
+      assert(r.getAs[Int]("churned") == expected)
+      assert(r.getAs[Long]("n_active_days") >= 1L)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_active_days"))
+    }
+  }
+
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
     val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
     assert(rows.nonEmpty)
