@@ -15,6 +15,10 @@ run / fork := true
 // every line with "[info] ", which makes Bench's machine-read JSON line start
 // with a non-'{' character and defeats line-oriented JSON parsers.
 run / outputStrategy := Some(StdoutOutput)
+// ...and don't print "[success] Total time" AFTER the program's output, so the
+// bench JSON line is the LAST line of a successful run (exit code still signals
+// success; a last-line parser must see the JSON, not sbt's epilogue).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
