@@ -19,6 +19,7 @@ object Bench {
     "d10_fuzzy_pairs", "d12_simhash_hamming",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
+    "s16_ivf_pq",
     "t01_lang_id", "t06_corpus_stats", "t13_chunk", "t14_sequence_pack",
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
     "ev2_sessionize", "ev3_hourly_rollup", "ev8_asof_join", "ev11_rolling_actives",

@@ -203,6 +203,10 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.pqSearchTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
     }),
+    "s16_ivf_pq" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+    }),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -2087,6 +2091,63 @@ object SparkEntry {
          |approx AS (SELECT l.query_id, c.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
          |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
          |  WHERE l.query_id <> c.neighbor_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin,
+
+    // IVF-PQ: cell pruning bounds the candidates, the integer-µ ADC LUT scores them,
+    // exact cosine reranks the shortlist — mirror of Similarity.ivfPqTopK, composing
+    // the s04 cell CTEs with the s15 code/LUT CTEs
+    "s16_ivf_pq" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    FROM pqscored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
          |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY approx_d2m, neighbor_id) AS crank

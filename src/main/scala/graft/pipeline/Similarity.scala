@@ -548,6 +548,35 @@ object Similarity {
     * touched only for overfetch·k rows per query. This is why PQ wins at 100 TB — the
     * scan side is 1/64th the bytes of the raw embedding column.
     */
+  /** Per-vector subspace rows: (rid, sub, sv) with sv = the sub-th `subDim`-wide
+    * slice — the shared shredding step of the PQ family.
+    */
+  private def subspaces(
+      df: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+      .select(
+        col("rid"), col("v"),
+        explode(array((0 until nSub).map(s =>
+          struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("rid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** The query-side ADC lookup table: exact subspace distances to every codebook
+    * entry, fixed to integer micro-units (order-independent to sum).
+    */
+  private def adcLut(
+      queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, nCodes: Int): DataFrame = {
+    val codebook = broadcast(
+      subspaces(candidates, idCol, vecCol, nSub, subDim).filter(col("rid") < nCodes)
+        .select(col("sub"), col("rid").cast("int").as("code"), col("sv").as("cv")))
+    subspaces(queries, idCol, vecCol, nSub, subDim).join(codebook, "sub")
+      .select(
+        col("rid").as("query_id"), col("sub"), col("code"),
+        round(lit(1000000.0) *
+          (norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv"))))
+          .cast("long").as("d2m"))
+  }
+
   def pqSearchTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -559,29 +588,94 @@ object Similarity {
       nCodes: Int = 16,
       overfetch: Int = 4
   ): DataFrame = {
-    def subspaces(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
-        .select(
-          col("rid"), col("v"),
-          explode(array((0 until nSub).map(s =>
-            struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
-        .select(col("rid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-
     val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    val codebook = broadcast(
-      subspaces(candidates).filter(col("rid") < nCodes)
-        .select(col("sub"), col("rid").cast("int").as("code"), col("sv").as("cv")))
-    val lut = broadcast(
-      subspaces(queries).join(codebook, "sub")
-        .select(
-          col("rid").as("query_id"), col("sub"), col("code"),
-          round(lit(1000000.0) *
-            (norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv"))))
-            .cast("long").as("d2m")))
+    val lut = broadcast(adcLut(queries, candidates, idCol, vecCol, nSub, subDim, nCodes))
 
     val approx = codes.join(lut, Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("approx_d2m"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"))
+
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("cn", norm2(col("nv")))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"), col("approx_d2m"),
+        round(cosineFromNorms(dot(col("qv"), col("nv")), col("qn"), col("cn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ: the production ANN composition — IVF cell pruning ([[ivfTopK]]'s
+    * broadcast-centroid assignment) bounds WHICH candidates are scored, PQ
+    * asymmetric distance ([[pqSearchTopK]]'s integer-µ LUT) bounds WHAT is read to
+    * score them, and only the surviving `overfetch·k` shortlist touches
+    * full-precision vectors for the exact rerank. Every candidate lives in exactly
+    * one cell (keep = 1), so the nProbe probed cells cannot surface a neighbor
+    * twice — no dedup stage.
+    *
+    * Scale shape: centroids and the LUT broadcast; the probe→cell join keys the
+    * shuffle by cell id (IVF's partitioning win), and the ADC scan inside probed
+    * cells reads nSub small ints per candidate instead of the embedding column.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidMod: Int = 97,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      candidates.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm2(col("cv"))))
+    // nearest cells by rounded cosine (engine-independent argmax) — the s04 contract
+    def nearestCells(r: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+      r.crossJoin(cents)
+        .select(
+          col("rid"), col("cid"),
+          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col("rid"), col("cid"))
+    }
+    def withNorm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v")))
+
+    val cells = nearestCells(withNorm(candidates), keep = 1)
+      .select(col("rid").as("neighbor_id"), col("cid"))
+    val probes = nearestCells(withNorm(queries), keep = nProbe)
+      .select(col("rid").as("query_id"), col("cid"))
+    val candidatePairs = probes.join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+
+    val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val lut = broadcast(adcLut(queries, candidates, idCol, vecCol, nSub, subDim, nCodes))
+    val approx = candidatePairs
+      .join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2m")).as("approx_d2m"))
     val wCoarse = Window.partitionBy(col("query_id"))

@@ -231,6 +231,24 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: full per-query result shape; approximate order sane under rerank") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.ivfPqTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        assert(r.getAs[Long]("approx_d2m") >= 0L)
+      }
+      // rerank order is by exact cosine desc — pinned
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
+    }
+  }
+
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
     val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
     assert(rows.nonEmpty)
