@@ -875,6 +875,34 @@ object GraphQueries {
       .select(col("s").as("seed_id"), col("c").as("rec_id"), col("n_via"), col("rank"))
   }
 
+  /** Local bridges: undirected Normal edges whose endpoints share NO other neighbor —
+    * removing one disconnects its endpoints locally (no triangle closes over it).
+    * These are the weak-tie edges of social-graph analysis (information flows across
+    * communities through them) and the risky cuts of partition planning.
+    *
+    * Scale shape: the common-neighbor relation is the same wedge self-join g25/g21
+    * use (equi-join on the shared endpoint, smaller id first); bridges fall out as
+    * one anti-join of the edge list against it. Degree-skew safety rides on the same
+    * adjacency shapes those operators pin.
+    */
+  def localBridges(spark: SparkSession, dir: String): DataFrame = {
+    val und = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(
+        least(col("source_id"), col("destination_id")).as("lo"),
+        greatest(col("source_id"), col("destination_id")).as("hi"))
+      .distinct()
+      .localCheckpoint(true) // consumers: adjacency closure (×2) + the anti-join
+    val adj = und.select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(und.select(col("hi").as("v"), col("lo").as("w")))
+    val withCommon = adj.select(col("v").as("lo"), col("w"))
+      .join(adj.select(col("v").as("hi"), col("w")), "w")
+      .filter(col("lo") < col("hi"))
+      .select(col("lo"), col("hi")).distinct()
+    und.join(withCommon, Seq("lo", "hi"), "left_anti")
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

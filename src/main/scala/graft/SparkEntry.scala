@@ -63,6 +63,7 @@ object SparkEntry {
       GraphQueries.bfsDistance(s, dir, maxHops = 3)),
     "g35_friend_recs"       -> ((s: SparkSession, dir: String) =>
       GraphQueries.friendRecs(s, dir, k = 5)),
+    "g36_local_bridges"     -> (GraphQueries.localBridges _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -162,6 +163,8 @@ object SparkEntry {
       TextStats.bm25Top(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
     "t22_bpe_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.bpePairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 100)),
+    "t23_char_entropy" -> ((s: SparkSession, dir: String) =>
+      TextStats.charEntropy(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
@@ -1520,6 +1523,22 @@ object SparkEntry {
          |  min(CASE WHEN cum * 100 >= 99 * total THEN len END) AS p99
          |FROM cw GROUP BY source""".stripMargin,
 
+    // per-doc character Shannon entropy in integer micro-bits (term-wise rounded
+    // (c/L)·log2(L/c), order-free integer sum) — mirror of TextStats.charEntropy
+    "t23_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
+         |            FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+         |                  FROM documents WHERE length(text) >= 1)),
+         |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len, COUNT(*) AS n_distinct_chars
+         |        FROM cnt GROUP BY 1)
+         |SELECT cnt.doc_id, MAX(len) AS n_chars,
+         |       CAST(MAX(n_distinct_chars) AS BIGINT) AS n_distinct_chars,
+         |       CAST(SUM(CAST(round(1000000.0 * (c::DOUBLE / len::DOUBLE)
+         |                           * log2(len::DOUBLE / c::DOUBLE)) AS BIGINT)) AS BIGINT)
+         |         AS entropy_microbits
+         |FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id""".stripMargin,
+
     // corpus-wide adjacent char-pair counts (the BPE merge statistic), top-100 by the
     // (count desc, pair) total order — mirror of TextStats.bpePairs
     "t22_bpe_pairs" ->
@@ -1613,6 +1632,21 @@ object SparkEntry {
          |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
          |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
     },
+
+    // local bridges: undirected edges with no shared neighbor (no closing triangle)
+    // — mirror of GraphQueries.localBridges
+    "g36_local_bridges" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS v, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+         |wc AS (SELECT DISTINCT a.v AS lo, b.v AS hi
+         |       FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v)
+         |SELECT und.lo, und.hi FROM und
+         |LEFT JOIN wc ON wc.lo = und.lo AND wc.hi = und.hi
+         |WHERE wc.lo IS NULL""".stripMargin,
 
     // friend-of-friend top-5 per seed: 2-hop expansion, distinct bridge count,
     // anti-join on already-followed — mirror of GraphQueries.friendRecs

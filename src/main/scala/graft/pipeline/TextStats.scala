@@ -450,6 +450,37 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Per-document character-level Shannon entropy — the gibberish/degenerate-text
+    * signal (natural prose sits near the language's typical bits/char; random bytes
+    * score high, repeated filler scores low). Terms are pinned to integer micro-bits
+    * per (char-count, doc-length) PAIR — round(10⁶·(c/L)·log2(L/c)) as BIGINT — so
+    * the per-document sum is order-free integer addition (the t20 micro-unit
+    * discipline; the single log2 call per distinct ratio is the same exposure t20's
+    * ln has, measured safe).
+    *
+    * Scale shape: a character generator (transform over the string, no regex), one
+    * (doc, char) hash-agg bounded by |alphabet| rows per doc, one per-doc rollup.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol), explode(
+        expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
+        .as("ch"))
+    val cnt = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col(idCol)).agg(sum(col("c")).as("len"),
+      count(lit(1)).as("n_distinct_chars"))
+    cnt.join(tot, idCol)
+      .withColumn("term",
+        round(lit(1000000.0) * (col("c").cast("double") / col("len").cast("double")) *
+          log2(col("len").cast("double") / col("c").cast("double"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("len")).as("n_chars"),
+        max(col("n_distinct_chars")).as("n_distinct_chars"),
+        sum(col("term")).as("entropy_microbits"))
+  }
+
   /** EXACT per-group token-length quantiles (p50/p90/p99) — the corpus length-profile
     * telemetry that decides chunk sizes and packing windows. Quantile q = the smallest
     * length whose cumulative count covers ⌈q·total⌉, found by cumulating the per-group

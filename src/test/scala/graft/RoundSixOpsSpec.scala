@@ -249,6 +249,38 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: planted uniform and degenerate docs score exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "aaaa")).toDF("doc_id", "text")
+    val rows = TextStats.charEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // two chars at p=1/2: each term = round(1e6·0.5·log2(2)) = 500000 → 1 bit total
+    assert(rows(1L).getAs[Long]("entropy_microbits") == 1000000L)
+    assert(rows(1L).getAs[Long]("n_chars") == 4L && rows(1L).getAs[Long]("n_distinct_chars") == 2L)
+    // single repeated char: log2(1) = 0 exactly
+    assert(rows(2L).getAs[Long]("entropy_microbits") == 0L)
+  }
+
+  test("localBridges: returned edges close no triangle; triangle edges never returned") {
+    val bridges = GraphQueries.localBridges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+    assert(bridges.nonEmpty)
+    // rebuild the undirected adjacency driver-side and check the defining property
+    val und = GraphQueries.lwwSnapshot(spark, dir)
+      .filter(col("graph_id") === 1 && col("state") === 0 &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id"), col("destination_id")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    und.foreach { case (lo, hi) =>
+      val common = (nbrs(lo) - hi).intersect(nbrs(hi) - lo)
+      assert(bridges.contains((lo, hi)) == common.isEmpty,
+        s"($lo,$hi) common=$common bridge=${bridges.contains((lo, hi))}")
+    }
+  }
+
   test("personalizedPageRank: seeds keep the teleport floor; mass stays on the seed side") {
     val rows = GraphQueries.personalizedPageRank(spark, dir).collect()
     assert(rows.nonEmpty)
