@@ -48,6 +48,27 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** Q10-style returned-item report: revenue lost to returns per customer (top 20 by
+    * lost bp, customer tie-break). The return-flag filter pushes into the lineitem
+    * scan (PushedFilters), the nation side broadcasts; exact bp integers throughout.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lost = table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenueBp(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val custNation = table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    lost
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).as("lost_bp"), count(lit(1)).as("n_returned_items"))
+      .orderBy(col("lost_bp").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Q5-style star join: lineitem→orders→customer→nation→region. The dimension chain is
     * broadcast (region/nation/customer are tiny next to the fact tables).
     */

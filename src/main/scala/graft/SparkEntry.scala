@@ -88,6 +88,7 @@ object SparkEntry {
     "ev12_session_stats"     -> (AnalyticsQueries.sessionStats _),
     "q08_market_share"       -> (AnalyticsQueries.marketShare _),
     "ev13_churn"             -> (AnalyticsQueries.churnRollup _),
+    "q09_returned_revenue"   -> (AnalyticsQueries.returnedRevenue _),
     // --- training-data pipeline: dedup / text analysis ---
     "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -1770,6 +1771,20 @@ object SparkEntry {
          |       CAST(CASE WHEN MAX(tsu) < (SELECT end_us FROM endv) - 259200000000
          |                 THEN 1 ELSE 0 END AS INTEGER) AS churned
          |FROM ev GROUP BY user_id""".stripMargin,
+
+    // Q10-style returned-item revenue per customer, top-20 by lost bp — mirror of
+    // AnalyticsQueries.returnedRevenue
+    "q09_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM($revBp) AS BIGINT) AS lost_bp,
+         |  COUNT(*) AS n_returned_items
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY lost_bp DESC, c_custkey LIMIT 20""".stripMargin,
 
     // Q8-style nation market share of region-year revenue: exact bp integers through
     // the window total, one rounded division — mirror of AnalyticsQueries.marketShare

@@ -249,6 +249,14 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("returnedRevenue plan: the return-flag filter reaches the lineitem scan") {
+    val plan = AnalyticsQueries.returnedRevenue(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_returnflag,R)"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), "dimension sides must broadcast")
+  }
+
   test("charEntropy: planted uniform and degenerate docs score exactly") {
     import spark.implicits._
     val docs = Seq((1L, "aabb"), (2L, "aaaa")).toDF("doc_id", "text")
