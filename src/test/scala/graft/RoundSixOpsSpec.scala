@@ -26,6 +26,26 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(keys(3) == (1L << 40) - 1)
   }
 
+  test("mortonKey: 500 seeded random pairs match the reference interleave; per-axis monotone") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 20).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)((rnd.nextLong().abs % 1048576, rnd.nextLong().abs % 1048576))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
+    // fixing one axis, the key is strictly monotone in the other (what makes
+    // range-partitioning by zkey a valid clustering of each dimension)
+    pairs.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      val sorted = grp.map(_._1).distinct.sorted
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(ref(a, grp.head._2) < ref(b, grp.head._2))
+      }
+    }
+  }
+
   test("zorderKeys: key recomputes from (user_id, hour) and bucket is the key's high bits") {
     import spark.implicits._
     def morton(x: Long, y: Long): Long =
