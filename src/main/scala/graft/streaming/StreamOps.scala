@@ -102,6 +102,56 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** [[streamingSessionize]] with REAL closing: event-time timeout against the
+    * stream's watermark. A session closes either because its user produced an event
+    * past the gap (same as the base variant) or because the WATERMARK passed its
+    * last-seen + gap — so closed sessions are emitted even for users who never
+    * return, which is what a production sessionizer must do. Input needs an
+    * `event_time` timestamp column with a watermark already applied (the caller
+    * owns the lateness budget).
+    *
+    * State: still one open-session register per active user; the timeout GC's it,
+    * so state size tracks ACTIVE users, not ever-seen users.
+    */
+  def streamingSessionizeEventTime(
+      events: Dataset[SessionEvent],
+      gapUs: Long = 3600000000L,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val withWm = events
+      .withColumn("event_time", expr("timestamp_micros(tsUs)"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SessionEvent]
+
+    def fold(
+        userId: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]
+    ): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.startUs, s.nEvents, s.lastUs - s.startUs, closed = true))
+      } else {
+        val tss = batch.map(_.tsUs).toSeq
+        if (tss.isEmpty) Iterator.empty
+        else {
+          val (open, closedSessions) = mergeSessionBatch(state.getOption, tss, gapUs)
+          state.update(open)
+          // close when the watermark passes the open session's gap horizon
+          state.setTimeoutTimestamp((open.lastUs + gapUs) / 1000L)
+          closedSessions.iterator.map(s =>
+            SessionOut(userId, s.startUs, s.nEvents, s.lastUs - s.startUs, closed = true))
+        }
+      }
+    }
+
+    withWm
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
   case class VertexDegree(graphId: Int, sourceId: Long, degree: Long)
 
   /** Compact per-destination LWW register — only what conflict resolution needs

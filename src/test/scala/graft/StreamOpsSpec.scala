@@ -228,6 +228,39 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingSessionizeEventTime: the watermark closes sessions of absent users") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600000000L
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamOps.streamingSessionizeEventTime(
+      stream.toDS(), gapUs = hour, watermarkDelay = "0 seconds").toDF()
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode(OutputMode.Update()).start()
+    // NOT epoch 0: a first event at exactly the initial watermark is filtered as late
+    val base = 1700000000000000L
+    try {
+      // user 1 is active once and never returns
+      stream.addData(SessionEvent(1L, 1L, base), SessionEvent(1L, 2L, base + hour / 2))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM et_sessions WHERE closed").count() == 0)
+      // a DIFFERENT user's much-later event advances the watermark past
+      // user 1's last-seen + gap, firing the event-time timeout
+      stream.addData(SessionEvent(2L, 3L, base + 10 * hour))
+      query.processAllAvailable()
+      // one more empty-ish trigger lets the timeout batch run
+      stream.addData(SessionEvent(2L, 4L, base + 10 * hour + 1))
+      query.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT userId, sessionStartUs, nEvents, durationUs FROM et_sessions WHERE closed")
+        .collect()
+      assert(closed.length == 1, closed.mkString(","))
+      assert(closed.head.getLong(0) == 1L && closed.head.getLong(1) == base
+        && closed.head.getLong(2) == 2L && closed.head.getLong(3) == hour / 2)
+    } finally query.stop()
+  }
+
   test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
     import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
     for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
