@@ -95,6 +95,7 @@ object AnalyticsQueries {
     val ev = table(spark, dir, "events")
       .select(col("user_id"), expr("ts DIV 1000").as("tsu"))
       .withColumn("day", expr("tsu DIV 86400000000"))
+      .localCheckpoint(true) // two consumers: the corpus-end agg and the rollup scan
     val end = ev.agg(max(col("tsu")).as("end_us"))
     ev.groupBy(col("user_id"))
       .agg(

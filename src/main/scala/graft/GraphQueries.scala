@@ -188,24 +188,29 @@ object GraphQueries {
     * result hash-matches the oracle exactly (float PageRank would drift in summation
     * order). Graph 1, Normal edges, damping 85/100.
     */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    // the loop-invariant edge relation is materialized once with an eager local
-    // checkpoint: lineage truncation keeps every iteration's plan shallow (without it
-    // each join replays the LWW snapshot aggregation — the final plan recomputes it ~7
-    // times; .cache() measured 4-5x SLOWER here, the in-memory-columnar scan plus
-    // AQE-less cached-plan joins cost more than the recompute it saves)
+  /** Loop-invariant fixpoint inputs shared by the PageRank-family kernels: the
+    * degree-weighted Normal graph-1 edge list and the distinct vertex set, both
+    * materialized ONCE with eager local checkpoints — lineage truncation keeps every
+    * iteration's plan shallow (without it each join replays the LWW snapshot
+    * aggregation; .cache() measured 4-5× SLOWER here), and hoisting the out-degree
+    * join out of the loop removes 3 shuffles from the unrolled plan (measured
+    * 5.1 s → 3.4 s at sf0.1).
+    */
+  private def weightedGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
       .select(col("source_id").as("src"), col("destination_id").as("dst"))
-    // out-degree is loop-invariant: join it to the edge list ONCE before the loop —
-    // left inside, every iteration's plan re-aggregates and re-joins it (3 extra
-    // shuffles across the unrolled plan; measured 5.1 s → 3.4 s at sf0.1)
     val weighted = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
     val vertices = weighted.select(col("src").as("v"))
       .unionByName(weighted.select(col("dst").as("v"))).distinct()
       .localCheckpoint(true)
+    (weighted, vertices)
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val (weighted, vertices) = weightedGraph(spark, dir)
     val nVertices = vertices.count()
     val init = lit(1000000000000L / nVertices)
 
@@ -242,15 +247,7 @@ object GraphQueries {
     * aggregation; the rank relation never exceeds |V|.
     */
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TestGraph.store(spark, dir).snapshot
-      .filter(col("graph_id") === 1 && col("state") === State.Normal)
-      .select(col("source_id").as("src"), col("destination_id").as("dst"))
-    val weighted = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
-    val vertices = weighted.select(col("src").as("v"))
-      .unionByName(weighted.select(col("dst").as("v"))).distinct()
-      .localCheckpoint(true)
+    val (weighted, vertices) = weightedGraph(spark, dir)
     val isSeed = col("v") % 100 === 0
     val nSeeds = vertices.filter(isSeed).count()
 

@@ -238,8 +238,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").as("hamming"))
-      .distinct() // a pair agreeing in several bands is one result row
+      // filter BEFORE the distinct: hamming is a pure function of the pair, so the
+      // dedup shuffle only carries surviving pairs (the overwhelming majority of
+      // band collisions are not near-dups and die here)
       .filter(col("hamming") <= maxDist)
+      .distinct() // a pair agreeing in several bands is one result row
   }
 
   /** Boilerplate-passage scoring: the fraction of each document's shingles that are

@@ -513,12 +513,8 @@ object Similarity {
       subDim: Int = 8,
       nCodes: Int = 16
   ): DataFrame = {
-    val base = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-    val subs = base.select(
-      col("vec_id"),
-      explode(array((0 until nSub).map(s =>
-        struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val subs = subspaces(df, idCol, vecCol, nSub, subDim)
+      .withColumnRenamed("rid", "vec_id")
     val codebook = broadcast(
       subs.filter(col("vec_id") < nCodes)
         .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv")))
@@ -596,12 +592,28 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2m")).as("approx_d2m"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
-    val shortlist = approx.withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= k * overfetch)
-      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"))
+    exactRerank(adcShortlist(approx, k * overfetch), queries, candidates, idCol, vecCol, k)
+  }
 
+  /** Top-`limit` per query from the ADC approximate distances — the shared coarse
+    * cut of the PQ search family (ties on the exact integer distance break by id).
+    */
+  private def adcShortlist(approx: DataFrame, limit: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
+    approx.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= limit)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"))
+  }
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id, approx_d2m) shortlist — the
+    * ONE place the PQ family touches full-precision vectors. The rounded-cosine
+    * order and neighbor tie-break are the oracle-pinned determinism contract, so
+    * every caller must share this exact sequence.
+    */
+  private def exactRerank(
+      shortlist: DataFrame, queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
     val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
@@ -678,26 +690,7 @@ object Similarity {
       .join(lut, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2m")).as("approx_d2m"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
-    val shortlist = approx.withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= k * overfetch)
-      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"))
-
-    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm2(col("qv")))
-    val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
-      .withColumn("cn", norm2(col("nv")))
-    val wFinal = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    shortlist
-      .join(broadcast(qv), "query_id")
-      .join(cv, "neighbor_id")
-      .select(
-        col("query_id"), col("neighbor_id"), col("approx_d2m"),
-        round(cosineFromNorms(dot(col("qv"), col("nv")), col("qn"), col("cn")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
+    exactRerank(adcShortlist(approx, k * overfetch), queries, candidates, idCol, vecCol, k)
   }
 
   /** Random-projection dimensionality reduction (Johnson-Lindenstrauss with ±1 sign

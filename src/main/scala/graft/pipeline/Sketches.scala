@@ -42,32 +42,38 @@ object Sketches {
     * the full item stream is never shuffled beyond (key, idx), so a 100 TB scan reduces
     * to m·|keys| rows of state exactly like production HLL.
     */
+  /** (key, idx, rho) register relation — the oracle-pinned HLL register recipe (rank
+    * of the first 1-bit in the `32−b`-wide hash tail, via the binary-string position:
+    * instr of lpad(bin); integer-exact and shared verbatim with the oracle SQL).
+    * ONE implementation for every HLL operator — [[hllDistinct]] and [[hllOverlap]]
+    * must never diverge on register format.
+    */
+  private def hllRegisters(items: DataFrame, keyCol: String, itemCol: String, b: Int): DataFrame = {
+    val wBits = 32 - b
+    val h = h32(col(itemCol))
+    val rho = when(col("w") === 0L, lit(wBits + 1))
+      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
+    items
+      .select(
+        col(keyCol).as("key"),
+        shiftright(h, wBits).as("idx"),
+        h.bitwiseAND(lit((1L << wBits) - 1)).as("w"))
+      .groupBy(col("key"), col("idx"))
+      .agg(max(rho).as("rho"))
+  }
+
   def hllDistinct(items: DataFrame, keyCol: String, itemCol: String, b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"register bits out of range: $b")
     val m = 1 << b
-    val wBits = 32 - b
     val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
-    val h = h32(col(itemCol))
     val mat = items.localCheckpoint(true) // two consumers: registers + exact diagnostic
-    val withReg = mat.select(
-      col(keyCol),
-      col(itemCol),
-      shiftright(h, wBits).as("idx"),
-      h.bitwiseAND(lit((1L << wBits) - 1)).as("w"))
-    // rank of the first 1-bit in the wBits-wide tail, via the binary-string position
-    // (instr of lpad(bin)) — integer-exact and shared verbatim with the oracle SQL
-    val rho = when(col("w") === 0L, lit(wBits + 1))
-      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
-    val regs = withReg
-      .groupBy(col(keyCol), col("idx"))
-      .agg(max(rho).as("rho"))
-    val sums = regs
-      .groupBy(col(keyCol))
+    val sums = hllRegisters(mat, keyCol, itemCol, b)
+      .groupBy(col("key"))
       .agg(
         sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")).as("hit_sum"),
         count(lit(1)).as("n_regs"))
       .select(
-        col(keyCol),
+        col("key").as(keyCol),
         (col("hit_sum") + (lit(m.toLong) - col("n_regs")).cast("double")).as("ssum"))
     val exact = mat
       .groupBy(col(keyCol))
@@ -145,18 +151,8 @@ object Sketches {
   def hllOverlap(items: DataFrame, keyCol: String, itemCol: String, b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"register bits out of range: $b")
     val m = 1 << b
-    val wBits = 32 - b
     val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
-    val h = h32(col(itemCol))
-    val rho = when(col("w") === 0L, lit(wBits + 1))
-      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
-    val regs = items
-      .select(
-        col(keyCol).as("key"),
-        shiftright(h, wBits).as("idx"),
-        h.bitwiseAND(lit((1L << wBits) - 1)).as("w"))
-      .groupBy(col("key"), col("idx"))
-      .agg(max(rho).as("rho"))
+    val regs = hllRegisters(items, keyCol, itemCol, b)
       .localCheckpoint(true) // three consumers: per-key fold + both sides of the pair union
 
     def estimate(grouped: DataFrame, ks: Seq[String]): DataFrame =

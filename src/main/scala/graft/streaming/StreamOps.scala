@@ -39,21 +39,27 @@ object StreamOps extends Serializable {
   /** Pure per-user sessionization step (unit-testable): fold one batch of event
     * timestamps into the open session (if any) under the ≤ `gapUs` break rule —
     * ev12's rule, incrementally. Returns (new open session, sessions CLOSED by this
-    * batch, in order). Events sort within the batch; ACROSS batches the contract is
-    * the watermark's — an event older than the open session's last-seen minus the
-    * gap would need reprocessing, exactly like any streaming sessionizer.
+    * batch, in order). Events sort within the batch; a cross-batch LATE event that
+    * still lands within the gap of the open session merges correctly (extending the
+    * session's start backward if needed); one older than start − gap belongs to an
+    * already-closed session and would need reprocessing — the watermark's contract,
+    * exactly like any streaming sessionizer. At least one of (current, tss) must be
+    * non-empty.
     */
   def mergeSessionBatch(
       current: Option[SessionState],
       tss: Seq[Long],
       gapUs: Long
   ): (SessionState, Seq[SessionState]) = {
+    require(current.nonEmpty || tss.nonEmpty, "nothing to fold: no state and no events")
     var closed = List.empty[SessionState]
     var cur = current
     tss.sorted.foreach { t =>
       cur match {
         case Some(s) if t - s.lastUs <= gapUs =>
-          cur = Some(SessionState(s.startUs, math.max(s.lastUs, t), s.nEvents + 1))
+          // min/max, not (start, t): a late event inside the gap must not shift the
+          // session start forward or leave duration shorter than the true span
+          cur = Some(SessionState(math.min(s.startUs, t), math.max(s.lastUs, t), s.nEvents + 1))
         case Some(s) =>
           closed = s :: closed
           cur = Some(SessionState(t, t, 1))
@@ -70,9 +76,12 @@ object StreamOps extends Serializable {
     * open session (`closed = false`, superseded by later updates — Update-mode
     * semantics, same contract as [[streamingDegree]]'s running counts).
     *
-    * Scale shape: state is ONE fixed-size register per active user (not the user's
-    * events), shuffle-partitioned by user like the batch window; emitted rows are
-    * bounded by batch size + one snapshot per touched user.
+    * Scale shape: state is ONE fixed-size register per user (not the user's events),
+    * shuffle-partitioned by user like the batch window; emitted rows are bounded by
+    * batch size + one snapshot per touched user. NB: with NoTimeout this variant
+    * keeps a register per EVER-SEEN user and never emits a departed user's final
+    * session — use [[streamingSessionizeEventTime]] for watermark-driven closing and
+    * state GC (register per ACTIVE user).
     */
   def streamingSessionize(
       events: Dataset[SessionEvent],

@@ -185,6 +185,10 @@ class StreamOpsSpec extends SparkSpec {
     // and a far-future event closes it
     val (open3, closed3) = mergeSessionBatch(Some(open2), Seq(9 * hour), hour)
     assert(closed3 == Seq(open2) && open3 == SessionState(9 * hour, 9 * hour, 1))
+    // a cross-batch LATE event inside the gap extends the session START backward —
+    // it must not shift the start forward or shrink the duration
+    val (open4, closed4) = mergeSessionBatch(Some(open3), Seq(9 * hour - hour / 2), hour)
+    assert(closed4.isEmpty && open4 == SessionState(9 * hour - hour / 2, 9 * hour, 2))
   }
 
   test("streamingSessionize: sessions close across micro-batches; parity with ev12 on one batch") {
