@@ -161,6 +161,76 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  case class RateAnomaly(
+      graphId: Int, windowStart: Long, n: Long, baseMean: Double, z: Double)
+
+  /** Pure anomaly step (unit-testable, ev7's float sequence verbatim): score `n`
+    * against the trailing baseline windows, then append and trim to `horizon`.
+    * Returns (new baseline, z-score) — z is None until `minBaseline` windows exist.
+    */
+  def anomalyStep(
+      baseline: Seq[(Long, Long)],
+      windowStart: Long,
+      n: Long,
+      horizon: Int,
+      minBaseline: Int
+  ): (Seq[(Long, Long)], Option[(Double, Double)]) = {
+    val prior = baseline.filter(_._1 < windowStart).sortBy(_._1).takeRight(horizon)
+    val score =
+      if (prior.size < minBaseline) None
+      else {
+        val cnt = prior.size.toDouble
+        val sumN = prior.map(_._2).sum
+        val sumSq = prior.map(w => w._2 * w._2).sum
+        val mean = sumN.toDouble / cnt
+        val variance = math.max(sumSq.toDouble / cnt - mean * mean, 0.0)
+        val z = if (variance > 0.0)
+          math.rint((n.toDouble - mean) / math.sqrt(variance) * 10000) / 10000
+        else 0.0
+        Some((math.rint(mean * 10000) / 10000, z))
+      }
+    val next = (prior :+ (windowStart, n)).takeRight(horizon)
+    (next, score)
+  }
+
+  /** Streaming write-rate anomaly — ev7 at ingestion time: input is the windowed
+    * count stream ([[writeRates]] output or equivalent `(graph_id, window_start,
+    * n_writes)` rows); per-graph state holds the trailing `horizon` window counts
+    * (a bounded ring, NOT the write stream) and each arriving window emits its
+    * z-score against the pre-arrival baseline.
+    *
+    * Scale shape: state is `horizon` (window, count) pairs per graph — constant;
+    * keyed by graph like the batch window partition. Late windows re-keying an
+    * existing baseline entry follow the watermark contract of the upstream count.
+    */
+  def streamingRateAnomaly(
+      rates: Dataset[(Int, Long, Long)],
+      horizon: Int = 24,
+      minBaseline: Int = 12
+  ): Dataset[RateAnomaly] = {
+    import rates.sparkSession.implicits._
+
+    def fold(
+        graphId: Int,
+        batch: Iterator[(Int, Long, Long)],
+        state: GroupState[Seq[(Long, Long)]]
+    ): Iterator[RateAnomaly] = {
+      var baseline = state.getOption.getOrElse(Seq.empty)
+      val out = batch.toSeq.sortBy(_._2).map { case (_, windowStart, n) =>
+        val (next, score) = anomalyStep(baseline, windowStart, n, horizon, minBaseline)
+        baseline = next
+        RateAnomaly(graphId, windowStart, n,
+          score.map(_._1).getOrElse(0.0), score.map(_._2).getOrElse(0.0))
+      }
+      state.update(baseline)
+      out.iterator
+    }
+
+    rates
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   case class VertexDegree(graphId: Int, sourceId: Long, degree: Long)
 
   /** Compact per-destination LWW register — only what conflict resolution needs

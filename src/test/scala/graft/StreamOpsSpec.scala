@@ -265,6 +265,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("anomalyStep: baseline warms up, scores match the ev7 float sequence, ring is bounded") {
+    import graft.streaming.StreamOps.anomalyStep
+    // warm-up: first minBaseline windows emit no score
+    var base = Seq.empty[(Long, Long)]
+    (0 until 3).foreach { i =>
+      val (b2, s) = anomalyStep(base, i.toLong, 10L, horizon = 24, minBaseline = 3)
+      assert(s.isEmpty, s"window $i scored during warm-up"); base = b2
+    }
+    // constant baseline of 10s: variance 0 ⇒ z = 0.0, mean = 10
+    val (base4, s4) = anomalyStep(base, 3L, 25L, 24, 3)
+    assert(s4.contains((10.0, 0.0)))
+    // now baseline {10,10,10,25}: mean 13.75, var = E[x²]−mean² = 231.25−189.0625
+    val (_, s5) = anomalyStep(base4, 4L, 30L, 24, 3)
+    val mean5 = 55.0 / 4.0
+    val var5 = 925.0 / 4.0 - mean5 * mean5
+    val expectedZ = math.rint((30.0 - mean5) / math.sqrt(var5) * 10000) / 10000
+    assert(s5.contains((13.75, expectedZ)))
+    // ring bound: horizon 4 keeps only the trailing 4 windows
+    var b = Seq.empty[(Long, Long)]
+    (0 until 10).foreach { i => b = anomalyStep(b, i.toLong, i.toLong, 4, 3)._1 }
+    assert(b.map(_._1) == Seq(6L, 7L, 8L, 9L))
+  }
+
+  test("streamingRateAnomaly: per-graph baselines stay independent across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, Long)]
+    val query = StreamOps.streamingRateAnomaly(stream.toDS(), horizon = 24, minBaseline = 2)
+      .toDF().writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((1, 0L, 10L), (1, 1L, 10L), (2, 0L, 100L), (2, 1L, 200L))
+      query.processAllAvailable()
+      stream.addData((1, 2L, 10L), (2, 2L, 300L))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT graphId, windowStart, baseMean, z FROM anomalies WHERE windowStart = 2")
+        .collect().map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      // graph 1: flat baseline → mean 10, z 0; graph 2: mean 150, var 2500 → z = 3
+      assert(rows(1) == ((10.0, 0.0)))
+      assert(rows(2) == ((150.0, 3.0)))
+    } finally query.stop()
+  }
+
   test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
     import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
     for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
