@@ -352,9 +352,16 @@ object GraphQueries {
     * to the derived dominant state.
     */
   def metadataRegisters(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.compactedStore(spark, dir)
+    // the batch only touches graph 3 and only graph-3 metadata is read, so the whole
+    // pipeline runs against the graph-pruned store view: the predicate reaches the log
+    // scans (whereGraph scaladoc — filtering AFTER metadata cannot cross its full-outer
+    // register join, so every fold would process all three graphs to report one).
+    // Pruning sits BELOW the compaction fold too: only graph 3 is folded/materialized
+    // (on graph-partitioned storage this is one partition directory, not the store)
+    val store = graft.store.EdgeStore(
+      TestGraph.store(spark, dir).whereGraph(3).snapshot.localCheckpoint(eager = true))
     val targets = store.snapshot
-      .filter(col("graph_id") === 3 && col("source_id") % 4 === 0)
+      .filter(col("source_id") % 4 === 0)
       .select(col("graph_id"), col("source_id"))
       .distinct()
       .unionByName(
@@ -370,7 +377,6 @@ object GraphQueries {
       lit(null).cast("long").as("position")
     )
     store.applyOperations(batch).metadata
-      .filter(col("graph_id") === 3)
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
   }
 

@@ -111,6 +111,24 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     }
   }
 
+  /** Graph-pruned view of the store: restrict BOTH logs to one graph before any fold.
+    *
+    * `graph_id` is a component of every grouping key ([[snapshot]], [[vertexStates]],
+    * [[metadata]]) and every join key in the derived relations, so pruning the logs
+    * first is semantics-preserving — but NOT plan-equivalent to filtering the derived
+    * output: Catalyst's `PushPredicateThroughJoin` never pushes predicates into a
+    * full-outer join, so `metadata.filter(graph_id === g)` folds and joins ALL graphs
+    * and discards the rest at the top (the reference never pays this: a graph maps to
+    * its own forwarding-table shard range, `ForwardingManager.scala:24-38`). Through
+    * this view the predicate sits directly over each scan — on graph-partitioned
+    * storage ([[EdgeStorage.save]]) that is directory-level partition pruning, the
+    * difference between scanning one graph and scanning the store at 100 TB.
+    */
+  def whereGraph(graphId: Int): EdgeStore =
+    new EdgeStore(
+      log.filter(col("graph_id") === graphId),
+      vertexLog.map(_.filter(col("graph_id") === graphId)))
+
   /** Adjacency relation for one query term, direction-normalized: the result column
     * `neighbor_id` is destination for forward terms, source for backward terms
     * (reference `ForwardingManager.scala:35-37`: backward graph = -graphId table; we swap

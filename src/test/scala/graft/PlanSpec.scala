@@ -177,6 +177,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("whereGraph pushes the graph predicate below metadata's full-outer register join") {
+    // metadata's register branch joins full_outer on (graph_id, source_id); Catalyst
+    // never pushes predicates into a full-outer join, so the g20-shaped read must go
+    // through the pruned-store view, where the predicate reaches both scans
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wheregraph").toString
+    val base = TestGraph.store(spark, dir)
+    base.snapshot.write.mode("overwrite").parquet(s"$tmp/edges")
+    import spark.implicits._
+    Seq((1, 4L, true, 2, 2200000), (2, 8L, true, 2, 2200000))
+      .toDF("graph_id", "vertex_id", "is_forward", "state", "updated_at")
+      .write.mode("overwrite").parquet(s"$tmp/vertex")
+    val store = new graft.store.EdgeStore(
+      spark.read.parquet(s"$tmp/edges"),
+      Some(spark.read.parquet(s"$tmp/vertex")))
+    val p = plan(store.whereGraph(1).metadata)
+    assert("EqualTo\\(graph_id,1\\)".r.findAllMatchIn(p).size >= 2,
+      s"graph predicate must reach BOTH scans (edge log and vertex log):\n$p")
+    // the contrast that motivates the view: a post-metadata filter stays above the join
+    val naive = plan(store.metadata.filter(col("graph_id") === 1))
+    assert(!naive.contains("EqualTo(graph_id,1)"),
+      s"post-filter now pushes through the full-outer join — whereGraph may be obsolete:\n$naive")
+  }
+
   test("vocabCoverage broadcasts the top-k vocabulary against the token stream") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.vocabCoverage(docs, "doc_id", "text"))
