@@ -250,6 +250,9 @@ object GraphQueries {
     val (weighted, vertices) = weightedGraph(spark, dir)
     val isSeed = col("v") % 100 === 0
     val nSeeds = vertices.filter(isSeed).count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed vertices (v % 100 == 0) in the graph — " +
+        "teleport mass has nowhere to land; parameterize the seed predicate if needed")
 
     var rank = vertices.select(col("v"),
       when(isSeed, lit(1000000000000L / nSeeds)).otherwise(lit(0L)).as("pr"))

@@ -2112,7 +2112,7 @@ object SparkEntry {
          |      + list_dot_product(cv, cv) AS d2
          |  FROM sub t JOIN cb ON cb.s = t.s)
          |SELECT vec_id, CAST(s AS INTEGER) AS sub, code, round(d2, 6) AS err FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
 
@@ -2129,7 +2129,7 @@ object SparkEntry {
          |      + list_dot_product(cv, cv) AS d2
          |  FROM sub t JOIN cb ON cb.s = t.s),
          |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
          |    FROM scored)
          |  WHERE rn = 1),
          |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
@@ -2184,7 +2184,7 @@ object SparkEntry {
          |      + list_dot_product(cv, cv) AS d2
          |  FROM sub t JOIN cb ON cb.s = t.s),
          |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
          |    FROM pqscored)
          |  WHERE rn = 1),
          |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,

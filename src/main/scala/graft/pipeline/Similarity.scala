@@ -519,11 +519,16 @@ object Similarity {
       subs.filter(col("vec_id") < nCodes)
         .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv")))
     subs.join(codebook, "sub")
-      .withColumn("d2", norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv")))
+      // argmin on the ROUNDED distance (the repo's cross-engine ordering discipline,
+      // e.g. the s04 rounded-cosine argmax): an ulp difference between Spark's dot
+      // fold and DuckDB's list_dot_product on a near-tie must not flip a code
+      // assignment and cascade through pqSearchTopK/ivfPqTopK
+      .withColumn("d2r", round(
+        norm2(col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) + norm2(col("cv")), 6))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .agg(min(struct(col("d2r"), col("code"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.code").as("code"),
-        round(col("m.d2"), 6).as("err"))
+        col("m.d2r").as("err"))
   }
 
   /** PQ asymmetric-distance search (ADC) with exact rerank — the compressed-index ANN

@@ -41,10 +41,13 @@ object StreamOps extends Serializable {
     * ev12's rule, incrementally. Returns (new open session, sessions CLOSED by this
     * batch, in order). Events sort within the batch; a cross-batch LATE event that
     * still lands within the gap of the open session merges correctly (extending the
-    * session's start backward if needed); one older than start − gap belongs to an
-    * already-closed session and would need reprocessing — the watermark's contract,
-    * exactly like any streaming sessionizer. At least one of (current, tss) must be
-    * non-empty.
+    * session's start backward if needed). An event older than start − gap belongs to
+    * a session that is already closed: merging it into the open register would
+    * produce an open session overlapping an already-emitted closed one, so such
+    * events instead fold into their own closed chain, emitted first. (Reachable only
+    * via the NoTimeout [[streamingSessionize]]; [[streamingSessionizeEventTime]]'s
+    * watermark discards them upstream whenever gapUs ≥ the watermark delay.) At
+    * least one of (current, tss) must be non-empty.
     */
   def mergeSessionBatch(
       current: Option[SessionState],
@@ -52,6 +55,27 @@ object StreamOps extends Serializable {
       gapUs: Long
   ): (SessionState, Seq[SessionState]) = {
     require(current.nonEmpty || tss.nonEmpty, "nothing to fold: no state and no events")
+    val (stale, live) = current match {
+      case Some(s) => tss.partition(_ < s.startUs - gapUs)
+      case None    => (Seq.empty[Long], tss)
+    }
+    val staleClosed =
+      if (stale.isEmpty) Seq.empty
+      else {
+        // the stale chain can never rejoin the open session (every stale t is
+        // strictly below its reachable horizon), so its tail closes immediately too
+        val (lastStale, closedStale) = foldSorted(None, stale, gapUs)
+        closedStale :+ lastStale
+      }
+    val (open, closed) = foldSorted(current, live, gapUs)
+    (open, staleClosed ++ closed)
+  }
+
+  private def foldSorted(
+      current: Option[SessionState],
+      tss: Seq[Long],
+      gapUs: Long
+  ): (SessionState, Seq[SessionState]) = {
     var closed = List.empty[SessionState]
     var cur = current
     tss.sorted.foreach { t =>
@@ -165,8 +189,13 @@ object StreamOps extends Serializable {
       graphId: Int, windowStart: Long, n: Long, baseMean: Double, z: Double)
 
   /** Pure anomaly step (unit-testable, ev7's float sequence verbatim): score `n`
-    * against the trailing baseline windows, then append and trim to `horizon`.
+    * against the trailing baseline windows STRICTLY BEFORE `windowStart`, then
+    * upsert `(windowStart, n)` into the ring and trim to the `horizon` newest.
     * Returns (new baseline, z-score) — z is None until `minBaseline` windows exist.
+    * A window arriving out of order across micro-batches scores only against its
+    * true past but must NOT evict newer entries from the persisted ring (state is
+    * the ring, exclusion is score-time only); a re-delivered window replaces its
+    * previous entry.
     */
   def anomalyStep(
       baseline: Seq[(Long, Long)],
@@ -189,7 +218,8 @@ object StreamOps extends Serializable {
         else 0.0
         Some((math.rint(mean * 10000) / 10000, z))
       }
-    val next = (prior :+ (windowStart, n)).takeRight(horizon)
+    val next = (baseline.filterNot(_._1 == windowStart) :+ (windowStart, n))
+      .sortBy(_._1).takeRight(horizon)
     (next, score)
   }
 

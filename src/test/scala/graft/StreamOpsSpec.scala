@@ -191,6 +191,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(closed4.isEmpty && open4 == SessionState(9 * hour - hour / 2, 9 * hour, 2))
   }
 
+  test("mergeSessionBatch: an event past the closed horizon never corrupts the open session") {
+    import graft.streaming.StreamOps.{mergeSessionBatch, SessionState}
+    val hour = 3600000000L
+    val open = SessionState(9 * hour, 9 * hour + 1, 2)
+    // 7h < start − gap: belongs to an already-closed session — it must come back as
+    // its own closed singleton, with the open register untouched
+    val (open2, closed) = mergeSessionBatch(Some(open), Seq(7 * hour), hour)
+    assert(open2 == open)
+    assert(closed == Seq(SessionState(7 * hour, 7 * hour, 1)))
+    // a stale CHAIN folds under the same gap rule before closing, and a same-batch
+    // live event still merges into the open session
+    val (open3, closed3) = mergeSessionBatch(
+      Some(open), Seq(7 * hour, 7 * hour + hour / 2, 9 * hour + 2), hour)
+    assert(open3 == SessionState(9 * hour, 9 * hour + 2, 3))
+    assert(closed3 == Seq(SessionState(7 * hour, 7 * hour + hour / 2, 2)))
+  }
+
+  test("anomalyStep: an out-of-order window scores against its past but keeps the full ring") {
+    import graft.streaming.StreamOps.anomalyStep
+    var base = Seq.empty[(Long, Long)]
+    (0 until 6).foreach { i => base = anomalyStep(base, i.toLong, 10L, 24, 3)._1 }
+    // window 2 re-delivered late: scored against {0,1} only (below minBaseline ⇒ no
+    // score), but windows 3..5 must survive in the persisted ring
+    val (next, score) = anomalyStep(base, 2L, 99L, 24, 3)
+    assert(score.isEmpty)
+    assert(next.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(next.find(_._1 == 2L).map(_._2).contains(99L), "re-delivery must replace the entry")
+    // and the next in-order window scores against a baseline that includes 3..5
+    val (_, s6) = anomalyStep(next, 6L, 10L, 24, 3)
+    assert(s6.isDefined)
+  }
+
   test("streamingSessionize: sessions close across micro-batches; parity with ev12 on one batch") {
     import spark.implicits._
     import graft.streaming.StreamOps.SessionEvent
