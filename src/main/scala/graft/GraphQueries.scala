@@ -273,6 +273,62 @@ object GraphQueries {
     rank.select(col("v").as("vertex_id"), col("pr").as("ppr_fp"))
   }
 
+  /** Recency-decayed PageRank: edge weights decay with the age encoded in the edge's
+    * ordered-UUID position (F1: epoch millis live in the high bits — reference
+    * `UuidGenerator.scala:26-39`, inverse `Edge.scala:45`), so a vertex's score is
+    * dominated by its RECENT followers — the production form of follow-graph
+    * influence on a data model whose entire ordering is recency (the reference pages
+    * adjacency by position descending). Positions derive from `updated_at` via the
+    * store's own F1 rule ([[graft.functions.GraftFunctions.positionFromUpdatedAt]],
+    * the same derivation the write path uses for position-less ops), and
+    * `uuidToMillis` recovers the age — exercising the F1 pair end-to-end.
+    *
+    * Arithmetic: weight = 10000 DIV (1 + ageSeconds DIV tau) basis points (integer
+    * hyperbolic decay); contributions are (pr · w) DIV wsum — exact integer ops only
+    * (g17's discipline), so distributed sums are order-independent and hash-match the
+    * oracle. pr ≤ 10¹², w ≤ 10⁴ ⇒ pr·w ≤ 10¹⁶, no overflow.
+    *
+    * Scale shape: identical to [[pageRank]] — the decay weight and the per-source
+    * weight sum land in the checkpointed loop-invariant edge list (one extra
+    * map-side-combinable aggregation + one join over g17's); each iteration is one
+    * equi-join + one hash aggregation; max(ms) is a single-row driver scalar.
+    */
+  def decayedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"),
+        uuidToMillis(positionFromUpdatedAt(col("updated_at"))).as("ms"))
+    val maxMs = edges.agg(max(col("ms"))).head().getLong(0)
+    val tau = 60L // seconds per decay step; fixture updated_at spans ~500 s
+    val decayed = edges.withColumn("w",
+      expr(s"10000 DIV (1 + (($maxMs - ms) DIV 1000) DIV $tau)"))
+    val weighted = decayed
+      .join(decayed.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
+      .localCheckpoint(true)
+    val vertices = weighted.select(col("src").as("v"))
+      .unionByName(weighted.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+    val nVertices = vertices.count()
+
+    var rank = vertices.select(col("v"), lit(1000000000000L / nVertices).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = weighted
+        .join(rank.select(col("v").as("src"), col("pr")), "src")
+        .select(col("dst").as("v"), expr("(pr * w) DIV wsum").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("in_sum"))
+      rank = vertices
+        .join(contrib, Seq("v"), "left")
+        .select(
+          col("v"),
+          (lit(150000000000L / nVertices) +
+            expr("(COALESCE(in_sum, CAST(0 AS BIGINT)) * 85) DIV 100")).as("pr")
+        )
+    }
+    rank.select(col("v").as("vertex_id"), col("pr").as("dpr_fp"))
+  }
+
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
     * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
     * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose

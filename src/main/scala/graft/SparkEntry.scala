@@ -64,6 +64,7 @@ object SparkEntry {
     "g35_friend_recs"       -> ((s: SparkSession, dir: String) =>
       GraphQueries.friendRecs(s, dir, k = 5)),
     "g36_local_bridges"     -> (GraphQueries.localBridges _),
+    "g37_decayed_pagerank"  -> (GraphQueries.decayedPageRank _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -455,6 +456,39 @@ object SparkEntry {
          |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
          |       FROM vx LEFT JOIN c3 USING (v))
          |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS pagerank_fp FROM r3""".stripMargin,
+
+    // Recency-decayed PageRank: positions derive from updated_at via F1
+    // ((u*1000)<<20, inverse >>20 — ms is therefore exactly updated_at*1000);
+    // weight = 10000 // (1 + ageSec // 60) basis points, contribution
+    // (pr*w) // wsum — all exact integer arithmetic, mirror of
+    // GraphQueries.decayedPageRank
+    "g37_decayed_pagerank" ->
+      s"""$snap,
+         |e0 AS (SELECT source_id AS src, destination_id AS dst,
+         |              CAST(updated_at AS BIGINT) * 1000 AS ms
+         |       FROM edges WHERE graph_id = 1 AND state = 0),
+         |mx AS (SELECT MAX(ms) AS maxms FROM e0),
+         |ew AS (SELECT src, dst,
+         |              10000 // (1 + (((SELECT maxms FROM mx) - ms) // 1000) // 60) AS w
+         |       FROM e0),
+         |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM ew GROUP BY src),
+         |e AS (SELECT ew.src, ew.dst, ew.w, ws.wsum FROM ew JOIN ws USING (src)),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM vx),
+         |r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS pr FROM vx),
+         |c1 AS (SELECT e.dst AS v, CAST(SUM((r0.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+         |r1 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c1.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c1 USING (v)),
+         |c2 AS (SELECT e.dst AS v, CAST(SUM((r1.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+         |r2 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c2.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c2 USING (v)),
+         |c3 AS (SELECT e.dst AS v, CAST(SUM((r2.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+         |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c3 USING (v))
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS dpr_fp FROM r3""".stripMargin,
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);
