@@ -267,6 +267,14 @@ object SparkEntry {
           .join(d.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("shingle")),
         "source", "shingle", b = 6)
+    }),
+    "sk05_theta_diff" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sketches.thetaDifference(
+        Dedup.shingles(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("shingle")),
+        "source", "shingle", k = 64)
     })
   )
 
@@ -2040,6 +2048,36 @@ object SparkEntry {
          |        / CAST(count(*) AS DOUBLE), 6) AS flag_rate
          |FROM probed LEFT JOIN hits USING (doc_id, split, shingle)
          |GROUP BY doc_id, split""".stripMargin,
+
+    // Theta/KMV bottom-64 sketch set-difference estimates between sources over their
+    // shingle sets: theta = 64th-smallest 32-bit md5 hash (2^32 when under-full =
+    // exact regime), retained = a-samples < min(theta_a, theta_b) absent from b,
+    // est = retained * 2^32 / theta — mirror of Sketches.thetaDifference
+    "sk05_theta_diff" ->
+      s"""WITH $shinglesCte,
+         |hv AS (SELECT DISTINCT d.source AS key,
+         |         ('0x' || substr(md5(sh.shingle), 1, 8))::BIGINT AS hv
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |rk AS (SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS rn
+         |       FROM hv),
+         |th AS (SELECT key,
+         |         COALESCE(MAX(CASE WHEN rn = 64 THEN hv END), 4294967296) AS theta
+         |       FROM rk GROUP BY key),
+         |sm AS (SELECT r.key, r.hv FROM rk r JOIN th USING (key) WHERE r.hv < theta),
+         |pa AS (SELECT a.key AS key_a, b.key AS key_b,
+         |         CAST(least(a.theta, b.theta) AS BIGINT) AS theta_ab
+         |       FROM th a JOIN th b ON a.key <> b.key),
+         |rt AS (SELECT p.key_a, p.key_b, p.theta_ab, count(*) AS n_retained
+         |       FROM pa p
+         |       JOIN sm sa ON sa.key = p.key_a AND sa.hv < p.theta_ab
+         |       WHERE NOT EXISTS (SELECT 1 FROM sm sb
+         |                         WHERE sb.key = p.key_b AND sb.hv = sa.hv)
+         |       GROUP BY 1, 2, 3)
+         |SELECT p.key_a, p.key_b, p.theta_ab,
+         |  CAST(COALESCE(rt.n_retained, 0) AS BIGINT) AS n_retained,
+         |  round(CAST(COALESCE(rt.n_retained, 0) AS DOUBLE) * 4294967296.0
+         |        / CAST(p.theta_ab AS DOUBLE), 3) AS diff_est
+         |FROM pa p LEFT JOIN rt USING (key_a, key_b, theta_ab)""".stripMargin,
 
     // Q4-style late-order priority counts: EXISTS a line shipped >60 days after the
     // order date, one-year order window — mirror of AnalyticsQueries.latePriorityOrders

@@ -188,6 +188,75 @@ object Sketches {
           .as("overlap_est"))
   }
 
+  /** Theta/KMV (bottom-k) sketch set-DIFFERENCE estimates between keys — the J2
+    * difference semantics at sketch scale, which HLL register algebra cannot express
+    * (registers only union: inclusion-exclusion recovers A∩B, but |A∖B| would need
+    * |A| − |A∩B| with compounded error; the theta sketch estimates the difference
+    * directly on a retained uniform sample). For every ordered key pair (a, b):
+    * θ_ab = min(θ_a, θ_b); retained = a's sample hashes < θ_ab that do NOT occur in
+    * b (a valid membership test on samples alone: any b-hash < θ_ab ≤ θ_b is in b's
+    * sample by construction); est |A∖B| = retained · 2³² / θ_ab. A key with fewer
+    * than k distinct hashes has θ = 2³² — its whole hash set is the sample, so
+    * small-set differences come out EXACT.
+    *
+    * Determinism: the same md5 [[h32]] as every sketch here; integer arithmetic
+    * throughout with ONE final IEEE division + round (object scaladoc discipline).
+    *
+    * Scale shape: the item stream folds ONCE into a ≤ k-hash sample per key, with
+    * the k-th-smallest threshold computed by the bounded-state map-side-combinable
+    * [[org.apache.spark.sql.graft.KthSmallest]] aggregate (never a per-key window
+    * sort — a billion-item key would serialize through one task); all pair algebra
+    * then runs on |keys|·k sample rows with broadcast joins. This is exactly how a
+    * production theta-sketch difference works: sketch once, set-op on sketches.
+    */
+  def thetaDifference(
+      items: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      k: Int = 64
+  ): DataFrame = {
+    require(k >= 2, s"sketch size too small: $k")
+    val full = lit(1L << 32)
+    val hashes = items
+      .select(col(keyCol).as("key"), h32(col(itemCol)).as("hv"))
+      .distinct()
+      .localCheckpoint(true) // three consumers: theta fold + both sample sides
+    val thetas = hashes
+      .groupBy(col("key"))
+      .agg(
+        org.apache.spark.sql.graft.KthSmallest.column(col("hv"), lit(0L), k).as("kth"),
+        count(lit(1)).as("n_distinct"))
+      .select(
+        col("key"),
+        when(col("n_distinct") >= k, col("kth.major")).otherwise(full).as("theta"))
+      .localCheckpoint(true) // |keys| rows; three consumers (samples + both pair sides)
+    val samples = hashes
+      .join(broadcast(thetas), "key")
+      .filter(col("hv") < col("theta")) // the k-th value itself is θ, excluded
+    val pairs = broadcast(thetas.select(col("key").as("key_a"), col("theta").as("theta_a")))
+      .crossJoin(broadcast(thetas.select(col("key").as("key_b"), col("theta").as("theta_b"))))
+      .filter(col("key_a") =!= col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        least(col("theta_a"), col("theta_b")).as("theta_ab"))
+    val retained = pairs
+      .join(samples.select(col("key").as("key_a"), col("hv")), "key_a")
+      .filter(col("hv") < col("theta_ab"))
+      .join(samples.select(col("key").as("key_b"), col("hv")), Seq("key_b", "hv"), "left_anti")
+      .groupBy(col("key_a"), col("key_b"), col("theta_ab"))
+      .agg(count(lit(1)).as("n_retained"))
+    pairs
+      .join(retained, Seq("key_a", "key_b", "theta_ab"), "left")
+      .select(
+        col("key_a"),
+        col("key_b"),
+        col("theta_ab"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(
+          coalesce(col("n_retained"), lit(0L)).cast("double") * lit(4294967296.0) /
+            col("theta_ab").cast("double"),
+          3).as("diff_est"))
+  }
+
   /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
     * shingles, probe every eval-split document's shingles against it. No false
     * negatives (every true train-shingle hit is flagged); false-positive rate set by

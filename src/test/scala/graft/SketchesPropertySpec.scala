@@ -51,6 +51,41 @@ class SketchesPropertySpec extends SparkSpec {
     })
   }
 
+  test("theta difference is EXACT below the sketch size, for any pair of sets") {
+    import spark.implicits._
+    val genSet: Gen[List[String]] =
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0, 99).map(i => s"it$i")))
+    check("exact-regime", Prop.forAll(genSet, genSet) { (as, bs) =>
+      // both sets are under k = 64 distinct values, so theta = 2^32 and the sketch
+      // degenerates to the exact set difference in BOTH directions
+      val items = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("key", "item")
+      val r = graft.pipeline.Sketches.thetaDifference(items, "key", "item", k = 64)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1)) ->
+          (row.getAs[Long]("n_retained"), row.getAs[Double]("diff_est")))
+        .toMap
+      val ea = (as.toSet -- bs.toSet).size
+      val eb = (bs.toSet -- as.toSet).size
+      r(("a", "b")) == ((ea.toLong, ea.toDouble)) && r(("b", "a")) == ((eb.toLong, eb.toDouble))
+    }, cases = 5)
+  }
+
+  test("theta difference at scale: bounded sample, estimate near the true difference") {
+    import spark.implicits._
+    // |A| = |B| = 2000, |A∖B| = |B∖A| = 1000; k = 256 ⇒ expected ~128 retained
+    // hashes and ~9% relative error — assert a 4-sigma-ish 35% envelope
+    val items = ((0 until 2000).map(i => ("a", s"item$i")) ++
+      (1000 until 3000).map(i => ("b", s"item$i"))).toDF("key", "item")
+    val rows = graft.pipeline.Sketches.thetaDifference(items, "key", "item", k = 256).collect()
+    assert(rows.length == 2)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_retained") < 256, "sample must stay k-bounded")
+      val est = row.getAs[Double]("diff_est")
+      assert(math.abs(est - 1000.0) / 1000.0 < 0.35,
+        s"${row.getString(0)}∖${row.getString(1)} estimate $est too far from 1000")
+    }
+  }
+
   test("count-min never under-counts, for any stream") {
     import spark.implicits._
     val genStream: Gen[List[String]] =
