@@ -620,6 +620,56 @@ object GraphQueries {
       .groupBy(col("vertex_id"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Per-edge triangle support over an id-oriented closure (lo < hi): each oriented
+    * triangle (a < b < c) credits its three edges. The shared kernel of [[kTruss]]
+    * (same wedge enumeration as [[triangleCountsOf]], credited to edges instead of
+    * corners) — two equi-joins + one map-side-combinable aggregation, no cross
+    * product.
+    */
+  private def edgeSupportOf(e: DataFrame): DataFrame =
+    e.alias("e1")
+      .join(e.alias("e2"), col("e2.lo") === col("e1.hi"))
+      .join(e.alias("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+      .select(explode(array(
+        struct(col("a").as("lo"), col("b").as("hi")),
+        struct(col("a").as("lo"), col("c").as("hi")),
+        struct(col("b").as("lo"), col("c").as("hi")))).as("t"))
+      .select(col("t.lo").as("lo"), col("t.hi").as("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("support"))
+
+  /** Bounded k-truss peeling over the undirected closure of graph-1 Normal edges:
+    * each round recomputes per-edge triangle support and drops edges supported by
+    * fewer than k−2 triangles; survivors after `rounds` rounds are reported with
+    * their residual support. The community-STRENGTH primitive one step past k-core
+    * (g27 peels weak vertices; the truss peels weak TIES — the standard spam-ring /
+    * cohesive-subgroup refinement, and the J1-intersection-heavy analog: an edge's
+    * support is |neighbors(a) ∩ neighbors(b)|). Rounds are pinned so the oracle
+    * replays exactly (the d05/g27 discipline; the full truss iterates to fixpoint).
+    *
+    * Scale shape per round: the triangle kernel's two equi-joins + one aggregation,
+    * then one left-semi prune of the edge list; lineage truncates per round with an
+    * eager checkpoint. Nothing ever exceeds the triangle relation, and the edge list
+    * only shrinks.
+    */
+  def kTruss(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 3): DataFrame =
+    kTrussOf(undirectedClosure(spark, dir), k, rounds)
+
+  /** Kernel of [[kTruss]] over an id-oriented (lo < hi), deduped edge relation. */
+  def kTrussOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = und
+    for (_ <- 1 to rounds) {
+      e = e.join(edgeSupportOf(e).filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.join(edgeSupportOf(e), Seq("lo", "hi"), "left")
+      .select(col("lo").as("lo_id"), col("hi").as("hi_id"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over the same
     * undirected graph-1 Normal closure as triangleCounts; degree-<2 vertices pin 0.
     * All-integer inputs (triangle and degree counts), one final division + round —

@@ -65,6 +65,8 @@ object SparkEntry {
       GraphQueries.friendRecs(s, dir, k = 5)),
     "g36_local_bridges"     -> (GraphQueries.localBridges _),
     "g37_decayed_pagerank"  -> (GraphQueries.decayedPageRank _),
+    "g38_ktruss"            -> ((s: SparkSession, dir: String) =>
+      GraphQueries.kTruss(s, dir, k = 4, rounds = 3)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -497,6 +499,43 @@ object SparkEntry {
          |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
          |       FROM vx LEFT JOIN c3 USING (v))
          |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS dpr_fp FROM r3""".stripMargin,
+
+    // Bounded 4-truss peeling, 3 pinned rounds: per round, per-edge triangle support
+    // over the id-oriented closure, prune edges with support < 2, then report
+    // survivors with recomputed support — mirror of GraphQueries.kTruss(k=4, rounds=3)
+    "g38_ktruss" -> {
+      // every tri() references its edge CTE 3x and each round chains on the last, so
+      // un-materialized CTEs inline EXPONENTIALLY (3^rounds copies of the base scan —
+      // measured: DuckDB never finishes); MATERIALIZED pins linear evaluation
+      def tri(e: String, t: String): String =
+        s"$t AS MATERIALIZED (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM $e e1 " +
+          s"JOIN $e e2 ON e2.lo = e1.hi JOIN $e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)"
+      def sup(t: String, s: String): String =
+        s"$s AS MATERIALIZED (SELECT lo, hi, count(*) AS sup FROM (SELECT a AS lo, b AS hi FROM $t " +
+          s"UNION ALL SELECT a AS lo, c AS hi FROM $t " +
+          s"UNION ALL SELECT b AS lo, c AS hi FROM $t) GROUP BY 1, 2)"
+      def prune(e: String, s: String, out: String): String =
+        s"$out AS MATERIALIZED (SELECT u.lo, u.hi FROM $e u JOIN $s USING (lo, hi) WHERE sup >= 2)"
+      s"""$snap,
+         |und AS MATERIALIZED (SELECT DISTINCT least(source_id, destination_id) AS lo,
+         |                        greatest(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |${tri("und", "t1")},
+         |${sup("t1", "s1")},
+         |${prune("und", "s1", "p1")},
+         |${tri("p1", "t2")},
+         |${sup("t2", "s2")},
+         |${prune("p1", "s2", "p2")},
+         |${tri("p2", "t3")},
+         |${sup("t3", "s3")},
+         |${prune("p2", "s3", "p3")},
+         |${tri("p3", "t4")},
+         |${sup("t4", "s4")}
+         |SELECT p.lo AS lo_id, p.hi AS hi_id,
+         |  CAST(COALESCE(s4.sup, 0) AS BIGINT) AS support
+         |FROM p3 p LEFT JOIN s4 USING (lo, hi)""".stripMargin
+    },
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);
