@@ -463,4 +463,61 @@ object StreamOps extends Serializable {
           HllEstimate(key, hllEstimate(regs, b), regs.size)
       }
   }
+
+  // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
+
+  case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)
+
+  /** Streaming count-min frequency maintenance — sk02 at ingestion time: the CMS
+    * counter table lives as group state keyed by its own CELL key (r, bucket), one
+    * Long counter per group, so state is bounded by depth·width counters TOTAL no
+    * matter how many distinct items stream through — the heavy-hitter answer an
+    * exact per-item count would need unbounded state for. Each micro-batch
+    * increments the touched cells and emits the post-batch bucket total once per
+    * (cell, batch-item).
+    *
+    * Same md5 bucket recipe as `Sketches.countMin` ('r:' salt, first 8 hex chars mod
+    * width), so after any stream prefix: min over r of the LATEST total per (r,
+    * bucket(r, item)) == the batch operator's `cms_n` over the same prefix
+    * (StreamOpsSpec pins the parity). Consumers read the latest row per (r, bucket)
+    * — a cell emitted for item X also carries counts of Y streamed later only in
+    * Y's own rows, the Update-mode contract shared with [[streamingDegree]]'s
+    * running counts.
+    *
+    * Scale shape: the exploded (r, bucket, item) stream shuffles on the cell key —
+    * depth·width groups spread across executors; per-batch work per group is the
+    * batch's cell rows; emissions are bounded by depth · |distinct batch items|.
+    */
+  def streamingCountMin(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 256
+  ): Dataset[CmsCell] = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(
+        col(itemCol).cast("string").as("item"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .select(
+        col("r").cast("int").as("r"),
+        pmod(
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("item"))), 1, 8), 16, 10)
+            .cast("long"),
+          lit(width.toLong)).as("bucket"),
+        col("item"))
+      .as[(Int, Long, String)]
+      .groupByKey(c => (c._1, c._2))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), batch: Iterator[(Int, Long, String)], state: GroupState[Long]) =>
+          val counts = batch.map(_._3).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val total = state.getOption.getOrElse(0L) + counts.valuesIterator.sum
+          state.update(total)
+          // deterministic emission order; every batch item sees the post-batch total
+          counts.keysIterator.toSeq.sorted.iterator
+            .map(item => CmsCell(key._1, key._2, item, total))
+      }
+  }
 }

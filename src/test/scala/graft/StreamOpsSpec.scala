@@ -172,6 +172,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min matches the batch sketch after any stream prefix") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed stream over a small alphabet + small width so buckets genuinely collide
+    val all = (0 until 400).map(i => s"item_${(i * i) % 23}")
+    val (first, second) = all.splitAt(150)
+
+    val stream = MemoryStream[String]
+    val cells = StreamOps.streamingCountMin(
+      stream.toDS().toDF("item"), "item", depth = 4, width = 16)
+    val query = cells.toDF().writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def streamingNow(): Map[String, Long] = {
+        // bucket totals only grow => latest emitted total per cell == max; an item's
+        // estimate is the min over its depth cells of those totals
+        val latest = spark.sql("SELECT r, bucket, max(bucketN) AS n FROM cms GROUP BY r, bucket")
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        spark.sql("SELECT DISTINCT item, r, bucket FROM cms").collect()
+          .groupBy(_.getString(0))
+          .map { case (item, rows) =>
+            item -> rows.map(r => latest((r.getInt(1), r.getLong(2)))).min
+          }
+      }
+      def batchOn(prefix: Seq[String]): Map[String, Long] =
+        graft.pipeline.Sketches
+          .countMin(prefix.toDF("item"), "item", depth = 4, width = 16, topK = 1000)
+          .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cms_n")).toMap
+
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      assert(streamingNow() == batchOn(first))
+
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      assert(streamingNow() == batchOn(all))
+    } finally query.stop()
+  }
+
   test("mergeSessionBatch: gap splits, in-batch reordering tolerated, open session continues") {
     import graft.streaming.StreamOps.{mergeSessionBatch, SessionState}
     val hour = 3600000000L
