@@ -173,6 +173,8 @@ object SparkEntry {
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
+    "o02_hilbert" -> ((s: SparkSession, dir: String) =>
+      Layout.hilbertKeys(s.read.parquet(s"$dir/events.parquet"))),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2333,6 +2335,30 @@ object SparkEntry {
          |                   (epoch_us(ts) // 3600000000) & 1048575 AS y FROM events),
          |z AS (SELECT event_id, CAST($terms AS BIGINT) AS zkey FROM xy)
          |SELECT event_id, zkey, zkey >> 26 AS bucket FROM z""".stripMargin
+    },
+
+    // Hilbert index over (user_id & 0xFFFF, hour & 0xFFFF): one CTE per level of the
+    // top-down quadrant walk (quadrant digit = (3*rx)^ry weighted s^2, then the
+    // frame rotates/reflects for the next level) — mirror of Layout.hilbertKeys /
+    // the graft_hilbert expression's loop, unrolled level-by-level
+    "o02_hilbert" -> {
+      val bits = 16
+      def src(i: Int): String = if (i == bits - 1) "xy" else s"h${i + 1}"
+      val chain = ((bits - 1) to 0 by -1).map { i =>
+        val s = 1L << i
+        s"h$i AS (SELECT event_id, " +
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x, " +
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y, " +
+          s"d + ${s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2 WHEN rx = 1 THEN 3 " +
+          s"WHEN ry = 1 THEN 1 ELSE 0 END) AS d " +
+          s"FROM (SELECT event_id, x, y, d, " +
+          s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx, " +
+          s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM ${src(i)}))"
+      }.mkString(",\n")
+      "WITH xy AS (SELECT event_id, user_id & 65535 AS x, " +
+        "(epoch_us(ts) // 3600000000) & 65535 AS y, CAST(0 AS BIGINT) AS d FROM events),\n" +
+        chain + "\n" +
+        "SELECT event_id, d AS hkey, d >> 26 AS bucket FROM h0"
     }
   )
 }

@@ -36,6 +36,98 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(GraphQueries.kTrussOf(und, k = 4, rounds = 1).count() == 1)
   }
 
+  // Independent reference implementation for cross-validation: the textbook
+  // Wikipedia-form xy2d/d2xy pair, written with the FULL-side rot() (n-1-x) where the
+  // production expression folds with the level-local s-1-x — algebraically equivalent
+  // for the index (only bits below s are examined later), structurally different code.
+  private def refRot(n: Long, x0: Long, y0: Long, rx: Long, ry: Long): (Long, Long) =
+    if (ry == 0) {
+      val (x, y) = if (rx == 1) (n - 1 - x0, n - 1 - y0) else (x0, y0)
+      (y, x)
+    } else (x0, y0)
+
+  private def refXy2d(order: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << order
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      val (nx, ny) = refRot(n, x, y, rx, ry)
+      x = nx; y = ny; s /= 2
+    }
+    d
+  }
+
+  private def refD2xy(order: Int, d0: Long): (Long, Long) = {
+    val n = 1L << order
+    var (x, y, t) = (0L, 0L, d0)
+    var s = 1L
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      val (nx, ny) = refRot(s, x, y, rx, ry)
+      x = nx + s * rx; y = ny + s * ry
+      t /= 4; s *= 2
+    }
+    (x, y)
+  }
+
+  test("HilbertKey.encode: full 16x16 bijection round-trips the independent d2xy") {
+    import org.apache.spark.sql.graft.HilbertKey
+    (0L until 256L).foreach { d =>
+      val (x, y) = refD2xy(4, d)
+      assert(HilbertKey.encode(x, y, 4) == d, s"d=$d -> ($x,$y)")
+    }
+  }
+
+  test("HilbertKey: consecutive indices are always grid neighbors (no Morton jumps)") {
+    // THE property Morton lacks at the same bit budget: |Δx|+|Δy| == 1 between every
+    // pair of consecutive curve positions — what keeps per-file min/max tight after
+    // range-partitioning by the key
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = refD2xy(5, d)
+      val (x2, y2) = refD2xy(5, d + 1)
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("HilbertKey column: 500 seeded random points match the reference; codegen == interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.HilbertKey
+    val rnd = new scala.util.Random(43)
+    val pts = Seq.fill(500)((rnd.nextLong().abs % 65536, rnd.nextLong().abs % 65536))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), graft.pipeline.Layout.hilbertKey(col("x"), col("y"), 16).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == refXy2d(16, x, y), s"vs reference at ($x,$y)")
+      assert(got((x, y)) == HilbertKey.encode(x, y, 16), s"codegen vs interpreted at ($x,$y)")
+    }
+  }
+
+  test("hilbertKeys: key recomputes from (user_id, hour) and bucket is the key's high bits") {
+    import spark.implicits._
+    val tsNanos = 1700000000L * 1000000000L
+    val events = Seq((10L, tsNanos, 42L), (11L, tsNanos + 3600L * 1000000000L, 42L))
+      .toDF("event_id", "ts", "user_id")
+    val rows = graft.pipeline.Layout.hilbertKeys(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    val hour0 = 1700000000L * 1000000L / 3600000000L
+    assert(rows(10L).getAs[Long]("hkey") == refXy2d(16, 42L, hour0 & 65535))
+    assert(rows(11L).getAs[Long]("hkey") == refXy2d(16, 42L, (hour0 + 1) & 65535))
+    rows.values.foreach(r => assert(r.getAs[Long]("bucket") == (r.getAs[Long]("hkey") >> 26)))
+  }
+
+  test("hilbertKeys plans as one shuffle-free codegen'd projection") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val p = graft.pipeline.Layout.hilbertKeys(events).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"layout keys must not shuffle:\n$p")
+    assert(p.contains("graft_hilbert"), p)
+    assert(p.contains("*("), s"hilbert key fell out of whole-stage codegen:\n$p")
+  }
+
   test("decayedPageRank: recent edges dominate — newest-edge target outranks stale targets") {
     // fixture-level sanity on real data: ranks are positive and the relation covers
     // every vertex of the graph-1 Normal closure (conservation is pinned by the
