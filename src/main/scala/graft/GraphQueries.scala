@@ -658,12 +658,23 @@ object GraphQueries {
     kTrussOf(undirectedClosure(spark, dir), k, rounds)
 
   /** Kernel of [[kTruss]] over an id-oriented (lo < hi), deduped edge relation. */
-  def kTrussOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kTrussOf(und: DataFrame, k: Int, rounds: Int): DataFrame =
+    kTrussImpl(und, k, rounds, _.localCheckpoint(true))
+
+  /** Uncheckpointed [[kTrussOf]], exposed so PlanSpec can assert the per-round plan
+    * shape (the production path's eager checkpoints hide each round behind an RDD
+    * scan).
+    */
+  private[graft] def plannedKTruss(und: DataFrame, k: Int, rounds: Int): DataFrame =
+    kTrussImpl(und, k, rounds, identity)
+
+  private def kTrussImpl(
+      und: DataFrame, k: Int, rounds: Int, mat: DataFrame => DataFrame): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var e = und
     for (_ <- 1 to rounds) {
-      e = e.join(edgeSupportOf(e).filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi")
-        .localCheckpoint(true)
+      e = mat(
+        e.join(edgeSupportOf(e).filter(col("support") >= k - 2), Seq("lo", "hi"), "left_semi"))
     }
     e.join(edgeSupportOf(e), Seq("lo", "hi"), "left")
       .select(col("lo").as("lo_id"), col("hi").as("hi_id"),

@@ -214,14 +214,28 @@ object Sketches {
       keyCol: String,
       itemCol: String,
       k: Int = 64
+  ): DataFrame = thetaDifferenceImpl(items, keyCol, itemCol, k, _.localCheckpoint(true))
+
+  /** Uncheckpointed [[thetaDifference]], exposed so PlanSpec can assert the fold and
+    * join shapes (the production path's eager checkpoints hide them behind RDD scans).
+    */
+  private[graft] def plannedThetaDifference(
+      items: DataFrame, keyCol: String, itemCol: String, k: Int): DataFrame =
+    thetaDifferenceImpl(items, keyCol, itemCol, k, identity)
+
+  private def thetaDifferenceImpl(
+      items: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      k: Int,
+      mat: DataFrame => DataFrame
   ): DataFrame = {
     require(k >= 2, s"sketch size too small: $k")
     val full = lit(1L << 32)
-    val hashes = items
+    val hashes = mat(items
       .select(col(keyCol).as("key"), h32(col(itemCol)).as("hv"))
-      .distinct()
-      .localCheckpoint(true) // three consumers: theta fold + both sample sides
-    val thetas = hashes
+      .distinct()) // three consumers: theta fold + both sample sides
+    val thetas = mat(hashes
       .groupBy(col("key"))
       .agg(
         org.apache.spark.sql.graft.KthSmallest.column(col("hv"), lit(0L), k).as("kth"),
@@ -229,7 +243,7 @@ object Sketches {
       .select(
         col("key"),
         when(col("n_distinct") >= k, col("kth.major")).otherwise(full).as("theta"))
-      .localCheckpoint(true) // |keys| rows; three consumers (samples + both pair sides)
+    ) // |keys| rows; three consumers (samples + both pair sides)
     val samples = hashes
       .join(broadcast(thetas), "key")
       .filter(col("hv") < col("theta")) // the k-th value itself is θ, excluded

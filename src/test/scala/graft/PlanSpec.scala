@@ -316,6 +316,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window needed in the LM score:\n$p")
   }
 
+  test("theta sketch: bounded-state threshold agg, broadcast pair algebra, equi-joins only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    val items = pipeline.Dedup.shingles(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle"))
+    val p = plan(pipeline.Sketches.plannedThetaDifference(items, "source", "shingle", k = 64))
+    assert(p.contains("graft_kth_smallest"), s"theta must come from the bounded-state agg:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"threshold agg degraded to sort-based (loses map-side combine):\n$p")
+    assert(!p.contains("Window"),
+      s"per-key bottom-k must never be a window sort (unsplittable partitions):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the |keys|-sized pair/sample algebra must broadcast:\n$p")
+  }
+
+  test("k-truss rounds stay equi-join wedge enumeration with map-side support counts") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("lo", "hi")
+    val p = plan(GraphQueries.plannedKTruss(und, k = 4, rounds = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle support must stay equi-joins:\n$p")
+    assert(p.contains("partial_count"), s"support counts must combine map-side:\n$p")
+    assert(p.contains("LeftSemi"), s"the prune must be one semi-join:\n$p")
+  }
+
   test("rolling actives: events collapse to distinct (day,user) before the offset fanout") {
     val p = plan(AnalyticsQueries.rollingActiveUsers(spark, dir))
     // the 7-offset fanout must join the deduped daily relation, not raw events:
