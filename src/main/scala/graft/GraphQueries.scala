@@ -299,7 +299,10 @@ object GraphQueries {
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
       .select(col("source_id").as("src"), col("destination_id").as("dst"),
         uuidToMillis(positionFromUpdatedAt(col("updated_at"))).as("ms"))
-    val maxMs = edges.agg(max(col("ms"))).head().getLong(0)
+    val maxRow = edges.agg(max(col("ms"))).head()
+    require(!maxRow.isNullAt(0),
+      "decayedPageRank: no graph-1 Normal edges — no reference time to decay against")
+    val maxMs = maxRow.getLong(0)
     val tau = 60L // seconds per decay step; fixture updated_at spans ~500 s
     val decayed = edges.withColumn("w",
       expr(s"10000 DIV (1 + (($maxMs - ms) DIV 1000) DIV $tau)"))

@@ -25,6 +25,8 @@ case class HilbertKey(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression
     with ExpectsInputTypes {
 
+  require(bits >= 1 && bits <= 31, s"hilbert bits per dimension out of range: $bits")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hilbert"
