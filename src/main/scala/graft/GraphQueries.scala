@@ -295,10 +295,13 @@ object GraphQueries {
     */
   def decayedPageRank(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions._
+    // materialized BEFORE the max-ms scalar: the scalar action and the weighted-list
+    // build would otherwise each run the LWW fold (one fold, two cheap consumers)
     val edges = TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
       .select(col("source_id").as("src"), col("destination_id").as("dst"),
         uuidToMillis(positionFromUpdatedAt(col("updated_at"))).as("ms"))
+      .localCheckpoint(true)
     val maxRow = edges.agg(max(col("ms"))).head()
     require(!maxRow.isNullAt(0),
       "decayedPageRank: no graph-1 Normal edges — no reference time to decay against")
@@ -340,9 +343,12 @@ object GraphQueries {
     * `jobs/single/Single.scala:104-107`, matrix `unit/JobSpec.scala:126-148`).
     */
   def vertexDomination(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.compactedStore(spark, dir)
+    // batches and the final read touch only graph 1 — the whole pipeline runs on the
+    // graph-pruned store (compaction, write folds, and snapshot scan one graph; the
+    // g20 discipline, see whereGraph scaladoc)
+    val store = graft.store.EdgeStore(
+      TestGraph.store(spark, dir).whereGraph(1).snapshot.localCheckpoint(eager = true))
     val sources = store.snapshot
-      .filter(col("graph_id") === 1)
       .select(col("graph_id"), col("source_id"))
       .distinct()
     val batch1 = sources
@@ -365,7 +371,6 @@ object GraphQueries {
       )
     store.applyOperations(batch1).applyOperations(batch2)
       .snapshot
-      .filter(col("graph_id") === 1)
       .select(snapCols: _*)
   }
 
@@ -376,9 +381,10 @@ object GraphQueries {
     * vertex's backward register.
     */
   def backwardOps(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.compactedStore(spark, dir)
+    // graph-2-only pipeline — graph-pruned store, the g20 discipline
+    val store = graft.store.EdgeStore(
+      TestGraph.store(spark, dir).whereGraph(2).snapshot.localCheckpoint(eager = true))
     val destVertices = store.snapshot
-      .filter(col("graph_id") === 2)
       .select(col("graph_id"), col("destination_id").as("vertex_id"))
       .distinct()
     val batch1 = destVertices
@@ -403,7 +409,6 @@ object GraphQueries {
       )
     store.applyOperations(batch1).applyOperations(batch2)
       .snapshot
-      .filter(col("graph_id") === 2)
       .select(snapCols: _*)
   }
 
@@ -572,9 +577,12 @@ object GraphQueries {
     * a hash match proves the incremental path ≡ the full recompute.
     */
   def metadataPatchedQuery(spark: SparkSession, dir: String): DataFrame = {
-    val store = TestGraph.compactedStore(spark, dir)
+    // graph-2-only pipeline — graph-pruned store, the g20 discipline (prev, the
+    // carried-over metadata table, then also covers exactly the read graph)
+    val store = graft.store.EdgeStore(
+      TestGraph.store(spark, dir).whereGraph(2).snapshot.localCheckpoint(eager = true))
     val batch = store.snapshot
-      .filter(col("graph_id") === 2 && col("source_id") % 5 === 0)
+      .filter(col("source_id") % 5 === 0)
       .select(col("graph_id"), col("source_id")).distinct()
       .select(
         col("graph_id"), col("source_id"),
@@ -585,7 +593,6 @@ object GraphQueries {
     val prev = store.metadata
     val (after, touched) = store.applyOperationsWithDelta(batch)
     after.metadataPatched(prev, touched)
-      .filter(col("graph_id") === 2)
       .select(col("graph_id"), col("source_id"), col("state"), col("count"), col("updated_at"))
   }
 
