@@ -464,6 +464,61 @@ object StreamOps extends Serializable {
       }
   }
 
+  // --- streaming theta/KMV sketch (Sketches.thetaDifference batch parity) ---
+
+  case class ThetaSketch(key: String, theta: Long, nSample: Int, estDistinct: Double)
+
+  /** Pure bottom-k register merge (unit-testable): union the batch's distinct hashes
+    * into the sorted bottom-k register. Min-union is idempotent and commutative, so
+    * replays and reordering converge — the HLL register argument, with O(k) sorted
+    * state per key.
+    */
+  def mergeThetaRegs(regs: Vector[Long], hashes: Iterator[Long], k: Int): Vector[Long] = {
+    val merged = hashes.foldLeft(
+      scala.collection.immutable.SortedSet.empty[Long] ++ regs)(_ + _)
+    merged.iterator.take(k).toVector
+  }
+
+  /** (theta, distinct estimate) from a bottom-k register — the same arithmetic as
+    * the batch sketch: under-full registers are EXACT (theta = 2³²); saturated ones
+    * estimate (k−1)·2³²/θ with θ = the k-th smallest hash.
+    */
+  def thetaEstimate(regs: Vector[Long], k: Int): (Long, Double) =
+    if (regs.size < k) (1L << 32, regs.size.toDouble)
+    else (regs(k - 1), (k - 1).toDouble * 4294967296.0 / regs(k - 1))
+
+  /** Streaming theta/KMV sketch maintenance — the per-key half of sk05 at ingestion
+    * time: bottom-k hash registers as group state, (θ, sample size, distinct
+    * estimate) emitted every micro-batch. After any stream prefix the register
+    * equals the batch operator's (same md5 h32, same bottom-k), so sketch set-ops
+    * — including sk05's directional difference — computed from two keys' streaming
+    * registers match `Sketches.thetaDifference` on the same prefix exactly
+    * (StreamOpsSpec pins this). State: k longs per key, forever (no horizon needed
+    * — min-union only tightens).
+    */
+  def streamingTheta(
+      items: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      k: Int = 64
+  ): Dataset[ThetaSketch] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(
+        col(keyCol).cast("string").as("key"),
+        conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long)], state: GroupState[Vector[Long]]) =>
+          val regs = mergeThetaRegs(state.getOption.getOrElse(Vector.empty), batch.map(_._2), k)
+          state.update(regs)
+          val (theta, est) = thetaEstimate(regs, k)
+          ThetaSketch(key, theta, regs.count(_ < theta), est)
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

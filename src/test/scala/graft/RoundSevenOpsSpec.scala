@@ -120,6 +120,30 @@ class RoundSevenOpsSpec extends SparkSpec {
     rows.values.foreach(r => assert(r.getAs[Long]("bucket") == (r.getAs[Long]("hkey") >> 26)))
   }
 
+  test("Hilbert buckets measurably beat Morton on per-bucket dimension spans") {
+    // the claim behind o02 ("tighter per-file min/max at the same bit budget"),
+    // measured the way repartitionByRange actually cuts: sort the 256x256 grid by
+    // each curve's key and split into equal-count runs at UNALIGNED boundaries
+    // (power-of-4-aligned blocks are perfect squares for BOTH curves; real range
+    // boundaries land anywhere). Mean per-bucket bounding-box half-perimeter
+    // (x-span + y-span) is what file min/max pruning sees — Hilbert's continuity
+    // (no quadrant jumps) must win by a clear margin.
+    import org.apache.spark.sql.graft.HilbertKey
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
+    def meanSpan(key: (Long, Long) => Long): Double = {
+      val spans = pts.sortBy(p => key(p._1, p._2)).grouped(100).map { b =>
+        val (xs, ys) = (b.map(_._1), b.map(_._2))
+        (xs.max - xs.min) + (ys.max - ys.min)
+      }.toSeq
+      spans.sum.toDouble / spans.size
+    }
+    val h = meanSpan(HilbertKey.encode(_, _, 8))
+    val m = meanSpan(morton)
+    assert(h < m * 0.8, s"hilbert mean span $h must clearly beat morton $m")
+  }
+
   test("hilbertKeys plans as one shuffle-free codegen'd projection") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val p = graft.pipeline.Layout.hilbertKeys(events).queryExecution.executedPlan.toString

@@ -172,6 +172,89 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming theta registers reproduce the batch sk05 difference after any prefix") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 16
+    // overlapping item sets; sizes straddle k so both regimes appear as batches land
+    val all = (0 until 120).map(i => ("a", s"item_$i")) ++
+      (60 until 180).map(i => ("b", s"item_$i"))
+    val (first, second) = (all.take(90), all.drop(90))
+
+    val stream = MemoryStream[(String, String)]
+    val query = StreamOps.streamingTheta(stream.toDS().toDF("key", "item"), "key", "item", k)
+      .toDF().writeStream.format("memory").queryName("theta")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // md5 fidelity: hash through the same Spark expression the operators use
+      def h32(prefix: Seq[(String, String)]): Map[String, Vector[Long]] =
+        prefix.toDF("key", "item")
+          .selectExpr("key", "cast(conv(substring(md5(item), 1, 8), 16, 10) as long) h")
+          .collect().groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1)).toVector).toMap
+      def latest(): Map[String, (Long, Int, Double)] =
+        spark.sql("SELECT key, min(theta) t FROM theta GROUP BY key").collect()
+          .map { r =>
+            val key = r.getString(0); val t = r.getLong(1)
+            val n = spark.sql(s"SELECT max(nSample) FROM theta WHERE key = '$key' AND theta = $t")
+              .head().getInt(0)
+            val e = spark.sql(
+              s"SELECT max(estDistinct) FROM theta WHERE key = '$key' AND theta = $t AND nSample = $n")
+              .head().getDouble(0)
+            key -> ((t, n, e))
+          }.toMap
+
+      def check(prefix: Seq[(String, String)]): Unit = {
+        val hs = h32(prefix)
+        val expect = hs.map { case (key, hv) =>
+          val regs = StreamOps.mergeThetaRegs(Vector.empty, hv.iterator, k)
+          val (t, e) = StreamOps.thetaEstimate(regs, k)
+          key -> ((t, regs.count(_ < t), e))
+        }
+        assert(latest() == expect, s"prefix of ${prefix.size}")
+      }
+
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(all)
+
+      // the point of the sketch: the directional difference computed from the two
+      // final streaming registers equals the batch operator on the same data
+      val hs = h32(all)
+      val regs = hs.view.mapValues(h => StreamOps.mergeThetaRegs(Vector.empty, h.iterator, k)).toMap
+      val thetas = regs.map { case (key, r) => key -> StreamOps.thetaEstimate(r, k)._1 }
+      def streamedDiff(a: String, b: String): (Long, Double) = {
+        val tab = math.min(thetas(a), thetas(b))
+        val bSet = regs(b).toSet
+        val n = regs(a).count(h => h < tab && !bSet.contains(h)).toLong
+        val est = BigDecimal(n.toDouble * 4294967296.0 / tab)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (n, est)
+      }
+      val batch = graft.pipeline.Sketches
+        .thetaDifference(all.toDF("key", "item"), "key", "item", k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_retained"), r.getAs[Double]("diff_est")))).toMap
+      assert(batch(("a", "b")) == streamedDiff("a", "b"))
+      assert(batch(("b", "a")) == streamedDiff("b", "a"))
+    } finally query.stop()
+  }
+
+  test("theta register merge is order-independent, replay-idempotent, split-invariant") {
+    import graft.streaming.StreamOps.mergeThetaRegs
+    val rnd = new scala.util.Random(7)
+    val hs = Vector.fill(200)(rnd.nextLong().abs % (1L << 32))
+    val one = mergeThetaRegs(Vector.empty, hs.iterator, 16)
+    assert(mergeThetaRegs(Vector.empty, hs.reverse.iterator, 16) == one)
+    assert(mergeThetaRegs(one, hs.iterator, 16) == one)
+    val (xs, ys) = hs.splitAt(77)
+    assert(mergeThetaRegs(mergeThetaRegs(Vector.empty, xs.iterator, 16), ys.iterator, 16) == one)
+  }
+
   test("streaming count-min matches the batch sketch after any stream prefix") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
