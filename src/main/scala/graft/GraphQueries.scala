@@ -307,8 +307,10 @@ object GraphQueries {
       "decayedPageRank: no graph-1 Normal edges — no reference time to decay against")
     val maxMs = maxRow.getLong(0)
     val tau = 60L // seconds per decay step; fixture updated_at spans ~500 s
+    // floor at 1: past ~10000·tau s of age the hyperbolic weight truncates to 0, and
+    // a source whose edges are ALL that stale would otherwise divide by wsum = 0
     val decayed = edges.withColumn("w",
-      expr(s"10000 DIV (1 + (($maxMs - ms) DIV 1000) DIV $tau)"))
+      expr(s"GREATEST(1L, 10000 DIV (1 + (($maxMs - ms) DIV 1000) DIV $tau))"))
     val weighted = decayed
       .join(decayed.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
       .localCheckpoint(true)

@@ -481,7 +481,7 @@ object SparkEntry {
          |       FROM edges WHERE graph_id = 1 AND state = 0),
          |mx AS (SELECT MAX(ms) AS maxms FROM e0),
          |ew AS (SELECT src, dst,
-         |              10000 // (1 + (((SELECT maxms FROM mx) - ms) // 1000) // 60) AS w
+         |              greatest(1, 10000 // (1 + (((SELECT maxms FROM mx) - ms) // 1000) // 60)) AS w
          |       FROM e0),
          |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM ew GROUP BY src),
          |e AS (SELECT ew.src, ew.dst, ew.w, ws.wsum FROM ew JOIN ws USING (src)),

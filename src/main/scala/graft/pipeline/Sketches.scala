@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** 32-bit hash: first 8 hex chars of md5 — oracle mirror
-    * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`. Shared with the streaming twins
+    * (StreamOps) — batch/streaming parity rests on this being the ONE definition.
     */
-  private def h32(c: Column): Column =
+  private[graft] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The count-min cell recipe ('r:'-salted [[h32]] mod width) — single definition
+    * shared by [[countMin]] and the streaming maintenance twin.
+    */
+  private[graft] def cmsBucket(r: Column, item: Column, width: Int): Column =
+    pmod(h32(concat(r.cast("string"), lit(":"), item)), lit(width.toLong))
 
   /** Per-key HyperLogLog distinct estimate, with the exact count alongside as the
     * error diagnostic.
@@ -117,9 +124,7 @@ object Sketches {
         col(itemCol),
         col("exact_n"),
         explode(array((0 until depth).map(lit): _*)).as("r"))
-      .withColumn(
-        "bucket",
-        pmod(h32(concat(col("r").cast("string"), lit(":"), col(itemCol))), lit(width.toLong)))
+      .withColumn("bucket", cmsBucket(col("r"), col(itemCol), width))
       .localCheckpoint(true) // two consumers: bucket totals + the probe join
     val bucketCounts = itemBuckets
       .groupBy(col("r"), col("bucket"))

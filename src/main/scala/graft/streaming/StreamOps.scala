@@ -39,15 +39,21 @@ object StreamOps extends Serializable {
   /** Pure per-user sessionization step (unit-testable): fold one batch of event
     * timestamps into the open session (if any) under the ≤ `gapUs` break rule —
     * ev12's rule, incrementally. Returns (new open session, sessions CLOSED by this
-    * batch, in order). Events sort within the batch; a cross-batch LATE event that
-    * still lands within the gap of the open session merges correctly (extending the
-    * session's start backward if needed). An event older than start − gap belongs to
-    * a session that is already closed: merging it into the open register would
-    * produce an open session overlapping an already-emitted closed one, so such
-    * events instead fold into their own closed chain, emitted first. (Reachable only
-    * via the NoTimeout [[streamingSessionize]]; [[streamingSessionizeEventTime]]'s
-    * watermark discards them upstream whenever gapUs ≥ the watermark delay.) At
-    * least one of (current, tss) must be non-empty.
+    * batch, in order).
+    *
+    * The batch first folds into maximal event CHAINS under the gap rule, then each
+    * chain meets the open session: a chain reaching within the gap of the session's
+    * span merges (extending its start backward and/or last forward — so a late
+    * event also bridges TRANSITIVELY through other batch events); a chain entirely
+    * older than start − gap belongs to a session that is already closed and is
+    * emitted as its own closed session (merging it into the open register would
+    * produce an open session overlapping an already-emitted one — reachable only
+    * via the NoTimeout [[streamingSessionize]]; the event-time variant's watermark
+    * discards such events upstream whenever gapUs ≥ the watermark delay); a chain
+    * entirely past last + gap closes the open session and takes over. Chains are
+    * pairwise > gap apart by construction, so at most one chain can touch the
+    * session on each side and the single pass is exact. At least one of (current,
+    * tss) must be non-empty.
     */
   def mergeSessionBatch(
       current: Option[SessionState],
@@ -55,20 +61,32 @@ object StreamOps extends Serializable {
       gapUs: Long
   ): (SessionState, Seq[SessionState]) = {
     require(current.nonEmpty || tss.nonEmpty, "nothing to fold: no state and no events")
-    val (stale, live) = current match {
-      case Some(s) => tss.partition(_ < s.startUs - gapUs)
-      case None    => (Seq.empty[Long], tss)
+    current match {
+      case None => foldSorted(None, tss, gapUs)
+      case Some(s) =>
+        if (tss.isEmpty) (s, Seq.empty)
+        else {
+          val (lastChain, earlier) = foldSorted(None, tss, gapUs)
+          var open = s
+          val closed = List.newBuilder[SessionState]
+          (earlier :+ lastChain).foreach { c =>
+            if (c.lastUs >= s.startUs - gapUs && c.startUs <= s.lastUs + gapUs) {
+              open = SessionState(
+                math.min(open.startUs, c.startUs),
+                math.max(open.lastUs, c.lastUs),
+                open.nEvents + c.nEvents)
+            } else if (c.lastUs < s.startUs - gapUs) {
+              closed += c // entirely pre-horizon: already-closed territory
+            } else {
+              // entirely past the open session's gap: the open session closes and
+              // the newer chain takes over (chains ascend, so order is chronological)
+              closed += open
+              open = c
+            }
+          }
+          (open, closed.result())
+        }
     }
-    val staleClosed =
-      if (stale.isEmpty) Seq.empty
-      else {
-        // the stale chain can never rejoin the open session (every stale t is
-        // strictly below its reachable horizon), so its tail closes immediately too
-        val (lastStale, closedStale) = foldSorted(None, stale, gapUs)
-        closedStale :+ lastStale
-      }
-    val (open, closed) = foldSorted(current, live, gapUs)
-    (open, staleClosed ++ closed)
   }
 
   private def foldSorted(
@@ -453,7 +471,7 @@ object StreamOps extends Serializable {
     items
       .select(
         col(keyCol).cast("string").as("key"),
-        conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long").as("h"))
+        graft.pipeline.Sketches.h32(col(itemCol)).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -474,9 +492,14 @@ object StreamOps extends Serializable {
     * state per key.
     */
   def mergeThetaRegs(regs: Vector[Long], hashes: Iterator[Long], k: Int): Vector[Long] = {
-    val merged = hashes.foldLeft(
-      scala.collection.immutable.SortedSet.empty[Long] ++ regs)(_ + _)
-    merged.iterator.take(k).toVector
+    // the working set never exceeds k+1 — a hot key's million-item micro-batch must
+    // not materialize its distinct hashes just to keep the bottom k
+    var set = scala.collection.immutable.SortedSet.empty[Long] ++ regs.take(k)
+    hashes.foreach { h =>
+      if (set.size < k) set += h
+      else if (h < set.max && !set.contains(h)) set = set - set.max + h
+    }
+    set.toVector
   }
 
   /** (theta, distinct estimate) from a bottom-k register — the same arithmetic as
@@ -507,7 +530,7 @@ object StreamOps extends Serializable {
     items
       .select(
         col(keyCol).cast("string").as("key"),
-        conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long").as("h"))
+        graft.pipeline.Sketches.h32(col(itemCol)).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -558,10 +581,7 @@ object StreamOps extends Serializable {
         explode(array((0 until depth).map(lit): _*)).as("r"))
       .select(
         col("r").cast("int").as("r"),
-        pmod(
-          conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("item"))), 1, 8), 16, 10)
-            .cast("long"),
-          lit(width.toLong)).as("bucket"),
+        graft.pipeline.Sketches.cmsBucket(col("r"), col("item"), width).as("bucket"),
         col("item"))
       .as[(Int, Long, String)]
       .groupByKey(c => (c._1, c._2))

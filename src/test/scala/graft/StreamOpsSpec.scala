@@ -328,6 +328,13 @@ class StreamOpsSpec extends SparkSpec {
       Some(open), Seq(7 * hour, 7 * hour + hour / 2, 9 * hour + 2), hour)
     assert(open3 == SessionState(9 * hour, 9 * hour + 2, 3))
     assert(closed3 == Seq(SessionState(7 * hour, 7 * hour + hour / 2, 2)))
+    // an event outside the raw horizon that BRIDGES through a batch-mate within the
+    // gap must merge transitively (the chain touches start − gap), not split — the
+    // same outcome a single-batch fold of all four events produces
+    val (open4, closed4) = mergeSessionBatch(
+      Some(open), Seq(72 * hour / 10, 81 * hour / 10), hour)
+    assert(closed4.isEmpty)
+    assert(open4 == SessionState(72 * hour / 10, 9 * hour + 1, 4))
   }
 
   test("anomalyStep: an out-of-order window scores against its past but keeps the full ring") {
