@@ -337,6 +337,50 @@ object GraphQueries {
     rank.select(col("v").as("vertex_id"), col("pr").as("dpr_fp"))
   }
 
+  /** Bounded weighted shortest paths from a seed SET (Bellman–Ford, `rounds` pinned
+    * relaxations): seeds are vertices ≡ 0 (mod 100) at distance 0 (the g32 seed
+    * idiom); edge weight = 1 + destination_id % 7, deterministic positive integers.
+    * After r rounds every vertex reachable within r hops reports its exact ≤ r-hop
+    * shortest distance — the weighted complement of g34's unweighted BFS (full SSSP
+    * iterates to fixpoint; rounds are pinned so the oracle replays, the d05/g27
+    * discipline).
+    *
+    * Scale shape per round: one equi-join of the edge list against the current
+    * distance relation + one map-side-combinable min aggregation; lineage truncates
+    * per round with an eager checkpoint. (Production refinement at high round
+    * counts: relax only the vertices whose distance CHANGED last round — same plan
+    * shape with a smaller join input; at pinned small round counts the full-relation
+    * join is the simpler equivalent.)
+    */
+  def boundedSssp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"),
+        (lit(1L) + col("destination_id") % 7).as("w"))
+      .localCheckpoint(true)
+    val seeds = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+      .filter(col("v") % 100 === 0)
+    ssspOf(edges, seeds, rounds)
+  }
+
+  /** Kernel of [[boundedSssp]] over a weighted (src, dst, w) relation and a seed
+    * vertex set.
+    */
+  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds.select(col("v"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.select(col("v").as("src"), col("d").as("ds")), "src")
+        .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("v").as("vertex_id"), col("d").as("dist"))
+  }
+
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
     * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
     * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose

@@ -67,6 +67,8 @@ object SparkEntry {
     "g37_decayed_pagerank"  -> (GraphQueries.decayedPageRank _),
     "g38_ktruss"            -> ((s: SparkSession, dir: String) =>
       GraphQueries.kTruss(s, dir, k = 4, rounds = 3)),
+    "g39_sssp"              -> ((s: SparkSession, dir: String) =>
+      GraphQueries.boundedSssp(s, dir, rounds = 3)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -538,6 +540,32 @@ object SparkEntry {
          |  CAST(COALESCE(s4.sup, 0) AS BIGINT) AS support
          |FROM p3 p LEFT JOIN s4 USING (lo, hi)""".stripMargin
     },
+
+    // Bounded Bellman-Ford from the mod-100 seed set, weight 1 + dst % 7, 3 pinned
+    // relaxation rounds — mirror of GraphQueries.boundedSssp
+    "g39_sssp" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst,
+         |             1 + destination_id % 7 AS w
+         |      FROM edges WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM vx WHERE v % 100 = 0),
+         |r1 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM d0
+         |         UNION ALL
+         |         SELECT e.dst AS v, d0.d + e.w AS d FROM e JOIN d0 ON d0.v = e.src)
+         |       GROUP BY v),
+         |r2 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM r1
+         |         UNION ALL
+         |         SELECT e.dst AS v, r1.d + e.w AS d FROM e JOIN r1 ON r1.v = e.src)
+         |       GROUP BY v),
+         |r3 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM r2
+         |         UNION ALL
+         |         SELECT e.dst AS v, r2.d + e.w AS d FROM e JOIN r2 ON r2.v = e.src)
+         |       GROUP BY v)
+         |SELECT v AS vertex_id, d AS dist FROM r3""".stripMargin,
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);

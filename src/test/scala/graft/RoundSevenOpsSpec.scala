@@ -152,6 +152,20 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(p.contains("*("), s"hilbert key fell out of whole-stage codegen:\n$p")
   }
 
+  test("ssspOf: a cheaper long path beats the direct edge; later rounds reach further") {
+    import spark.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 3 but needs 3 relaxation rounds
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("v")
+    def distAfter(rounds: Int): Map[Long, Long] =
+      GraphQueries.ssspOf(edges, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distAfter(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    assert(distAfter(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L))
+    assert(distAfter(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("decayedPageRank: recent edges dominate — newest-edge target outranks stale targets") {
     // fixture-level sanity on real data: ranks are positive and the relation covers
     // every vertex of the graph-1 Normal closure (conservation is pinned by the
