@@ -45,15 +45,21 @@ object StreamOps extends Serializable {
     * chain meets the open session: a chain reaching within the gap of the session's
     * span merges (extending its start backward and/or last forward — so a late
     * event also bridges TRANSITIVELY through other batch events); a chain entirely
-    * older than start − gap belongs to a session that is already closed and is
-    * emitted as its own closed session (merging it into the open register would
-    * produce an open session overlapping an already-emitted one — reachable only
-    * via the NoTimeout [[streamingSessionize]]; the event-time variant's watermark
-    * discards such events upstream whenever gapUs ≥ the watermark delay); a chain
-    * entirely past last + gap closes the open session and takes over. Chains are
-    * pairwise > gap apart by construction, so at most one chain can touch the
-    * session on each side and the single pass is exact. At least one of (current,
-    * tss) must be non-empty.
+    * older than start − gap, with nothing bridging it in, is emitted as its own
+    * closed session; a chain entirely past last + gap closes the open session and
+    * takes over. Chains are pairwise > gap apart by construction, so at most one
+    * chain can touch the session on each side and the single pass is exact.
+    *
+    * Invariant (conservation): every event lands in exactly one emitted session —
+    * merged, closed separately, or superseding — under ANY batching, ordered or not
+    * (SessionPropertySpec). NOT invariant in the NoTimeout [[streamingSessionize]]
+    * regime: a bridging chain can extend the open span backward across a session
+    * already emitted closed, so Update-mode consumers must treat the latest open
+    * snapshot as superseding earlier emissions that its span covers — the
+    * unavoidable signature of data later than any watermark would admit (the
+    * event-time variant's watermark discards such events upstream whenever gapUs ≥
+    * the watermark delay, restoring non-overlap). At least one of (current, tss)
+    * must be non-empty.
     */
   def mergeSessionBatch(
       current: Option[SessionState],

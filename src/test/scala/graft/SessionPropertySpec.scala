@@ -41,6 +41,35 @@ class SessionPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     })
   }
 
+  test("ANY split — even order-violating — conserves events across open + closed") {
+    // the chain-merge semantics guarantees every event lands in exactly one session
+    // no matter how the stream is cut (late events merge, bridge, open their own
+    // closed chain, or supersede — but are never dropped or double-counted)
+    val genAnySplit = for {
+      tss <- genTs
+      mask <- Gen.listOfN(tss.length, Gen.oneOf(true, false))
+    } yield (tss, mask)
+    check("conservation under arbitrary splits", Prop.forAll(genAnySplit) { case (tss, mask) =>
+      if (tss.isEmpty) Prop.passed
+      else {
+        val (a, b) = tss.zip(mask.padTo(tss.length, false)).partition(_._2) match {
+          case (x, y) => (x.map(_._1), y.map(_._1))
+        }
+        val (open, closed) =
+          if (a.isEmpty) StreamOps.mergeSessionBatch(None, b, gap)
+          else if (b.isEmpty) StreamOps.mergeSessionBatch(None, a, gap)
+          else {
+            val (openA, closedA) = StreamOps.mergeSessionBatch(None, a, gap)
+            val (openB, closedB) = StreamOps.mergeSessionBatch(Some(openA), b, gap)
+            (openB, closedA ++ closedB)
+          }
+        val all = closed :+ open
+        Prop(all.map(_.nEvents).sum == tss.length &&
+          all.forall(s => s.startUs <= s.lastUs && s.nEvents >= 1))
+      }
+    })
+  }
+
   test("any order-respecting micro-batch split folds to the single-batch result") {
     val genSplit = for {
       tss <- genTs
