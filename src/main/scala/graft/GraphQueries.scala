@@ -368,15 +368,22 @@ object GraphQueries {
   /** Kernel of [[boundedSssp]] over a weighted (src, dst, w) relation and a seed
     * vertex set.
     */
-  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspImpl(edges, seeds, rounds, _.localCheckpoint(true))
+
+  /** Uncheckpointed [[ssspOf]] for PlanSpec (the plannedKTruss pattern). */
+  private[graft] def plannedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspImpl(edges, seeds, rounds, identity)
+
+  private def ssspImpl(
+      edges: DataFrame, seeds: DataFrame, rounds: Int, mat: DataFrame => DataFrame): DataFrame = {
     var dist = seeds.select(col("v"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
       val relaxed = edges
         .join(dist.select(col("v").as("src"), col("d").as("ds")), "src")
         .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+      dist = mat(dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("d")).as("d")))
     }
     dist.select(col("v").as("vertex_id"), col("d").as("dist"))
   }

@@ -531,6 +531,7 @@ object StreamOps extends Serializable {
       itemCol: String,
       k: Int = 64
   ): Dataset[ThetaSketch] = {
+    require(k >= 2, s"sketch size too small: $k") // thetaEstimate needs regs(k-1) ≥ index 1
     val spark = items.sparkSession
     import spark.implicits._
     items

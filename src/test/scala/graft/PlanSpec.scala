@@ -342,6 +342,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"the prune must be one semi-join:\n$p")
   }
 
+  test("SSSP relaxation rounds stay equi-joins with map-side-combined min distances") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("v")
+    val p = plan(GraphQueries.plannedSssp(edges, seeds, rounds = 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"relaxation must stay an equi-join on the source vertex:\n$p")
+    assert(p.contains("partial_min"), s"distance min must combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"), s"distance agg degraded to sort-based:\n$p")
+  }
+
   test("rolling actives: events collapse to distinct (day,user) before the offset fanout") {
     val p = plan(AnalyticsQueries.rollingActiveUsers(spark, dir))
     // the 7-offset fanout must join the deduped daily relation, not raw events:
