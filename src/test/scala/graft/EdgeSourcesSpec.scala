@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.State
+import graft.sources.EdgeSources
+
+/** Ingest-adapter contract: schema-enforced reads, corrupt-record quarantine, F1
+  * position derivation for position-less feeds, and LWW-fold equivalence with the
+  * native log.
+  */
+class EdgeSourcesSpec extends SparkSpec {
+
+  private def write(lines: Seq[String], suffix: String): String = {
+    val dir = Files.createTempDirectory("graft-src").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0000$suffix"), lines.mkString("\n"))
+    dir
+  }
+
+  test("JSON feed: clean rows fold, malformed and field-missing rows are quarantined") {
+    val dir = write(Seq(
+      """{"graph_id":1,"source_id":10,"destination_id":20,"position":5,"updated_at":100,"state":0}""",
+      """{"graph_id":1,"source_id":10,"destination_id":20,"position":6,"updated_at":200,"state":1}""",
+      """{"graph_id":1,"source_id":11,"destination_id":21,"updated_at":150,"state":0}""",
+      """{"graph_id":1,"destination_id":99,"updated_at":150,"state":0}""", // no source_id
+      """not json at all"""
+    ), ".json")
+    val (log, corrupt) = EdgeSources.readJsonEdgeLog(spark, dir)
+    assert(log.count() == 3)
+    assert(corrupt.count() == 2, corrupt.collect().mkString("|"))
+
+    val snap = graft.store.EdgeStore(log).snapshot.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r).toMap
+    // LWW: the updated_at=200 Removed write wins the (10, 20) key
+    assert(snap((10L, 20L)).getAs[Int]("state") == State.Removed)
+    // position-less feed row derives the F1 position from updated_at
+    assert(snap((11L, 21L)).getAs[Long]("position") == (150L * 1000L) << 20)
+  }
+
+  test("CSV dump: header + schema enforced, same fold as the JSON path") {
+    val dir = write(Seq(
+      "graph_id,source_id,destination_id,position,updated_at,count,state",
+      "1,10,20,5,100,0,0",
+      "1,10,20,6,200,0,1",
+      "oops,not,numbers,at,all,x,y"
+    ), ".csv")
+    val (log, corrupt) = EdgeSources.readCsvEdgeLog(spark, dir)
+    assert(log.count() == 2)
+    assert(corrupt.count() == 1)
+    val snap = EdgeSources.storeFromCsv(spark, dir).snapshot.collect()
+    assert(snap.length == 1 && snap.head.getAs[Int]("state") == State.Removed)
+  }
+
+  test("re-ingest replay converges: folding the feed twice equals folding it once") {
+    val dir = write(Seq(
+      """{"graph_id":1,"source_id":1,"destination_id":2,"position":1,"updated_at":100,"state":0}""",
+      """{"graph_id":1,"source_id":1,"destination_id":3,"position":2,"updated_at":100,"state":0}"""
+    ), ".json")
+    val once = EdgeSources.storeFromJson(spark, dir).snapshot
+    val twice = graft.store.EdgeStore(
+      EdgeSources.readJsonEdgeLog(spark, dir)._1
+        .unionByName(EdgeSources.readJsonEdgeLog(spark, dir)._1)).snapshot
+    assert(once.collect().sortBy(_.toString).sameElements(twice.collect().sortBy(_.toString)))
+  }
+}
