@@ -88,6 +88,19 @@ object EdgeSources {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path))
 
+  /** Streaming twin of [[readJsonEdgeLog]]: a file-source JSON-lines feed split into
+    * (clean write stream, quarantine stream) — the migration on-ramp for
+    * [[graft.streaming.StreamingEdgeIngest]]: route the clean side into its
+    * `writer`, the audit side to a quarantine sink; LWW replay-safety covers
+    * re-delivered files. Both sides are streaming DataFrames off ONE source.
+    */
+  def streamJsonEdgeLog(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    split(spark.readStream
+      .schema(writeSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path))
+
   /** Convenience: store over a JSON feed's clean rows (audit discarded — use
     * [[readJsonEdgeLog]] when quarantine matters).
     */

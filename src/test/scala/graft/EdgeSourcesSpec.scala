@@ -51,6 +51,29 @@ class EdgeSourcesSpec extends SparkSpec {
     assert(snap.length == 1 && snap.head.getAs[Int]("state") == State.Removed)
   }
 
+  test("streaming JSON feed drives StreamingEdgeIngest; quarantine lands in its own sink") {
+    import graft.store.EdgeStore
+    val dir = write(Seq(
+      """{"graph_id":1,"source_id":10,"destination_id":20,"position":5,"updated_at":100,"state":0}""",
+      """{"graph_id":1,"source_id":10,"destination_id":20,"position":6,"updated_at":200,"state":2}""",
+      """garbage line"""
+    ), ".json")
+    val (clean, audit) = EdgeSources.streamJsonEdgeLog(spark, dir)
+    val ingest = new graft.streaming.StreamingEdgeIngest(
+      EdgeStore(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.testgraph.TestGraph.store(spark, "/root/testdata/sf0.001").log.schema)))
+    val q1 = ingest.start(clean)
+    val q2 = audit.writeStream.format("memory").queryName("edge_quarantine")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val snap = ingest.current.snapshot.collect()
+      assert(snap.length == 1 && snap.head.getAs[Int]("state") == State.Archived)
+      assert(spark.sql("SELECT * FROM edge_quarantine").count() == 1)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("re-ingest replay converges: folding the feed twice equals folding it once") {
     val dir = write(Seq(
       """{"graph_id":1,"source_id":1,"destination_id":2,"position":1,"updated_at":100,"state":0}""",
