@@ -22,11 +22,17 @@ final class FlockService(val store: EdgeStore, val config: GraftConfig = GraftCo
   def get(sourceId: Long, graphId: Int, destinationId: Long): Option[Edge] =
     store.get(graphId, sourceId, destinationId)
 
+  /** Point metadata read (reference `get_metadata`): derives metadata for ONLY the
+    * requested (graph, vertex) via the key-pruned store view — `metadata` then
+    * returns at most that vertex's row, with the point predicates pushed into both
+    * log scans ([[graft.store.EdgeStore.whereVertex]] scaladoc; filtering the
+    * derived table instead would fold every graph's metadata per RPC, because the
+    * register branch's full-outer join blocks predicate pushdown).
+    */
   def getMetadata(sourceId: Long, graphId: Int): Option[Metadata] = {
     val spark = store.log.sparkSession
     import spark.implicits._
-    store.metadata
-      .filter(col("graph_id") === graphId && col("source_id") === sourceId)
+    store.whereVertex(graphId, sourceId).metadata
       .select(
         col("graph_id").as("graphId"),
         col("source_id").as("sourceId"),

@@ -129,6 +129,23 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
       log.filter(col("graph_id") === graphId),
       vertexLog.map(_.filter(col("graph_id") === graphId)))
 
+  /** Vertex-pruned view for point metadata reads: restrict BOTH logs to one
+    * (graph, source vertex) before any fold. [[whereGraph]]'s rationale applies
+    * verbatim — [[metadata]]'s full-outer register join blocks predicate pushdown,
+    * so `metadata.filter(key)` folds and joins the WHOLE store to report one row —
+    * sharpened to a single vertex: every grouping/join key of the metadata
+    * derivation contains (graph_id, source_id/vertex_id), so pruning the logs first
+    * is semantics-preserving, and the point predicates sit directly over each scan.
+    * This is the shape of the reference's `get_metadata` RPC, which routes to ONE
+    * shard and reads one row (`ForwardingManager.scala:24-38`,
+    * `SqlShard.scala:146-152`); on (graph, vertex)-partitioned storage the read is
+    * partition-pruned instead of store-wide.
+    */
+  def whereVertex(graphId: Int, sourceId: Long): EdgeStore =
+    new EdgeStore(
+      log.filter(col("graph_id") === graphId && col("source_id") === sourceId),
+      vertexLog.map(_.filter(col("graph_id") === graphId && col("vertex_id") === sourceId)))
+
   /** Adjacency relation for one query term, direction-normalized: the result column
     * `neighbor_id` is destination for forward terms, source for backward terms
     * (reference `ForwardingManager.scala:35-37`: backward graph = -graphId table; we swap

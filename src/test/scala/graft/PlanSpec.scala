@@ -200,6 +200,32 @@ class PlanSpec extends SparkSpec {
       s"post-filter now pushes through the full-outer join — whereGraph may be obsolete:\n$naive")
   }
 
+  test("point metadata read pushes the (graph, vertex) key into BOTH log scans") {
+    // the facade path of every get_metadata/contains_metadata RPC: the reference
+    // routes to one shard and reads one row; here the whereVertex view must put the
+    // point predicates directly over each scan (a post-metadata filter cannot cross
+    // the full-outer register join, so it would fold the whole store per call)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wherevertex").toString
+    val base = TestGraph.store(spark, dir)
+    base.snapshot.write.mode("overwrite").parquet(s"$tmp/edges")
+    import spark.implicits._
+    Seq((1, 4L, true, 2, 2200000), (2, 8L, true, 2, 2200000))
+      .toDF("graph_id", "vertex_id", "is_forward", "state", "updated_at")
+      .write.mode("overwrite").parquet(s"$tmp/vertex")
+    val store = new graft.store.EdgeStore(
+      spark.read.parquet(s"$tmp/edges"),
+      Some(spark.read.parquet(s"$tmp/vertex")))
+    val p = plan(store.whereVertex(1, 4L).metadata)
+    assert("EqualTo\\(graph_id,1\\)".r.findAllMatchIn(p).size >= 2,
+      s"graph predicate must reach BOTH scans (edge log and vertex log):\n$p")
+    // assert on DataFilters expression text — the PushedFilters list renders
+    // truncated ("EqualTo(v...") once it holds more than a few entries
+    assert("source_id#\\d+L? = 4".r.findFirstIn(p).isDefined,
+      s"vertex key must reach the edge-log scan:\n$p")
+    assert("vertex_id#\\d+L? = 4".r.findFirstIn(p).isDefined,
+      s"vertex key must reach the vertex-log scan:\n$p")
+  }
+
   test("vocabCoverage broadcasts the top-k vocabulary against the token stream") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextStats.vocabCoverage(docs, "doc_id", "text"))
