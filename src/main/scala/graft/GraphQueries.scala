@@ -395,7 +395,27 @@ object GraphQueries {
     * max(fwdVertexState, bwdVertexState, preferred) (reference
     * `jobs/single/Single.scala:104-107`, matrix `unit/JobSpec.scala:126-148`).
     */
-  def vertexDomination(spark: SparkSession, dir: String): DataFrame = {
+  def vertexDomination(spark: SparkSession, dir: String): DataFrame =
+    vertexDominationImpl(spark, dir, fused = true)
+
+  /** Two-batch form of [[vertexDomination]] — the reference's literal shape (archive
+    * job, then replayed adds). LwwSpec pins result equality with the fused default.
+    */
+  private[graft] def vertexDominationTwoBatch(spark: SparkSession, dir: String): DataFrame =
+    vertexDominationImpl(spark, dir, fused = false)
+
+  /** The two batches fuse into ONE `applyOperations` call by default: their
+    * timestamps are disjoint (2000000 < 2500000) so LWW ordering is unchanged,
+    * same-batch registers are visible to same-batch edge writes (the reference
+    * applies Multi metadata writes before its fanned-out Singles), batch 1 never
+    * creates edges or refreshes positions (archival keeps positions; expansion only
+    * touches existing edges), and batch 2's dominated effective states are
+    * identical either way — so the position rule reads the same (old_position,
+    * old_state, op.state) triple against the pre-batch snapshot as it would against
+    * the intermediate one. Fusing halves the write-path cost: one eager-checkpoint
+    * fold + one key-pruned join pipeline instead of two in sequence.
+    */
+  private def vertexDominationImpl(spark: SparkSession, dir: String, fused: Boolean): DataFrame = {
     // batches and the final read touch only graph 1 — the whole pipeline runs on the
     // graph-pruned store (compaction, write folds, and snapshot scan one graph; the
     // g20 discipline, see whereGraph scaladoc)
@@ -422,8 +442,10 @@ object GraphQueries {
         lit(2500000).cast("int").as("updated_at"),
         lit(null).cast("long").as("position")
       )
-    store.applyOperations(batch1).applyOperations(batch2)
-      .snapshot
+    val written =
+      if (fused) store.applyOperations(batch1.unionByName(batch2))
+      else store.applyOperations(batch1).applyOperations(batch2)
+    written.snapshot
       .select(snapCols: _*)
   }
 

@@ -189,4 +189,15 @@ class LwwSpec extends SparkSpec {
     assert(m((alice, carl)).state == State.Removed)
     assert(m((alice, darcy)).state == State.Normal)
   }
+
+  test("g18: fused single-batch application equals the sequential two-batch form") {
+    // the equivalence that lets vertexDomination pay ONE write-path fold: disjoint
+    // batch timestamps + same-batch register visibility + archival never refreshing
+    // positions make LWW(batch1 ∪ batch2) = LWW∘LWW (vertexDominationImpl scaladoc)
+    val dir = "/root/testdata/sf0.001"
+    val fused = GraphQueries.vertexDomination(spark, dir).collect().toSet
+    val sequential = GraphQueries.vertexDominationTwoBatch(spark, dir).collect().toSet
+    assert(fused.nonEmpty)
+    assert(fused == sequential)
+  }
 }
