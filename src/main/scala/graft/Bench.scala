@@ -32,6 +32,41 @@ object Bench {
     "m01_media_features", "o01_zorder", "o02_hilbert",
   )
 
+  /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
+    * constant synthetic aggregation (hash + small-key groupBy over a generated range
+    * — CPU-bound, shuffle-light, independent of the data directory). Its seconds go
+    * into the JSON as `"cal"`, so a cross-round per-query comparison can normalize
+    * for host load first: r6's driver run read untouched queries 3–5× slower purely
+    * from box contention, and without a calibration constant that regression pattern
+    * is indistinguishable from a plan change.
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, 32)
+      .selectExpr("xxhash64(id) % 1024 AS k")
+      .groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The emitted contract line (see BenchContractSpec): headline per-query seconds
+    * plus all failures, total over every query run, and the host-load calibration
+    * constant.
+    */
+  private[graft] def renderLine(
+      total: Double,
+      cal: Double,
+      n: Int,
+      secByName: Map[String, Double],
+      failed: Seq[String],
+      sfDir: String): String = {
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val mapped = (headline.filter(secByName.contains) ++ failed).distinct
+    val qs = mapped.map(k => "\"" + k + "\":" + f(secByName(k))).mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","cal":${f(cal)},"n":$n,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -50,6 +85,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
       }
     }
+    val cal = calibrate(spark)
     // optional args = subset of query names (local iteration); no args = full suite
     args.filterNot(SparkEntry.queries.contains).foreach { n =>
       System.err.println(s"[bench] unknown query name: $n")
@@ -75,18 +111,13 @@ object Bench {
       // collections out of timed regions, but raises the TOTAL ~10% — rejected)
       (name, sec, ok)
     }
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val secByName = results.map { case (k, v, _) => k -> v }.toMap
     // every failure is always reported, even off-headline
     val failed = results.filterNot(_._3).map(_._1)
-    val mapped = (headline.filter(secByName.contains) ++ failed).distinct
-    val qs = mapped.map(k => "\"" + k + "\":" + f(secByName(k))).mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as a
     // failure, not as a speedup
     val total = results.collect { case (_, v, true) => v }.sum
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = renderLine(total, cal, results.size, secByName, failed, sfDir)
     // stop Spark BEFORE emitting: shutdown logging must not land after the JSON
     // line, which has to sit at the very end of the captured output tail
     spark.stop()

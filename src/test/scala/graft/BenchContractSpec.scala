@@ -15,14 +15,26 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case headline JSON stays well inside the driver's captured tail") {
-    // mirror Bench.main's line construction with every value at its widest realistic
-    // formatting (4 integer digits + 3 decimals); failures list empty — a failure
-    // replaces a success entry at comparable width and failures are a bug anyway
-    val qs = Bench.headline.map(k => "\"" + k + "\":9999.999").mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","n":${SparkEntry.queries.size},"queries":$qs,"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    // the REAL line constructor with every value at its widest realistic formatting
+    // (4 integer digits + 3 decimals); failures list empty — a failure replaces a
+    // success entry at comparable width and failures are a bug anyway
+    val line = Bench.renderLine(
+      total = 99999.999, cal = 9999.999, n = SparkEntry.queries.size,
+      secByName = Bench.headline.map(_ -> 9999.999).toMap,
+      failed = Nil, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1700,
       s"worst-case bench line is ${line.length} chars (cap 1700 for tail-capture " +
         "headroom) — rotate fast queries out of Bench.headline before adding more")
+  }
+
+  test("the line carries the host-load calibration field") {
+    // r6's driver run read untouched queries 3-5x slower from box contention alone;
+    // "cal" (a fixed synthetic workload's seconds) is what lets a cross-round
+    // comparison normalize for host load before calling anything a regression
+    val line = Bench.renderLine(10.0, 1.234, 2, Map("q01_pricing_summary" -> 5.0),
+      Nil, "/root/testdata/sf0.1")
+    assert(line.contains("\"cal\":1.234"), line)
+    assert(line.indexOf("\"cal\":") < line.indexOf("\"queries\":"),
+      "cal must sit in the fixed head of the line, before the variable-width map")
   }
 }
