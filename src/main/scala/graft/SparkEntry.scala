@@ -21,6 +21,13 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** g38's pinned parameters, shared by the query registration and the oracle mirror
+    * so a retune cannot silently diverge them (the oracle unrolls `KTrussRounds`
+    * chained prune rounds with prune predicate `sup >= KTrussK - 2`).
+    */
+  private[graft] val KTrussK = 4
+  private[graft] val KTrussRounds = 3
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -66,7 +73,7 @@ object SparkEntry {
     "g36_local_bridges"     -> (GraphQueries.localBridges _),
     "g37_decayed_pagerank"  -> (GraphQueries.decayedPageRank _),
     "g38_ktruss"            -> ((s: SparkSession, dir: String) =>
-      GraphQueries.kTruss(s, dir, k = 4, rounds = 3)),
+      GraphQueries.kTruss(s, dir, k = KTrussK, rounds = KTrussRounds)),
     "g39_sssp"              -> ((s: SparkSession, dir: String) =>
       GraphQueries.boundedSssp(s, dir, rounds = 3)),
     // --- general analytics (bench headliners) ---
@@ -504,9 +511,10 @@ object SparkEntry {
          |       FROM vx LEFT JOIN c3 USING (v))
          |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS dpr_fp FROM r3""".stripMargin,
 
-    // Bounded 4-truss peeling, 3 pinned rounds: per round, per-edge triangle support
-    // over the id-oriented closure, prune edges with support < 2, then report
-    // survivors with recomputed support — mirror of GraphQueries.kTruss(k=4, rounds=3)
+    // Bounded k-truss peeling, rounds pinned: per round, per-edge triangle support
+    // over the id-oriented closure, prune edges with support < k-2, then report
+    // survivors with recomputed support — mirror of GraphQueries.kTruss, unrolled
+    // from the SAME (KTrussK, KTrussRounds) constants the query registration uses
     "g38_ktruss" -> {
       // every tri() references its edge CTE 3x and each round chains on the last, so
       // un-materialized CTEs inline EXPONENTIALLY (3^rounds copies of the base scan —
@@ -519,26 +527,25 @@ object SparkEntry {
           s"UNION ALL SELECT a AS lo, c AS hi FROM $t " +
           s"UNION ALL SELECT b AS lo, c AS hi FROM $t) GROUP BY 1, 2)"
       def prune(e: String, s: String, out: String): String =
-        s"$out AS MATERIALIZED (SELECT u.lo, u.hi FROM $e u JOIN $s USING (lo, hi) WHERE sup >= 2)"
+        s"$out AS MATERIALIZED (SELECT u.lo, u.hi FROM $e u JOIN $s USING (lo, hi) " +
+          s"WHERE sup >= ${KTrussK - 2})"
+      val roundCtes = (1 to KTrussRounds).map { i =>
+        val prev = if (i == 1) "und" else s"p${i - 1}"
+        s"${tri(prev, s"t$i")},\n${sup(s"t$i", s"s$i")},\n${prune(prev, s"s$i", s"p$i")}"
+      }
+      val last = s"p$KTrussRounds"
+      val (tN, sN) = (s"t${KTrussRounds + 1}", s"s${KTrussRounds + 1}")
       s"""$snap,
          |und AS MATERIALIZED (SELECT DISTINCT least(source_id, destination_id) AS lo,
          |                        greatest(source_id, destination_id) AS hi
          |        FROM edges
          |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
-         |${tri("und", "t1")},
-         |${sup("t1", "s1")},
-         |${prune("und", "s1", "p1")},
-         |${tri("p1", "t2")},
-         |${sup("t2", "s2")},
-         |${prune("p1", "s2", "p2")},
-         |${tri("p2", "t3")},
-         |${sup("t3", "s3")},
-         |${prune("p2", "s3", "p3")},
-         |${tri("p3", "t4")},
-         |${sup("t4", "s4")}
+         |${roundCtes.mkString(",\n")},
+         |${tri(last, tN)},
+         |${sup(tN, sN)}
          |SELECT p.lo AS lo_id, p.hi AS hi_id,
-         |  CAST(COALESCE(s4.sup, 0) AS BIGINT) AS support
-         |FROM p3 p LEFT JOIN s4 USING (lo, hi)""".stripMargin
+         |  CAST(COALESCE($sN.sup, 0) AS BIGINT) AS support
+         |FROM $last p LEFT JOIN $sN USING (lo, hi)""".stripMargin
     },
 
     // Bounded Bellman-Ford from the mod-100 seed set, weight 1 + dst % 7, 3 pinned

@@ -118,6 +118,7 @@ object Sketches {
       topK: Int = 100
   ): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    require(width >= 1, s"width out of range: $width") // width 0 would reach pmod-by-zero
     val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact_n"))
     val itemBuckets = exact
       .select(

@@ -580,6 +580,7 @@ object StreamOps extends Serializable {
       width: Int = 256
   ): Dataset[CmsCell] = {
     require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    require(width >= 1, s"width out of range: $width") // width 0 would reach pmod-by-zero
     val spark = items.sparkSession
     import spark.implicits._
     items
