@@ -366,14 +366,35 @@ object GraphQueries {
   }
 
   /** Kernel of [[boundedSssp]] over a weighted (src, dst, w) relation and a seed
-    * vertex set.
+    * vertex set. At low round counts the full-relation Bellman–Ford is the simpler
+    * equivalent; above [[FrontierSsspMinRounds]] the frontier-delta form takes over
+    * (relax only the vertices whose distance CHANGED last round) — at high round
+    * counts on a converging graph the frontier shrinks toward empty while the full
+    * relation stays graph-sized, so the per-round join input (and its shuffle) is
+    * the delta, not the graph. Results are identical by the standard delta
+    * Bellman–Ford argument: a vertex not improved in round i was already relaxed
+    * from in round i+1 of an earlier improvement, so re-relaxing it cannot lower
+    * any neighbor's distance (FrontierSsspSpec pins equality round-for-round).
     */
   def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
-    ssspImpl(edges, seeds, rounds, _.localCheckpoint(true))
+    if (rounds >= FrontierSsspMinRounds)
+      ssspFrontierImpl(edges, seeds, rounds, _.localCheckpoint(true))
+    else ssspImpl(edges, seeds, rounds, _.localCheckpoint(true))
+
+  /** Round count at which [[ssspOf]] switches to the frontier-delta form. */
+  private[graft] val FrontierSsspMinRounds = 4
 
   /** Uncheckpointed [[ssspOf]] for PlanSpec (the plannedKTruss pattern). */
   private[graft] def plannedSssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
     ssspImpl(edges, seeds, rounds, identity)
+
+  /** Uncheckpointed frontier-delta variant for PlanSpec. */
+  private[graft] def plannedSsspFrontier(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspFrontierImpl(edges, seeds, rounds, identity)
+
+  /** Frontier-delta form, exposed for direct comparison at any round count. */
+  private[graft] def ssspFrontierOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspFrontierImpl(edges, seeds, rounds, _.localCheckpoint(true))
 
   private def ssspImpl(
       edges: DataFrame, seeds: DataFrame, rounds: Int, mat: DataFrame => DataFrame): DataFrame = {
@@ -384,6 +405,38 @@ object GraphQueries {
         .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
       dist = mat(dist.unionByName(relaxed)
         .groupBy(col("v")).agg(min(col("d")).as("d")))
+    }
+    dist.select(col("v").as("vertex_id"), col("d").as("dist"))
+  }
+
+  /** Delta Bellman–Ford: per round, relax edges out of LAST round's improved set
+    * only, keep the candidates that strictly lower (or newly set) a distance, and
+    * patch them into the distance relation with an anti-join + union (no re-fold of
+    * unimproved keys). Scale shape per round: one equi-join of edges against the
+    * FRONTIER (delta-sized), one map-side-combinable min, one broadcast-eligible
+    * patch join — at 100 TB the round cost tracks how much of the graph is still
+    * changing, not the graph.
+    */
+  private def ssspFrontierImpl(
+      edges: DataFrame, seeds: DataFrame, rounds: Int, mat: DataFrame => DataFrame): DataFrame = {
+    var dist = mat(seeds.select(col("v"), lit(0L).as("d")))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val candidates = edges
+        .join(frontier.select(col("v").as("src"), col("d").as("ds")), "src")
+        .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+      // improved stays LAZY (the EdgeStore newRows discipline): its inputs are the
+      // already-materialized dist and edges, so recompute is delta-scale joins — and
+      // a checkpointed (LogicalRDD) union child carries origin constraints that
+      // reference pre-checkpoint attribute ids and break Union constraint rewriting
+      val improved = candidates.alias("r")
+        .join(dist.select(col("v"), col("d").as("cur")), Seq("v"), "left")
+        .filter(col("cur").isNull || col("r.d") < col("cur"))
+        .select(col("v"), col("r.d").as("d"))
+      dist = mat(dist.join(improved.select(col("v")), Seq("v"), "left_anti")
+        .unionByName(improved))
+      frontier = improved
     }
     dist.select(col("v").as("vertex_id"), col("d").as("dist"))
   }
