@@ -71,7 +71,15 @@ object EdgeSources {
     )
   }
 
-  /** JSON-lines edge-write feed → (clean log, corrupt audit). */
+  /** JSON-lines edge-write feed → (clean log, corrupt audit).
+    *
+    * Parser edge (verified on Spark 4.1): a line whose object is UNTERMINATED
+    * (truncated before the closing brace) is silently dropped by the Jackson
+    * stream reader — it produces neither a clean row nor a corrupt record, so it
+    * cannot be audited here. Garbage lines, type mismatches, and missing fields
+    * all quarantine correctly; feeds at risk of mid-object truncation (e.g.
+    * non-atomic appends) need an upstream line-integrity check.
+    */
   def readJsonEdgeLog(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     split(spark.read
       .schema(writeSchema)
