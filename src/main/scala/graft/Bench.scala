@@ -20,7 +20,7 @@ object Bench {
     "d10_fuzzy_pairs", "d12_simhash_hamming",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
-    "s16_ivf_pq",
+    "s16_ivf_pq", "s17_hybrid_rrf",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample — all historically <1s and
     // family-covered by the remaining entries

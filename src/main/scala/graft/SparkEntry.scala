@@ -225,6 +225,11 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
     }),
+    "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.hybridTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding", queryMod = 50, listK = 10, k = 5)),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -1410,6 +1415,51 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+
+    // Hybrid retrieval: BM25 lexical top-10 (t21's log-free integer-micro weights,
+    // summed per (query, doc)) × brute-force cosine top-10 (s01's kernel), fused by
+    // integer reciprocal-rank fusion 1000000 // (60 + rank), absent list = 0 —
+    // mirror of Retrieval.hybridTopK(queryMod=50, listK=10, k=5)
+    "s17_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |w AS (SELECT tf.doc_id AS neighbor_id, tf.token,
+         |        CAST(round(1000000 * (
+         |          ((2200000 * tf)::DOUBLE
+         |            / (1000000 * tf + 300000
+         |               + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE)
+         |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE))) AS BIGINT) AS w
+         |      FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % 50 = 0),
+         |lexs AS (SELECT qt.query_id, w.neighbor_id, CAST(SUM(w.w) AS BIGINT) AS lex_micro
+         |         FROM qt JOIN w USING (token) WHERE w.neighbor_id <> qt.query_id GROUP BY 1, 2),
+         |lex AS (SELECT query_id, neighbor_id, rank AS lex_rank FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY lex_micro DESC, neighbor_id) AS rank FROM lexs)
+         |        WHERE rank <= 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |sems AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |         FROM q, e c WHERE c.vec_id <> query_id),
+         |sem AS (SELECT query_id, neighbor_id, rank AS sem_rank FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sems)
+         |        WHERE rank <= 10),
+         |fused AS (SELECT query_id, neighbor_id,
+         |            CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
+         |            CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
+         |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // (60 + lex_rank) END
+         |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // (60 + sem_rank) END
+         |              AS BIGINT) AS rrf_score
+         |          FROM lex FULL JOIN sem USING (query_id, neighbor_id))
+         |SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
+         |       CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
+         |WHERE rank <= 5""".stripMargin,
 
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: BM25 lexical ranking × embedding ANN, fused by reciprocal-rank
+  * fusion (RRF) — the production RAG retrieval primitive (fuse a keyword index with a
+  * vector index per query, Cormack/Clarke/Buettcher's rank-based fusion, SIGIR'09).
+  * Rank-based fusion needs no score normalization across the two modalities, which is
+  * exactly why it is the default in hybrid search engines.
+  *
+  * Everything rank-adjacent stays in exact integer space (the t21/oracle discipline):
+  * per-(token, doc) BM25 weights are rounded to integer micro-units BEFORE the
+  * per-(query, doc) sum — a distributed double sum is order-dependent, an integer sum
+  * is exact — and the RRF score is pure integer arithmetic, 1000000 DIV (k0 + rank).
+  */
+object Retrieval {
+
+  /** BM25 query-likelihood lexical top-k: score(q, d) = Σ_{t ∈ tokens(q)} w(t, d)
+    * over shared tokens, where w is the t21 log-free BM25 weight (k1 = 1.2, b = 0.75,
+    * exact-integer rationals; see TextStats.bm25Top) rounded to integer micro-units.
+    * The op sequence per weight is pinned for the oracle: two exact-int divisions,
+    * one product, then round(1e6 · (tfPart · idfRaw)) as BIGINT.
+    *
+    * Scale shape: corpus statistics (tf, df, dl, totals) are the two hash-agg passes
+    * t21 already pays; the query side collapses to DISTINCT (query, token) and
+    * BROADCASTS into the posting join, so the corpus-sized tf relation is scanned
+    * once and never shuffled by query. The per-(query, doc) sum is map-side
+    * combinable; the only sort is the per-query top-k window. (At production scale
+    * high-df tokens contribute negligible weight — prune them with a df cap upstream
+    * like Dedup.boilerplate if the posting join skews.)
+    */
+  def lexicalTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    val tf = TextStats.tokens(candidates, idCol, textCol)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // three consumers: df counts, doc lengths, posting join
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val rr = round((lit(900000L) * col("dl") * col("n_docs")).cast("double") /
+      col("sum_dl").cast("double")).cast("long")
+    val tfPart = (lit(2200000L) * col("tf")).cast("double") /
+      (lit(1000000L) * col("tf") + lit(300000L) + col("rr")).cast("double")
+    val idfRaw = (lit(2L) * col("n_docs") - lit(2L) * col("df_count") + lit(1L)).cast("double") /
+      (lit(2L) * col("df_count") + lit(1L)).cast("double")
+    val weights = tf
+      .join(dfreq, "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("rr", rr)
+      .withColumn("w", round(lit(1000000.0) * (tfPart * idfRaw)).cast("long"))
+      .select(col(idCol).as("neighbor_id"), col("token"), col("w"))
+    val qtok = TextStats.tokens(queries, idCol, textCol)
+      .select(col(idCol).as("query_id"), col("token"))
+      .distinct()
+    val scored = weights
+      .join(broadcast(qtok), "token")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("w")).as("lex_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_micro").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of two per-query ranked lists (columns: query_id,
+    * neighbor_id, rank): rrf = Σ_lists 1000000 DIV (k0 + rank), a doc absent from a
+    * list contributing 0 — integer arithmetic end-to-end, so the fused order is
+    * engine-exact. Output ranks re-windowed per query by (rrf desc, neighbor_id);
+    * absent per-list ranks surface as 0.
+    *
+    * Scale shape: both inputs are already top-listK per query (bounded, query-sized,
+    * not corpus-sized); the fusion is one full-outer equi-join plus a per-query
+    * window over ≤ 2·listK rows.
+    */
+  def rrfFuseTopK(lex: DataFrame, sem: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    def contrib(rankCol: String): Column =
+      when(col(rankCol).isNull, lit(0L))
+        .otherwise(expr(s"CAST(1000000 DIV ($k0 + $rankCol) AS BIGINT)"))
+    val fused = lex.select(col("query_id"), col("neighbor_id"), col("rank").as("lex_rank"))
+      .join(
+        sem.select(col("query_id"), col("neighbor_id"), col("rank").as("sem_rank")),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        (contrib("lex_rank") + contrib("sem_rank")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The composed hybrid retrieval query: BM25 lexical top-listK × brute-force
+    * cosine top-listK over the aligned embedding table, RRF-fused to top-k per
+    * query.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      textCol: String,
+      embIdCol: String,
+      vecCol: String,
+      queryMod: Int,
+      listK: Int,
+      k: Int
+  ): DataFrame = {
+    val lex = lexicalTopK(docs.filter(col(idCol) % queryMod === 0), docs, idCol, textCol, listK)
+    val sem = Similarity.bruteForceTopK(
+      emb.filter(col(embIdCol) % queryMod === 0), emb, embIdCol, vecCol, listK)
+    rrfFuseTopK(lex, sem, k)
+  }
+}
