@@ -26,6 +26,7 @@ object Bench {
     // family-covered by the remaining entries
     "t06_corpus_stats", "t14_sequence_pack",
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
+    "t24_bpe_merges",
     "ev2_sessionize", "ev8_asof_join", "ev11_rolling_actives",
     "ev12_session_stats", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination", "sk04_hll_overlap", "sk05_theta_diff",

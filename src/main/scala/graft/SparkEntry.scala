@@ -28,6 +28,11 @@ object SparkEntry {
   private[graft] val KTrussK = 4
   private[graft] val KTrussRounds = 3
 
+  /** t24's pinned merge-round count, shared by registration and oracle (the g38
+    * shared-constant discipline).
+    */
+  private[graft] val BpeMergeRounds = 4
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -178,6 +183,9 @@ object SparkEntry {
       TextStats.bpePairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 100)),
     "t23_char_entropy" -> ((s: SparkSession, dir: String) =>
       TextStats.charEntropy(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "t24_bpe_merges" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpeMergeLoop(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        rounds = BpeMergeRounds)),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
@@ -1717,6 +1725,36 @@ object SparkEntry {
          |       FROM (SELECT token, unnest(generate_series(1, length(token) - 1)) AS i FROM t2))
          |SELECT pair, COUNT(*) AS n FROM pr GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
+    // Bounded BPE merge loop, BpeMergeRounds pinned rounds: per round count adjacent
+    // symbol pairs over the doubled-separator representation, pick the (count desc,
+    // pair) argmax, merge it greedily via sequential literal replace — mirror of
+    // TextStats.bpeMergeLoop (see its scaladoc for why replace = greedy merge)
+    "t24_bpe_merges" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"r${i - 1}"
+        s"""s$i AS MATERIALIZED (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms FROM $prev),
+           |p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r
+           |        FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS j
+           |              FROM s$i WHERE len(syms) >= 2)),
+           |c$i AS MATERIALIZED (SELECT l, r, COUNT(*) AS n FROM p$i GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT l, r, n FROM c$i ORDER BY n DESC, l, r LIMIT 1),
+           |r$i AS MATERIALIZED (SELECT replace(repr,
+           |         '|' || (SELECT l FROM m$i) || '||' || (SELECT r FROM m$i) || '|',
+           |         '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|') AS repr FROM $prev)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |r0 AS MATERIALIZED (SELECT '||' || array_to_string(
+         |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
+         |         '||') || '||' AS repr
+         |       FROM toks WHERE length(token) >= 1),
+         |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
+         |SELECT round, left_sym, right_sym, left_sym || right_sym AS merged,
+         |       CAST(n AS BIGINT) AS n FROM (
+         |  ${(1 to BpeMergeRounds).map(i =>
+              s"SELECT $i AS round, l AS left_sym, r AS right_sym, n FROM m$i")
+              .mkString("\n  UNION ALL ")})""".stripMargin
+    },
 
     // BM25 top-3 terms per doc, log-free: tf-part and raw idf as exact-integer
     // rationals, two IEEE divisions + one product per row (no libm ln) — mirror of

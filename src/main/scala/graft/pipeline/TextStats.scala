@@ -450,6 +450,60 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Bounded BPE merge LOOP — the actual tokenizer-training primitive over t22's
+    * pair statistic: per round, count adjacent symbol pairs corpus-wide, merge the
+    * most frequent pair (count desc, pair asc — a total order, so the decision is
+    * deterministic) greedily left-to-right in every token, and re-count. Returns the
+    * merge table (round, left_sym, right_sym, merged, n) — the artifact a BPE
+    * tokenizer ships. Rounds are pinned so the oracle replays (the d05/g27
+    * bounded-fixpoint discipline); production training runs more rounds with the
+    * same per-round plan.
+    *
+    * Symbol sequences are carried as DOUBLED-separator strings
+    * (`||s1||s2||…||`, '|' verified absent from the corpus): the merge of pair
+    * (a, b) is then the single literal `replace(repr, '|a||b|', '|ab|')`, whose
+    * left-to-right non-overlapping scan IS greedy BPE merging (each match consumes
+    * one separator from each side, so back-to-back occurrences like `aaaa` merge to
+    * `aa aa`, not `aa a a`) — one codegen'd map pass, no regex, no UDF, identical
+    * semantics in any engine with sequential replace.
+    *
+    * Scale shape per round: one generator pass explodes adjacent pairs (no shuffle
+    * of raw text), a map-side-combinable count over a key space bounded by
+    * |vocab|², and ONE driver-side row (the argmax pair — the bounded-collect
+    * pattern of GraphQueries' loop scalars); the merge itself is a map-only
+    * replace over the checkpointed representation.
+    */
+  def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var repr = tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 1)
+      .select(concat(lit("||"),
+        array_join(
+          expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
+        lit("||")).as("repr"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = repr
+        .select(filter(split(col("repr"), "\\|\\|"), x => x =!= "").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> named_struct('l', element_at(syms, j), 'r', element_at(syms, j + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .head()
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((round, l, r, l + r, n))
+      repr = repr.select(expr(s"replace(repr, '|$l||$r|', '|$l$r|')").as("repr"))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n")
+  }
+
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text
     * signal (natural prose sits near the language's typical bits/char; random bytes
     * score high, repeated filler scores low). Terms are pinned to integer micro-bits

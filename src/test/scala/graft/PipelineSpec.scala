@@ -221,6 +221,22 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("first_train_id") == trainId)
   }
 
+  test("BPE merge loop: greedy left-to-right merges, deterministic argmax, merged vocab") {
+    import spark.implicits._
+    // 'aa' appears 3x in "aaaa" pairs + 2x in "aaab" + 1x in "aab" = 6; after the
+    // aa-merge, back-to-back runs must merge GREEDILY ("aaaa" -> [aa, aa], giving an
+    // (aa, aa) pair), not skip-chain ("aaaa" -> [aa, a, a])
+    val docs = Seq((1L, "aaaa aaab"), (2L, "aab xy")).toDF("doc_id", "text")
+    val m = pipeline.TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(m(1) == (("a", "a", "aa", 6L)))
+    // post-merge pairs: "aaaa"->[aa,aa] gives (aa,aa); "aaab"->[aa,a,b] gives
+    // (aa,a),(a,b); "aab"->[aa,b] gives (aa,b); "xy" gives (x,y) — all count 1,
+    // so the (count desc, pair asc) argmax is lexicographic: (a, b)
+    assert(m(2) == (("a", "b", "ab", 1L)))
+  }
+
   test("two-hop counts exclude self-returns and direct edges") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
