@@ -41,12 +41,26 @@ object Retrieval {
     val tf = TextStats.tokens(candidates, idCol, textCol)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      // doc-partitioned (cheap: |tf| rows, post-agg): hashpartitioning(doc) satisfies
+      // every downstream clustering by the subset rule, so dl's groupBy(doc), the
+      // posting join's partial agg, and the final (query, doc) agg all run
+      // exchange-free — the per-(query, doc) sum reduces fully map-side because all
+      // of a doc's tokens share a partition. Without this, the partial agg combines
+      // almost nothing (a pair's ~|shared tokens| rows scatter across partitions)
+      // and the shuffle carries the whole posting-join output.
+      .repartition(col(idCol))
       .localCheckpoint(true) // three consumers: df counts, doc lengths, posting join
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val rr = round((lit(900000L) * col("dl") * col("n_docs")).cast("double") /
-      col("sum_dl").cast("double")).cast("long")
+    // round(x) for positive x as floor(x + 0.5): identical to Spark's HALF_UP and
+    // DuckDB's half-away-from-zero at these magnitudes (halves are exact doubles
+    // far below 2^52), but pure-FP codegen. Spark's Round allocates a BigDecimal
+    // per call, and deferred codegen evaluates this projection once per posting-join
+    // MATCH (measured: ~5 s of BigDecimal churn at sf0.1), not once per weight row.
+    def roundPos(c: Column): Column = floor(c + lit(0.5)).cast("long")
+    val rr = roundPos((lit(900000L) * col("dl") * col("n_docs")).cast("double") /
+      col("sum_dl").cast("double"))
     val tfPart = (lit(2200000L) * col("tf")).cast("double") /
       (lit(1000000L) * col("tf") + lit(300000L) + col("rr")).cast("double")
     val idfRaw = (lit(2L) * col("n_docs") - lit(2L) * col("df_count") + lit(1L)).cast("double") /
@@ -56,7 +70,7 @@ object Retrieval {
       .join(dl, idCol)
       .crossJoin(broadcast(totals))
       .withColumn("rr", rr)
-      .withColumn("w", round(lit(1000000.0) * (tfPart * idfRaw)).cast("long"))
+      .withColumn("w", roundPos(lit(1000000.0) * (tfPart * idfRaw)))
       .select(col(idCol).as("neighbor_id"), col("token"), col("w"))
     val qtok = TextStats.tokens(queries, idCol, textCol)
       .select(col(idCol).as("query_id"), col("token"))

@@ -467,39 +467,46 @@ object TextStats {
     * `aa aa`, not `aa a a`) — one codegen'd map pass, no regex, no UDF, identical
     * semantics in any engine with sequential replace.
     *
-    * Scale shape per round: one generator pass explodes adjacent pairs (no shuffle
-    * of raw text), a map-side-combinable count over a key space bounded by
-    * |vocab|², and ONE driver-side row (the argmax pair — the bounded-collect
-    * pattern of GraphQueries' loop scalars); the merge itself is a map-only
-    * replace over the checkpointed representation.
+    * Scale shape: the corpus is read ONCE, collapsed to the word-frequency
+    * dictionary (distinct token, occurrence count) — the structure every
+    * production BPE trainer iterates over, because pair counts over occurrences
+    * equal pair counts over distinct words weighted by frequency. Each round then
+    * explodes adjacent pairs of a dictionary-sized relation (typically orders of
+    * magnitude smaller than the corpus), sums the weights map-side over a key
+    * space bounded by |vocab|², and collects ONE driver-side row (the argmax pair
+    * — the bounded-collect pattern of GraphQueries' loop scalars). The merge is a
+    * lazily-chained map-only replace over the checkpointed dictionary: round r
+    * re-applies r cheap linear-scan replaces instead of materializing a new
+    * dictionary per round.
     */
   def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     var repr = tokens(df, idCol, textCol)
       .filter(length(col("token")) >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(concat(lit("||"),
         array_join(
           expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
-        lit("||")).as("repr"))
+        lit("||")).as("repr"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (round <- 1 to rounds) {
       val top = repr
-        .select(filter(split(col("repr"), "\\|\\|"), x => x =!= "").as("syms"))
+        .select(filter(split(col("repr"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
         .filter(size(col("syms")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
-            "j -> named_struct('l', element_at(syms, j), 'r', element_at(syms, j + 1)))")).as("p"))
+            "j -> named_struct('l', element_at(syms, j), 'r', element_at(syms, j + 1)))")).as("p"),
+          col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .head()
       val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((round, l, r, l + r, n))
-      repr = repr.select(expr(s"replace(repr, '|$l||$r|', '|$l$r|')").as("repr"))
-        .localCheckpoint(true)
+      repr = repr.select(expr(s"replace(repr, '|$l||$r|', '|$l$r|')").as("repr"), col("cnt"))
     }
     merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n")
   }
