@@ -51,8 +51,13 @@ object Retrieval {
       .repartition(col(idCol))
       .localCheckpoint(true) // three consumers: df counts, doc lengths, posting join
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // dl is corpus-cardinality (one row per doc) — computed as a window over the
+    // doc-partitioned checkpoint it needs no exchange and, unlike a groupBy+join,
+    // can never end up broadcast (a per-doc relation must not be a build side at
+    // scale). totals folds tf directly: the doc-keyed partial of count(DISTINCT doc)
+    // is exchange-free for the same partitioning reason.
+    val dlWin = Window.partitionBy(col(idCol))
+    val totals = tf.agg(countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("sum_dl"))
     // round(x) for positive x as floor(x + 0.5): identical to Spark's HALF_UP and
     // DuckDB's half-away-from-zero at these magnitudes (halves are exact doubles
     // far below 2^52), but pure-FP codegen. Spark's Round allocates a BigDecimal
@@ -66,17 +71,22 @@ object Retrieval {
     val idfRaw = (lit(2L) * col("n_docs") - lit(2L) * col("df_count") + lit(1L)).cast("double") /
       (lit(2L) * col("df_count") + lit(1L)).cast("double")
     val weights = tf
+      .withColumn("dl", sum(col("tf")).over(dlWin))
       .join(dfreq, "token")
-      .join(dl, idCol)
       .crossJoin(broadcast(totals))
       .withColumn("rr", rr)
       .withColumn("w", roundPos(lit(1000000.0) * (tfPart * idfRaw)))
       .select(col(idCol).as("neighbor_id"), col("token"), col("w"))
-    val qtok = TextStats.tokens(queries, idCol, textCol)
-      .select(col(idCol).as("query_id"), col("token"))
-      .distinct()
+    // one exchange builds the per-token query list (collect_set dedups in the agg,
+    // saving the separate DISTINCT shuffle); the broadcast join is then 1:1 per
+    // weight row and the fan-out to (query, doc) pairs is a Generate, not a
+    // hashed-relation match chain
+    val qmap = TextStats.tokens(queries, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(collect_set(col(idCol)).as("qids"))
     val scored = weights
-      .join(broadcast(qtok), "token")
+      .join(broadcast(qmap), "token")
+      .select(col("neighbor_id"), col("w"), explode(col("qids")).as("query_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("w")).as("lex_micro"))
