@@ -49,7 +49,10 @@ object Retrieval {
       // almost nothing (a pair's ~|shared tokens| rows scatter across partitions)
       // and the shuffle carries the whole posting-join output.
       .repartition(col(idCol))
-      .localCheckpoint(true) // three consumers: df counts, doc lengths, posting join
+      // cache, not localCheckpoint: InMemoryRelation keeps hashpartitioning(doc)
+      // visible to the planner (a checkpoint's LogicalRDD loses it here), which is
+      // what lets every doc-clustered consumer skip its exchange
+      .persist()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
     // dl is corpus-cardinality (one row per doc) — computed as a window over the
     // doc-partitioned checkpoint it needs no exchange and, unlike a groupBy+join,

@@ -479,10 +479,12 @@ object TextStats {
     * re-applies r cheap linear-scan replaces instead of materializing a new
     * dictionary per round.
     */
-  def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    var repr = tokens(df, idCol, textCol)
+  /** The word-frequency dictionary in doubled-separator representation — the ONE
+    * corpus-sized pass of BPE training (exposed for PlanSpec's pin that every merge
+    * round reads this checkpoint, never the corpus).
+    */
+  private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
       .filter(length(col("token")) >= 1)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(concat(lit("||"),
@@ -490,17 +492,26 @@ object TextStats {
           expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
         lit("||")).as("repr"), col("cnt"))
       .localCheckpoint(true)
+
+  /** One round's frequency-weighted adjacent-pair counts over the dictionary. */
+  private[graft] def bpePairCounts(repr: DataFrame): DataFrame =
+    repr
+      .select(filter(split(col("repr"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "j -> named_struct('l', element_at(syms, j), 'r', element_at(syms, j + 1)))")).as("p"),
+        col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("n"))
+
+  def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var repr = bpeDictionary(df, idCol, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (round <- 1 to rounds) {
-      val top = repr
-        .select(filter(split(col("repr"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "j -> named_struct('l', element_at(syms, j), 'r', element_at(syms, j + 1)))")).as("p"),
-          col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
+      val top = bpePairCounts(repr)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .head()

@@ -389,4 +389,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"offset fanout must broadcast, not cartesian:\n$p")
   }
+
+  test("hybrid lexical side: postings aggregate exchange-free, per-doc stats never broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.pipeline.Retrieval.lexicalTopK(
+      docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text", k = 10)
+    df.collect() // AQE: shape decisions (broadcasts) land in the final plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the doc-partitioned tf cache makes dl's window, the (query, doc) partial agg,
+    // and the final agg all satisfy their clustering by the subset rule: the ONLY
+    // requirement-driven shuffles in the main dataflow are the corpus (doc, token)
+    // count and the final per-query window — the posting-join output itself (the
+    // biggest relation in the query) never shuffles
+    val ensure = "hashpartitioning[^)]*\\), ENSURE_REQUIREMENTS".r.findAllMatchIn(p).size
+    assert(ensure == 2,
+      s"expected 2 requirement shuffles (corpus tf agg, query window), saw $ensure:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"), s"tf must be doc-repartitioned in its cache:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"tf must be cached with planner-visible partitioning (not checkpointed):\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query top-k must prune pre-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"posting/statistics joins must broadcast here:\n$p")
+  }
+
+  test("BPE merge rounds read the word-frequency dictionary, never the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dict = TextStats.bpeDictionary(docs, "doc_id", "text")
+    // the one corpus-sized pass: explode tokens, ONE exchange into the (token) agg
+    val round = plan(TextStats.bpePairCounts(dict))
+    assert(round.contains("Scan ExistingRDD"),
+      s"pair counts must read the dictionary checkpoint:\n$round")
+    assert(!round.contains("Scan parquet"),
+      s"a merge round must never rescan the corpus:\n$round")
+    assert(round.contains("partial_sum"),
+      s"pair counts must combine map-side before the |vocab|^2-bounded exchange:\n$round")
+  }
 }
