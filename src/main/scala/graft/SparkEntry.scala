@@ -186,6 +186,12 @@ object SparkEntry {
     "t24_bpe_merges" -> ((s: SparkSession, dir: String) =>
       TextStats.bpeMergeLoop(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         rounds = BpeMergeRounds)),
+    "t25_bpe_encode" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpeEncode(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        rounds = BpeMergeRounds)),
+    "d13_semdedup" -> ((s: SparkSession, dir: String) =>
+      Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.4)),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
@@ -1469,6 +1475,30 @@ object SparkEntry {
          |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5""".stripMargin,
 
+    // SemDeDup: nearest-centroid cells (s04's deterministic 1-in-97 centroid
+    // sample, argmax tie-break (cosine desc, cid)), then a vector is dropped when a
+    // lower-id vector in its cell has cosine >= 0.4 — mirror of Similarity.semDedup
+    "d13_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank = 1),
+         |close AS (
+         |  SELECT a.vec_id, COUNT(*) AS n_close_lower
+         |  FROM cells a JOIN cells b USING (cid)
+         |  WHERE b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY 1)
+         |SELECT c.vec_id, c.cid,
+         |       CAST(COALESCE(n_close_lower, 0) AS BIGINT) AS n_close_lower,
+         |       COALESCE(n_close_lower, 0) = 0 AS is_kept
+         |FROM cells c LEFT JOIN close USING (vec_id)""".stripMargin,
+
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64)} AS bucket FROM e),
@@ -1754,6 +1784,45 @@ object SparkEntry {
          |  ${(1 to BpeMergeRounds).map(i =>
               s"SELECT $i AS round, l AS left_sym, r AS right_sym, n FROM m$i")
               .mkString("\n  UNION ALL ")})""".stripMargin
+    },
+
+    // BPE encoding with a freshly-trained merge table: the same BpeMergeRounds
+    // weighted-dictionary merge loop (pair counts summed over word frequencies —
+    // provably equal to occurrence counts), then every doc priced in post-merge
+    // symbols via its (doc, token) tf joined to the per-token symbol count —
+    // mirror of TextStats.bpeEncode
+    "t25_bpe_encode" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"e${i - 1}"
+        s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
+           |ep$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, cnt
+           |         FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS j
+           |               FROM es$i WHERE len(syms) >= 2)),
+           |em$i AS MATERIALIZED (SELECT l, r FROM (
+           |         SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM ep$i GROUP BY 1, 2)
+           |       ORDER BY n DESC, l, r LIMIT 1),
+           |e$i AS MATERIALIZED (SELECT token, replace(repr,
+           |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
+           |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|') AS repr, cnt FROM $prev)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |       WHERE length(token) >= 1 GROUP BY 1, 2),
+         |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(
+         |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
+         |         '||') || '||' AS repr, cnt
+         |       FROM wf),
+         |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
+         |enc AS (SELECT token,
+         |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym
+         |        FROM e$BpeMergeRounds)
+         |SELECT tf.doc_id,
+         |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |FROM tf JOIN enc USING (token)
+         |GROUP BY 1""".stripMargin
     },
 
     // BM25 top-3 terms per doc, log-free: tf-part and raw idf as exact-integer

@@ -453,6 +453,61 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+    * cluster-then-dedup — assign every embedding to its nearest coarse centroid
+    * (the s04 IVF assignment: deterministic 1-in-`centroidMod` centroid sample so
+    * the oracle reproduces cells bit-for-bit), then within each cell mark a vector
+    * a duplicate when a LOWER-id vector in the same cell has cosine ≥ `threshold`
+    * (the keep-one-representative rule, min-id as the deterministic survivor).
+    * Output per vector: its cell, how many lower-id near-twins share the cell, and
+    * the keep verdict the curation pipeline filters on.
+    *
+    * Scale shape: pairwise comparison happens ONLY within cells — the defining
+    * SemDeDup property (Σ|cell|² ≪ n² for any reasonable centroid count); the
+    * centroid table is broadcast, cells come from an equi-join on cell id, and the
+    * per-vector verdict is a map-side-combinable count. A skewed mega-cell is the
+    * known failure mode at corpus scale — cap cell membership or raise the centroid
+    * count, exactly like the d-family's doc-freq cap.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroidMod: Int = 97
+  ): DataFrame = {
+    val cents = broadcast(
+      df.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm2(col("cv"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid").asc)
+    // nearest cell per vector (argmax cosine, rounded so the tie-break is
+    // engine-independent); self-joins below, so materialize once
+    val cells = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("nv"), col("cid"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cid"))
+      .localCheckpoint(true)
+    val close = cells
+      .join(cells.select(col("cid"), col("vec_id").as("other_id"),
+        col("v").as("ov"), col("nv").as("on2")), Seq("cid"))
+      .filter(col("other_id") < col("vec_id"))
+      .filter(round(cosineFromNorms(dot(col("v"), col("ov")), col("nv"), col("on2")), 6)
+        >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_close_lower"))
+    cells.select(col("vec_id"), col("cid"))
+      .join(close, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cid"),
+        coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"),
+        (coalesce(col("n_close_lower"), lit(0L)) === 0).as("is_kept"))
+  }
+
   /** Symmetric int8 quantization diagnostics — the compression step before an ANN index
     * is shipped to serving: per vector, scale = max|x|/127, q_i = clamp(⌊x_i/scale + ½⌋),
     * and the reconstruction quality that decides whether int8 is acceptable for the

@@ -505,10 +505,16 @@ object TextStats {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("n"))
 
-  def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    var repr = bpeDictionary(df, idCol, textCol)
+  /** The shared merge loop: `rounds` iterations of (weighted pair count → argmax →
+    * greedy replace) over any dictionary carrying `repr` and `cnt`; extra columns
+    * (e.g. the token itself, for encoding) ride along untouched. Returns the merge
+    * decisions and the dictionary in its post-merge representation.
+    */
+  private def bpeTrainRounds(
+      dict: DataFrame,
+      rounds: Int
+  ): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var repr = dict
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (round <- 1 to rounds) {
       val top = bpePairCounts(repr)
@@ -517,9 +523,53 @@ object TextStats {
         .head()
       val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((round, l, r, l + r, n))
-      repr = repr.select(expr(s"replace(repr, '|$l||$r|', '|$l$r|')").as("repr"), col("cnt"))
+      repr = repr.withColumn("repr", expr(s"replace(repr, '|$l||$r|', '|$l$r|')"))
     }
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n")
+    (merges.toSeq, repr)
+  }
+
+  def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainRounds(bpeDictionary(df, idCol, textCol), rounds)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "n")
+  }
+
+  /** BPE ENCODING with a freshly-trained merge table — the tokenize step of a
+    * training-data pipeline (train merges on the corpus, then price every document
+    * in post-merge symbols; the per-doc symbol count is what sequence packing and
+    * context-length budgeting consume). Output per doc: whitespace-token count,
+    * character count, and the post-merge symbol count.
+    *
+    * Scale shape: training is t24's dictionary loop (corpus read once into the
+    * word-frequency dictionary); ENCODING is also dictionary-sized — each distinct
+    * token is encoded once (its post-merge repr is already in the trained
+    * dictionary) and per-doc totals come from the (doc, token) tf relation joined
+    * to the |vocab|-sized symbol-count table, an equi-join plus one map-side-
+    * combinable rollup. No corpus-sized relation is ever re-scanned per round.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
+    val dict = tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("token"),
+        concat(lit("||"),
+          array_join(
+            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
+          lit("||")).as("repr"), col("cnt"))
+      .localCheckpoint(true)
+    val (_, trained) = bpeTrainRounds(dict, rounds)
+    val symCount = trained.select(col("token"),
+      size(filter(split(col("repr"), "\\|\\|"), x => x =!= "")).as("n_sym"))
+    tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 1)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .join(symCount, "token")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(col("token"))).as("n_chars"),
+        sum(col("tf") * col("n_sym")).as("n_syms"))
   }
 
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text

@@ -237,6 +237,36 @@ class PipelineSpec extends SparkSpec {
     assert(m(2) == (("a", "b", "ab", 1L)))
   }
 
+  test("BPE encode prices docs in post-merge symbols (greedy consumption respected)") {
+    import spark.implicits._
+    // rounds=2 learns (a,a)->aa then (a,b)->ab (see the merge-loop test above):
+    // "aaaa"->[aa,aa], "aaab"->[aa,ab], "aab"->[aa,b] (its 'a' was consumed by the
+    // aa merge, so ab must NOT fire), "xy"->[x,y]
+    val docs = Seq((1L, "aaaa aaab"), (2L, "aab xy")).toDF("doc_id", "text")
+    val enc = pipeline.TextStats.bpeEncode(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(enc(1L) == ((2L, 8L, 4L)), s"doc 1: $enc")
+    assert(enc(2L) == ((2L, 5L, 4L)), s"doc 2: $enc")
+  }
+
+  test("semDedup keeps the min-id representative per near-twin group, within cells only") {
+    import spark.implicits._
+    // centroidMod=2 -> centroids 0:[1,0], 2:[0,1], 4:[-1,0]; members cluster around
+    // them, so cell 0 holds {0,1,3} (a 3-chain of near-twins), cell 2 holds {2,5},
+    // cell 4 holds {4} alone
+    val emb = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.9, 0.1), 2L -> Seq(0.0, 1.0),
+      3L -> Seq(1.0, 0.05), 4L -> Seq(-1.0, 0.0), 5L -> Seq(-0.05, 1.0)
+    ).toDF("vec_id", "embedding")
+    val r = pipeline.Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.4,
+      centroidMod = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(0L) == ((0L, true)) && r(2L) == ((0L, true)) && r(4L) == ((0L, true)), r.toString)
+    assert(r(1L) == ((1L, false)), s"id 1 has one lower near-twin (0): $r")
+    assert(r(3L) == ((2L, false)), s"id 3 has two lower near-twins (0, 1): $r")
+    assert(r(5L) == ((1L, false)), s"id 5 has one lower near-twin (2): $r")
+  }
+
   test("two-hop counts exclude self-returns and direct edges") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
