@@ -15,15 +15,15 @@ object Bench {
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
     "g33_hits", "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
-    "g39_sssp",
+    "g39_sssp", "g40_label_propagation",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
-    "s01_ann_bruteforce", "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
+    "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "s16_ivf_pq", "s17_hybrid_rrf",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
-    // ev8_asof_join, o01_zorder — all historically <1s and family-covered by the
+    // ev8_asof_join, o01_zorder, s01_ann_bruteforce — all historically <1s and family-covered by the
     // remaining entries
     "t06_corpus_stats", "t14_sequence_pack",
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",

@@ -441,6 +441,52 @@ object GraphQueries {
     dist.select(col("v").as("vertex_id"), col("d").as("dist"))
   }
 
+  /** g40 — bounded-round synchronous label propagation (Raghavan/Albert/Kumara 2007):
+    * community detection by iterated neighbor-majority vote. Every vertex starts
+    * labeled with its own id; each round it adopts the most frequent label among its
+    * neighbors, tie-broken (count desc, label asc) — a total order, so the rounds
+    * replay bit-for-bit in any engine (the d05/g27 pinned-round discipline; full LPA
+    * iterates until labels stabilize, with the same per-round plan).
+    *
+    * Scale shape per round: one equi-join of the undirected adjacency against the
+    * |V|-sized label relation, one map-side-combinable (vertex, label) count, and a
+    * per-vertex argmax whose WindowGroupLimit prunes to one row per vertex BEFORE
+    * the window shuffle; lineage truncates per round with an eager checkpoint.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val adj = snap
+      .unionByName(snap.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    lpaImpl(adj, rounds, _.localCheckpoint(true))
+  }
+
+  /** Uncheckpointed [[labelPropagation]] kernel for PlanSpec (the plannedKTruss
+    * pattern).
+    */
+  private[graft] def plannedLpa(adj: DataFrame, rounds: Int): DataFrame =
+    lpaImpl(adj, rounds, identity)
+
+  private def lpaImpl(
+      adj: DataFrame, rounds: Int, mat: DataFrame => DataFrame): DataFrame = {
+    var labels = adj.select(col("src").as("v"), col("src").as("label")).distinct()
+    val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = mat(adj
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("label")))
+    }
+    labels.select(col("v").as("vertex_id"), col("label").as("community"))
+  }
+
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
     * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
     * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose

@@ -33,6 +33,9 @@ object SparkEntry {
     */
   private[graft] val BpeMergeRounds = 4
 
+  /** g40's pinned label-propagation round count, shared by registration and oracle. */
+  private[graft] val LpaRounds = 4
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -81,6 +84,8 @@ object SparkEntry {
       GraphQueries.kTruss(s, dir, k = KTrussK, rounds = KTrussRounds)),
     "g39_sssp"              -> ((s: SparkSession, dir: String) =>
       GraphQueries.boundedSssp(s, dir, rounds = 3)),
+    "g40_label_propagation" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.labelPropagation(s, dir, rounds = LpaRounds)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -592,6 +597,32 @@ object SparkEntry {
          |         SELECT e.dst AS v, r2.d + e.w AS d FROM e JOIN r2 ON r2.v = e.src)
          |       GROUP BY v)
          |SELECT v AS vertex_id, d AS dist FROM r3""".stripMargin,
+
+    // Bounded synchronous label propagation, LpaRounds pinned rounds: per round every
+    // vertex adopts its neighbors' most frequent label, argmax tie-break
+    // (count desc, label asc) — mirror of GraphQueries.labelPropagation
+    "g40_label_propagation" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+           |        FROM adj JOIN $prev l ON l.v = adj.dst
+           |        GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT v, label FROM (
+           |       SELECT v, label,
+           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+           |       FROM n$i)
+           |     WHERE rk = 1)""".stripMargin
+      }
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")}
+         |SELECT v AS vertex_id, label AS community FROM l$LpaRounds""".stripMargin
+    },
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);

@@ -411,6 +411,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"posting/statistics joins must broadcast here:\n$p")
   }
 
+  test("LPA round: equi-join + map-side-combined vote counts + pre-shuffle argmax prune") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val p = plan(GraphQueries.plannedLpa(adj, rounds = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the label join must stay an equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"(vertex, label) vote counts must combine map-side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-vertex argmax must prune to rank 1 before the window shuffle:\n$p")
+  }
+
   test("BPE merge rounds read the word-frequency dictionary, never the corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val dict = TextStats.bpeDictionary(docs, "doc_id", "text")

@@ -166,6 +166,22 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(distAfter(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("lpaImpl: neighbor-majority vote with (count desc, label asc) tie-break") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val adj = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def after(rounds: Int): Map[Long, Long] =
+      GraphQueries.plannedLpa(adj, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from self-labels: v1's neighbors {2,3} tie at 1 each -> label asc = 2;
+    // v3 sees {1,2,4} -> 1; v4 sees {3,5,6} -> 3; v5/v6 both adopt 4
+    assert(after(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 2: triangle A agrees on 1; B is still churning (4 sees {1,4,4} -> 4,
+    // 5 sees {3,4} -> 3, 6 sees {3,4} -> 3)
+    assert(after(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("decayedPageRank: recent edges dominate — newest-edge target outranks stale targets") {
     // fixture-level sanity on real data: ranks are positive and the relation covers
     // every vertex of the graph-1 Normal closure (conservation is pinned by the
