@@ -716,14 +716,36 @@ object GraphQueries {
       .unionByName(snap.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // size dispatch (the ssspOf pattern, by |E| instead of rounds): below the
+    // threshold the classic full-relation round is faster — both forms run the
+    // SAME number of rounds (the frontier empties exactly when labels stabilize),
+    // so on a small graph the frontier form's extra per-round joins are pure stage
+    // overhead (measured 2× at sf0.1); above it the classic's per-round full-|E|
+    // join dominates and the delta form's work tracks the shrinking wave instead
+    // of the graph. Results are identical (FrontierCcSpec pins round-for-round
+    // parity); adj is already materialized, so the count is a cached scan.
+    if (adj.count() >= FrontierCcMinEdges) ccFrontierLoop(adj, maxRounds)
+    else ccClassicLoop(adj, maxRounds)
+  }
+
+  /** Edge count at which [[connectedComponents]] switches to the frontier-delta
+    * loop: the frontier form pays ~3 extra small joins per round, worth it only
+    * once a full-relation round moves more data than the whole wave.
+    */
+  private[graft] val FrontierCcMinEdges = 10000000L
+
+  /** labels only decrease over a fixed vertex set, so ANY change strictly lowers
+    * Σcomponent — one scalar aggregate over the CACHED label relation detects
+    * convergence (decimal sum: a 64-bit-id graph's label sum overflows a long).
+    */
+  private def ccLabelSum(df: DataFrame): java.math.BigDecimal =
+    df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+
+  /** Classic full-relation min-label propagation to convergence. */
+  private[graft] def ccClassicLoop(adj: DataFrame, maxRounds: Int): DataFrame = {
     var labels = adj.select(col("src").as("v"), col("src").as("component")).distinct()
       .localCheckpoint(true)
-    // labels only decrease over a fixed vertex set, so ANY change strictly lowers
-    // Σcomponent — one scalar aggregate per round detects convergence, no join
-    // (decimal sum: a 64-bit-id graph's label sum overflows a long)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = ccLabelSum(labels)
     var round = 0
     var converged = false
     while (!converged) {
@@ -736,10 +758,104 @@ object GraphQueries {
         .groupBy(col("v"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val nextSum = ccLabelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
+    }
+    labels.select(col("v").as("vertex_id"), col("component"))
+  }
+
+  /** Frontier-delta min-label propagation to convergence (the g39 SSSP discipline —
+    * min-label IS Bellman–Ford on the label semiring): per round, only the vertices
+    * whose component IMPROVED last round propagate, and the improvements patch in
+    * via an anti-join + union — per-round join input (and its shuffle) is the
+    * changing wave, not the graph. Equality with the classic form is the standard
+    * delta argument (an unimproved vertex already propagated its unchanged
+    * component the round after it last improved).
+    */
+  private[graft] def ccFrontierLoop(adj: DataFrame, maxRounds: Int): DataFrame = {
+    var labels = adj.select(col("src").as("v"), col("src").as("component")).distinct()
+      .localCheckpoint(true)
+    var frontier = labels
+    var prevSum = ccLabelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds, s"connectedComponents did not converge in $maxRounds rounds")
+      // improved stays LAZY (the ssspFrontierImpl discipline: a checkpointed union
+      // child carries origin constraints that reference pre-checkpoint attribute
+      // ids and break Union constraint rewriting); it evaluates once, inside the
+      // checkpoint of the patched label relation
+      val improved = ccImprovedBy(adj, labels, frontier)
+      val next = labels.join(improved.select(col("v")), Seq("v"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(true)
+      // the next frontier is the DIFF of the two materialized label generations —
+      // content-equal to `improved`, but a depth-1 lazy plan over two checkpoints,
+      // so an unbounded convergence loop can't chain lazy frontiers into an
+      // ever-deeper recompute (labels only decrease, so `<` is the full diff)
+      frontier = next.alias("n")
+        .join(labels.select(col("v"), col("component").as("prev")), Seq("v"))
+        .filter(col("component") < col("prev"))
+        .select(col("v"), col("component"))
+      val nextSum = ccLabelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+    }
+    labels.select(col("v").as("vertex_id"), col("component"))
+  }
+
+  /** One frontier round: the frontier's components flow across their out-edges, and
+    * only strict improvements over the current labels survive (every vertex is
+    * labeled from round 0, so the patch join is inner, not left).
+    */
+  private def ccImprovedBy(adj: DataFrame, labels: DataFrame, frontier: DataFrame): DataFrame =
+    adj
+      .join(frontier.select(col("v").as("src"), col("component")), "src")
+      .select(col("dst").as("v"), col("component"))
+      .groupBy(col("v")).agg(min(col("component")).as("component"))
+      .alias("r")
+      .join(labels.select(col("v"), col("component").as("cur")), Seq("v"))
+      .filter(col("r.component") < col("cur"))
+      .select(col("v"), col("r.component").as("component"))
+
+  /** Fixed-round frontier form for parity pins (checkpointed, any round count) and
+    * PlanSpec (identity materializer, SMALL round counts only — without
+    * materialization each round's lazy frontier re-embeds the previous plan several
+    * times, so the tree grows exponentially in `rounds`).
+    */
+  private[graft] def ccFrontierFixed(
+      adj: DataFrame,
+      rounds: Int,
+      mat: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    var labels = mat(adj.select(col("src").as("v"), col("src").as("component")).distinct())
+    var frontier = labels
+    for (_ <- 1 to rounds) {
+      val improved = ccImprovedBy(adj, labels, frontier)
+      val next = mat(labels.join(improved.select(col("v")), Seq("v"), "left_anti")
+        .unionByName(improved))
+      frontier = next.alias("n")
+        .join(labels.select(col("v"), col("component").as("prev")), Seq("v"))
+        .filter(col("component") < col("prev"))
+        .select(col("v"), col("component"))
+      labels = next
+    }
+    labels.select(col("v").as("vertex_id"), col("component"))
+  }
+
+  /** Fixed-round full-relation form (the classic shape), for the parity pin. */
+  private[graft] def ccFullFixed(adj: DataFrame, rounds: Int): DataFrame = {
+    var labels = adj.select(col("src").as("v"), col("src").as("component")).distinct()
+    for (_ <- 1 to rounds) {
+      val viaNeighbor = adj
+        .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("component"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy(col("v"))
+        .agg(min(col("component")).as("component"))
     }
     labels.select(col("v").as("vertex_id"), col("component"))
   }
