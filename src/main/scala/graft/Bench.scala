@@ -15,7 +15,7 @@ object Bench {
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
     "g33_hits", "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
-    "g39_sssp", "g40_label_propagation",
+    "g39_sssp", "g40_lpa_communities",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
     "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",

@@ -453,7 +453,7 @@ object GraphQueries {
     * per-vertex argmax whose WindowGroupLimit prunes to one row per vertex BEFORE
     * the window shuffle; lineage truncates per round with an eager checkpoint.
     */
-  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+  def lpaCommunities(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     val snap = TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal &&
         col("source_id") =!= col("destination_id"))
@@ -465,7 +465,7 @@ object GraphQueries {
     lpaImpl(adj, rounds, _.localCheckpoint(true))
   }
 
-  /** Uncheckpointed [[labelPropagation]] kernel for PlanSpec (the plannedKTruss
+  /** Uncheckpointed [[lpaCommunities]] kernel for PlanSpec (the plannedKTruss
     * pattern).
     */
   private[graft] def plannedLpa(adj: DataFrame, rounds: Int): DataFrame =

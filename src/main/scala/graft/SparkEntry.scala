@@ -84,8 +84,8 @@ object SparkEntry {
       GraphQueries.kTruss(s, dir, k = KTrussK, rounds = KTrussRounds)),
     "g39_sssp"              -> ((s: SparkSession, dir: String) =>
       GraphQueries.boundedSssp(s, dir, rounds = 3)),
-    "g40_label_propagation" -> ((s: SparkSession, dir: String) =>
-      GraphQueries.labelPropagation(s, dir, rounds = LpaRounds)),
+    "g40_lpa_communities"   -> ((s: SparkSession, dir: String) =>
+      GraphQueries.lpaCommunities(s, dir, rounds = LpaRounds)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -600,8 +600,9 @@ object SparkEntry {
 
     // Bounded synchronous label propagation, LpaRounds pinned rounds: per round every
     // vertex adopts its neighbors' most frequent label, argmax tie-break
-    // (count desc, label asc) — mirror of GraphQueries.labelPropagation
-    "g40_label_propagation" -> {
+    // (count desc, label asc) — mirror of GraphQueries.lpaCommunities (g22 is the
+    // different min-label CC kernel; this is community detection by majority vote)
+    "g40_lpa_communities" -> {
       def roundCtes(i: Int): String = {
         val prev = s"l${i - 1}"
         s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
