@@ -267,6 +267,22 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == ((1L, false)), s"id 5 has one lower near-twin (2): $r")
   }
 
+  test("RRF fusion: integer rank algebra, absent list contributes 0, fused order re-windowed") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val sem = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r = pipeline.Retrieval.rrfFuseTopK(lex, sem, k = 3)
+      .collect().map(x => (x.getAs[Long]("neighbor_id"),
+        (x.getAs[Int]("lex_rank"), x.getAs[Int]("sem_rank"),
+          x.getAs[Long]("rrf_score"), x.getAs[Int]("rank")))).toMap
+    // 11 fuses both lists: 1000000/62 + 1000000/61 = 16129 + 16393; 10 is lex-only
+    // (sem contributes 0), 13 sem-only; 12 (lex score 1000000/63 = 15873) is cut at k=3
+    assert(r(11L) == ((2, 1, 32522L, 1)), r.toString)
+    assert(r(10L) == ((1, 0, 16393L, 2)), r.toString)
+    assert(r(13L) == ((0, 2, 16129L, 3)), r.toString)
+    assert(!r.contains(12L), s"k=3 must cut the weakest: $r")
+  }
+
   test("two-hop counts exclude self-returns and direct edges") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L), (3L, 1L)).toDF("src", "dst")

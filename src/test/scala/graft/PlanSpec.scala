@@ -411,6 +411,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"posting/statistics joins must broadcast here:\n$p")
   }
 
+  test("semDedup: pairwise work stays inside cell equi-joins off the assignment checkpoint") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.pipeline.Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the assignment cross-join against the broadcast centroid table happened inside
+    // the eager cells checkpoint; the RESULT plan — the per-pair hot path — must be
+    // pure equi-joins on the cell id over the checkpoint scans, never a pair product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell comparison must equi-join on cid:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"no cell equi-join found:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"pair comparison must read the assignment checkpoint, not recompute cells:\n$p")
+  }
+
   test("LPA round: equi-join + map-side-combined vote counts + pre-shuffle argmax prune") {
     import spark.implicits._
     val adj = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
