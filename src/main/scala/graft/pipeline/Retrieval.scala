@@ -27,16 +27,21 @@ object Retrieval {
     * t21 already pays; the query side collapses to DISTINCT (query, token) and
     * BROADCASTS into the posting join, so the corpus-sized tf relation is scanned
     * once and never shuffled by query. The per-(query, doc) sum is map-side
-    * combinable; the only sort is the per-query top-k window. (At production scale
-    * high-df tokens contribute negligible weight — prune them with a df cap upstream
-    * like Dedup.boilerplate if the posting join skews.)
+    * combinable; the only sort is the per-query top-k window.
+    *
+    * `dfCapFraction` is the production skew guard: drop tokens whose document
+    * frequency exceeds the fraction (stopwords — the tokens that explode the
+    * posting join while contributing near-zero idf weight). Off by default so the
+    * default scores stay oracle-exact; RetrievalSpec pins that a cap of 1.0 is the
+    * identity and that capping only ever REMOVES posting rows.
     */
   def lexicalTopK(
       queries: DataFrame,
       candidates: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int
+      k: Int,
+      dfCapFraction: Option[Double] = None
   ): DataFrame = {
     val tf = TextStats.tokens(candidates, idCol, textCol)
       .groupBy(col(idCol), col("token"))
@@ -53,7 +58,18 @@ object Retrieval {
       // visible to the planner (a checkpoint's LogicalRDD loses it here), which is
       // what lets every doc-clustered consumer skip its exchange
       .persist()
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    val dfreqAll = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    // the cap compares df against the corpus doc count: a broadcast-scalar filter on
+    // the |vocab|-sized relation, evaluated BEFORE the posting join so capped tokens
+    // never reach the corpus-sized side
+    val dfreq = dfCapFraction match {
+      case None => dfreqAll
+      case Some(f) =>
+        dfreqAll.crossJoin(broadcast(
+          tf.agg(countDistinct(col(idCol)).as("cap_n_docs"))))
+          .filter(col("df_count").cast("double") <= lit(f) * col("cap_n_docs").cast("double"))
+          .select(col("token"), col("df_count"))
+    }
     // dl is corpus-cardinality (one row per doc) — computed as a window over the
     // doc-partitioned checkpoint it needs no exchange and, unlike a groupBy+join,
     // can never end up broadcast (a per-doc relation must not be a build side at

@@ -267,6 +267,30 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == ((1L, false)), s"id 5 has one lower near-twin (2): $r")
   }
 
+  test("lexicalTopK df cap: 1.0 is the identity; capping drops stopword contributions only") {
+    import spark.implicits._
+    // "the" appears in every doc (df fraction 1.0); distinctive tokens carry the signal
+    val docs = Seq((0L, "the apple pie"), (1L, "the apple tart"),
+      (2L, "the banana split"), (3L, "the code review")).toDF("doc_id", "text")
+    def scores(cap: Option[Double]): Map[(Long, Long), Long] =
+      pipeline.Retrieval.lexicalTopK(docs, docs, "doc_id", "text", k = 10, cap)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+          r.getAs[Long]("lex_micro")).toMap
+    val exact = scores(None)
+    assert(scores(Some(1.0)) == exact, "cap 1.0 must be the identity")
+    val capped = scores(Some(0.9))
+    // the cap removes the "the" postings, so pairs whose ONLY shared token was the
+    // stopword vanish from the candidate set — the posting-join-size win — and the
+    // surviving pairs (the two "apple" docs) lose exactly the stopword contribution
+    // (dl and corpus totals still count it: the cap prunes postings, it does not
+    // rewrite the corpus statistics)
+    assert(capped.keySet == Set((0L, 1L), (1L, 0L)),
+      s"only the apple pair shares a non-stopword token: $capped")
+    assert(capped.forall { case (k2, v) => v < exact(k2) },
+      s"capped scores must drop the stopword contribution: $capped vs $exact")
+  }
+
   test("RRF fusion: integer rank algebra, absent list contributes 0, fused order re-windowed") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "neighbor_id", "rank")
