@@ -149,6 +149,12 @@ object Retrieval {
   /** The composed hybrid retrieval query: BM25 lexical top-listK × brute-force
     * cosine top-listK over the aligned embedding table, RRF-fused to top-k per
     * query.
+    *
+    * Bench context: the synthetic corpus has a ~31-word vocabulary, so EVERY query
+    * shares tokens with EVERY doc and the posting join densifies to ≈|Q|·|D|·overlap
+    * rows (8.7M at sf0.1 from 5 000 docs) — a worst case real Zipf-vocabulary
+    * corpora don't exhibit at the same size, and exactly what `dfCapFraction`
+    * prunes in production.
     */
   def hybridTopK(
       docs: DataFrame,

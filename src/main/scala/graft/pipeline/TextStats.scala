@@ -523,7 +523,10 @@ object TextStats {
         .head()
       val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((round, l, r, l + r, n))
-      repr = repr.withColumn("repr", expr(s"replace(repr, '|$l||$r|', '|$l$r|')"))
+      // the pair comes from corpus tokens and is spliced into a SQL literal —
+      // escape quotes so an adversarial token can't break (or rewrite) the expr
+      val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
+      repr = repr.withColumn("repr", expr(s"replace(repr, '|$le||$re|', '|$le$re|')"))
     }
     (merges.toSeq, repr)
   }
