@@ -1809,7 +1809,7 @@ object SparkEntry {
          |r0 AS MATERIALIZED (SELECT '||' || array_to_string(
          |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
          |         '||') || '||' AS repr
-         |       FROM toks WHERE length(token) >= 1),
+         |       FROM toks WHERE length(token) >= 1 AND token NOT LIKE '%|%'),
          |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")}
          |SELECT round, left_sym, right_sym, left_sym || right_sym AS merged,
          |       CAST(n AS BIGINT) AS n FROM (
@@ -1844,7 +1844,7 @@ object SparkEntry {
          |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(
          |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
          |         '||') || '||' AS repr, cnt
-         |       FROM wf),
+         |       FROM wf WHERE token NOT LIKE '%|%'),
          |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
          |enc AS (SELECT token,
          |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym

@@ -460,7 +460,7 @@ object TextStats {
     * same per-round plan.
     *
     * Symbol sequences are carried as DOUBLED-separator strings
-    * (`||s1||s2||…||`, '|' verified absent from the corpus): the merge of pair
+    * (`||s1||s2||…||`, '|'-containing tokens excluded by [[bpeDictionary]]): the merge of pair
     * (a, b) is then the single literal `replace(repr, '|a||b|', '|ab|')`, whose
     * left-to-right non-overlapping scan IS greedy BPE merging (each match consumes
     * one separator from each side, so back-to-back occurrences like `aaaa` merge to
@@ -481,16 +481,23 @@ object TextStats {
     */
   /** The word-frequency dictionary in doubled-separator representation — the ONE
     * corpus-sized pass of BPE training (exposed for PlanSpec's pin that every merge
-    * round reads this checkpoint, never the corpus).
+    * round reads this checkpoint, never the corpus). Carries (token, repr, cnt);
+    * consumers that don't need the token just ignore the column.
+    *
+    * Tokens containing the separator character '|' are excluded: their reprs would
+    * parse as phantom symbol runs and silently corrupt the pair statistics. BPE
+    * trainers run over normalized text; the filter makes the contract explicit
+    * instead of trusting the corpus.
     */
   private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1)
+      .filter(length(col("token")) >= 1 && !col("token").contains("|"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit("||"),
-        array_join(
-          expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
-        lit("||")).as("repr"), col("cnt"))
+      .select(col("token"),
+        concat(lit("||"),
+          array_join(
+            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
+          lit("||")).as("repr"), col("cnt"))
       .localCheckpoint(true)
 
   /** One round's frequency-weighted adjacent-pair counts over the dictionary. */
@@ -552,16 +559,7 @@ object TextStats {
     * combinable rollup. No corpus-sized relation is ever re-scanned per round.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
-    val dict = tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1)
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("token"),
-        concat(lit("||"),
-          array_join(
-            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
-          lit("||")).as("repr"), col("cnt"))
-      .localCheckpoint(true)
-    val (_, trained) = bpeTrainRounds(dict, rounds)
+    val (_, trained) = bpeTrainRounds(bpeDictionary(df, idCol, textCol), rounds)
     val symCount = trained.select(col("token"),
       size(filter(split(col("repr"), "\\|\\|"), x => x =!= "")).as("n_sym"))
     tokens(df, idCol, textCol)
