@@ -249,6 +249,23 @@ class PipelineSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 5L, 4L)), s"doc 2: $enc")
   }
 
+  test("BPE excludes separator-containing tokens: training ignores them, encode drops them") {
+    import spark.implicits._
+    // "a|a" would parse as phantom symbol runs in the doubled-separator repr and
+    // inflate the (a, a) pair count; the dictionary filter must keep it out of
+    // training, and encode's vocab join must drop it from the per-doc totals
+    val dirty = Seq((1L, "aa a|a aa")).toDF("doc_id", "text")
+    val clean = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val mDirty = pipeline.TextStats.bpeMergeLoop(dirty, "doc_id", "text", rounds = 1).collect()
+    val mClean = pipeline.TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = 1).collect()
+    assert(mDirty.map(_.toSeq).toSeq == mClean.map(_.toSeq).toSeq,
+      s"pipe token must not reach pair statistics: ${mDirty.toSeq} vs ${mClean.toSeq}")
+    val enc = pipeline.TextStats.bpeEncode(dirty, "doc_id", "text", rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // only the two "aa" occurrences are priced: 2 tokens, 4 chars, 2 post-merge symbols
+    assert(enc(1L) == ((2L, 4L, 2L)), s"encode must drop the excluded token: $enc")
+  }
+
   test("semDedup keeps the min-id representative per near-twin group, within cells only") {
     import spark.implicits._
     // centroidMod=2 -> centroids 0:[1,0], 2:[0,1], 4:[-1,0]; members cluster around
