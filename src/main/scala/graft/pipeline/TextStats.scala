@@ -559,12 +559,26 @@ object TextStats {
     * combinable rollup. No corpus-sized relation is ever re-scanned per round.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
-    val (_, trained) = bpeTrainRounds(bpeDictionary(df, idCol, textCol), rounds)
+    // ONE corpus pass: the (doc, token) tf relation serves both sides — the
+    // word-frequency dictionary is its token-level rollup (train input) and the
+    // per-doc pricing join probes it (encode input). bpeDictionary's standalone
+    // corpus pass would be a second explode+agg over the same text.
+    val tf = tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 1 && !col("token").contains("|"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dict = tf
+      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+      .select(col("token"),
+        concat(lit("||"),
+          array_join(
+            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
+          lit("||")).as("repr"), col("cnt"))
+      .localCheckpoint(true)
+    val (_, trained) = bpeTrainRounds(dict, rounds)
     val symCount = trained.select(col("token"),
       size(filter(split(col("repr"), "\\|\\|"), x => x =!= "")).as("n_sym"))
-    tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1)
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    tf
       .join(symCount, "token")
       .groupBy(col(idCol))
       .agg(
