@@ -489,15 +489,18 @@ object TextStats {
     * trainers run over normalized text; the filter makes the contract explicit
     * instead of trusting the corpus.
     */
+  /** A token's initial doubled-separator symbol representation: `||c1||c2||…||`. */
+  private def symRepr: Column =
+    concat(lit("||"),
+      array_join(
+        expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
+      lit("||"))
+
   private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokens(df, idCol, textCol)
       .filter(length(col("token")) >= 1 && !col("token").contains("|"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("token"),
-        concat(lit("||"),
-          array_join(
-            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
-          lit("||")).as("repr"), col("cnt"))
+      .select(col("token"), symRepr.as("repr"), col("cnt"))
       .localCheckpoint(true)
 
   /** One round's frequency-weighted adjacent-pair counts over the dictionary. */
@@ -569,11 +572,7 @@ object TextStats {
       .localCheckpoint(true)
     val dict = tf
       .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
-      .select(col("token"),
-        concat(lit("||"),
-          array_join(
-            expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
-          lit("||")).as("repr"), col("cnt"))
+      .select(col("token"), symRepr.as("repr"), col("cnt"))
       .localCheckpoint(true)
     val (_, trained) = bpeTrainRounds(dict, rounds)
     val symCount = trained.select(col("token"),
