@@ -519,6 +519,10 @@ object TextStats {
     * greedy replace) over any dictionary carrying `repr` and `cnt`; extra columns
     * (e.g. the token itself, for encoding) ride along untouched. Returns the merge
     * decisions and the dictionary in its post-merge representation.
+    *
+    * Stops early when the pair table runs dry (every token fully merged, or a
+    * single-character corpus): a production trainer asked for more rounds than the
+    * corpus can support ships the merges that exist, not an exception.
     */
   private def bpeTrainRounds(
       dict: DataFrame,
@@ -526,17 +530,23 @@ object TextStats {
   ): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var repr = dict
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (round <- 1 to rounds) {
-      val top = bpePairCounts(repr)
+    var round = 1
+    var dry = false
+    while (round <= rounds && !dry) {
+      bpePairCounts(repr)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
-        .head()
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((round, l, r, l + r, n))
-      // the pair comes from corpus tokens and is spliced into a SQL literal —
-      // escape quotes so an adversarial token can't break (or rewrite) the expr
-      val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
-      repr = repr.withColumn("repr", expr(s"replace(repr, '|$le||$re|', '|$le$re|')"))
+        .collect() match {
+        case Array(top) =>
+          val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((round, l, r, l + r, n))
+          // the pair comes from corpus tokens and is spliced into a SQL literal —
+          // escape quotes so an adversarial token can't break (or rewrite) the expr
+          val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
+          repr = repr.withColumn("repr", expr(s"replace(repr, '|$le||$re|', '|$le$re|')"))
+        case _ => dry = true
+      }
+      round += 1
     }
     (merges.toSeq, repr)
   }

@@ -249,6 +249,23 @@ class PipelineSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 5L, 4L)), s"doc 2: $enc")
   }
 
+  test("BPE training stops early when the pair table runs dry (no exception, partial table)") {
+    import spark.implicits._
+    // single-char tokens have no adjacent pairs: zero merges, not a crash
+    val singles = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(pipeline.TextStats.bpeMergeLoop(singles, "doc_id", "text", rounds = 3).count() == 0L)
+    val encSingles = pipeline.TextStats.bpeEncode(singles, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(encSingles(1L) == ((3L, 3L, 3L)), s"unmerged symbols price at one per char: $encSingles")
+    // "aa aa" supports exactly one merge; asking for 3 rounds ships the 1 that exists
+    val tiny = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val m = pipeline.TextStats.bpeMergeLoop(tiny, "doc_id", "text", rounds = 3).collect()
+    assert(m.map(_.getString(3)).toSeq == Seq("aa"), m.toSeq.toString)
+    val enc = pipeline.TextStats.bpeEncode(tiny, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(enc == Seq((2L, 4L, 2L)), enc.toString)
+  }
+
   test("BPE excludes separator-containing tokens: training ignores them, encode drops them") {
     import spark.implicits._
     // "a|a" would parse as phantom symbol runs in the doubled-separator repr and
