@@ -21,6 +21,19 @@ object GraphQueries {
     Seq(col("graph_id"), col("source_id"), col("destination_id"),
       col("position"), col("updated_at"), col("state"))
 
+  /** g41 — TIME-TRAVEL snapshot: the store as of the middle of the fixture's
+    * `updated_at` span (writes land in [1000000, 1000500)). Half the log is newer than
+    * the cut and must be invisible; edges whose only writes are newer disappear
+    * entirely, edges with older writes roll back to their older LWW winner. One
+    * method ([[EdgeStore.asOf]]) composes with the entire query surface — this entry
+    * verifies the fold-over-prefix algebra end-to-end against the oracle.
+    */
+  def snapshotAsOf(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).asOf(AsOfTs).snapshot.select(snapCols: _*)
+
+  /** Mid-span cut for g41 (fixture updated_at = 1000000 + (event_id·31) % 500). */
+  val AsOfTs: Int = 1000249
+
   /** S7/S9 + §1.3 — the LWW snapshot (grouped max-by, one shuffle). */
   def lwwSnapshot(spark: SparkSession, dir: String): DataFrame =
     TestGraph.store(spark, dir).snapshot.select(snapCols: _*)

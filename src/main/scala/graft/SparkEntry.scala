@@ -86,6 +86,7 @@ object SparkEntry {
       GraphQueries.boundedSssp(s, dir, rounds = 3)),
     "g40_lpa_communities"   -> ((s: SparkSession, dir: String) =>
       GraphQueries.lpaCommunities(s, dir, rounds = LpaRounds)),
+    "g41_snapshot_asof"     -> (GraphQueries.snapshotAsOf _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -624,6 +625,13 @@ object SparkEntry {
          |${(1 to LpaRounds).map(roundCtes).mkString(",\n")}
          |SELECT v AS vertex_id, label AS community FROM l$LpaRounds""".stripMargin
     },
+
+    // TIME-TRAVEL snapshot: the LWW fold over the log prefix updated_at <= AsOfTs —
+    // mirror of GraphQueries.snapshotAsOf / EdgeStore.asOf (the cut constant is shared
+    // so a retune cannot diverge the mirror)
+    "g41_snapshot_asof" ->
+      s"""${TestGraph.snapshotAsOfCte(GraphQueries.AsOfTs)}
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""".stripMargin,
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);

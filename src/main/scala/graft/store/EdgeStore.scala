@@ -35,6 +35,24 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     */
   def snapshot: DataFrame = lwwMerge(log)
 
+  /** Time-travel view: the store as it stood at `ts` — both logs truncated to writes
+    * with `updated_at <= ts`, so EVERY derived relation (snapshot, metadata,
+    * vertexStates, the whole query surface) replays the state the store held at that
+    * instant. Sound because the LWW fold is a pure function of the log prefix; the
+    * reference cannot offer this (MySQL rows are overwritten in place,
+    * `shards/SqlShard.scala:432-524`) — keeping the write LOG as source of truth gets
+    * audit/debug/backfill time travel for free.
+    *
+    * Scale shape: a plain predicate on the log relation, pushed to the parquet scan
+    * (row-group min/max on `updated_at` prune files that contain only newer writes —
+    * PlanSpec pins PushedFilters), then the identical one-shuffle fold. No extra pass,
+    * no snapshot diffing.
+    */
+  def asOf(ts: Int): EdgeStore =
+    new EdgeStore(
+      log.filter(col("updated_at") <= ts),
+      vertexLog.map(_.filter(col("updated_at") <= ts)))
+
   private def vertexLogOrEmpty: DataFrame =
     vertexLog.getOrElse(
       log.sparkSession.createDataFrame(

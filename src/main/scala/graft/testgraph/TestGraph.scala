@@ -87,6 +87,21 @@ object TestGraph {
        |  WHERE rn = 1
        |)""".stripMargin
 
+  /** CTE defining `edges` as the snapshot AS OF `ts`: the identical LWW window over
+    * the log prefix `updated_at <= ts` — mirror of `EdgeStore.asOf(ts).snapshot`.
+    */
+  def snapshotAsOfCte(ts: Int): String =
+    s"""WITH edges_raw AS ($rawSql),
+       |edges AS (
+       |  SELECT graph_id, source_id, destination_id, position, updated_at, state
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY graph_id, source_id, destination_id
+       |      ORDER BY updated_at DESC, $prioritySql DESC, position DESC) AS rn
+       |    FROM edges_raw WHERE updated_at <= $ts)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   /** CTE adding `meta`: per-vertex dominant state + count (EdgeStore.metadata). */
   val metadataCte: String =
     s"""$snapshotCte,

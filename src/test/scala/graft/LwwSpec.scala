@@ -190,6 +190,31 @@ class LwwSpec extends SparkSpec {
     assert(m((alice, darcy)).state == State.Normal)
   }
 
+  test("asOf replays the store at a past instant (edges and registers truncate together)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val st = new graft.store.EdgeStore(
+      storeOf(
+        edge(alice, bob, 1, at = 100),
+        edge(alice, bob, 1, at = 200, state = State.Removed),
+        edge(carl, darcy, 2, at = 300)).log,
+      Some(Seq((FOLLOWS, alice, true, State.Archived, 250))
+        .toDF("graph_id", "vertex_id", "is_forward", "state", "updated_at")))
+    def aliceMetaState(s: graft.store.EdgeStore): Seq[Int] =
+      s.metadata.filter(col("source_id") === alice).select("state").as[Int].collect().toSeq
+    val at150 = st.asOf(150)
+    val m150 = snapshotOf(at150)
+    assert(m150((alice, bob)).state == State.Normal && m150((alice, bob)).updatedAt == 100,
+      "the newer remove must be invisible before its write time")
+    assert(!m150.contains((carl, darcy)), "an edge whose writes are all newer does not exist yet")
+    assert(aliceMetaState(at150) == Seq(State.Normal),
+      "the register written at 250 must not color metadata at 150")
+    val at260 = st.asOf(260)
+    assert(snapshotOf(at260)((alice, bob)).state == State.Removed)
+    assert(aliceMetaState(at260) == Seq(State.Archived), "register visible once inside the horizon")
+    assert(snapshotOf(st.asOf(300)) == snapshotOf(st), "the full-horizon view IS the current store")
+  }
+
   test("g18: fused single-batch application equals the sequential two-batch form") {
     // the equivalence that lets vertexDomination pay ONE write-path fold: disjoint
     // batch timestamps + same-batch register visibility + archival never refreshing

@@ -31,6 +31,22 @@ class StorageSpec extends SparkSpec {
     assert(plan2.contains("PushedFilters") && plan2.contains("source_id"), plan2.take(500))
   }
 
+  test("asOf cut reaches the parquet scan as a pushed filter (old-file pruning)") {
+    val dir = Files.createTempDirectory("graft-asof").toString + "/edges"
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100),
+      edge(alice, bob, 1, at = 300, state = State.Archived))
+    EdgeStorage.save(st.log, dir, buckets = 2)
+    val loaded = EdgeStorage.load(spark, dir)
+    // the time-travel predicate must prune at the scan (row-group min/max on
+    // updated_at), not filter after the fold
+    val p = loaded.asOf(200).snapshot.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(updated_at,200)"),
+      p.take(800))
+    assert(snapshotOf(loaded.asOf(200))((alice, bob)).state == State.Normal,
+      "the archived write at 300 must be invisible at 200")
+  }
+
   test("bucketed table: the LWW snapshot fold runs with NO shuffle") {
     // the 100 TB payoff of saveTable: scan-time HashPartitioning(source_id) already
     // satisfies the fold's clustering (source_id ⊆ grouping key), so the recurring
