@@ -1799,7 +1799,9 @@ object SparkEntry {
     // Bounded BPE merge loop, BpeMergeRounds pinned rounds: per round count adjacent
     // symbol pairs over the doubled-separator representation, pick the (count desc,
     // pair) argmax, merge it greedily via sequential literal replace — mirror of
-    // TextStats.bpeMergeLoop (see its scaladoc for why replace = greedy merge)
+    // TextStats.bpeMergeLoop (see its scaladoc for why replace = greedy merge).
+    // COALESCE keeps a dry round (empty argmax → NULL scalar subqueries → NULL
+    // replace) a repr no-op, mirroring the Scala side's early stop — here and in t25
     "t24_bpe_merges" -> {
       def roundCtes(i: Int): String = {
         val prev = s"r${i - 1}"
@@ -1809,9 +1811,9 @@ object SparkEntry {
            |              FROM s$i WHERE len(syms) >= 2)),
            |c$i AS MATERIALIZED (SELECT l, r, COUNT(*) AS n FROM p$i GROUP BY 1, 2),
            |m$i AS MATERIALIZED (SELECT l, r, n FROM c$i ORDER BY n DESC, l, r LIMIT 1),
-           |r$i AS MATERIALIZED (SELECT replace(repr,
+           |r$i AS MATERIALIZED (SELECT COALESCE(replace(repr,
            |         '|' || (SELECT l FROM m$i) || '||' || (SELECT r FROM m$i) || '|',
-           |         '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|') AS repr FROM $prev)""".stripMargin
+           |         '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|'), repr) AS repr FROM $prev)""".stripMargin
       }
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |r0 AS MATERIALIZED (SELECT '||' || array_to_string(
@@ -1841,9 +1843,9 @@ object SparkEntry {
            |em$i AS MATERIALIZED (SELECT l, r FROM (
            |         SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM ep$i GROUP BY 1, 2)
            |       ORDER BY n DESC, l, r LIMIT 1),
-           |e$i AS MATERIALIZED (SELECT token, replace(repr,
+           |e$i AS MATERIALIZED (SELECT token, COALESCE(replace(repr,
            |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
-           |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|') AS repr, cnt FROM $prev)""".stripMargin
+           |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
       }
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks

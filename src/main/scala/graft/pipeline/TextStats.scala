@@ -496,12 +496,23 @@ object TextStats {
         expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"), "||"),
       lit("||"))
 
-  private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1 && !col("token").contains("|"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+  /** The separator-safety contract, in ONE place: every BPE consumer must apply the
+    * same token filter, or trainer and encoder would see different dictionaries.
+    */
+  private def bpeSafeToken: Column =
+    length(col("token")) >= 1 && !col("token").contains("|")
+
+  /** Finish a (token, cnt) rollup into the checkpointed training dictionary. */
+  private def bpeDictOf(tokenCounts: DataFrame): DataFrame =
+    tokenCounts
       .select(col("token"), symRepr.as("repr"), col("cnt"))
       .localCheckpoint(true)
+
+  private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bpeDictOf(
+      tokens(df, idCol, textCol)
+        .filter(bpeSafeToken)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
 
   /** One round's frequency-weighted adjacent-pair counts over the dictionary. */
   private[graft] def bpePairCounts(repr: DataFrame): DataFrame =
@@ -577,13 +588,10 @@ object TextStats {
     // per-doc pricing join probes it (encode input). bpeDictionary's standalone
     // corpus pass would be a second explode+agg over the same text.
     val tf = tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1 && !col("token").contains("|"))
+      .filter(bpeSafeToken)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dict = tf
-      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
-      .select(col("token"), symRepr.as("repr"), col("cnt"))
-      .localCheckpoint(true)
+    val dict = bpeDictOf(tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt")))
     val (_, trained) = bpeTrainRounds(dict, rounds)
     val symCount = trained.select(col("token"),
       size(filter(split(col("repr"), "\\|\\|"), x => x =!= "")).as("n_sym"))

@@ -47,6 +47,13 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     * (row-group min/max on `updated_at` prune files that contain only newer writes —
     * PlanSpec pins PushedFilters), then the identical one-shuffle fold. No extra pass,
     * no snapshot diffing.
+    *
+    * PRECONDITION: the store must hold the FULL write log. Compaction
+    * ([[EdgeStorage.compact]], `TestGraph.compactedStore`) discards every superseded
+    * write, so a compacted store can only answer `asOf` truthfully for `ts` at or
+    * after its compaction horizon — below it, losers that were live at `ts` are gone
+    * and the replay silently under-reports. Deployments that need deep time travel
+    * keep the raw log (cheap: append-only parquet) alongside the compacted snapshot.
     */
   def asOf(ts: Int): EdgeStore =
     new EdgeStore(

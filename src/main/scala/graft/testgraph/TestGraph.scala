@@ -72,10 +72,12 @@ object TestGraph {
   val prioritySql: String =
     "CASE state WHEN 0 THEN 0 WHEN 3 THEN 1 WHEN 2 THEN 2 ELSE 3 END"
 
-  /** CTE prelude defining `edges_raw` (the log) and `edges` (the LWW snapshot:
-    * per key the max (updated_at, statePriority, position) row — EdgeStore.lwwMerge).
+  /** The one LWW-snapshot window, parameterized by an optional log-prefix cut — the
+    * single source of truth both CTE forms build on, so the ordering can never
+    * diverge between the current and the as-of mirror.
     */
-  val snapshotCte: String =
+  private def snapshotCteOver(logPredicate: Option[String]): String = {
+    val where = logPredicate.map(p => s" WHERE $p").getOrElse("")
     s"""WITH edges_raw AS ($rawSql),
        |edges AS (
        |  SELECT graph_id, source_id, destination_id, position, updated_at, state
@@ -83,24 +85,20 @@ object TestGraph {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY graph_id, source_id, destination_id
        |      ORDER BY updated_at DESC, $prioritySql DESC, position DESC) AS rn
-       |    FROM edges_raw)
+       |    FROM edges_raw$where)
        |  WHERE rn = 1
        |)""".stripMargin
+  }
+
+  /** CTE prelude defining `edges_raw` (the log) and `edges` (the LWW snapshot:
+    * per key the max (updated_at, statePriority, position) row — EdgeStore.lwwMerge).
+    */
+  val snapshotCte: String = snapshotCteOver(None)
 
   /** CTE defining `edges` as the snapshot AS OF `ts`: the identical LWW window over
     * the log prefix `updated_at <= ts` — mirror of `EdgeStore.asOf(ts).snapshot`.
     */
-  def snapshotAsOfCte(ts: Int): String =
-    s"""WITH edges_raw AS ($rawSql),
-       |edges AS (
-       |  SELECT graph_id, source_id, destination_id, position, updated_at, state
-       |  FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY graph_id, source_id, destination_id
-       |      ORDER BY updated_at DESC, $prioritySql DESC, position DESC) AS rn
-       |    FROM edges_raw WHERE updated_at <= $ts)
-       |  WHERE rn = 1
-       |)""".stripMargin
+  def snapshotAsOfCte(ts: Int): String = snapshotCteOver(Some(s"updated_at <= $ts"))
 
   /** CTE adding `meta`: per-vertex dominant state + count (EdgeStore.metadata). */
   val metadataCte: String =

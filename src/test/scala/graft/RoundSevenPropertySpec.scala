@@ -2,8 +2,6 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 
-import org.apache.spark.sql.functions.col
-
 import graft.pipeline.{Retrieval, Similarity, TextStats}
 
 /** Property tests of the round-7 operators, cross-validated against independent
