@@ -439,17 +439,25 @@ object GraphQueries {
         .join(frontier.select(col("v").as("src"), col("d").as("ds")), "src")
         .select(col("dst").as("v"), (col("ds") + col("w")).as("d"))
         .groupBy(col("v")).agg(min(col("d")).as("d"))
-      // improved stays LAZY (the EdgeStore newRows discipline): its inputs are the
-      // already-materialized dist and edges, so recompute is delta-scale joins — and
-      // a checkpointed (LogicalRDD) union child carries origin constraints that
-      // reference pre-checkpoint attribute ids and break Union constraint rewriting
+      // improved stays LAZY (a checkpointed union child carries origin constraints
+      // that reference pre-checkpoint attribute ids and break Union constraint
+      // rewriting); it evaluates once, inside the checkpoint of the patched dist
       val improved = candidates.alias("r")
         .join(dist.select(col("v"), col("d").as("cur")), Seq("v"), "left")
         .filter(col("cur").isNull || col("r.d") < col("cur"))
         .select(col("v"), col("r.d").as("d"))
-      dist = mat(dist.join(improved.select(col("v")), Seq("v"), "left_anti")
+      val prev = dist
+      dist = mat(prev.join(improved.select(col("v")), Seq("v"), "left_anti")
         .unionByName(improved))
-      frontier = improved
+      // the next frontier is the DIFF of the two materialized dist generations
+      // (new vertex, or strictly lower d) — content-equal to `improved`, but a
+      // depth-1 lazy plan over two checkpoints, so high round counts can't chain
+      // lazy frontiers into an ever-deeper recompute (the ccFrontierLoop
+      // discipline; distances only decrease, so `<` plus null IS the full diff)
+      frontier = dist.alias("n")
+        .join(prev.select(col("v"), col("d").as("pd")), Seq("v"), "left")
+        .filter(col("pd").isNull || col("n.d") < col("pd"))
+        .select(col("v"), col("n.d").as("d"))
     }
     dist.select(col("v").as("vertex_id"), col("d").as("dist"))
   }
@@ -752,7 +760,10 @@ object GraphQueries {
     * convergence (decimal sum: a 64-bit-id graph's label sum overflows a long).
     */
   private def ccLabelSum(df: DataFrame): java.math.BigDecimal =
-    df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    // coalesce: an empty label relation (graph with no eligible edges) sums to NULL,
+    // which would NPE the convergence compare — an empty graph is converged at 0
+    df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head.getDecimal(0)
 
   /** Classic full-relation min-label propagation to convergence. */
   private[graft] def ccClassicLoop(adj: DataFrame, maxRounds: Int): DataFrame = {

@@ -36,6 +36,20 @@ object SparkEntry {
   /** g40's pinned label-propagation round count, shared by registration and oracle. */
   private[graft] val LpaRounds = 4
 
+  /** d13's pinned tuning (near-twin cosine threshold, deterministic centroid
+    * sampling mod), shared by registration and oracle.
+    */
+  private[graft] val SemDedupThreshold = 0.4
+  private[graft] val SemDedupCentroidMod = 97
+
+  /** s17's pinned tuning (query sampling mod, per-list depth, fused depth, RRF
+    * rank offset), shared by registration and oracle.
+    */
+  private[graft] val HybridQueryMod = 50
+  private[graft] val HybridListK = 10
+  private[graft] val HybridK = 5
+  private[graft] val RrfK0 = 60
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -197,7 +211,7 @@ object SparkEntry {
         rounds = BpeMergeRounds)),
     "d13_semdedup" -> ((s: SparkSession, dir: String) =>
       Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        threshold = 0.4)),
+        threshold = SemDedupThreshold, centroidMod = SemDedupCentroidMod)),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
@@ -249,7 +263,8 @@ object SparkEntry {
       graft.pipeline.Retrieval.hybridTopK(
         s.read.parquet(s"$dir/documents.parquet"),
         s.read.parquet(s"$dir/embeddings.parquet"),
-        "doc_id", "text", "vec_id", "embedding", queryMod = 50, listK = 10, k = 5)),
+        "doc_id", "text", "vec_id", "embedding",
+        queryMod = HybridQueryMod, listK = HybridListK, k = HybridK, k0 = RrfK0)),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -1470,10 +1485,11 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
-    // Hybrid retrieval: BM25 lexical top-10 (t21's log-free integer-micro weights,
-    // summed per (query, doc)) × brute-force cosine top-10 (s01's kernel), fused by
-    // integer reciprocal-rank fusion 1000000 // (60 + rank), absent list = 0 —
-    // mirror of Retrieval.hybridTopK(queryMod=50, listK=10, k=5)
+    // Hybrid retrieval: BM25 lexical top-listK (t21's log-free integer-micro
+    // weights, summed per (query, doc)) × brute-force cosine top-listK (s01's
+    // kernel), fused by integer reciprocal-rank fusion 1000000 // (k0 + rank),
+    // absent list = 0 — mirror of Retrieval.hybridTopK with the shared Hybrid*/RrfK0
+    // constants interpolated so a retune cannot diverge the mirror
     "s17_hybrid_rrf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1487,40 +1503,41 @@ object SparkEntry {
          |               + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE)
          |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE))) AS BIGINT) AS w
          |      FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
-         |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % 50 = 0),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % $HybridQueryMod = 0),
          |lexs AS (SELECT qt.query_id, w.neighbor_id, CAST(SUM(w.w) AS BIGINT) AS lex_micro
          |         FROM qt JOIN w USING (token) WHERE w.neighbor_id <> qt.query_id GROUP BY 1, 2),
          |lex AS (SELECT query_id, neighbor_id, rank AS lex_rank FROM (
          |          SELECT *, row_number() OVER (PARTITION BY query_id
          |                    ORDER BY lex_micro DESC, neighbor_id) AS rank FROM lexs)
-         |        WHERE rank <= 10),
+         |        WHERE rank <= $HybridListK),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $HybridQueryMod = 0),
          |sems AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
          |         FROM q, e c WHERE c.vec_id <> query_id),
          |sem AS (SELECT query_id, neighbor_id, rank AS sem_rank FROM (
          |          SELECT *, row_number() OVER (PARTITION BY query_id
          |                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sems)
-         |        WHERE rank <= 10),
+         |        WHERE rank <= $HybridListK),
          |fused AS (SELECT query_id, neighbor_id,
          |            CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
          |            CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
-         |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // (60 + lex_rank) END
-         |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // (60 + sem_rank) END
+         |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + lex_rank) END
+         |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + sem_rank) END
          |              AS BIGINT) AS rrf_score
          |          FROM lex FULL JOIN sem USING (query_id, neighbor_id))
          |SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
          |       CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
-         |WHERE rank <= 5""".stripMargin,
+         |WHERE rank <= $HybridK""".stripMargin,
 
-    // SemDeDup: nearest-centroid cells (s04's deterministic 1-in-97 centroid
-    // sample, argmax tie-break (cosine desc, cid)), then a vector is dropped when a
-    // lower-id vector in its cell has cosine >= 0.4 — mirror of Similarity.semDedup
+    // SemDeDup: nearest-centroid cells (s04's deterministic centroid sample, argmax
+    // tie-break (cosine desc, cid)), then a vector is dropped when a lower-id vector
+    // in its cell clears the cosine threshold — mirror of Similarity.semDedup with
+    // the shared SemDedup* constants interpolated
     "d13_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $SemDedupCentroidMod = 0),
          |scored_cells AS (
          |  SELECT e.vec_id, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
          |  FROM e, cents),
@@ -1532,7 +1549,7 @@ object SparkEntry {
          |close AS (
          |  SELECT a.vec_id, COUNT(*) AS n_close_lower
          |  FROM cells a JOIN cells b USING (cid)
-         |  WHERE b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= 0.4
+         |  WHERE b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= $SemDedupThreshold
          |  GROUP BY 1)
          |SELECT c.vec_id, c.cid,
          |       CAST(COALESCE(n_close_lower, 0) AS BIGINT) AS n_close_lower,

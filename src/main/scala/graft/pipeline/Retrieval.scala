@@ -43,6 +43,29 @@ object Retrieval {
       k: Int,
       dfCapFraction: Option[Double] = None
   ): DataFrame = {
+    val (ranked, tf) = lexicalTopKPlan(queries, candidates, idCol, textCol, k, dfCapFraction)
+    // the result is query-bounded (≤ |queries|·k rows): materialize it eagerly, then
+    // release the tf cache — persist() pins the relation in the session CacheManager
+    // with a strong reference (unlike checkpoint blocks, which the ContextCleaner
+    // frees once unreachable), so returning lazily would leak one corpus-sized
+    // cached relation per invocation
+    val out = ranked.localCheckpoint(eager = true)
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy plan form plus the cached tf handle — exposed for PlanSpec's
+    * exchange-count pins (the plannedSssp pattern); a caller that executes it owns
+    * the unpersist.
+    */
+  private[graft] def lexicalTopKPlan(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      dfCapFraction: Option[Double] = None
+  ): (DataFrame, DataFrame) = {
     val tf = TextStats.tokens(candidates, idCol, textCol)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -111,9 +134,9 @@ object Retrieval {
       .agg(sum(col("w")).as("lex_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("lex_micro").desc, col("neighbor_id").asc)
-    scored
+    (scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k), tf)
   }
 
   /** Reciprocal-rank fusion of two per-query ranked lists (columns: query_id,
@@ -165,11 +188,12 @@ object Retrieval {
       vecCol: String,
       queryMod: Int,
       listK: Int,
-      k: Int
+      k: Int,
+      k0: Int = 60
   ): DataFrame = {
     val lex = lexicalTopK(docs.filter(col(idCol) % queryMod === 0), docs, idCol, textCol, listK)
     val sem = Similarity.bruteForceTopK(
       emb.filter(col(embIdCol) % queryMod === 0), emb, embIdCol, vecCol, listK)
-    rrfFuseTopK(lex, sem, k)
+    rrfFuseTopK(lex, sem, k, k0)
   }
 }

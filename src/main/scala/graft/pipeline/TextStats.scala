@@ -450,45 +450,6 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
-  /** Bounded BPE merge LOOP — the actual tokenizer-training primitive over t22's
-    * pair statistic: per round, count adjacent symbol pairs corpus-wide, merge the
-    * most frequent pair (count desc, pair asc — a total order, so the decision is
-    * deterministic) greedily left-to-right in every token, and re-count. Returns the
-    * merge table (round, left_sym, right_sym, merged, n) — the artifact a BPE
-    * tokenizer ships. Rounds are pinned so the oracle replays (the d05/g27
-    * bounded-fixpoint discipline); production training runs more rounds with the
-    * same per-round plan.
-    *
-    * Symbol sequences are carried as DOUBLED-separator strings
-    * (`||s1||s2||…||`, '|'-containing tokens excluded by [[bpeDictionary]]): the merge of pair
-    * (a, b) is then the single literal `replace(repr, '|a||b|', '|ab|')`, whose
-    * left-to-right non-overlapping scan IS greedy BPE merging (each match consumes
-    * one separator from each side, so back-to-back occurrences like `aaaa` merge to
-    * `aa aa`, not `aa a a`) — one codegen'd map pass, no regex, no UDF, identical
-    * semantics in any engine with sequential replace.
-    *
-    * Scale shape: the corpus is read ONCE, collapsed to the word-frequency
-    * dictionary (distinct token, occurrence count) — the structure every
-    * production BPE trainer iterates over, because pair counts over occurrences
-    * equal pair counts over distinct words weighted by frequency. Each round then
-    * explodes adjacent pairs of a dictionary-sized relation (typically orders of
-    * magnitude smaller than the corpus), sums the weights map-side over a key
-    * space bounded by |vocab|², and collects ONE driver-side row (the argmax pair
-    * — the bounded-collect pattern of GraphQueries' loop scalars). The merge is a
-    * lazily-chained map-only replace over the checkpointed dictionary: round r
-    * re-applies r cheap linear-scan replaces instead of materializing a new
-    * dictionary per round.
-    */
-  /** The word-frequency dictionary in doubled-separator representation — the ONE
-    * corpus-sized pass of BPE training (exposed for PlanSpec's pin that every merge
-    * round reads this checkpoint, never the corpus). Carries (token, repr, cnt);
-    * consumers that don't need the token just ignore the column.
-    *
-    * Tokens containing the separator character '|' are excluded: their reprs would
-    * parse as phantom symbol runs and silently corrupt the pair statistics. BPE
-    * trainers run over normalized text; the filter makes the contract explicit
-    * instead of trusting the corpus.
-    */
   /** A token's initial doubled-separator symbol representation: `||c1||c2||…||`. */
   private def symRepr: Column =
     concat(lit("||"),
@@ -508,6 +469,16 @@ object TextStats {
       .select(col("token"), symRepr.as("repr"), col("cnt"))
       .localCheckpoint(true)
 
+  /** The word-frequency dictionary in doubled-separator representation — the ONE
+    * corpus-sized pass of BPE training (exposed for PlanSpec's pin that every merge
+    * round reads this checkpoint, never the corpus). Carries (token, repr, cnt);
+    * consumers that don't need the token just ignore the column.
+    *
+    * Tokens containing the separator character '|' are excluded: their reprs would
+    * parse as phantom symbol runs and silently corrupt the pair statistics. BPE
+    * trainers run over normalized text; the filter makes the contract explicit
+    * instead of trusting the corpus.
+    */
   private[graft] def bpeDictionary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     bpeDictOf(
       tokens(df, idCol, textCol)
@@ -551,10 +522,12 @@ object TextStats {
         case Array(top) =>
           val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((round, l, r, l + r, n))
-          // the pair comes from corpus tokens and is spliced into a SQL literal —
-          // escape quotes so an adversarial token can't break (or rewrite) the expr
-          val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
-          repr = repr.withColumn("repr", expr(s"replace(repr, '|$le||$re|', '|$le$re|')"))
+          // the pair comes from corpus tokens: pass it as literal COLUMNS, never
+          // spliced into SQL text — quote-escaping alone left backslashes open
+          // (Spark string literals treat \ as an escape, so a backslash symbol
+          // rewrote the pattern and merged the wrong pair)
+          repr = repr.withColumn("repr",
+            replace(col("repr"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
         case _ => dry = true
       }
       round += 1
@@ -562,6 +535,35 @@ object TextStats {
     (merges.toSeq, repr)
   }
 
+  /** Bounded BPE merge LOOP — the actual tokenizer-training primitive over t22's
+    * pair statistic: per round, count adjacent symbol pairs corpus-wide, merge the
+    * most frequent pair (count desc, pair asc — a total order, so the decision is
+    * deterministic) greedily left-to-right in every token, and re-count. Returns the
+    * merge table (round, left_sym, right_sym, merged, n) — the artifact a BPE
+    * tokenizer ships. Rounds are pinned so the oracle replays (the d05/g27
+    * bounded-fixpoint discipline); production training runs more rounds with the
+    * same per-round plan.
+    *
+    * Symbol sequences are carried as DOUBLED-separator strings (`||s1||s2||…||`,
+    * '|'-containing tokens excluded by [[bpeDictionary]]): the merge of pair (a, b)
+    * is then the single literal-column `replace(repr, '|a||b|', '|ab|')`, whose
+    * left-to-right non-overlapping scan IS greedy BPE merging (each match consumes
+    * one separator from each side, so back-to-back occurrences like `aaaa` merge to
+    * `aa aa`, not `aa a a`) — one codegen'd map pass, no regex, no UDF, identical
+    * semantics in any engine with sequential replace.
+    *
+    * Scale shape: the corpus is read ONCE, collapsed to the word-frequency
+    * dictionary (distinct token, occurrence count) — the structure every
+    * production BPE trainer iterates over, because pair counts over occurrences
+    * equal pair counts over distinct words weighted by frequency. Each round then
+    * explodes adjacent pairs of a dictionary-sized relation (typically orders of
+    * magnitude smaller than the corpus), sums the weights map-side over a key
+    * space bounded by |vocab|², and collects ONE driver-side row (the argmax pair
+    * — the bounded-collect pattern of GraphQueries' loop scalars). The merge is a
+    * lazily-chained map-only replace over the checkpointed dictionary: round r
+    * re-applies r cheap linear-scan replaces instead of materializing a new
+    * dictionary per round.
+    */
   def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -60,6 +60,15 @@ class FrontierCcSpec extends SparkSpec {
     assert(classic.nonEmpty && frontier == classic)
   }
 
+  test("empty graph: both convergence loops return empty, converged at round one") {
+    import spark.implicits._
+    // sum over an empty label relation is NULL; the convergence scalar must read it
+    // as 0 (converged) instead of NPE-ing the compare
+    val adj = Seq.empty[(Long, Long)].toDF("src", "dst").localCheckpoint(true)
+    assert(GraphQueries.ccClassicLoop(adj, 5).count() == 0L)
+    assert(GraphQueries.ccFrontierLoop(adj, 5).count() == 0L)
+  }
+
   test("per-round plan: delta patch via anti-join; the full form never anti-joins") {
     val adj = adjFixture
     val p = GraphQueries.ccFrontierFixed(adj, 2, identity)

@@ -249,6 +249,20 @@ class PipelineSpec extends SparkSpec {
     assert(enc(2L) == ((2L, 5L, 4L)), s"doc 2: $enc")
   }
 
+  test("BPE merges symbols containing backslashes and quotes verbatim (no splice rewrite)") {
+    import spark.implicits._
+    // a backslash symbol spliced into SQL text would parse as an escape and merge the
+    // wrong pair; as literal columns the pattern is data
+    val docs = Seq((1L, "a\\ a\\ x'y")).toDF("doc_id", "text")
+    val m = pipeline.TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(("a", "\\", "a\\", 2L)), m.toSeq.toString)
+    val enc = pipeline.TextStats.bpeEncode(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // tokens: a\ a\ x'y -> 3 tokens, 7 chars; post-merge: [a\][a\][x,',y] = 5 symbols
+    assert(enc == Seq((3L, 7L, 5L)), enc.toString)
+  }
+
   test("BPE training stops early when the pair table runs dry (no exception, partial table)") {
     import spark.implicits._
     // single-char tokens have no adjacent pairs: zero merges, not a crash

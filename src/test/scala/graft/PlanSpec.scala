@@ -392,10 +392,13 @@ class PlanSpec extends SparkSpec {
 
   test("hybrid lexical side: postings aggregate exchange-free, per-doc stats never broadcast") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val df = graft.pipeline.Retrieval.lexicalTopK(
+    // the lazy plan form: the public lexicalTopK materializes eagerly and releases
+    // the tf cache, so its returned plan is just the checkpoint scan
+    val (df, tf) = graft.pipeline.Retrieval.lexicalTopKPlan(
       docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text", k = 10)
     df.collect() // AQE: shape decisions (broadcasts) land in the final plan only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    tf.unpersist(blocking = false)
     // the doc-partitioned tf cache makes dl's window, the (query, doc) partial agg,
     // and the final agg all satisfy their clustering by the subset rule: the ONLY
     // requirement-driven shuffles in the main dataflow are the corpus (doc, token)

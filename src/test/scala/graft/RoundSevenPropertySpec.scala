@@ -57,11 +57,13 @@ class RoundSevenPropertySpec extends SparkSpec {
     (merges.result(), reprs.map { case (t, syms) => t -> syms.length.toLong })
   }
 
-  // words over {a, b} long enough that 3 merge rounds never exhaust the pair table;
-  // the fixed tail doc guarantees a pair survives to round 3 even if every random
-  // word collapses (8 chars need 3 full merges to reach one symbol)
+  // words over {a, b, \, '} long enough that 3 merge rounds never exhaust the pair
+  // table; backslash and quote are in the alphabet because merge pairs must be
+  // treated as data (a SQL-splice would reparse them); the fixed tail doc guarantees
+  // a pair survives to round 3 even if every random word collapses (8 chars need 3
+  // full merges to reach one symbol)
   private val genWord: Gen[String] =
-    Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "\\", "'")).map(_.mkString))
 
   private val genCorpus: Gen[List[(Long, String)]] =
     Gen.choose(2, 8).flatMap { n =>
