@@ -20,12 +20,12 @@ object Bench {
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
     "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
-    "s16_ivf_pq", "s17_hybrid_rrf",
+    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
-    // ev8_asof_join, o01_zorder, s01_ann_bruteforce — all historically <1s and family-covered by the
-    // remaining entries
-    "t06_corpus_stats", "t14_sequence_pack",
+    // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats — all
+    // historically <1s and family-covered by the remaining entries
+    "t14_sequence_pack",
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
     "t24_bpe_merges", "t25_bpe_encode",
     "ev2_sessionize", "ev11_rolling_actives",

@@ -50,6 +50,12 @@ object SparkEntry {
   private[graft] val HybridK = 5
   private[graft] val RrfK0 = 60
 
+  /** s18's document-frequency cap: tokens in more than this fraction of docs are
+    * stopwords for scoring purposes and never reach the posting join (the
+    * production skew guard, priced against s17's uncapped run in the bench).
+    */
+  private[graft] val HybridDfCap = 0.5
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -265,6 +271,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"),
         "doc_id", "text", "vec_id", "embedding",
         queryMod = HybridQueryMod, listK = HybridListK, k = HybridK, k0 = RrfK0)),
+    "s18_hybrid_rrf_capped" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.hybridTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryMod = HybridQueryMod, listK = HybridListK, k = HybridK, k0 = RrfK0,
+        dfCapFraction = Some(HybridDfCap))),
     "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
       Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
@@ -352,6 +365,61 @@ object SparkEntry {
   /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+
+  /** The hybrid-retrieval (s17/s18) mirror, parameterized by the optional
+    * document-frequency cap — ONE builder for both entries so the capped and
+    * uncapped mirrors can never drift apart. With a cap, tokens whose df exceeds
+    * `f · n_docs` are filtered from the |vocab|-sized relation BEFORE the posting
+    * join (mirror of Retrieval.lexicalTopK's dfCapFraction: same ::DOUBLE
+    * comparison, so the boundary decision is engine-identical).
+    */
+  private def hybridRrfSql(dfCap: Option[Double]): String = {
+    val dfcCte = dfCap.map(f =>
+      s"""dfc AS (SELECT token, df_count FROM dfq
+         |        CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS cap_nd FROM tf)
+         |        WHERE df_count::DOUBLE <= $f * cap_nd::DOUBLE),
+         |""".stripMargin).getOrElse("")
+    val dfSrc = if (dfCap.isDefined) "dfc" else "dfq"
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
+       |${dfcCte}dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |w AS (SELECT tf.doc_id AS neighbor_id, tf.token,
+       |        CAST(round(1000000 * (
+       |          ((2200000 * tf)::DOUBLE
+       |            / (1000000 * tf + 300000
+       |               + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE)
+       |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE))) AS BIGINT) AS w
+       |      FROM tf JOIN $dfSrc USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % $HybridQueryMod = 0),
+       |lexs AS (SELECT qt.query_id, w.neighbor_id, CAST(SUM(w.w) AS BIGINT) AS lex_micro
+       |         FROM qt JOIN w USING (token) WHERE w.neighbor_id <> qt.query_id GROUP BY 1, 2),
+       |lex AS (SELECT query_id, neighbor_id, rank AS lex_rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY lex_micro DESC, neighbor_id) AS rank FROM lexs)
+       |        WHERE rank <= $HybridListK),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $HybridQueryMod = 0),
+       |sems AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+       |         FROM q, e c WHERE c.vec_id <> query_id),
+       |sem AS (SELECT query_id, neighbor_id, rank AS sem_rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sems)
+       |        WHERE rank <= $HybridListK),
+       |fused AS (SELECT query_id, neighbor_id,
+       |            CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
+       |            CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
+       |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + lex_rank) END
+       |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + sem_rank) END
+       |              AS BIGINT) AS rrf_score
+       |          FROM lex FULL JOIN sem USING (query_id, neighbor_id))
+       |SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
+       |       CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
+       |WHERE rank <= $HybridK""".stripMargin
+  }
 
   /** ±1 hyperplane weights as a DuckDB array literal — mirror of Similarity.planeWeight. */
   private def lshPlaneSql(j: Int, dims: Int): String =
@@ -1489,47 +1557,11 @@ object SparkEntry {
     // weights, summed per (query, doc)) × brute-force cosine top-listK (s01's
     // kernel), fused by integer reciprocal-rank fusion 1000000 // (k0 + rank),
     // absent list = 0 — mirror of Retrieval.hybridTopK with the shared Hybrid*/RrfK0
-    // constants interpolated so a retune cannot diverge the mirror
-    "s17_hybrid_rrf" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-         |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-         |w AS (SELECT tf.doc_id AS neighbor_id, tf.token,
-         |        CAST(round(1000000 * (
-         |          ((2200000 * tf)::DOUBLE
-         |            / (1000000 * tf + 300000
-         |               + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE)
-         |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE))) AS BIGINT) AS w
-         |      FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
-         |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % $HybridQueryMod = 0),
-         |lexs AS (SELECT qt.query_id, w.neighbor_id, CAST(SUM(w.w) AS BIGINT) AS lex_micro
-         |         FROM qt JOIN w USING (token) WHERE w.neighbor_id <> qt.query_id GROUP BY 1, 2),
-         |lex AS (SELECT query_id, neighbor_id, rank AS lex_rank FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY lex_micro DESC, neighbor_id) AS rank FROM lexs)
-         |        WHERE rank <= $HybridListK),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $HybridQueryMod = 0),
-         |sems AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
-         |         FROM q, e c WHERE c.vec_id <> query_id),
-         |sem AS (SELECT query_id, neighbor_id, rank AS sem_rank FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sems)
-         |        WHERE rank <= $HybridListK),
-         |fused AS (SELECT query_id, neighbor_id,
-         |            CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
-         |            CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
-         |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + lex_rank) END
-         |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + sem_rank) END
-         |              AS BIGINT) AS rrf_score
-         |          FROM lex FULL JOIN sem USING (query_id, neighbor_id))
-         |SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
-         |       CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
-         |WHERE rank <= $HybridK""".stripMargin,
+    // constants interpolated so a retune cannot diverge the mirror. s17 = uncapped
+    // (the dense-vocab worst case); s18 = the same query with the df cap engaged,
+    // both from ONE builder so the mirrors cannot drift apart
+    "s17_hybrid_rrf" -> hybridRrfSql(dfCap = None),
+    "s18_hybrid_rrf_capped" -> hybridRrfSql(dfCap = Some(HybridDfCap)),
 
     // SemDeDup: nearest-centroid cells (s04's deterministic centroid sample, argmax
     // tie-break (cosine desc, cid)), then a vector is dropped when a lower-id vector

@@ -177,7 +177,9 @@ object Retrieval {
     * shares tokens with EVERY doc and the posting join densifies to ≈|Q|·|D|·overlap
     * rows (8.7M at sf0.1 from 5 000 docs) — a worst case real Zipf-vocabulary
     * corpora don't exhibit at the same size, and exactly what `dfCapFraction`
-    * prunes in production.
+    * prunes in production. The s17 registration runs uncapped (the worst case,
+    * oracle-exact); s18 runs the same query with the cap engaged, so the bench
+    * prices the guard's effect directly — both against exact mirrors.
     */
   def hybridTopK(
       docs: DataFrame,
@@ -189,9 +191,11 @@ object Retrieval {
       queryMod: Int,
       listK: Int,
       k: Int,
-      k0: Int = 60
+      k0: Int = 60,
+      dfCapFraction: Option[Double] = None
   ): DataFrame = {
-    val lex = lexicalTopK(docs.filter(col(idCol) % queryMod === 0), docs, idCol, textCol, listK)
+    val lex = lexicalTopK(docs.filter(col(idCol) % queryMod === 0), docs, idCol, textCol, listK,
+      dfCapFraction)
     val sem = Similarity.bruteForceTopK(
       emb.filter(col(embIdCol) % queryMod === 0), emb, embIdCol, vecCol, listK)
     rrfFuseTopK(lex, sem, k, k0)
