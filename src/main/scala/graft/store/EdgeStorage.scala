@@ -36,9 +36,15 @@ object EdgeStorage {
 
   /** Reload. Filters on graph_id prune directories; filters on source_id prune row
     * groups via parquet min/max stats (verify with `.explain`: PushedFilters).
+    * A horizon sidecar written by [[compact]] (underscore-prefixed, so the parquet
+    * reader ignores it) marks the store compacted: `asOf` below it throws instead of
+    * replaying a state that never existed.
     */
-  def load(spark: SparkSession, path: String): EdgeStore =
-    EdgeStore(spark.read.parquet(path))
+  def load(spark: SparkSession, path: String): EdgeStore = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new EdgeStore(spark.read.parquet(path), None, readHorizon(fs, dir))
+  }
 
   /** Bucketed-table variant of [[save]]: `bucketBy(source_id)` + in-bucket sort,
     * registered in the catalog. Where [[save]] gives row-group pruning, a bucketed
@@ -74,14 +80,63 @@ object EdgeStorage {
     * |edges| instead of |writes| at scale. Writes to a scratch path first, then swaps,
     * so a crash mid-compaction never leaves the store truncated (the scratch dir is
     * simply re-written next run).
+    *
+    * The COMPACTION HORIZON — the newest `updated_at` among edge keys whose
+    * superseded writes this fold discards, combined (max) with any horizon a prior
+    * compaction persisted — is written into the scratch dir BEFORE the swap, so it
+    * rides the rename atomically: a reloaded store can never look compacted without
+    * its horizon. [[EdgeStore.asOf]] rejects cuts below it (single-write keys lose
+    * nothing to compaction, so a log with no collisions stays fully travelable).
     */
   def compact(spark: SparkSession, path: String, buckets: Int = 32): Unit = {
     val scratch = path + "_compacting"
-    val snapshot = load(spark, path).snapshot
-    save(snapshot, scratch, buckets)
+    val st = load(spark, path)
+    val horizon = (st.compactionHorizon.toSeq ++ horizonOf(st.log).toSeq).reduceOption(_ max _)
+    save(st.snapshot, scratch, buckets)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    horizon.foreach(writeHorizon(fs, scratchPath, _))
     fs.delete(hadoopPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(scratch), hadoopPath)
+    fs.rename(scratchPath, hadoopPath)
+  }
+
+  /** The oldest-truthful-cut bound this log's compaction imposes: max `updated_at`
+    * over edge keys holding more than one write (the winner's timestamp — any cut
+    * below it falls between a discarded loser and its winner for SOME key, and keys
+    * with a single write are unaffected by compaction). `None` when no key has
+    * collisions: the fold discards nothing. One map-side-combinable hash aggregation
+    * over the log (count + max per key), same shuffle key as the fold itself.
+    */
+  private[store] def horizonOf(log: DataFrame): Option[Int] = {
+    val row = log
+      .groupBy(col("graph_id"), col("source_id"), col("destination_id"))
+      .agg(count(lit(1)).as("writes"), max(col("updated_at")).as("max_ua"))
+      .filter(col("writes") > 1L)
+      .agg(max(col("max_ua")).as("h"))
+      .collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getInt(0))
+  }
+
+  private val HorizonFile = "_graft_horizon.json"
+
+  private def writeHorizon(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path, h: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, HorizonFile), true)
+    try out.write(s"""{"compaction_horizon":$h}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readHorizon(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, HorizonFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"compaction_horizon\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    }
   }
 }

@@ -25,7 +25,18 @@ import graft.model._
   * per-vertex (orders of magnitude smaller than edges), so the write-path domination joins
   * against it broadcast under AQE.
   */
-final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = None) {
+final class EdgeStore(
+    val log: DataFrame,
+    val vertexLog: Option[DataFrame] = None,
+    /** Oldest instant this store can truthfully time-travel to. `None` = full write
+      * log (every cut answerable). Compaction ([[EdgeStorage.compact]],
+      * `TestGraph.compactedStore`) discards superseded writes, so the compacted
+      * relation can only replay cuts at or after the newest write that superseded a
+      * discarded one — [[asOf]] REJECTS older cuts instead of silently returning a
+      * state that never existed.
+      */
+    val compactionHorizon: Option[Int] = None
+) {
   import EdgeStore._
 
   /** Current edge snapshot: per (graphId, sourceId, destinationId) the row with max
@@ -48,17 +59,32 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     * PlanSpec pins PushedFilters), then the identical one-shuffle fold. No extra pass,
     * no snapshot diffing.
     *
-    * PRECONDITION: the store must hold the FULL write log. Compaction
-    * ([[EdgeStorage.compact]], `TestGraph.compactedStore`) discards every superseded
-    * write, so a compacted store can only answer `asOf` truthfully for `ts` at or
-    * after its compaction horizon — below it, losers that were live at `ts` are gone
-    * and the replay silently under-reports. Deployments that need deep time travel
-    * keep the raw log (cheap: append-only parquet) alongside the compacted snapshot.
+    * PRECONDITION (ENFORCED): the store must hold the write log back to `ts`.
+    * Compaction ([[EdgeStorage.compact]], `TestGraph.compactedStore`) discards every
+    * superseded write, so a compacted store can only answer `asOf` truthfully for
+    * `ts` at or after its [[compactionHorizon]] — below it, losers that were live at
+    * `ts` are gone and the replay would silently under-report. Such cuts THROW
+    * (IllegalArgumentException) instead: this was the one place in the engine where
+    * a correct-looking call could yield a wrong answer. Deployments that need deep
+    * time travel keep the raw log (cheap: append-only parquet) alongside the
+    * compacted snapshot.
     */
-  def asOf(ts: Int): EdgeStore =
+  def asOf(ts: Int): EdgeStore = {
+    requireAboveHorizon(ts, "asOf")
     new EdgeStore(
       log.filter(col("updated_at") <= ts),
-      vertexLog.map(_.filter(col("updated_at") <= ts)))
+      vertexLog.map(_.filter(col("updated_at") <= ts)),
+      compactionHorizon)
+  }
+
+  private def requireAboveHorizon(ts: Int, op: String): Unit =
+    compactionHorizon.foreach { h =>
+      require(ts >= h,
+        s"$op($ts) is below this store's compaction horizon $h: compaction discarded " +
+          "superseded writes older than the horizon, so replaying this cut would return " +
+          "a state that never existed. Time-travel below the horizon needs the raw " +
+          "(uncompacted) write log.")
+    }
 
   private def vertexLogOrEmpty: DataFrame =
     vertexLog.getOrElse(
@@ -152,7 +178,8 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
   def whereGraph(graphId: Int): EdgeStore =
     new EdgeStore(
       log.filter(col("graph_id") === graphId),
-      vertexLog.map(_.filter(col("graph_id") === graphId)))
+      vertexLog.map(_.filter(col("graph_id") === graphId)),
+      compactionHorizon)
 
   /** Vertex-pruned view for point metadata reads: restrict BOTH logs to one
     * (graph, source vertex) before any fold. [[whereGraph]]'s rationale applies
@@ -169,7 +196,8 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
   def whereVertex(graphId: Int, sourceId: Long): EdgeStore =
     new EdgeStore(
       log.filter(col("graph_id") === graphId && col("source_id") === sourceId),
-      vertexLog.map(_.filter(col("graph_id") === graphId && col("vertex_id") === sourceId)))
+      vertexLog.map(_.filter(col("graph_id") === graphId && col("vertex_id") === sourceId)),
+      compactionHorizon)
 
   /** Adjacency relation for one query term, direction-normalized: the result column
     * `neighbor_id` is destination for forward terms, source for backward terms
@@ -316,9 +344,14 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
       if (incremental)
         new EdgeStore(
           log.select(edgeCols: _*).unionByName(newRows),
-          Some(mergedVertexLog))
+          Some(mergedVertexLog),
+          compactionHorizon)
       else
-        new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog))
+        // the compacting fallback discards this batch's superseded rows too, but the
+        // pre-existing horizon still bounds the oldest truthful cut (batch timestamps
+        // at or above it only tighten what a FUTURE compaction may raise it to)
+        new EdgeStore(snap.select(edgeCols: _*).unionByName(newRows), Some(mergedVertexLog),
+          compactionHorizon)
     val touched = newRows.select(col("graph_id"), col("source_id"))
       .unionByName(newRegisters.select(col("graph_id"), col("vertex_id").as("source_id")))
       .distinct()
@@ -481,7 +514,8 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
     new EdgeStore(
       log,
       Some(vertexLogOrEmpty.unionByName(
-        registers.select(vertexLogSchema.fieldNames.map(col): _*)))
+        registers.select(vertexLogSchema.fieldNames.map(col): _*))),
+      compactionHorizon
     )
 
   /** Reciprocal edges: every edge (s, d) in the given states whose reverse (d, s) also
@@ -533,7 +567,13 @@ final class EdgeStore(val log: DataFrame, val vertexLog: Option[DataFrame] = Non
       case (None, None) => None
       case _            => Some(vertexLogOrEmpty.unionByName(other.vertexLogOrEmpty))
     }
-    new EdgeStore(log.select(edgeCols: _*).unionByName(other.log.select(edgeCols: _*)), mergedVertex)
+    // the union still lacks whatever either side's compaction discarded: the merged
+    // store's oldest truthful cut is the NEWEST of the two horizons
+    val mergedHorizon =
+      (compactionHorizon.toSeq ++ other.compactionHorizon.toSeq).reduceOption(_ max _)
+    new EdgeStore(
+      log.select(edgeCols: _*).unionByName(other.log.select(edgeCols: _*)),
+      mergedVertex, mergedHorizon)
   }
 }
 

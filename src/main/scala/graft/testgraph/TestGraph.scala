@@ -49,7 +49,19 @@ object TestGraph {
     * mirrors a real deployment, where the stored table IS the compacted snapshot.
     */
   def compactedStore(spark: SparkSession, sfDir: String): EdgeStore =
-    EdgeStore(store(spark, sfDir).snapshot.localCheckpoint(eager = true))
+    new EdgeStore(
+      store(spark, sfDir).snapshot.localCheckpoint(eager = true),
+      None,
+      // compacted ⇒ tagged: asOf below the horizon must throw, not under-report.
+      // Conservative static bound (no extra pass per call): the fixture's updated_at
+      // domain is [1000000, 1000500), so every discarded loser sits below this.
+      Some(CompactionHorizon))
+
+  /** Upper bound of [[edgeLog]]'s `updated_at` domain — sound compaction horizon for
+    * [[compactedStore]] (any tighter bound would cost a per-call pass over the log;
+    * `EdgeStorage.compact` computes the exact one for persisted stores).
+    */
+  val CompactionHorizon: Int = 1000500
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle fragments (dialect: DuckDB 1.0). Keep in lockstep with above.

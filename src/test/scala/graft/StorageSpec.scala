@@ -112,6 +112,50 @@ class StorageSpec extends SparkSpec {
     assert(e.updatedAt == 105 && e.state == State.Normal, "LWW winner survives compaction")
   }
 
+  test("asOf below the compaction horizon throws; at/above it replays truthfully") {
+    val dir = Files.createTempDirectory("graft-horizon").toString + "/edges"
+    // two keys: (alice,bob) holds three conflicting writes (compaction discards two
+    // losers; winner at 300 = the horizon), (bob,carl) a single write at 50
+    EdgeStorage.save(storeOf(edge(alice, bob, 1, at = 100)).log, dir)
+    EdgeStorage.appendUnsafe(
+      storeOf(
+        edge(alice, bob, 2, at = 200, state = State.Archived),
+        edge(alice, bob, 3, at = 300, state = State.Normal),
+        edge(bob, carl, 4, at = 50)).log,
+      dir)
+
+    // pre-compaction: the full log answers any cut — asOf(200) sees the loser
+    val full = EdgeStorage.load(spark, dir)
+    assert(full.compactionHorizon.isEmpty)
+    assert(snapshotOf(full.asOf(200))((alice, bob)).state == State.Archived)
+
+    EdgeStorage.compact(spark, dir)
+    val st = EdgeStorage.load(spark, dir)
+    assert(st.compactionHorizon.contains(300),
+      "horizon = newest write among keys whose losers were discarded")
+    val err = intercept[IllegalArgumentException] { st.asOf(200) }
+    assert(err.getMessage.contains("compaction horizon"), err.getMessage)
+    // at/above the horizon every surviving write is the truth
+    assert(snapshotOf(st.asOf(300)).keySet == Set((alice, bob), (bob, carl)))
+    // derived stores keep the tag: pruned views and repair merges must stay loud
+    assert(st.whereGraph(1).compactionHorizon.contains(300))
+    assert(st.repairWith(full).compactionHorizon.contains(300))
+    intercept[IllegalArgumentException] { st.whereGraph(1).asOf(200) }
+
+    // a second compaction (no new collisions) keeps the persisted horizon
+    EdgeStorage.compact(spark, dir)
+    assert(EdgeStorage.load(spark, dir).compactionHorizon.contains(300))
+  }
+
+  test("collision-free log compacts with NO horizon (stays fully travelable)") {
+    val dir = Files.createTempDirectory("graft-horizon2").toString + "/edges"
+    EdgeStorage.save(storeOf(edge(alice, bob, 1, at = 100), edge(bob, carl, 2, at = 200)).log, dir)
+    EdgeStorage.compact(spark, dir)
+    val st = EdgeStorage.load(spark, dir)
+    assert(st.compactionHorizon.isEmpty, "nothing was discarded — every cut answerable")
+    assert(snapshotOf(st.asOf(100)).keySet == Set((alice, bob)))
+  }
+
   test("appendUnsafe: duplicates resolve at the next LWW snapshot") {
     val dir = Files.createTempDirectory("graft-storage2").toString + "/edges"
     val st = storeOf(edge(alice, bob, 1, at = 100, state = State.Normal))
