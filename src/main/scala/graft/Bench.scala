@@ -53,11 +53,16 @@ object Bench {
 
   /** The emitted contract line (see BenchContractSpec): headline per-query seconds
     * plus all failures, total over every query run, and the host-load calibration
-    * constant.
+    * constants. `cal` is sampled before the query loop and `cal_end` after it — two
+    * consecutive driver rounds were contention-garbage, and a start-only sample
+    * understates load that arrives MID-run (r7: cal 1.219 caught the start, but the
+    * 8-10x phantom spikes came later). A cross-run comparison rejects any run where
+    * EITHER exceeds ~1.0.
     */
   private[graft] def renderLine(
       total: Double,
       cal: Double,
+      calEnd: Double,
       n: Int,
       secByName: Map[String, Double],
       failed: Seq[String],
@@ -66,7 +71,7 @@ object Bench {
     val mapped = (headline.filter(secByName.contains) ++ failed).distinct
     val qs = mapped.map(k => "\"" + k + "\":" + f(secByName(k))).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","cal":${f(cal)},"n":$n,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","cal":${f(cal)},"cal_end":${f(calEnd)},"n":$n,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,7 +124,10 @@ object Bench {
     // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as a
     // failure, not as a speedup
     val total = results.collect { case (_, v, true) => v }.sum
-    val line = renderLine(total, cal, results.size, secByName, failed, sfDir)
+    // second calibration sample AFTER the last query: brackets the run, so mid-run
+    // load arrival (which a start-only sample misses) shows up in at least one
+    val calEnd = calibrate(spark)
+    val line = renderLine(total, cal, calEnd, results.size, secByName, failed, sfDir)
     // stop Spark BEFORE emitting: shutdown logging must not land after the JSON
     // line, which has to sit at the very end of the captured output tail
     spark.stop()

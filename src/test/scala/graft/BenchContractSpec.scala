@@ -19,7 +19,7 @@ class BenchContractSpec extends AnyFunSuite {
     // (4 integer digits + 3 decimals); failures list empty — a failure replaces a
     // success entry at comparable width and failures are a bug anyway
     val line = Bench.renderLine(
-      total = 99999.999, cal = 9999.999, n = SparkEntry.queries.size,
+      total = 99999.999, cal = 9999.999, calEnd = 9999.999, n = SparkEntry.queries.size,
       secByName = Bench.headline.map(_ -> 9999.999).toMap,
       failed = Nil, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1700,
@@ -27,14 +27,19 @@ class BenchContractSpec extends AnyFunSuite {
         "headroom) — rotate fast queries out of Bench.headline before adding more")
   }
 
-  test("the line carries the host-load calibration field") {
+  test("the line carries both host-load calibration fields (run start and end)") {
     // r6's driver run read untouched queries 3-5x slower from box contention alone;
     // "cal" (a fixed synthetic workload's seconds) is what lets a cross-round
-    // comparison normalize for host load before calling anything a regression
-    val line = Bench.renderLine(10.0, 1.234, 2, Map("q01_pricing_summary" -> 5.0),
+    // comparison normalize for host load before calling anything a regression.
+    // r7 showed a start-only sample misses load arriving mid-run, so the same
+    // workload is re-timed after the last query as "cal_end": a comparison rejects
+    // runs where either sample reads contended.
+    val line = Bench.renderLine(10.0, 1.234, 2.345, 2, Map("q01_pricing_summary" -> 5.0),
       Nil, "/root/testdata/sf0.1")
     assert(line.contains("\"cal\":1.234"), line)
-    assert(line.indexOf("\"cal\":") < line.indexOf("\"queries\":"),
-      "cal must sit in the fixed head of the line, before the variable-width map")
+    assert(line.contains("\"cal_end\":2.345"), line)
+    assert(line.indexOf("\"cal\":") < line.indexOf("\"queries\":") &&
+      line.indexOf("\"cal_end\":") < line.indexOf("\"queries\":"),
+      "both cal fields must sit in the fixed head of the line, before the variable-width map")
   }
 }
