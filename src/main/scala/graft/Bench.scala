@@ -11,11 +11,11 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q03_top_revenue_orders", "q05_region_revenue", "q06_revenue_rollup",
-    "g01_lww_snapshot", "g02_adjacency_topk", "g06_reciprocal", "g12_execute_lww",
+    "g01_lww_snapshot", "g02_adjacency_topk", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
-    "g33_hits", "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
-    "g39_sssp", "g40_lpa_communities",
+    "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
+    "g39_sssp", "g40_lpa_communities", "g42_churn_between",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
     "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
@@ -23,8 +23,9 @@ object Bench {
     "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
-    // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats — all
-    // historically <1s and family-covered by the remaining entries
+    // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
+    // g06_reciprocal, g33_hits (r8, paying for cal_end + g42) — all historically
+    // <2s and family-covered by the remaining entries
     "t14_sequence_pack",
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
     "t24_bpe_merges", "t25_bpe_encode",

@@ -34,6 +34,20 @@ object GraphQueries {
   /** Mid-span cut for g41 (fixture updated_at = 1000000 + (event_id·31) % 500). */
   val AsOfTs: Int = 1000249
 
+  /** g42 — churn between two horizons: every edge whose LWW winner changed between
+    * the g41 cut and a later one ([[EdgeStore.changedBetween]] — one grouped-max
+    * fold over the `<= ts2` log prefix, both winners per key in a single
+    * ObjectHashAggregate pass). The window [1000249, 1000400] leaves a newer tail
+    * beyond ts2 that must stay invisible, exercising the upper cut too.
+    */
+  def churnBetween(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).changedBetween(AsOfTs, ChurnTs2)
+
+  /** Upper cut for g42 — strictly inside the fixture span so writes newer than ts2
+    * exist and must be excluded by the pushed scan predicate.
+    */
+  val ChurnTs2: Int = 1000400
+
   /** S7/S9 + §1.3 — the LWW snapshot (grouped max-by, one shuffle). */
   def lwwSnapshot(spark: SparkSession, dir: String): DataFrame =
     TestGraph.store(spark, dir).snapshot.select(snapCols: _*)

@@ -107,6 +107,7 @@ object SparkEntry {
     "g40_lpa_communities"   -> ((s: SparkSession, dir: String) =>
       GraphQueries.lpaCommunities(s, dir, rounds = LpaRounds)),
     "g41_snapshot_asof"     -> (GraphQueries.snapshotAsOf _),
+    "g42_churn_between"     -> (GraphQueries.churnBetween _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -715,6 +716,43 @@ object SparkEntry {
     "g41_snapshot_asof" ->
       s"""${TestGraph.snapshotAsOfCte(GraphQueries.AsOfTs)}
          |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""".stripMargin,
+
+    // Time-travel churn diff: the LWW winner as of ts1 vs as of ts2, keeping keys
+    // that appeared, changed state, or moved position (a pure updated_at refresh is
+    // not churn; the log is append-only, so nothing disappears) — mirror of
+    // EdgeStore.changedBetween / GraphQueries.churnBetween (cut constants shared)
+    "g42_churn_between" -> {
+      def winnerCte(name: String, ts: Int): String =
+        s"""$name AS (
+           |  SELECT graph_id, source_id, destination_id, position, state
+           |  FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY graph_id, source_id, destination_id
+           |      ORDER BY updated_at DESC, ${TestGraph.prioritySql} DESC, position DESC) AS rn
+           |    FROM edges_raw WHERE updated_at <= $ts)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH edges_raw AS (${TestGraph.rawSql}),
+         |${winnerCte("s1", GraphQueries.AsOfTs)},
+         |s2 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state
+         |  FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, ${TestGraph.prioritySql} DESC, position DESC) AS rn
+         |    FROM edges_raw WHERE updated_at <= ${GraphQueries.ChurnTs2})
+         |  WHERE rn = 1
+         |)
+         |SELECT s2.graph_id, s2.source_id, s2.destination_id,
+         |       s1.state AS old_state, s1.position AS old_position,
+         |       s2.state AS new_state, s2.position AS new_position,
+         |       s2.updated_at AS new_updated_at,
+         |       CASE WHEN s1.state IS NULL THEN 'appeared'
+         |            WHEN s1.state <> s2.state THEN 'state'
+         |            ELSE 'position' END AS change
+         |FROM s2 LEFT JOIN s1 USING (graph_id, source_id, destination_id)
+         |WHERE s1.state IS NULL OR s1.state <> s2.state OR s1.position <> s2.position""".stripMargin
+    },
 
     // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
     // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);

@@ -77,6 +77,52 @@ final class EdgeStore(
       compactionHorizon)
   }
 
+  /** Time-travel CHURN DIFF — the audit/backfill companion to [[asOf]]: every edge
+    * whose LWW winner differs between the store as of `ts1` and as of `ts2`
+    * (`appeared` = no write existed at ts1; `state` = winner's state changed;
+    * `position` = same state, position moved). The same newest-wins diff the
+    * reference's Copy/repair jobs run between REPLICAS
+    * (`jobs/Copy.scala:65-129`), pointed at time instead of space: "what changed
+    * since the last backfill cut" is this relation.
+    *
+    * Scale shape: ONE grouped-max fold over the log prefix `updated_at <= ts2`
+    * (pushed to the scan — row-group pruning like [[asOf]]'s, StorageSpec pins it),
+    * computing BOTH winners per key in a single ObjectHashAggregate pass: the ts1
+    * winner folds the same scan through conditionally-nulled inputs ([[LwwWinner]]
+    * skips null rows), so the log is scanned once and shuffled once — never two
+    * snapshot folds plus a join. A pure `updated_at` refresh that changes neither
+    * state nor position is NOT churn (the winner row is materially identical).
+    * The log is append-only, so edges never disappear between cuts.
+    */
+  def changedBetween(ts1: Int, ts2: Int): DataFrame = {
+    require(ts1 <= ts2, s"changedBetween($ts1, $ts2): ts1 must not exceed ts2")
+    requireAboveHorizon(ts1, "changedBetween")
+    val atTs1 = col("updated_at") <= ts1
+    def gated(c: Column): Column = when(atTs1, c)
+    val winners = log
+      .filter(col("updated_at") <= ts2)
+      .groupBy(col("graph_id"), col("source_id"), col("destination_id"))
+      .agg(
+        org.apache.spark.sql.graft.LwwWinner
+          .column(col("position"), col("updated_at"), col("count"), col("state"))
+          .as("new"),
+        org.apache.spark.sql.graft.LwwWinner
+          .column(gated(col("position")), gated(col("updated_at")),
+            gated(col("count")), gated(col("state")))
+          .as("old"))
+    winners
+      .filter(col("old").isNull || col("old.state") =!= col("new.state") ||
+        col("old.position") =!= col("new.position"))
+      .select(
+        col("graph_id"), col("source_id"), col("destination_id"),
+        col("old.state").as("old_state"), col("old.position").as("old_position"),
+        col("new.state").as("new_state"), col("new.position").as("new_position"),
+        col("new.updated_at").as("new_updated_at"),
+        when(col("old").isNull, lit("appeared"))
+          .when(col("old.state") =!= col("new.state"), lit("state"))
+          .otherwise(lit("position")).as("change"))
+  }
+
   private def requireAboveHorizon(ts: Int, op: String): Unit =
     compactionHorizon.foreach { h =>
       require(ts >= h,

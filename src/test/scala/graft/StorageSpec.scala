@@ -47,6 +47,42 @@ class StorageSpec extends SparkSpec {
       "the archived write at 300 must be invisible at 200")
   }
 
+  test("changedBetween: one fold, ts2 cut pushed to the scan, three change classes") {
+    val dir = Files.createTempDirectory("graft-churn").toString + "/edges"
+    val st = storeOf(
+      edge(alice, bob, 1, at = 100),                           // unchanged across cuts
+      edge(alice, carl, 2, at = 100),                          // state-changes at 250
+      edge(alice, carl, 3, at = 250, state = State.Removed),
+      edge(bob, carl, 4, at = 100),                            // same state, position moves
+      edge(bob, carl, 5, at = 250),
+      edge(carl, bob, 6, at = 250),                            // appears between cuts
+      edge(carl, alice, 7, at = 400))                          // beyond ts2: invisible
+    EdgeStorage.save(st.log, dir, buckets = 2)
+    val loaded = EdgeStorage.load(spark, dir)
+
+    // the ts2 prefix predicate must prune at the scan, like asOf's (row-group
+    // min/max on updated_at), not filter after the fold
+    val p = loaded.changedBetween(200, 300).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(updated_at,300)"),
+      p.take(800))
+    // and the diff is ONE aggregation over one scan — never two snapshot folds
+    // joined (the log would be read and shuffled twice)
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, // partial + final of one fold
+      s"expected exactly one partial+final aggregate pair:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1200))
+
+    val rows = loaded.changedBetween(200, 300)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getString(8)).toMap
+    assert(rows == Map(
+      (alice, carl) -> "state",
+      (bob, carl)   -> "position",  // newer Normal write carries a new position
+      (carl, bob)   -> "appeared"), rows.toString)
+
+    // a compacted store cannot diff below its horizon
+    EdgeStorage.compact(spark, dir)
+    intercept[IllegalArgumentException] { EdgeStorage.load(spark, dir).changedBetween(200, 300) }
+  }
+
   test("bucketed table: the LWW snapshot fold runs with NO shuffle") {
     // the 100 TB payoff of saveTable: scan-time HashPartitioning(source_id) already
     // satisfies the fold's clustering (source_id ⊆ grouping key), so the recurring
