@@ -35,15 +35,27 @@ object Retrieval {
     * default scores stay oracle-exact; RetrievalSpec pins that a cap of 1.0 is the
     * identity and that capping only ever REMOVES posting rows.
     */
+  /** Largest query batch (rows) whose per-token query-id sets are broadcast into
+    * the posting join; bigger batches shuffle-join instead. The broadcast carries
+    * ~|distinct (token, query) pairs| ids — at 100k queries × ~50 tokens that is
+    * ~40 MB, inside executor broadcast budgets; an UNBOUNDED query batch would make
+    * it |Q|-sized per token, which is exactly the build-side blowup the dispatch
+    * guards against (the dl-relation rule above: a per-query relation must not be a
+    * build side at scale).
+    */
+  val QueryBroadcastMax: Long = 100000L
+
   def lexicalTopK(
       queries: DataFrame,
       candidates: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
-      dfCapFraction: Option[Double] = None
+      dfCapFraction: Option[Double] = None,
+      maxBroadcastQueries: Long = QueryBroadcastMax
   ): DataFrame = {
-    val (ranked, tf) = lexicalTopKPlan(queries, candidates, idCol, textCol, k, dfCapFraction)
+    val (ranked, tf) =
+      lexicalTopKPlan(queries, candidates, idCol, textCol, k, dfCapFraction, maxBroadcastQueries)
     // the result is query-bounded (≤ |queries|·k rows): materialize it eagerly, then
     // release the tf cache — persist() pins the relation in the session CacheManager
     // with a strong reference (unlike checkpoint blocks, which the ContextCleaner
@@ -64,7 +76,8 @@ object Retrieval {
       idCol: String,
       textCol: String,
       k: Int,
-      dfCapFraction: Option[Double] = None
+      dfCapFraction: Option[Double] = None,
+      maxBroadcastQueries: Long = QueryBroadcastMax
   ): (DataFrame, DataFrame) = {
     val tf = TextStats.tokens(candidates, idCol, textCol)
       .groupBy(col(idCol), col("token"))
@@ -119,16 +132,31 @@ object Retrieval {
       .withColumn("rr", rr)
       .withColumn("w", roundPos(lit(1000000.0) * (tfPart * idfRaw)))
       .select(col(idCol).as("neighbor_id"), col("token"), col("w"))
-    // one exchange builds the per-token query list (collect_set dedups in the agg,
-    // saving the separate DISTINCT shuffle); the broadcast join is then 1:1 per
-    // weight row and the fan-out to (query, doc) pairs is a Generate, not a
-    // hashed-relation match chain
-    val qmap = TextStats.tokens(queries, idCol, textCol)
-      .groupBy(col("token"))
-      .agg(collect_set(col(idCol)).as("qids"))
-    val scored = weights
-      .join(broadcast(qmap), "token")
-      .select(col("neighbor_id"), col("w"), explode(col("qids")).as("query_id"))
+    // query-side dispatch on batch size (one count of the query relation — the
+    // cheap side by definition; when it ISN'T cheap, that is precisely the case
+    // the shuffle branch exists for):
+    //  - bounded batch: one exchange builds the per-token query list (collect_set
+    //    dedups in the agg, saving the separate DISTINCT shuffle); the broadcast
+    //    join is then 1:1 per weight row and the fan-out to (query, doc) pairs is
+    //    a Generate, not a hashed-relation match chain
+    //  - unbounded batch: the per-token query-id sets would make the broadcast
+    //    |Q|-sized per token, so the deduped (query, token) pairs sort-merge-join
+    //    the weights on token instead — both sides shuffle once on the join key,
+    //    no build side holds a query-sized relation in memory
+    val qtoks = TextStats.tokens(queries, idCol, textCol)
+      .select(col(idCol).as("query_id"), col("token"))
+    val matched =
+      if (queries.count() <= maxBroadcastQueries) {
+        val qmap = qtoks.groupBy(col("token")).agg(collect_set(col("query_id")).as("qids"))
+        weights
+          .join(broadcast(qmap), "token")
+          .select(col("neighbor_id"), col("w"), explode(col("qids")).as("query_id"))
+      } else {
+        weights
+          .join(qtoks.distinct().hint("merge"), "token")
+          .select(col("neighbor_id"), col("w"), col("query_id"))
+      }
+    val scored = matched
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("w")).as("lex_micro"))

@@ -414,6 +414,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"posting/statistics joins must broadcast here:\n$p")
   }
 
+  test("hybrid lexical side, unbounded query batch: query pairs shuffle-join, never broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // threshold 0 = every batch counts as unbounded: the per-token query-id sets
+    // must NOT become a broadcast build side (|Q|-sized per token at scale) — the
+    // deduped (query, token) pairs sort-merge-join the weights on the token key
+    val (df, tf) = graft.pipeline.Retrieval.lexicalTopKPlan(
+      docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text", k = 10,
+      maxBroadcastQueries = 0L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    tf.unpersist(blocking = false)
+    assert(p.contains("SortMergeJoin"),
+      s"unbounded branch must sort-merge-join the query pairs on token:\n$p")
+    assert(!p.contains("collect_set"),
+      s"unbounded branch must not build per-token query-id sets:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query top-k must still prune pre-shuffle:\n$p")
+  }
+
   test("semDedup: pairwise work stays inside cell equi-joins off the assignment checkpoint") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = graft.pipeline.Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.4)

@@ -26,6 +26,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out(300L) == ((0, 2, 16129L, 3)))
   }
 
+  test("query-side dispatch: shuffle-join branch is result-identical to broadcast branch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(maxBroadcast: Long): Seq[(Long, Long, Long, Int)] =
+      Retrieval.lexicalTopK(
+        docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text", k = 10,
+        maxBroadcastQueries = maxBroadcast)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("lex_micro"), r.getAs[Int]("rank")))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L) // every batch overflows the threshold
+    assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle,
+      s"branches diverged: ${viaBroadcast.take(3)} vs ${viaShuffle.take(3)}")
+  }
+
   test("lexical ranking never returns the query itself and respects k") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lex = Retrieval.lexicalTopK(
