@@ -216,6 +216,17 @@ object SparkEntry {
     "t25_bpe_encode" -> ((s: SparkSession, dir: String) =>
       TextStats.bpeEncode(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         rounds = BpeMergeRounds)),
+    // the production two-job shape: train once, persist the merge artifact, encode
+    // from the saved table (exercises save → load → replay end-to-end; the oracle
+    // proves the round-trip reproduces the fused t25 result exactly)
+    "t26_bpe_encode_saved" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Files.createTempDirectory("graft-bpe-artifact")
+        .toString + "/merges"
+      TextStats.bpeSaveMerges(
+        TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+      TextStats.bpeEncodeWith(docs, "doc_id", "text", TextStats.bpeLoadMerges(s, path))
+    }),
     "d13_semdedup" -> ((s: SparkSession, dir: String) =>
       Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         threshold = SemDedupThreshold, centroidMod = SemDedupCentroidMod)),
@@ -445,6 +456,47 @@ object SparkEntry {
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks))""".stripMargin
+
+  /** Shared t25/t26 mirror: the BpeMergeRounds weighted-dictionary merge loop (pair
+    * counts summed over word frequencies — provably equal to occurrence counts),
+    * then every doc priced in post-merge symbols via its (doc, token) tf joined to
+    * the per-token symbol count. The tf CTE carries the same '|'-token exclusion
+    * the Scala side applies via bpeSafeToken so the filters match structurally —
+    * not merely through the final join happening to drop the rows.
+    */
+  private lazy val bpeEncodeMirrorSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
+         |ep$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, cnt
+         |         FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS j
+         |               FROM es$i WHERE len(syms) >= 2)),
+         |em$i AS MATERIALIZED (SELECT l, r FROM (
+         |         SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM ep$i GROUP BY 1, 2)
+         |       ORDER BY n DESC, l, r LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT token, COALESCE(replace(repr,
+         |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
+         |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       |       WHERE length(token) >= 1 AND token NOT LIKE '%|%' GROUP BY 1, 2),
+       |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(
+       |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
+       |         '||') || '||' AS repr, cnt
+       |       FROM wf),
+       |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
+       |enc AS (SELECT token,
+       |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym
+       |        FROM e$BpeMergeRounds)
+       |SELECT tf.doc_id,
+       |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+       |FROM tf JOIN enc USING (token)
+       |GROUP BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "g01_lww_snapshot" ->
@@ -1915,44 +1967,15 @@ object SparkEntry {
               .mkString("\n  UNION ALL ")})""".stripMargin
     },
 
-    // BPE encoding with a freshly-trained merge table: the same BpeMergeRounds
-    // weighted-dictionary merge loop (pair counts summed over word frequencies —
-    // provably equal to occurrence counts), then every doc priced in post-merge
-    // symbols via its (doc, token) tf joined to the per-token symbol count —
-    // mirror of TextStats.bpeEncode
-    "t25_bpe_encode" -> {
-      def roundCtes(i: Int): String = {
-        val prev = s"e${i - 1}"
-        s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
-           |ep$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, cnt
-           |         FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS j
-           |               FROM es$i WHERE len(syms) >= 2)),
-           |em$i AS MATERIALIZED (SELECT l, r FROM (
-           |         SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM ep$i GROUP BY 1, 2)
-           |       ORDER BY n DESC, l, r LIMIT 1),
-           |e$i AS MATERIALIZED (SELECT token, COALESCE(replace(repr,
-           |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
-           |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
-      }
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
-         |       WHERE length(token) >= 1 GROUP BY 1, 2),
-         |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-         |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(
-         |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
-         |         '||') || '||' AS repr, cnt
-         |       FROM wf WHERE token NOT LIKE '%|%'),
-         |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
-         |enc AS (SELECT token,
-         |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym
-         |        FROM e$BpeMergeRounds)
-         |SELECT tf.doc_id,
-         |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         |       CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
-         |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
-         |FROM tf JOIN enc USING (token)
-         |GROUP BY 1""".stripMargin
-    },
+    // BPE encoding with a freshly-trained merge table — mirror of TextStats.bpeEncode
+    "t25_bpe_encode" -> bpeEncodeMirrorSql,
+
+    // Encode-from-saved-artifact round-trip (TextStats.bpeSaveMerges →
+    // bpeLoadMerges → bpeEncodeWith): replaying the persisted merge table over a
+    // fresh dictionary is provably identical to the fused train+encode, so the
+    // oracle mirror IS t25's — what this entry adds is the driver-checked proof
+    // that the save/load/replay path reproduces it exactly
+    "t26_bpe_encode_saved" -> bpeEncodeMirrorSql,
 
     // BM25 top-3 terms per doc, log-free: tf-part and raw idf as exact-integer
     // rationals, two IEEE divisions + one product per row (no libm ln) — mirror of

@@ -585,16 +585,28 @@ object TextStats {
     * combinable rollup. No corpus-sized relation is ever re-scanned per round.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int = 4): DataFrame = {
-    // ONE corpus pass: the (doc, token) tf relation serves both sides — the
-    // word-frequency dictionary is its token-level rollup (train input) and the
-    // per-doc pricing join probes it (encode input). bpeDictionary's standalone
-    // corpus pass would be a second explode+agg over the same text.
-    val tf = tokens(df, idCol, textCol)
+    val tf = bpeTf(df, idCol, textCol)
+    val dict = bpeDictOf(tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt")))
+    val (_, trained) = bpeTrainRounds(dict, rounds)
+    bpePrice(tf, trained, idCol)
+  }
+
+  /** ONE corpus pass shared by the encode paths: the (doc, token) tf relation serves
+    * both sides — the word-frequency dictionary is its token-level rollup (train /
+    * merge-replay input) and the per-doc pricing join probes it (encode input).
+    * bpeDictionary's standalone corpus pass would be a second explode+agg over the
+    * same text.
+    */
+  private def bpeTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
       .filter(bpeSafeToken)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dict = bpeDictOf(tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt")))
-    val (_, trained) = bpeTrainRounds(dict, rounds)
+
+  /** Price every doc in post-merge symbols: the |vocab|-sized symbol-count table
+    * equi-joined to tf, one map-side-combinable rollup.
+    */
+  private def bpePrice(tf: DataFrame, trained: DataFrame, idCol: String): DataFrame = {
     val symCount = trained.select(col("token"),
       size(filter(split(col("repr"), "\\|\\|"), x => x =!= "")).as("n_sym"))
     tf
@@ -604,6 +616,42 @@ object TextStats {
         sum(col("tf")).as("n_tokens"),
         sum(col("tf") * length(col("token"))).as("n_chars"),
         sum(col("tf") * col("n_sym")).as("n_syms"))
+  }
+
+  /** Persist a trained merge table ([[bpeMergeLoop]]'s output) as the tokenizer
+    * artifact: train ONCE on the big corpus, ship the (tiny, rounds-sized) merge
+    * relation, and price any number of future corpora with [[bpeEncodeWith]] —
+    * two jobs, one artifact, no retraining. Coalesced to one file: the artifact is
+    * a handful of rows and readers want it as a unit.
+    */
+  def bpeSaveMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Reload a [[bpeSaveMerges]] artifact. */
+  def bpeLoadMerges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** BPE encoding with a SAVED merge table — the production tokenize step (the
+    * artifact comes from a prior training job via [[bpeSaveMerges]]; this job never
+    * recounts pairs). Replays the merges in round order over the fresh corpus's
+    * word-frequency dictionary — the same literal-column greedy replace the trainer
+    * applied, so encoding a corpus with its own trained merges is EXACTLY
+    * [[bpeEncode]] (RoundEightOpsSpec pins the round-trip). The merge collect is
+    * bounded by the round count (a tokenizer artifact is a few thousand rows at
+    * production vocab sizes — driver-side by design, like every bounded loop scalar
+    * here).
+    */
+  def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String, merges: DataFrame): DataFrame = {
+    val tf = bpeTf(df, idCol, textCol)
+    var repr = bpeDictOf(tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt")))
+    merges.select(col("round"), col("left_sym"), col("right_sym"))
+      .collect().sortBy(_.getInt(0))
+      .foreach { m =>
+        val (l, r) = (m.getString(1), m.getString(2))
+        repr = repr.withColumn("repr",
+          replace(col("repr"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+      }
+    bpePrice(tf, repr, idCol)
   }
 
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text
