@@ -33,6 +33,14 @@ object SparkEntry {
     */
   private[graft] val BpeMergeRounds = 4
 
+  /** t27's pinned Jelinek–Mercer interpolation weight in micro-units (λ = 0.7),
+    * shared by registration and oracle.
+    */
+  private[graft] val BigramLambdaMicro = 700000L
+
+  /** t28's pinned hashed-feature slot count, shared by registration and oracle. */
+  private[graft] val LinearQualityBuckets = 1024
+
   /** g40's pinned label-propagation round count, shared by registration and oracle. */
   private[graft] val LpaRounds = 4
 
@@ -353,7 +361,13 @@ object SparkEntry {
           .join(d.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("shingle")),
         "source", "shingle", k = 64)
-    })
+    }),
+    "t27_bigram_logprob" -> ((s: SparkSession, dir: String) =>
+      TextStats.bigramLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        lambdaMicro = BigramLambdaMicro)),
+    "t28_linear_quality" -> ((s: SparkSession, dir: String) =>
+      TextStats.linearQuality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        buckets = LinearQualityBuckets))
   )
 
   // ---------------------------------------------------------------------------
@@ -2703,6 +2717,48 @@ object SparkEntry {
         "(epoch_us(ts) // 3600000000) & 65535 AS y, CAST(0 AS BIGINT) AS d FROM events),\n" +
         chain + "\n" +
         "SELECT event_id, d AS hkey, d >> 26 AS bucket FROM h0"
-    }
+    },
+
+    // interpolated bigram LM score per doc (λ·P_bi + (1−λ)·P_uni, integer micro-nat
+    // per-bigram log-probs, exact integer sums) — mirror of TextStats.bigramLogProb
+    "t27_bigram_logprob" -> {
+      val lam = BigramLambdaMicro.toDouble / 1000000.0
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM base)),
+         |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+         |bm AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bm GROUP BY 1),
+         |uc AS (SELECT token, count(*) AS cu
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uc),
+         |lp AS (SELECT w1, w2,
+         |        CAST(floor(1000000.0 * ln($lam * (cb::DOUBLE / cw1::DOUBLE)
+         |          + ${1.0 - lam} * (cu::DOUBLE / n_total::DOUBLE)) + 0.5) AS BIGINT) AS lp_micro
+         |       FROM bm JOIN cm USING (w1) JOIN uc ON uc.token = bm.w2 CROSS JOIN tot),
+         |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+         |        FROM docb JOIN lp USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_lp_micro,
+         |  CAST(floor(sum_lp_micro::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT) AS avg_lp_micro
+         |FROM per""".stripMargin
+    },
+
+    // hashed linear bag-of-words quality classifier (md5 slot, Knuth multiplicative
+    // pseudo-weights in exact milli-units, sign decision) — mirror of
+    // TextStats.linearQuality
+    "t28_linear_quality" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |s AS (SELECT doc_id,
+         |        ('0x' || substr(md5(token), 1, 15))::BIGINT % $LinearQualityBuckets AS slot
+         |      FROM toks),
+         |w AS (SELECT doc_id, (slot * 2654435761) % 2001 - 1000 AS w FROM s),
+         |per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |               CAST(SUM(w) AS BIGINT) AS score_milli FROM w GROUP BY 1)
+         |SELECT doc_id, n_tokens, score_milli,
+         |  CAST(floor(score_milli::DOUBLE * 1000.0 / n_tokens::DOUBLE + 0.5) AS BIGINT)
+         |    AS score_micro_per_token,
+         |  CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM per""".stripMargin
   )
 }

@@ -716,4 +716,104 @@ object TextStats {
       .groupBy(col(groupCol))
       .agg(max(col("total")).as("n_docs"), q(50), q(90), q(99))
   }
+
+  /** Interpolated bigram language-model score per document — the perplexity-proxy
+    * quality signal (fluent text scores high under a corpus LM; garbled/boilerplate
+    * text scores low). The LM is the corpus itself: P(w2|w1) is the bigram MLE over
+    * the bigram table's own marginal (so conditionals sum to 1 exactly), interpolated
+    * with the unigram MLE as `lambda·P_bi + (1−lambda)·P_uni` (Jelinek–Mercer).
+    * Per-bigram log-probs quantize to integer micro-nats (the t20 idiom) so per-doc
+    * sums are order-free exact integers; one final division for the average.
+    *
+    * Scale shape: one token explode (map), one per-doc `lead` window (shuffle by doc —
+    * the partition key the per-doc rollup reuses), two vocab-sized count aggregations,
+    * and equi-joins of the doc-bigram relation against the (much smaller) bigram/
+    * unigram model tables — AQE broadcasts them when they fit. Nothing is ever
+    * all-pairs; the model tables are the only state and they are vocabulary-sized.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambdaMicro: Long = 700000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nextW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = tokens(df, idCol, textCol)
+      .withColumn("w2", lead(col("token"), 1).over(nextW))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("token").as("w1"), col("w2"))
+    val docBigrams = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bigramModel = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val contextModel = bigramModel.groupBy(col("w1")).agg(sum(col("cb")).as("cw1"))
+    val unigramModel = tokens(df, idCol, textCol).groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val totalTokens = unigramModel.agg(sum(col("cu")).as("n_total"))
+    val lambda = lambdaMicro.toDouble / 1000000.0
+    // exact double expression mirrored verbatim in the oracle: ln(λ·cb/cw1 + (1−λ)·cu/N)
+    val lpMicro = floor(
+      lit(1000000.0) * log(
+        lit(lambda) * (col("cb").cast("double") / col("cw1").cast("double")) +
+          lit(1.0 - lambda) * (col("cu").cast("double") / col("n_total").cast("double"))
+      ) + lit(0.5)
+    ).cast("long")
+    val scoredModel = bigramModel
+      .join(contextModel, "w1")
+      .join(unigramModel.withColumnRenamed("token", "w2"), "w2")
+      .crossJoin(totalTokens)
+      .select(col("w1"), col("w2"), lpMicro.as("lp_micro"))
+    docBigrams
+      .join(scoredModel, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("sum_lp_micro"),
+        // micro-nats per bigram, floor(x+0.5): the quotient is ≥ 1/(2·n_bigrams) away
+        // from any half-integer unless exactly representable, so the rounding is
+        // engine-stable (a plain 6-decimal round ties when n divides the sum evenly)
+        floor(col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+          .cast("long").as("avg_lp_micro"))
+  }
+
+  /** Hashed linear quality classifier — the fastText-style filter shape (a linear
+    * model over hashed bag-of-words features) used to score web documents for
+    * pretraining inclusion. Each token hashes to one of `buckets` feature slots
+    * (md5-bucket idiom, engine-portable); the weight table is a fixed deterministic
+    * integer function of the slot (a stand-in for trained weights — production would
+    * join a broadcast weight relation of exactly this shape). Scores are exact
+    * integer milli-units: order-free sums, no float drift; the decision is a pure
+    * sign test.
+    *
+    * Scale shape: explode tokens (map), one per-doc aggregation (map-side combinable
+    * sum — the ONLY shuffle), weight lookup inlined as arithmetic (a trained table
+    * would broadcast). O(corpus tokens) total work, no joins, no vocabulary state.
+    */
+  def linearQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    val slot = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets
+    // deterministic pseudo-weights in [-1000, 1000] milli-units (Knuth multiplicative)
+    val weightMilli = (col("slot") * 2654435761L) % 2001L - 1000L
+    tokens(df, idCol, textCol)
+      .select(col(idCol), slot.as("slot"))
+      .select(col(idCol), weightMilli.as("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_milli"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("score_milli"),
+        // micro-units per token via floor(x+0.5) — tie-immune across engines (the
+        // milli/1000·n quotient terminates in decimal, so round(…,6) hits .5 ties)
+        floor(col("score_milli").cast("double") * lit(1000.0) /
+          col("n_tokens").cast("double") + lit(0.5)).cast("long").as("score_micro_per_token"),
+        when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
 }

@@ -49,4 +49,47 @@ class RoundEightOpsSpec extends SparkSpec {
       .agg(sum("n_syms")).collect()(0).getLong(0)
     assert(a == b)
   }
+
+  test("bigram LM score: every doc scored, scores negative, n_bigrams = n_tokens - 1") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = TextStats.bigramLogProb(docs, "doc_id", "text").collect()
+    assert(scored.length == docs.count())
+    // log-probabilities of a proper distribution are strictly negative
+    assert(scored.forall(_.getAs[Long]("sum_lp_micro") < 0L))
+    assert(scored.forall(r => r.getAs[Long]("avg_lp_micro") < 0L))
+    // each doc contributes exactly len-1 bigrams (no nulls leak through the lead)
+    val nTok = TextStats.tokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(scored.forall(r => r.getAs[Long]("n_bigrams") == nTok(r.getAs[Long]("doc_id")) - 1))
+  }
+
+  test("bigram LM score: a repetitive doc outscores a shuffled-vocabulary doc") {
+    import spark.implicits._
+    // "a a a ..." has one dominant bigram (high P(a|a)); the scattered doc's bigrams
+    // are all singletons priced mostly by the unigram back-off
+    val docs = Seq(
+      (1L, ("a " * 40).trim),
+      (2L, (0 until 40).map(i => s"w${i % 20}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_lp_micro")).toMap
+    assert(m(1L) > m(2L), s"repetitive doc must score higher: $m")
+  }
+
+  test("linear quality: deterministic, label agrees with score sign, micro pricing exact") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = TextStats.linearQuality(docs, "doc_id", "text").collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (milli, n) = (r.getAs[Long]("score_milli"), r.getAs[Long]("n_tokens"))
+      val label = r.getAs[String]("label")
+      assert(label == (if (milli > 0) "keep" else "drop"))
+      val expect = math.floor(milli.toDouble * 1000.0 / n.toDouble + 0.5).toLong
+      assert(r.getAs[Long]("score_micro_per_token") == expect)
+    }
+    // same input twice -> identical scores (pure hash arithmetic, no randomness)
+    val again = TextStats.linearQuality(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_milli")).toMap
+    assert(rows.forall(r => again(r.getAs[Long]("doc_id")) == r.getAs[Long]("score_milli")))
+  }
 }
