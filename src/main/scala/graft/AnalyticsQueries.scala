@@ -16,6 +16,16 @@ object AnalyticsQueries {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to exact epoch-µs BIGINT `tsu` (see
+    * [[EventTime.micros]] — the testdata's timestamp representation has varied across
+    * generations) plus the listed payload columns. All downstream event-time math is
+    * integer µs arithmetic, matching the oracle's `epoch_us(ts)` bit-for-bit.
+    */
+  private def eventsTsu(spark: SparkSession, dir: String, cols: String*): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(EventTime.micros(ev).as("tsu") +: cols.map(col): _*)
+  }
+
   /** money → exact integer cents (both engines: round(x*100) then integral cast). */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -92,8 +102,7 @@ object AnalyticsQueries {
     * against a 1-row broadcast corpus-end — one map-side-combinable aggregation.
     */
   def churnRollup(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("tsu"))
+    val ev = eventsTsu(spark, dir, "user_id")
       .withColumn("day", expr("tsu DIV 86400000000"))
       .localCheckpoint(true) // two consumers: the corpus-end agg and the rollup scan
     val end = ev.agg(max(col("tsu")).as("end_us"))
@@ -161,17 +170,14 @@ object AnalyticsQueries {
   }
 
   /** Event-time sessionization: a session breaks on a >1h gap in the user's stream.
-    * `ts` reads as BIGINT nanos (nanosAsLong) — all session math is exact integer
-    * arithmetic, hash-matching DuckDB's `epoch_ns`.
+    * All session math is exact integer µs arithmetic, hash-matching DuckDB's
+    * `epoch_us`.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    // µs resolution on both sides: Spark reads raw nanos (nanosAsLong) while DuckDB
-    // truncates ns->µs on load, so all event-time math here is `ts DIV 1000`
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("tsu").asc, col("event_id").asc)
-    table(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"))
+    eventsTsu(spark, dir, "user_id", "event_id")
       .withColumn("prev", lag(col("tsu"), 1).over(w))
       .withColumn(
         "brk",
@@ -198,8 +204,7 @@ object AnalyticsQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("tsu").asc, col("event_id").asc)
-    table(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tsu"))
+    eventsTsu(spark, dir, "user_id", "event_id")
       .withColumn("prev", lag(col("tsu"), 1).over(w))
       .withColumn(
         "brk",
@@ -216,8 +221,8 @@ object AnalyticsQueries {
 
   /** Hourly rollup by integer bucket (µs DIV 1h) × event type. */
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .groupBy(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("event_type"))
+    eventsTsu(spark, dir, "event_type", "value")
+      .groupBy(expr("tsu DIV 3600000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
 
   /** Semi-structured extraction: JSON `props` column → typed aggregate per user. The
@@ -243,9 +248,8 @@ object AnalyticsQueries {
     * global sort.
     */
   def hourlyTopUsers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val counts = table(spark, dir, "events")
-      .groupBy(
-        expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("user_id"))
+    val counts = eventsTsu(spark, dir, "user_id")
+      .groupBy(expr("tsu DIV 3600000000").as("hour_bucket"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hour_bucket"))
@@ -263,8 +267,8 @@ object AnalyticsQueries {
     * then ONE self equi-join on (hour+1, user) — |active pairs| rows, never events².
     */
   def hourlyRetention(spark: SparkSession, dir: String): DataFrame = {
-    val active = table(spark, dir, "events")
-      .select(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"), col("user_id"))
+    val active = eventsTsu(spark, dir, "user_id")
+      .select(expr("tsu DIV 3600000000").as("hour_bucket"), col("user_id"))
       .distinct()
     val next = active.select((col("hour_bucket") - 1).as("hour_bucket"), col("user_id"),
       lit(1L).as("retained"))
@@ -289,8 +293,8 @@ object AnalyticsQueries {
     */
   def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = table(spark, dir, "events")
-      .groupBy(expr("(ts DIV 1000) DIV 3600000000").as("hour_bucket"))
+    val hourly = eventsTsu(spark, dir)
+      .groupBy(expr("tsu DIV 3600000000").as("hour_bucket"))
       .agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("hour_bucket")).rangeBetween(-24, -1)
     val withBase = hourly.select(
@@ -387,13 +391,13 @@ object AnalyticsQueries {
       rightType: String = "click"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = table(spark, dir, "events")
+    val ev = eventsTsu(spark, dir, "event_id", "user_id", "event_type")
       .filter(col("event_type").isin(leftType, rightType))
       .select(
         col("event_id"),
         col("user_id"),
         col("event_type"),
-        expr("ts DIV 1000").as("ts_us"),
+        col("tsu").as("ts_us"),
         // right rows sort BEFORE left rows at the same timestamp: at-or-before
         when(col("event_type") === rightType, lit(0)).otherwise(lit(1)).as("side"))
     val w = Window
@@ -421,8 +425,8 @@ object AnalyticsQueries {
     * the event stream is scanned once and reused via an eager materialization.
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val ev = eventsTsu(spark, dir, "user_id", "event_type")
+      .withColumnRenamed("tsu", "ts_us")
       .localCheckpoint(true) // three stage consumers
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_ts"))
@@ -448,8 +452,7 @@ object AnalyticsQueries {
     * orders reaches the parquet scan.
     */
   def latePriorityOrders(spark: SparkSession, dir: String): DataFrame = {
-    // order/lineitem dates are µs-precision TIMESTAMP_NTZ (unlike events.ts, whose
-    // ns precision reads as BIGINT under nanosAsLong) — comparisons and the +60d
+    // order/lineitem dates are µs-precision TIMESTAMP_NTZ — comparisons and the +60d
     // offset are exact integer µs under the hood in both engines
     val ord = table(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
@@ -475,8 +478,8 @@ object AnalyticsQueries {
     * rolling distinct over raw events.
     */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val daily = table(spark, dir, "events")
-      .select(expr("(ts DIV 1000) DIV 86400000000").as("day_bucket"), col("user_id"))
+    val daily = eventsTsu(spark, dir, "user_id")
+      .select(expr("tsu DIV 86400000000").as("day_bucket"), col("user_id"))
       .distinct()
       .localCheckpoint(true) // two consumers: the DAU agg and the trailing join
     val dau = daily.groupBy(col("day_bucket")).agg(count(lit(1)).as("n_dau"))

@@ -16,7 +16,8 @@ object GraftSession {
       // ...) — same injection path a cluster uses via --conf spark.sql.extensions
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      // driver test data carries TIMESTAMP(NANOS) columns
+      // some testdata generations carry TIMESTAMP(NANOS) columns (Spark has no ns
+      // timestamp type — this reads them as BIGINT ns; EventTime.micros dispatches)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE: runtime partition coalescing + skew-join splitting — the safety net for
       // skewed vertices (celebrity nodes) at scale

@@ -36,16 +36,17 @@ object Layout {
   /** Z-order layout keys for the events table over (user_id, hour): `zkey` is the
     * Morton interleave, `bucket` its high bits = the target file/partition id, so
     * consecutive buckets tile the (user, time) plane in squares — point lookups by
-    * user AND time-range scans both touch few buckets. `events.ts` arrives as
-    * nanosecond epoch (TIMESTAMP(NANOS) read with nanosAsLong).
+    * user AND time-range scans both touch few buckets. `events.ts` is normalized to
+    * epoch µs first ([[graft.EventTime.micros]] — the physical representation has
+    * varied across testdata generations).
     */
-  def zorderKeys(events: DataFrame, bitsPerDim: Int = 20, bucketShift: Int = 26): DataFrame = {
-    val hour = expr("(ts DIV 1000) DIV 3600000000")
-    events.select(
-      col("event_id"),
-      mortonKey(col("user_id"), hour, bitsPerDim).as("zkey"))
+  def zorderKeys(events: DataFrame, bitsPerDim: Int = 20, bucketShift: Int = 26): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), graft.EventTime.micros(events).as("tsu"))
+      .select(
+        col("event_id"),
+        mortonKey(col("user_id"), expr("tsu DIV 3600000000"), bitsPerDim).as("zkey"))
       .withColumn("bucket", shiftright(col("zkey"), bucketShift))
-  }
 
   /** Hilbert-curve index of two non-negative dimension columns (low `bitsPerDim`
     * bits each) — strictly better locality than [[mortonKey]] at the same bit budget:
@@ -64,13 +65,13 @@ object Layout {
     * (16 bits/dim ⇒ 32-bit keys; bucket = high bits = target file id). Same
     * shuffle-free single-projection plan.
     */
-  def hilbertKeys(events: DataFrame, bitsPerDim: Int = 16, bucketShift: Int = 26): DataFrame = {
-    val hour = expr("(ts DIV 1000) DIV 3600000000")
-    events.select(
-      col("event_id"),
-      hilbertKey(col("user_id"), hour, bitsPerDim).as("hkey"))
+  def hilbertKeys(events: DataFrame, bitsPerDim: Int = 16, bucketShift: Int = 26): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), graft.EventTime.micros(events).as("tsu"))
+      .select(
+        col("event_id"),
+        hilbertKey(col("user_id"), expr("tsu DIV 3600000000"), bitsPerDim).as("hkey"))
       .withColumn("bucket", shiftright(col("hkey"), bucketShift))
-  }
 
   /** The write-path use: range-partition by the Z-order key so each output file
     * covers one tile of the key space (not oracle-checkable — partitioning is not

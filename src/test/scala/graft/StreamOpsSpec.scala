@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.model._
@@ -379,8 +380,9 @@ class StreamOpsSpec extends SparkSpec {
 
     // batch parity: all fixture events in ONE batch reproduce ev12's session set
     val dir = "/root/testdata/sf0.001"
-    val fixture = spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("user_id", "event_id", "ts DIV 1000 AS tsu").collect()
+    val fixtureDF = spark.read.parquet(s"$dir/events.parquet")
+    val fixture = fixtureDF
+      .select(col("user_id"), col("event_id"), EventTime.micros(fixtureDF).as("tsu")).collect()
       .groupBy(_.getLong(0))
     val expected = AnalyticsQueries.sessionStats(spark, dir).collect()
       .groupBy(_.getAs[Long]("user_id"))
