@@ -20,17 +20,16 @@ object Bench {
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
     "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
-    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
+    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
-    // g06_reciprocal, g33_hits (r8, paying for cal_end + g42) — all historically
-    // <2s and family-covered by the remaining entries
-    "t14_sequence_pack",
+    // g06_reciprocal, g33_hits (r8, paying for cal_end + g42), t14_sequence_pack,
+    // ev12_session_stats (r9, paying for s19 + t29) — all historically <2s and
+    // family-covered by the remaining entries
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
-    "t24_bpe_merges", "t25_bpe_encode",
-    "ev2_sessionize", "ev11_rolling_actives",
-    "ev12_session_stats", "q08_market_share",
+    "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney",
+    "ev2_sessionize", "ev11_rolling_actives", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination", "sk04_hll_overlap", "sk05_theta_diff",
     "m01_media_features", "o02_hilbert",
   )

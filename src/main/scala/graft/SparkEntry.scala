@@ -64,6 +64,29 @@ object SparkEntry {
     */
   private[graft] val HybridDfCap = 0.5
 
+  /** t29's pinned Kneser–Ney discount in micro-units (D = 0.75), shared by
+    * registration and oracle.
+    */
+  private[graft] val KneserNeyDiscountMicro = 750000L
+
+  /** t30's pinned sampling temperature in micro-units (α = 0.3 — the
+    * small-source-upweighting regime), shared by registration and oracle.
+    */
+  private[graft] val MixAlphaMicro = 300000L
+
+  /** s19's pinned tuning (query sampling mod, feedback depth, final depth), shared
+    * by registration and oracle.
+    */
+  private[graft] val PrfQueryMod = 50
+  private[graft] val PrfFeedbackK = 5
+  private[graft] val PrfK = 5
+
+  /** m05's pinned tuning (media-embedding dimensionality, keep threshold in
+    * micro-units), shared by registration and oracle.
+    */
+  private[graft] val AlignDims = 8
+  private[graft] val AlignThresholdMicro = 500000L
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -367,7 +390,26 @@ object SparkEntry {
         lambdaMicro = BigramLambdaMicro)),
     "t28_linear_quality" -> ((s: SparkSession, dir: String) =>
       TextStats.linearQuality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        buckets = LinearQualityBuckets))
+        buckets = LinearQualityBuckets)),
+    "t29_kneser_ney" -> ((s: SparkSession, dir: String) =>
+      TextStats.kneserNeyLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        discountMicro = KneserNeyDiscountMicro)),
+    "t30_temperature_mix" -> ((s: SparkSession, dir: String) =>
+      Sampling.temperatureMix(s.read.parquet(s"$dir/documents.parquet"), "source",
+        alphaMicro = MixAlphaMicro)),
+    "s19_prf_expand" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.prfTopK(e.filter(col("vec_id") % PrfQueryMod === 0), e, "vec_id", "embedding",
+        k = PrfK, feedbackK = PrfFeedbackK)
+    }),
+    "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
+      Multimodal.mediaTextAlignment(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media",
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        dims = AlignDims, thresholdMicro = AlignThresholdMicro)
+        .withColumnRenamed("asset_id", "doc_id"))
   )
 
   // ---------------------------------------------------------------------------
@@ -2759,6 +2801,99 @@ object SparkEntry {
          |  CAST(floor(score_milli::DOUBLE * 1000.0 / n_tokens::DOUBLE + 0.5) AS BIGINT)
          |    AS score_micro_per_token,
          |  CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM per""".stripMargin,
+
+    // interpolated Kneser–Ney bigram LM score per doc: P_KN(w2|w1) =
+    // (cb−D)/cw1 + (D·N1+(w1,·)/cw1)·(N1+(·,w2)/N1+(··)), integer micro-nat
+    // quantization, exact integer per-doc sums — mirror of TextStats.kneserNeyLogProb
+    // with the shared discount constant interpolated
+    "t29_kneser_ney" -> {
+      val d = KneserNeyDiscountMicro.toDouble / 1000000.0
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM base)),
+         |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+         |bm AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+         |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1, count(*) AS n1w1 FROM bm GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS ncw2 FROM bm GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_big FROM bm),
+         |lp AS (SELECT w1, w2,
+         |        CAST(floor(1000000.0 * ln((cb::DOUBLE - $d) / cw1::DOUBLE
+         |          + $d * n1w1::DOUBLE / cw1::DOUBLE * (ncw2::DOUBLE / n_big::DOUBLE)) + 0.5)
+         |          AS BIGINT) AS lp_micro
+         |       FROM bm JOIN cm USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+         |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+         |        FROM docb JOIN lp USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_lp_micro,
+         |  CAST(floor(sum_lp_micro::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT) AS avg_lp_micro
          |FROM per""".stripMargin
+    },
+
+    // temperature-scaled corpus mixing weights: p_i ∝ (n_i/N)^α, the pow() output
+    // quantized to integer micro-units so normalization is exact-integer — mirror of
+    // Sampling.temperatureMix with the shared α constant interpolated
+    "t30_temperature_mix" -> {
+      val a = MixAlphaMicro.toDouble / 1000000.0
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+         |w AS (SELECT source, n_docs, n_total,
+         |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
+         |          AS BIGINT) AS weight_micro
+         |      FROM c CROSS JOIN tot),
+         |wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM w)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(n_docs::DOUBLE / n_total::DOUBLE, 6) AS share,
+         |  weight_micro,
+         |  round(weight_micro::DOUBLE / w_total::DOUBLE, 6) AS p_sample,
+         |  round((weight_micro * n_total)::DOUBLE / (w_total * n_docs)::DOUBLE, 6) AS boost
+         |FROM w CROSS JOIN wt""".stripMargin
+    },
+
+    // Rocchio pseudo-relevance-feedback: round-1 cosine top-feedbackK (s01's kernel),
+    // query expanded as feedbackK·q + Σ neighbors in exact integer micro-units
+    // (cosine is scale-invariant, so the unnormalized combination ranks identically),
+    // round-2 cosine against the expanded vector — mirror of Similarity.prfTopK with
+    // the shared Prf* constants interpolated
+    "s19_prf_expand" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $PrfQueryMod = 0),
+         |r1s AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |        FROM q, e c WHERE c.vec_id <> query_id),
+         |r1 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank FROM r1s) WHERE rank <= $PrfFeedbackK),
+         |qm AS (SELECT query_id, i, CAST(floor(qv[i] * 1000000.0 + 0.5) AS BIGINT) AS qm
+         |       FROM (SELECT query_id, qv, unnest(generate_series(1, len(qv))) AS i FROM q)),
+         |nm AS (SELECT query_id, i, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS m
+         |       FROM (SELECT r1.query_id, e.v, unnest(generate_series(1, len(e.v))) AS i
+         |             FROM r1 JOIN e ON e.vec_id = r1.neighbor_id)),
+         |fb AS (SELECT query_id, i, CAST(SUM(m) AS BIGINT) AS fb_sum FROM nm GROUP BY 1, 2),
+         |xv AS (SELECT query_id, list(($PrfFeedbackK * qm + fb_sum)::DOUBLE ORDER BY i) AS xv
+         |       FROM qm JOIN fb USING (query_id, i) GROUP BY 1),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("xv", "c.v")} AS cos_sim
+         |           FROM xv, e c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank FROM scored)
+         |WHERE rank <= $PrfK""".stripMargin,
+
+    // media–text alignment screen: the stub media embedding is 8 dims of the payload
+    // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's
+    // leading 8 dims, alignment = rounded cosine, keep = threshold on the ROUNDED
+    // value — mirror of Multimodal.mediaTextAlignment (media bytes = UTF-8 text, so
+    // md5(media) = md5(text), the m02 equivalence)
+    "m05_media_text_align" -> {
+      val thr = AlignThresholdMicro.toDouble / 1000000.0
+      s"""WITH med AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |me AS (SELECT doc_id, i,
+         |         (('0x' || substr(h, (i - 1) * 4 + 1, 4))::BIGINT % 1000) / 1000.0 AS m
+         |       FROM (SELECT doc_id, h, unnest(generate_series(1, $AlignDims)) AS i FROM med)),
+         |mv AS (SELECT doc_id, list(m ORDER BY i) AS mv FROM me GROUP BY 1),
+         |tv AS (SELECT vec_id AS doc_id, (embedding::DOUBLE[])[1:$AlignDims] AS tv FROM embeddings)
+         |SELECT mv.doc_id, ${cosSql("mv", "tv")} AS align_cos,
+         |  CASE WHEN ${cosSql("mv", "tv")} >= $thr THEN 1 ELSE 0 END AS aligned
+         |FROM mv JOIN tv ON mv.doc_id = tv.doc_id""".stripMargin
+    }
   )
 }

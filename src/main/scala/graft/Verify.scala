@@ -19,13 +19,23 @@ object Verify {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = selected.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // loud summary on BOTH streams: a query that errors here vanishes from the
+    // driver's correctness JSON entirely (no err row — round 8 lost 12 queries this
+    // way to a testdata dtype change and the gate still read all-green)
+    val summary =
+      if (failed.isEmpty) s"[verify] SUMMARY: ${selected.size} ok, 0 failed"
+      else s"[verify] SUMMARY: ${selected.size - failed.size} ok, ${failed.size} FAILED: ${failed.mkString(", ")}"
+    println(summary)
+    System.err.println(summary)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

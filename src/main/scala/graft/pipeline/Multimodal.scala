@@ -148,4 +148,64 @@ object Multimodal {
         col("keep.asset_id").as("keep_asset"),
         col("keep.frame_index").as("keep_frame"))
   }
+
+  case class MediaEmbedding(asset_id: Long, media_emb: Array[Double])
+
+  trait MediaEmbedder extends Serializable {
+    def embed(mediaType: String, bytes: Array[Byte]): Array[Double]
+  }
+
+  /** STUB embedder — a real deployment runs a vision/audio encoder; here each of the
+    * `dims` components is a deterministic function of the payload's md5 (4 hex chars
+    * per dim → [0, 1) in 1/1000ths), so the Spark plumbing (per-partition model init,
+    * binary in → vector out) is exercised end-to-end and the oracle reproduces the
+    * vector from the same md5 arithmetic.
+    */
+  class EmbedStub(dims: Int = 8) extends MediaEmbedder {
+    require(dims * 4 <= 32, "md5 hex has 32 chars — at most 8 four-char dims")
+    def embed(mediaType: String, bytes: Array[Byte]): Array[Double] = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      Array.tabulate(dims) { d =>
+        (java.lang.Long.parseLong(hex.substring(d * 4, d * 4 + 4), 16) % 1000L) / 1000.0
+      }
+    }
+  }
+
+  /** m05 — media–text alignment screen (the CLIP-filter shape of multimodal curation:
+    * embed the media, embed the text, keep pairs whose embeddings agree). The media
+    * side goes through the per-partition embedder ([[EmbedStub]] stands in for the
+    * vision encoder); the text side is the document's embedding truncated to the media
+    * embedding's dimensionality (the leading-prefix convention of matryoshka-style
+    * embeddings). Alignment is cosine, rounded to 6; `aligned` is the keep decision.
+    *
+    * Scale shape: one map-side embed pass over the media partition, one equi-join on
+    * the document id (both sides id-partitioned — no broadcast of the corpus), cosine
+    * as the codegen'd dot kernel. No pairwise anything: alignment is per-document.
+    */
+  def mediaTextAlignment(
+      media: DataFrame, idCol: String, typeCol: String, binCol: String,
+      embeddings: DataFrame, vecIdCol: String, vecCol: String,
+      dims: Int = 8, thresholdMicro: Long = 500000L,
+      embedder: MediaEmbedder = new EmbedStub(8)
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    val mediaEmb = media
+      .select(col(idCol).as("asset_id"), col(typeCol).as("media_type"), col(binCol).as("media"))
+      .as[MediaAsset]
+      .mapPartitions { it => it.map(a => MediaEmbedding(a.asset_id, embedder.embed(a.media_type, a.media))) }
+      .toDF()
+    val textEmb = embeddings.select(
+      col(vecIdCol).as("asset_id"),
+      slice(col(vecCol), 1, dims).cast("array<double>").as("text_emb"))
+    // the keep decision compares the ROUNDED cosine (the engine-agreed value) — an
+    // unrounded comparison could flip on last-ulp differences between engines
+    val cos = round(graft.pipeline.Similarity.cosine(col("media_emb"), col("text_emb")), 6)
+    mediaEmb
+      .join(textEmb, "asset_id")
+      .select(
+        col("asset_id"),
+        cos.as("align_cos"),
+        (cos >= lit(thresholdMicro.toDouble / 1000000.0)).cast("int").as("aligned"))
+  }
 }

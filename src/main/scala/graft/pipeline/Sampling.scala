@@ -153,4 +153,54 @@ object Sampling {
       .filter(col("rk") <= k) // defensive trim if ids are not unique within a source
       .select(col(idCol), col(sourceCol), col("rk"))
   }
+
+  /** Temperature-scaled corpus mixing weights — the data-mixing primitive of
+    * multilingual/multi-source pretraining (sampling probability p_i ∝ (n_i/N)^α with
+    * α < 1 upweights small sources; α = 1 is proportional, α = 0 uniform). For each
+    * source: its document share, the temperature-scaled weight, the normalized
+    * sampling probability, and the boost factor p_i/share_i (how many effective
+    * epochs of the source one epoch of the mixture consumes).
+    *
+    * Determinism discipline: the only float the engines must agree on is
+    * `pow(share, α)` itself, and it is immediately quantized to integer micro-units —
+    * the normalization then happens in EXACT integer space (Σ of BIGINTs), so sums
+    * are order-free and every output is a single rounded ratio of exact integers
+    * (the order-free-ratio idiom used throughout this module).
+    *
+    * Scale shape: one map-side-combinable count per source, then arithmetic on a
+    * |sources|-sized relation with a 1-row broadcast total — nothing here ever sees
+    * the corpus again.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      alphaMicro: Long = 300000L
+  ): DataFrame = {
+    val alpha = alphaMicro.toDouble / 1000000.0
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val weighted = counts
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "weight_micro",
+        // exact double sequence mirrored in the oracle: floor(1e6·(n/N)^α + 0.5)
+        floor(
+          lit(1000000.0) * pow(col("n_docs").cast("double") / col("n_total").cast("double"), alpha)
+            + lit(0.5)).cast("long"))
+    val wTotal = weighted.agg(sum(col("weight_micro")).as("w_total"))
+    weighted
+      .crossJoin(broadcast(wTotal))
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6).as("share"),
+        col("weight_micro"),
+        round(col("weight_micro").cast("double") / col("w_total").cast("double"), 6)
+          .as("p_sample"),
+        // boost = p/share as ONE division of two exact integer products
+        round(
+          (col("weight_micro") * col("n_total")).cast("double") /
+            (col("w_total") * col("n_docs")).cast("double"),
+          6).as("boost"))
+  }
 }

@@ -819,4 +819,64 @@ object Similarity {
         // terminating-decimal tie at the rounding digit cannot realistically occur
         round(sqrt(varQ) / 1000.0, 6).as("std"))
   }
+
+  /** Rocchio pseudo-relevance-feedback search — the two-round retrieval primitive:
+    * round 1 retrieves each query's `feedbackK` nearest neighbors, the query is
+    * EXPANDED toward their centroid, and round 2 ranks the corpus against the
+    * expanded query. With equal query/centroid weights the expansion is
+    * q/2 + centroid/2 ∝ feedbackK·q + Σ neighbors — and since cosine is
+    * scale-invariant, the engine ranks with the UNNORMALIZED integer combination:
+    * every component is quantized to exact micro-units (floor(1e6·x + 0.5), the
+    * engine-portable idiom), so the expanded vector is a sum of BIGINTs — order-free,
+    * bit-identical in the oracle — and only the final cosine is float.
+    *
+    * Scale shape: round 1 is [[bruteForceTopK]] (broadcast query side, one corpus
+    * pass); the expansion works on |Q|·feedbackK·dims rows (tiny — never the corpus);
+    * round 2 is a second broadcast-query corpus pass. Two passes total, both
+    * map-side; swap the round-1/round-2 kernel for [[ivfTopK]] at corpus scales where
+    * brute force is infeasible — the expansion step is kernel-agnostic.
+    */
+  def prfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      feedbackK: Int = 5
+  ): DataFrame = {
+    val micro = floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long")
+    val fb = bruteForceTopK(queries, candidates, idCol, vecCol, feedbackK)
+      .select(col("query_id"), col("neighbor_id"))
+    // neighbor components in exact micro-units, summed per (query, dim)
+    val fbSums = fb
+      .join(
+        candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v")),
+        "neighbor_id")
+      .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("query_id"), col("dim"))
+      .agg(sum(micro).as("fb_sum"))
+    val expanded = queries
+      .select(col(idCol).as("query_id"), posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("query_id"), col("dim"), micro.as("qm"))
+      .join(fbSums, Seq("query_id", "dim"))
+      .select(col("query_id"), col("dim"), (lit(feedbackK.toLong) * col("qm") + col("fb_sum")).as("w"))
+      .groupBy(col("query_id"))
+      // reassemble in dim order: array_sort on (dim, w) structs sorts by dim first
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("w")))),
+        s => s.getField("w").cast("double")).as("xv"))
+      .withColumn("xn", norm2(col("xv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val scored = broadcast(expanded)
+      .crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("xv"), col("cv")), col("xn"), col("cn")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

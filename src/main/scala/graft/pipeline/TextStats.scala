@@ -816,4 +816,71 @@ object TextStats {
           col("n_tokens").cast("double") + lit(0.5)).cast("long").as("score_micro_per_token"),
         when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
   }
+
+  /** Interpolated Kneser–Ney bigram score per document — the stronger LM-quality
+    * signal next to [[bigramLogProb]]'s Jelinek–Mercer form (Kneser–Ney's continuation
+    * probability scores a word by how many distinct CONTEXTS it follows, not raw
+    * frequency — the smoothing that n-gram LM filtering pipelines actually use):
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1) + (D·N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(··)
+    *
+    * with discount `D = discountMicro/1e6 < 1` (so the max(·,0) clamp is vacuous on
+    * observed bigrams, which is all the per-doc rollup ever joins). Every count is an
+    * exact integer (bigram count, left-marginal, distinct-successor and
+    * distinct-context type counts, total bigram types); per-bigram log-probs quantize
+    * to integer micro-nats (the t20/t27 idiom) so per-doc sums are order-free.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — one token explode, one per-doc
+    * `lead` window, then vocab-sized model aggregations (the two type-count tables are
+    * projections of the bigram model, not extra corpus passes) equi-joined back to the
+    * doc-bigram relation; AQE broadcasts the model tables when they fit.
+    */
+  def kneserNeyLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discountMicro: Long = 750000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nextW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = tokens(df, idCol, textCol)
+      .withColumn("w2", lead(col("token"), 1).over(nextW))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("token").as("w1"), col("w2"))
+    val docBigrams = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bigramModel = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // four consumers: scored model + three type-count projections
+    val contextModel = bigramModel.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw1"), count(lit(1)).as("n1w1"))
+    val contModel = bigramModel.groupBy(col("w2")).agg(count(lit(1)).as("ncw2"))
+    val totalTypes = bigramModel.agg(count(lit(1)).as("n_big"))
+    val d = discountMicro.toDouble / 1000000.0
+    // exact double sequence mirrored verbatim in the oracle:
+    // ln((cb − D)/cw1 + (D·n1w1/cw1)·(ncw2/nBig))
+    val lpMicro = floor(
+      lit(1000000.0) * log(
+        (col("cb").cast("double") - lit(d)) / col("cw1").cast("double") +
+          lit(d) * col("n1w1").cast("double") / col("cw1").cast("double") *
+          (col("ncw2").cast("double") / col("n_big").cast("double"))
+      ) + lit(0.5)
+    ).cast("long")
+    val scoredModel = bigramModel
+      .join(contextModel, "w1")
+      .join(contModel, "w2")
+      .crossJoin(broadcast(totalTypes))
+      .select(col("w1"), col("w2"), lpMicro.as("lp_micro"))
+    docBigrams
+      .join(scoredModel, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("sum_lp_micro"),
+        floor(col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+          .cast("long").as("avg_lp_micro"))
+  }
 }

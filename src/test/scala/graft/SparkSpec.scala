@@ -15,6 +15,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir", s"/tmp/graft-test-warehouse-${java.util.UUID.randomUUID()}")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // UTC like GraftSession: EventTime.micros's TIMESTAMP_NTZ branch depends on it
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
