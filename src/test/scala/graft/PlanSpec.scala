@@ -472,4 +472,37 @@ class PlanSpec extends SparkSpec {
     assert(round.contains("partial_sum"),
       s"pair counts must combine map-side before the |vocab|^2-bounded exchange:\n$round")
   }
+
+  test("event-time normalization still prunes the events scan to the referenced columns") {
+    // EventTime.micros wraps ts in a cast/unix_micros projection — the projection must
+    // not defeat scan-level column pruning (a scan reading all 6 event columns for a
+    // 2-column rollup would read ~3x the bytes at 100 TB)
+    val p = plan(AnalyticsQueries.hourlyRollup(spark, dir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("event_id") && !read.contains("user_id") && !read.contains("props"),
+      s"unreferenced event columns leaked into the scan:\n$read")
+    assert(p.contains("partial_count"), s"hourly rollup must combine map-side:\n$p")
+  }
+
+  test("PRF expansion works on the feedback relation; round-2 broadcasts the expanded queries") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.prfTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5, feedbackK = 5))
+    // round 2 must stream the corpus once against a broadcast of the |Q| expanded
+    // vectors — a shuffled or cartesian corpus×corpus pairing would be the scale bug
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"round-2 degenerated to a cartesian:\n$p")
+    // the per-(query, dim) expansion aggregation combines map-side
+    assert(p.contains("partial_sum"), s"feedback sums must combine map-side:\n$p")
+  }
+
+  test("media-text alignment is one id equi-join with a map-side embed pass") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Multimodal.mediaTextAlignment(
+      docs, "doc_id", "source", "media", emb, "vec_id", "embedding"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"alignment must stay an equi-join:\n$p")
+  }
 }
