@@ -495,6 +495,34 @@ object AnalyticsQueries {
       .select(col("day_bucket"), col("n_dau"), col("n_wau"))
   }
 
+  /** Cohort retention matrix: users grouped by first-seen day (the cohort), each
+    * cohort's active-user count at every day offset — the triangle heatmap behind
+    * every retention dashboard, generalizing [[hourlyRetention]]'s one-step form.
+    *
+    * Scale shape: the event stream collapses to distinct (day, user) pairs FIRST
+    * (map-side-combinable distinct — at most |users|·|days| rows); the cohort
+    * assignment is one user-keyed min-aggregation joined back on the user key; the
+    * matrix is a (cohort, offset)-keyed count over those pairs; cohort sizes are a
+    * |days|-sized relation joined broadcast. Raw events never reach a join.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTsu(spark, dir, "user_id")
+      .select(expr("tsu DIV 86400000000").as("day_bucket"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: cohort assignment and the activity join
+    val cohort = daily.groupBy(col("user_id")).agg(min(col("day_bucket")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    daily
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day_bucket") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (day,user) pairs are distinct ⇒ count = distinct users
+      .join(broadcast(sizes), "cohort_day")
+      .select(
+        col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

@@ -87,6 +87,9 @@ object SparkEntry {
   private[graft] val AlignDims = 8
   private[graft] val AlignThresholdMicro = 500000L
 
+  /** sk06's pinned bottom-k register size, shared by registration and oracle. */
+  private[graft] val KmvQuantK = 64
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -402,6 +405,10 @@ object SparkEntry {
       Similarity.prfTopK(e.filter(col("vec_id") % PrfQueryMod === 0), e, "vec_id", "embedding",
         k = PrfK, feedbackK = PrfFeedbackK)
     }),
+    "ev14_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
+    "sk06_kmv_quantiles" -> ((s: SparkSession, dir: String) =>
+      Sketches.kmvQuantiles(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "doc_id", "n_chars", k = KmvQuantK)),
     "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaTextAlignment(
         s.read.parquet(s"$dir/documents.parquet")
@@ -2883,6 +2890,39 @@ object SparkEntry {
     // leading 8 dims, alignment = rounded cosine, keep = threshold on the ROUNDED
     // value — mirror of Multimodal.mediaTextAlignment (media bytes = UTF-8 text, so
     // md5(media) = md5(text), the m02 equivalence)
+    // cohort retention matrix: first-seen-day cohorts × day-offset active counts over
+    // distinct (day, user) pairs — mirror of AnalyticsQueries.cohortRetention
+    "ev14_cohort_retention" ->
+      """WITH daily AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_bucket, user_id
+        |               FROM events),
+        |coh AS (SELECT user_id, MIN(day_bucket) AS cohort_day FROM daily GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM coh GROUP BY 1),
+        |act AS (SELECT cohort_day, day_bucket - cohort_day AS day_offset,
+        |               COUNT(*) AS n_active
+        |        FROM daily JOIN coh USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+
+    // KMV bottom-k sample quantiles per source: deterministic md5 bottom-k sample,
+    // nearest-rank quantiles of the sampled values — mirror of Sketches.kmvQuantiles
+    // with the shared register size interpolated
+    "sk06_kmv_quantiles" ->
+      s"""WITH rows AS (SELECT source, doc_id, n_chars,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |      FROM documents),
+         |samp AS (SELECT source, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+         |    FROM rows) WHERE rk <= $KmvQuantK),
+         |agg AS (SELECT source, COUNT(*) AS n_sample, list(n_chars ORDER BY n_chars) AS vs
+         |        FROM samp GROUP BY 1)
+         |SELECT source, CAST(n_sample AS BIGINT) AS n_sample,
+         |  vs[CAST((50 * n_sample + 99) // 100 AS INT)] AS p50_est,
+         |  vs[CAST((90 * n_sample + 99) // 100 AS INT)] AS p90_est,
+         |  vs[CAST((99 * n_sample + 99) // 100 AS INT)] AS p99_est
+         |FROM agg""".stripMargin,
+
     "m05_media_text_align" -> {
       val thr = AlignThresholdMicro.toDouble / 1000000.0
       s"""WITH med AS (SELECT doc_id, md5(text) AS h FROM documents),

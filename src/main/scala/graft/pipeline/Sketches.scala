@@ -277,6 +277,56 @@ object Sketches {
           3).as("diff_est"))
   }
 
+  /** KMV-sample quantiles: per key, an O(k)-state bottom-k sample (by md5 of the row
+    * id — a uniform, deterministic, MERGEABLE register: the union's bottom-k is the
+    * bottom-k of the unioned registers) and nearest-rank quantiles of the sampled
+    * values. The bounded-state complement of t17's exact cumulated histogram: the
+    * histogram is exact but carries |distinct values| state per key; this carries k
+    * rows per key at ANY value cardinality — the shape a 100 TB quantile monitor
+    * actually ships. Estimates are deterministic (same sample in both engines), and
+    * exact whenever a key has ≤ k rows.
+    *
+    * Scale shape: the sample selection is the [[Sampling.sourceCap]] two-pass design
+    * — a bounded k-element threshold aggregate (map-side combinable, O(k) state in
+    * ObjectHashAggregate), then a broadcast-threshold filter; only the ≤ k survivors
+    * per key reach the final per-key sort, so no window ever sees the full stream.
+    */
+  def kmvQuantiles(
+      items: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Int = 64
+  ): DataFrame = {
+    // full-width 60-bit hash (not Sampling's 10^4 buckets: collisions would bias the
+    // sample toward small ids); minor key = id keeps the order total and engine-stable
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val rows = items.select(col(keyCol), col(idCol), col(valueCol).cast("long").as("v"))
+      .withColumn("hv", hv)
+    val thresholds = rows
+      .groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.graft.KthSmallest.column(col("hv"), col(idCol), k).as("thr"))
+    val sample = rows
+      .join(broadcast(thresholds), Seq(keyCol))
+      .filter(
+        col("hv") < col("thr.major") ||
+          (col("hv") === col("thr.major") && col(idCol) <= col("thr.minor")))
+    // nearest-rank on the sorted sample: q(p) = vs[ceil(p·n/100)] (1-indexed)
+    def q(p: Int): Column =
+      expr(s"element_at(vs, CAST((${p}L * n_sample + 99) DIV 100 AS INT))")
+    sample
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("v"))).as("vs"))
+      .select(
+        col(keyCol),
+        col("n_sample"),
+        q(50).as("p50_est"),
+        q(90).as("p90_est"),
+        q(99).as("p99_est"))
+  }
+
   /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
     * shingles, probe every eval-split document's shingles against it. No false
     * negatives (every true train-shingle hit is flagged); false-positive rate set by

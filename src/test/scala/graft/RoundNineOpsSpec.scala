@@ -153,6 +153,65 @@ class RoundNineOpsSpec extends SparkSpec {
       Seq(1L, 2L))
   }
 
+  // ------------------------------------------------------ ev14 cohort retention
+
+  test("cohortRetention matches a mirror built from the collected (day, user) pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val daily = ev
+      .select(col("user_id"), (EventTime.micros(ev).divide(86400000000L)).cast("long").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"))).toSet
+    val cohort = daily.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (d, m) => d -> m.size.toLong }
+    val expected = daily.toSeq
+      .map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .groupBy(identity).map { case ((cd, off), xs) =>
+        (cd, off) -> ((xs.size.toLong, sizes(cd),
+          round6(xs.size.toDouble / sizes(cd).toDouble)))
+      }
+    val got = AnalyticsQueries.cohortRetention(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))))
+      .toMap
+    assert(got == expected)
+    // day-0 of every cohort is the full cohort by construction
+    got.collect { case ((_, 0L), (n, size, ret)) =>
+      assert(n == size && ret == 1.0)
+    }
+  }
+
+  // ------------------------------------------------------- sk06 KMV quantiles
+
+  test("kmvQuantiles matches a scala bottom-k mirror and is exact below the register size") {
+    import spark.implicits._
+    def hv(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    // "big" has 200 rows (> k ⇒ sampled), "small" has 7 (≤ k ⇒ exact)
+    val rows = (1L to 200L).map(i => ("big", i, i * 3)) ++
+      (1001L to 1007L).map(i => ("small", i, i - 1000L))
+    val df = rows.toDF("source", "doc_id", "n_chars")
+    val k = 16
+    def mirror(xs: Seq[(String, Long, Long)]): (Long, Long, Long, Long) = {
+      val vs = xs.sortBy { case (_, id, _) => (hv(id), id) }.take(k).map(_._3).sorted
+      def q(p: Int): Long = vs((p * vs.size + 99) / 100 - 1)
+      (vs.size.toLong, q(50), q(90), q(99))
+    }
+    val expected = rows.groupBy(_._1).map { case (s, xs) => s -> mirror(xs.toSeq) }
+    val got = graft.pipeline.Sketches.kmvQuantiles(df, "source", "doc_id", "n_chars", k = k)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_sample"), r.getAs[Long]("p50_est"),
+          r.getAs[Long]("p90_est"), r.getAs[Long]("p99_est"))))
+      .toMap
+    assert(got == expected)
+    // below the register size the sample IS the population: exact nearest-rank values
+    assert(got("small") == ((7L, 4L, 7L, 7L)))
+  }
+
   // --------------------------------------------------------- m05 media–text align
 
   test("mediaTextAlignment matches recomputed md5 embeddings and thresholds on the rounded cosine") {
