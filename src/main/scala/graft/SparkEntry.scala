@@ -2885,11 +2885,6 @@ object SparkEntry {
          |    AS rank FROM scored)
          |WHERE rank <= $PrfK""".stripMargin,
 
-    // media–text alignment screen: the stub media embedding is 8 dims of the payload
-    // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's
-    // leading 8 dims, alignment = rounded cosine, keep = threshold on the ROUNDED
-    // value — mirror of Multimodal.mediaTextAlignment (media bytes = UTF-8 text, so
-    // md5(media) = md5(text), the m02 equivalence)
     // cohort retention matrix: first-seen-day cohorts × day-offset active counts over
     // distinct (day, user) pairs — mirror of AnalyticsQueries.cohortRetention
     "ev14_cohort_retention" ->
@@ -2913,16 +2908,21 @@ object SparkEntry {
          |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
          |      FROM documents),
          |samp AS (SELECT source, n_chars FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+         |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id, n_chars) AS rk
          |    FROM rows) WHERE rk <= $KmvQuantK),
          |agg AS (SELECT source, COUNT(*) AS n_sample, list(n_chars ORDER BY n_chars) AS vs
          |        FROM samp GROUP BY 1)
          |SELECT source, CAST(n_sample AS BIGINT) AS n_sample,
-         |  vs[CAST((50 * n_sample + 99) // 100 AS INT)] AS p50_est,
-         |  vs[CAST((90 * n_sample + 99) // 100 AS INT)] AS p90_est,
-         |  vs[CAST((99 * n_sample + 99) // 100 AS INT)] AS p99_est
+         |  CAST(vs[CAST((50 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p50_est,
+         |  CAST(vs[CAST((90 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p90_est,
+         |  CAST(vs[CAST((99 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p99_est
          |FROM agg""".stripMargin,
 
+    // media–text alignment screen: the stub media embedding is 8 dims of the payload
+    // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's
+    // leading 8 dims, alignment = rounded cosine, keep = threshold on the ROUNDED
+    // value — mirror of Multimodal.mediaTextAlignment (media bytes = UTF-8 text, so
+    // md5(media) = md5(text), the m02 equivalence)
     "m05_media_text_align" -> {
       val thr = AlignThresholdMicro.toDouble / 1000000.0
       s"""WITH med AS (SELECT doc_id, md5(text) AS h FROM documents),

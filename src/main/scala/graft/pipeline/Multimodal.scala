@@ -187,13 +187,16 @@ object Multimodal {
       media: DataFrame, idCol: String, typeCol: String, binCol: String,
       embeddings: DataFrame, vecIdCol: String, vecCol: String,
       dims: Int = 8, thresholdMicro: Long = 500000L,
-      embedder: MediaEmbedder = new EmbedStub(8)
+      // None ⇒ a dims-sized stub (a same-list default could not reference `dims` and
+      // a fixed-size one would silently desynchronize the two sides under dims ≠ 8)
+      embedder: Option[MediaEmbedder] = None
   ): DataFrame = {
     import media.sparkSession.implicits._
+    val emb = embedder.getOrElse(new EmbedStub(dims))
     val mediaEmb = media
       .select(col(idCol).as("asset_id"), col(typeCol).as("media_type"), col(binCol).as("media"))
       .as[MediaAsset]
-      .mapPartitions { it => it.map(a => MediaEmbedding(a.asset_id, embedder.embed(a.media_type, a.media))) }
+      .mapPartitions { it => it.map(a => MediaEmbedding(a.asset_id, emb.embed(a.media_type, a.media))) }
       .toDF()
     val textEmb = embeddings.select(
       col(vecIdCol).as("asset_id"),

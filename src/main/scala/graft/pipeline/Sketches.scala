@@ -311,6 +311,13 @@ object Sketches {
       .filter(
         col("hv") < col("thr.major") ||
           (col("hv") === col("thr.major") && col(idCol) <= col("thr.minor")))
+      // defensive trim if ids are not unique within a key (the sourceCap guard):
+      // duplicate ids at the register boundary would otherwise overfill the sample;
+      // the value tie-break keeps the survivor deterministic on BOTH engines
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          .orderBy(col("hv"), col(idCol), col("v"))))
+      .filter(col("rk") <= k)
     // nearest-rank on the sorted sample: q(p) = vs[ceil(p·n/100)] (1-indexed)
     def q(p: Int): Column =
       expr(s"element_at(vs, CAST((${p}L * n_sample + 99) DIV 100 AS INT))")

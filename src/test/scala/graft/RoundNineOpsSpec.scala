@@ -212,6 +212,25 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got("small") == ((7L, 4L, 7L, 7L)))
   }
 
+  test("kmvQuantiles never overfills the register when row ids repeat") {
+    import spark.implicits._
+    // every id appears twice with two values — without the rank trim the threshold
+    // filter would admit ~2k rows and diverge from the oracle's row_number cut
+    val rows = (1L to 50L).flatMap(i => Seq(("dup", i, i), ("dup", i, i + 1000L)))
+    val df = rows.toDF("source", "doc_id", "n_chars")
+    val k = 8
+    val got = graft.pipeline.Sketches.kmvQuantiles(df, "source", "doc_id", "n_chars", k = k)
+      .collect().head
+    assert(got.getAs[Long]("n_sample") == k.toLong)
+    def hv(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    // mirror of the deterministic trim: order by (hv, id, v), take k
+    val vs = rows.sortBy { case (_, id, v) => (hv(id), id, v) }.take(k).map(_._3).sorted
+    assert(got.getAs[Long]("p50_est") == vs((50 * k + 99) / 100 - 1))
+  }
+
   // --------------------------------------------------------- m05 media–text align
 
   test("mediaTextAlignment matches recomputed md5 embeddings and thresholds on the rounded cosine") {
@@ -245,5 +264,16 @@ class RoundNineOpsSpec extends SparkSpec {
         ((r.getAs[Double]("align_cos"), r.getAs[Int]("aligned"))))
       .toMap
     assert(got == expected)
+
+    // dims ≠ 8 keeps BOTH sides at the requested dimensionality (the default stub
+    // derives from dims — a fixed-size default would deflate cosines silently)
+    val got4 = Multimodal.mediaTextAlignment(
+      media, "doc_id", "mt", "media", embeddings, "vec_id", "embedding",
+      dims = 4, thresholdMicro = 500000L).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Double]("align_cos")).toMap
+    val expected4 = docs.map { case (id, t) =>
+      id -> cos(mediaEmb(t).take(4), emb(id).take(4).map(_.toDouble))
+    }.toMap
+    assert(got4 == expected4)
   }
 }
