@@ -409,6 +409,9 @@ object SparkEntry {
     "sk06_kmv_quantiles" -> ((s: SparkSession, dir: String) =>
       Sketches.kmvQuantiles(s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", "n_chars", k = KmvQuantK)),
+    "sk07_hdr_quantiles" -> ((s: SparkSession, dir: String) =>
+      Sketches.hdrQuantiles(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "n_chars")),
     "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaTextAlignment(
         s.read.parquet(s"$dir/documents.parquet")
@@ -2917,6 +2920,35 @@ object SparkEntry {
          |  CAST(vs[CAST((90 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p90_est,
          |  CAST(vs[CAST((99 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p99_est
          |FROM agg""".stripMargin,
+
+    // HDR-histogram quantiles: (binary exponent, top-2 mantissa bits) buckets from
+    // pure INTEGER arithmetic (bit length, shifts — no float log2 at bucket
+    // boundaries), cumulated-count nearest-rank, estimate = bucket lower bound —
+    // mirror of Sketches.hdrQuantiles
+    "sk07_hdr_quantiles" ->
+      """WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        |              WHERE n_chars > 0),
+        |b AS (SELECT source,
+        |        4 * (length(bin(v)) - 1) + (4 * v) // (1::BIGINT << (length(bin(v)) - 1)) - 4
+        |          AS bucket
+        |      FROM vals),
+        |bc AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT source, bucket,
+        |          SUM(c) OVER (PARTITION BY source ORDER BY bucket
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM bc)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * n
+        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
+        |    AS p50_est,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 90 * n
+        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
+        |    AS p90_est,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n
+        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
+        |    AS p99_est
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // media–text alignment screen: the stub media embedding is 8 dims of the payload
     // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's

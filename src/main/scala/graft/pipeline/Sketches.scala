@@ -334,6 +334,58 @@ object Sketches {
         q(99).as("p99_est"))
   }
 
+  /** HDR-histogram quantiles: positive integer values bucket by (binary exponent,
+    * top-2 mantissa bits) — bucket id `4·e + (4v DIV 2^e) − 4`, lower bound
+    * `(bucket mod 4 + 4)·2^e DIV 4` — giving ≤ 2^−2 RELATIVE error with at most
+    * 4·63 buckets of state per key at ANY value range. The log-bucketed complement
+    * of [[kmvQuantiles]]'s rank-exact sample: the sample nails ranks but its error
+    * on the VALUE is unbounded at heavy tails; the histogram bounds value error
+    * everywhere and its registers merge by addition (the production
+    * latency-percentile shape).
+    *
+    * Everything is INTEGER arithmetic — the binary exponent comes from the bit
+    * length of the value, not from float log2, so a boundary value can never land
+    * in different buckets on different engines (the determinism failure mode of
+    * log-bucket sketches computed via `floor(ln x / ln γ)`).
+    *
+    * Scale shape: one map-side-combinable (key, bucket) count — the only pass over
+    * the data — then a cumulated-count window over the ≤ 252-bucket-per-key
+    * relation; the raw stream never reaches a window or a sort.
+    */
+  def hdrQuantiles(
+      items: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = items
+      .select(col(keyCol), col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      // e = floor(log2 v) via bit length (exact); bucket = 4e + (4v DIV 2^e) − 4
+      .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
+      .withColumn("bucket",
+        lit(4L) * col("e") + expr("(4 * v) DIV shiftleft(1L, CAST(e AS INT))") - lit(4L))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(keyCol))
+    val cum = buckets.select(
+      col(keyCol),
+      col("bucket"),
+      sum(col("c")).over(cumW).as("cum"),
+      sum(col("c")).over(totW).as("n"))
+    // nearest-rank over the cumulated buckets (the t17 idiom), estimate = the
+    // bucket's integer lower bound (bucket mod 4 + 4)·2^e DIV 4
+    val lb = expr(
+      "((bucket % 4 + 4) * shiftleft(1L, CAST(bucket DIV 4 AS INT))) DIV 4")
+    def q(p: Int): Column =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("n"), lb)).as(s"p${p}_est")
+    cum
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), q(50), q(90), q(99))
+  }
+
   /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
     * shingles, probe every eval-split document's shingles against it. No false
     * negatives (every true train-shingle hit is flagged); false-positive rate set by

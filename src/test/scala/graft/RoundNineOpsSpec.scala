@@ -231,6 +231,39 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("p50_est") == vs((50 * k + 99) / 100 - 1))
   }
 
+  // ------------------------------------------------------- sk07 HDR quantiles
+
+  test("hdrQuantiles matches a scala mirror and bounds relative error by 2^-2") {
+    import spark.implicits._
+    def bucket(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      4L * e + (4 * v) / (1L << e) - 4
+    }
+    def lowerBound(b: Long): Long = ((b % 4 + 4) * (1L << (b / 4).toInt)) / 4
+    // mixed magnitudes: 1-digit to ~10^6, with heavy repetition at the low end
+    val values = (Seq.fill(40)(7L) ++ Seq.fill(30)(123L) ++ Seq.fill(20)(4096L) ++
+      Seq.fill(9)(99999L) ++ Seq(1048573L))
+    val df = values.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("source", "doc_id", "n_chars")
+    def mirrorQ(p: Int): Long = {
+      val byBucket = values.groupBy(bucket).map { case (b, vs) => b -> vs.size.toLong }.toSeq.sortBy(_._1)
+      val n = values.size.toLong
+      val cum = byBucket.scanLeft(0L)(_ + _._2).tail
+      lowerBound(byBucket(cum.indexWhere(_ * 100 >= p * n))._1)
+    }
+    val r = graft.pipeline.Sketches.hdrQuantiles(df, "source", "n_chars").collect().head
+    assert(r.getAs[Long]("n") == values.size.toLong)
+    assert(r.getAs[Long]("p50_est") == mirrorQ(50))
+    assert(r.getAs[Long]("p90_est") == mirrorQ(90))
+    assert(r.getAs[Long]("p99_est") == mirrorQ(99))
+    // the design guarantee: each estimate is within 25% below the exact quantile
+    def exactQ(p: Int): Long = values.sorted.apply(((p * values.size + 99) / 100) - 1)
+    for (p <- Seq(50, 90, 99)) {
+      val est = r.getAs[Long](s"p${p}_est"); val ex = exactQ(p)
+      assert(est <= ex && est.toDouble >= ex * 0.75, s"p$p: est=$est exact=$ex")
+    }
+  }
+
   // --------------------------------------------------------- m05 media–text align
 
   test("mediaTextAlignment matches recomputed md5 embeddings and thresholds on the rounded cosine") {
