@@ -549,6 +549,72 @@ object StreamOps extends Serializable {
       }
   }
 
+  // --- streaming HDR-histogram quantiles (Sketches.hdrQuantiles batch parity) ---
+
+  case class HdrQuantileRow(key: String, n: Long, p50Est: Long, p90Est: Long, p99Est: Long)
+
+  /** The batch operator's bucket id, in JVM arithmetic: 4·e + (4v DIV 2^e) − 4 with
+    * e = floor(log2 v) from the bit length — identical to the SQL-expression form
+    * (StreamOpsSpec pins the parity), so streaming registers merge with batch ones.
+    */
+  def hdrBucket(v: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    4L * e + (4 * v) / (1L << e) - 4
+  }
+
+  /** The bucket's integer lower bound — the quantile estimate the batch operator
+    * reports: (bucket mod 4 + 4)·2^(bucket div 4) DIV 4.
+    */
+  def hdrLowerBound(b: Long): Long = ((b % 4 + 4) * (1L << (b / 4).toInt)) / 4
+
+  /** Nearest-rank quantile estimates from an HDR register (pure, unit-testable) —
+    * the same cumulated-count arithmetic as the batch window.
+    */
+  def hdrEstimates(regs: Map[Long, Long], ps: Seq[Int]): (Long, Seq[Long]) = {
+    val sorted = regs.toSeq.sortBy(_._1)
+    val n = sorted.iterator.map(_._2).sum
+    val cum = sorted.scanLeft(0L)(_ + _._2).tail
+    val qs = ps.map { p =>
+      hdrLowerBound(sorted(cum.indexWhere(_ * 100 >= p * n))._1)
+    }
+    (n, qs)
+  }
+
+  /** Streaming HDR-histogram quantile maintenance — sk07 at ingestion time: the
+    * per-key bucket counters live as group state (≤ 4·63 Longs per key at ANY value
+    * range — counter ADDITION is the merge, so replays of distinct batches and
+    * cross-partition merges compose), current p50/p90/p99 estimates emitted every
+    * micro-batch. After any stream prefix the register equals the batch operator's
+    * (same integer bucket arithmetic), so the estimates match
+    * `Sketches.hdrQuantiles` on the same prefix exactly (StreamOpsSpec pins this).
+    * This is the streaming latency/length-percentile monitor an exact quantile
+    * would need unbounded state for.
+    */
+  def streamingHdrQuantiles(
+      items: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): Dataset[HdrQuantileRow] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long)], state: GroupState[Map[Long, Long]]) =>
+          var regs = state.getOption.getOrElse(Map.empty)
+          batch.foreach { case (_, v) =>
+            val b = hdrBucket(v)
+            regs = regs.updated(b, regs.getOrElse(b, 0L) + 1L)
+          }
+          state.update(regs)
+          val (n, Seq(p50, p90, p99)) = hdrEstimates(regs, Seq(50, 90, 99))
+          HdrQuantileRow(key, n, p50, p90, p99)
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

@@ -472,6 +472,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HDR quantiles: registers reproduce the batch sk07 estimates on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val query = StreamOps.streamingHdrQuantiles(stream.toDS().toDF("key", "v"), "key", "v")
+      .toDF().writeStream.format("memory").queryName("hdr")
+      .outputMode(OutputMode.Update()).start()
+    val first = Seq.tabulate(40)(i => ("a", (i + 1).toLong * 7)) ++
+      Seq.tabulate(10)(i => ("b", (i + 1).toLong))
+    val second = Seq.tabulate(25)(i => ("a", (i + 1).toLong * 1000)) ++ Seq(("b", 1048573L))
+    try {
+      def check(prefix: Seq[(String, Long)]): Unit = {
+        // latest streaming row per key (largest n wins under Update mode)
+        val got = spark.sql(
+          """SELECT key, n, p50Est, p90Est, p99Est FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) AS rk FROM hdr)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        // batch operator over the same prefix
+        val batch = graft.pipeline.Sketches
+          .hdrQuantiles(prefix.toDF("key", "v"), "key", "v")
+          .collect().map(r => r.getAs[String]("key") ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("p50_est"),
+              r.getAs[Long]("p90_est"), r.getAs[Long]("p99_est")))).toMap
+        assert(got == batch, s"prefix of ${prefix.size}")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
   test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
     import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
     for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
