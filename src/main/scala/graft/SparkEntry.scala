@@ -2929,26 +2929,24 @@ object SparkEntry {
       """WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
         |              WHERE n_chars > 0),
         |b AS (SELECT source,
-        |        4 * (length(bin(v)) - 1) + (4 * v) // (1::BIGINT << (length(bin(v)) - 1)) - 4
-        |          AS bucket
-        |      FROM vals),
+        |        4 * e + (CASE WHEN e >= 2 THEN v >> (e - 2) ELSE v << (2 - e) END) - 4 AS bucket
+        |      FROM (SELECT source, v, length(bin(v)) - 1 AS e FROM vals)),
         |bc AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
         |cum AS (SELECT source, bucket,
         |          SUM(c) OVER (PARTITION BY source ORDER BY bucket
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |          SUM(c) OVER (PARTITION BY source) AS n
-        |        FROM bc)
+        |        FROM bc),
+        |lb AS (SELECT source, cum, n,
+        |         CASE WHEN bucket // 4 >= 2
+        |              THEN (bucket % 4 + 4) << (bucket // 4 - 2)
+        |              ELSE (bucket % 4 + 4) >> (2 - bucket // 4) END AS lb
+        |       FROM cum)
         |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
-        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * n
-        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
-        |    AS p50_est,
-        |  CAST(MIN(CASE WHEN cum * 100 >= 90 * n
-        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
-        |    AS p90_est,
-        |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n
-        |    THEN ((bucket % 4 + 4) * (1::BIGINT << CAST(bucket // 4 AS INT))) // 4 END) AS BIGINT)
-        |    AS p99_est
-        |FROM cum GROUP BY 1""".stripMargin,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN lb END) AS BIGINT) AS p50_est,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN lb END) AS BIGINT) AS p90_est,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN lb END) AS BIGINT) AS p99_est
+        |FROM lb GROUP BY 1""".stripMargin,
 
     // media–text alignment screen: the stub media embedding is 8 dims of the payload
     // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's

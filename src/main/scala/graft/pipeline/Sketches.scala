@@ -361,10 +361,15 @@ object Sketches {
     val buckets = items
       .select(col(keyCol), col(valueCol).cast("long").as("v"))
       .filter(col("v") > 0)
-      // e = floor(log2 v) via bit length (exact); bucket = 4e + (4v DIV 2^e) − 4
+      // e = floor(log2 v) via bit length (exact); bucket = 4e + (v DIV 2^(e−2)) − 4.
+      // The sub-bucket shifts v DOWN (never 4v up): 4·v would overflow Long above
+      // 2^61 and silently wrap on Spark while DuckDB errors — the one way the two
+      // engines could diverge on this integer-only sketch
       .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
       .withColumn("bucket",
-        lit(4L) * col("e") + expr("(4 * v) DIV shiftleft(1L, CAST(e AS INT))") - lit(4L))
+        lit(4L) * col("e") +
+          expr("""CASE WHEN e >= 2 THEN shiftright(v, CAST(e - 2 AS INT))
+                 |     ELSE shiftleft(v, CAST(2 - e AS INT)) END""".stripMargin) - lit(4L))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
@@ -376,9 +381,12 @@ object Sketches {
       sum(col("c")).over(cumW).as("cum"),
       sum(col("c")).over(totW).as("n"))
     // nearest-rank over the cumulated buckets (the t17 idiom), estimate = the
-    // bucket's integer lower bound (bucket mod 4 + 4)·2^e DIV 4
+    // bucket's integer lower bound (bucket mod 4 + 4)·2^(e−2) — shifted from the
+    // 3-bit mantissa, never through an overflowing (m+4)·2^e product
     val lb = expr(
-      "((bucket % 4 + 4) * shiftleft(1L, CAST(bucket DIV 4 AS INT))) DIV 4")
+      """CASE WHEN bucket DIV 4 >= 2
+        |     THEN shiftleft(bucket % 4 + 4, CAST(bucket DIV 4 - 2 AS INT))
+        |     ELSE shiftright(bucket % 4 + 4, CAST(2 - bucket DIV 4 AS INT)) END""".stripMargin)
     def q(p: Int): Column =
       min(when(col("cum") * 100 >= lit(p.toLong) * col("n"), lb)).as(s"p${p}_est")
     cum

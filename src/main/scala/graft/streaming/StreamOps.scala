@@ -553,19 +553,25 @@ object StreamOps extends Serializable {
 
   case class HdrQuantileRow(key: String, n: Long, p50Est: Long, p90Est: Long, p99Est: Long)
 
-  /** The batch operator's bucket id, in JVM arithmetic: 4·e + (4v DIV 2^e) − 4 with
-    * e = floor(log2 v) from the bit length — identical to the SQL-expression form
-    * (StreamOpsSpec pins the parity), so streaming registers merge with batch ones.
+  /** The batch operator's bucket id, in JVM arithmetic: 4·e + (v DIV 2^(e−2)) − 4
+    * with e = floor(log2 v) from the bit length — identical to the SQL-expression
+    * form (StreamOpsSpec pins the parity), so streaming registers merge with batch
+    * ones. Shifts v DOWN: the naive 4·v form overflows Long above 2^61.
     */
   def hdrBucket(v: Long): Long = {
     val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    4L * e + (4 * v) / (1L << e) - 4
+    val sub = if (e >= 2) v >> (e - 2) else v << (2 - e)
+    4L * e + sub - 4
   }
 
   /** The bucket's integer lower bound — the quantile estimate the batch operator
-    * reports: (bucket mod 4 + 4)·2^(bucket div 4) DIV 4.
+    * reports: (bucket mod 4 + 4)·2^(e−2), shifted so e up to 62 cannot overflow.
     */
-  def hdrLowerBound(b: Long): Long = ((b % 4 + 4) * (1L << (b / 4).toInt)) / 4
+  def hdrLowerBound(b: Long): Long = {
+    val e = (b / 4).toInt
+    val m = b % 4 + 4
+    if (e >= 2) m << (e - 2) else m >> (2 - e)
+  }
 
   /** Nearest-rank quantile estimates from an HDR register (pure, unit-testable) —
     * the same cumulated-count arithmetic as the batch window.

@@ -237,12 +237,17 @@ class RoundNineOpsSpec extends SparkSpec {
     import spark.implicits._
     def bucket(v: Long): Long = {
       val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
-      4L * e + (4 * v) / (1L << e) - 4
+      4L * e + (if (e >= 2) v >> (e - 2) else v << (2 - e)) - 4
     }
-    def lowerBound(b: Long): Long = ((b % 4 + 4) * (1L << (b / 4).toInt)) / 4
-    // mixed magnitudes: 1-digit to ~10^6, with heavy repetition at the low end
+    def lowerBound(b: Long): Long = {
+      val e = (b / 4).toInt; val m = b % 4 + 4
+      if (e >= 2) m << (e - 2) else m >> (2 - e)
+    }
+    // mixed magnitudes: 1-digit to Long.MaxValue — the top octaves are exactly where
+    // a 4·v or (m+4)·2^e formulation would overflow and diverge between engines
     val values = (Seq.fill(40)(7L) ++ Seq.fill(30)(123L) ++ Seq.fill(20)(4096L) ++
-      Seq.fill(9)(99999L) ++ Seq(1048573L))
+      Seq.fill(5)(99999L) ++ Seq.fill(3)(1048573L) ++
+      Seq(1L, (1L << 61) + 17, Long.MaxValue))
     val df = values.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
       .toDF("source", "doc_id", "n_chars")
     def mirrorQ(p: Int): Long = {
