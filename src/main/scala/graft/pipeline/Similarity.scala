@@ -835,6 +835,12 @@ object Similarity {
     * round 2 is a second broadcast-query corpus pass. Two passes total, both
     * map-side; swap the round-1/round-2 kernel for [[ivfTopK]] at corpus scales where
     * brute force is infeasible — the expansion step is kernel-agnostic.
+    *
+    * Degenerate input note: if the feedback centroid is EXACTLY −q (possible only
+    * with adversarially constructed embeddings), the expansion cancels to the zero
+    * vector and every round-2 cosine is NaN — standard float semantics, same as
+    * querying [[bruteForceTopK]] with a zero vector; real embedding corpora cannot
+    * hit it.
     */
   def prfTopK(
       queries: DataFrame,
