@@ -419,6 +419,64 @@ object AnalyticsQueries {
         (col("ts_us") - col("r_ts")).as("gap_us"))
   }
 
+  /** Last-touch conversion attribution — the marketing-analytics rollup over the
+    * event stream: each purchase is credited to the LATEST preceding touch event
+    * (click/view/signup) by the same user within a lookback window, and conversions
+    * aggregate per attributed channel (purchases with no in-window touch land in
+    * 'none'). The multi-channel, windowed generalization of [[asofJoin]] (which
+    * reports per-pair rows for ONE right type, unbounded).
+    *
+    * Semantics pinned for oracle parity: "latest" is argmax by (ts, event_id) over
+    * eligible touches — a touch at the purchase's exact timestamp counts (at-or-
+    * before), and same-timestamp touches tie-break to the highest event id. The
+    * lookback filter applies after the argmax, which is equivalent to filtering
+    * before it (the latest touch minimizes the gap). All gap math is exact integer
+    * µs; the only float is one final ratio per channel.
+    *
+    * Scale shape: one window sort per user partition (state never leaves the user's
+    * partition — the ev2 sessionize shape), then a map-side-combinable hash-agg on
+    * the ≤|touch types|+2 channel keys. No joins at all.
+    */
+  def attribution(
+      spark: SparkSession,
+      dir: String,
+      lookbackUs: Long = 86400000000L,
+      touchTypes: Seq[String] = Seq("click", "view", "signup")
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = eventsTsu(spark, dir, "event_id", "user_id", "event_type", "value")
+      .filter(col("event_type").isin(touchTypes :+ "purchase": _*))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("tsu").as("ts_us"), col("value"),
+        // touches sort BEFORE purchases at the same timestamp: at-or-before
+        when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("side"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("t_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(col("side") === 0, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("channel",
+        when(col("t_ts").isNull || col("ts_us") - col("t_ts") > lookbackUs, lit("none"))
+          .otherwise(col("t_type")))
+      .withColumn("gap_us",
+        when(col("channel") === "none", lit(null)).otherwise(col("ts_us") - col("t_ts")))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(cents(col("value"))).as("value_cents"),
+        coalesce(sum(col("gap_us")), lit(0L)).as("sum_gap_us"))
+      .withColumn("avg_gap_us",
+        when(col("channel") === "none", lit(0.0))
+          .otherwise(round(col("sum_gap_us").cast("double") /
+            col("n_conversions").cast("double"), 6)))
+  }
+
   /** Ordered conversion funnel: first signup, then the first click at-or-after it,
     * then the first purchase at-or-after that — per user, with nulls where the chain
     * breaks. Three stage-aggregations on the user key (each map-side combinable);

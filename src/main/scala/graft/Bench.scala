@@ -10,7 +10,7 @@ object Bench {
     * "value" field is still the total over ALL queries run.
     */
   val headline: Seq[String] = Seq(
-    "q03_top_revenue_orders", "q05_region_revenue", "q06_revenue_rollup",
+    "q03_top_revenue_orders", "q05_region_revenue",
     "g01_lww_snapshot", "g02_adjacency_topk", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
@@ -25,13 +25,14 @@ object Bench {
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
     // g06_reciprocal, g33_hits (r8, paying for cal_end + g42), t14_sequence_pack,
-    // ev12_session_stats (r9, paying for s19 + t29) — all historically <2s and
-    // family-covered by the remaining entries
+    // ev12_session_stats (r9, paying for s19 + t29), ev11_rolling_actives,
+    // sk04_hll_overlap, q06_revenue_rollup (r9b, paying for g43 + d14 + t31) —
+    // all historically <2s and family-covered by the remaining entries
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
-    "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney",
-    "ev2_sessionize", "ev11_rolling_actives", "q08_market_share",
-    "sk01_hll_distinct", "sk03_bloom_contamination", "sk04_hll_overlap", "sk05_theta_diff",
-    "m01_media_features", "o02_hilbert",
+    "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
+    "ev2_sessionize", "q08_market_share",
+    "sk01_hll_distinct", "sk03_bloom_contamination", "sk05_theta_diff",
+    "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

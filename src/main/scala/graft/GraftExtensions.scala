@@ -19,6 +19,8 @@ import org.apache.spark.sql.graft._
   *   - `graft_count_occurrences(str, needle)` — non-overlapping substring count
   *   - `graft_fingerprint(str)` — 63-bit polynomial rolling hash of a document
   *   - `graft_shingles(str, n)` — generator: per-document-distinct word n-grams
+  *   - `graft_positioned_shingles(str, n)` — generator: EVERY word n-gram window with
+  *     its 1-based start position (occurrence-level — span dedup / feature counts)
   *   - `graft_kth_smallest(major, minor, k)` — aggregate: k-th smallest (major, minor)
   *     pair as a struct, bounded k-heap per group
   *   - `graft_lww_winner(position, updated_at, count, state)` — aggregate: the
@@ -64,6 +66,11 @@ object GraftExtensions {
         "graft_shingles(str, n) - generator of per-document-distinct word n-grams"),
       arity("graft_shingles", 2)(a =>
         WordShingles(a(0), literalInt("graft_shingles", a(1))))),
+    (FunctionIdentifier("graft_positioned_shingles"),
+      info("graft_positioned_shingles",
+        "graft_positioned_shingles(str, n) - generator of (pos, shingle) word n-gram windows"),
+      arity("graft_positioned_shingles", 2)(a =>
+        PositionedWordShingles(a(0), literalInt("graft_positioned_shingles", a(1))))),
     (FunctionIdentifier("graft_kth_smallest"),
       info("graft_kth_smallest",
         "graft_kth_smallest(major, minor, k) - aggregate: k-th smallest (major, minor)"),

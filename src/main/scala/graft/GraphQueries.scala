@@ -1336,6 +1336,68 @@ object GraphQueries {
       .select(col("s").as("seed_id"), col("c").as("rec_id"), col("n_via"), col("rank"))
   }
 
+  /** SALSA hubs & authorities (2 full iterations) — the degree-normalized cousin of
+    * [[hits]] and the algorithm Twitter's "who to follow" service actually ran over
+    * this graph (Lempel & Moran, WWW 2000; Gupta et al., "WTF: The Who to Follow
+    * Service at Twitter", WWW 2013). Each half-step spreads a vertex's score EVENLY
+    * across its edges — auth(j) = Σ_{i→j} hub(i)/outdeg(i), hub(i) = Σ_{i→j}
+    * auth(j)/indeg(j) — so one celebrity hub no longer dominates every authority it
+    * touches the way it does under HITS' raw sums; this is the random-walk
+    * normalization that made SALSA's recommendations beat HITS' in production.
+    *
+    * Determinism (the g33 discipline): per-edge contributions are integer division
+    * (`s DIV deg`, both non-negative, so Spark's truncating DIV ≡ DuckDB's floor
+    * `//`), and after each half-step scores max-normalize back to the [0, 10⁶] grid
+    * by integer division — every intermediate is an exact BIGINT in any engine and
+    * any aggregation order.
+    *
+    * Scale shape: the degree-annotated edge list materializes ONCE (two
+    * map-side-combinable degree aggs + two equi-joins, reused by all four
+    * half-steps); each half-step is then one |V|-row broadcast-able score join + one
+    * map-side-combinable sum + a 1-row max broadcast — identical to [[pageRank]]'s
+    * per-round shape, with the same bounded growth at any |V|.
+    */
+  def salsa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("dout"))
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("din"))
+    // each edge carries both walk denominators so the half-steps never re-join degrees
+    val e = edges.join(outdeg, "src").join(indeg, "dst")
+      .localCheckpoint(true) // consumers: all four half-steps + the vertex set
+    val vertices = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+
+    // flow from `fromCol` to `toCol`, each edge contributing s DIV <from-degree>,
+    // then max-normalize back to the [0, 1e6] grid (the g33 halfStep shape)
+    def halfStep(scores: DataFrame, fromCol: String, toCol: String, degCol: String): DataFrame = {
+      val flowed = e
+        .join(scores.select(col("v").as(fromCol), col("s")), fromCol)
+        .groupBy(col(toCol).as("v"))
+        .agg(sum(expr(s"s DIV $degCol")).as("raw"))
+        .localCheckpoint(true) // two consumers: the 1-row max and the normalize join
+      val mx = flowed.agg(max(col("raw")).as("mx"))
+      vertices
+        .join(flowed, Seq("v"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("v"),
+          expr("(COALESCE(raw, CAST(0 AS BIGINT)) * 1000000) DIV mx").as("s"))
+    }
+
+    var hub = vertices.select(col("v"), lit(1000000L).as("s"))
+    var auth = vertices.select(col("v"), lit(1000000L).as("s"))
+    for (_ <- 1 to 2) {
+      auth = halfStep(hub, "src", "dst", "dout")
+      hub = halfStep(auth, "dst", "src", "din")
+    }
+    vertices
+      .join(auth.select(col("v"), col("s").as("auth_fp")), Seq("v"))
+      .join(hub.select(col("v"), col("s").as("hub_fp")), Seq("v"))
+      .select(col("v").as("vertex_id"), col("auth_fp"), col("hub_fp"))
+  }
+
   /** Local bridges: undirected Normal edges whose endpoints share NO other neighbor —
     * removing one disconnects its endpoints locally (no triangle closes over it).
     * These are the weak-tie edges of social-graph analysis (information flows across

@@ -90,6 +90,23 @@ object SparkEntry {
   /** sk06's pinned bottom-k register size, shared by registration and oracle. */
   private[graft] val KmvQuantK = 64
 
+  /** d14's pinned tuning (duplicated-window width in tokens, minimum span length
+    * worth reporting), shared by registration and oracle.
+    */
+  private[graft] val DupSpanWindow = 5
+  private[graft] val DupSpanMinTokens = 8
+
+  /** t31's pinned tuning (hashed-feature slot count, target-domain source id),
+    * shared by registration and oracle.
+    */
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirTargetSource = "src0"
+
+  /** ev15's pinned last-touch lookback window (24 h in µs), shared by registration
+    * and oracle.
+    */
+  private[graft] val AttributionLookbackUs = 86400000000L
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -142,6 +159,7 @@ object SparkEntry {
       GraphQueries.lpaCommunities(s, dir, rounds = LpaRounds)),
     "g41_snapshot_asof"     -> (GraphQueries.snapshotAsOf _),
     "g42_churn_between"     -> (GraphQueries.churnBetween _),
+    "g43_salsa"             -> (GraphQueries.salsa _),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -266,6 +284,12 @@ object SparkEntry {
         threshold = SemDedupThreshold, centroidMod = SemDedupCentroidMod)),
     "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d14_dup_spans" -> ((s: SparkSession, dir: String) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        windowTokens = DupSpanWindow, minSpanTokens = DupSpanMinTokens)),
+    "t31_dsir_scores" -> ((s: SparkSession, dir: String) =>
+      Sampling.dsirScores(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "source", targetSource = DsirTargetSource, buckets = DsirBuckets)),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
@@ -406,6 +430,8 @@ object SparkEntry {
         k = PrfK, feedbackK = PrfFeedbackK)
     }),
     "ev14_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
+    "ev15_attribution" -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.attribution(s, dir, lookbackUs = AttributionLookbackUs)),
     "sk06_kmv_quantiles" -> ((s: SparkSession, dir: String) =>
       Sketches.kmvQuantiles(s.read.parquet(s"$dir/documents.parquet"),
         "source", "doc_id", "n_chars", k = KmvQuantK)),
@@ -2127,6 +2153,33 @@ object SparkEntry {
          |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
     },
 
+    // SALSA: 4 unrolled degree-normalized half-steps with integer max-normalization
+    // (`//` on non-negatives ≡ Spark's DIV) — mirror of GraphQueries.salsa
+    "g43_salsa" -> {
+      def half(prev: String, cur: String, from: String, to: String, deg: String) =
+        s"""${cur}r AS (SELECT e.$to AS v, CAST(SUM($prev.s // e.$deg) AS BIGINT) AS raw
+           |       FROM e JOIN $prev ON $prev.v = e.$from GROUP BY e.$to),
+           |${cur}m AS (SELECT MAX(raw) AS mx FROM ${cur}r),
+           |$cur AS (SELECT vx.v,
+           |         CAST((COALESCE(${cur}r.raw, 0) * 1000000) // (SELECT mx FROM ${cur}m) AS BIGINT) AS s
+           |       FROM vx LEFT JOIN ${cur}r USING (v))""".stripMargin
+      s"""$snap,
+         |e0 AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |       WHERE graph_id = 1 AND state = 0),
+         |od AS (SELECT src, COUNT(*) AS dout FROM e0 GROUP BY src),
+         |ind AS (SELECT dst, COUNT(*) AS din FROM e0 GROUP BY dst),
+         |e AS (SELECT e0.src, e0.dst, od.dout, ind.din
+         |      FROM e0 JOIN od USING (src) JOIN ind USING (dst)),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, 1000000 AS s FROM vx),
+         |${half("h0", "a1", "src", "dst", "dout")},
+         |${half("a1", "h1", "dst", "src", "din")},
+         |${half("h1", "a2", "src", "dst", "dout")},
+         |${half("a2", "h2", "dst", "src", "din")}
+         |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
+         |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
+    },
+
     // local bridges: undirected edges with no shared neighbor (no closing triangle)
     // — mirror of GraphQueries.localBridges
     "g36_local_bridges" ->
@@ -2593,6 +2646,59 @@ object SparkEntry {
          |       ELSE round(n_dup::DOUBLE / n_shingles::DOUBLE, 6) END AS dup_fraction
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // maximal cross-document duplicated spans: positioned 5-token windows hashed to
+    // 60-bit md5 longs, doc-frequency >= 2 marks duplicated starts, gaps-and-islands
+    // (pos - row_number) merges adjacent starts into maximal spans — mirror of
+    // Dedup.dupSpans
+    "d14_dup_spans" -> {
+      val w = DupSpanWindow
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |pg AS (SELECT doc_id, i AS pos,
+         |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i FROM toks)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg) GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM pg JOIN dup USING (h)),
+         |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
+         |       FROM st GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |FROM sp WHERE span_end - span_start + 1 >= $DupSpanMinTokens""".stripMargin
+    },
+
+    // DSIR importance-resampling scores: hashed unigram+bigram slots, add-one-smoothed
+    // target-vs-corpus log-ratio weights in micro-nats (each ln rounded separately),
+    // exact integer per-doc sums — mirror of Sampling.dsirScores
+    "t31_dsir_scores" -> {
+      val b = DsirBuckets
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |uni AS (SELECT doc_id, unnest(ts) AS g FROM toks),
+         |bi AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+         |feats AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $b AS b
+         |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |tf AS (SELECT doc_id, b, count(*) AS tf FROM feats GROUP BY 1, 2),
+         |allc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_all FROM tf GROUP BY 1),
+         |tgtc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_tgt
+         |         FROM tf JOIN documents USING (doc_id)
+         |         WHERE source = '$DsirTargetSource' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cnt_all) AS BIGINT) FROM allc) AS n_all,
+         |               (SELECT CAST(sum(cnt_tgt) AS BIGINT) FROM tgtc) AS n_tgt),
+         |wt AS (SELECT allc.b,
+         |         CAST(round(1000000.0 * ln((COALESCE(cnt_tgt, 0) + 1)::DOUBLE / (n_tgt + $b)::DOUBLE)) AS BIGINT)
+         |         - CAST(round(1000000.0 * ln((cnt_all + 1)::DOUBLE / (n_all + $b)::DOUBLE)) AS BIGINT) AS w_micro
+         |       FROM allc LEFT JOIN tgtc USING (b) CROSS JOIN tot),
+         |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+         |               CAST(sum(tf * w_micro) AS BIGINT) AS score_micro
+         |        FROM tf JOIN wt USING (b) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+         |  COALESCE(score_micro, 0) AS score_micro,
+         |  CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0::DOUBLE
+         |       ELSE round(score_micro::DOUBLE / (n_feats * 1000000)::DOUBLE, 6) END AS avg_log_ratio
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+    },
+
     // corpus-unigram log-probability score per document (per-token micro-unit ln, exact
     // integer sums) — mirror of TextStats.unigramLogProb
     "t20_unigram_logprob" ->
@@ -2902,6 +3008,39 @@ object SparkEntry {
         |  CAST(cohort_size AS BIGINT) AS cohort_size,
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+
+    // last-touch attribution: latest preceding touch per purchase (argmax by ts then
+    // event_id, at-or-before ties), 24h lookback applied after the argmax, channel
+    // rollup in exact integer cents/µs — mirror of AnalyticsQueries.attribution
+    "ev15_attribution" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+         |           WHERE event_type IN ('click', 'view', 'signup')),
+         |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+         |      WHERE event_type = 'purchase'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts_us, p.value, max(t.ts_us) AS t_ts
+         |      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us
+         |      GROUP BY 1, 2, 3, 4),
+         |a AS (SELECT m.*,
+         |        (SELECT max(t2.event_id) FROM t t2
+         |         WHERE t2.user_id = m.user_id AND t2.ts_us = m.t_ts) AS t_id
+         |      FROM m),
+         |b AS (SELECT a.*,
+         |        (SELECT t3.event_type FROM t t3 WHERE t3.event_id = a.t_id) AS t_type
+         |      FROM a),
+         |c AS (SELECT
+         |        CASE WHEN t_ts IS NULL OR ts_us - t_ts > $AttributionLookbackUs
+         |             THEN 'none' ELSE t_type END AS channel,
+         |        CASE WHEN t_ts IS NULL OR ts_us - t_ts > $AttributionLookbackUs
+         |             THEN NULL ELSE ts_us - t_ts END AS gap_us,
+         |        value
+         |      FROM b)
+         |SELECT channel, COUNT(*) AS n_conversions,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+         |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
+         |  CASE WHEN channel = 'none' THEN 0.0::DOUBLE
+         |       ELSE round(COALESCE(SUM(gap_us), 0)::DOUBLE / COUNT(*)::DOUBLE, 6)
+         |  END AS avg_gap_us
+         |FROM c GROUP BY 1""".stripMargin,
 
     // KMV bottom-k sample quantiles per source: deterministic md5 bottom-k sample,
     // nearest-rank quantiles of the sampled values — mirror of Sketches.kmvQuantiles

@@ -354,6 +354,60 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Cross-document duplicated SPANS — the exact-substring dedup of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"), re-expressed
+    * relationally: a token window duplicated verbatim in ≥ 2 documents marks its
+    * positions, and runs of adjacent duplicated window starts merge into MAXIMAL
+    * spans (start, length) per document — the spans a curation pipeline cuts out,
+    * where d11 only scores the document as a whole. The suffix-array machinery of the
+    * paper is a single-node construction; the same spans fall out of three shuffles:
+    *
+    *   1. positioned n-gram windows (occurrence-level, [[org.apache.spark.sql.graft.PositionedWordShingles]])
+    *      hashed to 60-bit md5 longs — 8-byte shuffle keys, the d04 idiom;
+    *   2. document frequency per window hash over DISTINCT (doc, hash) — windows in
+    *      ≥ 2 docs are the duplicated ones (map-side-combinable count);
+    *   3. the classic gaps-and-islands fold per document: `pos − row_number()` is
+    *      constant exactly on runs of consecutive duplicated starts, so one groupBy
+    *      (doc, run) yields each maximal span. A run of L adjacent duplicated n-gram
+    *      starts covers L + n − 1 tokens; `minSpanTokens` keeps only spans long
+    *      enough to be worth cutting (the paper's 50-token bar, scaled to corpus).
+    *
+    * Scale shape: no self-join, no pairs — cost is linear in corpus token count; the
+    * only window function partitions by document (bounded by doc length). The df agg
+    * and the dup-hash join both move hashed longs. A 60-bit collision merges two
+    * windows corpus-wide (odds ~|windows|²/2⁶¹, mirrored exactly by the oracle).
+    */
+  def dupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 5,
+      minSpanTokens: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = df
+      .select(col(idCol),
+        org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), windowTokens))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true) // two consumers: the doc-frequency agg and the span fold
+    val dup = pg.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val runs = pg.join(dup, Seq("h"))
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    runs
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(windowTokens.toLong - 1)).as("span_end"))
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col(idCol), col("span_start"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =
     * pairs sharing ≥1 shingle, with the intersection count falling out of the same
     * groupBy), then |∩| / |∪| ≥ threshold. The only float is one final division of two

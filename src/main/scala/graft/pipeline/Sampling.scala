@@ -203,4 +203,75 @@ object Sampling {
             (col("w_total") * col("n_docs")).cast("double"),
           6).as("boost"))
   }
+
+  /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): every document scored by how much more likely
+    * its hashed n-gram features are under a TARGET corpus' unigram+bigram bag model
+    * than under the full corpus' — score(d) = Σ_f tf_d(f)·[ln p̂_target(f) − ln p̂_all(f)]
+    * with add-one smoothing over `buckets` hashed feature slots. High scores mark
+    * documents that look like the target domain; sampling ∝ exp(score) is the paper's
+    * resampling step (the score, not the sampler, is the data-parallel part).
+    *
+    * Determinism (the t20/t27 discipline): both log-likelihoods are rounded to integer
+    * MICRO-nats per bucket before subtraction, so per-document sums are exact BIGINT
+    * arithmetic in any order; the only float per output row is one final division.
+    *
+    * Scale shape: occurrence-level unigrams+bigrams hash to `buckets` slots (the
+    * feature-hashing trick bounds model state at any vocabulary), so the weight table
+    * is a ≤`buckets`-row relation built from two map-side-combinable aggs and joined
+    * back broadcast-sized; per-doc scoring is one equi-join + one hash-agg. Nothing
+    * pairwise, nothing driver-side.
+    */
+  def dsirScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      targetSource: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), 1))
+      .select(col(idCol), col("shingle"))
+      .unionByName(df
+        .select(col(idCol),
+          org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), 2))
+        .select(col(idCol), col("shingle")))
+    val tf = grams
+      .select(col(idCol),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % buckets).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumers: both corpus models + the per-doc scoring join
+    val allCnt = tf.groupBy(col("b")).agg(sum(col("tf")).as("cnt_all"))
+    val tgtCnt = tf
+      .join(df.filter(col(sourceCol) === targetSource).select(col(idCol)), Seq(idCol))
+      .groupBy(col("b")).agg(sum(col("tf")).as("cnt_tgt"))
+    val totals = allCnt.agg(sum(col("cnt_all")).as("n_all"))
+      .crossJoin(tgtCnt.agg(sum(col("cnt_tgt")).as("n_tgt")))
+    // ≤`buckets` rows: smoothed log-ratio weights in integer micro-nats, each ln
+    // rounded separately so the oracle reproduces the subtraction exactly
+    val weights = allCnt
+      .join(tgtCnt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(lit(1000000.0) * log((coalesce(col("cnt_tgt"), lit(0L)) + 1).cast("double") /
+            (col("n_tgt") + buckets).cast("double")), 0).cast("long") -
+          round(lit(1000000.0) * log((col("cnt_all") + 1).cast("double") /
+            (col("n_all") + buckets).cast("double")), 0).cast("long")).as("w_micro"))
+    // ≤`buckets` rows by construction — broadcast so corpus-side tf never shuffles
+    val scored = tf.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_feats"), sum(col("tf") * col("w_micro")).as("score_micro"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"),
+        when(coalesce(col("n_feats"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("score_micro").cast("double") /
+            (col("n_feats") * lit(1000000L)).cast("double"), 6))
+          .as("avg_log_ratio"))
+  }
 }

@@ -50,6 +50,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == Set((1L, "a b"), (1L, "b c"), (1L, "c d"), (2L, "x y")))
   }
 
+  test("graft_positioned_shingles keeps duplicates and positions from SQL") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "x")).toDF("id", "text")
+    df.createOrReplaceTempView("psh_docs")
+    val viaSql = spark.sql(
+      "SELECT id, s.pos, s.shingle FROM psh_docs " +
+        "LATERAL VIEW graft_positioned_shingles(text, 2) s AS pos, shingle")
+      .as[(Long, Long, String)].collect().toSet
+    val viaCol = df.select(col("id"),
+        org.apache.spark.sql.graft.PositionedWordShingles.column(col("text"), 2))
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaSql == viaCol)
+    assert(viaSql == Set((1L, 1L, "a b"), (1L, 2L, "b a"), (1L, 3L, "a b")))
+  }
+
   test("graft_lww_winner aggregates from SQL like the Column API") {
     val log = opsDF(
       (alice, bob, 0, 100, Some(5L)),

@@ -496,6 +496,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"feedback sums must combine map-side:\n$p")
   }
 
+  test("dup-span detection never self-joins — cost stays linear in corpus tokens") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.dupSpans(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span fold must stay equi-join only:\n$p")
+    // the doc-frequency agg must combine map-side (8-byte hash keys)
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge"),
+      s"df agg must combine map-side:\n$p")
+  }
+
+  test("DSIR scoring joins the bounded weight table broadcast — corpus tf never reshuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Sampling.dsirScores(docs, "doc_id", "text", "source", "src0"))
+    // the ≤buckets-row weight relation rides to every executor; a sort-merge join
+    // here would shuffle the corpus-sized tf relation a second time
+    assert(p.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("media-text alignment is one id equi-join with a map-side embed pass") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))

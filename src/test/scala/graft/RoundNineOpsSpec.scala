@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Multimodal, Sampling, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.testgraph.TestGraph
 
 /** Round-9 operators, cross-validated against independent in-test mirrors (the
   * HilbertKey/d2xy discipline): a direct-arithmetic Kneser–Ney scorer, a closed-form
-  * temperature-mix calculator, a naive two-round Rocchio searcher, and a recomputed
-  * md5 media embedding.
+  * temperature-mix calculator, a naive two-round Rocchio searcher, a recomputed md5
+  * media embedding, planted-span dup detection, a hashed-feature DSIR mirror, and a
+  * degree-normalized SALSA mirror.
   */
 class RoundNineOpsSpec extends SparkSpec {
 
@@ -313,5 +315,183 @@ class RoundNineOpsSpec extends SparkSpec {
       id -> cos(mediaEmb(t).take(4), emb(id).take(4).map(_.toDouble))
     }.toMap
     assert(got4 == expected4)
+  }
+
+  // ------------------------------------------------------------ d14 dup spans
+
+  test("dupSpans finds exactly the planted maximal spans and drops sub-threshold runs") {
+    import spark.implicits._
+    // docs 1 and 2 share a verbatim 10-token phrase; docs 1 and 3 share a 5-token
+    // run (one duplicated window — below the 8-token bar); everything else unique
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val short = (1 to 5).map(i => s"m$i").mkString(" ")
+    val df = Seq(
+      1L -> s"a1 a2 $phrase $short a3",
+      2L -> s"$phrase b1 b2",
+      3L -> s"c1 $short c2",
+      4L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", windowTokens = 5, minSpanTokens = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens")))
+      .toSet
+    // the 10-token phrase spans: doc 1 tokens 3..12, doc 2 tokens 1..10; the shared
+    // 5-token run (doc 1 pos 13, doc 3 pos 2) is a single duplicated window → 5 < 8
+    assert(got == Set((1L, 3L, 10L), (2L, 1L, 10L)))
+  }
+
+  test("dupSpans merges runs separated by a gap into separate maximal spans") {
+    import spark.implicits._
+    // two copies of an 8-token phrase with unique filler between repeats inside doc 1:
+    // each occurrence is its own island (gap breaks pos - row_number constancy)
+    val ph = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      1L -> s"$ph x1 x2 x3 x4 x5 $ph",
+      2L -> s"y1 $ph y2"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", windowTokens = 5, minSpanTokens = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens")))
+      .toSet
+    assert(got == Set((1L, 1L, 8L), (1L, 14L, 8L), (2L, 2L, 8L)))
+  }
+
+  // ------------------------------------------------------------ t31 DSIR scores
+
+  test("dsirScores matches a direct-arithmetic mirror with hashed uni+bigram features") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "tgt"),
+      (2L, "alpha beta delta", "tgt"),
+      (3L, "omega psi chi omega", "other"),
+      (4L, "alpha omega", "other"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val B = 64
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1).toSeq
+      w ++ w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val tf = docs.map { case (id, t, _) =>
+      id -> grams(t).groupBy(g => h60(g) % B).map { case (b, gs) => b -> gs.size.toLong }
+    }.toMap
+    val cntAll = tf.values.flatten.groupBy(_._1).map { case (b, m) => b -> m.map(_._2).sum }
+    val tgtIds = docs.filter(_._3 == "tgt").map(_._1).toSet
+    val cntTgt = tf.filter(x => tgtIds(x._1)).values.flatten
+      .groupBy(_._1).map { case (b, m) => b -> m.map(_._2).sum }
+    val (nAll, nTgt) = (cntAll.values.sum, cntTgt.values.sum)
+    def lnMicro(num: Long, den: Long): Long =
+      math.floor(1000000.0 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
+    val w = cntAll.map { case (b, ca) =>
+      b -> (lnMicro(cntTgt.getOrElse(b, 0L) + 1, nTgt + B) - lnMicro(ca + 1, nAll + B))
+    }
+    val expected = docs.map { case (id, _, _) =>
+      val m = tf(id)
+      val n = m.values.sum
+      val s = m.map { case (b, c) => c * w(b) }.sum
+      id -> ((n, s, round6(s.toDouble / (n * 1000000L).toDouble)))
+    }.toMap
+    val got = Sampling.dsirScores(df, "doc_id", "text", "source", "tgt", buckets = B)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("score_micro"),
+          r.getAs[Double]("avg_log_ratio"))))
+      .toMap
+    assert(got == expected)
+    // target-looking docs must outscore the off-domain ones
+    assert(got(1L)._3 > got(3L)._3 && got(2L)._3 > got(3L)._3)
+  }
+
+  // ------------------------------------------------------------ ev15 attribution
+
+  test("attribution credits the latest in-window touch, ties to touches then max id") {
+    val dir = "/root/testdata/sf0.001"
+    // mirror straight from the collected events: per purchase, argmax (ts, id) over
+    // at-or-before touches, 24h lookback after the argmax
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val rows = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        EventTime.micros(ev).as("ts_us"), col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+    val touches = rows.filter(r => Set("click", "view", "signup")(r._3))
+      .groupBy(_._2).withDefaultValue(Array.empty)
+    val look = 86400000000L
+    val per = rows.filter(_._3 == "purchase").map { case (_, u, _, ts, v) =>
+      val elig = touches(u).filter(_._4 <= ts)
+      val ch =
+        if (elig.isEmpty) "none"
+        else {
+          val best = elig.maxBy(t => (t._4, t._1))
+          if (ts - best._4 > look) "none" else best._3
+        }
+      val gap =
+        if (ch == "none") None
+        else Some(ts - elig.maxBy(t => (t._4, t._1))._4)
+      (ch, math.floor(v * 100 + 0.5).toLong, gap)
+    }
+    val expected = per.groupBy(_._1).map { case (ch, xs) =>
+      val sumGap = xs.flatMap(_._3).sum
+      ch -> ((xs.length.toLong, xs.map(_._2).sum, sumGap,
+        if (ch == "none") 0.0 else round6(sumGap.toDouble / xs.length.toDouble)))
+    }
+    val got = AnalyticsQueries.attribution(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("sum_gap_us"), r.getAs[Double]("avg_gap_us"))))
+      .toMap
+    assert(got == expected)
+    // every purchase lands in exactly one channel
+    assert(got.values.map(_._1).sum == per.length.toLong)
+  }
+
+  // ------------------------------------------------------------------ g43 SALSA
+
+  test("salsa matches a scala mirror of the degree-normalized half-steps") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === graft.model.State.Normal)
+      .select(col("source_id"), col("destination_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dout = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val din = edges.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+    val vertices = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def half(scores: Map[Long, Long], forward: Boolean): Map[Long, Long] = {
+      val raw = edges.groupBy(e => if (forward) e._2 else e._1).map { case (v, es) =>
+        v -> es.map { case (s, d) =>
+          if (forward) scores(s) / dout(s) else scores(d) / din(d)
+        }.sum
+      }
+      val mx = raw.values.max
+      vertices.map(v => v -> raw.getOrElse(v, 0L) * 1000000L / mx).toMap
+    }
+    var hub = vertices.map(_ -> 1000000L).toMap
+    var auth = hub
+    for (_ <- 1 to 2) {
+      auth = half(hub, forward = true)
+      hub = half(auth, forward = false)
+    }
+    val got = GraphQueries.salsa(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") ->
+        ((r.getAs[Long]("auth_fp"), r.getAs[Long]("hub_fp")))).toMap
+    assert(got.keySet == vertices.toSet)
+    assert(got == vertices.map(v => v -> ((auth(v), hub(v)))).toMap)
+    // max-normalization pins each side's argmax to exactly 1e6
+    assert(got.values.map(_._1).max == 1000000L && got.values.map(_._2).max == 1000000L)
+  }
+
+  test("salsa damps celebrity hubs relative to hits") {
+    val dir = "/root/testdata/sf0.001"
+    val salsa = GraphQueries.salsa(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("auth_fp")).toMap
+    val hits = GraphQueries.hits(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("auth_fp")).toMap
+    assert(salsa.keySet == hits.keySet)
+    // the two rankings must genuinely differ (degree normalization is not a no-op)
+    assert(salsa != hits)
   }
 }
