@@ -21,6 +21,7 @@ object Bench {
     "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
+    "s20_knn_graph",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,

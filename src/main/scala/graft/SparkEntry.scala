@@ -107,6 +107,21 @@ object SparkEntry {
     */
   private[graft] val AttributionLookbackUs = 86400000000L
 
+  /** s20's pinned neighbor-list size, shared by registration and oracle. */
+  private[graft] val KnnGraphK = 5
+
+  /** o03's pinned tuning, shared by registration and oracle: group target in rows,
+    * and the tile shift — FINER than o01's write-bucket shift (26) because the
+    * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus
+    * to one tile; 12 yields hundreds — the planner's whole point is merging many
+    * small tiles into few target-sized files).
+    */
+  private[graft] val CompactionTargetRows = 4096L
+  private[graft] val CompactionTileShift = 12
+
+  /** sk08's pinned AMS register count, shared by registration and oracle. */
+  private[graft] val AmsWidth = 64
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -294,6 +309,9 @@ object SparkEntry {
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
       Layout.hilbertKeys(s.read.parquet(s"$dir/events.parquet"))),
+    "o03_compaction_plan" -> ((s: SparkSession, dir: String) =>
+      Layout.compactionPlan(s.read.parquet(s"$dir/events.parquet"),
+        targetRows = CompactionTargetRows, bucketShift = CompactionTileShift)),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -305,6 +323,9 @@ object SparkEntry {
     }),
     "s03_embed_neardup" -> ((s: SparkSession, dir: String) =>
       Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)),
+    "s20_knn_graph" -> ((s: SparkSession, dir: String) =>
+      Similarity.knnGraph(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = KnnGraphK)),
     "s05_label_centroids" -> ((s: SparkSession, dir: String) =>
       Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s06_nearest_centroid" -> ((s: SparkSession, dir: String) =>
@@ -438,6 +459,9 @@ object SparkEntry {
     "sk07_hdr_quantiles" -> ((s: SparkSession, dir: String) =>
       Sketches.hdrQuantiles(s.read.parquet(s"$dir/documents.parquet"),
         "source", "n_chars")),
+    "sk08_ams_f2" -> ((s: SparkSession, dir: String) =>
+      Sketches.amsF2(s.read.parquet(s"$dir/events.parquet"), "user_id",
+        width = AmsWidth)),
     "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaTextAlignment(
         s.read.parquet(s"$dir/documents.parquet")
@@ -1800,6 +1824,28 @@ object SparkEntry {
          |JOIN e eb ON eb.vec_id = id_b
          |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin,
 
+    // approximate kNN graph (mirror of Similarity.knnGraph): s03's two-table LSH
+    // candidate union, each unordered pair scored once, both directions ranked top-k
+    "s20_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+         |sym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM scored
+         |        UNION ALL SELECT id_b, id_a, cos_sim FROM scored)
+         |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM sym)
+         |WHERE rank <= $KnnGraphK""".stripMargin,
+
     // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each
     // vector in its nearest cell (rounded cosine, cid tiebreak); queries probe the 2
     // nearest cells; exact cosine top-5 within them.
@@ -2853,6 +2899,25 @@ object SparkEntry {
          |SELECT event_id, zkey, zkey >> 26 AS bucket FROM z""".stripMargin
     },
 
+    // compaction plan: o01's per-bucket counts packed into ≈target-row groups by the
+    // exclusive-cumulative-sum floor division — mirror of Layout.compactionPlan
+    "o03_compaction_plan" -> {
+      val terms = (0 until 20)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH xy AS (SELECT event_id, user_id & 1048575 AS x,
+         |                   (epoch_us(ts) // 3600000000) & 1048575 AS y FROM events),
+         |z AS (SELECT event_id, CAST($terms AS BIGINT) >> $CompactionTileShift AS bucket FROM xy),
+         |st AS (SELECT bucket, COUNT(*) AS n_rows FROM z GROUP BY 1),
+         |cum AS (SELECT bucket, n_rows,
+         |          CAST(COALESCE(SUM(n_rows) OVER (ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |            AS cum_before
+         |        FROM st)
+         |SELECT bucket, n_rows, cum_before // $CompactionTargetRows AS group_id
+         |FROM cum""".stripMargin
+    },
+
     // Hilbert index over (user_id & 0xFFFF, hour & 0xFFFF): one CTE per level of the
     // top-down quadrant walk (quadrant digit = (3*rx)^ry weighted s^2, then the
     // frame rotates/reflects for the next level) — mirror of Layout.hilbertKeys /
@@ -3064,6 +3129,23 @@ object SparkEntry {
     // pure INTEGER arithmetic (bit length, shifts — no float log2 at bucket
     // boundaries), cumulated-count nearest-rank, estimate = bucket lower bound —
     // mirror of Sketches.hdrQuantiles
+    // AMS tug-of-war F2 (self-join size) sketch: per-key counts, ±1 md5 signs per
+    // (register, key), register sums squared and averaged; exact F2 as diagnostic
+    // — mirror of Sketches.amsF2
+    "sk08_ams_f2" ->
+      s"""WITH cnt AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+         |             FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         |               CAST(SUM(n * n) AS BIGINT) AS f2_exact
+         |        FROM cnt),
+         |reg AS (SELECT j, CAST(SUM(n * (1 - 2 * (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))::BIGINT % 2))) AS BIGINT) AS c
+         |        FROM (SELECT k, n, unnest(generate_series(0, ${AmsWidth - 1})) AS j FROM cnt)
+         |        GROUP BY 1),
+         |est AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_sum FROM reg)
+         |SELECT n_rows, CAST(n_keys AS BIGINT) AS n_keys, f2_exact, f2_sum,
+         |       round(f2_sum::DOUBLE / ${AmsWidth}.0, 6) AS f2_est
+         |FROM tot CROSS JOIN est""".stripMargin,
+
     "sk07_hdr_quantiles" ->
       """WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
         |              WHERE n_chars > 0),

@@ -79,4 +79,47 @@ object Layout {
     */
   def clusterByZ(df: DataFrame, keyed: DataFrame, nFiles: Int): DataFrame =
     df.join(keyed, "event_id").repartitionByRange(nFiles, col("zkey"))
+
+  /** o03 — compaction plan over the Z-order bucket stats: pack CONSECUTIVE key-order
+    * buckets into output groups of ≈`targetRows` rows. This is the small-file
+    * compaction planner of a 100 TB table maintenance pass (Delta/Iceberg `OPTIMIZE`
+    * bin-packing): o01 decides WHERE a row belongs on the curve; this decides which
+    * adjacent tiles merge into one file so output sizes stay near the target without
+    * breaking curve locality (groups are contiguous key ranges, so per-file min/max
+    * stays prunable on both dimensions).
+    *
+    * Packing rule (deterministic, oracle-mirrorable): group id = exclusive running
+    * row count DIV `targetRows` — the classic cumulative-sum bin assignment. A
+    * bucket larger than the target gets its own group (it can only be split by
+    * deepening the curve, not by the packer). Group sizes can overshoot by at most
+    * one bucket — the accepted OPTIMIZE trade (splitting a bucket would break the
+    * contiguous-range invariant that makes pruning work).
+    *
+    * Scale shape: per-bucket stats are one map-side-combinable hash-agg over the
+    * keyed rows; the plan itself is a window over the |buckets|-sized stats relation
+    * — bounded by key-space tiling (2^(2·bits − shift)), NOT by row count, so the
+    * single-partition cumulative window is planner-sized work (the same bound that
+    * makes t17's cumulated histogram safe).
+    */
+  def compactionPlan(
+      events: DataFrame,
+      targetRows: Long = 4096L,
+      bitsPerDim: Int = 20,
+      bucketShift: Int = 26
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = zorderKeys(events, bitsPerDim, bucketShift)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stats
+      .withColumn("cum_before", sum(col("n_rows")).over(w) - col("n_rows"))
+      .select(
+        col("bucket"),
+        col("n_rows"),
+        // exact integer floor-division (non-negative, so Spark DIV ≡ DuckDB //) —
+        // a double `/` + cast would be ulp-fragile at large cumulative counts
+        expr(s"cum_before DIV $targetRows").as("group_id"))
+  }
 }

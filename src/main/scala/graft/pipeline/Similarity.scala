@@ -453,6 +453,65 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Approximate kNN GRAPH over the whole corpus — every vector's top-`k` cosine
+    * neighbors among LSH candidates. The batch primitive under graph-based ANN
+    * indexes (NN-descent seeding, HNSW base layers) and under SemDeDup-style
+    * curation: d13 asks "has this vector a near-twin", the kNN graph answers "which
+    * ones", feeding cluster-merge and diversity-sampling passes.
+    *
+    * Candidates collide in ANY of `nTables` hyperplane families (the [[nearDupPairs]]
+    * recall construction); each unordered pair is scored ONCE (lo < hi, distinct),
+    * then both directions rank per source vector. Recall < 1 by design — a true
+    * neighbor sharing no bucket is missed; more tables trade cost for recall.
+    *
+    * Scale shape: candidate generation is (table, bucket) equi-joins — never
+    * all-pairs; scoring is per-candidate; ranking is one window per source vector,
+    * bounded by its candidate count. The known corpus-scale hazard is a dense bucket
+    * (near-duplicate clumps) going quadratic — production caps bucket membership the
+    * same way the d-family caps doc frequency.
+    */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nTables: Int = 2,
+      planesPerTable: Int = 6,
+      dims: Int = 64
+  ): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .localCheckpoint(true) // consumers: bucket derivation + both pair join sides
+    val tables = (0 until nTables).map { t =>
+      struct(
+        lit(t).as("tbl"),
+        lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
+      )
+    }
+    val buckets = vecs
+      .select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true) // both sides of the candidate self-join
+    val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim"))
+      .localCheckpoint(true) // consumed twice (both directions of the symmetric edge)
+    val sym = scored
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos_sim"))
+      .unionByName(scored
+        .select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
     * cluster-then-dedup — assign every embedding to its nearest coarse centroid
     * (the s04 IVF assignment: deterministic 1-in-`centroidMod` centroid sample so

@@ -394,6 +394,44 @@ object Sketches {
       .agg(max(col("n")).as("n"), q(50), q(90), q(99))
   }
 
+  /** AMS F₂ sketch — the tug-of-war estimate of a column's SECOND frequency moment
+    * Σ n_k² (Alon–Matias–Szegedy, STOC '96). F₂ is the column's self-join size: the
+    * quantity a planner needs to price a join on this key and the skew signal of a
+    * 100 TB shuffle (uniform keys ⇒ F₂ ≈ N²/|keys|; one hot key drives it toward N²).
+    * Each register j sums count·sign(key, j) over ±1 md5 signs; E[c_j²] = F₂, and the
+    * estimate averages `width` independent registers. The exact F₂ rides along as the
+    * error diagnostic (the sk01/sk02 discipline).
+    *
+    * Scale shape: one map-side-combinable count per key, then a width-per-key explode
+    * of the |keys|-sized COUNT relation (never the raw stream) into `width` register
+    * sums — bounded state like a production AMS merge; registers combine by addition,
+    * so the sketch is mergeable across partitions/streams. Register sums are exact
+    * BIGINTs (|c_j| ≤ N, squares safe below N ≈ 3·10⁹ per register — beyond that,
+    * shard the column before sketching).
+    */
+  def amsF2(items: DataFrame, itemCol: String, width: Int = 64): DataFrame = {
+    require(width >= 1, s"width out of range: $width")
+    val cnt = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // two consumers: the exact-F2 totals and the registers
+    val totals = cnt.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("n") * col("n")).as("f2_exact"))
+    val regs = cnt
+      .select(col(itemCol).cast("string").as("k"), col("n"),
+        explode(array((0 until width).map(lit): _*)).as("j"))
+      .withColumn("sign",
+        lit(1L) - lit(2L) * pmod(h32(concat(col("j").cast("string"), lit(":"), col("k"))), lit(2L)))
+      .groupBy(col("j"))
+      .agg(sum(col("n") * col("sign")).as("c"))
+    val est = regs.agg(sum(col("c") * col("c")).as("f2_sum"))
+    totals
+      .crossJoin(est)
+      .select(
+        col("n_rows"), col("n_keys"), col("f2_exact"), col("f2_sum"),
+        round(col("f2_sum").cast("double") / lit(width.toDouble), 6).as("f2_est"))
+  }
+
   /** Bloom-filter contamination screen: build a k=3-hash filter over the TRAIN split's
     * shingles, probe every eval-split document's shingles against it. No false
     * negatives (every true train-shingle hit is flagged); false-positive rate set by

@@ -449,6 +449,85 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == per.length.toLong)
   }
 
+  // ------------------------------------------------------------- s20 kNN graph
+
+  test("knnGraph is symmetric-by-pair, self-free, and agrees with nearDupPairs' candidates") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
+    assert(g.nonEmpty)
+    // no self edges; ranks dense from 1; at most k per vector
+    assert(g.forall { case (v, n, _, _) => v != n })
+    g.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._4).sorted.toSeq == (1 to es.length))
+      assert(es.length <= 3)
+    }
+    // each scored pair carries ONE cosine in both directions
+    val byPair = g.groupBy { case (v, n, _, _) => (math.min(v, n), math.max(v, n)) }
+    byPair.foreach { case (_, es) => assert(es.map(_._3).distinct.length == 1) }
+    // candidates are exactly the pairs nearDupPairs at threshold -1 would score
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = -1.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(g.map { case (v, n, _, _) => (math.min(v, n), math.max(v, n)) }.toSet.subsetOf(pairs))
+  }
+
+  // ------------------------------------------------------------ o03 compaction
+
+  test("compactionPlan packs consecutive buckets into near-target groups") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val target = 300L
+    val rows = graft.pipeline.Layout.compactionPlan(ev, targetRows = target, bucketShift = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"), r.getAs[Long]("group_id")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // mirror: exclusive running sum DIV target
+    var cum = 0L
+    rows.foreach { case (_, n, g) =>
+      assert(g == cum / target)
+      cum += n
+    }
+    // group ids are monotone in bucket order (contiguous key ranges)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    // every group but the last reaches the target before closing (no premature cuts):
+    // the next group opens only once the running count passes its threshold
+    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val last = rows.map(_._3).max
+    totals.filter(_._1 != last).foreach { case (g, t) =>
+      assert(t >= target - rows.filter(_._3 == g).map(_._2).max,
+        s"group $g closed at $t rows with target $target")
+    }
+  }
+
+  // ------------------------------------------------------------- sk08 AMS F2
+
+  test("amsF2 matches a direct tug-of-war mirror and brackets the exact F2") {
+    import spark.implicits._
+    // zipf-ish: key i appears i times — F2 = sum i^2
+    val rows = (1L to 30L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("user_id")
+    val width = 64
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val regs = (0 until width).map { j =>
+      (1L to 30L).map { k => k * (1L - 2L * (h32(s"$j:$k") % 2)) }.sum
+    }
+    val f2Sum = regs.map(c => c * c).sum
+    val r = graft.pipeline.Sketches.amsF2(rows, "user_id", width = width).collect().head
+    assert(r.getAs[Long]("n_rows") == (1L to 30L).sum)
+    assert(r.getAs[Long]("n_keys") == 30L)
+    assert(r.getAs[Long]("f2_exact") == (1L to 30L).map(i => i * i).sum)
+    assert(r.getAs[Long]("f2_sum") == f2Sum)
+    assert(r.getAs[Double]("f2_est") == round6(f2Sum.toDouble / width.toDouble))
+    // 64 registers keep the tug-of-war estimate within ~3 std errs of exact
+    val exact = r.getAs[Long]("f2_exact").toDouble
+    assert(math.abs(r.getAs[Double]("f2_est") - exact) <= exact * 1.0,
+      s"est ${r.getAs[Double]("f2_est")} vs exact $exact")
+  }
+
   // ------------------------------------------------------------------ g43 SALSA
 
   test("salsa matches a scala mirror of the degree-normalized half-steps") {
