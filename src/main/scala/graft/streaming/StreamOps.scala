@@ -621,6 +621,62 @@ object StreamOps extends Serializable {
       }
   }
 
+  // --- streaming AMS F2 sketch (Sketches.amsF2 batch parity) ---
+
+  case class AmsF2Row(key: String, nRows: Long, f2Sum: Long, f2Est: Double)
+
+  /** Register-vector addition — the AMS merge. Each arriving item contributes its
+    * ±1 sign to every register, so replay/merge composition is plain vector adds
+    * (the property that makes the sketch shard-and-merge at any parallelism).
+    */
+  def mergeAmsRegs(regs: Vector[Long], batch: Iterator[scala.collection.Seq[Long]]): Vector[Long] = {
+    val out = regs.toArray
+    batch.foreach { signs =>
+      var i = 0
+      signs.foreach { s => out(i) += s; i += 1 }
+    }
+    out.toVector
+  }
+
+  /** Streaming AMS F₂ maintenance — sk08 at ingestion time: the `width` signed
+    * register sums live as group state (width Longs total at ANY key cardinality),
+    * with the current self-join-size estimate emitted every micro-batch. Signs are
+    * computed Spark-side with the SAME md5 column recipe as the batch operator, so
+    * after any stream prefix `f2Sum` equals `Sketches.amsF2`'s on that prefix
+    * EXACTLY (integer adds in any order; StreamOpsSpec pins it) — and `f2Est` too,
+    * because f2Sum/width is a division by a power of two (no rounding drift).
+    * This is the live join-size/skew monitor: a hot key drives the estimate toward
+    * N² long before a shuffle OOMs on it. (Batch-demo shape: one global group;
+    * production pre-folds per partition and merges the vectors by addition.)
+    */
+  def streamingAmsF2(items: DataFrame, itemCol: String, width: Int = 64): Dataset[AmsF2Row] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val signs = array((0 until width).map { j =>
+      lit(1L) - lit(2L) * pmod(
+        graft.pipeline.Sketches.h32(
+          concat(lit(j.toString), lit(":"), col(itemCol).cast("string"))),
+        lit(2L))
+    }: _*)
+    items
+      .select(lit("all").as("key"), signs.as("s"))
+      .as[(String, scala.collection.Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, scala.collection.Seq[Long])],
+         state: GroupState[(Long, Vector[Long])]) =>
+          val (n0, regs0) = state.getOption.getOrElse((0L, Vector.fill(width)(0L)))
+          val rows = batch.map(_._2).toVector
+          val regs = mergeAmsRegs(regs0, rows.iterator)
+          val n = n0 + rows.size
+          state.update((n, regs))
+          val f2Sum = regs.map(c => c * c).sum
+          AmsF2Row(key, n, f2Sum,
+            BigDecimal(f2Sum.toDouble / width.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

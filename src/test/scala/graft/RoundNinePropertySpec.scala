@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 
-import graft.pipeline.{Sampling, Similarity, TextStats}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
 import graft.streaming.StreamOps
 
 /** Property tests of the round-9 operators, cross-validated against independent
@@ -75,7 +75,12 @@ class RoundNinePropertySpec extends SparkSpec {
     val setGen = for {
       n <- Gen.chooseNum(6, 12)
       vs <- Gen.listOfN(n, vecGen)
-    } yield vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v.toArray) }
+    } yield vs.zipWithIndex
+      // snap to float32 precision UP FRONT: the operator receives float embeddings
+      // (the embeddings-table dtype), so a mirror computing on the unquantized
+      // doubles diverges by ~1e-8 — enough to flip a 6-decimal cosine digit at a
+      // rounding boundary (observed as a rare-seed flake)
+      .map { case (v, i) => ((i + 1).toLong, v.map(x => x.toFloat.toDouble).toArray) }
       // zero vectors make cosine 0/0 — the operator's contract is nonzero embeddings
       .filter(_._2.exists(_ != 0.0))
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -168,6 +173,95 @@ class RoundNinePropertySpec extends SparkSpec {
         small._4 >= large._4 - 1e-9
       }
       normalized && antitone
+    })
+  }
+
+  // ------------------------------------------------------------- d14 dup spans
+
+  test("dupSpans equals the brute-force span mirror on random small-vocab corpora") {
+    import spark.implicits._
+    val (win, minSpan) = (3, 4)
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) })
+    check("dupspan-mirror", Prop.forAll(corpusGen) { corpus =>
+      // mirror: windows with positions, cross-doc duplicates, island merge
+      val windows = corpus.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        id -> w.indices.dropRight(win - 1).map(i => (i + 1, w.slice(i, i + win).mkString(" ")))
+      }.toMap
+      val docFreq = windows.toSeq.flatMap { case (id, ws) => ws.map(w => (id, w._2)) }
+        .distinct.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+      val expected = windows.toSeq.flatMap { case (id, ws) =>
+        val dupPos = ws.collect { case (p, s) if docFreq(s) >= 2 => p }.sorted
+        // islands of consecutive duplicated starts
+        val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        islands.collect {
+          case (s, e) if e - s + win >= minSpan =>
+            (id, s.toLong, (e - s + win).toLong)
+        }
+      }.toSet
+      val got = Dedup.dupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          windowTokens = win, minSpanTokens = minSpan)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_tokens")))
+        .toSet
+      got == expected
+    })
+  }
+
+  // ------------------------------------------------------------- s20 kNN graph
+
+  test("knnGraph equals the naive LSH + rank mirror on random vector sets") {
+    import spark.implicits._
+    val dims = 4
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-5, 5)).map(_.map(_.toDouble / 5.0))
+    val setGen = for {
+      n <- Gen.chooseNum(5, 10)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v.toArray) }
+      .filter(_._2.exists(_ != 0.0))
+    // independent mirror of the plane family (the published ±1 construction)
+    def planeW(i: Int, j: Int): Double = if ((i * (2 * j + 3) + j) % 2 == 0) 1.0 else -1.0
+    def bucket(v: Array[Double], nPlanes: Int, offset: Int): Long =
+      (0 until nPlanes).map { j =>
+        val proj = v.indices.map(i => v(i) * planeW(i, offset + j)).sum
+        if (proj >= 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      round6(dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum))
+    }
+    check("knn-mirror", Prop.forAll(setGen) { vecs =>
+      vecs.size < 2 || {
+        val (k, planes) = (3, 3)
+        val cand = (for {
+          (a, va) <- vecs; (b, vb) <- vecs
+          if a < b
+          if bucket(va, planes, 0) == bucket(vb, planes, 0) ||
+            bucket(va, planes, planes) == bucket(vb, planes, planes)
+        } yield (a, b)).toSet
+        val sym = cand.toSeq.flatMap { case (a, b) =>
+          val c = cos(vecs.toMap.apply(a), vecs.toMap.apply(b))
+          Seq((a, b, c), (b, a, c))
+        }
+        val expected = sym.groupBy(_._1).flatMap { case (v, es) =>
+          es.sortBy { case (_, n, c) => (-c, n) }.take(k).zipWithIndex
+            .map { case ((_, n, c), r) => (v, n, c, r + 1) }
+        }.toSet
+        val got = Similarity.knnGraph(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+            k = k, nTables = 2, planesPerTable = planes, dims = dims)
+          .collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
+          .toSet
+        got == expected
+      }
     })
   }
 }

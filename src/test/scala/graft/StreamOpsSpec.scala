@@ -508,6 +508,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming AMS F2: registers reproduce the batch sk08 sums on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val width = 16
+    val query = StreamOps.streamingAmsF2(stream.toDS().toDF("user_id"), "user_id", width = width)
+      .toDF().writeStream.format("memory").queryName("ams")
+      .outputMode(OutputMode.Update()).start()
+    val first = (1L to 20L).flatMap(i => Seq.fill((i % 5 + 1).toInt)(i))
+    val second = Seq.fill(30)(7L) ++ (21L to 25L)
+    try {
+      def check(prefix: Seq[Long]): Unit = {
+        val got = spark.sql(
+          "SELECT nRows, f2Sum, f2Est FROM ams ORDER BY nRows DESC LIMIT 1")
+          .collect().head
+        val batch = graft.pipeline.Sketches
+          .amsF2(prefix.toDF("user_id"), "user_id", width = width)
+          .collect().head
+        assert(got.getLong(0) == batch.getAs[Long]("n_rows"), s"prefix ${prefix.size}")
+        assert(got.getLong(1) == batch.getAs[Long]("f2_sum"), s"prefix ${prefix.size}")
+        assert(got.getDouble(2) == batch.getAs[Double]("f2_est"), s"prefix ${prefix.size}")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
+  test("mergeAmsRegs composes: split merge equals one-shot merge") {
+    import graft.streaming.StreamOps.mergeAmsRegs
+    val signs = (1 to 9).map(i => Vector.tabulate(8)(j => if ((i * 31 + j * 7) % 2 == 0) 1L else -1L))
+    val (a, b) = signs.splitAt(4)
+    val oneShot = mergeAmsRegs(Vector.fill(8)(0L), signs.iterator)
+    val split = mergeAmsRegs(mergeAmsRegs(Vector.fill(8)(0L), a.iterator), b.iterator)
+    assert(oneShot == split)
+    assert(oneShot.map(math.abs(_)).max <= 9L)
+  }
+
   test("mergeHllRegs is order independent and hllRho matches the string-position rank") {
     import graft.streaming.StreamOps.{hllRho, mergeHllRegs}
     for (w <- Seq(0L, 1L, 5L, 1L << 20, (1L << 26) - 1)) {
