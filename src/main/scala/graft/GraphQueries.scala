@@ -1361,6 +1361,7 @@ object GraphQueries {
     val edges = TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
       .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true) // three consumers below — else the LWW fold re-runs per branch
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("dout"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("din"))
     // each edge carries both walk denominators so the half-steps never re-join degrees

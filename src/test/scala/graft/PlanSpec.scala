@@ -515,6 +515,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("kNN graph candidates come from (table, bucket) equi-joins, never a pair product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.knnGraph(emb, "vec_id", "embedding"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("AMS F2 registers are built from the per-key count relation, not the raw stream") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(pipeline.Sketches.amsF2(ev, "user_id"))
+    // the width-explode must sit ABOVE the count agg: Generate over an aggregate,
+    // with the count combining map-side — a pre-agg explode would amplify the scan
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge"),
+      s"per-key counts must combine map-side:\n$p")
+  }
+
   test("media-text alignment is one id equi-join with a map-side embed pass") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
