@@ -1302,6 +1302,44 @@ object GraphQueries {
     dist.select(col("v").as("vertex_id"), col("dist"))
   }
 
+  /** Sampled harmonic centrality — bounded multi-source BFS from the seed sample with
+    * PER-SEED distances, folded to Σ 1/d(s, v) per vertex (the harmonic variant of
+    * closeness, finite on disconnected graphs — Boldi & Vigna 2014; seed-sampled
+    * estimation per Eppstein & Wang 2001). Where [[bfsDistance]] reports only the
+    * MINIMUM hop distance from the whole seed set, this keeps the (seed, vertex)
+    * relation, so it prices how broadly reachable a vertex is, not just how near its
+    * closest seed sits. Contributions are exact integers: `10⁶ DIV d`.
+    *
+    * Scale shape: per round one equi-join frontier⋈edges + one min-agg, exactly
+    * [[bfsDistance]] per seed — but state is the (seed, vertex) pair relation, the
+    * honest cost of every landmark-centrality method: bounded by |S|·|reached|, so
+    * the seed fraction (1%) IS the memory knob. Frontier rounds expand only the
+    * previous round's improved pairs.
+    */
+  def harmonicCentrality(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true)
+    var dist = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .filter(col("v") % 100 === 0)
+      .select(col("v").as("seed"), col("v"), lit(0).as("dist"))
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("dist") === h - 1)
+        .join(edges, col("v") === col("src"))
+        .select(col("seed"), col("dst").as("v"), lit(h).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+      .filter(col("dist") >= 1)
+      .groupBy(col("v").as("vertex_id"))
+      .agg(
+        count(lit(1)).as("n_seeds"),
+        sum(expr("CAST(1000000 AS BIGINT) DIV dist")).as("harmonic_micro"))
+  }
+
   /** Friend-of-friend recommendations — the "who to follow" query the reference's
     * graph existed to serve (intersections of follower sets,
     * `/root/reference/doc/blog.md:34-40`): for each seed user, candidates are 2-hop

@@ -122,6 +122,9 @@ object SparkEntry {
   /** sk08's pinned AMS register count, shared by registration and oracle. */
   private[graft] val AmsWidth = 64
 
+  /** t32's pinned doc-id bucket width, shared by registration and oracle. */
+  private[graft] val VocabBucketDocs = 50L
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -175,6 +178,8 @@ object SparkEntry {
     "g41_snapshot_asof"     -> (GraphQueries.snapshotAsOf _),
     "g42_churn_between"     -> (GraphQueries.churnBetween _),
     "g43_salsa"             -> (GraphQueries.salsa _),
+    "g44_harmonic"          -> ((s: SparkSession, dir: String) =>
+      GraphQueries.harmonicCentrality(s, dir, maxHops = 3)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -305,6 +310,9 @@ object SparkEntry {
     "t31_dsir_scores" -> ((s: SparkSession, dir: String) =>
       Sampling.dsirScores(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         "source", targetSource = DsirTargetSource, buckets = DsirBuckets)),
+    "t32_vocab_growth" -> ((s: SparkSession, dir: String) =>
+      TextStats.vocabGrowth(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        bucketDocs = VocabBucketDocs)),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
@@ -2259,6 +2267,28 @@ object SparkEntry {
          |  FROM fil)
          |WHERE rank <= 5""".stripMargin,
 
+    // sampled harmonic centrality: per-seed bounded BFS (3 unrolled rounds with
+    // min folds on (seed, v)), then Σ 10^6 // d per vertex over d >= 1 — mirror of
+    // GraphQueries.harmonicCentrality
+    "g44_harmonic" -> {
+      def round(h: Int) =
+        s"""n$h AS (SELECT r${h - 1}.seed, e.dst AS v, CAST($h AS INTEGER) AS dist
+           |       FROM r${h - 1} JOIN e ON r${h - 1}.v = e.src WHERE r${h - 1}.dist = ${h - 1}),
+           |r$h AS (SELECT seed, v, MIN(dist) AS dist FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY seed, v)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT v AS seed, v, CAST(0 AS INTEGER) AS dist FROM vx WHERE v % 100 = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS vertex_id, COUNT(*) AS n_seeds,
+         |       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |FROM r3 WHERE dist >= 1 GROUP BY v""".stripMargin
+    },
+
     // bounded BFS from the seed set, 3 unrolled frontier expansions with min-label
     // folds — mirror of GraphQueries.bfsDistance
     "g34_bfs_distance" -> {
@@ -2744,6 +2774,25 @@ object SparkEntry {
          |       ELSE round(score_micro::DOUBLE / (n_feats * 1000000)::DOUBLE, 6) END AS avg_log_ratio
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
     },
+
+    // vocabulary-growth (Heaps-law) curve: per-token first-appearance doc, doc-id
+    // bucket rollups, cumulative window over bucket stats — mirror of
+    // TextStats.vocabGrowth
+    "t32_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |dv0 AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+         |dv AS (SELECT doc_id // $VocabBucketDocs AS bucket, COUNT(*) AS n_docs,
+         |              CAST(SUM(n) AS BIGINT) AS n_tokens
+         |       FROM dv0 GROUP BY 1),
+         |nv AS (SELECT first_id // $VocabBucketDocs AS bucket, COUNT(*) AS new_vocab
+         |       FROM (SELECT token, MIN(doc_id) AS first_id FROM toks GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT bucket,
+         |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+         |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS vocab
+         |FROM dv LEFT JOIN nv USING (bucket)
+         |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // corpus-unigram log-probability score per document (per-token micro-unit ln, exact
     // integer sums) — mirror of TextStats.unigramLogProb

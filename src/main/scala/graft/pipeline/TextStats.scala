@@ -154,6 +154,49 @@ object TextStats {
       )
   }
 
+  /** Vocabulary-growth curve — the Heaps-law diagnostic of corpus curation: distinct
+    * vocabulary size as a function of corpus position (doc-id buckets of
+    * `bucketDocs`), alongside cumulative document and token volume. A healthy
+    * natural corpus grows vocabulary ∝ tokensᵝ with β ≈ 0.5; premature saturation
+    * flags heavy duplication (dedup left templated text behind), and super-linear
+    * growth flags noise/gibberish — the after-pass companion to the d-family.
+    *
+    * Every number is exact-integer: a token's first appearance is `min(doc_id)`
+    * (order-free), per-bucket new-vocabulary and token counts are
+    * map-side-combinable aggs, and the cumulative fold is a window over BUCKET
+    * STATS (|docs|/bucketDocs rows — the t17 cumulated-histogram bound, planner-
+    * sized, never the token stream).
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketDocs: Long = 50L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(df, idCol, textCol)
+      .select(col(idCol), col("token"))
+      .localCheckpoint(true) // two consumers: per-doc volume and first-appearance
+    val docVol = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+      .select(expr(s"$idCol DIV $bucketDocs").as("bucket"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val newVocab = toks.groupBy(col("token")).agg(min(col(idCol)).as("first_id"))
+      .select(expr(s"first_id DIV $bucketDocs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docVol
+      .join(newVocab, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .select(
+        col("bucket"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_vocab")).over(w).as("vocab"))
+  }
+
   /** Document fingerprint: exact-integer polynomial hash over character codepoints,
     * `sum(codepoint(i) · 31^(i mod 8)) mod 1e9+7` — a native codegen'd one-pass
     * expression (org.apache.spark.sql.graft.PolyFingerprint; the HOF-fold formulation

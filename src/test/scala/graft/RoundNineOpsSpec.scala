@@ -407,6 +407,41 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got(1L)._3 > got(3L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  // ----------------------------------------------------------- t32 vocab growth
+
+  test("vocabGrowth matches a direct mirror and vocabulary is monotone-saturating") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b d"), (9L, "a e"),
+      (10L, "a b c d e"), (11L, "f g"),
+      (25L, "a a a"))
+    val df = docs.toDF("doc_id", "text")
+    val bucketDocs = 10L
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val dv = toks.groupBy(_._1).map { case (id, xs) => (id / bucketDocs, id, xs.size.toLong) }
+      .groupBy(_._1).map { case (b, xs) => b -> ((xs.size.toLong, xs.map(_._3).sum)) }
+    val nv = toks.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min / bucketDocs }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val buckets = dv.keys.toSeq.sorted
+    val expected = buckets.map { b =>
+      val upTo = buckets.filter(_ <= b)
+      (b,
+        upTo.map(dv(_)._1).sum,
+        upTo.map(dv(_)._2).sum,
+        upTo.map(nv.getOrElse(_, 0L)).sum)
+    }.toSet
+    val got = TextStats.vocabGrowth(df, "doc_id", "text", bucketDocs = bucketDocs)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cum_docs"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("vocab")))
+      .toSet
+    assert(got == expected)
+    // vocabulary never exceeds cumulative tokens and never decreases
+    val ordered = got.toSeq.sortBy(_._1)
+    assert(ordered.forall { case (_, _, ct, v) => v <= ct })
+    assert(ordered.map(_._4) == ordered.map(_._4).sorted)
+  }
+
   // ------------------------------------------------------------ ev15 attribution
 
   test("attribution credits the latest in-window touch, ties to touches then max id") {
@@ -561,6 +596,40 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got == vertices.map(v => v -> ((auth(v), hub(v)))).toMap)
     // max-normalization pins each side's argmax to exactly 1e6
     assert(got.values.map(_._1).max == 1000000L && got.values.map(_._2).max == 1000000L)
+  }
+
+  test("harmonicCentrality matches a per-seed BFS mirror over the collected edges") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === graft.model.State.Normal)
+      .select(col("source_id"), col("destination_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.toSeq }
+      .withDefaultValue(Seq.empty[Long])
+    val vertices = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val seeds = vertices.filter(_ % 100 == 0)
+    val maxHops = 3
+    // classic per-seed BFS to the hop bound
+    val dist = seeds.flatMap { s =>
+      var d = Map(s -> 0)
+      var frontier = Seq(s)
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj).distinct.filterNot(d.contains)
+        next.foreach(v => d += v -> h)
+        frontier = next
+      }
+      d.collect { case (v, dd) if dd >= 1 => (v, dd) }
+    }
+    val expected = dist.groupBy(_._1).map { case (v, xs) =>
+      v -> ((xs.length.toLong, xs.map(x => 1000000L / x._2).sum))
+    }
+    val got = GraphQueries.harmonicCentrality(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") ->
+        ((r.getAs[Long]("n_seeds"), r.getAs[Long]("harmonic_micro")))).toMap
+    assert(got == expected)
+    // harmonic contributions are 1e6/1, /2, /3 — every value decomposes on that grid
+    assert(got.values.forall { case (n, hm) => hm <= n * 1000000L && hm >= n * 333333L })
   }
 
   test("salsa damps celebrity hubs relative to hits") {
