@@ -18,7 +18,7 @@ object Bench {
     "g39_sssp", "g40_lpa_communities", "g42_churn_between",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
-    "s02_ann_lsh", "s03_embed_neardup", "s04_ann_ivf",
+    "s03_embed_neardup", "s04_ann_ivf",
     "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
     "s20_knn_graph",
@@ -27,13 +27,15 @@ object Bench {
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
     // g06_reciprocal, g33_hits (r8, paying for cal_end + g42), t14_sequence_pack,
     // ev12_session_stats (r9, paying for s19 + t29), ev11_rolling_actives,
-    // sk04_hll_overlap, q06_revenue_rollup (r9b, paying for g43 + d14 + t31) —
+    // sk04_hll_overlap, q06_revenue_rollup (r9b, paying for g43 + d14 + t31),
+    // t22_bpe_pairs, s02_ann_lsh (r9c, paying for g44 + t32) —
     // all historically <2s and family-covered by the remaining entries
-    "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top", "t22_bpe_pairs",
+    "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination", "sk05_theta_diff",
     "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
+    "g44_harmonic", "t32_vocab_growth",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
