@@ -2779,13 +2779,14 @@ object SparkEntry {
     // bucket rollups, cumulative window over bucket stats — mirror of
     // TextStats.vocabGrowth
     "t32_vocab_growth" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      s"""WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |toks AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks0),
          |dv0 AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
          |dv AS (SELECT doc_id // $VocabBucketDocs AS bucket, COUNT(*) AS n_docs,
          |              CAST(SUM(n) AS BIGINT) AS n_tokens
          |       FROM dv0 GROUP BY 1),
          |nv AS (SELECT first_id // $VocabBucketDocs AS bucket, COUNT(*) AS new_vocab
-         |       FROM (SELECT token, MIN(doc_id) AS first_id FROM toks GROUP BY 1)
+         |       FROM (SELECT h, MIN(doc_id) AS first_id FROM toks GROUP BY 1)
          |       GROUP BY 1)
          |SELECT bucket,
          |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,

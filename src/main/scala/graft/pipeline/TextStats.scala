@@ -165,7 +165,10 @@ object TextStats {
     * (order-free), per-bucket new-vocabulary and token counts are
     * map-side-combinable aggs, and the cumulative fold is a window over BUCKET
     * STATS (|docs|/bucketDocs rows — the t17 cumulated-histogram bound, planner-
-    * sized, never the token stream).
+    * sized, never the token stream). The first-appearance agg shuffles 60-bit md5
+    * hashes, not token strings (the d02 shuffle-diet idiom; a collision merges two
+    * tokens' vocabulary entries corpus-wide — odds ~|vocab|²/2⁶¹, mirrored exactly
+    * by the oracle, which hashes identically).
     */
   def vocabGrowth(
       df: DataFrame,
@@ -175,13 +178,14 @@ object TextStats {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(df, idCol, textCol)
-      .select(col(idCol), col("token"))
+      .select(col(idCol),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
       .localCheckpoint(true) // two consumers: per-doc volume and first-appearance
     val docVol = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
       .select(expr(s"$idCol DIV $bucketDocs").as("bucket"), col("n_tokens"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val newVocab = toks.groupBy(col("token")).agg(min(col(idCol)).as("first_id"))
+    val newVocab = toks.groupBy(col("h")).agg(min(col(idCol)).as("first_id"))
       .select(expr(s"first_id DIV $bucketDocs").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
     val w = Window.orderBy(col("bucket"))
