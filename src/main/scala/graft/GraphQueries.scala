@@ -1340,6 +1340,56 @@ object GraphQueries {
         sum(expr("CAST(1000000 AS BIGINT) DIV dist")).as("harmonic_micro"))
   }
 
+  /** Deterministic random-walk corpus — the DeepWalk/node2vec sampling primitive
+    * (Perozzi et al. KDD 2014): one fixed-length walk per seed vertex, each step
+    * choosing among the current vertex's out-neighbors. The emitted (walk, step,
+    * vertex) rows ARE the training corpus graph-embedding pipelines feed to a
+    * skip-gram model — the graph-side analog of the d/t-family's text corpus ops.
+    *
+    * Determinism (what makes this oracle-checkable where `rand()` never is): the
+    * step-t choice is `h32(walkId:t) mod outdeg(v_t)` over the neighbor list indexed
+    * by `row_number() − 1` in destination order — pure md5 arithmetic both engines
+    * reproduce bit-for-bit, stable under partitioning, retries, and cluster size.
+    * Walks reaching a vertex with no out-edges stop early (inner join drops them).
+    *
+    * Scale shape: the indexed adjacency builds once (one window per source
+    * partition, bounded by out-degree — the same celebrity-fanout caveat as g35);
+    * each step is one equi-join of the |walks|-row frontier against it on
+    * (src, idx); walk state never exceeds |seeds| rows per step.
+    */
+  def randomWalks(
+      spark: SparkSession,
+      dir: String,
+      steps: Int = 3,
+      seedMod: Int = 50
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val adj = edges
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("dout", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true) // one consumer per step
+    var walks = adj.select(col("src").as("v")).distinct()
+      .filter(col("v") % seedMod === 0)
+      .select(col("v").as("walk_id"), lit(0).as("step"), col("v"))
+    var out = walks
+    for (t <- 1 to steps) {
+      val choice = pmod(
+        conv(substring(md5(concat(col("walk_id").cast("string"), lit(":"), lit(t.toString))), 1, 8), 16, 10)
+          .cast("long"),
+        col("dout"))
+      walks = walks
+        .join(adj, col("v") === col("src"))
+        .filter(col("idx") === choice)
+        .select(col("walk_id"), lit(t).as("step"), col("dst").as("v"))
+      out = out.unionByName(walks)
+    }
+    out.select(col("walk_id"), col("step"), col("v").as("vertex_id"))
+  }
+
   /** Friend-of-friend recommendations — the "who to follow" query the reference's
     * graph existed to serve (intersections of follower sets,
     * `/root/reference/doc/blog.md:34-40`): for each seed user, candidates are 2-hop

@@ -125,6 +125,12 @@ object SparkEntry {
   /** t32's pinned doc-id bucket width, shared by registration and oracle. */
   private[graft] val VocabBucketDocs = 50L
 
+  /** g45's pinned walk length and seed sampling mod, shared by registration and
+    * oracle.
+    */
+  private[graft] val WalkSteps = 3
+  private[graft] val WalkSeedMod = 10
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -180,6 +186,8 @@ object SparkEntry {
     "g43_salsa"             -> (GraphQueries.salsa _),
     "g44_harmonic"          -> ((s: SparkSession, dir: String) =>
       GraphQueries.harmonicCentrality(s, dir, maxHops = 3)),
+    "g45_random_walks"      -> ((s: SparkSession, dir: String) =>
+      GraphQueries.randomWalks(s, dir, steps = WalkSteps, seedMod = WalkSeedMod)),
     // --- general analytics (bench headliners) ---
     "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
     "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
@@ -2266,6 +2274,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY s ORDER BY n_via DESC, c) AS rank
          |  FROM fil)
          |WHERE rank <= 5""".stripMargin,
+
+    // deterministic random walks: row_number-indexed adjacency, md5(walk:step) mod
+    // outdeg choices, 3 unrolled steps — mirror of GraphQueries.randomWalks
+    "g45_random_walks" -> {
+      def step(t: Int) =
+        s"""w$t AS (SELECT w${t - 1}.walk_id, CAST($t AS INTEGER) AS step, a.dst AS v
+           |       FROM w${t - 1} JOIN a ON a.src = w${t - 1}.v
+           |       WHERE a.idx = ('0x' || substr(md5(CAST(w${t - 1}.walk_id AS VARCHAR) || ':$t'), 1, 8))::BIGINT % a.dout)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |a AS (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |        COUNT(*) OVER (PARTITION BY src) AS dout
+         |      FROM e),
+         |w0 AS (SELECT src AS walk_id, CAST(0 AS INTEGER) AS step, src AS v
+         |       FROM (SELECT DISTINCT src FROM a) WHERE src % $WalkSeedMod = 0),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT walk_id, step, v AS vertex_id FROM w0
+         |UNION ALL SELECT walk_id, step, v FROM w1
+         |UNION ALL SELECT walk_id, step, v FROM w2
+         |UNION ALL SELECT walk_id, step, v FROM w3""".stripMargin
+    },
 
     // sampled harmonic centrality: per-seed bounded BFS (3 unrolled rounds with
     // min folds on (seed, v)), then Σ 10^6 // d per vertex over d >= 1 — mirror of

@@ -632,6 +632,44 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got.values.forall { case (n, hm) => hm <= n * 1000000L && hm >= n * 333333L })
   }
 
+  test("randomWalks replays the md5-choice walk exactly and stops at dead ends") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === graft.model.State.Normal)
+      .select(col("source_id"), col("destination_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // indexed adjacency in destination order — the operator's row_number contract
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val (steps, seedMod) = (3, 10)
+    val expected = adj.keys.filter(_ % seedMod == 0).flatMap { seed =>
+      var v = seed
+      var rows = List((seed, 0, seed))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(v) match {
+          case Some(nbrs) =>
+            v = nbrs((h32(s"$seed:$t") % nbrs.length).toInt)
+            rows ::= ((seed, t, v))
+          case None => alive = false
+        }
+        t += 1
+      }
+      rows
+    }.toSet
+    val got = GraphQueries.randomWalks(spark, dir, steps = steps, seedMod = seedMod)
+      .collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Int]("step"), r.getAs[Long]("vertex_id")))
+      .toSet
+    assert(got == expected)
+    // every walk has a step-0 row at its seed
+    assert(got.filter(_._2 == 0).forall { case (w, _, v) => w == v })
+  }
+
   test("salsa damps celebrity hubs relative to hits") {
     val dir = "/root/testdata/sf0.001"
     val salsa = GraphQueries.salsa(spark, dir).collect()
