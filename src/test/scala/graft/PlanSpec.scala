@@ -532,6 +532,19 @@ class PlanSpec extends SparkSpec {
       s"per-key counts must combine map-side:\n$p")
   }
 
+  test("attribution is one window pass per user with no joins") {
+    val p = plan(AnalyticsQueries.attribution(spark, dir))
+    assert(!p.contains("Join"), s"attribution must stay join-free:\n$p")
+    // exactly one window sort (the per-user last-touch carry), then a hash-agg
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("random-walk steps are equi-joins of the walk frontier against indexed adjacency") {
+    val p = plan(GraphQueries.randomWalks(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk steps must stay equi-joins:\n$p")
+  }
+
   test("media-text alignment is one id equi-join with a map-side embed pass") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
