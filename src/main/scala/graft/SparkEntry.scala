@@ -3208,10 +3208,6 @@ object SparkEntry {
          |  CAST(vs[CAST((99 * n_sample + 99) // 100 AS INT)] AS BIGINT) AS p99_est
          |FROM agg""".stripMargin,
 
-    // HDR-histogram quantiles: (binary exponent, top-2 mantissa bits) buckets from
-    // pure INTEGER arithmetic (bit length, shifts — no float log2 at bucket
-    // boundaries), cumulated-count nearest-rank, estimate = bucket lower bound —
-    // mirror of Sketches.hdrQuantiles
     // AMS tug-of-war F2 (self-join size) sketch: per-key counts, ±1 md5 signs per
     // (register, key), register sums squared and averaged; exact F2 as diagnostic
     // — mirror of Sketches.amsF2
@@ -3229,6 +3225,10 @@ object SparkEntry {
          |       round(f2_sum::DOUBLE / ${AmsWidth}.0, 6) AS f2_est
          |FROM tot CROSS JOIN est""".stripMargin,
 
+    // HDR-histogram quantiles: (binary exponent, top-2 mantissa bits) buckets from
+    // pure INTEGER arithmetic (bit length, shifts — no float log2 at bucket
+    // boundaries), cumulated-count nearest-rank, estimate = bucket lower bound —
+    // mirror of Sketches.hdrQuantiles
     "sk07_hdr_quantiles" ->
       """WITH vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
         |              WHERE n_chars > 0),

@@ -163,9 +163,13 @@ object Multimodal {
     */
   class EmbedStub(dims: Int = 8) extends MediaEmbedder {
     require(dims * 4 <= 32, "md5 hex has 32 chars — at most 8 four-char dims")
+    // one digest per task, reset between records — the "model handle" this stub
+    // stands in for; a per-record getInstance() would pay the JCA provider lookup
+    // on every row of the hot embed path
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def embed(mediaType: String, bytes: Array[Byte]): Array[Double] = {
-      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
+      md.reset()
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
       Array.tabulate(dims) { d =>
         (java.lang.Long.parseLong(hex.substring(d * 4, d * 4 + 4), 16) % 1000L) / 1000.0
       }

@@ -178,6 +178,7 @@ object Sampling {
   ): DataFrame = {
     val alpha = alphaMicro.toDouble / 1000000.0
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // two consumers (total + weighted) — else the corpus re-scans
     val total = counts.agg(sum(col("n_docs")).as("n_total"))
     val weighted = counts
       .crossJoin(broadcast(total))

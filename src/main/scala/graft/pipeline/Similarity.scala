@@ -422,6 +422,24 @@ object Similarity {
       nTables: Int = 2,
       planesPerTable: Int = 6,
       dims: Int = 64
+  ): DataFrame =
+    scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims)
+      .filter(col("cos_sim") >= threshold)
+
+  /** Shared LSH candidate generation + exact pair scoring — the common front half of
+    * [[nearDupPairs]] and [[knnGraph]]: (id_a, id_b, cos_sim) for every unordered
+    * pair (id_a < id_b) colliding in ANY of the `nTables` hyperplane tables, cosine
+    * computed once per distinct pair. Kept as ONE definition so a candidate-side
+    * change (e.g. the bucket-membership cap both callers' docs discuss) cannot
+    * silently diverge the two operators.
+    */
+  private def scoredLshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nTables: Int,
+      planesPerTable: Int,
+      dims: Int
   ): DataFrame = {
     // vectors feed three consumers (bucket derivation + the two joins back onto the
     // candidate pairs) and the bucket relation self-joins; materialize each once
@@ -450,7 +468,6 @@ object Similarity {
         col("id_a"), col("id_b"),
         round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim")
       )
-      .filter(col("cos_sim") >= threshold)
   }
 
   /** Approximate kNN GRAPH over the whole corpus — every vector's top-`k` cosine
@@ -479,30 +496,7 @@ object Similarity {
       planesPerTable: Int = 6,
       dims: Int = 64
   ): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nv", norm2(col("v")))
-      .localCheckpoint(true) // consumers: bucket derivation + both pair join sides
-    val tables = (0 until nTables).map { t =>
-      struct(
-        lit(t).as("tbl"),
-        lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
-      )
-    }
-    val buckets = vecs
-      .select(col("id"), explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(true) // both sides of the candidate self-join
-    val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val scored = cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), Seq("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim"))
+    val scored = scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims)
       .localCheckpoint(true) // consumed twice (both directions of the symmetric edge)
     val sym = scored
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos_sim"))

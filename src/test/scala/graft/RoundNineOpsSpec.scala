@@ -526,13 +526,18 @@ class RoundNineOpsSpec extends SparkSpec {
     }
     // group ids are monotone in bucket order (contiguous key ranges)
     assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
-    // every group but the last reaches the target before closing (no premature cuts):
-    // the next group opens only once the running count passes its threshold
-    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
-    val last = rows.map(_._3).max
-    totals.filter(_._1 != last).foreach { case (g, t) =>
-      assert(t >= target - rows.filter(_._3 == g).map(_._2).max,
-        s"group $g closed at $t rows with target $target")
+    // sound packing invariants (a "group reaches the target" bound does NOT hold in
+    // general: a huge tile straddling a boundary can leave its successor group tiny):
+    // each group's tiles all START inside the group's cum range [g·T, (g+1)·T)
+    var cum2 = 0L
+    rows.foreach { case (_, n, g) =>
+      assert(cum2 >= g * target && cum2 < (g + 1) * target)
+      cum2 += n
+    }
+    // a tile at least as large as the target always gets a fresh group to itself
+    // (nothing later can share its cum range)
+    rows.zip(rows.drop(1)).foreach { case ((_, n, g), (_, _, g2)) =>
+      if (n >= target) assert(g2 > g, s"oversized tile in group $g not isolated")
     }
   }
 
