@@ -442,13 +442,27 @@ object AnalyticsQueries {
       dir: String,
       lookbackUs: Long = 86400000000L,
       touchTypes: Seq[String] = Seq("click", "view", "signup")
+  ): DataFrame =
+    attributionOf(
+      eventsTsu(spark, dir, "event_id", "user_id", "event_type", "value")
+        .withColumnRenamed("tsu", "ts_us"),
+      lookbackUs, touchTypes)
+
+  /** Kernel of [[attribution]] over a (event_id, user_id, event_type, ts_us, value)
+    * relation — exposed so the streaming twin's parity test can run the batch fold
+    * on the identical rows.
+    */
+  def attributionOf(
+      events: DataFrame,
+      lookbackUs: Long = 86400000000L,
+      touchTypes: Seq[String] = Seq("click", "view", "signup")
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tagged = eventsTsu(spark, dir, "event_id", "user_id", "event_type", "value")
+    val tagged = events
       .filter(col("event_type").isin(touchTypes :+ "purchase": _*))
       .select(
         col("event_id"), col("user_id"), col("event_type"),
-        col("tsu").as("ts_us"), col("value"),
+        col("ts_us"), col("value"),
         // touches sort BEFORE purchases at the same timestamp: at-or-before
         when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("side"))
     val w = Window

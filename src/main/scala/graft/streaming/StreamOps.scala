@@ -621,6 +621,76 @@ object StreamOps extends Serializable {
       }
   }
 
+  // --- streaming last-touch attribution (AnalyticsQueries.attribution parity) ---
+
+  case class AttrEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long, value: Double)
+  case class AttributedConversion(
+      userId: Long, eventId: Long, tsUs: Long, channel: String, gapUs: Long, valueCents: Long)
+
+  /** Pure per-user fold (unit-testable): carry the last-touch register
+    * (ts, eventId, type) across batches, classify each purchase in the batch. The
+    * batch sorts by (ts, side, eventId) with touches before purchases at equal ts —
+    * the ev15 window order — so replaying a batch in any arrival order yields the
+    * same conversions. `gapUs` is −1 on unattributed conversions (channel 'none').
+    */
+  def mergeAttributionBatch(
+      current: Option[(Long, Long, String)],
+      batch: Seq[AttrEvent],
+      lookbackUs: Long,
+      touchTypes: Set[String]
+  ): (Option[(Long, Long, String)], Seq[AttributedConversion]) = {
+    var reg = current
+    val out = Seq.newBuilder[AttributedConversion]
+    batch
+      .sortBy(e => (e.tsUs, if (touchTypes(e.eventType)) 0 else 1, e.eventId))
+      .foreach { e =>
+        if (touchTypes(e.eventType)) {
+          reg = Some((e.tsUs, e.eventId, e.eventType))
+        } else if (e.eventType == "purchase") {
+          val (channel, gap) = reg match {
+            case Some((ts, _, tp)) if e.tsUs - ts <= lookbackUs => (tp, e.tsUs - ts)
+            case _ => ("none", -1L)
+          }
+          out += AttributedConversion(e.userId, e.eventId, e.tsUs, channel, gap,
+            math.floor(e.value * 100 + 0.5).toLong)
+        }
+      }
+    (reg, out.result())
+  }
+
+  /** Streaming last-touch attribution — ev15 at ingestion time: one last-touch
+    * register per user as group state (three fields — state tracks ACTIVE users,
+    * like the sessionizer), each arriving purchase emitted immediately with its
+    * attributed channel and exact integer gap/cents. On in-order streams the
+    * emitted conversions aggregate to the batch operator's per-channel rollup
+    * exactly (StreamOpsSpec pins it). Limit, documented: a touch arriving AFTER its
+    * conversion's micro-batch cannot retro-attribute the already-emitted row —
+    * cross-batch reordering needs the watermark-delay pattern of the event-time
+    * sessionizer.
+    */
+  def streamingAttribution(
+      events: Dataset[AttrEvent],
+      lookbackUs: Long = 86400000000L,
+      touchTypes: Set[String] = Set("click", "view", "signup")
+  ): Dataset[AttributedConversion] = {
+    import events.sparkSession.implicits._
+
+    def fold(
+        userId: Long,
+        batch: Iterator[AttrEvent],
+        state: GroupState[(Long, Long, String)]
+    ): Iterator[AttributedConversion] = {
+      val (reg, conversions) =
+        mergeAttributionBatch(state.getOption, batch.toSeq, lookbackUs, touchTypes)
+      reg.foreach(state.update)
+      conversions.iterator
+    }
+
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   // --- streaming AMS F2 sketch (Sketches.amsF2 batch parity) ---
 
   case class AmsF2Row(key: String, nRows: Long, f2Sum: Long, f2Est: Double)

@@ -539,6 +539,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming attribution aggregates to the batch ev15 rollup on in-order streams") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.AttrEvent
+    val look = 1000L
+    // two users; a touch at the conversion's exact ts (tie → touch first), an
+    // out-of-window touch, an unattributed purchase, and a cross-batch register carry
+    val first = Seq(
+      AttrEvent(1L, 10L, "click", 100L, 0.0), AttrEvent(1L, 11L, "purchase", 100L, 10.004),
+      AttrEvent(1L, 12L, "view", 200L, 0.0),
+      AttrEvent(2L, 20L, "purchase", 50L, 7.0))
+    val second = Seq(
+      AttrEvent(1L, 13L, "purchase", 1100L, 3.0), // attributed to the batch-1 view at 200? no: gap 900 <= 1000 → view
+      AttrEvent(1L, 14L, "purchase", 5000L, 1.0), // gap 4800 > lookback → none
+      AttrEvent(2L, 21L, "signup", 60L, 0.0), AttrEvent(2L, 22L, "purchase", 61L, 2.5))
+    val stream = MemoryStream[AttrEvent]
+    val query = StreamOps.streamingAttribution(stream.toDS(), lookbackUs = look)
+      .toDF().writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT channel, COUNT(*) AS n, CAST(SUM(valueCents) AS BIGINT) AS cents,
+          |       CAST(SUM(CASE WHEN gapUs >= 0 THEN gapUs ELSE 0 END) AS BIGINT) AS gap
+          |FROM attr GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val batch = AnalyticsQueries.attributionOf(
+        (first ++ second).toDF()
+          .selectExpr("eventId AS event_id", "userId AS user_id",
+            "eventType AS event_type", "tsUs AS ts_us", "value"),
+        lookbackUs = look)
+        .collect().map(r => r.getAs[String]("channel") ->
+          ((r.getAs[Long]("n_conversions"), r.getAs[Long]("value_cents"),
+            r.getAs[Long]("sum_gap_us")))).toMap
+      assert(got == batch)
+      // the planted semantics: same-ts touch attributes (click), in-window carry
+      // across batches attributes (view), far purchase lands in none
+      assert(got.keySet == Set("click", "view", "signup", "none"))
+    } finally query.stop()
+  }
+
+  test("mergeAttributionBatch is arrival-order independent within a batch") {
+    import graft.streaming.StreamOps.{mergeAttributionBatch, AttrEvent}
+    val batch = Seq(
+      AttrEvent(1L, 3L, "purchase", 100L, 1.0), AttrEvent(1L, 2L, "click", 100L, 0.0),
+      AttrEvent(1L, 5L, "purchase", 300L, 2.0), AttrEvent(1L, 4L, "view", 250L, 0.0))
+    val sorted = mergeAttributionBatch(None, batch, 1000L, Set("click", "view", "signup"))
+    val shuffled = mergeAttributionBatch(None, batch.reverse, 1000L, Set("click", "view", "signup"))
+    assert(sorted == shuffled)
+    assert(sorted._2.map(_.channel) == Seq("click", "view"))
+    assert(sorted._1.contains((250L, 4L, "view")))
+  }
+
   test("mergeAmsRegs composes: split merge equals one-shot merge") {
     import graft.streaming.StreamOps.mergeAmsRegs
     val signs = (1 to 9).map(i => Vector.tabulate(8)(j => if ((i * 31 + j * 7) % 2 == 0) 1L else -1L))
