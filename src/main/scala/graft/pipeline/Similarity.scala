@@ -421,17 +421,26 @@ object Similarity {
       threshold: Double,
       nTables: Int = 2,
       planesPerTable: Int = 6,
-      dims: Int = 64
+      dims: Int = 64,
+      maxBucketMembers: Long = 10000L
   ): DataFrame =
-    scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims)
+    scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims, maxBucketMembers)
       .filter(col("cos_sim") >= threshold)
 
   /** Shared LSH candidate generation + exact pair scoring — the common front half of
     * [[nearDupPairs]] and [[knnGraph]]: (id_a, id_b, cos_sim) for every unordered
     * pair (id_a < id_b) colliding in ANY of the `nTables` hyperplane tables, cosine
     * computed once per distinct pair. Kept as ONE definition so a candidate-side
-    * change (e.g. the bucket-membership cap both callers' docs discuss) cannot
-    * silently diverge the two operators.
+    * change cannot silently diverge the two operators.
+    *
+    * Skew guard (`maxBucketMembers` — the d04 doc-freq-cap discipline applied to
+    * LSH): a (table, bucket) cell with more than the cap's members is DROPPED from
+    * candidate generation before the self-join. One such cell is quadratic in its
+    * membership — a near-duplicate clump at corpus scale turns one hot bucket into
+    * the whole job's runtime — and its pairs are precisely the ones other tables
+    * (or the exact operators d01-d03) already find. The default never binds at the
+    * bench scale factors (largest observed cell ≪ 10⁴), so the oracle mirrors stay
+    * capless-equivalent; production sets it to the per-task comparison budget.
     */
   private def scoredLshPairs(
       df: DataFrame,
@@ -439,7 +448,8 @@ object Similarity {
       vecCol: String,
       nTables: Int,
       planesPerTable: Int,
-      dims: Int
+      dims: Int,
+      maxBucketMembers: Long
   ): DataFrame = {
     // vectors feed three consumers (bucket derivation + the two joins back onto the
     // candidate pairs) and the bucket relation self-joins; materialize each once
@@ -456,8 +466,13 @@ object Similarity {
       .select(col("id"), explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .localCheckpoint(true)
-    val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
+    val smallCells = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxBucketMembers)
+      .select(col("tbl"), col("bucket"))
+    val admitted = buckets.join(smallCells, Seq("tbl", "bucket"))
+    val cand = admitted.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(admitted.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -494,9 +509,10 @@ object Similarity {
       k: Int = 5,
       nTables: Int = 2,
       planesPerTable: Int = 6,
-      dims: Int = 64
+      dims: Int = 64,
+      maxBucketMembers: Long = 10000L
   ): DataFrame = {
-    val scored = scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims)
+    val scored = scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims, maxBucketMembers)
       .localCheckpoint(true) // consumed twice (both directions of the symmetric edge)
     val sym = scored
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos_sim"))

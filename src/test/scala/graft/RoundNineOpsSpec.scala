@@ -508,6 +508,28 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(g.map { case (v, n, _, _) => (math.min(v, n), math.max(v, n)) }.toSet.subsetOf(pairs))
   }
 
+  test("LSH bucket cap drops quadratic cells but keeps pairs other tables still find") {
+    import spark.implicits._
+    // 40 identical vectors clump into ONE cell of every table (the near-duplicate
+    // clump that goes quadratic at corpus scale); 3 distinct vectors spread out
+    val clump = (1L to 40L).map(i => (i, Array.fill(8)(1.0f)))
+    val others = Seq(
+      (101L, Array.tabulate(8)(d => if (d % 2 == 0) 1.0f else -1.0f)),
+      (102L, Array.tabulate(8)(d => if (d % 3 == 0) -1.0f else 1.0f)),
+      (103L, Array.tabulate(8)(d => -1.0f)))
+    val df = (clump ++ others).toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(df, "vec_id", "embedding", threshold = 0.99,
+      dims = 8, maxBucketMembers = 10L).collect()
+    val uncapped = Similarity.nearDupPairs(df, "vec_id", "embedding", threshold = 0.99,
+      dims = 8, maxBucketMembers = 10000L).collect()
+    // uncapped: the clump contributes 40·39/2 identical pairs; the cap drops the
+    // mega-cell from BOTH tables, so none of its pairs survive
+    assert(uncapped.length >= 40 * 39 / 2)
+    assert(capped.forall(r => r.getAs[Long]("id_a") > 40L || r.getAs[Long]("id_b") > 40L)
+      || capped.isEmpty)
+    assert(capped.length < uncapped.length)
+  }
+
   // ------------------------------------------------------------ o03 compaction
 
   test("compactionPlan packs consecutive buckets into near-target groups") {
