@@ -535,15 +535,18 @@ object Similarity {
     * SemDeDup property (Σ|cell|² ≪ n² for any reasonable centroid count); the
     * centroid table is broadcast, cells come from an equi-join on cell id, and the
     * per-vector verdict is a map-side-combinable count. A skewed mega-cell is the
-    * known failure mode at corpus scale — cap cell membership or raise the centroid
-    * count, exactly like the d-family's doc-freq cap.
+    * known failure mode at corpus scale — `maxCellMembers` excludes such cells from
+    * the pairwise pass (members keep by default, screened by the exact d01/d02
+    * operators instead), exactly like the d-family's doc-freq cap; the durable
+    * remedy is raising the centroid count.
     */
   def semDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      centroidMod: Int = 97
+      centroidMod: Int = 97,
+      maxCellMembers: Long = 100000L
   ): DataFrame = {
     val cents = broadcast(
       df.filter(col(idCol) % centroidMod === 0)
@@ -561,8 +564,18 @@ object Similarity {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("cid"))
       .localCheckpoint(true)
-    val close = cells
-      .join(cells.select(col("cid"), col("vec_id").as("other_id"),
+    // the mega-cell guard the scale note promises: a cell above `maxCellMembers` is
+    // excluded from the pairwise pass (its members keep by default and fall to the
+    // exact d01/d02 screens) — one such cell is quadratic in its membership, and the
+    // published remedy at corpus scale is raising the centroid count; the cap keeps
+    // the job alive until that retune. Default never binds at bench scale factors,
+    // so the oracle mirror stays capless-equivalent.
+    val smallCells = cells.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxCellMembers)
+      .select(col("cid"))
+    val admitted = cells.join(smallCells, Seq("cid"))
+    val close = admitted
+      .join(admitted.select(col("cid"), col("vec_id").as("other_id"),
         col("v").as("ov"), col("nv").as("on2")), Seq("cid"))
       .filter(col("other_id") < col("vec_id"))
       .filter(round(cosineFromNorms(dot(col("v"), col("ov")), col("nv"), col("on2")), 6)

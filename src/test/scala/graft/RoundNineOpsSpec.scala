@@ -530,6 +530,26 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(capped.length < uncapped.length)
   }
 
+  test("semDedup mega-cell cap keeps over-cap cell members by default") {
+    import spark.implicits._
+    // centroidMod 1 makes every vector a centroid of itself-ish; use mod so that
+    // one centroid attracts a 30-member clump
+    val clump = (1L to 30L).map(i => (i, Array.fill(8)(1.0f)))
+    val spread = Seq((97L, Array.tabulate(8)(d => if (d < 4) 1.0f else -1.0f)))
+    val df = (clump ++ spread).toDF("vec_id", "embedding")
+    val uncapped = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, centroidMod = 97).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    val capped = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, centroidMod = 97, maxCellMembers = 5L).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    // uncapped: the clump resolves to one representative (vec 1)
+    assert(uncapped.count { case (id, kept) => id <= 30L && kept } == 1)
+    // capped: the clump cell (30 > 5) skips the pairwise pass — all keep by default
+    assert(capped.filter(_._1 <= 30L).values.forall(identity))
+    assert(capped.keySet == uncapped.keySet)
+  }
+
   // ------------------------------------------------------------ o03 compaction
 
   test("compactionPlan packs consecutive buckets into near-target groups") {
