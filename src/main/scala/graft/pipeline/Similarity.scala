@@ -499,8 +499,9 @@ object Similarity {
     * Scale shape: candidate generation is (table, bucket) equi-joins — never
     * all-pairs; scoring is per-candidate; ranking is one window per source vector,
     * bounded by its candidate count. The known corpus-scale hazard is a dense bucket
-    * (near-duplicate clumps) going quadratic — production caps bucket membership the
-    * same way the d-family caps doc frequency.
+    * (near-duplicate clumps) going quadratic — `maxBucketMembers` drops such cells
+    * from candidate generation (see [[scoredLshPairs]]), the same way the d-family
+    * caps doc frequency.
     */
   def knnGraph(
       df: DataFrame,
