@@ -28,7 +28,8 @@ object Dedup {
     * and shuffled the whole shingle relation just to dedup.)
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), org.apache.spark.sql.graft.WordShingles.column(col(textCol), n).as("shingle"))
+    Scans.fanOut(df)
+      .select(col(idCol), org.apache.spark.sql.graft.WordShingles.column(col(textCol), n).as("shingle"))
 
   /** Modulus of the affine minhash permutation family (fits 32 bits, so
     * a_k·h + b_k stays far from 64-bit overflow in both engines).
@@ -385,7 +386,7 @@ object Dedup {
       minSpanTokens: Int = 8
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pg = df
+    val pg = Scans.fanOut(df)
       .select(col(idCol),
         org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), windowTokens))
       .select(col(idCol), col("pos"),

@@ -231,11 +231,12 @@ object Sampling {
       targetSource: String,
       buckets: Int = 1024
   ): DataFrame = {
-    val grams = df
+    val fanned = Scans.fanOut(df)
+    val grams = fanned
       .select(col(idCol),
         org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), 1))
       .select(col(idCol), col("shingle"))
-      .unionByName(df
+      .unionByName(fanned
         .select(col(idCol),
           org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), 2))
         .select(col(idCol), col("shingle")))

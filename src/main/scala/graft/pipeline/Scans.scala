@@ -1,0 +1,26 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism guard for the per-row-heavy operators (tokenize / shingle /
+  * hash): parquet cannot split a row group, so a source written as few fat row
+  * groups scans as few tasks — and everything BEFORE the first shuffle (the
+  * explode + md5 work that dominates the text operators) then runs near-serially
+  * no matter how many cores the session has. Real lakehouse tables have thousands
+  * of row groups and never trigger this; the guard exists for the pathological
+  * under-partitioned read (one fat file, a coalesced upstream write).
+  */
+object Scans {
+
+  /** Repartition `df` to the session's default parallelism iff its scan is
+    * under-partitioned by more than 4× — so a well-partitioned 100 TB input is
+    * NEVER gratuitously reshuffled (the check is plan-side only; no job runs), while
+    * a single-row-group file fans out once before the expensive per-row work.
+    * Correctness-neutral: every consumer here is order-free (hash-aggs, equi-joins,
+    * per-document windows).
+    */
+  private[pipeline] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions.toLong * 4 < target) df.repartition(target) else df
+  }
+}

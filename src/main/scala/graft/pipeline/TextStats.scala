@@ -29,7 +29,8 @@ object TextStats {
 
   /** Token inventory: (id, token) pairs — the shared explode for shingle-based ops. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "token")))
+    Scans.fanOut(df)
+      .select(col(idCol), posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "token")))
 
   /** Token counting query: whitespace tokens + a BPE-ish subword estimate
     * (⌈len/4⌉ subwords per token — the standard "~4 chars per token" heuristic).
