@@ -9,6 +9,12 @@ import org.apache.spark.sql.DataFrame
   * no matter how many cores the session has. Real lakehouse tables have thousands
   * of row groups and never trigger this; the guard exists for the pathological
   * under-partitioned read (one fat file, a coalesced upstream write).
+  *
+  * Deliberately NOT applied to the embedding/media operators: measured at sf0.1,
+  * fanning the 2000-row vector tables out made that family ~30% SLOWER (the added
+  * exchange outweighs the serial dot-product pass — per-row vector math is far
+  * cheaper per byte than tokenize+md5). Apply only where the per-row work dwarfs
+  * one extra shuffle of the input.
   */
 object Scans {
 
