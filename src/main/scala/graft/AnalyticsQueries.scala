@@ -606,4 +606,42 @@ object AnalyticsQueries {
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event")
       )
+
+  /** RFM segmentation: each user bucketed 1–5 (1 = best) on Recency (last event),
+    * Frequency (event count), and Monetary (exact cents), plus the combined
+    * three-digit RFM code — the standard audience-quality cut.
+    *
+    * Buckets are EXACT quintiles by rank: b = 1 + ((rank−1)·5) DIV n with
+    * deterministic user_id tie-breaks, written as the same integer formula in the
+    * oracle (no `ntile`, whose remainder convention this avoids, and no approximate
+    * percentiles). The ranked relation is the PER-USER aggregate — events-table-sized
+    * input, user-count-sized ranking problem. The global row_number here is the
+    * bounded-output form; at ~1e9+ users the same exact ranks come from the
+    * repartitionByRange + per-partition-offset pattern (sort stays distributed), with
+    * bucket arithmetic unchanged.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = eventsTsu(spark, dir, "user_id", "value")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("tsu")).as("recency_us"),
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("monetary_cents"))
+    val rRank = row_number().over(Window.orderBy(col("recency_us").desc, col("user_id").asc))
+    val fRank = row_number().over(Window.orderBy(col("n_events").desc, col("user_id").asc))
+    val mRank = row_number().over(Window.orderBy(col("monetary_cents").desc, col("user_id").asc))
+    perUser
+      .withColumn("r_rank", rRank.cast("long"))
+      .withColumn("f_rank", fRank.cast("long"))
+      .withColumn("m_rank", mRank.cast("long"))
+      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
+      .select(
+        col("user_id"), col("recency_us"), col("n_events"), col("monetary_cents"),
+        expr("CAST(1 + (r_rank - 1) * 5 DIV n_users AS BIGINT)").as("r_bucket"),
+        expr("CAST(1 + (f_rank - 1) * 5 DIV n_users AS BIGINT)").as("f_bucket"),
+        expr("CAST(1 + (m_rank - 1) * 5 DIV n_users AS BIGINT)").as("m_bucket"))
+      .withColumn("rfm_code",
+        (col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket")).cast("long"))
+  }
 }

@@ -131,6 +131,13 @@ object SparkEntry {
   private[graft] val WalkSteps = 3
   private[graft] val WalkSeedMod = 10
 
+  /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiK = 100
+
+  /** t34's pinned vocabulary-head size for the Zipf fit. */
+  private[graft] val ZipfFitK = 1000
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -478,6 +485,16 @@ object SparkEntry {
     "sk08_ams_f2" -> ((s: SparkSession, dir: String) =>
       Sketches.amsF2(s.read.parquet(s"$dir/events.parquet"), "user_id",
         width = AmsWidth)),
+    "sk09_moments" -> ((s: SparkSession, dir: String) =>
+      Sketches.momentsSketch(s.read.parquet(s"$dir/documents.parquet"),
+        "source", "n_chars")),
+    "ev16_rfm" -> (AnalyticsQueries.rfm _),
+    "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
+      TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        minCount = PmiMinCount, k = PmiK)),
+    "t34_zipf_fit" -> ((s: SparkSession, dir: String) =>
+      TextStats.zipfFit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        fitK = ZipfFitK)),
     "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaTextAlignment(
         s.read.parquet(s"$dir/documents.parquet")
@@ -3251,6 +3268,112 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN lb END) AS BIGINT) AS p90_est,
         |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN lb END) AS BIGINT) AS p99_est
         |FROM lb GROUP BY 1""".stripMargin,
+
+    // moments sketch: EXACT integer power sums (DuckDB sums BIGINT into HUGEINT; the
+    // Spark side sums decimal(38,0) — both exact), then one fixed double-arithmetic
+    // sequence for the population moments; pow(v,1.5) written v*sqrt(v) on BOTH sides
+    // because sqrt is IEEE-correctly-rounded while pow is only ulp-accurate — mirror
+    // of Sketches.momentsSketch
+    "sk09_moments" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n,
+        |             SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2,
+        |             SUM(n_chars * n_chars * n_chars) AS s3,
+        |             SUM((n_chars * n_chars) * (n_chars * n_chars)) AS s4
+        |           FROM documents GROUP BY 1),
+        |m AS (SELECT source, n,
+        |        s1::DOUBLE / n::DOUBLE AS m1, s2::DOUBLE / n::DOUBLE AS m2,
+        |        s3::DOUBLE / n::DOUBLE AS m3, s4::DOUBLE / n::DOUBLE AS m4
+        |      FROM s),
+        |v AS (SELECT source, n, m1, m2, m3, m4, m2 - m1 * m1 AS var FROM m)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(1000000.0 * m1 + 0.5) AS BIGINT) AS mean_micro,
+        |  CAST(floor(1000000.0 * var + 0.5) AS BIGINT) AS var_micro,
+        |  CAST(floor(1000000.0 * ((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+        |                          / (var * sqrt(var))) + 0.5) AS BIGINT) AS skew_micro,
+        |  CAST(floor(1000000.0 * ((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |                           - 3.0 * m1 * m1 * m1 * m1) / (var * var) - 3.0) + 0.5)
+        |    AS BIGINT) AS kurt_micro
+        |FROM v""".stripMargin,
+
+    // RFM segmentation: per-user recency/frequency/monetary, exact quintile buckets
+    // 1 + ((rank-1)*5) DIV n with user_id tie-breaks — mirror of AnalyticsQueries.rfm
+    "ev16_rfm" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS recency_us,
+        |               COUNT(*) AS n_events,
+        |               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |                 AS monetary_cents
+        |             FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |        row_number() OVER (ORDER BY recency_us DESC, user_id) AS r_rank,
+        |        row_number() OVER (ORDER BY n_events DESC, user_id) AS f_rank,
+        |        row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS m_rank,
+        |        COUNT(*) OVER () AS n_users
+        |      FROM per),
+        |b AS (SELECT user_id, recency_us, CAST(n_events AS BIGINT) AS n_events,
+        |        monetary_cents,
+        |        CAST(1 + ((r_rank - 1) * 5) // n_users AS BIGINT) AS r_bucket,
+        |        CAST(1 + ((f_rank - 1) * 5) // n_users AS BIGINT) AS f_bucket,
+        |        CAST(1 + ((m_rank - 1) * 5) // n_users AS BIGINT) AS m_bucket
+        |      FROM r)
+        |SELECT *, CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS BIGINT) AS rfm_code
+        |FROM b""".stripMargin,
+
+    // adjacent-token PMI: pair and unigram counts off the same split arrays, corpus
+    // totals as single-row cross joins, ln sequence quantized to integer micro-units
+    // — mirror of TextStats.pmiPairs (generate_series(1,0) is empty in DuckDB, so the
+    // len>=2 guard is only needed for the pair-total arm)
+    "t33_pmi_pairs" ->
+      s"""WITH base AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |big AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM base)),
+         |pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2
+         |       HAVING COUNT(*) >= $PmiMinCount),
+         |u AS (SELECT token, COUNT(*) AS n_tok
+         |      FROM (SELECT unnest(w) AS token FROM base) GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_tokens_total FROM u),
+         |pt AS (SELECT CAST(SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)
+         |         AS BIGINT) AS n_pairs_total FROM base)
+         |SELECT w1, w2, n_pair, n_w1, n_w2, pmi_micro FROM (
+         |  SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+         |    CAST(u1.n_tok AS BIGINT) AS n_w1, CAST(u2.n_tok AS BIGINT) AS n_w2,
+         |    CAST(floor(1000000.0 * ln(
+         |      (pc.n_pair::DOUBLE / n_pairs_total::DOUBLE) /
+         |        ((u1.n_tok::DOUBLE / n_tokens_total::DOUBLE)
+         |          * (u2.n_tok::DOUBLE / n_tokens_total::DOUBLE))) + 0.5) AS BIGINT)
+         |      AS pmi_micro
+         |  FROM pc JOIN u u1 ON u1.token = pc.w1 JOIN u u2 ON u2.token = pc.w2
+         |  CROSS JOIN tt CROSS JOIN pt)
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT $PmiK""".stripMargin,
+
+    // Zipf fit over the vocabulary head: per-row micro-quantized ln, EXACT integer
+    // regression power sums, fixed double sequence for slope/intercept/R² — mirror of
+    // TextStats.zipfFit
+    "t34_zipf_fit" ->
+      s"""WITH u AS (SELECT token, COUNT(*) AS n_occurrences
+         |           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |           GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT $ZipfFitK),
+         |r AS (SELECT n_occurrences,
+         |        row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank FROM u),
+         |q AS (SELECT CAST(floor(1000000.0 * ln(rank::DOUBLE) + 0.5) AS BIGINT) AS lx,
+         |             CAST(floor(1000000.0 * ln(n_occurrences::DOUBLE) + 0.5) AS BIGINT)
+         |               AS ly FROM r),
+         |s AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+         |             SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy FROM q),
+         |d AS (SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         |             sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+         |      FROM s),
+         |f AS (SELECT n, nd, sxd, syd,
+         |        nd * sxyd - sxd * syd AS covnum,
+         |        nd * sxxd - sxd * sxd AS varx,
+         |        nd * syyd - syd * syd AS vary
+         |      FROM d)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |  CAST(floor(1000000.0 * (covnum / varx) + 0.5) AS BIGINT) AS slope_micro,
+         |  CAST(floor((syd - (covnum / varx) * sxd) / nd + 0.5) AS BIGINT)
+         |    AS intercept_micro,
+         |  CAST(floor(1000000.0 * (covnum * covnum / (varx * vary)) + 0.5) AS BIGINT)
+         |    AS r2_micro
+         |FROM f""".stripMargin,
 
     // media–text alignment screen: the stub media embedding is 8 dims of the payload
     // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's

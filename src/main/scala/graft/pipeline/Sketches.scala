@@ -499,4 +499,52 @@ object Sketches {
             col("n_shingles").cast("double"),
           6).as("flag_rate"))
   }
+
+  /** Moments sketch: per-group mean / variance / skewness / excess kurtosis from the
+    * first four POWER sums — the classic mergeable moments summary (Σx, Σx², Σx³, Σx⁴
+    * combine across partitions and across days by plain addition, so a 100 TB fleet
+    * keeps one constant-size register per group and merges them map-side; contrast
+    * with exact percentiles, which need the data). This is the distribution-drift
+    * monitor for corpus curation: a source whose length skew or kurtosis jumps between
+    * snapshots changed its generator.
+    *
+    * Determinism: the power sums are EXACT (decimal(38,0) — no float-order variance;
+    * x ≤ 1e9 keeps x⁴·rows inside 38 digits up to ~1e12 rows per group), and the
+    * population-moment formulas are one fixed double-arithmetic sequence over those
+    * exact sums, mirrored verbatim in the oracle. Spark's own `skewness`/`kurtosis`
+    * are NOT used: their streaming central-moment updates are float-order-dependent
+    * and their bias conventions differ from DuckDB's.
+    */
+  def momentsSketch(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("decimal(9,0)")
+    val sums = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("s1"),
+        sum(x * x).cast("decimal(38,0)").as("s2"),
+        sum(x * x * x).cast("decimal(38,0)").as("s3"),
+        sum((x * x) * (x * x)).cast("decimal(38,0)").as("s4"))
+    val nD = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD
+    val m3 = col("s3").cast("double") / nD
+    val m4 = col("s4").cast("double") / nD
+    val variance = m2 - m1 * m1
+    // v·sqrt(v), not pow(v, 1.5): sqrt is IEEE-correctly-rounded in both engines,
+    // pow is only ulp-accurate (Java Math.pow vs libm could differ in the last bit)
+    val skew = (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
+      (variance * sqrt(variance))
+    val kurt =
+      (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 - lit(3.0) * m1 * m1 * m1 * m1) /
+        (variance * variance) - lit(3.0)
+    def micro(c: Column): Column = floor(lit(1000000.0) * c + lit(0.5)).cast("long")
+    sums.select(
+      col(groupCol),
+      col("n"),
+      micro(m1).as("mean_micro"),
+      micro(variance).as("var_micro"),
+      micro(skew).as("skew_micro"),
+      micro(kurt).as("kurt_micro"))
+  }
 }

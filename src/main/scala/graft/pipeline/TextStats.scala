@@ -931,4 +931,117 @@ object TextStats {
         floor(col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
           .cast("long").as("avg_lp_micro"))
   }
+
+  /** Pointwise mutual information of adjacent token pairs: the collocation detector
+    * that finds multi-word units ("new york", "machine learning") worth preserving as
+    * single tokenizer symbols. pmi = ln(p(xy) / (p(x)·p(y))) with p(xy) from the
+    * adjacent-pair distribution and p(x) from the unigram distribution; pairs below
+    * `minCount` are dropped first (rare-pair PMI is noise), output is the top `k` by
+    * PMI (score quantized to integer micro-units so the cut is deterministic).
+    *
+    * Scale shape: bigrams come straight off the split array (one map-side transform —
+    * no per-document window, no self-join), pair and unigram counts are map-side
+    * combinable hash-aggs, the two count joins are equi-joins on token keys (AQE
+    * broadcasts the smaller side), the corpus totals ride in as one broadcast row, and
+    * the top-k is a distributed TakeOrdered. Nothing here holds more than
+    * vocabulary-sized state per task at 100 TB.
+    */
+  def pmiPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 100
+  ): DataFrame = {
+    val toks = Scans.fanOut(df)
+      .select(split(col(textCol), " ", -1).as("w"))
+      .localCheckpoint(true) // two consumers: pair counts and unigram counts
+    // guard size>=2 BEFORE sequence(): Spark's sequence(1, 0) is a DESCENDING range,
+    // not empty (the oracle's generate_series(1, 0) IS empty)
+    val pairCounts = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uniCounts = toks
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint(true) // consumed twice (w1 and w2 sides) + the total below
+    // exact double sequence mirrored in the oracle:
+    // ln( (n_pair/P) / ((n_w1/T) * (n_w2/T)) )
+    val nPairsTotal = toks.select(
+      sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("n_pairs_total"))
+    val nToksTotal = uniCounts.select(sum(col("n_tok")).cast("long").as("n_tokens_total"))
+    val pmiMicro = floor(
+      lit(1000000.0) * log(
+        (col("n_pair").cast("double") / col("n_pairs_total").cast("double")) /
+          ((col("n_w1").cast("double") / col("n_tokens_total").cast("double")) *
+            (col("n_w2").cast("double") / col("n_tokens_total").cast("double")))
+      ) + lit(0.5)
+    ).cast("long")
+    pairCounts
+      .join(uniCounts.select(col("token").as("w1"), col("n_tok").as("n_w1")), "w1")
+      .join(uniCounts.select(col("token").as("w2"), col("n_tok").as("n_w2")), "w2")
+      .crossJoin(broadcast(nPairsTotal))
+      .crossJoin(broadcast(nToksTotal))
+      .select(
+        col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        pmiMicro.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Zipf-law fit over the head of the vocabulary: least-squares slope/intercept/R² of
+    * ln(frequency) against ln(rank) for the `fitK` most frequent tokens — the standard
+    * corpus-health diagnostic (natural text sits near slope −1; machine-generated or
+    * template-heavy corpora drift flat or steep). Fitting the HEAD is both the
+    * statistical convention and the scale guard: the rank window only ever sees a
+    * `fitK`-row relation (the top-k itself is a distributed TakeOrdered), so nothing
+    * global-sorts the full vocabulary.
+    *
+    * Determinism: each ln() is quantized to integer micro-units per row, the five
+    * regression power sums are then EXACT integer sums (order-free), and the final
+    * slope/intercept/R² are a fixed double-arithmetic sequence over those exact sums —
+    * mirrored verbatim in the oracle.
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String, fitK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = vocabulary(df, idCol, textCol, k = fitK)
+      .select(col("token"), col("n_occurrences"))
+    // rank over the fitK-row head only (bounded single-partition window by design)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("token").asc)))
+      .select(
+        floor(lit(1000000.0) * log(col("rank").cast("double")) + lit(0.5))
+          .cast("long").as("lx"),
+        floor(lit(1000000.0) * log(col("n_occurrences").cast("double")) + lit(0.5))
+          .cast("long").as("ly"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("lx")).as("sx"),
+      sum(col("ly")).as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("ly") * col("ly")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val covNum = nD * col("sxy").cast("double") - sxD * syD
+    val varX = nD * col("sxx").cast("double") - sxD * sxD
+    val varY = nD * col("syy").cast("double") - syD * syD
+    val slope = covNum / varX
+    sums.select(
+      col("n").as("n_fit"),
+      floor(lit(1000000.0) * slope + lit(0.5)).cast("long").as("slope_micro"),
+      // ly is already micro-scaled, so the intercept is too
+      floor((syD - slope * sxD) / nD + lit(0.5)).cast("long").as("intercept_micro"),
+      floor(lit(1000000.0) * (covNum * covNum / (varX * varY)) + lit(0.5))
+        .cast("long").as("r2_micro"))
+  }
 }

@@ -727,4 +727,162 @@ class RoundNineOpsSpec extends SparkSpec {
     // the two rankings must genuinely differ (degree normalization is not a no-op)
     assert(salsa != hits)
   }
+
+  // ---------------------------------------------------------- t33 PMI pairs
+
+  test("pmiPairs matches a direct-arithmetic mirror and ranks collocations first") {
+    import spark.implicits._
+    // "new york" always adjacent (strong collocation); "a"/"b" frequent but unbound
+    val corpus = Seq(
+      1L -> "a new york b a b",
+      2L -> "b new york a a b",
+      3L -> "new york a b b a",
+      4L -> "a b new york b a")
+    val df = corpus.toDF("doc_id", "text")
+
+    val docs = corpus.map(_._2.split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val nTok = docs.map(_.size).sum.toLong
+    val nPair = docs.map(d => math.max(d.size - 1, 0)).sum.toLong
+    val pairs = docs.flatMap(d => d.zip(d.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+    def pmiMicro(p: (String, String), c: Long): Long = {
+      val v = (c.toDouble / nPair.toDouble) /
+        ((uni(p._1).toDouble / nTok.toDouble) * (uni(p._2).toDouble / nTok.toDouble))
+      math.floor(1000000.0 * math.log(v) + 0.5).toLong
+    }
+    val expected = pairs.map { case (p, c) =>
+      (p._1, p._2) -> ((c, uni(p._1), uni(p._2), pmiMicro(p, c)))
+    }
+
+    val got = TextStats.pmiPairs(df, "doc_id", "text", minCount = 2L, k = 100).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"), r.getAs[Long]("n_w2"),
+          r.getAs[Long]("pmi_micro"))))
+      .toMap
+    assert(got == expected)
+    // the planted collocation outranks every frequent-but-unbound pair
+    val top = TextStats.pmiPairs(df, "doc_id", "text", minCount = 2L, k = 1).collect()(0)
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == ("new", "york"))
+  }
+
+  test("pmiPairs is safe on single-token documents (no descending-sequence pairs)") {
+    import spark.implicits._
+    val df = Seq(1L -> "solo", 2L -> "a b a b a b").toDF("doc_id", "text")
+    val rows = TextStats.pmiPairs(df, "doc_id", "text", minCount = 1L, k = 10).collect()
+    // no pair may mention the single-token doc's word
+    assert(rows.forall(r => r.getAs[String]("w1") != "solo" && r.getAs[String]("w2") != "solo"))
+    assert(rows.nonEmpty)
+  }
+
+  // ---------------------------------------------------------- t34 Zipf fit
+
+  test("zipfFit matches a direct least-squares mirror over the vocabulary head") {
+    import spark.implicits._
+    // frequencies 16/8/4/2/1 → a clean strictly-ranked head
+    val text = (List.fill(16)("alpha") ++ List.fill(8)("beta") ++ List.fill(4)("gamma") ++
+      List.fill(2)("delta") ++ List("epsilon")).mkString(" ")
+    val df = Seq(1L -> text).toDF("doc_id", "text")
+
+    val freqs = Seq(16L, 8L, 4L, 2L, 1L)
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (math.floor(1000000.0 * math.log((i + 1).toDouble) + 0.5).toLong,
+        math.floor(1000000.0 * math.log(f.toDouble) + 0.5).toLong)
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val (nD, sxD, syD) = (n.toDouble, sx.toDouble, sy.toDouble)
+    val covNum = nD * sxy.toDouble - sxD * syD
+    val varX = nD * sxx.toDouble - sxD * sxD
+    val varY = nD * syy.toDouble - syD * syD
+    val slope = covNum / varX
+
+    val row = TextStats.zipfFit(df, "doc_id", "text", fitK = 10).collect()(0)
+    assert(row.getAs[Long]("n_fit") == n)
+    assert(row.getAs[Long]("slope_micro") == math.floor(1000000.0 * slope + 0.5).toLong)
+    assert(row.getAs[Long]("intercept_micro") ==
+      math.floor((syD - slope * sxD) / nD + 0.5).toLong)
+    assert(row.getAs[Long]("r2_micro") ==
+      math.floor(1000000.0 * (covNum * covNum / (varX * varY)) + 0.5).toLong)
+    // geometric frequencies over ranks 1..5 are Zipf-like: slope negative, R² high
+    assert(row.getAs[Long]("slope_micro") < 0L)
+    assert(row.getAs[Long]("r2_micro") > 900000L)
+  }
+
+  // ------------------------------------------------------- sk09 moments sketch
+
+  test("momentsSketch matches exact-moment arithmetic and zeroes skew on symmetric data") {
+    import spark.implicits._
+    val df = Seq(
+      ("sym", 1L), ("sym", 2L), ("sym", 3L),
+      ("skw", 1L), ("skw", 1L), ("skw", 1L), ("skw", 100L))
+      .toDF("source", "n_chars")
+
+    def mirror(vs: Seq[Long]): (Long, Long, Long, Long) = {
+      val nD = vs.size.toDouble
+      val m1 = vs.map(v => BigInt(v)).sum.toDouble / nD
+      val m2 = vs.map(v => BigInt(v) * BigInt(v)).sum.toDouble / nD
+      val m3 = vs.map(v => BigInt(v) * BigInt(v) * BigInt(v)).sum.toDouble / nD
+      val m4 = vs.map(v => (BigInt(v) * BigInt(v)) * (BigInt(v) * BigInt(v))).sum.toDouble / nD
+      val vr = m2 - m1 * m1
+      def micro(x: Double) = math.floor(1000000.0 * x + 0.5).toLong
+      (micro(m1), micro(vr),
+        micro((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (vr * math.sqrt(vr))),
+        micro((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) /
+          (vr * vr) - 3.0))
+    }
+    val got = graft.pipeline.Sketches.momentsSketch(df, "source", "n_chars").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("mean_micro"), r.getAs[Long]("var_micro"),
+          r.getAs[Long]("skew_micro"), r.getAs[Long]("kurt_micro"))))
+      .toMap
+    assert(got("sym") == mirror(Seq(1L, 2L, 3L)))
+    assert(got("skw") == mirror(Seq(1L, 1L, 1L, 100L)))
+    // {1,2,3} is symmetric about its mean: third central moment is exactly 0
+    assert(got("sym")._3 == 0L)
+    // the planted outlier group is strongly right-skewed
+    assert(got("skw")._3 > 1000000L)
+  }
+
+  // ------------------------------------------------------------- ev16 RFM
+
+  test("rfm buckets are exact quintiles of deterministic ranks over sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val per = ev
+      .select(EventTime.micros(ev).as("tsu"), col("user_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("tsu")).as("rec"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100, 0).cast("long")).as("mon"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rec"),
+        r.getAs[Long]("freq"), r.getAs[Long]("mon")))
+    val nUsers = per.length.toLong
+    def buckets(rank: Seq[Long]): Map[Long, Long] =
+      rank.zipWithIndex.map { case (u, i) => u -> (1L + i.toLong * 5L / nUsers) }.toMap
+    val rB = buckets(per.sortBy(p => (-p._2, p._1)).map(_._1).toSeq)
+    val fB = buckets(per.sortBy(p => (-p._3, p._1)).map(_._1).toSeq)
+    val mB = buckets(per.sortBy(p => (-p._4, p._1)).map(_._1).toSeq)
+
+    val got = AnalyticsQueries.rfm(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("r_bucket"), r.getAs[Long]("f_bucket"), r.getAs[Long]("m_bucket"),
+          r.getAs[Long]("rfm_code"))))
+      .toMap
+    assert(got.keySet == per.map(_._1).toSet)
+    got.foreach { case (u, (r, f, m, code)) =>
+      assert(r == rB(u) && f == fB(u) && m == mB(u))
+      assert(code == r * 100 + f * 10 + m)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // quintiles are balanced: each bucket holds n/5 ± 1 users per dimension
+    val perBucket = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perBucket.values.forall(c => math.abs(c - nUsers / 5.0) <= 1.0))
+  }
 }
