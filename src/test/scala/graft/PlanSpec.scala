@@ -554,4 +554,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"alignment must stay an equi-join:\n$p")
   }
+
+  test("PMI: token-key equi-joins, single-row totals broadcast, top-k is TakeOrdered") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(TextStats.pmiPairs(docs, "doc_id", "text"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be a distributed TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no materialized pair product:\n$p")
+    // the unigram-count joins are hash equi-joins on the token keys; the only
+    // nested-loop joins are the two SINGLE-ROW corpus totals crossed in broadcast
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 2,
+      s"both count joins must be token-key equi-joins:\n$p")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p).size == 2,
+      s"exactly the two single-row totals may cross in:\n$p")
+  }
+
+  test("Zipf fit: the global rank window only ever sees the fitK-row vocabulary head") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = TextStats.zipfFit(docs, "doc_id", "text", fitK = 100)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary head cut must be a distributed TakeOrdered:\n$p")
+    // the window's input is the TakeOrdered output, never the full vocab relation:
+    // the plan has exactly one Window and it sits above the limit
+    assert("Window".r.findAllMatchIn(p).size == 1, s"one rank window expected:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"the rank window must consume the TakeOrdered head (appear above it):\n$p")
+  }
+
+  test("moments sketch is one map-side-combinable hash aggregation — no window, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Sketches.momentsSketch(docs, "source", "n_chars"))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), s"power sums must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the sketch is a single agg over the scan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"one shuffle on the group key expected, saw $exchanges:\n$p")
+  }
+
+  test("RFM ranks the per-user aggregate, not raw events") {
+    val p = plan(AnalyticsQueries.rfm(spark, dir))
+    // the events scan feeds ONE hash aggregation before any window runs
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      s"windows must consume the per-user aggregate (appear above it):\n$p")
+    assert(!p.contains("Join"), s"RFM is agg + windows, no joins:\n$p")
+  }
 }
