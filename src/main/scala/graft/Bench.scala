@@ -10,8 +10,8 @@ object Bench {
     * "value" field is still the total over ALL queries run.
     */
   val headline: Seq[String] = Seq(
-    "q03_top_revenue_orders", "q05_region_revenue",
-    "g01_lww_snapshot", "g02_adjacency_topk", "g12_execute_lww",
+    "q03_top_revenue_orders",
+    "g01_lww_snapshot", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
     "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
@@ -29,13 +29,14 @@ object Bench {
     // ev12_session_stats (r9, paying for s19 + t29), ev11_rolling_actives,
     // sk04_hll_overlap, q06_revenue_rollup (r9b, paying for g43 + d14 + t31),
     // t22_bpe_pairs, s02_ann_lsh (r9c, paying for g44 + t32) —
-    // all historically <2s and family-covered by the remaining entries
+    // all historically <2s and family-covered by the remaining entries;
+    // q05_region_revenue, g02_adjacency_topk rotated r9d, paying for t33 + sk09
     "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination", "sk05_theta_diff",
     "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
-    "g44_harmonic", "t32_vocab_growth",
+    "g44_harmonic", "t32_vocab_growth", "t33_pmi_pairs", "sk09_moments",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -747,6 +747,83 @@ object StreamOps extends Serializable {
       }
   }
 
+  // --- streaming moments sketch (Sketches.momentsSketch batch parity) ---
+
+  case class MomentsRow(
+      key: String, n: Long, meanMicro: Long, varMicro: Long, skewMicro: Long, kurtMicro: Long)
+
+  /** Fold a batch of values into the exact power-sum register (pure, unit-testable).
+    * BigInt sums mirror the batch operator's exact decimal(38,0) sums — addition in
+    * any arrival order and register ADDITION as the cross-shard merge.
+    */
+  def mergeMomentsRegs(
+      regs: (Long, BigInt, BigInt, BigInt, BigInt),
+      vs: Iterator[Long]
+  ): (Long, BigInt, BigInt, BigInt, BigInt) = {
+    var (n, s1, s2, s3, s4) = regs
+    vs.foreach { v =>
+      val x = BigInt(v)
+      val x2 = x * x
+      n += 1L; s1 += x; s2 += x2; s3 += x2 * x; s4 += x2 * x2
+    }
+    (n, s1, s2, s3, s4)
+  }
+
+  /** The batch operator's population-moment double sequence over the exact sums
+    * (pure): BigInt→double is correctly rounded exactly like the batch decimal cast,
+    * and every subsequent operation is the same fixed IEEE sequence, so the micro
+    * outputs equal `Sketches.momentsSketch`'s bit-for-bit.
+    */
+  def momentsEstimates(
+      n: Long, s1: BigInt, s2: BigInt, s3: BigInt, s4: BigInt): (Long, Long, Long, Long) = {
+    val nD = n.toDouble
+    val m1 = s1.doubleValue / nD
+    val m2 = s2.doubleValue / nD
+    val m3 = s3.doubleValue / nD
+    val m4 = s4.doubleValue / nD
+    val vr = m2 - m1 * m1
+    def micro(x: Double): Long = math.floor(1000000.0 * x + 0.5).toLong
+    (micro(m1), micro(vr),
+      micro((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (vr * math.sqrt(vr))),
+      micro((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) /
+        (vr * vr) - 3.0))
+  }
+
+  /** Streaming moments maintenance — sk09 at ingestion time: the per-key power sums
+    * (n, Σx, Σx², Σx³, Σx⁴) live as group state — FIVE numbers per key at any
+    * volume — with current mean/variance/skew/kurtosis emitted every micro-batch.
+    * After any stream prefix the register equals the batch operator's exact sums,
+    * so the micro estimates match `Sketches.momentsSketch` on the same prefix
+    * bit-for-bit (StreamOpsSpec pins this). This is the live distribution-drift
+    * monitor: a source whose length skew jumps mid-ingest changed its generator,
+    * and the alarm costs O(keys) state, not O(rows). Sums are stored as decimal
+    * strings (exact at any magnitude); values ≥ 1e9 violate the batch operator's
+    * documented decimal(38,0) headroom and are the caller's contract to avoid.
+    */
+  def streamingMoments(
+      items: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): Dataset[MomentsRow] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(col(keyCol).cast("string").as("key"), col(valueCol).cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long)],
+         state: GroupState[(Long, String, String, String, String)]) =>
+          val st = state.getOption
+            .map(t => (t._1, BigInt(t._2), BigInt(t._3), BigInt(t._4), BigInt(t._5)))
+            .getOrElse((0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0)))
+          val (n, s1, s2, s3, s4) = mergeMomentsRegs(st, batch.map(_._2))
+          state.update((n, s1.toString, s2.toString, s3.toString, s4.toString))
+          val (mm, vm, sm, km) = momentsEstimates(n, s1, s2, s3, s4)
+          MomentsRow(key, n, mm, vm, sm, km)
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

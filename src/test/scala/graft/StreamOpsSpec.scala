@@ -539,6 +539,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming moments: power-sum registers reproduce batch sk09 on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val query = StreamOps.streamingMoments(stream.toDS().toDF("source", "n_chars"),
+        "source", "n_chars")
+      .toDF().writeStream.format("memory").queryName("mom")
+      .outputMode(OutputMode.Update()).start()
+    // values large enough that x^4 sums exceed Long (forcing the BigInt register path)
+    val first = Seq.tabulate(30)(i => ("a", (i + 1).toLong * 997)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L))
+    val second = Seq.tabulate(20)(i => ("a", 200000L + i)) ++ Seq(("b", 100L))
+    try {
+      def check(prefix: Seq[(String, Long)]): Unit = {
+        val got = spark.sql(
+          """SELECT key, n, meanMicro, varMicro, skewMicro, kurtMicro FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) AS rk FROM mom)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        val batch = graft.pipeline.Sketches
+          .momentsSketch(prefix.toDF("source", "n_chars"), "source", "n_chars")
+          .collect().map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("mean_micro"), r.getAs[Long]("var_micro"),
+              r.getAs[Long]("skew_micro"), r.getAs[Long]("kurt_micro")))).toMap
+        assert(got == batch, s"prefix of ${prefix.size}")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
   test("streaming attribution aggregates to the batch ev15 rollup on in-order streams") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
