@@ -644,4 +644,49 @@ object AnalyticsQueries {
       .withColumn("rfm_code",
         (col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket")).cast("long"))
   }
+
+  /** Activity Pareto curve: users ranked by event count, cut into EXACT deciles
+    * (1 = most active), each reporting its user count, event total, share of all
+    * events, and the cumulative share — the concentration diagnostic ("the top 10%
+    * of users generate X% of traffic") that decides whether per-user sampling caps
+    * are worth building. Shares are micro-quantized from exact integer event counts.
+    *
+    * Scale shape: the ranked relation is the per-user AGGREGATE; the corpus totals
+    * ride in as one broadcast row; the decile rollup is a 10-row hash agg and the
+    * cumulative window runs over those 10 rows only. Same global-rank note as
+    * [[rfm]]: at extreme user cardinality the exact ranks come from
+    * repartitionByRange + per-partition offsets.
+    */
+  def activityPareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = per.agg(
+      sum(col("n_events")).as("total_events"),
+      count(lit(1)).as("n_users_total"))
+    per
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_events").desc, col("user_id").asc))
+          .cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(
+        expr("CAST(1 + (rank - 1) * 10 DIV n_users_total AS BIGINT)").as("decile"),
+        col("n_events"), col("total_events"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("decile_events"),
+        max(col("total_events")).as("total_events"))
+      .withColumn("cum_events",
+        sum(col("decile_events")).over(
+          Window.orderBy(col("decile").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("decile"), col("n_users"), col("decile_events"),
+        floor(lit(1000000.0) * col("decile_events").cast("double") /
+          col("total_events").cast("double") + lit(0.5)).cast("long").as("share_micro"),
+        floor(lit(1000000.0) * col("cum_events").cast("double") /
+          col("total_events").cast("double") + lit(0.5)).cast("long").as("cum_share_micro"))
+  }
 }

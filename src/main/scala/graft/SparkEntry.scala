@@ -489,6 +489,9 @@ object SparkEntry {
       Sketches.momentsSketch(s.read.parquet(s"$dir/documents.parquet"),
         "source", "n_chars")),
     "ev16_rfm" -> (AnalyticsQueries.rfm _),
+    "ev17_activity_pareto" -> (AnalyticsQueries.activityPareto _),
+    "d15_cluster_keep" -> ((s: SparkSession, dir: String) =>
+      Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -1706,6 +1709,42 @@ object SparkEntry {
          |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
          |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
+
+    // d05's clusters + the keep-longest decision: one row per cluster with the
+    // longest member (token count, doc-id tie-break) and the drop count — mirror of
+    // Dedup.clusterKeepLongest
+    "d15_cluster_keep" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |tk AS (SELECT doc_id,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |mm AS (SELECT cl.cluster_id, cl.doc_id, tk.n_tokens,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY tk.n_tokens DESC, cl.doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |       FROM cl JOIN tk ON tk.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc, n_tokens AS kept_tokens,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+         |FROM mm WHERE rk = 1""".stripMargin,
 
     // d02's minhash bands + t07's split buckets: eval docs sharing a band with a train doc
     "d06_contamination" ->
@@ -3317,6 +3356,33 @@ object SparkEntry {
         |      FROM r)
         |SELECT *, CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS BIGINT) AS rfm_code
         |FROM b""".stripMargin,
+
+    // activity Pareto: exact decile cut of the per-user activity ranks, integer event
+    // totals, micro-quantized shares, 10-row cumulative window — mirror of
+    // AnalyticsQueries.activityPareto
+    "ev17_activity_pareto" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |               COUNT(*) AS n_users_total FROM per),
+        |rk AS (SELECT n_events,
+        |         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+        |       FROM per),
+        |dec AS (SELECT CAST(1 + ((rank - 1) * 10) // n_users_total AS BIGINT) AS decile,
+        |          n_events, total_events
+        |        FROM rk CROSS JOIN tot),
+        |agg AS (SELECT decile, COUNT(*) AS n_users,
+        |          CAST(SUM(n_events) AS BIGINT) AS decile_events,
+        |          MAX(total_events) AS total_events
+        |        FROM dec GROUP BY 1),
+        |cum AS (SELECT *, CAST(SUM(decile_events) OVER (ORDER BY decile
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_events FROM agg)
+        |SELECT decile, CAST(n_users AS BIGINT) AS n_users, decile_events,
+        |  CAST(floor(1000000.0 * decile_events::DOUBLE / total_events::DOUBLE + 0.5)
+        |    AS BIGINT) AS share_micro,
+        |  CAST(floor(1000000.0 * cum_events::DOUBLE / total_events::DOUBLE + 0.5)
+        |    AS BIGINT) AS cum_share_micro
+        |FROM cum""".stripMargin,
 
     // adjacent-token PMI: pair and unigram counts off the same split arrays, corpus
     // totals as single-row cross joins, ln sequence quantized to integer micro-units

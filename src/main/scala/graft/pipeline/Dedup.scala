@@ -136,6 +136,44 @@ object Dedup {
     labels.select(col("v").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** The dedup DECISION on top of [[dedupClusters]]: one row per near-dup cluster,
+    * keeping the LONGEST member (token count; doc-id tie-break) — the standard
+    * "keep the most complete copy" policy a curation pipeline applies after
+    * clustering, with the drop count as the audit trail. Singleton clusters pass
+    * through (n_dropped = 0), so the output IS the post-dedup corpus manifest.
+    *
+    * Scale shape: inherits d05's banded-LSH + bounded min-label closure; the keep
+    * choice adds one token-count map pass, an id equi-join, and a per-CLUSTER window
+    * (partitioned by cluster_id — no global sort). Deterministic: token counts are
+    * exact integers and ties break on doc id.
+    */
+  def clusterKeepLongest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds)
+    val toks = df.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tokens"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters
+      .join(toks, idCol)
+      .withColumn("rk",
+        row_number().over(byCluster.orderBy(col("n_tokens").desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rk") === 1)
+      .select(
+        col("cluster_id"),
+        col(idCol).as("kept_doc"),
+        col("n_tokens").as("kept_tokens"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
   /** Train/eval contamination detection — the decontamination step of a training-data
     * pipeline: documents land in train/val/test via the deterministic hash split
     * ([[Sampling.hashSplit]]), and an eval document is CONTAMINATED if it shares a

@@ -848,6 +848,80 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got("skw")._3 > 1000000L)
   }
 
+  // -------------------------------------------------------- d15 cluster keep
+
+  test("clusterKeepLongest keeps the longest member per cluster and audits drops") {
+    import spark.implicits._
+    // two exact-dup groups of different sizes + one unique doc; exact dups collide
+    // in every minhash band, so clusters are certain
+    val df = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "one two three four five",
+      5L -> "one two three four five",
+      6L -> "unique words only here nothing shared").toDF("doc_id", "text")
+    val got = Dedup.clusterKeepLongest(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("kept_doc"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("n_members"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    // membership comes from the (oracle-matched) d05 clustering; the DECISION must
+    // agree with a mirror computed from that clustering + exact token counts
+    val clusters = Dedup.dedupClusters(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val toks = Map(1L -> 6L, 2L -> 6L, 3L -> 8L, 4L -> 5L, 5L -> 5L, 6L -> 6L)
+    val expected = clusters.groupBy(_._2).map { case (c, ms) =>
+      val ids = ms.map(_._1)
+      val kept = ids.minBy(id => (-toks(id), id))
+      c -> ((kept, toks(kept), ids.size.toLong, ids.size.toLong - 1L))
+    }
+    assert(got == expected)
+    // docs 1-3 share every shingle window prefix… 1,2 identical; 3 is the longest
+    // superset: if they clustered together, 3 must be the keeper
+    val c123 = clusters.collect { case (id, c) if id <= 3 => c }.distinct
+    if (c123.size == 1) assert(got(c123.head)._1 == 3L)
+    // every cluster accounts for all members
+    assert(got.values.map(_._3).sum == 6L)
+  }
+
+  // -------------------------------------------------- ev17 activity Pareto
+
+  test("activityPareto deciles partition users exactly and shares telescope to 1") {
+    val dir = "/root/testdata/sf0.001"
+    val per = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    val nUsers = per.length.toLong
+    val total = per.map(_._2).sum
+    val ranked = per.sortBy(p => (-p._2, p._1))
+    val mirror = ranked.zipWithIndex
+      .groupBy { case (_, i) => 1L + i.toLong * 10L / nUsers }
+      .map { case (d, xs) =>
+        d -> ((xs.size.toLong, xs.map(_._1._2).sum))
+      }
+    val got = AnalyticsQueries.activityPareto(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("decile_events"),
+          r.getAs[Long]("share_micro"), r.getAs[Long]("cum_share_micro"))))
+      .toMap
+    assert(got.keySet == mirror.keySet)
+    mirror.foreach { case (d, (nu, ev)) =>
+      assert(got(d)._1 == nu && got(d)._2 == ev, s"decile $d")
+      assert(got(d)._3 ==
+        math.floor(1000000.0 * ev.toDouble / total.toDouble + 0.5).toLong)
+    }
+    // decile user counts sum to all users; event counts to all events
+    assert(got.values.map(_._1).sum == nUsers)
+    assert(got.values.map(_._2).sum == total)
+    // cumulative share ends at 100% and is monotone in decile order
+    val byDecile = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(byDecile.last == 1000000L)
+    assert(byDecile == byDecile.sorted)
+    // decile 1 (most active users) has the largest per-decile share
+    assert(got(1L)._3 == got.values.map(_._3).max)
+  }
+
   // ------------------------------------------------------------- ev16 RFM
 
   test("rfm buckets are exact quintiles of deterministic ranks over sf0.001") {
