@@ -662,6 +662,7 @@ object AnalyticsQueries {
     val per = table(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // two consumers: the totals row and the ranked chain
     val totals = per.agg(
       sum(col("n_events")).as("total_events"),
       count(lit(1)).as("n_users_total"))

@@ -493,7 +493,7 @@ object SparkEntry {
     "d15_cluster_keep" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
-      TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
     "t34_zipf_fit" -> ((s: SparkSession, dir: String) =>
       TextStats.zipfFit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -3308,16 +3308,19 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN lb END) AS BIGINT) AS p99_est
         |FROM lb GROUP BY 1""".stripMargin,
 
-    // moments sketch: EXACT integer power sums (DuckDB sums BIGINT into HUGEINT; the
-    // Spark side sums decimal(38,0) — both exact), then one fixed double-arithmetic
-    // sequence for the population moments; pow(v,1.5) written v*sqrt(v) on BOTH sides
-    // because sqrt is IEEE-correctly-rounded while pow is only ulp-accurate — mirror
-    // of Sketches.momentsSketch
+    // moments sketch: EXACT integer power sums (DuckDB promotes per-row products to
+    // HUGEINT so x^4 cannot overflow INT64; the Spark side sums decimal(12,0)-widened
+    // products — both exact), then one fixed double-arithmetic sequence for the
+    // population moments; pow(v,1.5) written v*sqrt(v) on BOTH sides because sqrt is
+    // IEEE-correctly-rounded while pow is only ulp-accurate; zero-variance groups
+    // report 0 skew/kurt by the same explicit guard as the Spark side — mirror of
+    // Sketches.momentsSketch
     "sk09_moments" ->
       """WITH s AS (SELECT source, COUNT(*) AS n,
-        |             SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2,
-        |             SUM(n_chars * n_chars * n_chars) AS s3,
-        |             SUM((n_chars * n_chars) * (n_chars * n_chars)) AS s4
+        |             SUM(n_chars::HUGEINT) AS s1,
+        |             SUM(n_chars::HUGEINT * n_chars) AS s2,
+        |             SUM(n_chars::HUGEINT * n_chars * n_chars) AS s3,
+        |             SUM((n_chars::HUGEINT * n_chars) * (n_chars::HUGEINT * n_chars)) AS s4
         |           FROM documents GROUP BY 1),
         |m AS (SELECT source, n,
         |        s1::DOUBLE / n::DOUBLE AS m1, s2::DOUBLE / n::DOUBLE AS m2,
@@ -3327,11 +3330,13 @@ object SparkEntry {
         |SELECT source, CAST(n AS BIGINT) AS n,
         |  CAST(floor(1000000.0 * m1 + 0.5) AS BIGINT) AS mean_micro,
         |  CAST(floor(1000000.0 * var + 0.5) AS BIGINT) AS var_micro,
-        |  CAST(floor(1000000.0 * ((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
-        |                          / (var * sqrt(var))) + 0.5) AS BIGINT) AS skew_micro,
-        |  CAST(floor(1000000.0 * ((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
-        |                           - 3.0 * m1 * m1 * m1 * m1) / (var * var) - 3.0) + 0.5)
-        |    AS BIGINT) AS kurt_micro
+        |  CASE WHEN var = 0.0 THEN 0 ELSE
+        |    CAST(floor(1000000.0 * ((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+        |                            / (var * sqrt(var))) + 0.5) AS BIGINT) END AS skew_micro,
+        |  CASE WHEN var = 0.0 THEN 0 ELSE
+        |    CAST(floor(1000000.0 * ((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |                             - 3.0 * m1 * m1 * m1 * m1) / (var * var) - 3.0) + 0.5)
+        |      AS BIGINT) END AS kurt_micro
         |FROM v""".stripMargin,
 
     // RFM segmentation: per-user recency/frequency/monetary, exact quintile buckets
@@ -3432,14 +3437,17 @@ object SparkEntry {
          |        nd * sxyd - sxd * syd AS covnum,
          |        nd * sxxd - sxd * sxd AS varx,
          |        nd * syyd - syd * syd AS vary
-         |      FROM d)
+         |      FROM d),
+         |g AS (SELECT n, nd, sxd, syd, covnum, varx, vary,
+         |        CASE WHEN varx = 0.0 THEN 0.0 ELSE covnum / varx END AS slope,
+         |        CASE WHEN varx * vary = 0.0 THEN 0.0
+         |             ELSE covnum * covnum / (varx * vary) END AS r2
+         |      FROM f)
          |SELECT CAST(n AS BIGINT) AS n_fit,
-         |  CAST(floor(1000000.0 * (covnum / varx) + 0.5) AS BIGINT) AS slope_micro,
-         |  CAST(floor((syd - (covnum / varx) * sxd) / nd + 0.5) AS BIGINT)
-         |    AS intercept_micro,
-         |  CAST(floor(1000000.0 * (covnum * covnum / (varx * vary)) + 0.5) AS BIGINT)
-         |    AS r2_micro
-         |FROM f""".stripMargin,
+         |  CAST(floor(1000000.0 * slope + 0.5) AS BIGINT) AS slope_micro,
+         |  CAST(floor((syd - slope * sxd) / nd + 0.5) AS BIGINT) AS intercept_micro,
+         |  CAST(floor(1000000.0 * r2 + 0.5) AS BIGINT) AS r2_micro
+         |FROM g""".stripMargin,
 
     // media–text alignment screen: the stub media embedding is 8 dims of the payload
     // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's

@@ -508,23 +508,29 @@ object Sketches {
     * monitor for corpus curation: a source whose length skew or kurtosis jumps between
     * snapshots changed its generator.
     *
-    * Determinism: the power sums are EXACT (decimal(38,0) — no float-order variance;
-    * x ≤ 1e9 keeps x⁴·rows inside 38 digits up to ~1e12 rows per group), and the
-    * population-moment formulas are one fixed double-arithmetic sequence over those
-    * exact sums, mirrored verbatim in the oracle. Spark's own `skewness`/`kurtosis`
-    * are NOT used: their streaming central-moment updates are float-order-dependent
-    * and their bias conventions differ from DuckDB's.
+    * Determinism and headroom, honestly stated: x is widened to decimal(12,0), so a
+    * single x⁴ term (decimal precision caps products at 38 digits, scale 0) is exact
+    * for x < ~3.1e9, and the 38-digit Σx⁴ accumulator then holds 1e38/x⁴ rows per
+    * group (1e14 rows at x = 1e6 — document lengths never approach either bound).
+    * The sums are therefore EXACT integers with no float-order variance, and the
+    * population-moment formulas are one fixed double-arithmetic sequence over them,
+    * mirrored verbatim in the oracle (whose per-row products are promoted to HUGEINT
+    * for the same reason). Spark's own `skewness`/`kurtosis` are NOT used: their
+    * streaming central-moment updates are float-order-dependent and their bias
+    * conventions differ from DuckDB's. A zero-variance group (every value equal) has
+    * undefined skew/kurtosis; both engines report 0 by explicit guard rather than
+    * leaking a NaN (Spark) vs NULL (DuckDB) disagreement.
     */
   def momentsSketch(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val x = col(valCol).cast("decimal(9,0)")
+    val x = col(valCol).cast("decimal(12,0)")
     val sums = df
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast("decimal(38,0)").as("s1"),
-        sum(x * x).cast("decimal(38,0)").as("s2"),
-        sum(x * x * x).cast("decimal(38,0)").as("s3"),
-        sum((x * x) * (x * x)).cast("decimal(38,0)").as("s4"))
+        sum(x).as("s1"),
+        sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"),
+        sum((x * x) * (x * x)).as("s4"))
     val nD = col("n").cast("double")
     val m1 = col("s1").cast("double") / nD
     val m2 = col("s2").cast("double") / nD
@@ -539,12 +545,13 @@ object Sketches {
       (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 - lit(3.0) * m1 * m1 * m1 * m1) /
         (variance * variance) - lit(3.0)
     def micro(c: Column): Column = floor(lit(1000000.0) * c + lit(0.5)).cast("long")
+    def guarded(c: Column): Column = when(variance === lit(0.0), lit(0L)).otherwise(micro(c))
     sums.select(
       col(groupCol),
       col("n"),
       micro(m1).as("mean_micro"),
       micro(variance).as("var_micro"),
-      micro(skew).as("skew_micro"),
-      micro(kurt).as("kurt_micro"))
+      guarded(skew).as("skew_micro"),
+      guarded(kurt).as("kurt_micro"))
   }
 }

@@ -948,7 +948,6 @@ object TextStats {
     */
   def pmiPairs(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       minCount: Long = 5L,
       k: Int = 100
@@ -1035,13 +1034,18 @@ object TextStats {
     val covNum = nD * col("sxy").cast("double") - sxD * syD
     val varX = nD * col("sxx").cast("double") - sxD * sxD
     val varY = nD * col("syy").cast("double") - syD * syD
-    val slope = covNum / varX
+    // degenerate-fit guard (mirrored in the oracle): a single-token vocabulary has
+    // varX = 0 and a uniform-frequency head has varY = 0 — the regression is
+    // undefined there, so slope/R² report 0 rather than leaking Spark-NaN-to-0 vs
+    // DuckDB-NULL disagreement; the intercept degrades to the mean of ly
+    val slope = when(varX === lit(0.0), lit(0.0)).otherwise(covNum / varX)
+    val r2 = when(varX * varY === lit(0.0), lit(0.0))
+      .otherwise(covNum * covNum / (varX * varY))
     sums.select(
       col("n").as("n_fit"),
       floor(lit(1000000.0) * slope + lit(0.5)).cast("long").as("slope_micro"),
       // ly is already micro-scaled, so the intercept is too
       floor((syD - slope * sxD) / nD + lit(0.5)).cast("long").as("intercept_micro"),
-      floor(lit(1000000.0) * (covNum * covNum / (varX * varY)) + lit(0.5))
-        .cast("long").as("r2_micro"))
+      floor(lit(1000000.0) * r2 + lit(0.5)).cast("long").as("r2_micro"))
   }
 }

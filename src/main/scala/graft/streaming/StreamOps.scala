@@ -783,10 +783,14 @@ object StreamOps extends Serializable {
     val m4 = s4.doubleValue / nD
     val vr = m2 - m1 * m1
     def micro(x: Double): Long = math.floor(1000000.0 * x + 0.5).toLong
-    (micro(m1), micro(vr),
-      micro((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (vr * math.sqrt(vr))),
-      micro((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) /
-        (vr * vr) - 3.0))
+    // zero-variance guard, same convention as the batch operator: skew/kurt are
+    // undefined on a constant group — report 0, never a NaN artifact
+    if (vr == 0.0) (micro(m1), micro(vr), 0L, 0L)
+    else
+      (micro(m1), micro(vr),
+        micro((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (vr * math.sqrt(vr))),
+        micro((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) /
+          (vr * vr) - 3.0))
   }
 
   /** Streaming moments maintenance — sk09 at ingestion time: the per-key power sums
@@ -797,8 +801,9 @@ object StreamOps extends Serializable {
     * bit-for-bit (StreamOpsSpec pins this). This is the live distribution-drift
     * monitor: a source whose length skew jumps mid-ingest changed its generator,
     * and the alarm costs O(keys) state, not O(rows). Sums are stored as decimal
-    * strings (exact at any magnitude); values ≥ 1e9 violate the batch operator's
-    * documented decimal(38,0) headroom and are the caller's contract to avoid.
+    * strings (exact at ANY magnitude — BigInt registers never overflow); staying
+    * inside the batch operator's documented decimal bound (x < ~3.1e9 per value,
+    * 1e38/x⁴ rows per group) keeps the parity exact, and is the caller's contract.
     */
   def streamingMoments(
       items: DataFrame,

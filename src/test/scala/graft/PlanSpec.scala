@@ -557,7 +557,7 @@ class PlanSpec extends SparkSpec {
 
   test("PMI: token-key equi-joins, single-row totals broadcast, top-k is TakeOrdered") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val p = plan(TextStats.pmiPairs(docs, "doc_id", "text"))
+    val p = plan(TextStats.pmiPairs(docs, "text"))
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-k must be a distributed TakeOrdered, not a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"no materialized pair product:\n$p")
@@ -595,7 +595,9 @@ class PlanSpec extends SparkSpec {
 
   test("RFM ranks the per-user aggregate, not raw events") {
     val p = plan(AnalyticsQueries.rfm(spark, dir))
-    // the events scan feeds ONE hash aggregation before any window runs
+    // the rank windows must EXIST (indexOf(-1) would pass the ordering check
+    // vacuously) and consume the per-user aggregate, never the raw events scan
+    assert("Window".r.findAllMatchIn(p).nonEmpty, s"rank windows missing:\n$p")
     assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
       s"windows must consume the per-user aggregate (appear above it):\n$p")
     assert(!p.contains("Join"), s"RFM is agg + windows, no joins:\n$p")

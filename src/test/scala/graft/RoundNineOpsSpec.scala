@@ -756,21 +756,21 @@ class RoundNineOpsSpec extends SparkSpec {
       (p._1, p._2) -> ((c, uni(p._1), uni(p._2), pmiMicro(p, c)))
     }
 
-    val got = TextStats.pmiPairs(df, "doc_id", "text", minCount = 2L, k = 100).collect()
+    val got = TextStats.pmiPairs(df, "text", minCount = 2L, k = 100).collect()
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
         ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"), r.getAs[Long]("n_w2"),
           r.getAs[Long]("pmi_micro"))))
       .toMap
     assert(got == expected)
     // the planted collocation outranks every frequent-but-unbound pair
-    val top = TextStats.pmiPairs(df, "doc_id", "text", minCount = 2L, k = 1).collect()(0)
+    val top = TextStats.pmiPairs(df, "text", minCount = 2L, k = 1).collect()(0)
     assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == ("new", "york"))
   }
 
   test("pmiPairs is safe on single-token documents (no descending-sequence pairs)") {
     import spark.implicits._
     val df = Seq(1L -> "solo", 2L -> "a b a b a b").toDF("doc_id", "text")
-    val rows = TextStats.pmiPairs(df, "doc_id", "text", minCount = 1L, k = 10).collect()
+    val rows = TextStats.pmiPairs(df, "text", minCount = 1L, k = 10).collect()
     // no pair may mention the single-token doc's word
     assert(rows.forall(r => r.getAs[String]("w1") != "solo" && r.getAs[String]("w2") != "solo"))
     assert(rows.nonEmpty)

@@ -264,4 +264,75 @@ class RoundNinePropertySpec extends SparkSpec {
       }
     })
   }
+
+  // ------------------------------------------------------------- t33 PMI pairs
+
+  test("pmiPairs equals the direct-arithmetic mirror on random small-vocab corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) })
+    check("pmi-mirror", Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.map(_._2.split(" ").toSeq)
+      val uni = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val nTok = docs.map(_.size).sum.toLong
+      val nPair = docs.map(d => math.max(d.size - 1, 0)).sum.toLong
+      val expected = docs.flatMap(d => d.zip(d.tail))
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+        .filter(_._2 >= 2L)
+        .map { case (p, c) =>
+          val v = (c.toDouble / nPair.toDouble) /
+            ((uni(p._1).toDouble / nTok.toDouble) * (uni(p._2).toDouble / nTok.toDouble))
+          (p._1, p._2) -> ((c, uni(p._1), uni(p._2), microQ(math.log(v))))
+        }
+      val got = TextStats.pmiPairs(corpus.toDF("doc_id", "text"), "text",
+          minCount = 2L, k = 1000)
+        .collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+          ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"), r.getAs[Long]("n_w2"),
+            r.getAs[Long]("pmi_micro"))))
+        .toMap
+      got == expected
+    })
+  }
+
+  // --------------------------------------------------------- sk09 moments merge
+
+  test("moments registers merge associatively and match a naive BigInt mirror") {
+    val values = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 3000000L)))
+    val zero = (0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    check("moments-merge", Prop.forAll(values, Gen.chooseNum(0, 29)) { (vs, cutRaw) =>
+      val cut = math.min(cutRaw, vs.size)
+      val (a, b) = vs.splitAt(cut)
+      // any split folds to the same register as the whole (addition is the merge)
+      val whole = StreamOps.mergeMomentsRegs(zero, vs.iterator)
+      val split = StreamOps.mergeMomentsRegs(
+        StreamOps.mergeMomentsRegs(zero, a.iterator), b.iterator)
+      val naive = (vs.size.toLong,
+        vs.map(BigInt(_)).sum,
+        vs.map(v => BigInt(v) * v).sum,
+        vs.map(v => BigInt(v) * v * v).sum,
+        vs.map(v => BigInt(v) * v * v * v).sum)
+      whole == split && whole == naive
+    }, cases = 30)
+  }
+
+  test("momentsEstimates equals the batch sk09 operator on random grouped values") {
+    import spark.implicits._
+    val groupGen = Gen.chooseNum(2, 25)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 2000000L)))
+    check("moments-batch-parity", Prop.forAll(groupGen) { vs =>
+      val zero = (0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      val (n, s1, s2, s3, s4) = StreamOps.mergeMomentsRegs(zero, vs.iterator)
+      val pure = StreamOps.momentsEstimates(n, s1, s2, s3, s4)
+      val row = graft.pipeline.Sketches
+        .momentsSketch(vs.map(("g", _)).toDF("source", "n_chars"), "source", "n_chars")
+        .collect().head
+      (row.getAs[Long]("n"), row.getAs[Long]("mean_micro"), row.getAs[Long]("var_micro"),
+        row.getAs[Long]("skew_micro"), row.getAs[Long]("kurt_micro")) ==
+        ((n, pure._1, pure._2, pure._3, pure._4))
+    })
+  }
 }
