@@ -138,6 +138,12 @@ object SparkEntry {
   /** t34's pinned vocabulary-head size for the Zipf fit. */
   private[graft] val ZipfFitK = 1000
 
+  /** s21's pinned MMR parameters, shared by registration and oracle. */
+  private[graft] val MmrQueryMod = 50
+  private[graft] val MmrCandK = 10
+  private[graft] val MmrK = 5
+  private[graft] val MmrLambdaMicro = 700000L
+
   /** One entry per implemented operator from SURVEY.md §2 (+ pipeline extensions). */
   def queries: Map[String, Q] = Map[String, Q](
     // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
@@ -349,6 +355,11 @@ object SparkEntry {
     "s20_knn_graph" -> ((s: SparkSession, dir: String) =>
       Similarity.knnGraph(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = KnnGraphK)),
+    "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
+        "embedding", k = MmrK, candK = MmrCandK, lambdaMicro = MmrLambdaMicro)
+    }),
     "s05_label_centroids" -> ((s: SparkSession, dir: String) =>
       Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
     "s06_nearest_centroid" -> ((s: SparkSession, dir: String) =>
@@ -529,6 +540,61 @@ object SparkEntry {
   /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+
+  /** The s21 MMR mirror: candidates and pair sims micro-quantized from the round-6
+    * cosines, then the greedy selection UNROLLED round-for-round exactly like the
+    * Spark loop (the d05 unrolled-rounds discipline) — generated from the same
+    * Mmr* constants so the two sides cannot drift. Round r picks, among candidates
+    * not yet selected, the argmax of λ·rel − (1e6−λ)·max-sim-to-selected (exact
+    * integer comparison, neighbor-id tie-break).
+    */
+  private def mmrRerankSql: String = {
+    val lam = MmrLambdaMicro
+    val oneMinus = 1000000L - MmrLambdaMicro
+    val rounds = (2 to MmrK).map { r =>
+      s"""m$r AS (SELECT c.query_id, c.neighbor_id, c.rel_micro,
+         |          COALESCE(MAX(pp.sim_micro), 0) AS maxsim
+         |        FROM cand c LEFT JOIN
+         |          (SELECT p.query_id, p.id_a, p.sim_micro FROM ps p
+         |             JOIN acc${r - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.id_b) pp
+         |          ON pp.query_id = c.query_id AND pp.id_a = c.neighbor_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} s0
+         |          WHERE s0.query_id = c.query_id AND s0.neighbor_id = c.neighbor_id)
+         |        GROUP BY 1, 2, 3),
+         |sel$r AS (SELECT query_id, neighbor_id, rel_micro, score_micro, $r AS mmr_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score_micro DESC, neighbor_id) AS rk
+         |  FROM (SELECT query_id, neighbor_id, rel_micro,
+         |          CAST($lam * rel_micro - $oneMinus * maxsim AS BIGINT) AS score_micro
+         |        FROM m$r)) WHERE rk = 1),
+         |acc$r AS (SELECT query_id, neighbor_id FROM acc${r - 1}
+         |          UNION ALL SELECT query_id, neighbor_id FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $MmrQueryMod = 0),
+       |scored AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+       |           FROM q, e c WHERE c.vec_id <> query_id),
+       |cand AS (SELECT query_id, neighbor_id,
+       |           CAST(floor(1000000.0 * cos_sim + 0.5) AS BIGINT) AS rel_micro, rank
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+       |         WHERE rank <= $MmrCandK),
+       |ps AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |         CAST(floor(1000000.0 * ${cosSql("ea.v", "eb.v")} + 0.5) AS BIGINT) AS sim_micro
+       |       FROM cand a JOIN cand b
+       |         ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+       |       JOIN e ea ON ea.vec_id = a.neighbor_id
+       |       JOIN e eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id, rel_micro,
+       |           CAST($lam * rel_micro AS BIGINT) AS score_micro, 1 AS mmr_rank
+       |         FROM cand WHERE rank = 1),
+       |acc1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |$rounds
+       |SELECT query_id, neighbor_id, rel_micro, score_micro,
+       |  CAST(mmr_rank AS INTEGER) AS mmr_rank
+       |FROM ($unionAll)""".stripMargin
+  }
 
   /** The hybrid-retrieval (s17/s18) mirror, parameterized by the optional
     * document-frequency cap — ONE builder for both entries so the capped and
@@ -3197,6 +3263,11 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank FROM scored)
          |WHERE rank <= $PrfK""".stripMargin,
+
+    // MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim-to-selected over the
+    // s01 candidates, unrolled round-for-round — mirror of Similarity.mmrRerank
+    // (SQL generated from the same Mmr* constants; see mmrRerankSql)
+    "s21_mmr_rerank" -> mmrRerankSql,
 
     // cohort retention matrix: first-seen-day cohorts × day-offset active counts over
     // distinct (day, user) pairs — mirror of AnalyticsQueries.cohortRetention

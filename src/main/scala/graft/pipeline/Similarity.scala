@@ -968,4 +968,81 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** MMR (maximal marginal relevance) diversified re-ranking: from each query's
+    * `candK` cosine candidates, greedily select `k` results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the standard
+    * redundancy-killer between ANN retrieval and the consumer (Carbonell & Goldstein,
+    * SIGIR'98). λ = 1 reduces to plain top-k; lower λ trades relevance for spread.
+    *
+    * Determinism: relevance and candidate-pair similarities are micro-quantized from
+    * the round-6 cosines, so every greedy argmax compares EXACT integers
+    * (λ_micro·rel − (1e6−λ_micro)·maxsim ≤ 1e12 — Long-safe), ties on neighbor id.
+    * The greedy loop is k−1 unrolled rounds of anti-join (remaining) + equi-join
+    * (sims to selected) + per-query argmax window — the d05 unrolled-rounds
+    * discipline, mirrored round-for-round in the oracle.
+    *
+    * Scale shape: candidate generation is the s01 broadcast pass (swap in
+    * [[ivfTopK]] at corpus scale — the re-rank is agnostic to where candidates come
+    * from); everything after runs on the |Q|·candK candidate relation and its
+    * per-query candK² pair sims — bounded by the QUERY batch, never the corpus — and
+    * each round's joins are query-key equi-joins on those bounded relations.
+    */
+  def mmrRerank(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      candK: Int = 10,
+      lambdaMicro: Long = 700000L
+  ): DataFrame = {
+    def micro(c: Column): Column = floor(lit(1000000.0) * c + lit(0.5)).cast("long")
+    val cand = bruteForceTopK(queries, candidates, idCol, vecCol, candK)
+      .select(col("query_id"), col("neighbor_id"), micro(col("cos_sim")).as("rel_micro"),
+        col("rank"))
+      .localCheckpoint(true) // consumed every greedy round
+    val vecs = candidates
+      .select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm2(col("v")))
+    // all candidate-candidate sims per query (candK² rows per query, both directions)
+    val pairSims = cand.select(col("query_id"), col("neighbor_id").as("id_a"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("id_b")), "query_id")
+      .filter(col("id_a") =!= col("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va"), col("vn").as("na")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb"), col("vn").as("nb")), "id_b")
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        micro(round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+          .as("sim_micro"))
+      .localCheckpoint(true) // consumed every greedy round
+    // round 1: the empty-selection MMR score is λ·rel, so the pick IS the top-ranked
+    var sel = cand
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel_micro"),
+        (lit(lambdaMicro) * col("rel_micro")).as("score_micro"),
+        lit(1).as("mmr_rank"))
+    for (r <- 2 to k) {
+      val selIds = sel.select(col("query_id"), col("neighbor_id"))
+      val simToSel = pairSims
+        .join(selIds.select(col("query_id"), col("neighbor_id").as("id_b")), Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a"))
+        .agg(max(col("sim_micro")).as("maxsim"))
+      val pick = cand
+        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(simToSel.withColumnRenamed("id_a", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rel_micro"),
+          (lit(lambdaMicro) * col("rel_micro") -
+            lit(1000000L - lambdaMicro) * coalesce(col("maxsim"), lit(0L)))
+            .as("score_micro"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_micro").desc, col("neighbor_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel_micro"), col("score_micro"),
+          lit(r).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true) // selection feeds the next round
+    }
+    sel
+  }
 }

@@ -848,6 +848,69 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got("skw")._3 > 1000000L)
   }
 
+  // ---------------------------------------------------------- s21 MMR re-rank
+
+  test("mmrRerank matches a naive greedy mirror on deterministic vectors") {
+    import spark.implicits._
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(4)(d => (((id * 37 + d * 19) % 11) - 5).toDouble / 5.0)
+    val ids = (1L to 15L)
+    val df = ids.map(i => (i, vec(i).map(_.toFloat))).toDF("vec_id", "embedding")
+    val (k, candK, lam) = (3, 6, 700000L)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      microQ(round6(dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)))
+    }
+    val queries = ids.filter(_ % 5 == 0)
+    val expected = queries.flatMap { q =>
+      val cand = ids.filter(_ != q).map(c => c -> cosMicro(vec(q), vec(c)))
+        .sortBy { case (c, s) => (-s, c) }.take(candK)
+      var sel = List.empty[(Long, Long, Long, Int)] // (id, rel, score, rank)
+      for (r <- 1 to k) {
+        val rem = cand.filterNot(c => sel.exists(_._1 == c._1))
+        val pick = rem.map { case (c, rel) =>
+          val maxsim =
+            if (sel.isEmpty) 0L
+            else sel.map(s => cosMicro(vec(c), vec(s._1))).max
+          (c, rel, lam * rel - (1000000L - lam) * maxsim)
+        }.minBy { case (c, _, score) => (-score, c) }
+        sel = sel :+ ((pick._1, pick._2, pick._3, r))
+      }
+      sel.map { case (id, rel, score, r) => (q, id, rel, score, r) }
+    }.toSet
+    val got = Similarity.mmrRerank(df.filter(col("vec_id") % 5 === 0), df, "vec_id",
+        "embedding", k = k, candK = candK, lambdaMicro = lam)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rel_micro"), r.getAs[Long]("score_micro"), r.getAs[Int]("mmr_rank")))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("mmrRerank diversifies: a redundant near-twin is displaced by a distinct result") {
+    import spark.implicits._
+    // a1 and a2 nearly coincide; b is less relevant but diverse. Plain top-3 ranks
+    // a1, a2, b; MMR at λ=0.5 demotes the twin below b.
+    val vecs = Map(
+      5L -> Array(1.0f, 0.0f), // query
+      1L -> Array(0.999f, 0.045f), // a1
+      2L -> Array(0.998f, 0.063f), // a2 — near-twin of a1
+      3L -> Array(0.8f, -0.6f)) // b — diverse
+    val df = vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 5L)
+    def order(r: org.apache.spark.sql.DataFrame, rankCol: String): Seq[Long] = r.collect()
+      .sortBy(_.getAs[Int](rankCol)).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(order(Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 3), "rank") ==
+      Seq(1L, 2L, 3L))
+    assert(order(Similarity.mmrRerank(q, df, "vec_id", "embedding", k = 3, candK = 3,
+      lambdaMicro = 500000L), "mmr_rank") == Seq(1L, 3L, 2L))
+    // λ = 1 degenerates to plain relevance order
+    assert(order(Similarity.mmrRerank(q, df, "vec_id", "embedding", k = 3, candK = 3,
+      lambdaMicro = 1000000L), "mmr_rank") == Seq(1L, 2L, 3L))
+  }
+
   // -------------------------------------------------------- d15 cluster keep
 
   test("clusterKeepLongest keeps the longest member per cluster and audits drops") {
