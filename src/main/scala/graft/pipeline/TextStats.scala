@@ -970,12 +970,15 @@ object TextStats {
       .select(explode(col("w")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_tok"))
-      .localCheckpoint(true) // consumed twice (w1 and w2 sides) + the total below
+      .localCheckpoint(true) // consumed twice (the w1 and w2 join sides)
+    // both corpus totals in ONE pass over the checkpointed split arrays — a single
+    // broadcast row instead of two (values identical to the oracle's separate
+    // unigram-sum and per-doc-pair-sum CTEs)
+    val totals = toks.select(
+      sum(size(col("w"))).cast("long").as("n_tokens_total"),
+      sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("n_pairs_total"))
     // exact double sequence mirrored in the oracle:
     // ln( (n_pair/P) / ((n_w1/T) * (n_w2/T)) )
-    val nPairsTotal = toks.select(
-      sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("n_pairs_total"))
-    val nToksTotal = uniCounts.select(sum(col("n_tok")).cast("long").as("n_tokens_total"))
     val pmiMicro = floor(
       lit(1000000.0) * log(
         (col("n_pair").cast("double") / col("n_pairs_total").cast("double")) /
@@ -986,8 +989,7 @@ object TextStats {
     pairCounts
       .join(uniCounts.select(col("token").as("w1"), col("n_tok").as("n_w1")), "w1")
       .join(uniCounts.select(col("token").as("w2"), col("n_tok").as("n_w2")), "w2")
-      .crossJoin(broadcast(nPairsTotal))
-      .crossJoin(broadcast(nToksTotal))
+      .crossJoin(broadcast(totals))
       .select(
         col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
         pmiMicro.as("pmi_micro"))

@@ -562,11 +562,11 @@ class PlanSpec extends SparkSpec {
       s"the top-k must be a distributed TakeOrdered, not a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"no materialized pair product:\n$p")
     // the unigram-count joins are hash equi-joins on the token keys; the only
-    // nested-loop joins are the two SINGLE-ROW corpus totals crossed in broadcast
+    // nested-loop join is the ONE single-row corpus-totals row crossed in broadcast
     assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 2,
       s"both count joins must be token-key equi-joins:\n$p")
-    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p).size == 2,
-      s"exactly the two single-row totals may cross in:\n$p")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p).size == 1,
+      s"exactly the one single-row totals row may cross in:\n$p")
   }
 
   test("Zipf fit: the global rank window only ever sees the fitK-row vocabulary head") {
@@ -591,6 +591,24 @@ class PlanSpec extends SparkSpec {
       s"the sketch is a single agg over the scan:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
     assert(exchanges == 1, s"one shuffle on the group key expected, saw $exchanges:\n$p")
+  }
+
+  test("cluster keep-longest windows per CLUSTER, never a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.clusterKeepLongest(docs, "doc_id", "text"))
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.contains("cluster_id"),
+      s"the keep decision must window per cluster_id partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair product in the keep layer:\n$p")
+  }
+
+  test("activity Pareto crosses in one broadcast totals row and windows the rollup") {
+    val p = plan(AnalyticsQueries.activityPareto(spark, dir))
+    assert("Window".r.findAllMatchIn(p).nonEmpty, s"rank/cumulative windows missing:\n$p")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p).size == 1,
+      s"exactly the one single-row totals row may cross in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no heavyweight joins anywhere in the Pareto rollup:\n$p")
   }
 
   test("RFM ranks the per-user aggregate, not raw events") {
