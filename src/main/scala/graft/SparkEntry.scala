@@ -138,6 +138,15 @@ object SparkEntry {
   /** t34's pinned vocabulary-head size for the Zipf fit. */
   private[graft] val ZipfFitK = 1000
 
+  /** o04's pinned file-skipping predicate band and file-size target, shared by
+    * registration and oracle. The target is finer than o03's so the gate-scale data
+    * splits into enough planned files for min/max pruning to actually bite
+    * (sf0.01: 29 groups, 17 pruned — vs 3 unprunable groups at o03's 4096).
+    */
+  private[graft] val PruneUserLo = 4L
+  private[graft] val PruneUserHi = 9L
+  private[graft] val PruneTargetRows = 256L
+
   /** s21's pinned MMR parameters, shared by registration and oracle. */
   private[graft] val MmrQueryMod = 50
   private[graft] val MmrCandK = 10
@@ -341,6 +350,10 @@ object SparkEntry {
     "o03_compaction_plan" -> ((s: SparkSession, dir: String) =>
       Layout.compactionPlan(s.read.parquet(s"$dir/events.parquet"),
         targetRows = CompactionTargetRows, bucketShift = CompactionTileShift)),
+    "o04_prune_stats" -> ((s: SparkSession, dir: String) =>
+      Layout.pruneStats(s.read.parquet(s"$dir/events.parquet"),
+        targetRows = PruneTargetRows, bucketShift = CompactionTileShift,
+        userLo = PruneUserLo, userHi = PruneUserHi)),
     // --- similarity search over embeddings ---
     "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -3121,6 +3134,47 @@ object SparkEntry {
          |        FROM st)
          |SELECT bucket, n_rows, cum_before // $CompactionTargetRows AS group_id
          |FROM cum""".stripMargin
+    },
+
+    // min/max file-skipping replay over the o03 plan's groups for the pinned
+    // user-band predicate: prune rate + read amplification — mirror of
+    // Layout.pruneStats (same Morton-term builder as o03)
+    "o04_prune_stats" -> {
+      val terms = (0 until 20)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      val (lo, hi) = (PruneUserLo, PruneUserHi)
+      s"""WITH xy AS (SELECT event_id, user_id, user_id & 1048575 AS x,
+         |                   (epoch_us(ts) // 3600000000) & 1048575 AS y FROM events),
+         |z AS (SELECT event_id, user_id,
+         |        CAST($terms AS BIGINT) >> $CompactionTileShift AS bucket FROM xy),
+         |st AS (SELECT bucket, COUNT(*) AS n_rows FROM z GROUP BY 1),
+         |cum AS (SELECT bucket,
+         |          CAST(COALESCE(SUM(n_rows) OVER (ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |            AS cum_before
+         |        FROM st),
+         |pl AS (SELECT bucket, cum_before // $PruneTargetRows AS group_id FROM cum),
+         |pg AS (SELECT group_id, COUNT(*) AS n_rows, MIN(user_id) AS min_u,
+         |         MAX(user_id) AS max_u,
+         |         CAST(SUM(CASE WHEN user_id BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_match
+         |       FROM z JOIN pl USING (bucket) GROUP BY 1),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |          CAST(SUM(CASE WHEN max_u >= $lo AND min_u <= $hi THEN 0 ELSE 1 END)
+         |            AS BIGINT) AS n_pruned,
+         |          CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |          CAST(SUM(CASE WHEN max_u >= $lo AND min_u <= $hi THEN n_rows ELSE 0 END)
+         |            AS BIGINT) AS rows_scanned,
+         |          CAST(SUM(n_match) AS BIGINT) AS rows_matching
+         |        FROM pg)
+         |SELECT n_groups, n_pruned, rows_total, rows_scanned, rows_matching,
+         |  CAST(floor(1000000.0 * n_pruned::DOUBLE / n_groups::DOUBLE + 0.5) AS BIGINT)
+         |    AS prune_rate_micro,
+         |  CASE WHEN rows_matching = 0 THEN CAST(0 AS BIGINT) ELSE
+         |    CAST(floor(1000000.0 * rows_scanned::DOUBLE / rows_matching::DOUBLE + 0.5)
+         |      AS BIGINT) END AS read_amp_micro
+         |FROM agg""".stripMargin
     },
 
     // Hilbert index over (user_id & 0xFFFF, hour & 0xFFFF): one CTE per level of the

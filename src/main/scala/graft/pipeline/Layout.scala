@@ -122,4 +122,59 @@ object Layout {
         // a double `/` + cast would be ulp-fragile at large cumulative counts
         expr(s"cum_before DIV $targetRows").as("group_id"))
   }
+
+  /** o04 — the PAYOFF measurement for the layout family: replay min/max file
+    * skipping against the [[compactionPlan]]'s output groups for a pinned predicate
+    * (`user_id BETWEEN lo AND hi`) and report, in one row, what a lakehouse reader
+    * would actually do — how many planned files its stats pruning skips
+    * (`prune_rate`), and how many rows it still scans per matching row
+    * (`read_amp`). This is the metric that justifies (or indicts) o01–o03: a layout
+    * whose prune rate is near zero wasted its write amplification.
+    *
+    * Scale shape: the group manifest (one row per planned file) is tile-bounded, so
+    * it BROADCASTS onto the event stream for group assignment; per-group min/max +
+    * match counts are one map-side-combinable hash agg; the final rollup sees only
+    * the manifest-sized relation. All counts exact integers; rates micro-quantized.
+    */
+  def pruneStats(
+      events: DataFrame,
+      targetRows: Long = 4096L,
+      bucketShift: Int = 26,
+      userLo: Long = 4L,
+      userHi: Long = 9L
+  ): DataFrame = {
+    val rows = events
+      .select(col("event_id"), col("user_id"), graft.EventTime.micros(events).as("tsu"))
+      .select(
+        col("user_id"),
+        mortonKey(col("user_id"), expr("tsu DIV 3600000000"), 20).as("zkey"))
+      .withColumn("bucket", shiftright(col("zkey"), bucketShift))
+    val groups = compactionPlan(events, targetRows, 20, bucketShift)
+      .select(col("bucket"), col("group_id"))
+    val perGroup = rows
+      .join(broadcast(groups), "bucket")
+      .groupBy(col("group_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_u"),
+        max(col("user_id")).as("max_u"),
+        sum(when(col("user_id").between(userLo, userHi), 1L).otherwise(0L)).as("n_match"))
+    val candidate = col("max_u") >= lit(userLo) && col("min_u") <= lit(userHi)
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(candidate, 0L).otherwise(1L)).as("n_pruned"),
+      sum(col("n_rows")).as("rows_total"),
+      sum(when(candidate, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+      sum(col("n_match")).as("rows_matching"))
+      .select(
+        col("n_groups"), col("n_pruned"), col("rows_total"), col("rows_scanned"),
+        col("rows_matching"),
+        floor(lit(1000000.0) * col("n_pruned").cast("double") /
+          col("n_groups").cast("double") + lit(0.5)).cast("long").as("prune_rate_micro"),
+        // rows read per matching row; 0 when the predicate matches nothing
+        when(col("rows_matching") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) * col("rows_scanned").cast("double") /
+            col("rows_matching").cast("double") + lit(0.5)).cast("long"))
+          .as("read_amp_micro"))
+  }
 }

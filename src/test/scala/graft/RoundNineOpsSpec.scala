@@ -848,6 +848,40 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got("skw")._3 > 1000000L)
   }
 
+  // ---------------------------------------------------------- o04 prune stats
+
+  test("pruneStats: min/max skipping is sound and every count reconciles") {
+    import graft.pipeline.Layout
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val (lo, hi) = (100L, 199L)
+    // sf0.001 has only 15 raw users (4 low morton bit-positions), so the interleave's
+    // high bits — and therefore every group boundary — would come from the HOUR axis
+    // alone and a user band could never prune. Spread user_id to 10 bits so the
+    // layout has user information to separate, and use fully granular tiles.
+    val spread = ev.withColumn("user_id", col("event_id") % 1024)
+    val row = Layout.pruneStats(spread, targetRows = 64L, bucketShift = 0,
+      userLo = lo, userHi = hi).collect()(0)
+    val total = spread.count()
+    val matching = spread.filter(col("user_id").between(lo, hi)).count()
+    // SOUNDNESS: min/max pruning may never lose a matching row — the reported match
+    // count must equal the full-scan answer
+    assert(row.getAs[Long]("rows_matching") == matching)
+    assert(row.getAs[Long]("rows_total") == total)
+    assert(row.getAs[Long]("rows_scanned") >= row.getAs[Long]("rows_matching"))
+    assert(row.getAs[Long]("rows_scanned") <= row.getAs[Long]("rows_total"))
+    val (ng, np) = (row.getAs[Long]("n_groups"), row.getAs[Long]("n_pruned"))
+    assert(np >= 0 && np <= ng)
+    assert(row.getAs[Long]("prune_rate_micro") ==
+      math.floor(1000000.0 * np.toDouble / ng.toDouble + 0.5).toLong)
+    assert(row.getAs[Long]("read_amp_micro") ==
+      math.floor(1000000.0 * row.getAs[Long]("rows_scanned").toDouble /
+        matching.toDouble + 0.5).toLong)
+    // the z-order layout must actually prune something for a thin user band at
+    // this file size — a zero rate here means the layout stopped paying off
+    assert(np > 0, s"expected non-trivial pruning, got $np of $ng groups")
+  }
+
   // ---------------------------------------------------------- s21 MMR re-rank
 
   test("mmrRerank matches a naive greedy mirror on deterministic vectors") {
