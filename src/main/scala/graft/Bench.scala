@@ -30,13 +30,15 @@ object Bench {
     // sk04_hll_overlap, q06_revenue_rollup (r9b, paying for g43 + d14 + t31),
     // t22_bpe_pairs, s02_ann_lsh (r9c, paying for g44 + t32) —
     // all historically <2s and family-covered by the remaining entries;
-    // q05_region_revenue, g02_adjacency_topk rotated r9d, paying for t33 + sk09
-    "t18_tfidf_top", "t20_unigram_logprob", "t21_bm25_top",
+    // q05_region_revenue, g02_adjacency_topk rotated r9d, paying for t33 + sk09;
+    // t18_tfidf_top, sk05_theta_diff rotated r9e, paying for s21 + d15
+    "t20_unigram_logprob", "t21_bm25_top",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
-    "sk01_hll_distinct", "sk03_bloom_contamination", "sk05_theta_diff",
+    "sk01_hll_distinct", "sk03_bloom_contamination",
     "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
     "g44_harmonic", "t32_vocab_growth", "t33_pmi_pairs", "sk09_moments",
+    "s21_mmr_rerank", "d15_cluster_keep",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
