@@ -3455,10 +3455,10 @@ object SparkEntry {
         |SELECT source, CAST(n AS BIGINT) AS n,
         |  CAST(floor(1000000.0 * m1 + 0.5) AS BIGINT) AS mean_micro,
         |  CAST(floor(1000000.0 * var + 0.5) AS BIGINT) AS var_micro,
-        |  CASE WHEN var = 0.0 THEN 0 ELSE
+        |  CASE WHEN var <= 0.0 THEN 0 ELSE
         |    CAST(floor(1000000.0 * ((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
         |                            / (var * sqrt(var))) + 0.5) AS BIGINT) END AS skew_micro,
-        |  CASE WHEN var = 0.0 THEN 0 ELSE
+        |  CASE WHEN var <= 0.0 THEN 0 ELSE
         |    CAST(floor(1000000.0 * ((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
         |                             - 3.0 * m1 * m1 * m1 * m1) / (var * var) - 3.0) + 0.5)
         |      AS BIGINT) END AS kurt_micro

@@ -73,6 +73,18 @@ object Dedup {
   /** MinHash + LSH banding: documents sharing any band signature become candidate
     * duplicate pairs. numHashes = bands × rowsPerBand. Band signatures concatenate the
     * band's minhashes in k order straight from the wide signature row.
+    *
+    * Skew guard (`maxBucketMembers` — the same discipline as the embedding twin
+    * `Similarity.scoredLshPairs`): a (band, sig) cell with more members than the cap
+    * is DROPPED before the self-join. With rowsPerBand = 1 a band signature is a
+    * single minhash value, so one boilerplate clump — the normal case in web corpora,
+    * and exactly what d07 exists to find — lands thousands of documents in one cell
+    * and the self-join goes quadratic in its membership. Those pairs are precisely
+    * the ones the remaining bands (and the exact operators d01/d03) still find, so
+    * dropping the hot cell bounds every task at cap² comparisons without losing the
+    * clump. The default never binds at the bench scale factors (largest observed cell
+    * ≪ 10⁴), so the DuckDB oracle mirrors of d02/d05/d08/d15 — which all ride this
+    * kernel — stay capless-equivalent; production sets it to the per-task budget.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -80,7 +92,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      maxBucketMembers: Long = 10000L
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     val wide = minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
@@ -95,8 +108,15 @@ object Dedup {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .localCheckpoint(true)
-    val a = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = bandSigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    // membership census per cell — map-side-combinable count, then an equi-join that
+    // admits only bounded cells into the quadratic step (never a global sort/window)
+    val smallCells = bandSigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxBucketMembers)
+      .select(col("band"), col("sig"))
+    val admitted = bandSigs.join(smallCells, Seq("band", "sig"))
+    val a = admitted.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = admitted.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -117,9 +137,11 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 1,
-      rounds: Int = 3
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
   ): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val pairs =
+      minhashLshPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucketMembers)
     val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint(true) // reused every round
@@ -154,10 +176,12 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 1,
-      rounds: Int = 3
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds)
+    val clusters =
+      dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
     val toks = df.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tokens"))
     val byCluster = Window.partitionBy(col("cluster_id"))
     clusters

@@ -519,7 +519,12 @@ object Sketches {
     * streaming central-moment updates are float-order-dependent and their bias
     * conventions differ from DuckDB's. A zero-variance group (every value equal) has
     * undefined skew/kurtosis; both engines report 0 by explicit guard rather than
-    * leaking a NaN (Spark) vs NULL (DuckDB) disagreement.
+    * leaking a NaN (Spark) vs NULL (DuckDB) disagreement. The guard is `variance <= 0`
+    * (not `== 0`): above x ≈ 3e8 a constant group's x² exceeds 2⁵³, the double
+    * sequence m2 − m1·m1 can round to a tiny NEGATIVE, and sqrt of that is NaN — so
+    * skew/kurt are only claimed NaN-free across the full x < ~3.1e9 exact-sum
+    * envelope BECAUSE of the ≤; with an equality guard the claim would only hold for
+    * x ≲ 3e8.
     */
   def momentsSketch(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val x = col(valCol).cast("decimal(12,0)")
@@ -545,7 +550,11 @@ object Sketches {
       (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 - lit(3.0) * m1 * m1 * m1 * m1) /
         (variance * variance) - lit(3.0)
     def micro(c: Column): Column = floor(lit(1000000.0) * c + lit(0.5)).cast("long")
-    def guarded(c: Column): Column = when(variance === lit(0.0), lit(0L)).otherwise(micro(c))
+    // <= 0, not == 0: for (near-)constant groups with values above ~3e8 (x² beyond
+    // 2^53) the double sequence m2 − m1·m1 can round to a TINY NEGATIVE, and
+    // sqrt(negative) = NaN would then hit Spark's silent NaN→0 BIGINT cast while
+    // DuckDB's CAST(NaN AS BIGINT) errors — the one spot the engines could diverge
+    def guarded(c: Column): Column = when(variance <= lit(0.0), lit(0L)).otherwise(micro(c))
     sums.select(
       col(groupCol),
       col("n"),

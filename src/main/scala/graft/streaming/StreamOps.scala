@@ -784,8 +784,10 @@ object StreamOps extends Serializable {
     val vr = m2 - m1 * m1
     def micro(x: Double): Long = math.floor(1000000.0 * x + 0.5).toLong
     // zero-variance guard, same convention as the batch operator: skew/kurt are
-    // undefined on a constant group — report 0, never a NaN artifact
-    if (vr == 0.0) (micro(m1), micro(vr), 0L, 0L)
+    // undefined on a constant group — report 0, never a NaN artifact. <= 0 (not
+    // == 0) because for x above ~3e8 the double sequence m2 − m1·m1 can round a
+    // constant group to a tiny negative, whose sqrt is NaN
+    if (vr <= 0.0) (micro(m1), micro(vr), 0L, 0L)
     else
       (micro(m1), micro(vr),
         micro((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (vr * math.sqrt(vr))),

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Round-10 operators and scale guards, cross-validated against independent
+  * in-test mirrors where the operator's arithmetic allows it.
+  */
+class RoundTenOpsSpec extends SparkSpec {
+
+  // --------------------------------------------- minhash-LSH bucket-membership cap
+
+  test("minhash band-bucket cap drops the quadratic clump but keeps other pairs") {
+    import spark.implicits._
+    // 30 byte-identical documents minhash to the SAME signature in every band —
+    // the boilerplate clump (d07's quarry) that makes one (band, sig) cell
+    // quadratic at corpus scale. Two more docs share text only with each other.
+    val clump = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val pair = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val distinct = Seq((201L, "completely unrelated content about volcano geology"))
+    val df = (clump ++ pair ++ distinct).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 1, maxBucketMembers = 10000L)
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 1, maxBucketMembers = 10L)
+      .as[(Long, Long)].collect().toSet
+
+    // uncapped: the clump contributes all 30·29/2 pairs plus the planted (101, 102)
+    assert(uncapped.size >= 30 * 29 / 2 + 1)
+    assert(uncapped.contains((101L, 102L)))
+    // capped: every clump cell (30 > 10 members) is dropped from every band, so no
+    // intra-clump pair survives — but the 2-member cell of the planted pair does
+    assert(capped.contains((101L, 102L)))
+    assert(capped.forall { case (a, b) => a > 30L || b > 30L })
+    assert(capped.size < uncapped.size)
+  }
+
+  test("minhash cap default is capless-equivalent at bench-like scale") {
+    import spark.implicits._
+    // cells stay far below the 10k default → identical pair sets
+    val docs = (1L to 60L).map(i =>
+      (i, s"document number $i with shared trigram filler words plus token${i % 7}"))
+      .toDF("doc_id", "text")
+    val dflt = Dedup.minhashLshPairs(docs, "doc_id", "text").as[(Long, Long)].collect().toSet
+    val huge = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucketMembers = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(dflt == huge)
+  }
+
+  test("dedupClusters threads the bucket cap through to the pair kernel") {
+    import spark.implicits._
+    val clump = (1L to 25L).map(i => (i, "same boilerplate text in every single doc"))
+    val df = clump.toDF("doc_id", "text")
+    val capped = Dedup.dedupClusters(df, "doc_id", "text", maxBucketMembers = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with the clump's cells dropped there are no edges: every doc is a singleton
+    assert(capped.forall { case (id, cl) => id == cl })
+    val uncapped = Dedup.dedupClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uncapped.values.toSet == Set(1L))
+  }
+}
