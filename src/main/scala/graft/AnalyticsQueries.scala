@@ -607,6 +607,46 @@ object AnalyticsQueries {
         max(col("event_id")).as("last_event")
       )
 
+  /** Exact global `row_number` WITHOUT a single-partition window — the extreme-
+    * cardinality rank path [[rfm]] and [[activityPareto]] dispatch to. A range
+    * exchange on the full sort order (tie-break included) puts partition i's rows
+    * strictly before partition i+1's under that order, so
+    * `global rank = rows-in-earlier-partitions + local rank`: the sort stays one
+    * task PER RANGE, the offset census collapses to one bounded count per range
+    * partition (numParts rows — sized by the CLUSTER, not the data — the repo's
+    * bounded-collect discipline), and the offsets broadcast back onto the ranked
+    * rows, so NO single-partition exchange touches a data-sized relation anywhere
+    * in the plan (pinned in PlanSpec). The stamped partition id is checkpointed so
+    * the census and the rank join consume ONE materialized assignment —
+    * `spark_partition_id` is non-deterministic and must never be recomputed across
+    * separate jobs. Ranks are exact and unique for any total order regardless of
+    * where the range boundaries fall, so output is deterministic even though the
+    * boundary sampling is not.
+    */
+  private[graft] def distributedRank(
+      df: DataFrame,
+      rankName: String,
+      orderCols: Seq[Column],
+      numParts: Int = 32
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = df.sparkSession
+    import sp.implicits._
+    val parted = df.repartitionByRange(numParts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
+      .as[(Int, Long)].collect().sortBy(_._1) // bounded: one row per range partition
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+      .toSeq.toDF("__pid", "__off")
+    parted
+      .withColumn("__lrk",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankName, col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__off")
+  }
+
   /** RFM segmentation: each user bucketed 1–5 (1 = best) on Recency (last event),
     * Frequency (event count), and Monetary (exact cents), plus the combined
     * three-digit RFM code — the standard audience-quality cut.
@@ -615,12 +655,19 @@ object AnalyticsQueries {
     * deterministic user_id tie-breaks, written as the same integer formula in the
     * oracle (no `ntile`, whose remainder convention this avoids, and no approximate
     * percentiles). The ranked relation is the PER-USER aggregate — events-table-sized
-    * input, user-count-sized ranking problem. The global row_number here is the
-    * bounded-output form; at ~1e9+ users the same exact ranks come from the
-    * repartitionByRange + per-partition-offset pattern (sort stays distributed), with
-    * bucket arithmetic unchanged.
+    * input, user-count-sized ranking problem. Below `maxGlobalWindowUsers` the three
+    * ranks are plain global windows (bounded output, one task each); above it the
+    * SAME exact ranks come from [[distributedRank]]'s repartitionByRange +
+    * per-partition-offset form, with bucket arithmetic unchanged — the user count
+    * the dispatch already paid for replaces the global count window in both
+    * branches. Branch outputs are identical row-for-row (dispatch-identity pinned
+    * in RoundTenOpsSpec).
     */
-  def rfm(spark: SparkSession, dir: String): DataFrame = {
+  def rfm(
+      spark: SparkSession,
+      dir: String,
+      maxGlobalWindowUsers: Long = 2000000L
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = eventsTsu(spark, dir, "user_id", "value")
       .groupBy(col("user_id"))
@@ -628,14 +675,23 @@ object AnalyticsQueries {
         max(col("tsu")).as("recency_us"),
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("monetary_cents"))
-    val rRank = row_number().over(Window.orderBy(col("recency_us").desc, col("user_id").asc))
-    val fRank = row_number().over(Window.orderBy(col("n_events").desc, col("user_id").asc))
-    val mRank = row_number().over(Window.orderBy(col("monetary_cents").desc, col("user_id").asc))
-    perUser
-      .withColumn("r_rank", rRank.cast("long"))
-      .withColumn("f_rank", fRank.cast("long"))
-      .withColumn("m_rank", mRank.cast("long"))
-      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
+      .localCheckpoint(true) // two jobs: the dispatch count and the ranked chain
+    val nUsers = perUser.count()
+    val orders = Seq(
+      "r_rank" -> Seq(col("recency_us").desc, col("user_id").asc),
+      "f_rank" -> Seq(col("n_events").desc, col("user_id").asc),
+      "m_rank" -> Seq(col("monetary_cents").desc, col("user_id").asc))
+    val ranked =
+      if (nUsers <= maxGlobalWindowUsers)
+        orders.foldLeft(perUser) { case (acc, (name, ord)) =>
+          acc.withColumn(name, row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        }
+      else
+        orders.foldLeft(perUser) { case (acc, (name, ord)) =>
+          distributedRank(acc, name, ord)
+        }
+    ranked
+      .withColumn("n_users", lit(nUsers))
       .select(
         col("user_id"), col("recency_us"), col("n_events"), col("monetary_cents"),
         expr("CAST(1 + (r_rank - 1) * 5 DIV n_users AS BIGINT)").as("r_bucket"),
@@ -653,23 +709,32 @@ object AnalyticsQueries {
     *
     * Scale shape: the ranked relation is the per-user AGGREGATE; the corpus totals
     * ride in as one broadcast row; the decile rollup is a 10-row hash agg and the
-    * cumulative window runs over those 10 rows only. Same global-rank note as
-    * [[rfm]]: at extreme user cardinality the exact ranks come from
-    * repartitionByRange + per-partition offsets.
+    * cumulative window runs over those 10 rows only. Same rank dispatch as [[rfm]]:
+    * below `maxGlobalWindowUsers` the rank is one bounded-output global window;
+    * above it [[distributedRank]] produces the identical exact ranks with the sort
+    * distributed across range partitions (dispatch-identity pinned in
+    * RoundTenOpsSpec).
     */
-  def activityPareto(spark: SparkSession, dir: String): DataFrame = {
+  def activityPareto(
+      spark: SparkSession,
+      dir: String,
+      maxGlobalWindowUsers: Long = 2000000L
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = table(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint(true) // two consumers: the totals row and the ranked chain
+      .localCheckpoint(true) // three consumers: dispatch count, totals row, ranked chain
+    val rankOrder = Seq(col("n_events").desc, col("user_id").asc)
+    val ranked =
+      if (per.count() <= maxGlobalWindowUsers)
+        per.withColumn("rank", row_number().over(Window.orderBy(rankOrder: _*)).cast("long"))
+      else
+        distributedRank(per, "rank", rankOrder)
     val totals = per.agg(
       sum(col("n_events")).as("total_events"),
       count(lit(1)).as("n_users_total"))
-    per
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_events").desc, col("user_id").asc))
-          .cast("long"))
+    ranked
       .crossJoin(broadcast(totals))
       .select(
         expr("CAST(1 + (rank - 1) * 10 DIV n_users_total AS BIGINT)").as("decile"),

@@ -512,8 +512,8 @@ object SparkEntry {
     "sk09_moments" -> ((s: SparkSession, dir: String) =>
       Sketches.momentsSketch(s.read.parquet(s"$dir/documents.parquet"),
         "source", "n_chars")),
-    "ev16_rfm" -> (AnalyticsQueries.rfm _),
-    "ev17_activity_pareto" -> (AnalyticsQueries.activityPareto _),
+    "ev16_rfm" -> ((s: SparkSession, d: String) => AnalyticsQueries.rfm(s, d)),
+    "ev17_activity_pareto" -> ((s: SparkSession, d: String) => AnalyticsQueries.activityPareto(s, d)),
     "d15_cluster_keep" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>

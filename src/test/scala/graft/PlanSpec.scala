@@ -613,11 +613,42 @@ class PlanSpec extends SparkSpec {
 
   test("RFM ranks the per-user aggregate, not raw events") {
     val p = plan(AnalyticsQueries.rfm(spark, dir))
-    // the rank windows must EXIST (indexOf(-1) would pass the ordering check
-    // vacuously) and consume the per-user aggregate, never the raw events scan
+    // the rank windows must EXIST and consume the checkpointed per-user aggregate —
+    // a FileScan here would mean the windows re-read raw events
     assert("Window".r.findAllMatchIn(p).nonEmpty, s"rank windows missing:\n$p")
-    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
-      s"windows must consume the per-user aggregate (appear above it):\n$p")
-    assert(!p.contains("Join"), s"RFM is agg + windows, no joins:\n$p")
+    assert(!p.contains("FileScan"),
+      s"windows must consume the per-user aggregate checkpoint, never raw events:\n$p")
+    assert(!p.contains("Join"), s"RFM (bounded branch) is agg + windows, no joins:\n$p")
+  }
+
+  test("RFM extreme-cardinality branch ranks without any single-partition exchange") {
+    // maxGlobalWindowUsers = 0 forces the distributedRank path: the visible plan is
+    // the LAST rank's form — a per-range-partition window (partitioned by the stamped
+    // pid) plus the broadcast offset join; a global rank would surface as
+    // `Exchange SinglePartition` pushing every user through one task
+    val p = plan(AnalyticsQueries.rfm(spark, dir, maxGlobalWindowUsers = 0L))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no data-sized relation may collapse to one partition:\n$p")
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.contains("__pid"),
+      s"rank windows must partition by the stamped range-partition id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-partition offsets must broadcast back onto the ranked rows:\n$p")
+  }
+
+  test("activity Pareto extreme-cardinality branch ranks without single-partition exchange") {
+    val p = plan(AnalyticsQueries.activityPareto(spark, dir, maxGlobalWindowUsers = 0L))
+    // the only remaining windows are the per-pid local rank and the 10-row decile
+    // cumulative — neither may be a SinglePartition exchange over the user relation
+    // (the decile window's input is the 10-row rollup aggregate, enforced by the
+    // aggregate appearing BELOW it in the plan)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach { case (_, i) =>
+      val child = lines.drop(i + 1).headOption.getOrElse("")
+      assert(child.contains("HashAggregate(keys=[decile") || child.contains("partial_"),
+        s"a SinglePartition exchange over a data-sized relation (child: $child):\n$p")
+    }
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.nonEmpty, s"windows missing:\n$p")
   }
 }

@@ -64,4 +64,39 @@ class RoundTenOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uncapped.values.toSet == Set(1L))
   }
+
+  // ------------------------------------------- ev16/ev17 distributed exact rank
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rfm dispatch identity: distributedRank branch equals the global-window branch") {
+    val small = AnalyticsQueries.rfm(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val large = AnalyticsQueries.rfm(spark, dir, maxGlobalWindowUsers = 0L).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(small == large)
+  }
+
+  test("activityPareto dispatch identity across rank branches") {
+    val small = AnalyticsQueries.activityPareto(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val large = AnalyticsQueries.activityPareto(spark, dir, maxGlobalWindowUsers = 0L)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(small == large)
+  }
+
+  test("distributedRank is an exact dense 1..n row_number under its total order") {
+    import spark.implicits._
+    // values with heavy ties so the tiebreak column carries the order; 7 range
+    // partitions over 200 rows exercises empty/uneven partitions
+    val df = (1L to 200L).map(i => (i, i % 13)).toDF("id", "v")
+    val ranked = AnalyticsQueries.distributedRank(
+      df, "rk", Seq(org.apache.spark.sql.functions.col("v").desc,
+        org.apache.spark.sql.functions.col("id").asc), numParts = 7)
+      .select("id", "v", "rk").as[(Long, Long, Long)].collect()
+    val expected = (1L to 200L).map(i => (i, i % 13))
+      .sortBy { case (id, v) => (-v, id) }
+      .zipWithIndex.map { case ((id, v), i) => (id, v, i + 1L) }.toSet
+    assert(ranked.toSet == expected)
+  }
 }
