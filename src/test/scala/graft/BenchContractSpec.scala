@@ -19,7 +19,8 @@ class BenchContractSpec extends AnyFunSuite {
     // (4 integer digits + 3 decimals); failures list empty — a failure replaces a
     // success entry at comparable width and failures are a bug anyway
     val line = Bench.renderLine(
-      total = 99999.999, cal = 9999.999, calEnd = 9999.999, n = SparkEntry.queries.size,
+      total = 99999.999, cal = 9999.999, calEnd = 9999.999, calMax = 9999.999,
+      n = SparkEntry.queries.size,
       secByName = Bench.headline.map(_ -> 9999.999).toMap,
       failed = Nil, sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1700,
@@ -34,12 +35,27 @@ class BenchContractSpec extends AnyFunSuite {
     // r7 showed a start-only sample misses load arriving mid-run, so the same
     // workload is re-timed after the last query as "cal_end": a comparison rejects
     // runs where either sample reads contended.
-    val line = Bench.renderLine(10.0, 1.234, 2.345, 2, Map("q01_pricing_summary" -> 5.0),
-      Nil, "/root/testdata/sf0.1")
+    val line = Bench.renderLine(10.0, 1.234, 2.345, 3.456, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil, "/root/testdata/sf0.1")
     assert(line.contains("\"cal\":1.234"), line)
     assert(line.contains("\"cal_end\":2.345"), line)
     assert(line.indexOf("\"cal\":") < line.indexOf("\"queries\":") &&
       line.indexOf("\"cal_end\":") < line.indexOf("\"queries\":"),
       "both cal fields must sit in the fixed head of the line, before the variable-width map")
+  }
+
+  test("the line carries cal_max — the worst calibration sample seen anywhere in the run") {
+    // r9: BOTH bracket samples read clean (0.988 / 1.019) around a mid-run load
+    // window that inflated ten queries 2-6x — the third consecutive driver bench
+    // invalidated by contention the bracket could not see. cal_max folds in the
+    // micro-calibrations interleaved every ~15 queries (scaled to full-cal units),
+    // so a contaminated run self-identifies from the JSON line alone.
+    val line = Bench.renderLine(10.0, 0.988, 1.019, 4.321, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil, "/root/testdata/sf0.1")
+    assert(line.contains("\"cal_max\":4.321"), line)
+    assert(line.indexOf("\"cal_max\":") < line.indexOf("\"queries\":"),
+      "cal_max must sit in the fixed head of the line, before the variable-width map")
+    assert(Bench.microCalEvery > 0 && Bench.microCalEvery <= 20,
+      "interleave cadence must actually sample inside a ~160-query run")
   }
 }
