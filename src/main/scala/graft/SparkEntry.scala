@@ -320,14 +320,24 @@ object SparkEntry {
         rounds = BpeMergeRounds)),
     // the production two-job shape: train once, persist the merge artifact, encode
     // from the saved table (exercises save → load → replay end-to-end; the oracle
-    // proves the round-trip reproduces the fused t25 result exactly)
+    // proves the round-trip reproduces the fused t25 result exactly).
+    // bpeEncodeWith COLLECTS the merge table before returning, so the artifact dir
+    // can be removed as soon as the encode DataFrame is constructed — deleted in the
+    // finally so repeated invocations leave nothing behind (the one write a "read"
+    // query performs must clean up after itself)
     "t26_bpe_encode_saved" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val path = java.nio.file.Files.createTempDirectory("graft-bpe-artifact")
-        .toString + "/merges"
-      TextStats.bpeSaveMerges(
-        TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
-      TextStats.bpeEncodeWith(docs, "doc_id", "text", TextStats.bpeLoadMerges(s, path))
+      val scratch = java.nio.file.Files.createTempDirectory("graft-bpe-artifact")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        TextStats.bpeEncodeWith(docs, "doc_id", "text", TextStats.bpeLoadMerges(s, path))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
     "d13_semdedup" -> ((s: SparkSession, dir: String) =>
       Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
