@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering keys for write-path file
@@ -176,5 +176,79 @@ object Layout {
           .otherwise(floor(lit(1000000.0) * col("rows_scanned").cast("double") /
             col("rows_matching").cast("double") + lit(0.5)).cast("long"))
           .as("read_amp_micro"))
+  }
+
+  /** Materialize the [[compactionPlan]] — the write half o04 only simulates: rewrite
+    * `events` as ONE parquet file per planned group (`group_id=N/` directory), rows
+    * curve-sorted within the file. Each group hashes to exactly one task
+    * (`repartition(group_id)`), so dynamic partitioning emits exactly one file per
+    * group and the file's parquet footer min/max on every constituent dimension is
+    * the tile bound the plan promised — a stats-pruning reader (Spark's own
+    * row-group filter, or any lakehouse scan) now gets o04's predicted skipping on
+    * REAL files (LayoutFilesSpec measures both and asserts they agree).
+    *
+    * Scale shape: one zkey projection (codegen'd), the tile-bounded group manifest
+    * broadcast onto the stream, one shuffle on group_id (the write parallelism),
+    * in-task sort. The group count is the file count — at 100 TB pick targetRows so
+    * files land at 128–512 MB, exactly the [[compactionPlan]] contract.
+    */
+  def writeCompacted(
+      events: DataFrame,
+      path: String,
+      targetRows: Long = 4096L,
+      bitsPerDim: Int = 20,
+      bucketShift: Int = 26
+  ): Unit = {
+    val keyed = zorderKeys(events, bitsPerDim, bucketShift)
+    val groups = compactionPlan(events, targetRows, bitsPerDim, bucketShift)
+      .select(col("bucket"), col("group_id"))
+    events
+      .join(keyed.select(col("event_id"), col("zkey"), col("bucket")), "event_id")
+      .join(broadcast(groups), "bucket")
+      .repartition(col("group_id"))
+      .sortWithinPartitions(col("group_id"), col("zkey"))
+      .drop("zkey", "bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("group_id").parquet(path)
+  }
+
+  /** Footer-stats audit: per (file, row group) min/max/rows of `column` straight
+    * from the parquet metadata — what a stats-pruning reader actually consults.
+    * Driver-side by design: the footer list is manifest-scale (one entry per row
+    * group — planner work, like o03's window), never row-scale. Used by
+    * LayoutFilesSpec to prove [[writeCompacted]]'s files and
+    * [[graft.store.EdgeStorage.save]]'s in-file `(source_id, state, position)` sort
+    * deliver the pruning their docstrings claim, and to cross-check o04's simulated
+    * prune rate against the real file boundaries.
+    */
+  def parquetColumnStats(
+      spark: SparkSession,
+      path: String,
+      column: String
+  ): Seq[(String, Int, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    files.sortBy(_.toString).toSeq.flatMap { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"column $column not found in $p"))
+          val st = c.getStatistics
+          (p.toString, i,
+            st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue,
+            b.getRowCount)
+        }
+      } finally rd.close()
+    }
   }
 }
