@@ -14,14 +14,14 @@ object Bench {
     "g01_lww_snapshot", "g12_execute_lww",
     "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers", "g21_triangles",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
-    "g34_bfs_distance", "g35_friend_recs", "g37_decayed_pagerank", "g38_ktruss",
+    "g34_bfs_distance", "g37_decayed_pagerank", "g38_ktruss",
     "g39_sssp", "g40_lpa_communities", "g42_churn_between",
     "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
-    "s03_embed_neardup", "s04_ann_ivf",
-    "s07_ann_recall", "s10_kmeans_step", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
+    "s04_ann_ivf",
+    "s07_ann_recall", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
-    "s20_knn_graph",
+    "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
@@ -31,7 +31,11 @@ object Bench {
     // t22_bpe_pairs, s02_ann_lsh (r9c, paying for g44 + t32) —
     // all historically <2s and family-covered by the remaining entries;
     // q05_region_revenue, g02_adjacency_topk rotated r9d, paying for t33 + sk09;
-    // t18_tfidf_top, sk05_theta_diff rotated r9e, paying for s21 + d15
+    // t18_tfidf_top, sk05_theta_diff rotated r9e, paying for s21 + d15;
+    // s10_kmeans_step, s03_embed_neardup, g35_friend_recs rotated r10, paying
+    // for s22 + s23 + the cal_max field (s22's loop runs the s10 step three
+    // times; s03 shares s20's scoredLshPairs kernel; g35 composes g23+g31's
+    // shapes — all historically <2s)
     "t20_unigram_logprob", "t21_bm25_top",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",

@@ -147,6 +147,13 @@ object SparkEntry {
   private[graft] val PruneUserHi = 9L
   private[graft] val PruneTargetRows = 256L
 
+  /** s22/s23's pinned k-means training schedule, shared by registration and oracle:
+    * s22 trains the s10 model three rounds; s23's coarse quantizer trains two (the
+    * oracle unrolls the rounds as chained CTEs, so the count prices the SQL too).
+    */
+  private[graft] val KmeansTrainRounds = 3
+  private[graft] val IvfPqTrainRounds = 2
+
   /** s21's pinned MMR parameters, shared by registration and oracle. */
   private[graft] val MmrQueryMod = 50
   private[graft] val MmrCandK = 10
@@ -413,6 +420,14 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
     }),
+    "s22_kmeans_train" -> ((s: SparkSession, dir: String) =>
+      Similarity.kmeansTrain(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 8, dims = 64, rounds = KmeansTrainRounds)),
+    "s23_ivf_pq_trained" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTrainedTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5, kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Retrieval.hybridTopK(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -563,6 +578,36 @@ object SparkEntry {
   /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+
+  /** Chained-CTE replay of `Similarity.kmeansRounds` over source CTE `src` (columns
+    * vec_id, v) — the t24 unrolled-rounds discipline applied to model training: c0 =
+    * the k-lowest-id seeds; round r scores every vector against c(r−1) (rounded
+    * cosine argmax, cluster-asc tie-break), takes per-(cluster, dim) means rounded
+    * to 6 (m_r, the s10 convention), and re-assembles the centroid arrays (c_r).
+    * Because each round's centroids are ROUND-6 values, both engines hold identical
+    * doubles entering the next round — the contract that keeps a multi-round
+    * training loop hash-checkable.
+    */
+  private def kmeansCtes(src: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"ke AS (SELECT vec_id, v FROM $src WHERE list_dot_product(v, v) > 0),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv, CAST(0 AS BIGINT) AS n_members\n"
+    sb ++= s"      FROM (SELECT vec_id, v FROM ke ORDER BY vec_id LIMIT $k)\n"
+    sb ++= s"      WHERE list_dot_product(v, v) > 0)"
+    for (r <- 1 to rounds) {
+      sb ++= ",\n"
+      sb ++= s"sc$r AS (SELECT ke.vec_id, c.cluster, ke.v, ${cosSql("ke.v", "c.cv")} AS cos FROM ke, c${r - 1} c),\n"
+      sb ++= s"b$r AS (SELECT vec_id, cluster, v FROM (\n"
+      sb ++= s"    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk FROM sc$r)\n"
+      sb ++= s"  WHERE rk = 1),\n"
+      sb ++= s"m$r AS (SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid, COUNT(*) AS n_members\n"
+      sb ++= s"  FROM b$r, unnest(generate_series(1, len(v))) AS t(i) GROUP BY cluster, i),\n"
+      sb ++= s"c$r AS (SELECT cluster, cv, n_members FROM (\n"
+      sb ++= s"    SELECT cluster, list(centroid ORDER BY dim) AS cv, max(n_members) AS n_members FROM m$r GROUP BY cluster)\n"
+      sb ++= s"  WHERE list_dot_product(cv, cv) > 0)"
+    }
+    sb.toString
+  }
 
   /** The s21 MMR mirror: candidates and pair sims micro-quantized from the round-6
     * cosines, then the greedy selection UNROLLED round-for-round exactly like the
@@ -3043,6 +3088,72 @@ object SparkEntry {
          |approx AS (SELECT l.query_id, c.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
          |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
          |  WHERE l.query_id <> c.neighbor_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin,
+
+    // trained k-means: the s10 step iterated KmeansTrainRounds times as chained
+    // CTEs — mirror of Similarity.kmeansTrain (final round in s10's long form,
+    // restricted to clusters surviving the zero-norm guard)
+    "s22_kmeans_train" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("a", 8, KmeansTrainRounds)}
+         |SELECT m.cluster, m.dim, m.centroid, m.n_members
+         |FROM m$KmeansTrainRounds m JOIN c$KmeansTrainRounds c USING (cluster)""".stripMargin,
+
+    // IVF-PQ over the TRAINED coarse quantizer: the s16 pipeline with its sampled
+    // cents replaced by the kmeansCtes model — mirror of Similarity.ivfPqTrainedTopK
+    "s23_ivf_pq_trained" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |    FROM pqscored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
          |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY approx_d2m, neighbor_id) AS crank

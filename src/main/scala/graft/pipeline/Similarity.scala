@@ -360,6 +360,79 @@ object Similarity {
         round(col("s") / col("n_members"), 6).as("centroid"), col("n_members"))
   }
 
+  /** `rounds` Lloyd's iterations from the s10 deterministic seeds — the TRAINING loop
+    * [[kmeansStep]] exposes one step of, with the bounded-loop discipline of the BPE
+    * trainer (t24): the corpus vector relation is materialized ONCE and every round's
+    * assignment pass reads that checkpoint; the loop-carried state is the
+    * centroid-sized (k rows) relation, checkpointed per round so lineage never grows.
+    * Round arithmetic is the exact kmeansStep sequence (rounded cosine argmax with
+    * cluster-asc tie-break, per-dim mean rounded to 6), so `rounds = 1` IS
+    * [[kmeansStep]] (pinned in RoundTenOpsSpec) and the DuckDB oracle replays the
+    * whole loop as chained CTEs. Centroid means round to 6 decimals each round; both
+    * engines produce the identical doubles from that rounding, so the next round's
+    * cosines stay in one shared IEEE sequence — the property that makes a TRAINED
+    * model oracle-checkable at all.
+    *
+    * Scale shape: each round is one broadcast of k·dims doubles + one codegen'd
+    * corpus map pass + one map-side-combinable wide-sum aggregation (the s10 shape,
+    * `rounds`×). Nothing driver-side but the k-row centroid checkpoint.
+    */
+  private[pipeline] def kmeansRounds(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      rounds: Int
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
+      .localCheckpoint(true)
+    var cents = v.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+      .filter(col("cn") > 0)
+      .withColumn("n_members", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)
+      val best = v.crossJoin(broadcast(cents.select(col("cluster"), col("cv"), col("cn"))))
+        .select(col("vec_id"), col("cluster"), col("v"),
+          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      val aggs = count(lit(1)).as("n_members") +:
+        (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
+      cents = best.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cluster"), col("n_members"),
+          array((0 until dims).map(i => round(col(s"s$i") / col("n_members"), 6)): _*).as("cv"))
+        .withColumn("cn", norm2(col("cv")))
+        .filter(col("cn") > 0)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** s22 — the trained model in [[kmeansStep]]'s long form: (cluster, dim, centroid,
+    * n_members) of the FINAL round's centroids.
+    */
+  def kmeansTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int,
+      rounds: Int
+  ): DataFrame =
+    kmeansRounds(df, idCol, vecCol, k, dims, rounds)
+      .select(
+        col("cluster"), col("n_members"),
+        posexplode(col("cv")).as(Seq("pos", "centroid")))
+      .select(
+        col("cluster"), (col("pos") + 1).as("dim"), col("centroid"), col("n_members"))
+
   /** Recall@k of the approximate ANN paths against the exact brute-force top-k — the
     * diagnostic that makes LSH/IVF parameter changes measurable instead of guessed:
     * one row per (method, query), recall = |approx top-k ∩ true top-k| / k.
@@ -803,6 +876,68 @@ object Similarity {
         .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
         .withColumn("cn", norm2(col("cv"))))
     // nearest cells by rounded cosine (engine-independent argmax) — the s04 contract
+    def nearestCells(r: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+      r.crossJoin(cents)
+        .select(
+          col("rid"), col("cid"),
+          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col("rid"), col("cid"))
+    }
+    def withNorm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v")))
+
+    val cells = nearestCells(withNorm(candidates), keep = 1)
+      .select(col("rid").as("neighbor_id"), col("cid"))
+    val probes = nearestCells(withNorm(queries), keep = nProbe)
+      .select(col("rid").as("query_id"), col("cid"))
+    val candidatePairs = probes.join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+
+    val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val lut = broadcast(adcLut(queries, candidates, idCol, vecCol, nSub, subDim, nCodes))
+    val approx = candidatePairs
+      .join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("approx_d2m"))
+    exactRerank(adcShortlist(approx, k * overfetch), queries, candidates, idCol, vecCol, k)
+  }
+
+  /** s23 — IVF-PQ over a TRAINED coarse quantizer: [[ivfPqTopK]] with the
+    * deterministic-sample centroids replaced by [[kmeansRounds]]' trained model —
+    * the production ANN shape end-to-end (train the cells, assign, probe, ADC-score,
+    * rerank), all still oracle-replayable because the training loop itself is
+    * ([[kmeansTrain]]'s cross-engine rounding contract). Cell ids are the trained
+    * cluster ids; everything downstream of cell assignment is byte-identical to
+    * [[ivfPqTopK]]'s scoring path.
+    *
+    * Scale shape: training adds `trainRounds` corpus passes against a broadcast
+    * k-row model (amortized over every query batch served from the index);
+    * assignment/probe/score/rerank inherit the ivfPqTopK shape unchanged.
+    */
+  def ivfPqTrainedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kCells: Int = 8,
+      trainRounds: Int = 2,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds)
+        .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
     def nearestCells(r: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
       r.crossJoin(cents)

@@ -636,6 +636,30 @@ class PlanSpec extends SparkSpec {
       s"per-partition offsets must broadcast back onto the ranked rows:\n$p")
   }
 
+  test("k-means training rounds read checkpoints — the corpus parquet is scanned once") {
+    // every round's assignment pass reads the ONE materialized vector relation and
+    // the k-row centroid checkpoint; a FileScan in the final plan would mean a round
+    // re-read the corpus from parquet (rounds × full-scan cost at 100 TB)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 8, dims = 64, rounds = 2))
+    assert(!p.contains("FileScan"),
+      s"a training round re-scanned the corpus instead of its checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("trained IVF-PQ broadcasts the model; nothing joins all-pairs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.ivfPqTrainedTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5))
+    // the centroid cross joins must be broadcast nested-loop (k-row model side),
+    // never a shuffled cartesian product; the ADC scoring stays equi-join
+    assert(!p.contains("CartesianProduct"), s"all-pairs join in the trained ANN path:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"trained centroids must broadcast onto the vector stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC scoring must stay equi-join:\n$p")
+  }
+
   test("activity Pareto extreme-cardinality branch ranks without single-partition exchange") {
     val p = plan(AnalyticsQueries.activityPareto(spark, dir, maxGlobalWindowUsers = 0L))
     // the only remaining windows are the per-pid local rank and the 10-row decile

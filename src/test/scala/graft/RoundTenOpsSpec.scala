@@ -85,6 +85,35 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(small == large)
   }
 
+  // --------------------------------------------------- trained k-means / IVF-PQ
+
+  test("kmeansTrain with one round IS kmeansStep") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val step = graft.pipeline.Similarity.kmeansStep(emb, "vec_id", "embedding", k = 8, dims = 64)
+      .collect().map(_.toSeq).toSet
+    val train1 = graft.pipeline.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+      .collect().map(_.toSeq).toSet
+    assert(train1 == step)
+  }
+
+  test("training actually moves the model and conserves membership") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVecs = emb.count()
+    val r1 = graft.pipeline.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 8, dims = 64, rounds = 1).collect()
+    val r3 = graft.pipeline.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 8, dims = 64, rounds = 3).collect()
+    // every vector is assigned in every round: per-cluster members sum to the corpus
+    def members(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.groupBy(_.getInt(0)).map(_._2.head.getLong(3)).sum
+    assert(members(r1) == nVecs && members(r3) == nVecs)
+    // rounds 2-3 moved at least one centroid coordinate
+    val c1 = r1.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val moved = r3.count(r => c1.get((r.getInt(0), r.getInt(1))).exists(_ != r.getDouble(2)))
+    assert(moved > 0, "three training rounds left every centroid exactly at round 1")
+  }
+
   test("distributedRank is an exact dense 1..n row_number under its total order") {
     import spark.implicits._
     // values with heavy ties so the tiebreak column carries the order; 7 range
