@@ -26,8 +26,11 @@ object AnalyticsQueries {
     ev.select(EventTime.micros(ev).as("tsu") +: cols.map(col): _*)
   }
 
-  /** money → exact integer cents (both engines: round(x*100) then integral cast). */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** money → exact integer cents (both engines: round(x*100) then integral cast).
+    * `private[graft]` so the streaming RFM register shares the ONE conversion — a
+    * drifted cents formula would silently break its batch-parity pin.
+    */
+  private[graft] def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
   /** extended price × (1 − discount) in exact basis-point-cents. */
   private def revenueBp(price: Column, discount: Column): Column =

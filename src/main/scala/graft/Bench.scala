@@ -16,7 +16,7 @@ object Bench {
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
     "g34_bfs_distance", "g37_decayed_pagerank", "g38_ktruss",
     "g39_sssp", "g40_lpa_communities", "g42_churn_between",
-    "d02_minhash_lsh", "d04_ngram_jaccard", "d05_dedup_clusters", "d08_curation_funnel",
+    "d02_minhash_lsh", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
     "s04_ann_ivf",
     "s07_ann_recall", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
@@ -32,11 +32,12 @@ object Bench {
     // all historically <2s and family-covered by the remaining entries;
     // q05_region_revenue, g02_adjacency_topk rotated r9d, paying for t33 + sk09;
     // t18_tfidf_top, sk05_theta_diff rotated r9e, paying for s21 + d15;
-    // s10_kmeans_step, s03_embed_neardup, g35_friend_recs rotated r10, paying
-    // for s22 + s23 + the cal_max field (s22's loop runs the s10 step three
-    // times; s03 shares s20's scoredLshPairs kernel; g35 composes g23+g31's
-    // shapes — all historically <2s)
-    "t20_unigram_logprob", "t21_bm25_top",
+    // s10_kmeans_step, s03_embed_neardup, g35_friend_recs, d04_ngram_jaccard
+    // rotated r10, paying for s22 + s23 + t35 + the cal_max field (s22's loop
+    // runs the s10 step three times; s03 shares s20's scoredLshPairs kernel;
+    // g35 composes g23+g31's shapes; d04's jaccard kernel rides in d10 — all
+    // historically <2s)
+    "t20_unigram_logprob", "t21_bm25_top", "t35_source_drift",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination",
@@ -98,7 +99,8 @@ object Bench {
     * 8-10x phantom spikes came later). `cal_max` is the worst of the bracket AND the
     * [[microCalibrate]] samples interleaved through the loop (r9: both bracket
     * samples read clean around a mid-run window that inflated ten queries 2–6×).
-    * A cross-run comparison rejects any run where cal_max exceeds ~1.0.
+    * A cross-run comparison rejects any run where cal/cal_end exceed ~1.0 or
+    * cal_max exceeds ~2 (clean cal_max floor is ~1.5 — see [[microCalibrate]]).
     */
   private[graft] def renderLine(
       total: Double,

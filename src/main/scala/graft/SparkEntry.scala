@@ -147,6 +147,12 @@ object SparkEntry {
   private[graft] val PruneUserHi = 9L
   private[graft] val PruneTargetRows = 256L
 
+  /** t35's pinned snapshot cut: doc_id < cut = the EARLY corpus snapshot (ingestion
+    * order is the corpus's time axis). 250 splits the gate-scale corpus in half and
+    * still leaves every source represented on both sides at sf0.001.
+    */
+  private[graft] val SourceDriftCut = 250L
+
   /** s22/s23's pinned k-means training schedule, shared by registration and oracle:
     * s22 trains the s10 model three rounds; s23's coarse quantizer trains two (the
     * oracle unrolls the rounds as chained CTEs, so the count prices the SQL too).
@@ -360,6 +366,9 @@ object SparkEntry {
     "t32_vocab_growth" -> ((s: SparkSession, dir: String) =>
       TextStats.vocabGrowth(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         bucketDocs = VocabBucketDocs)),
+    "t35_source_drift" -> ((s: SparkSession, dir: String) =>
+      TextStats.sourceDrift(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "source", cutId = SourceDriftCut)),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
@@ -3225,6 +3234,28 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
          |WHERE rank <= 5""".stripMargin,
+
+    // cross-snapshot source drift: Laplace-smoothed unigram LMs over the early
+    // (doc_id < cut) and late windows, per-word P·ln(P/Q) micro-quantized then
+    // exact-integer-summed per source — mirror of TextStats.sourceDrift
+    "t35_source_drift" ->
+      s"""WITH toks AS (SELECT source, doc_id < $SourceDriftCut AS early,
+         |                     unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (SELECT source, token,
+         |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS cq,
+         |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cp
+         |  FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+         |               COUNT(*) AS vocab
+         |        FROM counts GROUP BY 1),
+         |term AS (SELECT source, np, nq, vocab,
+         |    CAST(floor(1000000.0 * ((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |      * ln(((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |           / ((cq + 1)::DOUBLE / (nq + vocab)::DOUBLE)) + 0.5) AS BIGINT) AS term_micro
+         |  FROM counts JOIN tot USING (source))
+         |SELECT source, max(np) AS n_late_tokens, max(nq) AS n_early_tokens,
+         |       max(vocab) AS vocab, CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
+         |FROM term GROUP BY source""".stripMargin,
 
     // Z-order (Morton) layout keys over (user_id, hour): 20-bit interleave, bucket =
     // high bits of the key — mirror of Layout.zorderKeys

@@ -997,6 +997,59 @@ object TextStats {
       .limit(k)
   }
 
+  /** t35 — cross-snapshot source drift: per-source KL divergence (in integer
+    * micro-nats) between the unigram LM of the EARLY corpus snapshot (doc_id <
+    * `cutId` — ingestion order is the corpus's time axis, the g41 `asOf` idea
+    * applied to documents) and the LATE remainder. This is sk09's
+    * distribution-drift story at the LANGUAGE level: a source whose token
+    * distribution moved between snapshots changed its generator, upstream filter,
+    * or scraping target — KL(P_late ‖ Q_early) is the standard alarm quantity.
+    * Both LMs are Laplace-smoothed over the source's union vocabulary, so words
+    * seen in only one window contribute finite terms.
+    *
+    * Determinism (the t20/t33 idiom): counts and totals are exact integers; each
+    * word's P·ln(P/Q) is one fixed double sequence micro-quantized
+    * (`floor(1e6·x + 0.5)`) per row, and the per-source KL is then an exact
+    * integer sum — order-free in both engines.
+    *
+    * Scale shape: one token explode, ONE map-side-combinable (source, token) count
+    * pass producing both windows' counts as conditional sums (never two corpus
+    * scans), source totals as a second source-sized agg broadcast back, and the
+    * term rollup reuses the (source, token) partitioning. Nothing global-sorts;
+    * state is vocabulary-sized.
+    */
+  def sourceDrift(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      cutId: Long
+  ): DataFrame = {
+    val toks = Scans.fanOut(df)
+      .select(
+        col(sourceCol).as("source"),
+        (col(idCol) < cutId).as("early"),
+        explode(split(col(textCol), " ", -1)).as("token"))
+    val counts = toks.groupBy(col("source"), col("token"))
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("cq"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("cp"))
+      .localCheckpoint(true) // two consumers: the source totals and the term pass
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"), count(lit(1)).as("vocab"))
+    val p = (col("cp") + lit(1L)).cast("double") / (col("np") + col("vocab")).cast("double")
+    val q = (col("cq") + lit(1L)).cast("double") / (col("nq") + col("vocab")).cast("double")
+    val term = floor(lit(1000000.0) * p * log(p / q) + lit(0.5)).cast("long")
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("np"), col("nq"), col("vocab"), term.as("term_micro"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("np")).as("n_late_tokens"),
+        max(col("nq")).as("n_early_tokens"),
+        max(col("vocab")).as("vocab"),
+        sum(col("term_micro")).as("kl_micro_nats"))
+  }
+
   /** Zipf-law fit over the head of the vocabulary: least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) for the `fitK` most frequent tokens — the standard
     * corpus-health diagnostic (natural text sits near slope −1; machine-generated or

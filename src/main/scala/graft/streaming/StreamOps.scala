@@ -831,6 +831,49 @@ object StreamOps extends Serializable {
       }
   }
 
+  case class RfmRegister(userId: Long, recencyUs: Long, nEvents: Long, monetaryCents: Long)
+
+  /** Streaming RFM register — ev16's per-user (Recency, Frequency, Monetary) triple
+    * at ingestion time: THREE numbers per user as group state (max event-time µs,
+    * event count, exact-cents sum), each merged by max/addition so registers combine
+    * across micro-batches, partitions, and days like every sketch here. After any
+    * stream prefix a user's register equals the batch [[graft.AnalyticsQueries.rfm]]
+    * per-user aggregate over the same prefix EXACTLY (integer max/adds in any order;
+    * StreamOpsSpec pins it, sharing the one `AnalyticsQueries.cents` conversion so
+    * the money arithmetic cannot drift). The quintile BUCKETS are deliberately not
+    * streamed: ranks are a function of ALL users and belong to the batch job (which
+    * reads these registers instead of re-scanning the event log — the split that
+    * makes ev16 cheap to serve continuously).
+    *
+    * Scale shape: one shuffle on user_id; state is 3 longs per user at any volume.
+    */
+  def streamingRfm(
+      events: DataFrame,
+      userCol: String,
+      tsUsCol: String,
+      valueCol: String
+  ): Dataset[RfmRegister] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(userCol).cast("long").as("u"),
+        col(tsUsCol).cast("long").as("tsu"),
+        graft.AnalyticsQueries.cents(col(valueCol)).as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val st = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          val merged = batch.foldLeft(st) { case ((r, n, m), (_, tsu, c)) =>
+            (math.max(r, tsu), n + 1L, m + c)
+          }
+          state.update(merged)
+          RfmRegister(user, merged._1, merged._2, merged._3)
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

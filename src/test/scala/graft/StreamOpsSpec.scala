@@ -654,4 +654,41 @@ class StreamOpsSpec extends SparkSpec {
     val b = mergeHllRegs(Map.empty, hashes.reverse.iterator, 6)
     assert(a == b)
   }
+
+  test("streaming RFM register reproduces the batch per-user aggregate on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val query = StreamOps.streamingRfm(stream.toDS().toDF("user_id", "tsu", "value"),
+        "user_id", "tsu", "value")
+      .toDF().writeStream.format("memory").queryName("rfmreg")
+      .outputMode(OutputMode.Update()).start()
+    val first = Seq((1L, 100L, 1.25), (1L, 300L, 2.005), (2L, 50L, 10.0), (3L, 70L, 0.0))
+    val second = Seq((1L, 200L, 0.99), (2L, 400L, 3.333), (4L, 10L, 7.77))
+    try {
+      def check(prefix: Seq[(Long, Long, Double)]): Unit = {
+        val got = spark.sql(
+          """SELECT userId, recencyUs, nEvents, monetaryCents FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY nEvents DESC) AS rk
+            |  FROM rfmreg)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        // the batch rfm per-user aggregate, via the SAME shared cents conversion
+        val batch = prefix.toDF("user_id", "tsu", "value")
+          .groupBy(col("user_id"))
+          .agg(org.apache.spark.sql.functions.max(col("tsu")).as("r"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              graft.AnalyticsQueries.cents(col("value"))).as("m"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(got == batch, s"prefix of ${prefix.size}")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
 }
