@@ -369,6 +369,9 @@ object SparkEntry {
     "t35_source_drift" -> ((s: SparkSession, dir: String) =>
       TextStats.sourceDrift(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         "source", cutId = SourceDriftCut)),
+    "t36_heaps_fit" -> ((s: SparkSession, dir: String) =>
+      TextStats.heapsFit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        bucketDocs = VocabBucketDocs)),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
@@ -3705,6 +3708,47 @@ object SparkEntry {
          |q AS (SELECT CAST(floor(1000000.0 * ln(rank::DOUBLE) + 0.5) AS BIGINT) AS lx,
          |             CAST(floor(1000000.0 * ln(n_occurrences::DOUBLE) + 0.5) AS BIGINT)
          |               AS ly FROM r),
+         |s AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+         |             SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy FROM q),
+         |d AS (SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         |             sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+         |      FROM s),
+         |f AS (SELECT n, nd, sxd, syd,
+         |        nd * sxyd - sxd * syd AS covnum,
+         |        nd * sxxd - sxd * sxd AS varx,
+         |        nd * syyd - syd * syd AS vary
+         |      FROM d),
+         |g AS (SELECT n, nd, sxd, syd, covnum, varx, vary,
+         |        CASE WHEN varx = 0.0 THEN 0.0 ELSE covnum / varx END AS slope,
+         |        CASE WHEN varx * vary = 0.0 THEN 0.0
+         |             ELSE covnum * covnum / (varx * vary) END AS r2
+         |      FROM f)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |  CAST(floor(1000000.0 * slope + 0.5) AS BIGINT) AS slope_micro,
+         |  CAST(floor((syd - slope * sxd) / nd + 0.5) AS BIGINT) AS intercept_micro,
+         |  CAST(floor(1000000.0 * r2 + 0.5) AS BIGINT) AS r2_micro
+         |FROM g""".stripMargin,
+
+    // Heaps'-law fit: the t34 regression tail over the t32 vocabulary-growth points
+    // (ln cum_tokens vs ln vocab) — mirror of TextStats.heapsFit
+    "t36_heaps_fit" ->
+      s"""WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |toks AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks0),
+         |dv0 AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+         |dv AS (SELECT doc_id // $VocabBucketDocs AS bucket, COUNT(*) AS n_docs,
+         |              CAST(SUM(n) AS BIGINT) AS n_tokens
+         |       FROM dv0 GROUP BY 1),
+         |nv AS (SELECT first_id // $VocabBucketDocs AS bucket, COUNT(*) AS new_vocab
+         |       FROM (SELECT h, MIN(doc_id) AS first_id FROM toks GROUP BY 1)
+         |       GROUP BY 1),
+         |growth AS (SELECT bucket,
+         |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |    CAST(SUM(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS vocab
+         |  FROM dv LEFT JOIN nv USING (bucket)
+         |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |q AS (SELECT CAST(floor(1000000.0 * ln(cum_tokens::DOUBLE) + 0.5) AS BIGINT) AS lx,
+         |             CAST(floor(1000000.0 * ln(vocab::DOUBLE) + 0.5) AS BIGINT) AS ly
+         |      FROM growth WHERE cum_tokens > 0 AND vocab > 0),
          |s AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
          |             SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy FROM q),
          |d AS (SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,

@@ -1076,7 +1076,46 @@ object TextStats {
           .cast("long").as("lx"),
         floor(lit(1000000.0) * log(col("n_occurrences").cast("double")) + lit(0.5))
           .cast("long").as("ly"))
-    val sums = ranked.agg(
+    logLogFit(ranked)
+  }
+
+  /** t36 — Heaps'-law fit: least-squares β and ln k of V(N) ≈ k·N^β over the t32
+    * vocabulary-growth curve (cumulative vocab vs cumulative tokens per doc-id
+    * bucket) — the companion corpus-health diagnostic to t34's Zipf slope: natural
+    * text grows vocabulary at β ≈ 0.4–0.8, while template/boilerplate corpora
+    * flatten (new text re-uses old words) and ID-heavy or noisy corpora steepen
+    * toward 1. Shares [[zipfFit]]'s regression kernel verbatim (one extraction,
+    * two fits — the two sides cannot drift) and its determinism story: per-point
+    * micro-quantized ln, exact integer power sums, one final double sequence.
+    *
+    * Scale shape: inherits t32's (two map-side-combinable aggs over the token
+    * relation; the cumulative window sees |docs|/bucketDocs rows); the fit itself
+    * aggregates that bucket-sized relation to one row.
+    */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketDocs: Long = 50L
+  ): DataFrame = {
+    val points = vocabGrowth(df, idCol, textCol, bucketDocs)
+      .filter(col("cum_tokens") > 0 && col("vocab") > 0)
+      .select(
+        floor(lit(1000000.0) * log(col("cum_tokens").cast("double")) + lit(0.5))
+          .cast("long").as("lx"),
+        floor(lit(1000000.0) * log(col("vocab").cast("double")) + lit(0.5))
+          .cast("long").as("ly"))
+    logLogFit(points)
+  }
+
+  /** Shared log-log least-squares kernel of [[zipfFit]] and [[heapsFit]]: points
+    * arrive as micro-quantized (lx, ly); the five power sums are exact integer
+    * aggregations (order-free), and slope/intercept/R² are one fixed double
+    * sequence over them, degenerate-variance-guarded — mirrored verbatim in both
+    * oracles.
+    */
+  private def logLogFit(points: DataFrame): DataFrame = {
+    val sums = points.agg(
       count(lit(1)).as("n"),
       sum(col("lx")).as("sx"),
       sum(col("ly")).as("sy"),

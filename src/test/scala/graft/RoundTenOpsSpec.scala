@@ -85,6 +85,52 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(small == large)
   }
 
+  // ------------------------------------------------------------ t36 Heaps fit
+
+  test("heapsFit matches a direct-arithmetic mirror on a planted corpus") {
+    import spark.implicits._
+    // 6 buckets of 1 doc each (bucketDocs = 1); vocabulary grows sublinearly
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c e f"),
+      (2L, "a b g"),
+      (3L, "c d e h"),
+      (4L, "a i b c"),
+      (5L, "j a b")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextStats.heapsFit(docs, "doc_id", "text", bucketDocs = 1L)
+      .collect()(0)
+
+    // mirror straight from definitions
+    val texts = Seq("a b c d", "a b c e f", "a b g", "c d e h", "a i b c", "j a b")
+      .map(_.split(" ").toSeq)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cumToks = 0L
+    val pts = texts.map { ws =>
+      cumToks += ws.size
+      ws.foreach(seen += _)
+      (cumToks, seen.size.toLong)
+    }
+    def micro(x: Double): Long = math.floor(1000000.0 * x + 0.5).toLong
+    val q = pts.map { case (n, v) => (micro(math.log(n.toDouble)), micro(math.log(v.toDouble))) }
+    val (n, sx, sy) = (q.size.toLong, q.map(_._1).sum, q.map(_._2).sum)
+    val sxy = q.map(p => p._1 * p._2).sum
+    val sxx = q.map(p => p._1 * p._1).sum
+    val syy = q.map(p => p._2 * p._2).sum
+    val (nd, sxd, syd) = (n.toDouble, sx.toDouble, sy.toDouble)
+    val covnum = nd * sxy.toDouble - sxd * syd
+    val varx = nd * sxx.toDouble - sxd * sxd
+    val vary = nd * syy.toDouble - syd * syd
+    val slope = if (varx == 0.0) 0.0 else covnum / varx
+    val r2 = if (varx * vary == 0.0) 0.0 else covnum * covnum / (varx * vary)
+    assert(got.getAs[Long]("n_fit") == n)
+    assert(got.getAs[Long]("slope_micro") == micro(slope))
+    assert(got.getAs[Long]("intercept_micro") == math.floor((syd - slope * sxd) / nd + 0.5).toLong)
+    assert(got.getAs[Long]("r2_micro") == micro(r2))
+    // Heaps' law sanity: vocabulary grows, but sublinearly
+    val b = got.getAs[Long]("slope_micro")
+    assert(b > 0L && b < 1000000L, s"beta out of (0, 1): $b")
+  }
+
   // --------------------------------------------------- trained k-means / IVF-PQ
 
   test("kmeansTrain with one round IS kmeansStep") {
