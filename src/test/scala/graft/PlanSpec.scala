@@ -636,6 +636,18 @@ class PlanSpec extends SparkSpec {
       s"per-partition offsets must broadcast back onto the ranked rows:\n$p")
   }
 
+  test("source drift: one count pass, totals broadcast back, no heavyweight joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.sourceDrift(docs, "doc_id", "text", "source", 250L))
+    // the (source, token) count relation is checkpointed once; the source totals
+    // come back as a broadcast equi-join — a sort-merge join or a second corpus
+    // scan here would double the dominant pass at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"source totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("FileScan"),
+      s"the term pass must reuse the count checkpoint, not re-read the corpus:\n$p")
+  }
+
   test("k-means training rounds read checkpoints — the corpus parquet is scanned once") {
     // every round's assignment pass reads the ONE materialized vector relation and
     // the k-row centroid checkpoint; a FileScan in the final plan would mean a round
