@@ -440,6 +440,28 @@ object SparkEntry {
       Similarity.ivfPqTrainedTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         k = 5, kCells = 8, trainRounds = IvfPqTrainRounds)
     }),
+    // the production two-job ANN shape: train the coarse quantizer once, persist
+    // the model artifact, reload and search — the t26 save→load→replay discipline
+    // applied to s23 (whose oracle SQL this query shares verbatim: the round trip
+    // must reproduce the in-session result). The model is checkpointed after load
+    // so the artifact dir can be removed before the lazy search materializes.
+    "s24_ivf_pq_saved" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-model")
+      try {
+        val path = scratch.toString + "/centroids"
+        Similarity.saveCentroids(
+          Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64,
+            rounds = IvfPqTrainRounds), path)
+        val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
+        Similarity.ivfPqWithModel(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+          k = 5, model = model)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Retrieval.hybridTopK(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -620,6 +642,62 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Shared by s23 and s24 registrations: the trained-quantizer IVF-PQ mirror. */
+  private lazy val ivfPqTrainedSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |    FROM pqscored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin
 
   /** The s21 MMR mirror: candidates and pair sims micro-quantized from the round-6
     * cosines, then the greedy selection UNROLLED round-for-round exactly like the
@@ -3125,61 +3203,12 @@ object SparkEntry {
          |FROM m$KmeansTrainRounds m JOIN c$KmeansTrainRounds c USING (cluster)""".stripMargin,
 
     // IVF-PQ over the TRAINED coarse quantizer: the s16 pipeline with its sampled
-    // cents replaced by the kmeansCtes model — mirror of Similarity.ivfPqTrainedTopK
-    "s23_ivf_pq_trained" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
-         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
-         |scored_cells AS (
-         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
-         |  FROM base, cents),
-         |cells AS (
-         |  SELECT rid AS neighbor_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
-         |    FROM scored_cells)
-         |  WHERE crank <= 1),
-         |probes AS (
-         |  SELECT rid AS query_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
-         |    FROM scored_cells WHERE rid % 50 = 0)
-         |  WHERE crank <= 2),
-         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
-         |       WHERE query_id <> neighbor_id),
-         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
-         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
-         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
-         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
-         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
-         |      + list_dot_product(cv, cv) AS d2
-         |  FROM sub t JOIN cb ON cb.s = t.s),
-         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
-         |    FROM pqscored)
-         |  WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
-         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
-         |      - 2 * list_dot_product(q.sv, cb.cv)
-         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
-         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
-         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
-         |  FROM cp
-         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
-         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
-         |  GROUP BY 1, 2),
-         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
-         |    FROM approx)
-         |  WHERE crank <= 20),
-         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
-         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
-         |        FROM short sh
-         |        JOIN base qb ON qb.vec_id = sh.query_id
-         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
-         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
-         |WHERE rank <= 5""".stripMargin,
+    // cents replaced by the kmeansCtes model — mirror of Similarity.ivfPqTrainedTopK.
+    // s24 (train -> save -> load -> search) shares this SQL VERBATIM: the model
+    // round-trips parquet bit-exactly, so the persisted-artifact path must
+    // reproduce the in-session result to the hash
+    "s23_ivf_pq_trained" -> ivfPqTrainedSql,
+    "s24_ivf_pq_saved" -> ivfPqTrainedSql,
 
     // IVF-PQ: cell pruning bounds the candidates, the integer-µ ADC LUT scores them,
     // exact cosine reranks the shortlist — mirror of Similarity.ivfPqTopK, composing

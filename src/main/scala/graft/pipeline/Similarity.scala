@@ -377,7 +377,7 @@ object Similarity {
     * corpus map pass + one map-side-combinable wide-sum aggregation (the s10 shape,
     * `rounds`×). Nothing driver-side but the k-row centroid checkpoint.
     */
-  private[pipeline] def kmeansRounds(
+  private[graft] def kmeansRounds(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -934,10 +934,48 @@ object Similarity {
       subDim: Int = 8,
       nCodes: Int = 16,
       overfetch: Int = 4
+  ): DataFrame =
+    ivfPqWithModel(queries, candidates, idCol, vecCol, k,
+      kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds),
+      nProbe, nSub, subDim, nCodes, overfetch)
+
+  /** Persist a trained coarse-quantizer model ([[kmeansRounds]] output) — the s24
+    * artifact: cluster id + centroid array, one tiny parquet file. Doubles
+    * round-trip parquet bit-exactly, so a reloaded model searches identically to
+    * the in-session one (s24's oracle IS s23's SQL — the round trip must
+    * reproduce it).
+    */
+  def saveCentroids(model: DataFrame, path: String): Unit =
+    model.select(col("cluster"), col("cv"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Reload a [[saveCentroids]] artifact into [[ivfPqWithModel]] form. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("cn", norm2(col("cv")))
+
+  /** IVF-PQ search against a PRE-TRAINED model relation (cluster, cv[, cn]) — the
+    * serving half of the production two-job split: training ([[kmeansRounds]] →
+    * [[saveCentroids]]) runs on the index-build cadence; every query batch calls
+    * this with the loaded model and pays only assignment + probe + ADC + rerank.
+    */
+  def ivfPqWithModel(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: DataFrame,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
   ): DataFrame = {
+    val withCn =
+      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
     val cents = broadcast(
-      kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds)
-        .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
+      withCn.select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
     def nearestCells(r: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
       r.crossJoin(cents)
