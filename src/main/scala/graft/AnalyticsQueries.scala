@@ -630,12 +630,16 @@ object AnalyticsQueries {
       df: DataFrame,
       rankName: String,
       orderCols: Seq[Column],
-      numParts: Int = 32
+      numParts: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = df.sparkSession
     import sp.implicits._
-    val parted = df.repartitionByRange(numParts, orderCols: _*)
+    // numParts <= 0 → the session's shuffle parallelism: the extreme-cardinality
+    // regime this function exists for must scale its range count with the CLUSTER,
+    // not a constant (reviewed r10: a fixed 32 re-creates big tasks at 1e9 rows)
+    val parts = if (numParts > 0) numParts else sp.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))

@@ -346,11 +346,7 @@ object SparkEntry {
         TextStats.bpeSaveMerges(
           TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
         TextStats.bpeEncodeWith(docs, "doc_id", "text", TextStats.bpeLoadMerges(s, path))
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally deleteRecursively(scratch)
     }),
     "d13_semdedup" -> ((s: SparkSession, dir: String) =>
       Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -456,11 +452,7 @@ object SparkEntry {
         val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
         Similarity.ivfPqWithModel(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
           k = 5, model = model)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally deleteRecursively(scratch)
     }),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Retrieval.hybridTopK(
@@ -610,6 +602,18 @@ object SparkEntry {
   }
 
   /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
+  /** Scratch-dir cleanup shared by the artifact queries (t26, s24): Files.walk
+    * holds open directory handles that MUST be closed (its stream contract), so
+    * the walk happens inside a try/finally on the stream — the previous inline
+    * form leaked a handle per invocation (reviewed r10).
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
 

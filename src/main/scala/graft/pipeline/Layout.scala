@@ -106,9 +106,19 @@ object Layout {
       targetRows: Long = 4096L,
       bitsPerDim: Int = 20,
       bucketShift: Int = 26
+  ): DataFrame =
+    compactionPlanFromKeys(zorderKeys(events, bitsPerDim, bucketShift), targetRows)
+
+  /** The packing rule over a precomputed key relation — split out so
+    * [[writeCompacted]] can feed its ONE checkpointed key projection to both the
+    * plan and the write (reviewed r10: the fused form computed the zkeys twice).
+    */
+  private[pipeline] def compactionPlanFromKeys(
+      keyed: DataFrame,
+      targetRows: Long
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = zorderKeys(events, bitsPerDim, bucketShift)
+    val stats = keyed
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
     val w = Window.orderBy(col("bucket"))
@@ -199,8 +209,10 @@ object Layout {
       bitsPerDim: Int = 20,
       bucketShift: Int = 26
   ): Unit = {
-    val keyed = zorderKeys(events, bitsPerDim, bucketShift)
-    val groups = compactionPlan(events, targetRows, bitsPerDim, bucketShift)
+    // one key projection, checkpointed, feeding BOTH the plan's bucket census and
+    // the write-side join — the "one zkey projection" the docstring claims
+    val keyed = zorderKeys(events, bitsPerDim, bucketShift).localCheckpoint(true)
+    val groups = compactionPlanFromKeys(keyed, targetRows)
       .select(col("bucket"), col("group_id"))
     events
       .join(keyed.select(col("event_id"), col("zkey"), col("bucket")), "event_id")

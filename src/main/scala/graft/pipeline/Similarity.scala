@@ -870,44 +870,14 @@ object Similarity {
       subDim: Int = 8,
       nCodes: Int = 16,
       overfetch: Int = 4
-  ): DataFrame = {
-    val cents = broadcast(
+  ): DataFrame =
+    // ONE scoring path for the whole IVF-PQ family: the sampled-centroid model is
+    // just a model relation — any fix to assignment/probe/ADC applies to s16 and
+    // s23/s24 alike (reviewed r10: the two bodies had been duplicated)
+    ivfPqWithModel(queries, candidates, idCol, vecCol, k,
       candidates.filter(col(idCol) % centroidMod === 0)
-        .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
-        .withColumn("cn", norm2(col("cv"))))
-    // nearest cells by rounded cosine (engine-independent argmax) — the s04 contract
-    def nearestCells(r: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
-      r.crossJoin(cents)
-        .select(
-          col("rid"), col("cid"),
-          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col("rid"), col("cid"))
-    }
-    def withNorm(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
-        .withColumn("nv", norm2(col("v")))
-
-    val cells = nearestCells(withNorm(candidates), keep = 1)
-      .select(col("rid").as("neighbor_id"), col("cid"))
-    val probes = nearestCells(withNorm(queries), keep = nProbe)
-      .select(col("rid").as("query_id"), col("cid"))
-    val candidatePairs = probes.join(cells, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-
-    val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    val lut = broadcast(adcLut(queries, candidates, idCol, vecCol, nSub, subDim, nCodes))
-    val approx = candidatePairs
-      .join(codes, "neighbor_id")
-      .join(lut, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2m")).as("approx_d2m"))
-    exactRerank(adcShortlist(approx, k * overfetch), queries, candidates, idCol, vecCol, k)
-  }
+        .select(col(idCol).as("cluster"), toDouble(col(vecCol)).as("cv")),
+      nProbe, nSub, subDim, nCodes, overfetch)
 
   /** s23 — IVF-PQ over a TRAINED coarse quantizer: [[ivfPqTopK]] with the
     * deterministic-sample centroids replaced by [[kmeansRounds]]' trained model —
