@@ -567,6 +567,8 @@ object SparkEntry {
     "ev17_activity_pareto" -> ((s: SparkSession, d: String) => AnalyticsQueries.activityPareto(s, d)),
     "d15_cluster_keep" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d16_cluster_split" -> ((s: SparkSession, dir: String) =>
+      Dedup.clusterAwareSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -1937,6 +1939,35 @@ object SparkEntry {
          |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
          |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
+
+    // d05's clusters + the t07 hash split applied to the CLUSTER id — the
+    // leakage-safe split where near-dups never straddle train/eval; mirror of
+    // Dedup.clusterAwareSplit (thresholds 9000/9500 = 90/5/5 over 10k buckets)
+    "d16_cluster_split" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id, ${bucketSql("cluster_id")} AS bucket FROM cl)""".stripMargin,
 
     // d05's clusters + the keep-longest decision: one row per cluster with the
     // longest member (token count, doc-id tie-break) and the drop count — mirror of

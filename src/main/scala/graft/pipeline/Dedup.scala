@@ -198,6 +198,43 @@ object Dedup {
         (col("n_members") - 1L).as("n_dropped"))
   }
 
+  /** d16 — leakage-safe train/val/test split: the split is a function of the
+    * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
+    * never land on opposite sides of the train/eval boundary — the failure mode
+    * d06 detects after the fact, prevented at assignment time (the standard
+    * cluster-aware split of training-data curation). Composes [[dedupClusters]]
+    * with the t07 deterministic hash-bucket split applied to `cluster_id`;
+    * singleton clusters reduce to exactly t07's per-document assignment, so the
+    * operator strictly generalizes it.
+    *
+    * Scale shape: inherits d05's banded-LSH + bounded min-label closure; the split
+    * itself is one map pass over the cluster relation (no new shuffle, no joins).
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3,
+      trainPct: Int = 90,
+      valPct: Int = 5,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val clusters =
+      dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
+    val b = Sampling.bucketCol(col("cluster_id"))
+    clusters.select(
+      col(idCol),
+      col("cluster_id"),
+      b.as("bucket"),
+      when(b < trainPct * Sampling.Buckets / 100, "train")
+        .when(b < (trainPct + valPct) * Sampling.Buckets / 100, "val")
+        .otherwise("test")
+        .as("split"))
+  }
+
   /** Train/eval contamination detection — the decontamination step of a training-data
     * pipeline: documents land in train/val/test via the deterministic hash split
     * ([[Sampling.hashSplit]]), and an eval document is CONTAMINATED if it shares a

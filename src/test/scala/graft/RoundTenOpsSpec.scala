@@ -85,6 +85,32 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(small == large)
   }
 
+  // -------------------------------------------------- d16 cluster-aware split
+
+  test("clusterAwareSplit never lets a near-dup cluster straddle the split boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // near-dup of 1 → same cluster
+      (50L, "completely different text about volcano geology formations"),
+      (60L, "another unrelated passage concerning maritime navigation rules"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterAwareSplit(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every member of a cluster carries the identical (bucket, split)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(m => (m._3, m._4)).distinct.size == 1)
+    }
+    assert(out.find(_._1 == 1L).get._2 == out.find(_._1 == 2L).get._2)
+    // singleton clusters reduce exactly to the t07 per-document hash split
+    val t07 = graft.pipeline.Sampling.hashSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    Seq(50L, 60L).foreach { id =>
+      val r = out.find(_._1 == id).get
+      assert(r._2 == id && (r._3, r._4) == t07(id))
+    }
+  }
+
   // ------------------------------------------------------------ t36 Heaps fit
 
   test("heapsFit matches a direct-arithmetic mirror on a planted corpus") {
