@@ -186,6 +186,21 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(moved > 0, "three training rounds left every centroid exactly at round 1")
   }
 
+  test("kmeans training reaches a fixed point on well-separated clusters") {
+    import spark.implicits._
+    // two tight angular clusters; after round 1 every vector sits with its own
+    // centroid, so assignments never change and rounds 2+ are the identity —
+    // training must be a FIXED POINT, not drift from float re-accumulation
+    val a = (1L to 10L).map(i => (i, Array.tabulate(8)(d => if (d < 4) 1.0f + (i % 3) * 0.01f else 0.0f)))
+    val b = (11L to 20L).map(i => (i, Array.tabulate(8)(d => if (d >= 4) 1.0f + (i % 3) * 0.01f else 0.0f)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val r2 = graft.pipeline.Similarity.kmeansTrain(df, "vec_id", "embedding",
+      k = 2, dims = 8, rounds = 2).collect().map(_.toSeq).toSet
+    val r4 = graft.pipeline.Similarity.kmeansTrain(df, "vec_id", "embedding",
+      k = 2, dims = 8, rounds = 4).collect().map(_.toSeq).toSet
+    assert(r2 == r4, "extra rounds after convergence must be the identity")
+  }
+
   test("distributedRank is an exact dense 1..n row_number under its total order") {
     import spark.implicits._
     // values with heavy ties so the tiebreak column carries the order; 7 range
