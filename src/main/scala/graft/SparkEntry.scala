@@ -153,6 +153,11 @@ object SparkEntry {
     */
   private[graft] val SourceDriftCut = 250L
 
+  /** t37's pinned hashed-LM bucket count (the bounded drift-register width the
+    * streaming twin holds per source).
+    */
+  private[graft] val DriftBuckets = 1024
+
   /** s22/s23's pinned k-means training schedule, shared by registration and oracle:
     * s22 trains the s10 model three rounds; s23's coarse quantizer trains two (the
     * oracle unrolls the rounds as chained CTEs, so the count prices the SQL too).
@@ -368,6 +373,9 @@ object SparkEntry {
     "t36_heaps_fit" -> ((s: SparkSession, dir: String) =>
       TextStats.heapsFit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         bucketDocs = VocabBucketDocs)),
+    "t37_drift_hashed" -> ((s: SparkSession, dir: String) =>
+      TextStats.sourceDriftHashed(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "source", cutId = SourceDriftCut, buckets = DriftBuckets)),
     "o01_zorder" -> ((s: SparkSession, dir: String) =>
       Layout.zorderKeys(s.read.parquet(s"$dir/events.parquet"))),
     "o02_hilbert" -> ((s: SparkSession, dir: String) =>
@@ -3323,6 +3331,36 @@ object SparkEntry {
          |SELECT source, max(np) AS n_late_tokens, max(nq) AS n_early_tokens,
          |       max(vocab) AS vocab, CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
          |FROM term GROUP BY source""".stripMargin,
+
+    // t35's bounded-state form: KL over DriftBuckets hashed token buckets, with the
+    // nonzero Laplace term of every UNOBSERVED bucket added once per empty bucket —
+    // mirror of TextStats.sourceDriftHashed
+    "t37_drift_hashed" ->
+      s"""WITH toks AS (SELECT source, doc_id < $SourceDriftCut AS early,
+         |    ('0x' || substr(md5(token), 1, 15))::BIGINT % $DriftBuckets AS bucket
+         |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+         |counts AS (SELECT source, bucket,
+         |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS cq,
+         |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cp
+         |  FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+         |        FROM counts GROUP BY 1),
+         |term AS (SELECT source, np, nq,
+         |    CAST(floor(1000000.0 * ((cp + 1)::DOUBLE / (np + $DriftBuckets)::DOUBLE)
+         |      * ln(((cp + 1)::DOUBLE / (np + $DriftBuckets)::DOUBLE)
+         |           / ((cq + 1)::DOUBLE / (nq + $DriftBuckets)::DOUBLE)) + 0.5) AS BIGINT)
+         |      AS term_micro
+         |  FROM counts JOIN tot USING (source)),
+         |agg AS (SELECT source, max(np) AS n_late_tokens, max(nq) AS n_early_tokens,
+         |          COUNT(*) AS n_obs, CAST(SUM(term_micro) AS BIGINT) AS obs_micro
+         |        FROM term GROUP BY source)
+         |SELECT source, n_late_tokens, n_early_tokens,
+         |  CAST(obs_micro + ($DriftBuckets - n_obs) *
+         |    CAST(floor(1000000.0 * (1.0 / (n_late_tokens + $DriftBuckets)::DOUBLE)
+         |      * ln((1.0 / (n_late_tokens + $DriftBuckets)::DOUBLE)
+         |           / (1.0 / (n_early_tokens + $DriftBuckets)::DOUBLE)) + 0.5) AS BIGINT)
+         |    AS BIGINT) AS kl_micro_nats
+         |FROM agg""".stripMargin,
 
     // Z-order (Morton) layout keys over (user_id, hour): 20-bit interleave, bucket =
     // high bits of the key — mirror of Layout.zorderKeys

@@ -1050,6 +1050,66 @@ object TextStats {
         sum(col("term_micro")).as("kl_micro_nats"))
   }
 
+  /** t37 — [[sourceDrift]]'s BOUNDED-STATE form: the same per-source early/late KL
+    * divergence, but over `buckets` hashed token buckets instead of the raw
+    * vocabulary (the t31 DSIR hashed-feature discipline applied to drift). The
+    * per-source state collapses from vocabulary-sized to a FIXED `buckets` counts —
+    * the form whose registers a streaming monitor can hold per source forever
+    * ([[graft.streaming.StreamOps.streamingDrift]] keeps exactly these counts as
+    * group state and is prefix-parity-pinned against this operator). Hash
+    * collisions merge word masses, so bucketed KL LOWER-bounds the vocabulary KL —
+    * the standard trade for bounded monitoring state; Laplace smoothing is over
+    * the fixed bucket count, making every term finite with either window empty.
+    *
+    * Determinism: identical to t35 — exact integer counts, one fixed double
+    * sequence per bucket micro-quantized, exact integer sum per source.
+    */
+  def sourceDriftHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      cutId: Long,
+      buckets: Int = 1024
+  ): DataFrame = {
+    val toks = Scans.fanOut(df)
+      .select(
+        col(sourceCol).as("source"),
+        (col(idCol) < cutId).as("early"),
+        explode(split(col(textCol), " ", -1)).as("token"))
+      .select(
+        col("source"), col("early"),
+        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+    val counts = toks.groupBy(col("source"), col("bucket"))
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("cq"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("cp"))
+      .localCheckpoint(true) // two consumers: the source totals and the term pass
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val p = (col("cp") + lit(1L)).cast("double") / (col("np") + lit(buckets.toLong)).cast("double")
+    val q = (col("cq") + lit(1L)).cast("double") / (col("nq") + lit(buckets.toLong)).cast("double")
+    val term = floor(lit(1000000.0) * p * log(p / q) + lit(0.5)).cast("long")
+    // the Laplace term of an UNOBSERVED bucket (cp = cq = 0) is NOT zero when the
+    // window sizes differ — the full-support KL adds it once per empty bucket
+    val p0 = lit(1.0) / (col("n_late_tokens") + lit(buckets.toLong)).cast("double")
+    val q0 = lit(1.0) / (col("n_early_tokens") + lit(buckets.toLong)).cast("double")
+    val term0 = floor(lit(1000000.0) * p0 * log(p0 / q0) + lit(0.5)).cast("long")
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("np"), col("nq"), term.as("term_micro"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("np")).as("n_late_tokens"),
+        max(col("nq")).as("n_early_tokens"),
+        count(lit(1)).as("n_obs"),
+        sum(col("term_micro")).as("obs_micro"))
+      .select(
+        col("source"), col("n_late_tokens"), col("n_early_tokens"),
+        (col("obs_micro") + (lit(buckets.toLong) - col("n_obs")) * term0)
+          .as("kl_micro_nats"))
+  }
+
   /** Zipf-law fit over the head of the vocabulary: least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) for the `fitK` most frequent tokens — the standard
     * corpus-health diagnostic (natural text sits near slope −1; machine-generated or

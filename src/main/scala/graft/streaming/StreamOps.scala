@@ -874,6 +874,67 @@ object StreamOps extends Serializable {
       }
   }
 
+  case class DriftRow(source: String, nTokens: Long, klMicroNats: Long)
+
+  /** The exact t37 KL sequence, pure (shared by [[streamingDrift]] and its parity
+    * pin): per-bucket Laplace terms micro-floored to ints (order-free to sum),
+    * plus the nonzero empty-bucket term once per unobserved bucket. Both factors
+    * are the identical IEEE ops `TextStats.sourceDriftHashed` codegens, so the
+    * streaming emission equals the batch operator on the same prefix bit-for-bit.
+    */
+  def klMicro(late: Map[Long, Long], early: Map[Long, Long], buckets: Int): Long = {
+    val np = late.valuesIterator.sum
+    val nq = early.valuesIterator.sum
+    def term(cp: Long, cq: Long): Long = {
+      val p = (cp + 1L).toDouble / (np + buckets).toDouble
+      val q = (cq + 1L).toDouble / (nq + buckets).toDouble
+      math.floor(1000000.0 * p * math.log(p / q) + 0.5).toLong
+    }
+    val obs = late.keySet ++ early.keySet
+    obs.iterator.map(b => term(late.getOrElse(b, 0L), early.getOrElse(b, 0L))).sum +
+      (buckets - obs.size) * term(0L, 0L)
+  }
+
+  /** Streaming language-drift monitor — t37 at ingestion time: per-source hashed
+    * token-bucket counts live as group state (BOUNDED: at most `buckets` longs per
+    * source forever — the whole point of the hashed form over t35's
+    * vocabulary-sized relation), scored every micro-batch against a FROZEN
+    * reference LM (the early-window registers, e.g. the last snapshot's counts).
+    * After any stream prefix the emitted KL equals
+    * `TextStats.sourceDriftHashed` with late = the prefix and early = the
+    * reference, exactly (StreamOpsSpec pins it through [[klMicro]]). This is the
+    * live "a source changed its generator" alarm at O(sources · buckets) state.
+    */
+  def streamingDrift(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      reference: Map[String, Map[Long, Long]],
+      buckets: Int = 1024
+  ): Dataset[DriftRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(sourceCol).cast("string").as("source"),
+        explode(split(col(textCol), " ", -1)).as("token"))
+      .select(
+        col("source"),
+        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets).as("bucket"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, batch: Iterator[(String, Long)], state: GroupState[Map[Long, Long]]) =>
+          val st = state.getOption.getOrElse(Map.empty[Long, Long])
+          val merged = batch.foldLeft(st) { case (m, (_, b)) =>
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(merged)
+          DriftRow(source, merged.valuesIterator.sum,
+            klMicro(merged, reference.getOrElse(source, Map.empty), buckets))
+      }
+  }
+
   // --- streaming count-min heavy hitters (Sketches.countMin batch parity) ---
 
   case class CmsCell(r: Int, bucket: Long, item: String, bucketN: Long)

@@ -691,4 +691,53 @@ class StreamOpsSpec extends SparkSpec {
       check(first ++ second)
     } finally query.stop()
   }
+
+  test("streaming drift reproduces batch t37 on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def bucketOf(token: String, buckets: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
+    }
+    val bks = 64
+    val early = Seq((0L, "a b c a", "s1"), (1L, "b c d", "s2"), (2L, "a a e", "s1"))
+    val reference: Map[String, Map[Long, Long]] = early.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.flatMap(_._2.split(" ")).groupBy(t => bucketOf(t, bks))
+        .map { case (b, ts) => b -> ts.size.toLong }
+    }
+    val stream = MemoryStream[(String, String)]
+    val query = StreamOps.streamingDrift(stream.toDS().toDF("source", "text"),
+        "source", "text", reference, bks)
+      .toDF().writeStream.format("memory").queryName("drift")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    val first = Seq(("s1", "a b x"), ("s2", "d d"))
+    val second = Seq(("s1", "y y z"), ("s2", "b"))
+    try {
+      def check(prefix: Seq[(String, String)]): Unit = {
+        val got = spark.sql(
+          """SELECT source, nTokens, klMicroNats FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY nTokens DESC) AS rk
+            |  FROM drift)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val batchDf = (early ++ prefix.zipWithIndex.map { case ((src, t), i) =>
+          (100L + i, t, src)
+        }).toDF("doc_id", "text", "source")
+        val batch = graft.pipeline.TextStats
+          .sourceDriftHashed(batchDf, "doc_id", "text", "source", cutId = 100L, buckets = bks)
+          .collect()
+          .map(r => r.getString(0) -> ((r.getAs[Long]("n_late_tokens"),
+            r.getAs[Long]("kl_micro_nats")))).toMap
+        got.foreach { case (src, v) => assert(batch(src) == v, s"$src at prefix ${prefix.size}") }
+        assert(got.nonEmpty)
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
 }
