@@ -598,6 +598,45 @@ object AnalyticsQueries {
           .as("retention"))
   }
 
+  /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
+    * seconds between a user's consecutive events, attributed to the LATER event's
+    * type — the quantile evidence behind ev2's sessionization gap parameter (a
+    * 1-hour break rule should sit far in the tail of the within-session gap
+    * distribution; this query is how that choice gets audited instead of guessed).
+    *
+    * Determinism: the per-user order is (tsu, event_id) — the ev2 convention, so
+    * equal-timestamp events cannot reorder between engines; gaps quantize to whole
+    * seconds by integer division before anything aggregates.
+    *
+    * Scale shape: one lag window per USER partition (state never leaves the
+    * partition), then the t17 cumulated-histogram discipline — the quantile
+    * windows run over the per-(type, gap-second) HISTOGRAM, a relation bounded by
+    * the discrete gap domain per type, never the event count; thresholds compare
+    * `cum·100 ≥ p·total` in integers.
+    */
+  def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    val gaps = eventsTsu(spark, dir, "user_id", "event_id", "event_type")
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), expr("(tsu - prev) DIV 1000000").as("gap_s"))
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("event_type"))
+    def q(p: Int): Column =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("gap_s"))).as(s"p${p}_s")
+    hist
+      .select(
+        col("event_type"), col("gap_s"),
+        sum(col("c")).over(cumW).as("cum"),
+        sum(col("c")).over(totW).as("total"))
+      .groupBy(col("event_type"))
+      .agg(max(col("total")).as("n_gaps"), q(50), q(90), q(99))
+  }
+
   /** Per-user event profile: scan + hash agg with a distinct-agg. */
   def userEventStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")

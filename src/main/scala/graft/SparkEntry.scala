@@ -577,6 +577,7 @@ object SparkEntry {
       Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "d16_cluster_split" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterAwareSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -1556,6 +1557,28 @@ object SparkEntry {
          |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
          |       CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS span_us
          |FROM s GROUP BY user_id""".stripMargin,
+
+    // inter-event gap quantiles per type: per-user (tsu, event_id)-ordered lag,
+    // whole-second gaps, then the t17 cumulated-histogram exact quantiles —
+    // mirror of AnalyticsQueries.gapQuantiles
+    "ev18_gap_quantiles" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |g AS (SELECT event_type, (tsu - prev) // 1000000 AS gap_s
+         |      FROM (SELECT event_type, tsu,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t)
+         |      WHERE prev IS NOT NULL),
+         |h AS (SELECT event_type, gap_s, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |cm AS (SELECT event_type, gap_s,
+         |         SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(c) OVER (PARTITION BY event_type) AS total
+         |       FROM h)
+         |SELECT event_type, CAST(MAX(total) AS BIGINT) AS n_gaps,
+         |  MIN(CASE WHEN cum * 100 >= 50 * total THEN gap_s END) AS p50_s,
+         |  MIN(CASE WHEN cum * 100 >= 90 * total THEN gap_s END) AS p90_s,
+         |  MIN(CASE WHEN cum * 100 >= 99 * total THEN gap_s END) AS p99_s
+         |FROM cm GROUP BY event_type""".stripMargin,
 
     "ev3_hourly_rollup" ->
       s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
