@@ -522,6 +522,70 @@ object GraphQueries {
     labels.select(col("v").as("vertex_id"), col("label").as("community"))
   }
 
+  /** g46 — Newman modularity of the g40 LPA communities: per community c,
+    * q_part = e_c/m − (d_c/2m)² (internal-edge fraction minus the random-graph
+    * expectation), whose sum over communities is THE standard quality score Q of a
+    * partition — the metric that turns g40 from "labels converged" into "labels
+    * mean something" (Q near 0 ⇒ no better than random; the g40/g22 family was
+    * previously unscored). Undirected simple graph, both engines on the same
+    * lo<hi edge set.
+    *
+    * Determinism: e_c, d_c, m, and vertex counts are exact integers; q_part is one
+    * fixed double sequence (two divisions, one multiply, one subtract) per
+    * community, micro-quantized — the sk09 discipline.
+    *
+    * Scale shape: inherits g40's bounded LPA rounds; the scoring adds two
+    * community-keyed map-side-combinable aggs (internal edges, degree mass), the
+    * single-row m total broadcast in, and the per-community rollup — nothing
+    * beyond |communities| rows past the LPA join.
+    */
+  def modularity(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val und = snap.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint(true) // three consumers: m total, degrees, internal edges
+    val comm = lpaCommunities(spark, dir, rounds)
+      .select(col("vertex_id").as("v"), col("community"))
+      .localCheckpoint(true) // three consumers: both edge ends and the degree join
+    modularityOf(und, comm)
+  }
+
+  /** The scoring kernel of [[modularity]] over any (lo, hi) edge set and any
+    * (v, community) partition — split out so a planted-partition test can
+    * cross-validate the arithmetic directly.
+    */
+  private[graft] def modularityOf(und: DataFrame, comm: DataFrame): DataFrame = {
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("lo").as("v")).unionByName(und.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val dSum = deg.join(comm, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("degree")).as("d_sum"))
+    val eIn = und
+      .join(comm.select(col("v").as("lo"), col("community").as("c_lo")), "lo")
+      .join(comm.select(col("v").as("hi"), col("community").as("c_hi")), "hi")
+      .filter(col("c_lo") === col("c_hi"))
+      .groupBy(col("c_lo").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val mD = col("m").cast("double")
+    val qPart = col("e_in").cast("double") / mD -
+      (col("d_sum").cast("double") / (lit(2.0) * mD)) *
+        (col("d_sum").cast("double") / (lit(2.0) * mD))
+    dSum
+      .join(eIn, Seq("community"), "left_outer")
+      .select(col("community"), col("n_vertices"), col("d_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .crossJoin(broadcast(mRow))
+      .select(
+        col("community"), col("n_vertices"), col("e_in"), col("d_sum"),
+        floor(lit(1000000.0) * qPart + lit(0.5)).cast("long").as("q_part_micro"))
+  }
+
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
     * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
     * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose

@@ -578,6 +578,8 @@ object SparkEntry {
     "d16_cluster_split" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterAwareSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
+    "g46_modularity" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.modularity(s, dir, rounds = LpaRounds)),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -1151,6 +1153,46 @@ object SparkEntry {
          |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
          |${(1 to LpaRounds).map(roundCtes).mkString(",\n")}
          |SELECT v AS vertex_id, label AS community FROM l$LpaRounds""".stripMargin
+    },
+
+    // Newman modularity of the g40 LPA partition: per-community internal-edge
+    // fraction minus the degree-mass expectation, exact integers until the one
+    // final micro-quantized double sequence — mirror of GraphQueries.modularity
+    "g46_modularity" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+           |        FROM adj JOIN $prev l ON l.v = adj.dst
+           |        GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT v, label FROM (
+           |       SELECT v, label,
+           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+           |       FROM n$i)
+           |     WHERE rk = 1)""".stripMargin
+      }
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")},
+         |comm AS (SELECT v, label AS community FROM l$LpaRounds),
+         |mt AS (SELECT COUNT(*) AS m FROM und),
+         |deg AS (SELECT v, COUNT(*) AS degree
+         |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+         |ds AS (SELECT community, COUNT(*) AS n_vertices, CAST(SUM(degree) AS BIGINT) AS d_sum
+         |       FROM deg JOIN comm USING (v) GROUP BY 1),
+         |ei AS (SELECT a.community, COUNT(*) AS e_in
+         |       FROM und JOIN comm a ON a.v = und.lo JOIN comm b ON b.v = und.hi
+         |       WHERE a.community = b.community GROUP BY 1)
+         |SELECT ds.community, ds.n_vertices,
+         |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+         |  CAST(floor(1000000.0 * (COALESCE(ei.e_in, 0)::DOUBLE / m::DOUBLE
+         |    - (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)) * (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
+         |    + 0.5) AS BIGINT) AS q_part_micro
+         |FROM ds LEFT JOIN ei USING (community), mt""".stripMargin
     },
 
     // TIME-TRAVEL snapshot: the LWW fold over the log prefix updated_at <= AsOfTs —

@@ -85,6 +85,30 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(small == large)
   }
 
+  // --------------------------------------------------------- g46 modularity
+
+  test("modularity kernel matches direct arithmetic on a planted partition") {
+    import spark.implicits._
+    // two triangles bridged by one edge; the natural partition scores high
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("lo", "hi")
+    val comm = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+      .toDF("v", "community")
+    val got = GraphQueries.modularityOf(und, comm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // mirror: m = 7; community 1 = {1,2,3}: e_in = 3, d = 2+2+3 = 7;
+    // community 4 = {4,5,6}: e_in = 3, d = 3+2+2 = 7
+    def micro(e: Long, d: Long): Long =
+      math.floor(1000000.0 * (e.toDouble / 7.0 - (d.toDouble / 14.0) * (d.toDouble / 14.0))
+        + 0.5).toLong
+    assert(got(1L) == ((3L, 3L, 7L, micro(3L, 7L))))
+    assert(got(4L) == ((3L, 3L, 7L, micro(3L, 7L))))
+    // Q = sum of parts: high for the planted split (2 * (3/7 - 1/4) ≈ 0.357)
+    val q = got.values.map(_._4).sum
+    assert(q > 300000L && q < 500000L, s"Q out of the planted range: $q")
+  }
+
   // -------------------------------------------------- d16 cluster-aware split
 
   test("clusterAwareSplit never lets a near-dup cluster straddle the split boundary") {
