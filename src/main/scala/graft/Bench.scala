@@ -42,7 +42,7 @@ object Bench {
     "ev2_sessionize", "q08_market_share",
     "sk01_hll_distinct", "sk03_bloom_contamination",
     "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
-    "g44_harmonic", "t32_vocab_growth", "t33_pmi_pairs", "sk09_moments",
+    "g44_harmonic", "t32_vocab_growth", "t33_pmi_pairs", "sk09_moments", "g46_modularity",
     "s21_mmr_rerank", "d15_cluster_keep",
   )
 
