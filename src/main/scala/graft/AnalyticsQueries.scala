@@ -598,6 +598,49 @@ object AnalyticsQueries {
           .as("retention"))
   }
 
+  /** q10 — the TPC-H Q21 "waiting suppliers" SHAPE on this schema: suppliers who
+    * were the SOLE late shipper (l_shipdate more than 60 days past o_orderdate)
+    * in orders served by several suppliers — the classic
+    * exists/not-exists-composition plan, expressed in its scalable relational
+    * form: the "no other late supplier" predicate is a per-order late-supplier
+    * COUNT (one partition-keyed window over the deduped late set), not a
+    * correlated self-join, so nothing touches the fact table twice at the same
+    * grain.
+    *
+    * Scale shape: the multi-supplier order set is one map-side-combinable
+    * distinct-agg on lineitem alone (no orders join needed for it); the late set
+    * is one fact×orders equi-join; the supplier dimension broadcasts; the final
+    * top-10 is a TakeOrdered. Deterministic: date arithmetic is exact µs, ties
+    * break (numwait desc, s_name asc, s_suppkey asc).
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val multi = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") > 1)
+      .select(col("l_orderkey"))
+    val late = li
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val sole = late
+      .withColumn("n_late", count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
+      .filter(col("n_late") === 1)
+      .join(multi, "l_orderkey")
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(
+        broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
     * seconds between a user's consecutive events, attributed to the LATER event's
     * type — the quantile evidence behind ev2's sessionization gap parameter (a

@@ -580,6 +580,7 @@ object SparkEntry {
     "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
     "g46_modularity" -> ((s: SparkSession, dir: String) =>
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
+    "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -2817,6 +2818,24 @@ object SparkEntry {
 
     // Q10-style returned-item revenue per customer, top-20 by lost bp — mirror of
     // AnalyticsQueries.returnedRevenue
+    // Q21 "waiting suppliers" shape: sole late shipper in multi-supplier orders,
+    // the exists/not-exists composition in count form — mirror of
+    // AnalyticsQueries.waitingSuppliers
+    "q10_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |         FROM li JOIN orders ON o_orderkey = l_orderkey
+        |         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |sole AS (SELECT l_orderkey, l_suppkey FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_late FROM late)
+        |  WHERE n_late = 1),
+        |w AS (SELECT l_suppkey, COUNT(*) AS numwait
+        |      FROM sole JOIN multi USING (l_orderkey) GROUP BY 1)
+        |SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
     "q09_returned_revenue" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(SUM($revBp) AS BIGINT) AS lost_bp,

@@ -648,6 +648,36 @@ class PlanSpec extends SparkSpec {
       s"the term pass must reuse the count checkpoint, not re-read the corpus:\n$p")
   }
 
+  test("gap quantiles: windows stay per-user / per-type — never event-count-global") {
+    val p = plan(AnalyticsQueries.gapQuantiles(spark, dir))
+    // the lag runs per user partition; the quantile windows run over the
+    // per-(type, second) histogram partitioned by type — no window over the raw
+    // event relation may collapse to a single partition
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"expected lag + quantile windows:\n$p")
+    specs.foreach { s =>
+      assert(s.contains("user_id") || s.contains("event_type"),
+        s"window without a partition key (global over events?): $s")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("modularity: integer masses equi-join, the single m row broadcasts") {
+    val p = plan(GraphQueries.modularity(spark, dir))
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p).size == 1,
+      s"exactly the one single-row m total may cross in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("FileScan"),
+      s"scoring must consume the und/community checkpoints, not re-read the store:\n$p")
+  }
+
+  test("hashed drift: totals broadcast, no corpus re-scan past the count checkpoint") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.sourceDriftHashed(docs, "doc_id", "text", "source", 250L))
+    assert(p.contains("BroadcastHashJoin"), s"source totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("FileScan"), p)
+  }
+
   test("k-means training rounds read checkpoints — the corpus parquet is scanned once") {
     // every round's assignment pass reads the ONE materialized vector relation and
     // the k-row centroid checkpoint; a FileScan in the final plan would mean a round
