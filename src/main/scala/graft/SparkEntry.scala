@@ -508,6 +508,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", frameBytes = 64, stride = 2)),
+    "m06_clip_near_dup" -> ((s: SparkSession, dir: String) =>
+      Multimodal.clipNearDup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)),
     // --- distributed sketches: HLL / count-min / bloom ---
     "sk01_hll_distinct" -> ((s: SparkSession, dir: String) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2376,6 +2381,31 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
          |      FROM documents)
          |WHERE i % 2 = 0""".stripMargin,
+
+    // clip-level near-dup: frame-set Jaccard over m03's sampled-frame hashes with
+    // the doc-freq cap on hot frames — mirror of Multimodal.clipNearDup(64, 2)
+    "m06_clip_near_dup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS h
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0),
+         |fh AS (SELECT DISTINCT asset_id, h FROM f),
+         |sizes AS (SELECT asset_id, COUNT(*) AS n FROM fh GROUP BY 1),
+         |rare AS (SELECT h FROM fh GROUP BY h HAVING COUNT(*) <= 1000),
+         |adm AS (SELECT asset_id, h FROM fh JOIN rare USING (h)),
+         |pairs AS (SELECT a.asset_id AS id_a, b.asset_id AS id_b, COUNT(*) AS n_shared
+         |          FROM adm a JOIN adm b ON a.h = b.h AND a.asset_id < b.asset_id
+         |          GROUP BY 1, 2),
+         |scored AS (SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |    CAST(floor(1000000.0 * n_shared::DOUBLE
+         |      / (sa.n + sb.n - n_shared)::DOUBLE + 0.5) AS BIGINT) AS jaccard_micro
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.asset_id = id_a
+         |  JOIN sizes sb ON sb.asset_id = id_b)
+         |SELECT id_a, id_b, n_shared, jaccard_micro
+         |FROM scored WHERE jaccard_micro >= 300000""".stripMargin,
 
     // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2);
     // keeper = lexicographic min (asset, frame index), via struct-min in both engines

@@ -149,6 +149,57 @@ object Multimodal {
         col("keep.frame_index").as("keep_frame"))
   }
 
+  /** m06 — clip-level NEAR-duplication: asset pairs whose sampled-frame hash sets
+    * overlap above a Jaccard threshold — the re-upload/watermarked-copy detector
+    * one level up from [[frameDedupDF]] (m04 reports shared FRAMES; this scores
+    * which ASSETS are mostly the same clip). Candidates come from the shared-frame
+    * equi-join, so only pairs that actually share a frame are ever scored — never
+    * assets × assets.
+    *
+    * Skew guard (`maxAssetsPerFrame` — the d04 doc-freq-cap discipline): a frame
+    * hash present in more than the cap's assets (intros, black frames, silence) is
+    * dropped from candidate generation, bounding the join's fan-out per frame at
+    * cap²; the default never binds at the bench scales, so the oracle mirror (which
+    * carries the same HAVING guard) stays equivalent to the uncapped form.
+    *
+    * Determinism: intersection/union counts are exact integers over DISTINCT
+    * (asset, frame-hash) rows; the Jaccard micro-quantizes through one division
+    * and the threshold compares the ROUNDED value, so a borderline pair cannot
+    * flip between engines.
+    */
+  def clipNearDup(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameBytes: Int,
+      stride: Int,
+      jaccardMicroMin: Long = 300000L,
+      maxAssetsPerFrame: Long = 1000L
+  ): DataFrame = {
+    val fh = frameSampleDF(df, idCol, binCol, frameBytes, stride)
+      .select(col("asset_id"), md5(col("frame")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // three consumers: sizes, the frame census, both join sides
+    val sizes = fh.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
+    val rare = fh.groupBy(col("h")).agg(count(lit(1)).as("n_assets"))
+      .filter(col("n_assets") <= maxAssetsPerFrame)
+      .select(col("h"))
+    val adm = fh.join(rare, "h")
+    val pairs = adm.select(col("h"), col("asset_id").as("id_a"))
+      .join(adm.select(col("h"), col("asset_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("asset_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("asset_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard_micro",
+        floor(lit(1000000.0) * col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double") + lit(0.5)).cast("long"))
+      .filter(col("jaccard_micro") >= jaccardMicroMin)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_micro"))
+  }
+
   case class MediaEmbedding(asset_id: Long, media_emb: Array[Double])
 
   trait MediaEmbedder extends Serializable {
