@@ -18,10 +18,9 @@ object Bench {
     "g39_sssp", "g40_lpa_communities", "g42_churn_between",
     "d02_minhash_lsh", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs", "d12_simhash_hamming", "d13_semdedup",
-    "s04_ann_ivf",
     "s07_ann_recall", "s11_ann_rerank", "s14_pq_codes", "s15_pq_search",
     "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
-    "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained",
+    "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
@@ -36,7 +35,9 @@ object Bench {
     // rotated r10, paying for s22 + s23 + t35 + the cal_max field (s22's loop
     // runs the s10 step three times; s03 shares s20's scoredLshPairs kernel;
     // g35 composes g23+g31's shapes; d04's jaccard kernel rides in d10 — all
-    // historically <2s)
+    // historically <2s); s04_ann_ivf rotated r10b, paying for s24 (s04's IVF
+    // cell kernel runs inside s16/s23/s24; s24 is the expensive new artifact
+    // round-trip at ~5s)
     "t20_unigram_logprob", "t21_bm25_top", "t35_source_drift",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
