@@ -613,16 +613,25 @@ object AnalyticsQueries {
     * top-10 is a TakeOrdered. Deterministic: date arithmetic is exact µs, ties
     * break (numwait desc, s_name asc, s_suppkey asc).
     */
-  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    waitingSuppliersOf(
+      table(spark, dir, "lineitem"),
+      table(spark, dir, "orders"),
+      table(spark, dir, "supplier"))
+
+  /** The q10 kernel over explicit relations — split out so a planted-order test
+    * can cross-validate the sole-late logic directly.
+    */
+  private[graft] def waitingSuppliersOf(
+      lineitem: DataFrame, orders: DataFrame, supplier: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val multi = li.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("nsupp"))
       .filter(col("nsupp") > 1)
       .select(col("l_orderkey"))
     val late = li
-      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -634,7 +643,7 @@ object AnalyticsQueries {
     sole.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(
-        broadcast(table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)

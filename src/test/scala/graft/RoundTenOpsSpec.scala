@@ -85,6 +85,61 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(small == large)
   }
 
+  // ------------------------------------------------- q10 waiting suppliers
+
+  test("waitingSuppliers kernel on planted orders: sole-late in multi-supplier only") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(days: Int) =
+      new java.sql.Timestamp(base.getTime + days * 86400000L)
+    // order 1: suppliers 10, 20; only 10 ships late  → 10 counts
+    // order 2: suppliers 10, 20; both ship late      → nobody counts (not sole)
+    // order 3: supplier 10 alone ships late          → not multi-supplier
+    // order 4: suppliers 20, 30; only 30 ships late  → 30 counts
+    val li = Seq(
+      (1L, 10L, plus(90)), (1L, 20L, plus(10)),
+      (2L, 10L, plus(90)), (2L, 20L, plus(95)),
+      (3L, 10L, plus(90)),
+      (4L, 20L, plus(5)), (4L, 30L, plus(70))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq((1L, base), (2L, base), (3L, base), (4L, base))
+      .toDF("o_orderkey", "o_orderdate")
+    val sup = Seq((10L, "S10"), (20L, "S20"), (30L, "S30")).toDF("s_suppkey", "s_name")
+    val got = AnalyticsQueries.waitingSuppliersOf(li, ord, sup).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("S10" -> 1L, "S30" -> 1L))
+  }
+
+  // ------------------------------------------------------ m06 clip near-dup
+
+  test("clipNearDup scores planted half-overlapping clips and drops hot frames") {
+    import spark.implicits._
+    // 64-byte frames, stride 2 samples every even frame. Clips A and B share
+    // frames 0 and 2 (identical 256-char prefix); C is unrelated.
+    val frame = "x" * 64
+    val f2 = "y" * 64
+    val shared = frame * 4                       // frames 0..3; sampled: 0, 2
+    val a = shared + f2 * 4                      // sampled: 0,2 shared + 4,6 (y)
+    val b = shared + ("z" * 64) * 4              // sampled: 0,2 shared + 4,6 (z)
+    val c = ("w" * 64) * 8
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("media"))
+    val got = graft.pipeline.Multimodal
+      .clipNearDup(df, "doc_id", "media", frameBytes = 64, stride = 2,
+        jaccardMicroMin = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A has 3 distinct sampled hashes {x, y} → wait: frames 0,2 are both "x"*64 →
+    // ONE distinct hash; 4,6 are one more. |A| = 2, |B| = 2, shared = 1 →
+    // J = 1/(2+2-1) = 1/3 → 333333 micro
+    assert(got.toSeq == Seq((1L, 2L, 1L, 333333L)))
+    // a hot-frame cap of 1 drops the shared frame → no pairs at all
+    val capped = graft.pipeline.Multimodal
+      .clipNearDup(df, "doc_id", "media", frameBytes = 64, stride = 2,
+        jaccardMicroMin = 100000L, maxAssetsPerFrame = 1L)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   // --------------------------------------------------------- g46 modularity
 
   test("modularity kernel matches direct arithmetic on a planted partition") {
