@@ -645,9 +645,11 @@ object AnalyticsQueries {
       .join(
         broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name").asc)
+      // the s_suppkey third key makes the claimed total order real even if two
+      // suppliers ever share a name; projected away after the limit
+      .orderBy(col("numwait").desc, col("s_name").asc, col("s_suppkey").asc)
       .limit(10)
+      .select(col("s_name"), col("numwait"))
   }
 
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the

@@ -850,6 +850,30 @@ object SparkEntry {
   private def bucketSql(idExpr: String): String =
     s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 10000"
 
+  /** d05's minhash-band + 3-round min-label closure chain (ends at `l3`) — shared
+    * VERBATIM by the d05/d15/d16 mirrors, so the closure all three ride on the
+    * Scala side (Dedup.dedupClusters) also has exactly one SQL rendition
+    * (reviewed r10: three hand-synced copies).
+    */
+  private lazy val dedupClusterCtes: String =
+    """hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+      |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+      |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+      |       GROUP BY doc_id, k),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+      |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+      |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+      |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+      |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+      |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+      |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+      |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+      |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+      |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)""".stripMargin
+
   /** distinct word-3-gram shingles per doc — mirror of Dedup.shingles(n=3). */
   private val shinglesCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -2000,23 +2024,7 @@ object SparkEntry {
     // reachable in <=3 hops; singletons cluster as themselves)
     "d05_dedup_clusters" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
-         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
-         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
-         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
-         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
-         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
-         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
-         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
-         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
-         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
+         |$dedupClusterCtes
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
 
     // d05's clusters + the t07 hash split applied to the CLUSTER id — the
@@ -2024,23 +2032,7 @@ object SparkEntry {
     // Dedup.clusterAwareSplit (thresholds 9000/9500 = 90/5/5 over 10k buckets)
     "d16_cluster_split" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
-         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
-         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
-         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
-         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
-         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
-         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
-         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
-         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
-         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |$dedupClusterCtes,
          |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3)
          |SELECT doc_id, cluster_id, bucket,
          |  CASE WHEN bucket < 9000 THEN 'train'
@@ -2053,23 +2045,7 @@ object SparkEntry {
     // Dedup.clusterKeepLongest
     "d15_cluster_keep" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
-         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
-         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
-         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
-         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
-         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
-         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
-         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
-         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
-         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |$dedupClusterCtes,
          |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
          |tk AS (SELECT doc_id,
          |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
@@ -2392,9 +2368,9 @@ object SparkEntry {
          |        FROM documents)
          |  WHERE i % 2 = 0),
          |fh AS (SELECT DISTINCT asset_id, h FROM f),
-         |sizes AS (SELECT asset_id, COUNT(*) AS n FROM fh GROUP BY 1),
          |rare AS (SELECT h FROM fh GROUP BY h HAVING COUNT(*) <= 1000),
          |adm AS (SELECT asset_id, h FROM fh JOIN rare USING (h)),
+         |sizes AS (SELECT asset_id, COUNT(*) AS n FROM adm GROUP BY 1),
          |pairs AS (SELECT a.asset_id AS id_a, b.asset_id AS id_b, COUNT(*) AS n_shared
          |          FROM adm a JOIN adm b ON a.h = b.h AND a.asset_id < b.asset_id
          |          GROUP BY 1, 2),
@@ -2862,9 +2838,10 @@ object SparkEntry {
         |  WHERE n_late = 1),
         |w AS (SELECT l_suppkey, COUNT(*) AS numwait
         |      FROM sole JOIN multi USING (l_orderkey) GROUP BY 1)
-        |SELECT s_name, CAST(numwait AS BIGINT) AS numwait
-        |FROM w JOIN supplier ON s_suppkey = l_suppkey
-        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+        |SELECT s_name, numwait FROM (
+        |  SELECT s_name, CAST(numwait AS BIGINT) AS numwait, s_suppkey
+        |  FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |  ORDER BY numwait DESC, s_name, s_suppkey LIMIT 10)""".stripMargin,
 
     "q09_returned_revenue" ->
       s"""SELECT c_custkey, c_name, n_name,

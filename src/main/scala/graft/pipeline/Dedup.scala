@@ -229,10 +229,7 @@ object Dedup {
       col(idCol),
       col("cluster_id"),
       b.as("bucket"),
-      when(b < trainPct * Sampling.Buckets / 100, "train")
-        .when(b < (trainPct + valPct) * Sampling.Buckets / 100, "val")
-        .otherwise("test")
-        .as("split"))
+      Sampling.splitCol(b, trainPct, valPct).as("split"))
   }
 
   /** Train/eval contamination detection — the decontamination step of a training-data
@@ -540,34 +537,52 @@ object Dedup {
       threshold: Double = 0.2,
       maxShingleDocFreq: Int = 100
   ): DataFrame = {
-    // the hashed shingle relation feeds four consumers (doc-freq agg, filter join,
-    // sizes, both sides of the candidate self-join); materialize it once instead of
-    // re-running the split+explode+distinct shuffle per consumer
     val shAll = shingles(df, idCol, textCol, shingleSize)
       .select(col(idCol),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-      .localCheckpoint(true)
-    val rare = shAll.groupBy(col("h"))
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxShingleDocFreq)
-      .select(col("h"))
-    val sh = shAll.join(rare, Seq("h")).localCheckpoint(true)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val common = sh.select(col(idCol).as("id_a"), col("h"))
-      .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    sharedItemPairCounts(shAll, idCol, maxShingleDocFreq)
       .withColumn(
         "jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
       )
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The pairwise set-overlap kernel shared by d04's shingle Jaccard and m06's
+    * clip-frame Jaccard (reviewed r10: the two had drifted into near-identical
+    * copies): from an (id, h) item relation, apply the doc-freq skew cap, self-join
+    * the ADMITTED items on h (id_a < id_b), and return intersection + BOTH set
+    * sizes — sizes measured over the SAME capped relation as the intersection, so
+    * the score downstream is the internally-consistent rare-set Jaccard (sizes
+    * from the uncapped relation would bias every score containing a hot item
+    * downward). Callers apply their own quantization/threshold.
+    *
+    * Scale shape: the item relation is checkpointed once for its four consumers
+    * (census, cap join, sizes, both self-join sides); candidates only ever come
+    * from the shared-item equi-join — never ids × ids — and the cap bounds the
+    * hottest item's fan-out at cap².
+    */
+  private[pipeline] def sharedItemPairCounts(
+      items: DataFrame,
+      idCol: String,
+      maxItemDocFreq: Long
+  ): DataFrame = {
+    val all = items.localCheckpoint(true)
+    val rare = all.groupBy(col("h"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxItemDocFreq)
+      .select(col("h"))
+    val adm = all.join(rare, Seq("h")).localCheckpoint(true)
+    val sizes = adm.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    adm.select(col(idCol).as("id_a"), col("h"))
+      .join(adm.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
   }
 
   /** Fuzzy near-dup pairs: minhash-collision candidates verified by Levenshtein edit

@@ -156,11 +156,14 @@ object Multimodal {
     * equi-join, so only pairs that actually share a frame are ever scored — never
     * assets × assets.
     *
-    * Skew guard (`maxAssetsPerFrame` — the d04 doc-freq-cap discipline): a frame
-    * hash present in more than the cap's assets (intros, black frames, silence) is
-    * dropped from candidate generation, bounding the join's fan-out per frame at
-    * cap²; the default never binds at the bench scales, so the oracle mirror (which
-    * carries the same HAVING guard) stays equivalent to the uncapped form.
+    * Skew guard (`maxAssetsPerFrame` — [[graft.pipeline.Dedup.sharedItemPairCounts]],
+    * the ONE pairwise set-overlap kernel this shares with d04): a frame hash present
+    * in more than the cap's assets (intros, black frames, silence) is dropped
+    * before the pair join, and set SIZES are measured over the same capped relation
+    * as the intersection — the internally-consistent rare-set Jaccard (reviewed
+    * r10: sizes from the uncapped relation biased every hot-frame pair downward).
+    * The default never binds at the bench scales, so the oracle mirror (same
+    * HAVING guard, same capped sizes) stays equivalent to the uncapped form.
     *
     * Determinism: intersection/union counts are exact integers over DISTINCT
     * (asset, frame-hash) rows; the Jaccard micro-quantizes through one division
@@ -179,23 +182,10 @@ object Multimodal {
     val fh = frameSampleDF(df, idCol, binCol, frameBytes, stride)
       .select(col("asset_id"), md5(col("frame")).as("h"))
       .distinct()
-      .localCheckpoint(true) // three consumers: sizes, the frame census, both join sides
-    val sizes = fh.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
-    val rare = fh.groupBy(col("h")).agg(count(lit(1)).as("n_assets"))
-      .filter(col("n_assets") <= maxAssetsPerFrame)
-      .select(col("h"))
-    val adm = fh.join(rare, "h")
-    val pairs = adm.select(col("h"), col("asset_id").as("id_a"))
-      .join(adm.select(col("h"), col("asset_id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(sizes.select(col("asset_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("asset_id").as("id_b"), col("n").as("nb")), "id_b")
+    graft.pipeline.Dedup.sharedItemPairCounts(fh, "asset_id", maxAssetsPerFrame)
       .withColumn("jaccard_micro",
         floor(lit(1000000.0) * col("n_shared").cast("double") /
-          (col("na") + col("nb") - col("n_shared")).cast("double") + lit(0.5)).cast("long"))
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double") + lit(0.5)).cast("long"))
       .filter(col("jaccard_micro") >= jaccardMicroMin)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_micro"))
   }

@@ -31,6 +31,15 @@ object Sampling {
     * `valPct`% → val, rest → test. Map-only; a document's split never changes as the
     * corpus grows.
     */
+  /** Bucket → split-name assignment — the ONE threshold chain shared by
+    * [[hashSplit]] and the cluster-aware split (d16), so the "singletons reduce
+    * exactly to t07" invariant is structural, not two hand-synced copies.
+    */
+  def splitCol(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct * Buckets / 100, "train")
+      .when(bucket < (trainPct + valPct) * Buckets / 100, "val")
+      .otherwise("test")
+
   def hashSplit(
       df: DataFrame,
       idCol: String,
@@ -42,10 +51,7 @@ object Sampling {
     df.select(
       col(idCol),
       b.as("bucket"),
-      when(b < trainPct * Buckets / 100, "train")
-        .when(b < (trainPct + valPct) * Buckets / 100, "val")
-        .otherwise("test")
-        .as("split")
+      splitCol(b, trainPct, valPct).as("split")
     )
   }
 
