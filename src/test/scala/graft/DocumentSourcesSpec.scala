@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DocumentSources
+
+/** Corpus-ingest contract: schema-enforced reads, lang/source coercion, corrupt-row
+  * quarantine, and clean-side compatibility with the operator suite (the ingested
+  * relation must be a drop-in for documents.parquet).
+  */
+class DocumentSourcesSpec extends SparkSpec {
+
+  private def write(lines: Seq[String], suffix: String): String = {
+    val dir = Files.createTempDirectory("graft-docsrc").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0000$suffix"), lines.mkString("\n"))
+    dir
+  }
+
+  test("JSONL corpus: clean rows coerce defaults, malformed and text-less quarantine") {
+    val dir = write(Seq(
+      """{"doc_id":1,"text":"the quick brown fox","lang":"en","source":"web"}""",
+      """{"doc_id":2,"text":"salta la volpe"}""", // lang/source missing → coerced
+      """{"doc_id":3,"lang":"en","source":"web"}""", // no text → quarantine
+      """{"text":"orphan text with no id"}""", // no doc_id → quarantine
+      """not json at all"""
+    ), ".jsonl")
+    val (docs, corrupt) = DocumentSources.readJsonlDocs(spark, dir)
+    val rows = docs.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == (("the quick brown fox", "en", "web", 19L)))
+    assert(rows(2L) == (("salta la volpe", "und", "unknown", 14L)))
+    assert(corrupt.count() == 3, corrupt.collect().mkString("|"))
+  }
+
+  test("CSV corpus dump: header + schema enforced, same split") {
+    val dir = write(Seq(
+      "doc_id,text,lang,source",
+      "1,hello world,en,web",
+      "2,bonjour monde,fr,books",
+      "x,not-a-number,en,web"
+    ), ".csv")
+    val (docs, corrupt) = DocumentSources.readCsvDocs(spark, dir)
+    assert(docs.count() == 2)
+    assert(corrupt.count() == 1)
+  }
+
+  test("the ingested relation is a drop-in for the operator suite") {
+    val dir = write(Seq(
+      """{"doc_id":1,"text":"alpha beta gamma alpha","lang":"en","source":"web"}""",
+      """{"doc_id":2,"text":"alpha beta gamma alpha","lang":"en","source":"web"}""",
+      """{"doc_id":3,"text":"delta epsilon zeta eta theta","lang":"en","source":"books"}"""
+    ), ".jsonl")
+    val (docs, _) = DocumentSources.readJsonlDocs(spark, dir)
+    // text ops run unchanged on the ingested schema
+    val q = graft.pipeline.TextStats.qualityScore(docs, "doc_id", "text").collect()
+    assert(q.length == 3)
+    // and the dedup family finds the planted exact pair (docs 1 and 2 share text)
+    val dups = graft.pipeline.Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1 && dups.head.getAs[Long]("keep_id") == 1L &&
+      dups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("streaming JSONL corpus: one source, clean and quarantine streams") {
+    val dir = write(Seq(
+      """{"doc_id":1,"text":"streaming corpus line","lang":"en","source":"web"}""",
+      """{"doc_id":2,"text":"another clean line"}""",
+      """garbage"""
+    ), ".jsonl")
+    val (docs, corrupt) = DocumentSources.streamJsonlDocs(spark, dir)
+    val q1 = docs.writeStream.format("memory").queryName("docsrc_clean").start()
+    val q2 = corrupt.writeStream.format("memory").queryName("docsrc_bad").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.sql("SELECT * FROM docsrc_clean").count() == 2)
+      assert(spark.sql("SELECT * FROM docsrc_bad").count() == 1)
+    } finally { q1.stop(); q2.stop() }
+  }
+}
