@@ -85,4 +85,24 @@ object DocumentSources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path))
+
+  /** The write-back sink closing the ingest → curate → persist loop: a curated
+    * documents relation lands as parquet partitioned by `source` (per-source reads
+    * — mixing weights, drift baselines, source caps — prune directories), RANGE
+    * partitioned then sorted on (source, doc_id) so every file covers one
+    * contiguous id band per source and point lookups / the d16 split's id-band
+    * reads prune files and row groups via footer min/max — the
+    * [[graft.store.EdgeStorage]] layout discipline applied to the corpus (a HASH
+    * salt here would interleave ids across files and make every footer span the
+    * whole id range). `numFiles` = total range partitions ≈ output files; at
+    * 100 TB pick it so files land at 128–512 MB.
+    */
+  def saveCorpus(docs: DataFrame, path: String, numFiles: Int = 32): Unit =
+    docs
+      .repartitionByRange(numFiles, col("source"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("source")
+      .parquet(path)
 }

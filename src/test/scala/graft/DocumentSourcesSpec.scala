@@ -64,6 +64,24 @@ class DocumentSourcesSpec extends SparkSpec {
       dups.head.getAs[Long]("n_copies") == 2L)
   }
 
+  test("saveCorpus: source-partitioned dirs, doc_id-sorted files, round-trip intact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft-corpus-sink").toString + "/corpus"
+    graft.sources.DocumentSources.saveCorpus(docs, out, numFiles = 8)
+    // per-source directory partitioning (the mixing/caps/drift read unit)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("source=")), dirs.mkString(","))
+    // round trip loses nothing
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // in-file doc_id sort → footer min/max ranges are disjoint-ish per file: a
+    // point read decodes less than the whole corpus (row-group stats pruning)
+    val stats = graft.pipeline.Layout.parquetColumnStats(spark, out, "doc_id")
+    val perFile = stats.groupBy(_._1).map { case (_, g) => (g.map(_._3).min, g.map(_._4).max) }
+    assert(perFile.exists { case (mn, mx) => mx - mn < docs.count() - 1 },
+      s"no file covers a narrow id range — the in-file sort bought nothing: $perFile")
+  }
+
   test("streaming JSONL corpus: one source, clean and quarantine streams") {
     val dir = write(Seq(
       """{"doc_id":1,"text":"streaming corpus line","lang":"en","source":"web"}""",
