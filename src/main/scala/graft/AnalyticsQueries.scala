@@ -652,6 +652,72 @@ object AnalyticsQueries {
       .select(col("s_name"), col("numwait"))
   }
 
+  /** q11 — the TPC-H Q17 small-quantity-order shape: revenue from lineitems of one
+    * brand's parts whose quantity sits below 20% of that PART's average quantity —
+    * the correlated-scalar-subquery plan, decorrelated into its scalable form: one
+    * per-part (count, quantity-sum) aggregate equi-joined back onto the brand's
+    * lineitems. The fractional-average comparison is EXACT integer
+    * cross-multiplication — `qty < sum/cnt/5 ⟺ 5·qty·cnt < sum` with quantities
+    * cast to exact longs — so no float average can disagree between engines.
+    *
+    * Scale shape: the brand's part keys broadcast onto the fact scan; the per-part
+    * stats relation is brand-parts-sized and equi-joins back (AQE broadcasts it
+    * when it fits); one final scalar agg.
+    */
+  def smallQuantityRevenue(
+      spark: SparkSession,
+      dir: String,
+      brand: String = "Brand#1"
+  ): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(
+      col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    val brandParts = broadcast(
+      table(spark, dir, "part").filter(col("p_brand") === brand).select(col("p_partkey")))
+    val f = li.join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("qty"), col("price_cents"))
+      .localCheckpoint(true) // two consumers: the per-part stats and the row filter
+    val stats = f.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sumq"))
+    f.join(stats, "l_partkey")
+      .filter(lit(5L) * col("qty") * col("cnt") < col("sumq"))
+      .agg(
+        sum(col("price_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q12 — the TPC-H Q22 idle-rich-customer shape: customers whose balance exceeds
+    * the average POSITIVE balance and who placed no order in the trailing 30 days
+    * of the order history, rolled up per market segment — the
+    * scalar-subquery-threshold + NOT EXISTS plan: both scalars (the balance
+    * threshold and the history horizon) ride in as one broadcast row each, the
+    * threshold compares by exact integer cross-multiplication
+    * (`bal > sum/cnt ⟺ bal·cnt > sum` in cents), and the no-recent-order
+    * predicate is a left-anti join against the distinct recently-active keys.
+    * (Q22's literal "never ordered" test is vacuous on this synthetic data —
+    * every customer has orders — so the recency window carries the same plan
+    * shape with a non-degenerate answer.)
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal_cents"))
+      .localCheckpoint(true) // two consumers: the threshold agg and the main scan
+    val thr = cust.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("cnt_pos"), sum(col("bal_cents")).as("sum_pos"))
+    val orders = table(spark, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+    val horizon = orders.agg(max(col("o_orderdate")).as("max_date"))
+    val recent = orders.crossJoin(broadcast(horizon))
+      .filter(col("o_orderdate") > col("max_date") - expr("INTERVAL 30 DAYS"))
+      .select(col("o_custkey"))
+      .distinct()
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("cnt_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_cents"))
+  }
+
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
     * seconds between a user's consecutive events, attributed to the LATER event's
     * type — the quantile evidence behind ev2's sessionization gap parameter (a

@@ -586,6 +586,9 @@ object SparkEntry {
     "g46_modularity" -> ((s: SparkSession, dir: String) =>
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
+    "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.smallQuantityRevenue(s, d)),
+    "q12_idle_rich_customers" -> (AnalyticsQueries.idleRichCustomers _),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -2824,6 +2827,42 @@ object SparkEntry {
 
     // Q10-style returned-item revenue per customer, top-20 by lost bp — mirror of
     // AnalyticsQueries.returnedRevenue
+    // Q17 small-quantity shape: the correlated avg decorrelated to per-part stats,
+    // the 20%-of-average compare as exact integer cross-multiplication — mirror of
+    // AnalyticsQueries.smallQuantityRevenue('Brand#1')
+    "q11_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        |            FROM lineitem),
+        |bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |f AS (SELECT li.* FROM li JOIN bp ON p_partkey = l_partkey),
+        |st AS (SELECT l_partkey, COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS sumq
+        |       FROM f GROUP BY 1)
+        |SELECT CAST(SUM(price_cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
+        |FROM f JOIN st USING (l_partkey)
+        |WHERE 5 * qty * cnt < sumq""".stripMargin,
+
+    // Q22 idle-rich shape: scalar positive-average threshold (exact cents
+    // cross-multiplication) + no-RECENT-order NOT EXISTS as anti-join — mirror of
+    // AnalyticsQueries.idleRichCustomers (the literal never-ordered test is
+    // vacuous on this data; the 30-day recency window keeps the plan shape with a
+    // non-degenerate answer)
+    "q12_idle_rich_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |           FROM customer),
+        |thr AS (SELECT COUNT(*) AS cnt_pos, CAST(SUM(bal_cents) AS BIGINT) AS sum_pos
+        |        FROM c WHERE bal_cents > 0),
+        |rich AS (SELECT c.* FROM c, thr WHERE bal_cents * cnt_pos > sum_pos),
+        |mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders, mx
+        |           WHERE o_orderdate > max_date - INTERVAL 30 DAY),
+        |idle AS (SELECT rich.* FROM rich
+        |         WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = rich.c_custkey))
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        |FROM idle GROUP BY 1""".stripMargin,
+
     // Q21 "waiting suppliers" shape: sole late shipper in multi-supplier orders,
     // the exists/not-exists composition in count form — mirror of
     // AnalyticsQueries.waitingSuppliers
