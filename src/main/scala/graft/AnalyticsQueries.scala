@@ -718,6 +718,26 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_cents"))
   }
 
+  /** q13 — the TPC-H Q13 customer-distribution shape: how many customers placed
+    * exactly k orders, INCLUDING k = 0 — the left-outer-join + double-aggregation
+    * plan (per-customer order counts with absent customers kept as zero, then the
+    * count-of-counts histogram). The zero-order band is precisely what an inner
+    * join silently loses; on this engine it is also the q12 idle set's superset.
+    *
+    * Scale shape: one equi-join per-customer count (map-side combinable), then a
+    * histogram over the count domain — the second agg's input is customer-sized
+    * and its output is the tiny distinct-count domain.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = table(spark, dir, "customer").select(col("c_custkey"))
+      .join(table(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+    perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
     * seconds between a user's consecutive events, attributed to the LATER event's
     * type — the quantile evidence behind ev2's sessionization gap parameter (a

@@ -589,6 +589,7 @@ object SparkEntry {
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
     "q12_idle_rich_customers" -> (AnalyticsQueries.idleRichCustomers _),
+    "q13_custdist" -> (AnalyticsQueries.customerOrderDistribution _),
     "t33_pmi_pairs" -> ((s: SparkSession, dir: String) =>
       TextStats.pmiPairs(s.read.parquet(s"$dir/documents.parquet"), "text",
         minCount = PmiMinCount, k = PmiK)),
@@ -2862,6 +2863,16 @@ object SparkEntry {
         |SELECT c_mktsegment, COUNT(*) AS n_customers,
         |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
         |FROM idle GROUP BY 1""".stripMargin,
+
+    // Q13 custdist shape: left-outer per-customer order counts (zero band kept),
+    // then the count-of-counts histogram — mirror of
+    // AnalyticsQueries.customerOrderDistribution
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_custkey) AS n_orders
+        |            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |            GROUP BY 1)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders, COUNT(*) AS n_customers
+        |FROM pc GROUP BY 1""".stripMargin,
 
     // Q21 "waiting suppliers" shape: sole late shipper in multi-supplier orders,
     // the exists/not-exists composition in count form — mirror of
