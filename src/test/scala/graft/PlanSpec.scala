@@ -648,6 +648,31 @@ class PlanSpec extends SparkSpec {
       s"the term pass must reuse the count checkpoint, not re-read the corpus:\n$p")
   }
 
+  test("q10-q13 TPC-H shapes keep their scalable join forms") {
+    // q10: anti/exists composition in count form — no correlated self-join, the
+    // supplier dimension broadcasts
+    val p10 = plan(AnalyticsQueries.waitingSuppliers(spark, dir))
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+    // q11: the decorrelated per-part stats equi-join BOTH reads the one brand-rows
+    // checkpoint — no correlated re-scan of the fact table (the brand filter join
+    // sits below the checkpoint; the stats side stays AQE-decided because one
+    // brand's stats can outgrow a broadcast at 1e9 parts)
+    val p11 = plan(AnalyticsQueries.smallQuantityRevenue(spark, dir))
+    assert(!p11.contains("FileScan"),
+      s"the filter side must reuse the brand-rows checkpoint, not re-scan lineitem:\n$p11")
+    assert(!p11.contains("CartesianProduct"), p11)
+    // q12: the no-recent-order predicate must be a LEFT ANTI join; both scalar
+    // rows ride broadcast
+    val p12 = plan(AnalyticsQueries.idleRichCustomers(spark, dir))
+    assert(p12.contains("LeftAnti"), s"NOT EXISTS must compile to an anti-join:\n$p12")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllMatchIn(p12).size == 2,
+      s"exactly the two single-row scalars may cross in:\n$p12")
+    // q13: the zero-order band requires the OUTER join to survive optimization
+    val p13 = plan(AnalyticsQueries.customerOrderDistribution(spark, dir))
+    assert(p13.contains("LeftOuter"), s"inner-joining loses the zero-order band:\n$p13")
+  }
+
   test("gap quantiles: windows stay per-user / per-type — never event-count-global") {
     val p = plan(AnalyticsQueries.gapQuantiles(spark, dir))
     // the lag runs per user partition; the quantile windows run over the
