@@ -4,7 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench emission contract the driver depends on: the JSON line must survive the
   * driver's ~2000-char output-tail capture (head-truncation made r1–r4's numbers
-  * unparseable). Pure string checks — no Spark session.
+  * unparseable), and — since r11 — the end-of-run outlier re-run must catch the
+  * sub-cadence contamination pattern that r10 proved cal_max alone cannot see.
+  * Pure string/logic checks — no Spark session.
   */
 class BenchContractSpec extends AnyFunSuite {
 
@@ -17,12 +19,16 @@ class BenchContractSpec extends AnyFunSuite {
   test("worst-case headline JSON stays well inside the driver's captured tail") {
     // the REAL line constructor with every value at its widest realistic formatting
     // (4 integer digits + 3 decimals); failures list empty — a failure replaces a
-    // success entry at comparable width and failures are a bug anyway
+    // success entry at comparable width and failures are a bug anyway. reran at its
+    // widest: EVERY headline query flagged, so the cap + "+N" marker must hold the
+    // line. The overflow marker renders the count, so the worst case is the cap's
+    // longest names plus the widest count.
     val line = Bench.renderLine(
       total = 99999.999, cal = 9999.999, calEnd = 9999.999, calMax = 9999.999,
       n = SparkEntry.queries.size,
       secByName = Bench.headline.map(_ -> 9999.999).toMap,
-      failed = Nil, sfDir = "/root/testdata/sf0.1")
+      failed = Nil, reran = Bench.headline.sortBy(-_.length),
+      sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1700,
       s"worst-case bench line is ${line.length} chars (cap 1700 for tail-capture " +
         "headroom) — rotate fast queries out of Bench.headline before adding more")
@@ -36,7 +42,7 @@ class BenchContractSpec extends AnyFunSuite {
     // workload is re-timed after the last query as "cal_end": a comparison rejects
     // runs where either sample reads contended.
     val line = Bench.renderLine(10.0, 1.234, 2.345, 3.456, 2,
-      Map("q01_pricing_summary" -> 5.0), Nil, "/root/testdata/sf0.1")
+      Map("q01_pricing_summary" -> 5.0), Nil, Nil, "/root/testdata/sf0.1")
     assert(line.contains("\"cal\":1.234"), line)
     assert(line.contains("\"cal_end\":2.345"), line)
     assert(line.indexOf("\"cal\":") < line.indexOf("\"queries\":") &&
@@ -49,13 +55,92 @@ class BenchContractSpec extends AnyFunSuite {
     // window that inflated ten queries 2-6x — the third consecutive driver bench
     // invalidated by contention the bracket could not see. cal_max folds in the
     // micro-calibrations interleaved every ~15 queries (scaled to full-cal units),
-    // so a contaminated run self-identifies from the JSON line alone.
+    // so a contaminated run self-identifies from the JSON line alone — when the
+    // window spans a sample point; shorter windows are the re-run's job (below).
     val line = Bench.renderLine(10.0, 0.988, 1.019, 4.321, 2,
-      Map("q01_pricing_summary" -> 5.0), Nil, "/root/testdata/sf0.1")
+      Map("q01_pricing_summary" -> 5.0), Nil, Nil, "/root/testdata/sf0.1")
     assert(line.contains("\"cal_max\":4.321"), line)
     assert(line.indexOf("\"cal_max\":") < line.indexOf("\"queries\":"),
       "cal_max must sit in the fixed head of the line, before the variable-width map")
     assert(Bench.microCalEvery > 0 && Bench.microCalEvery <= 20,
       "interleave cadence must actually sample inside a ~160-query run")
+  }
+
+  test("the line carries the reran list, capped with an overflow marker") {
+    val line = Bench.renderLine(10.0, 0.8, 0.8, 1.1, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil,
+      Seq("a_q", "b_q", "c_q", "d_q", "e_q", "f_q"), "/root/testdata/sf0.1")
+    assert(line.contains("\"reran\":[\"a_q\",\"b_q\",\"c_q\",\"d_q\",\"+2\"]"), line)
+    val clean = Bench.renderLine(10.0, 0.8, 0.8, 1.1, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil, Nil, "/root/testdata/sf0.1")
+    assert(clean.contains("\"reran\":[]"), clean)
+  }
+
+  test("benchHistory reads the committed BENCH_r*.json lines from the repo root") {
+    // the bench runs with cwd = repo root, where the driver commits each round's
+    // line; this test reads the REAL files so a format drift in what the driver
+    // writes breaks loudly here, not silently in flagOutliers
+    val hist = Bench.benchHistory(new java.io.File("."), SparkEntry.queries.keySet)
+    assert(hist.nonEmpty, "no BENCH_r*.json history parsed from the repo root")
+    // s17 has been in the headline since r7 — multiple rounds of history expected
+    assert(hist.get("s17_hybrid_rrf").exists(_.size >= 2), hist.get("s17_hybrid_rrf").toString)
+    // metric/cal/total fields must NOT leak in as phantom queries
+    assert(!hist.contains("cal") && !hist.contains("value") && !hist.contains("total"))
+  }
+
+  test("the r10 contamination pattern is flagged and corrected by the end-of-run re-run") {
+    // The literal BENCH_r10 failure: cal_max 1.395 read under the ~2 reject line,
+    // yet these six queries were 2.5-4x their clean cost (judge idle numbers in
+    // VERDICT r10). History here is the REAL committed BENCH_r*.json series —
+    // the exact data the production path consults.
+    val hist = Bench.benchHistory(new java.io.File("."), SparkEntry.queries.keySet)
+    val r10 = Map(
+      "s17_hybrid_rrf" -> 19.862, "s18_hybrid_rrf_capped" -> 15.291,
+      "g20_metadata_registers" -> 11.804, "t25_bpe_encode" -> 6.398,
+      "s11_ann_rerank" -> 3.772,
+      // controls that must NOT be flagged (clean in r10 and near history)
+      "g17_pagerank" -> 1.294, "d05_dedup_clusters" -> 3.227, "s15_pq_search" -> 1.367)
+    val flagged = Bench.flagOutliers(r10, hist, runMedian = 1.2)
+    val mustFlag = Seq("s17_hybrid_rrf", "s18_hybrid_rrf_capped", "g20_metadata_registers", "t25_bpe_encode")
+    mustFlag.foreach(q => assert(flagged.contains(q), s"$q not flagged; flagged=$flagged hist=${hist.get(q)}"))
+    Seq("g17_pagerank", "d05_dedup_clusters", "s15_pq_search").foreach(q =>
+      assert(!flagged.contains(q), s"control $q wrongly flagged (hist ${hist.get(q)})"))
+    // ...and the correction: a fake "idle box" re-runner returning the judge's
+    // clean measurements collapses the inflated entries to clean min-of-two
+    val idle = Map("s17_hybrid_rrf" -> 5.34, "s18_hybrid_rrf_capped" -> 3.75,
+      "g20_metadata_registers" -> 3.00, "t25_bpe_encode" -> 2.39, "s11_ann_rerank" -> 0.82)
+    val (corrected, reran) = Bench.rerunOutliers(flagged, r10, n => idle.get(n))
+    mustFlag.foreach { q =>
+      assert(corrected(q) == idle(q), s"$q not corrected: ${corrected(q)}")
+      assert(reran.contains(q))
+    }
+    assert(corrected("g17_pagerank") == 1.294, "untouched query must keep its first-run time")
+  }
+
+  test("a query new this round (no history) earns a confirming re-run only when far above the run median") {
+    // r10's s23/s24 were new AND inflated — unadjudicable without a manual re-run.
+    // The no-history rule buys each expensive new query one confirming re-run in
+    // its first round; a genuinely slow one stays slow on the re-run (min is a
+    // no-op) and has history from then on.
+    // an empty history stands in for "first round this query exists"; headline
+    // names because only headline queries are re-run candidates
+    val sec = Map("s23_ivf_pq_trained" -> 11.4, "g17_pagerank" -> 1.0)
+    val flagged = Bench.flagOutliers(sec, hist = Map.empty, runMedian = 1.2)
+    assert(flagged == Seq("s23_ivf_pq_trained"), flagged)
+    // genuinely-slow confirmation: re-run returns a similar time, min keeps it slow
+    val (corrected, _) = Bench.rerunOutliers(flagged, sec, _ => Some(11.1))
+    assert(corrected("s23_ivf_pq_trained") == 11.1)
+  }
+
+  test("the re-run volume is capped and ranked worst-inflation-first") {
+    // a globally-contaminated run (which cal/cal_end already reject) must not
+    // double the run through re-runs
+    val hist = Bench.headline.map(_ -> Seq(1.0)).toMap
+    val sec = Bench.headline.zipWithIndex.map { case (n, i) => n -> (3.0 + i) }.toMap
+    val flagged = Bench.flagOutliers(sec, hist, runMedian = 1.0)
+    assert(flagged.size == 12, s"cap must bind: ${flagged.size}")
+    // worst inflation = largest seconds here; the cap must keep those
+    val worst = sec.toSeq.sortBy(-_._2).take(12).map(_._1).toSet
+    assert(flagged.toSet == worst)
   }
 }
