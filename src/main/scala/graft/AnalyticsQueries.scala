@@ -812,6 +812,14 @@ object AnalyticsQueries {
       numParts: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the three scratch columns are reserved: a caller relation already carrying
+    // one would silently corrupt the census join and lose its column to the final
+    // drop — fail loudly instead (the helper is meant to be reused by future
+    // extreme-cardinality rank sites)
+    val reserved = Seq("__pid", "__lrk", "__off")
+    val clash = df.columns.filter(c => reserved.contains(c) || c == rankName)
+    require(clash.isEmpty,
+      s"distributedRank: input already carries reserved/output column(s) ${clash.mkString(", ")}")
     val sp = df.sparkSession
     import sp.implicits._
     // numParts <= 0 → the session's shuffle parallelism: the extreme-cardinality

@@ -79,10 +79,12 @@ object Dedup {
     * is DROPPED before the self-join. With rowsPerBand = 1 a band signature is a
     * single minhash value, so one boilerplate clump — the normal case in web corpora,
     * and exactly what d07 exists to find — lands thousands of documents in one cell
-    * and the self-join goes quadratic in its membership. Those pairs are precisely
-    * the ones the remaining bands (and the exact operators d01/d03) still find, so
-    * dropping the hot cell bounds every task at cap² comparisons without losing the
-    * clump. The default never binds at the bench scale factors (largest observed cell
+    * and the self-join goes quadratic in its membership. Recall for an over-cap
+    * clump falls to the EXACT operators (d01/d03) by design: a byte-identical clump
+    * collides into the same over-cap cell in EVERY band (RoundTenOpsSpec proves all
+    * intra-clump LSH pairs vanish), so the cap trades that clump's fuzzy pairs for
+    * bounded tasks — cap² comparisons max — and exact dedup still removes the
+    * copies. The default never binds at the bench scale factors (largest observed cell
     * ≪ 10⁴), so the DuckDB oracle mirrors of d02/d05/d08/d15 — which all ride this
     * kernel — stay capless-equivalent; production sets it to the per-task budget.
     */
