@@ -96,6 +96,12 @@ object DocumentSources {
     * salt here would interleave ids across files and make every footer span the
     * whole id range). `numFiles` = total range partitions ≈ output files; at
     * 100 TB pick it so files land at 128–512 MB.
+    *
+    * Measured (DocumentSourcesSpec "d16 access pattern", sf0.1, 16 KB row groups):
+    * a one-source id-band read decodes 100 of 5 000 corpus rows — 20× from
+    * directory pruning (250 rows planned) and a further 2.5× from footer min/max
+    * row-group skipping (decoded ≤ footer-admitted asserted, per-source file
+    * bands asserted pairwise disjoint).
     */
   def saveCorpus(docs: DataFrame, path: String, numFiles: Int = 32): Unit =
     docs
