@@ -51,6 +51,7 @@ object Bench {
     "m01_media_features", "o02_hilbert", "g43_salsa", "d14_dup_spans",
     "t33_pmi_pairs", "sk09_moments", "g46_modularity",
     "s21_mmr_rerank", "d15_cluster_keep",
+    "dc01_domain_stats", "dc03_corpus_churn", "s25_ivf_assign_new",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

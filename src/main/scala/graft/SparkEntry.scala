@@ -158,6 +158,14 @@ object SparkEntry {
     */
   private[graft] val DriftBuckets = 1024
 
+  /** dc02's pinned per-source quality-cap budget. */
+  private[graft] val QualityCapK = 10
+
+  /** s25's pinned arrival split: vec_id % mod == 0 are the vectors that "arrived
+    * after training"; the rest train the codebook.
+    */
+  private[graft] val AssignNewMod = 5
+
   /** s22/s23's pinned k-means training schedule, shared by registration and oracle:
     * s22 trains the s10 model three rounds; s23's coarse quantizer trains two (the
     * oracle unrolls the rounds as chained CTEs, so the count prices the SQL too).
@@ -315,6 +323,17 @@ object SparkEntry {
         shingleSize = 3, minDocFreq = 25)),
     "d08_curation_funnel" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.funnel(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // --- domain-level curation surface (the C4/RefinedWeb triage discipline) ---
+    "dc01_domain_stats" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.domainStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source")),
+    "dc02_quality_cap" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.qualityCap(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source", k = QualityCapK)),
+    "dc03_corpus_churn" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.corpusChurn(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        cutId = SourceDriftCut)),
     "d09_containment" -> ((s: SparkSession, dir: String) =>
       Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, threshold = 0.3)),
@@ -460,6 +479,22 @@ object SparkEntry {
         val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
         Similarity.ivfPqWithModel(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
           k = 5, model = model)
+      } finally deleteRecursively(scratch)
+    }),
+    // the maintenance half of the s24 loop: train on the pre-cut corpus, persist,
+    // reload, and census the POST-cut arrivals against the frozen codebook — the
+    // per-cell growth table retrainTrigger reads on the incremental-ingest cadence
+    "s25_ivf_assign_new" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-assign")
+      try {
+        val path = scratch.toString + "/centroids"
+        Similarity.saveCentroids(
+          Similarity.kmeansRounds(e.filter(col("vec_id") % AssignNewMod =!= 0),
+            "vec_id", "embedding", k = 8, dims = 64, rounds = IvfPqTrainRounds), path)
+        val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
+        Similarity.ivfAssignNew(
+          e.filter(col("vec_id") % AssignNewMod === 0), "vec_id", "embedding", model)
       } finally deleteRecursively(scratch)
     }),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
@@ -2031,6 +2066,92 @@ object SparkEntry {
          |$dedupClusterCtes
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
 
+    // per-source triage table: doc/token counts + corpus token share, d05 dup rate
+    // (non-keeper members under the min-id convention), mean per-row-micro-quantized
+    // t02 quality — mirror of Curation.domainStats
+    "dc01_domain_stats" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source, n_toks,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS quality_micro
+         |  FROM pd0),
+         |g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN cl.cluster_id <> pd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |    CAST(SUM(quality_micro) AS BIGINT) AS q_sum
+         |  FROM pd JOIN cl ON cl.doc_id = pd.doc_id GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM g)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(floor(1000000.0 * CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) + 0.5) AS BIGINT) AS token_share_micro,
+         |  n_dup_docs,
+         |  CAST(floor(1000000.0 * CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS dup_rate_micro,
+         |  CAST(floor(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS mean_quality_micro
+         |FROM g, tot""".stripMargin,
+
+    // cap-the-domain-keep-its-best: top-k per source by micro quality, id tie-break
+    // — mirror of Curation.qualityCap (KthSmallest threshold + bounded window ≡ the
+    // plain DESC window because (quality, id) is unique per source)
+    "dc02_quality_cap" ->
+      s"""WITH pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS quality_micro
+         |  FROM pd0)
+         |SELECT doc_id, source, quality_micro, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT doc_id, source, quality_micro,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality_micro DESC, doc_id) AS rk
+         |  FROM pd)
+         |WHERE rk <= $QualityCapK""".stripMargin,
+
+    // snapshot churn: per-source early/late doc counts + share deltas + status,
+    // joined with t35's vocabulary KL — mirror of Curation.corpusChurn
+    "dc03_corpus_churn" ->
+      s"""WITH toks AS (SELECT source, doc_id < $SourceDriftCut AS early,
+         |                     unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (SELECT source, token,
+         |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS cq,
+         |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cp
+         |  FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+         |               COUNT(*) AS vocab
+         |        FROM counts GROUP BY 1),
+         |term AS (SELECT source,
+         |    CAST(floor(1000000.0 * ((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |      * ln(((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |           / ((cq + 1)::DOUBLE / (nq + vocab)::DOUBLE)) + 0.5) AS BIGINT) AS term_micro
+         |  FROM counts JOIN tot USING (source)),
+         |kl AS (SELECT source, CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
+         |       FROM term GROUP BY source),
+         |dc AS (SELECT source,
+         |    CAST(SUM(CASE WHEN doc_id < $SourceDriftCut THEN 1 ELSE 0 END) AS BIGINT) AS docs_early,
+         |    CAST(SUM(CASE WHEN doc_id < $SourceDriftCut THEN 0 ELSE 1 END) AS BIGINT) AS docs_late
+         |  FROM documents GROUP BY 1),
+         |dtot AS (SELECT CAST(SUM(docs_early) AS BIGINT) AS tot_early,
+         |                CAST(SUM(docs_late) AS BIGINT) AS tot_late FROM dc),
+         |shr AS (SELECT source, docs_early, docs_late,
+         |    CASE WHEN tot_early = 0 THEN 0
+         |         ELSE CAST(floor(1000000.0 * CAST(docs_early AS DOUBLE) / CAST(tot_early AS DOUBLE) + 0.5) AS BIGINT) END AS share_early_micro,
+         |    CASE WHEN tot_late = 0 THEN 0
+         |         ELSE CAST(floor(1000000.0 * CAST(docs_late AS DOUBLE) / CAST(tot_late AS DOUBLE) + 0.5) AS BIGINT) END AS share_late_micro
+         |  FROM dc, dtot)
+         |SELECT shr.source, docs_early, docs_late, share_early_micro, share_late_micro,
+         |  share_late_micro - share_early_micro AS delta_share_micro,
+         |  CASE WHEN docs_early = 0 AND docs_late > 0 THEN 'appeared'
+         |       WHEN docs_late = 0 AND docs_early > 0 THEN 'vanished'
+         |       WHEN share_late_micro > share_early_micro THEN 'grew'
+         |       WHEN share_late_micro < share_early_micro THEN 'shrunk'
+         |       ELSE 'flat' END AS status,
+         |  kl.kl_micro_nats
+         |FROM shr LEFT JOIN kl USING (source)""".stripMargin,
+
     // d05's clusters + the t07 hash split applied to the CLUSTER id — the
     // leakage-safe split where near-dups never straddle train/eval; mirror of
     // Dedup.clusterAwareSplit (thresholds 9000/9500 = 90/5/5 over 10k buckets)
@@ -3393,6 +3514,36 @@ object SparkEntry {
     // reproduce the in-session result to the hash
     "s23_ivf_pq_trained" -> ivfPqTrainedSql,
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+
+    // mirror of Similarity.ivfAssignNew over the AssignNewMod split: the codebook
+    // trains on the pre-cut corpus (kmeansCtes over tr — same unrolled-rounds
+    // discipline as s22-s24), the post-cut arrivals assign by rounded-cosine argmax
+    // (cluster-asc tie-break), and the per-cell census left-joins so starved cells
+    // report n_new = 0
+    "s25_ivf_assign_new" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tr AS (SELECT vec_id, v FROM base WHERE vec_id % $AssignNewMod <> 0),
+         |${kmeansCtes("tr", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv,
+         |                 CAST(n_members AS BIGINT) AS n_trained FROM c$IvfPqTrainRounds),
+         |nw AS (SELECT vec_id, v FROM base
+         |       WHERE vec_id % $AssignNewMod = 0 AND list_dot_product(v, v) > 0),
+         |sc AS (SELECT nw.vec_id, cents.cluster, ${cosSql("nw.v", "cents.cv")} AS cos
+         |       FROM nw, cents),
+         |asg AS (SELECT vec_id, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk
+         |    FROM sc)
+         |  WHERE rk = 1),
+         |nc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_new FROM asg GROUP BY 1),
+         |ntot AS (SELECT CAST(SUM(n_new) AS BIGINT) AS tot_new FROM nc)
+         |SELECT cents.cluster, cents.n_trained,
+         |  CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(floor(1000000.0 * CAST(COALESCE(nc.n_new, 0) AS DOUBLE)
+         |    / CAST(cents.n_trained AS DOUBLE) + 0.5) AS BIGINT) AS growth_micro,
+         |  CASE WHEN COALESCE(ntot.tot_new, 0) = 0 THEN 0
+         |       ELSE CAST(floor(1000000.0 * CAST(COALESCE(nc.n_new, 0) AS DOUBLE)
+         |         / CAST(ntot.tot_new AS DOUBLE) + 0.5) AS BIGINT) END AS share_new_micro
+         |FROM cents LEFT JOIN nc ON nc.cluster = cents.cluster, ntot""".stripMargin,
 
     // IVF-PQ: cell pruning bounds the candidates, the integer-µ ADC LUT scores them,
     // exact cosine reranks the shortlist — mirror of Similarity.ivfPqTopK, composing

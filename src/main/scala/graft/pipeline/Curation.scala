@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation composition — the funnel a real training-data run reports:
@@ -41,5 +41,147 @@ object Curation {
     stage("00_total", all)
       .unionByName(stage("01_quality", s2))
       .unionByName(stage("02_dedup_keeper", s3))
+  }
+
+  /** dc01 — the per-source triage table a curation run actually reads (the
+    * C4/RefinedWeb domain-stats discipline): doc count, token count and corpus
+    * token SHARE, near-dup rate (from the d05 clusters: a doc is a dup iff it is
+    * a non-keeper member, `cluster_id ≠ doc_id` under the min-id keeper
+    * convention), and mean t02 quality — one row per source, everything a
+    * "which domains are bloating/polluting the mix" decision needs in one
+    * relation.
+    *
+    * Determinism: every aggregate is an exact-integer SUM (quality is
+    * per-row micro-quantized via [[TextStats.qualityMicro]] BEFORE summing);
+    * shares/rates/means are single final divisions of exact integers, floor(+0.5)
+    * micro-quantized.
+    *
+    * Scale shape: one map pass computes per-doc tokens + quality (codegen'd
+    * occurrence counts, no explode); the dup flag arrives by doc-id equi-join from
+    * d05's capped-LSH clusters; then ONE map-side-combinable groupBy(source) and a
+    * 1-row broadcast total for the share — the corpus is never rescanned.
+    */
+  def domainStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val t = col(textCol)
+    val perDoc = Scans.fanOut(df).select(
+      col(idCol),
+      col(sourceCol).as("source"),
+      TextStats.tokenCount(t).cast("long").as("n_toks"),
+      TextStats.qualityMicro(t).as("quality_micro"))
+    val clusters =
+      Dedup.dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
+    val bySrc = perDoc.join(clusters, idCol)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("cluster_id") =!= col(idCol), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("quality_micro")).as("q_sum"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot_tokens"))
+    bySrc.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      floor(lit(1000000.0) * col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+        + lit(0.5)).cast("long").as("token_share_micro"),
+      col("n_dup_docs"),
+      floor(lit(1000000.0) * col("n_dup_docs").cast("double") / col("n_docs").cast("double")
+        + lit(0.5)).cast("long").as("dup_rate_micro"),
+      floor(col("q_sum").cast("double") / col("n_docs").cast("double")
+        + lit(0.5)).cast("long").as("mean_quality_micro"))
+  }
+
+  /** dc02 — per-source quality cap: keep at most `k` docs per source chosen by
+    * QUALITY (micro-quantized t02 score, doc-id tie-break) instead of t09's
+    * unbiased hash buckets — "cap the domain, keep its best" rather than "cap the
+    * domain, keep a fair sample"; the two compose into the standard budgeted-mix
+    * step. Same scale shape as t09: a bounded [[org.apache.spark.sql.graft.KthSmallest]]
+    * threshold per source (map-side-combinable, never a data-sized window), the
+    * per-source window only over the ≤k admitted rows. Ordering is fully integral
+    * (negated micro score, then id), so the selection is deterministic and
+    * oracle-mirrorable as a plain DESC window.
+    */
+  def qualityCap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      k: Int
+  ): DataFrame = {
+    val rows = Scans.fanOut(df).select(
+      col(idCol), col(sourceCol).as("source"),
+      TextStats.qualityMicro(col(textCol)).as("quality_micro"))
+    val thresholds = rows
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.KthSmallest
+        .column(-col("quality_micro"), col(idCol), k).as("thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_micro").desc, col(idCol).asc)
+    rows.join(broadcast(thresholds), Seq("source"))
+      .filter(
+        -col("quality_micro") < col("thr.major") ||
+          (-col("quality_micro") === col("thr.major") && col(idCol) <= col("thr.minor")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k) // defensive trim if ids are not unique within a source
+      .select(col(idCol), col("source"), col("quality_micro"), col("rk"))
+  }
+
+  /** dc03 — corpus churn between two snapshots (the g42 churn diff applied to
+    * documents): per source, doc counts in the early/late `cutId` windows, the
+    * corpus-share each held (micro), the share delta, a status label
+    * (appeared / vanished / grew / shrunk / flat — exact integer compares), and
+    * t35's vocabulary-KL drift joined on, so "changed its VOLUME" and "changed its
+    * GENERATOR" read off one relation: a source can hold share while its language
+    * drifts (high KL, flat share) or double its share of an unchanged generator.
+    *
+    * Scale shape: the count half is ONE map-side-combinable groupBy(source) over
+    * (source, early) with a 1-row broadcast total; the KL half is [[TextStats.sourceDrift]]
+    * unchanged (per-(source, token) conditional aggregate); the final join is
+    * |sources|-sized.
+    */
+  def corpusChurn(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      cutId: Long
+  ): DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("source"), (col(idCol) < cutId).as("early"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("docs_early"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("docs_late"))
+    val tot = counts.agg(
+      sum(col("docs_early")).as("tot_early"), sum(col("docs_late")).as("tot_late"))
+    def shareMicro(n: Column, tot: Column): Column =
+      when(tot === 0L, 0L)
+        .otherwise(floor(lit(1000000.0) * n.cast("double") / tot.cast("double") + lit(0.5))
+          .cast("long"))
+    val shares = counts.crossJoin(broadcast(tot)).select(
+      col("source"), col("docs_early"), col("docs_late"),
+      shareMicro(col("docs_early"), col("tot_early")).as("share_early_micro"),
+      shareMicro(col("docs_late"), col("tot_late")).as("share_late_micro"))
+    // |sources|-row output of a big aggregation: broadcast it into the final join
+    val drift = broadcast(TextStats.sourceDrift(df, idCol, textCol, sourceCol, cutId)
+      .select(col("source"), col("kl_micro_nats")))
+    shares
+      .withColumn("delta_share_micro", col("share_late_micro") - col("share_early_micro"))
+      .withColumn("status",
+        when(col("docs_early") === 0L && col("docs_late") > 0L, "appeared")
+          .when(col("docs_late") === 0L && col("docs_early") > 0L, "vanished")
+          .when(col("share_late_micro") > col("share_early_micro"), "grew")
+          .when(col("share_late_micro") < col("share_early_micro"), "shrunk")
+          .otherwise("flat"))
+      .join(drift, Seq("source"), "left")
   }
 }

@@ -916,13 +916,102 @@ object Similarity {
     * reproduce it).
     */
   def saveCentroids(model: DataFrame, path: String): Unit =
-    model.select(col("cluster"), col("cv"))
+    model.select(
+        col("cluster") +: col("cv") +:
+          (if (model.columns.contains("n_members")) Seq(col("n_members")) else Nil): _*)
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
   /** Reload a [[saveCentroids]] artifact into [[ivfPqWithModel]] form. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("cn", norm2(col("cv")))
+
+  /** s25 — the index-MAINTENANCE half of the production ANN loop s24 opened: assign
+    * vectors that ARRIVED AFTER TRAINING to the saved centroids (the s06/s22
+    * assignment kernel: rounded cosine argmax, cluster-asc tie-break) and report
+    * per-cell growth — training census (`n_trained` from the persisted model's
+    * member counts), new arrivals (`n_new`, 0 for starved cells), growth ratio and
+    * new-mass share (micro). This is the table the retrain decision
+    * ([[retrainTrigger]]) reads: a hot cell or a starved majority means the frozen
+    * codebook no longer matches the data.
+    *
+    * Scale shape: the model is a k-row broadcast; assignment is one map pass over
+    * the new vectors with a per-VECTOR window (k rows each, never data-sized); the
+    * census is one map-side-combinable groupBy plus a 1-row broadcast total. The
+    * corpus and the training set are never rescanned — exactly what an
+    * incremental-ingest cadence can afford at 100 TB.
+    *
+    * Determinism: cosines are round(,6) with id tie-breaks (the s-family
+    * convention); counts are exact integers; ratios are single final divisions
+    * micro-quantized — oracle-mirrorable like the searches themselves.
+    */
+  def ivfAssignNew(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame
+  ): DataFrame = {
+    val withCn =
+      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val cents = withCn.select(
+      col("cluster").cast("long").as("cluster"), col("cv"), col("cn"),
+      col("n_members").cast("long").as("n_trained"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)
+    val assigned = newVecs
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
+      .crossJoin(broadcast(cents.select(col("cluster"), col("cv"), col("cn"))))
+      .select(col("vec_id"), col("cluster"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val newCounts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+    val tot = newCounts.agg(sum(col("n_new")).as("tot_new"))
+    // k-row left join: broadcast the RIGHT side (a left-outer join cannot build left)
+    cents.select(col("cluster"), col("n_trained"))
+      .join(broadcast(newCounts), Seq("cluster"), "left")
+      .select(col("cluster"), col("n_trained"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cluster"), col("n_trained"), col("n_new"),
+        floor(lit(1000000.0) * col("n_new").cast("double") / col("n_trained").cast("double")
+          + lit(0.5)).cast("long").as("growth_micro"),
+        when(coalesce(col("tot_new"), lit(0L)) === 0L, 0L)
+          .otherwise(floor(lit(1000000.0) * col("n_new").cast("double")
+            / col("tot_new").cast("double") + lit(0.5)).cast("long"))
+          .as("share_new_micro"))
+  }
+
+  /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
+    * when the new mass is SKEWED onto a hot cell (`maxShareMicro · k ≥
+    * hotFactorMicro` — a cell drawing ≥ hotFactor× its uniform 1/k share) or when
+    * a majority of cells are STARVED (no new arrivals — the data moved away from
+    * most of the codebook). Driver-side by design: the growth table is k rows
+    * (model-sized, never data-sized), the repo's bounded-collect discipline.
+    */
+  final case class RetrainDecision(
+      retrain: Boolean, reason: String, maxShareMicro: Long, starvedCells: Long, cells: Long)
+
+  def retrainTrigger(
+      growth: DataFrame,
+      hotFactorMicro: Long = 3000000L,
+      starvedNum: Int = 1,
+      starvedDen: Int = 2
+  ): RetrainDecision = {
+    val rows = growth.select(col("share_new_micro").cast("long"), col("n_new").cast("long"))
+      .collect() // k rows — bounded by the codebook, not the data
+    val k = rows.length.toLong
+    val maxShare = if (rows.isEmpty) 0L else rows.map(_.getLong(0)).max
+    val starved = rows.count(_.getLong(1) == 0L).toLong
+    if (k > 0 && maxShare * k >= hotFactorMicro)
+      RetrainDecision(retrain = true, s"hot cell: max share ${maxShare}µ ≥ ${hotFactorMicro}µ/k",
+        maxShare, starved, k)
+    else if (k > 0 && starved * starvedDen >= k * starvedNum)
+      RetrainDecision(retrain = true, s"starved cells: $starved of $k got no new vectors",
+        maxShare, starved, k)
+    else RetrainDecision(retrain = false, "balanced", maxShare, starved, k)
+  }
 
   /** IVF-PQ search against a PRE-TRAINED model relation (cluster, cv[, cn]) — the
     * serving half of the production two-job split: training ([[kmeansRounds]] →

@@ -23,6 +23,21 @@ object TextStats {
 
   private def occ(text: Column, needle: String): Column = occurrences(text, needle)
 
+  /** Shared stopword-hit count — the t02 quality numerator. */
+  private[pipeline] def stopHits(text: Column): Column =
+    occ(text, " the ") + occ(text, " a ") + occ(text, " of ") + occ(text, " and ")
+
+  /** [[qualityScore]]'s score micro-quantized per ROW (floor(1e6·q + 0.5), the
+    * repo-wide micro idiom) — the exact-integer form downstream per-source
+    * aggregates (dc01) can SUM order-free: both engines compute the identical
+    * double and quantize once, so the sums never see float associativity.
+    */
+  private[pipeline] def qualityMicro(text: Column): Column = {
+    val nt = tokenCount(text)
+    floor(lit(1000000.0) * (stopHits(text).cast("double") / nt.cast("double")
+      + nt.cast("double") / length(text).cast("double") * 10.0) + lit(0.5)).cast("long")
+  }
+
   /** Whitespace token count: #spaces + 1. */
   def tokenCount(text: Column): Column =
     occ(text, " ") + 1L

@@ -742,4 +742,51 @@ class PlanSpec extends SparkSpec {
     val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
     assert(windowSpec.nonEmpty, s"windows missing:\n$p")
   }
+
+  test("domain stats: per-source aggregation with a 1-row broadcast total, no pair product") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Curation.domainStats(docs, "doc_id", "text", "source"))
+    // the token-share total crosses back as a single broadcast row; nothing in the
+    // triage table may multiply data-sized relations
+    assert(p.contains("BroadcastNestedLoopJoin"), s"totals row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality cap: bounded KthSmallest threshold below the per-source window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Curation.qualityCap(docs, "doc_id", "text", "source", k = 10))
+    // the t09 shape with a quality sort key: the per-source window must only ever
+    // see the ≤k rows the bounded threshold aggregate admits — the threshold
+    // (KthSmallest) and its broadcast join back must both be present, and the
+    // window's input must carry the threshold filter
+    assert(p.contains("graft_kth_smallest"), s"bounded threshold aggregate missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("windowspecdefinition"))
+    assert(wIdx >= 0 && lines.drop(wIdx).exists(_.contains("thr")),
+      s"window must sit above the threshold filter, not over the raw corpus:\n$p")
+  }
+
+  test("corpus churn: count and drift halves join |sources|-sized via broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Curation.corpusChurn(docs, "doc_id", "text", "source", cutId = 250L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"the 1-row totals must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the KL join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to merge-join:\n$p")
+  }
+
+  test("IVF assign-new: the codebook broadcasts; census joins stay k-row broadcasts") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = pipeline.Similarity.kmeansRounds(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+    val p = plan(pipeline.Similarity.ivfAssignNew(
+      emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", model))
+    // assignment = new vectors × broadcast k-row codebook (never a shuffled pair
+    // product); the per-vector argmax window partitions by vec_id
+    assert(p.contains("BroadcastNestedLoopJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.contains("vec_id"), s"argmax window must be per-vector:\n$p")
+  }
 }
