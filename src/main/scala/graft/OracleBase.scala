@@ -1,0 +1,499 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.testgraph.TestGraph
+
+/** The shared spine of the per-family oracle objects (GraphOracles, TextOracles, ...)
+  * and [[SparkEntry]] itself: every pinned operator parameter (shared by a query
+  * registration and its DuckDB mirror so a retune cannot silently diverge them) and
+  * every shared SQL CTE fragment. Families mix this in so their entries read
+  * identically to the pre-split single-file form; constants stay reachable as
+  * `SparkEntry.<name>` for the specs because SparkEntry extends this too.
+  */
+private[graft] trait OracleParams {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** g38's pinned parameters, shared by the query registration and the oracle mirror
+    * so a retune cannot silently diverge them (the oracle unrolls `KTrussRounds`
+    * chained prune rounds with prune predicate `sup >= KTrussK - 2`).
+    */
+  private[graft] val KTrussK = 4
+  private[graft] val KTrussRounds = 3
+
+  /** t24's pinned merge-round count, shared by registration and oracle (the g38
+    * shared-constant discipline).
+    */
+  private[graft] val BpeMergeRounds = 4
+
+  /** t27's pinned Jelinek–Mercer interpolation weight in micro-units (λ = 0.7),
+    * shared by registration and oracle.
+    */
+  private[graft] val BigramLambdaMicro = 700000L
+
+  /** t28's pinned hashed-feature slot count, shared by registration and oracle. */
+  private[graft] val LinearQualityBuckets = 1024
+
+  /** g40's pinned label-propagation round count, shared by registration and oracle. */
+  private[graft] val LpaRounds = 4
+
+  /** d13's pinned tuning (near-twin cosine threshold, deterministic centroid
+    * sampling mod), shared by registration and oracle.
+    */
+  private[graft] val SemDedupThreshold = 0.4
+  private[graft] val SemDedupCentroidMod = 97
+
+  /** s17's pinned tuning (query sampling mod, per-list depth, fused depth, RRF
+    * rank offset), shared by registration and oracle.
+    */
+  private[graft] val HybridQueryMod = 50
+  private[graft] val HybridListK = 10
+  private[graft] val HybridK = 5
+  private[graft] val RrfK0 = 60
+
+  /** s18's document-frequency cap: tokens in more than this fraction of docs are
+    * stopwords for scoring purposes and never reach the posting join (the
+    * production skew guard, priced against s17's uncapped run in the bench).
+    */
+  private[graft] val HybridDfCap = 0.5
+
+  /** t29's pinned Kneser–Ney discount in micro-units (D = 0.75), shared by
+    * registration and oracle.
+    */
+  private[graft] val KneserNeyDiscountMicro = 750000L
+
+  /** t30's pinned sampling temperature in micro-units (α = 0.3 — the
+    * small-source-upweighting regime), shared by registration and oracle.
+    */
+  private[graft] val MixAlphaMicro = 300000L
+
+  /** s19's pinned tuning (query sampling mod, feedback depth, final depth), shared
+    * by registration and oracle.
+    */
+  private[graft] val PrfQueryMod = 50
+  private[graft] val PrfFeedbackK = 5
+  private[graft] val PrfK = 5
+
+  /** m05's pinned tuning (media-embedding dimensionality, keep threshold in
+    * micro-units), shared by registration and oracle.
+    */
+  private[graft] val AlignDims = 8
+  private[graft] val AlignThresholdMicro = 500000L
+
+  /** sk06's pinned bottom-k register size, shared by registration and oracle. */
+  private[graft] val KmvQuantK = 64
+
+  /** d14's pinned tuning (duplicated-window width in tokens, minimum span length
+    * worth reporting), shared by registration and oracle.
+    */
+  private[graft] val DupSpanWindow = 5
+  private[graft] val DupSpanMinTokens = 8
+
+  /** t31's pinned tuning (hashed-feature slot count, target-domain source id),
+    * shared by registration and oracle.
+    */
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirTargetSource = "src0"
+
+  /** ev15's pinned last-touch lookback window (24 h in µs), shared by registration
+    * and oracle.
+    */
+  private[graft] val AttributionLookbackUs = 86400000000L
+
+  /** s20's pinned neighbor-list size, shared by registration and oracle. */
+  private[graft] val KnnGraphK = 5
+
+  /** o03's pinned tuning, shared by registration and oracle: group target in rows,
+    * and the tile shift — FINER than o01's write-bucket shift (26) because the
+    * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus
+    * to one tile; 12 yields hundreds — the planner's whole point is merging many
+    * small tiles into few target-sized files).
+    */
+  private[graft] val CompactionTargetRows = 4096L
+  private[graft] val CompactionTileShift = 12
+
+  /** sk08's pinned AMS register count, shared by registration and oracle. */
+  private[graft] val AmsWidth = 64
+
+  /** t32's pinned doc-id bucket width, shared by registration and oracle. */
+  private[graft] val VocabBucketDocs = 50L
+
+  /** g45's pinned walk length and seed sampling mod, shared by registration and
+    * oracle.
+    */
+  private[graft] val WalkSteps = 3
+  private[graft] val WalkSeedMod = 10
+
+  /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiK = 100
+
+  /** t34's pinned vocabulary-head size for the Zipf fit. */
+  private[graft] val ZipfFitK = 1000
+
+  /** o04's pinned file-skipping predicate band and file-size target, shared by
+    * registration and oracle. The target is finer than o03's so the gate-scale data
+    * splits into enough planned files for min/max pruning to actually bite
+    * (sf0.01: 29 groups, 17 pruned — vs 3 unprunable groups at o03's 4096).
+    */
+  private[graft] val PruneUserLo = 4L
+  private[graft] val PruneUserHi = 9L
+  private[graft] val PruneTargetRows = 256L
+
+  /** t35's pinned snapshot cut: doc_id < cut = the EARLY corpus snapshot (ingestion
+    * order is the corpus's time axis). 250 splits the gate-scale corpus in half and
+    * still leaves every source represented on both sides at sf0.001.
+    */
+  private[graft] val SourceDriftCut = 250L
+
+  /** t37's pinned hashed-LM bucket count (the bounded drift-register width the
+    * streaming twin holds per source).
+    */
+  private[graft] val DriftBuckets = 1024
+
+  /** dc02's pinned per-source quality-cap budget. */
+  private[graft] val QualityCapK = 10
+
+  /** s25's pinned arrival split: vec_id % mod == 0 are the vectors that "arrived
+    * after training"; the rest train the codebook.
+    */
+  private[graft] val AssignNewMod = 5
+
+  /** s22/s23's pinned k-means training schedule, shared by registration and oracle:
+    * s22 trains the s10 model three rounds; s23's coarse quantizer trains two (the
+    * oracle unrolls the rounds as chained CTEs, so the count prices the SQL too).
+    */
+  private[graft] val KmeansTrainRounds = 3
+  private[graft] val IvfPqTrainRounds = 2
+
+  /** s21's pinned MMR parameters, shared by registration and oracle. */
+  private[graft] val MmrQueryMod = 50
+  private[graft] val MmrCandK = 10
+  private[graft] val MmrK = 5
+  private[graft] val MmrLambdaMicro = 700000L
+
+}
+
+private[graft] trait OracleFragments extends OracleParams {
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles. Shared CTE fragments live in TestGraph to stay in lockstep
+  // with the DataFrame derivation.
+  // ---------------------------------------------------------------------------
+
+  protected val snap = TestGraph.snapshotCte
+  protected val meta = TestGraph.metadataCte
+  protected val prio = TestGraph.prioritySql
+
+  /** revenue in exact basis-point-cents (mirror of AnalyticsQueries.revenueBp). */
+  protected val revBp =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  protected def occSql(needle: String): String = {
+    val esc = needle.replace("'", "''")
+    s"(length(text) - length(replace(text, '$esc', ''))) // ${needle.length}"
+  }
+
+  /** cosine in DuckDB, same rounding as Similarity.cosine (inputs already DOUBLE[]). */
+  /** Scratch-dir cleanup shared by the artifact queries (t26, s24): Files.walk
+    * holds open directory handles that MUST be closed (its stream contract), so
+    * the walk happens inside a try/finally on the stream — the previous inline
+    * form leaked a handle per invocation (reviewed r10).
+    */
+  protected def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  protected def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)), 6)"
+
+  /** Chained-CTE replay of `Similarity.kmeansRounds` over source CTE `src` (columns
+    * vec_id, v) — the t24 unrolled-rounds discipline applied to model training: c0 =
+    * the k-lowest-id seeds; round r scores every vector against c(r−1) (rounded
+    * cosine argmax, cluster-asc tie-break), takes per-(cluster, dim) means rounded
+    * to 6 (m_r, the s10 convention), and re-assembles the centroid arrays (c_r).
+    * Because each round's centroids are ROUND-6 values, both engines hold identical
+    * doubles entering the next round — the contract that keeps a multi-round
+    * training loop hash-checkable.
+    */
+  protected def kmeansCtes(src: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"ke AS (SELECT vec_id, v FROM $src WHERE list_dot_product(v, v) > 0),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv, CAST(0 AS BIGINT) AS n_members\n"
+    sb ++= s"      FROM (SELECT vec_id, v FROM ke ORDER BY vec_id LIMIT $k)\n"
+    sb ++= s"      WHERE list_dot_product(v, v) > 0)"
+    for (r <- 1 to rounds) {
+      sb ++= ",\n"
+      sb ++= s"sc$r AS (SELECT ke.vec_id, c.cluster, ke.v, ${cosSql("ke.v", "c.cv")} AS cos FROM ke, c${r - 1} c),\n"
+      sb ++= s"b$r AS (SELECT vec_id, cluster, v FROM (\n"
+      sb ++= s"    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk FROM sc$r)\n"
+      sb ++= s"  WHERE rk = 1),\n"
+      sb ++= s"m$r AS (SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid, COUNT(*) AS n_members\n"
+      sb ++= s"  FROM b$r, unnest(generate_series(1, len(v))) AS t(i) GROUP BY cluster, i),\n"
+      sb ++= s"c$r AS (SELECT cluster, cv, n_members FROM (\n"
+      sb ++= s"    SELECT cluster, list(centroid ORDER BY dim) AS cv, max(n_members) AS n_members FROM m$r GROUP BY cluster)\n"
+      sb ++= s"  WHERE list_dot_product(cv, cv) > 0)"
+    }
+    sb.toString
+  }
+
+  /** Shared by s23 and s24 registrations: the trained-quantizer IVF-PQ mirror. */
+  protected lazy val ivfPqTrainedSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |    FROM pqscored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin
+
+  /** The s21 MMR mirror: candidates and pair sims micro-quantized from the round-6
+    * cosines, then the greedy selection UNROLLED round-for-round exactly like the
+    * Spark loop (the d05 unrolled-rounds discipline) — generated from the same
+    * Mmr* constants so the two sides cannot drift. Round r picks, among candidates
+    * not yet selected, the argmax of λ·rel − (1e6−λ)·max-sim-to-selected (exact
+    * integer comparison, neighbor-id tie-break).
+    */
+  protected def mmrRerankSql: String = {
+    val lam = MmrLambdaMicro
+    val oneMinus = 1000000L - MmrLambdaMicro
+    val rounds = (2 to MmrK).map { r =>
+      s"""m$r AS (SELECT c.query_id, c.neighbor_id, c.rel_micro,
+         |          COALESCE(MAX(pp.sim_micro), 0) AS maxsim
+         |        FROM cand c LEFT JOIN
+         |          (SELECT p.query_id, p.id_a, p.sim_micro FROM ps p
+         |             JOIN acc${r - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.id_b) pp
+         |          ON pp.query_id = c.query_id AND pp.id_a = c.neighbor_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} s0
+         |          WHERE s0.query_id = c.query_id AND s0.neighbor_id = c.neighbor_id)
+         |        GROUP BY 1, 2, 3),
+         |sel$r AS (SELECT query_id, neighbor_id, rel_micro, score_micro, $r AS mmr_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score_micro DESC, neighbor_id) AS rk
+         |  FROM (SELECT query_id, neighbor_id, rel_micro,
+         |          CAST($lam * rel_micro - $oneMinus * maxsim AS BIGINT) AS score_micro
+         |        FROM m$r)) WHERE rk = 1),
+         |acc$r AS (SELECT query_id, neighbor_id FROM acc${r - 1}
+         |          UNION ALL SELECT query_id, neighbor_id FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $MmrQueryMod = 0),
+       |scored AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+       |           FROM q, e c WHERE c.vec_id <> query_id),
+       |cand AS (SELECT query_id, neighbor_id,
+       |           CAST(floor(1000000.0 * cos_sim + 0.5) AS BIGINT) AS rel_micro, rank
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+       |         WHERE rank <= $MmrCandK),
+       |ps AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |         CAST(floor(1000000.0 * ${cosSql("ea.v", "eb.v")} + 0.5) AS BIGINT) AS sim_micro
+       |       FROM cand a JOIN cand b
+       |         ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+       |       JOIN e ea ON ea.vec_id = a.neighbor_id
+       |       JOIN e eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id, rel_micro,
+       |           CAST($lam * rel_micro AS BIGINT) AS score_micro, 1 AS mmr_rank
+       |         FROM cand WHERE rank = 1),
+       |acc1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |$rounds
+       |SELECT query_id, neighbor_id, rel_micro, score_micro,
+       |  CAST(mmr_rank AS INTEGER) AS mmr_rank
+       |FROM ($unionAll)""".stripMargin
+  }
+
+  /** The hybrid-retrieval (s17/s18) mirror, parameterized by the optional
+    * document-frequency cap — ONE builder for both entries so the capped and
+    * uncapped mirrors can never drift apart. With a cap, tokens whose df exceeds
+    * `f · n_docs` are filtered from the |vocab|-sized relation BEFORE the posting
+    * join (mirror of Retrieval.lexicalTopK's dfCapFraction: same ::DOUBLE
+    * comparison, so the boundary decision is engine-identical).
+    */
+  protected def hybridRrfSql(dfCap: Option[Double]): String = {
+    val dfcCte = dfCap.map(f =>
+      s"""dfc AS (SELECT token, df_count FROM dfq
+         |        CROSS JOIN (SELECT COUNT(DISTINCT doc_id) AS cap_nd FROM tf)
+         |        WHERE df_count::DOUBLE <= $f * cap_nd::DOUBLE),
+         |""".stripMargin).getOrElse("")
+    val dfSrc = if (dfCap.isDefined) "dfc" else "dfq"
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1),
+       |${dfcCte}dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |w AS (SELECT tf.doc_id AS neighbor_id, tf.token,
+       |        CAST(round(1000000 * (
+       |          ((2200000 * tf)::DOUBLE
+       |            / (1000000 * tf + 300000
+       |               + CAST(round((900000 * dl * n_docs)::DOUBLE / sum_dl::DOUBLE) AS BIGINT))::DOUBLE)
+       |          * ((2 * n_docs - 2 * df_count + 1)::DOUBLE / (2 * df_count + 1)::DOUBLE))) AS BIGINT) AS w
+       |      FROM tf JOIN $dfSrc USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % $HybridQueryMod = 0),
+       |lexs AS (SELECT qt.query_id, w.neighbor_id, CAST(SUM(w.w) AS BIGINT) AS lex_micro
+       |         FROM qt JOIN w USING (token) WHERE w.neighbor_id <> qt.query_id GROUP BY 1, 2),
+       |lex AS (SELECT query_id, neighbor_id, rank AS lex_rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY lex_micro DESC, neighbor_id) AS rank FROM lexs)
+       |        WHERE rank <= $HybridListK),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $HybridQueryMod = 0),
+       |sems AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+       |         FROM q, e c WHERE c.vec_id <> query_id),
+       |sem AS (SELECT query_id, neighbor_id, rank AS sem_rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sems)
+       |        WHERE rank <= $HybridListK),
+       |fused AS (SELECT query_id, neighbor_id,
+       |            CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
+       |            CAST(COALESCE(sem_rank, 0) AS INTEGER) AS sem_rank,
+       |            CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + lex_rank) END
+       |               + CASE WHEN sem_rank IS NULL THEN 0 ELSE 1000000 // ($RrfK0 + sem_rank) END
+       |              AS BIGINT) AS rrf_score
+       |          FROM lex FULL JOIN sem USING (query_id, neighbor_id))
+       |SELECT query_id, neighbor_id, lex_rank, sem_rank, rrf_score,
+       |       CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf_score DESC, neighbor_id) AS rank FROM fused)
+       |WHERE rank <= $HybridK""".stripMargin
+  }
+
+  /** ±1 hyperplane weights as a DuckDB array literal — mirror of Similarity.planeWeight. */
+  protected def lshPlaneSql(j: Int, dims: Int): String =
+    (0 until dims)
+      .map(i => if ((i * (2 * j + 3) + j) % 2 == 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** LSH bucket id — mirror of Similarity.lshBucket (64-dim embeddings; `offset` selects
+    * the plane family = hash table).
+    */
+  protected def lshBucketSql(v: String, nPlanes: Int, dims: Int, offset: Int = 0): String =
+    (0 until nPlanes)
+      .map(j => s"(CASE WHEN list_dot_product($v, ${lshPlaneSql(offset + j, dims)}) >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Deterministic hash bucket in [0, 10000) — mirror of Sampling.bucketCol (salt ""). */
+  protected def bucketSql(idExpr: String): String =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+  /** d05's minhash-band + 3-round min-label closure chain (ends at `l3`) — shared
+    * VERBATIM by the d05/d15/d16 mirrors, so the closure all three ride on the
+    * Scala side (Dedup.dedupClusters) also has exactly one SQL rendition
+    * (reviewed r10: three hand-synced copies).
+    */
+  protected lazy val dedupClusterCtes: String =
+    """hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+      |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+      |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+      |       GROUP BY doc_id, k),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+      |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |l0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+      |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+      |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+      |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+      |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+      |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+      |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+      |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+      |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+      |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)""".stripMargin
+
+  /** distinct word-3-gram shingles per doc — mirror of Dedup.shingles(n=3). */
+  protected val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+      |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks))""".stripMargin
+
+  /** Shared t25/t26 mirror: the BpeMergeRounds weighted-dictionary merge loop (pair
+    * counts summed over word frequencies — provably equal to occurrence counts),
+    * then every doc priced in post-merge symbols via its (doc, token) tf joined to
+    * the per-token symbol count. The tf CTE carries the same '|'-token exclusion
+    * the Scala side applies via bpeSafeToken so the filters match structurally —
+    * not merely through the final join happening to drop the rows.
+    */
+  protected lazy val bpeEncodeMirrorSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
+         |ep$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, cnt
+         |         FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS j
+         |               FROM es$i WHERE len(syms) >= 2)),
+         |em$i AS MATERIALIZED (SELECT l, r FROM (
+         |         SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM ep$i GROUP BY 1, 2)
+         |       ORDER BY n DESC, l, r LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT token, COALESCE(replace(repr,
+         |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
+         |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       |       WHERE length(token) >= 1 AND token NOT LIKE '%|%' GROUP BY 1, 2),
+       |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(
+       |         list_transform(generate_series(1, length(token)), i -> substr(token, i, 1)),
+       |         '||') || '||' AS repr, cnt
+       |       FROM wf),
+       |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
+       |enc AS (SELECT token,
+       |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym
+       |        FROM e$BpeMergeRounds)
+       |SELECT tf.doc_id,
+       |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+       |FROM tf JOIN enc USING (token)
+       |GROUP BY 1""".stripMargin
+  }
+
+}
