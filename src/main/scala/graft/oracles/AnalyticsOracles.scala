@@ -1,0 +1,494 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
+
+/** TPC-H-shaped relational analytics (q*) and event-stream analytics (ev*): this family's slice of [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] — the driver contract is unchanged, SparkEntry
+  * concatenates the families. Shared pinned parameters and SQL fragments come
+  * from [[OracleFragments]].
+  */
+private[graft] object AnalyticsOracles extends OracleFragments {
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // --- general analytics (bench headliners) ---
+    "q01_pricing_summary"    -> (AnalyticsQueries.pricingSummary _),
+    "q03_top_revenue_orders" -> (AnalyticsQueries.topRevenueOrders _),
+    "q05_region_revenue"     -> (AnalyticsQueries.regionRevenue _),
+    "q06_revenue_rollup"     -> (AnalyticsQueries.regionRevenueRollup _),
+    "q07_selective_revenue"  -> (AnalyticsQueries.selectiveRevenue _),
+    "q02_brand_nation_volume" -> (AnalyticsQueries.brandNationVolume _),
+    "ev1_user_event_stats"   -> (AnalyticsQueries.userEventStats _),
+    "ev2_sessionize"         -> (AnalyticsQueries.sessionize _),
+    "ev3_hourly_rollup"      -> (AnalyticsQueries.hourlyRollup _),
+    "ev4_props_extract"      -> (AnalyticsQueries.propsExtract _),
+    "ev5_hourly_top_users"   -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.hourlyTopUsers(s, dir, k = 3)),
+    "ev6_hourly_retention"   -> (AnalyticsQueries.hourlyRetention _),
+    "ev7_hourly_anomaly"     -> (AnalyticsQueries.hourlyAnomaly _),
+    "ev8_asof_join"          -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.asofJoin(s, dir)),
+    "ev9_funnel_stages"      -> (AnalyticsQueries.funnelStages _),
+    "ev10_type_pivot"        -> (AnalyticsQueries.eventTypePivot _),
+    "ev11_rolling_actives"   -> (AnalyticsQueries.rollingActiveUsers _),
+    "q04_late_priority"      -> (AnalyticsQueries.latePriorityOrders _),
+    "ev12_session_stats"     -> (AnalyticsQueries.sessionStats _),
+    "q08_market_share"       -> (AnalyticsQueries.marketShare _),
+    "ev13_churn"             -> (AnalyticsQueries.churnRollup _),
+    "q09_returned_revenue"   -> (AnalyticsQueries.returnedRevenue _),
+    "ev14_cohort_retention" -> (AnalyticsQueries.cohortRetention _),
+    "ev15_attribution" -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.attribution(s, dir, lookbackUs = AttributionLookbackUs)),
+    "ev16_rfm" -> ((s: SparkSession, d: String) => AnalyticsQueries.rfm(s, d)),
+    "ev17_activity_pareto" -> ((s: SparkSession, d: String) => AnalyticsQueries.activityPareto(s, d)),
+    "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
+    "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
+    "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.smallQuantityRevenue(s, d)),
+    "q12_idle_rich_customers" -> (AnalyticsQueries.idleRichCustomers _),
+    "q13_custdist" -> (AnalyticsQueries.customerOrderDistribution _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         |  CAST(SUM($revBp) AS BIGINT) AS sum_disc_bp,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_top_revenue_orders" ->
+      s"""WITH rev AS (
+         |  SELECT l_orderkey, CAST(SUM($revBp) AS BIGINT) AS revenue_bp
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT o_orderkey, o_custkey, revenue_bp
+         |FROM rev JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY revenue_bp DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_region_revenue" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    // region→nation revenue ROLLUP with grouping flags — mirror of
+    // AnalyticsQueries.regionRevenueRollup (one grouping-sets aggregation)
+    "q06_revenue_rollup" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items,
+         |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+         |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    // Q6-style selective revenue (pushed predicates + pruned scan) — mirror of
+    // AnalyticsQueries.selectiveRevenue
+    "q07_selective_revenue" ->
+      s"""SELECT CAST(SUM($revBp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items
+         |FROM lineitem WHERE l_quantity < 25 AND l_discount >= 0.05""".stripMargin,
+
+    // per-user event-type pivot (pinned type list) — mirror of
+    // AnalyticsQueries.eventTypePivot
+    "ev10_type_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         |FROM events GROUP BY user_id""".stripMargin,
+    "q02_brand_nation_volume" ->
+      s"""SELECT n_name, p_brand,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM($revBp) AS BIGINT) AS revenue_bp,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY n_name, p_brand""".stripMargin,
+    "ev1_user_event_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+         |FROM events GROUP BY user_id""".stripMargin,
+    "ev2_sessionize" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |s AS (SELECT user_id, tsu,
+         |        CASE WHEN prev IS NULL OR tsu - prev > 3600000000 THEN 1 ELSE 0 END AS brk
+         |      FROM (SELECT user_id, tsu,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t))
+         |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+         |       CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS span_us
+         |FROM s GROUP BY user_id""".stripMargin,
+
+    // inter-event gap quantiles per type: per-user (tsu, event_id)-ordered lag,
+    // whole-second gaps, then the t17 cumulated-histogram exact quantiles —
+    // mirror of AnalyticsQueries.gapQuantiles
+    "ev18_gap_quantiles" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |g AS (SELECT event_type, (tsu - prev) // 1000000 AS gap_s
+         |      FROM (SELECT event_type, tsu,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t)
+         |      WHERE prev IS NOT NULL),
+         |h AS (SELECT event_type, gap_s, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |cm AS (SELECT event_type, gap_s,
+         |         SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(c) OVER (PARTITION BY event_type) AS total
+         |       FROM h)
+         |SELECT event_type, CAST(MAX(total) AS BIGINT) AS n_gaps,
+         |  MIN(CASE WHEN cum * 100 >= 50 * total THEN gap_s END) AS p50_s,
+         |  MIN(CASE WHEN cum * 100 >= 90 * total THEN gap_s END) AS p90_s,
+         |  MIN(CASE WHEN cum * 100 >= 99 * total THEN gap_s END) AS p99_s
+         |FROM cm GROUP BY event_type""".stripMargin,
+    "ev3_hourly_rollup" ->
+      s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // per-hour top-3 users by event count — mirror of AnalyticsQueries.hourlyTopUsers
+    "ev5_hourly_top_users" ->
+      s"""SELECT hour_bucket, CAST(rank AS INTEGER) AS rank, user_id, n_events FROM (
+         |  SELECT hour_bucket, user_id, n_events,
+         |         row_number() OVER (PARTITION BY hour_bucket
+         |                            ORDER BY n_events DESC, user_id) AS rank
+         |  FROM (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id,
+         |               COUNT(*) AS n_events
+         |        FROM events GROUP BY 1, 2))
+         |WHERE rank <= 3""".stripMargin,
+
+    // hour-over-hour user retention — mirror of AnalyticsQueries.hourlyRetention
+    "ev6_hourly_retention" ->
+      s"""WITH a AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour_bucket, user_id
+         |           FROM events),
+         |n AS (SELECT hour_bucket - 1 AS hour_bucket, user_id, 1 AS retained FROM a)
+         |SELECT a.hour_bucket, COUNT(*) AS n_active,
+         |  CAST(SUM(COALESCE(n.retained, 0)) AS BIGINT) AS n_retained,
+         |  round(CAST(SUM(COALESCE(n.retained, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS retention
+         |FROM a LEFT JOIN n USING (hour_bucket, user_id)
+         |GROUP BY a.hour_bucket""".stripMargin,
+    "ev4_props_extract" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  CAST(MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS max_k,
+         |  CAST(COUNT(DISTINCT json_extract_string(props, '$$.k')) AS BIGINT) AS n_distinct_k
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    // as-of join: each purchase matched to the user's most recent click at-or-before
+    // it (ties: max click event id) — mirror of AnalyticsQueries.asofJoin, formulated
+    // here as explicit max-ts/max-id instead of the engine's tagged-union window
+    "ev8_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         |      WHERE event_type = 'click'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts_us, max(c.ts_us) AS click_ts_us
+         |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+         |      GROUP BY 1, 2, 3)
+         |SELECT m.event_id, m.user_id, m.ts_us, m.click_ts_us,
+         |  (SELECT max(c2.event_id) FROM c c2
+         |   WHERE c2.user_id = m.user_id AND c2.ts_us = m.click_ts_us) AS click_event_id,
+         |  m.ts_us - m.click_ts_us AS gap_us
+         |FROM m""".stripMargin,
+
+    // ordered signup→click→purchase funnel with at-or-after stage gating — mirror of
+    // AnalyticsQueries.funnelStages
+    "ev9_funnel_stages" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS signup_ts FROM ev
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(ts_us) AS click_ts FROM ev JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND ts_us >= signup_ts GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(ts_us) AS purchase_ts FROM ev JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
+         |SELECT s1.user_id, signup_ts, click_ts, purchase_ts
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // per-user churn rollup: activity span vs the corpus end, integer µs — mirror of
+    // AnalyticsQueries.churnRollup
+    "ev13_churn" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, epoch_us(ts) // 86400000000 AS day
+         |            FROM events),
+         |endv AS (SELECT MAX(tsu) AS end_us FROM ev)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+         |       CAST(MAX(tsu) AS BIGINT) AS last_seen_us,
+         |       CAST(CASE WHEN MAX(tsu) < (SELECT end_us FROM endv) - 259200000000
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS churned
+         |FROM ev GROUP BY user_id""".stripMargin,
+
+    // Q10-style returned-item revenue per customer, top-20 by lost bp — mirror of
+    // AnalyticsQueries.returnedRevenue
+    // Q17 small-quantity shape: the correlated avg decorrelated to per-part stats,
+    // the 20%-of-average compare as exact integer cross-multiplication — mirror of
+    // AnalyticsQueries.smallQuantityRevenue('Brand#1')
+    "q11_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        |            FROM lineitem),
+        |bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |f AS (SELECT li.* FROM li JOIN bp ON p_partkey = l_partkey),
+        |st AS (SELECT l_partkey, COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS sumq
+        |       FROM f GROUP BY 1)
+        |SELECT CAST(SUM(price_cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
+        |FROM f JOIN st USING (l_partkey)
+        |WHERE 5 * qty * cnt < sumq""".stripMargin,
+
+    // Q22 idle-rich shape: scalar positive-average threshold (exact cents
+    // cross-multiplication) + no-RECENT-order NOT EXISTS as anti-join — mirror of
+    // AnalyticsQueries.idleRichCustomers (the literal never-ordered test is
+    // vacuous on this data; the 30-day recency window keeps the plan shape with a
+    // non-degenerate answer)
+    "q12_idle_rich_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |           FROM customer),
+        |thr AS (SELECT COUNT(*) AS cnt_pos, CAST(SUM(bal_cents) AS BIGINT) AS sum_pos
+        |        FROM c WHERE bal_cents > 0),
+        |rich AS (SELECT c.* FROM c, thr WHERE bal_cents * cnt_pos > sum_pos),
+        |mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders, mx
+        |           WHERE o_orderdate > max_date - INTERVAL 30 DAY),
+        |idle AS (SELECT rich.* FROM rich
+        |         WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = rich.c_custkey))
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        |FROM idle GROUP BY 1""".stripMargin,
+
+    // Q13 custdist shape: left-outer per-customer order counts (zero band kept),
+    // then the count-of-counts histogram — mirror of
+    // AnalyticsQueries.customerOrderDistribution
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_custkey) AS n_orders
+        |            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |            GROUP BY 1)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders, COUNT(*) AS n_customers
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    // Q21 "waiting suppliers" shape: sole late shipper in multi-supplier orders,
+    // the exists/not-exists composition in count form — mirror of
+    // AnalyticsQueries.waitingSuppliers
+    "q10_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |         FROM li JOIN orders ON o_orderkey = l_orderkey
+        |         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |sole AS (SELECT l_orderkey, l_suppkey FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_late FROM late)
+        |  WHERE n_late = 1),
+        |w AS (SELECT l_suppkey, COUNT(*) AS numwait
+        |      FROM sole JOIN multi USING (l_orderkey) GROUP BY 1)
+        |SELECT s_name, numwait FROM (
+        |  SELECT s_name, CAST(numwait AS BIGINT) AS numwait, s_suppkey
+        |  FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |  ORDER BY numwait DESC, s_name, s_suppkey LIMIT 10)""".stripMargin,
+    "q09_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM($revBp) AS BIGINT) AS lost_bp,
+         |  COUNT(*) AS n_returned_items
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY lost_bp DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q8-style nation market share of region-year revenue: exact bp integers through
+    // the window total, one rounded division — mirror of AnalyticsQueries.marketShare
+    "q08_market_share" ->
+      s"""WITH rev AS (
+         |  SELECT r_name, n_name, year(o_orderdate) AS o_year,
+         |         CAST(SUM($revBp) AS BIGINT) AS revenue_bp
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT r_name, n_name, o_year, revenue_bp,
+         |  round(revenue_bp::DOUBLE
+         |        / CAST(SUM(revenue_bp) OVER (PARTITION BY r_name, o_year) AS BIGINT)::DOUBLE,
+         |        6) AS share
+         |FROM rev""".stripMargin,
+
+    // per-session event counts and exact µs durations (ev2's break rule, running-sum
+    // session numbering) — mirror of AnalyticsQueries.sessionStats
+    "ev12_session_stats" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |b AS (SELECT user_id, event_id, tsu,
+         |        CASE WHEN prev IS NULL OR tsu - prev > 3600000000 THEN 1 ELSE 0 END AS brk
+         |      FROM (SELECT user_id, tsu, event_id,
+         |              lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+         |            FROM t)),
+         |s AS (SELECT user_id, tsu,
+         |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS session_idx
+         |      FROM b)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |       CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS duration_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // hourly event-count z-scores vs the trailing-24h RANGE window — mirror of
+    // AnalyticsQueries.hourlyAnomaly (fixed float sequence: mean, E[x²]−mean², sqrt)
+    "ev7_hourly_anomaly" ->
+      s"""WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n
+         |                FROM events GROUP BY 1),
+         |wb AS (SELECT hour_bucket, n,
+         |         CAST(sum(n) OVER w AS BIGINT) AS base_n,
+         |         CAST(sum(n * n) OVER w AS BIGINT) AS base_sq,
+         |         count(*) OVER w AS base_cnt
+         |       FROM hourly
+         |       WINDOW w AS (ORDER BY hour_bucket RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT hour_bucket, n,
+         |  round(base_n::DOUBLE / base_cnt::DOUBLE, 4) AS base_mean,
+         |  CASE WHEN greatest(base_sq::DOUBLE / base_cnt::DOUBLE
+         |                     - (base_n::DOUBLE / base_cnt::DOUBLE) * (base_n::DOUBLE / base_cnt::DOUBLE),
+         |                     0.0::DOUBLE) > 0.0
+         |       THEN round((n::DOUBLE - base_n::DOUBLE / base_cnt::DOUBLE)
+         |                  / sqrt(greatest(base_sq::DOUBLE / base_cnt::DOUBLE
+         |                                  - (base_n::DOUBLE / base_cnt::DOUBLE) * (base_n::DOUBLE / base_cnt::DOUBLE),
+         |                                  0.0::DOUBLE)), 4)
+         |       ELSE 0.0::DOUBLE END AS z
+         |FROM wb WHERE base_cnt >= 12""".stripMargin,
+
+    // Q4-style late-order priority counts: EXISTS a line shipped >60 days after the
+    // order date, one-year order window — mirror of AnalyticsQueries.latePriorityOrders
+    // (exact epoch-µs arithmetic; 9131/9496 = epoch-days of 1995-01-01/1996-01-01)
+    "q04_late_priority" ->
+      """WITH ord AS (SELECT o_orderkey, o_orderpriority, o_orderdate
+        |             FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |               AND o_orderdate <  TIMESTAMP '1996-01-01')
+        |SELECT o_orderpriority, count(*) AS n_orders FROM ord
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = ord.o_orderkey
+        |                AND l.l_shipdate > ord.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    // DAU + trailing-7-day WAU per day bucket — mirror of
+    // AnalyticsQueries.rollingActiveUsers (distinct (day, user) first, then a bounded
+    // 7-offset fanout; only days that occur in the data survive the join)
+    "ev11_rolling_actives" ->
+      """WITH daily AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_bucket, user_id
+        |               FROM events),
+        |dau AS (SELECT day_bucket, count(*) AS n_dau FROM daily GROUP BY 1),
+        |fan AS (SELECT DISTINCT day_bucket + off AS day_bucket, user_id
+        |        FROM daily, (SELECT unnest(generate_series(0, 6)) AS off)),
+        |wau AS (SELECT day_bucket, count(*) AS n_wau FROM fan GROUP BY 1)
+        |SELECT day_bucket, n_dau, n_wau FROM dau JOIN wau USING (day_bucket)""".stripMargin,
+
+    // cohort retention matrix: first-seen-day cohorts × day-offset active counts over
+    // distinct (day, user) pairs — mirror of AnalyticsQueries.cohortRetention
+    "ev14_cohort_retention" ->
+      """WITH daily AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_bucket, user_id
+        |               FROM events),
+        |coh AS (SELECT user_id, MIN(day_bucket) AS cohort_day FROM daily GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM coh GROUP BY 1),
+        |act AS (SELECT cohort_day, day_bucket - cohort_day AS day_offset,
+        |               COUNT(*) AS n_active
+        |        FROM daily JOIN coh USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+
+    // last-touch attribution: latest preceding touch per purchase (argmax by ts then
+    // event_id, at-or-before ties), 24h lookback applied after the argmax, channel
+    // rollup in exact integer cents/µs — mirror of AnalyticsQueries.attribution
+    "ev15_attribution" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+         |           WHERE event_type IN ('click', 'view', 'signup')),
+         |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+         |      WHERE event_type = 'purchase'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts_us, p.value, max(t.ts_us) AS t_ts
+         |      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us
+         |      GROUP BY 1, 2, 3, 4),
+         |a AS (SELECT m.*,
+         |        (SELECT max(t2.event_id) FROM t t2
+         |         WHERE t2.user_id = m.user_id AND t2.ts_us = m.t_ts) AS t_id
+         |      FROM m),
+         |b AS (SELECT a.*,
+         |        (SELECT t3.event_type FROM t t3 WHERE t3.event_id = a.t_id) AS t_type
+         |      FROM a),
+         |c AS (SELECT
+         |        CASE WHEN t_ts IS NULL OR ts_us - t_ts > $AttributionLookbackUs
+         |             THEN 'none' ELSE t_type END AS channel,
+         |        CASE WHEN t_ts IS NULL OR ts_us - t_ts > $AttributionLookbackUs
+         |             THEN NULL ELSE ts_us - t_ts END AS gap_us,
+         |        value
+         |      FROM b)
+         |SELECT channel, COUNT(*) AS n_conversions,
+         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+         |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
+         |  CASE WHEN channel = 'none' THEN 0.0::DOUBLE
+         |       ELSE round(COALESCE(SUM(gap_us), 0)::DOUBLE / COUNT(*)::DOUBLE, 6)
+         |  END AS avg_gap_us
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // RFM segmentation: per-user recency/frequency/monetary, exact quintile buckets
+    // 1 + ((rank-1)*5) DIV n with user_id tie-breaks — mirror of AnalyticsQueries.rfm
+    "ev16_rfm" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS recency_us,
+        |               COUNT(*) AS n_events,
+        |               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |                 AS monetary_cents
+        |             FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |        row_number() OVER (ORDER BY recency_us DESC, user_id) AS r_rank,
+        |        row_number() OVER (ORDER BY n_events DESC, user_id) AS f_rank,
+        |        row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS m_rank,
+        |        COUNT(*) OVER () AS n_users
+        |      FROM per),
+        |b AS (SELECT user_id, recency_us, CAST(n_events AS BIGINT) AS n_events,
+        |        monetary_cents,
+        |        CAST(1 + ((r_rank - 1) * 5) // n_users AS BIGINT) AS r_bucket,
+        |        CAST(1 + ((f_rank - 1) * 5) // n_users AS BIGINT) AS f_bucket,
+        |        CAST(1 + ((m_rank - 1) * 5) // n_users AS BIGINT) AS m_bucket
+        |      FROM r)
+        |SELECT *, CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS BIGINT) AS rfm_code
+        |FROM b""".stripMargin,
+
+    // activity Pareto: exact decile cut of the per-user activity ranks, integer event
+    // totals, micro-quantized shares, 10-row cumulative window — mirror of
+    // AnalyticsQueries.activityPareto
+    "ev17_activity_pareto" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |               COUNT(*) AS n_users_total FROM per),
+        |rk AS (SELECT n_events,
+        |         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+        |       FROM per),
+        |dec AS (SELECT CAST(1 + ((rank - 1) * 10) // n_users_total AS BIGINT) AS decile,
+        |          n_events, total_events
+        |        FROM rk CROSS JOIN tot),
+        |agg AS (SELECT decile, COUNT(*) AS n_users,
+        |          CAST(SUM(n_events) AS BIGINT) AS decile_events,
+        |          MAX(total_events) AS total_events
+        |        FROM dec GROUP BY 1),
+        |cum AS (SELECT *, CAST(SUM(decile_events) OVER (ORDER BY decile
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_events FROM agg)
+        |SELECT decile, CAST(n_users AS BIGINT) AS n_users, decile_events,
+        |  CAST(floor(1000000.0 * decile_events::DOUBLE / total_events::DOUBLE + 0.5)
+        |    AS BIGINT) AS share_micro,
+        |  CAST(floor(1000000.0 * cum_events::DOUBLE / total_events::DOUBLE + 0.5)
+        |    AS BIGINT) AS cum_share_micro
+        |FROM cum""".stripMargin,
+  )
+}

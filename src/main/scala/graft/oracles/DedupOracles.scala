@@ -1,0 +1,435 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
+
+/** dedup, contamination and domain-curation operators (d*, dc*): this family's slice of [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] — the driver contract is unchanged, SparkEntry
+  * concatenates the families. Shared pinned parameters and SQL fragments come
+  * from [[OracleFragments]].
+  */
+private[graft] object DedupOracles extends OracleFragments {
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // --- training-data pipeline: dedup / text analysis ---
+    "d01_dedup_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // --- training-data pipeline: near-dup detection ---
+    "d02_minhash_lsh" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 1)),
+    "d03_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d04_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.2)),
+    "d05_dedup_clusters" -> ((s: SparkSession, dir: String) =>
+      Dedup.dedupClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d06_contamination" -> ((s: SparkSession, dir: String) =>
+      Dedup.contamination(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d07_boilerplate" -> ((s: SparkSession, dir: String) =>
+      Dedup.boilerplate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, minDocFreq = 25)),
+    "d08_curation_funnel" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.funnel(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // --- domain-level curation surface (the C4/RefinedWeb triage discipline) ---
+    "dc01_domain_stats" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.domainStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source")),
+    "dc02_quality_cap" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.qualityCap(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source", k = QualityCapK)),
+    "dc03_corpus_churn" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.corpusChurn(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        cutId = SourceDriftCut)),
+    "d09_containment" -> ((s: SparkSession, dir: String) =>
+      Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.3)),
+    "d10_fuzzy_pairs" -> ((s: SparkSession, dir: String) =>
+      Dedup.fuzzyPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d11_dup_ngrams" -> ((s: SparkSession, dir: String) =>
+      Dedup.dupNgramFraction(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d13_semdedup" -> ((s: SparkSession, dir: String) =>
+      Similarity.semDedup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = SemDedupThreshold, centroidMod = SemDedupCentroidMod)),
+    "d12_simhash_hamming" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashHammingPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d14_dup_spans" -> ((s: SparkSession, dir: String) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        windowTokens = DupSpanWindow, minSpanTokens = DupSpanMinTokens)),
+    "d15_cluster_keep" -> ((s: SparkSession, dir: String) =>
+      Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "d16_cluster_split" -> ((s: SparkSession, dir: String) =>
+      Dedup.clusterAwareSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d02_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin,
+    "d03_simhash" -> {
+      val sums = (0 until 16)
+        .map(i => s"SUM(CASE WHEN ascii(substr(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT doc_id, md5(token) AS h FROM toks),
+         |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    },
+
+    // banded simhash near-dup pairs: 32-bit signature over word 3-grams, 4×8-bit
+    // bands for candidates (pigeonhole-complete for hamming ≤ 3), exact bit_count
+    // verification — mirror of Dedup.simhashHammingPairs
+    "d12_simhash_hamming" -> {
+      val sums = (0 until 32)
+        .map(i => s"SUM(CASE WHEN ascii(substr(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte,
+         |h AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         |sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM sums),
+         |bd AS (SELECT doc_id, sig, band, (sig >> (8 * band)) & 255 AS bval
+         |       FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sig)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |                CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bval = y.bval
+         |                            AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+    },
+
+    // Jaccard over RARE shingles only (doc-freq <= 100), on 60-bit md5 shingle hashes
+    // — lockstep with the skew guard and the hashed shuffle keys in
+    // Dedup.ngramJaccardPairs.
+    "d04_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
+         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b)
+         |WHERE jaccard >= 0.2""".stripMargin,
+
+    // near-dup clusters: d02's pair graph + 3 min-label rounds (cluster id = min doc id
+    // reachable in <=3 hops; singletons cluster as themselves)
+    "d05_dedup_clusters" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes
+         |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
+
+    // per-source triage table: doc/token counts + corpus token share, d05 dup rate
+    // (non-keeper members under the min-id convention), mean per-row-micro-quantized
+    // t02 quality — mirror of Curation.domainStats
+    "dc01_domain_stats" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source, n_toks,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS quality_micro
+         |  FROM pd0),
+         |g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN cl.cluster_id <> pd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |    CAST(SUM(quality_micro) AS BIGINT) AS q_sum
+         |  FROM pd JOIN cl ON cl.doc_id = pd.doc_id GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM g)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(floor(1000000.0 * CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) + 0.5) AS BIGINT) AS token_share_micro,
+         |  n_dup_docs,
+         |  CAST(floor(1000000.0 * CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS dup_rate_micro,
+         |  CAST(floor(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS mean_quality_micro
+         |FROM g, tot""".stripMargin,
+
+    // cap-the-domain-keep-its-best: top-k per source by micro quality, id tie-break
+    // — mirror of Curation.qualityCap (KthSmallest threshold + bounded window ≡ the
+    // plain DESC window because (quality, id) is unique per source)
+    "dc02_quality_cap" ->
+      s"""WITH pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS quality_micro
+         |  FROM pd0)
+         |SELECT doc_id, source, quality_micro, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT doc_id, source, quality_micro,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality_micro DESC, doc_id) AS rk
+         |  FROM pd)
+         |WHERE rk <= $QualityCapK""".stripMargin,
+
+    // snapshot churn: per-source early/late doc counts + share deltas + status,
+    // joined with t35's vocabulary KL — mirror of Curation.corpusChurn
+    "dc03_corpus_churn" ->
+      s"""WITH toks AS (SELECT source, doc_id < $SourceDriftCut AS early,
+         |                     unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (SELECT source, token,
+         |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS cq,
+         |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cp
+         |  FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+         |               COUNT(*) AS vocab
+         |        FROM counts GROUP BY 1),
+         |term AS (SELECT source,
+         |    CAST(floor(1000000.0 * ((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |      * ln(((cp + 1)::DOUBLE / (np + vocab)::DOUBLE)
+         |           / ((cq + 1)::DOUBLE / (nq + vocab)::DOUBLE)) + 0.5) AS BIGINT) AS term_micro
+         |  FROM counts JOIN tot USING (source)),
+         |kl AS (SELECT source, CAST(SUM(term_micro) AS BIGINT) AS kl_micro_nats
+         |       FROM term GROUP BY source),
+         |dc AS (SELECT source,
+         |    CAST(SUM(CASE WHEN doc_id < $SourceDriftCut THEN 1 ELSE 0 END) AS BIGINT) AS docs_early,
+         |    CAST(SUM(CASE WHEN doc_id < $SourceDriftCut THEN 0 ELSE 1 END) AS BIGINT) AS docs_late
+         |  FROM documents GROUP BY 1),
+         |dtot AS (SELECT CAST(SUM(docs_early) AS BIGINT) AS tot_early,
+         |                CAST(SUM(docs_late) AS BIGINT) AS tot_late FROM dc),
+         |shr AS (SELECT source, docs_early, docs_late,
+         |    CASE WHEN tot_early = 0 THEN 0
+         |         ELSE CAST(floor(1000000.0 * CAST(docs_early AS DOUBLE) / CAST(tot_early AS DOUBLE) + 0.5) AS BIGINT) END AS share_early_micro,
+         |    CASE WHEN tot_late = 0 THEN 0
+         |         ELSE CAST(floor(1000000.0 * CAST(docs_late AS DOUBLE) / CAST(tot_late AS DOUBLE) + 0.5) AS BIGINT) END AS share_late_micro
+         |  FROM dc, dtot)
+         |SELECT shr.source, docs_early, docs_late, share_early_micro, share_late_micro,
+         |  share_late_micro - share_early_micro AS delta_share_micro,
+         |  CASE WHEN docs_early = 0 AND docs_late > 0 THEN 'appeared'
+         |       WHEN docs_late = 0 AND docs_early > 0 THEN 'vanished'
+         |       WHEN share_late_micro > share_early_micro THEN 'grew'
+         |       WHEN share_late_micro < share_early_micro THEN 'shrunk'
+         |       ELSE 'flat' END AS status,
+         |  kl.kl_micro_nats
+         |FROM shr LEFT JOIN kl USING (source)""".stripMargin,
+
+    // d05's clusters + the t07 hash split applied to the CLUSTER id — the
+    // leakage-safe split where near-dups never straddle train/eval; mirror of
+    // Dedup.clusterAwareSplit (thresholds 9000/9500 = 90/5/5 over 10k buckets)
+    "d16_cluster_split" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id, ${bucketSql("cluster_id")} AS bucket FROM cl)""".stripMargin,
+
+    // d05's clusters + the keep-longest decision: one row per cluster with the
+    // longest member (token count, doc-id tie-break) and the drop count — mirror of
+    // Dedup.clusterKeepLongest
+    "d15_cluster_keep" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |tk AS (SELECT doc_id,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |mm AS (SELECT cl.cluster_id, cl.doc_id, tk.n_tokens,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY tk.n_tokens DESC, cl.doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |       FROM cl JOIN tk ON tk.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc, n_tokens AS kept_tokens,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+         |FROM mm WHERE rk = 1""".stripMargin,
+
+    // d02's minhash bands + t07's split buckets: eval docs sharing a band with a train doc
+    "d06_contamination" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${bucketSql("doc_id")} < 9000 THEN 'train'
+         |              WHEN ${bucketSql("doc_id")} < 9500 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |tr AS (SELECT k, minhash, mh.doc_id AS train_id
+         |       FROM mh JOIN sp USING (doc_id) WHERE split = 'train'),
+         |ev AS (SELECT k, minhash, mh.doc_id AS eval_id, split
+         |       FROM mh JOIN sp USING (doc_id) WHERE split <> 'train')
+         |SELECT eval_id AS doc_id, split,
+         |       CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_matches,
+         |       MIN(train_id) AS first_train_id
+         |FROM ev JOIN tr USING (k, minhash)
+         |GROUP BY eval_id, split""".stripMargin,
+
+    // cumulative curation funnel: total -> t05 quality-kept -> d05 cluster keeper
+    // OVER THE SURVIVORS — mirror of Curation.funnel (clustering runs on the
+    // quality-filtered corpus; every stage always reports, 0 included)
+    "d08_curation_funnel" ->
+      s"""WITH $shinglesCte,
+         |q AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |      CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+         |      CAST(length(text) AS BIGINT) AS n_chars
+         |    FROM documents)
+         |  WHERE n_tokens >= 10 AND stop_hits >= 1 AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens),
+         |shq AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN q USING (doc_id)),
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM shq),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT doc_id AS v, doc_id AS label FROM q),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v),
+         |keep AS (SELECT v AS doc_id FROM l3 WHERE label = v),
+         |s2 AS (SELECT d.doc_id FROM documents d JOIN q USING (doc_id)),
+         |s3 AS (SELECT s2.doc_id FROM s2 JOIN keep USING (doc_id))
+         |SELECT '00_total' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT '01_quality', COUNT(*) FROM s2
+         |UNION ALL SELECT '02_dedup_keeper', COUNT(*) FROM s3""".stripMargin,
+
+    // boilerplate-passage fraction per doc (doc-freq >= 25 shingles) — mirror of
+    // Dedup.boilerplate on 60-bit md5 shingle hashes
+    "d07_boilerplate" ->
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) >= 25),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hsh GROUP BY doc_id),
+         |hp AS (SELECT doc_id, COUNT(*) AS n_boilerplate
+         |       FROM hsh JOIN hot USING (h) GROUP BY doc_id)
+         |SELECT per.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+         |  round(CAST(COALESCE(n_boilerplate, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |    AS boilerplate_frac
+         |FROM per LEFT JOIN hp ON per.doc_id = hp.doc_id""".stripMargin,
+
+    // SemDeDup: nearest-centroid cells (s04's deterministic centroid sample, argmax
+    // tie-break (cosine desc, cid)), then a vector is dropped when a lower-id vector
+    // in its cell clears the cosine threshold — mirror of Similarity.semDedup with
+    // the shared SemDedup* constants interpolated
+    "d13_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $SemDedupCentroidMod = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank = 1),
+         |close AS (
+         |  SELECT a.vec_id, COUNT(*) AS n_close_lower
+         |  FROM cells a JOIN cells b USING (cid)
+         |  WHERE b.vec_id < a.vec_id AND ${cosSql("a.v", "b.v")} >= $SemDedupThreshold
+         |  GROUP BY 1)
+         |SELECT c.vec_id, c.cid,
+         |       CAST(COALESCE(n_close_lower, 0) AS BIGINT) AS n_close_lower,
+         |       COALESCE(n_close_lower, 0) = 0 AS is_kept
+         |FROM cells c LEFT JOIN close USING (vec_id)""".stripMargin,
+
+    // minhash-candidate pairs verified by Levenshtein on 48-char prefixes — mirror of
+    // Dedup.fuzzyPairs (same 60-bit md5 + affine permutation family as d02)
+    "d10_fuzzy_pairs" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
+         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
+         |       GROUP BY doc_id, k),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash
+         |                            AND a.doc_id < b.doc_id),
+         |pref AS (SELECT doc_id, substr(text, 1, 48) AS pref FROM documents)
+         |SELECT id_a, id_b, CAST(levenshtein(pa.pref, pb.pref) AS INTEGER) AS edit_dist
+         |FROM cand
+         |JOIN pref pa ON pa.doc_id = id_a
+         |JOIN pref pb ON pb.doc_id = id_b
+         |WHERE levenshtein(pa.pref, pb.pref) <= 16""".stripMargin,
+
+    // shingle containment C(a→b) = n_common/n_a over doc-freq-capped shingles, both
+    // directions — mirror of Dedup.containmentPairs
+    "d09_containment" ->
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
+         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT id_a, id_b,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment
+         |  FROM common
+         |  JOIN sizes na ON na.doc_id = id_a)
+         |WHERE containment >= 0.3""".stripMargin,
+
+    // duplicate 3-gram fraction per document (60-bit md5 shingle hashes; empty-shingle
+    // docs kept at fraction 0 via LEFT JOIN) — mirror of Dedup.dupNgramFraction
+    "d11_dup_ngrams" ->
+      s"""WITH $shinglesCte,
+         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |dfq AS (SELECT h, count(*) AS n_docs FROM hm GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |               CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |        FROM hm JOIN dfq USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
+         |       ELSE round(n_dup::DOUBLE / n_shingles::DOUBLE, 6) END AS dup_fraction
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // maximal cross-document duplicated spans: positioned 5-token windows hashed to
+    // 60-bit md5 longs, doc-frequency >= 2 marks duplicated starts, gaps-and-islands
+    // (pos - row_number) merges adjacent starts into maximal spans — mirror of
+    // Dedup.dupSpans
+    "d14_dup_spans" -> {
+      val w = DupSpanWindow
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |pg AS (SELECT doc_id, i AS pos,
+         |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i FROM toks)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg) GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM pg JOIN dup USING (h)),
+         |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
+         |       FROM st GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |FROM sp WHERE span_end - span_start + 1 >= $DupSpanMinTokens""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,939 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
+import graft.testgraph.TestGraph
+
+/** the FlockDB graph-engine surface (g*) — SURVEY.md §2 semantics over the TestGraph edge log: this family's slice of [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] — the driver contract is unchanged, SparkEntry
+  * concatenates the families. Shared pinned parameters and SQL fragments come
+  * from [[OracleFragments]].
+  */
+private[graft] object GraphOracles extends OracleFragments {
+
+  val queries: Map[String, Q] = Map[String, Q](
+
+    // --- graph engine (FlockDB semantics over the TestGraph edge log) ---
+    "g01_lww_snapshot"     -> (GraphQueries.lwwSnapshot _),
+    "g02_adjacency_topk"   -> (GraphQueries.adjacencyTopK _),
+    "g03_intersection"     -> (GraphQueries.intersection _),
+    "g04_difference"       -> (GraphQueries.difference _),
+    "g05_union"            -> (GraphQueries.union _),
+    "g06_reciprocal"       -> (GraphQueries.reciprocal _),
+    "g07_metadata"         -> (GraphQueries.metadata _),
+    "g08_count2_estimates" -> (GraphQueries.count2Estimates _),
+    "g09_cursor_page"      -> (GraphQueries.cursorPage _),
+    "g10_contains"         -> (GraphQueries.containsSet _),
+    "g11_where_in"         -> (GraphQueries.whereIn _),
+    "g12_execute_lww"      -> (GraphQueries.executeLww _),
+    "g13_bulk_archive"     -> (GraphQueries.bulkArchive _),
+    "g14_copy_repair"      -> (GraphQueries.copyRepair _),
+    "g15_nested_compound"  -> (GraphQueries.nestedCompound _),
+    "g16_uuid_functions"   -> (GraphQueries.uuidFunctions _),
+    "g17_pagerank"         -> (GraphQueries.pageRank _),
+    "g18_vertex_domination" -> (GraphQueries.vertexDomination _),
+    "g19_backward_ops"      -> (GraphQueries.backwardOps _),
+    "g20_metadata_registers" -> (GraphQueries.metadataRegisters _),
+    "g21_triangles"         -> (GraphQueries.triangleCounts _),
+    "g22_label_propagation" -> (GraphQueries.labelPropagation _),
+    "g23_two_hop"           -> (GraphQueries.twoHop _),
+    "g24_degree_histogram"  -> (GraphQueries.degreeHistogram _),
+    "g25_node_jaccard"      -> (GraphQueries.nodeJaccard _),
+    "g26_metadata_patched"  -> (GraphQueries.metadataPatchedQuery _),
+    "g27_kcore"             -> ((s: SparkSession, dir: String) =>
+      GraphQueries.kCore(s, dir, k = 20, rounds = 3)),
+    "g28_clustering_coeff"  -> (GraphQueries.clusteringCoefficient _),
+    "g29_connected_components" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.connectedComponents(s, dir)),
+    "g30_assortativity"     -> (GraphQueries.assortativity _),
+    "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
+    "g32_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
+    "g33_hits"              -> (GraphQueries.hits _),
+    "g34_bfs_distance"      -> ((s: SparkSession, dir: String) =>
+      GraphQueries.bfsDistance(s, dir, maxHops = 3)),
+    "g35_friend_recs"       -> ((s: SparkSession, dir: String) =>
+      GraphQueries.friendRecs(s, dir, k = 5)),
+    "g36_local_bridges"     -> (GraphQueries.localBridges _),
+    "g37_decayed_pagerank"  -> (GraphQueries.decayedPageRank _),
+    "g38_ktruss"            -> ((s: SparkSession, dir: String) =>
+      GraphQueries.kTruss(s, dir, k = KTrussK, rounds = KTrussRounds)),
+    "g39_sssp"              -> ((s: SparkSession, dir: String) =>
+      GraphQueries.boundedSssp(s, dir, rounds = 3)),
+    "g40_lpa_communities"   -> ((s: SparkSession, dir: String) =>
+      GraphQueries.lpaCommunities(s, dir, rounds = LpaRounds)),
+    "g41_snapshot_asof"     -> (GraphQueries.snapshotAsOf _),
+    "g42_churn_between"     -> (GraphQueries.churnBetween _),
+    "g43_salsa"             -> (GraphQueries.salsa _),
+    "g44_harmonic"          -> ((s: SparkSession, dir: String) =>
+      GraphQueries.harmonicCentrality(s, dir, maxHops = 3)),
+    "g45_random_walks"      -> ((s: SparkSession, dir: String) =>
+      GraphQueries.randomWalks(s, dir, steps = WalkSteps, seedMod = WalkSeedMod)),
+    "g46_modularity" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.modularity(s, dir, rounds = LpaRounds)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "g01_lww_snapshot" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""",
+    "g02_adjacency_topk" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT graph_id, source_id, destination_id, position,
+         |         row_number() OVER (PARTITION BY graph_id, source_id ORDER BY position DESC) AS rank
+         |  FROM edges WHERE state = 0)
+         |WHERE rank <= 3""".stripMargin,
+    "g03_intersection" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |  AND destination_id IN (SELECT destination_id FROM edges
+         |                         WHERE graph_id = 1 AND source_id = 2 AND state = 0)""".stripMargin,
+    "g04_difference" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |  AND destination_id NOT IN (SELECT destination_id FROM edges
+         |                             WHERE graph_id = 1 AND source_id = 2 AND state = 0)""".stripMargin,
+    "g05_union" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |UNION
+         |SELECT destination_id FROM edges WHERE graph_id = 1 AND source_id = 2 AND state = 0""".stripMargin,
+    "g06_reciprocal" ->
+      s"""$snap SELECT a.graph_id, a.source_id, a.destination_id FROM edges a
+         |WHERE a.state = 0 AND EXISTS (
+         |  SELECT 1 FROM edges b
+         |  WHERE b.graph_id = a.graph_id AND b.source_id = a.destination_id
+         |    AND b.destination_id = a.source_id AND b.state = 0)""".stripMargin,
+    "g07_metadata" ->
+      s"""$meta SELECT graph_id, source_id, state, c AS "count", mu AS updated_at FROM meta""",
+    "g08_count2_estimates" ->
+      s"""$meta,
+         |g AS (SELECT DISTINCT graph_id FROM edges),
+         |m1 AS (SELECT graph_id, c FROM meta WHERE source_id = 1 AND state = 0),
+         |m2 AS (SELECT graph_id, c FROM meta WHERE source_id = 2 AND state = 0)
+         |SELECT g.graph_id,
+         |       CAST(FLOOR(LEAST(COALESCE(m1.c, 0), COALESCE(m2.c, 0)) * 0.1) AS BIGINT) AS est_intersection,
+         |       CAST(GREATEST(COALESCE(m1.c, 0), COALESCE(m2.c, 0)) AS BIGINT) AS est_union,
+         |       CAST(COALESCE(m1.c, 0) AS BIGINT) AS est_difference
+         |FROM g LEFT JOIN m1 USING (graph_id) LEFT JOIN m2 USING (graph_id)""".stripMargin,
+    "g09_cursor_page" ->
+      s"""$snap,
+         |adj AS (SELECT destination_id AS neighbor_id, position FROM edges
+         |        WHERE graph_id = 1 AND source_id = 1 AND state = 0)
+         |SELECT neighbor_id, position FROM adj
+         |WHERE position < (SELECT (MIN(position) + MAX(position)) // 2 FROM adj)
+         |ORDER BY position DESC LIMIT 5""".stripMargin,
+    "g10_contains" ->
+      s"""$snap SELECT source_id, destination_id, state FROM edges
+         |WHERE graph_id = 1 AND state IN (0, 3)""".stripMargin,
+    "g11_where_in" ->
+      s"""$snap SELECT destination_id AS neighbor_id FROM edges
+         |WHERE graph_id = 1 AND source_id = 1 AND state = 0 AND destination_id BETWEEN 1 AND 30""".stripMargin,
+    "g12_execute_lww" ->
+      s"""$snap,
+         |ops AS (SELECT CAST(1 + event_id % 3 AS INTEGER) AS graph_id,
+         |               user_id AS source_id,
+         |               1 + (event_id * 7919) % 97 AS destination_id,
+         |               CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS state,
+         |               CAST(2000000 + event_id % 100 AS INTEGER) AS updated_at
+         |        FROM events WHERE event_id % 7 = 0),
+         |ops_edges AS (
+         |  SELECT o.graph_id, o.source_id, o.destination_id, e.position, o.updated_at, o.state
+         |  FROM ops o JOIN edges e USING (graph_id, source_id, destination_id)),
+         |combined AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM ops_edges)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM combined)
+         |WHERE rn = 1""".stripMargin,
+    "g13_bulk_archive" ->
+      s"""$snap SELECT graph_id, source_id, destination_id, position,
+         |  CAST(CASE WHEN graph_id = 2 AND source_id % 10 = 0 AND state <> 1
+         |            THEN 3000000 ELSE updated_at END AS INTEGER) AS updated_at,
+         |  CAST(CASE WHEN graph_id = 2 AND source_id % 10 = 0 AND state <> 1
+         |            THEN 2 ELSE state END AS INTEGER) AS state
+         |FROM edges""".stripMargin,
+    "g14_copy_repair" ->
+      s"""$snap SELECT graph_id, COUNT(*) AS n_edges,
+         |  CAST(SUM(position) AS BIGINT) AS sum_pos,
+         |  CAST(SUM(CAST(state AS BIGINT)) AS BIGINT) AS sum_state
+         |FROM edges GROUP BY graph_id""".stripMargin,
+    "g15_nested_compound" ->
+      s"""$snap,
+         |u AS (SELECT destination_id AS neighbor_id FROM edges
+         |      WHERE graph_id = 1 AND source_id = 1 AND state = 0
+         |      UNION
+         |      SELECT destination_id FROM edges WHERE graph_id = 1 AND source_id = 2 AND state = 0)
+         |SELECT neighbor_id FROM u
+         |WHERE neighbor_id IN (SELECT destination_id FROM edges
+         |                      WHERE graph_id = 1 AND source_id = 3 AND state = 0)""".stripMargin,
+    "g16_uuid_functions" ->
+      s"""$snap SELECT source_id, destination_id,
+         |  (CAST(updated_at AS BIGINT) * 1000) << 20 AS uuid_position,
+         |  ((CAST(updated_at AS BIGINT) * 1000) << 20) >> 20 AS millis_roundtrip,
+         |  CAST(-graph_id AS INTEGER) AS backward_graph_id
+         |FROM edges WHERE graph_id = 1 AND source_id = 1""".stripMargin,
+    "g17_pagerank" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM vx),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS pr FROM vx),
+         |c1 AS (SELECT e.dst AS v, CAST(SUM(r0.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+         |r1 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c1.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c1 USING (v)),
+         |c2 AS (SELECT e.dst AS v, CAST(SUM(r1.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+         |r2 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c2.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c2 USING (v)),
+         |c3 AS (SELECT e.dst AS v, CAST(SUM(r2.pr // deg.deg) AS BIGINT) AS in_sum
+         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+         |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c3 USING (v))
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS pagerank_fp FROM r3""".stripMargin,
+
+    // Recency-decayed PageRank: positions derive from updated_at via F1
+    // ((u*1000)<<20, inverse >>20 — ms is therefore exactly updated_at*1000);
+    // weight = 10000 // (1 + ageSec // 60) basis points, contribution
+    // (pr*w) // wsum — all exact integer arithmetic, mirror of
+    // GraphQueries.decayedPageRank
+    "g37_decayed_pagerank" ->
+      s"""$snap,
+         |e0 AS (SELECT source_id AS src, destination_id AS dst,
+         |              CAST(updated_at AS BIGINT) * 1000 AS ms
+         |       FROM edges WHERE graph_id = 1 AND state = 0),
+         |mx AS (SELECT MAX(ms) AS maxms FROM e0),
+         |ew AS (SELECT src, dst,
+         |              greatest(1, 10000 // (1 + (((SELECT maxms FROM mx) - ms) // 1000) // 60)) AS w
+         |       FROM e0),
+         |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM ew GROUP BY src),
+         |e AS (SELECT ew.src, ew.dst, ew.w, ws.wsum FROM ew JOIN ws USING (src)),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n FROM vx),
+         |r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS pr FROM vx),
+         |c1 AS (SELECT e.dst AS v, CAST(SUM((r0.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+         |r1 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c1.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c1 USING (v)),
+         |c2 AS (SELECT e.dst AS v, CAST(SUM((r1.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+         |r2 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c2.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c2 USING (v)),
+         |c3 AS (SELECT e.dst AS v, CAST(SUM((r2.pr * e.w) // e.wsum) AS BIGINT) AS in_sum
+         |       FROM e JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+         |r3 AS (SELECT vx.v, 150000000000 // (SELECT n FROM nn) + (COALESCE(c3.in_sum, 0) * 85) // 100 AS pr
+         |       FROM vx LEFT JOIN c3 USING (v))
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS dpr_fp FROM r3""".stripMargin,
+
+    // Bounded k-truss peeling, rounds pinned: per round, per-edge triangle support
+    // over the id-oriented closure, prune edges with support < k-2, then report
+    // survivors with recomputed support — mirror of GraphQueries.kTruss, unrolled
+    // from the SAME (KTrussK, KTrussRounds) constants the query registration uses
+    "g38_ktruss" -> {
+      // every tri() references its edge CTE 3x and each round chains on the last, so
+      // un-materialized CTEs inline EXPONENTIALLY (3^rounds copies of the base scan —
+      // measured: DuckDB never finishes); MATERIALIZED pins linear evaluation
+      def tri(e: String, t: String): String =
+        s"$t AS MATERIALIZED (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM $e e1 " +
+          s"JOIN $e e2 ON e2.lo = e1.hi JOIN $e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)"
+      def sup(t: String, s: String): String =
+        s"$s AS MATERIALIZED (SELECT lo, hi, count(*) AS sup FROM (SELECT a AS lo, b AS hi FROM $t " +
+          s"UNION ALL SELECT a AS lo, c AS hi FROM $t " +
+          s"UNION ALL SELECT b AS lo, c AS hi FROM $t) GROUP BY 1, 2)"
+      def prune(e: String, s: String, out: String): String =
+        s"$out AS MATERIALIZED (SELECT u.lo, u.hi FROM $e u JOIN $s USING (lo, hi) " +
+          s"WHERE sup >= ${KTrussK - 2})"
+      val roundCtes = (1 to KTrussRounds).map { i =>
+        val prev = if (i == 1) "und" else s"p${i - 1}"
+        s"${tri(prev, s"t$i")},\n${sup(s"t$i", s"s$i")},\n${prune(prev, s"s$i", s"p$i")}"
+      }
+      val last = s"p$KTrussRounds"
+      val (tN, sN) = (s"t${KTrussRounds + 1}", s"s${KTrussRounds + 1}")
+      s"""$snap,
+         |und AS MATERIALIZED (SELECT DISTINCT least(source_id, destination_id) AS lo,
+         |                        greatest(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |${roundCtes.mkString(",\n")},
+         |${tri(last, tN)},
+         |${sup(tN, sN)}
+         |SELECT p.lo AS lo_id, p.hi AS hi_id,
+         |  CAST(COALESCE($sN.sup, 0) AS BIGINT) AS support
+         |FROM $last p LEFT JOIN $sN USING (lo, hi)""".stripMargin
+    },
+
+    // Bounded Bellman-Ford from the mod-100 seed set, weight 1 + dst % 7, 3 pinned
+    // relaxation rounds — mirror of GraphQueries.boundedSssp
+    "g39_sssp" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst,
+         |             1 + destination_id % 7 AS w
+         |      FROM edges WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM vx WHERE v % 100 = 0),
+         |r1 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM d0
+         |         UNION ALL
+         |         SELECT e.dst AS v, d0.d + e.w AS d FROM e JOIN d0 ON d0.v = e.src)
+         |       GROUP BY v),
+         |r2 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM r1
+         |         UNION ALL
+         |         SELECT e.dst AS v, r1.d + e.w AS d FROM e JOIN r1 ON r1.v = e.src)
+         |       GROUP BY v),
+         |r3 AS (SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |         SELECT v, d FROM r2
+         |         UNION ALL
+         |         SELECT e.dst AS v, r2.d + e.w AS d FROM e JOIN r2 ON r2.v = e.src)
+         |       GROUP BY v)
+         |SELECT v AS vertex_id, d AS dist FROM r3""".stripMargin,
+
+    // Bounded synchronous label propagation, LpaRounds pinned rounds: per round every
+    // vertex adopts its neighbors' most frequent label, argmax tie-break
+    // (count desc, label asc) — mirror of GraphQueries.lpaCommunities (g22 is the
+    // different min-label CC kernel; this is community detection by majority vote)
+    "g40_lpa_communities" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+           |        FROM adj JOIN $prev l ON l.v = adj.dst
+           |        GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT v, label FROM (
+           |       SELECT v, label,
+           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+           |       FROM n$i)
+           |     WHERE rk = 1)""".stripMargin
+      }
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")}
+         |SELECT v AS vertex_id, label AS community FROM l$LpaRounds""".stripMargin
+    },
+
+    // Newman modularity of the g40 LPA partition: per-community internal-edge
+    // fraction minus the degree-mass expectation, exact integers until the one
+    // final micro-quantized double sequence — mirror of GraphQueries.modularity
+    "g46_modularity" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+           |        FROM adj JOIN $prev l ON l.v = adj.dst
+           |        GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT v, label FROM (
+           |       SELECT v, label,
+           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+           |       FROM n$i)
+           |     WHERE rk = 1)""".stripMargin
+      }
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")},
+         |comm AS (SELECT v, label AS community FROM l$LpaRounds),
+         |mt AS (SELECT COUNT(*) AS m FROM und),
+         |deg AS (SELECT v, COUNT(*) AS degree
+         |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+         |ds AS (SELECT community, COUNT(*) AS n_vertices, CAST(SUM(degree) AS BIGINT) AS d_sum
+         |       FROM deg JOIN comm USING (v) GROUP BY 1),
+         |ei AS (SELECT a.community, COUNT(*) AS e_in
+         |       FROM und JOIN comm a ON a.v = und.lo JOIN comm b ON b.v = und.hi
+         |       WHERE a.community = b.community GROUP BY 1)
+         |SELECT ds.community, ds.n_vertices,
+         |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+         |  CAST(floor(1000000.0 * (COALESCE(ei.e_in, 0)::DOUBLE / m::DOUBLE
+         |    - (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)) * (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
+         |    + 0.5) AS BIGINT) AS q_part_micro
+         |FROM ds LEFT JOIN ei USING (community), mt""".stripMargin
+    },
+
+    // TIME-TRAVEL snapshot: the LWW fold over the log prefix updated_at <= AsOfTs —
+    // mirror of GraphQueries.snapshotAsOf / EdgeStore.asOf (the cut constant is shared
+    // so a retune cannot diverge the mirror)
+    "g41_snapshot_asof" ->
+      s"""${TestGraph.snapshotAsOfCte(GraphQueries.AsOfTs)}
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""".stripMargin,
+
+    // Time-travel churn diff: the LWW winner as of ts1 vs as of ts2, keeping keys
+    // that appeared, changed state, or moved position (a pure updated_at refresh is
+    // not churn; the log is append-only, so nothing disappears) — mirror of
+    // EdgeStore.changedBetween / GraphQueries.churnBetween (cut constants shared)
+    "g42_churn_between" -> {
+      def winnerCte(name: String, ts: Int): String =
+        s"""$name AS (
+           |  SELECT graph_id, source_id, destination_id, position, state
+           |  FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY graph_id, source_id, destination_id
+           |      ORDER BY updated_at DESC, ${TestGraph.prioritySql} DESC, position DESC) AS rn
+           |    FROM edges_raw WHERE updated_at <= $ts)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH edges_raw AS (${TestGraph.rawSql}),
+         |${winnerCte("s1", GraphQueries.AsOfTs)},
+         |s2 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state
+         |  FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, ${TestGraph.prioritySql} DESC, position DESC) AS rn
+         |    FROM edges_raw WHERE updated_at <= ${GraphQueries.ChurnTs2})
+         |  WHERE rn = 1
+         |)
+         |SELECT s2.graph_id, s2.source_id, s2.destination_id,
+         |       s1.state AS old_state, s1.position AS old_position,
+         |       s2.state AS new_state, s2.position AS new_position,
+         |       s2.updated_at AS new_updated_at,
+         |       CASE WHEN s1.state IS NULL THEN 'appeared'
+         |            WHEN s1.state <> s2.state THEN 'state'
+         |            ELSE 'position' END AS change
+         |FROM s2 LEFT JOIN s1 USING (graph_id, source_id, destination_id)
+         |WHERE s1.state IS NULL OR s1.state <> s2.state OR s1.position <> s2.position""".stripMargin
+    },
+
+    // Two sequential write batches, each an LWW fold: batch1 = wildcard archive of
+    // graph-1 vertices ≡0 (mod 7) (register + fanout over live edges, positions kept);
+    // batch2 = adds from vertices ≡0 (mod 3), whose effective state is Archived when the
+    // source's register is archived (W2 domination). Position refreshes only on
+    // Removed/Negative -> effective-Normal resurrection.
+    "g18_vertex_domination" ->
+      s"""$snap,
+         |src AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 1),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2000000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e
+         |       WHERE e.graph_id = 1 AND e.source_id % 7 = 0 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |b2 AS (SELECT CAST(1 AS INTEGER) AS graph_id, s.source_id,
+         |              1 + (s.source_id * 13) % 97 AS destination_id,
+         |              CAST(CASE WHEN s.source_id % 7 = 0 THEN 2 ELSE 0 END AS INTEGER) AS state,
+         |              CAST(2500000 AS INTEGER) AS updated_at
+         |       FROM src s WHERE s.source_id % 3 = 0),
+         |b2p AS (SELECT b2.graph_id, b2.source_id, b2.destination_id,
+         |               CASE WHEN s1.position IS NULL OR (s1.state IN (1, 3) AND b2.state = 0)
+         |                    THEN (CAST(2500000 AS BIGINT) * 1000) << 20
+         |                    ELSE s1.position END AS position,
+         |               b2.updated_at, b2.state
+         |        FROM b2 LEFT JOIN snap1 s1 USING (graph_id, source_id, destination_id)),
+         |log2 AS (
+         |  SELECT * FROM log1
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b2p)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM log2)
+         |WHERE rn = 1 AND graph_id = 1""".stripMargin,
+
+    // Backward-direction write pipeline: batch1 = backward wildcard archive of graph-2
+    // vertices ≡0 (mod 5) (backward register + INCOMING-edge fanout); batch2 = backward
+    // single adds, (source, destination) swapped per the normalization rule, dominated
+    // by the target vertex's backward register.
+    "g19_backward_ops" ->
+      s"""$snap,
+         |dv AS (SELECT DISTINCT destination_id AS v FROM edges WHERE graph_id = 2),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2100000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e
+         |       WHERE e.graph_id = 2 AND e.destination_id % 5 = 0 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |b2 AS (SELECT CAST(2 AS INTEGER) AS graph_id,
+         |              1 + (v * 11) % 150 AS source_id,
+         |              v AS destination_id,
+         |              CAST(CASE WHEN v % 5 = 0 THEN 2 ELSE 0 END AS INTEGER) AS state,
+         |              CAST(2600000 AS INTEGER) AS updated_at
+         |       FROM dv WHERE v % 3 = 0),
+         |b2p AS (SELECT b2.graph_id, b2.source_id, b2.destination_id,
+         |               CASE WHEN s1.position IS NULL OR (s1.state IN (1, 3) AND b2.state = 0)
+         |                    THEN (CAST(2600000 AS BIGINT) * 1000) << 20
+         |                    ELSE s1.position END AS position,
+         |               b2.updated_at, b2.state
+         |        FROM b2 LEFT JOIN snap1 s1 USING (graph_id, source_id, destination_id)),
+         |log2 AS (
+         |  SELECT * FROM log1
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b2p)
+         |SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY graph_id, source_id, destination_id
+         |    ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |  FROM log2)
+         |WHERE rn = 1 AND graph_id = 2""".stripMargin,
+
+    // Register-aware metadata: archived vertices (incl. two with no edges at all)
+    // report the register's state/time + the count of edges in that state; vertices
+    // without a register keep the derived dominant-state metadata.
+    "g20_metadata_registers" ->
+      s"""$snap,
+         |tgt AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 3 AND source_id % 4 = 0
+         |        UNION SELECT 1000001 UNION SELECT 1000002),
+         |b1 AS (SELECT e.graph_id, e.source_id, e.destination_id, e.position,
+         |              CAST(2200000 AS INTEGER) AS updated_at, CAST(2 AS INTEGER) AS state
+         |       FROM edges e JOIN tgt USING (source_id)
+         |       WHERE e.graph_id = 3 AND e.state <> 1),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM b1),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |ps AS (SELECT source_id, state, COUNT(*) AS c, MAX(updated_at) AS mu
+         |       FROM snap1 WHERE graph_id = 3 GROUP BY 1, 2),
+         |derived AS (SELECT source_id, state, c, mu FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY source_id ORDER BY mu DESC, $prio DESC) AS rn
+         |    FROM ps)
+         |  WHERE rn = 1),
+         |reg_meta AS (SELECT t.source_id, CAST(2 AS INTEGER) AS state,
+         |                    CAST(COALESCE(ps.c, 0) AS BIGINT) AS c,
+         |                    CAST(2200000 AS INTEGER) AS mu
+         |             FROM tgt t LEFT JOIN ps ON ps.source_id = t.source_id AND ps.state = 2)
+         |SELECT CAST(3 AS INTEGER) AS graph_id, source_id, state, c AS "count", mu AS updated_at
+         |FROM (
+         |  SELECT * FROM reg_meta
+         |  UNION ALL
+         |  SELECT * FROM derived WHERE source_id NOT IN (SELECT source_id FROM tgt))""".stripMargin,
+    "g21_triangles" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+         |SELECT v AS vertex_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT a AS v FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |GROUP BY v""".stripMargin,
+    "g22_label_propagation" ->
+      s"""$snap,
+         |de AS (SELECT source_id AS a, destination_id AS b FROM edges
+         |       WHERE graph_id = 1 AND state = 0),
+         |und AS (SELECT a, b FROM de UNION ALL SELECT b, a FROM de),
+         |v AS (SELECT DISTINCT a AS v FROM und),
+         |l0 AS (SELECT v, v AS label FROM v),
+         |n1 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l0 l ON l.v = u.b GROUP BY u.a),
+         |l1 AS (SELECT l0.v, LEAST(l0.label, COALESCE(n1.m, l0.label)) AS label
+         |       FROM l0 LEFT JOIN n1 ON n1.a = l0.v),
+         |n2 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l1 l ON l.v = u.b GROUP BY u.a),
+         |l2 AS (SELECT l1.v, LEAST(l1.label, COALESCE(n2.m, l1.label)) AS label
+         |       FROM l1 LEFT JOIN n2 ON n2.a = l1.v),
+         |n3 AS (SELECT u.a, MIN(l.label) AS m FROM und u JOIN l2 l ON l.v = u.b GROUP BY u.a),
+         |l3 AS (SELECT l2.v, LEAST(l2.label, COALESCE(n3.m, l2.label)) AS label
+         |       FROM l2 LEFT JOIN n3 ON n3.a = l2.v)
+         |SELECT v AS vertex_id, label AS label_min3 FROM l3""".stripMargin,
+
+    // 2-hop expansion: a→b→c wedges, minus self-returns and direct edges
+    "g23_two_hop" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |t AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+         |      FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src),
+         |tf AS (SELECT t.src, t.dst FROM t ANTI JOIN e ON e.src = t.src AND e.dst = t.dst)
+         |SELECT src AS source_id, COUNT(*) AS n_two_hop FROM tf GROUP BY src""".stripMargin,
+
+    // power-of-two degree buckets via an integer CASE ladder — mirror of
+    // GraphQueries.degreeHistogram (floor(log2) is engine-divergent at exact powers)
+    "g24_degree_histogram" -> {
+      val ladder = (0 until 20)
+        .map(b => s"WHEN degree < ${1L << (b + 1)} THEN $b")
+        .mkString(" ")
+      s"""$snap,
+         |deg AS (SELECT graph_id, source_id, COUNT(*) AS degree
+         |        FROM edges WHERE state = 0 GROUP BY 1, 2)
+         |SELECT graph_id,
+         |  CAST(CASE $ladder ELSE 20 END AS INTEGER) AS deg_bucket,
+         |  COUNT(*) AS n_vertices, CAST(MAX(degree) AS BIGINT) AS max_degree
+         |FROM deg GROUP BY 1, 2""".stripMargin
+    },
+
+    // FULL post-write metadata recompute — the engine answers via the INCREMENTAL
+    // metadataPatched path, so the hash match proves incremental ≡ full (A2).
+    // Position rule for the adds mirrors g18: new-or-resurrected Normal edges take
+    // the deterministic uuid position (ms << 20), existing live edges keep theirs.
+    "g26_metadata_patched" ->
+      s"""$snap,
+         |src AS (SELECT DISTINCT source_id FROM edges WHERE graph_id = 2),
+         |b AS (SELECT CAST(2 AS INTEGER) AS graph_id, s.source_id,
+         |             1 + (s.source_id * 17) % 97 AS destination_id,
+         |             CAST(0 AS INTEGER) AS state, CAST(2600000 AS INTEGER) AS updated_at
+         |      FROM src s WHERE s.source_id % 5 = 0),
+         |bp AS (SELECT b.graph_id, b.source_id, b.destination_id,
+         |              CASE WHEN e.position IS NULL OR (e.state IN (1, 3) AND b.state = 0)
+         |                   THEN (CAST(2600000 AS BIGINT) * 1000) << 20
+         |                   ELSE e.position END AS position,
+         |              b.updated_at, b.state
+         |       FROM b LEFT JOIN edges e USING (graph_id, source_id, destination_id)),
+         |log1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges_raw
+         |  UNION ALL
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM bp),
+         |snap1 AS (
+         |  SELECT graph_id, source_id, destination_id, position, updated_at, state FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY graph_id, source_id, destination_id
+         |      ORDER BY updated_at DESC, $prio DESC, position DESC) AS rn
+         |    FROM log1)
+         |  WHERE rn = 1),
+         |ps AS (SELECT source_id, state, COUNT(*) AS c, MAX(updated_at) AS mu
+         |       FROM snap1 WHERE graph_id = 2 GROUP BY 1, 2)
+         |SELECT CAST(2 AS INTEGER) AS graph_id, source_id, state, c AS "count", mu AS updated_at
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source_id ORDER BY mu DESC, $prio DESC) AS rn
+         |  FROM ps)
+         |WHERE rn = 1""".stripMargin,
+
+    // 3-round k-core peeling (k = 20) on the undirected closure — mirror of
+    // GraphQueries.kCore; survivors with residual degree
+    "g27_kcore" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |        UNION
+         |        SELECT DISTINCT destination_id, source_id FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |k1 AS (SELECT src FROM und GROUP BY src HAVING COUNT(*) >= 20),
+         |e1 AS (SELECT u.src, u.dst FROM und u JOIN k1 a ON a.src = u.src
+         |       JOIN k1 b ON b.src = u.dst),
+         |k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 20),
+         |e2 AS (SELECT u.src, u.dst FROM e1 u JOIN k2 a ON a.src = u.src
+         |       JOIN k2 b ON b.src = u.dst),
+         |k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 20),
+         |e3 AS (SELECT u.src, u.dst FROM e2 u JOIN k3 a ON a.src = u.src
+         |       JOIN k3 b ON b.src = u.dst)
+         |SELECT src AS source_id, COUNT(*) AS degree FROM e3 GROUP BY src""".stripMargin,
+
+    // shared-neighbor Jaccard over graph-1 Normal adjacency sets — mirror of
+    // GraphQueries.nodeJaccard (in-degree cap 10000 is a no-op at test scale but
+    // stays in lockstep with the engine's skew guard)
+    "g25_node_jaccard" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |keep AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 10000),
+         |c AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+         |sizes AS (SELECT src, COUNT(*) AS n FROM c GROUP BY src),
+         |common AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+         |           FROM c a JOIN c b ON a.dst = b.dst AND a.src < b.src
+         |           GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, jaccard FROM (
+         |  SELECT src_a, src_b, n_common,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes na ON na.src = src_a
+         |  JOIN sizes nb ON nb.src = src_b)
+         |WHERE jaccard >= 0.3""".stripMargin,
+
+    // local clustering coefficient over the g21 undirected closure — mirror of
+    // GraphQueries.clusteringCoefficient (2·tri/(deg·(deg−1)), degree-<2 pins 0)
+    "g28_clustering_coeff" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |deg AS (SELECT v AS vertex_id, COUNT(*) AS degree FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY v),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |tcnt AS (SELECT v AS vertex_id, COUNT(*) AS n_triangles FROM (
+         |           SELECT a AS v FROM tri
+         |           UNION ALL SELECT b FROM tri
+         |           UNION ALL SELECT c FROM tri)
+         |         GROUP BY v)
+         |SELECT d.vertex_id, d.degree,
+         |  COALESCE(t.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree < 2 THEN 0.0::DOUBLE
+         |       ELSE round(2.0::DOUBLE * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+         |                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS clustering
+         |FROM deg d LEFT JOIN tcnt t USING (vertex_id)""".stripMargin,
+
+    // personalized PageRank — same unrolled integer-fixpoint shape as g17, teleport
+    // mass restricted to the seed set (v ≡ 0 mod 100) — mirror of
+    // GraphQueries.personalizedPageRank
+    "g32_personalized_pagerank" -> {
+      def r(prev: String, cur: String, contrib: String) =
+        s"""$contrib AS (SELECT e.dst AS v, CAST(SUM($prev.pr // deg.deg) AS BIGINT) AS in_sum
+           |       FROM e JOIN deg USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst),
+           |$cur AS (SELECT vx.v,
+           |         CASE WHEN vx.v % 100 = 0 THEN 150000000000 // (SELECT n FROM ns) ELSE 0 END
+           |           + (COALESCE($contrib.in_sum, 0) * 85) // 100 AS pr
+           |       FROM vx LEFT JOIN $contrib USING (v))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |ns AS (SELECT COUNT(*) AS n FROM vx WHERE v % 100 = 0),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT v, CASE WHEN v % 100 = 0
+         |                      THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS pr FROM vx),
+         |${r("r0", "r1", "c1")},
+         |${r("r1", "r2", "c2")},
+         |${r("r2", "r3", "c3")}
+         |SELECT v AS vertex_id, CAST(pr AS BIGINT) AS ppr_fp FROM r3""".stripMargin
+    },
+
+    // HITS hubs/authorities, 2 iterations, integer max-normalization after every
+    // half-step — mirror of GraphQueries.hits
+    "g33_hits" -> {
+      def half(prev: String, cur: String, from: String, to: String) =
+        s"""${cur}r AS (SELECT e.$to AS v, CAST(SUM($prev.s) AS BIGINT) AS raw
+           |       FROM e JOIN $prev ON $prev.v = e.$from GROUP BY e.$to),
+           |${cur}m AS (SELECT MAX(raw) AS mx FROM ${cur}r),
+           |$cur AS (SELECT vx.v,
+           |         CAST((COALESCE(${cur}r.raw, 0) * 1000000) // (SELECT mx FROM ${cur}m) AS BIGINT) AS s
+           |       FROM vx LEFT JOIN ${cur}r USING (v))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, 1000000 AS s FROM vx),
+         |${half("h0", "a1", "src", "dst")},
+         |${half("a1", "h1", "dst", "src")},
+         |${half("h1", "a2", "src", "dst")},
+         |${half("a2", "h2", "dst", "src")}
+         |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
+         |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
+    },
+
+    // SALSA: 4 unrolled degree-normalized half-steps with integer max-normalization
+    // (`//` on non-negatives ≡ Spark's DIV) — mirror of GraphQueries.salsa
+    "g43_salsa" -> {
+      def half(prev: String, cur: String, from: String, to: String, deg: String) =
+        s"""${cur}r AS (SELECT e.$to AS v, CAST(SUM($prev.s // e.$deg) AS BIGINT) AS raw
+           |       FROM e JOIN $prev ON $prev.v = e.$from GROUP BY e.$to),
+           |${cur}m AS (SELECT MAX(raw) AS mx FROM ${cur}r),
+           |$cur AS (SELECT vx.v,
+           |         CAST((COALESCE(${cur}r.raw, 0) * 1000000) // (SELECT mx FROM ${cur}m) AS BIGINT) AS s
+           |       FROM vx LEFT JOIN ${cur}r USING (v))""".stripMargin
+      s"""$snap,
+         |e0 AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |       WHERE graph_id = 1 AND state = 0),
+         |od AS (SELECT src, COUNT(*) AS dout FROM e0 GROUP BY src),
+         |ind AS (SELECT dst, COUNT(*) AS din FROM e0 GROUP BY dst),
+         |e AS (SELECT e0.src, e0.dst, od.dout, ind.din
+         |      FROM e0 JOIN od USING (src) JOIN ind USING (dst)),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, 1000000 AS s FROM vx),
+         |${half("h0", "a1", "src", "dst", "dout")},
+         |${half("a1", "h1", "dst", "src", "din")},
+         |${half("h1", "a2", "src", "dst", "dout")},
+         |${half("a2", "h2", "dst", "src", "din")}
+         |SELECT vx.v AS vertex_id, a2.s AS auth_fp, h2.s AS hub_fp
+         |FROM vx JOIN a2 USING (v) JOIN h2 USING (v)""".stripMargin
+    },
+
+    // local bridges: undirected edges with no shared neighbor (no closing triangle)
+    // — mirror of GraphQueries.localBridges
+    "g36_local_bridges" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS v, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+         |wc AS (SELECT DISTINCT a.v AS lo, b.v AS hi
+         |       FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v)
+         |SELECT und.lo, und.hi FROM und
+         |LEFT JOIN wc ON wc.lo = und.lo AND wc.hi = und.hi
+         |WHERE wc.lo IS NULL""".stripMargin,
+
+    // friend-of-friend top-5 per seed: 2-hop expansion, distinct bridge count,
+    // anti-join on already-followed — mirror of GraphQueries.friendRecs
+    "g35_friend_recs" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |h AS (SELECT e1.src AS s, e1.dst AS b, e2.dst AS c
+         |      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |      WHERE e1.src % 100 = 0 AND e2.dst <> e1.src),
+         |cnt AS (SELECT s, c, COUNT(DISTINCT b) AS n_via FROM h GROUP BY 1, 2),
+         |fil AS (SELECT cnt.s, cnt.c, cnt.n_via FROM cnt
+         |        LEFT JOIN e ON e.src = cnt.s AND e.dst = cnt.c
+         |        WHERE e.src IS NULL)
+         |SELECT s AS seed_id, c AS rec_id, n_via, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY s ORDER BY n_via DESC, c) AS rank
+         |  FROM fil)
+         |WHERE rank <= 5""".stripMargin,
+
+    // deterministic random walks: row_number-indexed adjacency, md5(walk:step) mod
+    // outdeg choices, 3 unrolled steps — mirror of GraphQueries.randomWalks
+    "g45_random_walks" -> {
+      def step(t: Int) =
+        s"""w$t AS (SELECT w${t - 1}.walk_id, CAST($t AS INTEGER) AS step, a.dst AS v
+           |       FROM w${t - 1} JOIN a ON a.src = w${t - 1}.v
+           |       WHERE a.idx = ('0x' || substr(md5(CAST(w${t - 1}.walk_id AS VARCHAR) || ':$t'), 1, 8))::BIGINT % a.dout)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |a AS (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |        COUNT(*) OVER (PARTITION BY src) AS dout
+         |      FROM e),
+         |w0 AS (SELECT src AS walk_id, CAST(0 AS INTEGER) AS step, src AS v
+         |       FROM (SELECT DISTINCT src FROM a) WHERE src % $WalkSeedMod = 0),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT walk_id, step, v AS vertex_id FROM w0
+         |UNION ALL SELECT walk_id, step, v FROM w1
+         |UNION ALL SELECT walk_id, step, v FROM w2
+         |UNION ALL SELECT walk_id, step, v FROM w3""".stripMargin
+    },
+
+    // sampled harmonic centrality: per-seed bounded BFS (3 unrolled rounds with
+    // min folds on (seed, v)), then Σ 10^6 // d per vertex over d >= 1 — mirror of
+    // GraphQueries.harmonicCentrality
+    "g44_harmonic" -> {
+      def round(h: Int) =
+        s"""n$h AS (SELECT r${h - 1}.seed, e.dst AS v, CAST($h AS INTEGER) AS dist
+           |       FROM r${h - 1} JOIN e ON r${h - 1}.v = e.src WHERE r${h - 1}.dist = ${h - 1}),
+           |r$h AS (SELECT seed, v, MIN(dist) AS dist FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY seed, v)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT v AS seed, v, CAST(0 AS INTEGER) AS dist FROM vx WHERE v % 100 = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS vertex_id, COUNT(*) AS n_seeds,
+         |       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |FROM r3 WHERE dist >= 1 GROUP BY v""".stripMargin
+    },
+
+    // bounded BFS from the seed set, 3 unrolled frontier expansions with min-label
+    // folds — mirror of GraphQueries.bfsDistance
+    "g34_bfs_distance" -> {
+      def round(h: Int) =
+        s"""n$h AS (SELECT e.dst AS v, CAST($h AS INTEGER) AS dist
+           |       FROM r${h - 1} JOIN e ON r${h - 1}.v = e.src WHERE r${h - 1}.dist = ${h - 1}),
+           |r$h AS (SELECT v, MIN(dist) AS dist FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY v)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT v, CAST(0 AS INTEGER) AS dist FROM vx WHERE v % 100 = 0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS vertex_id, CAST(dist AS INTEGER) AS dist FROM r3""".stripMargin
+    },
+
+    // connected components to fixpoint — the oracle computes TRUE reachability with a
+    // recursive CTE (component = min reachable id), so a hash match proves the Spark
+    // fixpoint loop converged, not merely that both ran the same number of rounds
+    "g29_connected_components" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS a, hi AS b FROM und UNION SELECT hi, lo FROM und),
+         |verts AS (SELECT DISTINCT a AS v FROM adj),
+         |reach AS (SELECT v, v AS r FROM verts
+         |          UNION
+         |          SELECT adj.b AS v, reach.r FROM reach JOIN adj ON adj.a = reach.v)
+         |SELECT v AS vertex_id, min(r) AS component FROM reach GROUP BY v""".stripMargin,
+
+    // degree assortativity (Pearson over endpoint degrees, exact integer sums,
+    // variance-term product in double space) — mirror of GraphQueries.assortativity
+    "g30_assortativity" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY v),
+         |pairs AS (SELECT dx.d AS dx, dy.d AS dy
+         |          FROM (SELECT lo, hi FROM und UNION ALL SELECT hi, lo FROM und) e
+         |          JOIN deg dx ON dx.v = e.lo
+         |          JOIN deg dy ON dy.v = e.hi),
+         |a AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |        CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |        CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |      FROM pairs)
+         |SELECT n AS n_endpoints,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |        / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+         |    AS assortativity
+         |FROM a""".stripMargin,
+
+    // Adamic-Adar link prediction over the undirected Normal closure of graph 1:
+    // unlinked pairs with ≥2 common neighbors, score = Σ 1/ln(deg) in exact integer
+    // micro-units — mirror of GraphQueries.adamicAdar
+    "g31_adamic_adar" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS v, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+         |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1),
+         |wt AS (SELECT adj.v, adj.w, CAST(round(1000000.0 / ln(d)) AS BIGINT) AS aa_micro
+         |       FROM adj JOIN deg USING (w) WHERE d BETWEEN 2 AND 10000),
+         |pairs AS (SELECT a.v AS src_a, b.v AS src_b,
+         |                 count(*) AS n_common, CAST(sum(a.aa_micro) AS BIGINT) AS aa_micro
+         |          FROM wt a JOIN wt b ON a.w = b.w AND a.v < b.v
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.src_a, p.src_b, p.n_common, p.aa_micro
+         |FROM pairs p LEFT JOIN und ON und.lo = p.src_a AND und.hi = p.src_b
+         |WHERE und.lo IS NULL""".stripMargin,
+  )
+}

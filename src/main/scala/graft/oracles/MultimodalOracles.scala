@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
+
+/** multimodal asset operators (m*): this family's slice of [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] — the driver contract is unchanged, SparkEntry
+  * concatenates the families. Shared pinned parameters and SQL fragments come
+  * from [[OracleFragments]].
+  */
+private[graft] object MultimodalOracles extends OracleFragments {
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // --- multimodal: binary media column -> features (stubbed codec, real plumbing) ---
+    "m01_media_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featurizeDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media")),
+    "m02_media_resize" -> ((s: SparkSession, dir: String) =>
+      Multimodal.resizeDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media", targetW = 641, targetH = 480)
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), md5(col("media")).as("media_md5"))),
+    "m03_frame_sample" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSampleDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)
+        .select(col("asset_id"), col("frame_index"), col("frame_offset"), md5(col("frame")).as("frame_md5"))),
+    "m04_frame_dedup" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameDedupDF(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)),
+    "m06_clip_near_dup" -> ((s: SparkSession, dir: String) =>
+      Multimodal.clipNearDup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)),
+    "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
+      Multimodal.mediaTextAlignment(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media",
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        dims = AlignDims, thresholdMicro = AlignThresholdMicro)
+        .withColumnRenamed("asset_id", "doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_media_features" ->
+      s"""SELECT doc_id AS asset_id, source AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST((octet_length(encode(text)) * 7) % 1920 + 1 AS INTEGER) AS width,
+         |  CAST((octet_length(encode(text)) * 13) % 1080 + 1 AS INTEGER) AS height,
+         |  round((octet_length(encode(text)) % 256) / 255.0, 6) AS brightness
+         |FROM documents""".stripMargin,
+
+    // stub resize truncates to (641*480) % 4096 = 480 bytes (ASCII text: byte truncation
+    // == substr); md5 compared instead of raw binary so the diff stays engine-neutral
+    "m02_media_resize" ->
+      s"""SELECT doc_id AS asset_id, source AS media_type,
+         |  CAST(LEAST(length(text), 480) AS BIGINT) AS n_bytes,
+         |  md5(substr(text, 1, 480)) AS media_md5
+         |FROM documents""".stripMargin,
+
+    // every 2nd 64-byte window of the byte stream is a "frame" (stub framing)
+    "m03_frame_sample" ->
+      s"""SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_index,
+         |  CAST(i * 64 AS BIGINT) AS frame_offset,
+         |  md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |      FROM documents)
+         |WHERE i % 2 = 0""".stripMargin,
+
+    // clip-level near-dup: frame-set Jaccard over m03's sampled-frame hashes with
+    // the doc-freq cap on hot frames — mirror of Multimodal.clipNearDup(64, 2)
+    "m06_clip_near_dup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS h
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0),
+         |fh AS (SELECT DISTINCT asset_id, h FROM f),
+         |rare AS (SELECT h FROM fh GROUP BY h HAVING COUNT(*) <= 1000),
+         |adm AS (SELECT asset_id, h FROM fh JOIN rare USING (h)),
+         |sizes AS (SELECT asset_id, COUNT(*) AS n FROM adm GROUP BY 1),
+         |pairs AS (SELECT a.asset_id AS id_a, b.asset_id AS id_b, COUNT(*) AS n_shared
+         |          FROM adm a JOIN adm b ON a.h = b.h AND a.asset_id < b.asset_id
+         |          GROUP BY 1, 2),
+         |scored AS (SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |    CAST(floor(1000000.0 * n_shared::DOUBLE
+         |      / (sa.n + sb.n - n_shared)::DOUBLE + 0.5) AS BIGINT) AS jaccard_micro
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.asset_id = id_a
+         |  JOIN sizes sb ON sb.asset_id = id_b)
+         |SELECT id_a, id_b, n_shared, jaccard_micro
+         |FROM scored WHERE jaccard_micro >= 300000""".stripMargin,
+
+    // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2);
+    // keeper = lexicographic min (asset, frame index), via struct-min in both engines
+    "m04_frame_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_index,
+         |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0)
+         |SELECT frame_md5, CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |       COUNT(*) AS n_frames,
+         |       (MIN({'a': asset_id, 'f': frame_index})).a AS keep_asset,
+         |       (MIN({'a': asset_id, 'f': frame_index})).f AS keep_frame
+         |FROM f GROUP BY frame_md5
+         |HAVING COUNT(DISTINCT asset_id) > 1""".stripMargin,
+
+    // media–text alignment screen: the stub media embedding is 8 dims of the payload
+    // md5 (4 hex chars each, % 1000 / 1000), the text side is the document embedding's
+    // leading 8 dims, alignment = rounded cosine, keep = threshold on the ROUNDED
+    // value — mirror of Multimodal.mediaTextAlignment (media bytes = UTF-8 text, so
+    // md5(media) = md5(text), the m02 equivalence)
+    "m05_media_text_align" -> {
+      val thr = AlignThresholdMicro.toDouble / 1000000.0
+      s"""WITH med AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |me AS (SELECT doc_id, i,
+         |         (('0x' || substr(h, (i - 1) * 4 + 1, 4))::BIGINT % 1000) / 1000.0 AS m
+         |       FROM (SELECT doc_id, h, unnest(generate_series(1, $AlignDims)) AS i FROM med)),
+         |mv AS (SELECT doc_id, list(m ORDER BY i) AS mv FROM me GROUP BY 1),
+         |tv AS (SELECT vec_id AS doc_id, (embedding::DOUBLE[])[1:$AlignDims] AS tv FROM embeddings)
+         |SELECT mv.doc_id, ${cosSql("mv", "tv")} AS align_cos,
+         |  CASE WHEN ${cosSql("mv", "tv")} >= $thr THEN 1 ELSE 0 END AS aligned
+         |FROM mv JOIN tv ON mv.doc_id = tv.doc_id""".stripMargin
+    }
+  )
+}

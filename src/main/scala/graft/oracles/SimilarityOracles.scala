@@ -1,0 +1,615 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Layout, Multimodal, Sampling, Similarity, Sketches, TextStats}
+
+/** embedding similarity / ANN / trained-model operators (s*): this family's slice of [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] — the driver contract is unchanged, SparkEntry
+  * concatenates the families. Shared pinned parameters and SQL fragments come
+  * from [[OracleFragments]].
+  */
+private[graft] object SimilarityOracles extends OracleFragments {
+
+  val queries: Map[String, Q] = Map[String, Q](
+    // --- similarity search over embeddings ---
+    "s01_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 10)
+    }),
+    "s02_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5, nPlanes = 6)
+    }),
+    "s03_embed_neardup" -> ((s: SparkSession, dir: String) =>
+      Similarity.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)),
+    "s20_knn_graph" -> ((s: SparkSession, dir: String) =>
+      Similarity.knnGraph(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = KnnGraphK)),
+    "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
+        "embedding", k = MmrK, candK = MmrCandK, lambdaMicro = MmrLambdaMicro)
+    }),
+    "s05_label_centroids" -> ((s: SparkSession, dir: String) =>
+      Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
+    "s06_nearest_centroid" -> ((s: SparkSession, dir: String) =>
+      Similarity.nearestCentroid(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "label", "embedding")),
+    "s04_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5,
+        centroidMod = 97, nProbe = 2)
+    }),
+    "s07_ann_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annRecall(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5)
+    }),
+    "s08_quantize" -> ((s: SparkSession, dir: String) =>
+      Similarity.quantizeError(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+    "s12_dim_stats" -> ((s: SparkSession, dir: String) =>
+      Similarity.dimStats(s.read.parquet(s"$dir/embeddings.parquet"), "embedding")),
+    "s13_random_projection" -> ((s: SparkSession, dir: String) =>
+      Similarity.randomProjection(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        outDims = 8, dims = 64)),
+    "s14_pq_codes" -> ((s: SparkSession, dir: String) =>
+      Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")),
+    "s15_pq_search" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.pqSearchTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+    }),
+    "s16_ivf_pq" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+    }),
+    "s22_kmeans_train" -> ((s: SparkSession, dir: String) =>
+      Similarity.kmeansTrain(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 8, dims = 64, rounds = KmeansTrainRounds)),
+    "s23_ivf_pq_trained" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTrainedTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5, kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
+    // the production two-job ANN shape: train the coarse quantizer once, persist
+    // the model artifact, reload and search — the t26 save→load→replay discipline
+    // applied to s23 (whose oracle SQL this query shares verbatim: the round trip
+    // must reproduce the in-session result). The model is checkpointed after load
+    // so the artifact dir can be removed before the lazy search materializes.
+    "s24_ivf_pq_saved" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-model")
+      try {
+        val path = scratch.toString + "/centroids"
+        Similarity.saveCentroids(
+          Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64,
+            rounds = IvfPqTrainRounds), path)
+        val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
+        Similarity.ivfPqWithModel(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+          k = 5, model = model)
+      } finally deleteRecursively(scratch)
+    }),
+    // the maintenance half of the s24 loop: train on the pre-cut corpus, persist,
+    // reload, and census the POST-cut arrivals against the frozen codebook — the
+    // per-cell growth table retrainTrigger reads on the incremental-ingest cadence
+    "s25_ivf_assign_new" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-assign")
+      try {
+        val path = scratch.toString + "/centroids"
+        Similarity.saveCentroids(
+          Similarity.kmeansRounds(e.filter(col("vec_id") % AssignNewMod =!= 0),
+            "vec_id", "embedding", k = 8, dims = 64, rounds = IvfPqTrainRounds), path)
+        val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
+        Similarity.ivfAssignNew(
+          e.filter(col("vec_id") % AssignNewMod === 0), "vec_id", "embedding", model)
+      } finally deleteRecursively(scratch)
+    }),
+    "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.hybridTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryMod = HybridQueryMod, listK = HybridListK, k = HybridK, k0 = RrfK0)),
+    "s18_hybrid_rrf_capped" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.hybridTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryMod = HybridQueryMod, listK = HybridListK, k = HybridK, k0 = RrfK0,
+        dfCapFraction = Some(HybridDfCap))),
+    "s09_cluster_quality" -> ((s: SparkSession, dir: String) =>
+      Similarity.clusterQuality(s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")),
+    "s10_kmeans_step" -> ((s: SparkSession, dir: String) =>
+      Similarity.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 8, dims = 64)),
+    "s11_ann_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.rerankTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5, coarseDims = 16, overfetch = 4)
+    }),
+    "s19_prf_expand" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.prfTopK(e.filter(col("vec_id") % PrfQueryMod === 0), e, "vec_id", "embedding",
+        k = PrfK, feedbackK = PrfFeedbackK)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // per-label per-dimension centroids — mirror of Similarity.labelCentroids
+    "s05_label_centroids" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT label, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid
+         |FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |GROUP BY label, i""".stripMargin,
+
+    // nearest-centroid assignment — mirror of Similarity.nearestCentroid: centroids
+    // from the FULL corpus rounded to 6 before scoring; zero-norm vectors and all-zero
+    // centroids excluded in lockstep with the engine's degenerate-input guard
+    "s06_nearest_centroid" ->
+      s"""WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT label, i, round(avg(v[i]), 6) AS c
+         |         FROM a, unnest(generate_series(1, len(v))) AS t(i)
+         |         GROUP BY label, i),
+         |cv AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |cvf AS (SELECT c_label, cv FROM cv WHERE list_dot_product(cv, cv) > 0),
+         |e AS (SELECT vec_id, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT vec_id, c_label, ${cosSql("v", "cv")} AS cos_sim FROM e, cvf)
+         |SELECT vec_id, c_label AS assigned_label, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_label) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin,
+
+    // two-stage rerank: coarse 16-dim-prefix cosine keeps 4k per query, exact cosine
+    // reranks to top-5 — mirror of Similarity.rerankTopK
+    "s11_ann_rerank" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qc FROM a WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, v[1:16] AS cc FROM a),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id, qv, cv, ${cosSql("qc", "cc")} AS coarse_sim
+         |  FROM q, c WHERE neighbor_id <> query_id),
+         |surv AS (SELECT query_id, neighbor_id, qv, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY coarse_sim DESC, neighbor_id) AS crk
+         |    FROM coarse)
+         |  WHERE crk <= 20)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id) AS rank
+         |  FROM surv)
+         |WHERE rank <= 5""".stripMargin,
+
+    // per-label cohesion to own round-6 centroid — mirror of Similarity.clusterQuality
+    // (same degenerate-input guards as s06)
+    "s09_cluster_quality" ->
+      s"""WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT label, i, round(avg(v[i]), 6) AS c
+         |         FROM a, unnest(generate_series(1, len(v))) AS t(i)
+         |         GROUP BY label, i),
+         |cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |cvf AS (SELECT label, cv FROM cv WHERE list_dot_product(cv, cv) > 0),
+         |e AS (SELECT label, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT e.label, ${cosSql("v", "cv")} AS cos FROM e JOIN cvf USING (label))
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
+         |FROM scored GROUP BY label""".stripMargin,
+
+    // one Lloyd's iteration from the k-smallest-id seeds — mirror of
+    // Similarity.kmeansStep(k = 8): cosine argmax assignment (tie-break cluster asc),
+    // then per-(cluster, dim) mean rounded to 6
+    "s10_kmeans_step" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+         |          FROM (SELECT vec_id, v FROM a ORDER BY vec_id LIMIT 8)
+         |          WHERE list_dot_product(v, v) > 0),
+         |e AS (SELECT vec_id, v FROM a WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT vec_id, cluster, v, ${cosSql("v", "cv")} AS cos FROM e, seeds),
+         |best AS (SELECT vec_id, cluster, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk
+         |    FROM scored)
+         |  WHERE rk = 1)
+         |SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid,
+         |       COUNT(*) AS n_members
+         |FROM best, unnest(generate_series(1, len(v))) AS t(i)
+         |GROUP BY cluster, i""".stripMargin,
+    "s01_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |  FROM q, e c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Hybrid retrieval: BM25 lexical top-listK (t21's log-free integer-micro
+    // weights, summed per (query, doc)) × brute-force cosine top-listK (s01's
+    // kernel), fused by integer reciprocal-rank fusion 1000000 // (k0 + rank),
+    // absent list = 0 — mirror of Retrieval.hybridTopK with the shared Hybrid*/RrfK0
+    // constants interpolated so a retune cannot diverge the mirror. s17 = uncapped
+    // (the dense-vocab worst case); s18 = the same query with the df cap engaged,
+    // both from ONE builder so the mirrors cannot drift apart
+    "s17_hybrid_rrf" -> hybridRrfSql(dfCap = None),
+    "s18_hybrid_rrf_capped" -> hybridRrfSql(dfCap = Some(HybridDfCap)),
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // LSH-bucketed near-dup (mirror of Similarity.nearDupPairs): candidates collide in
+    // either of 2 hash tables (disjoint plane families), exact cosine on candidates only.
+    "s03_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = id_a
+         |JOIN e eb ON eb.vec_id = id_b
+         |WHERE ${cosSql("ea.v", "eb.v")} >= 0.4""".stripMargin,
+
+    // approximate kNN graph (mirror of Similarity.knnGraph): s03's two-table LSH
+    // candidate union, each unordered pair scored once, both directions ranked top-k
+    "s20_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+         |sym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM scored
+         |        UNION ALL SELECT id_b, id_a, cos_sim FROM scored)
+         |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM sym)
+         |WHERE rank <= $KnnGraphK""".stripMargin,
+
+    // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each
+    // vector in its nearest cell (rounded cosine, cid tiebreak); queries probe the 2
+    // nearest cells; exact cosine top-5 within them.
+    "s04_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id AS rid, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, v AS cv2, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, v AS qv, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv2")} AS cos_sim
+         |  FROM probes JOIN cells USING (cid)
+         |  WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the LSH and IVF searches vs the exact brute-force top-5 — mirror of
+    // Similarity.annRecall, composed from the s01/s02/s04 oracle fragments
+    "s07_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM q, e c WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 6, 64)} AS bucket FROM e),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosSql("a.v", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM b a JOIN b c USING (bucket)
+         |    WHERE a.vec_id % 50 = 0 AND c.vec_id <> a.vec_id)
+         |  WHERE rank <= 5),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT e.vec_id AS rid, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+         |  FROM e, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, v AS cv2, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, v AS qv, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "cv2")} DESC, neighbor_id) AS rank
+         |    FROM probes JOIN cells USING (cid)
+         |    WHERE query_id <> neighbor_id)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+         |hits AS (
+         |  SELECT method, query_id, COUNT(*) AS n_hit
+         |  FROM approx SEMI JOIN truth USING (query_id, neighbor_id)
+         |  GROUP BY method, query_id),
+         |base AS (
+         |  SELECT query_id, method
+         |  FROM (SELECT DISTINCT query_id FROM truth), (VALUES ('lsh'), ('ivf')) m(method))
+         |SELECT method, query_id,
+         |       round(COALESCE(n_hit, 0) / 5.0, 6) AS recall_at_k
+         |FROM base LEFT JOIN hits USING (method, query_id)""".stripMargin,
+
+    // int8 quantization diagnostics — mirror of Similarity.quantizeError (⌊x+½⌋
+    // rounding; max err, not mean, so fp order can't drift)
+    "s08_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+         |m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS maxabs FROM v),
+         |s AS (SELECT vec_id, dv, maxabs / 127.0 AS scale FROM m WHERE maxabs > 0)
+         |SELECT vec_id,
+         |  CAST(len(dv) AS INTEGER) AS n_dims,
+         |  round(scale, 6) AS scale,
+         |  CAST(list_sum(list_transform(dv,
+         |    x -> CAST(abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS BIGINT))) AS BIGINT) AS sum_abs_q,
+         |  round(list_max(list_transform(dv,
+         |    x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale))), 6) AS max_abs_err
+         |FROM s""".stripMargin,
+
+    // per-dimension quantized mean/std of the embedding corpus — mirror of
+    // Similarity.dimStats (floor(x·1000+0.5) milliunit quantization ⇒ exact Σq, Σq²;
+    // the mean is rounded in INTEGER microunits, half away from zero — a float
+    // round(,6) ties at the last digit because these rationals terminate there)
+    "s12_dim_stats" ->
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+         |             CAST(floor(v[i] * 1000 + 0.5) AS BIGINT) AS q
+         |      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |a AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+         |             CAST(sum(q * q) AS BIGINT) AS sum_sq
+         |      FROM q GROUP BY 1)
+         |SELECT dim, n,
+         |  (CASE WHEN sum_q < 0 THEN -1 ELSE 1 END
+         |   * ((abs(sum_q) * 2000 + n) // (2 * n)))::DOUBLE / 1000000.0 AS mean,
+         |  round(sqrt(greatest(sum_sq::DOUBLE / n::DOUBLE
+         |                      - (sum_q::DOUBLE / n::DOUBLE) * (sum_q::DOUBLE / n::DOUBLE),
+         |                      0.0::DOUBLE)) / 1000.0, 6) AS std
+         |FROM a""".stripMargin,
+
+    // 8-dim ±1 random projection (plane family offset 32, disjoint from the LSH/rerank
+    // families) — mirror of Similarity.randomProjection
+    "s13_random_projection" -> {
+      val projs = (0 until 8)
+        .map(j => s"round(list_dot_product(v, ${lshPlaneSql(32 + j, 64)}), 6) AS p$j")
+        .mkString(",\n|  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |  $projs
+         |FROM e""".stripMargin
+    },
+
+    // product-quantization code assignment: 8×8-dim subspaces, 16 lowest-id codebook
+    // seeds, d² = ⟨s,s⟩−2⟨s,c⟩+⟨c,c⟩, argmin tie-broken on code id — mirror of
+    // Similarity.pqCodes
+    "s14_pq_codes" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |scored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s)
+         |SELECT vec_id, CAST(s AS INTEGER) AS sub, code, round(d2, 6) AS err FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+
+    // PQ asymmetric-distance search: integer micro-unit LUT distances summed per
+    // candidate, top-20 shortlist, exact cosine rerank to top-5 — mirror of
+    // Similarity.pqSearchTopK
+    "s15_pq_search" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |scored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT l.query_id, c.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+         |  WHERE l.query_id <> c.neighbor_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin,
+
+    // trained k-means: the s10 step iterated KmeansTrainRounds times as chained
+    // CTEs — mirror of Similarity.kmeansTrain (final round in s10's long form,
+    // restricted to clusters surviving the zero-norm guard)
+    "s22_kmeans_train" ->
+      s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("a", 8, KmeansTrainRounds)}
+         |SELECT m.cluster, m.dim, m.centroid, m.n_members
+         |FROM m$KmeansTrainRounds m JOIN c$KmeansTrainRounds c USING (cluster)""".stripMargin,
+
+    // IVF-PQ over the TRAINED coarse quantizer: the s16 pipeline with its sampled
+    // cents replaced by the kmeansCtes model — mirror of Similarity.ivfPqTrainedTopK.
+    // s24 (train -> save -> load -> search) shares this SQL VERBATIM: the model
+    // round-trips parquet bit-exactly, so the persisted-artifact path must
+    // reproduce the in-session result to the hash
+    "s23_ivf_pq_trained" -> ivfPqTrainedSql,
+    "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+
+    // mirror of Similarity.ivfAssignNew over the AssignNewMod split: the codebook
+    // trains on the pre-cut corpus (kmeansCtes over tr — same unrolled-rounds
+    // discipline as s22-s24), the post-cut arrivals assign by rounded-cosine argmax
+    // (cluster-asc tie-break), and the per-cell census left-joins so starved cells
+    // report n_new = 0
+    "s25_ivf_assign_new" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tr AS (SELECT vec_id, v FROM base WHERE vec_id % $AssignNewMod <> 0),
+         |${kmeansCtes("tr", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv,
+         |                 CAST(n_members AS BIGINT) AS n_trained FROM c$IvfPqTrainRounds),
+         |nw AS (SELECT vec_id, v FROM base
+         |       WHERE vec_id % $AssignNewMod = 0 AND list_dot_product(v, v) > 0),
+         |sc AS (SELECT nw.vec_id, cents.cluster, ${cosSql("nw.v", "cents.cv")} AS cos
+         |       FROM nw, cents),
+         |asg AS (SELECT vec_id, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk
+         |    FROM sc)
+         |  WHERE rk = 1),
+         |nc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_new FROM asg GROUP BY 1),
+         |ntot AS (SELECT CAST(SUM(n_new) AS BIGINT) AS tot_new FROM nc)
+         |SELECT cents.cluster, cents.n_trained,
+         |  CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(floor(1000000.0 * CAST(COALESCE(nc.n_new, 0) AS DOUBLE)
+         |    / CAST(cents.n_trained AS DOUBLE) + 0.5) AS BIGINT) AS growth_micro,
+         |  CASE WHEN COALESCE(ntot.tot_new, 0) = 0 THEN 0
+         |       ELSE CAST(floor(1000000.0 * CAST(COALESCE(nc.n_new, 0) AS DOUBLE)
+         |         / CAST(ntot.tot_new AS DOUBLE) + 0.5) AS BIGINT) END AS share_new_micro
+         |FROM cents LEFT JOIN nc ON nc.cluster = cents.cluster, ntot""".stripMargin,
+
+    // IVF-PQ: cell pruning bounds the candidates, the integer-µ ADC LUT scores them,
+    // exact cosine reranks the shortlist — mirror of Similarity.ivfPqTopK, composing
+    // the s04 cell CTEs with the s15 code/LUT CTEs
+    "s16_ivf_pq" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 97 = 0),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |cells AS (
+         |  SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank <= 1),
+         |probes AS (
+         |  SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+         |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+         |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+         |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub t JOIN cb ON cb.s = t.s),
+         |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+         |    FROM pqscored)
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+         |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+         |      - 2 * list_dot_product(q.sv, cb.cv)
+         |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+         |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+         |approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id, approx_d2m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM approx)
+         |  WHERE crank <= 20),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.approx_d2m,
+         |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+         |        FROM short sh
+         |        JOIN base qb ON qb.vec_id = sh.query_id
+         |        JOIN base nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, approx_d2m, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin,
+
+    // Rocchio pseudo-relevance-feedback: round-1 cosine top-feedbackK (s01's kernel),
+    // query expanded as feedbackK·q + Σ neighbors in exact integer micro-units
+    // (cosine is scale-invariant, so the unnormalized combination ranks identically),
+    // round-2 cosine against the expanded vector — mirror of Similarity.prfTopK with
+    // the shared Prf* constants interpolated
+    "s19_prf_expand" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $PrfQueryMod = 0),
+         |r1s AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim
+         |        FROM q, e c WHERE c.vec_id <> query_id),
+         |r1 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank FROM r1s) WHERE rank <= $PrfFeedbackK),
+         |qm AS (SELECT query_id, i, CAST(floor(qv[i] * 1000000.0 + 0.5) AS BIGINT) AS qm
+         |       FROM (SELECT query_id, qv, unnest(generate_series(1, len(qv))) AS i FROM q)),
+         |nm AS (SELECT query_id, i, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS m
+         |       FROM (SELECT r1.query_id, e.v, unnest(generate_series(1, len(e.v))) AS i
+         |             FROM r1 JOIN e ON e.vec_id = r1.neighbor_id)),
+         |fb AS (SELECT query_id, i, CAST(SUM(m) AS BIGINT) AS fb_sum FROM nm GROUP BY 1, 2),
+         |xv AS (SELECT query_id, list(($PrfFeedbackK * qm + fb_sum)::DOUBLE ORDER BY i) AS xv
+         |       FROM qm JOIN fb USING (query_id, i) GROUP BY 1),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("xv", "c.v")} AS cos_sim
+         |           FROM xv, e c WHERE c.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank FROM scored)
+         |WHERE rank <= $PrfK""".stripMargin,
+
+    // MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim-to-selected over the
+    // s01 candidates, unrolled round-for-round — mirror of Similarity.mmrRerank
+    // (SQL generated from the same Mmr* constants; see mmrRerankSql)
+    "s21_mmr_rerank" -> mmrRerankSql,
+  )
+}
