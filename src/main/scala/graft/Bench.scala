@@ -52,6 +52,7 @@ object Bench {
     "t33_pmi_pairs", "sk09_moments", "g46_modularity",
     "s21_mmr_rerank", "d15_cluster_keep",
     "dc01_domain_stats", "dc03_corpus_churn", "s25_ivf_assign_new",
+    "d17_incremental_dedup", "d18_dedup_saved_index",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

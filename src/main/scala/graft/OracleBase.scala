@@ -68,6 +68,9 @@ private[graft] trait OracleParams {
     */
   private[graft] val MixAlphaMicro = 300000L
 
+  /** dc04's pinned per-epoch document budget the mix plan allocates. */
+  private[graft] val MixBudgetDocs = 1000L
+
   /** s19's pinned tuning (query sampling mod, feedback depth, final depth), shared
     * by registration and oracle.
     */
@@ -430,11 +433,17 @@ private[graft] trait OracleFragments extends OracleParams {
     * Scala side (Dedup.dedupClusters) also has exactly one SQL rendition
     * (reviewed r10: three hand-synced copies).
     */
-  protected lazy val dedupClusterCtes: String =
+  /** The 16-permutation minhash signature chain (hm → mh) — shared by the d05
+    * closure below and the d17/d18 incremental-probe mirrors.
+    */
+  protected lazy val minhashCtes: String =
     """hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
       |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
       |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-      |       GROUP BY doc_id, k),
+      |       GROUP BY doc_id, k)""".stripMargin
+
+  protected lazy val dedupClusterCtes: String =
+    s"""$minhashCtes,
       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |          FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
       |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),

@@ -64,9 +64,76 @@ private[graft] object DedupOracles extends OracleFragments {
       Dedup.clusterKeepLongest(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "d16_cluster_split" -> ((s: SparkSession, dir: String) =>
       Dedup.clusterAwareSplit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // the production LSH mode: the post-cut ingest batch probes the existing
+    // corpus' band index — the existing corpus is never self-paired
+    "d17_incremental_dedup" -> ((s: SparkSession, dir: String) =>
+      Dedup.incrementalDedup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        cutId = SourceDriftCut)),
+    // the artifact round trip (the s24 discipline for dedup): build the index on
+    // the pre-cut corpus, persist, reload, probe with the post-cut batch — must
+    // reproduce d17 exactly, so it shares d17's oracle SQL verbatim
+    "d18_dedup_saved_index" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-dedup-index")
+      try {
+        val path = scratch.toString + "/index"
+        Dedup.saveDedupIndex(
+          Dedup.dedupIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"), path)
+        val index = Dedup.loadDedupIndex(s, path).localCheckpoint(eager = true)
+        Dedup.incrementalDedupAgainst(
+          Dedup.dedupIndex(docs.filter(col("doc_id") >= SourceDriftCut), "doc_id", "text"),
+          "doc_id", index)
+      } finally deleteRecursively(scratch)
+    }),
+    // temperatureMix's probabilities turned into concrete per-source epoch budgets
+    "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
+      Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
+        alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
   )
 
+  /** Shared by d17 and d18 — the saved-index round trip must reproduce the
+    * in-session probe, so both keys carry this mirror verbatim: post-cut docs
+    * probe the pre-cut docs' minhash bands (with rowsPerBand = 1 a band IS one
+    * permutation k), reporting the min colliding existing id and the distinct
+    * colliding band count.
+    */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |old AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id < $SourceDriftCut),
+       |nw AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id >= $SourceDriftCut)
+       |SELECT nw.doc_id, CAST(MIN(old.doc_id) AS BIGINT) AS dup_of,
+       |  CAST(COUNT(DISTINCT nw.k) AS BIGINT) AS n_bands
+       |FROM nw JOIN old ON old.k = nw.k AND old.minhash = nw.minhash
+       |GROUP BY nw.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d17_incremental_dedup" -> incrementalDedupSql,
+    "d18_dedup_saved_index" -> incrementalDedupSql,
+
+    // temperature weights -> per-epoch budgets; integer division both sides —
+    // mirror of Sampling.mixPlan over the shared α and budget constants
+    "dc04_mix_plan" -> {
+      val a = MixAlphaMicro.toDouble / 1000000.0
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+         |w AS (SELECT source, n_docs, n_total,
+         |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
+         |          AS BIGINT) AS weight_micro
+         |      FROM c CROSS JOIN tot),
+         |wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM w)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(weight_micro::DOUBLE / w_total::DOUBLE, 6) AS p_sample,
+         |  CAST((weight_micro * $MixBudgetDocs) // w_total AS BIGINT) AS target_docs,
+         |  CAST((n_docs * $MixBudgetDocs) // n_total AS BIGINT) AS prop_docs,
+         |  CASE WHEN (weight_micro * $MixBudgetDocs) // w_total > (n_docs * $MixBudgetDocs) // n_total
+         |         THEN 'upsample'
+         |       WHEN (weight_micro * $MixBudgetDocs) // w_total < (n_docs * $MixBudgetDocs) // n_total
+         |         THEN 'downsample'
+         |       ELSE 'hold' END AS verdict
+         |FROM w CROSS JOIN wt""".stripMargin
+    },
+
     "d01_dedup_exact" ->
       s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY md5(text)""".stripMargin,

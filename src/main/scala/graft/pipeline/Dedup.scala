@@ -70,9 +70,32 @@ object Dedup {
       )
       .select(col(idCol), col("x.k").as("k"), col("x.minhash").as("minhash"))
 
+  /** The (doc, band, signature) relation both the batch self-join (d02) and the
+    * incremental index (d17/d18) are built from: band b's signature concatenates
+    * its `rowsPerBand` minhashes in k order straight from the wide signature row.
+    */
+  private[graft] def bandSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val wide = minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k").cast("string")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** MinHash + LSH banding: documents sharing any band signature become candidate
-    * duplicate pairs. numHashes = bands × rowsPerBand. Band signatures concatenate the
-    * band's minhashes in k order straight from the wide signature row.
+    * duplicate pairs. numHashes = bands × rowsPerBand.
     *
     * Skew guard (`maxBucketMembers` — the same discipline as the embedding twin
     * `Similarity.scoredLshPairs`): a (band, sig) cell with more members than the cap
@@ -97,18 +120,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucketMembers: Long = 10000L
   ): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val wide = minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
-    val bandStructs = (0 until bands).map { b =>
-      val sig = concat_ws("_",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k").cast("string")): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
     // one band-sig row per (doc, band) — tiny; materialized once so the self-join below
     // doesn't re-run the whole shingle+minhash pipeline for each side
-    val bandSigs = wide
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bandSigs = bandSignatures(df, idCol, textCol, shingleSize, bands, rowsPerBand)
       .localCheckpoint(true)
     // membership census per cell — map-side-combinable count, then an equi-join that
     // admits only bounded cells into the quadratic step (never a global sort/window)
@@ -669,4 +683,89 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** d17 — INCREMENTAL dedup: check documents that arrived after `cutId` against
+    * the existing corpus' band index, without ever re-pairing the existing corpus
+    * with itself — the production mode of LSH dedup at 100 TB, where the index is
+    * maintained and each ingest batch only probes it (batch-sigs ⋈ index on
+    * (band, sig), an equi-join whose left side is ingest-sized). One row per NEW
+    * document that collides with the existing corpus: the minimum existing doc id
+    * it duplicates (`dup_of`, the d05 keeper convention) and how many bands
+    * collided (`n_bands` — with `rowsPerBand` = 1 a collision count, not a
+    * similarity estimate; the jaccard verification step stays d04/d10's job).
+    *
+    * Skew guard: the same `maxBucketMembers` cap as [[minhashLshPairs]], applied to
+    * the INDEX side's cells (a boilerplate cell in the existing corpus would
+    * otherwise fan every colliding ingest row out by its membership); recall for
+    * over-cap cells falls to the exact operators by design, as in d02. The default
+    * never binds at bench scale, so the DuckDB mirror stays capless-equivalent.
+    */
+  def incrementalDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cutId: Long,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val sigs = bandSignatures(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .localCheckpoint(true) // index + probe sides both derive from one materialization
+    incrementalDedupAgainst(
+      sigs.filter(col(idCol) >= cutId), idCol,
+      sigs.filter(col(idCol) < cutId), maxBucketMembers)
+  }
+
+  /** The probe half of [[incrementalDedup]], separated so the index can be a LOADED
+    * artifact ([[saveDedupIndex]]/[[loadDedupIndex]] — train-once/probe-anywhere,
+    * the s24 discipline applied to dedup). Both inputs are (id, band, sig)
+    * relations.
+    */
+  def incrementalDedupAgainst(
+      newSigs: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val smallCells = index.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxBucketMembers)
+      .select(col("band"), col("sig"))
+    val admitted = index.join(smallCells, Seq("band", "sig"))
+      .select(col("band"), col("sig"), col(idCol).as("existing_id"))
+    newSigs.join(admitted, Seq("band", "sig"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("existing_id")).as("dup_of"),
+        countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** Build the persistable band index of a corpus — the artifact an ingest cadence
+    * probes. (id, band, sig) rows.
+    */
+  def dedupIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1
+  ): DataFrame = bandSignatures(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+
+  /** Persist the band index partitioned by band and sig-sorted within files, so an
+    * ingest probe prunes to its band directories and row-group-skips on sig — the
+    * saveCorpus layout discipline applied to the index artifact.
+    */
+  def saveDedupIndex(index: DataFrame, path: String, filesPerBand: Int = 1): Unit =
+    index
+      .repartitionByRange(math.max(filesPerBand, 1) * 16, col("band"), col("sig"))
+      .sortWithinPartitions(col("band"), col("sig"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band")
+      .parquet(path)
+
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -181,6 +181,29 @@ object Sampling {
       df: DataFrame,
       sourceCol: String,
       alphaMicro: Long = 300000L
+  ): DataFrame =
+    temperatureWeights(df, sourceCol, alphaMicro)
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6).as("share"),
+        col("weight_micro"),
+        round(col("weight_micro").cast("double") / col("w_total").cast("double"), 6)
+          .as("p_sample"),
+        // boost = p/share as ONE division of two exact integer products
+        round(
+          (col("weight_micro") * col("n_total")).cast("double") /
+            (col("w_total") * col("n_docs")).cast("double"),
+          6).as("boost"))
+
+  /** Shared core of [[temperatureMix]] and [[mixPlan]]: per-source counts with the
+    * corpus total, the micro-quantized temperature weight, and the weight total —
+    * (source, n_docs, n_total, weight_micro, w_total).
+    */
+  private def temperatureWeights(
+      df: DataFrame,
+      sourceCol: String,
+      alphaMicro: Long
   ): DataFrame = {
     val alpha = alphaMicro.toDouble / 1000000.0
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
@@ -195,21 +218,36 @@ object Sampling {
           lit(1000000.0) * pow(col("n_docs").cast("double") / col("n_total").cast("double"), alpha)
             + lit(0.5)).cast("long"))
     val wTotal = weighted.agg(sum(col("weight_micro")).as("w_total"))
-    weighted
-      .crossJoin(broadcast(wTotal))
+    weighted.crossJoin(broadcast(wTotal))
+  }
+
+  /** dc04 — the actionable SAMPLING PLAN for one training epoch of `budgetDocs`
+    * documents: per source, the temperature-target document count
+    * (`target_docs` = ⌊weight·budget / Σweights⌋, exact integer arithmetic), what a
+    * proportional epoch would take (`prop_docs`), and the up/down/hold verdict —
+    * i.e. [[temperatureMix]]'s probabilities turned into the concrete per-source
+    * budgets a curation run executes with [[sourceCap]]/[[hashSplit]]. Same scale
+    * shape as temperatureMix: |sources|-sized arithmetic, 1-row broadcast totals,
+    * the corpus scanned once for the counts.
+    */
+  def mixPlan(
+      df: DataFrame,
+      sourceCol: String,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L
+  ): DataFrame =
+    temperatureWeights(df, sourceCol, alphaMicro)
       .select(
         col(sourceCol),
         col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6).as("share"),
-        col("weight_micro"),
         round(col("weight_micro").cast("double") / col("w_total").cast("double"), 6)
           .as("p_sample"),
-        // boost = p/share as ONE division of two exact integer products
-        round(
-          (col("weight_micro") * col("n_total")).cast("double") /
-            (col("w_total") * col("n_docs")).cast("double"),
-          6).as("boost"))
-  }
+        expr(s"(weight_micro * ${budgetDocs}L) div w_total").as("target_docs"),
+        expr(s"(n_docs * ${budgetDocs}L) div n_total").as("prop_docs"))
+      .withColumn("verdict",
+        when(col("target_docs") > col("prop_docs"), "upsample")
+          .when(col("target_docs") < col("prop_docs"), "downsample")
+          .otherwise("hold"))
 
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): every document scored by how much more likely

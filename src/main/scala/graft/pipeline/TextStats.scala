@@ -32,7 +32,7 @@ object TextStats {
     * aggregates (dc01) can SUM order-free: both engines compute the identical
     * double and quantize once, so the sums never see float associativity.
     */
-  private[pipeline] def qualityMicro(text: Column): Column = {
+  private[graft] def qualityMicro(text: Column): Column = {
     val nt = tokenCount(text)
     floor(lit(1000000.0) * (stopHits(text).cast("double") / nt.cast("double")
       + nt.cast("double") / length(text).cast("double") * 10.0) + lit(0.5)).cast("long")

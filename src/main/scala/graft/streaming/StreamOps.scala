@@ -874,6 +874,47 @@ object StreamOps extends Serializable {
       }
   }
 
+  case class DomainRegister(source: String, nDocs: Long, nTokens: Long, meanQualityMicro: Long)
+
+  /** Streaming twin of dc01's per-source stats (`Curation.domainStats` minus the
+    * cluster-dependent dup rate and the global-total share, neither of which a
+    * per-source register can hold): doc count, token count, and the running mean
+    * of the per-row micro-quantized t02 quality — THREE longs of state per source
+    * forever. Per-doc tokens and quality are the IDENTICAL codegen'd expressions
+    * the batch operator uses ([[graft.pipeline.TextStats.tokenCount]] /
+    * `qualityMicro`), and the mean is the same floor(Σq/n + 0.5) of exact
+    * integers, so after any stream prefix each register equals dc01's
+    * (n_docs, n_tokens, mean_quality_micro) on the same documents bit-for-bit
+    * (StreamOpsSpec pins it). Share/dup-rate remain batch reads over the register
+    * table / the d17 incremental probe respectively.
+    */
+  def streamingDomainStats(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String
+  ): Dataset[DomainRegister] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(sourceCol).cast("string").as("source"),
+        graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long").as("toks"),
+        graft.pipeline.TextStats.qualityMicro(col(textCol)).as("q"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, batch: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val st = state.getOption.getOrElse((0L, 0L, 0L))
+          val merged = batch.foldLeft(st) { case ((n, t, q), (_, tk, qm)) =>
+            (n + 1L, t + tk, q + qm)
+          }
+          state.update(merged)
+          DomainRegister(source, merged._1, merged._2,
+            math.floor(merged._3.toDouble / merged._1 + 0.5).toLong)
+      }
+  }
+
   case class DriftRow(source: String, nTokens: Long, klMicroNats: Long)
 
   /** The exact t37 KL sequence, pure (shared by [[streamingDrift]] and its parity

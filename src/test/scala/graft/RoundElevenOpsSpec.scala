@@ -120,6 +120,55 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("share_new_micro") == 250000L)
   }
 
+  test("d17/d18: an ingest batch probes the existing index; copies collide on every band") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "old"),
+      (2L, "completely different existing content with its own words", "old"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again", "new"), // copy of 1
+      (102L, "fresh novel text sharing nothing with the archive", "new")
+    ).toDF("doc_id", "text", "source")
+
+    val out = Dedup.incrementalDedup(docs, "doc_id", "text", cutId = 100L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands")))).toMap
+    // the byte-identical arrival collides with doc 1 on ALL 16 bands; the novel
+    // doc must not appear at all (no collision row, not a zero row)
+    assert(out.get(101L).contains((1L, 16L)), out.toString)
+    assert(!out.contains(102L) && !out.contains(1L) && !out.contains(2L), out.toString)
+
+    // the persisted-index round trip reproduces the in-session probe exactly
+    val scratch = java.nio.file.Files.createTempDirectory("graft-d18-test")
+    Dedup.saveDedupIndex(
+      Dedup.dedupIndex(docs.filter(col("doc_id") < 100L), "doc_id", "text"),
+      scratch.toString + "/idx")
+    val loaded = Dedup.loadDedupIndex(spark, scratch.toString + "/idx")
+    val out2 = Dedup.incrementalDedupAgainst(
+        Dedup.dedupIndex(docs.filter(col("doc_id") >= 100L), "doc_id", "text"), "doc_id", loaded)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands")))).toMap
+    assert(out2 == out)
+  }
+
+  test("dc04: budgets are exact integer splits and verdicts follow the temperature direction") {
+    import graft.pipeline.Sampling
+    // srcBig 8 docs, srcSmall 2 — α<1 upweights the small source
+    val docs = ((1L to 8L).map(i => (i, s"doc $i text", "srcBig")) ++
+      Seq((9L, "doc 9 text", "srcSmall"), (10L, "doc 10 text", "srcSmall")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixPlan(docs, "source", alphaMicro = 300000L, budgetDocs = 100L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val big = out("srcBig"); val small = out("srcSmall")
+    // independent mirror of the exact integer arithmetic
+    def wMicro(n: Long, tot: Long): Long =
+      math.floor(1e6 * math.pow(n.toDouble / tot, 0.3) + 0.5).toLong
+    val (wb, ws) = (wMicro(8, 10), wMicro(2, 10))
+    assert(big.getAs[Long]("target_docs") == wb * 100L / (wb + ws))
+    assert(small.getAs[Long]("target_docs") == ws * 100L / (wb + ws))
+    assert(big.getAs[Long]("prop_docs") == 80L && small.getAs[Long]("prop_docs") == 20L)
+    assert(big.getAs[String]("verdict") == "downsample")
+    assert(small.getAs[String]("verdict") == "upsample")
+  }
+
   test("retrainTrigger: hot cell, starved majority, and balanced cases") {
     def growth(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       rows.toDF("cluster", "n_new", "share_new_micro")

@@ -692,6 +692,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming domain-stats registers reproduce dc01's per-source stats on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val query = StreamOps.streamingDomainStats(
+        stream.toDS().toDF("doc_id", "text", "source"), "source", "text")
+      .toDF().writeStream.format("memory").queryName("domreg")
+      .outputMode(OutputMode.Update()).start()
+    val first = Seq(
+      (1L, "alpha the beta gamma the delta", "s1"),
+      (2L, "a few plain tokens here", "s2"),
+      (3L, "more of the same words", "s1"))
+    val second = Seq(
+      (4L, "late arrival for source one", "s1"),
+      (5L, "and a final one for two", "s2"))
+    try {
+      def check(prefix: Seq[(Long, String, String)]): Unit = {
+        val got = spark.sql(
+          """SELECT source, nDocs, nTokens, meanQualityMicro FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY nDocs DESC) AS rk
+            |  FROM domreg)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        // the batch triage table over the same prefix — same columns, same kernels
+        val batch = graft.pipeline.Curation
+          .domainStats(prefix.toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+          .collect().map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+              r.getAs[Long]("mean_quality_micro")))).toMap
+        assert(got == batch, s"prefix of ${prefix.size}: $got vs $batch")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
   test("streaming drift reproduces batch t37 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
