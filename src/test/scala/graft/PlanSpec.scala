@@ -776,6 +776,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to merge-join:\n$p")
   }
 
+  test("incremental dedup: the ingest batch equi-joins the index — no self-pairing, no pair product") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.incrementalDedup(docs, "doc_id", "text", cutId = 250L))
+    // both sides read the ONE checkpointed band-sig relation (the corpus text is
+    // hashed exactly once), the probe is a (band, sig) equi-join, and nothing
+    // multiplies unbounded relations
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("FileScan"),
+      s"index and probe must derive from the checkpointed signatures, not re-read the corpus:\n$p")
+    val joins = p.linesIterator.filter(_.contains("HashJoin")).toSeq
+    assert(joins.nonEmpty && joins.forall(l => l.contains("band") && l.contains("sig")),
+      s"probe must be a (band, sig) equi-join:\n$p")
+  }
+
   test("IVF assign-new: the codebook broadcasts; census joins stay k-row broadcasts") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val model = pipeline.Similarity.kmeansRounds(
