@@ -120,11 +120,19 @@ object Bench {
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     val pair = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+    val failedList = """\\?"failed\\?":\[([^\]]*)\]""".r
+    val nameLit = """([A-Za-z0-9_]+)""".r
     val perFile = files.toSeq.map { f =>
       val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
+      // a FAILED query's recorded seconds are its death time, not a cost — letting
+      // a 10 ms crash into history would poison min-of-history and flag every
+      // later healthy run as a 500x outlier (crowding real contamination out of
+      // the capped re-run list), so each round's failed names are dropped
+      val failed = failedList.findAllMatchIn(text)
+        .flatMap(m => nameLit.findAllMatchIn(m.group(1)).map(_.group(1))).toSet
       pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => known.contains(k) }
+        .filter { case (k, _) => known.contains(k) && !failed.contains(k) }
         .toMap // one value per query per round (later duplicate wins — lines never repeat keys)
     }
     perFile.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }

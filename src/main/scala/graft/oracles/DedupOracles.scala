@@ -139,10 +139,7 @@ private[graft] object DedupOracles extends OracleFragments {
          |FROM documents GROUP BY md5(text)""".stripMargin,
     "d02_minhash_lsh" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k)
+         |$minhashCtes
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin,
     "d03_simhash" -> {
@@ -330,10 +327,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // d02's minhash bands + t07's split buckets: eval docs sharing a band with a train doc
     "d06_contamination" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k),
+         |$minhashCtes,
          |sp AS (SELECT doc_id,
          |         CASE WHEN ${bucketSql("doc_id")} < 9000 THEN 'train'
          |              WHEN ${bucketSql("doc_id")} < 9500 THEN 'val'
@@ -430,10 +424,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // Dedup.fuzzyPairs (same 60-bit md5 + affine permutation family as d02)
     "d10_fuzzy_pairs" ->
       s"""WITH $shinglesCte,
-         |hm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
-         |mh AS (SELECT doc_id, k, min(((2 * k + 1) * h + 12289 * k + 1) % 1000000007) AS minhash
-         |       FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS k FROM hm)
-         |       GROUP BY doc_id, k),
+         |$minhashCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash
          |                            AND a.doc_id < b.doc_id),

@@ -757,9 +757,9 @@ object Dedup {
     * ingest probe prunes to its band directories and row-group-skips on sig — the
     * saveCorpus layout discipline applied to the index artifact.
     */
-  def saveDedupIndex(index: DataFrame, path: String, filesPerBand: Int = 1): Unit =
+  def saveDedupIndex(index: DataFrame, path: String, filesPerBand: Int = 1, bands: Int = 16): Unit =
     index
-      .repartitionByRange(math.max(filesPerBand, 1) * 16, col("band"), col("sig"))
+      .repartitionByRange(math.max(filesPerBand, 1) * math.max(bands, 1), col("band"), col("sig"))
       .sortWithinPartitions(col("band"), col("sig"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -986,9 +986,13 @@ object Similarity {
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
     * when the new mass is SKEWED onto a hot cell (`maxShareMicro · k ≥
     * hotFactorMicro` — a cell drawing ≥ hotFactor× its uniform 1/k share) or when
-    * a majority of cells are STARVED (no new arrivals — the data moved away from
-    * most of the codebook). Driver-side by design: the growth table is k rows
-    * (model-sized, never data-sized), the repo's bounded-collect discipline.
+    * MORE THAN `starvedNum/starvedDen` of the cells are STARVED (no new arrivals —
+    * the data moved away from most of the codebook; strict majority so an exact
+    * half never trips it). A quiet cadence window (zero arrivals) is explicitly
+    * "no evidence", never a retrain — otherwise a scheduler wired to this decision
+    * would retrain the unchanged codebook every idle cycle. Driver-side by design:
+    * the growth table is k rows (model-sized, never data-sized), the repo's
+    * bounded-collect discipline.
     */
   final case class RetrainDecision(
       retrain: Boolean, reason: String, maxShareMicro: Long, starvedCells: Long, cells: Long)
@@ -1004,10 +1008,12 @@ object Similarity {
     val k = rows.length.toLong
     val maxShare = if (rows.isEmpty) 0L else rows.map(_.getLong(0)).max
     val starved = rows.count(_.getLong(1) == 0L).toLong
-    if (k > 0 && maxShare * k >= hotFactorMicro)
+    if (k == 0L || starved == k)
+      RetrainDecision(retrain = false, "no new arrivals — no evidence", maxShare, starved, k)
+    else if (maxShare * k >= hotFactorMicro)
       RetrainDecision(retrain = true, s"hot cell: max share ${maxShare}µ ≥ ${hotFactorMicro}µ/k",
         maxShare, starved, k)
-    else if (k > 0 && starved * starvedDen >= k * starvedNum)
+    else if (starved * starvedDen > k * starvedNum)
       RetrainDecision(retrain = true, s"starved cells: $starved of $k got no new vectors",
         maxShare, starved, k)
     else RetrainDecision(retrain = false, "balanced", maxShare, starved, k)

@@ -64,13 +64,13 @@ object TextStats {
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nTokens = tokenCount(t)
-    val stopHits = occ(t, " the ") + occ(t, " a ") + occ(t, " of ") + occ(t, " and ")
+    val stops = stopHits(t) // ONE definition of the stopword set (dc01/dc02 ride it via qualityMicro)
     df.select(
       col(idCol),
       nTokens.as("n_tokens"),
-      stopHits.as("stop_hits"),
+      stops.as("stop_hits"),
       round(
-        stopHits.cast("double") / nTokens.cast("double") +
+        stops.cast("double") / nTokens.cast("double") +
           nTokens.cast("double") / length(t).cast("double") * 10.0,
         6
       ).as("quality")
@@ -130,13 +130,13 @@ object TextStats {
   ): DataFrame = {
     val t = col(textCol)
     val nTokens = tokenCount(t)
-    val stopHits = occ(t, " the ") + occ(t, " a ") + occ(t, " of ") + occ(t, " and ")
+    val stops = stopHits(t) // same shared stopword set as qualityScore/qualityMicro
     val charLen = length(t).cast("long")
     // mean token length > max  ⇔  (len - (nTokens - 1)) > max * nTokens, integer-exact
     val gibberish = (charLen - (nTokens - 1L)) > lit(maxMeanTokenLen) * nTokens
     val reasons =
       when(nTokens < minTokens, 1L).otherwise(0L) +
-        when(stopHits < minStopHits, 2L).otherwise(0L) +
+        when(stops < minStopHits, 2L).otherwise(0L) +
         when(gibberish, 4L).otherwise(0L)
     df.select(
       col(idCol),

@@ -134,11 +134,15 @@ final class RetryingEdgeIngest(
     batchSeq += 1
     val failed = judged.filter(col("__reason").isNotNull)
       .withColumn("__attempts", col("__attempts") + lit(1))
-    deadLog = deadLog.unionByName(
-        failed.filter(col("__attempts") >= maxAttempts)
-          .withColumnRenamed("__attempts", "attempts")
-          .withColumnRenamed("__reason", "reason"))
-      .localCheckpoint(true)
+    val newDead = failed.filter(col("__attempts") >= maxAttempts)
+      .withColumnRenamed("__attempts", "attempts")
+      .withColumnRenamed("__reason", "reason")
+    // append-and-checkpoint ONLY when something actually dead-lettered: the eager
+    // checkpoint copies the whole accumulated audit log, and most batches of a
+    // healthy stream add nothing to it (the isEmpty probe reads the already-
+    // checkpointed `judged`, so it is cheap)
+    if (!newDead.isEmpty)
+      deadLog = deadLog.unionByName(newDead).localCheckpoint(true)
     retryLog = failed.filter(col("__attempts") < maxAttempts)
       .drop("__reason").localCheckpoint(true)
   }

@@ -88,6 +88,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!hist.contains("cal") && !hist.contains("value") && !hist.contains("total"))
   }
 
+  test("a failed query's death time never enters history (it would poison min-of-history)") {
+    // a 12 ms crash recorded as a 'time' would make every later healthy run read
+    // as a ~500x outlier and crowd real contamination out of the capped re-runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-hist").toFile
+    val line = """{"metric":"total","value":9.9,"unit":"sec","cal":0.8,""" +
+      """"queries":{"t25_bpe_encode":0.012,"g17_pagerank":1.3},""" +
+      """"failed":["t25_bpe_encode"],"sf":"x"}"""
+    val fw = new java.io.FileWriter(new java.io.File(dir, "BENCH_r99.json"))
+    try fw.write("{\n \"tail\": \"" + line.replace("\"", "\\\"") + "\"\n}") finally fw.close()
+    val hist = Bench.benchHistory(dir, Set("t25_bpe_encode", "g17_pagerank"))
+    assert(!hist.contains("t25_bpe_encode"), hist.toString)
+    assert(hist.get("g17_pagerank").contains(Seq(1.3)), hist.toString)
+  }
+
   test("the r10 contamination pattern is flagged and corrected by the end-of-run re-run") {
     // The literal BENCH_r10 failure: cal_max 1.395 read under the ~2 reject line,
     // yet these six queries were 2.5-4x their clean cost (judge idle numbers in

@@ -188,5 +188,16 @@ class RoundElevenOpsSpec extends SparkSpec {
     val ok = growth((1L to 8L).map(c => (c, 10L, 125000L)))
     val od = Similarity.retrainTrigger(ok)
     assert(!od.retrain && od.reason == "balanced", od.toString)
+
+    // a quiet cadence window (zero arrivals anywhere) is no evidence, never a
+    // retrain — an idle scheduler must not churn the codebook
+    val idle = growth((1L to 8L).map(c => (c, 0L, 0L)))
+    val id = Similarity.retrainTrigger(idle)
+    assert(!id.retrain && id.reason.startsWith("no new arrivals"), id.toString)
+
+    // EXACTLY half starved is not a majority — must not trip the starved rule
+    val half = growth((1L to 4L).map(c => (c, 10L, 250000L)) ++ (5L to 8L).map(c => (c, 0L, 0L)))
+    val hf = Similarity.retrainTrigger(half)
+    assert(!hf.retrain, hf.toString)
   }
 }
