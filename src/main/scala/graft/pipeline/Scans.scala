@@ -26,6 +26,10 @@ object Scans {
     * per-document windows).
     */
   private[pipeline] def fanOut(df: DataFrame): DataFrame = {
+    // a streaming relation has no .rdd to inspect (and its micro-batch sizing is
+    // the source's job) — pass it through untouched so the shared text kernels
+    // stay usable from the streaming twins
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions.toLong * 4 < target) df.repartition(target) else df
   }

@@ -397,6 +397,43 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), timeout)(fold)
   }
 
+  /** Streaming twin of the d17 incremental-dedup probe: each ingest micro-batch
+    * runs the BATCH probe against the loaded corpus index
+    * ([[graft.pipeline.Dedup.loadDedupIndex]]) inside `foreachBatch` — documents
+    * arrive whole, so per-doc signatures are complete within their batch and the
+    * per-batch emissions ARE `Dedup.incrementalDedupAgainst` over the arrivals
+    * (d17 columns; StreamOpsSpec pins it verbatim). Not a streaming aggregation
+    * by design: the signature groupBy chained into the verdict groupBy would be
+    * two unbounded stateful operators for a computation that has no cross-batch
+    * state at all — here the INDEX is the state, maintained on its own build
+    * cadence, and the query itself holds none (the RetryingEdgeIngest
+    * foreachBatch discipline).
+    *
+    * Scale shape: the static side is the persisted band-partitioned index reused
+    * across micro-batches; per-batch cost is the arrivals' signature pass plus an
+    * ingest-sized (band, sig) equi-join. Apply the index-side hot-cell cap at
+    * BUILD time (saveDedupIndex of the capped relation).
+    */
+  def streamingIncrementalDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Dedup.incrementalDedupAgainst(
+            graft.pipeline.Dedup.dedupIndex(batch, idCol, textCol, shingleSize, bands, rowsPerBand),
+            idCol, index),
+          batchId)
+      }
+
   /** Incremental per-vertex degree maintenance — the reference's A2 count-delta path
     * (`SqlShard.scala:470-524`) as streaming state: each vertex's group state holds its
     * current adjacency LWW registers (compact, tombstone-aged — see [[mergeDegreeState]]);

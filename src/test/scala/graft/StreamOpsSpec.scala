@@ -732,6 +732,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup emits the d17 verdicts against a loaded static index") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different existing content with its own words"))
+      .toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-idx")
+    graft.pipeline.Dedup.saveDedupIndex(
+      graft.pipeline.Dedup.dedupIndex(archive, "doc_id", "text"), scratch.toString + "/idx")
+    val index = graft.pipeline.Dedup.loadDedupIndex(spark, scratch.toString + "/idx")
+
+    val stream = MemoryStream[(Long, String)]
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val query = StreamOps.streamingIncrementalDedup(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r =>
+            verdicts(r.getAs[Long]("doc_id")) = (r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands")))
+        })
+      .start()
+    try {
+      stream.addData(
+        (101L, "the quick brown fox jumps over the lazy dog again and again"), // copy of 1
+        (102L, "fresh novel text sharing nothing with the archive"))
+      query.processAllAvailable()
+      stream.addData((103L, "completely different existing content with its own words")) // copy of 2
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      // batch parity: the same arrivals through the batch probe
+      val arrivals = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog again and again"),
+        (102L, "fresh novel text sharing nothing with the archive"),
+        (103L, "completely different existing content with its own words"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.incrementalDedupAgainst(
+          graft.pipeline.Dedup.dedupIndex(arrivals, "doc_id", "text"), "doc_id", index)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      assert(got.keySet == Set(101L, 103L) && got(101L) == ((1L, 16L)), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming drift reproduces batch t37 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
