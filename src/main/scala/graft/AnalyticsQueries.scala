@@ -738,6 +738,109 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** q14 — the TPC-H Q14 promotion-effect shape: what fraction of a shipping
+    * window's revenue came from PROMO-type parts. One conditional sum over the
+    * window's lineitems joined to the part dimension; the share is a single
+    * final division of two exact basis-point-cent integers, micro-quantized, so
+    * the promoted/total split can never drift between engines.
+    *
+    * Scale shape: the shipdate window is phrased as a RAW-column timestamp range
+    * (never `year(col)` — a function over the column would block parquet
+    * predicate pushdown), so it prunes the fact scan at the footer; the part
+    * dimension joins by key — at warehouse scale the (partkey, p_type)
+    * projection broadcasts (or AQE picks it); ONE scalar aggregate, no window,
+    * no shuffle beyond the join.
+    */
+  def promoRevenue(
+      spark: SparkSession,
+      dir: String,
+      yearFrom: Int = 1996,
+      yearTo: Int = 1997
+  ): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(s"$yearFrom-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(s"${yearTo + 1}-01-01").cast("timestamp_ntz"))
+      .select(col("l_partkey"),
+        revenueBp(col("l_extendedprice"), col("l_discount")).as("rev_bp"))
+    val pt = table(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_bp")).otherwise(0L)).as("promo_bp"),
+        sum(col("rev_bp")).as("total_bp"))
+      .select(
+        col("promo_bp"), col("total_bp"),
+        floor(lit(1000000.0) * col("promo_bp").cast("double") / col("total_bp").cast("double")
+          + lit(0.5)).cast("long").as("promo_share_micro"))
+  }
+
+  /** q18 — the TPC-H Q18 large-volume-customer shape: orders whose total quantity
+    * exceeds a threshold, with their customer — the group-HAVING-then-join plan.
+    * The having-filtered per-order aggregate runs FIRST (map-side combinable,
+    * output is the tiny qualifying set), and only qualifying orders touch the
+    * orders/customer dimensions — the order the optimizer cannot derive if the
+    * query is phrased as a correlated IN-subquery over the raw fact table.
+    *
+    * Scale shape: one fact-table aggregate; the qualifying set is broadcast-sized
+    * by construction (it is the > threshold tail), so it broadcasts into the
+    * orders scan, and the resulting qualified-orders relation — still tiny —
+    * broadcasts into the customer scan (the CUSTOMER dimension itself is never
+    * broadcast: at warehouse scale it is data-sized); top-k is a TakeOrdered,
+    * never a global sort.
+    */
+  def largeVolumeCustomers(
+      spark: SparkSession,
+      dir: String,
+      minQty: Long = 250L,
+      k: Int = 20
+  ): DataFrame = {
+    val qualifying = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("total_cents"))
+    val cust = table(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val qualifiedOrders = orders
+      .join(broadcast(qualifying), col("o_orderkey") === col("l_orderkey"))
+    cust.join(broadcast(qualifiedOrders), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** q19 — the TPC-H Q19 disjunctive-predicate shape: revenue from lineitems
+    * matching ANY of three (brand, size-band, quantity-band) conjunctions — the
+    * plan where a naive OR across join inputs blocks predicate pushdown. Phrased
+    * so each side's derivable conjuncts still prune: the part scan keeps only the
+    * three brands (the OR's union of part predicates), the fact scan keeps only
+    * the union quantity range, and the residual disjunction evaluates post-join
+    * on the shrunken inputs.
+    *
+    * Scale shape: both scans carry pushed range predicates (the disjunction's
+    * per-side envelope); the filtered part side broadcasts; ONE scalar agg.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      // the union envelope of the three bands, on the RAW column so it pushes
+      // down to the scan (filtering the post-cast alias would not)
+      .filter(col("l_quantity").between(1, 30))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        revenueBp(col("l_extendedprice"), col("l_discount")).as("rev_bp"))
+    val pt = table(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("qty").between(1L, 11L)
+    val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+      col("qty").between(10L, 20L)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+      col("qty").between(20L, 30L)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(col("rev_bp")).as("revenue_bp"), count(lit(1)).as("n_items"))
+  }
+
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
     * seconds between a user's consecutive events, attributed to the LATER event's
     * type — the quantile evidence behind ev2's sessionization gap parameter (a

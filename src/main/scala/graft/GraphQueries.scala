@@ -300,6 +300,48 @@ object GraphQueries {
     rank.select(col("v").as("vertex_id"), col("pr").as("ppr_fp"))
   }
 
+  /** g47 — Katz centrality, bounded rounds: c(v) = Σ_{t=1..T} β^t · |walks of length
+    * t ending at v| (Katz 1953) — the attenuated-path-count complement of the
+    * degree-normalized PageRank family: contributions are NOT divided by
+    * out-degree, so a vertex followed by hubs scores by the hubs' full walk mass.
+    * Fixed-point integer form: x_0 = 10⁶ per vertex (the ones-vector in micro
+    * units), x_t(v) = (β_pct · Σ_{u→v} x_{t-1}(u)) DIV 100 with β = 50% — every
+    * step exact integer arithmetic, so the distributed sums are order-independent
+    * and the unrolled oracle reproduces the result to the hash. β < 1/λ_max is the
+    * classic convergence condition; at T = 3 bounded rounds the sum is finite for
+    * any β, and β = 1/2 keeps walk mass ≤ 10⁶·(deg_max/2)^3 — far from 64-bit
+    * overflow on any real follow graph (and DuckDB would error loudly, not wrap).
+    *
+    * Scale shape: same loop discipline as [[pageRank]] — the edge list and vertex
+    * set materialize ONCE (eager local checkpoints keep every iteration's plan
+    * shallow), each round is one equi-join + one map-side-combinable aggregation,
+    * and the iterated state never exceeds |V| rows.
+    */
+  def katzCentrality(spark: SparkSession, dir: String, betaPct: Long = 50L): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true)
+    val vertices = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(true)
+
+    var x = vertices.select(col("v"), lit(1000000L).as("x"))
+    var katz = vertices.select(col("v"), lit(0L).as("acc"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(x.select(col("v").as("src"), col("x")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("x")).as("in_sum"))
+      x = vertices
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          expr(s"(COALESCE(in_sum, CAST(0 AS BIGINT)) * $betaPct) DIV 100").as("x"))
+      katz = katz.join(x, "v").select(col("v"), (col("acc") + col("x")).as("acc"))
+    }
+    katz.select(col("v").as("vertex_id"), col("acc").as("katz_fp"))
+  }
+
   /** Recency-decayed PageRank: edge weights decay with the age encoded in the edge's
     * ordered-UUID position (F1: epoch millis live in the high bits — reference
     * `UuidGenerator.scala:26-39`, inverse `Edge.scala:45`), so a vertex's score is

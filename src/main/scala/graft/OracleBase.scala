@@ -176,6 +176,19 @@ private[graft] trait OracleParams {
   private[graft] val MmrK = 5
   private[graft] val MmrLambdaMicro = 700000L
 
+  /** d19's pinned benchmark split (doc_id % mod == 0 stands in for the external
+    * eval suite) and verbatim-overlap window (word 5-grams — the d14 window width;
+    * the published decontamination runs use 8–13-gram windows on much longer
+    * documents).
+    */
+  private[graft] val DecontamMod = 10L
+  private[graft] val DecontamShingle = 5
+
+  /** dc05's pinned deterministic centroid sample (vec_id % mod == 0 are the cell
+    * centers — the s04/d13 convention).
+    */
+  private[graft] val CoverageCentroidMod = 97
+
 }
 
 private[graft] trait OracleFragments extends OracleParams {

@@ -49,6 +49,11 @@ private[graft] object AnalyticsOracles extends OracleFragments {
       AnalyticsQueries.smallQuantityRevenue(s, d)),
     "q12_idle_rich_customers" -> (AnalyticsQueries.idleRichCustomers _),
     "q13_custdist" -> (AnalyticsQueries.customerOrderDistribution _),
+    "q14_promo_share" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.promoRevenue(s, d)),
+    "q18_large_volume" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.largeVolumeCustomers(s, d)),
+    "q19_disjunctive_revenue" -> (AnalyticsQueries.disjunctiveRevenue _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -267,6 +272,50 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |SELECT c_mktsegment, COUNT(*) AS n_customers,
         |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
         |FROM idle GROUP BY 1""".stripMargin,
+
+    // Q14 promotion-effect shape: PROMO vs total revenue in a shipdate window,
+    // share as one micro-quantized division of exact bp integers — mirror of
+    // AnalyticsQueries.promoRevenue(1996..1997)
+    "q14_promo_share" ->
+      s"""WITH f AS (SELECT l_partkey, CAST($revBp AS BIGINT) AS rev_bp
+         |           FROM lineitem
+         |           WHERE year(l_shipdate) BETWEEN 1996 AND 1997),
+         |j AS (SELECT rev_bp, p_type FROM f JOIN part ON p_partkey = l_partkey),
+         |s AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_bp ELSE 0 END) AS BIGINT) AS promo_bp,
+         |             CAST(SUM(rev_bp) AS BIGINT) AS total_bp
+         |      FROM j)
+         |SELECT promo_bp, total_bp,
+         |  CAST(floor(1000000.0 * promo_bp::DOUBLE / total_bp::DOUBLE + 0.5) AS BIGINT)
+         |    AS promo_share_micro
+         |FROM s""".stripMargin,
+
+    // Q18 large-volume shape: having-filtered per-order quantity sums joined back
+    // to orders/customer, top-20 by order value — mirror of
+    // AnalyticsQueries.largeVolumeCustomers(minQty = 250, k = 20)
+    "q18_large_volume" ->
+      """WITH q AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |           FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents, sum_qty
+        |FROM q
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // Q19 disjunctive-predicate shape: three (brand, size-band, qty-band) arms
+    // OR'd post-join, each side pre-pruned to the disjunction's envelope — mirror
+    // of AnalyticsQueries.disjunctiveRevenue
+    "q19_disjunctive_revenue" ->
+      s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         |                   CAST($revBp AS BIGINT) AS rev_bp
+         |            FROM lineitem WHERE l_quantity BETWEEN 1 AND 30),
+         |pt AS (SELECT p_partkey, p_brand, p_size FROM part
+         |       WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+         |SELECT CAST(SUM(rev_bp) AS BIGINT) AS revenue_bp, COUNT(*) AS n_items
+         |FROM li JOIN pt ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND qty BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND qty BETWEEN 20 AND 30)""".stripMargin,
 
     // Q13 custdist shape: left-outer per-customer order counts (zero band kept),
     // then the count-of-counts histogram — mirror of

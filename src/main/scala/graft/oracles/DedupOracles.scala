@@ -45,6 +45,14 @@ private[graft] object DedupOracles extends OracleFragments {
       graft.pipeline.Curation.corpusChurn(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
         cutId = SourceDriftCut)),
+    "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.semanticCoverage(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "source", "vec_id", "embedding", centroidMod = CoverageCentroidMod)),
+    "dc06_cross_source_dup" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.crossSourceDup(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source")),
     "d09_containment" -> ((s: SparkSession, dir: String) =>
       Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, threshold = 0.3)),
@@ -89,6 +97,11 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
         alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
+    // verbatim n-gram overlap of training docs against the benchmark split — the
+    // exact-evidence decontamination direction d06's minhash bands don't cover
+    "d19_benchmark_decontam" -> ((s: SparkSession, dir: String) =>
+      Dedup.benchmarkDecontaminate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
   )
 
   /** Shared by d17 and d18 — the saved-index round trip must reproduce the
@@ -110,6 +123,28 @@ private[graft] object DedupOracles extends OracleFragments {
   val oracleSql: Map[String, String] = Map(
     "d17_incremental_dedup" -> incrementalDedupSql,
     "d18_dedup_saved_index" -> incrementalDedupSql,
+
+    // distinct word 5-grams per doc on 60-bit md5 hashes; benchmark = doc_id % mod
+    // = 0; flagged training docs with hit counts, micro overlap fraction and the
+    // min colliding benchmark id — mirror of Dedup.benchmarkDecontaminate
+    "d19_benchmark_decontam" -> {
+      val w = DecontamShingle
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${w - 1}], ' ') AS shingle
+         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+         |              FROM toks)),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh5),
+         |bench AS (SELECT h, MIN(doc_id) AS bench_id FROM h WHERE doc_id % $DecontamMod = 0 GROUP BY h),
+         |tr AS (SELECT doc_id, h FROM h WHERE doc_id % $DecontamMod <> 0),
+         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+         |hits AS (SELECT tr.doc_id, COUNT(*) AS n_hits, MIN(bench_id) AS first_bench_id
+         |         FROM tr JOIN bench USING (h) GROUP BY 1)
+         |SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(floor(1000000.0 * n_hits::DOUBLE / n_shingles::DOUBLE + 0.5) AS BIGINT)
+         |    AS hit_frac_micro,
+         |  first_bench_id
+         |FROM per JOIN hits USING (doc_id)""".stripMargin
+    },
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants
@@ -231,6 +266,49 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST(floor(1000000.0 * CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS dup_rate_micro,
          |  CAST(floor(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS mean_quality_micro
          |FROM g, tot""".stripMargin,
+
+    // per-source embedding-space census: nearest-cell assignment (d13 convention),
+    // then cells hit, micro-nat Shannon entropy of the cell distribution (per-row
+    // quantized terms, exact integer sum — the dc03 KL discipline) and top-cell
+    // share — mirror of Curation.semanticCoverage
+    "dc05_semantic_coverage" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CoverageCentroidMod = 0),
+         |scored AS (SELECT e.vec_id, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc FROM e, cents),
+         |cells AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crank
+         |    FROM scored)
+         |  WHERE crank = 1),
+         |pc AS (SELECT d.source, cells.cid, COUNT(*) AS n
+         |       FROM cells JOIN documents d ON d.doc_id = cells.vec_id GROUP BY 1, 2),
+         |ps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_vecs, COUNT(*) AS n_cells,
+         |              CAST(MAX(n) AS BIGINT) AS top_n
+         |       FROM pc GROUP BY 1),
+         |term AS (SELECT pc.source,
+         |    CAST(floor(1000000.0 * (pc.n::DOUBLE / ps.n_vecs::DOUBLE)
+         |      * ln(ps.n_vecs::DOUBLE / pc.n::DOUBLE) + 0.5) AS BIGINT) AS term_micro
+         |  FROM pc JOIN ps USING (source)),
+         |ent AS (SELECT source, CAST(SUM(term_micro) AS BIGINT) AS entropy_micro_nats
+         |        FROM term GROUP BY 1)
+         |SELECT ps.source, ps.n_vecs, ps.n_cells, ent.entropy_micro_nats,
+         |  CAST(floor(1000000.0 * ps.top_n::DOUBLE / ps.n_vecs::DOUBLE + 0.5) AS BIGINT)
+         |    AS top_cell_share_micro
+         |FROM ps JOIN ent USING (source)""".stripMargin,
+
+    // which sources mirror which: d05 clusters -> per-(cluster, source) census ->
+    // unordered source-pair matrix of shared clusters + each side's doc mass —
+    // mirror of Curation.crossSourceDup
+    "dc06_cross_source_dup" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |cs AS (SELECT cluster_id, source, COUNT(*) AS n
+         |       FROM cl JOIN documents USING (doc_id) GROUP BY 1, 2)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared_clusters,
+         |  CAST(SUM(a.n) AS BIGINT) AS n_docs_a, CAST(SUM(b.n) AS BIGINT) AS n_docs_b
+         |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // cap-the-domain-keep-its-best: top-k per source by micro quality, id tie-break
     // — mirror of Curation.qualityCap (KthSmallest threshold + bounded window ≡ the

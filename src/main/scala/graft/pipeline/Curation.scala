@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation composition — the funnel a real training-data run reports:
@@ -183,5 +184,106 @@ object Curation {
           .when(col("share_late_micro") < col("share_early_micro"), "shrunk")
           .otherwise("flat"))
       .join(drift, Seq("source"), "left")
+  }
+
+  /** dc05 — semantic coverage per source: how much of the corpus's embedding space
+    * each source actually occupies. Every vector is assigned to its nearest coarse
+    * cell (the d13/s04 deterministic 1-in-`centroidMod` centroid convention —
+    * a production run would swap in the s22 trained codebook; the census is
+    * identical), then per source: vectors, distinct cells hit, the Shannon entropy
+    * of its cell distribution (micro-nats — LOW entropy = a semantically narrow
+    * domain even if its token share is large), and the share of its most-populated
+    * cell. The triage axis dc01's token counts cannot see: two sources with equal
+    * volume can differ 10× in how much of the space they cover.
+    *
+    * Determinism: each entropy term is micro-quantized per (source, cell) ROW —
+    * `floor(1e6 · (n/N) · ln(N/n) + 0.5)` with the ratio parenthesized first, the
+    * dc03 KL discipline — then exact-integer summed; cell assignment tie-breaks on
+    * (rounded cosine desc, centroid id asc) exactly as d13.
+    *
+    * Scale shape: centroids broadcast (K ≪ n, the defining IVF property), the
+    * argmax window is per-vector (never data-global), and everything after the
+    * assignment is map-side-combinable group-bys on |sources|·K-bounded relations.
+    */
+  def semanticCoverage(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      centroidMod: Int = 97
+  ): DataFrame = {
+    val e = embeddings.select(col(vecIdCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = broadcast(e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid").asc)
+    val cells = e.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        round(Similarity.cosine(col("v"), col("cv")), 6).as("cc"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val src = docs.select(col(idCol).as("vec_id"), col(sourceCol).as("source"))
+    // the |sources|·K census feeds three consumers (per-source totals, the entropy
+    // terms, the final join) — materialize it once so the n×K assignment pass
+    // never re-executes per consumer
+    val perCell = cells.join(src, "vec_id")
+      .groupBy(col("source"), col("cid"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val perSrc = perCell.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_cells"), max(col("n")).as("top_n"))
+    val entropy = perCell
+      .join(broadcast(perSrc.select(col("source"), col("n_vecs"))), "source")
+      .select(col("source"),
+        floor(lit(1000000.0) * (col("n").cast("double") / col("n_vecs").cast("double"))
+          * log(col("n_vecs").cast("double") / col("n").cast("double")) + lit(0.5))
+          .cast("long").as("term_micro"))
+      .groupBy(col("source")).agg(sum(col("term_micro")).as("entropy_micro_nats"))
+    perSrc.join(entropy, "source")
+      .select(col("source"), col("n_vecs"), col("n_cells"), col("entropy_micro_nats"),
+        floor(lit(1000000.0) * col("top_n").cast("double") / col("n_vecs").cast("double")
+          + lit(0.5)).cast("long").as("top_cell_share_micro"))
+  }
+
+  /** dc06 — the cross-source duplication matrix: which sources mirror which. A d05
+    * near-dup cluster containing documents from two different sources is direct
+    * evidence of content syndication (mirror sites, scrapes of scrapes — the
+    * RefinedWeb/C4 provenance problem); this aggregates those clusters into one
+    * unordered source-pair matrix: shared cluster count plus each side's document
+    * mass inside the shared clusters. Read it next to dc01's dup_rate: dc01 says
+    * "source X is 30% dups", dc06 says WHO it is duplicating.
+    *
+    * Scale shape: rides d05's capped-LSH clusters unchanged; the per-(cluster,
+    * source) census is one map-side-combinable groupBy; the pair join is an
+    * equi-join ON cluster_id whose per-cluster fanout is bounded by the number of
+    * DISTINCT SOURCES in the cluster (≤ |sources|, a catalog-sized constant) —
+    * never by cluster membership.
+    */
+  def crossSourceDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val clusters =
+      Dedup.dedupClusters(df, idCol, textCol, shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
+    val cs = clusters
+      .join(df.select(col(idCol), col(sourceCol).as("source")), idCol)
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = cs.select(col("cluster_id"), col("source").as("source_a"), col("n").as("na"))
+    val b = cs.select(col("cluster_id"), col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("na")).as("n_docs_a"), sum(col("nb")).as("n_docs_b"))
   }
 }

@@ -285,6 +285,49 @@ object Dedup {
       .select(col("eval_id").as(idCol), col("split"), col("n_train_matches"), col("first_train_id"))
   }
 
+  /** d19 — benchmark n-gram decontamination (the eval-suite discipline of the
+    * GPT-3 appendix-C / PaLM reports): a training document is contaminated if it
+    * shares a verbatim word n-gram with the BENCHMARK set — here documents with
+    * `id % benchmarkMod == 0` stand in for the external eval suite. This is
+    * EXACT-overlap evidence, deliberately different from [[contamination]]'s
+    * minhash-band evidence (d06 answers "is an eval doc a near-dup of training
+    * data"; d19 answers "does a training doc quote the benchmark verbatim" — the
+    * direction and the test published decontamination runs actually use). Output:
+    * one row per FLAGGED training doc — its distinct n-gram count, how many of
+    * those n-grams appear anywhere in the benchmark, the overlap fraction
+    * (micro-quantized), and the smallest colliding benchmark doc id (the audit
+    * pointer).
+    *
+    * Scale shape: the benchmark n-gram set is eval-suite-sized (thousands of
+    * docs, not the corpus) — it broadcasts into the probe join; the training
+    * side is one linear shingle scan, never self-joined. At extreme benchmark
+    * sizes the broadcast degrades to a shuffled equi-join on the n-gram hash and
+    * a bloom pre-filter on the scan — the plan stays candidates-only either way.
+    */
+  def benchmarkDecontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkMod: Long = 10L,
+      shingleSize: Int = 5
+  ): DataFrame = {
+    val hashed = shingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val bench = hashed.filter(col(idCol) % benchmarkMod === 0)
+      .groupBy(col("h")).agg(min(col(idCol)).as("bench_id"))
+    val train = hashed.filter(col(idCol) % benchmarkMod =!= 0)
+    val perDoc = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(bench), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("bench_id")).as("first_bench_id"))
+    hits.join(perDoc, idCol)
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        floor(lit(1000000.0) * col("n_hits").cast("double") / col("n_shingles").cast("double")
+          + lit(0.5)).cast("long").as("hit_frac_micro"),
+        col("first_bench_id"))
+  }
+
   /** SimHash: `bits`-bit signature from per-feature md5 hex-digit parities. Bit i of
     * the signature is the sign of Σ_features (2·parity(hexdigit_i(md5(feature))) − 1).
     * Features are word `shingleSize`-grams: unigrams (the default) profile a doc's

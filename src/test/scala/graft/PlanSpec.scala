@@ -673,6 +673,65 @@ class PlanSpec extends SparkSpec {
     assert(p13.contains("LeftOuter"), s"inner-joining loses the zero-order band:\n$p13")
   }
 
+  test("q14/q18/q19 shapes: raw-column predicates push to the scans, dims broadcast, top-k is TakeOrdered") {
+    // q14: the shipdate window must reach the parquet footer (a year(col) phrasing
+    // would evaluate post-scan) and the part dim broadcasts
+    val p14 = plan(AnalyticsQueries.promoRevenue(spark, dir))
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range must push down to the lineitem scan:\n$p14")
+    assert(p14.contains("BroadcastHashJoin") && !p14.contains("SortMergeJoin"), p14)
+    // q18: the qualifying-order set and the qualified-orders relation broadcast
+    // (the customer dimension is NEVER a build side at warehouse scale); top-k
+    // must compile to TakeOrdered, not a global sort
+    val p18 = plan(AnalyticsQueries.largeVolumeCustomers(spark, dir))
+    assert("BroadcastHashJoin".r.findAllMatchIn(p18).size == 2, p18)
+    assert(p18.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p18")
+    // q19: the disjunction's per-side envelopes prune BOTH scans; the residual
+    // OR evaluates post-join on the shrunken inputs
+    val p19 = plan(AnalyticsQueries.disjunctiveRevenue(spark, dir))
+    assert(p19.contains("GreaterThanOrEqual(l_quantity,1.0), LessThanOrEqual(l_quantity,30.0)"),
+      s"the quantity envelope must push down to the lineitem scan:\n$p19")
+    assert(p19.contains("In(p_brand"), s"the brand union must push down to the part scan:\n$p19")
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct"), p19)
+  }
+
+  test("g47 Katz: every round reads the edge/vertex checkpoints — no parquet re-scan, no pair product") {
+    val p = plan(GraphQueries.katzCentrality(spark, dir))
+    assert(!p.contains("FileScan"),
+      s"all three unrolled rounds must read the localCheckpoints, never re-scan parquet:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d19 decontamination: the benchmark n-gram set broadcasts into the probe — never a self-join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.benchmarkDecontaminate(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"the eval-suite side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dc05 coverage: assignment runs once into the census checkpoint; result plan is product-free") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.pipeline.Curation.semanticCoverage(
+      docs, emb, "doc_id", "source", "vec_id", "embedding")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the n×K centroid fan happened ONCE inside the eager census checkpoint; the
+    // result plan — entropy terms, totals, final join — must read that checkpoint
+    // and contain no products at all (the semDedup pin discipline)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"everything past the census must be equi-joins/aggregates:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"consumers must read the census checkpoint, not re-run the assignment:\n$p")
+  }
+
+  test("dc06 matrix: pair fanout rides the cluster equi-join — never a source product") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.pipeline.Curation.crossSourceDup(docs, "doc_id", "text", "source"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the source-pair matrix must come from the cluster_id equi-join:\n$p")
+  }
+
   test("gap quantiles: windows stay per-user / per-type — never event-count-global") {
     val p = plan(AnalyticsQueries.gapQuantiles(spark, dir))
     // the lag runs per user partition; the quantile windows run over the

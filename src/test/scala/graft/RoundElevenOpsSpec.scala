@@ -169,6 +169,92 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(small.getAs[String]("verdict") == "upsample")
   }
 
+  test("d19: a training doc quoting the benchmark verbatim is flagged; clean docs never appear") {
+    import graft.pipeline.Dedup
+    // ids 10 and 20 are the benchmark split (id % 10 == 0); doc 1 embeds doc 10's
+    // full text (so all 4 of doc 10's distinct word 5-grams collide), doc 2 is clean
+    val docs = Seq(
+      (10L, "the secret benchmark answer is forty two exactly"),
+      (20L, "another eval question entirely different from others here"),
+      (1L, "intro words then the secret benchmark answer is forty two exactly closing remark"),
+      (2L, "nothing shared here at all with anything else whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkDecontaminate(docs, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L), out.mkString("; "))
+    val r = out.head
+    // doc 1: 13 tokens -> 9 distinct 5-grams, of which the 4 spanning the quoted
+    // benchmark sentence hit; fraction = floor(1e6 * 4/9 + 0.5)
+    assert(r.getAs[Long]("n_shingles") == 9L)
+    assert(r.getAs[Long]("n_hits") == 4L)
+    assert(r.getAs[Long]("hit_frac_micro") == 444444L)
+    assert(r.getAs[Long]("first_bench_id") == 10L)
+  }
+
+  test("g47: the distributed Katz rounds match a driver-side exact-integer mirror") {
+    import graft.model.State
+    import graft.testgraph.TestGraph
+    val dir = "/root/testdata/sf0.001"
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select("source_id", "destination_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var x = verts.map(_ -> 1000000L).toMap
+    val acc = scala.collection.mutable.Map(verts.map(_ -> 0L): _*)
+    for (_ <- 1 to 3) {
+      val inSum = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => x(e._1)).sum }
+      x = verts.map(v => v -> Math.floorDiv(inSum.getOrElse(v, 0L) * 50L, 100L)).toMap
+      verts.foreach(v => acc(v) += x(v))
+    }
+    val got = GraphQueries.katzCentrality(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("katz_fp")).toMap
+    assert(got == acc.toMap, s"mismatch on ${got.toSet.diff(acc.toSet).take(5)}")
+  }
+
+  test("dc05: a narrow source collapses to one cell, a broad source splits — entropy matches ln 2") {
+    // centroids = even ids (mod 2): id 2 -> x-axis, id 4 -> y-axis
+    val emb = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(0.95f, 0.05f, 0f, 0f)),
+      (5L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)),
+      (7L, Array(0.8f, 0.2f, 0f, 0f)), (9L, Array(0.2f, 0.8f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "srcNarrow"), (3L, "srcNarrow"), (5L, "srcNarrow"),
+      (2L, "srcBroad"), (4L, "srcBroad"), (7L, "srcBroad"), (9L, "srcBroad")
+    ).toDF("doc_id", "source")
+    val out = Curation.semanticCoverage(docs, emb, "doc_id", "source",
+        "vec_id", "embedding", centroidMod = 2)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val narrow = out("srcNarrow"); val broad = out("srcBroad")
+    // narrow: all three vectors land in the x-axis cell — zero entropy, full top share
+    assert(narrow.getAs[Long]("n_cells") == 1L && narrow.getAs[Long]("n_vecs") == 3L)
+    assert(narrow.getAs[Long]("entropy_micro_nats") == 0L)
+    assert(narrow.getAs[Long]("top_cell_share_micro") == 1000000L)
+    // broad: 2+2 split over both cells — H = ln 2, term-quantized: 2·⌊1e6·½·ln2 + ½⌋
+    assert(broad.getAs[Long]("n_cells") == 2L && broad.getAs[Long]("n_vecs") == 4L)
+    assert(broad.getAs[Long]("entropy_micro_nats") == 2L * 346574L)
+    assert(broad.getAs[Long]("top_cell_share_micro") == 500000L)
+  }
+
+  test("dc06: a cross-source clone pairs its sources; a within-source clone never does") {
+    val docs = Seq(
+      // docs 1 (srcA) and 2 (srcB) byte-identical -> a cross-source cluster
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "srcB"),
+      // docs 3 and 4 identical WITHIN srcA -> must produce no pair row
+      (3L, "entirely different content that repeats inside one source only here", "srcA"),
+      (4L, "entirely different content that repeats inside one source only here", "srcA"),
+      (5L, "a unique singleton document belonging to the third source", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.crossSourceDup(docs, "doc_id", "text", "source").collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "srcA" && r.getAs[String]("source_b") == "srcB")
+    assert(r.getAs[Long]("n_shared_clusters") == 1L)
+    assert(r.getAs[Long]("n_docs_a") == 1L && r.getAs[Long]("n_docs_b") == 1L)
+  }
+
   test("retrainTrigger: hot cell, starved majority, and balanced cases") {
     def growth(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       rows.toDF("cluster", "n_new", "share_new_micro")
