@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** General analytics queries over the TPC-H-ish driver tables — these are the bench
@@ -839,6 +840,145 @@ object AnalyticsQueries {
     li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .filter(arm1 || arm2 || arm3)
       .agg(sum(col("rev_bp")).as("revenue_bp"), count(lit(1)).as("n_items"))
+  }
+
+  /** q02 — the TPC-H Q2 minimum-cost-supplier shape: for every part in a filtered
+    * family, the supplier(s) achieving the minimum observed unit price — the
+    * correlated-argmin-subquery plan, decorrelated. Instead of re-scanning the
+    * fact table per part (the literal correlated phrasing), the fact side reduces
+    * ONCE to per-(part, supplier) minima, and the per-part argmin is a window over
+    * that already-reduced relation; ties keep every achieving supplier (Q2's
+    * semantics). Unit price is micro-quantized cents-per-unit, so min and equality
+    * are exact-integer comparisons.
+    *
+    * Scale shape: the part-family filter pushes to the part scan and broadcasts
+    * into the fact scan; ONE map-side-combinable aggregate reduces the fact table
+    * to |parts in family| × |suppliers-per-part| rows; the argmin window partitions
+    * per part over that reduced relation (never the fact table); supplier/nation
+    * dims broadcast.
+    */
+  def minCostSupplier(
+      spark: SparkSession,
+      dir: String,
+      pType: String = "SMALL",
+      maxSize: Int = 25
+  ): DataFrame = {
+    val pp = table(spark, dir, "part")
+      .filter(col("p_type") === pType && col("p_size") < maxSize)
+      .select(col("p_partkey"), col("p_brand"))
+    val u = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(lit(10000.0) * cents(col("l_extendedprice")).cast("double")
+          / col("l_quantity").cast("long").cast("double") + lit(0.5))
+          .cast("long").as("unit_mc"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+    val perSupp = u.groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(min(col("unit_mc")).as("supp_min"))
+    val w = Window.partitionBy(col("p_partkey"))
+    val winners = perSupp
+      .withColumn("part_min", min(col("supp_min")).over(w))
+      .filter(col("supp_min") === col("part_min"))
+    val sup = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    winners
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("supp_min").as("min_unit_microcents"))
+  }
+
+  /** q15 — the TPC-H Q15 top-supplier shape: the supplier(s) whose windowed revenue
+    * equals the GLOBAL maximum — the aggregate-of-aggregate self-reference (the
+    * original phrases it as a view referenced twice). The per-supplier revenue
+    * relation materializes ONCE (supplier-count rows, eager checkpoint), the 1-row
+    * max broadcasts back, and the equality filter is exact-integer on basis-point
+    * cents — ties surface every achieving supplier rather than an arbitrary one.
+    *
+    * Scale shape: one fact-table aggregate (shipdate range pushed to the scan),
+    * then everything downstream operates on |suppliers| rows; no second fact scan
+    * (the naive view-twice phrasing re-aggregates the fact table for the max).
+    */
+  def topSupplier(
+      spark: SparkSession,
+      dir: String,
+      from: String = "1996-01-01",
+      until: String = "1996-04-01"
+  ): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(until).cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueBp(col("l_extendedprice"), col("l_discount"))).as("rev_bp"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max(col("rev_bp")).as("max_rev"))
+    val sup = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_bp") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_bp"))
+  }
+
+  /** q16 — the TPC-H Q16 supplier-variety shape: how many DISTINCT suppliers serve
+    * each (brand, size) segment, excluding a supplier blacklist — the
+    * NOT-IN-subquery + count-distinct plan. The blacklist compiles to a broadcast
+    * LEFT ANTI join (never a per-row subquery), the brand exclusion pushes to the
+    * part scan, and the distinct count is Spark's standard two-phase
+    * partial-distinct aggregate.
+    *
+    * Scale shape: the anti join's build side is the blacklist (tiny by
+    * construction — it is an exception list); part broadcasts; the count-distinct
+    * shuffles (brand, size, suppkey) once — never the raw fact rows twice.
+    */
+  def supplierVariety(
+      spark: SparkSession,
+      dir: String,
+      excludeBrands: Seq[String] = Seq("Brand#1", "Brand#2"),
+      minAcctbal: Double = 1000.0
+  ): DataFrame = {
+    val excl = table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < minAcctbal).select(col("s_suppkey"))
+    val pt = table(spark, dir, "part")
+      .filter(!col("p_brand").isin(excludeBrands: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    table(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** q20 — the TPC-H Q20 nested-semi-join shape: suppliers who shipped MORE than a
+    * threshold quantity of any part in a filtered family — the
+    * IN-(IN-(aggregate-HAVING)) chain, flattened to one pass: part-family filter →
+    * per-(supplier, part) quantity aggregate with the HAVING threshold → LEFT SEMI
+    * into the supplier dimension. Each nesting level is one relation, no level
+    * re-scans the fact table.
+    *
+    * Scale shape: the family filter broadcasts into the fact scan; the qualifying
+    * aggregate is map-side combinable and its output (qualifying suppliers) is
+    * exception-sized, so it broadcasts as the semi-join's build side; nation
+    * broadcasts for the name.
+    */
+  def excessShippers(
+      spark: SparkSession,
+      dir: String,
+      pType: String = "ECONOMY",
+      minQty: Long = 80L
+  ): DataFrame = {
+    val pt = table(spark, dir, "part")
+      .filter(col("p_type") === pType).select(col("p_partkey"))
+    val qualifying = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .select(col("l_suppkey"))
+    val sup = table(spark, dir, "supplier")
+    val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    sup.join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the

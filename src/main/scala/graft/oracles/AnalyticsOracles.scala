@@ -54,6 +54,14 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "q18_large_volume" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.largeVolumeCustomers(s, d)),
     "q19_disjunctive_revenue" -> (AnalyticsQueries.disjunctiveRevenue _),
+    "q17_min_cost_supplier" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.minCostSupplier(s, d)),
+    "q15_top_supplier" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.topSupplier(s, d)),
+    "q16_supplier_variety" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.supplierVariety(s, d)),
+    "q20_excess_shippers" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.excessShippers(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -316,6 +324,59 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND qty BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND qty BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q2 min-cost-supplier shape: per-(part, supplier) unit-price minima, per-part
+    // argmin window over the reduced relation, ties kept — mirror of
+    // AnalyticsQueries.minCostSupplier(SMALL, size < 25)
+    "q17_min_cost_supplier" ->
+      """WITH pp AS (SELECT p_partkey, p_brand FROM part
+        |            WHERE p_type = 'SMALL' AND p_size < 25),
+        |u AS (SELECT p_partkey, p_brand, l_suppkey,
+        |        CAST(floor(10000.0 * CAST(round(l_extendedprice * 100) AS BIGINT)::DOUBLE
+        |          / CAST(l_quantity AS BIGINT)::DOUBLE + 0.5) AS BIGINT) AS unit_mc
+        |      FROM lineitem JOIN pp ON p_partkey = l_partkey),
+        |ps AS (SELECT p_partkey, p_brand, l_suppkey, MIN(unit_mc) AS supp_min
+        |       FROM u GROUP BY 1, 2, 3),
+        |w AS (SELECT *, MIN(supp_min) OVER (PARTITION BY p_partkey) AS part_min FROM ps)
+        |SELECT p_partkey, p_brand, s_name, n_name, supp_min AS min_unit_microcents
+        |FROM w
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE supp_min = part_min""".stripMargin,
+
+    // Q15 top-supplier shape: per-supplier windowed revenue vs its own global max,
+    // exact bp integers, ties kept — mirror of AnalyticsQueries.topSupplier
+    "q15_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey, CAST(SUM($revBp) AS BIGINT) AS rev_bp
+         |           FROM lineitem
+         |           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+         |           GROUP BY 1)
+         |SELECT s_suppkey, s_name, rev_bp
+         |FROM r JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE rev_bp = (SELECT MAX(rev_bp) FROM r)""".stripMargin,
+
+    // Q16 supplier-variety shape: distinct suppliers per (brand, size) minus the
+    // blacklist (NOT IN -> anti join), two brands excluded — mirror of
+    // AnalyticsQueries.supplierVariety
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Q20 nested-semi shape: family filter -> per-(supplier, part) qty HAVING ->
+    // semi into supplier — mirror of AnalyticsQueries.excessShippers(ECONOMY, > 80)
+    "q20_excess_shippers" ->
+      """WITH q AS (SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |           FROM lineitem JOIN part ON p_partkey = l_partkey
+        |           WHERE p_type = 'ECONOMY'
+        |           GROUP BY 1, 2 HAVING SUM(CAST(l_quantity AS BIGINT)) > 80)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
 
     // Q13 custdist shape: left-outer per-customer order counts (zero band kept),
     // then the count-of-counts histogram — mirror of

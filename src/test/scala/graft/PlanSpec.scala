@@ -695,6 +695,30 @@ class PlanSpec extends SparkSpec {
     assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct"), p19)
   }
 
+  test("q15/q16/q17/q20 shapes: decorrelated forms keep their reduced-relation plans") {
+    // q17 (TPC-H Q2 shape): the argmin window partitions per part over the REDUCED
+    // per-(part, supplier) relation — lineitem is scanned exactly once
+    val p17 = plan(AnalyticsQueries.minCostSupplier(spark, dir))
+    assert("FileScan parquet.*lineitem".r.findAllMatchIn(p17).size == 1,
+      s"the correlated phrasing would re-scan the fact table per part:\n$p17")
+    assert(!p17.contains("CartesianProduct"), p17)
+    // q15: the per-supplier revenue relation materializes once; the scalar max
+    // rides a 1-row broadcast back over the checkpoint — no second fact aggregate
+    val p15 = plan(AnalyticsQueries.topSupplier(spark, dir))
+    assert(!p15.contains("FileScan parquet") || !p15.contains("lineitem"),
+      s"the max must come off the revenue checkpoint, not a fact re-scan:\n$p15")
+    assert(p15.contains("Scan ExistingRDD"), p15)
+    // q16: the blacklist is a broadcast anti join, never a per-row subquery
+    val p16 = plan(AnalyticsQueries.supplierVariety(spark, dir))
+    assert(p16.contains("LeftAnti"), s"NOT IN must compile to an anti-join:\n$p16")
+    assert(!p16.contains("SortMergeJoin"), p16)
+    // q20: the nested IN chain flattens to one fact pass + a LEFT SEMI into the
+    // supplier dimension
+    val p20 = plan(AnalyticsQueries.excessShippers(spark, dir))
+    assert(p20.contains("LeftSemi"), s"the IN chain must compile to a semi-join:\n$p20")
+    assert("FileScan parquet.*lineitem".r.findAllMatchIn(p20).size == 1, p20)
+  }
+
   test("g47 Katz: every round reads the edge/vertex checkpoints — no parquet re-scan, no pair product") {
     val p = plan(GraphQueries.katzCentrality(spark, dir))
     assert(!p.contains("FileScan"),
