@@ -102,6 +102,22 @@ private[graft] object DedupOracles extends OracleFragments {
     "d19_benchmark_decontam" -> ((s: SparkSession, dir: String) =>
       Dedup.benchmarkDecontaminate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
+    // build-once/probe-every-ingest: the benchmark index persists to parquet and the
+    // loaded artifact must reproduce d19's in-session probe to the hash
+    "d20_decontam_saved" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-bench-index")
+      try {
+        val path = scratch.toString + "/bench"
+        Dedup.saveBenchIndex(
+          Dedup.benchIndex(docs.filter(col("doc_id") % DecontamMod === 0), "doc_id", "text",
+            DecontamShingle), path)
+        val index = Dedup.loadBenchIndex(s, path).localCheckpoint(eager = true)
+        Dedup.decontaminateAgainst(
+          docs.filter(col("doc_id") % DecontamMod =!= 0), "doc_id", "text", index,
+          DecontamShingle)
+      } finally deleteRecursively(scratch)
+    }),
   )
 
   /** Shared by d17 and d18 — the saved-index round trip must reproduce the
@@ -110,6 +126,30 @@ private[graft] object DedupOracles extends OracleFragments {
     * permutation k), reporting the min colliding existing id and the distinct
     * colliding band count.
     */
+  /** Shared by d19 and d20 — the saved benchmark-index round trip must reproduce
+    * the in-session probe verbatim: distinct word 5-grams per doc on 60-bit md5
+    * hashes; benchmark = doc_id % mod = 0; flagged training docs with hit counts,
+    * micro overlap fraction and the min colliding benchmark id.
+    */
+  private lazy val decontamSql: String = {
+    val w = DecontamShingle
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh5 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${w - 1}], ' ') AS shingle
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+       |              FROM toks)),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh5),
+       |bench AS (SELECT h, MIN(doc_id) AS bench_id FROM h WHERE doc_id % $DecontamMod = 0 GROUP BY h),
+       |tr AS (SELECT doc_id, h FROM h WHERE doc_id % $DecontamMod <> 0),
+       |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+       |hits AS (SELECT tr.doc_id, COUNT(*) AS n_hits, MIN(bench_id) AS first_bench_id
+       |         FROM tr JOIN bench USING (h) GROUP BY 1)
+       |SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(floor(1000000.0 * n_hits::DOUBLE / n_shingles::DOUBLE + 0.5) AS BIGINT)
+       |    AS hit_frac_micro,
+       |  first_bench_id
+       |FROM per JOIN hits USING (doc_id)""".stripMargin
+  }
+
   private lazy val incrementalDedupSql: String =
     s"""WITH $shinglesCte,
        |$minhashCtes,
@@ -126,25 +166,12 @@ private[graft] object DedupOracles extends OracleFragments {
 
     // distinct word 5-grams per doc on 60-bit md5 hashes; benchmark = doc_id % mod
     // = 0; flagged training docs with hit counts, micro overlap fraction and the
-    // min colliding benchmark id — mirror of Dedup.benchmarkDecontaminate
-    "d19_benchmark_decontam" -> {
-      val w = DecontamShingle
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${w - 1}], ' ') AS shingle
-         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
-         |              FROM toks)),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh5),
-         |bench AS (SELECT h, MIN(doc_id) AS bench_id FROM h WHERE doc_id % $DecontamMod = 0 GROUP BY h),
-         |tr AS (SELECT doc_id, h FROM h WHERE doc_id % $DecontamMod <> 0),
-         |per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
-         |hits AS (SELECT tr.doc_id, COUNT(*) AS n_hits, MIN(bench_id) AS first_bench_id
-         |         FROM tr JOIN bench USING (h) GROUP BY 1)
-         |SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
-         |  CAST(floor(1000000.0 * n_hits::DOUBLE / n_shingles::DOUBLE + 0.5) AS BIGINT)
-         |    AS hit_frac_micro,
-         |  first_bench_id
-         |FROM per JOIN hits USING (doc_id)""".stripMargin
-    },
+    // min colliding benchmark id — mirror of Dedup.benchmarkDecontaminate. d20 is
+    // the same relation through the saved-index round trip (hashes and longs
+    // survive parquet bit-exactly), so it shares the mirror — the d17/d18
+    // discipline.
+    "d19_benchmark_decontam" -> decontamSql,
+    "d20_decontam_saved" -> decontamSql,
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

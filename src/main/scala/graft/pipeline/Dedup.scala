@@ -311,14 +311,50 @@ object Dedup {
       benchmarkMod: Long = 10L,
       shingleSize: Int = 5
   ): DataFrame = {
-    val hashed = shingles(df, idCol, textCol, shingleSize)
+    val index = benchIndex(
+      df.filter(col(idCol) % benchmarkMod === 0), idCol, textCol, shingleSize)
+    decontaminateAgainst(
+      df.filter(col(idCol) % benchmarkMod =!= 0), idCol, textCol, index, shingleSize)
+  }
+
+  /** (id, h) shingle-hash relation both halves of d19/d20 derive from — the d19
+    * hashing convention (first 60 bits of md5, oracle-reproducible).
+    */
+  private def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    shingles(df, idCol, textCol, shingleSize)
       .select(col(idCol),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-    val bench = hashed.filter(col(idCol) % benchmarkMod === 0)
+
+  /** Build the persistable benchmark n-gram index — (h, bench_id) with the minimum
+    * holding benchmark doc per distinct n-gram hash (the audit pointer). Built once
+    * per eval-suite release; every training ingest probes it.
+    */
+  def benchIndex(
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5
+  ): DataFrame =
+    shingleHashes(benchmark, idCol, textCol, shingleSize)
       .groupBy(col("h")).agg(min(col(idCol)).as("bench_id"))
-    val train = hashed.filter(col(idCol) % benchmarkMod =!= 0)
-    val perDoc = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(broadcast(bench), "h")
+
+  /** The probe half of [[benchmarkDecontaminate]], separated so the index can be a
+    * LOADED artifact ([[saveBenchIndex]]/[[loadBenchIndex]] — build-once /
+    * probe-every-ingest, the d18 discipline applied to decontamination). The
+    * training side's hash relation materializes once (it feeds both the per-doc
+    * totals and the probe), and the eval-sized index broadcasts into the probe.
+    */
+  def decontaminateAgainst(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 5
+  ): DataFrame = {
+    val hashes = shingleHashes(train, idCol, textCol, shingleSize).localCheckpoint(true)
+    val perDoc = hashes.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = hashes.join(broadcast(index), "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("bench_id")).as("first_bench_id"))
     hits.join(perDoc, idCol)
@@ -327,6 +363,21 @@ object Dedup {
           + lit(0.5)).cast("long").as("hit_frac_micro"),
         col("first_bench_id"))
   }
+
+  /** Persist the benchmark index range-clustered and sorted on the hash, so a probe
+    * (or a point audit of one n-gram) row-group-skips on h — the saveDedupIndex
+    * layout discipline.
+    */
+  def saveBenchIndex(index: DataFrame, path: String, files: Int = 16): Unit =
+    index
+      .repartitionByRange(math.max(files, 1), col("h"))
+      .sortWithinPartitions(col("h"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
+  def loadBenchIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** SimHash: `bits`-bit signature from per-feature md5 hex-digit parities. Bit i of
     * the signature is the sign of Σ_features (2·parity(hexdigit_i(md5(feature))) − 1).

@@ -434,6 +434,35 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the d19/d20 decontamination probe: each ingest micro-batch
+    * of TRAINING documents is probed against the loaded benchmark n-gram index
+    * ([[graft.pipeline.Dedup.loadBenchIndex]]) inside `foreachBatch`, flagging
+    * contaminated arrivals before they reach the corpus sink — the gate a
+    * production training-data ingest runs alongside the dedup probe. Same
+    * stateless-by-design shape as [[streamingIncrementalDedup]]: documents arrive
+    * whole, so per-doc shingle sets are complete within their batch, the emissions
+    * ARE `Dedup.decontaminateAgainst` over the arrivals, and the INDEX is the
+    * only state — rebuilt on the eval suite's release cadence, not the query's.
+    *
+    * Scale shape: the eval-sized index broadcasts into each batch's probe; the
+    * per-batch cost is one linear shingle pass over the arrivals.
+    */
+  def streamingDecontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      shingleSize: Int = 5
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Dedup.decontaminateAgainst(batch, idCol, textCol, index, shingleSize),
+          batchId)
+      }
+
   /** Incremental per-vertex degree maintenance — the reference's A2 count-delta path
     * (`SqlShard.scala:470-524`) as streaming state: each vertex's group state holds its
     * current adjacency LWW registers (compact, tombstone-aged — see [[mergeDegreeState]]);

@@ -776,6 +776,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination emits the d19 verdicts against a loaded benchmark index") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchmark = Seq(
+      (10L, "the secret benchmark answer is forty two exactly"),
+      (20L, "another eval question entirely different from others here"))
+      .toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-bench")
+    graft.pipeline.Dedup.saveBenchIndex(
+      graft.pipeline.Dedup.benchIndex(benchmark, "doc_id", "text"), scratch.toString + "/bench")
+    val index = graft.pipeline.Dedup.loadBenchIndex(spark, scratch.toString + "/bench")
+
+    val stream = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val query = StreamOps.streamingDecontaminate(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+        onBatch = (out, _) => flagged.synchronized {
+          out.collect().foreach(r => flagged(r.getAs[Long]("doc_id")) =
+            ((r.getAs[Long]("n_hits"), r.getAs[Long]("hit_frac_micro"),
+              r.getAs[Long]("first_bench_id"))))
+        })
+      .start()
+    try {
+      stream.addData(
+        (1L, "intro words then the secret benchmark answer is forty two exactly closing remark"),
+        (2L, "nothing shared here at all with anything else whatsoever"))
+      query.processAllAvailable()
+      stream.addData((3L, "another eval question entirely different from others here verbatim copy"))
+      query.processAllAvailable()
+      val got = flagged.synchronized(flagged.toMap)
+      // batch parity: the same arrivals through the batch probe
+      val arrivals = Seq(
+        (1L, "intro words then the secret benchmark answer is forty two exactly closing remark"),
+        (2L, "nothing shared here at all with anything else whatsoever"),
+        (3L, "another eval question entirely different from others here verbatim copy"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.decontaminateAgainst(arrivals, "doc_id", "text", index)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_hits"), r.getAs[Long]("hit_frac_micro"),
+            r.getAs[Long]("first_bench_id")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      // the clean doc never appears; doc 1 quotes bench 10, doc 3 quotes bench 20
+      assert(got.keySet == Set(1L, 3L), got.toString)
+      assert(got(1L)._3 == 10L && got(3L)._3 == 20L, got.toString)
+    } finally query.stop()
+  }
+
   test("streaming drift reproduces batch t37 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
