@@ -342,6 +342,77 @@ object GraphQueries {
     katz.select(col("v").as("vertex_id"), col("acc").as("katz_fp"))
   }
 
+  /** g48 — sampled-source betweenness centrality, bounded depth (the Brandes 2001
+    * two-pass algorithm, landmark-sampled as in Brandes–Pich 2007): forward BFS
+    * from every seed (vertices ≡ 0 mod `seedMod`, the g45 sampling convention)
+    * accumulates shortest-path counts σ per level — EXACT integers, since σ at
+    * level l is a sum of predecessor σ's; the backward pass folds the dependency
+    * δ(v) = Σ_{w ∈ succ} (σ_v/σ_w)·(1 + δ_w) level by level with each per-edge
+    * term micro-quantized as floor(σ_v·(10⁶ + δ_w) / σ_w + ½) — the numerator is
+    * an exact long, the single division is the only float op, so both engines
+    * fold identical integers and the distributed sums are order-independent.
+    * Output: (vertex_id, btw_micro) summed over seeds; vertices on no sampled
+    * shortest path are absent (implicitly 0). Depth 3 bounds the path length
+    * scored — the k-bounded betweenness approximation.
+    *
+    * Scale shape: the same frontier-join discipline as g34/g39 — each forward
+    * level is one equi-join + map-side-combinable σ-sum + an anti-join against
+    * the visited set, each backward level one equi-join on (seed, successor);
+    * state is (seeds × reached) rows, bounded by the seed sample and depth, and
+    * every level materializes once (eager checkpoints keep the 6-step loop's
+    * plan shallow). Sampling density and depth are the explicit cost knobs.
+    */
+  def betweennessSampled(spark: SparkSession, dir: String, seedMod: Long = 10L): DataFrame = {
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .localCheckpoint(true)
+    val vertices = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+
+    val l0 = vertices.filter(col("v") % seedMod === 0)
+      .select(col("v").as("s"), col("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var visited = l0.select(col("s"), col("v"))
+    var frontier = l0
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to 3) {
+      val nxt = frontier
+        .join(edges, frontier("v") === edges("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      levels += nxt
+      visited = visited.unionByName(nxt.select(col("s"), col("v"))).localCheckpoint(true)
+      frontier = nxt
+    }
+
+    // backward dependency fold: δ of the deepest level is 0; each shallower level
+    // joins its successors' (σ, δ) — absent δ (no deeper successors) reads 0
+    def backStep(cur: DataFrame, next: DataFrame, nextDelta: DataFrame): DataFrame = {
+      val succ = next.select(col("s"), col("v").as("w"), col("sigma").as("sw"))
+        .join(nextDelta.select(col("s"), col("v").as("w"), col("delta")), Seq("s", "w"), "left")
+        .select(col("s").as("ss"), col("w"), col("sw"), coalesce(col("delta"), lit(0L)).as("dw"))
+      cur.select(col("s"), col("v"), col("sigma").as("sv"))
+        .join(edges, col("v") === col("src"))
+        .join(succ, col("s") === col("ss") && col("dst") === col("w"))
+        .select(col("s"), col("v"),
+          floor((col("sv") * (lit(1000000L) + col("dw"))).cast("double")
+            / col("sw").cast("double") + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("c")).as("delta"))
+    }
+    val empty3 = levels(2).select(col("s"), col("v"), lit(0L).as("delta")).limit(0)
+    val d2 = backStep(levels(1), levels(2), empty3).localCheckpoint(true)
+    val d1 = backStep(levels(0), levels(1), d2)
+    d1.unionByName(d2)
+      .groupBy(col("v"))
+      .agg(sum(col("delta")).as("btw_micro"))
+      .select(col("v").as("vertex_id"), col("btw_micro"))
+  }
+
   /** Recency-decayed PageRank: edge weights decay with the age encoded in the edge's
     * ordered-UUID position (F1: epoch millis live in the high bits — reference
     * `UuidGenerator.scala:26-39`, inverse `Edge.scala:45`), so a vertex's score is

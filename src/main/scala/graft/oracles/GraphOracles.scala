@@ -74,6 +74,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
     "g47_katz" -> ((s: SparkSession, dir: String) =>
       GraphQueries.katzCentrality(s, dir)),
+    "g48_betweenness" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.betweennessSampled(s, dir, seedMod = WalkSeedMod)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,6 +100,45 @@ private[graft] object GraphOracles extends OracleFragments {
          |x3 AS (SELECT vx.v, (COALESCE(c3.s, 0) * 50) // 100 AS x FROM vx LEFT JOIN c3 USING (v))
          |SELECT vx.v AS vertex_id, CAST(x1.x + x2.x + x3.x AS BIGINT) AS katz_fp
          |FROM vx JOIN x1 USING (v) JOIN x2 USING (v) JOIN x3 USING (v)""".stripMargin,
+
+    // sampled-source bounded-depth Brandes: 3 unrolled BFS levels with exact
+    // integer path counts, backward dependency fold with per-edge terms
+    // floor(σv·(1e6 + δw)/σw + ½) — mirror of GraphQueries.betweennessSampled
+    "g48_betweenness" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |l0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM vx WHERE v % $WalkSeedMod = 0),
+         |r1 AS (SELECT l0.s, e.dst AS v, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+         |       FROM l0 JOIN e ON e.src = l0.v GROUP BY 1, 2),
+         |l1 AS (SELECT r1.* FROM r1
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.s = r1.s AND l0.v = r1.v)),
+         |r2 AS (SELECT l1.s, e.dst AS v, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+         |       FROM l1 JOIN e ON e.src = l1.v GROUP BY 1, 2),
+         |l2 AS (SELECT r2.* FROM r2
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.s = r2.s AND l0.v = r2.v)
+         |         AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.s = r2.s AND l1.v = r2.v)),
+         |r3 AS (SELECT l2.s, e.dst AS v, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+         |       FROM l2 JOIN e ON e.src = l2.v GROUP BY 1, 2),
+         |l3 AS (SELECT r3.* FROM r3
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.s = r3.s AND l0.v = r3.v)
+         |         AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.s = r3.s AND l1.v = r3.v)
+         |         AND NOT EXISTS (SELECT 1 FROM l2 WHERE l2.s = r3.s AND l2.v = r3.v)),
+         |d2 AS (SELECT l2.s, l2.v,
+         |         CAST(SUM(CAST(floor((l2.sigma * 1000000)::DOUBLE / l3.sigma::DOUBLE + 0.5) AS BIGINT)) AS BIGINT) AS delta
+         |       FROM l2 JOIN e ON e.src = l2.v
+         |       JOIN l3 ON l3.s = l2.s AND l3.v = e.dst
+         |       GROUP BY 1, 2),
+         |d1 AS (SELECT l1.s, l1.v,
+         |         CAST(SUM(CAST(floor((l1.sigma * (1000000 + COALESCE(d2.delta, 0)))::DOUBLE / l2.sigma::DOUBLE + 0.5) AS BIGINT)) AS BIGINT) AS delta
+         |       FROM l1 JOIN e ON e.src = l1.v
+         |       JOIN l2 ON l2.s = l1.s AND l2.v = e.dst
+         |       LEFT JOIN d2 ON d2.s = l2.s AND d2.v = l2.v
+         |       GROUP BY 1, 2)
+         |SELECT v AS vertex_id, CAST(SUM(delta) AS BIGINT) AS btw_micro
+         |FROM (SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2)
+         |GROUP BY 1""".stripMargin,
 
     "g01_lww_snapshot" ->
       s"""$snap SELECT graph_id, source_id, destination_id, position, updated_at, state FROM edges""",

@@ -726,6 +726,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("g48 betweenness: backward fold reads level checkpoints via equi-joins only") {
+    val p = plan(GraphQueries.betweennessSampled(spark, dir))
+    assert(!p.contains("FileScan"),
+      s"both backward levels must read the forward-pass checkpoints, never re-scan parquet:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"(seed, successor) matching must stay an equi-join:\n$p")
+  }
+
   test("d19 decontamination: the benchmark n-gram set broadcasts into the probe — never a self-join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(pipeline.Dedup.benchmarkDecontaminate(docs, "doc_id", "text"))

@@ -255,6 +255,49 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs_a") == 1L && r.getAs[Long]("n_docs_b") == 1L)
   }
 
+  test("g48: distributed bounded Brandes matches a driver-side exact mirror") {
+    import graft.model.State
+    import graft.testgraph.TestGraph
+    val dir = "/root/testdata/sf0.001"
+    val edges = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal)
+      .select("source_id", "destination_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val seeds = verts.filter(_ % 10 == 0)
+
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (s <- seeds) {
+      // forward: levels with exact path counts
+      var visited = Set(s)
+      var levels = Vector(Map(s -> 1L))
+      for (_ <- 1 to 3) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((v, sig) <- levels.last; w <- out.getOrElse(v, Set.empty) if !visited.contains(w))
+          nxt(w) += sig
+        visited ++= nxt.keySet
+        levels :+= nxt.toMap
+      }
+      // backward: micro-quantized dependency fold, deepest level contributes 0
+      var delta = Map.empty[Long, Long]
+      for (l <- 2 to 1 by -1) {
+        val next = levels(l + 1)
+        val cur = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((v, sv) <- levels(l); w <- out.getOrElse(v, Set.empty) if next.contains(w)) {
+          val dw = delta.getOrElse(w, 0L)
+          cur(v) += math.floor((sv * (1000000L + dw)).toDouble / next(w).toDouble + 0.5).toLong
+        }
+        cur.foreach { case (v, d) => acc(v) += d }
+        delta = cur.toMap
+      }
+    }
+    val expect = acc.filter(_._2 != 0L).toMap
+    val got = GraphQueries.betweennessSampled(spark, dir).collect()
+      .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("btw_micro")).toMap
+    assert(got == expect, s"diff: ${got.toSet.diff(expect.toSet).take(5)} / ${expect.toSet.diff(got.toSet).take(5)}")
+  }
+
   test("retrainTrigger: hot cell, starved majority, and balanced cases") {
     def growth(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       rows.toDF("cluster", "n_new", "share_new_micro")
