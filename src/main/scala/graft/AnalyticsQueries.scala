@@ -842,7 +842,7 @@ object AnalyticsQueries {
       .agg(sum(col("rev_bp")).as("revenue_bp"), count(lit(1)).as("n_items"))
   }
 
-  /** q02 — the TPC-H Q2 minimum-cost-supplier shape: for every part in a filtered
+  /** q17 — the TPC-H Q2 minimum-cost-supplier shape: for every part in a filtered
     * family, the supplier(s) achieving the minimum observed unit price — the
     * correlated-argmin-subquery plan, decorrelated. Instead of re-scanning the
     * fact table per part (the literal correlated phrasing), the fact side reduces

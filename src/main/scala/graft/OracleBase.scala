@@ -189,6 +189,12 @@ private[graft] trait OracleParams {
     */
   private[graft] val CoverageCentroidMod = 97
 
+  /** g47's pinned Katz attenuation factor as an integer percentage (β = 1/2),
+    * consumed by both the registration and the unrolled oracle rounds so the two
+    * sides cannot silently desynchronize.
+    */
+  private[graft] val KatzBetaPct = 50L
+
 }
 
 private[graft] trait OracleFragments extends OracleParams {

@@ -120,12 +120,6 @@ private[graft] object DedupOracles extends OracleFragments {
     }),
   )
 
-  /** Shared by d17 and d18 — the saved-index round trip must reproduce the
-    * in-session probe, so both keys carry this mirror verbatim: post-cut docs
-    * probe the pre-cut docs' minhash bands (with rowsPerBand = 1 a band IS one
-    * permutation k), reporting the min colliding existing id and the distinct
-    * colliding band count.
-    */
   /** Shared by d19 and d20 — the saved benchmark-index round trip must reproduce
     * the in-session probe verbatim: distinct word 5-grams per doc on 60-bit md5
     * hashes; benchmark = doc_id % mod = 0; flagged training docs with hit counts,
@@ -150,6 +144,12 @@ private[graft] object DedupOracles extends OracleFragments {
        |FROM per JOIN hits USING (doc_id)""".stripMargin
   }
 
+  /** Shared by d17 and d18 — the saved-index round trip must reproduce the
+    * in-session probe, so both keys carry this mirror verbatim: post-cut docs
+    * probe the pre-cut docs' minhash bands (with rowsPerBand = 1 a band IS one
+    * permutation k), reporting the min colliding existing id and the distinct
+    * colliding band count.
+    */
   private lazy val incrementalDedupSql: String =
     s"""WITH $shinglesCte,
        |$minhashCtes,

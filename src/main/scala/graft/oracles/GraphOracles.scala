@@ -73,7 +73,7 @@ private[graft] object GraphOracles extends OracleFragments {
     "g46_modularity" -> ((s: SparkSession, dir: String) =>
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
     "g47_katz" -> ((s: SparkSession, dir: String) =>
-      GraphQueries.katzCentrality(s, dir)),
+      GraphQueries.katzCentrality(s, dir, betaPct = KatzBetaPct)),
     "g48_betweenness" -> ((s: SparkSession, dir: String) =>
       GraphQueries.betweennessSampled(s, dir, seedMod = WalkSeedMod)),
   )
@@ -91,13 +91,13 @@ private[graft] object GraphOracles extends OracleFragments {
          |x0 AS (SELECT v, CAST(1000000 AS BIGINT) AS x FROM vx),
          |c1 AS (SELECT e.dst AS v, CAST(SUM(x0.x) AS BIGINT) AS s
          |       FROM e JOIN x0 ON x0.v = e.src GROUP BY e.dst),
-         |x1 AS (SELECT vx.v, (COALESCE(c1.s, 0) * 50) // 100 AS x FROM vx LEFT JOIN c1 USING (v)),
+         |x1 AS (SELECT vx.v, (COALESCE(c1.s, 0) * $KatzBetaPct) // 100 AS x FROM vx LEFT JOIN c1 USING (v)),
          |c2 AS (SELECT e.dst AS v, CAST(SUM(x1.x) AS BIGINT) AS s
          |       FROM e JOIN x1 ON x1.v = e.src GROUP BY e.dst),
-         |x2 AS (SELECT vx.v, (COALESCE(c2.s, 0) * 50) // 100 AS x FROM vx LEFT JOIN c2 USING (v)),
+         |x2 AS (SELECT vx.v, (COALESCE(c2.s, 0) * $KatzBetaPct) // 100 AS x FROM vx LEFT JOIN c2 USING (v)),
          |c3 AS (SELECT e.dst AS v, CAST(SUM(x2.x) AS BIGINT) AS s
          |       FROM e JOIN x2 ON x2.v = e.src GROUP BY e.dst),
-         |x3 AS (SELECT vx.v, (COALESCE(c3.s, 0) * 50) // 100 AS x FROM vx LEFT JOIN c3 USING (v))
+         |x3 AS (SELECT vx.v, (COALESCE(c3.s, 0) * $KatzBetaPct) // 100 AS x FROM vx LEFT JOIN c3 USING (v))
          |SELECT vx.v AS vertex_id, CAST(x1.x + x2.x + x3.x AS BIGINT) AS katz_fp
          |FROM vx JOIN x1 USING (v) JOIN x2 USING (v) JOIN x3 USING (v)""".stripMargin,
 
