@@ -80,4 +80,88 @@ class StreamingCurationSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM cur_quar").count() == 2)
     } finally { driftQ.stop(); quarQ.stop() }
   }
+
+  test("the full ingest gauntlet: quarantine, dedup probe, and decontamination gate off one stream") {
+    import spark.implicits._
+    // the two persisted gate artifacts a production ingest probes: the corpus'
+    // band index (d17/d18) and the eval suite's n-gram index (d19/d20)
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (10L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val scratch = Files.createTempDirectory("graft-gauntlet").toString
+    graft.pipeline.Dedup.saveDedupIndex(
+      graft.pipeline.Dedup.dedupIndex(archive, "doc_id", "text"), s"$scratch/bands")
+    graft.pipeline.Dedup.saveBenchIndex(
+      graft.pipeline.Dedup.benchIndex(benchmark, "doc_id", "text"), s"$scratch/bench")
+    val bandIdx = graft.pipeline.Dedup.loadDedupIndex(spark, s"$scratch/bands")
+    val benchIdx = graft.pipeline.Dedup.loadBenchIndex(spark, s"$scratch/bench")
+
+    val dir = Files.createTempDirectory("graft-gauntlet-in").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), lines.mkString("\n"))
+    writeFile("b1.jsonl", Seq(
+      """{"doc_id":100,"text":"the quick brown fox jumps over the lazy dog again and again","source":"s1"}""",
+      """{"doc_id":101,"text":"quote the secret benchmark answer is forty two exactly here","source":"s1"}""",
+      """{"doc_id":102,"text":"a genuinely novel document passing every gate","source":"s2"}""",
+      """not even json"""))
+
+    val (docs, quarantine) = DocumentSources.streamJsonlDocs(spark, dir)
+    val dups = scala.collection.mutable.Map.empty[Long, Long]
+    val contam = scala.collection.mutable.Map.empty[Long, Long]
+    val dedupQ = StreamOps.streamingIncrementalDedup(
+        docs, "doc_id", "text", bandIdx,
+        onBatch = (out, _) => dups.synchronized {
+          out.collect().foreach(r => dups(r.getAs[Long]("doc_id")) = r.getAs[Long]("dup_of"))
+        })
+      .start()
+    val decontamQ = StreamOps.streamingDecontaminate(
+        docs, "doc_id", "text", benchIdx,
+        onBatch = (out, _) => contam.synchronized {
+          out.collect().foreach(r =>
+            contam(r.getAs[Long]("doc_id")) = r.getAs[Long]("first_bench_id"))
+        })
+      .start()
+    val quarQ = quarantine.writeStream.format("memory").queryName("gauntlet_quar").start()
+
+    try {
+      def settle(): Unit = {
+        dedupQ.processAllAvailable(); decontamQ.processAllAvailable()
+        quarQ.processAllAvailable()
+      }
+      settle()
+      // batch 1: the archive copy trips ONLY the dedup gate, the benchmark quote
+      // trips ONLY the decontamination gate, the novel doc passes both, the
+      // malformed line lands in quarantine — each evidence stream is disjoint
+      assert(dups.synchronized(dups.toMap) == Map(100L -> 1L), dups.toString)
+      assert(contam.synchronized(contam.toMap) == Map(101L -> 10L), contam.toString)
+      assert(spark.sql("SELECT * FROM gauntlet_quar").count() == 1)
+
+      // a later file: a second archive copy still resolves to the same keeper,
+      // and prior verdicts are untouched (gates are stateless probes)
+      writeFile("b2.jsonl", Seq(
+        """{"doc_id":103,"text":"the quick brown fox jumps over the lazy dog again and again","source":"s2"}"""))
+      settle()
+      assert(dups.synchronized(dups.toMap) == Map(100L -> 1L, 103L -> 1L), dups.toString)
+      assert(contam.synchronized(contam.toMap) == Map(101L -> 10L), contam.toString)
+
+      // batch parity across the whole arrival prefix for both gates
+      val arrivals = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again"),
+        (101L, "quote the secret benchmark answer is forty two exactly here"),
+        (102L, "a genuinely novel document passing every gate"),
+        (103L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      val batchDups = graft.pipeline.Dedup.incrementalDedupAgainst(
+          graft.pipeline.Dedup.dedupIndex(arrivals, "doc_id", "text"), "doc_id", bandIdx)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+      val batchContam = graft.pipeline.Dedup.decontaminateAgainst(
+          arrivals, "doc_id", "text", benchIdx)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("first_bench_id")).toMap
+      assert(dups.synchronized(dups.toMap) == batchDups)
+      assert(contam.synchronized(contam.toMap) == batchContam)
+    } finally { dedupQ.stop(); decontamQ.stop(); quarQ.stop() }
+  }
 }
