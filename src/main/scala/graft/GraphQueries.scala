@@ -317,11 +317,14 @@ object GraphQueries {
     * shallow), each round is one equi-join + one map-side-combinable aggregation,
     * and the iterated state never exceeds |V| rows.
     */
-  def katzCentrality(spark: SparkSession, dir: String, betaPct: Long = 50L): DataFrame = {
-    val edges = TestGraph.store(spark, dir).snapshot
+  def katzCentrality(spark: SparkSession, dir: String, betaPct: Long = 50L): DataFrame =
+    katzOf(TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
-      .select(col("source_id").as("src"), col("destination_id").as("dst"))
-      .localCheckpoint(true)
+      .select(col("source_id").as("src"), col("destination_id").as("dst")), betaPct)
+
+  /** The edge-relation kernel of [[katzCentrality]] — input (src, dst) rows. */
+  private[graft] def katzOf(edgesIn: DataFrame, betaPct: Long): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
     val vertices = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v"))).distinct()
       .localCheckpoint(true)
@@ -362,11 +365,14 @@ object GraphQueries {
     * every level materializes once (eager checkpoints keep the 6-step loop's
     * plan shallow). Sampling density and depth are the explicit cost knobs.
     */
-  def betweennessSampled(spark: SparkSession, dir: String, seedMod: Long = 10L): DataFrame = {
-    val edges = TestGraph.store(spark, dir).snapshot
+  def betweennessSampled(spark: SparkSession, dir: String, seedMod: Long = 10L): DataFrame =
+    betweennessOf(TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal)
-      .select(col("source_id").as("src"), col("destination_id").as("dst"))
-      .localCheckpoint(true)
+      .select(col("source_id").as("src"), col("destination_id").as("dst")), seedMod)
+
+  /** The edge-relation kernel of [[betweennessSampled]] — input (src, dst) rows. */
+  private[graft] def betweennessOf(edgesIn: DataFrame, seedMod: Long): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
     val vertices = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v"))).distinct()
 

@@ -53,6 +53,11 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc06_cross_source_dup" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.crossSourceDup(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source")),
+    "dc07_source_similarity" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.sourceCentroidMatrix(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "source", "vec_id", "embedding")),
     "d09_containment" -> ((s: SparkSession, dir: String) =>
       Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, threshold = 0.3)),
@@ -321,6 +326,21 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST(floor(1000000.0 * ps.top_n::DOUBLE / ps.n_vecs::DOUBLE + 0.5) AS BIGINT)
          |    AS top_cell_share_micro
          |FROM ps JOIN ent USING (source)""".stripMargin,
+
+    // per-source mean embedding (dims rounded to 6, the s05 convention), pairwise
+    // centroid cosine, zero centroids excluded — mirror of
+    // Curation.sourceCentroidMatrix
+    "dc07_source_similarity" ->
+      s"""WITH j AS (SELECT d.source, e.embedding::DOUBLE[] AS v
+         |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |cent AS (SELECT source, i, round(avg(v[i]), 6) AS c
+         |         FROM j, unnest(generate_series(1, len(v))) AS t(i)
+         |         GROUP BY source, i),
+         |cv AS (SELECT source, list(c ORDER BY i) AS cv FROM cent GROUP BY source),
+         |cvf AS (SELECT source, cv FROM cv WHERE list_dot_product(cv, cv) > 0)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       ${cosSql("a.cv", "b.cv")} AS cos_sim
+         |FROM cvf a JOIN cvf b ON a.source < b.source""".stripMargin,
 
     // which sources mirror which: d05 clusters -> per-(cluster, source) census ->
     // unordered source-pair matrix of shared clusters + each side's doc mass —

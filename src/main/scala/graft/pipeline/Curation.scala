@@ -261,6 +261,45 @@ object Curation {
     * DISTINCT SOURCES in the cluster (≤ |sources|, a catalog-sized constant) —
     * never by cluster membership.
     */
+  /** dc07 — the source-centroid similarity matrix: per-source MEAN embedding (the
+    * s05 kernel with source as the label, per-dim means rounded to 6 so both
+    * engines hold identical doubles), then pairwise cosine between source
+    * centroids. The between-source complement of dc05's within-source dispersion:
+    * dc05 says "how much space does this source cover", dc07 says "which sources
+    * sit on top of each other" — near-identical centroids flag the same content
+    * farmed through different domains (the semantic counterpart of dc06's
+    * verbatim-dup matrix). All-zero centroids are excluded (cosine undefined),
+    * the s06 degenerate-input discipline.
+    *
+    * Scale shape: centroids are one posexplode + map-side-combinable per-(source,
+    * dim) average — the exchange moves ≤ |sources|·dims rows regardless of corpus
+    * size; the pair product is |sources|² on a catalog-sized checkpointed
+    * relation (a deliberate nest-loop over dozens of rows, never data).
+    */
+  def sourceCentroidMatrix(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val joined = embeddings.select(col(vecIdCol).as("vec_id"), col(vecCol).as("emb"))
+      .join(docs.select(col(idCol).as("vec_id"), col(sourceCol).as("source")), "vec_id")
+    val cents = Similarity.labelCentroids(joined, "source", "emb")
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+      .select(col("label").as("source"),
+        transform(col("dc"), x => x("centroid")).as("cv"))
+      .filter(Similarity.norm2(col("cv")) > 0)
+      .localCheckpoint(true)
+    val a = cents.select(col("source").as("source_a"), col("cv").as("va"))
+    val b = cents.select(col("source").as("source_b"), col("cv").as("vb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+  }
+
   def crossSourceDup(
       df: DataFrame,
       idCol: String,
