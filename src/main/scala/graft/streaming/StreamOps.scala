@@ -463,6 +463,81 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  // --- streaming semantic-coverage monitor (Curation.semanticCoverage parity) ---
+
+  case class CoverageRow(
+      source: String, nVecs: Long, nCells: Long,
+      entropyMicroNats: Long, topCellShareMicro: Long)
+
+  /** Pure census→coverage kernel shared with the parity spec — the dc05 arithmetic
+    * over a cell-count register: per-cell terms floor(10⁶·(n/N)·ln(N/n) + ½) in the
+    * same multiply order as the relational form, exact integer sum; top share
+    * floor(10⁶·top/N + ½).
+    */
+  def coverageMicro(cells: Map[Long, Long]): (Long, Long, Long, Long) = {
+    val n = cells.values.sum
+    val ent = cells.values.map(c =>
+      math.floor(1000000.0 * (c.toDouble / n.toDouble)
+        * math.log(n.toDouble / c.toDouble) + 0.5).toLong).sum
+    val top = math.floor(1000000.0 * cells.values.max.toDouble / n.toDouble + 0.5).toLong
+    (n, cells.size.toLong, ent, top)
+  }
+
+  /** Streaming twin of the dc05 coverage census: each arriving vector is assigned
+    * to its nearest codebook cell (rounded-6 cosine, cid-asc tie-break — the d13
+    * convention, computed against the driver-collected k-row codebook exactly as
+    * the relational form computes it against the broadcast centroid table) and
+    * folded into a per-source cell-count register; every batch emits the source's
+    * current coverage row through [[coverageMicro]]. The register is ≤ k longs per
+    * source at any corpus size — the monitor a curation dashboard holds forever,
+    * watching a domain's semantic spread collapse (a narrowing crawl) or explode
+    * (an injection) live. Zero-norm arrivals are EXCLUDED explicitly (cosine
+    * undefined; the batch operator never meets one in curated corpora — the s06
+    * degenerate-input discipline applied at the gate).
+    *
+    * Input: a (source, embedding) stream — the doc→source join happens upstream,
+    * where the documents relation lives. `centroids` is the loaded artifact
+    * (s24/s25's save/load discipline), k rows collected driver-side.
+    */
+  def streamingCoverage(
+      vecs: DataFrame,
+      sourceCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Double])]
+  ): Dataset[CoverageRow] = {
+    import vecs.sparkSession.implicits._
+    val cents = centroids
+      .map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+      .filter(_._3 > 0)
+    def nearest(v: Array[Float]): Option[Long] = {
+      val dv = v.map(_.toDouble)
+      val nv = dv.map(x => x * x).sum
+      if (nv == 0 || cents.isEmpty) None
+      else Some(cents.map { case (cid, cv, cn) =>
+        var dot = 0.0
+        var i = 0
+        while (i < dv.length) { dot += dv(i) * cv(i); i += 1 }
+        val cc = BigDecimal(dot / math.sqrt(nv * cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (-cc, cid)
+      }.min._2)
+    }
+    vecs.select(col(sourceCol).cast("string"), col(vecCol))
+      .as[(String, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (src: String, batch: Iterator[(String, Array[Float])],
+         state: GroupState[Map[Long, Long]]) =>
+          var cells = state.getOption.getOrElse(Map.empty[Long, Long])
+          batch.foreach { case (_, v) =>
+            nearest(v).foreach(cid => cells = cells.updated(cid, cells.getOrElse(cid, 0L) + 1L))
+          }
+          state.update(cells)
+          val (n, k, ent, top) = coverageMicro(cells)
+          CoverageRow(src, n, k, ent, top)
+      }
+  }
+
   /** Incremental per-vertex degree maintenance — the reference's A2 count-delta path
     * (`SqlShard.scala:470-524`) as streaming state: each vertex's group state holds its
     * current adjacency LWW registers (compact, tombstone-aged — see [[mergeDegreeState]]);

@@ -823,6 +823,65 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming coverage reproduces batch dc05 on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the saved codebook: the two axis centroids of the dc05 planted fixture
+    val centroids = Seq(
+      (2L, Array(1.0, 0.0, 0.0, 0.0)), (4L, Array(0.0, 1.0, 0.0, 0.0)))
+
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val latest = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    val query = StreamOps.streamingCoverage(
+        stream.toDS().toDF("vec_id", "source", "embedding"), "source", "embedding", centroids)
+      .writeStream.outputMode("update")
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[StreamOps.CoverageRow], _: Long) =>
+        latest.synchronized {
+          out.collect().foreach(r =>
+            latest(r.source) = ((r.nVecs, r.nCells, r.entropyMicroNats, r.topCellShareMicro)))
+        }
+      }
+      .start()
+
+    def checkAgainstBatch(prefix: Seq[(Long, String, Array[Float])]): Unit = {
+      val emb = prefix.map { case (id, _, v) => (id, v) }
+        .toDF("vec_id", "embedding")
+        // the batch operator derives its centroids from the corpus sample; plant
+        // the SAME codebook vectors under the even ids the mod-2 convention picks
+        .unionByName(Seq((2L, Array(1f, 0f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)))
+          .toDF("vec_id", "embedding"))
+      val docs = (prefix.map { case (id, s, _) => (id, s) } ++ Seq((2L, "sCode"), (4L, "sCode")))
+        .toDF("doc_id", "source")
+      val batch = graft.pipeline.Curation.semanticCoverage(
+          docs, emb, "doc_id", "source", "vec_id", "embedding", centroidMod = 2)
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_cells"),
+            r.getAs[Long]("entropy_micro_nats"), r.getAs[Long]("top_cell_share_micro")))).toMap
+      val got = latest.synchronized(latest.toMap)
+      for ((src, v) <- got) assert(batch(src) == v, s"$src: $v vs ${batch(src)}")
+      assert(got.nonEmpty)
+    }
+
+    try {
+      val first = Seq(
+        (11L, "sNarrow", Array(0.9f, 0.1f, 0f, 0f)),
+        (13L, "sNarrow", Array(0.95f, 0.05f, 0f, 0f)),
+        (15L, "sBroad", Array(0.8f, 0.2f, 0f, 0f)))
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      checkAgainstBatch(first)
+
+      // later arrivals split sBroad across both cells — entropy rises, top share
+      // falls, and the register keeps exact batch parity on the longer prefix
+      val second = Seq(
+        (17L, "sBroad", Array(0.1f, 0.9f, 0f, 0f)),
+        (19L, "sNarrow", Array(1f, 0f, 0f, 0f)))
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      checkAgainstBatch(first ++ second)
+    } finally query.stop()
+  }
+
   test("streaming drift reproduces batch t37 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
