@@ -757,6 +757,20 @@ class PlanSpec extends SparkSpec {
       s"consumers must read the census checkpoint, not re-run the assignment:\n$p")
   }
 
+  test("dc07 matrix: the pair product reads only the catalog-sized centroid checkpoint") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.pipeline.Curation.sourceCentroidMatrix(
+      docs, emb, "doc_id", "source", "vec_id", "embedding")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the |sources|² nest-loop is deliberate — but its BOTH inputs must be the
+    // checkpointed centroid relation, never a data-sized scan
+    assert(!p.contains("FileScan"),
+      s"the pair join must read the centroid checkpoint, not re-derive it:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("dc06 matrix: pair fanout rides the cluster equi-join — never a source product") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.pipeline.Curation.crossSourceDup(docs, "doc_id", "text", "source"))
