@@ -45,6 +45,10 @@ private[graft] object DedupOracles extends OracleFragments {
       graft.pipeline.Curation.corpusChurn(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
         cutId = SourceDriftCut)),
+    // the dc04 plan executed: per-source hash-order prefixes of target_docs size
+    "dc08_mix_execute" -> ((s: SparkSession, dir: String) =>
+      Sampling.mixExecute(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+        alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -326,6 +330,27 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST(floor(1000000.0 * ps.top_n::DOUBLE / ps.n_vecs::DOUBLE + 0.5) AS BIGINT)
          |    AS top_cell_share_micro
          |FROM ps JOIN ent USING (source)""".stripMargin,
+
+    // dc04's budgets applied to the t09 hash order: per-source target_docs-sized
+    // prefixes — mirror of Sampling.mixExecute over the shared α and budget
+    "dc08_mix_execute" -> {
+      val a = MixAlphaMicro.toDouble / 1000000.0
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+         |w AS (SELECT source, n_docs, n_total,
+         |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
+         |          AS BIGINT) AS weight_micro
+         |      FROM c CROSS JOIN tot),
+         |wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM w),
+         |tgt AS (SELECT source,
+         |          CAST((weight_micro * $MixBudgetDocs) // w_total AS BIGINT) AS target_docs
+         |        FROM w CROSS JOIN wt),
+         |ranked AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+         |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))
+         |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk, target_docs
+         |FROM ranked JOIN tgt USING (source) WHERE rk <= target_docs""".stripMargin
+    },
 
     // per-source mean embedding (dims rounded to 6, the s05 convention), pairwise
     // centroid cosine, zero centroids excluded — mirror of

@@ -249,6 +249,41 @@ object Sampling {
           .when(col("target_docs") < col("prop_docs"), "downsample")
           .otherwise("hold"))
 
+  /** dc08 — EXECUTE the dc04 mix plan: the deterministic sample that materializes
+    * the temperature-mix budgets. Every document ranks within its source by the
+    * t07/t09 unbiased hash order (salted md5 bucket, id tie-break), and each
+    * source keeps its own `target_docs` prefix of that order — so the output IS
+    * the next epoch's corpus manifest, reproducible from the plan parameters
+    * alone, and growing a source never reshuffles which of its documents are
+    * sampled (ranks only extend).
+    *
+    * Scale shape: budgets are the |sources|-row dc04 relation (checkpointed; its
+    * max is ONE driver-side scalar off that catalog-sized relation — the only
+    * collect). Admission reuses t09's bounded [[org.apache.spark.sql.graft.KthSmallest]]
+    * threshold at that max, so no data-sized source partition is ever window-sorted;
+    * the per-source exact trim then runs over the ≤ sources×max admitted rows with
+    * the budgets broadcast in.
+    */
+  def mixExecute(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L,
+      salt: String = ""
+  ): DataFrame = {
+    val budgets = mixPlan(df, sourceCol, alphaMicro, budgetDocs)
+      .select(col(sourceCol), col("target_docs"))
+      .localCheckpoint(true)
+    val kMax = budgets.agg(max(col("target_docs"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val admitted = sourceCap(df, idCol, sourceCol, math.max(1L, kMax).toInt, salt)
+    admitted.join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("rk") <= col("target_docs"))
+      .select(col(idCol), col(sourceCol), col("rk"), col("target_docs"))
+  }
+
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): every document scored by how much more likely
     * its hashed n-gram features are under a TARGET corpus' unigram+bigram bag model

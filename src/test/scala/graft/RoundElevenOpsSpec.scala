@@ -298,6 +298,50 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got == expect, s"diff: ${got.toSet.diff(expect.toSet).take(5)} / ${expect.toSet.diff(got.toSet).take(5)}")
   }
 
+  test("dc08: executes dc04's budgets as hash-order prefixes; growth extends, never reshuffles") {
+    import graft.pipeline.Sampling
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % Sampling.Buckets
+    }
+    // srcBig 8 docs, srcSmall 2 — the dc04 fixture: α=0.3, budget 6
+    val docs = ((1L to 8L).map(i => (i, "x", "srcBig")) ++
+      Seq((9L, "x", "srcSmall"), (10L, "x", "srcSmall")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixExecute(docs, "doc_id", "source",
+        alphaMicro = 300000L, budgetDocs = 6L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("rk")))
+
+    // independent mirror: targets from the exact dc04 integer arithmetic, then
+    // each source's (bucket, id)-ordered prefix
+    def wMicro(n: Long, tot: Long): Long =
+      math.floor(1e6 * math.pow(n.toDouble / tot, 0.3) + 0.5).toLong
+    val (wb, ws) = (wMicro(8, 10), wMicro(2, 10))
+    val targets = Map(
+      "srcBig" -> wb * 6L / (wb + ws), "srcSmall" -> ws * 6L / (wb + ws))
+    for (src <- Seq("srcBig", "srcSmall")) {
+      val ids = (if (src == "srcBig") 1L to 8L else 9L to 10L)
+        .sortBy(id => (bucketOf(id), id))
+        .take(targets(src).toInt)
+      val got = out.filter(_._1 == src).sortBy(_._3).map(_._2).toSeq
+      assert(got == ids, s"$src: $got vs $ids (target ${targets(src)})")
+    }
+    // determinism under growth: adding docs to srcBig must keep the original
+    // prefix ORDER intact (new docs only displace by hash rank, never reshuffle
+    // the relative order of survivors)
+    val grown = (docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))) ++
+      Seq((11L, "x", "srcBig"), (12L, "x", "srcBig")))
+      .toSeq.toDF("doc_id", "text", "source")
+    val out2 = Sampling.mixExecute(grown, "doc_id", "source",
+        alphaMicro = 300000L, budgetDocs = 6L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("rk")))
+    val order1 = out.filter(_._1 == "srcBig").sortBy(_._3).map(_._2).toSeq
+    val order2 = out2.filter(_._1 == "srcBig").sortBy(_._3).map(_._2).toSeq
+    assert(order1.filter(order2.contains) == order2.filter(order1.contains),
+      s"relative order of common survivors changed: $order1 vs $order2")
+  }
+
   test("retrainTrigger: hot cell, starved majority, and balanced cases") {
     def growth(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
       rows.toDF("cluster", "n_new", "share_new_micro")
