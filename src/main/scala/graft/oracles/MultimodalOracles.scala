@@ -41,6 +41,17 @@ private[graft] object MultimodalOracles extends OracleFragments {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", frameBytes = 64, stride = 2)),
+    // incremental media dedup: post-cut arrivals probe the archive's frame index
+    "m07_frame_probe" -> ((s: SparkSession, dir: String) => {
+      val assets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val index = Multimodal.frameIndex(
+        assets.filter(col("doc_id") < SourceDriftCut), "doc_id", "media",
+        frameBytes = 64, stride = 2)
+      Multimodal.probeFrameIndex(
+        assets.filter(col("doc_id") >= SourceDriftCut), "doc_id", "media", index,
+        frameBytes = 64, stride = 2)
+    }),
     "m05_media_text_align" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaTextAlignment(
         s.read.parquet(s"$dir/documents.parquet")
@@ -101,6 +112,28 @@ private[graft] object MultimodalOracles extends OracleFragments {
          |  JOIN sizes sb ON sb.asset_id = id_b)
          |SELECT id_a, id_b, n_shared, jaccard_micro
          |FROM scored WHERE jaccard_micro >= 300000""".stripMargin,
+
+    // post-cut arrivals' sampled frames probed against the pre-cut archive's frame
+    // index (occurrence-level hits, micro shared fraction, min colliding archive
+    // asset) — mirror of Multimodal.probeFrameIndex(64, 2)
+    "m07_frame_probe" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |         md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0),
+         |idx AS (SELECT frame_md5, MIN(asset_id) AS archive_asset
+         |        FROM f WHERE asset_id < $SourceDriftCut GROUP BY 1),
+         |arr AS (SELECT asset_id, frame_md5 FROM f WHERE asset_id >= $SourceDriftCut),
+         |per AS (SELECT asset_id, COUNT(*) AS n_frames FROM arr GROUP BY 1),
+         |hits AS (SELECT asset_id, COUNT(*) AS n_shared, MIN(archive_asset) AS dup_of
+         |         FROM arr JOIN idx USING (frame_md5) GROUP BY 1)
+         |SELECT asset_id, n_frames, n_shared,
+         |  CAST(floor(1000000.0 * n_shared::DOUBLE / n_frames::DOUBLE + 0.5) AS BIGINT)
+         |    AS shared_frac_micro,
+         |  dup_of
+         |FROM hits JOIN per USING (asset_id)""".stripMargin,
 
     // frames shared across >1 asset — mirror of Multimodal.frameDedupDF(64, 2);
     // keeper = lexicographic min (asset, frame index), via struct-min in both engines

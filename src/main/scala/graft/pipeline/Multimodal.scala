@@ -149,6 +149,63 @@ object Multimodal {
         col("keep.frame_index").as("keep_frame"))
   }
 
+  /** Build the persistable frame-hash index of an asset archive — (frame_md5,
+    * archive_asset) with the minimum holding asset per distinct frame content (the
+    * audit pointer). The d17/d19 build-once discipline applied to video frames:
+    * the archive is hashed once, every ingest batch probes the artifact.
+    */
+  def frameIndex(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int
+  ): DataFrame =
+    frameSampleDF(df, idCol, binCol, frameBytes, stride)
+      .select(md5(col("frame")).as("frame_md5"), col("asset_id"))
+      .groupBy(col("frame_md5")).agg(min(col("asset_id")).as("archive_asset"))
+
+  /** m07 — the probe half: arriving assets' sampled frames against the archive's
+    * frame index. One row per FLAGGED arrival: its sampled-frame count, how many
+    * of those frames exist anywhere in the archive (occurrence-level — a clip
+    * looping an archived frame counts each occurrence), the shared fraction
+    * (micro-quantized, m06's threshold discipline) and the smallest colliding
+    * archive asset. The incremental form of m04: the archive is never re-paired
+    * with itself, the probe cost is ingest-sized.
+    *
+    * Scale shape: the index is corpus-frame-sized — the probe is a plain hash
+    * equi-join on frame_md5 (NOT a broadcast; AQE picks the build side), with the
+    * arrivals' frame relation materialized once for its two consumers.
+    */
+  def probeFrameIndex(
+      arrivals: DataFrame, idCol: String, binCol: String, index: DataFrame,
+      frameBytes: Int, stride: Int
+  ): DataFrame = {
+    val frames = frameSampleDF(arrivals, idCol, binCol, frameBytes, stride)
+      .select(col("asset_id"), md5(col("frame")).as("frame_md5"))
+      .localCheckpoint(true)
+    val perAsset = frames.groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
+    val hits = frames.join(index, "frame_md5")
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("archive_asset")).as("dup_of"))
+    hits.join(perAsset, "asset_id")
+      .select(col("asset_id"), col("n_frames"), col("n_shared"),
+        floor(lit(1000000.0) * col("n_shared").cast("double") / col("n_frames").cast("double")
+          + lit(0.5)).cast("long").as("shared_frac_micro"),
+        col("dup_of"))
+  }
+
+  /** Persist the frame index hash-clustered (the saveBenchIndex layout discipline)
+    * and reload it for the ingest cadence.
+    */
+  def saveFrameIndex(index: DataFrame, path: String, files: Int = 16): Unit =
+    index
+      .repartitionByRange(math.max(files, 1), col("frame_md5"))
+      .sortWithinPartitions(col("frame_md5"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
+  def loadFrameIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** m06 — clip-level NEAR-duplication: asset pairs whose sampled-frame hash sets
     * overlap above a Jaccard threshold — the re-upload/watermarked-copy detector
     * one level up from [[frameDedupDF]] (m04 reports shared FRAMES; this scores
