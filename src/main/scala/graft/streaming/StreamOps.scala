@@ -463,6 +463,32 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the m07 frame-index probe: each micro-batch of arriving
+    * media assets is probed against the loaded archive frame index inside
+    * `foreachBatch` — the media leg of the ingest gauntlet, running beside the
+    * text legs ([[streamingIncrementalDedup]], [[streamingDecontaminate]]) with
+    * the same stateless shape: assets arrive whole, per-batch emissions ARE
+    * `Multimodal.probeFrameIndex` over the arrivals, and the index is the only
+    * state, rebuilt on the archive's compaction cadence.
+    */
+  def streamingFrameDedup(
+      assets: DataFrame,
+      idCol: String,
+      binCol: String,
+      index: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      frameBytes: Int,
+      stride: Int
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Multimodal.probeFrameIndex(
+            batch, idCol, binCol, index, frameBytes, stride),
+          batchId)
+      }
+
   // --- streaming semantic-coverage monitor (Curation.semanticCoverage parity) ---
 
   case class CoverageRow(

@@ -823,6 +823,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming frame dedup emits the m07 verdicts against a loaded frame index") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val archive = Seq((1L, "AAAABBBBCCCC".getBytes("UTF-8"))).toDF("asset_id", "media")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-frame-idx")
+    graft.pipeline.Multimodal.saveFrameIndex(
+      graft.pipeline.Multimodal.frameIndex(archive, "asset_id", "media",
+        frameBytes = 4, stride = 1), scratch.toString + "/frames")
+    val index = graft.pipeline.Multimodal.loadFrameIndex(spark, scratch.toString + "/frames")
+
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val flagged = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val query = StreamOps.streamingFrameDedup(
+        stream.toDS().toDF("asset_id", "media"), "asset_id", "media", index,
+        onBatch = (out, _) => flagged.synchronized {
+          out.collect().foreach(r => flagged(r.getAs[Long]("asset_id")) =
+            ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_shared"),
+              r.getAs[Long]("shared_frac_micro"), r.getAs[Long]("dup_of"))))
+        },
+        frameBytes = 4, stride = 1)
+      .start()
+    try {
+      stream.addData(
+        (101L, "AAAAXXXXBBBB".getBytes("UTF-8")), // reuses 2 of its 3 frames
+        (102L, "YYYYZZZZ".getBytes("UTF-8")))     // shares nothing -> never emits
+      query.processAllAvailable()
+      val got = flagged.synchronized(flagged.toMap)
+      assert(got == Map(101L -> ((3L, 2L, 666667L, 1L))), got.toString)
+      // batch parity over the same arrivals
+      val arrivals = Seq(
+        (101L, "AAAAXXXXBBBB".getBytes("UTF-8")), (102L, "YYYYZZZZ".getBytes("UTF-8")))
+        .toDF("asset_id", "media")
+      val batch = graft.pipeline.Multimodal.probeFrameIndex(
+          arrivals, "asset_id", "media", index, frameBytes = 4, stride = 1)
+        .collect().map(r => r.getAs[Long]("asset_id") ->
+          ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_shared"),
+            r.getAs[Long]("shared_frac_micro"), r.getAs[Long]("dup_of")))).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming coverage reproduces batch dc05 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
