@@ -981,6 +981,37 @@ object AnalyticsQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 
+  /** q21 — the TPC-H Q9 product-profit shape: per (supplier nation, order year),
+    * the summed profit of every lineitem — revenue minus cost — with the cost leg
+    * adapted to this schema (no partsupp table: the part's retail price stands in
+    * for supply cost, `cost = retail_cents · qty`, scaled to basis-point cents so
+    * profit subtracts in ONE exact integer unit). The widest star join in the
+    * suite: fact → orders (year) → part (cost) → supplier → nation.
+    *
+    * Scale shape: the per-row profit expression evaluates BEFORE aggregation
+    * (map-side combinable — the aggregate state is |nations|·|years| rows); part,
+    * supplier, and nation broadcast; orders joins by key (both sides data-sized —
+    * AQE's call); no window, no second fact pass.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        revenueBp(col("l_extendedprice"), col("l_discount")).as("rev_bp"))
+    val ord = table(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val pt = table(spark, dir, "part")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_cents"))
+    val sup = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_bp") - col("retail_cents") * col("qty") * lit(100L)).as("profit_bp"))
+  }
+
   /** ev18 — inter-event gap quantiles per event type: EXACT p50/p90/p99 of the
     * seconds between a user's consecutive events, attributed to the LATER event's
     * type — the quantile evidence behind ev2's sessionization gap parameter (a

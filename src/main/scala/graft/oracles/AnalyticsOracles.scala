@@ -62,6 +62,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
       AnalyticsQueries.supplierVariety(s, d)),
     "q20_excess_shippers" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.excessShippers(s, d)),
+    "q21_product_profit" -> (AnalyticsQueries.productProfit _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -377,6 +378,20 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |FROM supplier
         |JOIN nation ON n_nationkey = s_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
+
+    // Q9 product-profit shape: exact bp profit (revenue minus retail-cost leg) per
+    // (supplier nation, order year) — mirror of AnalyticsQueries.productProfit
+    "q21_product_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM($revBp
+         |    - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100)
+         |    AS BIGINT) AS profit_bp
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |GROUP BY 1, 2""".stripMargin,
 
     // Q13 custdist shape: left-outer per-customer order counts (zero band kept),
     // then the count-of-counts histogram — mirror of

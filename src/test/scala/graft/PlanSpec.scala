@@ -717,6 +717,12 @@ class PlanSpec extends SparkSpec {
     val p20 = plan(AnalyticsQueries.excessShippers(spark, dir))
     assert(p20.contains("LeftSemi"), s"the IN chain must compile to a semi-join:\n$p20")
     assert("FileScan parquet.*lineitem".r.findAllMatchIn(p20).size == 1, p20)
+    // q21 (Q9 shape): the three true dimensions broadcast; one fact scan; the
+    // profit expression folds into the partial aggregate (map-side combine)
+    val p21 = plan(AnalyticsQueries.productProfit(spark, dir))
+    assert("BroadcastHashJoin".r.findAllMatchIn(p21).size >= 3, p21)
+    assert("FileScan parquet.*lineitem".r.findAllMatchIn(p21).size == 1, p21)
+    assert(p21.contains("partial_sum"), s"profit must combine map-side:\n$p21")
   }
 
   test("g47 Katz: every round reads the edge/vertex checkpoints — no parquet re-scan, no pair product") {
