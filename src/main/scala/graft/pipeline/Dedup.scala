@@ -821,19 +821,38 @@ object Dedup {
       idCol: String,
       index: DataFrame,
       maxBucketMembers: Long = 10000L
+  ): DataFrame =
+    probeDedupIndex(newSigs, idCol, capDedupIndex(index, idCol, maxBucketMembers))
+
+  /** Apply the hot-cell membership cap to an index ONCE, yielding the admitted
+    * (band, sig, existing_id) relation that [[probeDedupIndex]] joins against.
+    * Split out so a standing ingest cadence pays the corpus-sized cell census a
+    * single time at setup (checkpoint the result) instead of re-running it every
+    * micro-batch — the cost [[graft.streaming.StreamOps.streamingIncrementalDedup]]
+    * amortizes this way.
+    */
+  def capDedupIndex(
+      index: DataFrame,
+      idCol: String,
+      maxBucketMembers: Long = 10000L
   ): DataFrame = {
     val smallCells = index.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") <= maxBucketMembers)
       .select(col("band"), col("sig"))
-    val admitted = index.join(smallCells, Seq("band", "sig"))
+    index.join(smallCells, Seq("band", "sig"))
       .select(col("band"), col("sig"), col(idCol).as("existing_id"))
+  }
+
+  /** The census-free probe half: arrivals' signatures equi-join the already-capped
+    * index on (band, sig) — per-call cost is ingest-sized.
+    */
+  def probeDedupIndex(newSigs: DataFrame, idCol: String, admitted: DataFrame): DataFrame =
     newSigs.join(admitted, Seq("band", "sig"))
       .groupBy(col(idCol))
       .agg(
         min(col("existing_id")).as("dup_of"),
         countDistinct(col("band")).as("n_bands"))
-  }
 
   /** Build the persistable band index of a corpus — the artifact an ingest cadence
     * probes. (id, band, sig) rows.

@@ -263,6 +263,13 @@ object Sampling {
     * threshold at that max, so no data-sized source partition is ever window-sorted;
     * the per-source exact trim then runs over the ≤ sources×max admitted rows with
     * the budgets broadcast in.
+    *
+    * A source whose `target_docs` exceeds its document count contributes ALL its
+    * documents and stops — this entry reports the sampled prefix only, so such an
+    * epoch under-fills the plan's token mass by the shortfall. The dc10 variant
+    * ([[mixExecuteUpsampled]]) materializes the plan exactly by stamping each kept
+    * document with an integer `repeat_factor` whose per-source sum equals
+    * `target_docs`.
     */
   def mixExecute(
       df: DataFrame,
@@ -278,10 +285,60 @@ object Sampling {
     val kMax = budgets.agg(max(col("target_docs"))).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
+    // sourceCap's threshold k is an Int: a budget large enough to push one
+    // source's target past 2^31 would silently wrap negative in toInt and admit
+    // the wrong prefix — fail loudly instead (at that scale the admission needs
+    // the distributedRank path, not a row_number window).
+    require(kMax <= Int.MaxValue.toLong,
+      s"mixExecute: largest per-source target_docs ($kMax) exceeds Int.MaxValue; " +
+        "split the epoch budget or rank via AnalyticsQueries.distributedRank")
     val admitted = sourceCap(df, idCol, sourceCol, math.max(1L, kMax).toInt, salt)
     admitted.join(broadcast(budgets), Seq(sourceCol))
       .filter(col("rk") <= col("target_docs"))
       .select(col(idCol), col(sourceCol), col("rk"), col("target_docs"))
+  }
+
+  /** dc10 — mix-plan execution WITH upsampling materialized: where [[mixExecute]]
+    * silently caps an over-budget source at its document count (under-filling the
+    * epoch), this variant stamps every kept document with an exact integer
+    * `repeat_factor` (how many times the trainer replays it this epoch) so each
+    * source's Σ repeat_factor equals its planned `target_docs` EXACTLY:
+    * base = target div n, and the first (target mod n) documents of the unbiased
+    * hash order carry base+1 — the deterministic epoch-boost schedule of
+    * temperature-mixed pretraining (small upweighted sources repeat; large
+    * downsampled sources keep a prefix at factor 1). Sources with target ≤ n
+    * degenerate to mixExecute rows with repeat_factor = 1.
+    *
+    * Scale shape: identical to mixExecute (the |sources|-row plan relation gains
+    * an n_docs column; the repeat arithmetic is a map-only expression over the
+    * admitted rows with the budgets broadcast in).
+    */
+  def mixExecuteUpsampled(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L,
+      salt: String = ""
+  ): DataFrame = {
+    val budgets = mixPlan(df, sourceCol, alphaMicro, budgetDocs)
+      .select(col(sourceCol), col("n_docs"), col("target_docs"))
+      .localCheckpoint(true)
+    val kMax = budgets.agg(max(least(col("target_docs"), col("n_docs")))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    require(kMax <= Int.MaxValue.toLong,
+      s"mixExecuteUpsampled: largest per-source admission ($kMax) exceeds Int.MaxValue; " +
+        "split the epoch budget or rank via AnalyticsQueries.distributedRank")
+    val admitted = sourceCap(df, idCol, sourceCol, math.max(1L, kMax).toInt, salt)
+    admitted.join(broadcast(budgets), Seq(sourceCol))
+      .filter(col("rk") <= least(col("target_docs"), col("n_docs")))
+      .withColumn("repeat_factor",
+        when(col("target_docs") <= col("n_docs"), lit(1L))
+          .otherwise(
+            expr("target_docs div n_docs") +
+              when(col("rk") <= col("target_docs") % col("n_docs"), lit(1L)).otherwise(lit(0L))))
+      .select(col(idCol), col(sourceCol), col("rk"), col("target_docs"), col("repeat_factor"))
   }
 
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language

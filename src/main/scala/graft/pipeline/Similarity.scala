@@ -951,6 +951,12 @@ object Similarity {
       vecCol: String,
       model: DataFrame
   ): DataFrame = {
+    // Centroid artifacts written before saveCentroids carried member counts load
+    // without n_members and would otherwise die in an opaque unresolved-column
+    // AnalysisException at the select below — name the condition explicitly.
+    require(model.columns.contains("n_members"),
+      "ivfAssignNew: model has no n_members column — legacy centroid artifact " +
+        "(pre-census saveCentroids); retrain with kmeansRounds and re-save")
     val withCn =
       if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
     val cents = withCn.select(

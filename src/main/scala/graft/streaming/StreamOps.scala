@@ -411,8 +411,10 @@ object StreamOps extends Serializable {
     *
     * Scale shape: the static side is the persisted band-partitioned index reused
     * across micro-batches; per-batch cost is the arrivals' signature pass plus an
-    * ingest-sized (band, sig) equi-join. Apply the index-side hot-cell cap at
-    * BUILD time (saveDedupIndex of the capped relation).
+    * ingest-sized (band, sig) equi-join. The index-side hot-cell cap
+    * ([[graft.pipeline.Dedup.capDedupIndex]]) is paid ONCE at stream setup — the
+    * corpus-sized cell census runs here, the result is checkpointed, and every
+    * micro-batch probes the already-admitted relation census-free.
     */
   def streamingIncrementalDedup(
       docs: DataFrame,
@@ -422,17 +424,22 @@ object StreamOps extends Serializable {
       onBatch: (DataFrame, Long) => Unit,
       shingleSize: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 1
-  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      rowsPerBand: Int = 1,
+      maxBucketMembers: Long = 10000L
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val admitted = graft.pipeline.Dedup
+      .capDedupIndex(index, idCol, maxBucketMembers)
+      .localCheckpoint(true)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(
-          graft.pipeline.Dedup.incrementalDedupAgainst(
+          graft.pipeline.Dedup.probeDedupIndex(
             graft.pipeline.Dedup.dedupIndex(batch, idCol, textCol, shingleSize, bands, rowsPerBand),
-            idCol, index),
+            idCol, admitted),
           batchId)
       }
+  }
 
   /** Streaming twin of the d19/d20 decontamination probe: each ingest micro-batch
     * of TRAINING documents is probed against the loaded benchmark n-gram index
@@ -498,9 +505,13 @@ object StreamOps extends Serializable {
   /** Pure census→coverage kernel shared with the parity spec — the dc05 arithmetic
     * over a cell-count register: per-cell terms floor(10⁶·(n/N)·ln(N/n) + ½) in the
     * same multiply order as the relational form, exact integer sum; top share
-    * floor(10⁶·top/N + ½).
+    * floor(10⁶·top/N + ½). An empty register (a source whose arrivals so far were
+    * all zero-norm, or an empty/all-zero codebook — vectors the batch operator
+    * silently drops at the assignment join) yields the zero row rather than
+    * throwing on `max`/dividing by N=0.
     */
   def coverageMicro(cells: Map[Long, Long]): (Long, Long, Long, Long) = {
+    if (cells.isEmpty) return (0L, 0L, 0L, 0L)
     val n = cells.values.sum
     val ent = cells.values.map(c =>
       math.floor(1000000.0 * (c.toDouble / n.toDouble)
