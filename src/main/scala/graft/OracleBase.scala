@@ -490,7 +490,29 @@ private[graft] trait OracleFragments extends OracleParams {
     * the Scala side applies via bpeSafeToken so the filters match structurally —
     * not merely through the final join happening to drop the rows.
     */
-  protected lazy val bpeEncodeMirrorSql: String = {
+  /** dc04's temperature budgets applied to the t09 hash order — the mix-manifest
+    * chain shared by the dc08/dc09/dc10 mirrors (Sampling.mixExecute's plan side):
+    * ends at `tgt` (per-source target_docs) and `ranked` (per-source hash-order
+    * rank, bucket kept for the packing mirrors' pack_group arithmetic).
+    */
+  protected lazy val mixManifestCtes: String = {
+    val a = MixAlphaMicro.toDouble / 1000000.0
+    s"""c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+       |w AS (SELECT source, n_docs, n_total,
+       |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
+       |          AS BIGINT) AS weight_micro
+       |      FROM c CROSS JOIN tot),
+       |wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM w),
+       |tgt AS (SELECT source, n_docs,
+       |          CAST((weight_micro * $MixBudgetDocs) // w_total AS BIGINT) AS target_docs
+       |        FROM w CROSS JOIN wt),
+       |ranked AS (SELECT doc_id, source, bucket,
+       |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+       |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))""".stripMargin
+  }
+
+  protected lazy val bpeEncodeCtes: String = {
     def roundCtes(i: Int): String = {
       val prev = s"e${i - 1}"
       s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
@@ -504,7 +526,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
          |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
     }
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
        |       WHERE length(token) >= 1 AND token NOT LIKE '%|%' GROUP BY 1, 2),
        |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
@@ -515,13 +537,16 @@ private[graft] trait OracleFragments extends OracleParams {
        |${(1 to BpeMergeRounds).map(roundCtes).mkString(",\n")},
        |enc AS (SELECT token,
        |          len(list_filter(string_split(repr, '||'), x -> x <> '')) AS n_sym
-       |        FROM e$BpeMergeRounds)
+       |        FROM e$BpeMergeRounds)""".stripMargin
+  }
+
+  protected lazy val bpeEncodeMirrorSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT tf.doc_id,
        |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
        |       CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
        |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
        |FROM tf JOIN enc USING (token)
        |GROUP BY 1""".stripMargin
-  }
 
 }

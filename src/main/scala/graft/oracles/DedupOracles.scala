@@ -49,6 +49,26 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc08_mix_execute" -> ((s: SparkSession, dir: String) =>
       Sampling.mixExecute(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
         alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
+    // the epoch materializer: dc08 manifest → saved-BPE pricing → t14 packing in
+    // one job; the tokenizer artifact is trained + saved + reloaded here (the t26
+    // round-trip discipline: bpeEncodeWith collects the merges at construction,
+    // so the scratch dir is removable in the finally)
+    "dc09_epoch_pack" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-artifact")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPack(docs, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+          budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
+    "dc10_mix_upsampled" -> ((s: SparkSession, dir: String) =>
+      Sampling.mixExecuteUpsampled(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        "source", alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -333,24 +353,49 @@ private[graft] object DedupOracles extends OracleFragments {
 
     // dc04's budgets applied to the t09 hash order: per-source target_docs-sized
     // prefixes — mirror of Sampling.mixExecute over the shared α and budget
-    "dc08_mix_execute" -> {
-      val a = MixAlphaMicro.toDouble / 1000000.0
-      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
-         |w AS (SELECT source, n_docs, n_total,
-         |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
-         |          AS BIGINT) AS weight_micro
-         |      FROM c CROSS JOIN tot),
-         |wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM w),
-         |tgt AS (SELECT source,
-         |          CAST((weight_micro * $MixBudgetDocs) // w_total AS BIGINT) AS target_docs
-         |        FROM w CROSS JOIN wt),
-         |ranked AS (SELECT doc_id, source,
-         |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
-         |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))
+    // (manifest chain shared with dc09/dc10 via OracleBase.mixManifestCtes)
+    "dc08_mix_execute" ->
+      s"""WITH $mixManifestCtes
          |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk, target_docs
-         |FROM ranked JOIN tgt USING (source) WHERE rk <= target_docs""".stripMargin
-    },
+         |FROM ranked JOIN tgt USING (source) WHERE rk <= target_docs""".stripMargin,
+
+    // the epoch materializer: dc08's manifest priced in saved-artifact BPE symbols
+    // (the t25/t26 merge-loop CTEs — per-token n_sym is corpus-trained, manifest-
+    // priced) and packed with t14's concat-and-cut windows over n_syms; manifest
+    // docs the tokenizer drops (no safe tokens) pack at 0 symbols — mirror of
+    // Sampling.epochPack(budgetTokens = 512, nGroups = 8)
+    "dc09_epoch_pack" ->
+      s"""WITH $mixManifestCtes,
+         |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk
+         |             FROM ranked JOIN tgt USING (source) WHERE rk <= target_docs),
+         |$bpeEncodeCtes,
+         |priced AS (SELECT tf.doc_id, CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |           FROM tf JOIN enc USING (token) GROUP BY 1),
+         |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
+         |                 COALESCE(p.n_syms, 0) AS n_syms
+         |          FROM manifest m LEFT JOIN priced p USING (doc_id)),
+         |cum AS (SELECT source, pack_group, rk, n_syms,
+         |          SUM(n_syms) OVER (PARTITION BY source, pack_group
+         |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+         |        FROM prows)
+         |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+         |       MIN(rk) AS rk_first, MAX(rk) AS rk_last
+         |FROM cum GROUP BY 1, 2, 3""".stripMargin,
+
+    // upsampling materialized: every kept doc carries the exact integer epoch
+    // repeat count (base = target div n, first target-mod-n hash-order docs get
+    // +1, so per-source sums equal target_docs exactly) — mirror of
+    // Sampling.mixExecuteUpsampled
+    "dc10_mix_upsampled" ->
+      s"""WITH $mixManifestCtes
+         |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk, target_docs,
+         |  CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
+         |       ELSE target_docs // n_docs
+         |            + (CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END)
+         |  END AS repeat_factor
+         |FROM ranked JOIN tgt USING (source)
+         |WHERE rk <= least(target_docs, n_docs)""".stripMargin,
 
     // per-source mean embedding (dims rounded to 6, the s05 convention), pairwise
     // centroid cosine, zero centroids excluded — mirror of

@@ -341,6 +341,74 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("rk"), col("target_docs"), col("repeat_factor"))
   }
 
+  /** dc09 — the EPOCH MATERIALIZER: the job whose output a trainer actually reads,
+    * composing the pipeline's three batch kernels end-to-end in one run —
+    * [[mixExecute]]'s per-source manifest (which documents this epoch), BPE pricing
+    * from a SAVED tokenizer artifact ([[graft.pipeline.TextStats.bpeEncodeWith]] —
+    * train once, encode every epoch), and [[sequencePack]]'s concat-and-cut binning
+    * over POST-MERGE symbol counts (the unit a context-length budget is actually
+    * denominated in, not whitespace tokens). Output: one row per training pack —
+    * (source, pack_group, bin) with its document count, packed symbol count, and
+    * manifest-rank boundaries (`rk_first`/`rk_last` — the slice of the per-source
+    * hash order the pack covers, so a trainer can address any pack's documents
+    * without re-deriving the layout).
+    *
+    * The d08 funnel discipline, applied across jobs instead of stages: the corpus'
+    * TEXT is tokenized once, and only for ADMITTED documents — the manifest is an
+    * id-level relation, the heavy column is read behind an id-equi-join against it,
+    * and the packing stage runs entirely on the (manifest ⋈ per-doc price) relation,
+    * never the corpus. A document the tokenizer prices at zero symbols (empty text,
+    * all-'|' tokens — rows bpeTf drops) still occupies its manifest slot at n_syms
+    * = 0: admission is the plan's decision, not the tokenizer's.
+    *
+    * Scale shape: manifest construction is mixExecute verbatim (bounded KthSmallest
+    * admission, |sources|-row budgets broadcast, ONE driver scalar); pricing is the
+    * t26 shape (dictionary-sized merge replay of a bounded collected artifact, one
+    * tf pass over admitted text); packing is t14's nGroups-split windows over the
+    * EPOCH-sized relation (≪ corpus; raise nGroups with epoch size). The manifest
+    * is checkpointed once and feeds both the text semi-join and the final pack —
+    * the multi-consumer rule.
+    */
+  def epochPack(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    val manifest = mixExecute(df, idCol, sourceCol, alphaMicro, budgetDocs, salt)
+      .localCheckpoint(true)
+    val admitted = df.select(col(idCol), col(textCol))
+      .join(manifest.select(col(idCol)), Seq(idCol))
+    val priced = graft.pipeline.TextStats
+      .bpeEncodeWith(admitted, idCol, textCol, merges)
+      .select(col(idCol), col("n_syms"))
+    val rows = manifest
+      .join(priced, Seq(idCol), "left")
+      .select(
+        col(idCol), col(sourceCol), col("rk"),
+        coalesce(col("n_syms"), lit(0L)).as("n_syms"),
+        bucketCol(col(idCol), salt).as("bucket"))
+      .withColumn("pack_group", col("bucket") % nGroups)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("pack_group"))
+      .orderBy(col("bucket"), col(idCol))
+    rows
+      .withColumn("tok_before", sum(col("n_syms")).over(w) - col("n_syms"))
+      .withColumn("bin", (col("tok_before") / budgetTokens).cast("long"))
+      .groupBy(col(sourceCol), col("pack_group"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_syms")).as("n_tokens"),
+        min(col("rk")).as("rk_first"),
+        max(col("rk")).as("rk_last"))
+  }
+
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): every document scored by how much more likely
     * its hashed n-gram features are under a TARGET corpus' unigram+bigram bag model

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Sampling, Similarity, TextStats}
+import graft.streaming.StreamOps
+
+/** Round-12 pins: the dc09 epoch materializer (one text scan, packing mirrored
+  * in plain Scala), dc10 upsampling invariants, and the advisor-found guard
+  * rails (empty coverage register, mixExecute overflow, legacy centroid
+  * artifact).
+  */
+class RoundTwelveOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** ~30 docs over two skewed sources: srcBig large enough to be downsampled,
+    * srcTiny small enough that a temperature budget upsamples it.
+    */
+  private def plantedDocs = {
+    val big = (1L to 26L).map(i =>
+      (i, s"document number $i with some shared words and token$i tail", "srcBig"))
+    val tiny = (101L to 103L).map(i => (i, s"tiny source doc $i distinct words", "srcTiny"))
+    (big ++ tiny).toDF("doc_id", "text", "source")
+  }
+
+  test("dc09: epochPack's packing stage matches a plain-Scala fold over the priced manifest") {
+    val docs = plantedDocs
+    val scratch = java.nio.file.Files.createTempDirectory("graft-r12-bpe")
+    try {
+      val path = scratch.toString + "/merges"
+      TextStats.bpeSaveMerges(TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 4), path)
+      val merges = TextStats.bpeLoadMerges(spark, path)
+      val out = Sampling.epochPack(docs, "doc_id", "source", "text", merges,
+        alphaMicro = 300000L, budgetDocs = 20L, budgetTokens = 20L, nGroups = 2)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("pack_group"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Int]("rk_first"), r.getAs[Int]("rk_last")))
+        .toMap
+
+      // independent mirror of the packing stage: manifest and pricing come from the
+      // two already-oracle-pinned kernels, the concat-and-cut fold is plain Scala
+      val manifest = Sampling.mixExecute(docs, "doc_id", "source",
+          alphaMicro = 300000L, budgetDocs = 20L)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("rk")))
+      val priced = TextStats.bpeEncodeWith(
+          docs.join(manifest.map(_._1).toSeq.toDF("doc_id"), "doc_id"), "doc_id", "text", merges)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+      val bucketOf = docs.select(col("doc_id"), Sampling.bucketCol(col("doc_id")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      final case class PackRow(src: String, pg: Long, bucket: Long, id: Long, rk: Int, syms: Long)
+      val expected = manifest.toSeq
+        .map { case (id, src, rk) =>
+          PackRow(src, bucketOf(id) % 2, bucketOf(id), id, rk, priced.getOrElse(id, 0L)) }
+        .groupBy(p => (p.src, p.pg))
+        .flatMap { case ((src, pg), rows) =>
+          var cum = 0L
+          rows.sortBy(p => (p.bucket, p.id)).map { p =>
+            val bin = cum / 20L
+            cum += p.syms
+            (bin, p.rk, p.syms)
+          }.groupBy(_._1).map { case (bin, members) =>
+            (src, pg, bin) ->
+              ((members.size.toLong, members.map(_._3).sum, members.map(_._2).min, members.map(_._2).max))
+          }
+        }
+      assert(out == expected, s"packs differ:\n got $out\n exp $expected")
+      assert(out.size > 2, "planted corpus must produce multiple packs")
+      // manifest mass conservation: every admitted doc lands in exactly one pack
+      assert(out.values.map(_._1).sum == manifest.size.toLong)
+    } finally deleteRecursively(scratch)
+  }
+
+  test("dc09: the corpus text column is scanned exactly once (the funnel-across-jobs pin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-docs")
+    try {
+      val docsPath = dir.toString + "/documents"
+      plantedDocs.write.parquet(docsPath)
+      val mergesPath = dir.toString + "/merges"
+      // tokenizer training is its own job by design (train once, ship the
+      // artifact) — it happens before the listener window opens
+      TextStats.bpeSaveMerges(
+        TextStats.bpeMergeLoop(spark.read.parquet(docsPath), "doc_id", "text", rounds = 4),
+        mergesPath)
+
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          // an eager localCheckpoint reports twice — once as the inner "rdd"
+          // materialization and once as "localCheckpoint", two QueryExecution
+          // objects around ONE physical job — keep the outer report only
+          if (funcName != "rdd")
+            plans.add(System.identityHashCode(qe) ->
+              qe.executedPlan.toString.split("== Initial Plan ==")(0))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        Sampling.epochPack(spark.read.parquet(docsPath), "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(spark, mergesPath),
+          alphaMicro = 300000L, budgetDocs = 20L, budgetTokens = 20L, nGroups = 2)
+          .collect()
+        // listener delivery is async on the shared bus — wait until it quiesces
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 100) {
+          if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+          Thread.sleep(100); waited += 1
+        }
+      } finally spark.listenerManager.unregister(listener)
+
+      import scala.jdk.CollectionConverters._
+      // a text-bearing scan of the corpus = a FileScan line naming the documents
+      // dir whose output includes the text column. The same QueryExecution is
+      // reported twice for an eager localCheckpoint (funcName "rdd" then
+      // "localCheckpoint"), so dedup on the QueryExecution's identity first.
+      val textScans = plans.asScala.toSeq
+        .groupBy(_._1).values.map(_.head._2).toSeq
+        .flatMap(_.linesIterator)
+        .filter(l => l.contains("FileScan parquet") || l.contains("Scan parquet"))
+        .count(l => l.contains("documents") && l.contains("text"))
+      assert(textScans == 1,
+        s"expected exactly one text-bearing corpus scan across all epochPack jobs, saw $textScans")
+    } finally deleteRecursively(dir)
+  }
+
+  test("dc10: per-source repeat mass equals the plan exactly, and upsampling actually fires") {
+    val docs = plantedDocs
+    val out = Sampling.mixExecuteUpsampled(docs, "doc_id", "source",
+        alphaMicro = 300000L, budgetDocs = 40L)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk"), r.getAs[Long]("target_docs"), r.getAs[Long]("repeat_factor")))
+    // sum(repeat_factor) per source == target_docs in EVERY regime (downsample,
+    // exact, upsample): n·base + rem = target by construction
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._5).sum == rows.head._4,
+        s"$src: repeat mass ${rows.map(_._5).sum} != target ${rows.head._4}")
+    }
+    // srcTiny has 3 docs; with budget 40 and alpha 0.3 its temperature target
+    // exceeds its size, so the planted scenario MUST exercise repeat_factor > 1
+    val tiny = out.filter(_._1 == "srcTiny")
+    assert(tiny.nonEmpty && tiny.head._4 > 3L, s"planted target must exceed n_docs: ${tiny.headOption}")
+    assert(tiny.length == 3, "an upsampled source keeps ALL its docs")
+    assert(tiny.exists(_._5 > 1L), s"no repeat_factor > 1 in $tiny")
+    // the first (target mod n) docs in hash order carry the +1
+    val base = tiny.head._4 / 3L
+    val rem = (tiny.head._4 % 3L).toInt
+    tiny.sortBy(_._3).zipWithIndex.foreach { case ((_, _, _, _, rf), i) =>
+      assert(rf == (if (i < rem) base + 1 else base), s"doc at rank ${i + 1} has factor $rf")
+    }
+    // ...and the non-upsampled rows agree with mixExecute verbatim
+    val plain = Sampling.mixExecute(docs, "doc_id", "source",
+        alphaMicro = 300000L, budgetDocs = 40L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk"))).toMap
+    out.filter(t => t._4 <= 26L && t._1 == "srcBig").foreach { case (_, id, rk, _, rf) =>
+      assert(rf == 1L && plain.get(id).contains(rk))
+    }
+  }
+
+  test("coverageMicro yields the zero row on an empty register instead of throwing") {
+    assert(StreamOps.coverageMicro(Map.empty) == ((0L, 0L, 0L, 0L)))
+    // non-empty registers unchanged
+    val (n, k, ent, top) = StreamOps.coverageMicro(Map(1L -> 2L, 2L -> 2L))
+    assert(n == 4L && k == 2L && top == 500000L && ent > 0L)
+  }
+
+  test("mixExecute refuses a per-source target beyond Int.MaxValue instead of wrapping") {
+    val docs = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "source")
+      .withColumn("source", lit("only"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixExecute(docs, "doc_id", "source", budgetDocs = 3_000_000_000L)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"), e.getMessage)
+  }
+
+  test("ivfAssignNew names the legacy-artifact condition on a model without n_members") {
+    val legacy = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cluster", "cv")
+    val vecs = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignNew(vecs, "vec_id", "embedding", legacy)
+    }
+    assert(e.getMessage.contains("legacy centroid artifact"), e.getMessage)
+  }
+}
