@@ -150,6 +150,12 @@ private[graft] trait OracleParams {
     */
   private[graft] val SourceDriftCut = 250L
 
+  /** d21's second time cut: [SourceDriftCut, DedupAppendCut) is the ingest wave
+    * APPENDED to the persisted band index, [DedupAppendCut, ∞) the later wave
+    * that probes the extended artifact.
+    */
+  private[graft] val DedupAppendCut = 375L
+
   /** t37's pinned hashed-LM bucket count (the bounded drift-register width the
     * streaming twin holds per source).
     */

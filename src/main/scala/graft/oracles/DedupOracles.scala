@@ -122,6 +122,28 @@ private[graft] object DedupOracles extends OracleFragments {
           "doc_id", index)
       } finally deleteRecursively(scratch)
     }),
+    // the maintenance half of the d17/d18 loop: archive index persisted, the first
+    // ingest wave's signatures APPENDED into the same band-partitioned layout
+    // (never rebuilt from the corpus), the second wave probes the extended
+    // artifact — must equal a probe against the index rebuilt over archive ∪
+    // wave1, so the oracle is incrementalDedupSql at the later cut
+    "d21_dedup_index_append" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-dedup-append")
+      try {
+        val path = scratch.toString + "/index"
+        Dedup.saveDedupIndex(
+          Dedup.dedupIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"), path)
+        Dedup.appendToDedupIndex(
+          Dedup.dedupIndex(
+            docs.filter(col("doc_id") >= SourceDriftCut && col("doc_id") < DedupAppendCut),
+            "doc_id", "text"), path)
+        val index = Dedup.loadDedupIndex(s, path).localCheckpoint(eager = true)
+        Dedup.incrementalDedupAgainst(
+          Dedup.dedupIndex(docs.filter(col("doc_id") >= DedupAppendCut), "doc_id", "text"),
+          "doc_id", index)
+      } finally deleteRecursively(scratch)
+    }),
     // temperatureMix's probabilities turned into concrete per-source epoch budgets
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
@@ -179,19 +201,24 @@ private[graft] object DedupOracles extends OracleFragments {
     * permutation k), reporting the min colliding existing id and the distinct
     * colliding band count.
     */
-  private lazy val incrementalDedupSql: String =
+  private def incrementalDedupSqlAt(cut: Long): String =
     s"""WITH $shinglesCte,
        |$minhashCtes,
-       |old AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id < $SourceDriftCut),
-       |nw AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id >= $SourceDriftCut)
+       |old AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id < $cut),
+       |nw AS (SELECT doc_id, k, minhash FROM mh WHERE doc_id >= $cut)
        |SELECT nw.doc_id, CAST(MIN(old.doc_id) AS BIGINT) AS dup_of,
        |  CAST(COUNT(DISTINCT nw.k) AS BIGINT) AS n_bands
        |FROM nw JOIN old ON old.k = nw.k AND old.minhash = nw.minhash
        |GROUP BY nw.doc_id""".stripMargin
 
+  private lazy val incrementalDedupSql: String = incrementalDedupSqlAt(SourceDriftCut)
+
   val oracleSql: Map[String, String] = Map(
     "d17_incremental_dedup" -> incrementalDedupSql,
     "d18_dedup_saved_index" -> incrementalDedupSql,
+    // append(save(archive), wave1) must probe like the rebuilt archive ∪ wave1
+    // index, so the mirror is the d17 shape with the index side at the LATER cut
+    "d21_dedup_index_append" -> incrementalDedupSqlAt(DedupAppendCut),
 
     // distinct word 5-grams per doc on 60-bit md5 hashes; benchmark = doc_id % mod
     // = 0; flagged training docs with hit counts, micro overlap fraction and the

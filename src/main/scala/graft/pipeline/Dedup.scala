@@ -871,11 +871,40 @@ object Dedup {
     * saveCorpus layout discipline applied to the index artifact.
     */
   def saveDedupIndex(index: DataFrame, path: String, filesPerBand: Int = 1, bands: Int = 16): Unit =
+    writeDedupIndex(index, path, org.apache.spark.sql.SaveMode.Overwrite, filesPerBand, bands)
+
+  /** d21 — EXTEND the persisted band index with an ingest batch's signatures (the
+    * admitted arrivals, after the d17 probe decided their fate): the maintenance
+    * half of the dedup loop, so a real ingest cadence never rebuilds the index
+    * from the corpus — probe (d17), ingest, append, repeat. New rows land as a
+    * fresh file GENERATION inside the same band=N directories, each generation
+    * sig-sorted within its files, so a probe's band-directory pruning and per-file
+    * sig row-group skipping hold across generations unchanged (parquet dir
+    * readers union files; the layout contract is per-file). The invariant the
+    * round trip must keep — load(append(index, batchSigs)) probes identically to
+    * the index rebuilt over corpus ∪ batch — is pinned in RoundTwelveOpsSpec and
+    * oracle-checked by d21's CORRECTNESS entry.
+    *
+    * Scale shape: one ingest-sized sort+write per batch, nothing corpus-sized;
+    * the generation count grows with the cadence, so compaction (re-save via
+    * [[saveDedupIndex]] on the loaded union) is the occasional housekeeping job,
+    * exactly like any LSM-flavored layout.
+    */
+  def appendToDedupIndex(
+      batchSigs: DataFrame, path: String, filesPerBand: Int = 1, bands: Int = 16): Unit =
+    writeDedupIndex(batchSigs, path, org.apache.spark.sql.SaveMode.Append, filesPerBand, bands)
+
+  private def writeDedupIndex(
+      index: DataFrame,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode,
+      filesPerBand: Int,
+      bands: Int): Unit =
     index
       .repartitionByRange(math.max(filesPerBand, 1) * math.max(bands, 1), col("band"), col("sig"))
       .sortWithinPartitions(col("band"), col("sig"))
       .write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .mode(mode)
       .partitionBy("band")
       .parquet(path)
 

@@ -167,6 +167,49 @@ class RoundTwelveOpsSpec extends SparkSpec {
     }
   }
 
+  test("d21: probing the appended index equals probing the index rebuilt over corpus ∪ batch") {
+    import graft.pipeline.Dedup
+    // near-dup plants across the waves: 1≈11 (archive vs appended wave),
+    // 2≈21 (archive vs probe wave), 12≈22 (appended wave vs probe wave)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different archive document with its own words"),
+      (3L, "third archive entry nothing like the others at all"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "fresh ingest text that the later wave will also carry forward"),
+      (21L, "a completely different archive document with its own words"),
+      (22L, "fresh ingest text that the later wave will also carry forward"),
+      (23L, "entirely novel probe document matching nothing before it")
+    ).toDF("doc_id", "text")
+    val archive = docs.filter(col("doc_id") < 10)
+    val wave1 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    val probe = Dedup.dedupIndex(docs.filter(col("doc_id") >= 20), "doc_id", "text")
+      .localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-append")
+    try {
+      val path = dir.toString + "/index"
+      Dedup.saveDedupIndex(Dedup.dedupIndex(archive, "doc_id", "text"), path)
+      Dedup.appendToDedupIndex(Dedup.dedupIndex(wave1, "doc_id", "text"), path)
+      val appended = Dedup.incrementalDedupAgainst(
+          probe, "doc_id", Dedup.loadDedupIndex(spark, path).localCheckpoint(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = Dedup.incrementalDedupAgainst(
+          probe, "doc_id",
+          Dedup.dedupIndex(archive.unionByName(wave1), "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(appended == rebuilt, s"appended $appended != rebuilt $rebuilt")
+      // the planted collisions actually fire: 21 dups the archive, 22 dups wave1
+      val dupOf = appended.map(t => t._1 -> t._2).toMap
+      assert(dupOf.get(21L).contains(2L) && dupOf.get(22L).contains(12L), appended.toString)
+      assert(!dupOf.contains(23L), "novel doc must not collide")
+      // the appended generation preserves the band=N directory layout
+      val bandDirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("band=")).toSet
+      assert(bandDirs.nonEmpty, "band partition dirs missing after append")
+    } finally deleteRecursively(dir)
+  }
+
   test("coverageMicro yields the zero row on an empty register instead of throwing") {
     assert(StreamOps.coverageMicro(Map.empty) == ((0L, 0L, 0L, 0L)))
     // non-empty registers unchanged
