@@ -35,6 +35,15 @@ private[graft] trait OracleParams {
   /** t28's pinned hashed-feature slot count, shared by registration and oracle. */
   private[graft] val LinearQualityBuckets = 1024
 
+  /** t38/t39's pinned trained-classifier hyperparameters: hashed-feature slots,
+    * logistic-regression rounds (small so the oracle's unrolled CTE chain stays
+    * tractable — the s22 discipline), and the learning rate in micro-units
+    * (500000 → 0.5, exactly representable so both engines hold the same double).
+    */
+  private[graft] val LrBuckets = 256
+  private[graft] val LrRounds = 3
+  private[graft] val LrRateMicro = 500000L
+
   /** g40's pinned label-propagation round count, shared by registration and oracle. */
   private[graft] val LpaRounds = 4
 
@@ -248,6 +257,51 @@ private[graft] trait OracleFragments extends OracleParams {
     * doubles entering the next round — the contract that keeps a multi-round
     * training loop hash-checkable.
     */
+  /** t38/t39's unrolled logistic-regression training chain (the kmeansCtes
+    * discipline for a linear model): hashed (doc, slot, tf) features, labels from
+    * the t05 heuristic gate, and per round — exact BIGINT margins (Σ tf·w), the
+    * per-doc sigmoid error quantized to integer micro, exact BIGINT gradients
+    * (Σ tf·e), and the per-slot integer step ⌊lr·(g/n)+½⌋. Ends at `w{rounds}`
+    * (slot, w).
+    */
+  protected def lrTrainCtes(rounds: Int): String = {
+    val lr = LrRateMicro.toDouble / 1000000.0
+    val sb = new StringBuilder
+    sb ++= s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              |tf AS MATERIALIZED (
+              |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % $LrBuckets AS slot,
+              |         COUNT(*) AS tf
+              |  FROM toks GROUP BY 1, 2),
+              |lab AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CASE WHEN n_tokens >= 10 AND stop_hits >= 1
+              |          AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END AS kept
+              |  FROM (SELECT doc_id,
+              |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+              |          CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+              |          CAST(length(text) AS BIGINT) AS n_chars
+              |        FROM documents)),
+              |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+              |w0 AS (SELECT DISTINCT slot, CAST(0 AS BIGINT) AS w FROM tf)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |mg$r AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
+                |        FROM tf JOIN w${r - 1} w USING (slot) GROUP BY 1),
+                |er$r AS (SELECT mg.doc_id,
+                |          CAST(floor(1000000.0 * (1.0 / (1.0 + exp(-(mg.m::DOUBLE / 1000000.0)))
+                |            - lab.kept) + 0.5) AS BIGINT) AS e
+                |        FROM mg$r mg JOIN lab USING (doc_id)),
+                |gr$r AS (SELECT tf.slot, CAST(SUM(tf.tf * er.e) AS BIGINT) AS g
+                |        FROM tf JOIN er$r er USING (doc_id) GROUP BY 1),
+                |w$r AS MATERIALIZED (
+                |  SELECT w.slot,
+                |    CAST(w.w - CAST(floor($lr * (COALESCE(g.g, 0)::DOUBLE / nn.n::DOUBLE) + 0.5)
+                |      AS BIGINT) AS BIGINT) AS w
+                |  FROM w${r - 1} w LEFT JOIN gr$r g USING (slot) CROSS JOIN nn)""".stripMargin
+    }
+    sb.toString
+  }
+
   protected def kmeansCtes(src: String, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"ke AS (SELECT vec_id, v FROM $src WHERE list_dot_product(v, v) > 0),\n"

@@ -109,6 +109,25 @@ private[graft] object TextOracles extends OracleFragments {
     "t29_kneser_ney" -> ((s: SparkSession, dir: String) =>
       TextStats.kneserNeyLogProb(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         discountMicro = KneserNeyDiscountMicro)),
+    // the trained counterpart of t28: logistic regression over hashed features,
+    // labels from the t05 heuristic gate, quantized rounds (the s22 discipline)
+    "t38_lr_train" -> ((s: SparkSession, dir: String) =>
+      TextStats.lrQualityTrain(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro)),
+    // train → persist the weight artifact → reload → score (the t26 round-trip
+    // discipline: the save must reproduce the in-session model's scores exactly)
+    "t39_lr_score_saved" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-lr-weights")
+      try {
+        val path = scratch.toString + "/weights"
+        TextStats.saveLrWeights(
+          TextStats.lrQualityTrain(docs, "doc_id", "text",
+            buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro), path)
+        TextStats.lrScoreWith(docs, "doc_id", "text",
+          TextStats.loadLrWeights(s, path).localCheckpoint(true), buckets = LrBuckets)
+      } finally deleteRecursively(scratch)
+    }),
     "t30_temperature_mix" -> ((s: SparkSession, dir: String) =>
       Sampling.temperatureMix(s.read.parquet(s"$dir/documents.parquet"), "source",
         alphaMicro = MixAlphaMicro)),
@@ -598,6 +617,29 @@ private[graft] object TextOracles extends OracleFragments {
     // hashed linear bag-of-words quality classifier (md5 slot, Knuth multiplicative
     // pseudo-weights in exact milli-units, sign decision) — mirror of
     // TextStats.linearQuality
+    // logistic-regression training unrolled as chained CTEs (the kmeansCtes
+    // discipline): weights are exact integer micro-units, margins/gradients are
+    // order-free BIGINT sums, the only floats per round are the per-doc sigmoid
+    // (quantized straight back to micro) and the per-slot step — mirror of
+    // TextStats.lrQualityTrain over the shared LrBuckets/LrRounds/LrRateMicro
+    "t38_lr_train" ->
+      s"""WITH ${lrTrainCtes(LrRounds)}
+         |SELECT slot, w AS w_micro FROM w$LrRounds""".stripMargin,
+
+    // the trained model applied: exact integer margins with the final round's
+    // weights, sigmoid quantized to micro, sign-test verdict — mirror of
+    // TextStats.lrScoreWith over the saved-artifact round trip (integer weights
+    // survive parquet bit-exactly, so t39 shares the training CTEs verbatim)
+    "t39_lr_score_saved" ->
+      s"""WITH ${lrTrainCtes(LrRounds)},
+         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS margin_micro
+         |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1)
+         |SELECT doc_id, margin_micro,
+         |  CAST(floor(1000000.0 / (1.0 + exp(-(margin_micro::DOUBLE / 1000000.0))) + 0.5)
+         |    AS BIGINT) AS p_micro,
+         |  CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM mgf""".stripMargin,
+
     "t28_linear_quality" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |s AS (SELECT doc_id,

@@ -880,6 +880,110 @@ object TextStats {
         when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
   }
 
+  /** Per-(doc, slot) hashed term frequencies — the feature relation the trained
+    * quality classifier consumes (t28's md5-slot idiom, occurrence-weighted).
+    */
+  private def hashedTf(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+    tokens(df, idCol, textCol)
+      .select(col(idCol),
+        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets).as("slot"))
+      .groupBy(col(idCol), col("slot")).agg(count(lit(1)).as("tf"))
+
+  /** t38 — the TRAINED counterpart of [[linearQuality]]'s fixed pseudo-weights:
+    * full-batch logistic regression over hashed bag-of-words features, with labels
+    * from [[qualityFilter]] (the C4-style heuristic gate supplies the supervision,
+    * the model learns to imitate and smooth it — the fastText-filter training
+    * loop of CCNet/LLaMA-style pipelines). Returns the weight relation
+    * (slot, w_micro), ≤ `buckets` rows — the artifact a scoring job broadcasts.
+    *
+    * Determinism (the s22 trained-model discipline, in integer form): weights live
+    * as exact integer MICRO-units, so each round's float exposure is exactly two
+    * scalar expressions — the per-doc sigmoid over the exact integer margin
+    * (quantized back to micro immediately: e = ⌊10⁶·(σ(m)−y)+½⌋) and the per-slot
+    * step ⌊lr·(g/n)+½⌋ over the exact integer gradient. Margins and gradients are
+    * order-free BIGINT sums (Σ tf·w_micro, Σ tf·e_micro), so both engines hold
+    * identical integers entering every round and the oracle unrolls the loop as
+    * chained CTEs exactly like `kmeansCtes`.
+    *
+    * Scale shape: the corpus is tokenized ONCE into the checkpointed (doc, slot,
+    * tf) relation; each round is two map-side-combinable aggregations over it
+    * (per-doc margin with the ≤ buckets-row weight table BROADCAST in, per-slot
+    * gradient with the doc-sized error relation equi-joined), never a corpus
+    * re-scan. Rounds are pinned small for the oracle; production runs more rounds
+    * of the same per-round plan.
+    */
+  def lrQualityTrain(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256,
+      rounds: Int = 3,
+      lrMicro: Long = 500000L
+  ): DataFrame = {
+    val tf = hashedTf(df, idCol, textCol, buckets).localCheckpoint(true)
+    val labels = qualityFilter(df, idCol, textCol)
+      .select(col(idCol), col("kept").cast("double").as("y"))
+      .localCheckpoint(true)
+    val n = tf.select(col(idCol)).distinct().count()
+    val lr = lrMicro.toDouble / 1000000.0
+    var w = tf.select(col("slot")).distinct()
+      .withColumn("w_micro", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val margins = tf.join(broadcast(w), Seq("slot"))
+        .groupBy(col(idCol)).agg(sum(col("tf") * col("w_micro")).as("m_micro"))
+      val errs = margins.join(labels, Seq(idCol))
+        .select(col(idCol),
+          floor(lit(1000000.0) *
+            (lit(1.0) / (lit(1.0) + exp(-(col("m_micro").cast("double") / lit(1000000.0))))
+              - col("y")) + lit(0.5)).cast("long").as("e_micro"))
+      val grads = tf.join(errs, Seq(idCol))
+        .groupBy(col("slot")).agg(sum(col("tf") * col("e_micro")).as("g"))
+      w = w.join(grads, Seq("slot"), "left")
+        .select(col("slot"),
+          (col("w_micro") -
+            floor(lit(lr) * (coalesce(col("g"), lit(0L)).cast("double") /
+              lit(n).cast("double")) + lit(0.5)).cast("long")).as("w_micro"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Persist a trained weight relation ([[lrQualityTrain]]'s output) — the
+    * classifier artifact: train once on a labeled snapshot, score every future
+    * ingest with [[lrScoreWith]]. Integer micro-weights round-trip parquet
+    * bit-exactly, so the reloaded model scores identically (the t26/s24
+    * discipline).
+    */
+  def saveLrWeights(weights: DataFrame, path: String): Unit =
+    weights.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def loadLrWeights(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** t39 — score documents with a trained/loaded weight relation: exact integer
+    * margin (Σ tf·w_micro with the ≤ buckets-row table broadcast), the sigmoid
+    * quantized to micro as the keep-probability, sign test as the verdict. One
+    * tokenize pass + one map-side-combinable rollup — the per-ingest cost of a
+    * learned quality gate. Documents with no tokens carry no margin and are
+    * absent by design (the heuristic gate already rejects them on bit 0).
+    */
+  def lrScoreWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256
+  ): DataFrame =
+    hashedTf(df, idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("slot"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("w_micro")).as("margin_micro"))
+      .select(col(idCol), col("margin_micro"),
+        floor(lit(1000000.0) /
+          (lit(1.0) + exp(-(col("margin_micro").cast("double") / lit(1000000.0))))
+          + lit(0.5)).cast("long").as("p_micro"),
+        when(col("margin_micro") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+
   /** Interpolated Kneser–Ney bigram score per document — the stronger LM-quality
     * signal next to [[bigramLogProb]]'s Jelinek–Mercer form (Kneser–Ney's continuation
     * probability scores a word by how many distinct CONTEXTS it follows, not raw

@@ -210,6 +210,44 @@ class RoundTwelveOpsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("t38/t39: the trained classifier separates planted good/bad docs with disjoint vocab") {
+    // good docs pass every t05 gate (>=10 tokens, stopwords, short mean length);
+    // bad docs fail (no stopwords + gibberish tokens). Vocabularies are disjoint,
+    // so three LR rounds must push good-slot weights positive and bad-slot
+    // weights negative — the scored labels then reproduce the supervision.
+    val good = (1L to 6L).map(i =>
+      (i, s"the cat sat on a mat of warm wool and felt fine day$i"))
+    val bad = (11L to 16L).map(i =>
+      (i, s"zzzzqqqqxxxxwwww$i kkkkjjjjhhhhgggg qqqywvvvvbbbbnnnnmmmm"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val labels = graft.pipeline.TextStats.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+    assert(good.forall(d => labels(d._1) == 1) && bad.forall(d => labels(d._1) == 0),
+      s"supervision must be planted correctly: $labels")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-lr")
+    try {
+      val path = dir.toString + "/weights"
+      graft.pipeline.TextStats.saveLrWeights(
+        graft.pipeline.TextStats.lrQualityTrain(docs, "doc_id", "text",
+          buckets = 64, rounds = 3, lrMicro = 500000L), path)
+      val loaded = graft.pipeline.TextStats.loadLrWeights(spark, path)
+      val scored = graft.pipeline.TextStats.lrScoreWith(docs, "doc_id", "text", loaded, buckets = 64)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("margin_micro"), r.getAs[Long]("p_micro"), r.getAs[String]("label"))).toMap
+      good.foreach { case (id, _) =>
+        assert(scored(id)._1 > 0 && scored(id)._3 == "keep", s"good doc $id: ${scored(id)}")
+      }
+      bad.foreach { case (id, _) =>
+        assert(scored(id)._1 < 0 && scored(id)._3 == "drop", s"bad doc $id: ${scored(id)}")
+      }
+      // p_micro is a probability in micro-units, monotone in the margin
+      val pGood = good.map(d => scored(d._1)._2).min
+      val pBad = bad.map(d => scored(d._1)._2).max
+      assert(pGood > 500000L && pBad < 500000L, s"separation: min-good $pGood, max-bad $pBad")
+    } finally deleteRecursively(dir)
+  }
+
   test("coverageMicro yields the zero row on an empty register instead of throwing") {
     assert(StreamOps.coverageMicro(Map.empty) == ((0L, 0L, 0L, 0L)))
     // non-empty registers unchanged
