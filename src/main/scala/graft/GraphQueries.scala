@@ -1036,6 +1036,137 @@ object GraphQueries {
     labels.select(col("v").as("vertex_id"), col("component"))
   }
 
+  /** g49 — STRONGLY connected components of the directed Normal graph: the
+    * directed complement of [[connectedComponents]] (whose closure undirects, so
+    * its components are reachability-symmetric by construction). On a
+    * follow-shaped graph SCCs are the mutual-follow cores — the communities
+    * reciprocal edges actually form. Label = min member id, so singleton SCCs
+    * (every DAG vertex) label themselves.
+    *
+    * Algorithm: trim + forward-coloring + backward sweep (the FW–BW/coloring
+    * family — Fleischer–Hendrickson–Pınar 2000's divide-and-conquer done
+    * label-parallel as in Orzan's coloring): per outer round (1) TRIM to fixpoint
+    * — a vertex with no in-edges or no out-edges in the residual is its own SCC
+    * and peels off; (2) COLOR — directed hash-min fixpoint c(v) = min forward
+    * ancestor (the [[ccClassicLoop]] round shape, src→dst only); (3) SWEEP —
+    * every color ROOT r (c(r) = r, necessarily the min of its SCC) collects its
+    * SCC as the vertices that reach r backward through same-colored edges (the
+    * proof in the sweep comment: within-color backward reachability from a root
+    * is EXACTLY its SCC). Resolved vertices leave the residual; the global min
+    * vertex of the residual is always a root, so every outer round retires at
+    * least one SCC and the loop terminates in ≤ SCC-chain-length rounds
+    * (maxRounds is the runaway guard, raising rather than answering wrong).
+    *
+    * Scale shape: every step is an edge-relation equi-join or a distinct
+    * projection, generations checkpointed, convergence via one driver scalar per
+    * round (the decimal label-sum / count idioms — no collects). The oracle
+    * computes true MUTUAL reachability with a recursive CTE, so a hash match
+    * proves the fixpoint, not round-parity.
+    */
+  def sccComponents(spark: SparkSession, dir: String, maxRounds: Int = 60): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    sccOf(snap, maxRounds)
+  }
+
+  /** Kernel form of [[sccComponents]] over an explicit (src, dst) relation —
+    * property tests feed random digraphs. Output (vertex_id, scc).
+    */
+  private[graft] def sccOf(edges0: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    var edges = edges0.localCheckpoint(true)
+    var verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def restrictEdges(vs: DataFrame): DataFrame = edges
+      .join(vs.select(col("v").as("src")), Seq("src"))
+      .join(vs.select(col("v").as("dst")), Seq("dst"))
+      .localCheckpoint(true)
+    var outer = 0
+    while (verts.count() > 0) {
+      outer += 1
+      require(outer <= maxRounds, s"sccComponents did not converge in $maxRounds outer rounds")
+      // ---- TRIM to fixpoint: no in-edges or no out-edges → singleton SCC
+      var trimming = true
+      var trimRound = 0
+      while (trimming) {
+        trimRound += 1
+        require(trimRound <= maxRounds, s"scc trim did not converge in $maxRounds rounds")
+        val core = edges.select(col("src").as("v")).distinct()
+          .join(edges.select(col("dst").as("v")).distinct(), Seq("v"))
+          .localCheckpoint(true)
+        val trimmed = verts.join(core, Seq("v"), "left_anti").localCheckpoint(true)
+        if (trimmed.count() == 0) trimming = false
+        else {
+          resolved += trimmed.select(col("v").as("vertex_id"), col("v").as("scc"))
+          verts = core
+          edges = restrictEdges(verts)
+        }
+      }
+      if (verts.count() > 0) {
+        // ---- COLOR: directed hash-min to fixpoint — c(v) = min forward ancestor
+        var labels = verts.select(col("v"), col("v").as("component")).localCheckpoint(true)
+        var prevSum = ccLabelSum(labels)
+        var converged = false
+        var round = 0
+        while (!converged) {
+          round += 1
+          require(round <= maxRounds, s"scc coloring did not converge in $maxRounds rounds")
+          val via = edges
+            .join(labels.select(col("v").as("src"), col("component")), Seq("src"))
+            .select(col("dst").as("v"), col("component"))
+          val next = labels.unionByName(via)
+            .groupBy(col("v")).agg(min(col("component")).as("component"))
+            .localCheckpoint(true)
+          val nextSum = ccLabelSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+          labels = next
+        }
+        // ---- SWEEP: roots collect their SCCs backward through same-colored edges.
+        // Correctness: c(m) = r for every m ∈ SCC(r) (a smaller forward ancestor of
+        // m would forward-reach r too, contradicting c(r) = r); conversely c(v) = r
+        // with a within-color path v ⇝ r implies r ⇝ v (that's what c(v) = r means),
+        // so v ∈ SCC(r) — and every intermediate w on such a path satisfies r ⇝ w
+        // and w ⇝ r, i.e. w ∈ SCC(r), so the within-color edge filter loses nothing.
+        val colorEdges = edges
+          .join(labels.select(col("v").as("src"), col("component").as("cs")), Seq("src"))
+          .join(labels.select(col("v").as("dst"), col("component").as("cd")), Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        var reached = labels.filter(col("v") === col("component"))
+          .select(col("v"), col("component").as("scc")).localCheckpoint(true)
+        var prevCount = reached.count()
+        var sweeping = true
+        var sweepRound = 0
+        while (sweeping) {
+          sweepRound += 1
+          require(sweepRound <= maxRounds, s"scc sweep did not converge in $maxRounds rounds")
+          val via = colorEdges
+            .join(reached.select(col("v").as("dst"), col("scc")), Seq("dst"))
+            .select(col("src").as("v"), col("scc"))
+          val next = reached.unionByName(via).distinct().localCheckpoint(true)
+          val nextCount = next.count()
+          sweeping = nextCount != prevCount
+          prevCount = nextCount
+          reached = next
+        }
+        resolved += reached.select(col("v").as("vertex_id"), col("scc"))
+        verts = verts.join(reached.select(col("v")), Seq("v"), "left_anti").localCheckpoint(true)
+        edges = restrictEdges(verts)
+      }
+    }
+    if (resolved.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("vertex_id", "scc")
+    } else resolved.reduce(_ unionByName _)
+  }
+
   /** One frontier round: the frontier's components flow across their out-edges, and
     * only strict improvements over the current labels survive (every vertex is
     * labeled from round 0, so the patch join is inner, not left).

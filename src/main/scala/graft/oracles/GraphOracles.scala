@@ -76,9 +76,27 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.katzCentrality(s, dir, betaPct = KatzBetaPct)),
     "g48_betweenness" -> ((s: SparkSession, dir: String) =>
       GraphQueries.betweennessSampled(s, dir, seedMod = WalkSeedMod)),
+    "g49_scc" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.sccComponents(s, dir)),
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // strongly connected components as TRUE mutual reachability (label = min u
+    // with v ⇝ u and u ⇝ v, including v itself), so a hash match proves the
+    // Spark trim/color/sweep loop found the exact SCCs — mirror of
+    // GraphQueries.sccComponents over the directed Normal graph-1 edges
+    "g49_scc" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |reach AS (SELECT v, v AS r FROM vx
+         |          UNION
+         |          SELECT e.dst AS v, reach.r FROM reach JOIN e ON e.src = reach.v)
+         |SELECT f.v AS vertex_id, MIN(f.r) AS scc
+         |FROM reach f JOIN reach b ON b.v = f.r AND b.r = f.v
+         |GROUP BY f.v""".stripMargin,
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units
     // (x_t = (β_pct · in_sum) // 100, β = 50%) — mirror of
