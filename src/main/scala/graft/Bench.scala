@@ -53,7 +53,7 @@ object Bench {
     "s21_mmr_rerank", "d15_cluster_keep",
     "dc01_domain_stats", "dc03_corpus_churn", "s25_ivf_assign_new",
     "d17_incremental_dedup", "d18_dedup_saved_index",
-    "dc09_epoch_pack",
+    "dc09_epoch_pack", "s26_graph_ann",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

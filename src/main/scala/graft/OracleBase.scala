@@ -116,6 +116,14 @@ private[graft] trait OracleParams {
   /** s20's pinned neighbor-list size, shared by registration and oracle. */
   private[graft] val KnnGraphK = 5
 
+  /** s26's pinned beam-search hyperparameters over the s20 graph: beam width,
+    * expansion rounds (unrolled in the oracle), and the entry-point modulus
+    * (id-spread entries, the IVF centroid-sample convention).
+    */
+  private[graft] val GraphAnnBeam = 8
+  private[graft] val GraphAnnRounds = 2
+  private[graft] val GraphAnnEntryMod = 97
+
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the
     * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus

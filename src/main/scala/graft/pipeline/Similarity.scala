@@ -596,6 +596,73 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** s26 — graph-ANN SEARCH over the [[knnGraph]] artifact: bounded-round beam
+    * search, the batch form of the HNSW/NSG base-layer query (Malkov–Yashunin
+    * 2016's greedy-with-beam walk, run breadth-synchronous for a whole query
+    * batch). Queries start from deterministic entry points spread across the id
+    * space (`vec_id ≡ 0 mod entryMod` — the IVF centroid-sample convention;
+    * spread matters because the kNN graph holds only NEAR links, so a beam
+    * seeded in one region cannot cross to another), each round expands the
+    * current beam's out-neighbors via ONE equi-join against the neighbor lists,
+    * re-scores candidates by exact rounded cosine, and keeps the top-`beam` per
+    * query (cos desc, id asc — a total order); after `rounds` rounds the beam's
+    * top-`k` non-self survivors are the answer. Recall < 1 by construction (a
+    * target outside the explored ball is missed); deeper rounds/wider beams trade
+    * cost for recall exactly as in the published structure, and the recall
+    * diagnostic vs the s01 exact truth is pinned in RoundTwelveOpsSpec.
+    *
+    * Scale shape: the graph is the persisted index (build once with [[knnGraph]],
+    * the s24 artifact discipline); per round the moving state is ≤ beam rows per
+    * query — expansion is a (cand)-keyed equi-join into the neighbor lists,
+    * scoring joins the candidate ids back to the vector relation, and the
+    * per-query window is bounded by beam·k candidates, never corpus-sized. Entry
+    * points broadcast. Rounds are pinned for the oracle (unrolled CTEs); a
+    * production searcher runs the same per-round plan to its beam's convergence.
+    */
+  def graphAnnSearch(
+      queries: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryMod: Int = 97
+  ): DataFrame = {
+    val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+      .localCheckpoint(true)
+    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .localCheckpoint(true)
+    val entries = df.filter(col(idCol) % entryMod === 0).select(col(idCol).as("cand"))
+    val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
+    def scoreBeam(cands: DataFrame): DataFrame =
+      cands.join(qs, Seq("query_id"))
+        .join(vecs, Seq("cand"))
+        .select(col("query_id"), col("cand"),
+          round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand"), col("cos_sim"))
+    var beamRel = scoreBeam(qs.select(col("query_id")).crossJoin(broadcast(entries)))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expanded = beamRel.select(col("query_id"), col("cand"))
+        .join(adj, Seq("cand"))
+        .select(col("query_id"), col("neighbor_id").as("cand"))
+        .unionByName(beamRel.select(col("query_id"), col("cand")))
+        .distinct()
+      beamRel = scoreBeam(expanded).localCheckpoint(true)
+    }
+    beamRel.filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
     * cluster-then-dedup — assign every embedding to its nearest coarse centroid
     * (the s04 IVF assignment: deterministic 1-in-`centroidMod` centroid sample so

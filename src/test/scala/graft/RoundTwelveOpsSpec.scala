@@ -248,6 +248,43 @@ class RoundTwelveOpsSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("s26: beam search over the kNN graph recovers most of the exact top-k (the s07 recall discipline)") {
+    // 4 tight clusters around orthogonal axes in 8 dims, deterministic jitter —
+    // the kNN graph is well-connected within clusters, so a 2-round beam walk
+    // from global entry points must recover most exact neighbors
+    val vecs = (for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * c) = 1.0f
+      for (i <- 0 until 8) v(i) = v(i) + 0.05f * (((i * 7 + j * 13 + c * 3) % 5) - 2)
+      (c * 10L + j, v)
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 3)
+    val graph = graft.pipeline.Similarity
+      .knnGraph(vecs, "vec_id", "embedding", k = 5, dims = 8)
+      .localCheckpoint(true)
+    val got = graft.pipeline.Similarity
+      .graphAnnSearch(queries, vecs, "vec_id", "embedding", graph,
+        k = 5, beam = 8, rounds = 2, entryMod = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val truth = graft.pipeline.Similarity
+      .bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val byQ = truth.groupBy(_._1)
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = byQ.map { case (q, t) =>
+      val hits = t.count(p => gotByQ.getOrElse(q, Set.empty).contains(p._2))
+      hits.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean < 0.6 (recalls per query: $recalls)")
+    // every query answered, and answers never include the query itself
+    assert(gotByQ.keySet == byQ.keySet)
+    assert(got.forall(p => p._1 != p._2))
+  }
+
   test("coverageMicro yields the zero row on an empty register instead of throwing") {
     assert(StreamOps.coverageMicro(Map.empty) == ((0L, 0L, 0L, 0L)))
     // non-empty registers unchanged
