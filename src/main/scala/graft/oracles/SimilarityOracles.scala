@@ -36,6 +36,23 @@ private[graft] object SimilarityOracles extends OracleFragments {
         Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryMod = GraphAnnEntryMod)
     }),
+    // the artifact round trip for the search index (the d18/s24 discipline):
+    // build the graph, persist vec_id-clustered, reload, search — must reproduce
+    // s26's in-session result exactly, so it shares s26's oracle SQL verbatim
+    "s27_graph_ann_saved" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-knn-graph")
+      try {
+        val path = scratch.toString + "/graph"
+        Similarity.saveKnnGraph(
+          Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK), path)
+        // graphAnnSearch checkpoints the adjacency eagerly, so the scratch dir is
+        // removable once the search DataFrame is constructed
+        Similarity.graphAnnSearch(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+          Similarity.loadKnnGraph(s, path),
+          k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryMod = GraphAnnEntryMod)
+      } finally deleteRecursively(scratch)
+    }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
@@ -142,6 +159,49 @@ private[graft] object SimilarityOracles extends OracleFragments {
         k = PrfK, feedbackK = PrfFeedbackK)
     }),
   )
+
+  private lazy val graphAnnSql: String = {
+      def scoreCte(i: Int): String =
+        s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
+           |    SELECT query_id, cand, cos_sim,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
+           |    FROM (SELECT c$i.query_id, c$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
+           |          FROM c$i JOIN q USING (query_id) JOIN e ON e.vec_id = c$i.cand))
+           |  WHERE rk <= $GraphAnnBeam)""".stripMargin
+      def roundCtes(i: Int): String =
+        s"""c$i AS (SELECT DISTINCT query_id, cand FROM (
+           |    SELECT s${i - 1}.query_id, g.neighbor_id AS cand
+           |    FROM s${i - 1} JOIN g ON g.vec_id = s${i - 1}.cand
+           |    UNION ALL SELECT query_id, cand FROM s${i - 1})),
+           |${scoreCte(i)}""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |kcand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id),
+         |kscored AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM kcand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+         |ksym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM kscored
+         |         UNION ALL SELECT id_b, id_a, cos_sim FROM kscored),
+         |g AS (SELECT vec_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM ksym)
+         |  WHERE rank <= $KnnGraphK),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |ent AS (SELECT vec_id AS cand FROM e WHERE vec_id % $GraphAnnEntryMod = 0),
+         |c0 AS (SELECT query_id, cand FROM q, ent),
+         |${scoreCte(0)},
+         |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")}
+         |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+         |  FROM s$GraphAnnRounds WHERE cand <> query_id)
+         |WHERE rank <= 5""".stripMargin
+    }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -299,49 +359,13 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // Similarity.graphAnnSearch): the s20 CTEs build the neighbor lists, queries
     // start at the id-spread entry points (vec_id % GraphAnnEntryMod = 0), each
     // unrolled round expands the
-    // beam's out-neighbors and re-ranks by exact rounded cosine (cand tie-break)
-    "s26_graph_ann" -> {
-      def scoreCte(i: Int): String =
-        s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
-           |    SELECT query_id, cand, cos_sim,
-           |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
-           |    FROM (SELECT c$i.query_id, c$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
-           |          FROM c$i JOIN q USING (query_id) JOIN e ON e.vec_id = c$i.cand))
-           |  WHERE rk <= $GraphAnnBeam)""".stripMargin
-      def roundCtes(i: Int): String =
-        s"""c$i AS (SELECT DISTINCT query_id, cand FROM (
-           |    SELECT s${i - 1}.query_id, g.neighbor_id AS cand
-           |    FROM s${i - 1} JOIN g ON g.vec_id = s${i - 1}.cand
-           |    UNION ALL SELECT query_id, cand FROM s${i - 1})),
-           |${scoreCte(i)}""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id,
-         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
-         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
-         |      FROM e),
-         |kcand AS (
-         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
-         |  UNION
-         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id),
-         |kscored AS (
-         |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
-         |  FROM kcand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
-         |ksym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM kscored
-         |         UNION ALL SELECT id_b, id_a, cos_sim FROM kscored),
-         |g AS (SELECT vec_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-         |    FROM ksym)
-         |  WHERE rank <= $KnnGraphK),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-         |ent AS (SELECT vec_id AS cand FROM e WHERE vec_id % $GraphAnnEntryMod = 0),
-         |c0 AS (SELECT query_id, cand FROM q, ent),
-         |${scoreCte(0)},
-         |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")}
-         |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
-         |  FROM s$GraphAnnRounds WHERE cand <> query_id)
-         |WHERE rank <= 5""".stripMargin
-    },
+    // beam's out-neighbors and re-ranks by exact rounded cosine (cand tie-break).
+    // s27 is the same search through the persisted-graph round trip (ids and
+    // rounded cosines survive parquet bit-exactly), so it shares the mirror —
+    // the d17/d18 discipline.
+    "s26_graph_ann" -> graphAnnSql,
+    "s27_graph_ann_saved" -> graphAnnSql,
+
 
     // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each
     // vector in its nearest cell (rounded cosine, cid tiebreak); queries probe the 2

@@ -596,6 +596,21 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Persist a built kNN graph ([[knnGraph]] output) as the search-index
+    * artifact, range-partitioned and sorted on the probe key (`vec_id`) so a
+    * beam round's expansion join prunes and row-group-skips — the
+    * saveDedupIndex layout discipline applied to the neighbor lists. Build once
+    * on the corpus cadence, serve every [[graphAnnSearch]] batch from the load.
+    */
+  def saveKnnGraph(graph: DataFrame, path: String, nFiles: Int = 16): Unit =
+    graph
+      .repartitionByRange(math.max(nFiles, 1), col("vec_id"))
+      .sortWithinPartitions(col("vec_id"), col("rank"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def loadKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** s26 — graph-ANN SEARCH over the [[knnGraph]] artifact: bounded-round beam
     * search, the batch form of the HNSW/NSG base-layer query (Malkov–Yashunin
     * 2016's greedy-with-beam walk, run breadth-synchronous for a whole query

@@ -470,6 +470,32 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the t39 trained-quality scorer: each ingest micro-batch is
+    * scored against the LOADED weight artifact
+    * ([[graft.pipeline.TextStats.loadLrWeights]]) inside `foreachBatch` — the
+    * learned quality gate running beside the dedup probe and decontamination gate
+    * in the ingest gauntlet, with the same stateless shape: documents arrive
+    * whole, per-batch emissions ARE `TextStats.lrScoreWith` over the arrivals,
+    * and the MODEL is the only state, retrained on its own cadence (t38) and
+    * swapped by re-deploying the stream. Per-batch cost is one tokenize pass over
+    * the arrivals with the ≤ buckets-row weight table broadcast.
+    */
+  def streamingQualityGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      buckets: Int = 256
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.TextStats.lrScoreWith(batch, idCol, textCol, weights, buckets),
+          batchId)
+      }
+
   /** Streaming twin of the m07 frame-index probe: each micro-batch of arriving
     * media assets is probed against the loaded archive frame index inside
     * `foreachBatch` — the media leg of the ingest gauntlet, running beside the

@@ -823,6 +823,55 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality gate emits the t39 scores against a loaded weight artifact") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // disjoint-vocab supervision (the RoundTwelveOpsSpec planting): prose docs
+    // pass the t05 gate, gibberish fails — trained weights separate them
+    val snapshot = ((1L to 6L).map(i =>
+      (i, s"the cat sat on a mat of warm wool and felt fine day$i")) ++
+      (11L to 16L).map(i =>
+        (i, s"zzzzqqqqxxxxwwww$i kkkkjjjjhhhhgggg qqqywvvvvbbbbnnnnmmmm")))
+      .toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-lr")
+    graft.pipeline.TextStats.saveLrWeights(
+      graft.pipeline.TextStats.lrQualityTrain(snapshot, "doc_id", "text",
+        buckets = 64, rounds = 3, lrMicro = 500000L), scratch.toString + "/w")
+    val weights = graft.pipeline.TextStats.loadLrWeights(spark, scratch.toString + "/w")
+      .localCheckpoint(true)
+
+    val stream = MemoryStream[(Long, String)]
+    val scores = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val query = StreamOps.streamingQualityGate(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", weights,
+        onBatch = (out, _) => scores.synchronized {
+          out.collect().foreach(r => scores(r.getAs[Long]("doc_id")) =
+            ((r.getAs[Long]("margin_micro"), r.getAs[String]("label"))))
+        }, buckets = 64)
+      .start()
+    try {
+      stream.addData(
+        (101L, "the cat sat on a mat of warm wool and felt fine today"),
+        (102L, "zzzzqqqqxxxxwwww kkkkjjjjhhhhgggg qqqywvvvvbbbbnnnnmmmm"))
+      query.processAllAvailable()
+      stream.addData((103L, "a mat of warm wool and the cat"))
+      query.processAllAvailable()
+      val got = scores.synchronized(scores.toMap)
+      // batch parity: the same arrivals through the batch scorer
+      val arrivals = Seq(
+        (101L, "the cat sat on a mat of warm wool and felt fine today"),
+        (102L, "zzzzqqqqxxxxwwww kkkkjjjjhhhhgggg qqqywvvvvbbbbnnnnmmmm"),
+        (103L, "a mat of warm wool and the cat"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.TextStats.lrScoreWith(arrivals, "doc_id", "text", weights, buckets = 64)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("margin_micro"), r.getAs[String]("label")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      // the trained gate separates the arrivals like their training twins
+      assert(got(101L)._2 == "keep" && got(103L)._2 == "keep" && got(102L)._2 == "drop", got.toString)
+    } finally query.stop()
+  }
+
   test("streaming frame dedup emits the m07 verdicts against a loaded frame index") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
