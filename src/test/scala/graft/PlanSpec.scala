@@ -901,6 +901,59 @@ class PlanSpec extends SparkSpec {
       s"probe must be a (band, sig) equi-join:\n$p")
   }
 
+  test("epoch pack: packing runs on checkpoints only — no corpus re-scan past the one text pass") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-plan-epoch")
+    try {
+      val path = scratch.toString + "/merges"
+      TextStats.bpeSaveMerges(TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 4), path)
+      val df = pipeline.Sampling.epochPack(docs, "doc_id", "source", "text",
+        TextStats.bpeLoadMerges(spark, path), budgetDocs = 100L)
+      val p = plan(df)
+      // everything downstream of the manifest and the single tf pass reads
+      // checkpoints; the final plan must not touch parquet at all (the
+      // scan-census pin in RoundTwelveOpsSpec proves the ONE text scan happened)
+      assert(!p.contains("FileScan"),
+        s"packing must run on the checkpointed manifest/price relations:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+      assert(windowSpec.contains("source") && windowSpec.contains("pack_group"),
+        s"pack window must partition by (source, pack_group), never globally:\n$p")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("trained-quality scoring: the weight table broadcasts into one tokenize pass") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = pipeline.TextStats.lrQualityTrain(docs, "doc_id", "text",
+      buckets = 64, rounds = 1)
+    val p = plan(pipeline.TextStats.lrScoreWith(docs, "doc_id", "text", w, buckets = 64))
+    // one corpus scan, the ≤ buckets-row model broadcast on slot, map-side
+    // combinable per-doc rollup — the per-ingest cost of the learned gate
+    assert("FileScan".r.findAllMatchIn(p).size == 1, s"score must scan the corpus once:\n$p")
+    val joins = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("slot")),
+      s"weights must broadcast-join on slot:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("graph-ANN search: the answer plan windows per query over the checkpointed beam") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val graph = pipeline.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    val p = plan(pipeline.Similarity.graphAnnSearch(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", graph,
+      k = 5, beam = 8, rounds = 1, entryMod = 97))
+    // every round materialized during construction; the served plan is one
+    // bounded per-query window over the final beam checkpoint — no joins, no
+    // scans, nothing corpus-sized at query-answer time
+    assert(!p.contains("FileScan") && !p.contains("Join"), s"answer plan must read the beam checkpoint only:\n$p")
+    val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowSpec.contains("query_id"), s"rank window must be per-query:\n$p")
+  }
+
   test("IVF assign-new: the codebook broadcasts; census joins stay k-row broadcasts") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val model = pipeline.Similarity.kmeansRounds(

@@ -285,6 +285,35 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(got.forall(p => p._1 != p._2))
   }
 
+  test("d21: band-directory pruning holds across appended file generations (measured)") {
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val archive = (1L to 20L).map(i => (i, s"archive document number $i with plenty of words inside"))
+      .toDF("doc_id", "text")
+    val wave = (101L to 110L).map(i => (i, s"ingest wave document $i with other words entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12-prune")
+    try {
+      val path = dir.toString + "/index"
+      Dedup.saveDedupIndex(Dedup.dedupIndex(archive, "doc_id", "text"), path)
+      Dedup.appendToDedupIndex(Dedup.dedupIndex(wave, "doc_id", "text"), path)
+      def parquetFiles(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .flatMap(c => if (c.isDirectory) parquetFiles(c) else Seq(c))
+          .filter(_.getName.endsWith(".parquet"))
+      val totalFiles = parquetFiles(new java.io.File(path)).size
+      val band3Files = parquetFiles(new java.io.File(s"$path/band=3")).size
+      assert(band3Files >= 2, s"append must add a second file generation under band=3 ($band3Files)")
+      assert(band3Files < totalFiles)
+      // a one-band probe must plan only that band's files, across BOTH generations
+      val q = Dedup.loadDedupIndex(spark, path).filter(col("band") === 3)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }.head
+      assert(scan.metrics("numFiles").value == band3Files.toLong,
+        s"probe planned ${scan.metrics("numFiles").value} files; band=3 holds $band3Files of $totalFiles")
+    } finally deleteRecursively(dir)
+  }
+
   test("coverageMicro yields the zero row on an empty register instead of throwing") {
     assert(StreamOps.coverageMicro(Map.empty) == ((0L, 0L, 0L, 0L)))
     // non-empty registers unchanged
