@@ -1063,15 +1063,43 @@ object GraphQueries {
     * computes true MUTUAL reachability with a recursive CTE, so a hash match
     * proves the fixpoint, not round-parity.
     */
-  def sccComponents(spark: SparkSession, dir: String, maxRounds: Int = 60): DataFrame = {
-    val snap = TestGraph.store(spark, dir).snapshot
+  def sccComponents(spark: SparkSession, dir: String, maxRounds: Int = 60): DataFrame =
+    sccOf(directedNormalEdges(spark, dir), maxRounds)
+
+  /** g50 — the CONDENSATION of the directed Normal graph: contract every SCC
+    * (g49) to one node and report the inter-SCC edge bundles — the DAG a
+    * cycle-free downstream pass (topological scheduling, reachability pruning,
+    * community-DAG visualization) actually consumes; on a follow graph it is the
+    * "who follows whom" relation BETWEEN mutual-follow cores. One row per
+    * ordered SCC pair with at least one original edge: the two SCC labels and
+    * the bundled edge count (intra-SCC edges vanish by construction).
+    *
+    * Scale shape: the SCC relation is computed once ([[sccOf]]'s checkpointed
+    * output) and equi-joined to each edge endpoint; the rollup is one
+    * map-side-combinable aggregation over the edge relation. Nothing beyond
+    * g49's own cost plus two |E|-sized hash joins.
+    */
+  def sccCondensation(spark: SparkSession, dir: String, maxRounds: Int = 60): DataFrame = {
+    val edges = directedNormalEdges(spark, dir)
+    val scc = sccOf(edges, maxRounds).localCheckpoint(true)
+    edges
+      .join(scc.select(col("vertex_id").as("src"), col("scc").as("scc_src")), Seq("src"))
+      .join(scc.select(col("vertex_id").as("dst"), col("scc").as("scc_dst")), Seq("dst"))
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy(col("scc_src"), col("scc_dst"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** The distinct directed Normal graph-1 edge relation (self-loops excluded) —
+    * the input both SCC entries share, checkpointed once.
+    */
+  private def directedNormalEdges(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).snapshot
       .filter(col("graph_id") === 1 && col("state") === State.Normal &&
         col("source_id") =!= col("destination_id"))
       .select(col("source_id").as("src"), col("destination_id").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    sccOf(snap, maxRounds)
-  }
 
   /** Kernel form of [[sccComponents]] over an explicit (src, dst) relation —
     * property tests feed random digraphs. Output (vertex_id, scc).

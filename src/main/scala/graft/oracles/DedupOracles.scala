@@ -69,6 +69,21 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc10_mix_upsampled" -> ((s: SparkSession, dir: String) =>
       Sampling.mixExecuteUpsampled(s.read.parquet(s"$dir/documents.parquet"), "doc_id",
         "source", alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
+    // dc09 over the dc10 manifest: pack boundaries denominated in REPLAYED
+    // symbols (repeat_factor · n_syms), plus the per-pack slot count
+    "dc11_epoch_pack_upsampled" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-up")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPackUpsampled(docs, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+          budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -408,6 +423,35 @@ private[graft] object DedupOracles extends OracleFragments {
          |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
          |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
          |       MIN(rk) AS rk_first, MAX(rk) AS rk_last
+         |FROM cum GROUP BY 1, 2, 3""".stripMargin,
+
+    // the dc09 packing fold over the dc10 manifest: token contributions are
+    // repeat_factor · n_syms (replayed symbols), packs also report slot counts —
+    // mirror of Sampling.epochPackUpsampled
+    "dc11_epoch_pack_upsampled" ->
+      s"""WITH $mixManifestCtes,
+         |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
+         |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
+         |         ELSE target_docs // n_docs
+         |              + (CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END)
+         |    END AS repeat_factor
+         |  FROM ranked JOIN tgt USING (source)
+         |  WHERE rk <= least(target_docs, n_docs)),
+         |$bpeEncodeCtes,
+         |priced AS (SELECT tf.doc_id, CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |           FROM tf JOIN enc USING (token) GROUP BY 1),
+         |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
+         |                 m.repeat_factor,
+         |                 COALESCE(p.n_syms, 0) * m.repeat_factor AS n_syms
+         |          FROM manifest m LEFT JOIN priced p USING (doc_id)),
+         |cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
+         |          SUM(n_syms) OVER (PARTITION BY source, pack_group
+         |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+         |        FROM prows)
+         |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+         |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
+         |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
          |FROM cum GROUP BY 1, 2, 3""".stripMargin,
 
     // upsampling materialized: every kept doc carries the exact integer epoch

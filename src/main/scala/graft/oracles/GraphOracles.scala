@@ -78,6 +78,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.betweennessSampled(s, dir, seedMod = WalkSeedMod)),
     "g49_scc" -> ((s: SparkSession, dir: String) =>
       GraphQueries.sccComponents(s, dir)),
+    "g50_condensation" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.sccCondensation(s, dir)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -97,6 +99,22 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT f.v AS vertex_id, MIN(f.r) AS scc
          |FROM reach f JOIN reach b ON b.v = f.r AND b.r = f.v
          |GROUP BY f.v""".stripMargin,
+
+    // the SCC contraction DAG: inter-SCC edge bundles over the g49 mutual-reach
+    // labels — mirror of GraphQueries.sccCondensation
+    "g50_condensation" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |reach AS (SELECT v, v AS r FROM vx
+         |          UNION
+         |          SELECT e.dst AS v, reach.r FROM reach JOIN e ON e.src = reach.v),
+         |scc AS (SELECT f.v, MIN(f.r) AS scc FROM reach f
+         |        JOIN reach b ON b.v = f.r AND b.r = f.v GROUP BY f.v)
+         |SELECT sa.scc AS scc_src, sb.scc AS scc_dst, COUNT(*) AS n_edges
+         |FROM e JOIN scc sa ON sa.v = e.src JOIN scc sb ON sb.v = e.dst
+         |WHERE sa.scc <> sb.scc GROUP BY 1, 2""".stripMargin,
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units
     // (x_t = (β_pct · in_sum) // 100, β = 50%) — mirror of

@@ -395,6 +395,59 @@ object Sampling {
         coalesce(col("n_syms"), lit(0L)).as("n_syms"),
         bucketCol(col(idCol), salt).as("bucket"))
       .withColumn("pack_group", col("bucket") % nGroups)
+    binPacks(rows, idCol, sourceCol, budgetTokens)
+  }
+
+  /** dc11 — the epoch materializer for an UPSAMPLED plan: [[epochPack]] with the
+    * dc10 manifest, where a document's token contribution to the running cut is
+    * its `repeat_factor · n_syms` (the trainer replays it that many times, so the
+    * pack boundaries are denominated in REPLAYED symbols — the mass the plan
+    * actually promised). Each pack additionally reports `n_slots`
+    * (Σ repeat_factor — how many sequence slots its documents occupy). Identical
+    * scale shape to epochPack; per-source Σ over all packs of the replayed
+    * symbol mass equals the plan's token mass by dc10's exact-integer law.
+    */
+  def epochPackUpsampled(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    val manifest = mixExecuteUpsampled(df, idCol, sourceCol, alphaMicro, budgetDocs, salt)
+      .localCheckpoint(true)
+    val admitted = df.select(col(idCol), col(textCol))
+      .join(manifest.select(col(idCol)), Seq(idCol))
+    val priced = graft.pipeline.TextStats
+      .bpeEncodeWith(admitted, idCol, textCol, merges)
+      .select(col(idCol), col("n_syms"))
+    val rows = manifest
+      .join(priced, Seq(idCol), "left")
+      .select(
+        col(idCol), col(sourceCol), col("rk"), col("repeat_factor"),
+        (coalesce(col("n_syms"), lit(0L)) * col("repeat_factor")).as("n_syms"),
+        bucketCol(col(idCol), salt).as("bucket"))
+      .withColumn("pack_group", col("bucket") % nGroups)
+    binPacks(rows, idCol, sourceCol, budgetTokens,
+      extraAggs = Seq(sum(col("repeat_factor")).as("n_slots")))
+  }
+
+  /** The shared concat-and-cut fold of the dc09/dc11 materializers: running
+    * exclusive token total in (bucket, id) order within (source, pack_group),
+    * cut every `budgetTokens`, one rollup row per pack.
+    */
+  private def binPacks(
+      rows: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      extraAggs: Seq[Column] = Nil
+  ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol), col("pack_group"))
       .orderBy(col("bucket"), col(idCol))
@@ -404,9 +457,10 @@ object Sampling {
       .groupBy(col(sourceCol), col("pack_group"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_syms")).as("n_tokens"),
-        min(col("rk")).as("rk_first"),
-        max(col("rk")).as("rk_last"))
+        (Seq(
+          sum(col("n_syms")).as("n_tokens"),
+          min(col("rk")).as("rk_first"),
+          max(col("rk")).as("rk_last")) ++ extraAggs): _*)
   }
 
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language

@@ -97,6 +97,79 @@ class RoundTwelvePropertySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 6L), got.toString)
   }
 
+  test("sccOf + condensation: contracting random digraphs yields an acyclic DAG matching Tarjan") {
+    import spark.implicits._
+    check("condensation", Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("src", "dst").localCheckpoint(true)
+        val scc = GraphQueries.sccOf(df, maxRounds = 60).localCheckpoint(true)
+        val cond = df
+          .join(scc.select(org.apache.spark.sql.functions.col("vertex_id").as("src"),
+            org.apache.spark.sql.functions.col("scc").as("a")), Seq("src"))
+          .join(scc.select(org.apache.spark.sql.functions.col("vertex_id").as("dst"),
+            org.apache.spark.sql.functions.col("scc").as("b")), Seq("dst"))
+          .filter(org.apache.spark.sql.functions.col("a") =!=
+            org.apache.spark.sql.functions.col("b"))
+          .select("a", "b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // mirror from Tarjan labels
+        val want = tarjanScc(edges)
+        val wantCond = edges.map { case (s, d) => (want(s), want(d)) }
+          .filter(p => p._1 != p._2).distinct.toSet
+        // acyclicity: repeated elimination of sink nodes must consume the DAG
+        var nodes = (cond.map(_._1) ++ cond.map(_._2)).distinct.toSet
+        var es = cond.toSet
+        var progressed = true
+        while (nodes.nonEmpty && progressed) {
+          val sinks = nodes.filter(n => !es.exists(_._1 == n))
+          progressed = sinks.nonEmpty
+          nodes = nodes -- sinks
+          es = es.filterNot(e => sinks.contains(e._2))
+        }
+        (cond.toSet == wantCond) :| s"edges=$wantCond got=${cond.toSet}" &&
+          nodes.isEmpty :| s"condensation not acyclic: residual $nodes"
+      }
+    })
+  }
+
+  test("dc11: per-source slot mass equals the plan, and replayed token mass >= plain mass") {
+    import spark.implicits._
+    val docs = ((1L to 26L).map(i =>
+      (i, s"document number $i with some shared words and token$i tail", "srcBig")) ++
+      (101L to 103L).map(i => (i, s"tiny source doc $i distinct words", "srcTiny")))
+      .toDF("doc_id", "text", "source")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-r12-up")
+    try {
+      val path = scratch.toString + "/merges"
+      graft.pipeline.TextStats.bpeSaveMerges(
+        graft.pipeline.TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 4), path)
+      val merges = graft.pipeline.TextStats.bpeLoadMerges(spark, path)
+      val up = graft.pipeline.Sampling.epochPackUpsampled(docs, "doc_id", "source", "text",
+          merges, alphaMicro = 300000L, budgetDocs = 40L, budgetTokens = 20L, nGroups = 2)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_slots")))
+      val plan = graft.pipeline.Sampling.mixPlan(docs, "source",
+          alphaMicro = 300000L, budgetDocs = 40L)
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("target_docs")).toMap
+      // slots conservation: every planned replay lands in exactly one pack
+      up.groupBy(_._1).foreach { case (src, packs) =>
+        assert(packs.map(_._3).sum == plan(src),
+          s"$src slots ${packs.map(_._3).sum} != target ${plan(src)}")
+      }
+      // replayed mass dominates the un-replayed epoch's mass for the upsampled source
+      val plain = graft.pipeline.Sampling.epochPack(docs, "doc_id", "source", "text", merges,
+          alphaMicro = 300000L, budgetDocs = 40L, budgetTokens = 20L, nGroups = 2)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens")))
+      val upTiny = up.filter(_._1 == "srcTiny").map(_._2).sum
+      val plainTiny = plain.filter(_._1 == "srcTiny").map(_._2).sum
+      assert(upTiny > plainTiny, s"replayed mass $upTiny must exceed plain $plainTiny")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("dc10 repeat-mass law: per-source sums equal target_docs on random corpora") {
     import spark.implicits._
     val corpusGen: Gen[List[(Long, String)]] = for {
