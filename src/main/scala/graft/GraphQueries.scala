@@ -1090,6 +1090,56 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_edges"))
   }
 
+  /** g51 — TOPOLOGICAL LEVELS of the condensation DAG: each SCC's longest-path
+    * depth from the DAG's sources (level 0 = an SCC nothing points into; level
+    * of any other SCC = 1 + max level among its predecessors) — the layering a
+    * staged computation over the contracted graph runs by (everything in level
+    * ℓ can process once levels < ℓ are done), and the "how deep does influence
+    * chain" profile of a follow graph's core structure. Output one row per SCC:
+    * its label, its level, and its member count.
+    *
+    * Algorithm: Bellman-style longest-path relaxation over the (acyclic by
+    * construction) condensation — levels start 0 and only ever increase, each
+    * round relaxes every inter-SCC edge with one equi-join + max-aggregate, and
+    * the decimal level-sum detects the fixpoint (the [[ccClassicLoop]]
+    * discipline with max instead of min; rounds ≤ DAG depth, maxRounds guards
+    * runaway). The condensation is |SCC|-sized — usually orders of magnitude
+    * below the graph — so the loop's per-round cost is contraction-sized, not
+    * corpus-sized.
+    */
+  def sccTopoLevels(spark: SparkSession, dir: String, maxRounds: Int = 60): DataFrame = {
+    val edges = directedNormalEdges(spark, dir)
+    val scc = sccOf(edges, maxRounds).localCheckpoint(true)
+    val cond = edges
+      .join(scc.select(col("vertex_id").as("src"), col("scc").as("a")), Seq("src"))
+      .join(scc.select(col("vertex_id").as("dst"), col("scc").as("b")), Seq("dst"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    val sizes = scc.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+    var lvl = sizes.select(col("scc"), lit(0L).as("level")).localCheckpoint(true)
+    var prevSum = lvl.agg(coalesce(sum(col("level").cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head.getDecimal(0)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds, s"sccTopoLevels did not converge in $maxRounds rounds")
+      val relaxed = cond
+        .join(lvl.select(col("scc").as("a"), col("level")), Seq("a"))
+        .select(col("b").as("scc"), (col("level") + 1L).as("level"))
+      val next = lvl.unionByName(relaxed)
+        .groupBy(col("scc")).agg(max(col("level")).as("level"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(coalesce(sum(col("level").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      lvl = next
+    }
+    lvl.join(sizes, Seq("scc")).select(col("scc"), col("level"), col("n_members"))
+  }
+
   /** The distinct directed Normal graph-1 edge relation (self-loops excluded) —
     * the input both SCC entries share, checkpointed once.
     */

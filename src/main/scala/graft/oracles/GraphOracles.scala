@@ -80,6 +80,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.sccComponents(s, dir)),
     "g50_condensation" -> ((s: SparkSession, dir: String) =>
       GraphQueries.sccCondensation(s, dir)),
+    "g51_topo_levels" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.sccTopoLevels(s, dir)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +117,29 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT sa.scc AS scc_src, sb.scc AS scc_dst, COUNT(*) AS n_edges
          |FROM e JOIN scc sa ON sa.v = e.src JOIN scc sb ON sb.v = e.dst
          |WHERE sa.scc <> sb.scc GROUP BY 1, 2""".stripMargin,
+
+    // longest-path layering of the condensation: every walk through the (acyclic)
+    // contraction extends levels, MAX per SCC is the depth — mirror of
+    // GraphQueries.sccTopoLevels
+    "g51_topo_levels" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |reach AS (SELECT v, v AS r FROM vx
+         |          UNION
+         |          SELECT e.dst AS v, reach.r FROM reach JOIN e ON e.src = reach.v),
+         |scc AS (SELECT f.v, MIN(f.r) AS scc FROM reach f
+         |        JOIN reach b ON b.v = f.r AND b.r = f.v GROUP BY f.v),
+         |ce AS (SELECT DISTINCT sa.scc AS a, sb.scc AS b
+         |       FROM e JOIN scc sa ON sa.v = e.src JOIN scc sb ON sb.v = e.dst
+         |       WHERE sa.scc <> sb.scc),
+         |walk AS (SELECT scc AS v, CAST(0 AS BIGINT) AS l FROM (SELECT DISTINCT scc FROM scc)
+         |         UNION
+         |         SELECT ce.b AS v, walk.l + 1 FROM walk JOIN ce ON ce.a = walk.v),
+         |lvl AS (SELECT v AS scc, CAST(MAX(l) AS BIGINT) AS level FROM walk GROUP BY 1),
+         |sz AS (SELECT scc, COUNT(*) AS n_members FROM scc GROUP BY 1)
+         |SELECT scc, level, n_members FROM lvl JOIN sz USING (scc)""".stripMargin,
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units
     // (x_t = (β_pct · in_sum) // 100, β = 50%) — mirror of

@@ -114,6 +114,18 @@ private[graft] object TextOracles extends OracleFragments {
     "t38_lr_train" -> ((s: SparkSession, dir: String) =>
       TextStats.lrQualityTrain(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro)),
+    "t40_bpe_fertility" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpeFertility(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "source", rounds = BpeMergeRounds)),
+    // model QA before gate swap: the trained classifier's agreement with its own
+    // supervision (train in-session exactly as t38, then confusion rollup)
+    "t41_lr_eval" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.lrQualityEval(docs, "doc_id", "text",
+        TextStats.lrQualityTrain(docs, "doc_id", "text",
+          buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
+        buckets = LrBuckets)
+    }),
     // train → persist the weight artifact → reload → score (the t26 round-trip
     // discipline: the save must reproduce the in-session model's scores exactly)
     "t39_lr_score_saved" -> ((s: SparkSession, dir: String) => {
@@ -639,6 +651,52 @@ private[graft] object TextOracles extends OracleFragments {
          |    AS BIGINT) AS p_micro,
          |  CASE WHEN margin_micro > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM mgf""".stripMargin,
+
+    // per-source tokenizer fertility/compression over the t25 pricing CTEs —
+    // mirror of TextStats.bpeFertility
+    "t40_bpe_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |per AS (SELECT tf.doc_id,
+         |          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+         |          CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |        FROM tf JOIN enc USING (token) GROUP BY 1),
+         |g AS (SELECT d.source, COUNT(*) AS n_docs,
+         |        CAST(SUM(per.n_tokens) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(per.n_chars) AS BIGINT) AS n_chars,
+         |        CAST(SUM(per.n_syms) AS BIGINT) AS n_syms
+         |      FROM per JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, n_chars, n_syms,
+         |  CAST(floor(1000000.0 * n_syms::DOUBLE / n_tokens::DOUBLE + 0.5) AS BIGINT)
+         |    AS fertility_micro,
+         |  CAST(floor(1000000.0 * n_chars::DOUBLE / n_syms::DOUBLE + 0.5) AS BIGINT)
+         |    AS compression_micro
+         |FROM g""".stripMargin,
+
+    // confusion rollup of the trained gate vs its t05 supervision over scored
+    // docs — mirror of TextStats.lrQualityEval composed from the training CTEs
+    "t41_lr_eval" ->
+      s"""WITH ${lrTrainCtes(LrRounds)},
+         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
+         |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1),
+         |ev AS (SELECT CASE WHEN mgf.m > 0 THEN 1 ELSE 0 END AS pred, lab.kept AS y
+         |       FROM mgf JOIN lab USING (doc_id)),
+         |c AS (SELECT COUNT(*) AS n_scored,
+         |        CAST(SUM(pred * y) AS BIGINT) AS tp,
+         |        CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+         |        CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+         |        CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+         |      FROM ev)
+         |SELECT n_scored, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0
+         |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fp)::DOUBLE + 0.5) AS BIGINT)
+         |  END AS precision_micro,
+         |  CASE WHEN tp + fn = 0 THEN 0
+         |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fn)::DOUBLE + 0.5) AS BIGINT)
+         |  END AS recall_micro,
+         |  CAST(floor(1000000.0 * (tp + tn)::DOUBLE / n_scored::DOUBLE + 0.5) AS BIGINT)
+         |    AS agreement_micro
+         |FROM c""".stripMargin,
 
     "t28_linear_quality" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -984,6 +984,86 @@ object TextStats {
           + lit(0.5)).cast("long").as("p_micro"),
         when(col("margin_micro") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
 
+  /** t40 — per-source tokenizer FERTILITY: how many post-merge symbols the
+    * tokenizer spends per whitespace token (fertility) and how many characters
+    * each symbol covers (compression) in every source — the tokenizer-health
+    * telemetry of multilingual pipelines (a source whose fertility spikes is one
+    * the merge table was not trained for; the signal that gates tokenizer
+    * retraining the same way dc03's drift gates corpus review). Ratios are single
+    * divisions of exact integer sums, micro-quantized (the repo-wide order-free
+    * ratio idiom).
+    *
+    * Scale shape: the t25 pricing path (corpus tokenized once into the tf
+    * relation, |vocab|-sized merge replay) plus one per-source
+    * map-side-combinable rollup with the doc→source relation equi-joined in.
+    */
+  def bpeFertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      rounds: Int = 4
+  ): DataFrame =
+    bpeEncode(df, idCol, textCol, rounds)
+      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_syms")).as("n_syms"))
+      .select(
+        col(sourceCol), col("n_docs"), col("n_tokens"), col("n_chars"), col("n_syms"),
+        floor(lit(1000000.0) * col("n_syms").cast("double") / col("n_tokens").cast("double")
+          + lit(0.5)).cast("long").as("fertility_micro"),
+        floor(lit(1000000.0) * col("n_chars").cast("double") / col("n_syms").cast("double")
+          + lit(0.5)).cast("long").as("compression_micro"))
+
+  /** t41 — EVALUATE the trained quality classifier against its own supervision:
+    * confusion counts and precision/recall/agreement of [[lrScoreWith]]'s verdicts
+    * vs [[qualityFilter]]'s heuristic labels — the model-QA rollup a pipeline
+    * runs before swapping a retrained gate in (a fastText filter that stops
+    * agreeing with the rules it was distilled from is a deployment blocker, the
+    * t38 counterpart of s25's retrain trigger). Evaluated over SCORED documents
+    * (those with ≥1 safe token — the unscorable rest already fail the heuristic
+    * gate on bit 0 and never reach the model). Exact integer counts; the three
+    * ratios are single micro-quantized divisions.
+    *
+    * Scale shape: the t39 scoring pass plus one doc-keyed equi-join to the label
+    * relation and a 1-row full aggregate (map-side combinable).
+    */
+  def lrQualityEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256
+  ): DataFrame = {
+    val scored = lrScoreWith(df, idCol, textCol, weights, buckets)
+      .select(col(idCol), (col("margin_micro") > 0).cast("long").as("pred"))
+    val labels = qualityFilter(df, idCol, textCol)
+      .select(col(idCol), col("kept").cast("long").as("y"))
+    scored.join(labels, Seq(idCol))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(col("pred") * col("y")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("y")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("y"))).as("tn"))
+      .select(
+        col("n_scored"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(floor(lit(1000000.0) * col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double") + lit(0.5)).cast("long"))
+          .as("precision_micro"),
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(floor(lit(1000000.0) * col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double") + lit(0.5)).cast("long"))
+          .as("recall_micro"),
+        floor(lit(1000000.0) * (col("tp") + col("tn")).cast("double")
+          / col("n_scored").cast("double") + lit(0.5)).cast("long").as("agreement_micro"))
+  }
+
   /** Interpolated Kneser–Ney bigram score per document — the stronger LM-quality
     * signal next to [[bigramLogProb]]'s Jelinek–Mercer form (Kneser–Ney's continuation
     * probability scores a word by how many distinct CONTEXTS it follows, not raw

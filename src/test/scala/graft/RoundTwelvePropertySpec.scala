@@ -170,6 +170,52 @@ class RoundTwelvePropertySpec extends SparkSpec {
     }
   }
 
+  test("g51 shape on the planted core-plus-tail: levels follow the contraction's longest paths") {
+    import spark.implicits._
+    // condensation of {1,2,3} (scc 1) with tail 3→4→5 and feeder 6→2:
+    // DAG edges 1→4→5 and 6→1; longest paths: 6@0, 1@1, 4@2, 5@3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 2L))
+      .toDF("src", "dst").localCheckpoint(true)
+    val scc = GraphQueries.sccOf(edges, maxRounds = 60).localCheckpoint(true)
+    val cond = edges
+      .join(scc.select(org.apache.spark.sql.functions.col("vertex_id").as("src"),
+        org.apache.spark.sql.functions.col("scc").as("a")), Seq("src"))
+      .join(scc.select(org.apache.spark.sql.functions.col("vertex_id").as("dst"),
+        org.apache.spark.sql.functions.col("scc").as("b")), Seq("dst"))
+      .filter(org.apache.spark.sql.functions.col("a") =!=
+        org.apache.spark.sql.functions.col("b"))
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cond == Set((1L, 4L), (4L, 5L), (6L, 1L)), cond.toString)
+    // in-test longest-path mirror over the tiny DAG
+    val nodes = Set(1L, 4L, 5L, 6L)
+    def level(v: Long): Long = cond.filter(_._2 == v).map(e => level(e._1) + 1) match {
+      case s if s.isEmpty => 0L
+      case s => s.max
+    }
+    assert(nodes.map(v => v -> level(v)).toMap ==
+      Map(6L -> 0L, 1L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("t41 on disjoint-vocab supervision: the trained gate agrees perfectly with its labels") {
+    import spark.implicits._
+    val docs = ((1L to 6L).map(i =>
+      (i, s"the cat sat on a mat of warm wool and felt fine day$i")) ++
+      (11L to 16L).map(i =>
+        (i, s"zzzzqqqqxxxxwwww$i kkkkjjjjhhhhgggg qqqywvvvvbbbbnnnnmmmm")))
+      .toDF("doc_id", "text")
+    val w = graft.pipeline.TextStats.lrQualityTrain(docs, "doc_id", "text",
+      buckets = 64, rounds = 3, lrMicro = 500000L)
+    val r = graft.pipeline.TextStats.lrQualityEval(docs, "doc_id", "text", w, buckets = 64)
+      .collect().head
+    assert(r.getAs[Long]("n_scored") == 12L)
+    assert(r.getAs[Long]("tp") == 6L && r.getAs[Long]("tn") == 6L
+      && r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L, r.toString)
+    assert(r.getAs[Long]("precision_micro") == 1000000L
+      && r.getAs[Long]("recall_micro") == 1000000L
+      && r.getAs[Long]("agreement_micro") == 1000000L, r.toString)
+  }
+
   test("dc10 repeat-mass law: per-source sums equal target_docs on random corpora") {
     import spark.implicits._
     val corpusGen: Gen[List[(Long, String)]] = for {
