@@ -117,12 +117,15 @@ private[graft] trait OracleParams {
   private[graft] val KnnGraphK = 5
 
   /** s26's pinned beam-search hyperparameters over the s20 graph: beam width,
-    * expansion rounds (unrolled in the oracle), and the entry-point modulus
-    * (id-spread entries, the IVF centroid-sample convention).
+    * expansion rounds (unrolled in the oracle), the trained-quantizer cell
+    * count for the entry hierarchy (kmeansCtes-replayable, the s23 discipline),
+    * and how many nearest cells a query enters through (the HNSW upper-layer
+    * descent, fixed-size at any corpus scale).
     */
   private[graft] val GraphAnnBeam = 8
   private[graft] val GraphAnnRounds = 2
-  private[graft] val GraphAnnEntryMod = 97
+  private[graft] val GraphAnnCells = 8
+  private[graft] val GraphAnnEntryProbe = 4
 
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the

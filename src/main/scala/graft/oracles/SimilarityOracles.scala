@@ -28,29 +28,39 @@ private[graft] object SimilarityOracles extends OracleFragments {
       Similarity.knnGraph(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         k = KnnGraphK)),
     // beam search over the s20 graph — the HNSW-shape batch query primitive; the
-    // graph is built in-session here exactly as a production searcher would load
-    // the persisted artifact (s20's output round-trips parquet bit-exactly)
+    // graph and the trained entry hierarchy are built in-session here exactly as
+    // a production searcher would load the persisted artifact
     "s26_graph_ann" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.graphAnnSearch(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
-        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryMod = GraphAnnEntryMod)
+        Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = IvfPqTrainRounds),
+        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
     // the artifact round trip for the search index (the d18/s24 discipline):
-    // build the graph, persist vec_id-clustered, reload, search — must reproduce
-    // s26's in-session result exactly, so it shares s26's oracle SQL verbatim
+    // build graph + codebook + entry medoids, persist (adj vec_id-clustered,
+    // model and entries k-row), reload all three, search — must reproduce s26's
+    // in-session result exactly, so it shares s26's oracle SQL verbatim
     "s27_graph_ann_saved" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val scratch = java.nio.file.Files.createTempDirectory("graft-knn-graph")
       try {
-        val path = scratch.toString + "/graph"
-        Similarity.saveKnnGraph(
-          Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK), path)
-        // graphAnnSearch checkpoints the adjacency eagerly, so the scratch dir is
-        // removable once the search DataFrame is constructed
+        val path = scratch.toString + "/index"
+        val model = Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = IvfPqTrainRounds)
+        Similarity.saveGraphAnnIndex(
+          Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+          model,
+          Similarity.graphAnnEntryPoints(e, "vec_id", "embedding", model),
+          path)
+        val (adj, loadedModel, loadedEntries) = Similarity.loadGraphAnnIndex(s, path)
+        // graphAnnSearch checkpoints the adjacency and entries eagerly, so the
+        // scratch dir is removable once the search DataFrame is constructed
         Similarity.graphAnnSearch(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
-          Similarity.loadKnnGraph(s, path),
-          k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryMod = GraphAnnEntryMod)
+          adj, loadedModel,
+          k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds,
+          entryProbe = GraphAnnEntryProbe, entries = Some(loadedEntries))
       } finally deleteRecursively(scratch)
     }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
@@ -165,15 +175,20 @@ private[graft] object SimilarityOracles extends OracleFragments {
         s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
            |    SELECT query_id, cand, cos_sim,
            |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
-           |    FROM (SELECT c$i.query_id, c$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
-           |          FROM c$i JOIN q USING (query_id) JOIN e ON e.vec_id = c$i.cand))
+           |    FROM (SELECT x$i.query_id, x$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
+           |          FROM x$i JOIN q USING (query_id) JOIN e ON e.vec_id = x$i.cand))
            |  WHERE rk <= $GraphAnnBeam)""".stripMargin
       def roundCtes(i: Int): String =
-        s"""c$i AS (SELECT DISTINCT query_id, cand FROM (
+        s"""x$i AS (SELECT DISTINCT query_id, cand FROM (
            |    SELECT s${i - 1}.query_id, g.neighbor_id AS cand
            |    FROM s${i - 1} JOIN g ON g.vec_id = s${i - 1}.cand
            |    UNION ALL SELECT query_id, cand FROM s${i - 1})),
            |${scoreCte(i)}""".stripMargin
+      // entry hierarchy: kmeansCtes trains the GraphAnnCells-cell codebook
+      // (CTEs ke, c0..c$IvfPqTrainRounds — the s23 replay); easg assigns every
+      // nonzero vector to its nearest cell, med keeps each cell's medoid, qc
+      // routes each query to its GraphAnnEntryProbe nearest cells, and x0 seeds
+      // the beam at those cells' medoids — |Q|·entryProbe rows, never corpus-sized
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id,
          |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
@@ -193,12 +208,30 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |    FROM ksym)
          |  WHERE rank <= $KnnGraphK),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-         |ent AS (SELECT vec_id AS cand FROM e WHERE vec_id % $GraphAnnEntryMod = 0),
-         |c0 AS (SELECT query_id, cand FROM q, ent),
+         |${kmeansCtes("e", GraphAnnCells, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv FROM c$IvfPqTrainRounds),
+         |easg AS (SELECT cand, cluster, cos FROM (
+         |    SELECT ke.vec_id AS cand, c.cluster, ${cosSql("ke.v", "c.cv")} AS cos,
+         |           row_number() OVER (PARTITION BY ke.vec_id
+         |             ORDER BY ${cosSql("ke.v", "c.cv")} DESC, c.cluster) AS rk
+         |    FROM ke, cents c)
+         |  WHERE rk = 1),
+         |med AS (SELECT cluster, cand FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY cos DESC, cand) AS mrk
+         |    FROM easg)
+         |  WHERE mrk = 1),
+         |qc AS (SELECT query_id, cluster FROM (
+         |    SELECT q.query_id, c.cluster,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cluster) AS crk
+         |    FROM q, cents c)
+         |  WHERE crk <= $GraphAnnEntryProbe),
+         |x0 AS (SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)),
          |${scoreCte(0)},
          |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")}
          |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+         |  SELECT query_id, cand, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
          |  FROM s$GraphAnnRounds WHERE cand <> query_id)
          |WHERE rank <= 5""".stripMargin
     }

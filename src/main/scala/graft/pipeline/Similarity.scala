@@ -611,13 +611,114 @@ object Similarity {
   def loadKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** s27 — the COMPLETE graph-ANN index artifact: the [[knnGraph]] adjacency
+    * (`adj/`, vec_id-range-clustered via [[saveKnnGraph]]), the trained coarse
+    * codebook (`model/`, the [[saveCentroids]] s24 layout), and the per-cell
+    * entry medoids (`entries/`, k rows) — everything [[graphAnnSearch]] needs,
+    * so a searcher process loads the index and serves query batches without
+    * ever re-deriving corpus-scale state. Doubles and ids round-trip parquet
+    * bit-exactly; a reloaded index must search identically to the in-session
+    * build (s27's oracle IS s26's SQL).
+    */
+  def saveGraphAnnIndex(
+      graph: DataFrame,
+      model: DataFrame,
+      entries: DataFrame,
+      path: String,
+      nFiles: Int = 16
+  ): Unit = {
+    saveKnnGraph(graph, s"$path/adj", nFiles)
+    saveCentroids(model, s"$path/model")
+    entries.select(col("cluster"), col("cand")).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/entries")
+  }
+
+  /** Reload a [[saveGraphAnnIndex]] artifact: (adjacency, codebook, entries). */
+  def loadGraphAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (DataFrame, DataFrame, DataFrame) =
+    (loadKnnGraph(spark, s"$path/adj"),
+      loadCentroids(spark, s"$path/model"),
+      spark.read.parquet(s"$path/entries"))
+
+  /** The ENTRY layer of the graph-ANN index: one representative corpus vector
+    * (medoid) per trained coarse-quantizer cell — the batch analog of HNSW's
+    * upper layers (Malkov–Yashunin 2016), where a query descends a FIXED-size
+    * hierarchy to pick its base-layer entry points instead of scanning a corpus
+    * sample. Every nonzero corpus vector is assigned to its nearest trained
+    * centroid (the s06/s22 assignment kernel: rounded cosine argmax, cluster-asc
+    * tie-break), and each cell's medoid is its best-assigned member (cos desc,
+    * id asc) — the graph node a beam enters that region through.
+    *
+    * Output: (cluster, cand) — exactly one row per surviving cell, so the entry
+    * set is MODEL-sized (k rows) at any corpus size. Build-time cost is one
+    * corpus map pass against the broadcast k-row codebook (the ivfAssignNew
+    * shape), paid when the index is built — never per query batch.
+    */
+  def graphAnnEntryPoints(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame
+  ): DataFrame = {
+    val withCn =
+      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val cents = withCn.select(col("cluster").cast("long").as("cluster"), col("cv"), col("cn"))
+    val v = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .filter(col("nv") > 0)
+    val wAsg = Window.partitionBy(col("cand")).orderBy(col("cos").desc, col("cluster").asc)
+    val asg = v.crossJoin(broadcast(cents))
+      .select(col("cand"), col("cluster"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+    val wMed = Window.partitionBy(col("cluster")).orderBy(col("cos").desc, col("cand").asc)
+    asg.withColumn("mrk", row_number().over(wMed))
+      .filter(col("mrk") === 1)
+      .select(col("cluster"), col("cand"))
+  }
+
+  /** Round-0 seed of [[graphAnnSearch]]: route each query through the trained
+    * quantizer — score it against the broadcast k-row codebook, keep its
+    * `entryProbe` nearest cells (rounded cos desc, cluster asc), and enter the
+    * graph at those cells' medoids. Both joined relations are MODEL-sized
+    * (k centroids, ≤ k entry rows), so the seed is |Q|·entryProbe rows at any
+    * corpus size — the property PlanSpec pins (nothing corpus-proportional is
+    * scored or broadcast before the first beam round).
+    */
+  private[graft] def graphAnnSeedCandidates(
+      qs: DataFrame,
+      model: DataFrame,
+      entries: DataFrame,
+      entryProbe: Int
+  ): DataFrame = {
+    val withCn =
+      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val cents = withCn.select(col("cluster").cast("long").as("cluster"), col("cv"), col("cn"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cluster").asc)
+    val qcells = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cluster"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("ccos"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= entryProbe)
+      .select(col("query_id"), col("cluster"))
+    qcells
+      .join(broadcast(entries.select(col("cluster").cast("long").as("cluster"), col("cand"))),
+        Seq("cluster"))
+      .select(col("query_id"), col("cand"))
+  }
+
   /** s26 — graph-ANN SEARCH over the [[knnGraph]] artifact: bounded-round beam
     * search, the batch form of the HNSW/NSG base-layer query (Malkov–Yashunin
     * 2016's greedy-with-beam walk, run breadth-synchronous for a whole query
-    * batch). Queries start from deterministic entry points spread across the id
-    * space (`vec_id ≡ 0 mod entryMod` — the IVF centroid-sample convention;
+    * batch). Queries ENTER through the trained coarse quantizer — the published
+    * structure's fixed-size upper hierarchy: each query routes to its
+    * `entryProbe` nearest trained cells against the broadcast k-row codebook
+    * and seeds its beam at those cells' medoids ([[graphAnnEntryPoints]]); cell
     * spread matters because the kNN graph holds only NEAR links, so a beam
-    * seeded in one region cannot cross to another), each round expands the
+    * seeded in one region cannot cross to another. Each round then expands the
     * current beam's out-neighbors via ONE equi-join against the neighbor lists,
     * re-scores candidates by exact rounded cosine, and keeps the top-`beam` per
     * query (cos desc, id asc — a total order); after `rounds` rounds the beam's
@@ -626,13 +727,21 @@ object Similarity {
     * cost for recall exactly as in the published structure, and the recall
     * diagnostic vs the s01 exact truth is pinned in RoundTwelveOpsSpec.
     *
-    * Scale shape: the graph is the persisted index (build once with [[knnGraph]],
-    * the s24 artifact discipline); per round the moving state is ≤ beam rows per
-    * query — expansion is a (cand)-keyed equi-join into the neighbor lists,
+    * Scale shape: the graph, codebook, and entry medoids are the persisted index
+    * (build once — [[knnGraph]] + [[kmeansRounds]] + [[graphAnnEntryPoints]],
+    * the s24 artifact discipline); at query time NOTHING corpus-proportional is
+    * touched before the first expansion — the seed is |Q|·entryProbe rows off
+    * two model-sized broadcasts — and per round the moving state is ≤ beam rows
+    * per query: expansion is a (cand)-keyed equi-join into the neighbor lists,
     * scoring joins the candidate ids back to the vector relation, and the
-    * per-query window is bounded by beam·k candidates, never corpus-sized. Entry
-    * points broadcast. Rounds are pinned for the oracle (unrolled CTEs); a
-    * production searcher runs the same per-round plan to its beam's convergence.
+    * per-query window is bounded by beam·k candidates, never corpus-sized.
+    * Rounds are pinned for the oracle (unrolled CTEs); a production searcher
+    * runs the same per-round plan to its beam's convergence.
+    *
+    * Ids need only a total order (tie-breaks are id-asc) — no numeric-id
+    * assumption. Fails loudly on an empty codebook or entry set (a corpus with
+    * no nonzero vector, or a legacy/mismatched artifact) rather than returning
+    * zero rows for every query.
     */
   def graphAnnSearch(
       queries: DataFrame,
@@ -640,10 +749,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       graph: DataFrame,
+      model: DataFrame,
       k: Int = 5,
       beam: Int = 8,
       rounds: Int = 2,
-      entryMod: Int = 97
+      entryProbe: Int = 4,
+      entries: Option[DataFrame] = None
   ): DataFrame = {
     val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
@@ -651,7 +762,14 @@ object Similarity {
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
       .localCheckpoint(true)
-    val entries = df.filter(col(idCol) % entryMod === 0).select(col(idCol).as("cand"))
+    val ent = entries.getOrElse(graphAnnEntryPoints(df, idCol, vecCol, model))
+      .localCheckpoint(true)
+    // both are model-sized relations — the emptiness probe is a k-row job, and
+    // an all-miss search that LOOKS like recall 0 becomes a named error instead
+    require(!ent.isEmpty,
+      "graphAnnSearch: empty entry set — the trained model matched no nonzero corpus " +
+        "vector (empty/zero corpus, or an entries artifact from a different corpus); " +
+        "rebuild with graphAnnEntryPoints")
     val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(true)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     def scoreBeam(cands: DataFrame): DataFrame =
@@ -662,7 +780,7 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("cand"), col("cos_sim"))
-    var beamRel = scoreBeam(qs.select(col("query_id")).crossJoin(broadcast(entries)))
+    var beamRel = scoreBeam(graphAnnSeedCandidates(qs, model, ent, entryProbe))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val expanded = beamRel.select(col("query_id"), col("cand"))

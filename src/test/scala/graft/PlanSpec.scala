@@ -943,15 +943,50 @@ class PlanSpec extends SparkSpec {
   test("graph-ANN search: the answer plan windows per query over the checkpointed beam") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val graph = pipeline.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    val model = pipeline.Similarity.kmeansRounds(emb, "vec_id", "embedding",
+      k = 8, dims = 64, rounds = 1)
     val p = plan(pipeline.Similarity.graphAnnSearch(
-      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", graph,
-      k = 5, beam = 8, rounds = 1, entryMod = 97))
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", graph, model,
+      k = 5, beam = 8, rounds = 1, entryProbe = 4))
     // every round materialized during construction; the served plan is one
     // bounded per-query window over the final beam checkpoint — no joins, no
     // scans, nothing corpus-sized at query-answer time
     assert(!p.contains("FileScan") && !p.contains("Join"), s"answer plan must read the beam checkpoint only:\n$p")
     val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
     assert(windowSpec.contains("query_id"), s"rank window must be per-query:\n$p")
+  }
+
+  test("graph-ANN entry: nothing corpus-proportional is seeded before round 1") {
+    import spark.implicits._
+    // two corpora, one 4× the other: the entry set and the round-0 seed must be
+    // the SAME size at both scales (model-sized entries, |Q|·entryProbe seed) —
+    // the fixed-size hierarchy the published structure enters through, and the
+    // round-12 weak finding (vec_id % 97 entries grew with the corpus)
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 13) % 11) - 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val seedCounts = Seq(100, 400).map { n =>
+      val c = corpus(n)
+      val model = pipeline.Similarity.kmeansRounds(c, "vec_id", "embedding",
+        k = 8, dims = 8, rounds = 1)
+      val entries = pipeline.Similarity.graphAnnEntryPoints(c, "vec_id", "embedding", model)
+      val nEntries = entries.count()
+      assert(nEntries <= 8, s"entry set must be model-sized, got $nEntries at corpus $n")
+      val qs = c.filter(col("vec_id") % 25 === 0).limit(4)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .withColumn("qn", org.apache.spark.sql.graft.DotProduct.column(col("qv"), col("qv")))
+      val seed = pipeline.Similarity.graphAnnSeedCandidates(qs, model, entries, entryProbe = 4)
+      // the seed plan joins two model-sized broadcasts — never a shuffled or
+      // cartesian pair product against the corpus
+      val sp = plan(seed)
+      assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+        s"seed must stay on broadcast joins:\n$sp")
+      (nEntries, seed.count())
+    }
+    assert(seedCounts.distinct.size == 1,
+      s"entry/seed size must be corpus-independent, got $seedCounts")
+    assert(seedCounts.head._2 == 4L * 4L, s"seed must be |Q|·entryProbe rows: $seedCounts")
   }
 
   test("IVF assign-new: the codebook broadcasts; census joins stay k-row broadcasts") {

@@ -251,7 +251,8 @@ class RoundTwelveOpsSpec extends SparkSpec {
   test("s26: beam search over the kNN graph recovers most of the exact top-k (the s07 recall discipline)") {
     // 4 tight clusters around orthogonal axes in 8 dims, deterministic jitter —
     // the kNN graph is well-connected within clusters, so a 2-round beam walk
-    // from global entry points must recover most exact neighbors
+    // entered through the trained-quantizer medoids must recover most exact
+    // neighbors
     val vecs = (for {
       c <- 0 until 4
       j <- 0 until 10
@@ -265,9 +266,11 @@ class RoundTwelveOpsSpec extends SparkSpec {
     val graph = graft.pipeline.Similarity
       .knnGraph(vecs, "vec_id", "embedding", k = 5, dims = 8)
       .localCheckpoint(true)
+    val model = graft.pipeline.Similarity
+      .kmeansRounds(vecs, "vec_id", "embedding", k = 8, dims = 8, rounds = 2)
     val got = graft.pipeline.Similarity
-      .graphAnnSearch(queries, vecs, "vec_id", "embedding", graph,
-        k = 5, beam = 8, rounds = 2, entryMod = 10)
+      .graphAnnSearch(queries, vecs, "vec_id", "embedding", graph, model,
+        k = 5, beam = 8, rounds = 2, entryProbe = 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
     val truth = graft.pipeline.Similarity
       .bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
