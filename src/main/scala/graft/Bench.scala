@@ -46,7 +46,9 @@ object Bench {
     // s25 — all historically <2.3s and family-covered as annotated;
     // m01_media_features, o02_hilbert, sk09_moments rotated r12, paying for
     // dc11 + g50 — all ~0.2-0.4s flat since r6 (kernels live in tests and the
-    // total; the extended non-headline outlier re-run now adjudicates them too)
+    // total; the non-headline outlier re-run adjudicates them when they inflate —
+    // since r13 it ranks by absolute excess seconds, so the biggest offenders
+    // always win a capped slot)
     "t21_bm25_top", "t35_source_drift",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
@@ -177,30 +179,39 @@ object Bench {
     * s23) plus s24 (new; the judge also re-ran it) and two ≤2.7 s marginals —
     * ~25 s of re-runs on a contaminated run, ~none on a clean one — while every
     * judge-confirmed-clean control (g17, d05, s15, q03, g46, d08) stays
-    * unflagged. Flagged names are ranked worst-inflation-first and capped at
-    * `cap` so a globally-contaminated run (which cal/cal_end already reject)
-    * cannot double the run; a capped-out tail is logged, never silently dropped.
+    * unflagged. Flagged names are ranked by ABSOLUTE EXCESS seconds
+    * (first − clean-estimate; the r12 fix — ratio-ranking let the two largest
+    * absolute offenders, s18 +8.3 s and d18 +7.0 s, lose their slots to
+    * high-ratio sub-3 s queries the first time the cap bound) and capped so a
+    * globally-contaminated run (which cal/cal_end already reject) cannot
+    * double the run; the cap scales with the candidate pool
+    * (max(cap, |queries|/15)) so a broad window over a 200+-query suite keeps
+    * proportionate healing. Returns (flagged, capped-out): the capped-out tail
+    * goes into the emitted line's `capped` count AND stderr, never silently
+    * dropped — a nonzero `capped` tells a reader the total was not fully
+    * adjudicated.
     */
   private[graft] def flagOutliers(
       sec: Map[String, Double],
       hist: Map[String, Seq[Double]],
       runMedian: Double,
       factor: Double = 1.6,
-      cap: Int = 12): Seq[String] = {
-    val ratios = sec.keys.toSeq.sorted.flatMap { name =>
+      cap: Int = 12): (Seq[String], Seq[String]) = {
+    val excesses = sec.keys.toSeq.sorted.flatMap { name =>
       val t = sec(name)
       hist.get(name).filter(_.nonEmpty) match {
         case Some(vs) =>
           val m = math.max(vs.min, 1e-9)
-          if (t > factor * m && t > 2.0) Some(name -> t / m) else None
+          if (t > factor * m && t > 2.0) Some(name -> (t - m)) else None
         case None =>
-          if (runMedian > 0 && t > 3.0 * runMedian) Some(name -> t / runMedian) else None
+          if (runMedian > 0 && t > 3.0 * runMedian) Some(name -> (t - runMedian)) else None
       }
     }
-    val ranked = ratios.sortBy(-_._2)
-    if (ranked.size > cap)
-      System.err.println(s"[bench] outlier cap $cap binds; not re-running: ${ranked.drop(cap).map(_._1).mkString(", ")}")
-    ranked.take(cap).map(_._1)
+    val effectiveCap = math.max(cap, sec.size / 15)
+    val ranked = excesses.sortBy(-_._2)
+    if (ranked.size > effectiveCap)
+      System.err.println(s"[bench] outlier cap $effectiveCap binds; not re-running: ${ranked.drop(effectiveCap).map(_._1).mkString(", ")}")
+    (ranked.take(effectiveCap).map(_._1), ranked.drop(effectiveCap).map(_._1))
   }
 
   /** Re-run each flagged query once via `run`, folding `min(first, rerun)` back
@@ -244,7 +255,8 @@ object Bench {
       secByName: Map[String, Double],
       failed: Seq[String],
       reran: Seq[String],
-      sfDir: String): String = {
+      sfDir: String,
+      capped: Int = 0): String = {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val mapped = (headline.filter(secByName.contains) ++ failed).distinct
     val qs = mapped.map(k => "\"" + k + "\":" + f(secByName(k))).mkString("{", ",", "}")
@@ -253,7 +265,9 @@ object Bench {
       if (reran.size <= reranRenderCap) reran
       else reran.take(reranRenderCap) :+ s"+${reran.size - reranRenderCap}"
     val reranJson = reranShown.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","cal":${f(cal)},"cal_end":${f(calEnd)},"cal_max":${f(calMax)},"n":$n,"queries":$qs,"failed":$failedJson,"reran":$reranJson,"sf":"$sfDir"}"""
+    // `capped` = flagged-but-not-rerun count: nonzero means the re-run budget
+    // bound and the total may retain contamination the adjudication never saw
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","cal":${f(cal)},"cal_end":${f(calEnd)},"cal_max":${f(calMax)},"n":$n,"queries":$qs,"failed":$failedJson,"reran":$reranJson,"capped":$capped,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -332,7 +346,7 @@ object Bench {
       if (okNames.isEmpty) 0.0
       else { val s = okNames.toSeq.map(firstRun).sorted; s((s.size - 1) / 2) }
     val hist = benchHistory(new java.io.File("."), SparkEntry.queries.keySet)
-    val flagged = flagOutliers(firstRun.filter(kv => okNames(kv._1)), hist, runMedian)
+    val (flagged, cappedOut) = flagOutliers(firstRun.filter(kv => okNames(kv._1)), hist, runMedian)
     val (secByName, reran) = rerunOutliers(flagged, firstRun, { name =>
       System.err.println(s"[bench] outlier re-run $name (first ${"%.3f".formatLocal(java.util.Locale.ROOT, firstRun(name))}s)")
       val t0 = System.nanoTime()
@@ -357,7 +371,8 @@ object Bench {
         microSamples.map(_ * cal / math.max(med, 1e-9)).toSeq
       }
     val calMax = (Seq(cal, calEnd) ++ microScaled).max
-    val line = renderLine(total, cal, calEnd, calMax, results.size, secByName, failed, reran, sfDir)
+    val line = renderLine(total, cal, calEnd, calMax, results.size, secByName, failed, reran, sfDir,
+      capped = cappedOut.size)
     // stop Spark BEFORE emitting: shutdown logging must not land after the JSON
     // line, which has to sit at the very end of the captured output tail
     spark.stop()

@@ -114,7 +114,7 @@ class BenchContractSpec extends AnyFunSuite {
       "s11_ann_rerank" -> 3.772,
       // controls that must NOT be flagged (clean in r10 and near history)
       "g17_pagerank" -> 1.294, "d05_dedup_clusters" -> 3.227, "s15_pq_search" -> 1.367)
-    val flagged = Bench.flagOutliers(r10, hist, runMedian = 1.2)
+    val (flagged, _) = Bench.flagOutliers(r10, hist, runMedian = 1.2)
     val mustFlag = Seq("s17_hybrid_rrf", "s18_hybrid_rrf_capped", "g20_metadata_registers", "t25_bpe_encode")
     mustFlag.foreach(q => assert(flagged.contains(q), s"$q not flagged; flagged=$flagged hist=${hist.get(q)}"))
     Seq("g17_pagerank", "d05_dedup_clusters", "s15_pq_search").foreach(q =>
@@ -139,7 +139,7 @@ class BenchContractSpec extends AnyFunSuite {
     // an empty history stands in for "first round this query exists"; headline
     // names because only headline queries are re-run candidates
     val sec = Map("s23_ivf_pq_trained" -> 11.4, "g17_pagerank" -> 1.0)
-    val flagged = Bench.flagOutliers(sec, hist = Map.empty, runMedian = 1.2)
+    val (flagged, _) = Bench.flagOutliers(sec, hist = Map.empty, runMedian = 1.2)
     assert(flagged == Seq("s23_ivf_pq_trained"), flagged)
     // genuinely-slow confirmation: re-run returns a similar time, min keeps it slow
     val (corrected, _) = Bench.rerunOutliers(flagged, sec, _ => Some(11.1))
@@ -168,7 +168,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(names.forall(SparkEntry.queries.contains), "test must use real query names")
     assert(inflated.keys.forall(n => !Bench.headline.contains(n)),
       "the contaminated queries must be NON-headline names")
-    val flagged = Bench.flagOutliers(sec, hist = Map.empty, runMedian = 1.2)
+    val (flagged, _) = Bench.flagOutliers(sec, hist = Map.empty, runMedian = 1.2)
     inflated.keys.foreach(q => assert(flagged.contains(q), s"$q not flagged; flagged=$flagged"))
     clean.keys.foreach(q => assert(!flagged.contains(q), s"control $q wrongly flagged"))
     val (corrected, reran) = Bench.rerunOutliers(flagged, sec, n => idleCost.get(n))
@@ -179,15 +179,52 @@ class BenchContractSpec extends AnyFunSuite {
     assert(totalAfter == totalClean, s"total must converge to clean: $totalBefore -> $totalAfter vs $totalClean")
   }
 
-  test("the re-run volume is capped and ranked worst-inflation-first") {
+  test("the re-run volume is capped and ranked worst-absolute-excess-first") {
     // a globally-contaminated run (which cal/cal_end already reject) must not
     // double the run through re-runs
     val hist = Bench.headline.map(_ -> Seq(1.0)).toMap
     val sec = Bench.headline.zipWithIndex.map { case (n, i) => n -> (3.0 + i) }.toMap
-    val flagged = Bench.flagOutliers(sec, hist, runMedian = 1.0)
+    val (flagged, cappedOut) = Bench.flagOutliers(sec, hist, runMedian = 1.0)
     assert(flagged.size == 12, s"cap must bind: ${flagged.size}")
-    // worst inflation = largest seconds here; the cap must keep those
+    // worst excess = largest seconds here (uniform history); the cap keeps those
     val worst = sec.toSeq.sortBy(-_._2).take(12).map(_._1).toSet
     assert(flagged.toSet == worst)
+    // everything flagged-but-capped-out is reported, never silently dropped
+    assert(cappedOut.size == sec.size - 12, s"capped-out tail wrong: ${cappedOut.size}")
+    assert(flagged.toSet.intersect(cappedOut.toSet).isEmpty)
+  }
+
+  test("the r12 cap-binding regime: absolute-excess ranking keeps the biggest offenders") {
+    // The literal BENCH_r12 failure: the cap bound for the first time and
+    // RATIO-ranking gave all 12 slots to high-ratio cheap queries, letting the
+    // two largest ABSOLUTE offenders keep their contaminated seconds in the
+    // reported map — s18 11.80 s vs hist-min 3.5 (ratio 3.4, excess +8.3) and
+    // d18 9.31 s vs hist-min 2.3 (ratio 4.0, excess +7.0); judge idle re-price
+    // 3.29 / 2.04. Replay: 13 cheap queries inflate 9x (0.3 -> 2.7, excess a
+    // mere +2.4 each) alongside the two heavies — excess ranking must hand s18
+    // and d18 slots ahead of every cheap one.
+    val cheap = Seq("ev3_hourly_rollup", "m01_media_features", "o02_hilbert",
+      "sk09_moments", "t01_lang_id", "t13_chunk", "q01_pricing_summary",
+      "ev8_asof_join", "o01_zorder", "s01_ann_bruteforce", "t06_corpus_stats",
+      "g06_reciprocal", "g33_hits")
+    assert(cheap.forall(SparkEntry.queries.contains), "replay must use real query names")
+    val hist = (cheap.map(_ -> Seq(0.3)) ++
+      Seq("s18_hybrid_rrf_capped" -> Seq(3.5), "d18_dedup_saved_index" -> Seq(2.3))).toMap
+    val sec = (cheap.map(_ -> 2.7) ++
+      Seq("s18_hybrid_rrf_capped" -> 11.80, "d18_dedup_saved_index" -> 9.31)).toMap
+    val (flagged, cappedOut) = Bench.flagOutliers(sec, hist, runMedian = 1.2)
+    assert(flagged.contains("s18_hybrid_rrf_capped") && flagged.contains("d18_dedup_saved_index"),
+      s"the biggest absolute offenders must win capped slots: $flagged")
+    // and they rank FIRST — the slots heal the most seconds available
+    assert(flagged.take(2).toSet == Set("s18_hybrid_rrf_capped", "d18_dedup_saved_index"), flagged)
+    assert(flagged.size == 12 && cappedOut.size == 3, s"cap 12 of 15: $flagged / $cappedOut")
+    // the emitted line surfaces the unadjudicated tail
+    val line = Bench.renderLine(10.0, 0.8, 0.8, 1.1, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil, flagged, "/root/testdata/sf0.1",
+      capped = cappedOut.size)
+    assert(line.contains("\"capped\":3"), line)
+    val clean = Bench.renderLine(10.0, 0.8, 0.8, 1.1, 2,
+      Map("q01_pricing_summary" -> 5.0), Nil, Nil, "/root/testdata/sf0.1")
+    assert(clean.contains("\"capped\":0"), clean)
   }
 }
