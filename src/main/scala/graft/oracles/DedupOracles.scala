@@ -84,6 +84,30 @@ private[graft] object DedupOracles extends OracleFragments {
           budgetTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
     }),
+    // the dc11 manifest persisted as the trainer-facing artifact (doc-level pack
+    // addresses, range-clustered on (source, pack_group, bin)) and reloaded: the
+    // load-then-rollup must reproduce dc11's packs exactly, so it shares dc11's
+    // oracle SQL verbatim (the s27/d18 round-trip discipline)
+    "dc12_epoch_manifest_saved" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-manifest")
+      try {
+        val mergesPath = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), mergesPath)
+        val manifestPath = scratch.toString + "/manifest"
+        Sampling.saveEpochManifest(
+          Sampling.epochManifestUpsampled(docs, "doc_id", "source", "text",
+            TextStats.bpeLoadMerges(s, mergesPath),
+            alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+            budgetTokens = 512L, nGroups = 8),
+          "doc_id", "source", manifestPath)
+        // the rollup groupBys the loaded relation; localCheckpoint detaches it
+        // from the scratch files so the finally can delete them
+        Sampling.epochPackRollup(
+          Sampling.loadEpochManifest(s, manifestPath).localCheckpoint(true), "source")
+      } finally deleteRecursively(scratch)
+    }),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -227,6 +251,37 @@ private[graft] object DedupOracles extends OracleFragments {
        |GROUP BY nw.doc_id""".stripMargin
 
   private lazy val incrementalDedupSql: String = incrementalDedupSqlAt(SourceDriftCut)
+
+  /** Shared by dc11 and dc12: the upsampled epoch packing fold (dc10 manifest,
+    * replayed-symbol cuts, per-pack slot counts) — mirror of
+    * Sampling.epochPackUpsampled, and of the dc12 save→load→rollup round trip
+    * which must reproduce it exactly.
+    */
+  private lazy val epochPackUpsampledSql: String =
+    s"""WITH $mixManifestCtes,
+       |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
+       |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
+       |         ELSE target_docs // n_docs
+       |              + (CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END)
+       |    END AS repeat_factor
+       |  FROM ranked JOIN tgt USING (source)
+       |  WHERE rk <= least(target_docs, n_docs)),
+       |$bpeEncodeCtes,
+       |priced AS (SELECT tf.doc_id, CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+       |           FROM tf JOIN enc USING (token) GROUP BY 1),
+       |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
+       |                 m.repeat_factor,
+       |                 COALESCE(p.n_syms, 0) * m.repeat_factor AS n_syms
+       |          FROM manifest m LEFT JOIN priced p USING (doc_id)),
+       |cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
+       |          SUM(n_syms) OVER (PARTITION BY source, pack_group
+       |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+       |        FROM prows)
+       |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+       |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
+       |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
+       |FROM cum GROUP BY 1, 2, 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d17_incremental_dedup" -> incrementalDedupSql,
@@ -427,32 +482,11 @@ private[graft] object DedupOracles extends OracleFragments {
 
     // the dc09 packing fold over the dc10 manifest: token contributions are
     // repeat_factor · n_syms (replayed symbols), packs also report slot counts —
-    // mirror of Sampling.epochPackUpsampled
-    "dc11_epoch_pack_upsampled" ->
-      s"""WITH $mixManifestCtes,
-         |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
-         |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
-         |         ELSE target_docs // n_docs
-         |              + (CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END)
-         |    END AS repeat_factor
-         |  FROM ranked JOIN tgt USING (source)
-         |  WHERE rk <= least(target_docs, n_docs)),
-         |$bpeEncodeCtes,
-         |priced AS (SELECT tf.doc_id, CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
-         |           FROM tf JOIN enc USING (token) GROUP BY 1),
-         |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
-         |                 m.repeat_factor,
-         |                 COALESCE(p.n_syms, 0) * m.repeat_factor AS n_syms
-         |          FROM manifest m LEFT JOIN priced p USING (doc_id)),
-         |cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
-         |          SUM(n_syms) OVER (PARTITION BY source, pack_group
-         |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
-         |        FROM prows)
-         |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
-         |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
-         |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
-         |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
-         |FROM cum GROUP BY 1, 2, 3""".stripMargin,
+    // mirror of Sampling.epochPackUpsampled. dc12 is the same packs through the
+    // persisted doc-level manifest (save → load → rollup), so it shares this
+    // SQL verbatim — the round trip must be invisible to the result
+    "dc11_epoch_pack_upsampled" -> epochPackUpsampledSql,
+    "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

@@ -349,9 +349,12 @@ object Sampling {
     * over POST-MERGE symbol counts (the unit a context-length budget is actually
     * denominated in, not whitespace tokens). Output: one row per training pack —
     * (source, pack_group, bin) with its document count, packed symbol count, and
-    * manifest-rank boundaries (`rk_first`/`rk_last` — the slice of the per-source
-    * hash order the pack covers, so a trainer can address any pack's documents
-    * without re-deriving the layout).
+    * manifest-rank boundaries (`rk_first`/`rk_last` — the BOUNDING rank interval
+    * of the pack within its pack_group; because pack_group = bucket % nGroups
+    * interleaves documents, the interval also spans other groups' documents —
+    * enumerate a pack's members by filtering the (source, pack_group, bin)
+    * triple, e.g. over the persisted [[saveEpochManifest]] doc-level artifact,
+    * never by slicing the rank interval alone).
     *
     * The d08 funnel discipline, applied across jobs instead of stages: the corpus'
     * TEXT is tokenized once, and only for ADMITTED documents — the manifest is an
@@ -418,6 +421,36 @@ object Sampling {
       budgetTokens: Long = 512L,
       nGroups: Int = 8,
       salt: String = ""
+  ): DataFrame =
+    epochPackRollup(
+      epochManifestUpsampled(df, idCol, sourceCol, textCol, merges,
+        alphaMicro, budgetDocs, budgetTokens, nGroups, salt),
+      sourceCol)
+
+  /** dc12 — the DOC-LEVEL epoch manifest: one row per admitted document with its
+    * full pack address — (id, source, rk, repeat_factor, n_syms, bucket,
+    * pack_group, bin) — the relation a trainer's data loader actually consumes
+    * (dc11's per-pack stats are its one-groupBy rollup, [[epochPackRollup]]).
+    * `n_syms` is already the REPLAYED mass (repeat_factor · encoded symbols), so
+    * slicing any (source, pack_group, bin) yields exactly the documents and
+    * token mass that pack promised; enumerate a pack's members by that triple —
+    * never by an rk interval, which interleaves across pack_groups.
+    *
+    * Scale shape: identical to [[epochPackUpsampled]] up to (and excluding) the
+    * rollup — the output is epoch-sized (≪ corpus), the pack window partitioned
+    * by (source, pack_group) with nGroups the scale knob.
+    */
+  def epochManifestUpsampled(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      alphaMicro: Long = 300000L,
+      budgetDocs: Long = 1000L,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
   ): DataFrame = {
     val manifest = mixExecuteUpsampled(df, idCol, sourceCol, alphaMicro, budgetDocs, salt)
       .localCheckpoint(true)
@@ -433,20 +466,71 @@ object Sampling {
         (coalesce(col("n_syms"), lit(0L)) * col("repeat_factor")).as("n_syms"),
         bucketCol(col(idCol), salt).as("bucket"))
       .withColumn("pack_group", col("bucket") % nGroups)
-    binPacks(rows, idCol, sourceCol, budgetTokens,
-      extraAggs = Seq(sum(col("repeat_factor")).as("n_slots")))
+    packRows(rows, idCol, sourceCol, budgetTokens)
+      .select(col(idCol), col(sourceCol), col("rk"), col("repeat_factor"),
+        col("n_syms"), col("bucket"), col("pack_group"), col("bin"))
   }
 
-  /** The shared concat-and-cut fold of the dc09/dc11 materializers: running
-    * exclusive token total in (bucket, id) order within (source, pack_group),
-    * cut every `budgetTokens`, one rollup row per pack.
+  /** The per-pack rollup of an [[epochManifestUpsampled]] relation — dc11's
+    * output, whether the manifest is in-session or reloaded from
+    * [[loadEpochManifest]] (the round-trip law dc12 pins: load-then-rollup must
+    * hash-match the in-session packs).
     */
-  private def binPacks(
+  def epochPackRollup(manifest: DataFrame, sourceCol: String): DataFrame =
+    manifest
+      .groupBy(col(sourceCol), col("pack_group"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_syms")).as("n_tokens"),
+        min(col("rk")).as("rk_first"),
+        max(col("rk")).as("rk_last"),
+        sum(col("repeat_factor")).as("n_slots"))
+
+  /** Persist a doc-level epoch manifest as the training-run artifact, laid out
+    * for how a trainer READS it — the d18/d21 layout discipline applied to the
+    * pack address: directory-partitioned by (source, pack_group) (a trainer
+    * shard consumes exactly one pack_group's stream, so its fetch plans ONLY
+    * that directory's files — measured in RoundThirteenOpsSpec via scan
+    * metrics), range-clustered across `nFiles` so each file covers a contiguous
+    * bin range, and sorted within files by (bin, bucket, id) so a single-pack
+    * fetch row-group-skips inside the directory. Build once per epoch on the
+    * plan cadence; every shard reads its slice from the load.
+    */
+  def saveEpochManifest(
+      manifest: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      path: String,
+      nFiles: Int = 16
+  ): Unit =
+    manifest
+      .repartitionByRange(math.max(nFiles, 1),
+        col(sourceCol), col("pack_group"), col("bin"))
+      .sortWithinPartitions(col(sourceCol), col("pack_group"), col("bin"), col("bucket"), col(idCol))
+      .write.partitionBy(sourceCol, "pack_group")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Reload a [[saveEpochManifest]] artifact. Ids, ranks, and symbol counts are
+    * exact integers — the round trip is bit-exact. The directory-encoded
+    * pack_group is cast back to its written LONG type (partition-column
+    * inference would otherwise narrow it to int and silently change the rollup
+    * schema).
+    */
+  def loadEpochManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("pack_group", col("pack_group").cast("long"))
+
+  /** The doc-level half of the concat-and-cut fold: running exclusive token
+    * total in (bucket, id) order within (source, pack_group), cut every
+    * `budgetTokens` — each manifest row gains its pack's `bin`. This IS the
+    * epoch manifest a trainer addresses documents through; [[binPacks]] is its
+    * one-groupBy rollup, and [[saveEpochManifest]] persists it.
+    */
+  private def packRows(
       rows: DataFrame,
       idCol: String,
       sourceCol: String,
-      budgetTokens: Long,
-      extraAggs: Seq[Column] = Nil
+      budgetTokens: Long
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol), col("pack_group"))
@@ -454,6 +538,19 @@ object Sampling {
     rows
       .withColumn("tok_before", sum(col("n_syms")).over(w) - col("n_syms"))
       .withColumn("bin", (col("tok_before") / budgetTokens).cast("long"))
+  }
+
+  /** The shared concat-and-cut fold of the dc09/dc11 materializers:
+    * [[packRows]]' bin assignment rolled up to one row per pack.
+    */
+  private def binPacks(
+      rows: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      extraAggs: Seq[Column] = Nil
+  ): DataFrame =
+    packRows(rows, idCol, sourceCol, budgetTokens)
       .groupBy(col(sourceCol), col("pack_group"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -461,7 +558,6 @@ object Sampling {
           sum(col("n_syms")).as("n_tokens"),
           min(col("rk")).as("rk_first"),
           max(col("rk")).as("rk_last")) ++ extraAggs): _*)
-  }
 
   /** DSIR importance-resampling scores (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): every document scored by how much more likely

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sampling}
+
+/** Round-13 operator pins: the epoch-manifest artifact's pack-range access
+  * pattern (measured, the d21 discipline), and the dedup-index compaction's
+  * probe-invariance + file-count collapse.
+  */
+class RoundThirteenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  private def parquetFiles(f: java.io.File): Seq[java.io.File] =
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap(c => if (c.isDirectory) parquetFiles(c) else Seq(c))
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("dc12: a pack_group fetch plans only its directory's files (measured)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 4 sources × 4 pack_groups × 10 bins of synthetic manifest rows — the
+    // artifact layout is what's pinned here; the manifest DERIVATION is pinned
+    // by dc12's oracle row in CORRECTNESS
+    val manifest = (for {
+      s <- Seq("a", "b", "c", "d"); i <- 0 until 100
+    } yield (s"$s-$i", s, i.toLong + 1, 1L, 50L, i.toLong, (i % 4).toLong, (i / 10).toLong))
+      .toDF("doc_id", "source", "rk", "repeat_factor", "n_syms", "bucket", "pack_group", "bin")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-manifest")
+    try {
+      val path = dir.toString + "/manifest"
+      Sampling.saveEpochManifest(manifest, "doc_id", "source", path, nFiles = 16)
+      val loaded = Sampling.loadEpochManifest(spark, path)
+      // bit-exact round trip of the integer manifest
+      assert(loaded.count() == 400L)
+      assert(loaded.schema("pack_group").dataType == org.apache.spark.sql.types.LongType)
+      val totalFiles = parquetFiles(new java.io.File(path)).size
+      val shardFiles = parquetFiles(new java.io.File(s"$path/source=b/pack_group=2")).size
+      assert(shardFiles >= 1 && shardFiles < totalFiles,
+        s"shard dir must hold a strict subset: $shardFiles of $totalFiles")
+      // a trainer shard's fetch = one (source, pack_group) stream: the scan
+      // must plan ONLY that directory's files
+      val q = loaded.filter(col("source") === "b" && col("pack_group") === 2L)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }.head
+      assert(scan.metrics("numFiles").value == shardFiles.toLong,
+        s"shard fetch planned ${scan.metrics("numFiles").value} files; dir holds $shardFiles of $totalFiles")
+      // and the rollup over the loaded artifact is the dc11 rollup of the
+      // in-session manifest — the round trip is invisible to the packs
+      val inSession = Sampling.epochPackRollup(manifest, "source")
+        .orderBy(col("source"), col("pack_group"), col("bin")).collect().toSeq
+      val reloaded = Sampling.epochPackRollup(loaded, "source")
+        .orderBy(col("source"), col("pack_group"), col("bin")).collect().toSeq
+      assert(inSession == reloaded, "load-then-rollup must reproduce the in-session packs")
+    } finally deleteRecursively(dir)
+  }
+}
