@@ -183,6 +183,28 @@ private[graft] object DedupOracles extends OracleFragments {
           "doc_id", index)
       } finally deleteRecursively(scratch)
     }),
+    // the housekeeping half of the index loop: build + append as in d21, then
+    // COMPACT the generations back to one file per band and probe through the
+    // compacted artifact — the probe must not see the compaction, so it shares
+    // d21's oracle SQL verbatim
+    "d22_dedup_index_compact" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-dedup-compact")
+      try {
+        val path = scratch.toString + "/index"
+        Dedup.saveDedupIndex(
+          Dedup.dedupIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"), path)
+        Dedup.appendToDedupIndex(
+          Dedup.dedupIndex(
+            docs.filter(col("doc_id") >= SourceDriftCut && col("doc_id") < DedupAppendCut),
+            "doc_id", "text"), path)
+        Dedup.compactDedupIndex(s, path)
+        val index = Dedup.loadDedupIndex(s, path).localCheckpoint(eager = true)
+        Dedup.incrementalDedupAgainst(
+          Dedup.dedupIndex(docs.filter(col("doc_id") >= DedupAppendCut), "doc_id", "text"),
+          "doc_id", index)
+      } finally deleteRecursively(scratch)
+    }),
     // temperatureMix's probabilities turned into concrete per-source epoch budgets
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
@@ -289,6 +311,9 @@ private[graft] object DedupOracles extends OracleFragments {
     // append(save(archive), wave1) must probe like the rebuilt archive ∪ wave1
     // index, so the mirror is the d17 shape with the index side at the LATER cut
     "d21_dedup_index_append" -> incrementalDedupSqlAt(DedupAppendCut),
+    // d22 probes the same corpus split through the COMPACTED index — compaction
+    // must be invisible to the probe, so the oracle is d21's verbatim
+    "d22_dedup_index_compact" -> incrementalDedupSqlAt(DedupAppendCut),
 
     // distinct word 5-grams per doc on 60-bit md5 hashes; benchmark = doc_id % mod
     // = 0; flagged training docs with hit counts, micro overlap fraction and the

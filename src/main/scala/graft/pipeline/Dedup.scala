@@ -910,4 +910,35 @@ object Dedup {
 
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** d22 — COMPACT an appended band index back to `filesPerBand` files per band:
+    * the housekeeping half of the d17→ingest→d21 loop (the LSM analogy's merge),
+    * run on the maintenance cadence when a band directory's generation count
+    * makes per-probe file planning noticeable. One index-sized read+write — the
+    * loaded union re-saved through the [[saveDedupIndex]] layout (band dirs,
+    * sig-sorted files), staged to a sibling path and swapped in with a
+    * filesystem rename so a crash mid-compaction leaves the original index
+    * intact, and nothing is ever held in executor memory beyond the write
+    * shuffle. Probe results must be IDENTICAL before and after (pinned in
+    * RoundThirteenOpsSpec alongside the file-count collapse; d22's CORRECTNESS
+    * entry probes through a compacted index against d21's oracle).
+    */
+  def compactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      filesPerBand: Int = 1,
+      bands: Int = 16
+  ): Unit = {
+    val staging = path + "__compacting"
+    saveDedupIndex(loadDedupIndex(spark, path), staging, filesPerBand, bands)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(staging)
+    val fs = dst.getFileSystem(hconf)
+    if (!fs.delete(dst, true))
+      throw new java.io.IOException(s"compactDedupIndex: could not remove $path for swap")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"compactDedupIndex: swap rename $staging -> $path failed; compacted index left at $staging")
+  }
 }

@@ -59,4 +59,46 @@ class RoundThirteenOpsSpec extends SparkSpec {
       assert(inSession == reloaded, "load-then-rollup must reproduce the in-session packs")
     } finally deleteRecursively(dir)
   }
+
+  test("d22: compaction collapses appended generations and is invisible to the probe") {
+    val archive = (1L to 20L).map(i => (i, s"archive document number $i with plenty of words inside"))
+      .toDF("doc_id", "text")
+    val waves = Seq(
+      (101L to 110L).map(i => (i, s"ingest wave document $i with other words entirely")),
+      (201L to 210L).map(i => (i, s"later wave document $i with different words again")))
+      .map(_.toDF("doc_id", "text"))
+    val probeDocs = ((1L to 5L) ++ (151L to 155L))
+      .map(i => (i + 1000L, s"archive document number ${(i % 20) + 1} with plenty of words inside"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-compact")
+    try {
+      val path = dir.toString + "/index"
+      Dedup.saveDedupIndex(Dedup.dedupIndex(archive, "doc_id", "text"), path)
+      waves.foreach(w => Dedup.appendToDedupIndex(Dedup.dedupIndex(w, "doc_id", "text"), path))
+      def bandFiles(): Map[String, Int] =
+        Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("band="))
+          .map(f => f.getName -> parquetFiles(f).size).toMap
+      val before = bandFiles()
+      assert(before.values.exists(_ >= 3),
+        s"two appends must stack file generations inside band dirs: $before")
+      val probeSigs = Dedup.dedupIndex(probeDocs, "doc_id", "text").localCheckpoint(true)
+      def probe(): Seq[(Long, Long, Long)] =
+        Dedup.incrementalDedupAgainst(probeSigs, "doc_id",
+          Dedup.loadDedupIndex(spark, path).localCheckpoint(true))
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands")))
+          .toSeq.sortBy(_._1)
+      val probeBefore = probe()
+      assert(probeBefore.nonEmpty, "the planted near-dupes must collide")
+      Dedup.compactDedupIndex(spark, path)
+      val after = bandFiles()
+      assert(after.values.forall(_ == 1),
+        s"compaction must collapse every band to filesPerBand files: $after")
+      assert(after.keySet == before.keySet, "compaction must keep every band directory")
+      assert(!new java.io.File(path + "__compacting").exists(),
+        "the staging path must be swapped away")
+      assert(probe() == probeBefore, "compaction must be invisible to the probe")
+    } finally deleteRecursively(dir)
+  }
 }
