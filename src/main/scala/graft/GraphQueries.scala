@@ -1140,6 +1140,83 @@ object GraphQueries {
     lvl.join(sizes, Seq("scc")).select(col("scc"), col("level"), col("n_members"))
   }
 
+  /** g52 — CONDENSATION-ACCELERATED REACHABILITY: which vertices does a seed
+    * set reach through the directed graph, answered over the CONTRACTION
+    * instead of the graph — the classic payoff of g49–g51's machinery (Purdom's
+    * transitive-closure-by-condensation construction), and the directed analog
+    * of g34's undirected BFS. Every vertex of a seed's SCC is mutually
+    * reachable with it, and between SCCs reachability is the (acyclic)
+    * condensation's reachability — so the fixpoint state is |SCC|-sized, never
+    * |V|-sized: seed labels enter at their SCCs, min-relax along the inter-SCC
+    * DAG edges (the g51 loop with min instead of max), and only the final
+    * answer join fans the SCC verdicts back out to members. Output one row per
+    * REACHED vertex: (vertex_id, reachable_from = min seed that reaches it) —
+    * the d05 min-keeper convention, so the oracle's recursive closure over the
+    * ORIGINAL edges proves the acceleration exactly.
+    *
+    * Scale shape: g49's cost once (the index build of this family), then a
+    * bounded loop whose moving state and per-round join are contraction-sized
+    * (rounds ≤ condensation depth; maxRounds raises rather than answering
+    * wrong), then one |V|-sized equi-join to fan out. Seeds are a filter on the
+    * SCC relation — never a separate corpus scan.
+    */
+  def sccReachFromSet(
+      spark: SparkSession,
+      dir: String,
+      seedMod: Int = 10,
+      maxRounds: Int = 60
+  ): DataFrame =
+    sccReachKernel(directedNormalEdges(spark, dir), seedMod, maxRounds)
+
+  /** Kernel form of [[sccReachFromSet]] over an explicit (src, dst) relation —
+    * property tests feed random digraphs and prove it against a brute-force
+    * closure. Output (vertex_id, reachable_from).
+    */
+  private[graft] def sccReachKernel(
+      edges: DataFrame,
+      seedMod: Int,
+      maxRounds: Int
+  ): DataFrame = {
+    val scc = sccOf(edges, maxRounds).localCheckpoint(true)
+    val cond = edges
+      .join(scc.select(col("vertex_id").as("src"), col("scc").as("a")), Seq("src"))
+      .join(scc.select(col("vertex_id").as("dst"), col("scc").as("b")), Seq("dst"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint(true)
+    var state = scc.filter(col("vertex_id") % seedMod === 0)
+      .groupBy(col("scc")).agg(min(col("vertex_id")).as("best"))
+      .localCheckpoint(true)
+    def censusOf(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(
+        count(lit(1)),
+        coalesce(sum(col("best").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head
+      (row.getLong(0), row.getDecimal(1))
+    }
+    // reached-SCC count grows and per-SCC best only decreases, so the (count,
+    // label-sum) pair is a strictly-progressing convergence witness
+    var census = censusOf(state)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds, s"sccReachFromSet did not converge in $maxRounds rounds")
+      val relaxed = cond
+        .join(state.select(col("scc").as("a"), col("best")), Seq("a"))
+        .select(col("b").as("scc"), col("best"))
+      val next = state.unionByName(relaxed)
+        .groupBy(col("scc")).agg(min(col("best")).as("best"))
+        .localCheckpoint(true)
+      val nextCensus = censusOf(next)
+      converged = nextCensus == census
+      census = nextCensus
+      state = next
+    }
+    scc.join(state, Seq("scc"))
+      .select(col("vertex_id"), col("best").as("reachable_from"))
+  }
+
   /** The distinct directed Normal graph-1 edge relation (self-loops excluded) —
     * the input both SCC entries share, checkpointed once.
     */

@@ -148,6 +148,11 @@ private[graft] trait OracleParams {
   private[graft] val WalkSteps = 3
   private[graft] val WalkSeedMod = 10
 
+  /** g52's pinned seed sampling mod (seed set = vertices ≡ 0 mod this), shared
+    * by registration and oracle.
+    */
+  private[graft] val SccReachSeedMod = 10
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -82,6 +82,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.sccCondensation(s, dir)),
     "g51_topo_levels" -> ((s: SparkSession, dir: String) =>
       GraphQueries.sccTopoLevels(s, dir)),
+    "g52_scc_reachability" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.sccReachFromSet(s, dir, seedMod = SccReachSeedMod)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +142,21 @@ private[graft] object GraphOracles extends OracleFragments {
          |lvl AS (SELECT v AS scc, CAST(MAX(l) AS BIGINT) AS level FROM walk GROUP BY 1),
          |sz AS (SELECT scc, COUNT(*) AS n_members FROM scc GROUP BY 1)
          |SELECT scc, level, n_members FROM lvl JOIN sz USING (scc)""".stripMargin,
+
+    // reach-from-set over the ORIGINAL edges (the recursive closure the Spark
+    // side must equal): every (seed, vertex) the seed reaches, min seed per
+    // vertex — proving the condensation-accelerated answer exactly; mirror of
+    // GraphQueries.sccReachFromSet
+    "g52_scc_reachability" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |seeds AS (SELECT v AS seed FROM vx WHERE v % $SccReachSeedMod = 0),
+         |r AS (SELECT seed, seed AS v FROM seeds
+         |      UNION
+         |      SELECT r.seed, e.dst AS v FROM r JOIN e ON e.src = r.v)
+         |SELECT v AS vertex_id, MIN(seed) AS reachable_from FROM r GROUP BY v""".stripMargin,
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units
     // (x_t = (β_pct · in_sum) // 100, β = 50%) — mirror of

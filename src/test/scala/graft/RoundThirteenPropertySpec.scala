@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.propBoolean
+
+/** Property mirror of the round-13 reachability kernel: the
+  * condensation-accelerated answer must equal a brute-force breadth-first
+  * closure over the ORIGINAL edges on random digraphs — the same independence
+  * discipline as RoundTwelvePropertySpec's Tarjan mirror for sccOf.
+  */
+class RoundThirteenPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 5): Unit = {
+    val params = ScTest.Parameters.default.withMinSuccessfulTests(cases)
+    val result = ScTest.check(params, prop)
+    assert(result.passed, s"$name: $result")
+  }
+
+  private def edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(3, 10)
+    m <- Gen.choose(2, 24)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(1L, n.toLong)
+      d <- Gen.choose(1L, n.toLong) if d != s
+    } yield (s, d))
+  } yield edges.distinct
+
+  /** Plain BFS closure from every seed; min seed per reached vertex. */
+  private def bruteReach(edges: List[(Long, Long)], seedMod: Long): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val seeds = verts.filter(_ % seedMod == 0)
+    val best = scala.collection.mutable.Map.empty[Long, Long]
+    for (seed <- seeds) {
+      val seen = scala.collection.mutable.Set(seed)
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil)).filterNot(seen)
+        seen ++= frontier
+      }
+      seen.foreach(v => best(v) = math.min(best.getOrElse(v, Long.MaxValue), seed))
+    }
+    best.toMap
+  }
+
+  test("sccReachKernel equals a brute-force closure on random digraphs") {
+    check("reach-from-set", Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val df = edges.toDF("src", "dst")
+        val got = GraphQueries.sccReachKernel(df, seedMod = 2, maxRounds = 30)
+          .collect()
+          .map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("reachable_from"))
+          .toMap
+        val want = bruteReach(edges, seedMod = 2L)
+        (got == want) :| s"got $got want $want edges $edges"
+      }
+    })
+  }
+
+  test("sccReachKernel with an empty seed set reaches nothing (and terminates)") {
+    val df = Seq((1L, 3L), (3L, 5L), (5L, 1L)).toDF("src", "dst") // no even vertex
+    assert(GraphQueries.sccReachKernel(df, seedMod = 2, maxRounds = 10).count() == 0L)
+  }
+
+  test("sccReachKernel on a planted core-plus-tail: the core's seed reaches the whole tail") {
+    // 2 -> {1,3} cycle core... seed 2 inside a 3-cycle {1,2,3}, tail 3 -> 7 -> 9
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L), (7L, 9L)).toDF("src", "dst")
+    val got = GraphQueries.sccReachKernel(df, seedMod = 2, maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("reachable_from")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 7L -> 2L, 9L -> 2L), got.toString)
+  }
+}
