@@ -44,6 +44,13 @@ private[graft] trait OracleParams {
   private[graft] val LrRounds = 3
   private[graft] val LrRateMicro = 500000L
 
+  /** t42's pinned gate-swap thresholds over the t41 eval (micro units), shared
+    * by registration, oracle, and the driver-side trigger's defaults.
+    */
+  private[graft] val GateMinAgreementMicro = 850000L
+  private[graft] val GateMinPrecisionMicro = 800000L
+  private[graft] val GateMinRecallMicro = 800000L
+
   /** g40's pinned label-propagation round count, shared by registration and oracle. */
   private[graft] val LpaRounds = 4
 

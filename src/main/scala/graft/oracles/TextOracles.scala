@@ -126,6 +126,21 @@ private[graft] object TextOracles extends OracleFragments {
           buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
         buckets = LrBuckets)
     }),
+    // the deployment decision over the t41 eval: swap/hold/block against the
+    // pinned thresholds — what the streamingQualityGate redeploy actually reads
+    // (the driver-side gateSwapTrigger mirrors this row, pinned in
+    // RoundThirteenOpsSpec)
+    "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.gateSwapDecision(
+        TextStats.lrQualityEval(docs, "doc_id", "text",
+          TextStats.lrQualityTrain(docs, "doc_id", "text",
+            buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
+          buckets = LrBuckets),
+        minAgreementMicro = GateMinAgreementMicro,
+        minPrecisionMicro = GateMinPrecisionMicro,
+        minRecallMicro = GateMinRecallMicro)
+    }),
     // train → persist the weight artifact → reload → score (the t26 round-trip
     // discipline: the save must reproduce the in-session model's scores exactly)
     "t39_lr_score_saved" -> ((s: SparkSession, dir: String) => {
@@ -150,6 +165,33 @@ private[graft] object TextOracles extends OracleFragments {
       TextStats.zipfFit(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         fitK = ZipfFitK)),
   )
+
+  /** Shared by t41 and t42: the trained-classifier eval rollup as chained CTEs
+    * ending at `evalrow` (confusion counts + the three micro ratios) — t41
+    * reports it, t42 decides over it.
+    */
+  private lazy val lrEvalCtes: String =
+    s"""${lrTrainCtes(LrRounds)},
+       |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
+       |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1),
+       |ev AS (SELECT CASE WHEN mgf.m > 0 THEN 1 ELSE 0 END AS pred, lab.kept AS y
+       |       FROM mgf JOIN lab USING (doc_id)),
+       |c AS (SELECT COUNT(*) AS n_scored,
+       |        CAST(SUM(pred * y) AS BIGINT) AS tp,
+       |        CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+       |        CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+       |        CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+       |      FROM ev),
+       |evalrow AS (SELECT n_scored, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN 0
+       |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fp)::DOUBLE + 0.5) AS BIGINT)
+       |  END AS precision_micro,
+       |  CASE WHEN tp + fn = 0 THEN 0
+       |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fn)::DOUBLE + 0.5) AS BIGINT)
+       |  END AS recall_micro,
+       |  CAST(floor(1000000.0 * (tp + tn)::DOUBLE / n_scored::DOUBLE + 0.5) AS BIGINT)
+       |    AS agreement_micro
+       |FROM c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -676,27 +718,21 @@ private[graft] object TextOracles extends OracleFragments {
     // confusion rollup of the trained gate vs its t05 supervision over scored
     // docs — mirror of TextStats.lrQualityEval composed from the training CTEs
     "t41_lr_eval" ->
-      s"""WITH ${lrTrainCtes(LrRounds)},
-         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
-         |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1),
-         |ev AS (SELECT CASE WHEN mgf.m > 0 THEN 1 ELSE 0 END AS pred, lab.kept AS y
-         |       FROM mgf JOIN lab USING (doc_id)),
-         |c AS (SELECT COUNT(*) AS n_scored,
-         |        CAST(SUM(pred * y) AS BIGINT) AS tp,
-         |        CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
-         |        CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
-         |        CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
-         |      FROM ev)
-         |SELECT n_scored, tp, fp, fn, tn,
-         |  CASE WHEN tp + fp = 0 THEN 0
-         |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fp)::DOUBLE + 0.5) AS BIGINT)
-         |  END AS precision_micro,
-         |  CASE WHEN tp + fn = 0 THEN 0
-         |       ELSE CAST(floor(1000000.0 * tp::DOUBLE / (tp + fn)::DOUBLE + 0.5) AS BIGINT)
-         |  END AS recall_micro,
-         |  CAST(floor(1000000.0 * (tp + tn)::DOUBLE / n_scored::DOUBLE + 0.5) AS BIGINT)
-         |    AS agreement_micro
-         |FROM c""".stripMargin,
+      s"""WITH $lrEvalCtes
+         |SELECT n_scored, tp, fp, fn, tn, precision_micro, recall_micro, agreement_micro
+         |FROM evalrow""".stripMargin,
+
+    // the gate-swap decision over the t41 eval row (shared CTEs): the three-way
+    // verdict against the pinned thresholds — mirror of TextStats.gateSwapDecision
+    "t42_gate_swap" ->
+      s"""WITH $lrEvalCtes
+         |SELECT n_scored, agreement_micro, precision_micro, recall_micro,
+         |  CASE WHEN n_scored = 0 THEN 'hold'
+         |       WHEN agreement_micro >= $GateMinAgreementMicro
+         |            AND precision_micro >= $GateMinPrecisionMicro
+         |            AND recall_micro >= $GateMinRecallMicro THEN 'swap'
+         |       ELSE 'block' END AS action
+         |FROM evalrow""".stripMargin,
 
     "t28_linear_quality" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -1064,6 +1064,80 @@ object TextStats {
           / col("n_scored").cast("double") + lit(0.5)).cast("long").as("agreement_micro"))
   }
 
+  /** t42 — the GATE-SWAP decision over a [[lrQualityEval]] row, relational form:
+    * `swap` when every eval metric clears its threshold (deploy the retrained
+    * weights), `block` when any fails (a distilled gate that stopped agreeing
+    * with its supervision is a deployment blocker), `hold` when zero documents
+    * were scored (an empty/unscorable eval window is NO EVIDENCE, never a swap
+    * and never an alert — the s25 quiet-cadence convention). The t38 family's
+    * counterpart of [[graft.pipeline.Similarity.retrainTrigger]]: t38 retrains
+    * on its cadence, t41 evaluates the candidate, THIS decides what the serving
+    * stream reloads.
+    */
+  def gateSwapDecision(
+      eval: DataFrame,
+      minAgreementMicro: Long = 850000L,
+      minPrecisionMicro: Long = 800000L,
+      minRecallMicro: Long = 800000L
+  ): DataFrame =
+    eval.select(
+      col("n_scored"), col("agreement_micro"), col("precision_micro"), col("recall_micro"),
+      when(col("n_scored") === 0L, lit("hold"))
+        .when(col("agreement_micro") >= minAgreementMicro &&
+          col("precision_micro") >= minPrecisionMicro &&
+          col("recall_micro") >= minRecallMicro, lit("swap"))
+        .otherwise(lit("block")).as("action"))
+
+  /** Driver-side form of [[gateSwapDecision]] (the retrainTrigger discipline: the
+    * eval is ONE row — model-sized, never data-sized — so the scheduler that acts
+    * on it reads a scalar, not a relation). Same thresholds, same three-way
+    * outcome, with the failing metrics named in `reason`.
+    */
+  final case class GateSwapDecisionRow(
+      action: String, reason: String,
+      nScored: Long, agreementMicro: Long, precisionMicro: Long, recallMicro: Long)
+
+  def gateSwapTrigger(
+      eval: DataFrame,
+      minAgreementMicro: Long = 850000L,
+      minPrecisionMicro: Long = 800000L,
+      minRecallMicro: Long = 800000L
+  ): GateSwapDecisionRow = {
+    val rows = eval.select(
+      col("n_scored").cast("long"), col("agreement_micro").cast("long"),
+      col("precision_micro").cast("long"), col("recall_micro").cast("long"))
+      .collect() // 1 row — the eval rollup, bounded by construction
+    if (rows.isEmpty)
+      return GateSwapDecisionRow("hold", "empty eval — no evidence", 0L, 0L, 0L, 0L)
+    val r = rows.head
+    val (n, agr, prec, rec) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    if (n == 0L)
+      GateSwapDecisionRow("hold", "zero scored documents — no evidence", n, agr, prec, rec)
+    else {
+      val failing = Seq(
+        (agr < minAgreementMicro, s"agreement ${agr}µ < ${minAgreementMicro}µ"),
+        (prec < minPrecisionMicro, s"precision ${prec}µ < ${minPrecisionMicro}µ"),
+        (rec < minRecallMicro, s"recall ${rec}µ < ${minRecallMicro}µ")
+      ).collect { case (true, msg) => msg }
+      if (failing.isEmpty)
+        GateSwapDecisionRow("swap", "all metrics clear their thresholds", n, agr, prec, rec)
+      else
+        GateSwapDecisionRow("block", failing.mkString("; "), n, agr, prec, rec)
+    }
+  }
+
+  /** The deployment check in front of a
+    * [[graft.streaming.StreamOps.streamingQualityGate]] weight reload: the
+    * candidate deploys ONLY on `swap`; `hold` and `block` keep the current
+    * weights (block additionally carries the alert-worthy reason). Pure
+    * selection so the redeploy path is unit-testable without a stream.
+    */
+  def chooseGateWeights(
+      decision: GateSwapDecisionRow,
+      candidate: DataFrame,
+      current: DataFrame): DataFrame =
+    if (decision.action == "swap") candidate else current
+
   /** Interpolated Kneser–Ney bigram score per document — the stronger LM-quality
     * signal next to [[bigramLogProb]]'s Jelinek–Mercer form (Kneser–Ney's continuation
     * probability scores a word by how many distinct CONTEXTS it follows, not raw

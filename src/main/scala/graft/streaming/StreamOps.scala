@@ -477,8 +477,13 @@ object StreamOps extends Serializable {
     * in the ingest gauntlet, with the same stateless shape: documents arrive
     * whole, per-batch emissions ARE `TextStats.lrScoreWith` over the arrivals,
     * and the MODEL is the only state, retrained on its own cadence (t38) and
-    * swapped by re-deploying the stream. Per-batch cost is one tokenize pass over
-    * the arrivals with the ≤ buckets-row weight table broadcast.
+    * swapped by re-deploying the stream — GATED: a redeploy must route the
+    * candidate weights through the t42 deployment check
+    * ([[graft.pipeline.TextStats.gateSwapTrigger]] over the t41 eval +
+    * [[graft.pipeline.TextStats.chooseGateWeights]]), so a retrained gate that
+    * stopped agreeing with its supervision never reaches the stream. Per-batch
+    * cost is one tokenize pass over the arrivals with the ≤ buckets-row weight
+    * table broadcast.
     */
   def streamingQualityGate(
       docs: DataFrame,

@@ -101,4 +101,37 @@ class RoundThirteenOpsSpec extends SparkSpec {
       assert(probe() == probeBefore, "compaction must be invisible to the probe")
     } finally deleteRecursively(dir)
   }
+
+  test("t42: the gate-swap trigger decides swap/hold/block like retrainTrigger decides retrain") {
+    import graft.pipeline.TextStats
+    def evalRow(n: Long, agr: Long, prec: Long, rec: Long) =
+      Seq((n, 1L, 1L, 1L, 1L, prec, rec, agr))
+        .toDF("n_scored", "tp", "fp", "fn", "tn",
+          "precision_micro", "recall_micro", "agreement_micro")
+    // all metrics clear → swap
+    val swap = TextStats.gateSwapTrigger(evalRow(100L, 900000L, 880000L, 950000L))
+    assert(swap.action == "swap", swap.toString)
+    // zero scored docs → no evidence, hold — never a swap, never an alert
+    val hold = TextStats.gateSwapTrigger(evalRow(0L, 0L, 0L, 0L))
+    assert(hold.action == "hold" && hold.reason.contains("no evidence"), hold.toString)
+    // any failing metric → block, with the metric named
+    val block = TextStats.gateSwapTrigger(evalRow(100L, 700000L, 880000L, 950000L))
+    assert(block.action == "block" && block.reason.contains("agreement"), block.toString)
+    val block2 = TextStats.gateSwapTrigger(evalRow(100L, 900000L, 700000L, 600000L))
+    assert(block2.action == "block" &&
+      block2.reason.contains("precision") && block2.reason.contains("recall"), block2.toString)
+    // the driver-side trigger and the relational t42 form agree on every case
+    for (ev <- Seq(evalRow(100L, 900000L, 880000L, 950000L), evalRow(0L, 0L, 0L, 0L),
+        evalRow(100L, 700000L, 880000L, 950000L))) {
+      val kernel = TextStats.gateSwapTrigger(ev).action
+      val relational = TextStats.gateSwapDecision(ev).select("action").head.getString(0)
+      assert(kernel == relational, s"kernel $kernel vs relational $relational")
+    }
+    // the deployment check: only a swap routes the candidate to the stream
+    val candidate = Seq((1L, 5L)).toDF("slot", "w")
+    val current = Seq((1L, 3L)).toDF("slot", "w")
+    assert(TextStats.chooseGateWeights(swap, candidate, current) eq candidate)
+    assert(TextStats.chooseGateWeights(hold, candidate, current) eq current)
+    assert(TextStats.chooseGateWeights(block, candidate, current) eq current)
+  }
 }
