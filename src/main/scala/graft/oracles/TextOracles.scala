@@ -172,8 +172,8 @@ private[graft] object TextOracles extends OracleFragments {
     */
   private lazy val lrEvalCtes: String =
     s"""${lrTrainCtes(LrRounds)},
-       |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
-       |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1),
+       |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * COALESCE(w.w, 0)) AS BIGINT) AS m
+       |        FROM tf LEFT JOIN w$LrRounds w USING (slot) GROUP BY 1),
        |ev AS (SELECT CASE WHEN mgf.m > 0 THEN 1 ELSE 0 END AS pred, lab.kept AS y
        |       FROM mgf JOIN lab USING (doc_id)),
        |c AS (SELECT COUNT(*) AS n_scored,
@@ -686,8 +686,8 @@ private[graft] object TextOracles extends OracleFragments {
     // survive parquet bit-exactly, so t39 shares the training CTEs verbatim)
     "t39_lr_score_saved" ->
       s"""WITH ${lrTrainCtes(LrRounds)},
-         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS margin_micro
-         |        FROM tf JOIN w$LrRounds w USING (slot) GROUP BY 1)
+         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * COALESCE(w.w, 0)) AS BIGINT) AS margin_micro
+         |        FROM tf LEFT JOIN w$LrRounds w USING (slot) GROUP BY 1)
          |SELECT doc_id, margin_micro,
          |  CAST(floor(1000000.0 / (1.0 + exp(-(margin_micro::DOUBLE / 1000000.0))) + 0.5)
          |    AS BIGINT) AS p_micro,

@@ -883,7 +883,7 @@ object TextStats {
   /** Per-(doc, slot) hashed term frequencies — the feature relation the trained
     * quality classifier consumes (t28's md5-slot idiom, occurrence-weighted).
     */
-  private def hashedTf(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+  private[graft] def hashedTf(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
     tokens(df, idCol, textCol)
       .select(col(idCol),
         (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets).as("slot"))
@@ -965,7 +965,13 @@ object TextStats {
     * quantized to micro as the keep-probability, sign test as the verdict. One
     * tokenize pass + one map-side-combinable rollup — the per-ingest cost of a
     * learned quality gate. Documents with no tokens carry no margin and are
-    * absent by design (the heuristic gate already rejects them on bit 0).
+    * absent by design (the heuristic gate already rejects them on bit 0); a
+    * TOKENIZED document always gets a row — slots the training never populated
+    * (possible on ingest vocabulary the snapshot lacked) weigh 0 via the LEFT
+    * join, so an all-unseen-vocabulary arrival scores margin 0 / `drop` instead
+    * of silently vanishing from the gate's verdicts (reviewed r13: the inner
+    * join dropped such docs; on the training corpus itself the two are
+    * provably identical because training seeds a weight for every seen slot).
     */
   def lrScoreWith(
       df: DataFrame,
@@ -975,9 +981,9 @@ object TextStats {
       buckets: Int = 256
   ): DataFrame =
     hashedTf(df, idCol, textCol, buckets)
-      .join(broadcast(weights), Seq("slot"))
+      .join(broadcast(weights), Seq("slot"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("tf") * col("w_micro")).as("margin_micro"))
+      .agg(sum(col("tf") * coalesce(col("w_micro"), lit(0L))).as("margin_micro"))
       .select(col(idCol), col("margin_micro"),
         floor(lit(1000000.0) /
           (lit(1.0) + exp(-(col("margin_micro").cast("double") / lit(1000000.0))))

@@ -134,4 +134,27 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(TextStats.chooseGateWeights(hold, candidate, current) eq current)
     assert(TextStats.chooseGateWeights(block, candidate, current) eq current)
   }
+
+  test("t39: an all-unseen-vocabulary arrival scores margin 0 / drop instead of vanishing") {
+    import graft.pipeline.TextStats
+    val training = (1L to 8L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val weights = TextStats.lrQualityTrain(training, "doc_id", "text",
+      buckets = 4096, rounds = 1).localCheckpoint(true)
+    // an ingest wave whose vocabulary the snapshot never saw — with 4096 slots
+    // the planted tokens must not collide into trained slots (asserted, so a
+    // collision breaks the TEST loudly, not the pin silently)
+    val ingest = Seq((101L, "zzyzx qwxv jjqk"), (102L, "the quick brown fox")).toDF("doc_id", "text")
+    val trainedSlots = weights.select("slot").collect().map(_.getLong(0)).toSet
+    val ingestSlots = TextStats.hashedTf(ingest.filter(col("doc_id") === 101L),
+      "doc_id", "text", 4096).select("slot").collect().map(_.getLong(0)).toSet
+    assert(ingestSlots.intersect(trainedSlots).isEmpty,
+      s"planted vocabulary collided into trained slots $ingestSlots — pick other tokens")
+    val scored = TextStats.lrScoreWith(ingest, "doc_id", "text", weights, buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("margin_micro"), r.getAs[Long]("p_micro"), r.getAs[String]("label"))).toMap
+    // EVERY tokenized arrival gets a verdict row
+    assert(scored.keySet == Set(101L, 102L), scored.toString)
+    assert(scored(101L) == ((0L, 500000L, "drop")), scored(101L).toString)
+  }
 }
