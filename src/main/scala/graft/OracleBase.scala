@@ -123,6 +123,12 @@ private[graft] trait OracleParams {
   /** s20's pinned neighbor-list size, shared by registration and oracle. */
   private[graft] val KnnGraphK = 5
 
+  /** s28's pinned archive/arrival split (vec_id < cut = archive whose graph was
+    * built; ≥ cut = the ingest batch that earns lists incrementally), shared by
+    * registration and oracle.
+    */
+  private[graft] val KnnExtendCut = 450L
+
   /** s26's pinned beam-search hyperparameters over the s20 graph: beam width,
     * expansion rounds (unrolled in the oracle), the trained-quantizer cell
     * count for the entry hierarchy (kmeansCtes-replayable, the s23 discipline),

@@ -63,6 +63,24 @@ private[graft] object SimilarityOracles extends OracleFragments {
           entryProbe = GraphAnnEntryProbe, entries = Some(loadedEntries))
       } finally deleteRecursively(scratch)
     }),
+    // incremental index maintenance, the d17->d21 loop for the ANN graph: build
+    // the archive's lists, persist, EXTEND with the arrivals' lists (archive
+    // lists stay stale until the cadence rebuild — the published incremental
+    // behavior), append as a new file generation, reload the union
+    "s28_knn_graph_extend" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-knn-extend")
+      try {
+        val path = scratch.toString + "/adj"
+        Similarity.saveKnnGraph(
+          Similarity.knnGraph(e.filter(col("vec_id") < KnnExtendCut), "vec_id", "embedding",
+            k = KnnGraphK), path)
+        Similarity.appendToKnnGraph(
+          Similarity.knnGraphExtend(e.filter(col("vec_id") >= KnnExtendCut), e,
+            "vec_id", "embedding", k = KnnGraphK), path)
+        Similarity.loadKnnGraph(s, path).localCheckpoint(true)
+      } finally deleteRecursively(scratch)
+    }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
@@ -388,9 +406,52 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |  FROM sym)
          |WHERE rank <= $KnnGraphK""".stripMargin,
 
+    // the extended index: archive lists from archive-only pairs (stale by
+    // design), arrival lists from the new-probe pairs over the FULL corpus —
+    // mirror of knnGraph(archive) ∪ knnGraphExtend(arrivals, corpus) through
+    // the append round trip (generations must be invisible to the reader)
+    "s28_knn_graph_extend" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+         |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+         |      FROM e),
+         |akand AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0
+         |    AND a.vec_id < c.vec_id WHERE a.vec_id < $KnnExtendCut AND c.vec_id < $KnnExtendCut
+         |  UNION
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1
+         |    AND a.vec_id < c.vec_id WHERE a.vec_id < $KnnExtendCut AND c.vec_id < $KnnExtendCut),
+         |ascored AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM akand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+         |asym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM ascored
+         |         UNION ALL SELECT id_b, id_a, cos_sim FROM ascored),
+         |nkand AS (
+         |  SELECT n.vec_id AS id_a, c.vec_id AS id_b FROM b n JOIN b c ON n.b0 = c.b0
+         |    AND n.vec_id <> c.vec_id WHERE n.vec_id >= $KnnExtendCut
+         |  UNION
+         |  SELECT n.vec_id AS id_a, c.vec_id AS id_b FROM b n JOIN b c ON n.b1 = c.b1
+         |    AND n.vec_id <> c.vec_id WHERE n.vec_id >= $KnnExtendCut),
+         |nsym AS (
+         |  SELECT id_a AS vec_id, id_b AS neighbor_id, ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM nkand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+         |ag AS (SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM asym)
+         |  WHERE rank <= $KnnGraphK),
+         |ng AS (SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM nsym)
+         |  WHERE rank <= $KnnGraphK)
+         |SELECT vec_id, neighbor_id, cos_sim, rank FROM ag
+         |UNION ALL SELECT vec_id, neighbor_id, cos_sim, rank FROM ng
+         |UNION ALL SELECT neighbor_id AS vec_id, vec_id AS neighbor_id, cos_sim, rank FROM ng""".stripMargin,
+
     // bounded-round beam search over the s20 kNN graph (mirror of
-    // Similarity.graphAnnSearch): the s20 CTEs build the neighbor lists, queries
-    // start at the id-spread entry points (vec_id % GraphAnnEntryMod = 0), each
+    // Similarity.graphAnnSearch): the s20 CTEs build the neighbor lists, the
+    // kmeansCtes train the entry codebook, each query routes to its
+    // GraphAnnEntryProbe nearest cells and enters at their medoids, each
     // unrolled round expands the
     // beam's out-neighbors and re-ranks by exact rounded cosine (cand tie-break).
     // s27 is the same search through the persisted-graph round trip (ids and

@@ -596,17 +596,109 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** s28 — INCREMENTAL kNN-graph maintenance: neighbor lists for vectors that
+    * ARRIVED AFTER the graph was built, without re-pairing the archive with
+    * itself — the d17 probe shape applied to the ANN index (and the production
+    * mode of a graph index at 100 TB: build once, then per ingest batch only
+    * the arrivals earn lists). Each new vector's candidates are the corpus
+    * members sharing any of its `nTables` hyperplane buckets (including other
+    * arrivals — new-new links form immediately); exact rounded cosine ranks its
+    * top-`k` (cos desc, id asc), and the insert emits BOTH half-edges — the
+    * arrival's list plus each partner's reverse link (annotated with the
+    * arrival's rank) — the bidirectional insertion of the published structure
+    * (Malkov–Yashunin 2016 §4), so a beam search whose frontier touches a
+    * partner can step INTO the arrival immediately: new documents are
+    * searchable the moment their batch lands, pinned in RoundThirteenOpsSpec.
+    * Partner lists temporarily exceed `k` and archive-archive links stay stale
+    * until the cadence rebuild re-prunes — the documented incremental
+    * approximation (HNSW's insert-then-prune does the same between repairs).
+    *
+    * Scale shape: bucketing the arrivals is batch-sized; the corpus bucket
+    * relation is one map pass + the same capped cell census as [[knnGraph]]
+    * (cap on the CORPUS side, the capDedupIndex convention — a boilerplate cell
+    * would otherwise fan every colliding arrival), and candidate generation is
+    * a (tbl, bucket) equi-join whose left side is batch-sized; scoring fetches
+    * partner vectors by id-equi-join. A standing cadence amortizes further by
+    * persisting the bucket relation with the index — the corpus is then never
+    * rescanned, exactly d18's split.
+    */
+  def knnGraphExtend(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nTables: Int = 2,
+      planesPerTable: Int = 6,
+      dims: Int = 64,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = {
+      val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      val tables = (0 until nTables).map { t =>
+        struct(
+          lit(t).as("tbl"),
+          lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket"))
+      }
+      v.select(col("id"), explode(array(tables: _*)).as("tb"))
+        .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val corpusBuckets = bucketed(corpus).localCheckpoint(true)
+    val smallCells = corpusBuckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxBucketMembers)
+      .select(col("tbl"), col("bucket"))
+    val admitted = corpusBuckets.join(smallCells, Seq("tbl", "bucket"))
+    val cand = bucketed(newVecs).select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(admitted.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val newSide = newVecs.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+      .withColumn("na", norm2(col("va")))
+    val corpusSide = corpus.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", norm2(col("vb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val fwd = cand
+      .join(newSide, Seq("id_a"))
+      .join(corpusSide, Seq("id_b"))
+      .select(
+        col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    fwd.unionByName(fwd.select(
+      col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+      col("cos_sim"), col("rank")))
+  }
+
   /** Persist a built kNN graph ([[knnGraph]] output) as the search-index
     * artifact, range-partitioned and sorted on the probe key (`vec_id`) so a
     * beam round's expansion join prunes and row-group-skips — the
     * saveDedupIndex layout discipline applied to the neighbor lists. Build once
-    * on the corpus cadence, serve every [[graphAnnSearch]] batch from the load.
+    * on the corpus cadence, serve every [[graphAnnSearch]] batch from the load,
+    * EXTEND per ingest batch with [[appendToKnnGraph]].
     */
   def saveKnnGraph(graph: DataFrame, path: String, nFiles: Int = 16): Unit =
+    writeKnnGraph(graph, path, org.apache.spark.sql.SaveMode.Overwrite, nFiles)
+
+  /** s28's artifact half — EXTEND the persisted neighbor lists with an ingest
+    * batch's rows ([[knnGraphExtend]] output): new lists land as a fresh file
+    * generation beside the archive's (the d21 discipline — parquet dir readers
+    * union generations; each generation keeps its own vec_id range-sort), so a
+    * real ingest cadence never rebuilds the graph per batch. Compaction = the
+    * cadence rebuild ([[knnGraph]] over the full corpus + [[saveKnnGraph]]),
+    * which is ALSO when the archive's stale lists pick up their new neighbors.
+    */
+  def appendToKnnGraph(newLists: DataFrame, path: String, nFiles: Int = 16): Unit =
+    writeKnnGraph(newLists, path, org.apache.spark.sql.SaveMode.Append, nFiles)
+
+  private def writeKnnGraph(
+      graph: DataFrame, path: String, mode: org.apache.spark.sql.SaveMode, nFiles: Int): Unit =
     graph
       .repartitionByRange(math.max(nFiles, 1), col("vec_id"))
       .sortWithinPartitions(col("vec_id"), col("rank"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      .write.mode(mode).parquet(path)
 
   def loadKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -157,4 +157,59 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(scored.keySet == Set(101L, 102L), scored.toString)
     assert(scored(101L) == ((0L, 500000L, "drop")), scored(101L).toString)
   }
+
+  test("s28: arrivals are searchable the moment their batch lands (bidirectional insert)") {
+    import graft.pipeline.Similarity
+    // 4 tight clusters (the s26 recall corpus); arrivals 100+c clone each
+    // cluster's query vector exactly, so an arrival is its query's true top-1
+    val base = (for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * c) = 1.0f
+      for (i <- 0 until 8) v(i) = v(i) + 0.05f * (((i * 7 + j * 13 + c * 3) % 5) - 2)
+      (c * 10L + j, v)
+    }).toDF("vec_id", "embedding")
+    val queries = base.filter(col("vec_id") % 10 === 3).localCheckpoint(true)
+    val arrivals = queries.select((col("vec_id") / 10).cast("long").as("c"), col("embedding"))
+      .select((lit(100L) + col("c")).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val corpus = base.unionByName(arrivals).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-extend")
+    try {
+      val path = dir.toString + "/index"
+      val model = Similarity.kmeansRounds(base, "vec_id", "embedding", k = 8, dims = 8, rounds = 2)
+      Similarity.saveGraphAnnIndex(
+        Similarity.knnGraph(base, "vec_id", "embedding", k = 5, dims = 8),
+        model,
+        Similarity.graphAnnEntryPoints(base, "vec_id", "embedding", model),
+        path)
+      def search(): Map[Long, Seq[(Long, Int)]] = {
+        val (adj, m, ent) = Similarity.loadGraphAnnIndex(spark, path)
+        Similarity.graphAnnSearch(queries, corpus, "vec_id", "embedding", adj, m,
+          k = 5, beam = 8, rounds = 2, entryProbe = 4, entries = Some(ent))
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+          .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq.sortBy(_._2)).toMap
+      }
+      // before the extend: the index predates the arrivals — no search can see them
+      val before = search()
+      assert(before.values.flatten.forall(_._1 < 100L),
+        s"arrivals must be invisible before the append: $before")
+      Similarity.appendToKnnGraph(
+        Similarity.knnGraphExtend(arrivals, corpus, "vec_id", "embedding", k = 5, dims = 8),
+        s"$path/adj")
+      // after: every query's clone arrival is reachable through a partner's
+      // reverse half-edge and lands in the answer (cosine exactly 1; base
+      // vector j=8 duplicates j=3 in this corpus, so the id tie-break can put
+      // it ahead — presence in the top-k is the reachability claim)
+      val after = search()
+      for (c <- 0L until 4L) {
+        val q = c * 10L + 3L
+        assert(after(q).exists(_._1 == 100L + c),
+          s"query $q must surface arrival ${100 + c} in its top-k: ${after(q)}")
+      }
+    } finally deleteRecursively(dir)
+  }
 }
