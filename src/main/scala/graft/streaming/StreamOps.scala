@@ -501,6 +501,41 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the s26 graph-ANN SERVING path: each micro-batch of
+    * arriving QUERY vectors is answered against the loaded index artifact
+    * ([[graft.pipeline.Similarity.loadGraphAnnIndex]] — adjacency, codebook,
+    * entry medoids) inside `foreachBatch`, the same stateless shape as the rest
+    * of the gauntlet: queries arrive whole, per-batch emissions ARE
+    * `Similarity.graphAnnSearch` over the arrivals, and the INDEX is the only
+    * state — rebuilt on the corpus cadence, EXTENDED per ingest batch (s28's
+    * append), swapped by re-deploying the stream. Per-batch cost is the
+    * batch-sized beam walk: seed off two model-sized broadcasts, `rounds`
+    * expansion equi-joins, nothing corpus-proportional beyond the candidate
+    * score joins.
+    */
+  def streamingAnnSearch(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpus: DataFrame,
+      graph: DataFrame,
+      model: DataFrame,
+      entries: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Similarity.graphAnnSearch(batch, corpus, idCol, vecCol,
+            graph, model, k, beam, rounds, entryProbe, entries = Some(entries)),
+          batchId)
+      }
+
   /** Streaming twin of the m07 frame-index probe: each micro-batch of arriving
     * media assets is probed against the loaded archive frame index inside
     * `foreachBatch` — the media leg of the ingest gauntlet, running beside the

@@ -872,6 +872,65 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ANN search answers query batches from the loaded graph index (s26 parity)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    // the s26 recall corpus: 4 tight clusters around orthogonal axes in 8 dims
+    val corpus = (for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * c) = 1.0f
+      for (i <- 0 until 8) v(i) = v(i) + 0.05f * (((i * 7 + j * 13 + c * 3) % 5) - 2)
+      (c * 10L + j, v)
+    }).toDF("vec_id", "embedding").localCheckpoint(true)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stream-ann")
+    val model = Similarity.kmeansRounds(corpus, "vec_id", "embedding", k = 8, dims = 8, rounds = 2)
+    Similarity.saveGraphAnnIndex(
+      Similarity.knnGraph(corpus, "vec_id", "embedding", k = 5, dims = 8),
+      model,
+      Similarity.graphAnnEntryPoints(corpus, "vec_id", "embedding", model),
+      scratch.toString + "/index")
+    val (adj, m, ent) = Similarity.loadGraphAnnIndex(spark, scratch.toString + "/index")
+    val adjC = adj.localCheckpoint(true)
+    val entC = ent.localCheckpoint(true)
+    val mC = m.localCheckpoint(true)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val answers = scala.collection.mutable.Map.empty[(Long, Int), Long]
+    val query = StreamOps.streamingAnnSearch(
+        stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        corpus, adjC, mC, entC,
+        onBatch = (out, _) => answers.synchronized {
+          out.collect().foreach(r => answers(
+            (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))) = r.getAs[Long]("neighbor_id"))
+        }, k = 5, beam = 8, rounds = 2, entryProbe = 4)
+      .start()
+    try {
+      val q1 = corpus.filter(col("vec_id") === 3L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+      val q2 = corpus.filter(col("vec_id") % 10 === 7)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+      stream.addData(q1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(q2.toIndexedSeq)
+      query.processAllAvailable()
+      val got = answers.synchronized(answers.toMap)
+      // batch parity: the same queries through the batch searcher over the same
+      // loaded index must produce identical (query, rank) -> neighbor answers
+      val allQ = corpus.filter(col("vec_id") === 3L || col("vec_id") % 10 === 7)
+      val batch = Similarity.graphAnnSearch(allQ, corpus, "vec_id", "embedding",
+          adjC, mC, k = 5, beam = 8, rounds = 2, entryProbe = 4, entries = Some(entC))
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id"))
+        .toMap
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got.keys.map(_._1).toSet == Set(3L, 7L, 17L, 27L, 37L), got.keys.toString)
+    } finally query.stop()
+  }
+
   test("streaming frame dedup emits the m07 verdicts against a loaded frame index") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
