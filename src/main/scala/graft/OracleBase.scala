@@ -44,6 +44,12 @@ private[graft] trait OracleParams {
   private[graft] val LrRounds = 3
   private[graft] val LrRateMicro = 500000L
 
+  /** t43's pinned mini-batch schedule: nBatches hash batches, nBatches rounds =
+    * one full sweep (an epoch), shared by registration and oracle.
+    */
+  private[graft] val LrMiniBatches = 4
+  private[graft] val LrMiniRounds = 4
+
   /** t42's pinned gate-swap thresholds over the t41 eval (micro units), shared
     * by registration, oracle, and the driver-side trigger's defaults.
     */
@@ -293,23 +299,32 @@ private[graft] trait OracleFragments extends OracleParams {
     * (Σ tf·e), and the per-slot integer step ⌊lr·(g/n)+½⌋. Ends at `w{rounds}`
     * (slot, w).
     */
+  /** The feature/label prefix shared by [[lrTrainCtes]] (full-batch) and
+    * [[lrTrainMiniBatchCtes]] (t43's per-round hash batches): hashed (doc, slot,
+    * tf) features and the t05 heuristic labels — extracted so the two training
+    * unrolls have exactly one rendition of the supervision.
+    */
+  private def lrPrefixCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % $LrBuckets AS slot,
+       |         COUNT(*) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens >= 10 AND stop_hits >= 1
+       |          AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END AS kept
+       |  FROM (SELECT doc_id,
+       |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       |          CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
+       |          CAST(length(text) AS BIGINT) AS n_chars
+       |        FROM documents))""".stripMargin
+
   protected def lrTrainCtes(rounds: Int): String = {
     val lr = LrRateMicro.toDouble / 1000000.0
     val sb = new StringBuilder
-    sb ++= s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-              |tf AS MATERIALIZED (
-              |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % $LrBuckets AS slot,
-              |         COUNT(*) AS tf
-              |  FROM toks GROUP BY 1, 2),
-              |lab AS MATERIALIZED (
-              |  SELECT doc_id,
-              |    CASE WHEN n_tokens >= 10 AND stop_hits >= 1
-              |          AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens THEN 1 ELSE 0 END AS kept
-              |  FROM (SELECT doc_id,
-              |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-              |          CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits,
-              |          CAST(length(text) AS BIGINT) AS n_chars
-              |        FROM documents)),
+    sb ++= lrPrefixCtes
+    sb ++= s""",
               |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
               |w0 AS (SELECT DISTINCT slot, CAST(0 AS BIGINT) AS w FROM tf)""".stripMargin
     for (r <- 1 to rounds) {
@@ -327,6 +342,44 @@ private[graft] trait OracleFragments extends OracleParams {
                 |    CAST(w.w - CAST(floor($lr * (COALESCE(g.g, 0)::DOUBLE / nn.n::DOUBLE) + 0.5)
                 |      AS BIGINT) AS BIGINT) AS w
                 |  FROM w${r - 1} w LEFT JOIN gr$r g USING (slot) CROSS JOIN nn)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** t43's mini-batch unroll (the lrTrainCtes discipline with per-round hash
+    * batches): round r's margins and gradients compute over ONLY the documents
+    * whose [[bucketSql]] bucket falls in batch (r−1) mod nBatches, the step
+    * divides by THAT batch's scored-doc count, and an empty batch steps by 0 —
+    * still exact BIGINT sums within the batch, one quantized sigmoid per round.
+    */
+  protected def lrTrainMiniBatchCtes(rounds: Int, nBatches: Int): String = {
+    val lr = LrRateMicro.toDouble / 1000000.0
+    val sb = new StringBuilder
+    sb ++= lrPrefixCtes
+    sb ++= s""",
+              |bn AS (SELECT batch, COUNT(*) AS n FROM (
+              |    SELECT DISTINCT doc_id, ${bucketSql("doc_id")} % $nBatches AS batch FROM tf)
+              |  GROUP BY 1),
+              |w0 AS (SELECT DISTINCT slot, CAST(0 AS BIGINT) AS w FROM tf)""".stripMargin
+    for (r <- 1 to rounds) {
+      val b = (r - 1) % nBatches
+      sb ++= s""",
+                |mg$r AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS m
+                |        FROM tf JOIN w${r - 1} w USING (slot)
+                |        WHERE ${bucketSql("tf.doc_id")} % $nBatches = $b GROUP BY 1),
+                |er$r AS (SELECT mg.doc_id,
+                |          CAST(floor(1000000.0 * (1.0 / (1.0 + exp(-(mg.m::DOUBLE / 1000000.0)))
+                |            - lab.kept) + 0.5) AS BIGINT) AS e
+                |        FROM mg$r mg JOIN lab USING (doc_id)),
+                |gr$r AS (SELECT tf.slot, CAST(SUM(tf.tf * er.e) AS BIGINT) AS g
+                |        FROM tf JOIN er$r er USING (doc_id) GROUP BY 1),
+                |nb$r AS (SELECT COALESCE((SELECT n FROM bn WHERE batch = $b), 0) AS n),
+                |w$r AS MATERIALIZED (
+                |  SELECT w.slot,
+                |    CAST(w.w - CASE WHEN nn.n = 0 THEN 0
+                |      ELSE CAST(floor($lr * (COALESCE(g.g, 0)::DOUBLE / nn.n::DOUBLE) + 0.5)
+                |        AS BIGINT) END AS BIGINT) AS w
+                |  FROM w${r - 1} w LEFT JOIN gr$r g USING (slot) CROSS JOIN nb$r nn)""".stripMargin
     }
     sb.toString
   }

@@ -126,6 +126,13 @@ private[graft] object TextOracles extends OracleFragments {
           buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
         buckets = LrBuckets)
     }),
+    // mini-batch rounds: nBatches hash batches swept once (an epoch of cheap
+    // steps instead of rounds full corpus passes) — the corpus-scale training
+    // schedule, oracle-unrolled with the same per-round batch filters
+    "t43_lr_train_minibatch" -> ((s: SparkSession, dir: String) =>
+      TextStats.lrQualityTrainMiniBatch(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", buckets = LrBuckets, rounds = LrMiniRounds,
+        lrMicro = LrRateMicro, nBatches = LrMiniBatches)),
     // the deployment decision over the t41 eval: swap/hold/block against the
     // pinned thresholds — what the streamingQualityGate redeploy actually reads
     // (the driver-side gateSwapTrigger mirrors this row, pinned in
@@ -679,6 +686,12 @@ private[graft] object TextOracles extends OracleFragments {
     "t38_lr_train" ->
       s"""WITH ${lrTrainCtes(LrRounds)}
          |SELECT slot, w AS w_micro FROM w$LrRounds""".stripMargin,
+
+    // mini-batch rounds, the same unroll with per-round batch filters — mirror
+    // of TextStats.lrQualityTrainMiniBatch
+    "t43_lr_train_minibatch" ->
+      s"""WITH ${lrTrainMiniBatchCtes(LrMiniRounds, LrMiniBatches)}
+         |SELECT slot, w AS w_micro FROM w$LrMiniRounds""".stripMargin,
 
     // the trained model applied: exact integer margins with the final round's
     // weights, sigmoid quantized to micro, sign-test verdict — mirror of

@@ -948,6 +948,72 @@ object TextStats {
     w
   }
 
+  /** t43 — MINI-BATCH rounds for the distilled quality classifier: full-batch
+    * gradient descent ([[lrQualityTrain]]) converges slowly at corpus scale
+    * because every round pays a full corpus pass for one step; the standard fix
+    * is more, cheaper steps. Round r's margins and gradients compute over ONE
+    * deterministic hash batch — batch(doc) = [[graft.pipeline.Sampling.bucketCol]]
+    * mod `nBatches`, round r using batch (r−1) mod nBatches, so `nBatches`
+    * rounds sweep the corpus exactly once (an epoch) — and the step divides by
+    * THAT batch's scored-doc count. Still the s22 discipline end-to-end: exact
+    * BIGINT margin/gradient sums within the batch, the only float per round the
+    * sigmoid (quantized straight back), so the DuckDB oracle unrolls the same
+    * batch filters as chained CTEs. An EMPTY batch (a hash range holding no
+    * scored document) steps by 0 rather than dividing by zero; `nBatches = 1`
+    * reduces EXACTLY to [[lrQualityTrain]] (pinned in RoundThirteenOpsSpec —
+    * the t07/d16 structural-reduction invariant).
+    *
+    * Scale shape: per round one batch-sized map pass (the batch filter is a
+    * map-side hash expression — no shuffle added) + two map-side-combinable
+    * aggs against the broadcast ≤ buckets-row weight table; batch sizes are ONE
+    * bounded collect (≤ nBatches rows) before the loop.
+    */
+  def lrQualityTrainMiniBatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256,
+      rounds: Int = 4,
+      lrMicro: Long = 500000L,
+      nBatches: Int = 4
+  ): DataFrame = {
+    val tf = hashedTf(df, idCol, textCol, buckets).localCheckpoint(true)
+    val labels = qualityFilter(df, idCol, textCol)
+      .select(col(idCol), col("kept").cast("double").as("y"))
+      .localCheckpoint(true)
+    val batchOf = graft.pipeline.Sampling.bucketCol(col(idCol)) % nBatches
+    val sizes = tf.select(col(idCol)).distinct()
+      .groupBy(batchOf.as("batch")).agg(count(lit(1)).as("n"))
+      .collect() // ≤ nBatches rows — the per-batch scored-doc census, paid once
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lr = lrMicro.toDouble / 1000000.0
+    var w = tf.select(col("slot")).distinct()
+      .withColumn("w_micro", lit(0L)).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val b = (r - 1) % nBatches
+      val nB = sizes.getOrElse(b.toLong, 0L)
+      if (nB > 0L) {
+        val tfB = tf.filter(batchOf === b)
+        val margins = tfB.join(broadcast(w), Seq("slot"))
+          .groupBy(col(idCol)).agg(sum(col("tf") * col("w_micro")).as("m_micro"))
+        val errs = margins.join(labels, Seq(idCol))
+          .select(col(idCol),
+            floor(lit(1000000.0) *
+              (lit(1.0) / (lit(1.0) + exp(-(col("m_micro").cast("double") / lit(1000000.0))))
+                - col("y")) + lit(0.5)).cast("long").as("e_micro"))
+        val grads = tfB.join(errs, Seq(idCol))
+          .groupBy(col("slot")).agg(sum(col("tf") * col("e_micro")).as("g"))
+        w = w.join(grads, Seq("slot"), "left")
+          .select(col("slot"),
+            (col("w_micro") -
+              floor(lit(lr) * (coalesce(col("g"), lit(0L)).cast("double") /
+                lit(nB).cast("double")) + lit(0.5)).cast("long")).as("w_micro"))
+          .localCheckpoint(true)
+      }
+    }
+    w
+  }
+
   /** Persist a trained weight relation ([[lrQualityTrain]]'s output) — the
     * classifier artifact: train once on a labeled snapshot, score every future
     * ingest with [[lrScoreWith]]. Integer micro-weights round-trip parquet

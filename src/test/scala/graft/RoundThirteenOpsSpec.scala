@@ -158,6 +158,25 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(scored(101L) == ((0L, 500000L, "drop")), scored(101L).toString)
   }
 
+  test("t43: nBatches = 1 reduces exactly to the full-batch trainer (structural invariant)") {
+    import graft.pipeline.TextStats
+    val docs = ((1L to 9L).map(i =>
+      (i, s"the cat sat on a mat of warm wool and felt fine day$i")) ++
+      (11L to 14L).map(i => (i, s"zzzzqqqqxxxx$i kkkkjjjjhhhh")))
+      .toDF("doc_id", "text")
+    def weights(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("slot") -> r.getAs[Long]("w_micro")).toMap
+    val full = weights(TextStats.lrQualityTrain(docs, "doc_id", "text", buckets = 64, rounds = 3))
+    val mini = weights(TextStats.lrQualityTrainMiniBatch(docs, "doc_id", "text",
+      buckets = 64, rounds = 3, nBatches = 1))
+    assert(full == mini, s"nBatches=1 must BE the full-batch trainer: $full vs $mini")
+    // and a real mini-batch schedule still moves every batch's evidence into
+    // the weights: an epoch over 2 batches trains a non-degenerate model
+    val epoch = weights(TextStats.lrQualityTrainMiniBatch(docs, "doc_id", "text",
+      buckets = 64, rounds = 2, nBatches = 2))
+    assert(epoch.values.exists(_ != 0L), s"epoch training must move weights: $epoch")
+  }
+
   test("s28: arrivals are searchable the moment their batch lands (bidirectional insert)") {
     import graft.pipeline.Similarity
     // 4 tight clusters (the s26 recall corpus); arrivals 100+c clone each
