@@ -48,17 +48,23 @@ object Bench {
     // dc11 + g50 — all ~0.2-0.4s flat since r6 (kernels live in tests and the
     // total; the non-headline outlier re-run adjudicates them when they inflate —
     // since r13 it ranks by absolute excess seconds, so the biggest offenders
-    // always win a capped slot)
-    "t21_bm25_top", "t35_source_drift",
+    // always win a capped slot); dc01_domain_stats, t35_source_drift,
+    // d14_dup_spans, s21_mmr_rerank, s25_ivf_assign_new rotated r13, paying for
+    // the four expensive new composites g52 + dc12 + s28 + d22 (all five
+    // rotated are historically <2s and their families keep heavier headline
+    // entries: dc03/dc09/dc11, t25/t29/t33, d15/d17/d18, s16-s18/s26/s28)
+    "t21_bm25_top",
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "ev2_sessionize", "q08_market_share",
     "sk03_bloom_contamination",
-    "g43_salsa", "d14_dup_spans",
+    "g43_salsa",
     "t33_pmi_pairs", "g46_modularity",
-    "s21_mmr_rerank", "d15_cluster_keep",
-    "dc01_domain_stats", "dc03_corpus_churn", "s25_ivf_assign_new",
+    "d15_cluster_keep",
+    "dc03_corpus_churn",
     "d17_incremental_dedup", "d18_dedup_saved_index",
     "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled", "g50_condensation",
+    "g52_scc_reachability", "dc12_epoch_manifest_saved", "s28_knn_graph_extend",
+    "d22_dedup_index_compact",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -146,6 +146,13 @@ private[graft] trait OracleParams {
   private[graft] val GraphAnnCells = 8
   private[graft] val GraphAnnEntryProbe = 4
 
+  /** Lloyd rounds for the s26 ENTRY codebook: one — the hierarchy only routes
+    * queries to regions (medoids do the entering), so a converged codebook buys
+    * nothing; fewer rounds keep the in-session s26 build honest-cheap (the s27
+    * artifact amortizes it to zero per batch anyway).
+    */
+  private[graft] val GraphAnnTrainRounds = 1
+
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the
     * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus

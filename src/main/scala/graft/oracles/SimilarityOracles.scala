@@ -35,7 +35,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
       Similarity.graphAnnSearch(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
         Similarity.kmeansRounds(e, "vec_id", "embedding",
-          k = GraphAnnCells, dims = 64, rounds = IvfPqTrainRounds),
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
     // the artifact round trip for the search index (the d18/s24 discipline):
@@ -48,7 +48,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
       try {
         val path = scratch.toString + "/index"
         val model = Similarity.kmeansRounds(e, "vec_id", "embedding",
-          k = GraphAnnCells, dims = 64, rounds = IvfPqTrainRounds)
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds)
         Similarity.saveGraphAnnIndex(
           Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
           model,
@@ -203,7 +203,9 @@ private[graft] object SimilarityOracles extends OracleFragments {
            |    UNION ALL SELECT query_id, cand FROM s${i - 1})),
            |${scoreCte(i)}""".stripMargin
       // entry hierarchy: kmeansCtes trains the GraphAnnCells-cell codebook
-      // (CTEs ke, c0..c$IvfPqTrainRounds — the s23 replay); easg assigns every
+      // (CTEs ke, c0..c$GraphAnnTrainRounds — the s23 replay; ONE Lloyd round —
+      // the hierarchy only routes, it does not score, so a converged codebook
+      // buys nothing the medoids don't already give); easg assigns every
       // nonzero vector to its nearest cell, med keeps each cell's medoid, qc
       // routes each query to its GraphAnnEntryProbe nearest cells, and x0 seeds
       // the beam at those cells' medoids — |Q|·entryProbe rows, never corpus-sized
@@ -226,8 +228,8 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |    FROM ksym)
          |  WHERE rank <= $KnnGraphK),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-         |${kmeansCtes("e", GraphAnnCells, IvfPqTrainRounds)},
-         |cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv FROM c$IvfPqTrainRounds),
+         |${kmeansCtes("e", GraphAnnCells, GraphAnnTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv FROM c$GraphAnnTrainRounds),
          |easg AS (SELECT cand, cluster, cos FROM (
          |    SELECT ke.vec_id AS cand, c.cluster, ${cosSql("ke.v", "c.cv")} AS cos,
          |           row_number() OVER (PARTITION BY ke.vec_id
