@@ -644,9 +644,15 @@ private[graft] trait OracleFragments extends OracleParams {
     * ends at `tgt` (per-source target_docs) and `ranked` (per-source hash-order
     * rank, bucket kept for the packing mirrors' pack_group arithmetic).
     */
-  protected lazy val mixManifestCtes: String = {
+  protected lazy val mixManifestCtes: String = mixManifestCtesFrom("documents")
+
+  /** [[mixManifestCtes]] over an arbitrary source CTE/table — dc13 composes the
+    * same manifest over the DECONTAMINATED pool, so the admission arithmetic has
+    * exactly one SQL rendition.
+    */
+  protected def mixManifestCtesFrom(src: String): String = {
     val a = MixAlphaMicro.toDouble / 1000000.0
-    s"""c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    s"""c AS (SELECT source, COUNT(*) AS n_docs FROM $src GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
        |w AS (SELECT source, n_docs, n_total,
        |        CAST(floor(1000000.0 * pow(n_docs::DOUBLE / n_total::DOUBLE, $a) + 0.5)
@@ -658,10 +664,15 @@ private[graft] trait OracleFragments extends OracleParams {
        |        FROM w CROSS JOIN wt),
        |ranked AS (SELECT doc_id, source, bucket,
        |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
-       |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM documents))""".stripMargin
+       |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM $src))""".stripMargin
   }
 
-  protected lazy val bpeEncodeCtes: String = {
+  protected lazy val bpeEncodeCtes: String = bpeEncodeCtesFrom("documents")
+
+  /** [[bpeEncodeCtes]] over an arbitrary source CTE/table — dc13 trains and
+    * prices the tokenizer on the decontaminated pool through the same chain.
+    */
+  protected def bpeEncodeCtesFrom(src: String): String = {
     def roundCtes(i: Int): String = {
       val prev = s"e${i - 1}"
       s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
@@ -675,7 +686,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
          |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
     }
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
        |       WHERE length(token) >= 1 AND token NOT LIKE '%|%' GROUP BY 1, 2),
        |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),

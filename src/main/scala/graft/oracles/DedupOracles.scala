@@ -108,6 +108,29 @@ private[graft] object DedupOracles extends OracleFragments {
           Sampling.loadEpochManifest(s, manifestPath).localCheckpoint(true), "source")
       } finally deleteRecursively(scratch)
     }),
+    // the epoch a trainer SHOULD get: the d19 benchmark gate excludes
+    // contaminated docs BEFORE mix admission (a budget slot never goes to a
+    // document the eval suite has seen), then the dc11 chain runs over the
+    // clean pool — decontaminate → mix → price → pack, one composed job
+    "dc13_epoch_pack_decontaminated" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-clean")
+      try {
+        val train = docs.filter(col("doc_id") % DecontamMod =!= 0)
+        val contaminated = Dedup.benchmarkDecontaminate(docs, "doc_id", "text",
+          benchmarkMod = DecontamMod, shingleSize = DecontamShingle)
+          .select(col("doc_id"))
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds tokenizer training AND the pack chain
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPackUpsampled(clean, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+          budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -280,7 +303,14 @@ private[graft] object DedupOracles extends OracleFragments {
     * which must reproduce it exactly.
     */
   private lazy val epochPackUpsampledSql: String =
-    s"""WITH $mixManifestCtes,
+    s"WITH ${epochPackUpsampledBody("documents")}"
+
+  /** The upsampled epoch-pack chain over an arbitrary source CTE/table
+    * (everything after WITH) — dc11/dc12 run it over `documents`, dc13 over the
+    * decontaminated pool, so the packing arithmetic has one SQL rendition.
+    */
+  private def epochPackUpsampledBody(src: String): String =
+    s"""${mixManifestCtesFrom(src)},
        |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
        |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
        |         ELSE target_docs // n_docs
@@ -288,7 +318,7 @@ private[graft] object DedupOracles extends OracleFragments {
        |    END AS repeat_factor
        |  FROM ranked JOIN tgt USING (source)
        |  WHERE rk <= least(target_docs, n_docs)),
-       |$bpeEncodeCtes,
+       |${bpeEncodeCtesFrom(src)},
        |priced AS (SELECT tf.doc_id, CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
        |           FROM tf JOIN enc USING (token) GROUP BY 1),
        |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
@@ -304,6 +334,25 @@ private[graft] object DedupOracles extends OracleFragments {
        |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
        |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
        |FROM cum GROUP BY 1, 2, 3""".stripMargin
+
+  /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
+    * admission (budget slots are never spent on contaminated documents), then
+    * the identical upsampled pack chain runs over the clean pool. Decontam-side
+    * CTE names are d-prefixed — the pack chain's toks/tf would collide.
+    */
+  private lazy val epochPackDecontaminatedSql: String =
+    s"""WITH dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |dsh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${DecontamShingle - 1}], ' ') AS shingle
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${DecontamShingle - 1})) AS i
+       |              FROM dtoks)),
+       |dh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM dsh),
+       |dbench AS (SELECT DISTINCT h FROM dh WHERE doc_id % $DecontamMod = 0),
+       |contam AS (SELECT DISTINCT dh.doc_id FROM dh JOIN dbench USING (h)
+       |           WHERE dh.doc_id % $DecontamMod <> 0),
+       |clean AS (SELECT d.* FROM documents d LEFT JOIN contam c USING (doc_id)
+       |          WHERE d.doc_id % $DecontamMod <> 0 AND c.doc_id IS NULL),
+       |${epochPackUpsampledBody("clean")}"""
+      .stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d17_incremental_dedup" -> incrementalDedupSql,
@@ -512,6 +561,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // SQL verbatim — the round trip must be invisible to the result
     "dc11_epoch_pack_upsampled" -> epochPackUpsampledSql,
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
+    "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

@@ -158,6 +158,38 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(scored(101L) == ((0L, 500000L, "drop")), scored(101L).toString)
   }
 
+  test("dc13: a verbatim benchmark quote never spends an epoch budget slot") {
+    import graft.pipeline.{Dedup, Sampling}
+    import graft.pipeline.TextStats
+    // benchmark docs are doc_id % 10 == 0; doc 41 quotes benchmark doc 20
+    // verbatim, the rest of the pool is clean prose
+    val bench = "the held out benchmark sentence with exactly these rare words in order"
+    val docs = ((1L to 45L).filterNot(_ == 41L).map(i =>
+      (i, if (i % 10 == 0 && i != 20) s"benchmark split item number $i with its own words"
+          else if (i == 20) bench
+          else s"ordinary training document $i with plain words and more of them here", "srcA")) ++
+      Seq((41L, bench, "srcA")))
+      .toDF("doc_id", "text", "source")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-r13-dc13")
+    try {
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val contaminated = Dedup.benchmarkDecontaminate(docs, "doc_id", "text",
+        benchmarkMod = 10L, shingleSize = 5).select(col("doc_id"))
+      val flagged = contaminated.collect().map(_.getLong(0)).toSet
+      assert(flagged.contains(41L), s"the verbatim quote must be flagged: $flagged")
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val path = scratch.toString + "/merges"
+      TextStats.bpeSaveMerges(TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = 2), path)
+      val manifest = Sampling.epochManifestUpsampled(clean, "doc_id", "source", "text",
+        TextStats.bpeLoadMerges(spark, path),
+        alphaMicro = 300000L, budgetDocs = 30L, budgetTokens = 64L, nGroups = 2)
+      val admitted = manifest.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!admitted.contains(41L), "the contaminated doc must never be admitted")
+      assert(admitted.nonEmpty && admitted.forall(id => id % 10 != 0),
+        s"packs must draw from the clean training pool only: $admitted")
+    } finally deleteRecursively(scratch)
+  }
+
   test("t43: nBatches = 1 reduces exactly to the full-batch trainer (structural invariant)") {
     import graft.pipeline.TextStats
     val docs = ((1L to 9L).map(i =>
