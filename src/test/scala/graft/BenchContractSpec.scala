@@ -76,6 +76,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(clean.contains("\"reran\":[]"), clean)
   }
 
+  test("the line carries per-family maxima over every query run, not just the headline") {
+    // the r12 schema concern: rotation was eating per-query visibility as the
+    // suite grew — `fam` keeps each family's WORST cost reporting every round
+    val line = Bench.renderLine(10.0, 0.8, 0.8, 1.1, 4,
+      Map("q01_pricing_summary" -> 5.0, "dc09_epoch_pack" -> 7.25,
+        "dc03_corpus_churn" -> 1.5, "ev2_sessionize" -> 2.0), Nil, Nil, "/root/testdata/sf0.1")
+    assert(line.contains("\"fam\":{\"dc\":7.250,\"ev\":2.000,\"q\":5.000}"), line)
+    // family ids must never collide with query-name parsing in benchHistory
+    assert(Bench.familyOf("dc09_epoch_pack") == "dc" && Bench.familyOf("ev2_sessionize") == "ev"
+      && Bench.familyOf("g01_lww_snapshot") == "g")
+  }
+
   test("benchHistory reads the committed BENCH_r*.json lines from the repo root") {
     // the bench runs with cwd = repo root, where the driver commits each round's
     // line; this test reads the REAL files so a format drift in what the driver
