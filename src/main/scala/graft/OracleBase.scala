@@ -179,6 +179,15 @@ private[graft] trait OracleParams {
     */
   private[graft] val SccReachSeedMod = 10
 
+  /** g53's pinned landmark-oracle tuning: fixed landmark count (md5-smallest
+    * selection — corpus-independent), BFS hop bound, and the two pair-query
+    * sampling mods; shared by registration and oracle.
+    */
+  private[graft] val LandmarkCount = 16
+  private[graft] val LandmarkHops = 3
+  private[graft] val LandmarkUMod = 25
+  private[graft] val LandmarkVMod = 37
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

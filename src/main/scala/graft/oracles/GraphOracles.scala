@@ -84,6 +84,9 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.sccTopoLevels(s, dir)),
     "g52_scc_reachability" -> ((s: SparkSession, dir: String) =>
       GraphQueries.sccReachFromSet(s, dir, seedMod = SccReachSeedMod)),
+    "g53_landmark_distances" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.landmarkDistances(s, dir, nLandmarks = LandmarkCount,
+        maxHops = LandmarkHops, uMod = LandmarkUMod, vMod = LandmarkVMod)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -157,6 +160,32 @@ private[graft] object GraphOracles extends OracleFragments {
          |      UNION
          |      SELECT r.seed, e.dst AS v FROM r JOIN e ON e.src = r.v)
          |SELECT v AS vertex_id, MIN(seed) AS reachable_from FROM r GROUP BY v""".stripMargin,
+
+    // fixed-L landmark table (md5-smallest selection) + bounded multi-landmark
+    // BFS over the symmetrized edges, then the triangle-inequality argmin per
+    // sampled pair — mirror of GraphQueries.landmarkDistances
+    "g53_landmark_distances" -> {
+      def round(h: Int) =
+        s"""n$h AS (SELECT r${h - 1}.seed, und.dst AS v, CAST($h AS INTEGER) AS dist
+           |       FROM r${h - 1} JOIN und ON r${h - 1}.v = und.src WHERE r${h - 1}.dist = ${h - 1}),
+           |r$h AS (SELECT seed, v, MIN(dist) AS dist FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM n$h) GROUP BY 1, 2)""".stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0),
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |vx AS (SELECT DISTINCT src AS v FROM und),
+         |lm AS (SELECT v AS seed FROM vx ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT $LandmarkCount),
+         |r0 AS (SELECT seed, seed AS v, CAST(0 AS INTEGER) AS dist FROM lm),
+         |${(1 to LandmarkHops).map(round).mkString(",\n")},
+         |du AS (SELECT seed, v AS u, dist AS d_u FROM r$LandmarkHops WHERE v % $LandmarkUMod = 0),
+         |dv AS (SELECT seed, v AS v2, dist AS d_v FROM r$LandmarkHops WHERE v % $LandmarkVMod = 0),
+         |cand AS (SELECT u, v2 AS v, seed, d_u + d_v AS d_sum
+         |         FROM du JOIN dv USING (seed) WHERE u <> v2)
+         |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
+         |WHERE rk = 1""".stripMargin
+    },
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units
     // (x_t = (β_pct · in_sum) // 100, β = 50%) — mirror of

@@ -63,6 +63,44 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(GraphQueries.sccReachKernel(df, seedMod = 2, maxRounds = 10).count() == 0L)
   }
 
+  test("landmarkKernel estimates are triangle-inequality upper bounds on random graphs") {
+    // est(u, v) = min_l d(l,u) + d(l,v) must never UNDER-estimate the true
+    // undirected hop distance, and must equal it whenever some landmark lies on
+    // a shortest path (in particular when u or v IS a landmark within hops)
+    def bfs(adj: Map[Long, Seq[Long]], s: Long, maxHops: Int): Map[Long, Int] = {
+      var dist = Map(s -> 0)
+      var frontier = List(s)
+      var h = 0
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).filterNot(dist.contains).distinct
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    check("landmark-upper-bound", Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val df = edges.toDF("src", "dst")
+        val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+        val adj = und.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+        val got = GraphQueries.landmarkKernel(df, nLandmarks = 4, maxHops = 3, uMod = 2, vMod = 3)
+          .collect()
+          .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+            (r.getAs[Int]("d_est"), r.getAs[Long]("via_landmark"))).toMap
+        val verts = und.map(_._1).distinct
+        val trueDist = verts.map(s => s -> bfs(adj, s, maxHops = 10)).toMap
+        val sound = got.forall { case ((u, v), (est, via)) =>
+          trueDist(u).get(v).forall(d => est >= d) &&
+            // the witness is real: d(via,u) + d(via,v) within the hop bound
+            bfs(adj, via, 3).get(u).nonEmpty && bfs(adj, via, 3).get(v).nonEmpty &&
+            est == bfs(adj, via, 3)(u) + bfs(adj, via, 3)(v)
+        }
+        sound :| s"estimates $got edges $edges"
+      }
+    })
+  }
+
   test("sccReachKernel on a planted core-plus-tail: the core's seed reaches the whole tail") {
     // 2 -> {1,3} cycle core... seed 2 inside a 3-cycle {1,2,3}, tail 3 -> 7 -> 9
     val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L), (7L, 9L)).toDF("src", "dst")
