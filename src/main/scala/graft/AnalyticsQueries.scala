@@ -1028,6 +1028,44 @@ object AnalyticsQueries {
     * the discrete gap domain per type, never the event count; thresholds compare
     * `cum·100 ≥ p·total` in integers.
     */
+  /** ev19 — ORDERED conversion funnel (view → click → purchase): how many users
+    * progress through each step IN TIME ORDER — the product-analytics staple a
+    * per-type count can't answer (a user who purchased before ever viewing is
+    * not a conversion). First-touch semantics: step 1 anchors at the user's
+    * FIRST view; step k at the first step-k event STRICTLY AFTER the anchored
+    * step k−1 (strict `>` so equal-timestamp events never count as progress in
+    * either engine). One row per step: users reaching it and the exact summed
+    * µs from the previous step (integer arithmetic end-to-end — avg is the
+    * consumer's division).
+    *
+    * Scale shape: three user-keyed min-aggregations chained by equi-joins (each
+    * map-side combinable, the anchor relations are one row per qualifying
+    * user); no windows, no per-user event sorting — the funnel never holds more
+    * than (user, anchor-ts) state per step.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsu(spark, dir, "user_id", "event_type").localCheckpoint(true)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+      .localCheckpoint(true)
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tsu") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tsu")).as("t2"))
+      .localCheckpoint(true)
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tsu") > col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("tsu")).as("t3"))
+    def stepRow(step: Int, name: String, df: DataFrame, gap: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), coalesce(sum(gap), lit(0L)).as("sum_gap_us"))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_users"), col("sum_gap_us"))
+    stepRow(1, "view", v, lit(0L))
+      .unionByName(stepRow(2, "click", c, col("t2") - col("t1")))
+      .unionByName(stepRow(3, "purchase", p, col("t3") - col("t2")))
+  }
+
   def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)

@@ -44,6 +44,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev16_rfm" -> ((s: SparkSession, d: String) => AnalyticsQueries.rfm(s, d)),
     "ev17_activity_pareto" -> ((s: SparkSession, d: String) => AnalyticsQueries.activityPareto(s, d)),
     "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
+    "ev19_funnel" -> (AnalyticsQueries.funnel _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -148,6 +149,24 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     // inter-event gap quantiles per type: per-user (tsu, event_id)-ordered lag,
     // whole-second gaps, then the t17 cumulated-histogram exact quantiles —
     // mirror of AnalyticsQueries.gapQuantiles
+    // first-touch ordered funnel: step k anchors at the first step-k event
+    // strictly after the anchored step k-1 — mirror of AnalyticsQueries.funnel
+    "ev19_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, MIN(tsu) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, v.t1, MIN(ev.tsu) AS t2
+         |      FROM ev JOIN v USING (user_id)
+         |      WHERE ev.event_type = 'click' AND ev.tsu > v.t1 GROUP BY 1, 2),
+         |p AS (SELECT ev.user_id, c.t2, MIN(ev.tsu) AS t3
+         |      FROM ev JOIN c USING (user_id)
+         |      WHERE ev.event_type = 'purchase' AND ev.tsu > c.t2 GROUP BY 1, 2)
+         |SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users,
+         |       CAST(0 AS BIGINT) AS sum_gap_us FROM v
+         |UNION ALL SELECT 2, 'click', COUNT(*),
+         |       CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
+         |UNION ALL SELECT 3, 'purchase', COUNT(*),
+         |       CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
+
     "ev18_gap_quantiles" ->
       s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
          |g AS (SELECT event_type, (tsu - prev) // 1000000 AS gap_s
