@@ -1043,8 +1043,14 @@ object AnalyticsQueries {
     * user); no windows, no per-user event sorting — the funnel never holds more
     * than (user, anchor-ts) state per step.
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsTsu(spark, dir, "user_id", "event_type").localCheckpoint(true)
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(eventsTsu(spark, dir, "user_id", "event_type"))
+
+  /** Kernel form of [[funnel]] over an explicit (user_id, event_type, tsu)
+    * relation — the streaming twin's batch-parity pin feeds stream prefixes.
+    */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val ev = events.localCheckpoint(true)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
       .localCheckpoint(true)

@@ -935,6 +935,58 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  // --- streaming ordered funnel (AnalyticsQueries.funnel parity) ---
+
+  case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+
+  /** One user's funnel progress: the first-touch anchors (−1 = step not reached). */
+  case class FunnelUserRow(userId: Long, step: Int, t1: Long, t2: Long, t3: Long)
+
+  /** Pure per-user fold (unit-testable): advance the (t1, t2, t3) first-touch
+    * register through a batch — view anchors t1 once, a click STRICTLY after t1
+    * anchors t2 once, a purchase strictly after t2 anchors t3 once (the ev19
+    * semantics; strict `>` means equal-timestamp events never count as progress,
+    * so the deterministic in-batch sort order can't change an outcome). Batch
+    * events process in (ts, step) order; on in-order streams the anchors equal
+    * the batch operator's firsts exactly.
+    */
+  def mergeFunnelBatch(current: (Long, Long, Long), batch: Seq[FunnelEvent]): (Long, Long, Long) = {
+    var (t1, t2, t3) = current
+    val order = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    batch
+      .filter(e => order.contains(e.eventType))
+      .sortBy(e => (e.tsUs, order(e.eventType)))
+      .foreach { e =>
+        e.eventType match {
+          case "view" if t1 < 0L => t1 = e.tsUs
+          case "click" if t1 >= 0L && t2 < 0L && e.tsUs > t1 => t2 = e.tsUs
+          case "purchase" if t2 >= 0L && t3 < 0L && e.tsUs > t2 => t3 = e.tsUs
+          case _ =>
+        }
+      }
+    (t1, t2, t3)
+  }
+
+  /** Streaming ordered funnel — ev19 at ingestion time: one three-anchor
+    * register per user as group state, the user's current funnel row emitted
+    * every micro-batch it appears in. On in-order streams the registers'
+    * rollup (users at step ≥ k, Σ inter-step gaps) equals the batch operator
+    * on every prefix exactly (StreamOpsSpec pins it); the cross-batch-reorder
+    * limit is [[streamingAttribution]]'s, documented there.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelUserRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[(Long, Long, Long)]) =>
+          val next = mergeFunnelBatch(state.getOption.getOrElse((-1L, -1L, -1L)), batch.toSeq)
+          state.update(next)
+          val step = if (next._3 >= 0L) 3 else if (next._2 >= 0L) 2 else if (next._1 >= 0L) 1 else 0
+          FunnelUserRow(userId, step, next._1, next._2, next._3)
+      }
+  }
+
   // --- streaming AMS F2 sketch (Sketches.amsF2 batch parity) ---
 
   case class AmsF2Row(key: String, nRows: Long, f2Sum: Long, f2Est: Double)

@@ -872,6 +872,59 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel registers roll up to the batch ev19 operator on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamOps.FunnelEvent
+    // three users: u1 full conversion, u2 stalls at click, u3 purchases BEFORE
+    // viewing (the ordering case a per-type count gets wrong)
+    val batch1 = Seq(
+      FunnelEvent(1L, "view", 1000L), FunnelEvent(1L, "click", 2000L),
+      FunnelEvent(2L, "view", 1500L),
+      FunnelEvent(3L, "purchase", 500L), FunnelEvent(3L, "view", 900L))
+    val batch2 = Seq(
+      FunnelEvent(1L, "purchase", 5000L),
+      FunnelEvent(2L, "click", 1500L), // equal ts: strictly-after rule rejects it
+      FunnelEvent(2L, "click", 2500L),
+      FunnelEvent(3L, "click", 1200L))
+    val stream = MemoryStream[FunnelEvent]
+    val rows = scala.collection.mutable.Map.empty[Long, (Int, Long, Long, Long)]
+    val query = StreamOps.streamingFunnel(stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (out: org.apache.spark.sql.Dataset[StreamOps.FunnelUserRow], _: Long) =>
+        rows.synchronized {
+          out.collect().foreach(r => rows(r.userId) = ((r.step, r.t1, r.t2, r.t3)))
+        }
+      }
+      .start()
+    try {
+      def batchRollup(events: Seq[FunnelEvent]): Map[Int, (Long, Long)] =
+        AnalyticsQueries.funnelOf(events.toDF("user_id", "event_type", "tsu"))
+          .collect()
+          .map(r => r.getAs[Int]("step") -> ((r.getAs[Long]("n_users"), r.getAs[Long]("sum_gap_us"))))
+          .toMap
+      def registerRollup(): Map[Int, (Long, Long)] = {
+        val rs = rows.synchronized(rows.toMap)
+        Map(
+          1 -> ((rs.values.count(_._1 >= 1).toLong, 0L)),
+          2 -> ((rs.values.count(_._1 >= 2).toLong,
+            rs.values.filter(_._1 >= 2).map(v => v._3 - v._2).sum)),
+          3 -> ((rs.values.count(_._1 >= 3).toLong,
+            rs.values.filter(_._1 >= 3).map(v => v._4 - v._3).sum)))
+      }
+      stream.addData(batch1)
+      query.processAllAvailable()
+      assert(registerRollup() == batchRollup(batch1), s"prefix 1: ${rows.toMap}")
+      stream.addData(batch2)
+      query.processAllAvailable()
+      assert(registerRollup() == batchRollup(batch1 ++ batch2), s"prefix 2: ${rows.toMap}")
+      // the ordering cases: u3's early purchase never converts; u2's equal-ts
+      // click is rejected, its later click lands
+      val rs = rows.synchronized(rows.toMap)
+      assert(rs(3L)._1 == 2 && rs(2L)._1 == 2 && rs(1L)._1 == 3, rs.toString)
+    } finally query.stop()
+  }
+
   test("streaming ANN search answers query batches from the loaded graph index (s26 parity)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
