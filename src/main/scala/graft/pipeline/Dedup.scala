@@ -934,11 +934,21 @@ object Dedup {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(staging)
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     val fs = dst.getFileSystem(hconf)
-    if (!fs.delete(dst, true))
-      throw new java.io.IOException(s"compactDedupIndex: could not remove $path for swap")
-    if (!fs.rename(tmp, dst))
+    // Swap order keeps a complete index recoverable at every instant: the live
+    // index is renamed ASIDE (never deleted) before the staged one takes its
+    // place, so a crash between the two renames leaves the original at
+    // `__precompact` and the compacted copy at `__compacting` — either is a
+    // full index. The delete of the retired generation is last and best-effort.
+    fs.delete(old, true) // clear any leftover from a previously-crashed swap
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compactDedupIndex: could not move $path aside for swap")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore the original before failing
       throw new java.io.IOException(
-        s"compactDedupIndex: swap rename $staging -> $path failed; compacted index left at $staging")
+        s"compactDedupIndex: swap rename $staging -> $path failed; original restored, compacted index left at $staging")
+    }
+    fs.delete(old, true)
   }
 }

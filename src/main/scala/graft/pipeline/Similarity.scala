@@ -25,6 +25,15 @@ object Similarity {
 
   private def toDouble(a: Column): Column = a.cast("array<double>")
 
+  /** The one rendition of the legacy-artifact rule for loaded centroid models:
+    * codebooks saved before `cn` (squared centroid norm) was persisted are
+    * backfilled on load; newer artifacts keep their stored column. Every
+    * consumer of a (possibly loaded) codebook goes through here so the rule
+    * can never drift between the IVF, PQ, and graph-ANN entry paths.
+    */
+  private def withCentroidNorm(model: DataFrame): DataFrame =
+    if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+
   def cosine(a: Column, b: Column): Column = {
     val (da, db) = (toDouble(a), toDouble(b))
     dot(da, db) / sqrt(norm2(da) * norm2(db))
@@ -754,8 +763,7 @@ object Similarity {
       vecCol: String,
       model: DataFrame
   ): DataFrame = {
-    val withCn =
-      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val withCn = withCentroidNorm(model)
     val cents = withCn.select(col("cluster").cast("long").as("cluster"), col("cv"), col("cn"))
     val v = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
@@ -786,8 +794,7 @@ object Similarity {
       entries: DataFrame,
       entryProbe: Int
   ): DataFrame = {
-    val withCn =
-      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val withCn = withCentroidNorm(model)
     val cents = withCn.select(col("cluster").cast("long").as("cluster"), col("cv"), col("cn"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cluster").asc)
     val qcells = qs.crossJoin(broadcast(cents))
@@ -847,12 +854,36 @@ object Similarity {
       rounds: Int = 2,
       entryProbe: Int = 4,
       entries: Option[DataFrame] = None
-  ): DataFrame = {
+  ): DataFrame =
+    graphAnnSearchPrepared(queries, idCol, vecCol,
+      graphAnnPrepare(df, idCol, vecCol, graph, model, entries), k, beam, rounds, entryProbe)
+
+  /** The batch-invariant half of a graph-ANN SERVING deployment: corpus
+    * vectors (with squared norms), adjacency, codebook, and entry medoids,
+    * each already materialized via `localCheckpoint` and emptiness-guarded.
+    * Built ONCE per index generation by [[graphAnnPrepare]]; every
+    * [[graphAnnSearchPrepared]] call (one per query micro-batch in
+    * [[graft.streaming.StreamOps.streamingAnnSearch]]) then pays only the
+    * batch-sized beam walk — the corpus scan, entry derivation, and the
+    * entry-emptiness job are NOT re-run per batch.
+    */
+  final case class GraphAnnPrepared(
+      vecs: DataFrame,
+      adj: DataFrame,
+      model: DataFrame,
+      entries: DataFrame)
+
+  /** Materialize the corpus-sided relations of [[graphAnnSearch]] once. */
+  def graphAnnPrepare(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      model: DataFrame,
+      entries: Option[DataFrame] = None
+  ): GraphAnnPrepared = {
     val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
-      .localCheckpoint(true)
-    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm2(col("qv")))
       .localCheckpoint(true)
     val ent = entries.getOrElse(graphAnnEntryPoints(df, idCol, vecCol, model))
       .localCheckpoint(true)
@@ -863,6 +894,30 @@ object Similarity {
         "vector (empty/zero corpus, or an entries artifact from a different corpus); " +
         "rebuild with graphAnnEntryPoints")
     val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(true)
+    GraphAnnPrepared(vecs, adj, model, ent)
+  }
+
+  /** The per-batch half of [[graphAnnSearch]]: seed through the prepared
+    * codebook + entries, then `rounds` beam expansions over the prepared
+    * adjacency. Everything corpus-sized comes in already checkpointed.
+    */
+  def graphAnnSearchPrepared(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prep: GraphAnnPrepared,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4
+  ): DataFrame = {
+    val vecs = prep.vecs
+    val adj = prep.adj
+    val model = prep.model
+    val ent = prep.entries
+    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     def scoreBeam(cands: DataFrame): DataFrame =
       cands.join(qs, Seq("query_id"))
@@ -1249,8 +1304,7 @@ object Similarity {
     require(model.columns.contains("n_members"),
       "ivfAssignNew: model has no n_members column — legacy centroid artifact " +
         "(pre-census saveCentroids); retrain with kmeansRounds and re-save")
-    val withCn =
-      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val withCn = withCentroidNorm(model)
     val cents = withCn.select(
       col("cluster").cast("long").as("cluster"), col("cv"), col("cn"),
       col("n_members").cast("long").as("n_trained"))
@@ -1335,8 +1389,7 @@ object Similarity {
       nCodes: Int = 16,
       overfetch: Int = 4
   ): DataFrame = {
-    val withCn =
-      if (model.columns.contains("cn")) model else model.withColumn("cn", norm2(col("cv")))
+    val withCn = withCentroidNorm(model)
     val cents = broadcast(
       withCn.select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
     def nearestCells(r: DataFrame, keep: Int): DataFrame = {

@@ -508,10 +508,12 @@ object StreamOps extends Serializable {
     * of the gauntlet: queries arrive whole, per-batch emissions ARE
     * `Similarity.graphAnnSearch` over the arrivals, and the INDEX is the only
     * state — rebuilt on the corpus cadence, EXTENDED per ingest batch (s28's
-    * append), swapped by re-deploying the stream. Per-batch cost is the
+    * append), swapped by re-deploying the stream. The corpus-sided relations
+    * (vectors, adjacency, entries) are materialized ONCE at stream setup via
+    * [[graft.pipeline.Similarity.graphAnnPrepare]] — the same hoisting
+    * discipline as the dedup census — so per-batch cost is ONLY the
     * batch-sized beam walk: seed off two model-sized broadcasts, `rounds`
-    * expansion equi-joins, nothing corpus-proportional beyond the candidate
-    * score joins.
+    * expansion equi-joins against the prepared adjacency.
     */
   def streamingAnnSearch(
       queries: DataFrame,
@@ -526,15 +528,18 @@ object StreamOps extends Serializable {
       beam: Int = 8,
       rounds: Int = 2,
       entryProbe: Int = 4
-  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val prepared = graft.pipeline.Similarity.graphAnnPrepare(
+      corpus, idCol, vecCol, graph, model, entries = Some(entries))
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(
-          graft.pipeline.Similarity.graphAnnSearch(batch, corpus, idCol, vecCol,
-            graph, model, k, beam, rounds, entryProbe, entries = Some(entries)),
+          graft.pipeline.Similarity.graphAnnSearchPrepared(
+            batch, idCol, vecCol, prepared, k, beam, rounds, entryProbe),
           batchId)
       }
+  }
 
   /** Streaming twin of the m07 frame-index probe: each micro-batch of arriving
     * media assets is probed against the loaded archive frame index inside

@@ -22,13 +22,16 @@ class BenchContractSpec extends AnyFunSuite {
     // success entry at comparable width and failures are a bug anyway. reran at its
     // widest: EVERY headline query flagged, so the cap + "+N" marker must hold the
     // line. The overflow marker renders the count, so the worst case is the cap's
-    // longest names plus the widest count.
+    // longest names plus the widest count. secByName carries EVERY registered
+    // query (what main passes), not just the headline — `fam` renders a maximum
+    // for every family in the suite, and a headline-only map understates the
+    // line by the non-headline families' ~55 chars (the r13 review catch).
     val line = Bench.renderLine(
       total = 99999.999, cal = 9999.999, calEnd = 9999.999, calMax = 9999.999,
       n = SparkEntry.queries.size,
-      secByName = Bench.headline.map(_ -> 9999.999).toMap,
+      secByName = SparkEntry.queries.keysIterator.map(_ -> 9999.999).toMap,
       failed = Nil, reran = Bench.headline.sortBy(-_.length),
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1", capped = 99)
     assert(line.length <= 1700,
       s"worst-case bench line is ${line.length} chars (cap 1700 for tail-capture " +
         "headroom) — rotate fast queries out of Bench.headline before adding more")
