@@ -2071,6 +2071,86 @@ object GraphQueries {
     und.join(withCommon, Seq("lo", "hi"), "left_anti")
   }
 
+  /** g54 — HyperANF neighborhood function (the published HyperLogLog-counter
+    * BFS of Boldi–Vigna–Rosa, WWW 2011, over Flajolet et al. 2007 registers —
+    * the sk01 register recipe: first 8 md5 hex chars as a 32-bit hash, b = 4
+    * index bits, rank-of-first-one rho): every vertex carries an HLL counter
+    * of its forward ball B(v, t), advanced t → t+1 by ONE register max-merge
+    * along out-edges. The per-round totals are the graph's neighborhood
+    * function N(t) = Σ_v |B(v, t)| — the curve effective-diameter estimates
+    * read (frac_micro hits 900000 at the effective diameter).
+    *
+    * Scale shape: counter state is ≤ m·|V| rows (m = 16 registers), each round
+    * ONE |E|-keyed equi-join plus a map-side-combinable max — the reason the
+    * published structure exists: exact N(t) is a |V|-source BFS (g34 per
+    * vertex, |V|·|E| work), the counter form is T·|E| with constant per-vertex
+    * state. Determinism discipline: register sums are dyadic rationals (exact
+    * in double in ANY order), the small-range regime applies linear counting
+    * (m·ln(m/V), the published correction — raw HLL is ~11× off on the
+    * single-element balls every vertex starts with), per-vertex estimates are
+    * micro-quantized BEFORE the exact integer total, and the oracle unrolls
+    * the rounds as chained CTEs over the same register algebra.
+    *
+    * Output: (t, nf_micro, frac_micro) for t = 0..rounds, nf in thousandths.
+    */
+  def hyperAnf(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    hyperAnfOf(directedNormalEdges(spark, dir), rounds)
+
+  /** Kernel form of [[hyperAnf]] over an explicit (src, dst) relation —
+    * property tests pin the exact t = 0 law (every ball is {v}: linear
+    * counting gives 16·ln(16/15) per vertex) and the estimator's accuracy
+    * against the exact BFS neighborhood function on random digraphs.
+    */
+  private[graft] def hyperAnfOf(edges0: DataFrame, rounds: Int): DataFrame = {
+    val b = 4
+    val wBits = 32 - b
+    val m = 1 << b
+    val alphaMM = 0.673 * m * m // alpha_16 (Flajolet et al. 2007, m = 16)
+    val edges = edges0.localCheckpoint(true)
+    val verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+    val h = conv(substring(md5(col("v").cast("string")), 1, 8), 16, 10).cast("long")
+    val mask = (1L << wBits) - 1
+    val rho = when(col("w") === 0L, lit(wBits + 1))
+      .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
+    var regs = verts
+      .select(col("v"), shiftright(h, wBits).as("idx"), h.bitwiseAND(lit(mask)).as("w"))
+      .select(col("v"), col("idx"), rho.cast("int").as("rho"))
+      .localCheckpoint(true)
+    // N(t) as an exact integer: dyadic register sum -> one division -> linear
+    // counting below the published 2.5m threshold -> round(,3) -> micro BIGINT
+    def nfRow(t: Int, r: DataFrame): DataFrame =
+      r.groupBy(col("v"))
+        .agg(
+          (sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")) +
+            (lit(m.toLong) - count(lit(1))).cast("double")).as("ssum"),
+          count(lit(1)).as("n_regs"))
+        .select(
+          floor(
+            round(
+              when(lit(alphaMM) / col("ssum") <= lit(2.5 * m) && col("n_regs") < m,
+                lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("n_regs")).cast("double")))
+                .otherwise(lit(alphaMM) / col("ssum")),
+              3) * 1000 + lit(0.5)).cast("long").as("micro"))
+        .agg(sum(col("micro")).as("nf_micro"))
+        .select(lit(t).as("t"), col("nf_micro"))
+    val perRound = scala.collection.mutable.ArrayBuffer[DataFrame](nfRow(0, regs))
+    for (t <- 1 to rounds) {
+      val nbr = edges.join(regs.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("idx"), col("rho"))
+      regs = regs.unionByName(nbr)
+        .groupBy(col("v"), col("idx")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      perRound += nfRow(t, regs)
+    }
+    val wAll = Window.partitionBy()
+    perRound.reduce(_ unionByName _)
+      .withColumn("frac_micro",
+        floor(lit(1e6) * col("nf_micro").cast("double") /
+          max(col("nf_micro")).over(wAll).cast("double") + lit(0.5)).cast("long"))
+      .select(col("t"), col("nf_micro"), col("frac_micro"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

@@ -188,6 +188,9 @@ private[graft] trait OracleParams {
   private[graft] val LandmarkUMod = 25
   private[graft] val LandmarkVMod = 37
 
+  /** g54's pinned HyperANF round count, shared by registration and oracle. */
+  private[graft] val HyperAnfRounds = 3
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -87,6 +87,8 @@ private[graft] object GraphOracles extends OracleFragments {
     "g53_landmark_distances" -> ((s: SparkSession, dir: String) =>
       GraphQueries.landmarkDistances(s, dir, nLandmarks = LandmarkCount,
         maxHops = LandmarkHops, uMod = LandmarkUMod, vMod = LandmarkVMod)),
+    "g54_hyperanf" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.hyperAnf(s, dir, rounds = HyperAnfRounds)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -185,6 +187,48 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
+    },
+
+    // HyperANF: per-vertex HLL counters (sk01's register recipe at b = 4)
+    // advanced by register max-merge along out-edges, rounds unrolled as
+    // chained CTEs; ball estimates linear-counted below 2.5m, micro-quantized
+    // per vertex before the exact integer total — mirror of
+    // GraphQueries.hyperAnf
+    "g54_hyperanf" -> {
+      val m = 16
+      val alphaMM = 0.673 * m * m
+      val mask = (1L << 28) - 1
+      def reg(t: Int) =
+        s"""c$t AS (SELECT v, idx, MAX(rho) AS rho FROM (
+           |         SELECT * FROM c${t - 1}
+           |         UNION ALL
+           |         SELECT e.src AS v, c.idx, c.rho FROM c${t - 1} c JOIN e ON c.v = e.dst)
+           |       GROUP BY v, idx)""".stripMargin
+      def nf(t: Int) =
+        s"""n$t AS (SELECT $t AS t, CAST(SUM(micro) AS BIGINT) AS nf_micro FROM (
+           |  SELECT CAST(floor(round(CASE
+           |      WHEN CAST('$alphaMM' AS DOUBLE) / ssum <= ${2.5 * m} AND n_regs < $m
+           |        THEN $m * ln($m::DOUBLE / ($m - n_regs)::DOUBLE)
+           |      ELSE CAST('$alphaMM' AS DOUBLE) / ssum END, 3) * 1000 + 0.5) AS BIGINT) AS micro
+           |  FROM (SELECT v, SUM(1.0::DOUBLE / (1::BIGINT << rho)) + ($m - COUNT(*))::DOUBLE AS ssum,
+           |               COUNT(*) AS n_regs
+           |        FROM c$t GROUP BY v)))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS h FROM vx),
+         |c0 AS (SELECT v, h >> 28 AS idx,
+         |         CASE WHEN (h & $mask) = 0 THEN 29
+         |              ELSE strpos(lpad(bin(h & $mask), 28, '0'), '1') END AS rho
+         |       FROM h0),
+         |${(1 to HyperAnfRounds).map(reg).mkString(",\n")},
+         |${(0 to HyperAnfRounds).map(nf).mkString(",\n")},
+         |nfr AS (${(0 to HyperAnfRounds).map(t => s"SELECT * FROM n$t").mkString(" UNION ALL ")})
+         |SELECT CAST(t AS INTEGER) AS t, nf_micro,
+         |  CAST(floor(1000000.0 * nf_micro::DOUBLE / (MAX(nf_micro) OVER ())::DOUBLE + 0.5) AS BIGINT)
+         |    AS frac_micro
+         |FROM nfr""".stripMargin
     },
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units

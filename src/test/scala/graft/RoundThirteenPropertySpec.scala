@@ -101,6 +101,76 @@ class RoundThirteenPropertySpec extends SparkSpec {
     })
   }
 
+  // ---- g54 HyperANF: exact register mirror ----------------------------------
+  // The estimator math is published (Flajolet et al. 2007, Boldi-Vigna-Rosa
+  // 2011); OUR risk is the distributed register fixpoint. So the mirror
+  // computes each ball's TRUE register set via a sequential BFS closure and
+  // applies the identical estimator — the outputs must match EXACTLY.
+
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def mirrorHyperAnf(edges: List[(Long, Long)], rounds: Int): Seq[(Int, Long, Long)] = {
+    val m = 16
+    val alphaMM = 0.673 * m * m
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    def reg(v: Long): (Long, Int) = {
+      val h = h32(v.toString)
+      val w = h & ((1L << 28) - 1)
+      val rho = if (w == 0L) 29 else 29 - java.lang.Long.toBinaryString(w).length
+      (h >> 28, rho)
+    }
+    def ball(v: Long, t: Int): Set[Long] = {
+      var seen = Set(v); var frontier = Set(v)
+      for (_ <- 1 to t) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Nil)).diff(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    def estMicro(members: Set[Long]): Long = {
+      val regs = members.toSeq.map(reg).groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2).max }
+      val ssum = regs.values.map(r => 1.0 / (1L << r)).sum + (m - regs.size).toDouble
+      val raw = alphaMM / ssum
+      val est =
+        if (raw <= 2.5 * m && regs.size < m) m * math.log(m.toDouble / (m - regs.size)) else raw
+      val est3 = BigDecimal(est).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(est3 * 1000 + 0.5).toLong
+    }
+    val nf = (0 to rounds).map(t => t -> verts.map(v => estMicro(ball(v, t))).sum)
+    val nfMax = nf.map(_._2).max
+    nf.map { case (t, n) =>
+      (t, n, math.floor(1e6 * n.toDouble / nfMax.toDouble + 0.5).toLong)
+    }
+  }
+
+  test("hyperAnfOf equals the sequential register mirror on random digraphs") {
+    check("hyperanf-mirror", Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val df = edges.toDF("src", "dst")
+        val got = GraphQueries.hyperAnfOf(df, rounds = 3)
+          .collect()
+          .map(r => (r.getAs[Int]("t"), r.getAs[Long]("nf_micro"), r.getAs[Long]("frac_micro")))
+          .sortBy(_._1).toSeq
+        val want = mirrorHyperAnf(edges, rounds = 3)
+        (got == want) :| s"got $got want $want edges $edges"
+      }
+    })
+  }
+
+  test("hyperAnf t=0 law: every ball is a singleton, linear counting prices it 1033 micro") {
+    // 16 * ln(16/15) = 1.0326... -> 1.033 -> 1033 per vertex, exactly
+    val df = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val rows = GraphQueries.hyperAnfOf(df, rounds = 2).collect()
+      .map(r => r.getAs[Int]("t") -> r.getAs[Long]("nf_micro")).toMap
+    assert(rows(0) == 4L * 1033L, rows.toString)
+    // and the curve is monotone (registers only grow)
+    assert(rows(0) <= rows(1) && rows(1) <= rows(2), rows.toString)
+  }
+
   test("sccReachKernel on a planted core-plus-tail: the core's seed reaches the whole tail") {
     // 2 -> {1,3} cycle core... seed 2 inside a 3-cycle {1,2,3}, tail 3 -> 7 -> 9
     val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L), (7L, 9L)).toDF("src", "dst")
