@@ -131,6 +131,24 @@ private[graft] object DedupOracles extends OracleFragments {
           budgetTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
     }),
+    // the dc11 manifest shuffled for epochs 0 and 1: same docs, same replayed
+    // symbol mass, different deterministic order and bin cuts per epoch — the
+    // between-epoch shuffle a trainer derives from the manifest + epoch number
+    "dc14_epoch_shuffle" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-shuffle")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochShuffleRollup(
+          Sampling.epochManifestUpsampled(docs, "doc_id", "source", "text",
+            TextStats.bpeLoadMerges(s, path),
+            alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+            budgetTokens = 512L, nGroups = 8),
+          "doc_id", "source", epochs = Seq(0L, 1L), budgetTokens = 512L)
+      } finally deleteRecursively(scratch)
+    }),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -309,7 +327,10 @@ private[graft] object DedupOracles extends OracleFragments {
     * (everything after WITH) — dc11/dc12 run it over `documents`, dc13 over the
     * decontaminated pool, so the packing arithmetic has one SQL rendition.
     */
-  private def epochPackUpsampledBody(src: String): String =
+  /** The doc-level upsampled manifest CTEs (through `prows`) — the shared
+    * front half of dc11/dc12/dc13's packing SQL, also the base dc14 shuffles.
+    */
+  private def upsampledProwsBody(src: String): String =
     s"""${mixManifestCtesFrom(src)},
        |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
        |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
@@ -324,7 +345,10 @@ private[graft] object DedupOracles extends OracleFragments {
        |prows AS (SELECT m.source, m.bucket % 8 AS pack_group, m.bucket, m.doc_id, m.rk,
        |                 m.repeat_factor,
        |                 COALESCE(p.n_syms, 0) * m.repeat_factor AS n_syms
-       |          FROM manifest m LEFT JOIN priced p USING (doc_id)),
+       |          FROM manifest m LEFT JOIN priced p USING (doc_id))""".stripMargin
+
+  private def epochPackUpsampledBody(src: String): String =
+    s"""${upsampledProwsBody(src)},
        |cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
        |          SUM(n_syms) OVER (PARTITION BY source, pack_group
        |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
@@ -334,6 +358,30 @@ private[graft] object DedupOracles extends OracleFragments {
        |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
        |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
        |FROM cum GROUP BY 1, 2, 3""".stripMargin
+
+  // the dc11 manifest re-ordered per epoch: md5(doc_id ':' epoch) order within
+  // (source, pack_group), bins re-cut along it; totals conserve, the
+  // order-sensitive checksum moves — mirror of Sampling.epochShuffleRollup
+  // over epochs {0, 1}
+  private lazy val epochShuffleSql: String =
+    s"""WITH ${upsampledProwsBody("documents")},
+       |ep AS (SELECT unnest([0, 1]) AS epoch),
+       |erows AS (SELECT ep.epoch, p.source, p.pack_group, p.doc_id, p.n_syms,
+       |            ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':'
+       |                || CAST(ep.epoch AS VARCHAR)), 1, 8))::BIGINT AS eh
+       |          FROM prows p CROSS JOIN ep),
+       |ecum AS (SELECT epoch, source, pack_group, doc_id, n_syms,
+       |           row_number() OVER (PARTITION BY epoch, source, pack_group
+       |             ORDER BY eh, doc_id) AS ord,
+       |           SUM(n_syms) OVER (PARTITION BY epoch, source, pack_group
+       |             ORDER BY eh, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+       |         FROM erows)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, source, pack_group,
+       |       CAST(tok_before // 512 AS BIGINT) AS ebin,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(ord * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 1000000)) AS BIGINT) AS order_check
+       |FROM ecum GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
@@ -562,6 +610,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc11_epoch_pack_upsampled" -> epochPackUpsampledSql,
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
+    "dc14_epoch_shuffle" -> epochShuffleSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

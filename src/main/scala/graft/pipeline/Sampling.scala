@@ -520,6 +520,66 @@ object Sampling {
     spark.read.parquet(path)
       .withColumn("pack_group", col("pack_group").cast("long"))
 
+  /** dc14 — deterministic BETWEEN-EPOCH shuffle of a doc-level pack manifest:
+    * epoch `e` reads each (source, pack_group) stream in `md5(doc_id ":" e)`
+    * order (doc-id tie-break) and re-cuts the concat-and-cut bins along that
+    * order. Membership and replayed-symbol mass are epoch-INVARIANT — only the
+    * order, and therefore the bin boundaries, move — which is exactly the
+    * shuffle a trainer wants between epochs: no data is rewritten, no state is
+    * kept, any shard can address epoch e's packs from the same persisted
+    * manifest ([[saveEpochManifest]]) plus the epoch number. Scale shape: one
+    * hash column + the same bounded (source, pack_group) window as
+    * [[epochPack]]; nGroups remains the parallelism knob.
+    *
+    * Output: the manifest rows stamped with (epoch, ord, ebin) — `ord` the
+    * 1-based position in epoch order, `ebin` the re-cut pack.
+    */
+  def epochShuffle(
+      manifest: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      epoch: Long,
+      budgetTokens: Long = 512L
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("pack_group"))
+      .orderBy(col("eh"), col(idCol))
+    manifest
+      .withColumn("eh",
+        Sketches.h32(concat(col(idCol).cast("string"), lit(":"), lit(epoch).cast("string"))))
+      .withColumn("ord", row_number().over(w))
+      .withColumn("tok_before", sum(col("n_syms")).over(w) - col("n_syms"))
+      .withColumn("ebin", (col("tok_before") / budgetTokens).cast("long"))
+      .withColumn("epoch", lit(epoch))
+  }
+
+  /** The dc14 CORRECTNESS surface: [[epochShuffle]] rollups for a set of
+    * epochs in one relation — per (epoch, source, pack_group, ebin) the doc
+    * count, replayed-symbol total, and an ORDER-SENSITIVE checksum
+    * (Σ ord · (h32(doc_id) mod 10⁶), exact integers) that proves the
+    * permutation: totals conserve across epochs, checksums differ.
+    */
+  def epochShuffleRollup(
+      manifest: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      epochs: Seq[Long],
+      budgetTokens: Long = 512L
+  ): DataFrame = {
+    require(epochs.nonEmpty, "epochShuffleRollup: empty epoch set")
+    val m = manifest.localCheckpoint(true) // one consumer per epoch
+    epochs.map { e =>
+      epochShuffle(m, idCol, sourceCol, e, budgetTokens)
+        .groupBy(col("epoch"), col(sourceCol), col("pack_group"), col("ebin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_syms")).as("n_tokens"),
+          sum(col("ord").cast("long") *
+            pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L)))
+            .as("order_check"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The doc-level half of the concat-and-cut fold: running exclusive token
     * total in (bucket, id) order within (source, pack_group), cut every
     * `budgetTokens` — each manifest row gains its pack's `bin`. This IS the

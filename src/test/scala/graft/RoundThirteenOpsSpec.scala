@@ -263,4 +263,50 @@ class RoundThirteenOpsSpec extends SparkSpec {
       }
     } finally deleteRecursively(dir)
   }
+
+  // ---- dc14 epoch shuffle ---------------------------------------------------
+
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("dc14: epoch shuffle conserves membership and mass, permutes order, exactly as planted") {
+    // a planted manifest: one source, one pack_group, six docs of 100 symbols
+    val manifest = Seq.tabulate(6)(i => (i + 1L, "web", 0L, 100L))
+      .toDF("doc_id", "source", "pack_group", "n_syms")
+    val roll = Sampling.epochShuffleRollup(manifest, "doc_id", "source",
+      epochs = Seq(0L, 1L), budgetTokens = 250L)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("ebin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("order_check")))
+      .toMap
+
+    // mirror: epoch order = md5("id:epoch") hash ascending, bins cut every 250
+    // symbols of running EXCLUSIVE total, checksum = sum(ord * (h32(id) % 1e6))
+    def mirror(epoch: Long): Map[(Long, Long), (Long, Long, Long)] = {
+      val order = (1L to 6L).sortBy(id => (md5h32(s"$id:$epoch"), id)).zipWithIndex
+        .map { case (id, i) => (id, i + 1L) }
+      order.map { case (id, ord) =>
+        val tokBefore = (ord - 1) * 100L
+        (id, ord, tokBefore / 250L)
+      }.groupBy(_._3).map { case (ebin, rows) =>
+        (epoch, ebin) -> (
+          rows.size.toLong,
+          rows.size * 100L,
+          rows.map { case (id, ord, _) => ord * (md5h32(id.toString) % 1000000L) }.sum)
+      }
+    }
+    assert(roll == mirror(0L) ++ mirror(1L), s"got $roll want ${mirror(0L) ++ mirror(1L)}")
+
+    // conservation across epochs: same doc count and symbol mass
+    for (e <- Seq(0L, 1L)) {
+      val mine = roll.collect { case ((ep, _), v) if ep == e => v }
+      assert(mine.map(_._1).sum == 6L && mine.map(_._2).sum == 600L)
+    }
+    // the permutation is real: the order-sensitive checksums differ between epochs
+    val check0 = roll.collect { case ((0L, _), (_, _, c)) => c }.toSeq.sorted
+    val check1 = roll.collect { case ((1L, _), (_, _, c)) => c }.toSeq.sorted
+    assert(check0 != check1, s"epochs 0 and 1 produced the same order: $check0")
+  }
 }
