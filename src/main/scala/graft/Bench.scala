@@ -11,14 +11,14 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "g12_execute_lww",
-    "g17_pagerank", "g18_vertex_domination", "g20_metadata_registers",
+    "g18_vertex_domination", "g20_metadata_registers",
     "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
     "g37_decayed_pagerank", "g38_ktruss",
-    "g39_sssp", "g40_lpa_communities",
+    "g40_lpa_communities",
     "d02_minhash_lsh", "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs",
     "s11_ann_rerank", "s15_pq_search",
-    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped", "s19_prf_expand",
+    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
     "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
@@ -62,7 +62,13 @@ object Bench {
     // the worst-case line pin was extended to render `fam` over the FULL suite's
     // family set (the shape main actually emits — the headline-only pin missed
     // ~55 chars of non-headline families): both are historically <1.5s and the
-    // fam field now reports g's and q's worst cost every round regardless
+    // fam field now reports g's and q's worst cost every round regardless;
+    // g17_pagerank, g39_sssp, s19_prf_expand rotated r13d (all ~1.0-1.2s flat,
+    // g32/g37 keep the walk family, s17/s18 the retrieval family), paying for
+    // the two expensive new composites g54 + dc14 — headline membership is what
+    // gives a multi-second query per-round HISTORY, so the outlier re-run
+    // adjudicates it by min-of-history instead of flagging it every round under
+    // the above-median no-history rule
     "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "g46_modularity",
     "d15_cluster_keep",
@@ -70,6 +76,7 @@ object Bench {
     "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled", "g50_condensation",
     "g52_scc_reachability", "dc12_epoch_manifest_saved", "s28_knn_graph_extend",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
+    "g54_hyperanf", "dc14_epoch_shuffle",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -2113,18 +2113,26 @@ object GraphQueries {
     val mask = (1L << wBits) - 1
     val rho = when(col("w") === 0L, lit(wBits + 1))
       .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1"))
+    val regCols = (0 until m).map(i => s"r$i")
+    // Registers PACKED WIDE — m columns per vertex, the layout the published
+    // implementation uses: state is exactly |V| rows at every round (never the
+    // m·|V| rows of a (v, idx, rho) tall form), the neighbor merge is a
+    // map-side-combinable per-column MAX, and the whole round stays in one
+    // codegen span. An untouched register holds 0 (rho >= 1 for any item).
     var regs = verts
       .select(col("v"), shiftright(h, wBits).as("idx"), h.bitwiseAND(lit(mask)).as("w"))
-      .select(col("v"), col("idx"), rho.cast("int").as("rho"))
+      .select(
+        col("v") +: (0 until m).map(i =>
+          when(col("idx") === i, rho.cast("int")).otherwise(lit(0)).as(s"r$i")): _*)
       .localCheckpoint(true)
-    // N(t) as an exact integer: dyadic register sum -> one division -> linear
-    // counting below the published 2.5m threshold -> round(,3) -> micro BIGINT
-    def nfRow(t: Int, r: DataFrame): DataFrame =
-      r.groupBy(col("v"))
-        .agg(
-          (sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rho)").cast("double")) +
-            (lit(m.toLong) - count(lit(1))).cast("double")).as("ssum"),
-          count(lit(1)).as("n_regs"))
+    // N(t) as an exact integer: dyadic register sum (1/2^0 = 1 for empties) ->
+    // one division -> linear counting below the published 2.5m threshold ->
+    // round(,3) -> micro BIGINT -> exact integer total
+    def nfRow(t: Int, r: DataFrame): DataFrame = {
+      val ssum = regCols.map(c =>
+        lit(1.0) / expr(s"shiftleft(CAST(1 AS BIGINT), $c)").cast("double")).reduce(_ + _)
+      val nRegs = regCols.map(c => when(col(c) > 0, 1L).otherwise(0L)).reduce(_ + _)
+      r.select(ssum.as("ssum"), nRegs.as("n_regs"))
         .select(
           floor(
             round(
@@ -2134,12 +2142,18 @@ object GraphQueries {
               3) * 1000 + lit(0.5)).cast("long").as("micro"))
         .agg(sum(col("micro")).as("nf_micro"))
         .select(lit(t).as("t"), col("nf_micro"))
+    }
     val perRound = scala.collection.mutable.ArrayBuffer[DataFrame](nfRow(0, regs))
     for (t <- 1 to rounds) {
       val nbr = edges.join(regs.withColumnRenamed("v", "dst"), Seq("dst"))
-        .select(col("src").as("v"), col("idx"), col("rho"))
-      regs = regs.unionByName(nbr)
-        .groupBy(col("v"), col("idx")).agg(max(col("rho")).as("rho"))
+        .groupBy(col("src"))
+        .agg(max(col(regCols.head)).as("n" + regCols.head),
+          regCols.tail.map(c => max(col(c)).as("n" + c)): _*)
+        .withColumnRenamed("src", "v")
+      regs = regs.join(nbr, Seq("v"), "left")
+        .select(
+          col("v") +: regCols.map(c =>
+            greatest(col(c), coalesce(col("n" + c), lit(0))).as(c)): _*)
         .localCheckpoint(true)
       perRound += nfRow(t, regs)
     }
