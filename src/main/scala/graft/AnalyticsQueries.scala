@@ -1050,6 +1050,21 @@ object AnalyticsQueries {
     * relation — the streaming twin's batch-parity pin feeds stream prefixes.
     */
   private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStages(events)
+    def stepRow(step: Int, name: String, df: DataFrame, gap: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), coalesce(sum(gap), lit(0L)).as("sum_gap_us"))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_users"), col("sum_gap_us"))
+    stepRow(1, "view", v, lit(0L))
+      .unionByName(stepRow(2, "click", c, col("t2") - col("t1")))
+      .unionByName(stepRow(3, "purchase", p, col("t3") - col("t2")))
+  }
+
+  /** The ev19 per-user funnel anchors, shared by the conversion counts
+    * (funnelOf) and the stage-latency quantiles (funnelLatencyOf): first view
+    * t1, first strictly-later click t2, first strictly-later purchase t3.
+    */
+  private def funnelStages(events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val ev = events.localCheckpoint(true)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
@@ -1063,13 +1078,26 @@ object AnalyticsQueries {
       .join(c, Seq("user_id"))
       .filter(col("tsu") > col("t2"))
       .groupBy(col("user_id"), col("t2")).agg(min(col("tsu")).as("t3"))
-    def stepRow(step: Int, name: String, df: DataFrame, gap: Column): DataFrame =
-      df.agg(count(lit(1)).as("n_users"), coalesce(sum(gap), lit(0L)).as("sum_gap_us"))
-        .select(lit(step).as("step"), lit(name).as("event_type"),
-          col("n_users"), col("sum_gap_us"))
-    stepRow(1, "view", v, lit(0L))
-      .unionByName(stepRow(2, "click", c, col("t2") - col("t1")))
-      .unionByName(stepRow(3, "purchase", p, col("t3") - col("t2")))
+    (v, c, p)
+  }
+
+  /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
+    * conversion delays (first view → first later click, that click → first
+    * later purchase), in whole seconds — the time-to-convert telemetry read
+    * next to ev19's conversion counts. Quantiles are the ev18 histogram fold
+    * (exact, |distinct gap|-sized state, never row-sized), shared via
+    * [[exactQuantiles]].
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyOf(eventsTsu(spark, dir, "user_id", "event_type"))
+
+  private[graft] def funnelLatencyOf(events: DataFrame): DataFrame = {
+    val (_, c, p) = funnelStages(events)
+    val gaps = c.select(lit("view_to_click").as("stage"),
+        expr("(t2 - t1) DIV 1000000").as("gap_s"))
+      .unionByName(p.select(lit("click_to_purchase").as("stage"),
+        expr("(t3 - t2) DIV 1000000").as("gap_s")))
+    exactQuantiles(gaps, "stage", "gap_s", "n_conv")
   }
 
   def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -1079,20 +1107,33 @@ object AnalyticsQueries {
       .withColumn("prev", lag(col("tsu"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("event_type"), expr("(tsu - prev) DIV 1000000").as("gap_s"))
-    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
-      .agg(count(lit(1)).as("c"))
-    val cumW = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+    exactQuantiles(gaps, "event_type", "gap_s", "n_gaps")
+  }
+
+  /** The ev18 EXACT quantile fold over an explicit (key, value) relation:
+    * integer-bucket histogram → cumulative mass per key → smallest value whose
+    * cumulative count reaches p% — exact at any scale because the state is
+    * |distinct values|-sized, never row-sized. Shared by ev18 and ev20.
+    */
+  private def exactQuantiles(
+      vals: DataFrame,
+      keyCol: String,
+      valCol: String,
+      nName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = vals.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col("event_type"))
+    val totW = Window.partitionBy(col(keyCol))
     def q(p: Int): Column =
-      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("gap_s"))).as(s"p${p}_s")
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col(valCol))).as(s"p${p}_s")
     hist
       .select(
-        col("event_type"), col("gap_s"),
+        col(keyCol), col(valCol),
         sum(col("c")).over(cumW).as("cum"),
         sum(col("c")).over(totW).as("total"))
-      .groupBy(col("event_type"))
-      .agg(max(col("total")).as("n_gaps"), q(50), q(90), q(99))
+      .groupBy(col(keyCol))
+      .agg(max(col("total")).as(nName), q(50), q(90), q(99))
   }
 
   /** Per-user event profile: scan + hash agg with a distinct-agg. */

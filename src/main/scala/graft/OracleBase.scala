@@ -191,6 +191,9 @@ private[graft] trait OracleParams {
   /** g54's pinned HyperANF round count, shared by registration and oracle. */
   private[graft] val HyperAnfRounds = 3
 
+  /** t44's pinned reliability-table bin count, shared by registration and oracle. */
+  private[graft] val CalibrationBins = 10
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -45,6 +45,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev17_activity_pareto" -> ((s: SparkSession, d: String) => AnalyticsQueries.activityPareto(s, d)),
     "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
     "ev19_funnel" -> (AnalyticsQueries.funnel _),
+    "ev20_funnel_latency" -> (AnalyticsQueries.funnelLatency _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -166,6 +167,32 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |       CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
          |UNION ALL SELECT 3, 'purchase', COUNT(*),
          |       CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
+
+    // the ev19 anchors' conversion delays through the ev18 exact-quantile fold
+    // — mirror of AnalyticsQueries.funnelLatency
+    "ev20_funnel_latency" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, MIN(tsu) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, v.t1, MIN(ev.tsu) AS t2
+         |      FROM ev JOIN v USING (user_id)
+         |      WHERE ev.event_type = 'click' AND ev.tsu > v.t1 GROUP BY 1, 2),
+         |p AS (SELECT ev.user_id, c.t2, MIN(ev.tsu) AS t3
+         |      FROM ev JOIN c USING (user_id)
+         |      WHERE ev.event_type = 'purchase' AND ev.tsu > c.t2 GROUP BY 1, 2),
+         |g AS (SELECT 'view_to_click' AS stage, (t2 - t1) // 1000000 AS gap_s FROM c
+         |      UNION ALL
+         |      SELECT 'click_to_purchase', (t3 - t2) // 1000000 FROM p),
+         |h AS (SELECT stage, gap_s, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |cm AS (SELECT stage, gap_s,
+         |         SUM(c) OVER (PARTITION BY stage ORDER BY gap_s
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(c) OVER (PARTITION BY stage) AS total
+         |       FROM h)
+         |SELECT stage, CAST(MAX(total) AS BIGINT) AS n_conv,
+         |  MIN(CASE WHEN cum * 100 >= 50 * total THEN gap_s END) AS p50_s,
+         |  MIN(CASE WHEN cum * 100 >= 90 * total THEN gap_s END) AS p90_s,
+         |  MIN(CASE WHEN cum * 100 >= 99 * total THEN gap_s END) AS p99_s
+         |FROM cm GROUP BY stage""".stripMargin,
 
     "ev18_gap_quantiles" ->
       s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),

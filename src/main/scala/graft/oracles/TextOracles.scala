@@ -137,6 +137,13 @@ private[graft] object TextOracles extends OracleFragments {
     // pinned thresholds — what the streamingQualityGate redeploy actually reads
     // (the driver-side gateSwapTrigger mirrors this row, pinned in
     // RoundThirteenOpsSpec)
+    "t44_lr_calibration" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.lrCalibration(docs, "doc_id", "text",
+        TextStats.lrQualityTrain(docs, "doc_id", "text",
+          buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
+        buckets = LrBuckets, nBins = CalibrationBins)
+    }),
     "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.gateSwapDecision(
@@ -727,6 +734,32 @@ private[graft] object TextOracles extends OracleFragments {
          |  CAST(floor(1000000.0 * n_chars::DOUBLE / n_syms::DOUBLE + 0.5) AS BIGINT)
          |    AS compression_micro
          |FROM g""".stripMargin,
+
+    // reliability table of the trained gate: scored docs bucketed by predicted
+    // decile, mean prediction vs empirical positive rate per bin — mirror of
+    // TextStats.lrCalibration composed from the training CTEs
+    "t44_lr_calibration" -> {
+      val binWidth = 1000000L / CalibrationBins
+      s"""WITH ${lrTrainCtes(LrRounds)},
+         |mgf AS (SELECT tf.doc_id, CAST(SUM(tf.tf * COALESCE(w.w, 0)) AS BIGINT) AS m
+         |        FROM tf LEFT JOIN w$LrRounds w USING (slot) GROUP BY 1),
+         |sc AS (SELECT mgf.doc_id,
+         |         CAST(floor(1000000.0 / (1.0 + exp(-(m::DOUBLE / 1000000.0))) + 0.5) AS BIGINT)
+         |           AS p_micro,
+         |         lab.kept AS y
+         |       FROM mgf JOIN lab USING (doc_id)),
+         |agg AS (SELECT least(p_micro // $binWidth, ${CalibrationBins - 1}) AS bin,
+         |          COUNT(*) AS n_docs,
+         |          CAST(SUM(y) AS BIGINT) AS n_pos,
+         |          CAST(floor(SUM(p_micro)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT)
+         |            AS pred_micro,
+         |          CAST(floor(1000000.0 * SUM(y)::DOUBLE / COUNT(*)::DOUBLE + 0.5) AS BIGINT)
+         |            AS actual_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, pred_micro, actual_micro,
+         |  pred_micro - actual_micro AS gap_micro
+         |FROM agg""".stripMargin
+    },
 
     // confusion rollup of the trained gate vs its t05 supervision over scored
     // docs — mirror of TextStats.lrQualityEval composed from the training CTEs

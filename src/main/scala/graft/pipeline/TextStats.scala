@@ -1104,6 +1104,51 @@ object TextStats {
     * Scale shape: the t39 scoring pass plus one doc-keyed equi-join to the label
     * relation and a 1-row full aggregate (map-side combinable).
     */
+  /** t44 — CALIBRATION of the trained quality gate: the reliability table a
+    * pipeline reads before using the gate's probabilities as anything more
+    * than a sign test (sampling weights, mixing temperatures, soft labels all
+    * assume p means p). Scored documents bucket by predicted-probability
+    * decile; each bin reports its mean predicted probability against the
+    * empirical positive rate of the supervision labels, and the signed gap —
+    * a well-calibrated distillation has gaps near zero, a confident-but-wrong
+    * one shows the high bins overshooting. Determinism discipline: p_micro is
+    * already an exact integer ([[lrScoreWith]]), bin = p_micro div binWidth,
+    * the two per-bin means are single divisions of exact integer sums.
+    *
+    * Scale shape: the t39 scoring pass (one corpus tokenize, weight table
+    * broadcast), one doc-keyed equi-join to the label relation, and a
+    * ≤ nBins-row map-side-combinable rollup.
+    */
+  def lrCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins > 0 && 1000000 % nBins == 0, s"nBins must divide 1e6: $nBins")
+    val scored = lrScoreWith(df, idCol, textCol, weights, buckets)
+      .select(col(idCol), col("p_micro"))
+    val labels = qualityFilter(df, idCol, textCol)
+      .select(col(idCol), col("kept").cast("long").as("y"))
+    scored.join(labels, Seq(idCol))
+      .withColumn("bin",
+        least((col("p_micro") / lit(1000000L / nBins)).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p_micro")).as("sum_p"))
+      .select(
+        col("bin"), col("n_docs"), col("n_pos"),
+        floor(col("sum_p").cast("double") / col("n_docs").cast("double") + lit(0.5))
+          .cast("long").as("pred_micro"),
+        floor(lit(1000000.0) * col("n_pos").cast("double") / col("n_docs").cast("double")
+          + lit(0.5)).cast("long").as("actual_micro"))
+      .withColumn("gap_micro", col("pred_micro") - col("actual_micro"))
+  }
+
   def lrQualityEval(
       df: DataFrame,
       idCol: String,

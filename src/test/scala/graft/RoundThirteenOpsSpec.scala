@@ -309,4 +309,44 @@ class RoundThirteenOpsSpec extends SparkSpec {
     val check1 = roll.collect { case ((1L, _), (_, _, c)) => c }.toSeq.sorted
     assert(check0 != check1, s"epochs 0 and 1 produced the same order: $check0")
   }
+
+  // ---- t44 calibration ------------------------------------------------------
+
+  test("t44: reliability table spreads bins and matches a sequential mirror on planted docs") {
+    import graft.pipeline.TextStats
+    // one informative token ("alpha") repeated n times per doc + a constant
+    // "w the z" tail (supplies the stopword); a single planted weight on
+    // alpha's slot makes margin = n * w exactly, sweeping the sigmoid through
+    // several deciles. Docs with n < 8 fall under the 10-token heuristic
+    // minimum -> y = 0, the rest y = 1.
+    val wAlpha = 150000L
+    val docs = (1 to 16).map(n => (n.toLong, ("alpha " * n) + "w the z"))
+      .toDF("doc_id", "text")
+    val slotOf = { (tok: String) =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 256L
+    }
+    val weights = Seq((slotOf("alpha"), wAlpha)).toDF("slot", "w_micro")
+    val got = TextStats.lrCalibration(docs, "doc_id", "text", weights, buckets = 256, nBins = 10)
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pred_micro"), r.getAs[Long]("actual_micro"), r.getAs[Long]("gap_micro")))
+      .toMap
+    // sequential mirror of the same arithmetic
+    val rows = (1 to 16).map { n =>
+      val m = n * wAlpha
+      val p = math.floor(1e6 / (1.0 + math.exp(-(m.toDouble / 1e6))) + 0.5).toLong
+      val y = if (n + 3 >= 10) 1L else 0L
+      (math.min(p / 100000L, 9L), p, y)
+    }
+    val want = rows.groupBy(_._1).map { case (bin, rs) =>
+      val pred = math.floor(rs.map(_._2).sum.toDouble / rs.size + 0.5).toLong
+      val act = math.floor(1e6 * rs.map(_._3).sum.toDouble / rs.size + 0.5).toLong
+      bin -> (rs.size.toLong, rs.map(_._3).sum, pred, act, pred - act)
+    }
+    assert(got == want, s"got $got want $want")
+    assert(got.size >= 3, s"planted sweep must cover several deciles: ${got.keys.toSeq.sorted}")
+  }
 }
