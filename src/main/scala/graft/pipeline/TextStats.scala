@@ -129,21 +129,33 @@ object TextStats {
       maxMeanTokenLen: Long = 12L
   ): DataFrame = {
     val t = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(t).as("n_tokens"),
+      qualityReasons(t, minTokens, minStopHits, maxMeanTokenLen).as("reasons"),
+      (qualityReasons(t, minTokens, minStopHits, maxMeanTokenLen) === 0L)
+        .cast("int").as("kept")
+    )
+  }
+
+  /** The one rendition of the heuristic-gate rule bits ([[qualityFilter]]'s
+    * reasons column; kept ⇔ reasons = 0) — shared with the streaming
+    * calibration monitor so the label side can never drift from the batch gate.
+    */
+  private[graft] def qualityReasons(
+      t: Column,
+      minTokens: Long = 10L,
+      minStopHits: Long = 1L,
+      maxMeanTokenLen: Long = 12L
+  ): Column = {
     val nTokens = tokenCount(t)
     val stops = stopHits(t) // same shared stopword set as qualityScore/qualityMicro
     val charLen = length(t).cast("long")
     // mean token length > max  ⇔  (len - (nTokens - 1)) > max * nTokens, integer-exact
     val gibberish = (charLen - (nTokens - 1L)) > lit(maxMeanTokenLen) * nTokens
-    val reasons =
-      when(nTokens < minTokens, 1L).otherwise(0L) +
-        when(stops < minStopHits, 2L).otherwise(0L) +
-        when(gibberish, 4L).otherwise(0L)
-    df.select(
-      col(idCol),
-      nTokens.as("n_tokens"),
-      reasons.as("reasons"),
-      (reasons === 0L).cast("int").as("kept")
-    )
+    when(nTokens < minTokens, 1L).otherwise(0L) +
+      when(stops < minStopHits, 2L).otherwise(0L) +
+      when(gibberish, 4L).otherwise(0L)
   }
 
   /** Dataset-card rollup: corpus composition per (language, source) — documents, exact
@@ -883,11 +895,35 @@ object TextStats {
   /** Per-(doc, slot) hashed term frequencies — the feature relation the trained
     * quality classifier consumes (t28's md5-slot idiom, occurrence-weighted).
     */
+  /** The one rendition of the feature-slot hash, shared by the relational
+    * [[hashedTf]] and the per-row [[inlineMarginMicro]] scoring forms.
+    */
+  private def slotOf(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % buckets
+
   private[graft] def hashedTf(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
     tokens(df, idCol, textCol)
-      .select(col(idCol),
-        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % buckets).as("slot"))
+      .select(col(idCol), slotOf(col("token"), buckets).as("slot"))
       .groupBy(col(idCol), col("slot")).agg(count(lit(1)).as("tf"))
+
+  /** Per-ROW scoring margin against a weight MAP literal: Σ over token
+    * instances of w(slot(token)) — the same exact integers as [[lrScoreWith]]'s
+    * relational Σ tf·w (instances group to tf), with no join at all. The form a
+    * stream scores arrivals with when the model is collected once at setup
+    * (model-sized, the census-hoisting discipline) instead of broadcast-joined
+    * per batch.
+    */
+  private[graft] def inlineMarginMicro(text: Column, wmap: Column, buckets: Int): Column =
+    aggregate(split(text, " ", -1), lit(0L),
+      (acc, t) => acc + coalesce(element_at(wmap, slotOf(t, buckets)), lit(0L)))
+
+  /** The one rendition of the micro-quantized sigmoid over an exact integer
+    * margin, shared by [[lrScoreWith]] and the streaming calibration monitor.
+    */
+  private[graft] def sigmoidMicro(marginMicro: Column): Column =
+    floor(lit(1000000.0) /
+      (lit(1.0) + exp(-(marginMicro.cast("double") / lit(1000000.0))))
+      + lit(0.5)).cast("long")
 
   /** t38 — the TRAINED counterpart of [[linearQuality]]'s fixed pseudo-weights:
     * full-batch logistic regression over hashed bag-of-words features, with labels
@@ -1051,9 +1087,7 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(sum(col("tf") * coalesce(col("w_micro"), lit(0L))).as("margin_micro"))
       .select(col(idCol), col("margin_micro"),
-        floor(lit(1000000.0) /
-          (lit(1.0) + exp(-(col("margin_micro").cast("double") / lit(1000000.0))))
-          + lit(0.5)).cast("long").as("p_micro"),
+        sigmoidMicro(col("margin_micro")).as("p_micro"),
         when(col("margin_micro") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
 
   /** t40 — per-source tokenizer FERTILITY: how many post-merge symbols the

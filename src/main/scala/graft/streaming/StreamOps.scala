@@ -1175,6 +1175,62 @@ object StreamOps extends Serializable {
       }
   }
 
+  case class CalibrationRegister(
+      bin: Long, nDocs: Long, nPos: Long,
+      predMicro: Long, actualMicro: Long, gapMicro: Long)
+
+  /** Streaming twin of the t44 calibration table: a LIVE reliability monitor of
+    * the deployed quality gate. The weight table is collected ONCE at stream
+    * setup into a map literal (model-sized — the census-hoisting discipline),
+    * so scoring each arrival is a pure per-row codegen'd expression
+    * ([[graft.pipeline.TextStats.inlineMarginMicro]] — the same exact integers
+    * as lrScoreWith's relational Σ tf·w, no join, no shuffle before the
+    * register), labels are the IDENTICAL heuristic-gate expression the batch
+    * operator uses (`qualityReasons`), and state is THREE longs per predicted
+    * decile — ≤ nBins keys forever. Emitted rows recompute the two means from
+    * the exact integer registers, so any prefix equals
+    * [[graft.pipeline.TextStats.lrCalibration]] over the same documents
+    * (parity pinned in StreamOpsSpec). A drifting gap row is the signal that
+    * the deployed gate's probabilities stopped meaning p — the t42 swap
+    * check's between-retrains companion.
+    */
+  def streamingCalibration(
+      docs: DataFrame,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256,
+      nBins: Int = 10
+  ): Dataset[CalibrationRegister] = {
+    require(nBins > 0 && 1000000 % nBins == 0, s"nBins must divide 1e6: $nBins")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wmap = weights.collect()
+      .map(r => r.getAs[Long]("slot") -> r.getAs[Long]("w_micro")).toMap
+    val p = graft.pipeline.TextStats.sigmoidMicro(
+      graft.pipeline.TextStats.inlineMarginMicro(col(textCol), typedLit(wmap), buckets))
+    docs
+      .select(
+        p.as("p_micro"),
+        (graft.pipeline.TextStats.qualityReasons(col(textCol)) === 0L).cast("long").as("y"))
+      .select(
+        least((col("p_micro") / lit(1000000L / nBins)).cast("long"), lit(nBins - 1L)).as("bin"),
+        col("p_micro"), col("y"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (bin: Long, batch: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val st = state.getOption.getOrElse((0L, 0L, 0L))
+          val (n, pos, sp) = batch.foldLeft(st) { case ((n0, pos0, sp0), (_, pm, y)) =>
+            (n0 + 1L, pos0 + y, sp0 + pm)
+          }
+          state.update((n, pos, sp))
+          val pred = math.floor(sp.toDouble / n + 0.5).toLong
+          val act = math.floor(1e6 * pos.toDouble / n + 0.5).toLong
+          CalibrationRegister(bin, n, pos, pred, act, pred - act)
+      }
+  }
+
   case class DomainRegister(source: String, nDocs: Long, nTokens: Long, meanQualityMicro: Long)
 
   /** Streaming twin of dc01's per-source stats (`Curation.domainStats` minus the

@@ -692,6 +692,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming calibration registers reproduce t44's reliability table on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the t44 planted sweep: margin = n * w exactly, several deciles covered,
+    // labels flip at the 10-token heuristic minimum
+    val wAlpha = 150000L
+    val slotOf = { (tok: String) =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 256L
+    }
+    val weights = Seq((slotOf("alpha"), wAlpha)).toDF("slot", "w_micro")
+    def doc(n: Int): (Long, String) = (n.toLong, ("alpha " * n) + "w the z")
+    val first = (1 to 9).map(doc)
+    val second = (10 to 16).map(doc)
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingCalibration(
+        stream.toDS().toDF("doc_id", "text"), "text", weights, buckets = 256, nBins = 10)
+      .toDF().writeStream.format("memory").queryName("calreg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def check(prefix: Seq[(Long, String)]): Unit = {
+        val got = spark.sql(
+          """SELECT bin, nDocs, nPos, predMicro, actualMicro, gapMicro FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY bin ORDER BY nDocs DESC) AS rk
+            |  FROM calreg)
+            |WHERE rk = 1""".stripMargin)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        val batch = graft.pipeline.TextStats
+          .lrCalibration(prefix.toDF("doc_id", "text"), "doc_id", "text", weights,
+            buckets = 256, nBins = 10)
+          .collect().map(r => r.getAs[Long]("bin") ->
+            ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"), r.getAs[Long]("pred_micro"),
+              r.getAs[Long]("actual_micro"), r.getAs[Long]("gap_micro")))).toMap
+        assert(got == batch, s"prefix of ${prefix.size}: $got vs $batch")
+        assert(got.size >= 3, s"planted sweep must cover several deciles: ${got.keys.toSeq.sorted}")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
   test("streaming domain-stats registers reproduce dc01's per-source stats on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
