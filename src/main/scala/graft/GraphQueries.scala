@@ -2165,6 +2165,51 @@ object GraphQueries {
       .select(col("t"), col("nf_micro"), col("frac_micro"))
   }
 
+  /** g55 — EFFECTIVE DIAMETER from the HyperANF curve (the classic payoff the
+    * published structure was built for — Boldi–Vigna–Rosa, WWW 2011 §1; Palmer
+    * et al., KDD 2002 define the interpolated form): the smallest t where the
+    * neighborhood function reaches `fracPct`% of its plateau, linearly
+    * interpolated between the bracketing rounds. Runs [[hyperAnf]] and reduces
+    * its ≤ rounds+1-row curve — the whole-graph distance statistic for the
+    * price of T register-merge rounds, where the exact answer is an all-pairs
+    * BFS (|V|·|E|).
+    *
+    * Determinism discipline: the interpolation reads the curve's already
+    * micro-quantized `frac_micro` column (≤ 1e6), so every intermediate is a
+    * small exact integer at ANY corpus scale — floor(x + ½) over a ratio of
+    * micro fractions is `(2·num + den) div (2·den)`, never a double and never
+    * near BIGINT range (≤ 2e12). Output: one row (t_hit, eff_diameter_micro,
+    * nf_max). t_hit = 0 (plateau already at radius 0) reports diameter 0.
+    */
+  def effectiveDiameter(spark: SparkSession, dir: String,
+      rounds: Int = 3, fracPct: Int = 90): DataFrame =
+    effectiveDiameterOf(hyperAnf(spark, dir, rounds), fracPct)
+
+  /** Kernel form of [[effectiveDiameter]] over an explicit (t, nf_micro,
+    * frac_micro) curve — property tests pin the interpolation on planted
+    * curves (hit at t = 0, exact hit, interpolated midpoints).
+    */
+  private[graft] def effectiveDiameterOf(nf: DataFrame, fracPct: Int): DataFrame = {
+    val target = fracPct.toLong * 10000L
+    val wT = Window.partitionBy().orderBy(col("t"))
+    val wAll = Window.partitionBy()
+    nf
+      .select(col("t"), col("nf_micro"), col("frac_micro"),
+        lag(col("frac_micro"), 1).over(wT).as("prev_frac"),
+        max(col("nf_micro")).over(wAll).as("nf_max"))
+      // first curve point at or past the target (frac_micro is nondecreasing)
+      .filter(col("frac_micro") >= target &&
+        (col("prev_frac").isNull || col("prev_frac") < target))
+      .select(
+        col("t").cast("int").as("t_hit"),
+        when(col("prev_frac").isNull, 0L)
+          .otherwise((col("t") - 1L) * 1000000L +
+            expr(s"(2 * 1000000 * ($target - prev_frac) + (frac_micro - prev_frac)) div " +
+              "(2 * (frac_micro - prev_frac))"))
+          .cast("long").as("eff_diameter_micro"),
+        col("nf_max"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

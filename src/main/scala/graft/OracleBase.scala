@@ -191,6 +191,11 @@ private[graft] trait OracleParams {
   /** g54's pinned HyperANF round count, shared by registration and oracle. */
   private[graft] val HyperAnfRounds = 3
 
+  /** g55's pinned effective-diameter fraction (per cent of the neighborhood
+    * function's plateau — the published 90%), shared by registration and oracle.
+    */
+  private[graft] val EffDiameterPct = 90
+
   /** t44's pinned reliability-table bin count, shared by registration and oracle. */
   private[graft] val CalibrationBins = 10
 

@@ -89,7 +89,51 @@ private[graft] object GraphOracles extends OracleFragments {
         maxHops = LandmarkHops, uMod = LandmarkUMod, vMod = LandmarkVMod)),
     "g54_hyperanf" -> ((s: SparkSession, dir: String) =>
       GraphQueries.hyperAnf(s, dir, rounds = HyperAnfRounds)),
+    "g55_effective_diameter" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.effectiveDiameter(s, dir, rounds = HyperAnfRounds,
+        fracPct = EffDiameterPct)),
   )
+
+  /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
+    * g55 effective-diameter wrapper (the t42/t41 composition discipline: the
+    * downstream oracle nests the upstream one so the two can never diverge).
+    */
+  private lazy val hyperAnfSql: String = {
+    val m = 16
+    val alphaMM = 0.673 * m * m
+    val mask = (1L << 28) - 1
+    def reg(t: Int) =
+      s"""c$t AS (SELECT v, idx, MAX(rho) AS rho FROM (
+           |         SELECT * FROM c${t - 1}
+           |         UNION ALL
+           |         SELECT e.src AS v, c.idx, c.rho FROM c${t - 1} c JOIN e ON c.v = e.dst)
+           |       GROUP BY v, idx)""".stripMargin
+      def nf(t: Int) =
+        s"""n$t AS (SELECT $t AS t, CAST(SUM(micro) AS BIGINT) AS nf_micro FROM (
+           |  SELECT CAST(floor(round(CASE
+           |      WHEN CAST('$alphaMM' AS DOUBLE) / ssum <= ${2.5 * m} AND n_regs < $m
+           |        THEN $m * ln($m::DOUBLE / ($m - n_regs)::DOUBLE)
+           |      ELSE CAST('$alphaMM' AS DOUBLE) / ssum END, 3) * 1000 + 0.5) AS BIGINT) AS micro
+           |  FROM (SELECT v, SUM(1.0::DOUBLE / (1::BIGINT << rho)) + ($m - COUNT(*))::DOUBLE AS ssum,
+           |               COUNT(*) AS n_regs
+           |        FROM c$t GROUP BY v)))""".stripMargin
+      s"""$snap,
+         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS h FROM vx),
+         |c0 AS (SELECT v, h >> 28 AS idx,
+         |         CASE WHEN (h & $mask) = 0 THEN 29
+         |              ELSE strpos(lpad(bin(h & $mask), 28, '0'), '1') END AS rho
+         |       FROM h0),
+         |${(1 to HyperAnfRounds).map(reg).mkString(",\n")},
+         |${(0 to HyperAnfRounds).map(nf).mkString(",\n")},
+         |nfr AS (${(0 to HyperAnfRounds).map(t => s"SELECT * FROM n$t").mkString(" UNION ALL ")})
+         |SELECT CAST(t AS INTEGER) AS t, nf_micro,
+         |  CAST(floor(1000000.0 * nf_micro::DOUBLE / (MAX(nf_micro) OVER ())::DOUBLE + 0.5) AS BIGINT)
+         |    AS frac_micro
+         |FROM nfr""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -194,41 +238,26 @@ private[graft] object GraphOracles extends OracleFragments {
     // chained CTEs; ball estimates linear-counted below 2.5m, micro-quantized
     // per vertex before the exact integer total — mirror of
     // GraphQueries.hyperAnf
-    "g54_hyperanf" -> {
-      val m = 16
-      val alphaMM = 0.673 * m * m
-      val mask = (1L << 28) - 1
-      def reg(t: Int) =
-        s"""c$t AS (SELECT v, idx, MAX(rho) AS rho FROM (
-           |         SELECT * FROM c${t - 1}
-           |         UNION ALL
-           |         SELECT e.src AS v, c.idx, c.rho FROM c${t - 1} c JOIN e ON c.v = e.dst)
-           |       GROUP BY v, idx)""".stripMargin
-      def nf(t: Int) =
-        s"""n$t AS (SELECT $t AS t, CAST(SUM(micro) AS BIGINT) AS nf_micro FROM (
-           |  SELECT CAST(floor(round(CASE
-           |      WHEN CAST('$alphaMM' AS DOUBLE) / ssum <= ${2.5 * m} AND n_regs < $m
-           |        THEN $m * ln($m::DOUBLE / ($m - n_regs)::DOUBLE)
-           |      ELSE CAST('$alphaMM' AS DOUBLE) / ssum END, 3) * 1000 + 0.5) AS BIGINT) AS micro
-           |  FROM (SELECT v, SUM(1.0::DOUBLE / (1::BIGINT << rho)) + ($m - COUNT(*))::DOUBLE AS ssum,
-           |               COUNT(*) AS n_regs
-           |        FROM c$t GROUP BY v)))""".stripMargin
-      s"""$snap,
-         |e AS (SELECT DISTINCT source_id AS src, destination_id AS dst FROM edges
-         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
-         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
-         |h0 AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT AS h FROM vx),
-         |c0 AS (SELECT v, h >> 28 AS idx,
-         |         CASE WHEN (h & $mask) = 0 THEN 29
-         |              ELSE strpos(lpad(bin(h & $mask), 28, '0'), '1') END AS rho
-         |       FROM h0),
-         |${(1 to HyperAnfRounds).map(reg).mkString(",\n")},
-         |${(0 to HyperAnfRounds).map(nf).mkString(",\n")},
-         |nfr AS (${(0 to HyperAnfRounds).map(t => s"SELECT * FROM n$t").mkString(" UNION ALL ")})
-         |SELECT CAST(t AS INTEGER) AS t, nf_micro,
-         |  CAST(floor(1000000.0 * nf_micro::DOUBLE / (MAX(nf_micro) OVER ())::DOUBLE + 0.5) AS BIGINT)
-         |    AS frac_micro
-         |FROM nfr""".stripMargin
+    "g54_hyperanf" -> hyperAnfSql,
+
+    // Effective diameter: the g54 curve reduced to its interpolated 90% point,
+    // every intermediate a small exact integer because the interpolation reads
+    // the already micro-quantized frac column — mirror of
+    // GraphQueries.effectiveDiameter
+    "g55_effective_diameter" -> {
+      val target = EffDiameterPct.toLong * 10000L
+      s"""SELECT CAST(t AS INTEGER) AS t_hit,
+         |  CAST(CASE WHEN prev_frac IS NULL THEN 0
+         |       ELSE (t - 1) * 1000000 +
+         |            (2 * 1000000 * ($target - prev_frac) + (frac_micro - prev_frac)) //
+         |            (2 * (frac_micro - prev_frac)) END AS BIGINT) AS eff_diameter_micro,
+         |  nf_max
+         |FROM (
+         |  SELECT t, frac_micro,
+         |         lag(frac_micro) OVER (ORDER BY t) AS prev_frac,
+         |         MAX(nf_micro) OVER () AS nf_max
+         |  FROM ($hyperAnfSql))
+         |WHERE frac_micro >= $target AND (prev_frac IS NULL OR prev_frac < $target)""".stripMargin
     },
 
     // Katz centrality, 3 unrolled attenuated-walk rounds in integer micro units

@@ -171,6 +171,47 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(rows(0) <= rows(1) && rows(1) <= rows(2), rows.toString)
   }
 
+  test("effectiveDiameterOf interpolates planted curves exactly") {
+    def diam(curve: Seq[(Int, Long, Long)]): (Int, Long, Long) = {
+      val row = GraphQueries
+        .effectiveDiameterOf(curve.toDF("t", "nf_micro", "frac_micro"), fracPct = 90)
+        .collect()
+      assert(row.length == 1, row.toSeq.toString)
+      (row(0).getAs[Int]("t_hit"), row(0).getAs[Long]("eff_diameter_micro"),
+        row(0).getAs[Long]("nf_max"))
+    }
+    // hit at t = 0 (plateau already at radius 0): diameter 0 by definition
+    assert(diam(Seq((0, 1000L, 1000000L), (1, 1000L, 1000000L))) == (0, 0L, 1000L))
+    // exact hit: frac crosses 900000 exactly at t = 2 -> interp lands on 2.0
+    assert(diam(Seq((0, 100L, 100000L), (1, 500L, 500000L), (2, 900L, 900000L),
+      (3, 1000L, 1000000L))) == (2, 2000000L, 1000L))
+    // interpolated midpoint: 500000 -> 1000000 brackets 900000 at 4/5 of the step
+    assert(diam(Seq((0, 500L, 500000L), (1, 1000L, 1000000L))) == (1, 800000L, 1000L))
+    // floor(x + 1/2) rounding of the fractional part: (900000-400000)/(999999-400000)
+    // = 0.8333347... -> 833335 micro
+    assert(diam(Seq((0, 400L, 400000L), (1, 999L, 999999L), (2, 1000L, 1000000L)))
+      == (1, 833335L, 1000L))
+  }
+
+  test("effectiveDiameter end-to-end agrees with the interpolation applied to hyperAnfOf") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val curve = GraphQueries.hyperAnfOf(df, rounds = 3)
+    val got = GraphQueries.effectiveDiameterOf(curve, fracPct = 90).collect()(0)
+    val rows = curve.collect()
+      .map(r => (r.getAs[Int]("t"), r.getAs[Long]("nf_micro"), r.getAs[Long]("frac_micro")))
+      .sortBy(_._1)
+    val (tHit, _, prevFrac) = rows.sliding(2).collectFirst {
+      case Array((_, _, p), (t, _, f)) if f >= 900000L && p < 900000L => (t, f, p)
+    }.getOrElse((0, 0L, 0L))
+    val fHit = rows.find(_._1 == tHit).get._3
+    val want =
+      if (tHit == 0) 0L
+      else (tHit - 1) * 1000000L +
+        (2L * 1000000L * (900000L - prevFrac) + (fHit - prevFrac)) / (2L * (fHit - prevFrac))
+    assert(got.getAs[Long]("eff_diameter_micro") == want, s"got $got want $want rows ${rows.toSeq}")
+    assert(got.getAs[Long]("nf_max") == rows.map(_._2).max)
+  }
+
   test("sccReachKernel on a planted core-plus-tail: the core's seed reaches the whole tail") {
     // 2 -> {1,3} cycle core... seed 2 inside a 3-cycle {1,2,3}, tail 3 -> 7 -> 9
     val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L), (7L, 9L)).toDF("src", "dst")
