@@ -199,6 +199,12 @@ private[graft] trait OracleParams {
   /** t44's pinned reliability-table bin count, shared by registration and oracle. */
   private[graft] val CalibrationBins = 10
 
+  /** t45's pinned OOV log-score penalty in micro-nats (the score a bigram gets
+    * when its successor token never appears in the reference corpus), shared by
+    * registration and oracle.
+    */
+  private[graft] val CcnetOovLpMicro = -20000000L
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

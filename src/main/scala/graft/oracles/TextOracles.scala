@@ -144,6 +144,10 @@ private[graft] object TextOracles extends OracleFragments {
           buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
         buckets = LrBuckets, nBins = CalibrationBins)
     }),
+    "t45_ccnet_tertiles" -> ((s: SparkSession, dir: String) =>
+      TextStats.ccnetTertiles(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source", refSource = DsirTargetSource,
+        oovLpMicro = CcnetOovLpMicro)),
     "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.gateSwapDecision(
@@ -760,6 +764,51 @@ private[graft] object TextOracles extends OracleFragments {
          |  pred_micro - actual_micro AS gap_micro
          |FROM agg""".stripMargin
     },
+
+    // CCNet perplexity tertiles: stupid-backoff bigram LM trained on the
+    // reference source only, every document scored against it (seen-bigram /
+    // unigram-backoff / pinned-OOV three-way per bigram, integer micro-nat
+    // quantization), exact tertiles by rank with the rfm bucket formula —
+    // mirror of TextStats.ccnetTertiles
+    "t45_ccnet_tertiles" ->
+      s"""WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |big AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+         |        FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
+         |              FROM base)),
+         |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+         |bm AS (SELECT w1, w2, count(*) AS cb FROM big
+         |       WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
+         |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bm GROUP BY 1),
+         |uni AS (SELECT token AS w2, count(*) AS cu
+         |        FROM (SELECT unnest(w) AS token FROM base WHERE source = '$DsirTargetSource')
+         |        GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_ref FROM uni),
+         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(tf * CASE
+         |           WHEN cb IS NOT NULL THEN
+         |             CAST(floor(1000000.0 * ln(cb::DOUBLE / cw1::DOUBLE) + 0.5) AS BIGINT)
+         |           WHEN cu IS NOT NULL THEN
+         |             CAST(floor(1000000.0 * ln(0.4 * (cu::DOUBLE / n_ref::DOUBLE)) + 0.5)
+         |               AS BIGINT)
+         |           ELSE $CcnetOovLpMicro END) AS BIGINT) AS sum_lp
+         |       FROM docb
+         |         LEFT JOIN (SELECT bm.w1, bm.w2, cb, cw1 FROM bm JOIN cm USING (w1)) m
+         |           USING (w1, w2)
+         |         LEFT JOIN uni USING (w2) CROSS JOIN tot
+         |       GROUP BY 1),
+         |per AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |          CASE WHEN n_bigrams IS NULL THEN $CcnetOovLpMicro
+         |               ELSE CAST(floor(sum_lp::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT)
+         |          END AS avg_lp_micro
+         |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
+         |n AS (SELECT count(*) AS n_docs FROM per),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY avg_lp_micro DESC, doc_id) AS rank
+         |       FROM per)
+         |SELECT doc_id, n_bigrams, avg_lp_micro,
+         |  CAST(1 + (rank - 1) * 3 // n_docs AS BIGINT) AS tertile,
+         |  CASE CAST(1 + (rank - 1) * 3 // n_docs AS BIGINT)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk CROSS JOIN n""".stripMargin,
 
     // confusion rollup of the trained gate vs its t05 supervision over scored
     // docs — mirror of TextStats.lrQualityEval composed from the training CTEs

@@ -1356,6 +1356,104 @@ object TextStats {
           .cast("long").as("avg_lp_micro"))
   }
 
+  /** t45 — CCNet-style PERPLEXITY TERTILES (Wenzek et al., LREC 2020 §3: score
+    * every document with an LM trained on a high-quality reference corpus, then
+    * split the corpus into head/middle/tail thirds by perplexity — the published
+    * shape behind "keep the head, drop the tail" web-corpus curation). The LM is
+    * a bigram model with STUPID BACKOFF (Brants et al., EMNLP 2007 — the
+    * smoothing designed for distributed trillion-token LMs precisely because
+    * every score is a ratio of two counts, no normalization pass):
+    *
+    *   s(w2|w1) = c(w1,w2)/c(w1)        if the bigram is in the reference
+    *            = α · c(w2)/N           else if w2 is a reference token (α = 0.4)
+    *            = exp(oovLpMicro/1e6)   else (OOV — pinned penalty, so unseen
+    *                                    vocabulary gets a score instead of vanishing)
+    *
+    * Cross-corpus by construction: counts come ONLY from `sourceCol = refSource`
+    * documents (the t31 target-source convention); every document — including
+    * reference ones — is scored against that model. Per-bigram log-scores
+    * quantize to integer micro-nats (the t20/t29 idiom) so per-doc sums are
+    * order-free; documents with < 2 tokens score the OOV penalty rather than
+    * dropping out. Tertiles are EXACT by rank (1 + (rank−1)·3 div n, avg-score
+    * desc with doc-id tie-break — the rfm bucket formula, no ntile), dispatched
+    * to one bounded global window below `maxGlobalWindowDocs` and to
+    * [[graft.AnalyticsQueries.distributedRank]]'s range-exchange form above it.
+    *
+    * Scale shape: ONE tokenize pass (checkpointed — bigram and reference-unigram
+    * consumers), model relations are vocabulary-sized aggregates equi-joined
+    * back to the doc-bigram relation (AQE broadcasts them when they fit), the
+    * reference total rides in as one broadcast row, and the ranked relation is
+    * the per-DOC aggregate. head = lowest perplexity (highest avg log-score).
+    */
+  def ccnetTertiles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      refSource: String,
+      oovLpMicro: Long = -20000000L,
+      maxGlobalWindowDocs: Long = 2000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.4 // Brants et al. 2007's backoff constant, shared with the oracle
+    val toks = tokens(df, idCol, textCol)
+      .localCheckpoint(true) // two consumers: the bigram window and reference unigrams
+    val nextW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("token"), 1).over(nextW))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("token").as("w1"), col("w2"))
+      .localCheckpoint(true) // two consumers: per-doc rollup and the reference model
+    val refIds = df.filter(col(sourceCol) === refSource).select(col(idCol))
+    val bm = bigrams.join(refIds, Seq(idCol))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // two consumers: the score join and the context marginal
+    val cm = bm.groupBy(col("w1")).agg(sum(col("cb")).as("cw1"))
+    val uni = toks.join(refIds, Seq(idCol))
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("token", "w2")
+      .localCheckpoint(true) // two consumers: the backoff join and the token total
+    val tot = uni.agg(sum(col("cu")).as("n_ref"))
+    // exact double sequence mirrored verbatim in the oracle:
+    // ln(cb/cw1) | ln(α·(cu/N)) | pinned OOV micro
+    val lp =
+      when(col("cb").isNotNull,
+        floor(lit(1000000.0) * log(col("cb").cast("double") / col("cw1").cast("double"))
+          + lit(0.5)).cast("long"))
+        .when(col("cu").isNotNull,
+          floor(lit(1000000.0) *
+            log(lit(alpha) * (col("cu").cast("double") / col("n_ref").cast("double")))
+            + lit(0.5)).cast("long"))
+        .otherwise(lit(oovLpMicro))
+    val scored = bigrams
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .join(bm.join(cm, "w1"), Seq("w1", "w2"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("tf"), lp.as("lp_micro"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("lp_micro")).as("sum_lp"))
+    val perDoc = df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(oovLpMicro))
+          .otherwise(floor(col("sum_lp").cast("double") / col("n_bigrams").cast("double")
+            + lit(0.5)).cast("long")).as("avg_lp_micro"))
+      .localCheckpoint(true) // two jobs: the dispatch count and the ranked chain
+    val n = perDoc.count()
+    val ord = Seq(col("avg_lp_micro").desc, col(idCol).asc)
+    val ranked =
+      if (n <= maxGlobalWindowDocs)
+        perDoc.withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      else graft.AnalyticsQueries.distributedRank(perDoc, "rank", ord)
+    ranked
+      .withColumn("tertile", expr(s"CAST(1 + (rank - 1) * 3 DIV $n AS BIGINT)"))
+      .select(col(idCol), col("n_bigrams"), col("avg_lp_micro"), col("tertile"),
+        when(col("tertile") === 1L, lit("head"))
+          .when(col("tertile") === 2L, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Pointwise mutual information of adjacent token pairs: the collocation detector
     * that finds multi-word units ("new york", "machine learning") worth preserving as
     * single tokenizer symbols. pmi = ln(p(xy) / (p(x)·p(y))) with p(xy) from the

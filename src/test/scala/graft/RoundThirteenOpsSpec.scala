@@ -271,6 +271,30 @@ class RoundThirteenOpsSpec extends SparkSpec {
     java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
   }
 
+  test("t45: planted corpus exercises all three backoff branches and the exact tertile cut") {
+    import graft.pipeline.TextStats
+    // reference "a b a b c": bm = {(a,b):2, (b,a):1, (b,c):1}, cw1 = {a:2, b:2},
+    // uni = {a:2, b:2, c:1}, N = 5
+    val docs = Seq(
+      (1L, "a b a b c", "ref"), // all bigrams seen: 0, 0, ln(1/2)µ, ln(1/2)µ -> avg -346573
+      (2L, "a b", "web"),       // seen branch: ln(2/2) = 0
+      (3L, "c c", "web"),       // unigram backoff: ln(0.4 * 1/5) -> -2525729
+      (4L, "x y", "web"),       // OOV successor: pinned penalty
+      (5L, "z", "web")          // no bigrams at all: counted, scored the penalty
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.ccnetTertiles(docs, "doc_id", "text", "source",
+      refSource = "ref", oovLpMicro = -20000000L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("avg_lp_micro"),
+          r.getAs[Long]("tertile"), r.getAs[String]("bucket")))).toMap
+    assert(got(2L) == ((1L, 0L, 1L, "head")), got.toString)             // rank 1
+    assert(got(1L) == ((4L, -346573L, 1L, "head")), got.toString)       // rank 2
+    assert(got(3L) == ((1L, -2525729L, 2L, "middle")), got.toString)    // rank 3
+    assert(got(4L) == ((1L, -20000000L, 2L, "middle")), got.toString)   // rank 4 (id tie-break)
+    assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
+  }
+
   test("dc14: epoch shuffle conserves membership and mass, permutes order, exactly as planted") {
     // a planted manifest: one source, one pack_group, six docs of 100 symbols
     val manifest = Seq.tabulate(6)(i => (i + 1L, "web", 0L, 100L))
