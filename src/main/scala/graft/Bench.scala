@@ -68,15 +68,20 @@ object Bench {
     // the two expensive new composites g54 + dc14 — headline membership is what
     // gives a multi-second query per-round HISTORY, so the outlier re-run
     // adjudicates it by min-of-history instead of flagging it every round under
-    // the above-median no-history rule
-    "t24_bpe_merges", "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
+    // the above-median no-history rule; t24_bpe_merges (~1.3-1.6s since r9,
+    // t25/t29/t31/t45 keep the family) and d17_incremental_dedup (~1.3-1.5s,
+    // d15/d18/d22 keep it) rotated r13e, paying for the new composite
+    // t45_ccnet_tertiles and for g54_hyperanf -> g55_effective_diameter (g55
+    // RUNS the full g54 register fixpoint and adds a 4-row reduction, so one
+    // headline slot prices both and g54 had no committed history to lose)
+    "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
     "g46_modularity",
     "d15_cluster_keep",
-    "d17_incremental_dedup", "d18_dedup_saved_index",
+    "d18_dedup_saved_index",
     "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled", "g50_condensation",
     "g52_scc_reachability", "dc12_epoch_manifest_saved", "s28_knn_graph_extend",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
-    "g54_hyperanf", "dc14_epoch_shuffle",
+    "g55_effective_diameter", "dc14_epoch_shuffle", "t45_ccnet_tertiles",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
