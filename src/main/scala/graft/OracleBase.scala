@@ -205,6 +205,14 @@ private[graft] trait OracleParams {
     */
   private[graft] val CcnetOovLpMicro = -20000000L
 
+  /** t46's pinned Gopher repetition thresholds in micro units (Rae et al. 2021
+    * appendix A: top n-gram char fraction for n = 2..4, duplicate n-gram char
+    * fraction for n = 5..10), shared by registration and oracle.
+    */
+  private[graft] val GopherTopMicro = Seq(200000L, 180000L, 160000L)
+  private[graft] val GopherDupMicro =
+    Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -148,6 +148,10 @@ private[graft] object TextOracles extends OracleFragments {
       TextStats.ccnetTertiles(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source", refSource = DsirTargetSource,
         oovLpMicro = CcnetOovLpMicro)),
+    "t46_gopher_repetition" -> ((s: SparkSession, dir: String) =>
+      TextStats.gopherRepetition(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text",
+        topThresholdsMicro = GopherTopMicro, dupThresholdsMicro = GopherDupMicro)),
     "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.gateSwapDecision(
@@ -763,6 +767,47 @@ private[graft] object TextOracles extends OracleFragments {
          |SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, pred_micro, actual_micro,
          |  pred_micro - actual_micro AS gap_micro
          |FROM agg""".stripMargin
+    },
+
+    // Gopher repetition battery: word n-grams unrolled per (position, n), top
+    // n-gram (n = 2..4) and duplicated n-gram (n = 5..10) character coverage as
+    // exact integer micro fractions, the published thresholds as a reason
+    // bitmask — mirror of TextStats.gopherRepetition
+    "t46_gopher_repetition" -> {
+      val names = (2 to 10).map(n => if (n <= 4) s"top${n}_micro" else s"dup${n}_micro")
+      val gCols = (2 to 10).map(n =>
+        s"CAST(COALESCE(SUM(CASE WHEN n = $n THEN chars_in END), 0) AS BIGINT) AS g$n")
+      val fracCols = (2 to 10).zip(names).map { case (n, nm) =>
+        s"CAST((2 * 1000000 * COALESCE(g$n, 0) + greatest(n_chars, 1)) // " +
+          s"(2 * greatest(n_chars, 1)) AS BIGINT) AS $nm"
+      }
+      val reasonTerms = (GopherTopMicro ++ GopherDupMicro).zipWithIndex.map {
+        case (t, i) => s"CASE WHEN ${names(i)} > $t THEN ${1L << i} ELSE 0 END"
+      }
+      s"""WITH base AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS w
+         |              FROM documents),
+         |ns AS (SELECT doc_id, w, unnest(generate_series(2, 10)) AS n FROM base),
+         |gi AS (SELECT doc_id, w, n, unnest(generate_series(1, len(w) - n + 1)) AS i FROM ns),
+         |cnt AS (SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram, COUNT(*) AS c
+         |        FROM gi GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS chars_in
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+         |                ORDER BY c DESC, length(gram) DESC, gram ASC) AS rk
+         |              FROM cnt WHERE n <= 4)
+         |        WHERE rk = 1),
+         |dup AS (SELECT doc_id, n, CAST(SUM(c * length(gram)) AS BIGINT) AS chars_in
+         |        FROM cnt WHERE n >= 5 AND c >= 2 GROUP BY 1, 2),
+         |u AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
+         |agg AS (SELECT doc_id, ${gCols.mkString(", ")} FROM u GROUP BY 1),
+         |per AS (SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+         |          ${(2 to 10).map(n => s"COALESCE(g$n, 0) AS g$n").mkString(", ")}
+         |        FROM base b LEFT JOIN agg USING (doc_id)),
+         |fr AS (SELECT doc_id, n_chars, ${fracCols.mkString(",\n         ")} FROM per)
+         |SELECT doc_id, n_chars, ${names.mkString(", ")},
+         |  CAST(${reasonTerms.mkString(" + ")} AS BIGINT) AS reasons,
+         |  CAST(CASE WHEN ${reasonTerms.mkString(" + ")} = 0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS kept
+         |FROM fr""".stripMargin
     },
 
     // CCNet perplexity tertiles: stupid-backoff bigram LM trained on the

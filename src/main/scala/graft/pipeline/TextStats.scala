@@ -1356,6 +1356,88 @@ object TextStats {
           .cast("long").as("avg_lp_micro"))
   }
 
+  /** t46 — GOPHER REPETITION RULES (Rae et al. 2021, appendix A1.1.3 — the
+    * published web-filter battery every modern pretraining pipeline reuses):
+    * per document, the TOP n-gram character fraction for n = 2..4 (characters
+    * covered by the single most frequent word n-gram) and the DUPLICATE n-gram
+    * character fraction for n = 5..10 (characters covered by n-grams occurring
+    * more than once), each tested against the paper's thresholds
+    * (0.20/0.18/0.16 and 0.15/0.14/0.13/0.12/0.11/0.10). A failing rule sets
+    * its bit in `reasons` (bit 0 = top-2 … bit 8 = dup-10, the t05 bitmask
+    * idiom); `kept` ⇔ all nine pass. Character coverage is occurrence-counted
+    * (count × n-gram length — the sum form, an upper bound where occurrences
+    * overlap; the paper does not specify overlap handling and the sum is the
+    * order-free exactly-aggregable form). The top n-gram tie-breaks
+    * deterministically by (count desc, char length desc, gram asc).
+    *
+    * Scale shape: ONE pass — the split array fans out to (position × n) rows
+    * (≤ 9·tokens per doc), per-(doc, n, gram) counts and the per-(doc, n)
+    * rollups are map-side-combinable hash aggs keyed by doc, the top-gram pick
+    * is a doc-keyed window over the (doc, n, gram) aggregate, and every
+    * fraction is exact integer micro arithmetic ((2a+b) div 2b — no doubles
+    * anywhere). Nothing holds more than per-document state.
+    */
+  def gopherRepetition(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topThresholdsMicro: Seq[Long] = Seq(200000L, 180000L, 160000L),
+      dupThresholdsMicro: Seq[Long] = Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topThresholdsMicro.size == 3 && dupThresholdsMicro.size == 6,
+      "gopher thresholds are the published n = 2..4 top and n = 5..10 dup batteries")
+    val grams = Scans.fanOut(df)
+      .select(col(idCol), length(col(textCol)).as("n_chars"),
+        split(col(textCol), " ", -1).as("w"))
+      // (n, i) pairs built by FILTER, not by sequence(1, size - n + 1): Spark's
+      // sequence(1, 0) is a DESCENDING range, so a doc shorter than n would
+      // reach slice() with start 0 instead of contributing nothing
+      .select(col(idCol), col("n_chars"), col("w"),
+        explode(expr(
+          "flatten(transform(sequence(2, 10), n -> " +
+            "filter(transform(sequence(1, size(w)), i -> struct(n AS n, i AS i)), " +
+            "p -> p.i + p.n - 1 <= size(w))))")).as("p"))
+      .select(col(idCol), col("n_chars"), col("p.n").as("n"),
+        expr("array_join(slice(w, p.i, p.n), ' ')").as("gram"))
+      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers: the top-gram window and the dup rollup
+    val wTop = Window.partitionBy(col(idCol), col("n"))
+      .orderBy(col("c").desc, length(col("gram")).desc, col("gram").asc)
+    val top = grams.filter(col("n") <= 4)
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col(idCol), col("n"), (col("c") * length(col("gram")).cast("long")).as("chars_in"))
+    val dup = grams.filter(col("n") >= 5 && col("c") >= 2)
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(col("c") * length(col("gram")).cast("long")).as("chars_in"))
+    val fracs = top.unionByName(dup)
+      .groupBy(col(idCol))
+      .pivot("n", (2 to 10).map(Integer.valueOf))
+      .agg(first(col("chars_in")))
+      .select(col(idCol) +: (2 to 10).map(n => col(s"$n").as(s"g$n")): _*)
+    val thresholds = topThresholdsMicro ++ dupThresholdsMicro
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(fracs, Seq(idCol), "left")
+      .select(
+        col(idCol) +: col("n_chars") +:
+          (2 to 10).map { n =>
+            // exact floor(1e6·a/b + ½) = (2·1e6·a + b) div 2b; greatest guards the
+            // empty-text doc (a = 0 there, so the clamped denominator is harmless)
+            expr(s"(2 * 1000000 * coalesce(g$n, 0) + greatest(n_chars, 1)) div " +
+              "(2 * greatest(n_chars, 1))").cast("long").as(fracName(n - 2))
+          }: _*)
+      .select(
+        col(idCol) +: col("n_chars") +: (0 until 9).map(i => col(fracName(i))) :+
+          thresholds.zipWithIndex.map { case (t, i) =>
+            when(col(fracName(i)) > t, 1L << i).otherwise(0L)
+          }.reduce(_ + _).as("reasons"): _*)
+      .withColumn("kept", (col("reasons") === 0L).cast("int"))
+  }
+
+  private def fracName(i: Int): String =
+    if (i < 3) s"top${i + 2}_micro" else s"dup${i + 2}_micro"
+
   /** t45 — CCNet-style PERPLEXITY TERTILES (Wenzek et al., LREC 2020 §3: score
     * every document with an LM trained on a high-quality reference corpus, then
     * split the corpus into head/middle/tail thirds by perplexity — the published

@@ -171,6 +171,71 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(rows(0) <= rows(1) && rows(1) <= rows(2), rows.toString)
   }
 
+  /** Sequential mirror of the t46 battery: brute-force n-gram maps per doc. */
+  private def mirrorGopher(docs: Seq[(Long, String)]): Map[Long, (Long, Seq[Long], Long, Int)] =
+    docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val nc = text.length.toLong
+      def frac(a: Long): Long = (2L * 1000000L * a + math.max(nc, 1L)) / (2L * math.max(nc, 1L))
+      val fracs = (2 to 10).map { n =>
+        val grams = (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val charsIn =
+          if (counts.isEmpty) 0L
+          else if (n <= 4) {
+            // deterministic tie-break: count desc, length desc, gram ASC
+            val best = counts.toSeq.sortBy { case (g, c) => (-c, -g.length.toLong, g) }.head
+            best._2 * best._1.length
+          } else counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+        frac(charsIn)
+      }
+      val thr = Seq(200000L, 180000L, 160000L, 150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
+      val reasons = fracs.zip(thr).zipWithIndex.collect {
+        case ((f, t), i) if f > t => 1L << i
+      }.sum
+      id -> ((nc, fracs, reasons, if (reasons == 0) 1 else 0))
+    }.toMap
+
+  test("gopherRepetition equals the sequential n-gram mirror on random docs") {
+    import graft.pipeline.TextStats
+    val docGen: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 18)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong + 1L) -> t }
+    check("gopher-mirror", Prop.forAll(docGen) { docs =>
+      docs.nonEmpty ==> {
+        val got = TextStats.gopherRepetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map { r =>
+            r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_chars"),
+              (2 to 10).map(n => r.getAs[Long](
+                if (n <= 4) s"top${n}_micro" else s"dup${n}_micro")).toSeq,
+              r.getAs[Long]("reasons"), r.getAs[Int]("kept")))
+          }.toMap
+        val want = mirrorGopher(docs)
+        (got == want) :| s"got $got want $want docs $docs"
+      }
+    })
+  }
+
+  test("gopherRepetition planted: triple-bigram loop trips the top battery, 5-gram echo the dup") {
+    import graft.pipeline.TextStats
+    val docs = Seq(
+      (1L, "a b a b a b"),            // top2 "a b"x3 -> 9/11 chars; top3/top4 also trip
+      (3L, "p q r s t p q r s t u")   // "p q r s t" twice -> dup5 trips (bit 3)
+    ).toDF("doc_id", "text")
+    val got = TextStats.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("top2_micro"), r.getAs[Long]("dup5_micro"),
+          r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+    assert(got(1L)._1 == 818182L, got.toString)       // (2e6*9+11) div 22
+    assert((got(1L)._3 & 7L) == 7L && got(1L)._4 == 0, got.toString)
+    assert(got(3L)._2 == 857143L, got.toString)       // 18 of 21 chars: (2e6*18+21) div 42
+    assert((got(3L)._3 & 8L) == 8L, got.toString)
+  }
+
   test("effectiveDiameterOf interpolates planted curves exactly") {
     def diam(curve: Seq[(Int, Long, Long)]): (Int, Long, Long) = {
       val row = GraphQueries
