@@ -1002,4 +1002,27 @@ class PlanSpec extends SparkSpec {
     val windowSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
     assert(windowSpec.contains("vec_id"), s"argmax window must be per-vector:\n$p")
   }
+
+  test("ccnet tertiles: the ranked answer plan reads the per-doc checkpoint only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.ccnetTertiles(
+      docs, "doc_id", "text", "source", refSource = "src0"))
+    // tokenize/model/scoring all land in the eager per-doc checkpoint; what the
+    // rank chain re-executes is doc-count-sized — no corpus re-scan, no joins
+    assert(!p.contains("FileScan") && !p.contains("Join"),
+      s"rank chain must read the per-doc checkpoint only:\n$p")
+  }
+
+  test("gopher repetition: one corpus scan; the fan-out and rollups stay doc-keyed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.gopherRepetition(docs, "doc_id", "text"))
+    // the (position, n) fan-out is materialized in the grams checkpoint; the
+    // answer plan re-reads the corpus ONCE for (doc_id, n_chars) and equi-joins
+    // the doc-keyed fraction rollup — never a pair product
+    assert("FileScan".r.findAllMatchIn(p).size == 1, s"one corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"the scan must prune to (doc_id, text):\n$scanLine")
+  }
 }
