@@ -501,6 +501,30 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the t46 Gopher repetition battery: each micro-batch of
+    * arriving documents runs `TextStats.gopherRepetition` inside `foreachBatch`
+    * — the published web-filter leg of the ingest gauntlet. The document is the
+    * unit of analysis (every n-gram a doc contributes lives inside that doc),
+    * so there is NO state at all: not even a loaded artifact — the batch
+    * arrives whole, the per-batch emission IS the t46 relation over the
+    * arrivals, and per-batch cost is the one bounded (position × n) fan-out
+    * over the arrivals. Batch parity on any prefix is therefore per-row
+    * identity (pinned in StreamOpsSpec).
+    */
+  def streamingGopherGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      onBatch: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.TextStats.gopherRepetition(batch, idCol, textCol),
+          batchId)
+      }
+
   /** Streaming twin of the s26 graph-ANN SERVING path: each micro-batch of
     * arriving QUERY vectors is answered against the loaded index artifact
     * ([[graft.pipeline.Similarity.loadGraphAnnIndex]] — adjacency, codebook,

@@ -919,6 +919,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming gopher gate emits the batch t46 battery per micro-batch of arrivals") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Long, Int)]
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingGopherGate(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r => verdicts(r.getAs[Long]("doc_id")) =
+            ((r.getAs[Long]("top2_micro"), r.getAs[Long]("reasons"), r.getAs[Int]("kept"))))
+        })
+      .start()
+    try {
+      val arrivals = Seq(
+        (201L, "a b a b a b"),                        // loops: the top battery fires
+        (202L, "p q r s t p q r s t u"),              // 5-gram echo: the dup battery fires
+        // clean doc must be LONG: with n tokens all distinct the top 4-gram
+        // still covers (4t+3)/(nt+n-1) chars, above the 0.16 bar until n ~ 25
+        (203L, ('a' to 'z').map(c => s"$c$c").mkString(" ")))
+      stream.addData(arrivals.take(2): _*)
+      query.processAllAvailable()
+      stream.addData(arrivals.drop(2): _*)
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      val batch = graft.pipeline.TextStats
+        .gopherRepetition(arrivals.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("top2_micro"), r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      assert(got(201L)._3 == 0 && got(202L)._3 == 0 && got(203L)._3 == 1, got.toString)
+    } finally query.stop()
+  }
+
   test("streaming funnel registers roll up to the batch ev19 operator on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
