@@ -82,7 +82,7 @@ object Bench {
     "g52_scc_reachability", "dc12_epoch_manifest_saved", "s28_knn_graph_extend",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
     "g55_effective_diameter", "dc14_epoch_shuffle", "t45_ccnet_tertiles",
-    "t46_gopher_repetition",
+    "t46_gopher_repetition", "g56_coreness",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -880,6 +880,49 @@ object GraphQueries {
       .select(col("src").as("source_id"), col("degree"))
   }
 
+  /** g56 — full CORENESS decomposition by H-INDEX ITERATION (Lü–Zhou–Zhang–
+    * Stanley, Nature Physics 2016: h⁰(v) = deg(v), hᵗ⁺¹(v) = the h-index of v's
+    * neighbors' hᵗ values; the sequence is monotone non-increasing and
+    * converges to the exact core number of every vertex — where g27's fixed-k
+    * peeling answers "who survives the k-core", this answers "what is EVERY
+    * vertex's k" in one job). Run for a pinned `rounds`, each value an exact
+    * integer upper bound on the true coreness that only tightens with t.
+    *
+    * Scale shape per round: ONE |E|-keyed equi-join ships neighbor values, the
+    * h-index is a per-vertex window over each vertex's neighbor list (degree-
+    * sized partitions — the same per-vertex-window shape as adjacencyTopK), and
+    * lineage truncates with an eager checkpoint like the pageRank loop. The
+    * oracle unrolls the rounds as chained CTEs over the identical window
+    * algebra; a sequential mirror pins the distributed fixpoint exactly AND
+    * pins convergence to Batagelj–Zaveršnik peeling coreness on random graphs.
+    */
+  def coreness(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val und = snap.unionByName(snap.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    corenessOf(und, rounds)
+  }
+
+  /** Kernel of [[coreness]] over a symmetric, self-loop-free (src, dst) relation. */
+  private[graft] def corenessOf(und: DataFrame, rounds: Int): DataFrame = {
+    val e = und.localCheckpoint(true)
+    val wV = Window.partitionBy(col("v")).orderBy(col("nh").desc, col("dst").asc)
+    var h = e.groupBy(col("src")).agg(count(lit(1)).as("h"))
+      .select(col("src").as("v"), col("h"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      h = e.join(h.withColumnRenamed("v", "dst").withColumnRenamed("h", "nh"), Seq("dst"))
+        .select(col("src").as("v"), col("dst"), col("nh"))
+        .withColumn("rn", row_number().over(wV).cast("long"))
+        .groupBy(col("v"))
+        .agg(max(least(col("nh"), col("rn"))).as("h"))
+        .localCheckpoint(true)
+    }
+    h.select(col("v").as("vertex_id"), col("h").as("coreness"))
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees over the
     * undirected edge list — one number saying whether hubs attach to hubs (>0) or to
     * leaves (<0). Every sum (Σx, Σy, Σxy, Σx², Σy², n over BOTH edge orientations) is

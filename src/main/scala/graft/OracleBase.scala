@@ -196,6 +196,12 @@ private[graft] trait OracleParams {
     */
   private[graft] val EffDiameterPct = 90
 
+  /** g56's pinned h-index-iteration round count, shared by registration and
+    * oracle (each round tightens the coreness upper bound; the oracle unrolls
+    * them as chained window CTEs).
+    */
+  private[graft] val CorenessRounds = 3
+
   /** t44's pinned reliability-table bin count, shared by registration and oracle. */
   private[graft] val CalibrationBins = 10
 

@@ -92,6 +92,8 @@ private[graft] object GraphOracles extends OracleFragments {
     "g55_effective_diameter" -> ((s: SparkSession, dir: String) =>
       GraphQueries.effectiveDiameter(s, dir, rounds = HyperAnfRounds,
         fracPct = EffDiameterPct)),
+    "g56_coreness" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.coreness(s, dir, rounds = CorenessRounds)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -239,6 +241,26 @@ private[graft] object GraphOracles extends OracleFragments {
     // per vertex before the exact integer total — mirror of
     // GraphQueries.hyperAnf
     "g54_hyperanf" -> hyperAnfSql,
+
+    // coreness by h-index iteration: h0 = degree, each round the h-index of
+    // neighbor values via the sorted-desc max(least(nh, rn)) identity, rounds
+    // unrolled as chained window CTEs — mirror of GraphQueries.coreness
+    "g56_coreness" -> {
+      def round(t: Int) =
+        s"""h$t AS (SELECT v, CAST(MAX(LEAST(nh, rn)) AS BIGINT) AS h FROM (
+           |         SELECT e.src AS v, e.dst, h.h AS nh,
+           |                row_number() OVER (PARTITION BY e.src ORDER BY h.h DESC, e.dst ASC)
+           |                  AS rn
+           |         FROM e JOIN h${t - 1} h ON h.v = e.dst) GROUP BY 1)""".stripMargin
+      s"""$snap,
+         |e0 AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |e AS (SELECT DISTINCT src, dst
+         |      FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |h0 AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY 1),
+         |${(1 to CorenessRounds).map(round).mkString(",\n")}
+         |SELECT v AS vertex_id, h AS coreness FROM h$CorenessRounds""".stripMargin
+    },
 
     // Effective diameter: the g54 curve reduced to its interpolated 90% point,
     // every intermediate a small exact integer because the interpolation reads

@@ -171,6 +171,63 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(rows(0) <= rows(1) && rows(1) <= rows(2), rows.toString)
   }
 
+  /** Sequential h-index iteration over the symmetric closure of random edges. */
+  private def mirrorHIndex(edges: List[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct.filter(p => p._1 != p._2)
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var h: Map[Long, Long] = adj.map { case (v, ns) => v -> ns.size.toLong }
+    for (_ <- 1 to rounds)
+      h = adj.map { case (v, ns) =>
+        val vals = ns.map(h).sortBy(-_)
+        v -> vals.zipWithIndex.map { case (x, i) => math.min(x, i + 1L) }.max
+      }
+    h
+  }
+
+  /** Batagelj–Zaveršnik peeling: the exact core number of every vertex. */
+  private def peelCoreness(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct.filter(p => p._1 != p._2)
+    var adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val peel = adj.collect { case (v, ns) if ns.size <= k => v }.toSet
+      if (peel.isEmpty) k += 1
+      else {
+        peel.foreach(core(_) = k)
+        adj = adj.collect { case (v, ns) if !peel(v) => v -> (ns -- peel) }
+      }
+    }
+    core.toMap
+  }
+
+  test("corenessOf equals the sequential h-index mirror on random graphs") {
+    check("coreness-mirror", Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = GraphQueries.corenessOf(
+          edges.flatMap(e => Seq(e, e.swap)).distinct.toDF("src", "dst"), rounds = 3)
+          .collect().map(r => r.getAs[Long]("vertex_id") -> r.getAs[Long]("coreness")).toMap
+        val want = mirrorHIndex(edges, rounds = 3)
+        (got == want) :| s"got $got want $want edges $edges"
+      }
+    })
+  }
+
+  test("h-index iteration converges to Batagelj–Zaveršnik peeling coreness and bounds it") {
+    check("coreness-converges", Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val exact = peelCoreness(edges)
+        val after3 = mirrorHIndex(edges, rounds = 3)
+        // the potential Σh ≤ |V|·max-degree strictly decreases each non-fixed
+        // round, so 100 rounds is a safe fixpoint bound for a ≤10-vertex graph
+        val converged = mirrorHIndex(edges, rounds = 100)
+        val bound = after3.forall { case (v, h) => h >= exact(v) }
+        (converged == exact && bound) :|
+          s"converged $converged exact $exact after3 $after3 edges $edges"
+      }
+    })
+  }
+
   /** Sequential mirror of the t46 battery: brute-force n-gram maps per doc. */
   private def mirrorGopher(docs: Seq[(Long, String)]): Map[Long, (Long, Seq[Long], Long, Int)] =
     docs.map { case (id, text) =>
