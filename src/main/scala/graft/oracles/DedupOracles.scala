@@ -255,6 +255,11 @@ private[graft] object DedupOracles extends OracleFragments {
     "d19_benchmark_decontam" -> ((s: SparkSession, dir: String) =>
       Dedup.benchmarkDecontaminate(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
+    // the eval-governance reverse of d19: per benchmark item, how much leaked,
+    // how many training docs quote it, the worst offender
+    "d23_leakage_report" -> ((s: SparkSession, dir: String) =>
+      Dedup.leakageReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
     // build-once/probe-every-ingest: the benchmark index persists to parquet and the
     // loaded artifact must reproduce d19's in-session probe to the hash
     "d20_decontam_saved" -> ((s: SparkSession, dir: String) => {
@@ -420,6 +425,38 @@ private[graft] object DedupOracles extends OracleFragments {
     // discipline.
     "d19_benchmark_decontam" -> decontamSql,
     "d20_decontam_saved" -> decontamSql,
+
+    // per-eval-item leakage rollup over the same distinct-5-gram hash relation
+    // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
+    "d23_leakage_report" -> {
+      val w = DecontamShingle
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${w - 1}], ' ') AS shingle
+         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+         |              FROM toks)),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh5),
+         |bh AS (SELECT doc_id AS bench_id, h FROM h WHERE doc_id % $DecontamMod = 0),
+         |tot AS (SELECT bench_id, COUNT(*) AS n_grams FROM bh GROUP BY 1),
+         |tr AS (SELECT doc_id AS train_id, h FROM h WHERE doc_id % $DecontamMod <> 0),
+         |hits AS (SELECT bh.bench_id, bh.h, tr.train_id FROM tr JOIN bh USING (h)),
+         |lk AS (SELECT bench_id, COUNT(DISTINCT h) AS n_leaked,
+         |              COUNT(DISTINCT train_id) AS n_train_docs
+         |       FROM hits GROUP BY 1),
+         |pair AS (SELECT bench_id, train_id, COUNT(*) AS n_shared FROM hits GROUP BY 1, 2),
+         |worst AS (SELECT bench_id, train_id AS worst_train_id, n_shared AS worst_shared
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY bench_id
+         |                  ORDER BY n_shared DESC, train_id ASC) AS rk FROM pair)
+         |          WHERE rk = 1)
+         |SELECT t.bench_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+         |  CAST((2 * 1000000 * COALESCE(n_leaked, 0) + n_grams) // (2 * n_grams) AS BIGINT)
+         |    AS leak_frac_micro,
+         |  CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         |  CAST(COALESCE(worst_train_id, -1) AS BIGINT) AS worst_train_id,
+         |  CAST(COALESCE(worst_shared, 0) AS BIGINT) AS worst_shared,
+         |  CAST(CASE WHEN COALESCE(n_leaked, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS dirty
+         |FROM tot t LEFT JOIN lk USING (bench_id) LEFT JOIN worst USING (bench_id)""".stripMargin
+    },
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

@@ -364,6 +364,62 @@ object Dedup {
         col("first_bench_id"))
   }
 
+  /** d23 — per-EVAL-ITEM leakage report: [[benchmarkDecontaminate]] reversed.
+    * d19 answers "which training docs quote the benchmark" (drop them); this
+    * answers the eval-governance question the published decontamination
+    * reports actually tabulate (GPT-3 appendix C's clean/dirty eval splits):
+    * for EVERY benchmark document with at least one word n-gram — how much of
+    * it leaked into training (distinct leaked n-grams, micro fraction), how
+    * many distinct training docs quote it, and the WORST offender (the
+    * training doc sharing the most distinct n-grams, min-id tie-break; −1 for
+    * a clean item). `dirty` = any leakage — the per-item retire/keep bit.
+    *
+    * Scale shape: the benchmark hash relation is eval-suite-sized and
+    * broadcasts into the probe against the training side's one linear shingle
+    * scan (the d19 join, re-keyed); everything downstream of the probe is
+    * keyed by (bench, train) CANDIDATE pairs — hash-collision-bounded, never a
+    * pair product — and the worst-offender pick is a per-bench-item window.
+    */
+  def leakageReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkMod: Long = 10L,
+      shingleSize: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bh = shingleHashes(df.filter(col(idCol) % benchmarkMod === 0), idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "bench_id")
+      .localCheckpoint(true) // two consumers: per-item totals and the probe
+    val totals = bh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = shingleHashes(df.filter(col(idCol) % benchmarkMod =!= 0), idCol, textCol, shingleSize)
+      .withColumnRenamed(idCol, "train_id")
+      .join(broadcast(bh), "h")
+      .localCheckpoint(true) // two consumers: leaked-gram rollup and the offender pairs
+    val leaked = hits.groupBy(col("bench_id"))
+      .agg(countDistinct(col("h")).as("n_leaked"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    val wB = Window.partitionBy(col("bench_id"))
+      .orderBy(col("n_shared").desc, col("train_id").asc)
+    val worst = hits.groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared")) // (bench, h, train) triples are distinct
+      .withColumn("rk", row_number().over(wB)).filter(col("rk") === 1)
+      .select(col("bench_id"), col("train_id").as("worst_train_id"),
+        col("n_shared").as("worst_shared"))
+    totals
+      .join(leaked, Seq("bench_id"), "left")
+      .join(worst, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        expr("(2 * 1000000 * coalesce(n_leaked, 0) + n_grams) div (2 * n_grams)")
+          .cast("long").as("leak_frac_micro"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("worst_train_id"), lit(-1L)).as("worst_train_id"),
+        coalesce(col("worst_shared"), lit(0L)).as("worst_shared"))
+      .withColumn("dirty", (col("n_leaked") > 0L).cast("int"))
+  }
+
   /** Persist the benchmark index range-clustered and sorted on the hash, so a probe
     * (or a point audit of one n-gram) row-group-skips on h — the saveDedupIndex
     * layout discipline.

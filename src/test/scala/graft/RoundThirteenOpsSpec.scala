@@ -295,6 +295,22 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("d23: the leakage report names the worst offender and keeps clean items clean") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),     // bench: both 5-grams leaked
+      (20L, "one two three four five six"),             // bench: clean
+      (1L, "alpha beta gamma delta epsilon zeta eta"),  // quotes BOTH of item 10's grams
+      (2L, "x alpha beta gamma delta epsilon")          // quotes one
+    ).toDF("doc_id", "text")
+    val got = Dedup.leakageReport(docs, "doc_id", "text", benchmarkMod = 10L, shingleSize = 5)
+      .collect().map(r => r.getAs[Long]("bench_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_leaked"), r.getAs[Long]("leak_frac_micro"),
+          r.getAs[Long]("n_train_docs"), r.getAs[Long]("worst_train_id"),
+          r.getAs[Long]("worst_shared"), r.getAs[Int]("dirty")))).toMap
+    assert(got(10L) == ((2L, 2L, 1000000L, 2L, 1L, 2L, 1)), got.toString)
+    assert(got(20L) == ((2L, 0L, 0L, 0L, -1L, 0L, 0)), got.toString)
+  }
+
   test("dc14: epoch shuffle conserves membership and mass, permutes order, exactly as planted") {
     // a planted manifest: one source, one pack_group, six docs of 100 symbols
     val manifest = Seq.tabulate(6)(i => (i + 1L, "web", 0L, 100L))
