@@ -1496,6 +1496,13 @@ object TextStats {
       .withColumnRenamed("token", "w2")
       .localCheckpoint(true) // two consumers: the backoff join and the token total
     val tot = uni.agg(sum(col("cu")).as("n_ref"))
+    // a missing/empty reference source would silently score EVERY document the
+    // OOV penalty and rank by id — data-shaped garbage. Fail loudly instead
+    // (the ivfAssignNew misconfiguration discipline); 1-row collect of a
+    // vocab-sized aggregate.
+    require(!tot.collect()(0).isNullAt(0),
+      s"ccnetTertiles: reference source '$refSource' has no tokens — " +
+        "the LM would be empty and every document would score the OOV penalty")
     // exact double sequence mirrored verbatim in the oracle:
     // ln(cb/cw1) | ln(α·(cu/N)) | pinned OOV micro
     val lp =

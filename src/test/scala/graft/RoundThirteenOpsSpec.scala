@@ -295,6 +295,15 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("t45: an empty reference source fails loudly instead of scoring everything OOV") {
+    import graft.pipeline.TextStats
+    val docs = Seq((1L, "a b c", "web")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      TextStats.ccnetTertiles(docs, "doc_id", "text", "source", refSource = "nope")
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
   test("d23: the leakage report names the worst offender and keeps clean items clean") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),     // bench: both 5-grams leaked
