@@ -2221,8 +2221,15 @@ object GraphQueries {
     * micro-quantized `frac_micro` column (≤ 1e6), so every intermediate is a
     * small exact integer at ANY corpus scale — floor(x + ½) over a ratio of
     * micro fractions is `(2·num + den) div (2·den)`, never a double and never
-    * near BIGINT range (≤ 2e12). Output: one row (t_hit, eff_diameter_micro,
-    * nf_max). t_hit = 0 (plateau already at radius 0) reports diameter 0.
+    * near BIGINT range (≤ 2e12). The raw HyperANF curve is NOT guaranteed
+    * nondecreasing — the per-vertex estimator switches from linear counting to
+    * the raw harmonic form as registers fill, and a ball crossing that boundary
+    * can DROP its estimate between rounds — so the interpolation reads the
+    * curve's monotone envelope (running max over t): the true neighborhood
+    * function is nondecreasing by definition, dips are estimator noise, and the
+    * envelope guarantees exactly ONE crossing row on any input. Output: one row
+    * (t_hit, eff_diameter_micro, nf_max). t_hit = 0 (plateau already at
+    * radius 0) reports diameter 0.
     */
   def effectiveDiameter(spark: SparkSession, dir: String,
       rounds: Int = 3, fracPct: Int = 90): DataFrame =
@@ -2235,12 +2242,16 @@ object GraphQueries {
   private[graft] def effectiveDiameterOf(nf: DataFrame, fracPct: Int): DataFrame = {
     val target = fracPct.toLong * 10000L
     val wT = Window.partitionBy().orderBy(col("t"))
+    val wCum = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
     nf
+      // monotone envelope: the raw estimator can dip across its regime switch
+      .select(col("t"), col("nf_micro"),
+        max(col("frac_micro")).over(wCum).as("frac_micro"))
       .select(col("t"), col("nf_micro"), col("frac_micro"),
         lag(col("frac_micro"), 1).over(wT).as("prev_frac"),
         max(col("nf_micro")).over(wAll).as("nf_max"))
-      // first curve point at or past the target (frac_micro is nondecreasing)
+      // first envelope point at or past the target — unique, envelope is nondecreasing
       .filter(col("frac_micro") >= target &&
         (col("prev_frac").isNull || col("prev_frac") < target))
       .select(

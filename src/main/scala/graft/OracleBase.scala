@@ -219,6 +219,18 @@ private[graft] trait OracleParams {
   private[graft] val GopherDupMicro =
     Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
 
+  /** t47's pinned Gopher document-quality thresholds (Rae et al. 2021 appendix
+    * A1.1.1: word-count and mean-word-length bounds, plus the required-word set
+    * with its ≥ 2-distinct-hits rule), shared by registration and oracle.
+    */
+  private[graft] val GopherMinWords = 50L
+  private[graft] val GopherMaxWords = 100000L
+  private[graft] val GopherMinMeanLen = 3L
+  private[graft] val GopherMaxMeanLen = 10L
+  private[graft] val GopherRequiredWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[graft] val GopherMinRequiredHits = 2
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

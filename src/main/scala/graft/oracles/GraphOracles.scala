@@ -264,7 +264,9 @@ private[graft] object GraphOracles extends OracleFragments {
 
     // Effective diameter: the g54 curve reduced to its interpolated 90% point,
     // every intermediate a small exact integer because the interpolation reads
-    // the already micro-quantized frac column — mirror of
+    // the already micro-quantized frac column; the raw curve is first replaced
+    // by its monotone envelope (running max) because the HyperANF estimator can
+    // dip across its linear-counting regime switch — mirror of
     // GraphQueries.effectiveDiameter
     "g55_effective_diameter" -> {
       val target = EffDiameterPct.toLong * 10000L
@@ -278,7 +280,11 @@ private[graft] object GraphOracles extends OracleFragments {
          |  SELECT t, frac_micro,
          |         lag(frac_micro) OVER (ORDER BY t) AS prev_frac,
          |         MAX(nf_micro) OVER () AS nf_max
-         |  FROM ($hyperAnfSql))
+         |  FROM (
+         |    SELECT t, nf_micro,
+         |           MAX(frac_micro) OVER (ORDER BY t
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frac_micro
+         |    FROM ($hyperAnfSql)))
          |WHERE frac_micro >= $target AND (prev_frac IS NULL OR prev_frac < $target)""".stripMargin
     },
 

@@ -152,6 +152,13 @@ private[graft] object TextOracles extends OracleFragments {
       TextStats.gopherRepetition(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text",
         topThresholdsMicro = GopherTopMicro, dupThresholdsMicro = GopherDupMicro)),
+    "t47_gopher_quality" -> ((s: SparkSession, dir: String) =>
+      TextStats.gopherQuality(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text",
+        minWords = GopherMinWords, maxWords = GopherMaxWords,
+        minMeanLen = GopherMinMeanLen, maxMeanLen = GopherMaxMeanLen,
+        requiredWords = GopherRequiredWords,
+        minRequiredHits = GopherMinRequiredHits)),
     "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.gateSwapDecision(
@@ -808,6 +815,47 @@ private[graft] object TextOracles extends OracleFragments {
          |  CAST(CASE WHEN ${reasonTerms.mkString(" + ")} = 0 THEN 1 ELSE 0 END AS INTEGER)
          |    AS kept
          |FROM fr""".stripMargin
+    },
+
+    // Gopher document-quality battery: seven integer-exact rules over the
+    // split-word and split-line arrays, division-free threshold comparisons —
+    // mirror of TextStats.gopherQuality
+    "t47_gopher_quality" -> {
+      val reqTerms = GopherRequiredWords
+        .map(rw => s"CASE WHEN list_contains(w, '$rw') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val reasonSql =
+        s"""CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1 ELSE 0 END
+           | + CASE WHEN sum_word_chars < $GopherMinMeanLen * n_words
+           |          OR sum_word_chars > $GopherMaxMeanLen * n_words THEN 2 ELSE 0 END
+           | + CASE WHEN n_symbols * 10 > n_words THEN 4 ELSE 0 END
+           | + CASE WHEN n_bullet_lines * 10 > n_lines THEN 8 ELSE 0 END
+           | + CASE WHEN n_ellipsis_lines * 10 > n_lines * 3 THEN 16 ELSE 0 END
+           | + CASE WHEN n_alpha_words * 5 < n_words * 4 THEN 32 ELSE 0 END
+           | + CASE WHEN req_hits < $GopherMinRequiredHits THEN 64 ELSE 0 END""".stripMargin
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         |                     string_split(text, chr(10)) AS ln FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT)
+         |    AS sum_word_chars,
+         |  CAST((length(text) - length(replace(text, '#', '')))
+         |     + (length(text) - length(replace(text, '...', ''))) // 3
+         |     + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
+         |  CAST(len(ln) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ln, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+         |    OR starts_with(l, '•'))) AS BIGINT) AS n_bullet_lines,
+         |  CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))
+         |    AS BIGINT) AS n_ellipsis_lines,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+         |    AS n_alpha_words,
+         |  CAST($reqTerms AS BIGINT) AS req_hits
+         |FROM base)
+         |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_lines, n_bullet_lines,
+         |  n_ellipsis_lines, n_alpha_words, req_hits,
+         |  CAST($reasonSql AS BIGINT) AS reasons,
+         |  CAST(CASE WHEN ($reasonSql) = 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM m""".stripMargin
     },
 
     // CCNet perplexity tertiles: stupid-backoff bigram LM trained on the

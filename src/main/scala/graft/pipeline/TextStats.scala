@@ -1387,20 +1387,21 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     require(topThresholdsMicro.size == 3 && dupThresholdsMicro.size == 6,
       "gopher thresholds are the published n = 2..4 top and n = 5..10 dup batteries")
+    // n_chars deliberately NOT carried through the fan-out (the operator's
+    // dominant relation) — the final select re-derives it from df by id-join
     val grams = Scans.fanOut(df)
-      .select(col(idCol), length(col(textCol)).as("n_chars"),
-        split(col(textCol), " ", -1).as("w"))
+      .select(col(idCol), split(col(textCol), " ", -1).as("w"))
       // (n, i) pairs built by FILTER, not by sequence(1, size - n + 1): Spark's
       // sequence(1, 0) is a DESCENDING range, so a doc shorter than n would
       // reach slice() with start 0 instead of contributing nothing
-      .select(col(idCol), col("n_chars"), col("w"),
+      .select(col(idCol), col("w"),
         explode(expr(
           "flatten(transform(sequence(2, 10), n -> " +
             "filter(transform(sequence(1, size(w)), i -> struct(n AS n, i AS i)), " +
             "p -> p.i + p.n - 1 <= size(w))))")).as("p"))
-      .select(col(idCol), col("n_chars"), col("p.n").as("n"),
+      .select(col(idCol), col("p.n").as("n"),
         expr("array_join(slice(w, p.i, p.n), ' ')").as("gram"))
-      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
+      .groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // two consumers: the top-gram window and the dup rollup
     val wTop = Window.partitionBy(col(idCol), col("n"))
@@ -1437,6 +1438,78 @@ object TextStats {
 
   private def fracName(i: Int): String =
     if (i < 3) s"top${i + 2}_micro" else s"dup${i + 2}_micro"
+
+  /** t47 — GOPHER DOCUMENT-QUALITY RULES (Rae et al. 2021, appendix A1.1.1 —
+    * with the [[gopherRepetition]] battery this completes the published Gopher
+    * web filter): per document,
+    *
+    *   - bit 0 — word count outside [`minWords`, `maxWords`]
+    *   - bit 1 — mean word length outside [`minMeanLen`, `maxMeanLen`]
+    *   - bit 2 — symbol-to-word ratio > 10% ('#' plus ASCII "..." plus '…')
+    *   - bit 3 — more than 10% of lines start with a bullet ("- ", "* ", '•')
+    *   - bit 4 — more than 30% of lines end with an ellipsis ("..." or '…')
+    *   - bit 5 — fewer than 80% of words contain an alphabetic character
+    *   - bit 6 — fewer than `minRequiredHits` DISTINCT members of
+    *     `requiredWords` present (the paper's {the, be, to, of, and, that,
+    *     have, with} ≥ 2 rule)
+    *
+    * `kept` ⇔ all seven pass (the t05/t46 bitmask idiom). Every test is exact
+    * integer arithmetic on counts — each ratio threshold is cleared of division
+    * (10·symbols > n_words, 10·bullets > n_lines, 10·ellipsis > 3·n_lines,
+    * 5·alpha < 4·n_words, minMeanLen·n ≤ Σlen ≤ maxMeanLen·n), so the verdict
+    * reproduces bit-for-bit on any engine. Words are the corpus convention's
+    * split-on-space array (empty split tokens included, as everywhere); lines
+    * split on newline.
+    *
+    * Scale shape: ONE map-side pass — every metric is a per-row expression over
+    * the split arrays (no explode, no join, no shuffle anywhere); the operator
+    * is a pure projection and composes with any downstream gate for free.
+    */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Long = 3L,
+      maxMeanLen: Long = 10L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
+  ): DataFrame = {
+    require(requiredWords.nonEmpty && requiredWords.distinct == requiredWords,
+      "gopherQuality: requiredWords must be non-empty and distinct")
+    val t = col(textCol)
+    val words = split(t, " ", -1)
+    val lines = split(t, "\n", -1)
+    val metrics = df.select(
+      col(idCol),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, x) => a + length(x)).as("sum_word_chars"),
+      // non-overlapping occurrence counts, the shared length-difference recipe
+      (occ(t, "#") + occ(t, "...") + occ(t, "…")).as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("long").as("n_ellipsis_lines"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      requiredWords.map(rw => when(array_contains(words, rw), 1L).otherwise(0L))
+        .reduce(_ + _).as("req_hits"))
+    val reasons =
+      when(col("n_words") < minWords || col("n_words") > maxWords, 1L).otherwise(0L) +
+        when(col("sum_word_chars") < lit(minMeanLen) * col("n_words") ||
+          col("sum_word_chars") > lit(maxMeanLen) * col("n_words"), 2L).otherwise(0L) +
+        when(col("n_symbols") * 10L > col("n_words"), 4L).otherwise(0L) +
+        when(col("n_bullet_lines") * 10L > col("n_lines"), 8L).otherwise(0L) +
+        when(col("n_ellipsis_lines") * 10L > col("n_lines") * 3L, 16L).otherwise(0L) +
+        when(col("n_alpha_words") * 5L < col("n_words") * 4L, 32L).otherwise(0L) +
+        when(col("req_hits") < minRequiredHits, 64L).otherwise(0L)
+    metrics
+      .withColumn("reasons", reasons)
+      .withColumn("kept", (col("reasons") === 0L).cast("int"))
+  }
 
   /** t45 — CCNet-style PERPLEXITY TERTILES (Wenzek et al., LREC 2020 §3: score
     * every document with an LM trained on a high-quality reference corpus, then

@@ -266,11 +266,6 @@ class RoundThirteenOpsSpec extends SparkSpec {
 
   // ---- dc14 epoch shuffle ---------------------------------------------------
 
-  private def md5h32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-  }
-
   test("t45: planted corpus exercises all three backoff branches and the exact tertile cut") {
     import graft.pipeline.TextStats
     // reference "a b a b c": bm = {(a,b):2, (b,a):1, (b,c):1}, cw1 = {a:2, b:2},
@@ -293,6 +288,20 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, -2525729L, 2L, "middle")), got.toString)    // rank 3
     assert(got(4L) == ((1L, -20000000L, 2L, "middle")), got.toString)   // rank 4 (id tie-break)
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
+  }
+
+  test("t45: the distributedRank dispatch branch equals the global-window branch") {
+    import graft.pipeline.TextStats
+    val docs = Seq(
+      (1L, "a b a b c", "ref"), (2L, "a b", "web"), (3L, "c c", "web"),
+      (4L, "x y", "web"), (5L, "z", "web")
+    ).toDF("doc_id", "text", "source")
+    def run(cap: Long) =
+      TextStats.ccnetTertiles(docs, "doc_id", "text", "source", refSource = "ref",
+        maxGlobalWindowDocs = cap)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    // cap 0 forces the distributedRank path (the > 2M-docs production branch)
+    assert(run(0L).toSeq == run(2000000L).toSeq)
   }
 
   test("t45: an empty reference source fails loudly instead of scoring everything OOV") {
@@ -371,12 +380,7 @@ class RoundThirteenOpsSpec extends SparkSpec {
     val wAlpha = 150000L
     val docs = (1 to 16).map(n => (n.toLong, ("alpha " * n) + "w the z"))
       .toDF("doc_id", "text")
-    val slotOf = { (tok: String) =>
-      val hex = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16) % 256L
-    }
-    val weights = Seq((slotOf("alpha"), wAlpha)).toDF("slot", "w_micro")
+    val weights = Seq((md5Slot("alpha", 256L), wAlpha)).toDF("slot", "w_micro")
     val got = TextStats.lrCalibration(docs, "doc_id", "text", weights, buckets = 256, nBins = 10)
       .collect()
       .map(r => r.getAs[Long]("bin") ->

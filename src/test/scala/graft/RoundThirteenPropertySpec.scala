@@ -107,18 +107,13 @@ class RoundThirteenPropertySpec extends SparkSpec {
   // computes each ball's TRUE register set via a sequential BFS closure and
   // applies the identical estimator — the outputs must match EXACTLY.
 
-  private def h32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-  }
-
   private def mirrorHyperAnf(edges: List[(Long, Long)], rounds: Int): Seq[(Int, Long, Long)] = {
     val m = 16
     val alphaMM = 0.673 * m * m
     val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     def reg(v: Long): (Long, Int) = {
-      val h = h32(v.toString)
+      val h = md5h32(v.toString)
       val w = h & ((1L << 28) - 1)
       val rho = if (w == 0L) 29 else 29 - java.lang.Long.toBinaryString(w).length
       (h >> 28, rho)
@@ -313,15 +308,29 @@ class RoundThirteenPropertySpec extends SparkSpec {
     // = 0.8333347... -> 833335 micro
     assert(diam(Seq((0, 400L, 400000L), (1, 999L, 999999L), (2, 1000L, 1000000L)))
       == (1, 833335L, 1000L))
+    // NON-MONOTONE curve (estimator dip across the linear-counting regime
+    // switch): raw frac crosses 900000 at t=1, dips below at t=2, re-crosses at
+    // t=3 — the monotone envelope keeps the t=1 crossing as the ONLY row (diam
+    // asserts row.length == 1) and interpolates the envelope, not the raw dip
+    assert(diam(Seq((0, 500L, 500000L), (1, 950L, 950000L), (2, 880L, 880000L),
+      (3, 1000L, 1000000L))) == (1, 888889L, 1000L))
+    // dip BEFORE the crossing: envelope plateaus at 800000 through t=2, then
+    // crosses — prev_frac reads the envelope (800000), not the raw dip (700000)
+    assert(diam(Seq((0, 800L, 800000L), (1, 700L, 700000L), (2, 1000L, 1000000L)))
+      == (2, 1500000L, 1000L))
   }
 
   test("effectiveDiameter end-to-end agrees with the interpolation applied to hyperAnfOf") {
     val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
     val curve = GraphQueries.hyperAnfOf(df, rounds = 3)
     val got = GraphQueries.effectiveDiameterOf(curve, fracPct = 90).collect()(0)
-    val rows = curve.collect()
+    val raw = curve.collect()
       .map(r => (r.getAs[Int]("t"), r.getAs[Long]("nf_micro"), r.getAs[Long]("frac_micro")))
       .sortBy(_._1)
+    // mirror the kernel's monotone envelope (running max of frac over t)
+    val rows = raw.scanLeft((0, 0L, Long.MinValue)) {
+      case ((_, _, acc), (t, nf, f)) => (t, nf, math.max(acc, f))
+    }.tail
     val (tHit, _, prevFrac) = rows.sliding(2).collectFirst {
       case Array((_, _, p), (t, _, f)) if f >= 900000L && p < 900000L => (t, f, p)
     }.getOrElse((0, 0L, 0L))

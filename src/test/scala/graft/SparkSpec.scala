@@ -20,6 +20,24 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Test-side mirror of the md5-prefix register hash (Sketches.h32: first 4
+    * md5 bytes as an unsigned 32-bit value). ONE shared mirror — a recipe
+    * change in src/main must be reflected here exactly once.
+    */
+  def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** Test-side mirror of the md5 feature-slot hash (TextStats.slotOf / the
+    * drift bucket recipe: first 15 md5 hex chars mod `buckets`).
+    */
+  def md5Slot(s: String, buckets: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % buckets
+  }
+
   /** Actors from the reference specs (`unit/SqlShardSpec.scala:32-37`). */
   val (alice, bob, carl, darcy, earl, frank) = (1L, 2L, 3L, 4L, 5L, 6L)
   val FOLLOWS = 1

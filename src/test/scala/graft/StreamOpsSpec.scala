@@ -698,12 +698,7 @@ class StreamOpsSpec extends SparkSpec {
     // the t44 planted sweep: margin = n * w exactly, several deciles covered,
     // labels flip at the 10-token heuristic minimum
     val wAlpha = 150000L
-    val slotOf = { (tok: String) =>
-      val hex = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16) % 256L
-    }
-    val weights = Seq((slotOf("alpha"), wAlpha)).toDF("slot", "w_micro")
+    val weights = Seq((md5Slot("alpha", 256L), wAlpha)).toDF("slot", "w_micro")
     def doc(n: Int): (Long, String) = (n.toLong, ("alpha " * n) + "w the z")
     val first = (1 to 9).map(doc)
     val second = (10 to 16).map(doc)
@@ -1167,15 +1162,10 @@ class StreamOpsSpec extends SparkSpec {
   test("streaming drift reproduces batch t37 on every prefix") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def bucketOf(token: String, buckets: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
-    }
     val bks = 64
     val early = Seq((0L, "a b c a", "s1"), (1L, "b c d", "s2"), (2L, "a a e", "s1"))
     val reference: Map[String, Map[Long, Long]] = early.groupBy(_._3).map { case (src, ds) =>
-      src -> ds.flatMap(_._2.split(" ")).groupBy(t => bucketOf(t, bks))
+      src -> ds.flatMap(_._2.split(" ")).groupBy(t => md5Slot(t, bks.toLong))
         .map { case (b, ts) => b -> ts.size.toLong }
     }
     val stream = MemoryStream[(String, String)]
