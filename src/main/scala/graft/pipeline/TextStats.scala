@@ -1511,6 +1511,43 @@ object TextStats {
       .withColumn("kept", (col("reasons") === 0L).cast("int"))
   }
 
+  /** t48 — the FULL published Gopher filter: the [[gopherQuality]] battery and
+    * the [[gopherRepetition]] battery joined per document, `kept` ⇔ every rule
+    * of BOTH passes. This is the gate a production web-corpus run deploys (Rae
+    * et al. 2021 filter the two batteries together); the per-battery masks stay
+    * separate in the output (`quality_reasons`, `rep_reasons`) so an audit can
+    * attribute every drop to its named rule.
+    *
+    * Scale shape: the (id, text) projection is materialized ONCE
+    * (localCheckpoint — the dc05/q15 multi-consumer discipline) and feeds both
+    * batteries, so the corpus text is scanned once; the quality side is a pure
+    * map over the checkpoint, the repetition side is t46's bounded fan-out, and
+    * the final id-equi-join is between two per-document relations.
+    */
+  def gopherGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
+  ): DataFrame = {
+    val base = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val quality = gopherQuality(base, idCol, textCol, minWords = minWords,
+      maxWords = maxWords, requiredWords = requiredWords,
+      minRequiredHits = minRequiredHits)
+      .select(col(idCol), col("n_words"), col("reasons").as("quality_reasons"))
+    val rep = gopherRepetition(base, idCol, textCol)
+      .select(col(idCol), col("n_chars"), col("reasons").as("rep_reasons"))
+    quality.join(rep, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        col("quality_reasons"), col("rep_reasons"),
+        (col("quality_reasons") === 0L && col("rep_reasons") === 0L)
+          .cast("int").as("kept"))
+  }
+
   /** t45 — CCNet-style PERPLEXITY TERTILES (Wenzek et al., LREC 2020 §3: score
     * every document with an LM trained on a high-quality reference corpus, then
     * split the corpus into head/middle/tail thirds by perplexity — the published

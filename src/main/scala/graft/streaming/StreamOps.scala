@@ -501,27 +501,35 @@ object StreamOps extends Serializable {
           batchId)
       }
 
-  /** Streaming twin of the t46 Gopher repetition battery: each micro-batch of
-    * arriving documents runs `TextStats.gopherRepetition` inside `foreachBatch`
-    * — the published web-filter leg of the ingest gauntlet. The document is the
-    * unit of analysis (every n-gram a doc contributes lives inside that doc),
-    * so there is NO state at all: not even a loaded artifact — the batch
-    * arrives whole, the per-batch emission IS the t46 relation over the
-    * arrivals, and per-batch cost is the one bounded (position × n) fan-out
-    * over the arrivals. Batch parity on any prefix is therefore per-row
-    * identity (pinned in StreamOpsSpec).
+  /** Streaming twin of the FULL Gopher filter (t48 — the t46 repetition battery
+    * joined with the t47 quality battery): each micro-batch of arriving
+    * documents runs `TextStats.gopherGate` inside `foreachBatch` — the
+    * published web filter as one gauntlet leg. The document is the unit of
+    * analysis (every rule reads only the doc's own text), so there is NO state
+    * at all: not even a loaded artifact — the batch arrives whole, the
+    * per-batch emission IS the t48 relation over the arrivals, and per-batch
+    * cost is one bounded (position × n) fan-out plus a map-side rule pass over
+    * the arrivals. Batch parity on any prefix is therefore per-row identity
+    * (pinned in StreamOpsSpec). `minWords`/`requiredWords` pass through so a
+    * deployment can tune the published thresholds to its corpus.
     */
   def streamingGopherGate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      onBatch: (DataFrame, Long) => Unit
+      onBatch: (DataFrame, Long) => Unit,
+      minWords: Long = 50L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(
-          graft.pipeline.TextStats.gopherRepetition(batch, idCol, textCol),
+          graft.pipeline.TextStats.gopherGate(batch, idCol, textCol,
+            minWords = minWords, requiredWords = requiredWords,
+            minRequiredHits = minRequiredHits),
           batchId)
       }
 

@@ -290,6 +290,41 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("t47: each Gopher quality rule trips its own bit on a planted doc") {
+    import graft.pipeline.TextStats
+    def doc(tokens: Seq[String]): String = tokens.mkString(" ")
+    val fill = (n: Int) => Seq.fill(n)("word")
+    val docs = Seq(
+      // clean: 50 words, mean 197/50, all alpha, two required words
+      (1L, doc(Seq("the", "of") ++ fill(48))),            // kept
+      (2L, doc(Seq("the", "of", "word"))),                // bit 0: 3 words < 50
+      (3L, doc(Seq("the", "of") ++ Seq.fill(48)("xx"))),  // bit 1: mean 101/50 < 3
+      (4L, doc(Seq("the", "of") ++ Seq.fill(48)("ab#c"))),// bit 2: 48 symbols, 480 > 50
+      // bit 3: 1 of 2 lines starts with "- " (word count stays >= 50)
+      (5L, "- the of " + (fill(46) :+ "word\nplain").mkString(" ") + " line here"),
+      // bit 4: both lines end with "..." (2 of 2 > 30%)
+      (6L, doc(Seq("the", "of") ++ fill(47) :+ "x...\ny...")),
+      (7L, doc(Seq("the", "of") ++ Seq.fill(48)("1234"))),// bit 5: 2 alpha of 50
+      (8L, doc(Seq("the") ++ fill(49))),                  // bit 6: only 1 required word
+      (9L, doc(Seq.fill(50)("the"))),                     // bit 6: DISTINCT hits, not occurrences
+      (10L, "")                                           // empty: bits 0, 1, 5, 6
+    ).toDF("doc_id", "text")
+    val got = TextStats.gopherQuality(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+    assert(got(1L) == ((0L, 1)), got.toString)
+    assert(got(2L) == ((1L, 0)), got.toString)
+    assert(got(3L) == ((2L, 0)), got.toString)
+    assert(got(4L) == ((4L, 0)), got.toString)
+    assert(got(5L) == ((8L, 0)), got.toString)
+    assert(got(6L) == ((16L, 0)), got.toString)
+    assert(got(7L) == ((32L, 0)), got.toString)
+    assert(got(8L) == ((64L, 0)), got.toString)
+    assert(got(9L) == ((64L, 0)), got.toString)
+    assert(got(10L) == ((1L + 2L + 32L + 64L, 0)), got.toString)
+  }
+
   test("t45: the distributedRank dispatch branch equals the global-window branch") {
     import graft.pipeline.TextStats
     val docs = Seq(

@@ -914,36 +914,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming gopher gate emits the batch t46 battery per micro-batch of arrivals") {
+  test("streaming gopher gate emits the full batch t48 filter per micro-batch of arrivals") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Long, Int)]
     val stream = MemoryStream[(Long, String)]
+    // thresholds tuned down for the short planted docs (the pass-through the
+    // docstring names): word-count floor 2, one required word from this vocab
     val query = StreamOps.streamingGopherGate(
         stream.toDS().toDF("doc_id", "text"), "doc_id", "text",
         onBatch = (out, _) => verdicts.synchronized {
           out.collect().foreach(r => verdicts(r.getAs[Long]("doc_id")) =
-            ((r.getAs[Long]("top2_micro"), r.getAs[Long]("reasons"), r.getAs[Int]("kept"))))
-        })
+            ((r.getAs[Long]("quality_reasons"), r.getAs[Long]("rep_reasons"),
+              r.getAs[Int]("kept"))))
+        },
+        minWords = 2L, requiredWords = Seq("a", "b"), minRequiredHits = 1)
       .start()
     try {
       val arrivals = Seq(
         (201L, "a b a b a b"),                        // loops: the top battery fires
-        (202L, "p q r s t p q r s t u"),              // 5-gram echo: the dup battery fires
+        (202L, "p q r s t p q r s t u a"),            // 5-gram echo: the dup battery fires
         // clean doc must be LONG: with n tokens all distinct the top 4-gram
-        // still covers (4t+3)/(nt+n-1) chars, above the 0.16 bar until n ~ 25
-        (203L, ('a' to 'z').map(c => s"$c$c").mkString(" ")))
+        // still covers (4t+3)/(nt+n-1) chars, above the 0.16 bar until n ~ 25;
+        // 4-char tokens keep the mean word length above the quality floor of 3
+        (203L, "a " + ('a' to 'z').map(c => s"$c$c$c$c").mkString(" ")),
+        (204L, "b"))                                  // quality battery: below the word floor
       stream.addData(arrivals.take(2): _*)
       query.processAllAvailable()
       stream.addData(arrivals.drop(2): _*)
       query.processAllAvailable()
       val got = verdicts.synchronized(verdicts.toMap)
       val batch = graft.pipeline.TextStats
-        .gopherRepetition(arrivals.toDF("doc_id", "text"), "doc_id", "text")
+        .gopherGate(arrivals.toDF("doc_id", "text"), "doc_id", "text",
+          minWords = 2L, requiredWords = Seq("a", "b"), minRequiredHits = 1)
         .collect().map(r => r.getAs[Long]("doc_id") ->
-          ((r.getAs[Long]("top2_micro"), r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+          ((r.getAs[Long]("quality_reasons"), r.getAs[Long]("rep_reasons"),
+            r.getAs[Int]("kept")))).toMap
       assert(got == batch, s"$got vs $batch")
-      assert(got(201L)._3 == 0 && got(202L)._3 == 0 && got(203L)._3 == 1, got.toString)
+      // repetition drops 201/202, quality drops 204, the long clean doc passes BOTH
+      assert(got(201L)._3 == 0 && got(201L)._2 != 0L, got.toString)
+      assert(got(202L)._3 == 0 && got(202L)._2 != 0L, got.toString)
+      assert(got(204L)._3 == 0 && got(204L)._1 != 0L && got(204L)._2 == 0L, got.toString)
+      assert(got(203L)._3 == 1, got.toString)
     } finally query.stop()
   }
 
