@@ -279,6 +279,11 @@ private[graft] trait OracleParams {
   private[graft] val KmeansTrainRounds = 3
   private[graft] val IvfPqTrainRounds = 2
 
+  /** s29's pinned metadata predicate (labels ≡ 0 mod this qualify), shared by
+    * registration and oracle.
+    */
+  private[graft] val FilteredAnnLabelMod = 3
+
   /** s21's pinned MMR parameters, shared by registration and oracle. */
   private[graft] val MmrQueryMod = 50
   private[graft] val MmrCandK = 10
@@ -465,7 +470,15 @@ private[graft] trait OracleFragments extends OracleParams {
   }
 
   /** Shared by s23 and s24 registrations: the trained-quantizer IVF-PQ mirror. */
-  protected lazy val ivfPqTrainedSql: String =
+  protected lazy val ivfPqTrainedSql: String = ivfPqTrainedSqlWith(None)
+
+  /** The s23 mirror parameterized by s29's allowed-id subquery: the predicate
+    * prunes the CELL relation before pair formation (`AND rid IN (...)`) — the
+    * same pre-filter placement as the Spark kernel's semi-join, so the index
+    * CTEs (trained cells, codes, LUT) stay built on the full corpus.
+    */
+  protected def ivfPqTrainedSqlWith(allowedSql: Option[String]): String = {
+    val cellFilter = allowedSql.map(sub => s" AND rid IN ($sub)").getOrElse("")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${kmeansCtes("base", 8, IvfPqTrainRounds)},
          |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
@@ -476,7 +489,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |  SELECT rid AS neighbor_id, cid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
          |    FROM scored_cells)
-         |  WHERE crank <= 1),
+         |  WHERE crank <= 1$cellFilter),
          |probes AS (
          |  SELECT rid AS query_id, cid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
@@ -519,6 +532,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
          |WHERE rank <= 5""".stripMargin
+  }
 
   /** The s21 MMR mirror: candidates and pair sims micro-quantized from the round-6
     * cosines, then the greedy selection UNROLLED round-for-round exactly like the

@@ -124,6 +124,15 @@ private[graft] object SimilarityOracles extends OracleFragments {
       Similarity.ivfPqTrainedTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         k = 5, kCells = 8, trainRounds = IvfPqTrainRounds)
     }),
+    // filtered ANN: same trained index, the label predicate pre-filters the
+    // cell relation — tenants share the artifact, the filter is per batch
+    "s29_ann_filtered" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqFilteredTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5,
+        allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
+        kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
     // the production two-job ANN shape: train the coarse quantizer once, persist
     // the model artifact, reload and search — the t26 save→load→replay discipline
     // applied to s23 (whose oracle SQL this query shares verbatim: the round trip
@@ -668,6 +677,8 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // reproduce the in-session result to the hash
     "s23_ivf_pq_trained" -> ivfPqTrainedSql,
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+    "s29_ann_filtered" -> ivfPqTrainedSqlWith(
+      Some(s"SELECT vec_id FROM embeddings WHERE label % $FilteredAnnLabelMod = 0")),
 
     // mirror of Similarity.ivfAssignNew over the AssignNewMod split: the codebook
     // trains on the pre-cut corpus (kmeansCtes over tr — same unrolled-rounds

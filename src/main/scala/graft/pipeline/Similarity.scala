@@ -1256,6 +1256,43 @@ object Similarity {
       kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds),
       nProbe, nSub, subDim, nCodes, overfetch)
 
+  /** s29 — FILTERED ANN: [[ivfPqTrainedTopK]] under a metadata predicate — the
+    * multi-tenant / faceted-search shape every production vector store serves
+    * ("top-k among documents matching this filter"). `allowed` is the
+    * predicate's id relation (first column = candidate ids that qualify); it
+    * PRE-filters the cell relation before pair formation inside
+    * [[ivfPqWithModel]], so each query fills k results whenever its probed
+    * cells hold k qualifying members — where post-filtering an unfiltered
+    * top-k would silently return fewer, or none when the global winners are
+    * all disallowed (the documented pre- vs post-filter distinction of the
+    * published IDSelector interface, Faiss / filtered-search literature).
+    *
+    * Scale shape: the index (trained cells, PQ codes, LUT) is built on the
+    * FULL corpus exactly once and shared across every filter — the predicate
+    * arrives per query batch and costs one semi-join against the cell
+    * relation, keyed on the candidate id, BEFORE any ADC scoring: candidate
+    * volume after the cut is |allowed ∩ probed cells|, and the expensive
+    * stages (ADC, exact rerank) never see a disallowed row.
+    */
+  def ivfPqFilteredTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      kCells: Int = 8,
+      trainRounds: Int = 2,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame =
+    ivfPqWithModel(queries, candidates, idCol, vecCol, k,
+      kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds),
+      nProbe, nSub, subDim, nCodes, overfetch, allowed = Some(allowed))
+
   /** Persist a trained coarse-quantizer model ([[kmeansRounds]] output) — the s24
     * artifact: cluster id + centroid array, one tiny parquet file. Doubles
     * round-trip parquet bit-exactly, so a reloaded model searches identically to
@@ -1387,7 +1424,8 @@ object Similarity {
       nSub: Int = 8,
       subDim: Int = 8,
       nCodes: Int = 16,
-      overfetch: Int = 4
+      overfetch: Int = 4,
+      allowed: Option[DataFrame] = None
   ): DataFrame = {
     val withCn = withCentroidNorm(model)
     val cents = broadcast(
@@ -1406,8 +1444,19 @@ object Similarity {
       df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
         .withColumn("nv", norm2(col("v")))
 
-    val cells = nearestCells(withNorm(candidates), keep = 1)
+    val allCells = nearestCells(withNorm(candidates), keep = 1)
       .select(col("rid").as("neighbor_id"), col("cid"))
+    // PRE-filter, not post-filter: the allowed set prunes the cell relation
+    // BEFORE pair formation, so a query still fills k results whenever its
+    // probed cells hold k allowed members — post-filtering the unfiltered
+    // top-k would return fewer (or none, when the global winners are all
+    // disallowed). The index itself (cells, codes, LUT codebooks) stays built
+    // on the FULL corpus: the filter is a per-query-batch argument against a
+    // shared artifact, the published IDSelector shape (Faiss), and the
+    // earliest place the predicate can cut the candidate volume.
+    val cells = allowed.fold(allCells)(a =>
+      allCells.join(a.select(col(a.columns.head).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
     val probes = nearestCells(withNorm(queries), keep = nProbe)
       .select(col("rid").as("query_id"), col("cid"))
     val candidatePairs = probes.join(cells, "cid")

@@ -290,6 +290,33 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("s29: filtered ANN returns only allowed neighbors, fills k, and reduces to s23") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val allowedIds = e.filter(col("label") % 3 === 0).select(col("vec_id"))
+    val allowedSet = allowedIds.collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfPqFilteredTopK(queries, e, "vec_id", "embedding",
+      k = 5, allowed = allowedIds, kCells = 8, trainRounds = 2).collect()
+    // every surviving neighbor satisfies the predicate
+    assert(got.forall(r => allowedSet.contains(r.getAs[Long]("neighbor_id"))))
+    // pre-filtering fills k: with ~40% of the corpus allowed and every cell
+    // populated, each query's probed cells hold >= k qualifying members
+    val perQuery = got.groupBy(_.getAs[Long]("query_id")).map(_._2.length)
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 5), perQuery.toString)
+    // the unfiltered top-k is NOT all-allowed (so a post-filter would starve)
+    val unfiltered = Similarity.ivfPqTrainedTopK(queries, e, "vec_id", "embedding",
+      k = 5, kCells = 8, trainRounds = 2).collect()
+    assert(unfiltered.exists(r => !allowedSet.contains(r.getAs[Long]("neighbor_id"))))
+    // allowed = everything reduces to the unfiltered search exactly
+    val all = Similarity.ivfPqFilteredTopK(queries, e, "vec_id", "embedding",
+      k = 5, allowed = e.select(col("vec_id")), kCells = 8, trainRounds = 2).collect()
+    assert(all.map(_.toSeq).sortBy(_.toString).toSeq ==
+      unfiltered.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("t47: each Gopher quality rule trips its own bit on a planted doc") {
     import graft.pipeline.TextStats
     def doc(tokens: Seq[String]): String = tokens.mkString(" ")
