@@ -298,6 +298,13 @@ private[graft] trait OracleParams {
   private[graft] val DecontamMod = 10L
   private[graft] val DecontamShingle = 5
 
+  /** d24's pinned cosine threshold in micro units. The published practice uses
+    * ~0.95 on real text embeddings; the synthetic corpus's similarity spread
+    * tops out near 0.49, so the pinned value sits inside that spread (≥ 0.40)
+    * to keep the flag column discriminating at bench scale.
+    */
+  private[graft] val SemanticDecontamMicro = 400000L
+
   /** dc05's pinned deterministic centroid sample (vec_id % mod == 0 are the cell
     * centers — the s04/d13 convention).
     */

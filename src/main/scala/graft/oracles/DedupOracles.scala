@@ -260,6 +260,13 @@ private[graft] object DedupOracles extends OracleFragments {
     "d23_leakage_report" -> ((s: SparkSession, dir: String) =>
       Dedup.leakageReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
+    // the EMBEDDING-space direction d19's n-grams can't see: paraphrased eval
+    // leakage by nearest-benchmark cosine (threshold sits inside the synthetic
+    // corpus's similarity spread so the flag discriminates at bench scale)
+    "d24_semantic_decontam" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Similarity.semanticDecontaminate(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        benchmarkMod = DecontamMod, thresholdMicro = SemanticDecontamMicro)),
     // build-once/probe-every-ingest: the benchmark index persists to parquet and the
     // loaded artifact must reproduce d19's in-session probe to the hash
     "d20_decontam_saved" -> ((s: SparkSession, dir: String) => {
@@ -428,6 +435,26 @@ private[graft] object DedupOracles extends OracleFragments {
 
     // per-eval-item leakage rollup over the same distinct-5-gram hash relation
     // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
+    // nearest-benchmark cosine per training vector, micro-quantized argmax with
+    // bench-id tie-break — mirror of Similarity.semanticDecontaminate
+    "d24_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % $DecontamMod = 0),
+         |t AS (SELECT vec_id, v FROM e WHERE vec_id % $DecontamMod <> 0),
+         |sc AS (SELECT t.vec_id, b.bench_id,
+         |         CAST(floor(1000000.0 * ${cosSql("t.v", "b.bv")} + 0.5) AS BIGINT)
+         |           AS cos_micro
+         |       FROM t, b),
+         |mx AS (SELECT vec_id, bench_id, cos_micro FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cos_micro DESC, bench_id) AS rk
+         |    FROM sc)
+         |  WHERE rk = 1)
+         |SELECT vec_id, bench_id, cos_micro AS max_cos_micro,
+         |  CAST(CASE WHEN cos_micro >= $SemanticDecontamMicro THEN 1 ELSE 0 END AS INTEGER)
+         |    AS contaminated
+         |FROM mx""".stripMargin,
+
     "d23_leakage_report" -> {
       val w = DecontamShingle
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

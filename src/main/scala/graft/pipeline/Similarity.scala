@@ -961,6 +961,53 @@ object Similarity {
     * operators instead), exactly like the d-family's doc-freq cap; the durable
     * remedy is raising the centroid count.
     */
+  /** d24 — SEMANTIC decontamination: the embedding-space counterpart of the d19
+    * n-gram probe. Benchmark vectors (`id % benchmarkMod == 0`, the d19 eval
+    * convention) broadcast into ONE scan of the training vectors; each training
+    * vector reports its nearest benchmark item (max rounded cosine, bench-id
+    * tie-break) and is `contaminated` iff that similarity reaches
+    * `thresholdMicro`. This catches what d19 cannot: PARAPHRASED eval leakage —
+    * a reworded benchmark question shares no 5-gram with the original but sits
+    * next to it in embedding space (the published motivation for
+    * embedding-level contamination checks alongside n-gram ones).
+    *
+    * Scale shape: the benchmark side is eval-suite-sized and broadcast; the
+    * training side streams through once, and the per-vector max is a map-side-
+    * combinable aggregate of a (cos_micro, bench) struct — no window, no
+    * shuffle of the pair relation, state is one row per training vector.
+    * Cosines quantize to integer micro units off the rounded value (the MMR
+    * idiom), so the argmax and the threshold compare are engine-exact.
+    */
+  def semanticDecontaminate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmarkMod: Long = 10L,
+      thresholdMicro: Long = 950000L
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+    val bench = broadcast(v.filter(col("vid") % benchmarkMod === 0)
+      .select(col("vid").as("bench_id"), col("v").as("bv"), col("nv").as("bn")))
+    val cosMicro = floor(lit(1000000.0) *
+      round(cosineFromNorms(dot(col("v"), col("bv")), col("nv"), col("bn")), 6)
+      + lit(0.5)).cast("long")
+    v.filter(col("vid") % benchmarkMod =!= 0)
+      .crossJoin(bench)
+      .select(col("vid").as("vec_id"), col("bench_id"), cosMicro.as("cos_micro"))
+      // struct max = (highest cos, then LOWEST bench id): deterministic argmax
+      // without a data-sized window — negating the id makes lexicographic max
+      // pick the smallest bench id on cosine ties
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_micro"), (-col("bench_id")).as("neg"),
+        col("bench_id"))).as("m"))
+      .select(
+        col("vec_id"),
+        col("m.bench_id").as("bench_id"),
+        col("m.cos_micro").as("max_cos_micro"),
+        (col("m.cos_micro") >= thresholdMicro).cast("int").as("contaminated"))
+  }
+
   def semDedup(
       df: DataFrame,
       idCol: String,

@@ -290,6 +290,28 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("d24: planted paraphrase pair is flagged, orthogonal vector is clean, ties break low") {
+    import graft.pipeline.Similarity
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f)),  // bench
+      (10L, Array(0.0f, 1.0f)), // bench
+      (1L, Array(2.0f, 0.0f)),  // colinear with bench 0 -> cos 1e6, contaminated
+      (2L, Array(0.0f, 3.0f)),  // colinear with bench 10 -> contaminated
+      (3L, Array(1.0f, 1.0f)),  // cos 707107 to BOTH -> tie breaks to bench 0, clean
+      (4L, Array(-1.0f, 0.0f))  // cos -1e6 / 0 -> max 0 via bench 10, clean
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(docs, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Long]("max_cos_micro"),
+          r.getAs[Int]("contaminated")))).toMap
+    assert(got == Map(
+      1L -> ((0L, 1000000L, 1)),
+      2L -> ((10L, 1000000L, 1)),
+      3L -> ((0L, 707107L, 0)),
+      4L -> ((10L, 0L, 0))), got.toString)
+  }
+
   test("s29: filtered ANN returns only allowed neighbors, fills k, and reduces to s23") {
     import graft.pipeline.Similarity
     import org.apache.spark.sql.functions.col
