@@ -93,6 +93,11 @@ private[graft] trait OracleParams {
   /** dc04's pinned per-epoch document budget the mix plan allocates. */
   private[graft] val MixBudgetDocs = 1000L
 
+  /** dc15's pinned anneal-set size (documents reserved for the end-of-run
+    * quality phase), shared by registration and oracle.
+    */
+  private[graft] val AnnealDocs = 64L
+
   /** s19's pinned tuning (query sampling mod, feedback depth, final depth), shared
     * by registration and oracle.
     */

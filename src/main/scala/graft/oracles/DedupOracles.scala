@@ -149,6 +149,25 @@ private[graft] object DedupOracles extends OracleFragments {
           "doc_id", "source", epochs = Seq(0L, 1L), budgetTokens = 512L)
       } finally deleteRecursively(scratch)
     }),
+    // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best
+    // documents by the t02 quality heuristic train LAST, quality-ascending —
+    // the published decay-phase curriculum derived from the same manifest
+    "dc15_epoch_anneal" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-anneal")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochAnneal(
+          Sampling.epochManifestUpsampled(docs, "doc_id", "source", "text",
+            TextStats.bpeLoadMerges(s, path),
+            alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+            budgetTokens = 512L, nGroups = 8),
+          docs.select(col("doc_id"), TextStats.qualityMicro(col("text")).as("q_micro")),
+          "doc_id", "source", annealDocs = AnnealDocs, epoch = 0L, budgetTokens = 512L)
+      } finally deleteRecursively(scratch)
+    }),
     "dc05_semantic_coverage" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.semanticCoverage(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -394,6 +413,45 @@ private[graft] object DedupOracles extends OracleFragments {
        |       CAST(SUM(ord * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        |           % 1000000)) AS BIGINT) AS order_check
        |FROM ecum GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // the dc14 order with an end-of-run anneal phase: global quality rank splits
+  // the manifest, phase 0 keeps the hash-shuffle order, phase 1 runs quality-
+  // ascending so the run ends at peak quality — mirror of Sampling.epochAnneal
+  private lazy val epochAnnealSql: String =
+    s"""WITH ${upsampledProwsBody("documents")},
+       |qd0 AS (SELECT doc_id, length(text) AS c,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+       |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |qd AS (SELECT doc_id,
+       |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+       |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS q_micro
+       |  FROM qd0),
+       |jm AS (SELECT p.source, p.pack_group, p.doc_id, p.n_syms,
+       |         COALESCE(q.q_micro, 0) AS q_micro
+       |       FROM prows p LEFT JOIN qd q USING (doc_id)),
+       |ph AS (SELECT *, CASE WHEN row_number() OVER (ORDER BY q_micro DESC, doc_id)
+       |                        <= $AnnealDocs THEN 1 ELSE 0 END AS phase
+       |       FROM jm),
+       |p0 AS (SELECT source, pack_group, doc_id, n_syms, q_micro,
+       |         row_number() OVER (PARTITION BY source, pack_group ORDER BY eh, doc_id) AS ord,
+       |         SUM(n_syms) OVER (PARTITION BY source, pack_group
+       |           ORDER BY eh, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+       |       FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS eh
+       |             FROM ph WHERE phase = 0)),
+       |p1 AS (SELECT source, pack_group, doc_id, n_syms, q_micro,
+       |         row_number() OVER (ORDER BY q_micro ASC, doc_id) AS ord,
+       |         SUM(n_syms) OVER (ORDER BY q_micro ASC, doc_id
+       |           ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+       |       FROM ph WHERE phase = 1),
+       |u AS (SELECT CAST(0 AS BIGINT) AS phase, * FROM p0
+       |      UNION ALL SELECT CAST(1 AS BIGINT), * FROM p1)
+       |SELECT phase, source, pack_group, CAST(tok_before // 512 AS BIGINT) AS ebin,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(ord * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 1000000)) AS BIGINT) AS order_check,
+       |       MIN(q_micro) AS q_min, MAX(q_micro) AS q_max
+       |FROM u GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
@@ -675,6 +733,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
+    "dc15_epoch_anneal" -> epochAnnealSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

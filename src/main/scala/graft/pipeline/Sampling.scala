@@ -580,6 +580,77 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** dc15 — ANNEALED CURRICULUM order: the published end-of-training practice
+    * (anneal/decay phases of MiniCPM, OLMo 2, Llama 3: reserve the final
+    * stretch of the run for the highest-quality data) derived from the epoch
+    * manifest + a per-doc quality relation. The `annealDocs` best documents
+    * (quality desc, id asc) form PHASE 1 and are ordered quality-ASCENDING so
+    * training finishes at peak quality; everything else is PHASE 0 in the dc14
+    * hash-shuffled order. Bins re-cut along each phase's order every
+    * `budgetTokens` replayed symbols. Output is the correctness rollup per
+    * (phase, source, pack_group, ebin): doc/token totals, the dc14
+    * order-sensitive checksum, and the bin's quality range — q_max of anneal
+    * bin b never exceeds q_min of bin b+1, the monotone-curriculum proof.
+    *
+    * `quality` is (id, q_micro) — passed in, not computed here, so a caller
+    * can stamp quality in the same scan that prices tokens (the dc09 one-scan
+    * discipline) or reuse a trained t39 margin instead of the t02 heuristic;
+    * docs missing from it score 0 (coalesce, the left-join convention).
+    *
+    * Scale shape: the manifest is mix-budget-bounded by construction, so the
+    * global anneal rank and the phase-1 global order are windows over a
+    * budget-sized relation (never corpus-sized — the same bound dc08's
+    * admission documented); phase 0 re-uses the (source, pack_group)-keyed
+    * dc14 windows. One localCheckpoint detaches the phase-stamped relation
+    * feeding both phase branches.
+    */
+  def epochAnneal(
+      manifest: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      annealDocs: Long,
+      epoch: Long = 0L,
+      budgetTokens: Long = 512L
+  ): DataFrame = {
+    require(annealDocs > 0, "epochAnneal: annealDocs must be positive")
+    val q = quality.select(col(idCol), col(quality.columns(1)).as("q_micro"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_micro").desc, col(idCol).asc)
+    val staged = manifest
+      .join(q, Seq(idCol), "left")
+      .withColumn("q_micro", coalesce(col("q_micro"), lit(0L)))
+      .withColumn("phase",
+        when(row_number().over(wQ) <= annealDocs, 1L).otherwise(0L))
+      .localCheckpoint(true) // two consumers: the per-phase order branches
+    def cut(rows: DataFrame, order: Seq[Column], perGroup: Boolean): DataFrame = {
+      val base = org.apache.spark.sql.expressions.Window
+      val w = (if (perGroup) base.partitionBy(col(sourceCol), col("pack_group"))
+               else base.partitionBy()).orderBy(order: _*)
+      rows
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .withColumn("tok_before", sum(col("n_syms")).over(w) - col("n_syms"))
+        .withColumn("ebin", (col("tok_before") / budgetTokens).cast("long"))
+    }
+    val main = cut(
+      staged.filter(col("phase") === 0L)
+        .withColumn("eh", Sketches.h32(
+          concat(col(idCol).cast("string"), lit(":"), lit(epoch).cast("string")))),
+      Seq(col("eh"), col(idCol)), perGroup = true)
+      .drop("eh")
+    val anneal = cut(staged.filter(col("phase") === 1L),
+      Seq(col("q_micro").asc, col(idCol).asc), perGroup = false)
+    main.unionByName(anneal)
+      .groupBy(col("phase"), col(sourceCol), col("pack_group"), col("ebin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(col("ord") * pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L)))
+          .as("order_check"),
+        min(col("q_micro")).as("q_min"),
+        max(col("q_micro")).as("q_max"))
+  }
+
   /** The doc-level half of the concat-and-cut fold: running exclusive token
     * total in (bucket, id) order within (source, pack_group), cut every
     * `budgetTokens` — each manifest row gains its pack's `bin`. This IS the

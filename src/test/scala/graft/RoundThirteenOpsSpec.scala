@@ -290,6 +290,36 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("dc15: anneal phase is the quality head, trains last in ascending order, conserves docs") {
+    import graft.pipeline.Sampling
+    // planted manifest: 8 docs, two sources, 6 syms each; quality = doc_id * 10
+    val manifest = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i % 2, 6L)).toDF("doc_id", "source", "pack_group", "n_syms")
+    val quality = (1L to 8L).map(i => (i, i * 10L)).toDF("doc_id", "q_micro")
+    val got = Sampling.epochAnneal(manifest, quality, "doc_id", "source",
+      annealDocs = 3L, epoch = 0L, budgetTokens = 10L).collect()
+    val anneal = got.filter(_.getAs[Long]("phase") == 1L)
+    val main = got.filter(_.getAs[Long]("phase") == 0L)
+    // conservation: every manifest doc lands in exactly one phase
+    assert(anneal.map(_.getAs[Long]("n_docs")).sum == 3L, got.toSeq.toString)
+    assert(main.map(_.getAs[Long]("n_docs")).sum == 5L, got.toSeq.toString)
+    // the anneal set is the quality HEAD (docs 6, 7, 8): phase 0 tops out at 50
+    assert(main.map(_.getAs[Long]("q_max")).max == 50L, main.toSeq.toString)
+    assert(anneal.map(_.getAs[Long]("q_min")).min == 60L, anneal.toSeq.toString)
+    // ascending within the anneal: 6 syms each, budget 10 -> bins of 1..2 docs,
+    // q_max of bin b never exceeds q_min of bin b+1 (global over sources)
+    val byBin = anneal.groupBy(_.getAs[Long]("ebin")).toSeq.sortBy(_._1)
+      .map { case (b, rs) =>
+        (b, rs.map(_.getAs[Long]("q_min")).min, rs.map(_.getAs[Long]("q_max")).max) }
+    assert(byBin.size >= 2, byBin.toString)
+    assert(byBin.sliding(2).forall {
+      case Seq((_, _, hiPrev), (_, loNext, _)) => hiPrev <= loNext
+      case _ => true
+    }, byBin.toString)
+    // token conservation across the whole epoch
+    assert(got.map(_.getAs[Long]("n_tokens")).sum == 48L, got.toSeq.toString)
+  }
+
   test("d24: planted paraphrase pair is flagged, orthogonal vector is clean, ties break low") {
     import graft.pipeline.Similarity
     val docs = Seq(
