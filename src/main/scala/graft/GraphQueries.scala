@@ -2264,6 +2264,106 @@ object GraphQueries {
         col("nf_max"))
   }
 
+  /** g57 — MINIMUM SPANNING FOREST by Borůvka rounds (Borůvka 1926; the
+    * textbook distributed MSF — GraphX/Pregel's canonical example — because
+    * every round is one component-local argmin, no sequential union–find): per
+    * round, every component picks its minimum incident cross-component edge
+    * under the STRICT total order (w, a, b) — unique weights make the MSF
+    * unique, and lexicographic tie-breaks make arbitrary weights behave like
+    * unique ones — then components contract along the picked edges. Edges are
+    * the undirected Normal graph-1 relation, weighted by the minimum LWW
+    * `position` over the pair's directed forms.
+    *
+    * Contraction is PARTIAL by design: `propSteps` rounds of symmetric
+    * min-label propagation over the picked-edge graph (each step one equi-join
+    * + hash-min). A cluster whose pick-graph diameter exceeds `propSteps`
+    * merges over MULTIPLE Borůvka rounds — still correct, because labels
+    * always name connected sub-forests and the cut property holds for ANY such
+    * partition; `rounds` absorbs the slack. The loop runs the FIXED unroll
+    * (no early exit — the oracle replays the identical round count) and
+    * RAISES if cross-component edges survive the last round, the g49
+    * non-convergence discipline. Output: the forest edges (a, b, w) — equal to
+    * Kruskal's result by MSF uniqueness (property-pinned against a sequential
+    * union–find mirror on random graphs).
+    *
+    * Scale shape: each round is two |E|-sized equi-joins (endpoint labels), a
+    * per-component argmin window keyed by component, a picked-edge relation
+    * bounded by the component count, and propagation steps that join the
+    * LABEL relation (component-sized, halving each round) — never all-pairs;
+    * labels checkpoint per round to cut the lineage, exactly the g49 loop
+    * shape. rounds ~ log |V| (components at least halve per full contraction).
+    */
+  def minSpanningForest(spark: SparkSession, dir: String,
+      rounds: Int = 6, propSteps: Int = 4): DataFrame =
+    msfOf(weightedUndirectedEdges(spark, dir), rounds, propSteps)
+
+  private def weightedUndirectedEdges(spark: SparkSession, dir: String): DataFrame =
+    TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .groupBy(
+        least(col("source_id"), col("destination_id")).as("a"),
+        greatest(col("source_id"), col("destination_id")).as("b"))
+      .agg(min(col("position")).as("w"))
+
+  /** Kernel form of [[minSpanningForest]] over an explicit (a, b, w) undirected
+    * relation — property tests feed random graphs and mirror with Kruskal.
+    */
+  private[graft] def msfOf(ue0: DataFrame, rounds: Int, propSteps: Int): DataFrame = {
+    val ue = ue0.select(col("a"), col("b"), col("w")).localCheckpoint(true)
+    var labels = ue.select(col("a").as("v"))
+      .unionByName(ue.select(col("b").as("v")))
+      .distinct()
+      .withColumn("c", col("v"))
+      .localCheckpoint(true)
+    var forest: DataFrame = null
+    val wPick = Window.partitionBy(col("c")).orderBy(col("w").asc, col("a").asc, col("b").asc)
+    for (_ <- 1 to rounds) {
+      val x = ue
+        .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(true) // feeds both pick directions
+      val inc = x.select(col("ca").as("c"), col("w"), col("a"), col("b"))
+        .unionByName(x.select(col("cb").as("c"), col("w"), col("a"), col("b")))
+      val pe = inc.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("w"), col("a"), col("b"))
+        .distinct()
+        .localCheckpoint(true) // forest accumulation + the pick graph
+      forest = if (forest == null) pe else forest.unionByName(pe)
+      val pg0 = pe
+        .join(labels.select(col("v").as("a"), col("c").as("c1")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("c").as("c2")), Seq("b"))
+        .select(col("c1"), col("c2"))
+      val pg = pg0.unionByName(pg0.select(col("c2").as("c1"), col("c1").as("c2")))
+        .distinct()
+        .localCheckpoint(true) // consumed propSteps times
+      var m = labels.select(col("c")).distinct().withColumn("m", col("c"))
+      for (_ <- 1 to propSteps) {
+        m = m.unionByName(
+            pg.join(m.withColumnRenamed("c", "c2"), Seq("c2"))
+              .select(col("c1").as("c"), col("m")))
+          .groupBy(col("c")).agg(min(col("m")).as("m"))
+      }
+      labels = labels
+        .join(m, Seq("c"))
+        .select(col("v"), col("m").as("c"))
+        .localCheckpoint(true)
+    }
+    val leftover = ue
+      .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+      .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+      .count()
+    if (leftover != 0L)
+      throw new IllegalStateException(
+        s"msfOf: $leftover cross-component edges after $rounds Borůvka rounds — raise rounds/propSteps")
+    // an edge can be re-picked across rounds when its cluster merged over
+    // several partial contractions — one distinct at the end dedups
+    forest.select(col("a"), col("b"), col("w")).distinct()
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

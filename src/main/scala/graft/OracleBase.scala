@@ -236,6 +236,13 @@ private[graft] trait OracleParams {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
   private[graft] val GopherMinRequiredHits = 2
 
+  /** g57's pinned Borůvka unroll (outer rounds / min-label propagation steps
+    * per contraction), shared by registration and oracle. The sf graphs
+    * converge in 4 rounds; the kernel raises if the unroll is too short.
+    */
+  private[graft] val MsfRounds = 6
+  private[graft] val MsfPropSteps = 4
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -94,6 +94,9 @@ private[graft] object GraphOracles extends OracleFragments {
         fracPct = EffDiameterPct)),
     "g56_coreness" -> ((s: SparkSession, dir: String) =>
       GraphQueries.coreness(s, dir, rounds = CorenessRounds)),
+    "g57_msf" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.minSpanningForest(s, dir,
+        rounds = MsfRounds, propSteps = MsfPropSteps)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -241,6 +244,60 @@ private[graft] object GraphOracles extends OracleFragments {
     // per vertex before the exact integer total — mirror of
     // GraphQueries.hyperAnf
     "g54_hyperanf" -> hyperAnfSql,
+
+    // Borůvka MSF: per round every component's min incident cross edge under
+    // the strict (w, a, b) order, contraction by `MsfPropSteps` symmetric
+    // min-label propagation steps over the picked-edge graph, rounds unrolled
+    // as chained MATERIALIZED CTEs (each l/pe is consumed several times — an
+    // inlined replay would cascade exponentially) — mirror of
+    // GraphQueries.minSpanningForest
+    "g57_msf" -> {
+      val sb = new StringBuilder
+      sb ++= s"""$snap,
+         |ue AS MATERIALIZED (SELECT least(source_id, destination_id) AS a,
+         |              greatest(source_id, destination_id) AS b,
+         |              CAST(MIN(position) AS BIGINT) AS w
+         |       FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |       GROUP BY 1, 2),
+         |l0 AS MATERIALIZED (SELECT v, v AS c FROM
+         |       (SELECT DISTINCT a AS v FROM ue UNION SELECT b FROM ue))""".stripMargin
+      for (r <- 1 to MsfRounds) {
+        sb ++= s""",
+           |x$r AS MATERIALIZED (SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
+           |  FROM ue e JOIN l${r - 1} la ON la.v = e.a JOIN l${r - 1} lb ON lb.v = e.b
+           |  WHERE la.c <> lb.c),
+           |pe$r AS MATERIALIZED (SELECT DISTINCT w, a, b FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rk
+           |    FROM (SELECT ca AS c, w, a, b FROM x$r
+           |          UNION ALL SELECT cb, w, a, b FROM x$r))
+           |  WHERE rk = 1),
+           |pg$r AS MATERIALIZED (SELECT DISTINCT c1, c2 FROM (
+           |    SELECT la.c AS c1, lb.c AS c2 FROM pe$r e
+           |      JOIN l${r - 1} la ON la.v = e.a JOIN l${r - 1} lb ON lb.v = e.b
+           |    UNION ALL
+           |    SELECT lb.c, la.c FROM pe$r e
+           |      JOIN l${r - 1} la ON la.v = e.a JOIN l${r - 1} lb ON lb.v = e.b)),
+           |m${r}_0 AS MATERIALIZED (SELECT c, c AS m FROM (SELECT DISTINCT c FROM l${r - 1}))"""
+          .stripMargin
+        for (p <- 1 to MsfPropSteps) {
+          sb ++= s""",
+             |m${r}_$p AS MATERIALIZED (SELECT c, MIN(m) AS m FROM (
+             |    SELECT c, m FROM m${r}_${p - 1}
+             |    UNION ALL
+             |    SELECT pg.c1 AS c, mm.m FROM pg$r pg
+             |      JOIN m${r}_${p - 1} mm ON mm.c = pg.c2) GROUP BY c)""".stripMargin
+        }
+        sb ++= s""",
+           |l$r AS MATERIALIZED (SELECT l.v, m.m AS c
+           |  FROM l${r - 1} l JOIN m${r}_$MsfPropSteps m ON m.c = l.c)""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT DISTINCT a, b, w FROM (
+         |  ${(1 to MsfRounds).map(r => s"SELECT * FROM pe$r").mkString(" UNION ALL ")})"""
+        .stripMargin
+      sb.toString
+    },
 
     // coreness by h-index iteration: h0 = degree, each round the h-index of
     // neighbor values via the sorted-desc max(least(nh, rn)) identity, rounds

@@ -44,6 +44,45 @@ class RoundThirteenPropertySpec extends SparkSpec {
     best.toMap
   }
 
+  /** Sequential Kruskal with union-find — the independent MSF mirror. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((w, a, b) <- edges.map { case (a, b, w) => (w, a, b) }.sorted) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  test("msfOf equals sequential Kruskal on random weighted graphs") {
+    check("boruvka-kruskal", Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        // canonicalize to undirected (a < b) with a deterministic weight per pair
+        val ue = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+          .map { case (a, b) => (a, b, (a * 7919 + b * 104729) % 1000) }
+        val got = GraphQueries.msfOf(ue.toDF("a", "b", "w"), rounds = 6, propSteps = 4)
+          .collect()
+          .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("w"))).toSet
+        val want = kruskal(ue)
+        (got == want) :| s"got $got want $want ue $ue"
+      }
+    })
+  }
+
+  test("msfOf raises when the unroll is too short to converge") {
+    // a 5-chain with ascending weights needs more than one round at propSteps=1
+    val ue = (1L to 4L).map(i => (i, i + 1, i * 10L))
+    val e = intercept[IllegalStateException] {
+      GraphQueries.msfOf(ue.toDF("a", "b", "w"), rounds = 1, propSteps = 1).collect()
+    }
+    assert(e.getMessage.contains("Borůvka"), e.getMessage)
+  }
+
   test("sccReachKernel equals a brute-force closure on random digraphs") {
     check("reach-from-set", Prop.forAll(edgeGen) { edges =>
       (edges.nonEmpty) ==> {
