@@ -984,15 +984,33 @@ object Similarity {
       vecCol: String,
       benchmarkMod: Long = 10L,
       thresholdMicro: Long = 950000L
+  ): DataFrame =
+    semanticProbe(
+      df.filter(col(idCol) % benchmarkMod =!= 0),
+      df.filter(col(idCol) % benchmarkMod === 0),
+      idCol, vecCol, thresholdMicro)
+
+  /** The probe half of [[semanticDecontaminate]], separated so the benchmark
+    * vectors can be a LOADED artifact and a stream can gate arrivals against
+    * them (the d19/d20 index/probe split applied to the embedding direction).
+    * `benchmark` shares `train`'s (idCol, vecCol) shape.
+    */
+  def semanticProbe(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholdMicro: Long
   ): DataFrame = {
-    val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nv", norm2(col("v")))
-    val bench = broadcast(v.filter(col("vid") % benchmarkMod === 0)
+    def vecs(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v")))
+    val bench = broadcast(vecs(benchmark)
       .select(col("vid").as("bench_id"), col("v").as("bv"), col("nv").as("bn")))
     val cosMicro = floor(lit(1000000.0) *
       round(cosineFromNorms(dot(col("v"), col("bv")), col("nv"), col("bn")), 6)
       + lit(0.5)).cast("long")
-    v.filter(col("vid") % benchmarkMod =!= 0)
+    vecs(train)
       .crossJoin(bench)
       .select(col("vid").as("vec_id"), col("bench_id"), cosMicro.as("cos_micro"))
       // struct max = (highest cos, then LOWEST bench id): deterministic argmax

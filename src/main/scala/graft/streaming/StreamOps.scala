@@ -470,6 +470,32 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the d24 SEMANTIC decontamination probe: each micro-batch
+    * of arriving embedding vectors is scored against the benchmark vector set
+    * inside `foreachBatch` ([[graft.pipeline.Similarity.semanticProbe]]) — the
+    * embedding-space gauntlet leg beside the n-gram decontamination gate,
+    * catching PARAPHRASED eval leakage the shingle probe cannot see. Stateless
+    * like its batch half: arrivals score whole, the benchmark relation is the
+    * only state (eval-suite-sized, broadcast per batch; refreshed by
+    * re-deploying the stream on an eval-suite release, the d20 cadence).
+    */
+  def streamingSemanticDecontam(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      thresholdMicro: Long
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Similarity.semanticProbe(batch, benchmark, idCol, vecCol,
+            thresholdMicro),
+          batchId)
+      }
+
   /** Streaming twin of the t39 trained-quality scorer: each ingest micro-batch is
     * scored against the LOADED weight artifact
     * ([[graft.pipeline.TextStats.loadLrWeights]]) inside `foreachBatch` — the

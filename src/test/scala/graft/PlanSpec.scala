@@ -1025,4 +1025,33 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("lang") && !scanLine.contains("source"),
       s"the scan must prune to (doc_id, text):\n$scanLine")
   }
+
+  test("gopher gate (t48): both batteries read the checkpoint, no re-scan of the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.TextStats.gopherGate(docs, "doc_id", "text"))
+    // the (id, text) projection checkpoints once; the composed plan must join
+    // the two battery relations without touching parquet again
+    assert(!p.contains("FileScan"), s"no corpus re-scan in the gate plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("filtered ANN (s29): the allowed set prunes via one semi-join before scoring") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.ivfPqFilteredTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+      allowed = e.filter(col("label") % 3 === 0).select(col("vec_id"))))
+    assert(p.contains("LeftSemi"), s"allowed-id pre-filter must be a semi-join:\n$p")
+  }
+
+  test("semantic decontamination (d24): broadcast benchmark, map-side argmax, no window") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.semanticDecontaminate(e, "vec_id", "embedding"))
+    // the benchmark side broadcasts into one pass; the per-vector argmax is a
+    // hash aggregate of the struct max — a data-sized window here would mean
+    // the pair relation got shuffled
+    assert(p.contains("BroadcastNestedLoopJoin"), s"benchmark must broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmax must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"map-side combinable aggregate expected:\n$p")
+  }
 }

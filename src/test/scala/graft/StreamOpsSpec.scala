@@ -914,6 +914,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic decontamination probes arrivals against the benchmark vectors") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((0L, Array(1.0f, 0.0f)), (10L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Long, Int)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamOps.streamingSemanticDecontam(
+        stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding", bench,
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r => verdicts(r.getAs[Long]("vec_id")) =
+            ((r.getAs[Long]("bench_id"), r.getAs[Long]("max_cos_micro"),
+              r.getAs[Int]("contaminated"))))
+        },
+        thresholdMicro = 950000L)
+      .start()
+    try {
+      val arrivals = Seq(
+        (1L, Array(2.0f, 0.0f)),  // colinear paraphrase -> contaminated
+        (3L, Array(1.0f, 1.0f)),  // tie at 707107 -> bench 0, clean
+        (4L, Array(-1.0f, 0.0f))) // max 0 via bench 10, clean
+      stream.addData(arrivals.take(1): _*)
+      query.processAllAvailable()
+      stream.addData(arrivals.drop(1): _*)
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      val batch = graft.pipeline.Similarity
+        .semanticProbe(arrivals.toDF("vec_id", "embedding"), bench,
+          "vec_id", "embedding", thresholdMicro = 950000L)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("bench_id"), r.getAs[Long]("max_cos_micro"),
+            r.getAs[Int]("contaminated")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      assert(got(1L)._3 == 1 && got(3L)._3 == 0 && got(4L)._3 == 0, got.toString)
+    } finally query.stop()
+  }
+
   test("streaming gopher gate emits the full batch t48 filter per micro-batch of arrivals") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
