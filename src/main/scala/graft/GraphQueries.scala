@@ -2279,10 +2279,12 @@ object GraphQueries {
     * + hash-min). A cluster whose pick-graph diameter exceeds `propSteps`
     * merges over MULTIPLE Borůvka rounds — still correct, because labels
     * always name connected sub-forests and the cut property holds for ANY such
-    * partition; `rounds` absorbs the slack. The loop runs the FIXED unroll
-    * (no early exit — the oracle replays the identical round count) and
-    * RAISES if cross-component edges survive the last round, the g49
-    * non-convergence discipline. Output: the forest edges (a, b, w) — equal to
+    * partition; `rounds` absorbs the slack. The loop exits early on the
+    * DETERMINISTIC completion condition (no cross-component edges remain —
+    * further rounds pick nothing and relabel nothing, so the output equals
+    * the oracle's full fixed unroll) and RAISES if cross-component edges
+    * survive the last round, the g49 non-convergence discipline. Output: the
+    * forest edges (a, b, w) — equal to
     * Kruskal's result by MSF uniqueness (property-pinned against a sequential
     * union–find mirror on random graphs).
     *
@@ -2317,13 +2319,19 @@ object GraphQueries {
       .withColumn("c", col("v"))
       .localCheckpoint(true)
     var forest: DataFrame = null
+    var converged = false
     val wPick = Window.partitionBy(col("c")).orderBy(col("w").asc, col("a").asc, col("b").asc)
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to rounds if !converged) {
       val x = ue
         .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
         .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint(true) // feeds both pick directions
+        .localCheckpoint(true) // feeds the convergence probe + both pick directions
+      // deterministic early exit: no cross-component edges ⇔ the forest is
+      // complete — later rounds would pick nothing and relabel nothing, so the
+      // output is identical to the oracle's full fixed unroll
+      converged = x.isEmpty
+      if (!converged) {
       val inc = x.select(col("ca").as("c"), col("w"), col("a"), col("b"))
         .unionByName(x.select(col("cb").as("c"), col("w"), col("a"), col("b")))
       val pe = inc.withColumn("rk", row_number().over(wPick))
@@ -2350,18 +2358,22 @@ object GraphQueries {
         .join(m, Seq("c"))
         .select(col("v"), col("m").as("c"))
         .localCheckpoint(true)
+      }
     }
-    val leftover = ue
-      .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
-      .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
-      .filter(col("ca") =!= col("cb"))
-      .count()
-    if (leftover != 0L)
-      throw new IllegalStateException(
-        s"msfOf: $leftover cross-component edges after $rounds Borůvka rounds — raise rounds/propSteps")
+    if (!converged) {
+      val leftover = ue
+        .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .count()
+      if (leftover != 0L)
+        throw new IllegalStateException(
+          s"msfOf: $leftover cross-component edges after $rounds Borůvka rounds — raise rounds/propSteps")
+    }
     // an edge can be re-picked across rounds when its cluster merged over
     // several partial contractions — one distinct at the end dedups
-    forest.select(col("a"), col("b"), col("w")).distinct()
+    if (forest == null) ue.select(col("a"), col("b"), col("w")).limit(0)
+    else forest.select(col("a"), col("b"), col("w")).distinct()
   }
 
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
