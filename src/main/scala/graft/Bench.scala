@@ -147,8 +147,17 @@ object Bench {
     * which drops the envelope's own numeric fields (cal/sf/value/…).
     */
   private[graft] def benchHistory(dir: java.io.File, known: Set[String]): Map[String, Seq[Double]] = {
+    // BENCH_SEED.json is the committed FULL per-query map from an idle run
+    // (cal_max ~1.2): driver lines carry only headline seconds, so without a
+    // seed every non-headline composite is history-less forever and the
+    // no-history rule (3× run-median) flags each honest 5-6 s job EVERY round —
+    // r13's clean run burned 11 of 15 re-run slots re-confirming known costs.
+    // Seeded, a clean run re-runs ~nothing and a contaminated one still heals
+    // (min-of-history semantics unchanged). Refresh the seed when heavy
+    // queries are added: one idle `runMain graft.Bench` at sf0.1.
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_SEED.json")
+      .sortBy(_.getName)
     val pair = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
     val failedList = """\\?"failed\\?":\[([^\]]*)\]""".r
     val nameLit = """([A-Za-z0-9_]+)""".r
@@ -181,7 +190,10 @@ object Bench {
     * bench-line history (the emitted map is headline-only), so they are always
     * adjudicated by the no-history rule below — which is the right reference
     * anyway: every non-headline query is there BECAUSE it historically ran well
-    * under the suite median.
+    * under the suite median. Since r13, BENCH_SEED.json (the committed
+    * idle-run full per-query map — see [[benchHistory]]) gives every query
+    * history, so the no-history rule is only the fallback for queries added
+    * after the last seed refresh.
     *
     * Triggers, per query: (a) history exists and first-run >
     * `factor` × MIN of that query's prior-round seconds, with a 2 s absolute

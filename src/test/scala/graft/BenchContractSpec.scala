@@ -117,6 +117,27 @@ class BenchContractSpec extends AnyFunSuite {
     assert(hist.get("g17_pagerank").contains(Seq(1.3)), hist.toString)
   }
 
+  test("BENCH_SEED.json gives non-headline composites history: honest costs stop burning re-runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-seed").toFile
+    val seed = """{"metric":"seed","queries":{"dc15_epoch_anneal":5.693}}"""
+    val fw = new java.io.FileWriter(new java.io.File(dir, "BENCH_SEED.json"))
+    try fw.write(seed) finally fw.close()
+    val hist = Bench.benchHistory(dir, Set("dc15_epoch_anneal"))
+    assert(hist.get("dc15_epoch_anneal").contains(Seq(5.693)), hist.toString)
+    // the literal r13 clean-run regime: a 5.7 s honest composite against a
+    // ~1.4 s run median. Unseeded, the no-history rule (3x median) flags it
+    // every round; seeded, the 1.6x-of-min rule leaves it alone
+    val sec = Map("dc15_epoch_anneal" -> 5.701)
+    val (unseeded, _) = Bench.flagOutliers(sec, Map.empty, runMedian = 1.4)
+    assert(unseeded == Seq("dc15_epoch_anneal"), unseeded.toString)
+    val (seeded, _) = Bench.flagOutliers(sec, hist, runMedian = 1.4)
+    assert(seeded.isEmpty, seeded.toString)
+    // a genuinely contaminated run still heals: 3x the seeded cost flags
+    val (contaminated, _) =
+      Bench.flagOutliers(Map("dc15_epoch_anneal" -> 17.0), hist, runMedian = 1.4)
+    assert(contaminated == Seq("dc15_epoch_anneal"), contaminated.toString)
+  }
+
   test("the r10 contamination pattern is flagged and corrected by the end-of-run re-run") {
     // The literal BENCH_r10 failure: cal_max 1.395 read under the ~2 reject line,
     // yet these six queries were 2.5-4x their clean cost (judge idle numbers in
