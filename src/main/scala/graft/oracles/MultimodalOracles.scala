@@ -41,6 +41,13 @@ private[graft] object MultimodalOracles extends OracleFragments {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", frameBytes = 64, stride = 2)),
+    // LAION/DataComp-style size + aspect + brightness battery over the stub
+    // decode's features: the rule arithmetic is real, the codec stays stubbed
+    "m08_media_gate" -> ((s: SparkSession, dir: String) =>
+      Multimodal.mediaQualityGate(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "source", "media")),
     // incremental media dedup: post-cut arrivals probe the archive's frame index
     "m07_frame_probe" -> ((s: SparkSession, dir: String) => {
       val assets = s.read.parquet(s"$dir/documents.parquet")
@@ -70,6 +77,30 @@ private[graft] object MultimodalOracles extends OracleFragments {
          |  CAST((octet_length(encode(text)) * 13) % 1080 + 1 AS INTEGER) AS height,
          |  round((octet_length(encode(text)) % 256) / 255.0, 6) AS brightness
          |FROM documents""".stripMargin,
+
+    // size/aspect/brightness battery over the stub decode's (n*7)%1920+1 ×
+    // (n*13)%1080+1 dimensions — mirror of Multimodal.mediaQualityGate defaults
+    "m08_media_gate" -> {
+      val m =
+        """SELECT doc_id AS asset_id, source AS media_type,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST((octet_length(encode(text)) * 7) % 1920 + 1 AS INTEGER) AS width,
+          |  CAST((octet_length(encode(text)) * 13) % 1080 + 1 AS INTEGER) AS height,
+          |  CAST(floor(1000000.0 * round((octet_length(encode(text)) % 256) / 255.0, 6)
+          |       + 0.5) AS BIGINT) AS bright_micro
+          |FROM documents""".stripMargin
+      val reasons =
+        """CASE WHEN n_bytes < 64 THEN 1 ELSE 0 END
+          | + CASE WHEN width < 128 OR height < 128 THEN 2 ELSE 0 END
+          | + CASE WHEN greatest(width, height) * 10 > least(width, height) * 30
+          |        THEN 4 ELSE 0 END
+          | + CASE WHEN bright_micro < 100000 OR bright_micro > 900000 THEN 8 ELSE 0 END"""
+          .stripMargin
+      s"""SELECT asset_id, media_type, n_bytes, width, height, bright_micro,
+         |  CAST($reasons AS BIGINT) AS reasons,
+         |  CAST(CASE WHEN ($reasons) = 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM ($m)""".stripMargin
+    },
 
     // stub resize truncates to (641*480) % 4096 = 480 bytes (ASCII text: byte truncation
     // == substr); md5 compared instead of raw binary so the diff stays engine-neutral

@@ -63,6 +63,51 @@ object Multimodal {
     featurize(ds).toDF()
   }
 
+  /** m08 — MEDIA QUALITY GATE: the size/aspect/brightness battery every
+    * published image-corpus curation runs before anything expensive (LAION's
+    * minimum-size and aspect-ratio cuts, DataComp's small-image filter; tiny
+    * payloads are tracking pixels and icons, extreme aspect ratios are banners,
+    * near-black/near-white frames are dead footage). Rules over the decoded
+    * features ([[featurizeDF]] — the decode itself stays the documented STUB,
+    * the rule arithmetic and plumbing are real):
+    *
+    *   - bit 0 — payload under `minBytes`
+    *   - bit 1 — width or height under `minDim`
+    *   - bit 2 — aspect ratio over `arMax10`/10 (max(w,h)·10 > min(w,h)·arMax10,
+    *     division-free)
+    *   - bit 3 — brightness outside [`brightLoMicro`, `brightHiMicro`]
+    *     (micro-quantized from the decoder's rounded double)
+    *
+    * `kept` ⇔ all pass (the t05/t46 bitmask idiom). Scale shape: one decode
+    * pass (per-partition codec amortization, binaries never leave executors) +
+    * a map-side rule projection — no shuffle at all.
+    */
+  def mediaQualityGate(
+      df: DataFrame,
+      idCol: String,
+      typeCol: String,
+      binCol: String,
+      minBytes: Long = 64L,
+      minDim: Int = 128,
+      arMax10: Long = 30L,
+      brightLoMicro: Long = 100000L,
+      brightHiMicro: Long = 900000L
+  ): DataFrame = {
+    val f = featurizeDF(df, idCol, typeCol, binCol)
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"),
+        floor(col("brightness") * 1000000.0 + lit(0.5)).cast("long").as("bright_micro"))
+    val reasons =
+      when(col("n_bytes") < minBytes, 1L).otherwise(0L) +
+        when(col("width") < minDim || col("height") < minDim, 2L).otherwise(0L) +
+        when(greatest(col("width"), col("height")).cast("long") * 10L >
+          least(col("width"), col("height")).cast("long") * arMax10, 4L).otherwise(0L) +
+        when(col("bright_micro") < brightLoMicro || col("bright_micro") > brightHiMicro,
+          8L).otherwise(0L)
+    f.withColumn("reasons", reasons)
+      .withColumn("kept", (col("reasons") === 0L).cast("int"))
+  }
+
   case class ResizedAsset(asset_id: Long, media_type: String, media: Array[Byte], n_bytes: Long)
 
   trait MediaResizer extends Serializable {

@@ -290,6 +290,27 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("m08: each media rule trips its own bit on a planted payload length") {
+    import graft.pipeline.Multimodal
+    // stub decode: width = (7n) % 1920 + 1, height = (13n) % 1080 + 1,
+    // brightness = (n % 256)/255 — payload LENGTH n selects the verdict
+    def payload(n: Int): Array[Byte] = Array.fill(n)('x'.toByte)
+    val assets = Seq(
+      (0L, "img", payload(64)),   // w 449, h 833, bright 250980 -> kept
+      (1L, "img", payload(26)),   // 26 bytes < 64 -> bit 0 (dims/bright pass)
+      (2L, "img", payload(589)),  // height 98 < 128 -> bit 1
+      (4L, "img", payload(93)),   // 652 x 130: aspect > 3 -> bit 2
+      (8L, "img", payload(230))   // bright 901961 > 900000 -> bit 3
+    ).toDF("doc_id", "source", "media")
+    val got = Multimodal.mediaQualityGate(assets, "doc_id", "source", "media")
+      .collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+    // asset id IS its expected bitmask
+    assert(got == Map(0L -> ((0L, 1)), 1L -> ((1L, 0)), 2L -> ((2L, 0)),
+      4L -> ((4L, 0)), 8L -> ((8L, 0))), got.toString)
+  }
+
   test("dc15: anneal phase is the quality head, trains last in ascending order, conserves docs") {
     import graft.pipeline.Sampling
     // planted manifest: 8 docs, two sources, 6 syms each; quality = doc_id * 10
