@@ -149,6 +149,18 @@ private[graft] object DedupOracles extends OracleFragments {
           "doc_id", "source", epochs = Seq(0L, 1L), budgetTokens = 512L)
       } finally deleteRecursively(scratch)
     }),
+    // the RELEASE gate matrix: eval split withheld, both Gopher batteries,
+    // d05 keeper, d19 n-gram gate, d24 semantic gate - cumulative per-source
+    // survivor counts, each gate the full-corpus oracle-checked operator
+    "dc16_release_funnel" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.releaseFunnel(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "source", "vec_id", "embedding",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+        semanticThresholdMicro = SemanticDecontamMicro,
+        requiredWords = FunnelRequiredWords,
+        minRequiredHits = GopherMinRequiredHits)),
     // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best
     // documents by the t02 quality heuristic train LAST, quality-ascending —
     // the published decay-phase curriculum derived from the same manifest
@@ -453,6 +465,53 @@ private[graft] object DedupOracles extends OracleFragments {
        |       MIN(q_micro) AS q_min, MAX(q_micro) AS q_max
        |FROM u GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** d24 mirror, shared by the d24 entry and the dc16 release funnel. */
+  private lazy val semanticDecontamSql: String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % $DecontamMod = 0),
+         |t AS (SELECT vec_id, v FROM e WHERE vec_id % $DecontamMod <> 0),
+         |sc AS (SELECT t.vec_id, b.bench_id,
+         |         CAST(floor(1000000.0 * ${cosSql("t.v", "b.bv")} + 0.5) AS BIGINT)
+         |           AS cos_micro
+         |       FROM t, b),
+         |mx AS (SELECT vec_id, bench_id, cos_micro FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cos_micro DESC, bench_id) AS rk
+         |    FROM sc)
+         |  WHERE rk = 1)
+         |SELECT vec_id, bench_id, cos_micro AS max_cos_micro,
+         |  CAST(CASE WHEN cos_micro >= $SemanticDecontamMicro THEN 1 ELSE 0 END AS INTEGER)
+         |    AS contaminated
+         |FROM mx""".stripMargin
+
+  // the release gate matrix: every gate the full-corpus operator mirror
+  // (gopher batteries as scoped subqueries, d05 keeper CTEs at top level,
+  // d19/d24 gates as scoped subqueries), stages cumulative id intersections —
+  // mirror of Curation.releaseFunnel
+  private lazy val releaseFunnelSql: String =
+    s"""WITH keepids AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |s0 AS (SELECT doc_id, source FROM documents),
+       |s1 AS (SELECT * FROM s0 WHERE doc_id % $DecontamMod <> 0),
+       |gq AS (SELECT doc_id FROM (${gopherQualitySqlWith(FunnelRequiredWords)})
+       |       WHERE reasons = 0),
+       |gr AS (SELECT doc_id FROM ($gopherRepetitionSql) WHERE reasons = 0),
+       |s2 AS (SELECT s1.* FROM s1 JOIN gq USING (doc_id) JOIN gr USING (doc_id)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN keepids USING (doc_id)),
+       |ncon AS (SELECT doc_id FROM ($decontamSql)),
+       |s4 AS (SELECT s3.* FROM s3 WHERE NOT EXISTS
+       |         (SELECT 1 FROM ncon WHERE ncon.doc_id = s3.doc_id)),
+       |scon AS (SELECT vec_id AS doc_id FROM ($semanticDecontamSql)
+       |         WHERE contaminated = 1),
+       |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
+       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id))
+       |SELECT '00_total' AS stage, source, COUNT(*) AS n_docs FROM s0 GROUP BY 2
+       |UNION ALL SELECT '01_train_split', source, COUNT(*) FROM s1 GROUP BY 2
+       |UNION ALL SELECT '02_gopher', source, COUNT(*) FROM s2 GROUP BY 2
+       |UNION ALL SELECT '03_exact_keeper', source, COUNT(*) FROM s3 GROUP BY 2
+       |UNION ALL SELECT '04_ngram_clean', source, COUNT(*) FROM s4 GROUP BY 2
+       |UNION ALL SELECT '05_semantic_clean', source, COUNT(*) FROM s5 GROUP BY 2"""
+      .stripMargin
+
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
     * the identical upsampled pack chain runs over the clean pool. Decontam-side
@@ -495,23 +554,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
     // nearest-benchmark cosine per training vector, micro-quantized argmax with
     // bench-id tie-break — mirror of Similarity.semanticDecontaminate
-    "d24_semantic_decontam" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % $DecontamMod = 0),
-         |t AS (SELECT vec_id, v FROM e WHERE vec_id % $DecontamMod <> 0),
-         |sc AS (SELECT t.vec_id, b.bench_id,
-         |         CAST(floor(1000000.0 * ${cosSql("t.v", "b.bv")} + 0.5) AS BIGINT)
-         |           AS cos_micro
-         |       FROM t, b),
-         |mx AS (SELECT vec_id, bench_id, cos_micro FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY cos_micro DESC, bench_id) AS rk
-         |    FROM sc)
-         |  WHERE rk = 1)
-         |SELECT vec_id, bench_id, cos_micro AS max_cos_micro,
-         |  CAST(CASE WHEN cos_micro >= $SemanticDecontamMicro THEN 1 ELSE 0 END AS INTEGER)
-         |    AS contaminated
-         |FROM mx""".stripMargin,
+    "d24_semantic_decontam" -> semanticDecontamSql,
 
     "d23_leakage_report" -> {
       val w = DecontamShingle
@@ -734,6 +777,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,
+    "dc16_release_funnel" -> releaseFunnelSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

@@ -228,83 +228,6 @@ private[graft] object TextOracles extends OracleFragments {
        |    AS agreement_micro
        |FROM c)""".stripMargin
 
-  // mirror of TextStats.gopherRepetition (t46), shared with the t48 composite
-  private lazy val gopherRepetitionSql: String = {
-      val names = (2 to 10).map(n => if (n <= 4) s"top${n}_micro" else s"dup${n}_micro")
-      val gCols = (2 to 10).map(n =>
-        s"CAST(COALESCE(SUM(CASE WHEN n = $n THEN chars_in END), 0) AS BIGINT) AS g$n")
-      val fracCols = (2 to 10).zip(names).map { case (n, nm) =>
-        s"CAST((2 * 1000000 * COALESCE(g$n, 0) + greatest(n_chars, 1)) // " +
-          s"(2 * greatest(n_chars, 1)) AS BIGINT) AS $nm"
-      }
-      val reasonTerms = (GopherTopMicro ++ GopherDupMicro).zipWithIndex.map {
-        case (t, i) => s"CASE WHEN ${names(i)} > $t THEN ${1L << i} ELSE 0 END"
-      }
-      s"""WITH base AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS w
-         |              FROM documents),
-         |ns AS (SELECT doc_id, w, unnest(generate_series(2, 10)) AS n FROM base),
-         |gi AS (SELECT doc_id, w, n, unnest(generate_series(1, len(w) - n + 1)) AS i FROM ns),
-         |cnt AS (SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram, COUNT(*) AS c
-         |        FROM gi GROUP BY 1, 2, 3),
-         |top AS (SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS chars_in
-         |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-         |                ORDER BY c DESC, length(gram) DESC, gram ASC) AS rk
-         |              FROM cnt WHERE n <= 4)
-         |        WHERE rk = 1),
-         |dup AS (SELECT doc_id, n, CAST(SUM(c * length(gram)) AS BIGINT) AS chars_in
-         |        FROM cnt WHERE n >= 5 AND c >= 2 GROUP BY 1, 2),
-         |u AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
-         |agg AS (SELECT doc_id, ${gCols.mkString(", ")} FROM u GROUP BY 1),
-         |per AS (SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
-         |          ${(2 to 10).map(n => s"COALESCE(g$n, 0) AS g$n").mkString(", ")}
-         |        FROM base b LEFT JOIN agg USING (doc_id)),
-         |fr AS (SELECT doc_id, n_chars, ${fracCols.mkString(",\n         ")} FROM per)
-         |SELECT doc_id, n_chars, ${names.mkString(", ")},
-         |  CAST(${reasonTerms.mkString(" + ")} AS BIGINT) AS reasons,
-         |  CAST(CASE WHEN ${reasonTerms.mkString(" + ")} = 0 THEN 1 ELSE 0 END AS INTEGER)
-         |    AS kept
-         |FROM fr""".stripMargin
-  }
-
-  // mirror of TextStats.gopherQuality (t47), shared with the t48 composite
-  private lazy val gopherQualitySql: String = {
-      val reqTerms = GopherRequiredWords
-        .map(rw => s"CASE WHEN list_contains(w, '$rw') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      val reasonSql =
-        s"""CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1 ELSE 0 END
-           | + CASE WHEN sum_word_chars < $GopherMinMeanLen * n_words
-           |          OR sum_word_chars > $GopherMaxMeanLen * n_words THEN 2 ELSE 0 END
-           | + CASE WHEN n_symbols * 10 > n_words THEN 4 ELSE 0 END
-           | + CASE WHEN n_bullet_lines * 10 > n_lines THEN 8 ELSE 0 END
-           | + CASE WHEN n_ellipsis_lines * 10 > n_lines * 3 THEN 16 ELSE 0 END
-           | + CASE WHEN n_alpha_words * 5 < n_words * 4 THEN 32 ELSE 0 END
-           | + CASE WHEN req_hits < $GopherMinRequiredHits THEN 64 ELSE 0 END""".stripMargin
-      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w,
-         |                     string_split(text, chr(10)) AS ln FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(w) AS BIGINT) AS n_words,
-         |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT)
-         |    AS sum_word_chars,
-         |  CAST((length(text) - length(replace(text, '#', '')))
-         |     + (length(text) - length(replace(text, '...', ''))) // 3
-         |     + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
-         |  CAST(len(ln) AS BIGINT) AS n_lines,
-         |  CAST(len(list_filter(ln, l -> starts_with(l, '- ') OR starts_with(l, '* ')
-         |    OR starts_with(l, '•'))) AS BIGINT) AS n_bullet_lines,
-         |  CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…')))
-         |    AS BIGINT) AS n_ellipsis_lines,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-         |    AS n_alpha_words,
-         |  CAST($reqTerms AS BIGINT) AS req_hits
-         |FROM base)
-         |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_lines, n_bullet_lines,
-         |  n_ellipsis_lines, n_alpha_words, req_hits,
-         |  CAST($reasonSql AS BIGINT) AS reasons,
-         |  CAST(CASE WHEN ($reasonSql) = 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
-         |FROM m""".stripMargin
-  }
-
   val oracleSql: Map[String, String] = Map(
 
     // char-class profile via class-strip length differences — mirror of

@@ -44,6 +44,76 @@ object Curation {
       .unionByName(stage("02_dedup_keeper", s3))
   }
 
+  /** dc16 — the RELEASE funnel: the full modern gate stack composed as one job,
+    * reported per (stage, source) — the release card a corpus ships with. Where
+    * d08 chains stages over shrinking pools, this is the GATE-MATRIX form every
+    * large run actually uses: each gate is evaluated over the FULL corpus
+    * exactly once (so gate relations are the oracle-checked operators verbatim,
+    * shareable and cacheable across candidate releases), and stages are
+    * cumulative id-set intersections:
+    *
+    *   - 00_total — corpus census
+    *   - 01_train_split — the eval split (`id % benchmarkMod == 0`) withheld
+    *   - 02_gopher — both published Gopher batteries pass ([[TextStats.gopherGate]])
+    *   - 03_exact_keeper — the d01 exact-duplicate keeper (min id per text
+    *     hash; the near-dup d05 clusters stay a SEPARATE gate by design — their
+    *     pinned LSH is deliberately aggressive and on this synthetic corpus
+    *     collapses nearly everything into one cluster, which would starve every
+    *     later gate of evidence)
+    *   - 04_ngram_clean — no verbatim benchmark n-gram overlap (d19 gate)
+    *   - 05_semantic_clean — no embedding-space benchmark proximity (d24 gate,
+    *     vectors keyed by the same document ids)
+    *
+    * Scale shape: one checkpointed (id, source, text) projection feeds every
+    * text gate; each stage is an id-keyed semi-/anti-join between a survivor
+    * set and a gate relation; counts are map-side-combinable per-source aggs.
+    * Every row of the report is attributable: a per-source drop between stages
+    * k and k+1 names the responsible gate.
+    */
+  def releaseFunnel(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      benchmarkMod: Long = 10L,
+      shingleSize: Int = 5,
+      semanticThresholdMicro: Long = 400000L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
+  ): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
+    val s0 = base.select(col(idCol), col(sourceCol))
+    val s1 = s0.filter(col(idCol) % benchmarkMod =!= 0)
+    val gopherKept = TextStats.gopherGate(base, idCol, textCol,
+        requiredWords = requiredWords, minRequiredHits = minRequiredHits)
+      .filter(col("kept") === 1).select(col(idCol))
+    val s2 = s1.join(gopherKept, Seq(idCol), "left_semi").localCheckpoint(true)
+    val keepers = Dedup.exact(base, idCol, textCol).select(col("keep_id").as(idCol))
+    val s3 = s2.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val ngramContam = Dedup.benchmarkDecontaminate(base, idCol, textCol,
+      benchmarkMod, shingleSize).select(col(idCol))
+    val s4 = s3.join(ngramContam, Seq(idCol), "left_anti").localCheckpoint(true)
+    val semContam = Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
+        benchmarkMod, semanticThresholdMicro)
+      .filter(col("contaminated") === 1)
+      .select(col("vec_id").as(idCol))
+    val s5 = s4.join(semContam, Seq(idCol), "left_anti")
+    def stage(name: String, ids: DataFrame): DataFrame =
+      ids.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("source"), col("n_docs"))
+    stage("00_total", s0)
+      .unionByName(stage("01_train_split", s1))
+      .unionByName(stage("02_gopher", s2))
+      .unionByName(stage("03_exact_keeper", s3))
+      .unionByName(stage("04_ngram_clean", s4))
+      .unionByName(stage("05_semantic_clean", s5))
+  }
+
   /** dc01 — the per-source triage table a curation run actually reads (the
     * C4/RefinedWeb domain-stats discipline): doc count, token count and corpus
     * token SHARE, near-dup rate (from the d05 clusters: a doc is a dup iff it is

@@ -290,6 +290,24 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, -20000000L, 3L, "tail")), got.toString)     // rank 5
   }
 
+  test("dc16: release funnel stages are monotone and every gate fires on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = graft.pipeline.Curation.releaseFunnel(docs, em,
+        "doc_id", "text", "source", "vec_id", "embedding",
+        requiredWords = Seq("the", "a", "value", "line"))
+      .groupBy(col("stage")).sum("n_docs")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("00_total", "01_train_split", "02_gopher", "03_exact_keeper",
+      "04_ngram_clean", "05_semantic_clean")
+    assert(order.forall(got.contains), got.toString)
+    val counts = order.map(got)
+    assert(counts.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true }, got.toString)
+    assert(counts.head > counts.last && counts.last > 0, got.toString)
+  }
+
   test("m08: each media rule trips its own bit on a planted payload length") {
     import graft.pipeline.Multimodal
     // stub decode: width = (7n) % 1920 + 1, height = (13n) % 1080 + 1,
