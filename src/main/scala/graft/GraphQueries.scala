@@ -2376,6 +2376,76 @@ object GraphQueries {
     else forest.select(col("a"), col("b"), col("w")).distinct()
   }
 
+  /** g58 — GREEDY WEIGHTED MATCHING by locally-dominant edges (Preis 1999 /
+    * Manne–Bisseling 2007 — the standard distributed matching: no sequential
+    * edge scan, every round is vertex-local): per round, every unmatched
+    * vertex points at its minimum eligible incident edge under the strict
+    * (w, a, b) total order; an edge BOTH of whose endpoints point at it is
+    * locally dominant and locks. With a strict total order this computes
+    * EXACTLY the sequential greedy-by-weight matching (each locked edge is the
+    * global minimum among eligible edges in its neighborhood — the same
+    * exchange argument), so the independent mirror is a one-line greedy scan.
+    * The matching is MAXIMAL (never maximum — that is Blossom territory): when
+    * the loop exits no edge has two unmatched endpoints.
+    *
+    * Rounds: the globally minimal eligible edge is always locally dominant, so
+    * every round locks ≥ 1 edge and eliminates its neighborhood; random-weight
+    * graphs converge in O(log n) rounds (the sf graphs take ≤ 4). The loop
+    * exits early on the deterministic no-eligible-edges condition and RAISES
+    * if eligible edges survive the last budgeted round (the g49/g57
+    * discipline; the oracle replays the identical rounds — post-convergence
+    * rounds are no-ops, so early exit is output-identical).
+    *
+    * Scale shape: per round, the eligible relation shrinks by each locked
+    * edge's neighborhood; the per-vertex argmin is one map-side window keyed by
+    * vertex; locking is two equi-joins of the eligible relation against the
+    * vertex-keyed picks; matched vertices accumulate in a checkpointed id set.
+    */
+  def maximalMatching(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    matchingOf(weightedUndirectedEdges(spark, dir), rounds)
+
+  /** Kernel form of [[maximalMatching]] over an explicit (a, b, w) relation —
+    * property tests mirror with the sequential greedy scan.
+    */
+  private[graft] def matchingOf(ue0: DataFrame, rounds: Int): DataFrame = {
+    val wPick = Window.partitionBy(col("v")).orderBy(col("w").asc, col("a").asc, col("b").asc)
+    var elig = ue0.select(col("a"), col("b"), col("w")).localCheckpoint(true)
+    var result: DataFrame = null
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      converged = elig.isEmpty
+      if (!converged) {
+        val picks = elig.select(col("a").as("v"), col("w"), col("a"), col("b"))
+          .unionByName(elig.select(col("b").as("v"), col("w"), col("a"), col("b")))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("v"), col("w"), col("a"), col("b"))
+          .localCheckpoint(true) // two lock joins
+        val locked = elig.as("e")
+          .join(picks.as("pa"),
+            col("e.a") === col("pa.v") && col("e.w") === col("pa.w") &&
+              col("e.a") === col("pa.a") && col("e.b") === col("pa.b"), "left_semi")
+          .join(picks.as("pb"),
+            col("e.b") === col("pb.v") && col("e.w") === col("pb.w") &&
+              col("e.a") === col("pb.a") && col("e.b") === col("pb.b"), "left_semi")
+          .localCheckpoint(true) // joins forward + accumulates
+        result = if (result == null) locked else result.unionByName(locked)
+        val matchedV = locked.select(col("a").as("v"))
+          .unionByName(locked.select(col("b").as("v")))
+        elig = elig
+          .join(matchedV.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(matchedV.select(col("v").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"), col("w"))
+          .localCheckpoint(true)
+      }
+    }
+    if (!converged && !elig.isEmpty)
+      throw new IllegalStateException(
+        s"matchingOf: eligible edges remain after $rounds rounds — raise rounds")
+    if (result == null) ue0.select(col("a"), col("b"), col("w")).limit(0)
+    else result.select(col("a"), col("b"), col("w"))
+  }
+
   /** W6 — replica repair: two overlapping partial logs, one full-outer LWW merge. */
   def copyRepair(spark: SparkSession, dir: String): DataFrame = {
     // both replicas filter the same derived log; materialize it once

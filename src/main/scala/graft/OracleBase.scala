@@ -251,6 +251,11 @@ private[graft] trait OracleParams {
   private[graft] val MsfRounds = 6
   private[graft] val MsfPropSteps = 4
 
+  /** g58's pinned locally-dominant-matching round budget (the sf graphs
+    * converge in ≤ 4; the kernel raises past the budget).
+    */
+  private[graft] val MatchRounds = 8
+
   /** t33's pinned pair-count floor and top-k, shared by registration and oracle. */
   private[graft] val PmiMinCount = 5L
   private[graft] val PmiK = 100

@@ -97,6 +97,8 @@ private[graft] object GraphOracles extends OracleFragments {
     "g57_msf" -> ((s: SparkSession, dir: String) =>
       GraphQueries.minSpanningForest(s, dir,
         rounds = MsfRounds, propSteps = MsfPropSteps)),
+    "g58_matching" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.maximalMatching(s, dir, rounds = MatchRounds)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -295,6 +297,40 @@ private[graft] object GraphOracles extends OracleFragments {
       sb ++= s"""
          |SELECT DISTINCT a, b, w FROM (
          |  ${(1 to MsfRounds).map(r => s"SELECT * FROM pe$r").mkString(" UNION ALL ")})"""
+        .stripMargin
+      sb.toString
+    },
+
+    // greedy weighted matching by locally-dominant edges: per round every
+    // unmatched vertex points at its min eligible incident edge under the
+    // strict (w, a, b) order, mutual picks lock; rounds unrolled as chained
+    // MATERIALIZED CTEs — mirror of GraphQueries.maximalMatching
+    "g58_matching" -> {
+      val sb = new StringBuilder
+      sb ++= s"""$snap,
+         |el0 AS MATERIALIZED (SELECT least(source_id, destination_id) AS a,
+         |              greatest(source_id, destination_id) AS b,
+         |              CAST(MIN(position) AS BIGINT) AS w
+         |       FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |       GROUP BY 1, 2)""".stripMargin
+      for (r <- 1 to MatchRounds) {
+        sb ++= s""",
+           |bp$r AS MATERIALIZED (SELECT v, w, a, b FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY v ORDER BY w, a, b) AS rk
+           |    FROM (SELECT a AS v, w, a, b FROM el${r - 1}
+           |          UNION ALL SELECT b, w, a, b FROM el${r - 1}))
+           |  WHERE rk = 1),
+           |lk$r AS MATERIALIZED (SELECT e.a, e.b, e.w FROM el${r - 1} e
+           |  JOIN bp$r pa ON pa.v = e.a AND pa.w = e.w AND pa.a = e.a AND pa.b = e.b
+           |  JOIN bp$r pb ON pb.v = e.b AND pb.w = e.w AND pb.a = e.a AND pb.b = e.b),
+           |el$r AS MATERIALIZED (SELECT e.* FROM el${r - 1} e
+           |  WHERE NOT EXISTS (SELECT 1 FROM lk$r l WHERE l.a = e.a OR l.b = e.a
+           |                      OR l.a = e.b OR l.b = e.b))""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT a, b, w FROM (
+         |  ${(1 to MatchRounds).map(r => s"SELECT * FROM lk$r").mkString(" UNION ALL ")})"""
         .stripMargin
       sb.toString
     },

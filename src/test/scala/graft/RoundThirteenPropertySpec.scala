@@ -83,6 +83,25 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(e.getMessage.contains("Borůvka"), e.getMessage)
   }
 
+  test("matchingOf equals the sequential greedy-by-weight matching on random graphs") {
+    check("dominant-greedy", Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val ue = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+          .map { case (a, b) => (a, b, (a * 104729 + b * 7919) % 1000) }
+        val got = GraphQueries.matchingOf(ue.toDF("a", "b", "w"), rounds = 12)
+          .collect()
+          .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("w"))).toSet
+        // independent mirror: one sequential greedy scan in (w, a, b) order
+        val taken = scala.collection.mutable.Set.empty[Long]
+        val want = ue.map { case (a, b, w) => (w, a, b) }.sorted.flatMap { case (w, a, b) =>
+          if (!taken(a) && !taken(b)) { taken += a; taken += b; Some((a, b, w)) } else None
+        }.toSet
+        // greedy equality implies validity AND maximality
+        (got == want) :| s"got $got want $want ue $ue"
+      }
+    })
+  }
+
   test("sccReachKernel equals a brute-force closure on random digraphs") {
     check("reach-from-set", Prop.forAll(edgeGen) { edges =>
       (edges.nonEmpty) ==> {
