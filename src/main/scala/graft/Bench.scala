@@ -420,6 +420,18 @@ object Bench {
         microSamples.map(_ * cal / math.max(med, 1e-9)).toSeq
       }
     val calMax = (Seq(cal, calEnd) ++ microScaled).max
+    // SPARK_GRAFT_SEED_OUT=<path>: dump the FULL corrected per-query map (the
+    // BENCH_SEED.json refresh recipe — run once on an idle box after adding
+    // heavy queries; see benchHistory)
+    sys.env.get("SPARK_GRAFT_SEED_OUT").foreach { path =>
+      val qs = okNames.toSeq.sorted
+        .map(k => "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, secByName(k)))
+        .mkString("{", ",", "}")
+      val seed = s"""{"metric":"seed","note":"idle-run per-query seconds (cal ${"%.3f".formatLocal(java.util.Locale.ROOT, cal)} / cal_max ${"%.3f".formatLocal(java.util.Locale.ROOT, calMax)}) committed as history floor for outlier adjudication","queries":$qs}"""
+      val w = new java.io.FileWriter(path)
+      try w.write(seed) finally w.close()
+      System.err.println(s"[bench] seed map written to $path")
+    }
     val line = renderLine(total, cal, calEnd, calMax, results.size, secByName, failed, reran, sfDir,
       capped = cappedOut.size)
     // stop Spark BEFORE emitting: shutdown logging must not land after the JSON
