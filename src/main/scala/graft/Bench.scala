@@ -154,7 +154,9 @@ object Bench {
     // r13's clean run burned 11 of 15 re-run slots re-confirming known costs.
     // Seeded, a clean run re-runs ~nothing and a contaminated one still heals
     // (min-of-history semantics unchanged). Refresh the seed when heavy
-    // queries are added: one idle `runMain graft.Bench` at sf0.1.
+    // queries are added OR when honest costs legitimately rise (the stderr
+    // "confirmed honest" note flags exactly this): one idle
+    // SPARK_GRAFT_SEED_OUT=BENCH_SEED.json `runMain graft.Bench` at sf0.1.
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_SEED.json")
       .sortBy(_.getName)
@@ -407,6 +409,13 @@ object Bench {
     })
     if (reran.nonEmpty)
       System.err.println(s"[bench] reran: ${reran.map(n => s"$n ${"%.3f".formatLocal(java.util.Locale.ROOT, firstRun(n))}->${"%.3f".formatLocal(java.util.Locale.ROOT, secByName(n))}").mkString(", ")}")
+    // a re-run that CONFIRMS the first run (no collapse) means the query's
+    // honest cost rose above its history floor — that slot will burn every
+    // round until the seed is refreshed, so say so explicitly
+    val confirmedHonest = reran.filter(n => secByName(n) >= firstRun(n) * 0.9)
+    if (confirmedHonest.nonEmpty)
+      System.err.println("[bench] re-run confirmed honest (history floor stale? refresh " +
+        s"BENCH_SEED.json): ${confirmedHonest.mkString(", ")}")
     // total counts SUCCESSFUL queries only — a query that dies in 10 ms must read as
     // a failure, not as a speedup — and uses the corrected (min-of-two) values so
     // the headline map and the total tell the same story

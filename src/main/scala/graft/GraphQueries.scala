@@ -2361,6 +2361,11 @@ object GraphQueries {
       }
     }
     if (!converged) {
+      // cross-LABEL edges surviving the unroll: labels lag the forest (partial
+      // contraction), so this does NOT prove the forest is incomplete — every
+      // picked edge is an MSF edge by the cut property regardless — but
+      // completeness can no longer be CERTIFIED, and the conservative move is
+      // to refuse to return an uncertifiable result
       val leftover = ue
         .join(labels.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
         .join(labels.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
@@ -2368,7 +2373,9 @@ object GraphQueries {
         .count()
       if (leftover != 0L)
         throw new IllegalStateException(
-          s"msfOf: $leftover cross-component edges after $rounds Borůvka rounds — raise rounds/propSteps")
+          s"msfOf: label contraction not converged after $rounds Borůvka rounds " +
+            s"($leftover cross-label edges — the forest may already be complete but " +
+            "cannot be certified; raise rounds/propSteps)")
     }
     // an edge can be re-picked across rounds when its cluster merged over
     // several partial contractions — one distinct at the end dedups

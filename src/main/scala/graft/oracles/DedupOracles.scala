@@ -503,14 +503,16 @@ private[graft] object DedupOracles extends OracleFragments {
        |scon AS (SELECT vec_id AS doc_id FROM ($semanticDecontamSql)
        |         WHERE contaminated = 1),
        |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
-       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id))
-       |SELECT '00_total' AS stage, source, COUNT(*) AS n_docs FROM s0 GROUP BY 2
-       |UNION ALL SELECT '01_train_split', source, COUNT(*) FROM s1 GROUP BY 2
-       |UNION ALL SELECT '02_gopher', source, COUNT(*) FROM s2 GROUP BY 2
-       |UNION ALL SELECT '03_exact_keeper', source, COUNT(*) FROM s3 GROUP BY 2
-       |UNION ALL SELECT '04_ngram_clean', source, COUNT(*) FROM s4 GROUP BY 2
-       |UNION ALL SELECT '05_semantic_clean', source, COUNT(*) FROM s5 GROUP BY 2"""
-      .stripMargin
+       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id)),
+       |src AS (SELECT DISTINCT source FROM documents)
+       |${Seq("00_total" -> "s0", "01_train_split" -> "s1", "02_gopher" -> "s2",
+              "03_exact_keeper" -> "s3", "04_ngram_clean" -> "s4",
+              "05_semantic_clean" -> "s5").map { case (nm, rel) =>
+          s"""SELECT '$nm' AS stage, src.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+             |FROM src LEFT JOIN
+             |  (SELECT source, COUNT(*) AS n FROM $rel GROUP BY 1) c USING (source)"""
+            .stripMargin
+        }.mkString("\nUNION ALL ")}""".stripMargin
 
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
@@ -550,12 +552,12 @@ private[graft] object DedupOracles extends OracleFragments {
     "d19_benchmark_decontam" -> decontamSql,
     "d20_decontam_saved" -> decontamSql,
 
-    // per-eval-item leakage rollup over the same distinct-5-gram hash relation
-    // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
     // nearest-benchmark cosine per training vector, micro-quantized argmax with
     // bench-id tie-break — mirror of Similarity.semanticDecontaminate
     "d24_semantic_decontam" -> semanticDecontamSql,
 
+    // per-eval-item leakage rollup over the same distinct-5-gram hash relation
+    // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
     "d23_leakage_report" -> {
       val w = DecontamShingle
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

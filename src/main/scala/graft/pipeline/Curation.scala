@@ -66,9 +66,10 @@ object Curation {
     *
     * Scale shape: one checkpointed (id, source, text) projection feeds every
     * text gate; each stage is an id-keyed semi-/anti-join between a survivor
-    * set and a gate relation; counts are map-side-combinable per-source aggs.
-    * Every row of the report is attributable: a per-source drop between stages
-    * k and k+1 names the responsible gate.
+    * set and a gate relation; counts are map-side-combinable per-source aggs
+    * reported over the full stage × source grid (a zeroed source keeps an
+    * explicit 0 row). Every row of the report is attributable: a per-source
+    * drop between stages k and k+1 names the responsible gate.
     */
   def releaseFunnel(
       docs: DataFrame,
@@ -88,10 +89,15 @@ object Curation {
     val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
     val s0 = base.select(col(idCol), col(sourceCol))
     val s1 = s0.filter(col(idCol) % benchmarkMod =!= 0)
-    val gopherKept = TextStats.gopherGate(base, idCol, textCol,
+    // both batteries off the SHARED checkpoint (not via gopherGate, whose own
+    // internal checkpoint would materialize the corpus text a second time)
+    val gq = TextStats.gopherQuality(base, idCol, textCol,
         requiredWords = requiredWords, minRequiredHits = minRequiredHits)
-      .filter(col("kept") === 1).select(col(idCol))
-    val s2 = s1.join(gopherKept, Seq(idCol), "left_semi").localCheckpoint(true)
+      .filter(col("reasons") === 0L).select(col(idCol))
+    val gr = TextStats.gopherRepetition(base, idCol, textCol)
+      .filter(col("reasons") === 0L).select(col(idCol))
+    val s2 = s1.join(gq, Seq(idCol), "left_semi")
+      .join(gr, Seq(idCol), "left_semi").localCheckpoint(true)
     val keepers = Dedup.exact(base, idCol, textCol).select(col("keep_id").as(idCol))
     val s3 = s2.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
     val ngramContam = Dedup.benchmarkDecontaminate(base, idCol, textCol,
@@ -102,10 +108,17 @@ object Curation {
       .filter(col("contaminated") === 1)
       .select(col("vec_id").as(idCol))
     val s5 = s4.join(semContam, Seq(idCol), "left_anti")
+    // report over the FULL stage × source grid: a source whose survivors hit
+    // zero keeps an explicit 0 row (groupBy alone would drop the group and a
+    // reader diffing per-source counts would hit missing keys, not zeros)
+    val sources = s0.select(col(sourceCol).as("source")).distinct()
+      .localCheckpoint(true) // one consumer per stage
     def stage(name: String, ids: DataFrame): DataFrame =
-      ids.groupBy(col(sourceCol).as("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("source"), col("n_docs"))
+      sources
+        .join(ids.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("cnt")),
+          Seq("source"), "left")
+        .select(lit(name).as("stage"), col("source"),
+          coalesce(col("cnt"), lit(0L)).as("n_docs"))
     stage("00_total", s0)
       .unionByName(stage("01_train_split", s1))
       .unionByName(stage("02_gopher", s2))

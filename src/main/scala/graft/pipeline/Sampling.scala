@@ -614,6 +614,11 @@ object Sampling {
       budgetTokens: Long = 512L
   ): DataFrame = {
     require(annealDocs > 0, "epochAnneal: annealDocs must be positive")
+    // the quality contract is (idCol, q_micro) IN THAT ORDER — a swapped
+    // relation would silently anneal on ids, so the shape is enforced
+    require(quality.columns.length == 2 && quality.columns.head == idCol,
+      s"epochAnneal: quality must be ($idCol, <q_micro>) — got " +
+        quality.columns.mkString("(", ", ", ")"))
     val q = quality.select(col(idCol), col(quality.columns(1)).as("q_micro"))
     val wQ = org.apache.spark.sql.expressions.Window
       .orderBy(col("q_micro").desc, col(idCol).asc)

@@ -1002,6 +1002,13 @@ object Similarity {
       vecCol: String,
       thresholdMicro: Long
   ): DataFrame = {
+    // an empty benchmark would cross-join to ZERO rows — every vector silently
+    // unscored, reading as "stream is clean" downstream. Fail loudly instead
+    // (the ivfAssignNew/ccnetTertiles misconfiguration discipline); the
+    // benchmark is eval-suite-sized, so the probe is cheap.
+    require(!benchmark.isEmpty,
+      "semanticProbe: empty benchmark relation — no vector would be scored " +
+        "(wrong eval split, stale artifact?)")
     def vecs(df: DataFrame): DataFrame =
       df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
         .withColumn("nv", norm2(col("v")))

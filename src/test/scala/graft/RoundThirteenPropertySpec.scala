@@ -74,13 +74,16 @@ class RoundThirteenPropertySpec extends SparkSpec {
     })
   }
 
-  test("msfOf raises when the unroll is too short to converge") {
-    // a 5-chain with ascending weights needs more than one round at propSteps=1
+  test("msfOf refuses an uncertifiable result when labels outlast the unroll") {
+    // a 5-chain with ascending weights: the WHOLE forest is picked in round 1,
+    // but at propSteps=1 the label contraction lags — completeness cannot be
+    // certified within rounds=1, so the kernel refuses (conservatively: every
+    // pick is an MSF edge either way, the message says exactly that)
     val ue = (1L to 4L).map(i => (i, i + 1, i * 10L))
     val e = intercept[IllegalStateException] {
       GraphQueries.msfOf(ue.toDF("a", "b", "w"), rounds = 1, propSteps = 1).collect()
     }
-    assert(e.getMessage.contains("Borůvka"), e.getMessage)
+    assert(e.getMessage.contains("cannot be certified"), e.getMessage)
   }
 
   test("matchingOf equals the sequential greedy-by-weight matching on random graphs") {
