@@ -470,6 +470,31 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the m08 media quality gate: each micro-batch of arriving
+    * assets runs `Multimodal.mediaQualityGate` inside `foreachBatch` — the media
+    * leg of the ingest gauntlet's filter battery, stateless like the Gopher
+    * gate (the asset is the unit of analysis; the decode is the documented
+    * stub, the rule arithmetic real). Thresholds pass through for per-corpus
+    * tuning, the t48 convention.
+    */
+  def streamingMediaGate(
+      assets: DataFrame,
+      idCol: String,
+      typeCol: String,
+      binCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      minBytes: Long = 64L,
+      minDim: Int = 128
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Multimodal.mediaQualityGate(batch, idCol, typeCol, binCol,
+            minBytes = minBytes, minDim = minDim),
+          batchId)
+      }
+
   /** Streaming twin of the d24 SEMANTIC decontamination probe: each micro-batch
     * of arriving embedding vectors is scored against the benchmark vector set
     * inside `foreachBatch` ([[graft.pipeline.Similarity.semanticProbe]]) — the

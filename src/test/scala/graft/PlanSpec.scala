@@ -1043,6 +1043,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"allowed-id pre-filter must be a semi-join:\n$p")
   }
 
+  test("release funnel (dc16): text gates read the checkpoint; only embeddings scans remain") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Curation.releaseFunnel(docs, em,
+      "doc_id", "text", "source", "vec_id", "embedding",
+      requiredWords = Seq("the", "a", "value", "line")))
+    // the (id, source, text) projection checkpoints once and feeds every text
+    // gate; the only parquet left in the answer plan is the semantic gate's
+    // embeddings relation (scanned once per side: train probe + broadcast
+    // benchmark — both prune to (vec_id, embedding))
+    val scans = "FileScan".r.findAllMatchIn(p).size
+    assert(scans == 2, s"only the semantic gate's embeddings scans expected, got $scans:\n$p")
+    val scanLines = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(l =>
+      !l.contains("text") && l.contains("embedding")),
+      s"every remaining scan must be the embeddings relation:\n${scanLines.mkString("\n")}")
+  }
+
   test("semantic decontamination (d24): broadcast benchmark, map-side argmax, no window") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(pipeline.Similarity.semanticDecontaminate(e, "vec_id", "embedding"))

@@ -914,6 +914,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming media gate emits the batch m08 battery per micro-batch of arrivals") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    val stream = MemoryStream[(Long, String, Array[Byte])]
+    val query = StreamOps.streamingMediaGate(
+        stream.toDS().toDF("doc_id", "source", "media"), "doc_id", "source", "media",
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r => verdicts(r.getAs[Long]("asset_id")) =
+            ((r.getAs[Long]("reasons"), r.getAs[Int]("kept"))))
+        })
+      .start()
+    try {
+      def payload(n: Int): Array[Byte] = Array.fill(n)('x'.toByte)
+      // the m08 planted battery: asset id IS its expected bitmask
+      val arrivals = Seq(
+        (0L, "img", payload(64)), (1L, "img", payload(26)), (2L, "img", payload(589)),
+        (4L, "img", payload(93)), (8L, "img", payload(230)))
+      stream.addData(arrivals.take(2): _*)
+      query.processAllAvailable()
+      stream.addData(arrivals.drop(2): _*)
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      val batch = graft.pipeline.Multimodal
+        .mediaQualityGate(arrivals.toDF("doc_id", "source", "media"),
+          "doc_id", "source", "media")
+        .collect().map(r => r.getAs[Long]("asset_id") ->
+          ((r.getAs[Long]("reasons"), r.getAs[Int]("kept")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      assert(got == Map(0L -> ((0L, 1)), 1L -> ((1L, 0)), 2L -> ((2L, 0)),
+        4L -> ((4L, 0)), 8L -> ((8L, 0))), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming semantic decontamination probes arrivals against the benchmark vectors") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
