@@ -124,6 +124,15 @@ private[graft] object SimilarityOracles extends OracleFragments {
       Similarity.ivfPqTrainedTopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
         k = 5, kCells = 8, trainRounds = IvfPqTrainRounds)
     }),
+    // the s07 diagnostic for the filtered path: recall@5 of s29 against the
+    // brute-force top-5 under the SAME predicate
+    "s30_filtered_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.filteredAnnRecall(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5,
+        allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
+        kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
     // filtered ANN: same trained index, the label predicate pre-filters the
     // cell relation — tenants share the artifact, the filter is per batch
     "s29_ann_filtered" -> ((s: SparkSession, dir: String) => {
@@ -679,6 +688,26 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
     "s29_ann_filtered" -> ivfPqTrainedSqlWith(
       Some(s"SELECT vec_id FROM embeddings WHERE label % $FilteredAnnLabelMod = 0")),
+    // recall of the filtered path against the brute-force truth under the same
+    // predicate — mirror of Similarity.filteredAnnRecall
+    "s30_filtered_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |al AS (SELECT vec_id FROM embeddings WHERE label % $FilteredAnnLabelMod = 0),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM q CROSS JOIN e c JOIN al ON al.vec_id = c.vec_id
+         |    WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM (${ivfPqTrainedSqlWith(
+                  Some(s"SELECT vec_id FROM embeddings WHERE label % $FilteredAnnLabelMod = 0"))})),
+         |hits AS (SELECT ap.query_id, COUNT(*) AS n_hit
+         |         FROM ap JOIN truth USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |  round(COALESCE(h.n_hit, 0)::DOUBLE / 5.0, 6) AS recall_at_k
+         |FROM q LEFT JOIN hits h USING (query_id)""".stripMargin,
 
     // mirror of Similarity.ivfAssignNew over the AssignNewMod split: the codebook
     // trains on the pre-cut corpus (kmeansCtes over tr — same unrolled-rounds

@@ -486,6 +486,49 @@ object Similarity {
           .as("recall_at_k"))
   }
 
+  /** s30 — recall@k of the FILTERED ANN path ([[ivfPqFilteredTopK]]) against
+    * the exact brute-force top-k UNDER THE SAME PREDICATE — the s07 diagnostic
+    * for s29: filtered search has its own recall regime (probed cells can hold
+    * fewer qualifying members than k even when the corpus holds plenty), so
+    * tuning nProbe/overfetch for a tenant's filter needs its own measurement.
+    * One row per query, recall = |approx ∩ truth| / k, total misses kept as
+    * explicit 0 rows (the s07 convention).
+    *
+    * Scale shape: the truth side is a brute-force pass over the ALLOWED subset
+    * only (the predicate prunes before scoring, same as the search under test);
+    * the hit count is one (query, neighbor) equi-join; everything else reuses
+    * the s29 plan itself.
+    */
+  def filteredAnnRecall(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      kCells: Int = 8,
+      trainRounds: Int = 2
+  ): DataFrame = {
+    val allowedCands = candidates.join(
+      allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi")
+    val truth = bruteForceTopK(queries, allowedCands, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // hit join + (via its queries) the base relation
+    val approx = ivfPqFilteredTopK(queries, candidates, idCol, vecCol, k, allowed,
+      kCells, trainRounds)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (symmetric, id_a < id_b).
     *
     * Candidate pairs come from LSH hyperplane buckets — `nTables` independent hash

@@ -408,6 +408,21 @@ class RoundThirteenOpsSpec extends SparkSpec {
       unfiltered.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("s30: filtered recall is a per-query [0,1] diagnostic with explicit miss rows") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val allowed = e.filter(col("label") % 3 === 0).select(col("vec_id"))
+    val rec = Similarity.filteredAnnRecall(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, allowed = allowed)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall_at_k"))
+    assert(rec.nonEmpty && rec.forall { case (_, v) => v >= 0.0 && v <= 1.0 }, rec.toSeq.toString)
+    assert(rec.exists(_._2 > 0.0), rec.toSeq.toString) // the index finds SOMETHING
+    // misses are explicit rows, not dropped queries: one row per query
+    assert(rec.length == e.filter(col("vec_id") % 50 === 0).count().toInt, rec.length.toString)
+  }
+
   test("t47: each Gopher quality rule trips its own bit on a planted doc") {
     import graft.pipeline.TextStats
     def doc(tokens: Seq[String]): String = tokens.mkString(" ")
