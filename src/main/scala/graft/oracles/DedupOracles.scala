@@ -291,6 +291,11 @@ private[graft] object DedupOracles extends OracleFragments {
     "d23_leakage_report" -> ((s: SparkSession, dir: String) =>
       Dedup.leakageReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         benchmarkMod = DecontamMod, shingleSize = DecontamShingle)),
+    // the s07 discipline applied to dedup tuning: d02's candidates scored
+    // against d04's exact Jaccard truth at the pinned threshold
+    "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
+      Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
     // the EMBEDDING-space direction d19's n-grams can't see: paraphrased eval
     // leakage by nearest-benchmark cosine (threshold sits inside the synthetic
     // corpus's similarity spread so the flag discriminates at bench scale)
@@ -465,6 +470,31 @@ private[graft] object DedupOracles extends OracleFragments {
        |       MIN(q_micro) AS q_min, MAX(q_micro) AS q_max
        |FROM u GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** d02 mirror, shared with the d25 tuning report. */
+  private lazy val minhashPairsSql: String =
+      s"""WITH $shinglesCte,
+         |$minhashCtes
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin
+
+  /** d04 mirror, shared with the d25 tuning report. */
+  private lazy val ngramJaccardSql: String =
+      s"""WITH $shinglesCte,
+         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
+         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b)
+         |WHERE jaccard >= 0.2""".stripMargin
+
   /** d24 mirror, shared by the d24 entry and the dc16 release funnel. */
   private lazy val semanticDecontamSql: String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -556,6 +586,25 @@ private[graft] object DedupOracles extends OracleFragments {
     // bench-id tie-break — mirror of Similarity.semanticDecontaminate
     "d24_semantic_decontam" -> semanticDecontamSql,
 
+    // LSH precision/recall vs the exact Jaccard truth, one-row report with
+    // 0/0 as explicit zeros — mirror of Dedup.lshTuningReport
+    "d25_lsh_tuning" ->
+      s"""WITH tr AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |cd AS (SELECT id_a, id_b FROM ($minhashPairsSql)),
+         |t AS (SELECT COUNT(*) AS n_true FROM tr),
+         |c AS (SELECT COUNT(*) AS n_candidates FROM cd),
+         |h AS (SELECT COUNT(*) AS n_hits FROM cd JOIN tr USING (id_a, id_b))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |       ELSE floor(1000000.0 * n_hits::DOUBLE / n_true::DOUBLE + 0.5)
+         |       END AS BIGINT) AS recall_micro,
+         |  CAST(CASE WHEN n_candidates = 0 THEN 0
+         |       ELSE floor(1000000.0 * n_hits::DOUBLE / n_candidates::DOUBLE + 0.5)
+         |       END AS BIGINT) AS precision_micro
+         |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin,
+
     // per-eval-item leakage rollup over the same distinct-5-gram hash relation
     // as d19, probed in the reverse direction — mirror of Dedup.leakageReport
     "d23_leakage_report" -> {
@@ -614,11 +663,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "d01_dedup_exact" ->
       s"""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY md5(text)""".stripMargin,
-    "d02_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |$minhashCtes
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM mh a JOIN mh b ON a.k = b.k AND a.minhash = b.minhash AND a.doc_id < b.doc_id""".stripMargin,
+    "d02_minhash_lsh" -> minhashPairsSql,
     "d03_simhash" -> {
       val sums = (0 until 16)
         .map(i => s"SUM(CASE WHEN ascii(substr(h, ${i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
@@ -658,22 +703,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // Jaccard over RARE shingles only (doc-freq <= 100), on 60-bit md5 shingle hashes
     // — lockstep with the skew guard and the hashed shuffle keys in
     // Dedup.ngramJaccardPairs.
-    "d04_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
-         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= 100),
-         |shf AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-         |           FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b,
-         |         round(CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard
-         |  FROM common
-         |  JOIN sizes na ON na.doc_id = id_a
-         |  JOIN sizes nb ON nb.doc_id = id_b)
-         |WHERE jaccard >= 0.2""".stripMargin,
+    "d04_ngram_jaccard" -> ngramJaccardSql,
 
     // near-dup clusters: d02's pair graph + 3 min-label rounds (cluster id = min doc id
     // reachable in <=3 hops; singletons cluster as themselves)

@@ -380,6 +380,51 @@ object Dedup {
     * keyed by (bench, train) CANDIDATE pairs — hash-collision-bounded, never a
     * pair product — and the worst-offender pick is a per-bench-item window.
     */
+  /** d25 — LSH TUNING report: precision/recall of the d02 band-bucket
+    * candidates against the exact d04 Jaccard truth at `threshold` — the
+    * s07/s30 "measure, don't guess" discipline applied to dedup: at 100 TB the
+    * band/row split IS the cost-recall dial (more bands → more candidates →
+    * higher recall, more verify work), and this one-row report is what a
+    * parameter change is judged by. recall = |candidates ∩ true| / |true|,
+    * precision = |candidates ∩ true| / |candidates|, both micro-quantized,
+    * 0/0 reported as explicit zeros (an empty truth set means the corpus has
+    * no near-dup pairs at the threshold — not an error).
+    *
+    * Scale shape: both sides reuse their operators' own bucketed plans (never
+    * all-pairs); the hit count is one pair-keyed equi-join; the report is a
+    * cross join of three 1-row aggregates.
+    */
+  def lshTuningReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      threshold: Double = 0.2,
+      maxShingleDocFreq: Int = 100
+  ): DataFrame = {
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold,
+        maxShingleDocFreq)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // the count aggregate + the hit join
+    val cand = minhashLshPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // same
+    val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_candidates"))
+    val h = hits.agg(count(lit(1)).as("n_hits"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, 0L)
+        .otherwise(floor(lit(1000000.0) * num.cast("double") / den.cast("double")
+          + lit(0.5)).cast("long"))
+    t.crossJoin(c).crossJoin(h)
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        rate(col("n_hits"), col("n_true")).as("recall_micro"),
+        rate(col("n_hits"), col("n_candidates")).as("precision_micro"))
+  }
+
   def leakageReport(
       df: DataFrame,
       idCol: String,

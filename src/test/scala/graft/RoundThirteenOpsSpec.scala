@@ -408,6 +408,26 @@ class RoundThirteenOpsSpec extends SparkSpec {
       unfiltered.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("d25: the tuning report finds a planted near-dup and reports empty truth as zeros") {
+    // planted: docs 1/2 share most 3-shingles (true pair + candidate), doc 3 disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshTuningReport(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_true") == 1L && r.getAs[Long]("n_hits") == 1L, r.toString)
+    assert(r.getAs[Long]("recall_micro") == 1000000L, r.toString)
+    assert(r.getAs[Long]("precision_micro") > 0L, r.toString)
+    // a corpus with no near-dup pairs at the threshold: explicit zeros, no 0/0
+    val clean = Seq(
+      (1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val z = Dedup.lshTuningReport(clean, "doc_id", "text").collect()(0)
+    assert(z.getAs[Long]("n_true") == 0L && z.getAs[Long]("recall_micro") == 0L, z.toString)
+  }
+
   test("s30: filtered recall is a per-query [0,1] diagnostic with explicit miss rows") {
     import graft.pipeline.Similarity
     import org.apache.spark.sql.functions.col
