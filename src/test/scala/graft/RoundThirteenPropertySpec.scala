@@ -86,6 +86,58 @@ class RoundThirteenPropertySpec extends SparkSpec {
     assert(e.getMessage.contains("cannot be certified"), e.getMessage)
   }
 
+  /** Sequential mirror of the t47 battery: the seven Gopher quality rules
+    * re-derived in plain Scala over the raw string.
+    */
+  private def mirrorGopherQuality(text: String): Long = {
+    val words = text.split(" ", -1)
+    val lines = text.split("\n", -1)
+    val nWords = words.length.toLong
+    val sumLen = words.map(_.length.toLong).sum
+    def occ(s: String, needle: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = s.indexOf(needle, i); i >= 0 }) { n += 1; i += needle.length }
+      n
+    }
+    val symbols = occ(text, "#") + occ(text, "...") + occ(text, "…")
+    val bullets = lines.count(l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))
+    val ellipsis = lines.count(l => l.endsWith("...") || l.endsWith("…"))
+    val alpha = words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+    val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .count(words.contains)
+    (if (nWords < 50 || nWords > 100000) 1L else 0L) +
+      (if (sumLen < 3 * nWords || sumLen > 10 * nWords) 2L else 0L) +
+      (if (symbols * 10 > nWords) 4L else 0L) +
+      (if (bullets * 10 > lines.length) 8L else 0L) +
+      (if (ellipsis * 10 > lines.length * 3) 16L else 0L) +
+      (if (alpha * 5 < nWords * 4) 32L else 0L) +
+      (if (req < 2) 64L else 0L)
+  }
+
+  test("gopherQuality equals the sequential rule mirror on random documents") {
+    val tokenGen = Gen.frequency(
+      (6, Gen.oneOf("the", "be", "to", "of", "word", "ab#c", "1234", "x...", "…", "- y")),
+      (2, Gen.alphaLowerStr.map(_.take(12))),
+      (1, Gen.const("")))
+    val docGen = for {
+      n <- Gen.choose(1, 80)
+      ts <- Gen.listOfN(n, tokenGen)
+      nl <- Gen.choose(0, 3)
+    } yield {
+      // splice a few newlines between tokens so the line rules fire
+      val s = ts.mkString(" ")
+      if (nl == 0 || s.isEmpty) s
+      else s.zipWithIndex.map { case (c, i) => if (c == ' ' && i % 17 == 0) '\n' else c }.mkString
+    }
+    check("gopher-quality-mirror", Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.pipeline.TextStats.gopherQuality(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("reasons")).toMap
+      val want = texts.zipWithIndex.map { case (t, i) => i.toLong -> mirrorGopherQuality(t) }.toMap
+      (got == want) :| s"got $got want $want texts $texts"
+    })
+  }
+
   test("matchingOf equals the sequential greedy-by-weight matching on random graphs") {
     check("dominant-greedy", Prop.forAll(edgeGen) { edges =>
       (edges.nonEmpty) ==> {
