@@ -161,6 +161,27 @@ private[graft] object DedupOracles extends OracleFragments {
         semanticThresholdMicro = SemanticDecontamMicro,
         requiredWords = FunnelRequiredWords,
         minRequiredHits = GopherMinRequiredHits)),
+    // the release as a PERSISTED artifact: the dc16 admitted set saved
+    // source-partitioned / id-range-sorted, reloaded, and censused — the round
+    // trip must reproduce the in-session relation to the checksum
+    "dc17_release_saved" -> ((s: SparkSession, dir: String) => {
+      val admitted = graft.pipeline.Curation.releaseAdmitted(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "source", "vec_id", "embedding",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+        semanticThresholdMicro = SemanticDecontamMicro,
+        requiredWords = FunnelRequiredWords,
+        minRequiredHits = GopherMinRequiredHits)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-release")
+      try {
+        val path = scratch.toString + "/release"
+        graft.pipeline.Curation.saveRelease(admitted, "doc_id", "source", path)
+        graft.pipeline.Curation.releaseCensus(
+          graft.pipeline.Curation.loadRelease(s, path).localCheckpoint(true),
+          "doc_id", "source")
+      } finally deleteRecursively(scratch)
+    }),
     // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best
     // documents by the t02 quality heuristic train LAST, quality-ascending —
     // the published decay-phase curriculum derived from the same manifest
@@ -518,8 +539,11 @@ private[graft] object DedupOracles extends OracleFragments {
   // (gopher batteries as scoped subqueries, d05 keeper CTEs at top level,
   // d19/d24 gates as scoped subqueries), stages cumulative id intersections —
   // mirror of Curation.releaseFunnel
-  private lazy val releaseFunnelSql: String =
-    s"""WITH keepids AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+  /** The dc16 stage-CTE chain (through s5), shared by the funnel report and
+    * the dc17 census so the two surfaces derive from identical SQL.
+    */
+  private lazy val releaseStagesCteSql: String =
+    s"""keepids AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |s0 AS (SELECT doc_id, source FROM documents),
        |s1 AS (SELECT * FROM s0 WHERE doc_id % $DecontamMod <> 0),
        |gq AS (SELECT doc_id FROM (${gopherQualitySqlWith(FunnelRequiredWords)})
@@ -533,7 +557,10 @@ private[graft] object DedupOracles extends OracleFragments {
        |scon AS (SELECT vec_id AS doc_id FROM ($semanticDecontamSql)
        |         WHERE contaminated = 1),
        |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
-       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id)),
+       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id))""".stripMargin
+
+  private lazy val releaseFunnelSql: String =
+    s"""WITH $releaseStagesCteSql,
        |src AS (SELECT DISTINCT source FROM documents)
        |${Seq("00_total" -> "s0", "01_train_split" -> "s1", "02_gopher" -> "s2",
               "03_exact_keeper" -> "s3", "04_ngram_clean" -> "s4",
@@ -543,6 +570,17 @@ private[graft] object DedupOracles extends OracleFragments {
              |  (SELECT source, COUNT(*) AS n FROM $rel GROUP BY 1) c USING (source)"""
             .stripMargin
         }.mkString("\nUNION ALL ")}""".stripMargin
+
+  // the loaded release artifact's per-source census: doc count + order-free
+  // h32 id checksum — mirror of Curation.releaseCensus over releaseAdmitted
+  // (the save→load round trip is bit-exact integers, so the mirror is the
+  // in-session s5 census)
+  private lazy val releaseCensusSql: String =
+    s"""WITH $releaseStagesCteSql
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000000) AS BIGINT) AS id_check
+       |FROM s5 GROUP BY 1""".stripMargin
 
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
@@ -810,6 +848,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,
     "dc16_release_funnel" -> releaseFunnelSql,
+    "dc17_release_saved" -> releaseCensusSql,
 
     // upsampling materialized: every kept doc carries the exact integer epoch
     // repeat count (base = target div n, first target-mod-n hash-order docs get

@@ -86,6 +86,41 @@ object Curation {
         Seq("the", "be", "to", "of", "and", "that", "have", "with"),
       minRequiredHits: Int = 2
   ): DataFrame = {
+    val stages = releaseStageSets(docs, embeddings, idCol, textCol, sourceCol,
+      vecIdCol, vecCol, benchmarkMod, shingleSize, semanticThresholdMicro,
+      requiredWords, minRequiredHits)
+    // report over the FULL stage × source grid: a source whose survivors hit
+    // zero keeps an explicit 0 row (groupBy alone would drop the group and a
+    // reader diffing per-source counts would hit missing keys, not zeros)
+    val sources = stages.head._2.select(col(sourceCol).as("source")).distinct()
+      .localCheckpoint(true) // one consumer per stage
+    def stage(name: String, ids: DataFrame): DataFrame =
+      sources
+        .join(ids.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("cnt")),
+          Seq("source"), "left")
+        .select(lit(name).as("stage"), col("source"),
+          coalesce(col("cnt"), lit(0L)).as("n_docs"))
+    stages.map { case (n, ids) => stage(n, ids) }.reduce(_ unionByName _)
+  }
+
+  /** The six cumulative release gate sets of [[releaseFunnel]] as named
+    * (id, source) relations — shared with [[releaseAdmitted]] so the persisted
+    * artifact and the report derive from the identical chain.
+    */
+  private def releaseStageSets(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      benchmarkMod: Long,
+      shingleSize: Int,
+      semanticThresholdMicro: Long,
+      requiredWords: Seq[String],
+      minRequiredHits: Int
+  ): Seq[(String, DataFrame)] = {
     val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
     val s0 = base.select(col(idCol), col(sourceCol))
     val s1 = s0.filter(col(idCol) % benchmarkMod =!= 0)
@@ -108,24 +143,73 @@ object Curation {
       .filter(col("contaminated") === 1)
       .select(col("vec_id").as(idCol))
     val s5 = s4.join(semContam, Seq(idCol), "left_anti")
-    // report over the FULL stage × source grid: a source whose survivors hit
-    // zero keeps an explicit 0 row (groupBy alone would drop the group and a
-    // reader diffing per-source counts would hit missing keys, not zeros)
-    val sources = s0.select(col(sourceCol).as("source")).distinct()
-      .localCheckpoint(true) // one consumer per stage
-    def stage(name: String, ids: DataFrame): DataFrame =
-      sources
-        .join(ids.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("cnt")),
-          Seq("source"), "left")
-        .select(lit(name).as("stage"), col("source"),
-          coalesce(col("cnt"), lit(0L)).as("n_docs"))
-    stage("00_total", s0)
-      .unionByName(stage("01_train_split", s1))
-      .unionByName(stage("02_gopher", s2))
-      .unionByName(stage("03_exact_keeper", s3))
-      .unionByName(stage("04_ngram_clean", s4))
-      .unionByName(stage("05_semantic_clean", s5))
+    Seq("00_total" -> s0, "01_train_split" -> s1, "02_gopher" -> s2,
+      "03_exact_keeper" -> s3, "04_ngram_clean" -> s4, "05_semantic_clean" -> s5)
   }
+
+  /** The RELEASE itself — the final gate set of [[releaseFunnel]] as the
+    * (id, source) relation a training run reads. Derives from the identical
+    * stage chain as the report, so the card and the corpus can never disagree.
+    */
+  def releaseAdmitted(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      benchmarkMod: Long = 10L,
+      shingleSize: Int = 5,
+      semanticThresholdMicro: Long = 400000L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
+  ): DataFrame =
+    releaseStageSets(docs, embeddings, idCol, textCol, sourceCol, vecIdCol, vecCol,
+      benchmarkMod, shingleSize, semanticThresholdMicro, requiredWords,
+      minRequiredHits).last._2
+
+  /** dc17 — persist the release (the d18/s27/dc12 artifact discipline):
+    * source-partitioned directories, id-range-sorted files within each, so a
+    * per-source slice fetch prunes to its directory and an id membership probe
+    * ("is doc X in release R?") row-group-skips. Every downstream job — the
+    * epoch materializer, the trainer's shard fetch, an audit — reads THIS
+    * artifact instead of re-running the gates.
+    */
+  def saveRelease(
+      admitted: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      path: String,
+      nFiles: Int = 16
+  ): Unit =
+    admitted
+      .repartitionByRange(math.max(nFiles, 1), col(sourceCol), col(idCol))
+      .sortWithinPartitions(col(sourceCol), col(idCol))
+      .write.partitionBy(sourceCol)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Reload a [[saveRelease]] artifact — ids are exact integers, the round trip
+    * is bit-exact; `sourceCol` comes back from the directory encoding.
+    */
+  def loadRelease(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The dc17 CORRECTNESS surface: the loaded artifact's per-source census —
+    * doc count plus an order-free integer id checksum (Σ h32(id) mod 10⁶, the
+    * dc14 discipline) — which must equal the census of the in-session admitted
+    * relation (the save → load round trip is invisible). Sources zeroed by the
+    * gates have no directory, so the census reports sources PRESENT in the
+    * release — the artifact's honest content (the explicit-zero convention
+    * belongs to the report, [[releaseFunnel]], not the corpus).
+    */
+  def releaseCensus(admitted: DataFrame, idCol: String, sourceCol: String): DataFrame =
+    admitted
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L))).as("id_check"))
 
   /** dc01 — the per-source triage table a curation run actually reads (the
     * C4/RefinedWeb domain-stats discipline): doc count, token count and corpus

@@ -408,6 +408,34 @@ class RoundThirteenOpsSpec extends SparkSpec {
       unfiltered.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("dc17: a source-slice fetch of the saved release plans only its directory's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.pipeline.Curation
+    val admitted = (for { s <- Seq("a", "b", "c", "d"); i <- 0 until 100 }
+      yield (s.hashCode.toLong * 1000 + i, s)).toDF("doc_id", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-release")
+    try {
+      val path = dir.toString + "/release"
+      Curation.saveRelease(admitted, "doc_id", "source", path, nFiles = 16)
+      val loaded = Curation.loadRelease(spark, path)
+      // bit-exact round trip: census of the load equals census of the input
+      val a = Curation.releaseCensus(admitted, "doc_id", "source")
+        .orderBy(col("source")).collect().toSeq
+      val b = Curation.releaseCensus(loaded, "doc_id", "source")
+        .orderBy(col("source")).collect().toSeq
+      assert(a == b, s"round trip must be invisible to the census: $a vs $b")
+      // a per-source slice prunes to its directory
+      val totalFiles = parquetFiles(new java.io.File(path)).size
+      val sliceFiles = parquetFiles(new java.io.File(s"$path/source=b")).size
+      assert(sliceFiles >= 1 && sliceFiles < totalFiles, s"$sliceFiles of $totalFiles")
+      val q = loaded.filter(col("source") === "b")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }.head
+      assert(scan.metrics("numFiles").value == sliceFiles.toLong,
+        s"slice fetch planned ${scan.metrics("numFiles").value} files; dir holds $sliceFiles")
+    } finally deleteRecursively(dir)
+  }
+
   test("d25: the tuning report finds a planted near-dup and reports empty truth as zeros") {
     // planted: docs 1/2 share most 3-shingles (true pair + candidate), doc 3 disjoint
     val docs = Seq(
