@@ -183,18 +183,32 @@ object Curation {
       sourceCol: String,
       path: String,
       nFiles: Int = 16
-  ): Unit =
+  ): Unit = {
+    // a zero-row release writes no part files and no partition dirs — the
+    // artifact would be unreadable (schema inference fails on load). An empty
+    // release is a gate misconfiguration; fail loudly, the house discipline.
+    require(!admitted.isEmpty,
+      "saveRelease: empty release — every document was gated out (misconfigured gates?)")
     admitted
       .repartitionByRange(math.max(nFiles, 1), col(sourceCol), col(idCol))
       .sortWithinPartitions(col(sourceCol), col(idCol))
       .write.partitionBy(sourceCol)
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
 
   /** Reload a [[saveRelease]] artifact — ids are exact integers, the round trip
-    * is bit-exact; `sourceCol` comes back from the directory encoding.
+    * is bit-exact; `sourceCol` comes back from the directory encoding and is
+    * re-typed to STRING (partition-column type inference would re-type a
+    * numeric-looking source and change the census schema — the dc12
+    * pack_group cast discipline). Caveat, documented: two sources whose
+    * directory encodings collide under numeric parsing (e.g. "2021" and
+    * "02021") are not distinguishable after the directory round trip; source
+    * labels are names, not numbers.
     */
-  def loadRelease(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  def loadRelease(spark: org.apache.spark.sql.SparkSession, path: String,
+      sourceCol: String = "source"): DataFrame =
     spark.read.parquet(path)
+      .withColumn(sourceCol, col(sourceCol).cast("string"))
 
   /** The dc17 CORRECTNESS surface: the loaded artifact's per-source census —
     * doc count plus an order-free integer id checksum (Σ h32(id) mod 10⁶, the

@@ -513,7 +513,6 @@ object Similarity {
       allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi")
     val truth = bruteForceTopK(queries, allowedCands, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // hit join + (via its queries) the base relation
     val approx = ivfPqFilteredTopK(queries, candidates, idCol, vecCol, k, allowed,
       kCells, trainRounds)
       .select(col("query_id"), col("neighbor_id"))
