@@ -16,19 +16,13 @@ import graft.streaming.StreamOps
   */
 class StreamingCurationSpec extends SparkSpec {
 
-  private def bucketOf(token: String, buckets: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
-  }
-
   test("files arriving over time drive drift + quarantine consistent with batch") {
     import spark.implicits._
     val bks = 64
     // the frozen reference LM: last snapshot's per-source hashed counts
     val early = Seq((0L, "a b c a", "s1"), (1L, "b c d", "s2"))
     val reference: Map[String, Map[Long, Long]] = early.groupBy(_._3).map { case (src, ds) =>
-      src -> ds.flatMap(_._2.split(" ")).groupBy(t => bucketOf(t, bks))
+      src -> ds.flatMap(_._2.split(" ")).groupBy(t => md5Slot(t, bks.toLong))
         .map { case (b, ts) => b -> ts.size.toLong }
     }
 
@@ -81,7 +75,7 @@ class StreamingCurationSpec extends SparkSpec {
     } finally { driftQ.stop(); quarQ.stop() }
   }
 
-  test("the full ingest gauntlet: quarantine, dedup probe, and decontamination gate off one stream") {
+  test("the full ingest gauntlet: quarantine, dedup probe, decontamination AND Gopher gates off one stream") {
     import spark.implicits._
     // the two persisted gate artifacts a production ingest probes: the corpus'
     // band index (d17/d18) and the eval suite's n-gram index (d19/d20)
@@ -105,7 +99,7 @@ class StreamingCurationSpec extends SparkSpec {
     writeFile("b1.jsonl", Seq(
       """{"doc_id":100,"text":"the quick brown fox jumps over the lazy dog again and again","source":"s1"}""",
       """{"doc_id":101,"text":"quote the secret benchmark answer is forty two exactly here","source":"s1"}""",
-      """{"doc_id":102,"text":"a genuinely novel document passing every gate","source":"s2"}""",
+      """{"doc_id":102,"text":"a genuinely novel document passing every gate with plenty of distinct tokens spread across it covering enough span that no repeated ngram dominates character mass while several additional harmless filler phrases extend things further downward","source":"s2"}""",
       """not even json"""))
 
     val (docs, quarantine) = DocumentSources.streamJsonlDocs(spark, dir)
@@ -124,12 +118,22 @@ class StreamingCurationSpec extends SparkSpec {
             contam(r.getAs[Long]("doc_id")) = r.getAs[Long]("first_bench_id"))
         })
       .start()
+    // the filter-battery leg beside the artifact probes: the FULL Gopher gate
+    // (t48) on the same stream, thresholds tuned to the short planted docs
+    val gopher = scala.collection.mutable.Map.empty[Long, Int]
+    val gopherQ = StreamOps.streamingGopherGate(
+        docs, "doc_id", "text",
+        onBatch = (out, _) => gopher.synchronized {
+          out.collect().foreach(r => gopher(r.getAs[Long]("doc_id")) = r.getAs[Int]("kept"))
+        },
+        minWords = 5L, requiredWords = Seq("the", "a"), minRequiredHits = 1)
+      .start()
     val quarQ = quarantine.writeStream.format("memory").queryName("gauntlet_quar").start()
 
     try {
       def settle(): Unit = {
         dedupQ.processAllAvailable(); decontamQ.processAllAvailable()
-        quarQ.processAllAvailable()
+        gopherQ.processAllAvailable(); quarQ.processAllAvailable()
       }
       settle()
       // batch 1: the archive copy trips ONLY the dedup gate, the benchmark quote
@@ -151,7 +155,7 @@ class StreamingCurationSpec extends SparkSpec {
       val arrivals = Seq(
         (100L, "the quick brown fox jumps over the lazy dog again and again"),
         (101L, "quote the secret benchmark answer is forty two exactly here"),
-        (102L, "a genuinely novel document passing every gate"),
+        (102L, "a genuinely novel document passing every gate with plenty of distinct tokens spread across it covering enough span that no repeated ngram dominates character mass while several additional harmless filler phrases extend things further downward"),
         (103L, "the quick brown fox jumps over the lazy dog again and again"))
         .toDF("doc_id", "text")
       val batchDups = graft.pipeline.Dedup.incrementalDedupAgainst(
@@ -162,6 +166,13 @@ class StreamingCurationSpec extends SparkSpec {
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("first_bench_id")).toMap
       assert(dups.synchronized(dups.toMap) == batchDups)
       assert(contam.synchronized(contam.toMap) == batchContam)
-    } finally { dedupQ.stop(); decontamQ.stop(); quarQ.stop() }
+      // the Gopher leg's verdicts arrived for every doc on the same stream,
+      // identical to the batch t48 gate over the whole arrival prefix
+      val batchGopher = graft.pipeline.TextStats.gopherGate(arrivals, "doc_id", "text",
+          minWords = 5L, requiredWords = Seq("the", "a"), minRequiredHits = 1)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+      assert(gopher.synchronized(gopher.toMap) == batchGopher, gopher.toString)
+      assert(gopher.synchronized(gopher(102L)) == 1, "the novel doc passes the battery")
+    } finally { dedupQ.stop(); decontamQ.stop(); gopherQ.stop(); quarQ.stop() }
   }
 }
