@@ -1110,6 +1110,40 @@ object AnalyticsQueries {
     exactQuantiles(gaps, "event_type", "gap_s", "n_gaps")
   }
 
+  /** ev21 — first-order Markov transition matrix over each user's time-ordered
+    * event stream: for every (from_type → to_type) step, the step count and the
+    * per-from-type transition rate — the "what follows what" relation behind
+    * next-action prediction, funnel design, and bot detection (a user class
+    * whose transition row is a spike is scripted traffic).
+    *
+    * Determinism: steps are ordered by (tsu, event_id) — the ev12 tie-break —
+    * and the rate is ONE final division of exact longs in the shared
+    * `(2·10⁶·n + d) div (2·d)` half-up integer form, so both engines compute
+    * identical micro rates with no float in the pipeline at all.
+    *
+    * Scale shape: the lead() window is per-user (partition-bounded — events
+    * shuffle once on user_id, the same key every per-user op here shares),
+    * then ONE map-side-combinable groupBy collapses the corpus to a
+    * |types|² matrix; the from-type marginal is a window over that
+    * catalog-sized relation, never over events. No driver-side state.
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    val steps = eventsTsu(spark, dir, "user_id", "event_id", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val matrix = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    matrix
+      .withColumn("from_total",
+        sum(col("n_steps")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        expr("(2 * 1000000 * n_steps + from_total) DIV (2 * from_total)")
+          .cast("long").as("rate_micro"))
+  }
+
   /** The ev18 EXACT quantile fold over an explicit (key, value) relation:
     * integer-bucket histogram → cumulative mass per key → smallest value whose
     * cumulative count reaches p% — exact at any scale because the state is

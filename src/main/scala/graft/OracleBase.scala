@@ -330,6 +330,18 @@ private[graft] trait OracleParams {
     */
   private[graft] val SemanticDecontamMicro = 400000L
 
+  /** d26's pinned tuning grid — every config splits the SAME 16-hash signature
+    * budget (bands × rows = 16), so the sweep isolates the banding decision
+    * from the minhash cost; shared by the Spark kernel and the generated
+    * oracle CTEs so the two grids cannot drift.
+    */
+  private[graft] val LshTuneConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4))
+
+  /** d26's pinned recall floor (0.8): the cheapest config clearing it wins;
+    * if none do, the pick degrades to max recall.
+    */
+  private[graft] val LshTuneRecallFloorMicro = 800000L
+
   /** dc05's pinned deterministic centroid sample (vec_id % mod == 0 are the cell
     * centers — the s04/d13 convention).
     */

@@ -46,6 +46,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev18_gap_quantiles" -> (AnalyticsQueries.gapQuantiles _),
     "ev19_funnel" -> (AnalyticsQueries.funnel _),
     "ev20_funnel_latency" -> (AnalyticsQueries.funnelLatency _),
+    "ev21_type_transitions" -> (AnalyticsQueries.typeTransitions _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -167,6 +168,21 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |       CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
          |UNION ALL SELECT 3, 'purchase', COUNT(*),
          |       CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
+
+    // first-order Markov transition matrix: per-user (tsu, event_id)-ordered
+    // lead() steps, |types|² counts, per-from-type rate in the shared half-up
+    // integer micro form — mirror of AnalyticsQueries.typeTransitions
+    "ev21_type_transitions" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |p AS (SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+         |      FROM t),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps
+         |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n_steps AS BIGINT) AS n_steps,
+         |  CAST((2 * 1000000 * n_steps + ft) // (2 * ft) AS BIGINT) AS rate_micro
+         |FROM (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
+         |      FROM c)""".stripMargin,
 
     // the ev19 anchors' conversion delays through the ev18 exact-quantile fold
     // — mirror of AnalyticsQueries.funnelLatency

@@ -317,6 +317,13 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // the d25 report swept over band/row splits of one signature budget plus
+    // the deterministic pick — the grid-search job that turns d25's
+    // measurement into a configuration decision
+    "d26_lsh_autotune" -> ((s: SparkSession, dir: String) =>
+      Dedup.lshAutoTune(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, configs = LshTuneConfigs, threshold = 0.2,
+        recallFloorMicro = LshTuneRecallFloorMicro)),
     // the EMBEDDING-space direction d19's n-grams can't see: paraphrased eval
     // leakage by nearest-benchmark cosine (threshold sits inside the synthetic
     // corpus's similarity spread so the flag discriminates at bench scale)
@@ -642,6 +649,54 @@ private[graft] object DedupOracles extends OracleFragments {
          |       ELSE floor(1000000.0 * n_hits::DOUBLE / n_candidates::DOUBLE + 0.5)
          |       END AS BIGINT) AS precision_micro
          |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin,
+
+    // the d25 sweep over LshTuneConfigs band/row splits of the 16-hash budget
+    // (band sig = '_'-joined minhash run, exactly the Spark concat_ws), plus
+    // the deterministic chosen pick — mirror of Dedup.lshAutoTune. Config CTEs
+    // generated from the same constants as the Spark grid.
+    "d26_lsh_autotune" -> {
+      val cfg = LshTuneConfigs.zipWithIndex
+      val perConfig = cfg.map { case ((b, r), i) =>
+        s"""bs$i AS (SELECT doc_id, k // $r AS band,
+           |         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k) AS sig
+           |       FROM mh GROUP BY doc_id, k // $r),
+           |cd$i AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bs$i a JOIN bs$i b ON a.band = b.band AND a.sig = b.sig
+           |           AND a.doc_id < b.doc_id),
+           |r$i AS (SELECT $b AS bands, $r AS rows_per_band,
+           |          (SELECT COUNT(*) FROM tr) AS n_true,
+           |          (SELECT COUNT(*) FROM cd$i) AS n_candidates,
+           |          (SELECT COUNT(*) FROM cd$i JOIN tr USING (id_a, id_b)) AS n_hits)"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = cfg.map { case (_, i) => s"SELECT * FROM r$i" }.mkString(" UNION ALL ")
+      s"""WITH $shinglesCte,
+         |$minhashCtes,
+         |tr AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+         |$perConfig,
+         |u AS ($union),
+         |e AS (SELECT bands, rows_per_band, n_true, n_candidates, n_hits,
+         |        CASE WHEN n_true = 0 THEN 0
+         |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_true::DOUBLE + 0.5)
+         |                  AS BIGINT) END AS recall_micro,
+         |        CASE WHEN n_candidates = 0 THEN 0
+         |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_candidates::DOUBLE + 0.5)
+         |                  AS BIGINT) END AS precision_micro
+         |      FROM u),
+         |q AS (SELECT *, CASE WHEN recall_micro >= $LshTuneRecallFloorMicro
+         |                     THEN 1 ELSE 0 END AS qualifies FROM e)
+         |SELECT CAST(bands AS INTEGER) AS bands,
+         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits, recall_micro, precision_micro,
+         |  CAST(qualifies AS INTEGER) AS qualifies,
+         |  CAST(CASE WHEN row_number() OVER (ORDER BY qualifies DESC,
+         |         CASE WHEN qualifies = 1 THEN n_candidates
+         |              ELSE 9223372036854775807 END ASC,
+         |         recall_micro DESC, bands DESC) = 1 THEN 1 ELSE 0 END AS INTEGER) AS chosen
+         |FROM q""".stripMargin
+    },
 
     // per-eval-item leakage rollup over the same distinct-5-gram hash relation
     // as d19, probed in the reverse direction — mirror of Dedup.leakageReport

@@ -425,6 +425,74 @@ object Dedup {
         rate(col("n_hits"), col("n_candidates")).as("precision_micro"))
   }
 
+  /** d26 — LSH AUTO-TUNE: the d25 report swept over a grid of (bands, rows)
+    * splits of one fixed signature budget (bands × rows = 16 hashes for every
+    * config, so all configs share the SAME minhash pipeline cost and differ
+    * only in how the signature is banded), plus a deterministic pick: the
+    * cheapest config (fewest candidate pairs to verify) whose recall against
+    * the exact d04 truth clears `recallFloorMicro`; if none qualify, the pick
+    * degrades to max recall. This is the grid-search job you run on a sample
+    * BEFORE the 100 TB pass — d25 measured ONE dial setting (and found 16×1
+    * buys recall 1.0 at precision 0.017); d26 is the loop that turns that
+    * measurement into a configuration decision, the published S-curve
+    * trade-off (1−(1−j^r)^b) measured instead of assumed.
+    *
+    * Scale shape: the exact truth (the expensive side) is computed ONCE and
+    * checkpointed; each config reuses the capped band-bucket kernel (never
+    * all-pairs) and contributes three 1-row aggregates; the chosen pick is a
+    * window over the |configs|-row report. Everything after the per-config
+    * pair joins is catalog-sized.
+    */
+  def lshAutoTune(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4)),
+      threshold: Double = 0.2,
+      recallFloorMicro: Long = 800000L,
+      maxShingleDocFreq: Int = 100,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold,
+        maxShingleDocFreq)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // one count + one hit join per config
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, 0L)
+        .otherwise(floor(lit(1000000.0) * num.cast("double") / den.cast("double")
+          + lit(0.5)).cast("long"))
+    val report = configs.map { case (b, r) =>
+      val cand = minhashLshPairs(df, idCol, textCol, shingleSize, b, r, maxBucketMembers)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // the count aggregate + the hit join
+      val c = cand.agg(count(lit(1)).as("n_candidates"))
+      val h = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      t.crossJoin(c).crossJoin(h)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_true"), col("n_candidates"), col("n_hits"),
+          rate(col("n_hits"), col("n_true")).as("recall_micro"),
+          rate(col("n_hits"), col("n_candidates")).as("precision_micro"))
+    }.reduce(_ unionByName _)
+    // the decision: qualify on the recall floor, then cheapest verify bill
+    // AMONG qualifiers (a non-qualifier never wins on cheapness — its cost
+    // rank is voided so the no-qualifier fallback is pure max-recall);
+    // bands-desc tie-break (more bands = finer buckets at equal cost). The
+    // global window runs over |configs| rows — never data-sized.
+    val pick = Window.orderBy(
+      col("qualifies").desc,
+      when(col("qualifies") === 1, col("n_candidates"))
+        .otherwise(lit(Long.MaxValue)).asc,
+      col("recall_micro").desc,
+      col("bands").desc)
+    report
+      .withColumn("qualifies", (col("recall_micro") >= recallFloorMicro).cast("int"))
+      .withColumn("chosen", (row_number().over(pick) === 1).cast("int"))
+  }
+
   def leakageReport(
       df: DataFrame,
       idCol: String,
