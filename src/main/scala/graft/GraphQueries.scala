@@ -1844,6 +1844,83 @@ object GraphQueries {
     * end-to-end (md5 selection with id tie-break, min-distance folds, d_sum
     * then landmark-asc argmin), so the oracle replays it exactly.
     */
+  /** g59 — hop-bounded WEIGHTED shortest distances from a bounded seed set:
+    * dist(v) = the minimum total edge weight of any ≤`maxHops`-edge directed
+    * path from the seed set to v (weight = 1 + position mod
+    * [[OracleBase.SsspWeightMod]] — a deterministic positive cost derived from
+    * the edge's own payload). The "distance to nearest seed" feature behind
+    * spam-proximity scoring and trust propagation; the hop bound makes the
+    * semantic TOTAL (defined whether or not the relaxation converged), the
+    * published bounded-hop variant of Bellman-Ford that iterative-map-reduce
+    * graph engines ship (Pregel's superstep-capped SSSP).
+    *
+    * Seeds are the `nSeeds` smallest md5(v) vertices — the g53/s26 bounded-entry
+    * discipline: the seed relation is CONSTANT-sized at any corpus scale, never
+    * id-modulo (corpus-proportional) sized.
+    *
+    * Scale shape: the weighted edge list is deduped + checkpointed once and
+    * every round is one equi-join on src (the frontier state is ≤|V| rows of
+    * (v, dist)) followed by a map-side-combinable min — the Pregel superstep
+    * in DataFrame form. Rounds checkpoint (lineage would cascade); a fixpoint
+    * round EXITS EARLY, output-identical to the full unroll because min-relax
+    * is monotone (the g57 early-exit discipline, proven in the property
+    * mirror). Distances are exact integer sums — no float anywhere.
+    */
+  def weightedSssp(
+      spark: SparkSession,
+      dir: String,
+      nSeeds: Int = 8,
+      maxHops: Int = 6,
+      weightMod: Long = 97L
+  ): DataFrame =
+    weightedSsspKernel(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst"),
+          col("position")),
+      nSeeds, maxHops, weightMod)
+
+  /** Kernel form of [[weightedSssp]] over an explicit (src, dst, position)
+    * relation — the property mirror proves it against a sequential Dijkstra
+    * truncated to the hop bound on random weighted digraphs.
+    */
+  private[graft] def weightedSsspKernel(
+      edges: DataFrame,
+      nSeeds: Int,
+      maxHops: Int,
+      weightMod: Long
+  ): DataFrame = {
+    val e = edges
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("position")).as("p"))
+      .select(col("src"), col("dst"), (lit(1L) + col("p") % lit(weightMod)).as("w"))
+      .localCheckpoint(true) // loop-invariant: one relaxation join per round
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val seeds = verts
+      .orderBy(md5(col("v").cast("string")).asc, col("v").asc)
+      .limit(nSeeds)
+    var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint(true)
+    // (count, Σd) is a complete fixpoint witness: relaxation only ADDS vertices
+    // or DECREASES distances, so an unchanged pair ⟺ an unchanged relation
+    var sig = dist.agg(count(lit(1)), sum(col("d"))).collect()(0)
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
+      val relax = dist.join(e, col("v") === col("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val nextSig = dist.agg(count(lit(1)), sum(col("d"))).collect()(0)
+      converged = nextSig == sig
+      sig = nextSig
+      h += 1
+    }
+    dist.select(col("v"), col("d").as("dist_w"))
+  }
+
   def landmarkDistances(
       spark: SparkSession,
       dir: String,

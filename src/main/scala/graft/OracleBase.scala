@@ -201,6 +201,17 @@ private[graft] trait OracleParams {
   private[graft] val LandmarkUMod = 25
   private[graft] val LandmarkVMod = 37
 
+  /** g59's pinned weighted-SSSP parameters, shared by registration, oracle,
+    * and property mirror: seed set = the SsspSeeds smallest md5(v) vertices
+    * (the g53 bounded-entry convention — never corpus-proportional), distances
+    * relaxed for SsspHops rounds (hop-bounded Bellman-Ford: the ≤R-hop
+    * min-weight semantic, total and deterministic whether or not the graph
+    * converged), edge weight = 1 + position % SsspWeightMod.
+    */
+  private[graft] val SsspSeeds = 8
+  private[graft] val SsspHops = 6
+  private[graft] val SsspWeightMod = 97L
+
   /** g54's pinned HyperANF round count, shared by registration and oracle. */
   private[graft] val HyperAnfRounds = 3
 

@@ -108,6 +108,24 @@ private[graft] object DedupOracles extends OracleFragments {
           Sampling.loadEpochManifest(s, manifestPath).localCheckpoint(true), "source")
       } finally deleteRecursively(scratch)
     }),
+    // the trainer checkpoint-restart: the dc11 manifest joined to the
+    // mid-run watermark, remaining packs censused per shard with explicit
+    // done rows — mirror of Sampling.epochResume
+    "dc19_epoch_resume" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-resume")
+      try {
+        val mergesPath = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), mergesPath)
+        Sampling.epochResume(
+          Sampling.epochManifestUpsampled(docs, "doc_id", "source", "text",
+            TextStats.bpeLoadMerges(s, mergesPath),
+            alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+            budgetTokens = 512L, nGroups = 8).localCheckpoint(true),
+          "source")
+      } finally deleteRecursively(scratch)
+    }),
     // the epoch a trainer SHOULD get: the d19 benchmark gate excludes
     // contaminated docs BEFORE mix admission (a budget slot never goes to a
     // document the eval suite has seen), then the dc11 chain runs over the
@@ -434,6 +452,32 @@ private[graft] object DedupOracles extends OracleFragments {
        |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
        |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
        |FROM cum GROUP BY 1, 2, 3""".stripMargin
+
+  // the dc11 manifest's per-shard remainder past the mid-run watermark
+  // (max bin // 2), explicit done rows — mirror of Sampling.epochResume
+  private lazy val epochResumeSql: String =
+    s"""WITH ${upsampledProwsBody("documents")},
+       |cum AS (SELECT source, pack_group, doc_id, repeat_factor, n_syms,
+       |          SUM(n_syms) OVER (PARTITION BY source, pack_group
+       |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+       |        FROM prows),
+       |binned AS (SELECT source, pack_group, doc_id, repeat_factor, n_syms,
+       |             CAST(tok_before // 512 AS BIGINT) AS bin FROM cum),
+       |wm AS (SELECT source, pack_group, CAST(MAX(bin) // 2 AS BIGINT) AS consumed_until
+       |       FROM binned GROUP BY 1, 2),
+       |rem AS (SELECT b.* FROM binned b JOIN wm USING (source, pack_group)
+       |        WHERE b.bin > wm.consumed_until),
+       |roll AS (SELECT source, pack_group, MIN(bin) AS resume_bin,
+       |           COUNT(DISTINCT bin) AS n_bins_left, COUNT(*) AS n_docs,
+       |           SUM(n_syms) AS n_tokens, SUM(repeat_factor) AS n_slots
+       |         FROM rem GROUP BY 1, 2)
+       |SELECT w.source, w.pack_group, w.consumed_until,
+       |  CAST(COALESCE(r.resume_bin, -1) AS BIGINT) AS resume_bin,
+       |  CAST(COALESCE(r.n_bins_left, 0) AS BIGINT) AS n_bins_left,
+       |  CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(r.n_slots, 0) AS BIGINT) AS n_slots
+       |FROM wm w LEFT JOIN roll r USING (source, pack_group)""".stripMargin
 
   // the dc11 manifest re-ordered per epoch: md5(doc_id ':' epoch) order within
   // (source, pack_group), bins re-cut along it; totals conserve, the
@@ -899,6 +943,7 @@ private[graft] object DedupOracles extends OracleFragments {
     // SQL verbatim — the round trip must be invisible to the result
     "dc11_epoch_pack_upsampled" -> epochPackUpsampledSql,
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
+    "dc19_epoch_resume" -> epochResumeSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,

@@ -99,6 +99,9 @@ private[graft] object GraphOracles extends OracleFragments {
         rounds = MsfRounds, propSteps = MsfPropSteps)),
     "g58_matching" -> ((s: SparkSession, dir: String) =>
       GraphQueries.maximalMatching(s, dir, rounds = MatchRounds)),
+    "g59_weighted_sssp" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.weightedSssp(s, dir, nSeeds = SsspSeeds, maxHops = SsspHops,
+        weightMod = SsspWeightMod)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -238,6 +241,31 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
+    },
+
+    // hop-bounded weighted SSSP from the SsspSeeds smallest-md5 seed set:
+    // dist = min total (1 + position % mod) weight over ≤SsspHops-edge
+    // directed paths, rounds unrolled as chained MATERIALIZED CTEs (the
+    // Spark side's early exit is output-identical by min-relax monotonicity)
+    // — mirror of GraphQueries.weightedSssp
+    "g59_weighted_sssp" -> {
+      def round(h: Int) =
+        s"""x$h AS (SELECT e.dst AS v, d.d + e.w AS d
+           |       FROM d${h - 1} d JOIN e ON e.src = d.v),
+           |d$h AS MATERIALIZED (SELECT v, MIN(d) AS d FROM (
+           |         SELECT * FROM d${h - 1} UNION ALL SELECT * FROM x$h) GROUP BY 1)"""
+          .stripMargin
+      s"""$snap,
+         |e AS MATERIALIZED (SELECT source_id AS src, destination_id AS dst,
+         |         CAST(1 + MIN(position) % $SsspWeightMod AS BIGINT) AS w
+         |       FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |       GROUP BY 1, 2),
+         |vx AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+         |sd AS (SELECT v FROM vx ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT $SsspSeeds),
+         |d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM sd),
+         |${(1 to SsspHops).map(round).mkString(",\n")}
+         |SELECT v, CAST(d AS BIGINT) AS dist_w FROM d$SsspHops""".stripMargin
     },
 
     // HyperANF: per-vertex HLL counters (sk01's register recipe at b = 4)

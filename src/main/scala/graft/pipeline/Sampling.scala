@@ -486,6 +486,53 @@ object Sampling {
         max(col("rk")).as("rk_last"),
         sum(col("repeat_factor")).as("n_slots"))
 
+  /** dc19 — RESUME an epoch from a consumed-bin watermark: the trainer
+    * checkpoint-restart job. Each (source, pack_group) shard records the last
+    * pack (bin) it fully consumed; resume re-derives, from the SAME manifest
+    * the run started from, exactly the remaining packs — per shard the resume
+    * bin, bins/docs/tokens/slots left — so a restarted run continues the
+    * identical stream with zero re-reads of consumed packs. The watermark here
+    * is the pinned mid-run convention (max bin div 2 per shard — "crashed
+    * halfway"); production passes the trainer's own checkpoint relation
+    * through the same join.
+    *
+    * A shard whose remainder is EMPTY keeps an explicit row (resume_bin = −1,
+    * zeros) — the funnel grid discipline: a restart coordinator diffing shard
+    * states must see "done", not a missing key.
+    *
+    * Scale shape: the watermark is one map-side-combinable agg over the
+    * manifest (shard-count-sized result, broadcast back); the remainder filter
+    * is the manifest's own partition pruning when reading the
+    * [[saveEpochManifest]] artifact — (source, pack_group) are directory keys
+    * and bin is range-clustered within files, so a per-shard resume fetch
+    * reads one directory and row-group-skips to bin > watermark (the layout
+    * was built for exactly this read). dc12 pins load ≡ in-session, so this
+    * runs on the in-session manifest and the artifact path inherits the law.
+    */
+  def epochResume(manifest: DataFrame, sourceCol: String): DataFrame = {
+    val wm = manifest
+      .groupBy(col(sourceCol), col("pack_group"))
+      .agg(expr("max(bin) div 2").cast("long").as("consumed_until"))
+      .localCheckpoint(true) // two consumers: the remainder join + the grid
+    val rem = manifest.join(wm, Seq(sourceCol, "pack_group"))
+      .filter(col("bin") > col("consumed_until"))
+    val roll = rem
+      .groupBy(col(sourceCol), col("pack_group"))
+      .agg(
+        min(col("bin")).as("resume_bin"),
+        countDistinct(col("bin")).as("n_bins_left"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(col("repeat_factor")).as("n_slots"))
+    wm.join(roll, Seq(sourceCol, "pack_group"), "left")
+      .select(col(sourceCol), col("pack_group"), col("consumed_until"),
+        coalesce(col("resume_bin"), lit(-1L)).as("resume_bin"),
+        coalesce(col("n_bins_left"), lit(0L)).as("n_bins_left"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_slots"), lit(0L)).as("n_slots"))
+  }
+
   /** Persist a doc-level epoch manifest as the training-run artifact, laid out
     * for how a trainer READS it — the d18/d21 layout discipline applied to the
     * pack address: directory-partitioned by (source, pack_group) (a trainer
