@@ -341,6 +341,16 @@ private[graft] trait OracleParams {
     */
   private[graft] val SemanticDecontamMicro = 400000L
 
+  /** dc18's "next release" gate knobs, diffed against the pinned dc16/dc17
+    * configuration: the quality gate LOOSENS (one required-word hit instead of
+    * [[GopherMinRequiredHits]] — admits documents the old release dropped) and
+    * the semantic decontamination gate TIGHTENS (300000µ instead of
+    * [[SemanticDecontamMicro]] — removes documents the old release kept), so
+    * the diff exercises added, removed, AND retained in one report.
+    */
+  private[graft] val ReleaseDiffMinRequiredHits = 1
+  private[graft] val ReleaseDiffSemanticMicro = 300000L
+
   /** d26's pinned tuning grid — every config splits the SAME 16-hash signature
     * budget (bands × rows = 16), so the sweep isolates the banding decision
     * from the minhash cost; shared by the Spark kernel and the generated
@@ -778,7 +788,9 @@ private[graft] trait OracleFragments extends OracleParams {
     * corpus-adapted [[FunnelRequiredWords]], matching the Spark gate's
     * pass-through parameter.
     */
-  protected def gopherQualitySqlWith(required: Seq[String]): String = {
+  protected def gopherQualitySqlWith(
+      required: Seq[String],
+      minRequiredHits: Int = GopherMinRequiredHits): String = {
       val reqTerms = required
         .map(rw => s"CASE WHEN list_contains(w, '$rw') THEN 1 ELSE 0 END")
         .mkString(" + ")
@@ -790,7 +802,7 @@ private[graft] trait OracleFragments extends OracleParams {
            | + CASE WHEN n_bullet_lines * 10 > n_lines THEN 8 ELSE 0 END
            | + CASE WHEN n_ellipsis_lines * 10 > n_lines * 3 THEN 16 ELSE 0 END
            | + CASE WHEN n_alpha_words * 5 < n_words * 4 THEN 32 ELSE 0 END
-           | + CASE WHEN req_hits < $GopherMinRequiredHits THEN 64 ELSE 0 END""".stripMargin
+           | + CASE WHEN req_hits < $minRequiredHits THEN 64 ELSE 0 END""".stripMargin
       s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w,
          |                     string_split(text, chr(10)) AS ln FROM documents),
          |m AS (SELECT doc_id,

@@ -200,6 +200,30 @@ private[graft] object DedupOracles extends OracleFragments {
           "doc_id", "source")
       } finally deleteRecursively(scratch)
     }),
+    // the release CHANGELOG: the persisted dc17 artifact (old gates) diffed
+    // against a candidate re-run with the ReleaseDiff* knobs (looser quality
+    // gate, tighter semantic gate) — per (source, status) counts + id
+    // checksums over the full grid — mirror of Curation.releaseDiff
+    "dc18_release_diff" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      def admitted(semanticMicro: Long, minHits: Int) =
+        graft.pipeline.Curation.releaseAdmitted(
+          docs, emb, "doc_id", "text", "source", "vec_id", "embedding",
+          benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+          semanticThresholdMicro = semanticMicro,
+          requiredWords = FunnelRequiredWords, minRequiredHits = minHits)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-release-diff")
+      try {
+        val path = scratch.toString + "/release"
+        graft.pipeline.Curation.saveRelease(
+          admitted(SemanticDecontamMicro, GopherMinRequiredHits), "doc_id", "source", path)
+        graft.pipeline.Curation.releaseDiff(
+          graft.pipeline.Curation.loadRelease(s, path).localCheckpoint(true),
+          admitted(ReleaseDiffSemanticMicro, ReleaseDiffMinRequiredHits),
+          "doc_id", "source", docs)
+      } finally deleteRecursively(scratch)
+    }),
     // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best
     // documents by the t02 quality heuristic train LAST, quality-ascending —
     // the published decay-phase curriculum derived from the same manifest
@@ -568,7 +592,9 @@ private[graft] object DedupOracles extends OracleFragments {
          |WHERE jaccard >= 0.2""".stripMargin
 
   /** d24 mirror, shared by the d24 entry and the dc16 release funnel. */
-  private lazy val semanticDecontamSql: String =
+  private lazy val semanticDecontamSql: String = semanticDecontamSqlWith(SemanticDecontamMicro)
+
+  private def semanticDecontamSqlWith(thresholdMicro: Long): String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % $DecontamMod = 0),
          |t AS (SELECT vec_id, v FROM e WHERE vec_id % $DecontamMod <> 0),
@@ -582,7 +608,7 @@ private[graft] object DedupOracles extends OracleFragments {
          |    FROM sc)
          |  WHERE rk = 1)
          |SELECT vec_id, bench_id, cos_micro AS max_cos_micro,
-         |  CAST(CASE WHEN cos_micro >= $SemanticDecontamMicro THEN 1 ELSE 0 END AS INTEGER)
+         |  CAST(CASE WHEN cos_micro >= $thresholdMicro THEN 1 ELSE 0 END AS INTEGER)
          |    AS contaminated
          |FROM mx""".stripMargin
 
@@ -594,21 +620,29 @@ private[graft] object DedupOracles extends OracleFragments {
     * the dc17 census so the two surfaces derive from identical SQL.
     */
   private lazy val releaseStagesCteSql: String =
-    s"""keepids AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |s0 AS (SELECT doc_id, source FROM documents),
-       |s1 AS (SELECT * FROM s0 WHERE doc_id % $DecontamMod <> 0),
-       |gq AS (SELECT doc_id FROM (${gopherQualitySqlWith(FunnelRequiredWords)})
+    releaseStagesCteSqlWith("", SemanticDecontamMicro, GopherMinRequiredHits)
+
+  /** The dc16 chain parameterized by a CTE-name prefix and the two dc18 diff
+    * knobs, so one query can hold TWO gate configurations side by side; the
+    * unprefixed default instance renders the exact dc16/dc17 SQL.
+    */
+  private def releaseStagesCteSqlWith(
+      p: String, semanticMicro: Long, minRequiredHits: Int): String =
+    s"""${p}keepids AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |${p}s0 AS (SELECT doc_id, source FROM documents),
+       |${p}s1 AS (SELECT * FROM ${p}s0 WHERE doc_id % $DecontamMod <> 0),
+       |${p}gq AS (SELECT doc_id FROM (${gopherQualitySqlWith(FunnelRequiredWords, minRequiredHits)})
        |       WHERE reasons = 0),
-       |gr AS (SELECT doc_id FROM ($gopherRepetitionSql) WHERE reasons = 0),
-       |s2 AS (SELECT s1.* FROM s1 JOIN gq USING (doc_id) JOIN gr USING (doc_id)),
-       |s3 AS (SELECT s2.* FROM s2 JOIN keepids USING (doc_id)),
-       |ncon AS (SELECT doc_id FROM ($decontamSql)),
-       |s4 AS (SELECT s3.* FROM s3 WHERE NOT EXISTS
-       |         (SELECT 1 FROM ncon WHERE ncon.doc_id = s3.doc_id)),
-       |scon AS (SELECT vec_id AS doc_id FROM ($semanticDecontamSql)
+       |${p}gr AS (SELECT doc_id FROM ($gopherRepetitionSql) WHERE reasons = 0),
+       |${p}s2 AS (SELECT ${p}s1.* FROM ${p}s1 JOIN ${p}gq USING (doc_id) JOIN ${p}gr USING (doc_id)),
+       |${p}s3 AS (SELECT ${p}s2.* FROM ${p}s2 JOIN ${p}keepids USING (doc_id)),
+       |${p}ncon AS (SELECT doc_id FROM ($decontamSql)),
+       |${p}s4 AS (SELECT ${p}s3.* FROM ${p}s3 WHERE NOT EXISTS
+       |         (SELECT 1 FROM ${p}ncon WHERE ${p}ncon.doc_id = ${p}s3.doc_id)),
+       |${p}scon AS (SELECT vec_id AS doc_id FROM (${semanticDecontamSqlWith(semanticMicro)})
        |         WHERE contaminated = 1),
-       |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
-       |         (SELECT 1 FROM scon WHERE scon.doc_id = s4.doc_id))""".stripMargin
+       |${p}s5 AS (SELECT ${p}s4.* FROM ${p}s4 WHERE NOT EXISTS
+       |         (SELECT 1 FROM ${p}scon WHERE ${p}scon.doc_id = ${p}s4.doc_id))""".stripMargin
 
   private lazy val releaseFunnelSql: String =
     s"""WITH $releaseStagesCteSql,
@@ -632,6 +666,30 @@ private[graft] object DedupOracles extends OracleFragments {
        |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        |      % 1000000) AS BIGINT) AS id_check
        |FROM s5 GROUP BY 1""".stripMargin
+
+  // two full gate chains side by side (old = pinned knobs, new = ReleaseDiff*
+  // knobs), full-outer diff on doc_id, (source × status) grid with explicit
+  // zeros — mirror of Curation.releaseDiff over the two releaseAdmitted runs
+  private lazy val releaseDiffSql: String =
+    s"""WITH ${releaseStagesCteSqlWith("o", SemanticDecontamMicro, GopherMinRequiredHits)},
+       |${releaseStagesCteSqlWith("n", ReleaseDiffSemanticMicro, ReleaseDiffMinRequiredHits)},
+       |dj AS (SELECT COALESCE(o.source, n.source) AS source,
+       |         CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN 'retained'
+       |              WHEN o.doc_id IS NOT NULL THEN 'removed'
+       |              ELSE 'added' END AS status,
+       |         COALESCE(o.doc_id, n.doc_id) AS doc_id
+       |       FROM os5 o FULL OUTER JOIN ns5 n ON o.doc_id = n.doc_id),
+       |c AS (SELECT source, status, COUNT(*) AS n_docs,
+       |        CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |            % 1000000) AS BIGINT) AS id_check
+       |      FROM dj GROUP BY 1, 2),
+       |grid AS (SELECT source, status
+       |         FROM (SELECT DISTINCT source FROM documents),
+       |              (VALUES ('retained'), ('removed'), ('added')) st(status))
+       |SELECT g.source, g.status,
+       |  CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(c.id_check, 0) AS BIGINT) AS id_check
+       |FROM grid g LEFT JOIN c USING (source, status)""".stripMargin
 
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
@@ -944,6 +1002,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc11_epoch_pack_upsampled" -> epochPackUpsampledSql,
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
     "dc19_epoch_resume" -> epochResumeSql,
+    "dc18_release_diff" -> releaseDiffSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,

@@ -225,6 +225,52 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L))).as("id_check"))
 
+  /** dc18 — the DIFF between two releases: per (source, status ∈ retained /
+    * removed / added) document counts plus the order-free id checksum of
+    * [[releaseCensus]], reported over the FULL source × status grid (explicit
+    * zeros — the funnel discipline; a release manager diffing two cards must
+    * see "nothing added from source X", not a missing key). This is the
+    * data-release changelog: before a new gate configuration ships, the diff
+    * names exactly which documents the change admits and evicts, per source —
+    * the review artifact a 100 TB release swap is judged by.
+    *
+    * Scale shape: ONE full-outer id-equi-join between two (id, source)
+    * relations (both gate outputs — catalog-thin columns, never text), a
+    * map-side-combinable rollup to the |sources|·3 matrix, and a broadcast
+    * grid join. The old side reads the persisted dc17 artifact; the new side
+    * is the candidate gate run.
+    */
+  def releaseDiff(
+      oldRelease: DataFrame,
+      newRelease: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      allSources: DataFrame
+  ): DataFrame = {
+    val o = oldRelease.select(col(idCol).as("id_o"), col(sourceCol).as("source_o"))
+    val n = newRelease.select(col(idCol).as("id_n"), col(sourceCol).as("source_n"))
+    val statusOf =
+      when(col("id_o").isNotNull && col("id_n").isNotNull, "retained")
+        .when(col("id_o").isNotNull, "removed")
+        .otherwise("added")
+    val counts = o.join(n, col("id_o") === col("id_n"), "full_outer")
+      .select(
+        coalesce(col("source_o"), col("source_n")).as("source"),
+        statusOf.as("status"),
+        coalesce(col("id_o"), col("id_n")).as("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(pmod(Sketches.h32(col("doc_id").cast("string")), lit(1000000L))).as("id_check"))
+    val grid = allSources.select(col(sourceCol).as("source")).distinct()
+      .select(col("source"),
+        explode(array(lit("retained"), lit("removed"), lit("added"))).as("status"))
+    grid.join(counts, Seq("source", "status"), "left")
+      .select(col("source"), col("status"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("id_check"), lit(0L)).as("id_check"))
+  }
+
   /** dc01 — the per-source triage table a curation run actually reads (the
     * C4/RefinedWeb domain-stats discipline): doc count, token count and corpus
     * token SHARE, near-dup rate (from the d05 clusters: a doc is a dup iff it is
