@@ -341,6 +341,21 @@ private[graft] trait OracleParams {
     */
   private[graft] val SemanticDecontamMicro = 400000L
 
+  /** s31's two pinned filters and the routing threshold: the tight filter
+    * (label % 10 = 0, ~10% of the corpus) routes to the exact-prefilter scan,
+    * the broad one (label % 2 = 0, ~49%) keeps the s29 IVF path; the 25%
+    * threshold sits well clear of both so a one-document drift cannot flip a
+    * route. Shared by registration and oracle.
+    */
+  private[graft] val AdaptiveAnnTightMod = 10
+  private[graft] val AdaptiveAnnBroadMod = 2
+  private[graft] val AdaptiveAnnSelMicro = 250000L
+
+  /** s32's pinned probe sweep — the serving-dial levels the recall curve is
+    * priced at, shared by registration and oracle.
+    */
+  private[graft] val ProbeCurveLevels: Seq[Int] = Seq(1, 2, 4)
+
   /** dc18's "next release" gate knobs, diffed against the pinned dc16/dc17
     * configuration: the quality gate LOOSENS (one required-word hit instead of
     * [[GopherMinRequiredHits]] — admits documents the old release dropped) and

@@ -133,6 +133,29 @@ private[graft] object SimilarityOracles extends OracleFragments {
         allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
         kCells = 8, trainRounds = IvfPqTrainRounds)
     }),
+    // selectivity-routed filtered ANN: both pinned filters through the
+    // adaptive kernel in one relation — the tight one must take the exact
+    // scan, the broad one the IVF path, and the route label is hash-checked
+    "s31_ann_adaptive" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      def run(name: String, mod: Int) =
+        Similarity.filteredTopKAdaptive(q, e, "vec_id", "embedding", k = 5,
+          allowed = e.filter(col("label") % mod === 0).select(col("vec_id")),
+          selThresholdMicro = AdaptiveAnnSelMicro,
+          kCells = 8, trainRounds = IvfPqTrainRounds)
+          .withColumn("filter_name", lit(name))
+      run("tight", AdaptiveAnnTightMod)
+        .unionByName(run("broad", AdaptiveAnnBroadMod))
+    }),
+    // the nProbe recall curve off one shared trained pipeline — the s30
+    // diagnostic generalized to the sweep a serving SLO is tuned by
+    "s32_probe_recall_curve" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfProbeRecallCurve(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, probeLevels = ProbeCurveLevels,
+        kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
     // filtered ANN: same trained index, the label predicate pre-filters the
     // cell relation — tenants share the artifact, the filter is per batch
     "s29_ann_filtered" -> ((s: SparkSession, dir: String) => {
@@ -205,6 +228,116 @@ private[graft] object SimilarityOracles extends OracleFragments {
         k = PrfK, feedbackK = PrfFeedbackK)
     }),
   )
+
+  /** One filter's half of the s31 mirror: the exact-prefilter and IVF branches
+    * gated by the selectivity scalar — only the branch on the winning side of
+    * the threshold emits rows, mirroring the Spark router's driver decision.
+    */
+  private def adaptiveAnnSql(name: String, mod: Int): String = {
+    val allowedSub = s"SELECT vec_id FROM embeddings WHERE label % $mod = 0"
+    s"""SELECT * FROM (
+       |WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |al AS (SELECT vec_id FROM embeddings WHERE label % $mod = 0),
+       |sel AS (SELECT CAST((2 * 1000000 * (SELECT COUNT(*) FROM al)
+       |           + (SELECT COUNT(*) FROM e))
+       |           // (2 * (SELECT COUNT(*) FROM e)) AS BIGINT) AS s),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |brute AS (SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       |    SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN e c JOIN al ON al.vec_id = c.vec_id
+       |    WHERE c.vec_id <> query_id)
+       |  WHERE rank <= 5),
+       |ivf AS (SELECT query_id, neighbor_id, cos_sim, rank
+       |        FROM (${ivfPqTrainedSqlWith(Some(allowedSub))}))
+       |SELECT '$name' AS filter_name, 'exact_prefilter' AS route,
+       |       (SELECT s FROM sel) AS selectivity_micro, b.*
+       |FROM brute b WHERE (SELECT s FROM sel) <= $AdaptiveAnnSelMicro
+       |UNION ALL
+       |SELECT '$name', 'ivf_prefilter', (SELECT s FROM sel), i.*
+       |FROM ivf i WHERE (SELECT s FROM sel) > $AdaptiveAnnSelMicro)""".stripMargin
+  }
+
+  /** The s32 mirror: the s23 trained pipeline with probe rank kept, level
+    * fan-out by `crank <= n_probe`, and recall@5 per (n_probe, query) against
+    * the exact truth — explicit zero rows via the level × query grid.
+    */
+  private lazy val ivfProbeCurveSql: String = {
+    val levelsSql = ProbeCurveLevels.mkString(", ")
+    val maxP = ProbeCurveLevels.max
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+       |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+       |scored_cells AS (
+       |  SELECT base.vec_id AS rid, base.v, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+       |  FROM base, cents),
+       |cells AS (
+       |  SELECT rid AS neighbor_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+       |    FROM scored_cells)
+       |  WHERE crank <= 1),
+       |probes AS (
+       |  SELECT rid AS query_id, cid, crank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+       |    FROM scored_cells WHERE rid % 50 = 0)
+       |  WHERE crank <= $maxP),
+       |lv AS (SELECT unnest([$levelsSql]) AS n_probe),
+       |cp AS (SELECT lv.n_probe, p.query_id, c.neighbor_id
+       |       FROM probes p JOIN lv ON p.crank <= lv.n_probe
+       |       JOIN cells c USING (cid)
+       |       WHERE p.query_id <> c.neighbor_id),
+       |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+       |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+       |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+       |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+       |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+       |      + list_dot_product(cv, cv) AS d2
+       |  FROM sub t JOIN cb ON cb.s = t.s),
+       |codes AS (SELECT vec_id AS neighbor_id, s, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+       |    FROM pqscored)
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, q.s, cb.code,
+       |    CAST(round(1000000 * (list_dot_product(q.sv, q.sv)
+       |      - 2 * list_dot_product(q.sv, cb.cv)
+       |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+       |  FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id % 50 = 0),
+       |approx AS (SELECT cp.n_probe, cp.query_id, cp.neighbor_id,
+       |    CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+       |  FROM cp
+       |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+       |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+       |  GROUP BY 1, 2, 3),
+       |short AS (SELECT n_probe, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+       |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+       |    FROM approx)
+       |  WHERE crank <= 20),
+       |rer AS (SELECT sh.n_probe, sh.query_id, sh.neighbor_id,
+       |          ${cosSql("qb.v", "nb.v")} AS cos_sim
+       |        FROM short sh
+       |        JOIN base qb ON qb.vec_id = sh.query_id
+       |        JOIN base nb ON nb.vec_id = sh.neighbor_id),
+       |res AS (SELECT n_probe, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+       |                                ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
+       |  WHERE rank <= 5),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 50 = 0),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN base c WHERE c.vec_id <> query_id)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT n_probe, query_id, COUNT(*) AS n_hit
+       |         FROM res SEMI JOIN truth USING (query_id, neighbor_id) GROUP BY 1, 2)
+       |SELECT lv.n_probe, q.query_id,
+       |  round(COALESCE(h.n_hit, 0)::DOUBLE / 5.0, 6) AS recall_at_k
+       |FROM q CROSS JOIN lv
+       |LEFT JOIN hits h ON h.n_probe = lv.n_probe AND h.query_id = q.query_id"""
+      .stripMargin
+  }
 
   private lazy val graphAnnSql: String = {
       def scoreCte(i: Int): String =
@@ -669,6 +802,21 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                              ORDER BY cos_sim DESC, neighbor_id) AS rank FROM rer)
          |WHERE rank <= 5""".stripMargin,
+
+    // both pinned filters through the selectivity router: brute and IVF
+    // branches gated by the same scalar the Spark side collects, so a drifted
+    // selectivity or threshold flips the route and fails the hash — mirror of
+    // Similarity.filteredTopKAdaptive
+    "s31_ann_adaptive" ->
+      s"""${adaptiveAnnSql("tight", AdaptiveAnnTightMod)}
+         |UNION ALL
+         |${adaptiveAnnSql("broad", AdaptiveAnnBroadMod)}""".stripMargin,
+
+    // the probe-recall sweep off ONE shared trained pipeline: probes keep
+    // their rank, level p = crank ≤ p, shortlist/rerank/recall keyed by
+    // (n_probe, query) with explicit zero rows — mirror of
+    // Similarity.ivfProbeRecallCurve
+    "s32_probe_recall_curve" -> ivfProbeCurveSql,
 
     // trained k-means: the s10 step iterated KmeansTrainRounds times as chained
     // CTEs — mirror of Similarity.kmeansTrain (final round in s10's long form,

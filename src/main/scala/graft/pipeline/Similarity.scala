@@ -1407,6 +1407,160 @@ object Similarity {
       kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds),
       nProbe, nSub, subDim, nCodes, overfetch, allowed = Some(allowed))
 
+  /** s31 — ADAPTIVE filtered ANN: route each query batch by the filter's
+    * SELECTIVITY, the published filtered-search strategy (Faiss IDSelector
+    * guidance, Qdrant/Milvus filtered HNSW planners): a HIGHLY selective
+    * filter (few allowed ids) makes index probes pointless — most probed
+    * candidates fail the predicate and the query starves below k results-worth
+    * of useful work — so the engine scans the allowed subset EXACTLY (it is
+    * small by premise; cost |Q|·|allowed|, bounded by the threshold); a broad
+    * filter keeps the s29 path: the shared IVF-PQ index probed with the
+    * predicate pre-filtering the cell relation. The route and the measured
+    * selectivity ride every output row, so a result is always attributable to
+    * the plan that produced it.
+    *
+    * Selectivity = |allowed| / |corpus| in half-up integer micro units — two
+    * COUNT scalars (catalog-bounded driver reads, the retrainTrigger
+    * discipline) that choose the plan BEFORE it is built; only the chosen
+    * branch ever runs.
+    *
+    * Scale shape: the exact branch is a broadcast-queries × allowed-semi-join
+    * scan — linear in |allowed|, which the threshold caps at
+    * `selThresholdMicro` of the corpus; the IVF branch is s29's plan
+    * unchanged. At 100 TB the routing is per query-batch against the shared
+    * artifact: tenant filters hit whichever plan their selectivity earns.
+    */
+  def filteredTopKAdaptive(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      selThresholdMicro: Long = 250000L,
+      kCells: Int = 8,
+      trainRounds: Int = 2
+  ): DataFrame = {
+    val nCorpus = candidates.count()
+    require(nCorpus > 0, "filteredTopKAdaptive: empty corpus — nothing to search")
+    val nAllowed = allowed.count()
+    val selMicro = (2L * 1000000L * nAllowed + nCorpus) / (2L * nCorpus)
+    val routed =
+      if (selMicro <= selThresholdMicro) {
+        val allowedCands = candidates.join(
+          allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi")
+        bruteForceTopK(queries, allowedCands, idCol, vecCol, k)
+          .withColumn("route", lit("exact_prefilter"))
+      } else {
+        ivfPqFilteredTopK(queries, candidates, idCol, vecCol, k, allowed,
+            kCells, trainRounds)
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+          .withColumn("route", lit("ivf_prefilter"))
+      }
+    routed.select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"),
+      col("route"), lit(selMicro).as("selectivity_micro"))
+  }
+
+  /** s32 — the PROBE-RECALL curve: recall@k of the trained IVF-PQ path at each
+    * probe level, against the exact brute-force truth, from ONE shared
+    * pipeline — the s07/d25/s30 "measure, don't guess" discipline pointed at
+    * nProbe, THE serving dial at 100 TB (each probe level multiplies the
+    * candidate volume a query pays; this curve is what a latency/recall SLO
+    * trade is decided by).
+    *
+    * The trick that makes the sweep one job instead of |levels| jobs: cell
+    * assignment keeps each query's probe RANK, so "probed at level p" is just
+    * `crank ≤ p` — the quantizer, cell relation, PQ codes, and query LUTs are
+    * computed once, and only the candidate-pair relation fans out by level
+    * (level p's pairs ⊆ level max's pairs, tagged not recomputed). Shortlist,
+    * rerank, and recall then key by (n_probe, query).
+    *
+    * Scale shape: everything the trained path broadcasts stays broadcast
+    * (centroids, LUT, levels); the fan-out multiplies only the bounded
+    * candidate-pair relation (≤ |levels| ×), and the recall grid is
+    * |queries|·|levels| with explicit zero rows for starved (level, query)
+    * cells.
+    */
+  def ivfProbeRecallCurve(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeLevels: Seq[Int] = Seq(1, 2, 4),
+      kCells: Int = 8,
+      trainRounds: Int = 2,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCodes: Int = 16,
+      overfetch: Int = 4
+  ): DataFrame = {
+    require(probeLevels.nonEmpty, "ivfProbeRecallCurve: no probe levels")
+    val maxProbe = probeLevels.max
+    val model = kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds)
+    val cents = broadcast(withCentroidNorm(model)
+      .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
+    def withNorm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nv", norm2(col("v")))
+    def scoredCells(r: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+      r.crossJoin(cents)
+        .select(col("rid"), col("cid"),
+          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
+    val cells = scoredCells(withNorm(candidates), keep = 1)
+      .select(col("rid").as("neighbor_id"), col("cid"))
+    val probes = scoredCells(withNorm(queries), keep = maxProbe)
+      .select(col("rid").as("query_id"), col("cid"), col("crank"))
+    val levels = queries.sparkSession.range(1)
+      .select(explode(array(probeLevels.map(lit(_)): _*)).as("n_probe"))
+    val cp = probes.crossJoin(broadcast(levels))
+      .filter(col("crank") <= col("n_probe"))
+      .join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+    val codes = pqCodes(candidates, idCol, vecCol, nSub, subDim, nCodes)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val lut = broadcast(adcLut(queries, candidates, idCol, vecCol, nSub, subDim, nCodes))
+    val approx = cp
+      .join(codes, "neighbor_id")
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("n_probe"), col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2m")).as("approx_d2m"))
+    val wShort = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("approx_d2m").asc, col("neighbor_id").asc)
+    val short = approx.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= k * overfetch)
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv2"))
+      .withColumn("cn2", norm2(col("nv2")))
+    val wFinal = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val res = short
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("nv2")), col("qn"), col("cn2")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = res.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val grid = queries.select(col(idCol).as("query_id")).crossJoin(broadcast(levels))
+    grid.join(hits, Seq("n_probe", "query_id"), "left")
+      .select(col("n_probe"), col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+  }
+
   /** Persist a trained coarse-quantizer model ([[kmeansRounds]] output) — the s24
     * artifact: cluster id + centroid array, one tiny parquet file. Doubles
     * round-trip parquet bit-exactly, so a reloaded model searches identically to
