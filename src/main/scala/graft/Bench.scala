@@ -12,13 +12,12 @@ object Bench {
   val headline: Seq[String] = Seq(
     "g12_execute_lww",
     "g18_vertex_domination", "g20_metadata_registers",
-    "g27_kcore", "g29_connected_components", "g32_personalized_pagerank",
-    "g37_decayed_pagerank", "g38_ktruss",
+    "g32_personalized_pagerank",
+    "g37_decayed_pagerank",
     "g40_lpa_communities",
-    "d02_minhash_lsh", "d05_dedup_clusters", "d08_curation_funnel",
+    "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs",
-    "s11_ann_rerank", "s15_pq_search",
-    "s16_ivf_pq", "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
+    "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
     "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
@@ -83,6 +82,22 @@ object Bench {
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
     "g55_effective_diameter", "dc14_epoch_shuffle", "t45_ccnet_tertiles",
     "t46_gopher_repetition", "g56_coreness",
+    // r14: five slots for the new composites — dc18 runs the full dc16 gate
+    // chain TWICE (old artifact + candidate config), d26 prices three LSH
+    // grids against the shared exact truth, s32 the trained probe sweep, dc19
+    // the manifest chain + remainder census, s31 the routed IVF branch.
+    // Rotated to pay for them (all 0.9-1.9s flat, families still priced):
+    // g27_kcore (g56's h-index coreness IS the k-core family), s11_ann_rerank
+    // + s15_pq_search (the rerank/PQ path runs inside s16/s23/s24),
+    // d02_minhash_lsh (the band-bucket kernel rides in d05/d15/d18 and d26 now
+    // prices it at three configs), g29_connected_components (g40's label
+    // propagation + g50's SCC contraction price the same loop shape),
+    // s16_ivf_pq (s23/s24 run the identical probe/ADC pipeline behind the
+    // trained quantizer) and g38_ktruss (~1.5s flat since r10; the triangle
+    // kernel's cost reports through the g-family maximum) for line headroom —
+    // the fam field reports every family's worst query regardless.
+    "dc18_release_diff", "d26_lsh_autotune", "s32_probe_recall_curve",
+    "dc19_epoch_resume", "s31_ann_adaptive",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -159,6 +159,43 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** The DECLARATIVE sessionizer: Structured Streaming's built-in
+    * `session_window(event_time, gap)` aggregation — ZERO custom state code
+    * (Catalyst owns session merge, state layout, and watermark eviction), the
+    * house preference for built-ins over flatMapGroupsWithState wherever the
+    * semantics fit. Emits one row per CLOSED session in Append mode (a session
+    * finalizes when the watermark passes its end), on the same
+    * (user, start, n_events, duration) surface as [[streamingSessionize]] and
+    * the batch ev12 rollup — StreamOpsSpec pins the parity. Duration is
+    * last−first event (the ev12 convention), NOT the session_window span,
+    * whose end carries the gap padding.
+    *
+    * Break-rule fine print, shared with ev12: the batch rule starts a new
+    * session when the gap EXCEEDS gapUs (`> gap`), and `session_window`
+    * merges TOUCHING windows (an event at exactly last + gap still extends
+    * the session — proven at the boundary in StreamOpsSpec) — identical
+    * semantics at the same gap, no off-by-one pad needed.
+    *
+    * Scale shape: state is per-(user, open-session), engine-GC'd at the
+    * watermark; the aggregation hash-partitions on user_id like every per-user
+    * op here — no window over events, no driver state.
+    */
+  def streamingSessionStatsWindowed(
+      events: Dataset[SessionEvent],
+      gap: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("event_time", expr("timestamp_micros(tsUs)"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("userId").as("user_id"),
+        session_window(col("event_time"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tsUs")).as("session_start_us"),
+        (max(col("tsUs")) - min(col("tsUs"))).as("duration_us"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("duration_us"))
+
   /** [[streamingSessionize]] with REAL closing: event-time timeout against the
     * stream's watermark. A session closes either because its user produced an event
     * past the gap (same as the base variant) or because the WATERMARK passed its

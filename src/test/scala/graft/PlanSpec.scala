@@ -1061,6 +1061,35 @@ class PlanSpec extends SparkSpec {
       s"every remaining scan must be the embeddings relation:\n${scanLines.mkString("\n")}")
   }
 
+  test("adaptive ANN (s31): the tight route builds ONLY the exact branch") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(pipeline.Similarity.filteredTopKAdaptive(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+      allowed = e.filter(col("label") % 10 === 0).select(col("vec_id")),
+      selThresholdMicro = 250000L, kCells = 8, trainRounds = 1))
+    // the router's whole point: a selective filter must not pay for the IVF
+    // pipeline — one per-query rank window (the brute top-k), none of the
+    // PQ/cell machinery's windows or code joins
+    val windows = "windowspecdefinition".r.findAllMatchIn(p).size
+    assert(windows == 1, s"exact route must carry exactly the top-k window, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"exact route joins are broadcast/semi only:\n$p")
+  }
+
+  test("probe-recall curve (s32): widening the sweep adds NO corpus scans") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def scansAt(levels: Seq[Int]): Int = {
+      val p = plan(pipeline.Similarity.ivfProbeRecallCurve(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+        probeLevels = levels, kCells = 8, trainRounds = 1))
+      "FileScan".r.findAllMatchIn(p).size
+    }
+    // the level fan-out is a broadcast tag over bounded relations — quantizer,
+    // cells, codes, LUT, and truth are computed once however many levels ride
+    val two = scansAt(Seq(1, 2))
+    val three = scansAt(Seq(1, 2, 4))
+    assert(two == three, s"scan count must be level-invariant: $two vs $three")
+  }
+
   test("semantic decontamination (d24): broadcast benchmark, map-side argmax, no window") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(pipeline.Similarity.semanticDecontaminate(e, "vec_id", "embedding"))

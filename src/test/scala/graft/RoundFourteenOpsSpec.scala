@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Dedup, Sampling, Similarity}
+
+/** Round-14 operator pins: the LSH auto-tune pick rule, the adaptive-ANN
+  * router (sequential cosine mirror for the exact branch), the probe-recall
+  * curve's monotonicity + grid, the release diff's partition laws against an
+  * md5 checksum mirror, the epoch-resume remainder on a planted manifest, and
+  * the ev21 transition matrix against a full sequential mirror.
+  */
+class RoundFourteenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The Sketches.h32-mod-1e6 checksum term, independently via java MD5. */
+  private def h32check(id: Long): Long = {
+    val v = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
+    ((v % 1000000L) + 1000000L) % 1000000L
+  }
+
+  test("d26: exactly one chosen config, and it is the pick rule's argmin over the report") {
+    val report = Dedup.lshAutoTune(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      shingleSize = 3, configs = Seq((16, 1), (8, 2), (4, 4)),
+      threshold = 0.2, recallFloorMicro = 800000L)
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("recall_micro"), r.getAs[Int]("qualifies"), r.getAs[Int]("chosen")))
+    assert(report.length == 3)
+    // every config is scored against the SAME truth
+    assert(report.map(_._3).distinct.length == 1)
+    assert(report.count(_._7 == 1) == 1, s"exactly one chosen: ${report.mkString(", ")}")
+    val expected = report.minBy { case (b, _, _, nc, rec, q, _) =>
+      (-q, if (q == 1) nc else Long.MaxValue, -rec, -b)
+    }
+    assert(report.find(_._7 == 1).get == expected,
+      s"pick rule mirror: got ${report.find(_._7 == 1).get}, want $expected")
+  }
+
+  test("s31: the tight filter routes to the exact scan and matches a sequential cosine mirror") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.filteredTopKAdaptive(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+      allowed = e.filter(col("label") % 10 === 0).select(col("vec_id")),
+      selThresholdMicro = 250000L, kCells = 8, trainRounds = 1)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getAs[String]("route") == "exact_prefilter"))
+    val selMicro = out.head.getAs[Long]("selectivity_micro")
+    assert(selMicro > 0 && selMicro <= 250000L, s"selectivity $selMicro")
+    // sequential mirror: exact cosine top-5 among ALLOWED candidates only
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val allowed = vecs.filter(_._3 % 10 == 0)
+    val want = vecs.filter(_._1 % 50 == 0).flatMap { case (q, qv, _) =>
+      allowed.filter(_._1 != q)
+        .map { case (c, cvv, _) => (c, cos(qv, cvv)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).zipWithIndex
+        .map { case ((c, _), i) => (q, c, i + 1) }
+    }.toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Int]("rank"))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("s31: the broad filter keeps the IVF pre-filter route") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.filteredTopKAdaptive(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+      allowed = e.filter(col("label") % 2 === 0).select(col("vec_id")),
+      selThresholdMicro = 250000L, kCells = 8, trainRounds = 1)
+      .select(col("route"), col("selectivity_micro")).distinct().collect()
+    assert(out.length == 1 && out.head.getString(0) == "ivf_prefilter")
+    assert(out.head.getLong(1) > 250000L)
+  }
+
+  test("s32: full level × query grid, recall@k in [0,1], mean recall monotone in n_probe") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.ivfProbeRecallCurve(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5,
+      probeLevels = Seq(1, 2, 4), kCells = 8, trainRounds = 1)
+      .collect()
+      .map(r => (r.getAs[Int]("n_probe"), r.getAs[Long]("query_id"),
+        r.getAs[Double]("recall_at_k")))
+    val nQueries = rows.map(_._2).distinct.length
+    assert(rows.length == 3 * nQueries, s"grid: ${rows.length} rows for $nQueries queries")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    val means = Seq(1, 2, 4).map(p => rows.filter(_._1 == p).map(_._3).sum / nQueries)
+    assert(means == means.sorted,
+      s"recall must not fall as probes widen: ${Seq(1, 2, 4).zip(means)}")
+  }
+
+  test("dc18: planted releases — status partition laws, grid zeros, checksum mirror") {
+    val oldRel = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val newRel = Seq((2L, "a"), (3L, "b"), (4L, "b")).toDF("doc_id", "source")
+    val allSources = Seq(("a", 0), ("b", 0), ("c", 0)).toDF("source", "x")
+    val got = Curation.releaseDiff(oldRel, newRel, "doc_id", "source", allSources)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("status")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("id_check"))).toMap
+    assert(got.size == 9, s"full 3-source × 3-status grid, got ${got.keySet}")
+    assert(got(("a", "retained")) == (1L, h32check(2L)))
+    assert(got(("a", "removed")) == (1L, h32check(1L)))
+    assert(got(("a", "added")) == (0L, 0L))
+    assert(got(("b", "retained")) == (1L, h32check(3L)))
+    assert(got(("b", "removed")) == (0L, 0L))
+    assert(got(("b", "added")) == (1L, h32check(4L)))
+    assert(Seq("retained", "removed", "added").forall(s => got(("c", s)) == (0L, 0L)))
+    // partition laws: retained + removed = |old|, retained + added = |new|
+    def tot(st: String) = got.collect { case ((_, s), (n, _)) if s == st => n }.sum
+    assert(tot("retained") + tot("removed") == 3L)
+    assert(tot("retained") + tot("added") == 3L)
+  }
+
+  test("dc19: planted manifest — remainder past the watermark, explicit done shard") {
+    val manifest = (
+      // shard (a, 0): bins 0..4 → consumed_until 2, remainder bins {3, 4}
+      (0 until 10).map(i => (s"a-$i", "a", i.toLong + 1, 2L, 25L, i.toLong, 0L, (i / 2).toLong)) ++
+      // shard (b, 1): one bin → consumed_until 0, nothing past it — done row
+      Seq(("b-0", "b", 1L, 1L, 40L, 0L, 1L, 0L))
+    ).toDF("doc_id", "source", "rk", "repeat_factor", "n_syms", "bucket", "pack_group", "bin")
+    val got = Sampling.epochResume(manifest, "source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pack_group")) ->
+        (r.getAs[Long]("consumed_until"), r.getAs[Long]("resume_bin"),
+          r.getAs[Long]("n_bins_left"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_slots"))).toMap
+    assert(got.size == 2)
+    // bins 3,4 hold docs a-6..a-9: 4 docs, 100 tokens, 8 slots
+    assert(got(("a", 0L)) == (2L, 3L, 2L, 4L, 100L, 8L))
+    assert(got(("b", 1L)) == (0L, -1L, 0L, 0L, 0L, 0L))
+  }
+
+  test("ev21: the transition matrix equals a full sequential mirror of the fixture") {
+    val got = AnalyticsQueries.typeTransitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_steps"), r.getAs[Long]("rate_micro"))).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val rows = ev.select(col("user_id"), col("event_id"),
+        EventTime.micros(ev).as("tsu"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val steps = rows.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val counts = steps.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val want = counts.map { case ((f, t), n) =>
+      (f, t) -> (n, (2L * 1000000L * n + fromTotals(f)) / (2L * fromTotals(f)))
+    }
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+}

@@ -395,6 +395,42 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("session_window built-in sessionizer: closed sessions match the ev12 break rule") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600000000L
+    val base = 86400L * 1000000L
+    val stream = MemoryStream[SessionEvent]
+    val query = StreamOps
+      .streamingSessionStatsWindowed(stream.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        // user 7: a gap of EXACTLY one hour stays in-session (ev12's `> gap`
+        // break rule; session_window merges touching windows — same rule)
+        SessionEvent(7L, 1L, base), SessionEvent(7L, 2L, base + hour / 2),
+        SessionEvent(7L, 3L, base + hour / 2 + hour),
+        // user 8: a single-event session
+        SessionEvent(8L, 4L, base + hour / 4),
+        // user 10: a gap of one hour + 1µs BREAKS (two sessions)
+        SessionEvent(10L, 5L, base), SessionEvent(10L, 6L, base + hour + 1L))
+      query.processAllAvailable()
+      // push the watermark far past every open session so Append emits them
+      stream.addData(SessionEvent(9L, 7L, base + 100L * hour))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start_us, n_events, duration_us FROM swin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set(
+        (7L, base, 3L, hour / 2 + hour),
+        (8L, base + hour / 4, 1L, 0L),
+        (10L, base, 1L, 0L),
+        (10L, base + hour + 1L, 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("streamingSessionizeEventTime: the watermark closes sessions of absent users") {
     import spark.implicits._
     import graft.streaming.StreamOps.SessionEvent
