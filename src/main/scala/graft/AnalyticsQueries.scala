@@ -1144,6 +1144,45 @@ object AnalyticsQueries {
           .cast("long").as("rate_micro"))
   }
 
+  /** ev22 — per-type TRANSITION ENTROPY over the ev21 matrix: for each
+    * from_type, Shannon entropy (nats) of its next-event distribution plus the
+    * out-degree and step mass — the sequel to ev21 a monitoring pipeline
+    * actually alerts on: a type whose entropy collapses has turned into a
+    * scripted hop (one dominant successor), a type whose entropy jumps lost
+    * its funnel.
+    *
+    * Determinism (the t45 ln discipline): each (from, to) contributes
+    * floor(10⁶ · (n/N) · ln(N/n) + ½) — micro-quantized per ROW from the same
+    * double sequence in both engines — then an EXACT integer sum per
+    * from_type; the one-successor case is exactly 0 (ln 1).
+    *
+    * Scale shape: reuses ev21's scale shape (per-user window + |types|²
+    * rollup); the entropy fold is a map + groupBy over the catalog-sized
+    * matrix.
+    */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    val matrix = eventsTsu(spark, dir, "user_id", "event_id", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+      .withColumn("from_total",
+        sum(col("n_steps")).over(Window.partitionBy(col("from_type"))))
+    matrix
+      .select(col("from_type"), col("from_total"),
+        floor(lit(1000000.0)
+          * (col("n_steps").cast("double") / col("from_total").cast("double"))
+          * log(col("from_total").cast("double") / col("n_steps").cast("double"))
+          + lit(0.5)).cast("long").as("term_micro"))
+      .groupBy(col("from_type"))
+      .agg(
+        count(lit(1)).as("n_out_types"),
+        max(col("from_total")).as("n_steps_total"),
+        sum(col("term_micro")).as("entropy_micro"))
+  }
+
   /** The ev18 EXACT quantile fold over an explicit (key, value) relation:
     * integer-bucket histogram → cumulative mass per key → smallest value whose
     * cumulative count reaches p% — exact at any scale because the state is

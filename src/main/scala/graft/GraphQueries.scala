@@ -1921,6 +1921,95 @@ object GraphQueries {
     dist.select(col("v"), col("d").as("dist_w"))
   }
 
+  /** g60 — WEIGHTED landmark distance estimates: the g53 sketch upgraded to
+    * edge costs. Each of the `nLandmarks` md5-smallest vertices runs the g59
+    * hop-bounded weighted relaxation over the undirected min-cost edge list
+    * (weight = 1 + min(position) mod `weightMod` per unordered pair), and a
+    * (u, v) estimate is the landmark minimizing d(u,ℓ) + d(ℓ,v) — the
+    * triangle-inequality upper bound, now in cost units instead of hops (what
+    * a routing/latency question actually asks). Landmark set stays
+    * CONSTANT-sized (the g53/s26 bounded-entry discipline).
+    *
+    * Scale shape: the per-round state is (seed, v, dist) — ≤ nLandmarks·|V|
+    * rows, partition-keyed by v for the one equi-join per round against the
+    * checkpointed edge list; the estimate join is the same bounded
+    * (uMod, vMod)-filtered composition as g53. Early exit on the (count, Σd)
+    * fixpoint witness — min-relax is monotone per (seed, v), the g59 law.
+    */
+  def weightedLandmarks(
+      spark: SparkSession,
+      dir: String,
+      nLandmarks: Int = 16,
+      maxHops: Int = 4,
+      uMod: Int = 25,
+      vMod: Int = 37,
+      weightMod: Long = 97L
+  ): DataFrame =
+    weightedLandmarkKernel(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst"),
+          col("position")),
+      nLandmarks, maxHops, uMod, vMod, weightMod)
+
+  /** Kernel form of [[weightedLandmarks]] over an explicit (src, dst, position)
+    * relation — the property mirror proves the estimate is an UPPER bound on
+    * (and equal through a landmark to) the true hop-bounded weighted distance.
+    */
+  private[graft] def weightedLandmarkKernel(
+      edges: DataFrame,
+      nLandmarks: Int,
+      maxHops: Int,
+      uMod: Int,
+      vMod: Int,
+      weightMod: Long
+  ): DataFrame = {
+    val pairs = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("position"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("position")).as("p"))
+      .select(col("a"), col("b"), (lit(1L) + col("p") % lit(weightMod)).as("w"))
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true) // loop-invariant: one relaxation join per round
+    val verts = und.select(col("src").as("v")).distinct()
+    val lm = verts
+      .orderBy(md5(col("v").cast("string")).asc, col("v").asc)
+      .limit(nLandmarks)
+      .select(col("v").as("seed"))
+    var dist = lm.select(col("seed"), col("seed").as("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var sig = dist.agg(count(lit(1)), sum(col("d"))).collect()(0)
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
+      val relax = dist.join(und, col("v") === col("src"))
+        .select(col("seed"), col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("seed"), col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val nextSig = dist.agg(count(lit(1)), sum(col("d"))).collect()(0)
+      converged = nextSig == sig
+      sig = nextSig
+      h += 1
+    }
+    val us = dist.filter(col("v") % uMod === 0)
+      .select(col("seed"), col("v").as("u"), col("d").as("d_u"))
+    val vs = dist.filter(col("v") % vMod === 0)
+      .select(col("seed"), col("v").as("v2"), col("d").as("d_v"))
+    val w = Window.partitionBy(col("u"), col("v"))
+      .orderBy(col("d_sum").asc, col("seed").asc)
+    us.join(vs, Seq("seed"))
+      .filter(col("u") =!= col("v2"))
+      .select(col("u"), col("v2").as("v"), col("seed"),
+        (col("d_u") + col("d_v")).as("d_sum"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("u"), col("v"), col("d_sum").as("d_est"), col("seed").as("via_landmark"))
+  }
+
   def landmarkDistances(
       spark: SparkSession,
       dir: String,

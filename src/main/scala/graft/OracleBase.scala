@@ -212,6 +212,11 @@ private[graft] trait OracleParams {
   private[graft] val SsspHops = 6
   private[graft] val SsspWeightMod = 97L
 
+  /** g60's pinned relaxation budget for the weighted landmark tables (one more
+    * hop than g53's unweighted sketch — cost paths bend around heavy edges).
+    */
+  private[graft] val WLandmarkHops = 4
+
   /** g54's pinned HyperANF round count, shared by registration and oracle. */
   private[graft] val HyperAnfRounds = 3
 

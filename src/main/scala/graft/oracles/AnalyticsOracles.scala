@@ -47,6 +47,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev19_funnel" -> (AnalyticsQueries.funnel _),
     "ev20_funnel_latency" -> (AnalyticsQueries.funnelLatency _),
     "ev21_type_transitions" -> (AnalyticsQueries.typeTransitions _),
+    "ev22_transition_entropy" -> (AnalyticsQueries.transitionEntropy _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -183,6 +184,25 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |  CAST((2 * 1000000 * n_steps + ft) // (2 * ft) AS BIGINT) AS rate_micro
          |FROM (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
          |      FROM c)""".stripMargin,
+
+    // per-from-type Shannon entropy of the ev21 matrix: per-row micro-quantized
+    // (n/N)·ln(N/n) terms (the t45 ln discipline), exact integer sum — mirror
+    // of AnalyticsQueries.transitionEntropy
+    "ev22_transition_entropy" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |p AS (SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+         |      FROM t),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps
+         |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
+         |      FROM c)
+         |SELECT from_type, COUNT(*) AS n_out_types,
+         |  CAST(MAX(ft) AS BIGINT) AS n_steps_total,
+         |  CAST(SUM(CAST(floor(1000000.0 * (n_steps::DOUBLE / ft::DOUBLE)
+         |      * ln(ft::DOUBLE / n_steps::DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS entropy_micro
+         |FROM m GROUP BY from_type""".stripMargin,
 
     // the ev19 anchors' conversion delays through the ev18 exact-quantile fold
     // — mirror of AnalyticsQueries.funnelLatency

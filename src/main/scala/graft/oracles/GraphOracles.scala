@@ -102,6 +102,10 @@ private[graft] object GraphOracles extends OracleFragments {
     "g59_weighted_sssp" -> ((s: SparkSession, dir: String) =>
       GraphQueries.weightedSssp(s, dir, nSeeds = SsspSeeds, maxHops = SsspHops,
         weightMod = SsspWeightMod)),
+    "g60_weighted_landmarks" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.weightedLandmarks(s, dir, nLandmarks = LandmarkCount,
+        maxHops = WLandmarkHops, uMod = LandmarkUMod, vMod = LandmarkVMod,
+        weightMod = SsspWeightMod)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -240,6 +244,42 @@ private[graft] object GraphOracles extends OracleFragments {
          |         FROM du JOIN dv USING (seed) WHERE u <> v2)
          |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
+         |WHERE rk = 1""".stripMargin
+    },
+
+    // the g53 sketch in cost units: weighted per-seed relaxation tables
+    // (undirected min-cost pairs), then the min landmark-sum estimate per
+    // (u, v) — mirror of GraphQueries.weightedLandmarks
+    "g60_weighted_landmarks" -> {
+      def round(h: Int) =
+        s"""x$h AS (SELECT r${h - 1}.seed, und.dst AS v, r${h - 1}.d + und.w AS d
+           |       FROM r${h - 1} JOIN und ON r${h - 1}.v = und.src),
+           |r$h AS MATERIALIZED (SELECT seed, v, MIN(d) AS d FROM (
+           |         SELECT * FROM r${h - 1} UNION ALL SELECT * FROM x$h) GROUP BY 1, 2)"""
+          .stripMargin
+      s"""$snap,
+         |e AS MATERIALIZED (SELECT least(source_id, destination_id) AS a,
+         |         greatest(source_id, destination_id) AS b,
+         |         CAST(1 + MIN(position) % $SsspWeightMod AS BIGINT) AS w
+         |       FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id
+         |       GROUP BY 1, 2),
+         |und AS (SELECT a AS src, b AS dst, w FROM e
+         |        UNION ALL SELECT b, a, w FROM e),
+         |vx AS (SELECT DISTINCT src AS v FROM und),
+         |lm AS (SELECT v AS seed FROM vx ORDER BY md5(CAST(v AS VARCHAR)), v
+         |       LIMIT $LandmarkCount),
+         |r0 AS (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS d FROM lm),
+         |${(1 to WLandmarkHops).map(round).mkString(",\n")},
+         |du AS (SELECT seed, v AS u, d AS d_u FROM r$WLandmarkHops
+         |       WHERE v % $LandmarkUMod = 0),
+         |dv AS (SELECT seed, v AS v2, d AS d_v FROM r$WLandmarkHops
+         |       WHERE v % $LandmarkVMod = 0),
+         |cand AS (SELECT u, v2 AS v, seed, d_u + d_v AS d_sum
+         |         FROM du JOIN dv USING (seed) WHERE u <> v2)
+         |SELECT u, v, CAST(d_sum AS BIGINT) AS d_est, seed AS via_landmark FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk
+         |  FROM cand)
          |WHERE rk = 1""".stripMargin
     },
 

@@ -148,6 +148,11 @@ private[graft] object SimilarityOracles extends OracleFragments {
       run("tight", AdaptiveAnnTightMod)
         .unionByName(run("broad", AdaptiveAnnBroadMod))
     }),
+    // the index-health census an operator reads before serving: per-cell
+    // membership + the Faiss imbalance factor off the trained quantizer
+    "s33_ivf_cell_census" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfCellCensus(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", kCells = 8, dims = 64, trainRounds = IvfPqTrainRounds)),
     // the nProbe recall curve off one shared trained pipeline — the s30
     // diagnostic generalized to the sweep a serving SLO is tuned by
     "s32_probe_recall_curve" -> ((s: SparkSession, dir: String) => {
@@ -817,6 +822,34 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // (n_probe, query) with explicit zero rows — mirror of
     // Similarity.ivfProbeRecallCurve
     "s32_probe_recall_curve" -> ivfProbeCurveSql,
+
+    // per-cell membership census + imbalance factor in half-up integer micro
+    // form, explicit zero rows for unchosen cells — mirror of
+    // Similarity.ivfCellCensus
+    "s33_ivf_cell_census" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+         |scored_cells AS (
+         |  SELECT base.vec_id AS rid, cents.cid, ${cosSql("base.v", "cents.cv")} AS cc
+         |  FROM base, cents),
+         |asg AS (SELECT rid, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM scored_cells)
+         |  WHERE crank = 1),
+         |cnt AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY 1),
+         |cells AS (SELECT c.cid, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_members
+         |          FROM cents c LEFT JOIN cnt USING (cid)),
+         |tot AS (SELECT COUNT(*) AS k_cells, CAST(SUM(n_members) AS BIGINT) AS n_total,
+         |               CAST(SUM(n_members * n_members) AS BIGINT) AS sum_sq
+         |        FROM cells)
+         |SELECT cid, n_members,
+         |  CAST((2 * 1000000 * n_members + n_total) // (2 * n_total) AS BIGINT)
+         |    AS share_micro,
+         |  CAST((2 * 1000000 * k_cells * sum_sq + n_total * n_total)
+         |       // (2 * n_total * n_total) AS BIGINT) AS imbalance_micro,
+         |  CAST(k_cells AS BIGINT) AS k_cells
+         |FROM cells CROSS JOIN tot""".stripMargin,
 
     // trained k-means: the s10 step iterated KmeansTrainRounds times as chained
     // CTEs — mirror of Similarity.kmeansTrain (final round in s10's long form,

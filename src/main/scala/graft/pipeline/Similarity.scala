@@ -1561,6 +1561,66 @@ object Similarity {
           .as("recall_at_k"))
   }
 
+  /** s33 — IVF INDEX-HEALTH census: every vector assigned to its nearest
+    * trained cell (the serving path's own cells relation), then per cell the
+    * membership count and corpus share, plus the published imbalance factor
+    * (Faiss's metric: k·Σnᵢ²/N², 1.0 = perfectly balanced, k = every vector in
+    * one cell) — the telemetry an index operator reads BEFORE serving: a hot
+    * cell means every probe that lands there pays its whole membership, and
+    * this one number is the early warning s25's growth census watches after
+    * deployment. Cells the quantizer kept but no vector chose report explicit
+    * zero rows (the grid discipline).
+    *
+    * Determinism: counts are exact longs; share and imbalance are single final
+    * divisions in the half-up `(2·10⁶·a + b) div (2·b)` integer form — no
+    * float anywhere. The imbalance numerator 2·10⁶·k·Σnᵢ² needs 128-bit
+    * arithmetic past ~10⁹ members per cell — at that scale compute it in
+    * DecimalType (documented knob, not a silent overflow: the oracle mirror's
+    * engine errors on int64 overflow rather than wrapping).
+    *
+    * Scale shape: one broadcast-centroid assignment pass (the s23 shape), a
+    * map-side-combinable count, and a k-row rollup crossed with one 1-row
+    * total — the corpus is scanned once.
+    */
+  def ivfCellCensus(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCells: Int = 8,
+      dims: Int = 64,
+      trainRounds: Int = 2
+  ): DataFrame = {
+    val model = kmeansRounds(candidates, idCol, vecCol, kCells, dims, trainRounds)
+    val cents = broadcast(withCentroidNorm(model)
+      .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+    val assigned = candidates
+      .select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .crossJoin(cents)
+      .select(col("rid"), col("cid"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("rid"), col("cid"))
+    val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val cells = cents.select(col("cid"))
+      .join(counts, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n_members"))
+      .localCheckpoint(true) // two consumers: the rows and the 1-row total
+    val tot = cells.agg(
+      count(lit(1)).as("k_cells"),
+      sum(col("n_members")).as("n_total"),
+      sum(col("n_members") * col("n_members")).as("sum_sq"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_members"),
+        expr("(2 * 1000000 * n_members + n_total) DIV (2 * n_total)")
+          .cast("long").as("share_micro"),
+        expr("(2 * 1000000 * k_cells * sum_sq + n_total * n_total)" +
+          " DIV (2 * n_total * n_total)").cast("long").as("imbalance_micro"),
+        col("k_cells"))
+  }
+
   /** Persist a trained coarse-quantizer model ([[kmeansRounds]] output) — the s24
     * artifact: cluster id + centroid array, one tiny parquet file. Doubles
     * round-trip parquet bit-exactly, so a reloaded model searches identically to

@@ -144,6 +144,53 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(got(("b", 1L)) == (0L, -1L, 0L, 0L, 0L, 0L))
   }
 
+  test("s33: census laws — members conserve, shares sum to one, imbalance recomputes") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.ivfCellCensus(e, "vec_id", "embedding",
+      kCells = 8, dims = 64, trainRounds = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("share_micro"), r.getAs[Long]("imbalance_micro"),
+        r.getAs[Long]("k_cells")))
+    val k = rows.head._5
+    assert(rows.length.toLong == k, "one row per model cell")
+    val n = rows.map(_._2).sum
+    assert(n == e.count(), "every vector lands in exactly one cell")
+    val shareSum = rows.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= k, s"shares sum to ~1e6: $shareSum")
+    val sumSq = rows.map(r => r._2 * r._2).sum
+    val wantImb = (2L * 1000000L * k * sumSq + n * n) / (2L * n * n)
+    assert(rows.forall(_._4 == wantImb), s"imbalance mirror: ${rows.head._4} vs $wantImb")
+    assert(wantImb >= 1000000L - k, s"imbalance factor is ≥ 1 by Cauchy-Schwarz: $wantImb")
+  }
+
+  test("ev22: transition entropy equals the sequential mirror; one-successor types are zero") {
+    val got = AnalyticsQueries.transitionEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("from_type") ->
+        (r.getAs[Long]("n_out_types"), r.getAs[Long]("n_steps_total"),
+          r.getAs[Long]("entropy_micro"))).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val rows = ev.select(col("user_id"), col("event_id"),
+        EventTime.micros(ev).as("tsu"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val steps = rows.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val counts = steps.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val want = counts.groupBy(_._1._1).map { case (f, m) =>
+      val ns = m.values.toSeq
+      val tot = ns.sum
+      val ent = ns.map(nn => math.floor(
+        1000000.0 * (nn.toDouble / tot.toDouble)
+          * math.log(tot.toDouble / nn.toDouble) + 0.5).toLong).sum
+      f -> (ns.size.toLong, tot, ent)
+    }
+    assert(got == want, s"entropy mirror: missing=${want.toSet -- got.toSet}")
+    // a single-successor type carries exactly zero entropy
+    want.collect { case (f, (1L, _, e0)) => assert(e0 == 0L, s"$f: $e0") }
+  }
+
   test("ev21: the transition matrix equals a full sequential mirror of the fixture") {
     val got = AnalyticsQueries.typeTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->

@@ -67,6 +67,58 @@ class RoundFourteenPropertySpec extends SparkSpec {
     })
   }
 
+  /** Sequential mirror of the g60 composition: symmetrized min-cost edges,
+    * md5-smallest landmarks, `hops` weighted relaxation rounds per landmark,
+    * then the (d_sum, seed)-min estimate per (u, v) pair.
+    */
+  private def mirrorWeightedLandmarks(
+      edges: List[(Long, Long, Long)],
+      nLandmarks: Int,
+      hops: Int,
+      uMod: Int,
+      vMod: Int,
+      mod: Long): Map[(Long, Long), (Long, Long)] = {
+    val pairs = edges.filter(e => e._1 != e._2)
+      .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .toSeq.map { case ((a, b), es) => (a, b, 1L + es.map(_._3).min % mod) }
+    val und = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val verts = und.map(_._1).distinct
+    val seeds = verts.sortBy(v => (md5hex(v.toString), v)).take(nLandmarks)
+    var dist: Map[(Long, Long), Long] = seeds.map(s => (s, s) -> 0L).toMap
+    for (_ <- 1 to hops) {
+      val relax = und.flatMap { case (s, d, wt) =>
+        seeds.flatMap(sd => dist.get((sd, s)).map(ds => (sd, d) -> (ds + wt)))
+      }
+      dist = (dist.toSeq ++ relax).groupBy(_._1).map { case (kk, ds) => kk -> ds.map(_._2).min }
+    }
+    val us = dist.collect { case ((sd, v), d) if v % uMod == 0 => (sd, v, d) }.toSeq
+    val vs = dist.collect { case ((sd, v), d) if v % vMod == 0 => (sd, v, d) }.toSeq
+    (for {
+      (sd, u, du) <- us; (sd2, v, dv) <- vs if sd2 == sd && u != v
+    } yield (u, v, du + dv, sd))
+      .groupBy(t => (t._1, t._2))
+      .map { case (kk, cs) =>
+        val best = cs.minBy(c => (c._3, c._4))
+        kk -> (best._3, best._4)
+      }
+  }
+
+  test("weightedLandmarkKernel equals the sequential mirror on random graphs") {
+    check("wlandmark-mirror", Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = GraphQueries.weightedLandmarkKernel(
+          edges.toDF("src", "dst", "position"),
+          nLandmarks = 3, maxHops = 3, uMod = 2, vMod = 3, weightMod = 7L)
+          .collect()
+          .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+            (r.getAs[Long]("d_est"), r.getAs[Long]("via_landmark"))).toMap
+        val want = mirrorWeightedLandmarks(edges, nLandmarks = 3, hops = 3,
+          uMod = 2, vMod = 3, mod = 7L)
+        (got == want) :| s"got $got want $want edges $edges"
+      }
+    })
+  }
+
   test("early exit is invisible: a converged chain matches the full unroll at a larger budget") {
     // a 3-chain converges in 2 hops; budgets 2 and 6 must agree exactly
     val edges = List((10L, 11L, 5L), (11L, 12L, 9L))
