@@ -359,6 +359,36 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // the estimator itself measured: signature-implied Jaccard vs the exact
+    // set Jaccard per candidate pair — the variance the 16-hash budget buys
+    "d27_minhash_estimate" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashEstimateReport(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 16, rowsPerBand = 1)),
+    // the full release gate chain feeding the dc11 pack: admitted pool →
+    // tokenizer trained on the pool → mix → price → pack, ONE composed job —
+    // the dc13 idea at release grade
+    "dc20_release_epoch" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-release-epoch")
+      try {
+        val admitted = graft.pipeline.Curation.releaseAdmitted(
+          docs, emb, "doc_id", "text", "source", "vec_id", "embedding",
+          benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+          semanticThresholdMicro = SemanticDecontamMicro,
+          requiredWords = FunnelRequiredWords, minRequiredHits = GopherMinRequiredHits)
+          .select(col("doc_id"))
+        val pool = docs.join(admitted, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true) // feeds tokenizer training AND the pack chain
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(pool, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPackUpsampled(pool, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+          budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     // the d25 report swept over band/row splits of one signature budget plus
     // the deterministic pick — the grid-search job that turns d25's
     // measurement into a configuration decision
@@ -691,6 +721,42 @@ private[graft] object DedupOracles extends OracleFragments {
        |  CAST(COALESCE(c.id_check, 0) AS BIGINT) AS id_check
        |FROM grid g LEFT JOIN c USING (source, status)""".stripMargin
 
+  // per-candidate-pair estimator calibration: signature agreement / 16 vs the
+  // exact distinct-shingle-set Jaccard — mirror of Dedup.minhashEstimateReport
+  private lazy val minhashEstimateSql: String =
+    s"""SELECT *, CAST(abs(est_micro - exact_micro) AS BIGINT) AS abs_err_micro FROM (
+       |WITH $shinglesCte,
+       |$minhashCtes,
+       |cd AS (SELECT id_a, id_b FROM ($minhashPairsSql)),
+       |ag AS (SELECT c.id_a, c.id_b,
+       |         CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_agree
+       |       FROM cd c JOIN mh a ON a.doc_id = c.id_a
+       |       JOIN mh b ON b.doc_id = c.id_b AND b.k = a.k
+       |       GROUP BY 1, 2),
+       |hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+       |cm AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+       |       FROM cd c JOIN hsh a2 ON a2.doc_id = c.id_a
+       |       JOIN hsh b2 ON b2.doc_id = c.id_b AND b2.h = a2.h
+       |       GROUP BY 1, 2)
+       |SELECT ag.id_a, ag.id_b, ag.n_agree,
+       |  CAST((2 * 1000000 * ag.n_agree + 16) // 32 AS BIGINT) AS est_micro,
+       |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST((2 * 1000000 * COALESCE(cm.n_common, 0)
+       |        + (na.n + nb.n - COALESCE(cm.n_common, 0)))
+       |       // (2 * (na.n + nb.n - COALESCE(cm.n_common, 0))) AS BIGINT) AS exact_micro
+       |FROM ag LEFT JOIN cm USING (id_a, id_b)
+       |JOIN sz na ON na.doc_id = ag.id_a
+       |JOIN sz nb ON nb.doc_id = ag.id_b)""".stripMargin
+
+  // the dc16 stage chain's admitted pool fed through the dc11 pack fold (the
+  // tokenizer trains on the SAME pool) — mirror of the dc20 composed job
+  private lazy val releaseEpochSql: String =
+    s"""WITH ${releaseStagesCteSqlWith("", SemanticDecontamMicro, GopherMinRequiredHits)},
+       |rel AS (SELECT d.* FROM documents d JOIN s5 USING (doc_id)),
+       |${epochPackUpsampledBody("rel")}""".stripMargin
+
   /** dc13's oracle: the d19 contamination verdict excludes docs BEFORE mix
     * admission (budget slots are never spent on contaminated documents), then
     * the identical upsampled pack chain runs over the clean pool. Decontam-side
@@ -1003,6 +1069,8 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc12_epoch_manifest_saved" -> epochPackUpsampledSql,
     "dc19_epoch_resume" -> epochResumeSql,
     "dc18_release_diff" -> releaseDiffSql,
+    "dc20_release_epoch" -> releaseEpochSql,
+    "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,

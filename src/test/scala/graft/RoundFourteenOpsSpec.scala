@@ -191,6 +191,50 @@ class RoundFourteenOpsSpec extends SparkSpec {
     want.collect { case (f, (1L, _, e0)) => assert(e0 == 0L, s"$f: $e0") }
   }
 
+  test("d27: estimator laws — agreement bounds, formula mirror, identical pair is exact") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+    // plant an exact duplicate of doc 0 under a fresh id: the pair must be a
+    // candidate (identical signatures in every band) and calibrate perfectly
+    val clone = base.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val rows = Dedup.minhashEstimateReport(base.unionByName(clone), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("n_agree"),
+        r.getAs[Long]("est_micro"), r.getAs[Long]("exact_micro"),
+        r.getAs[Long]("abs_err_micro")))
+    assert(rows.nonEmpty)
+    // a candidate shares at least one band; at rowsPerBand = 1 that IS one
+    // agreeing permutation
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 16))
+    assert(rows.forall(r => r._4 == (2L * 1000000L * r._3 + 16L) / 32L), "est formula")
+    assert(rows.forall(r => r._6 == math.abs(r._4 - r._5)), "abs err")
+    val dup = rows.filter(r => r._1 == 0L && r._2 == 1000000L)
+    assert(dup.length == 1 && dup.head == ((0L, 1000000L, 16L, 1000000L, 1000000L, 0L)),
+      s"identical pair must calibrate exactly: ${dup.toSeq}")
+  }
+
+  test("dc20: the release-grade epoch packs only admitted sources, with positive mass") {
+    // structural composition law (the full value equality is dc20's oracle row):
+    // every packed source survived the release gates, and the pack is non-empty
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val admitted = Curation.releaseAdmitted(docs, emb, "doc_id", "text", "source",
+      "vec_id", "embedding", benchmarkMod = 10L, shingleSize = 5,
+      semanticThresholdMicro = 400000L,
+      requiredWords = Seq("the", "a", "value", "line"), minRequiredHits = 2)
+    val okSources = admitted.select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val pool = docs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val merges = graft.pipeline.TextStats.bpeMergeLoop(pool, "doc_id", "text", rounds = 4)
+    val packs = Sampling.epochPackUpsampled(pool, "doc_id", "source", "text", merges,
+      alphaMicro = 300000L, budgetDocs = 1000L, budgetTokens = 512L, nGroups = 8)
+      .collect()
+    assert(packs.nonEmpty && packs.map(_.getAs[Long]("n_docs")).sum > 0)
+    assert(packs.map(_.getAs[String]("source")).toSet.subsetOf(okSources))
+  }
+
   test("ev21: the transition matrix equals a full sequential mirror of the fixture") {
     val got = AnalyticsQueries.typeTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
