@@ -1183,6 +1183,56 @@ object AnalyticsQueries {
         sum(col("term_micro")).as("entropy_micro"))
   }
 
+  /** ev23 — the STATIONARY distribution of the ev21 transition matrix by
+    * bounded power iteration: where the event traffic settles if users keep
+    * walking the observed matrix — PageRank's question asked of event types
+    * (the steady-state load forecast per surface). v₀ is uniform over the
+    * type catalog; round r is one exact integer matrix-vector product
+    * vₜ ← Σ_f v_f · rate(f→t) div 10⁶, grid-completed so a type with no
+    * inbound step keeps an explicit 0. Types with no OUTGOING steps absorb
+    * mass out of the system each round (substochastic leak, the
+    * teleport-free PageRank caveat) — reported, not hidden: Σv is in the
+    * output via the share each row carries of it.
+    *
+    * Determinism: rates are ev21's half-up integers; each round is an exact
+    * BIGINT dot product followed by ONE floor division — no float ever.
+    *
+    * Scale shape: the matrix and the vector are |types|-sized (catalog
+    * relations, broadcast joins); rounds iterate driver-side over
+    * checkpointed k-row state — nothing here ever touches event volume after
+    * the one ev21 rollup.
+    */
+  def markovStationary(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    val matrix = eventsTsu(spark, dir, "user_id", "event_id", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+      .withColumn("from_total",
+        sum(col("n_steps")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        expr("(2 * 1000000 * n_steps + from_total) DIV (2 * from_total)")
+          .cast("long").as("rate_micro"))
+      .localCheckpoint(true) // the loop-invariant matrix
+    val types = table(spark, dir, "events")
+      .select(col("event_type").as("ty")).distinct()
+      .localCheckpoint(true) // v0 + the per-round grid
+    val n = types.count()
+    var v = types.select(col("ty"),
+      lit((2L * 1000000L + n) / (2L * n)).as("v"))
+    for (_ <- 1 to rounds) {
+      val stepped = v.join(matrix, col("ty") === col("from_type"))
+        .groupBy(col("to_type").as("ty2"))
+        .agg(expr("CAST(sum(v * rate_micro) DIV 1000000 AS LONG)").as("v2"))
+      v = types.join(stepped, col("ty") === col("ty2"), "left")
+        .select(col("ty"), coalesce(col("v2"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("ty").as("event_type"), col("v").as("stationary_micro"))
+  }
+
   /** The ev18 EXACT quantile fold over an explicit (key, value) relation:
     * integer-bucket histogram → cumulative mass per key → smallest value whose
     * cumulative count reaches p% — exact at any scale because the state is

@@ -346,6 +346,11 @@ private[graft] trait OracleParams {
     */
   private[graft] val SemanticDecontamMicro = 400000L
 
+  /** ev23's pinned power-iteration budget over the ev21 matrix, shared by
+    * registration and the unrolled oracle rounds.
+    */
+  private[graft] val MarkovRounds = 5
+
   /** s31's two pinned filters and the routing threshold: the tight filter
     * (label % 10 = 0, ~10% of the corpus) routes to the exact-prefilter scan,
     * the broad one (label % 2 = 0, ~49%) keeps the s29 IVF path; the 25%

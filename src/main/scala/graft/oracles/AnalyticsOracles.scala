@@ -48,6 +48,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev20_funnel_latency" -> (AnalyticsQueries.funnelLatency _),
     "ev21_type_transitions" -> (AnalyticsQueries.typeTransitions _),
     "ev22_transition_entropy" -> (AnalyticsQueries.transitionEntropy _),
+    "ev23_markov_stationary" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.markovStationary(s, d, rounds = MarkovRounds)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -184,6 +186,33 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |  CAST((2 * 1000000 * n_steps + ft) // (2 * ft) AS BIGINT) AS rate_micro
          |FROM (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
          |      FROM c)""".stripMargin,
+
+    // bounded power iteration over the ev21 matrix: uniform v0 over the type
+    // catalog, each round one exact BIGINT matrix-vector product + floor div,
+    // grid-completed — mirror of AnalyticsQueries.markovStationary
+    "ev23_markov_stationary" -> {
+      def round(r: Int) =
+        s"""s$r AS (SELECT m.to_type AS ty, CAST(SUM(v.v * m.rate_micro) // 1000000 AS BIGINT) AS v
+           |       FROM v${r - 1} v JOIN m ON m.from_type = v.ty GROUP BY 1),
+           |v$r AS (SELECT ty.ty, COALESCE(s$r.v, 0) AS v FROM ty LEFT JOIN s$r USING (ty))"""
+          .stripMargin
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |p AS (SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+         |      FROM t),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps
+         |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT from_type, to_type,
+         |        CAST((2 * 1000000 * n_steps + ft) // (2 * ft) AS BIGINT) AS rate_micro
+         |      FROM (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
+         |            FROM c)),
+         |ty AS (SELECT DISTINCT event_type AS ty FROM events),
+         |nn AS (SELECT COUNT(*) AS n FROM ty),
+         |v0 AS (SELECT ty, CAST((2 * 1000000 + n) // (2 * n) AS BIGINT) AS v
+         |       FROM ty CROSS JOIN nn),
+         |${(1 to MarkovRounds).map(round).mkString(",\n")}
+         |SELECT ty AS event_type, v AS stationary_micro FROM v$MarkovRounds""".stripMargin
+    },
 
     // per-from-type Shannon entropy of the ev21 matrix: per-row micro-quantized
     // (n/N)·ln(N/n) terms (the t45 ln discipline), exact integer sum — mirror

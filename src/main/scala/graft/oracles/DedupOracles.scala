@@ -207,21 +207,22 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc18_release_diff" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      def admitted(semanticMicro: Long, minHits: Int) =
-        graft.pipeline.Curation.releaseAdmitted(
-          docs, emb, "doc_id", "text", "source", "vec_id", "embedding",
-          benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
-          semanticThresholdMicro = semanticMicro,
-          requiredWords = FunnelRequiredWords, minRequiredHits = minHits)
+      // both configurations off the shared-kernel derivation (each invariant
+      // gate runs once); the old side still round-trips the dc17 artifact
+      val (oldAdmitted, newAdmitted) = graft.pipeline.Curation.releaseDiffAdmitted(
+        docs, emb, "doc_id", "text", "source", "vec_id", "embedding",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+        requiredWords = FunnelRequiredWords,
+        oldSemanticMicro = SemanticDecontamMicro, oldMinHits = GopherMinRequiredHits,
+        newSemanticMicro = ReleaseDiffSemanticMicro,
+        newMinHits = ReleaseDiffMinRequiredHits)
       val scratch = java.nio.file.Files.createTempDirectory("graft-release-diff")
       try {
         val path = scratch.toString + "/release"
-        graft.pipeline.Curation.saveRelease(
-          admitted(SemanticDecontamMicro, GopherMinRequiredHits), "doc_id", "source", path)
+        graft.pipeline.Curation.saveRelease(oldAdmitted, "doc_id", "source", path)
         graft.pipeline.Curation.releaseDiff(
           graft.pipeline.Curation.loadRelease(s, path).localCheckpoint(true),
-          admitted(ReleaseDiffSemanticMicro, ReleaseDiffMinRequiredHits),
-          "doc_id", "source", docs)
+          newAdmitted, "doc_id", "source", docs)
       } finally deleteRecursively(scratch)
     }),
     // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best

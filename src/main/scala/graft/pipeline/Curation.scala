@@ -225,6 +225,68 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L))).as("id_check"))
 
+  /** The two admitted sets of a release diff derived with every
+    * config-INVARIANT kernel computed ONCE: the train split, the Gopher
+    * repetition battery, the exact keepers, and the d19 n-gram gate are
+    * identical under both configurations, the quality battery differs only in
+    * its required-hits floor (so it runs once with the hits rule disarmed and
+    * each config filters the SAME `req_hits` column), and the semantic gate
+    * differs only in its threshold (so the expensive nearest-benchmark argmax
+    * runs once and each config cuts the SAME `max_cos_micro`). Halves dc18's
+    * cost versus two full [[releaseAdmitted]] chains while producing
+    * set-identical outputs — the oracle mirrors the two FULL chains, so the
+    * sharing is hash-proven equivalent, and RoundFourteenOpsSpec pins it
+    * against the unshared derivation directly.
+    */
+  def releaseDiffAdmitted(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      benchmarkMod: Long,
+      shingleSize: Int,
+      requiredWords: Seq[String],
+      oldSemanticMicro: Long,
+      oldMinHits: Int,
+      newSemanticMicro: Long,
+      newMinHits: Int
+  ): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
+    val s1 = base.select(col(idCol), col(sourceCol))
+      .filter(col(idCol) % benchmarkMod =!= 0)
+    // minRequiredHits = 0 disarms the hits bit (req_hits < 0 never fires), so
+    // reasons carries only the config-invariant rules
+    val gq = TextStats.gopherQuality(base, idCol, textCol,
+        requiredWords = requiredWords, minRequiredHits = 0)
+      .select(col(idCol), col("reasons"), col("req_hits"))
+      .localCheckpoint(true)
+    val gr = TextStats.gopherRepetition(base, idCol, textCol)
+      .filter(col("reasons") === 0L).select(col(idCol)).localCheckpoint(true)
+    val keepers = Dedup.exact(base, idCol, textCol)
+      .select(col("keep_id").as(idCol)).localCheckpoint(true)
+    val ncon = Dedup.benchmarkDecontaminate(base, idCol, textCol,
+        benchmarkMod, shingleSize)
+      .select(col(idCol)).localCheckpoint(true)
+    // threshold 0 is ignored — only the per-vector argmax is kept
+    val sem = Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
+        benchmarkMod, thresholdMicro = 0L)
+      .select(col("vec_id").as(idCol), col("max_cos_micro"))
+      .localCheckpoint(true)
+    def admitted(minHits: Int, semMicro: Long): DataFrame =
+      s1
+        .join(gq.filter(col("reasons") === 0L && col("req_hits") >= minHits)
+          .select(col(idCol)), Seq(idCol), "left_semi")
+        .join(gr, Seq(idCol), "left_semi")
+        .join(keepers, Seq(idCol), "left_semi")
+        .join(ncon, Seq(idCol), "left_anti")
+        .join(sem.filter(col("max_cos_micro") >= semMicro).select(col(idCol)),
+          Seq(idCol), "left_anti")
+    (admitted(oldMinHits, oldSemanticMicro), admitted(newMinHits, newSemanticMicro))
+  }
+
   /** dc18 — the DIFF between two releases: per (source, status ∈ retained /
     * removed / added) document counts plus the order-free id checksum of
     * [[releaseCensus]], reported over the FULL source × status grid (explicit

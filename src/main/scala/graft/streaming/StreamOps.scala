@@ -159,6 +159,45 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class TypeStepEvent(userId: Long, eventId: Long, tsUs: Long, eventType: String)
+  case class TypeStep(fromType: String, toType: String)
+
+  /** Streaming twin of ev21's transition matrix: ONE register per user — the
+    * last event seen — and each arrival emits its (from → to) step, so the
+    * sink-side count of steps is exactly the batch matrix over the stream's
+    * prefix (StreamOpsSpec pins the parity, including a step that SPANS a
+    * micro-batch boundary). State is last-event-sized (the streamingDegree
+    * discipline): |active users| registers, independent of stream length.
+    *
+    * Ordering contract, documented not hidden: within a batch events sort by
+    * the ev12 (tsUs, eventId) key; ACROSS batches the register assumes the
+    * stream is prefix-ordered per user (an event older than the register
+    * would emit a step the batch matrix orders differently — the same
+    * at-least-order caveat every register op here carries).
+    */
+  def streamingTypeTransitions(events: Dataset[TypeStepEvent]): Dataset[TypeStep] = {
+    import events.sparkSession.implicits._
+
+    def fold(
+        userId: Long,
+        batch: Iterator[TypeStepEvent],
+        state: GroupState[TypeStepEvent]
+    ): Iterator[TypeStep] = {
+      val sorted = batch.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val chain = state.getOption.toSeq ++ sorted
+        state.update(chain.last)
+        chain.zip(chain.drop(1))
+          .map { case (a, b) => TypeStep(a.eventType, b.eventType) }.iterator
+      }
+    }
+
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** The DECLARATIVE sessionizer: Structured Streaming's built-in
     * `session_window(event_time, gap)` aggregation — ZERO custom state code
     * (Catalyst owns session merge, state layout, and watermark eviction), the

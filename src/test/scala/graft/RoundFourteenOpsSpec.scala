@@ -126,6 +126,26 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(tot("retained") + tot("added") == 3L)
   }
 
+  test("dc18: the shared-kernel pair derivation is set-identical to two full chains") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val words = Seq("the", "a", "value", "line")
+    val (gotOld, gotNew) = Curation.releaseDiffAdmitted(docs, emb,
+      "doc_id", "text", "source", "vec_id", "embedding",
+      benchmarkMod = 10L, shingleSize = 5, requiredWords = words,
+      oldSemanticMicro = 400000L, oldMinHits = 2,
+      newSemanticMicro = 300000L, newMinHits = 1)
+    def full(sem: Long, hits: Int) = Curation.releaseAdmitted(docs, emb,
+      "doc_id", "text", "source", "vec_id", "embedding",
+      benchmarkMod = 10L, shingleSize = 5, semanticThresholdMicro = sem,
+      requiredWords = words, minRequiredHits = hits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids(gotOld) == full(400000L, 2), "old config")
+    assert(ids(gotNew) == full(300000L, 1), "new config")
+  }
+
   test("dc19: planted manifest — remainder past the watermark, explicit done shard") {
     val manifest = (
       // shard (a, 0): bins 0..4 → consumed_until 2, remainder bins {3, 4}
@@ -233,6 +253,34 @@ class RoundFourteenOpsSpec extends SparkSpec {
       .collect()
     assert(packs.nonEmpty && packs.map(_.getAs[Long]("n_docs")).sum > 0)
     assert(packs.map(_.getAs[String]("source")).toSet.subsetOf(okSources))
+  }
+
+  test("ev23: the stationary vector equals a sequential power-iteration mirror") {
+    val got = AnalyticsQueries.markovStationary(spark, dir, rounds = 5).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("stationary_micro")).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val rows = ev.select(col("user_id"), col("event_id"),
+        EventTime.micros(ev).as("tsu"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val steps = rows.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val counts = steps.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val rate = counts.map { case ((f, t), nSteps) =>
+      (f, t) -> (2L * 1000000L * nSteps + fromTotals(f)) / (2L * fromTotals(f))
+    }
+    val types = rows.map(_._4).distinct.sorted
+    val n = types.length.toLong
+    var v: Map[String, Long] = types.map(_ -> (2L * 1000000L + n) / (2L * n)).toMap
+    for (_ <- 1 to 5) {
+      val stepped = rate.toSeq.groupBy(_._1._2).map { case (t, es) =>
+        t -> es.map { case ((f, _), r) => v(f) * r }.sum / 1000000L
+      }
+      v = types.map(t => t -> stepped.getOrElse(t, 0L)).toMap
+    }
+    assert(got == v, s"stationary mirror: got $got want $v")
   }
 
   test("ev21: the transition matrix equals a full sequential mirror of the fixture") {

@@ -395,6 +395,36 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingTypeTransitions: step counts match ev21 across a batch boundary") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.TypeStepEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TypeStepEvent]
+    val query = StreamOps.streamingTypeTransitions(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("steps")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 emits view->click (in-batch, arrival order scrambled
+      // so the (tsUs, eventId) sort is doing the work); user 2 opens with view
+      stream.addData(
+        TypeStepEvent(1L, 2L, 2000L, "click"), TypeStepEvent(1L, 1L, 1000L, "view"),
+        TypeStepEvent(2L, 3L, 1500L, "view"))
+      query.processAllAvailable()
+      // batch 2: the register carries user 1's click across the boundary —
+      // click->purchase emits exactly once; user 2 adds view->click
+      stream.addData(
+        TypeStepEvent(1L, 4L, 3000L, "purchase"),
+        TypeStepEvent(2L, 5L, 2500L, "click"))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT fromType, toType FROM steps").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      // the batch ev21 matrix over the same six events
+      assert(got == Map(("view", "click") -> 2, ("click", "purchase") -> 1),
+        s"got $got")
+    } finally query.stop()
+  }
+
   test("session_window built-in sessionizer: closed sessions match the ev12 break rule") {
     import spark.implicits._
     import graft.streaming.StreamOps.SessionEvent
