@@ -12,13 +12,11 @@ object Bench {
   val headline: Seq[String] = Seq(
     "g12_execute_lww",
     "g18_vertex_domination", "g20_metadata_registers",
-    "g32_personalized_pagerank",
     "g37_decayed_pagerank",
-    "g40_lpa_communities",
     "d05_dedup_clusters", "d08_curation_funnel",
     "d10_fuzzy_pairs",
     "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
-    "s20_knn_graph", "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
+    "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
@@ -98,6 +96,14 @@ object Bench {
     // the fam field reports every family's worst query regardless.
     "dc18_release_diff", "d26_lsh_autotune", "s32_probe_recall_curve",
     "dc19_epoch_resume", "s31_ann_adaptive",
+    // r14b: slots for the two heaviest late-round composites — dc20 runs the
+    // whole gate chain into the pack fold, d28 runs the d26 sweep then the
+    // chosen clustering. Rotated: g32_personalized_pagerank (g37 keeps the
+    // walk family), g40_lpa_communities (the label-prop loop is priced by
+    // g49/g50 and inside d28 itself), s20_knn_graph (the build runs inside
+    // s26-s28) — all 1.6-2.4s flat, and BENCH_SEED.json now gives every
+    // non-headline query min-of-history anyway.
+    "dc20_release_epoch", "d28_autotuned_clusters",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

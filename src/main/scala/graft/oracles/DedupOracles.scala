@@ -360,6 +360,12 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // the tuning decision actuated: the d05 clusters under whichever config
+    // the d26 report chose, provenance-stamped (measure → decide → actuate)
+    "d28_autotuned_clusters" -> ((s: SparkSession, dir: String) =>
+      Dedup.autoTunedClusters(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, configs = LshTuneConfigs, threshold = 0.2,
+        recallFloorMicro = LshTuneRecallFloorMicro, rounds = 3)),
     // the estimator itself measured: signature-implied Jaccard vs the exact
     // set Jaccard per candidate pair — the variance the 16-hash budget buys
     "d27_minhash_estimate" -> ((s: SparkSession, dir: String) =>
@@ -722,6 +728,88 @@ private[graft] object DedupOracles extends OracleFragments {
        |  CAST(COALESCE(c.id_check, 0) AS BIGINT) AS id_check
        |FROM grid g LEFT JOIN c USING (source, status)""".stripMargin
 
+  /** The d26 sweep + pick, shared by the d26 entry and d28's decision gate. */
+  private lazy val lshAutoTuneSql: String = {
+    val cfg = LshTuneConfigs.zipWithIndex
+    val perConfig = cfg.map { case ((b, r), i) =>
+      s"""bs$i AS (SELECT doc_id, k // $r AS band,
+         |         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k) AS sig
+         |       FROM mh GROUP BY doc_id, k // $r),
+         |cd$i AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bs$i a JOIN bs$i b ON a.band = b.band AND a.sig = b.sig
+         |           AND a.doc_id < b.doc_id),
+         |r$i AS (SELECT $b AS bands, $r AS rows_per_band,
+         |          (SELECT COUNT(*) FROM tr) AS n_true,
+         |          (SELECT COUNT(*) FROM cd$i) AS n_candidates,
+         |          (SELECT COUNT(*) FROM cd$i JOIN tr USING (id_a, id_b)) AS n_hits)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = cfg.map { case (_, i) => s"SELECT * FROM r$i" }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |tr AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
+       |$perConfig,
+       |u AS ($union),
+       |e AS (SELECT bands, rows_per_band, n_true, n_candidates, n_hits,
+       |        CASE WHEN n_true = 0 THEN 0
+       |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_true::DOUBLE + 0.5)
+       |                  AS BIGINT) END AS recall_micro,
+       |        CASE WHEN n_candidates = 0 THEN 0
+       |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_candidates::DOUBLE + 0.5)
+       |                  AS BIGINT) END AS precision_micro
+       |      FROM u),
+       |q AS (SELECT *, CASE WHEN recall_micro >= $LshTuneRecallFloorMicro
+       |                     THEN 1 ELSE 0 END AS qualifies FROM e)
+       |SELECT CAST(bands AS INTEGER) AS bands,
+       |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_hits AS BIGINT) AS n_hits, recall_micro, precision_micro,
+       |  CAST(qualifies AS INTEGER) AS qualifies,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY qualifies DESC,
+       |         CASE WHEN qualifies = 1 THEN n_candidates
+       |              ELSE 9223372036854775807 END ASC,
+       |         recall_micro DESC, bands DESC) = 1 THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM q""".stripMargin
+  }
+
+  // three d05 label-propagation chains (one per tuning config), each gated on
+  // the re-derived d26 chosen flag — exactly one chain emits, so a drifted
+  // Spark-side decision fails the hash — mirror of Dedup.autoTunedClusters
+  private lazy val autoTunedClustersSql: String = {
+    val cfg = LshTuneConfigs.zipWithIndex
+    val perConfig = cfg.map { case ((_, r), i) =>
+      val rounds = (1 to 3).map { rd =>
+        s"""n${i}_$rd AS (SELECT u.a, MIN(l.label) AS m FROM und$i u
+           |         JOIN l${i}_${rd - 1} l ON l.v = u.b GROUP BY u.a),
+           |l${i}_$rd AS (SELECT l.v, LEAST(l.label, COALESCE(n.m, l.label)) AS label
+           |       FROM l${i}_${rd - 1} l LEFT JOIN n${i}_$rd n ON n.a = l.v)""".stripMargin
+      }.mkString(",\n")
+      s"""bs$i AS (SELECT doc_id, k // $r AS band,
+         |         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k) AS sig
+         |       FROM mh GROUP BY doc_id, k // $r),
+         |cd$i AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bs$i a JOIN bs$i b ON a.band = b.band AND a.sig = b.sig
+         |           AND a.doc_id < b.doc_id),
+         |und$i AS (SELECT id_a AS a, id_b AS b FROM cd$i
+         |          UNION ALL SELECT id_b, id_a FROM cd$i),
+         |l${i}_0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |$rounds""".stripMargin
+    }.mkString(",\n")
+    val emit = cfg.map { case ((b, r), i) =>
+      s"""SELECT v AS doc_id, label AS cluster_id,
+         |  CAST($b AS INTEGER) AS bands, CAST($r AS INTEGER) AS rows_per_band
+         |FROM l${i}_3
+         |WHERE (SELECT chosen FROM tune WHERE bands = $b AND rows_per_band = $r) = 1"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |tune AS (SELECT bands, rows_per_band, chosen FROM ($lshAutoTuneSql)),
+       |$perConfig
+       |$emit""".stripMargin
+  }
+
   // per-candidate-pair estimator calibration: signature agreement / 16 vs the
   // exact distinct-shingle-set Jaccard — mirror of Dedup.minhashEstimateReport
   private lazy val minhashEstimateSql: String =
@@ -823,49 +911,8 @@ private[graft] object DedupOracles extends OracleFragments {
     // (band sig = '_'-joined minhash run, exactly the Spark concat_ws), plus
     // the deterministic chosen pick — mirror of Dedup.lshAutoTune. Config CTEs
     // generated from the same constants as the Spark grid.
-    "d26_lsh_autotune" -> {
-      val cfg = LshTuneConfigs.zipWithIndex
-      val perConfig = cfg.map { case ((b, r), i) =>
-        s"""bs$i AS (SELECT doc_id, k // $r AS band,
-           |         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k) AS sig
-           |       FROM mh GROUP BY doc_id, k // $r),
-           |cd$i AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bs$i a JOIN bs$i b ON a.band = b.band AND a.sig = b.sig
-           |           AND a.doc_id < b.doc_id),
-           |r$i AS (SELECT $b AS bands, $r AS rows_per_band,
-           |          (SELECT COUNT(*) FROM tr) AS n_true,
-           |          (SELECT COUNT(*) FROM cd$i) AS n_candidates,
-           |          (SELECT COUNT(*) FROM cd$i JOIN tr USING (id_a, id_b)) AS n_hits)"""
-          .stripMargin
-      }.mkString(",\n")
-      val union = cfg.map { case (_, i) => s"SELECT * FROM r$i" }.mkString(" UNION ALL ")
-      s"""WITH $shinglesCte,
-         |$minhashCtes,
-         |tr AS (SELECT id_a, id_b FROM ($ngramJaccardSql)),
-         |$perConfig,
-         |u AS ($union),
-         |e AS (SELECT bands, rows_per_band, n_true, n_candidates, n_hits,
-         |        CASE WHEN n_true = 0 THEN 0
-         |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_true::DOUBLE + 0.5)
-         |                  AS BIGINT) END AS recall_micro,
-         |        CASE WHEN n_candidates = 0 THEN 0
-         |             ELSE CAST(floor(1000000.0 * n_hits::DOUBLE / n_candidates::DOUBLE + 0.5)
-         |                  AS BIGINT) END AS precision_micro
-         |      FROM u),
-         |q AS (SELECT *, CASE WHEN recall_micro >= $LshTuneRecallFloorMicro
-         |                     THEN 1 ELSE 0 END AS qualifies FROM e)
-         |SELECT CAST(bands AS INTEGER) AS bands,
-         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
-         |  CAST(n_true AS BIGINT) AS n_true,
-         |  CAST(n_candidates AS BIGINT) AS n_candidates,
-         |  CAST(n_hits AS BIGINT) AS n_hits, recall_micro, precision_micro,
-         |  CAST(qualifies AS INTEGER) AS qualifies,
-         |  CAST(CASE WHEN row_number() OVER (ORDER BY qualifies DESC,
-         |         CASE WHEN qualifies = 1 THEN n_candidates
-         |              ELSE 9223372036854775807 END ASC,
-         |         recall_micro DESC, bands DESC) = 1 THEN 1 ELSE 0 END AS INTEGER) AS chosen
-         |FROM q""".stripMargin
-    },
+    "d26_lsh_autotune" -> lshAutoTuneSql,
+    "d28_autotuned_clusters" -> autoTunedClustersSql,
 
     // per-eval-item leakage rollup over the same distinct-5-gram hash relation
     // as d19, probed in the reverse direction — mirror of Dedup.leakageReport

@@ -555,6 +555,43 @@ object Dedup {
       .withColumn("abs_err_micro", abs(col("est_micro") - col("exact_micro")))
   }
 
+  /** d28 — the d26 decision ACTUATED: near-dup clusters (the d05 kernel) under
+    * the AUTO-TUNED banding. The driver reads the |configs|-row tuning report
+    * (the retrainTrigger/s31 bounded-collect discipline — a catalog-sized
+    * relation choosing the plan before it is built), then ONE clustering job
+    * runs at the winning config, every output row stamped with the chosen
+    * (bands, rows_per_band) provenance — the t42 gate-swap pattern applied to
+    * the dedup dial: measure → decide → actuate, all oracle-checked (the
+    * mirror re-derives the decision and gates three cluster chains on it, so
+    * a drifted pick changes which chain emits and fails the hash).
+    *
+    * Scale shape: the report is the d26 job (capped kernels, shared truth);
+    * the clustering is d05's bounded label propagation at the one chosen
+    * config — never |configs| cluster jobs.
+    */
+  def autoTunedClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4)),
+      threshold: Double = 0.2,
+      recallFloorMicro: Long = 800000L,
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val chosen = lshAutoTune(df, idCol, textCol, shingleSize, configs, threshold,
+        recallFloorMicro, maxBucketMembers = maxBucketMembers)
+      .filter(col("chosen") === 1)
+      .select(col("bands"), col("rows_per_band"))
+      .collect() // |configs| rows upstream — catalog-sized by construction
+    require(chosen.length == 1, s"autoTunedClusters: expected one chosen config, got ${chosen.length}")
+    val (b, r) = (chosen(0).getInt(0), chosen(0).getInt(1))
+    dedupClusters(df, idCol, textCol, shingleSize, b, r, rounds, maxBucketMembers)
+      .withColumn("bands", lit(b))
+      .withColumn("rows_per_band", lit(r))
+  }
+
   def leakageReport(
       df: DataFrame,
       idCol: String,
