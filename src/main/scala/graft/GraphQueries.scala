@@ -2010,6 +2010,81 @@ object GraphQueries {
       .select(col("u"), col("v"), col("d_sum").as("d_est"), col("seed").as("via_landmark"))
   }
 
+  /** g61 — MAXIMAL INDEPENDENT SET by deterministic Luby rounds (Luby 1986
+    * with a FIXED hash priority instead of per-round coins): each round every
+    * still-active vertex whose (md5-priority, id) is a strict local minimum
+    * among its active neighbors enters the set, then it and its neighbors
+    * leave the arena. With a fixed priority the parallel result is exactly the
+    * LEXICOGRAPHIC MIS — the greedy scan in priority order — which is what the
+    * property mirror proves on random graphs (the g58 mutual-minimum
+    * discipline). MIS is the classic symmetry-breaking primitive behind
+    * parallel coloring, scheduling, and landmark/coreset selection.
+    *
+    * Bounded-round certification (the g57 discipline): the kernel EXITS as
+    * soon as the arena empties — output-identical to the full unroll, since an
+    * empty arena yields empty rounds — and RAISES if vertices remain past the
+    * budget (a partial MIS is not an MIS; never return one silently). Expected
+    * rounds are O(log n) for hash priorities.
+    *
+    * Scale shape: each round is one equi-join of the arena against the
+    * checkpointed edge list (smaller-neighbor witness), one anti-join to pick
+    * winners, one anti-join to shrink the arena — all |V|-bounded, no windows,
+    * no driver state beyond the 1-row emptiness probe per round.
+    */
+  def maximalIndependentSet(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 8
+  ): DataFrame =
+    misKernel(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst")),
+      rounds)
+
+  /** Kernel form of [[maximalIndependentSet]] over an explicit (src, dst)
+    * relation — proven equal to the sequential lexicographic greedy MIS in
+    * RoundFourteenPropertySpec.
+    */
+  private[graft] def misKernel(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .distinct()
+      .localCheckpoint(true) // loop-invariant: two joins per round
+    var active = und.select(col("src").as("v")).distinct()
+      .withColumn("h", conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+      .localCheckpoint(true)
+    var parts = List.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      // a vertex with ANY active neighbor of strictly smaller (h, v) loses
+      val losers = active.join(und, col("v") === col("src"))
+        .join(active.select(col("v").as("nv"), col("h").as("nh")),
+          col("dst") === col("nv"))
+        .filter(col("nh") < col("h") || (col("nh") === col("h") && col("nv") < col("v")))
+        .select(col("v")).distinct()
+      val winners = active.join(losers, Seq("v"), "left_anti")
+        .select(col("v")).localCheckpoint(true)
+      parts ::= winners.withColumn("round", lit(r + 1))
+      val removed = winners
+        .unionByName(und.join(winners.select(col("v").as("src2")),
+            col("src") === col("src2"))
+          .select(col("dst").as("v")))
+        .distinct()
+      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint(true)
+      done = active.isEmpty
+      r += 1
+    }
+    if (!done && !active.isEmpty)
+      throw new IllegalStateException(
+        s"maximalIndependentSet: arena not empty after $rounds rounds — " +
+          "completeness cannot be certified within the budget (raise `rounds`)")
+    parts.reduce(_ unionByName _)
+  }
+
   def landmarkDistances(
       spark: SparkSession,
       dir: String,

@@ -217,6 +217,11 @@ private[graft] trait OracleParams {
     */
   private[graft] val WLandmarkHops = 4
 
+  /** g61's pinned Luby-round budget (expected O(log n) for hash priorities);
+    * the kernel raises rather than return a partial MIS past it.
+    */
+  private[graft] val MisRounds = 8
+
   /** g54's pinned HyperANF round count, shared by registration and oracle. */
   private[graft] val HyperAnfRounds = 3
 

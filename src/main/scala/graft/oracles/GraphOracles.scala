@@ -106,6 +106,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.weightedLandmarks(s, dir, nLandmarks = LandmarkCount,
         maxHops = WLandmarkHops, uMod = LandmarkUMod, vMod = LandmarkVMod,
         weightMod = SsspWeightMod)),
+    "g61_mis" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.maximalIndependentSet(s, dir, rounds = MisRounds)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -245,6 +247,36 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
+    },
+
+    // deterministic Luby MIS: fixed md5 priorities, each unrolled round takes
+    // the strict local minima of the arena and removes their neighborhoods;
+    // the Spark side's early exit is output-identical (empty arena ⇒ empty
+    // rounds) — mirror of GraphQueries.maximalIndependentSet
+    "g61_mis" -> {
+      def round(r: Int) =
+        s"""w$r AS MATERIALIZED (SELECT a.v FROM a${r - 1} a JOIN pv p USING (v)
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM und e JOIN a${r - 1} n ON n.v = e.dst
+           |    JOIN pv pn ON pn.v = n.v
+           |    WHERE e.src = a.v
+           |      AND (pn.h < p.h OR (pn.h = p.h AND pn.v < p.v)))),
+           |a$r AS MATERIALIZED (SELECT v FROM a${r - 1}
+           |  WHERE v NOT IN (SELECT v FROM w$r)
+           |    AND v NOT IN (SELECT e.dst FROM und e JOIN w$r w ON w.v = e.src))"""
+          .stripMargin
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |vx AS (SELECT DISTINCT src AS v FROM und),
+         |pv AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+         |       FROM vx),
+         |a0 AS (SELECT v FROM vx),
+         |${(1 to MisRounds).map(round).mkString(",\n")}
+         |${(1 to MisRounds).map(r =>
+             s"SELECT v, CAST($r AS INTEGER) AS round FROM w$r").mkString("\nUNION ALL\n")}"""
+        .stripMargin
     },
 
     // the g53 sketch in cost units: weighted per-seed relaxation tables

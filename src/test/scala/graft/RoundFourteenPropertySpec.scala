@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 import org.scalacheck.Prop.propBoolean
 
@@ -115,6 +116,31 @@ class RoundFourteenPropertySpec extends SparkSpec {
         val want = mirrorWeightedLandmarks(edges, nLandmarks = 3, hops = 3,
           uMod = 2, vMod = 3, mod = 7L)
         (got == want) :| s"got $got want $want edges $edges"
+      }
+    })
+  }
+
+  test("misKernel equals the sequential lexicographic greedy MIS on random graphs") {
+    check("mis-greedy", Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = GraphQueries.misKernel(
+          edges.toDF("src", "dst", "position").select(col("src"), col("dst")),
+          rounds = 12)
+          .collect().map(_.getAs[Long]("v")).toSet
+        // sequential mirror: greedy scan in (md5-priority, id) order
+        val und = edges.filter(e => e._1 != e._2)
+          .flatMap(e => Seq((e._1, e._2), (e._2, e._1))).distinct
+        val adj = und.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+        val verts = und.map(_._1).distinct
+        def pri(v: Long): (BigInt, Long) =
+          (BigInt(md5hex(v.toString).substring(0, 15), 16), v)
+        val mis = scala.collection.mutable.Set.empty[Long]
+        for (v <- verts.sortBy(pri))
+          if (!adj(v).exists(mis)) mis += v
+        val independent = got.forall(v => !adj(v).exists(u => u != v && got(u)))
+        val maximal = verts.forall(v => got(v) || adj(v).exists(got))
+        (got == mis.toSet && independent && maximal) :|
+          s"got $got want $mis edges $und"
       }
     })
   }
