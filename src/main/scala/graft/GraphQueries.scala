@@ -2047,6 +2047,7 @@ object GraphQueries {
     * RoundFourteenPropertySpec.
     */
   private[graft] def misKernel(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"misKernel: at least one round required, got $rounds")
     val und = edges.filter(col("src") =!= col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
         .filter(col("src") =!= col("dst")))

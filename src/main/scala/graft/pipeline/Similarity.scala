@@ -1441,6 +1441,11 @@ object Similarity {
       kCells: Int = 8,
       trainRounds: Int = 2
   ): DataFrame = {
+    // a multi-column allowed relation means the caller passed the wrong thing
+    // (rows, not an id set) — fail loudly, the ivfAssignNew discipline
+    require(allowed.columns.length == 1,
+      s"filteredTopKAdaptive: allowed must be a single-id-column relation, " +
+        s"got [${allowed.columns.mkString(", ")}]")
     val nCorpus = candidates.count()
     require(nCorpus > 0, "filteredTopKAdaptive: empty corpus — nothing to search")
     val nAllowed = allowed.count()
