@@ -360,6 +360,20 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // the per-source datasheet of the admitted release: retention, token
+    // share, mean quality/length — explicit zero rows for emptied sources
+    "dc21_release_card" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Curation.releaseCard(docs,
+        graft.pipeline.Curation.releaseAdmitted(
+          docs, emb, "doc_id", "text", "source", "vec_id", "embedding",
+          benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+          semanticThresholdMicro = SemanticDecontamMicro,
+          requiredWords = FunnelRequiredWords,
+          minRequiredHits = GopherMinRequiredHits),
+        "doc_id", "text", "source")
+    }),
     // the tuning decision actuated: the d05 clusters under whichever config
     // the d26 report chose, provenance-stamped (measure → decide → actuate)
     "d28_autotuned_clusters" -> ((s: SparkSession, dir: String) =>
@@ -839,6 +853,43 @@ private[graft] object DedupOracles extends OracleFragments {
        |JOIN sz na ON na.doc_id = ag.id_a
        |JOIN sz nb ON nb.doc_id = ag.id_b)""".stripMargin
 
+  // per-source datasheet over the admitted chain: t02 quality + whitespace
+  // token kernels per doc, half-up integer rollups, raw-source grid with
+  // explicit zeros — mirror of Curation.releaseCard over releaseAdmitted
+  private lazy val releaseCardSql: String =
+    s"""WITH ${releaseStagesCteSqlWith("", SemanticDecontamMicro, GopherMinRequiredHits)},
+       |q0 AS (SELECT doc_id, source, length(text) AS c,
+       |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+       |        CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")}
+       |             + ${occSql(" and ")} AS BIGINT) AS stop_hits
+       |      FROM documents),
+       |pd AS (SELECT doc_id, source,
+       |        CAST(floor(1000000.0 * (stop_hits::DOUBLE / n_toks::DOUBLE
+       |          + n_toks::DOUBLE / c::DOUBLE * 10.0) + 0.5) AS BIGINT) AS q_micro,
+       |        n_toks
+       |      FROM q0),
+       |raw AS (SELECT source, COUNT(*) AS n_raw_docs FROM pd GROUP BY 1),
+       |adm AS (SELECT pd.source, COUNT(*) AS n_docs,
+       |          CAST(SUM(pd.n_toks) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(pd.q_micro) AS BIGINT) AS sum_q
+       |        FROM pd JOIN s5 USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM adm)
+       |SELECT r.source, CAST(r.n_raw_docs AS BIGINT) AS n_raw_docs,
+       |  CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST((2 * 1000000 * COALESCE(a.n_docs, 0) + r.n_raw_docs)
+       |       // (2 * r.n_raw_docs) AS BIGINT) AS retention_micro,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN COALESCE(t.tok_total, 0) = 0 THEN 0
+       |       ELSE (2 * 1000000 * COALESCE(a.n_tokens, 0) + t.tok_total)
+       |            // (2 * t.tok_total) END AS BIGINT) AS token_share_micro,
+       |  CAST(CASE WHEN COALESCE(a.n_docs, 0) = 0 THEN 0
+       |       ELSE (2 * COALESCE(a.sum_q, 0) + a.n_docs)
+       |            // (2 * a.n_docs) END AS BIGINT) AS mean_quality_micro,
+       |  CAST(CASE WHEN COALESCE(a.n_docs, 0) = 0 THEN 0
+       |       ELSE (2 * 1000000 * COALESCE(a.n_tokens, 0) + a.n_docs)
+       |            // (2 * a.n_docs) END AS BIGINT) AS mean_tokens_per_doc_micro
+       |FROM raw r LEFT JOIN adm a USING (source) CROSS JOIN tot t""".stripMargin
+
   // the dc16 stage chain's admitted pool fed through the dc11 pack fold (the
   // tokenizer trains on the SAME pool) — mirror of the dc20 composed job
   private lazy val releaseEpochSql: String =
@@ -1118,6 +1169,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc19_epoch_resume" -> epochResumeSql,
     "dc18_release_diff" -> releaseDiffSql,
     "dc20_release_epoch" -> releaseEpochSql,
+    "dc21_release_card" -> releaseCardSql,
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

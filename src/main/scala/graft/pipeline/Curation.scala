@@ -333,6 +333,69 @@ object Curation {
         coalesce(col("id_check"), lit(0L)).as("id_check"))
   }
 
+  /** dc21 — the RELEASE CARD: the per-source datasheet row a data release
+    * ships with (the "Datasheets for Datasets" practice): for every source in
+    * the RAW corpus — explicit zero rows for sources the gates emptied, the
+    * funnel grid discipline — the admitted doc count, retention against the
+    * raw corpus, admitted token count and corpus token share, mean t02 quality
+    * and mean document length. Columns that are gate INVARIANTS (exact-dup
+    * rate, gopher pass rate — identically 0%/100% on the admitted set by
+    * construction) are deliberately absent: a card reports what varies.
+    *
+    * Determinism: per-doc tokens and quality are the pinned integer/micro
+    * kernels; every mean/share/retention is ONE half-up integer division of
+    * exact BIGINT sums.
+    *
+    * Scale shape: one text-bearing scan computes per-doc (tokens, quality);
+    * admission arrives by id-equi-join from the gate output (catalog-thin);
+    * then one map-side-combinable groupBy(source) each for raw and admitted,
+    * a 1-row broadcast total for the share, and the broadcast grid join.
+    */
+  def releaseCard(
+      docs: DataFrame,
+      admitted: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    val perDoc = docs.select(
+        col(idCol), col(sourceCol),
+        TextStats.qualityMicro(col(textCol)).as("q_micro"),
+        TextStats.tokenCount(col(textCol)).as("n_toks"))
+      .localCheckpoint(true) // raw rollup + admitted join off one text scan
+    val raw = perDoc.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_raw_docs"))
+    val adm = perDoc
+      .join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("q_micro")).as("sum_q"))
+    val tot = adm.agg(sum(col("n_tokens")).as("tok_total"))
+    raw
+      .join(adm, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_raw_docs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("(2 * 1000000 * coalesce(n_docs, 0) + n_raw_docs) DIV (2 * n_raw_docs)")
+          .cast("long").as("retention_micro"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("tok_total"), lit(0L)) === 0L, 0L)
+          .otherwise(expr(
+            "(2 * 1000000 * coalesce(n_tokens, 0) + tok_total) DIV (2 * tok_total)"))
+          .cast("long").as("token_share_micro"),
+        when(coalesce(col("n_docs"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("(2 * coalesce(sum_q, 0) + n_docs) DIV (2 * n_docs)"))
+          .cast("long").as("mean_quality_micro"),
+        when(coalesce(col("n_docs"), lit(0L)) === 0L, 0L)
+          .otherwise(expr(
+            "(2 * 1000000 * coalesce(n_tokens, 0) + n_docs) DIV (2 * n_docs)"))
+          .cast("long").as("mean_tokens_per_doc_micro"))
+  }
+
   /** dc01 — the per-source triage table a curation run actually reads (the
     * C4/RefinedWeb domain-stats discipline): doc count, token count and corpus
     * token SHARE, near-dup rate (from the d05 clusters: a doc is a dup iff it is
