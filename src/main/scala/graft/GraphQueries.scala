@@ -2086,6 +2086,66 @@ object GraphQueries {
     parts.reduce(_ unionByName _)
   }
 
+  /** g62 — DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed-pair multiset of the undirected Normal
+    * graph — one number that says whether hubs attach to hubs (social-style,
+    * r > 0) or to leaves (web/biology-style, r < 0); the first structural
+    * statistic a graph datasheet reports next to the degree histogram (g24).
+    *
+    * Determinism: degrees are exact counts; all six correlation sums are exact
+    * BIGINTs; the final r runs ONE fixed double sequence (sqrt is correctly
+    * rounded — the repo's float discipline) and micro-quantizes. A
+    * degree-regular graph has zero variance — explicit 0 with the
+    * `degenerate` flag, never NaN. The BIGINT sums need 128-bit past ~10⁹
+    * edges × 10⁶ degrees (the s33 DecimalType knob, documented not silent).
+    *
+    * Scale shape: one distinct-edge shuffle, one map-side-combinable degree
+    * count, two broadcast-size-agnostic id-equi-joins to stamp endpoint
+    * degrees, ONE 1-row aggregate. No windows, no driver state.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityKernel(
+      TestGraph.store(spark, dir).snapshot
+        .filter(col("graph_id") === 1 && col("state") === State.Normal)
+        .select(col("source_id").as("src"), col("destination_id").as("dst")))
+
+  /** Kernel form of [[degreeAssortativity]] — the property mirror checks the
+    * planted star (exactly −1) and the degree-regular degenerate case.
+    */
+  private[graft] def assortativityKernel(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .distinct()
+      .localCheckpoint(true) // the degree count + the pair stamping
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), "dst")
+    val sums = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"),
+      sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    sums.select(
+      col("n").as("n_directed_pairs"),
+      when(col("n") === 0 ||
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+          (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(1))
+        .otherwise(lit(0)).cast("int").as("degenerate"),
+      when(col("n") === 0 ||
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+          (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(0L))
+        .otherwise(
+          floor(lit(1000000.0) *
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            + lit(0.5)).cast("long")).as("assortativity_micro"))
+  }
+
   def landmarkDistances(
       spark: SparkSession,
       dir: String,

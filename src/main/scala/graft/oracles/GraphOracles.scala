@@ -108,6 +108,7 @@ private[graft] object GraphOracles extends OracleFragments {
         weightMod = SsspWeightMod)),
     "g61_mis" -> ((s: SparkSession, dir: String) =>
       GraphQueries.maximalIndependentSet(s, dir, rounds = MisRounds)),
+    "g62_assortativity" -> (GraphQueries.degreeAssortativity _),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -248,6 +249,34 @@ private[graft] object GraphOracles extends OracleFragments {
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
     },
+
+    // Pearson correlation of endpoint degrees over the directed-pair multiset,
+    // exact integer sums + one fixed double sequence, degree-regular graphs
+    // report the explicit degenerate zero — mirror of
+    // GraphQueries.degreeAssortativity
+    "g62_assortativity" ->
+      s"""$snap,
+         |e AS (SELECT source_id AS src, destination_id AS dst FROM edges
+         |      WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY 1),
+         |pr AS (SELECT da.d AS dx, db.d AS dy
+         |       FROM und JOIN deg da ON da.v = und.src JOIN deg db ON db.v = und.dst),
+         |s AS (SELECT COUNT(*) AS n,
+         |        CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |        CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |        CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |      FROM pr)
+         |SELECT CAST(n AS BIGINT) AS n_directed_pairs,
+         |  CAST(CASE WHEN n = 0 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+         |       THEN 1 ELSE 0 END AS INTEGER) AS degenerate,
+         |  CAST(CASE WHEN n = 0 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+         |       THEN 0
+         |       ELSE floor(1000000.0 * ((n * sxy - sx * sy)::DOUBLE
+         |              / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+         |            + 0.5) END AS BIGINT) AS assortativity_micro
+         |FROM s""".stripMargin,
 
     // deterministic Luby MIS: fixed md5 priorities, each unrolled round takes
     // the strict local minima of the arena and removes their neighborhoods;

@@ -255,6 +255,20 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(packs.map(_.getAs[String]("source")).toSet.subsetOf(okSources))
   }
 
+  test("g62: planted star is exactly -1; a regular ring reports the degenerate zero") {
+    // star: hub 100 with 5 leaves — every directed pair is (1,5) or (5,1) ⇒ r = −1
+    val star = (1L to 5L).map(i => (100L, i)).toDF("src", "dst")
+    val s = GraphQueries.assortativityKernel(star).collect()(0)
+    assert(s.getAs[Long]("n_directed_pairs") == 10L)
+    assert(s.getAs[Int]("degenerate") == 0)
+    assert(s.getAs[Long]("assortativity_micro") == -1000000L,
+      s"star r: ${s.getAs[Long]("assortativity_micro")}")
+    // 4-ring: every vertex degree 2 — zero variance, explicit degenerate zero
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphQueries.assortativityKernel(ring).collect()(0)
+    assert(r.getAs[Int]("degenerate") == 1 && r.getAs[Long]("assortativity_micro") == 0L)
+  }
+
   test("ev23: the stationary vector equals a sequential power-iteration mirror") {
     val got = AnalyticsQueries.markovStationary(spark, dir, rounds = 5).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("stationary_micro")).toMap
