@@ -1477,6 +1477,32 @@ object GraphQueries {
       .groupBy(col("vertex_id"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** g63 — GLOBAL TRANSITIVITY (clustering coefficient): 3·triangles / wedges
+    * over the undirected Normal graph — the other number next to g62 on a
+    * graph datasheet (how much of the friend-of-friend surface closes). The
+    * triangle side reuses the g21 oriented-enumeration kernel (each triangle
+    * counted once); wedges are Σ d(d−1)/2 off the same closure — one degree
+    * pass, no path enumeration. Exact integers up to the ONE final half-up
+    * micro division; a wedge-free graph reports the explicit degenerate zero.
+    */
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedClosure(spark, dir)
+    val tri = und.alias("e1")
+      .join(und.alias("e2"), col("e2.lo") === col("e1.hi"))
+      .join(und.alias("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = und.select(col("lo").as("v"))
+      .unionByName(und.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(expr("sum(d * (d - 1) div 2)").cast("long").as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0L, 0L)
+          .otherwise(expr("(2 * 1000000 * 3 * n_triangles + n_wedges) DIV (2 * n_wedges)"))
+          .cast("long").as("transitivity_micro"))
+  }
+
   /** Per-edge triangle support over an id-oriented closure (lo < hi): each oriented
     * triangle (a < b < c) credits its three edges. The shared kernel of [[kTruss]]
     * (same wedge enumeration as [[triangleCountsOf]], credited to edges instead of

@@ -109,6 +109,7 @@ private[graft] object GraphOracles extends OracleFragments {
     "g61_mis" -> ((s: SparkSession, dir: String) =>
       GraphQueries.maximalIndependentSet(s, dir, rounds = MisRounds)),
     "g62_assortativity" -> (GraphQueries.degreeAssortativity _),
+    "g63_transitivity" -> (GraphQueries.transitivity _),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -249,6 +250,28 @@ private[graft] object GraphOracles extends OracleFragments {
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
     },
+
+    // 3·triangles / Σ d(d−1)/2 off the g21 oriented closure, one half-up micro
+    // division, wedge-free degenerate zero — mirror of GraphQueries.transitivity
+    "g63_transitivity" ->
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |wg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM (
+         |         SELECT COUNT(*) AS d FROM (
+         |           SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |         GROUP BY v))
+         |SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE (2 * 1000000 * 3 * n_triangles + n_wedges) // (2 * n_wedges)
+         |       END AS BIGINT) AS transitivity_micro
+         |FROM tri CROSS JOIN wg""".stripMargin,
 
     // Pearson correlation of endpoint degrees over the directed-pair multiset,
     // exact integer sums + one fixed double sequence, degree-regular graphs
