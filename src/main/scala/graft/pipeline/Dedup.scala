@@ -158,6 +158,20 @@ object Dedup {
   ): DataFrame = {
     val pairs =
       minhashLshPairs(df, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucketMembers)
+    clustersFromPairs(df, pairs, idCol, rounds)
+  }
+
+  /** The label-propagation half of [[dedupClusters]] over an EXPLICIT candidate
+    * pair relation — shared with [[autoTunedClusters]], which already holds the
+    * chosen config's checkpointed pairs from the tuning sweep and must not pay
+    * the shingle+minhash pipeline a second time.
+    */
+  private[graft] def clustersFromPairs(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      rounds: Int
+  ): DataFrame = {
     val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint(true) // reused every round
@@ -453,7 +467,25 @@ object Dedup {
       recallFloorMicro: Long = 800000L,
       maxShingleDocFreq: Int = 100,
       maxBucketMembers: Long = 10000L
-  ): DataFrame = {
+  ): DataFrame =
+    lshTuneSweep(df, idCol, textCol, shingleSize, configs, threshold,
+      recallFloorMicro, maxShingleDocFreq, maxBucketMembers)._1
+
+  /** The d26 sweep with its per-config CHECKPOINTED candidate relations kept —
+    * [[autoTunedClusters]] clusters straight off the chosen config's pairs
+    * instead of re-running the shingle+minhash pipeline.
+    */
+  private def lshTuneSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      configs: Seq[(Int, Int)],
+      threshold: Double,
+      recallFloorMicro: Long,
+      maxShingleDocFreq: Int,
+      maxBucketMembers: Long
+  ): (DataFrame, Seq[((Int, Int), DataFrame)]) = {
     import org.apache.spark.sql.expressions.Window
     val truth = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold,
         maxShingleDocFreq)
@@ -464,10 +496,13 @@ object Dedup {
       when(den === 0L, 0L)
         .otherwise(floor(lit(1000000.0) * num.cast("double") / den.cast("double")
           + lit(0.5)).cast("long"))
-    val report = configs.map { case (b, r) =>
-      val cand = minhashLshPairs(df, idCol, textCol, shingleSize, b, r, maxBucketMembers)
-        .select(col("id_a"), col("id_b"))
-        .localCheckpoint(true) // the count aggregate + the hit join
+    val cands = configs.map { case (b, r) =>
+      ((b, r),
+        minhashLshPairs(df, idCol, textCol, shingleSize, b, r, maxBucketMembers)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)) // count + hit join (+ d28's clustering reuse)
+    }
+    val report = cands.map { case ((b, r), cand) =>
       val c = cand.agg(count(lit(1)).as("n_candidates"))
       val h = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
@@ -488,9 +523,10 @@ object Dedup {
         .otherwise(lit(Long.MaxValue)).asc,
       col("recall_micro").desc,
       col("bands").desc)
-    report
+    (report
       .withColumn("qualifies", (col("recall_micro") >= recallFloorMicro).cast("int"))
-      .withColumn("chosen", (row_number().over(pick) === 1).cast("int"))
+      .withColumn("chosen", (row_number().over(pick) === 1).cast("int")),
+      cands)
   }
 
   /** d27 — MINHASH ESTIMATOR calibration: for every d02 candidate pair, the
@@ -580,14 +616,19 @@ object Dedup {
       rounds: Int = 3,
       maxBucketMembers: Long = 10000L
   ): DataFrame = {
-    val chosen = lshAutoTune(df, idCol, textCol, shingleSize, configs, threshold,
-        recallFloorMicro, maxBucketMembers = maxBucketMembers)
+    val (report, cands) = lshTuneSweep(df, idCol, textCol, shingleSize, configs,
+      threshold, recallFloorMicro, maxShingleDocFreq = 100,
+      maxBucketMembers = maxBucketMembers)
+    val chosen = report
       .filter(col("chosen") === 1)
       .select(col("bands"), col("rows_per_band"))
       .collect() // |configs| rows upstream — catalog-sized by construction
     require(chosen.length == 1, s"autoTunedClusters: expected one chosen config, got ${chosen.length}")
     val (b, r) = (chosen(0).getInt(0), chosen(0).getInt(1))
-    dedupClusters(df, idCol, textCol, shingleSize, b, r, rounds, maxBucketMembers)
+    // cluster straight off the chosen config's checkpointed pairs — the
+    // sweep already paid for them; never re-run the minhash pipeline
+    val pairs = cands.collectFirst { case ((`b`, `r`), c) => c }.get
+    clustersFromPairs(df, pairs, idCol, rounds)
       .withColumn("bands", lit(b))
       .withColumn("rows_per_band", lit(r))
   }
