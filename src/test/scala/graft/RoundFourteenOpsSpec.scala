@@ -297,6 +297,51 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(got == v, s"stationary mirror: got $got want $v")
   }
 
+  test("release lifecycle e2e: census, card, self-diff, and epoch derive one coherent corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val words = Seq("the", "a", "value", "line")
+    val admitted = Curation.releaseAdmitted(docs, emb, "doc_id", "text", "source",
+        "vec_id", "embedding", benchmarkMod = 10L, shingleSize = 5,
+        semanticThresholdMicro = 400000L, requiredWords = words, minRequiredHits = 2)
+      .localCheckpoint(true)
+    val census = Curation.releaseCensus(admitted, "doc_id", "source").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the card's admitted counts are the census counts (zero rows excluded)
+    val card = Curation.releaseCard(docs, admitted, "doc_id", "text", "source").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(card.filter(_._2 > 0) == census, "card vs census per-source counts")
+    // a release diffed against itself is pure retention
+    val self = Curation.releaseDiff(admitted, admitted, "doc_id", "source", docs)
+      .collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("n_docs")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(self("added") == 0L && self("removed") == 0L)
+    assert(self("retained") == census.values.sum, "self-diff retains the census")
+    // the release-grade epoch admits only released documents, and the resume
+    // remainder never exceeds the manifest per shard
+    val pool = docs.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val merges = graft.pipeline.TextStats.bpeMergeLoop(pool, "doc_id", "text", rounds = 4)
+    val manifest = Sampling.epochManifestUpsampled(pool, "doc_id", "source", "text",
+        merges, alphaMicro = 300000L, budgetDocs = 1000L, budgetTokens = 512L,
+        nGroups = 8)
+      .localCheckpoint(true)
+    val admittedIds = admitted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(manifest.select(col("doc_id")).collect().map(_.getLong(0)).forall(admittedIds),
+      "every packed doc survived the gates")
+    val shardTotals = manifest.groupBy(col("source"), col("pack_group"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Sampling.epochResume(manifest, "source").collect().foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Long]("pack_group"))
+      val left = r.getAs[Long]("n_docs")
+      assert(left <= shardTotals(key), s"$key remainder exceeds the shard")
+      if (left > 0)
+        assert(r.getAs[Long]("resume_bin") > r.getAs[Long]("consumed_until"), s"$key bin order")
+    }
+  }
+
   test("ev21: the transition matrix equals a full sequential mirror of the fixture") {
     val got = AnalyticsQueries.typeTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
