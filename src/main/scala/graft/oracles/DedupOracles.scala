@@ -360,6 +360,18 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // order-free gate attribution: per gate the failing count and the UNIQUE
+    // set that re-enters if the gate is ablated — the post-mortem calculus
+    // the cumulative dc16 funnel cannot answer
+    "dc22_gate_ablation" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.gateAblation(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "source", "vec_id", "embedding",
+        benchmarkMod = DecontamMod, shingleSize = DecontamShingle,
+        semanticThresholdMicro = SemanticDecontamMicro,
+        requiredWords = FunnelRequiredWords,
+        minRequiredHits = GopherMinRequiredHits)),
     // the per-source datasheet of the admitted release: retention, token
     // share, mean quality/length — explicit zero rows for emptied sources
     "dc21_release_card" -> ((s: SparkSession, dir: String) => {
@@ -853,6 +865,43 @@ private[graft] object DedupOracles extends OracleFragments {
        |JOIN sz na ON na.doc_id = ag.id_a
        |JOIN sz nb ON nb.doc_id = ag.id_b)""".stripMargin
 
+  // the five failure sets over the train-split universe, each gate's unique
+  // contribution via NOT EXISTS against the other four — mirror of
+  // Curation.gateAblation
+  private lazy val gateAblationSql: String = {
+    val gates = Seq("gopher_quality" -> "fq", "gopher_repetition" -> "fr",
+      "exact_keeper" -> "fk", "ngram_decontam" -> "fn", "semantic_decontam" -> "fs")
+    val rows = gates.map { case (name, f) =>
+      val others = gates.collect { case (_, o) if o != f => s"SELECT doc_id FROM $o" }
+        .mkString(" UNION ")
+      s"""SELECT '$name' AS gate,
+         |  (SELECT COUNT(*) FROM $f) AS n_failing,
+         |  (SELECT COUNT(*) FROM $f WHERE NOT EXISTS (
+         |     SELECT 1 FROM ($others) o WHERE o.doc_id = $f.doc_id)) AS n_unique,
+         |  (SELECT CAST(COALESCE(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % 1000000), 0) AS BIGINT)
+         |   FROM $f WHERE NOT EXISTS (
+         |     SELECT 1 FROM ($others) o WHERE o.doc_id = $f.doc_id)) AS unique_id_check"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT doc_id FROM documents WHERE doc_id % $DecontamMod <> 0),
+       |gq AS (SELECT doc_id FROM (${gopherQualitySqlWith(FunnelRequiredWords)})
+       |       WHERE reasons = 0),
+       |fq AS (SELECT u.doc_id FROM u WHERE NOT EXISTS
+       |         (SELECT 1 FROM gq WHERE gq.doc_id = u.doc_id)),
+       |gr AS (SELECT doc_id FROM ($gopherRepetitionSql) WHERE reasons = 0),
+       |fr AS (SELECT u.doc_id FROM u WHERE NOT EXISTS
+       |         (SELECT 1 FROM gr WHERE gr.doc_id = u.doc_id)),
+       |kp AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |fk AS (SELECT u.doc_id FROM u WHERE NOT EXISTS
+       |         (SELECT 1 FROM kp WHERE kp.doc_id = u.doc_id)),
+       |nc AS (SELECT doc_id FROM ($decontamSql)),
+       |fn AS (SELECT u.doc_id FROM u JOIN nc USING (doc_id)),
+       |sc AS (SELECT vec_id AS doc_id FROM ($semanticDecontamSql) WHERE contaminated = 1),
+       |fs AS (SELECT u.doc_id FROM u JOIN sc USING (doc_id))
+       |$rows""".stripMargin
+  }
+
   // per-source datasheet over the admitted chain: t02 quality + whitespace
   // token kernels per doc, half-up integer rollups, raw-source grid with
   // explicit zeros — mirror of Curation.releaseCard over releaseAdmitted
@@ -1170,6 +1219,7 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc18_release_diff" -> releaseDiffSql,
     "dc20_release_epoch" -> releaseEpochSql,
     "dc21_release_card" -> releaseCardSql,
+    "dc22_gate_ablation" -> gateAblationSql,
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

@@ -333,6 +333,81 @@ object Curation {
         coalesce(col("id_check"), lit(0L)).as("id_check"))
   }
 
+  /** dc22 — GATE ABLATION: order-free attribution of the release gates. The
+    * dc16 funnel is CUMULATIVE — a document that fails two gates is charged to
+    * whichever stage runs first — so a gate owner cannot read "what would
+    * re-enter if MY gate were dropped" from it. This report answers exactly
+    * that: per gate over the train-split universe, the total failing count and
+    * the UNIQUE count (documents ONLY that gate removes — the set that
+    * re-enters if the gate is ablated), plus the id checksum of the unique
+    * set. Σ unique ≤ total removed, and the gap is the multi-gate overlap —
+    * the ablation calculus every curation post-mortem runs.
+    *
+    * Scale shape: the five failure sets reuse the [[releaseDiffAdmitted]]
+    * shared kernels (each expensive battery computed once, checkpointed);
+    * uniqueness is one anti-join per gate against the union of the other
+    * four (id-thin relations); the report is |gates| rows.
+    */
+  def gateAblation(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      benchmarkMod: Long = 10L,
+      shingleSize: Int = 5,
+      semanticThresholdMicro: Long = 400000L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2
+  ): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
+    val s1 = base.select(col(idCol)).filter(col(idCol) % benchmarkMod =!= 0)
+      .localCheckpoint(true) // the universe every fail set intersects
+    def failing(passIds: DataFrame): DataFrame =
+      s1.join(passIds, Seq(idCol), "left_anti")
+    val fQuality = failing(
+      TextStats.gopherQuality(base, idCol, textCol,
+          requiredWords = requiredWords, minRequiredHits = minRequiredHits)
+        .filter(col("reasons") === 0L).select(col(idCol)))
+      .localCheckpoint(true)
+    val fRepetition = failing(
+      TextStats.gopherRepetition(base, idCol, textCol)
+        .filter(col("reasons") === 0L).select(col(idCol)))
+      .localCheckpoint(true)
+    val fKeeper = failing(
+      Dedup.exact(base, idCol, textCol).select(col("keep_id").as(idCol)))
+      .localCheckpoint(true)
+    val fNgram = s1.join(
+        Dedup.benchmarkDecontaminate(base, idCol, textCol, benchmarkMod, shingleSize)
+          .select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val fSemantic = s1.join(
+        Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
+            benchmarkMod, semanticThresholdMicro)
+          .filter(col("contaminated") === 1)
+          .select(col("vec_id").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val gates = Seq(
+      "gopher_quality" -> fQuality, "gopher_repetition" -> fRepetition,
+      "exact_keeper" -> fKeeper, "ngram_decontam" -> fNgram,
+      "semantic_decontam" -> fSemantic)
+    gates.map { case (name, f) =>
+      val others = gates.collect { case (n, o) if n != name => o }
+        .reduce(_ unionByName _)
+      val unique = f.join(others, Seq(idCol), "left_anti")
+      f.agg(count(lit(1)).as("n_failing"))
+        .crossJoin(unique.agg(
+          count(lit(1)).as("n_unique"),
+          coalesce(sum(pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L))),
+            lit(0L)).as("unique_id_check")))
+        .select(lit(name).as("gate"), col("n_failing"), col("n_unique"),
+          col("unique_id_check"))
+    }.reduce(_ unionByName _)
+  }
+
   /** dc21 — the RELEASE CARD: the per-source datasheet row a data release
     * ships with (the "Datasheets for Datasets" practice): for every source in
     * the RAW corpus — explicit zero rows for sources the gates emptied, the
