@@ -360,6 +360,12 @@ private[graft] object DedupOracles extends OracleFragments {
     "d25_lsh_tuning" -> ((s: SparkSession, dir: String) =>
       Dedup.lshTuningReport(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = 3, bands = 16, rowsPerBand = 1, threshold = 0.2)),
+    // the dedup ROI line: raw vs kept doc/token mass per source under the d15
+    // keep-longest policy, saved share in half-up micro
+    "d29_dedup_savings" -> ((s: SparkSession, dir: String) =>
+      Dedup.dedupSavings(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source",
+        shingleSize = 3, bands = 16, rowsPerBand = 1, rounds = 3)),
     // order-free gate attribution: per gate the failing count and the UNIQUE
     // set that re-enters if the gate is ablated — the post-mortem calculus
     // the cumulative dc16 funnel cannot answer
@@ -1220,6 +1226,32 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc20_release_epoch" -> releaseEpochSql,
     "dc21_release_card" -> releaseCardSql,
     "dc22_gate_ablation" -> gateAblationSql,
+
+    // raw vs d15-kept mass per source, saved-token share — mirror of
+    // Dedup.dedupSavings over the d05 clusters + keep-longest kernels
+    "d29_dedup_savings" ->
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |tk AS (SELECT doc_id, source,
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |       FROM documents),
+         |mm AS (SELECT cl.cluster_id, cl.doc_id,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY tk.n_toks DESC, cl.doc_id) AS rk
+         |       FROM cl JOIN tk ON tk.doc_id = cl.doc_id),
+         |kept AS (SELECT doc_id FROM mm WHERE rk = 1),
+         |raw AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |        FROM tk GROUP BY 1),
+         |aft AS (SELECT source, COUNT(*) AS n_docs_kept,
+         |          CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+         |        FROM tk JOIN kept USING (doc_id) GROUP BY 1)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.n_tokens,
+         |  CAST(COALESCE(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+         |  CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST((2 * 1000000 * (r.n_tokens - COALESCE(a.n_tokens_kept, 0)) + r.n_tokens)
+         |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
+         |FROM raw r LEFT JOIN aft a USING (source)""".stripMargin,
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

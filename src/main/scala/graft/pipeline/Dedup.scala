@@ -228,6 +228,51 @@ object Dedup {
         (col("n_members") - 1L).as("n_dropped"))
   }
 
+  /** d29 — DEDUP SAVINGS: the number near-dup dedup is justified by — per
+    * source, the raw doc/token mass versus the mass surviving the d15
+    * keep-longest policy, and the saved-token share. A 100 TB dedup job costs
+    * real compute; this report is its ROI line (and, read per source, names
+    * which feeds are bloated with copies — the dc01 triage question answered
+    * in tokens, not doc counts).
+    *
+    * Determinism: token counts are the pinned integer kernel; the kept set is
+    * d15's (exact ranks, id tie-break); shares are ONE half-up integer
+    * division each.
+    *
+    * Scale shape: one text scan for per-doc tokens (checkpointed — raw rollup
+    * and kept join both read it), the d05/d15 capped kernels for the keep set,
+    * two map-side-combinable groupBys, |sources|-row output.
+    */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val perDoc = df.select(col(idCol), col(sourceCol),
+        TextStats.tokenCount(col(textCol)).as("n_toks"))
+      .localCheckpoint(true) // raw rollup + kept join off one text scan
+    val kept = clusterKeepLongest(df, idCol, textCol, shingleSize, bands,
+        rowsPerBand, rounds, maxBucketMembers)
+      .select(col("kept_doc").as(idCol))
+    val raw = perDoc.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val after = perDoc.join(kept, Seq(idCol), "left_semi")
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("n_tokens_kept"))
+    raw.join(after, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        expr("(2 * 1000000 * (n_tokens - coalesce(n_tokens_kept, 0)) + n_tokens)" +
+          " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
+  }
+
   /** d16 — leakage-safe train/val/test split: the split is a function of the
     * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
     * never land on opposite sides of the train/eval boundary — the failure mode
