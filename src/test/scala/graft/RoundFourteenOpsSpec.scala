@@ -342,6 +342,42 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("dc22: unique contributions never exceed failures; a shadowed gate reports zero") {
+    val rows = Curation.gateAblation(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "doc_id", "text", "source", "vec_id", "embedding",
+      benchmarkMod = 10L, shingleSize = 5, semanticThresholdMicro = 400000L,
+      requiredWords = Seq("the", "a", "value", "line"), minRequiredHits = 2)
+      .collect()
+      .map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("n_failing"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("unique_id_check")))
+    assert(rows.length == 5 && rows.map(_._1).distinct.length == 5)
+    rows.foreach { case (g, (f, u, chk)) =>
+      assert(u <= f, s"$g: unique $u > failing $f")
+      assert((u == 0L) == (chk == 0L), s"$g: checksum/zero coherence")
+    }
+  }
+
+  test("d29: kept mass never exceeds raw, and a duplicate-free corpus saves zero") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dedupSavings(docs, "doc_id", "text", "source").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens"))
+    }
+    // planted: 3 unique docs (no near-dups at the pinned banding) — zero savings
+    import spark.implicits._
+    val unique = Seq(
+      (1L, "alpha beta gamma delta", "a"),
+      (2L, "epsilon zeta eta theta", "a"),
+      (3L, "iota kappa lambda mu", "b")).toDF("doc_id", "text", "source")
+    val u = Dedup.dedupSavings(unique, "doc_id", "text", "source").collect()
+    assert(u.forall(r => r.getAs[Long]("saved_tokens_micro") == 0L
+      && r.getAs[Long]("n_docs") == r.getAs[Long]("n_docs_kept")), u.mkString(", "))
+  }
+
   test("ev21: the transition matrix equals a full sequential mirror of the fixture") {
     val got = AnalyticsQueries.typeTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
