@@ -159,6 +159,49 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class ViewEvent(userId: Long, eventId: Long, tsUs: Long)
+  case class BuyEvent(userId: Long, eventId: Long, tsUs: Long, valueCents: Long)
+
+  /** STREAM-STREAM interval join — the one Structured Streaming join shape the
+    * engine exposes raw (every other streaming op here joins a stream against
+    * a LOADED artifact): views and purchases arrive as two independent
+    * streams, and each purchase pairs with every view by the same user within
+    * the lookback interval — the ev15 attribution JOIN as the engine runs it
+    * live (the last-touch argmin is a downstream reduction, ev15's kernel;
+    * an append-only join cannot retract a "last" that a later view displaces).
+    *
+    * The time-range predicate is expressed ON THE WATERMARKED EVENT-TIME
+    * COLUMNS — that is what lets the engine bound join state: a view older
+    * than watermark − lookback can never match a future purchase and is
+    * evicted; without the interval bound the state would grow with the stream
+    * (the documented stream-stream join contract).
+    *
+    * Output is append-only (inner interval join): (user, view, buy, gap, value)
+    * pairs, batch-parity pinned against the identical static join.
+    */
+  def streamingViewBuyJoin(
+      views: Dataset[ViewEvent],
+      buys: Dataset[BuyEvent],
+      lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val v = views
+      .select(col("userId").as("v_user"), col("eventId").as("view_event_id"),
+        col("tsUs").as("v_ts"))
+      .withColumn("view_time", expr("timestamp_micros(v_ts)"))
+      .withWatermark("view_time", watermarkDelay)
+    val b = buys
+      .select(col("userId").as("b_user"), col("eventId").as("buy_event_id"),
+        col("tsUs").as("b_ts"), col("valueCents").as("value_cents"))
+      .withColumn("buy_time", expr("timestamp_micros(b_ts)"))
+      .withWatermark("buy_time", watermarkDelay)
+    v.join(b, expr(
+        s"v_user = b_user AND buy_time >= view_time" +
+          s" AND buy_time <= view_time + interval $lookback"))
+      .select(col("v_user").as("user_id"), col("view_event_id"), col("buy_event_id"),
+        (col("b_ts") - col("v_ts")).as("gap_us"), col("value_cents"))
+  }
+
   case class TypeStepEvent(userId: Long, eventId: Long, tsUs: Long, eventType: String)
   case class TypeStep(fromType: String, toType: String)
 

@@ -395,6 +395,46 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingViewBuyJoin: watermarked interval join pairs in-window only, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{BuyEvent, ViewEvent}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600000000L
+    val base = 86400L * 1000000L
+    val vStream = MemoryStream[ViewEvent]
+    val bStream = MemoryStream[BuyEvent]
+    val query = StreamOps.streamingViewBuyJoin(vStream.toDS(), bStream.toDS())
+      .writeStream.format("memory").queryName("vb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val views = Seq(
+        ViewEvent(1L, 1L, base), // pairs with buy 10 (30 min later)
+        ViewEvent(1L, 2L, base + hour * 3), // out of window for buy 10
+        ViewEvent(2L, 3L, base)) // other user — never pairs
+      val buys = Seq(
+        BuyEvent(1L, 10L, base + hour / 2, 999L),
+        BuyEvent(1L, 11L, base + hour * 3 + hour / 4, 500L)) // pairs with view 2
+      vStream.addData(views: _*)
+      bStream.addData(buys.head)
+      query.processAllAvailable()
+      bStream.addData(buys(1)) // arrives a micro-batch later — still joins
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, view_event_id, buy_event_id, gap_us, value_cents FROM vb")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // batch parity: the identical static interval join over the same rows
+      val want = (for {
+        v <- views; b <- buys
+        if v.userId == b.userId && b.tsUs >= v.tsUs && b.tsUs - v.tsUs <= hour
+      } yield (v.userId, v.eventId, b.eventId, b.tsUs - v.tsUs, b.valueCents)).toSet
+      assert(got == want, s"got $got want $want")
+      assert(want == Set((1L, 1L, 10L, hour / 2, 999L),
+        (1L, 2L, 11L, hour / 4, 500L)))
+    } finally query.stop()
+  }
+
   test("streamingTypeTransitions: step counts match ev21 across a batch boundary") {
     import spark.implicits._
     import graft.streaming.StreamOps.TypeStepEvent
