@@ -1081,6 +1081,49 @@ object AnalyticsQueries {
     (v, c, p)
   }
 
+  /** ev24 — funnel conversion rates with WILSON 95% intervals: the ev19
+    * counts upgraded to the statistic a decision is actually made on (a 40%
+    * conversion over 10 users and over 10,000 users are different facts; the
+    * interval says which). Wilson score (the standard small-n-safe binomial
+    * interval) at z = 1.96, computed in ONE fixed double sequence from the
+    * exact step counts and micro-quantized — the ev7/t44 float discipline.
+    * A zero-denominator stage reports explicit zeros.
+    *
+    * Scale shape: the ev19 anchor sets (per-user min-timestamp chains), three
+    * 1-row counts, and a constant-size result — nothing new touches event
+    * volume.
+    */
+  def funnelWilson(spark: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelStages(eventsTsu(spark, dir, "user_id", "event_type"))
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    val counts = cnt(v, "n_view").crossJoin(cnt(c, "n_click")).crossJoin(cnt(p, "n_buy"))
+    def wilson(step: String, xCol: String, nCol: String) = {
+      val x = col(xCol).cast("double")
+      val n = col(nCol).cast("double")
+      val z = 1.96
+      val z2 = z * z
+      val denom = n + lit(z2)
+      val center = (x + lit(z2 / 2.0)) / denom
+      val half = (lit(z) / denom) * sqrt(x * (n - x) / n + lit(z2 / 4.0))
+      def micro(cc: Column) = floor(lit(1000000.0) * cc + lit(0.5)).cast("long")
+      struct(
+        lit(step).as("step"),
+        col(nCol).as("n_prev"),
+        col(xCol).as("n_conv"),
+        when(col(nCol) === 0L, 0L)
+          .otherwise(expr(s"(2 * 1000000 * $xCol + $nCol) DIV (2 * $nCol)").cast("long"))
+          .as("rate_micro"),
+        when(col(nCol) === 0L, 0L).otherwise(micro(center - half)).as("wilson_low_micro"),
+        when(col(nCol) === 0L, 0L).otherwise(micro(center + half)).as("wilson_high_micro"))
+    }
+    counts
+      .select(explode(array(
+        wilson("view_to_click", "n_click", "n_view"),
+        wilson("click_to_purchase", "n_buy", "n_click"))).as("s"))
+      .select(col("s.step"), col("s.n_prev"), col("s.n_conv"), col("s.rate_micro"),
+        col("s.wilson_low_micro"), col("s.wilson_high_micro"))
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

@@ -1477,6 +1477,51 @@ object GraphQueries {
       .groupBy(col("vertex_id"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** g64 — RICH-CLUB COEFFICIENT (Colizza et al. 2006): for each degree
+    * threshold k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1)) among the
+    * vertices of degree > k — whether the hubs form a club (φ→1) or avoid
+    * each other. Completes the structural datasheet row with g62/g63; in a
+    * follow graph a rising φ(k) curve is the celebrity-clique signature.
+    *
+    * Determinism: degrees and within-club edge counts are exact; φ is ONE
+    * half-up integer division per threshold. N_k < 2 reports the explicit
+    * degenerate zero.
+    *
+    * Scale shape: degree table once off the checkpointed closure; per
+    * threshold two id-semi-joins (club membership is degree-filtered —
+    * hub-count-sized, shrinking with k) and two 1-row aggregates; |ks| rows.
+    */
+  def richClub(spark: SparkSession, dir: String, ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val und = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(
+        least(col("source_id"), col("destination_id")).as("lo"),
+        greatest(col("source_id"), col("destination_id")).as("hi"))
+      .distinct()
+      .localCheckpoint(true) // degree pass + one membership probe per k
+    val deg = und.select(col("lo").as("v"))
+      .unionByName(und.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // one filter per threshold
+    ks.map { k =>
+      val rich = deg.filter(col("d") > k).select(col("v"))
+        .localCheckpoint(true) // both endpoint probes
+      val nR = rich.agg(count(lit(1)).as("n_rich"))
+      val eW = und
+        .join(rich.select(col("v").as("lo")), Seq("lo"), "left_semi")
+        .join(rich.select(col("v").as("hi")), Seq("hi"), "left_semi")
+        .agg(count(lit(1)).as("n_edges_within"))
+      nR.crossJoin(eW).select(
+        lit(k).as("k"), col("n_rich"), col("n_edges_within"),
+        when(col("n_rich") < 2, 0L)
+          .otherwise(expr(
+            "(2 * 1000000 * 2 * n_edges_within + n_rich * (n_rich - 1))" +
+              " DIV (2 * n_rich * (n_rich - 1))"))
+          .cast("long").as("phi_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** g63 — GLOBAL TRANSITIVITY (clustering coefficient): 3·triangles / wedges
     * over the undirected Normal graph — the other number next to g62 on a
     * graph datasheet (how much of the friend-of-friend surface closes). The

@@ -217,6 +217,9 @@ private[graft] trait OracleParams {
     */
   private[graft] val WLandmarkHops = 4
 
+  /** g64's pinned degree thresholds for the rich-club curve. */
+  private[graft] val RichClubKs: Seq[Int] = Seq(2, 4, 8)
+
   /** g61's pinned Luby-round budget (expected O(log n) for hash priorities);
     * the kernel raises rather than return a partial MIS past it.
     */

@@ -50,6 +50,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev22_transition_entropy" -> (AnalyticsQueries.transitionEntropy _),
     "ev23_markov_stationary" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.markovStationary(s, d, rounds = MarkovRounds)),
+    "ev24_funnel_wilson" -> (AnalyticsQueries.funnelWilson _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -186,6 +187,44 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |  CAST((2 * 1000000 * n_steps + ft) // (2 * ft) AS BIGINT) AS rate_micro
          |FROM (SELECT *, CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS BIGINT) AS ft
          |      FROM c)""".stripMargin,
+
+    // ev19's step counts with Wilson 95% bounds — one fixed double sequence
+    // from exact counts (literal constants written as the same expressions
+    // both engines fold identically) — mirror of AnalyticsQueries.funnelWilson
+    "ev24_funnel_wilson" -> {
+      def w(x: String, n: String) =
+        s"""CAST(CASE WHEN $n = 0 THEN 0
+           |     ELSE (2 * 1000000 * $x + $n) // (2 * $n) END AS BIGINT) AS rate_micro,
+           |  CAST(CASE WHEN $n = 0 THEN 0
+           |     ELSE floor(1000000.0 * (($x::DOUBLE + 1.96*1.96/2) / ($n::DOUBLE + 1.96*1.96)
+           |       - (1.96 / ($n::DOUBLE + 1.96*1.96))
+           |         * sqrt($x::DOUBLE * ($n::DOUBLE - $x::DOUBLE) / $n::DOUBLE + 1.96*1.96/4))
+           |       + 0.5) END AS BIGINT) AS wilson_low_micro,
+           |  CAST(CASE WHEN $n = 0 THEN 0
+           |     ELSE floor(1000000.0 * (($x::DOUBLE + 1.96*1.96/2) / ($n::DOUBLE + 1.96*1.96)
+           |       + (1.96 / ($n::DOUBLE + 1.96*1.96))
+           |         * sqrt($x::DOUBLE * ($n::DOUBLE - $x::DOUBLE) / $n::DOUBLE + 1.96*1.96/4))
+           |       + 0.5) END AS BIGINT) AS wilson_high_micro""".stripMargin
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, MIN(tsu) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, v.t1, MIN(ev.tsu) AS t2
+         |      FROM ev JOIN v USING (user_id)
+         |      WHERE ev.event_type = 'click' AND ev.tsu > v.t1 GROUP BY 1, 2),
+         |p AS (SELECT ev.user_id, c.t2, MIN(ev.tsu) AS t3
+         |      FROM ev JOIN c USING (user_id)
+         |      WHERE ev.event_type = 'purchase' AND ev.tsu > c.t2 GROUP BY 1, 2),
+         |nn AS (SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         |              (SELECT COUNT(*) FROM c) AS n_click,
+         |              (SELECT COUNT(*) FROM p) AS n_buy)
+         |SELECT 'view_to_click' AS step, CAST(n_view AS BIGINT) AS n_prev,
+         |  CAST(n_click AS BIGINT) AS n_conv,
+         |  ${w("n_click", "n_view")}
+         |FROM nn
+         |UNION ALL
+         |SELECT 'click_to_purchase', CAST(n_click AS BIGINT), CAST(n_buy AS BIGINT),
+         |  ${w("n_buy", "n_click")}
+         |FROM nn""".stripMargin
+    },
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

@@ -110,6 +110,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.maximalIndependentSet(s, dir, rounds = MisRounds)),
     "g62_assortativity" -> (GraphQueries.degreeAssortativity _),
     "g63_transitivity" -> (GraphQueries.transitivity _),
+    "g64_rich_club" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.richClub(s, dir, ks = RichClubKs)),
   )
 
   /** The g54 HyperANF curve statement, shared verbatim by the g54 entry and the
@@ -249,6 +251,35 @@ private[graft] object GraphOracles extends OracleFragments {
          |SELECT u, v, CAST(d_sum AS INTEGER) AS d_est, seed AS via_landmark FROM (
          |  SELECT *, row_number() OVER (PARTITION BY u, v ORDER BY d_sum, seed) AS rk FROM cand)
          |WHERE rk = 1""".stripMargin
+    },
+
+    // φ(k) = 2·E_k / (N_k·(N_k−1)) among degree-> k vertices, per threshold,
+    // half-up micro with the N_k < 2 degenerate zero — mirror of
+    // GraphQueries.richClub
+    "g64_rich_club" -> {
+      val rows = RichClubKs.map { k =>
+        s"""SELECT $k AS k,
+           |  (SELECT COUNT(*) FROM deg WHERE d > $k) AS n_rich,
+           |  (SELECT COUNT(*) FROM und
+           |   WHERE lo IN (SELECT v FROM deg WHERE d > $k)
+           |     AND hi IN (SELECT v FROM deg WHERE d > $k)) AS n_edges_within"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY v),
+         |r AS ($rows)
+         |SELECT CAST(k AS INTEGER) AS k, CAST(n_rich AS BIGINT) AS n_rich,
+         |  CAST(n_edges_within AS BIGINT) AS n_edges_within,
+         |  CAST(CASE WHEN n_rich < 2 THEN 0
+         |       ELSE (2 * 1000000 * 2 * n_edges_within + n_rich * (n_rich - 1))
+         |            // (2 * n_rich * (n_rich - 1)) END AS BIGINT) AS phi_micro
+         |FROM r""".stripMargin
     },
 
     // 3·triangles / Σ d(d−1)/2 off the g21 oriented closure, one half-up micro
