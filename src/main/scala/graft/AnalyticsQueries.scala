@@ -1092,9 +1092,25 @@ object AnalyticsQueries {
     * Scale shape: the ev19 anchor sets (per-user min-timestamp chains), three
     * 1-row counts, and a constant-size result — nothing new touches event
     * volume.
+    *
+    * CROSS-ENGINE FLOAT CONTRACT (do not "simplify" the constants): every
+    * constant below is COMPOSED from the literal 1.96 with the same operation
+    * sequence the DuckDB mirror writes textually (`1.96*1.96/2`,
+    * `1.96*1.96/4` — AnalyticsOracles "ev24_funnel_wilson"). Scala folds
+    * `z*z/2.0` at compile time and DuckDB folds `1.96*1.96/2` at plan time,
+    * but both fold the SAME double ops over the SAME parsed IEEE-754 value of
+    * 1.96, so the folded doubles are bit-identical and the micro-quantized
+    * hash matches at every scale factor. Replacing either side with a
+    * pre-folded decimal literal (e.g. `3.8416`, which is a DIFFERENT double
+    * than 1.96*1.96) breaks the contract silently.
+    * RoundFifteenPropertySpec re-derives a Wilson row in plain Scala doubles
+    * to pin this.
     */
-  def funnelWilson(spark: SparkSession, dir: String): DataFrame = {
-    val (v, c, p) = funnelStages(eventsTsu(spark, dir, "user_id", "event_type"))
+  def funnelWilson(spark: SparkSession, dir: String): DataFrame =
+    funnelWilsonOf(eventsTsu(spark, dir, "user_id", "event_type"))
+
+  private[graft] def funnelWilsonOf(events: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStages(events)
     def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
     val counts = cnt(v, "n_view").crossJoin(cnt(c, "n_click")).crossJoin(cnt(p, "n_buy"))
     def wilson(step: String, xCol: String, nCol: String) = {
@@ -1239,6 +1255,13 @@ object AnalyticsQueries {
     *
     * Determinism: rates are ev21's half-up integers; each round is an exact
     * BIGINT dot product followed by ONE floor division — no float ever.
+    * OVERFLOW BOUND (documented, not silent — the g62/s33 convention): each
+    * product v·rate_micro ≤ 10⁶·10⁶ = 10¹², and the per-type sum adds at most
+    * |types| of them, so the int64 ceiling (~9.2·10¹⁸) holds up to ~9·10⁶
+    * distinct event types — far past any real event-type catalog. Past that,
+    * Spark's LongType sum would wrap silently while DuckDB's SUM(BIGINT)
+    * promotes to int128 and diverges; the knob is the same as s33's: cast the
+    * product to DecimalType(38,0) on both sides.
     *
     * Scale shape: the matrix and the vector are |types|-sized (catalog
     * relations, broadcast joins); rounds iterate driver-side over

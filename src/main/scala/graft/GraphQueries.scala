@@ -2095,7 +2095,10 @@ object GraphQueries {
     * soon as the arena empties — output-identical to the full unroll, since an
     * empty arena yields empty rounds — and RAISES if vertices remain past the
     * budget (a partial MIS is not an MIS; never return one silently). Expected
-    * rounds are O(log n) for hash priorities.
+    * rounds are O(log n) for hash priorities; the default budget carries ~2×
+    * headroom over observed convergence. The DuckDB oracle unrolls the SAME
+    * budget and emits round = -1 probe rows from any residual arena, so a
+    * non-converged graph fails loudly on both engines (GraphOracles "g61_mis").
     *
     * Scale shape: each round is one equi-join of the arena against the
     * checkpointed edge list (smaller-neighbor witness), one anti-join to pick

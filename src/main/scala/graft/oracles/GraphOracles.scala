@@ -335,7 +335,14 @@ private[graft] object GraphOracles extends OracleFragments {
     // deterministic Luby MIS: fixed md5 priorities, each unrolled round takes
     // the strict local minima of the arena and removes their neighborhoods;
     // the Spark side's early exit is output-identical (empty arena ⇒ empty
-    // rounds) — mirror of GraphQueries.maximalIndependentSet
+    // rounds) — mirror of GraphQueries.maximalIndependentSet.
+    // COMPLETENESS PROBE (r14 ADVICE): the oracle unrolls exactly MisRounds
+    // rounds, the same budget the Spark kernel raises past. So that the oracle
+    // cannot silently return a PARTIAL (non-maximal) MIS on a graph needing
+    // more rounds, the final UNION emits every vertex still in the residual
+    // arena a{MisRounds} with round = -1: a non-converged graph makes the
+    // oracle's output loudly non-MIS-shaped on the same inputs where the Spark
+    // side raises — both engines fail, neither silently diverges.
     "g61_mis" -> {
       def round(r: Int) =
         s"""w$r AS MATERIALIZED (SELECT a.v FROM a${r - 1} a JOIN pv p USING (v)
@@ -358,7 +365,9 @@ private[graft] object GraphOracles extends OracleFragments {
          |a0 AS (SELECT v FROM vx),
          |${(1 to MisRounds).map(round).mkString(",\n")}
          |${(1 to MisRounds).map(r =>
-             s"SELECT v, CAST($r AS INTEGER) AS round FROM w$r").mkString("\nUNION ALL\n")}"""
+             s"SELECT v, CAST($r AS INTEGER) AS round FROM w$r").mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT v, CAST(-1 AS INTEGER) AS round FROM a$MisRounds"""
         .stripMargin
     },
 

@@ -343,8 +343,9 @@ object Curation {
     * set. Σ unique ≤ total removed, and the gap is the multi-gate overlap —
     * the ablation calculus every curation post-mortem runs.
     *
-    * Scale shape: the five failure sets reuse the [[releaseDiffAdmitted]]
-    * shared kernels (each expensive battery computed once, checkpointed);
+    * Scale shape: each expensive gate battery (the full-threshold Gopher
+    * battery, the real-threshold semantic decontamination) is computed ONCE
+    * within this report and checkpointed — no battery runs per-gate;
     * uniqueness is one anti-join per gate against the union of the other
     * four (id-thin relations); the report is |gates| rows.
     */

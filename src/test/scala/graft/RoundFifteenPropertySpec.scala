@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.propBoolean
+
+/** Round-15 property mirrors. The Wilson test guards the ev24 cross-engine
+  * float contract (see the CROSS-ENGINE FLOAT CONTRACT paragraph on
+  * [[AnalyticsQueries.funnelWilson]]): it re-derives the interval in plain
+  * Scala doubles with constants COMPOSED from the literal 1.96 — the same
+  * composition both engines fold — so an edit that pre-folds a constant on
+  * one side (e.g. 3.8416 for 1.96*1.96) breaks here first, at unit-test
+  * speed, instead of at the driver's oracle gate.
+  */
+class RoundFifteenPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 5): Unit = {
+    val params = ScTest.Parameters.default.withMinSuccessfulTests(cases)
+    val result = ScTest.check(params, prop)
+    assert(result.passed, s"$name: $result")
+  }
+
+  /** The ev24 statistic re-derived in plain Scala doubles, constants written
+    * as the SAME expressions both engines fold: z*z/2, z*z/4 from z = 1.96.
+    */
+  private def mirrorWilson(x: Long, n: Long): (Long, Long, Long) = {
+    if (n == 0L) (0L, 0L, 0L)
+    else {
+      val rate = (2L * 1000000L * x + n) / (2L * n)
+      val z = 1.96
+      val xd = x.toDouble
+      val nd = n.toDouble
+      val denom = nd + z * z
+      val center = (xd + z * z / 2.0) / denom
+      val half = (z / denom) * math.sqrt(xd * (nd - xd) / nd + z * z / 4.0)
+      def micro(v: Double) = math.floor(1000000.0 * v + 0.5).toLong
+      (rate, micro(center - half), micro(center + half))
+    }
+  }
+
+  private def funnelGen: Gen[(Int, Int, Int)] = for {
+    nv <- Gen.choose(1, 40)
+    nc <- Gen.choose(0, nv)
+    nb <- Gen.choose(0, nc)
+  } yield (nv, nc, nb)
+
+  test("ev24 funnelWilson equals the plain-Scala-doubles Wilson mirror") {
+    check("wilson-mirror", Prop.forAll(funnelGen) { case (nv, nc, nb) =>
+      // user u views at 10u; the first nc users click at 10u+1; the first nb
+      // purchase at 10u+2 — exact step counts (nv, nc, nb) by construction
+      val events =
+        (1 to nv).map(u => (u.toLong, "view", 10L * u)) ++
+        (1 to nc).map(u => (u.toLong, "click", 10L * u + 1)) ++
+        (1 to nb).map(u => (u.toLong, "purchase", 10L * u + 2))
+      val got = AnalyticsQueries
+        .funnelWilsonOf(events.toDF("user_id", "event_type", "tsu"))
+        .collect()
+        .map(r => r.getAs[String]("step") ->
+          ((r.getAs[Long]("n_prev"), r.getAs[Long]("n_conv"),
+            r.getAs[Long]("rate_micro"), r.getAs[Long]("wilson_low_micro"),
+            r.getAs[Long]("wilson_high_micro"))))
+        .toMap
+      val (r1, l1, h1) = mirrorWilson(nc.toLong, nv.toLong)
+      val (r2, l2, h2) = mirrorWilson(nb.toLong, nc.toLong)
+      val want = Map(
+        "view_to_click" -> ((nv.toLong, nc.toLong, r1, l1, h1)),
+        "click_to_purchase" -> ((nc.toLong, nb.toLong, r2, l2, h2)))
+      (got == want) :| s"got $got want $want (nv=$nv nc=$nc nb=$nb)"
+    }, cases = 8)
+  }
+}
