@@ -1420,9 +1420,17 @@ object Similarity {
     * the plan that produced it.
     *
     * Selectivity = |allowed| / |corpus| in half-up integer micro units — two
-    * COUNT scalars (catalog-bounded driver reads, the retrainTrigger
-    * discipline) that choose the plan BEFORE it is built; only the chosen
-    * branch ever runs.
+    * scalars (catalog-bounded driver reads, the retrainTrigger discipline)
+    * that choose the plan BEFORE it is built; only the chosen branch ever
+    * runs. The corpus size comes from the MAINTAINED index census when the
+    * caller has one (`census` = the s33 [[ivfCellCensus]] rows, or any
+    * relation carrying per-cell `n_members` — the engine already maintains
+    * exactly this number next to the index artifact), so the routing
+    * decision costs one k-row aggregate, not a corpus pass; `allowedSize`
+    * likewise short-circuits the filter count when the caller's tenant
+    * catalog already knows it. `candidates.count()` / `allowed.count()` are
+    * the FALLBACK for census-less callers only (metadata-cheap on a raw
+    * parquet relation, a full pass on anything derived — r14 ADVICE).
     *
     * Scale shape: the exact branch is a broadcast-queries × allowed-semi-join
     * scan — linear in |allowed|, which the threshold caps at
@@ -1439,16 +1447,24 @@ object Similarity {
       allowed: DataFrame,
       selThresholdMicro: Long = 250000L,
       kCells: Int = 8,
-      trainRounds: Int = 2
+      trainRounds: Int = 2,
+      census: Option[DataFrame] = None,
+      allowedSize: Option[Long] = None
   ): DataFrame = {
     // a multi-column allowed relation means the caller passed the wrong thing
     // (rows, not an id set) — fail loudly, the ivfAssignNew discipline
     require(allowed.columns.length == 1,
       s"filteredTopKAdaptive: allowed must be a single-id-column relation, " +
         s"got [${allowed.columns.mkString(", ")}]")
-    val nCorpus = candidates.count()
+    census.foreach(c => require(c.columns.contains("n_members"),
+      s"filteredTopKAdaptive: census must carry n_members (the s33/s25 " +
+        s"artifact shape), got [${c.columns.mkString(", ")}]"))
+    val nCorpus = census
+      .map(_.agg(coalesce(sum(col("n_members")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)) // k-row artifact aggregate, never a corpus pass
+      .getOrElse(candidates.count())
     require(nCorpus > 0, "filteredTopKAdaptive: empty corpus — nothing to search")
-    val nAllowed = allowed.count()
+    val nAllowed = allowedSize.getOrElse(allowed.count())
     val selMicro = (2L * 1000000L * nAllowed + nCorpus) / (2L * nCorpus)
     val routed =
       if (selMicro <= selThresholdMicro) {
