@@ -354,6 +354,17 @@ private[graft] trait OracleParams {
   private[graft] val DecontamMod = 10L
   private[graft] val DecontamShingle = 5
 
+  /** d30's pinned anchor width and minimum reportable span, shared by
+    * registration and the SQL mirror. The published substring-dedup runs use
+    * ~50-token spans on real web documents; the synthetic corpus's documents
+    * are 10–99 tokens, so the pins sit where the planted near-dup spans
+    * (observed 11–93 tokens across scale factors) stay discriminating: an
+    * 8-token anchor is wide enough that random same-vocabulary collisions
+    * vanish, and 16 tokens keeps only genuinely long shared runs.
+    */
+  private[graft] val RepeatedSpanShingle = 8
+  private[graft] val RepeatedSpanMinTokens = 16
+
   /** d24's pinned cosine threshold in micro units. The published practice uses
     * ~0.95 on real text embeddings; the synthetic corpus's similarity spread
     * tops out near 0.49, so the pinned value sits inside that spread (≥ 0.40)

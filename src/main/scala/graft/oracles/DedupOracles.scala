@@ -366,6 +366,11 @@ private[graft] object DedupOracles extends OracleFragments {
       Dedup.dedupSavings(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source",
         shingleSize = 3, bands = 16, rowsPerBand = 1, rounds = 3)),
+    // substring-level exact dedup: maximal cross-doc repeated token spans via
+    // the shingle-run kernel (no pair relation; cross-doc = min≠max per anchor)
+    "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
+      Dedup.repeatedSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
     // order-free gate attribution: per gate the failing count and the UNIQUE
     // set that re-enters if the gate is ablated — the post-mortem calculus
     // the cumulative dc16 funnel cannot answer
@@ -1252,6 +1257,35 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST((2 * 1000000 * (r.n_tokens - COALESCE(a.n_tokens_kept, 0)) + r.n_tokens)
          |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
          |FROM raw r LEFT JOIN aft a USING (source)""".stripMargin,
+    // maximal cross-doc repeated token spans: per-position shingle anchors,
+    // cross-doc flag = MIN(doc) <> MAX(doc) per anchor hash, gaps-and-islands
+    // per doc, min-length cut, span text re-hashed — mirror of
+    // Dedup.repeatedSpans
+    "d30_repeated_spans" -> {
+      val w = RepeatedSpanShingle
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tl AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $w),
+         |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+         |        FROM tl),
+         |sh AS (SELECT doc_id, i,
+         |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+         |       FROM pos),
+         |dfh AS (SELECT h FROM sh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+         |dup AS (SELECT doc_id, i FROM sh WHERE h IN (SELECT h FROM dfh)),
+         |isl AS (SELECT doc_id, i,
+         |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |        FROM dup),
+         |runs AS (SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+         |           CAST(MAX(i) - MIN(i) + $w AS BIGINT) AS span_tokens,
+         |           CAST(COUNT(*) AS BIGINT) AS n_anchors
+         |         FROM isl GROUP BY doc_id, g),
+         |keep AS (SELECT * FROM runs WHERE span_tokens >= $RepeatedSpanMinTokens)
+         |SELECT k.doc_id, k.span_start, k.span_tokens, k.n_anchors,
+         |  ('0x' || substr(md5(array_to_string(
+         |     t.ts[k.span_start:k.span_start + k.span_tokens - 1], ' ')), 1, 15))::BIGINT
+         |    AS span_h
+         |FROM keep k JOIN tl t USING (doc_id)""".stripMargin
+    },
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

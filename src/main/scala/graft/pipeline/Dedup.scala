@@ -273,6 +273,88 @@ object Dedup {
           " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
   }
 
+  /** d30 — SUBSTRING-LEVEL exact dedup: the span inventory of long token runs
+    * repeated ACROSS documents — the published complement to doc-level dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": removing duplicated substrings ≥ ~50 tokens is the
+    * highest-cited dedup gain after doc-level), re-derived Spark-first as a
+    * SHINGLE-RUN kernel instead of the paper's suffix array: anchor every
+    * token position with its `shingleSize`-gram, flag positions whose anchor
+    * occurs in MORE THAN ONE document, and merge consecutive flagged
+    * positions per document into maximal spans (gaps-and-islands over a
+    * per-DOCUMENT window). A span of m consecutive flagged anchors covers
+    * m + shingleSize − 1 tokens; spans shorter than `minSpanTokens` are
+    * noise and dropped. Output per (doc, span): 1-based token start, token
+    * length, anchor count, and the 60-bit md5 of the span text — the removal
+    * manifest a substring-dedup pass actuates, span-addressable so the
+    * surviving document keeps its unique prefix/suffix.
+    *
+    * NO PAIR RELATION EXISTS in this kernel — stronger than a capped bucket
+    * join: cross-doc detection is `min(doc) ≠ max(doc)` per anchor hash (a
+    * map-side-combinable 2-scalar aggregate, NOT a distinct-count), so a
+    * boilerplate shingle shared by 10⁷ documents costs one group row, never a
+    * quadratic cell, and no doc-freq cap is even needed for boundedness. No
+    * suffix array, nothing driver-side: the only window is per-document
+    * (bounded by document length).
+    *
+    * Scale shape: the anchor relation (doc, pos, hash — one row per token
+    * position, the corpus's dominant cost: tokenize + md5) is computed ONCE
+    * and checkpointed, because it has two consumers — the cross-doc census
+    * and the island probe — and recomputing it would double the expensive
+    * pass (the d02 bandSigs discipline; the checkpoint is position-rows of
+    * three fixed-width columns, spill-friendly). Then one map-side-combinable
+    * hash-keyed aggregate, one semi-join back on the anchor hash (AQE
+    * skew-splittable — never a window over the hash key, whose hot
+    * boilerplate shingles would skew a partition), and a span-stamp pass
+    * that re-reads the corpus text once; the runs relation is output-sized
+    * (tiny) and broadcasts into the span-stamp join.
+    *
+    * Determinism: anchors and span hashes are the repo's 60-bit md5 integer
+    * convention; positions are exact; islands group on `i − row_number()`
+    * with unique per-doc positions — both engines derive identical rows.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      minSpanTokens: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = shingleSize
+    require(w >= 2, s"repeatedSpans: shingleSize must be >= 2, got $w")
+    require(minSpanTokens >= w,
+      s"repeatedSpans: minSpanTokens ($minSpanTokens) must be >= shingleSize ($w)")
+    def toksOf(rel: DataFrame): DataFrame = rel
+      .select(col(idCol).as("doc"), split(col(textCol), " ", -1).as("ts"))
+      .filter(size(col("ts")) >= w) // guards sequence(1, n): n >= 1, ascending
+    val anchors = toksOf(Scans.fanOut(df))
+      .select(col("doc"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - lit(w - 1))).as("i"))
+      .select(col("doc"), col("i"),
+        conv(substring(md5(array_join(slice(col("ts"), col("i"), lit(w)), " ")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .localCheckpoint(true) // two consumers: cross-doc census + island probe
+    val crossDoc = anchors.groupBy(col("h"))
+      .agg(min(col("doc")).as("mn"), max(col("doc")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("i").asc)
+    val runs = anchors.join(crossDoc, Seq("h"), "left_semi")
+      .withColumn("g", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc"), col("g"))
+      .agg(min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) - min(col("i")) + lit(w)).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_anchors"))
+      .filter(col("span_tokens") >= minSpanTokens)
+    runs.join(toksOf(df), Seq("doc"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_tokens"),
+        col("n_anchors"),
+        conv(substring(md5(array_join(
+            slice(col("ts"), col("span_start").cast("int"), col("span_tokens").cast("int")),
+            " ")), 1, 15), 16, 10).cast("long").as("span_h"))
+  }
+
   /** d16 — leakage-safe train/val/test split: the split is a function of the
     * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
     * never land on opposite sides of the train/eval boundary — the failure mode

@@ -1075,6 +1075,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"exact route joins are broadcast/semi only:\n$p")
   }
 
+  test("repeated spans (d30): one pruned span-stamp scan, no pair join, per-doc window only") {
+    val p = plan(pipeline.Dedup.repeatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    // the kernel's whole point: substring dedup WITHOUT a doc×doc relation —
+    // cross-doc detection is a min/max aggregate on the anchor hash, so the
+    // plan must carry no SortMergeJoin (the semi-join and the span-stamp join
+    // are hash/broadcast) and no global window
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair relation may exist:\n$p")
+    // the anchor relation is checkpointed at construction (two consumers:
+    // census + island probe), so the lazily-planned part re-scans the corpus
+    // exactly once — for the span stamp
+    val scans = "FileScan".r.findAllMatchIn(p).size
+    assert(scans == 1, s"span-stamp pass = exactly 1 un-checkpointed corpus scan, got $scans:\n$p")
+    val scanLines = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanLines.forall(l => l.contains("doc_id") && l.contains("text") && !l.contains("source")),
+      s"scans must prune to (doc_id, text):\n${scanLines.mkString("\n")}")
+    // map-side partial aggregation on the anchor hash (the min≠max flag)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"cross-doc flag must be a hash aggregate:\n$p")
+  }
+
   test("probe-recall curve (s32): widening the sweep adds NO corpus scans") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     def scansAt(levels: Seq[Int]): Int = {

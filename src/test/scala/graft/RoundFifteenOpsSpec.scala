@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Similarity
+import graft.pipeline.{Dedup, Similarity}
 
 /** Round-15 operator pins. The s31 census-routing pair proves the r14 ADVICE
   * fix: a supplied index census replaces the corpus `count()` in the routing
@@ -62,6 +62,49 @@ class RoundFifteenOpsSpec extends SparkSpec {
       t != null && (Option(t.getMessage).exists(_.contains("eager action")) ||
         rootHas(t.getCause))
     assert(rootHas(err), s"poison did not propagate: $err")
+  }
+
+  test("d30: a planted 200-token shared span is found exactly; disjoint docs stay empty") {
+    // globally unique fillers so no accidental cross-doc shingle exists
+    val shared = (1 to 200).map(i => s"sh$i").mkString(" ")
+    val docA = ((1 to 50).map(i => s"ua$i") :+ shared) ++ (1 to 30).map(i => s"za$i")
+    val docB = ((1 to 70).map(i => s"ub$i") :+ shared)
+    val docC = (1 to 120).map(i => s"uc$i")
+    val docs = Seq(
+      (1L, docA.mkString(" ")), (2L, docB.mkString(" ")), (3L, docC.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text",
+        shingleSize = 8, minSpanTokens = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("span_h")))
+      .sortBy(r => (r._1, r._2))
+    // exactly the planted span, at its 1-based start in each doc, nothing in C
+    assert(out.length == 2, s"want the two planted spans, got ${out.mkString(", ")}")
+    assert(out(0)._1 == 1L && out(0)._2 == 51L && out(0)._3 == 200L)
+    assert(out(1)._1 == 2L && out(1)._2 == 71L && out(1)._3 == 200L)
+    // both sides carry the SAME span text hash — the cross-doc link
+    assert(out(0)._4 == out(1)._4)
+    // fully disjoint corpus → empty output
+    val disjoint = Seq((1L, docC.mkString(" ")), (2L, (1 to 90).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(disjoint, "doc_id", "text").isEmpty)
+  }
+
+  test("d30: spans shorter than minSpanTokens are dropped, boundary length kept") {
+    // a shared run of exactly minSpanTokens tokens must survive; one token
+    // shorter must not (the boundary of the length cut)
+    def corpus(n: Int) = {
+      val shared = (1 to n).map(i => s"s$i").mkString(" ")
+      Seq((1L, (1 to 20).map(i => s"a$i").mkString(" ") + " " + shared),
+          (2L, (1 to 20).map(i => s"b$i").mkString(" ") + " " + shared))
+        .toDF("doc_id", "text")
+    }
+    val kept = Dedup.repeatedSpans(corpus(16), "doc_id", "text",
+      shingleSize = 8, minSpanTokens = 16).collect()
+    assert(kept.length == 2 && kept.forall(_.getAs[Long]("span_tokens") == 16L))
+    assert(Dedup.repeatedSpans(corpus(15), "doc_id", "text",
+      shingleSize = 8, minSpanTokens = 16).isEmpty)
   }
 
   test("s31: a census without n_members fails loudly") {

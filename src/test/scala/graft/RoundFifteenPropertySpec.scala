@@ -39,6 +39,71 @@ class RoundFifteenPropertySpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The repo's 60-bit md5 integer convention, independently via java MD5. */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  /** Sequential mirror of the d30 shingle-run kernel: per-position w-grams,
+    * cross-doc = seen in ≥ 2 distinct docs, consecutive-position islands,
+    * min-length cut, span re-hash — a direct transcription of the definition,
+    * no windows, no hashing shortcuts shared with the kernel.
+    */
+  private def mirrorSpans(
+      docs: List[(Long, String)],
+      w: Int,
+      minSpan: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+      .filter(_._2.length >= w)
+    val anchors = toks.flatMap { case (id, ts) =>
+      (0 to ts.length - w).map(i => (id, i + 1, ts.slice(i, i + w).mkString(" ")))
+    }
+    val crossDoc = anchors.groupBy(_._3)
+      .filter { case (_, as) => as.map(_._1).distinct.size >= 2 }
+      .keySet
+    toks.flatMap { case (id, ts) =>
+      val dupPos = anchors.collect { case (d, i, s) if d == id && crossDoc(s) => i }.sorted
+      val runs = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (run :: rest), i) if i == run.head + 1 => (i :: run) :: rest
+        case (acc, i) => List(i) :: acc
+      }
+      runs.map { run =>
+        val start = run.last // runs are built head-prepended: last = min
+        val len = run.head - run.last + w
+        (id, start.toLong, len.toLong, run.size.toLong,
+          h60(ts.slice(start - 1, start - 1 + len).mkString(" ")))
+      }.filter(_._3 >= minSpan)
+    }.toSet
+  }
+
+  private def docsGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.choose(2, 5)
+    docs <- Gen.sequence[List[(Long, String)], (Long, String)]((1 to nDocs).map { d =>
+      for {
+        len <- Gen.choose(5, 25)
+        ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield (d.toLong, ts.mkString(" "))
+    })
+  } yield docs
+
+  test("d30 repeatedSpans equals the sequential shingle-run mirror on random docs") {
+    check("d30-mirror", Prop.forAll(docsGen) { docs =>
+      val got = graft.pipeline.Dedup.repeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleSize = 3, minSpanTokens = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_tokens"), r.getAs[Long]("n_anchors"),
+          r.getAs[Long]("span_h")))
+        .toSet
+      val want = mirrorSpans(docs, w = 3, minSpan = 4)
+      (got == want) :| s"got $got want $want docs $docs"
+    }, cases = 8)
+  }
+
   private def funnelGen: Gen[(Int, Int, Int)] = for {
     nv <- Gen.choose(1, 40)
     nc <- Gen.choose(0, nv)
