@@ -372,6 +372,16 @@ private[graft] trait OracleParams {
     */
   private[graft] val SemanticDecontamMicro = 400000L
 
+  /** d31/d32's pinned within-cell cosine threshold (micro), cell count and
+    * label-prop rounds. Same synthetic-spread reasoning as [[SemanticDecontamMicro]]:
+    * the corpus's within-cell pair similarities top out near 0.60 here, so
+    * 0.40 admits a discriminating minority (19/26/330 pairs at
+    * sf0.001/0.01/0.1 against ~15k/15k/250k within-cell candidates).
+    */
+  private[graft] val SemanticDedupMicro = 400000L
+  private[graft] val SemanticDedupCells = 8
+  private[graft] val SemanticDedupLpRounds = 3
+
   /** ev23's pinned power-iteration budget over the ev21 matrix, shared by
     * registration and the unrolled oracle rounds.
     */

@@ -371,6 +371,23 @@ private[graft] object DedupOracles extends OracleFragments {
     "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleSize = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // SemDeDup with the engine's TRAINED cells: s22 codebook → s33 assignment
+    // → within-cell cosine pairs → d05 label prop → d15 keep-longest manifest
+    "d31_semantic_dedup" -> ((s: SparkSession, dir: String) =>
+      Dedup.semanticDedupClusters(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        thresholdMicro = SemanticDedupMicro, kCells = SemanticDedupCells,
+        dims = 64, trainRounds = IvfPqTrainRounds, rounds = SemanticDedupLpRounds)),
+    // the d29 ROI line for the semantic policy: per-source raw vs d31-kept mass
+    "d32_semantic_savings" -> ((s: SparkSession, dir: String) =>
+      Dedup.semanticDedupSavings(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "source", "vec_id", "embedding",
+        thresholdMicro = SemanticDedupMicro, kCells = SemanticDedupCells,
+        dims = 64, trainRounds = IvfPqTrainRounds, rounds = SemanticDedupLpRounds)),
     // order-free gate attribution: per gate the failing count and the UNIQUE
     // set that re-enters if the gate is ablated — the post-mortem calculus
     // the cumulative dc16 funnel cannot answer
@@ -464,6 +481,46 @@ private[graft] object DedupOracles extends OracleFragments {
       } finally deleteRecursively(scratch)
     }),
   )
+
+  /** Shared by d31 and d32 — the SemDeDup chain: trained k-means cells
+    * (kmeansCtes, the s22/s33 discipline), nearest-cell assignment, within-cell
+    * micro-cosine pairs, SemanticDedupLpRounds of min-label propagation over
+    * ALL embedding ids, and the d15 keep-longest ranking joined to documents.
+    * Ends at `smm` (cluster_id, did, n_toks, source, rk, n_members).
+    */
+  private lazy val semanticDedupCtes: String = {
+    def lpRound(r: Int): String =
+      s"""sn$r AS (SELECT u.a, MIN(l.label) AS m FROM su u JOIN sl${r - 1} l ON l.v = u.b GROUP BY u.a),
+         |sl$r AS (SELECT sl${r - 1}.v, LEAST(sl${r - 1}.label, COALESCE(sn$r.m, sl${r - 1}.label)) AS label
+         |        FROM sl${r - 1} LEFT JOIN sn$r ON sn$r.a = sl${r - 1}.v)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtes("e", SemanticDedupCells, IvfPqTrainRounds)},
+       |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+       |scored_cells AS (
+       |  SELECT e.vec_id, e.v, cents.cid, ${cosSql("e.v", "cents.cv")} AS cc
+       |  FROM e, cents),
+       |cells AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crank
+       |    FROM scored_cells)
+       |  WHERE crank = 1),
+       |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM cells a JOIN cells b USING (cid)
+       |       WHERE a.vec_id < b.vec_id
+       |         AND CAST(floor(1000000.0 * ${cosSql("a.v", "b.v")} + 0.5) AS BIGINT)
+       |             >= $SemanticDedupMicro),
+       |su AS (SELECT id_a AS a, id_b AS b FROM sp UNION ALL SELECT id_b, id_a FROM sp),
+       |sl0 AS (SELECT DISTINCT vec_id AS v, vec_id AS label FROM e),
+       |${(1 to SemanticDedupLpRounds).map(lpRound).mkString(",\n")},
+       |scl AS (SELECT v AS did, label AS cluster_id FROM sl$SemanticDedupLpRounds),
+       |stk AS (SELECT doc_id, source,
+       |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+       |        FROM documents),
+       |smm AS (SELECT scl.cluster_id, scl.did, stk.n_toks, stk.source,
+       |          row_number() OVER (PARTITION BY scl.cluster_id
+       |                             ORDER BY stk.n_toks DESC, scl.did) AS rk,
+       |          COUNT(*) OVER (PARTITION BY scl.cluster_id) AS n_members
+       |        FROM scl JOIN stk ON stk.doc_id = scl.did)""".stripMargin
+  }
 
   /** Shared by d19 and d20 — the saved benchmark-index round trip must reproduce
     * the in-session probe verbatim: distinct word 5-grams per doc on 60-bit md5
@@ -1286,6 +1343,29 @@ private[graft] object DedupOracles extends OracleFragments {
          |    AS span_h
          |FROM keep k JOIN tl t USING (doc_id)""".stripMargin
     },
+    // trained-cell SemDeDup manifest: keep-longest survivor per semantic
+    // cluster — mirror of Dedup.semanticDedupClusters
+    "d31_semantic_dedup" ->
+      s"""WITH $semanticDedupCtes
+         |SELECT cluster_id, did AS kept_doc, n_toks AS kept_tokens,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+         |FROM smm WHERE rk = 1""".stripMargin,
+    // per-source raw vs d31-kept mass — mirror of Dedup.semanticDedupSavings
+    "d32_semantic_savings" ->
+      s"""WITH $semanticDedupCtes,
+         |sk AS (SELECT did AS doc_id FROM smm WHERE rk = 1),
+         |raw AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |        FROM stk GROUP BY 1),
+         |aft AS (SELECT source, COUNT(*) AS n_docs_kept,
+         |          CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+         |        FROM stk JOIN sk USING (doc_id) GROUP BY 1)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.n_tokens,
+         |  CAST(COALESCE(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+         |  CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST((2 * 1000000 * (r.n_tokens - COALESCE(a.n_tokens_kept, 0)) + r.n_tokens)
+         |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
+         |FROM raw r LEFT JOIN aft a USING (source)""".stripMargin,
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

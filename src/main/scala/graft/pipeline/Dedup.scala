@@ -355,6 +355,112 @@ object Dedup {
             " ")), 1, 15), 16, 10).cast("long").as("span_h"))
   }
 
+  /** d31 — CORPUS-LEVEL SEMANTIC dedup (the SemDeDup shape, Abbas et al.
+    * 2023): near-duplicates by MEANING — paraphrases, re-encodings, boilerplate
+    * variants that no shingle operator can see — pruned within the corpus
+    * itself. Composes the engine's trained building blocks end-to-end: the s22
+    * k-means codebook (trained, not the d13 modulus sample), the s33 trained-cell
+    * assignment, within-CELL cosine pairs only (the bucketing: a pair across
+    * cells is never considered, by construction), the d05 bounded label
+    * propagation to close paraphrase chains, and the d15 KEEP-LONGEST policy
+    * (token count from the documents table, id tie-break) — so the survivor of
+    * each semantic group is its most complete member, not an arbitrary min-id.
+    * Output per cluster: (cluster_id, kept_doc, kept_tokens, n_members,
+    * n_dropped) — the same manifest shape as d15, so downstream actuation
+    * (d16 splits, d29-style savings) composes unchanged.
+    *
+    * Scale shape: training is the s22 kernel (broadcast centroids, bounded
+    * rounds); assignment is one map pass with a per-vector k-row window; the
+    * quadratic step is per-CELL and capped (`maxCellMembers` — an over-cap
+    * cell's members keep by default and fall to the exact d01/d02 screens);
+    * label prop is `rounds` bounded id-thin joins; the keep choice is one
+    * token-count map pass + a per-cluster window. Never all-pairs, nothing
+    * driver-side.
+    *
+    * Determinism: centroids are round-6 per training round (both engines hold
+    * identical doubles), pair admission is the micro-quantized rounded cosine,
+    * clusters are exact integer min-label, keep ranks are exact counts with id
+    * tie-breaks — oracle-mirrorable end to end.
+    */
+  def semanticDedupClusters(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      thresholdMicro: Long = 400000L,
+      kCells: Int = 8,
+      dims: Int = 64,
+      trainRounds: Int = 2,
+      rounds: Int = 3,
+      maxCellMembers: Long = 10000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = Similarity.kmeansRounds(embeddings, vecIdCol, vecCol, kCells, dims, trainRounds)
+    val cells = Similarity.assignToCells(embeddings, vecIdCol, vecCol, model)
+      .localCheckpoint(true) // census + both sides of the pair join
+    val pairs = Similarity.withinCellPairs(cells, thresholdMicro, maxCellMembers)
+    val clusters = clustersFromPairs(embeddings, pairs, vecIdCol, rounds)
+    val toks = docs.select(col(idCol).as("did"), TextStats.tokenCount(col(textCol)).as("n_tokens"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters
+      .join(toks, col(vecIdCol) === col("did"))
+      .withColumn("rk",
+        row_number().over(byCluster.orderBy(col("n_tokens").desc, col("did").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rk") === 1)
+      .select(
+        col("cluster_id"),
+        col("did").as("kept_doc"),
+        col("n_tokens").as("kept_tokens"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
+  /** d32 — the d29 ROI line for SEMANTIC dedup: per source, raw vs
+    * d31-surviving doc/token mass and the saved-token share — what a SemDeDup
+    * pass actually buys on this corpus, read next to d29's near-dup savings
+    * (semantic savings ⊇ overlap with d29's: the two reports price different
+    * policies on the same raw mass).
+    *
+    * Scale shape: d31's kernels plus one checkpointed text scan and two
+    * map-side-combinable rollups; |sources|-row output.
+    */
+  def semanticDedupSavings(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      thresholdMicro: Long = 400000L,
+      kCells: Int = 8,
+      dims: Int = 64,
+      trainRounds: Int = 2,
+      rounds: Int = 3,
+      maxCellMembers: Long = 10000L
+  ): DataFrame = {
+    val perDoc = docs.select(col(idCol), col(sourceCol),
+        TextStats.tokenCount(col(textCol)).as("n_toks"))
+      .localCheckpoint(true) // raw rollup + kept join off one text scan
+    val kept = semanticDedupClusters(docs, embeddings, idCol, textCol, vecIdCol, vecCol,
+        thresholdMicro, kCells, dims, trainRounds, rounds, maxCellMembers)
+      .select(col("kept_doc").as(idCol))
+    val raw = perDoc.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val after = perDoc.join(kept, Seq(idCol), "left_semi")
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("n_tokens_kept"))
+    raw.join(after, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        expr("(2 * 1000000 * (n_tokens - coalesce(n_tokens_kept, 0)) + n_tokens)" +
+          " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
+  }
+
   /** d16 — leakage-safe train/val/test split: the split is a function of the
     * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
     * never land on opposite sides of the train/eval boundary — the failure mode

@@ -1614,15 +1614,7 @@ object Similarity {
     val model = kmeansRounds(candidates, idCol, vecCol, kCells, dims, trainRounds)
     val cents = broadcast(withCentroidNorm(model)
       .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
-    val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
-    val assigned = candidates
-      .select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nv", norm2(col("v")))
-      .crossJoin(cents)
-      .select(col("rid"), col("cid"),
-        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    val assigned = assignToCells(candidates, idCol, vecCol, model)
       .select(col("rid"), col("cid"))
     val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val cells = cents.select(col("cid"))
@@ -1640,6 +1632,58 @@ object Similarity {
         expr("(2 * 1000000 * k_cells * sum_sq + n_total * n_total)" +
           " DIV (2 * n_total * n_total)").cast("long").as("imbalance_micro"),
         col("k_cells"))
+  }
+
+  /** The one rendition of trained-cell ASSIGNMENT (shared by the s33 census and
+    * the d31 semantic-dedup kernel): each vector of `df` to its nearest model
+    * centroid — rounded-cosine argmax, cluster-asc tie-break, a per-VECTOR
+    * window (k rows each, never data-sized) over a broadcast centroid catalog.
+    * Returns (rid, cid, v, nv) so a pairwise consumer keeps the vector and its
+    * squared norm without a second corpus pass.
+    */
+  private[graft] def assignToCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame
+  ): DataFrame = {
+    val cents = broadcast(withCentroidNorm(model)
+      .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
+    df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .crossJoin(cents)
+      .select(col("rid"), col("v"), col("nv"), col("cid"),
+        round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("rid"), col("cid"), col("v"), col("nv"))
+  }
+
+  /** The d31 pairwise half, exposed to [[graft.pipeline.Dedup.semanticDedupClusters]]:
+    * within-cell candidate pairs over a trained assignment, cells above
+    * `maxCellMembers` excluded from the quadratic step (the [[semDedup]]
+    * mega-cell guard — their members keep by default and fall to the exact
+    * d01/d02 screens; the published remedy is raising the centroid count).
+    * Pair admission is the micro-quantized rounded cosine ≥ `thresholdMicro`.
+    */
+  private[graft] def withinCellPairs(
+      cells: DataFrame,
+      thresholdMicro: Long,
+      maxCellMembers: Long
+  ): DataFrame = {
+    val smallCells = cells.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxCellMembers)
+      .select(col("cid"))
+    val admitted = cells.join(smallCells, Seq("cid"))
+    admitted
+      .join(admitted.select(col("cid"), col("rid").as("id_b"),
+        col("v").as("bv"), col("nv").as("bn")), Seq("cid"))
+      .filter(col("rid") < col("id_b"))
+      .filter(floor(lit(1000000.0) *
+        round(cosineFromNorms(dot(col("v"), col("bv")), col("nv"), col("bn")), 6)
+        + lit(0.5)).cast("long") >= thresholdMicro)
+      .select(col("rid").as("id_a"), col("id_b"))
   }
 
   /** Persist a trained coarse-quantizer model ([[kmeansRounds]] output) — the s24

@@ -107,6 +107,55 @@ class RoundFifteenOpsSpec extends SparkSpec {
       shingleSize = 8, minSpanTokens = 16).isEmpty)
   }
 
+  test("d31: a planted paraphrase pair dedups (longest kept); a distinct-topic pair survives") {
+    // ids 1,2 seed the two cells (lowest-id k-means seeds): topic A along e1,
+    // topic B along e2. 3 and 4 are paraphrases inside topic A (cos ≈ 0.9999);
+    // every other within-cell pair sits below the 0.999 threshold
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (4L, Array(0.89f, 0.11f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"),
+      (3L, "p q r s t"), (4L, "p q r s t u v w x"), (5L, "g h i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.semanticDedupClusters(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", thresholdMicro = 999000L,
+        kCells = 2, dims = 4, trainRounds = 2, rounds = 3)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("kept_doc"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("n_members"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    // paraphrase pair {3,4} merged, the LONGER member kept; topic pair (2,5)
+    // shares a cell but stays apart; singletons pass through
+    assert(out == Map(
+      1L -> ((1L, 3L, 1L, 0L)),
+      2L -> ((2L, 3L, 1L, 0L)),
+      3L -> ((4L, 9L, 2L, 1L)),
+      5L -> ((5L, 3L, 1L, 0L))), s"got $out")
+  }
+
+  test("d32: savings totals are consistent with the d31 manifest") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val manifest = Dedup.semanticDedupClusters(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", trainRounds = 1)
+    val savings = Dedup.semanticDedupSavings(docs, emb, "doc_id", "text", "source",
+      "vec_id", "embedding", trainRounds = 1).collect()
+    val keptDocs = savings.map(_.getAs[Long]("n_docs_kept")).sum
+    assert(keptDocs == manifest.count(), "Σ per-source kept docs == manifest rows")
+    savings.foreach { r =>
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      val m = r.getAs[Long]("saved_tokens_micro")
+      assert(m >= 0L && m <= 1000000L)
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
