@@ -107,6 +107,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark leg: cross-batch drop, then eviction re-admits") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.TimedDoc
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TimedDoc]
+    val out = StreamOps.streamingDedupWithinWatermark(stream.toDS(), watermarkDelay = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    def ids() = spark.sql("SELECT doc_id FROM wmdedup").collect().map(_.getLong(0)).toSet
+    try {
+      val t0 = 1000000000L // 1000 s in micros
+      // batch 1: two distinct contents — both emitted
+      stream.addData(TimedDoc(3L, "same text", t0), TimedDoc(7L, "other", t0))
+      query.processAllAvailable()
+      assert(ids() == Set(3L, 7L))
+      // batch 2 (BATCH-PARITY ACROSS THE BOUNDARY): a later arrival of the
+      // same content within the horizon is dropped — first-seen wins, exactly
+      // the batch d01 keep-first rule
+      stream.addData(TimedDoc(9L, "same text", t0 + 60L * 1000000L))
+      query.processAllAvailable()
+      assert(ids() == Set(3L, 7L))
+      // batch 3: advance the watermark far past t0 + delay — the registers
+      // for batch-1 content are evicted (the documented state bound)
+      stream.addData(TimedDoc(50L, "watermark pusher", t0 + 10000L * 1000000L))
+      query.processAllAvailable()
+      assert(ids() == Set(3L, 7L, 50L))
+      // batch 4: the same content AFTER eviction is re-admitted as a fresh
+      // keeper — the replay-horizon contract, stated in the scaladoc
+      stream.addData(TimedDoc(11L, "same text", t0 + 10001L * 1000000L))
+      query.processAllAvailable()
+      assert(ids() == Set(3L, 7L, 50L, 11L))
+    } finally query.stop()
+  }
+
   test("mergeDedupBatch is deterministic and replay-recognizable") {
     import graft.streaming.StreamOps.mergeDedupBatch
     // fresh key: batch min wins regardless of order
