@@ -166,6 +166,12 @@ private[graft] trait OracleParams {
     */
   private[graft] val GraphAnnTrainRounds = 1
 
+  /** s34's pinned layer stack (sizes DECREASE toward the top — nested md5-order
+    * prefixes) and the per-layer anchor width of the descent.
+    */
+  private[graft] val GraphAnnLayerSizes = Seq(32, 8)
+  private[graft] val GraphAnnLayerProbe = 2
+
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the
     * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus

@@ -38,6 +38,20 @@ private[graft] object SimilarityOracles extends OracleFragments {
           k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the HNSW-flavored descent added to s26's entry: fixed md5-prefix layers
+    // routed through shared trained cells, bottom anchors unioned into the
+    // medoid seeds — recall ≥ s26 at equal beam (RoundFifteenOpsSpec measures)
+    "s34_graph_ann_layered" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.graphAnnSearchLayered(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding",
+        Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+        Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
+        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds,
+        entryProbe = GraphAnnEntryProbe,
+        layerSizes = GraphAnnLayerSizes, layerProbe = GraphAnnLayerProbe)
+    }),
     // the artifact round trip for the search index (the d18/s24 discipline):
     // build graph + codebook + entry medoids, persist (adj vec_id-clustered,
     // model and entries k-row), reload all three, search — must reproduce s26's
@@ -344,7 +358,48 @@ private[graft] object SimilarityOracles extends OracleFragments {
       .stripMargin
   }
 
-  private lazy val graphAnnSql: String = {
+  private lazy val graphAnnSql: String =
+    graphAnnSqlSeeded(
+      extraCtes = "",
+      x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)")
+
+  /** s34's mirror = s26's with the md5-layer descent UNIONED into the seed:
+    * ly1/ly2 are the nested (md5(id), id)-order prefixes of the nonzero
+    * corpus (fixed sizes), a2 = per-query top anchors over the full top layer,
+    * c1 = lower-layer members sharing a trained cell with an anchor, a1 = the
+    * refined anchors — exactly Similarity.graphAnnSearchLayered's descent.
+    */
+  private lazy val layeredGraphAnnSql: String = {
+    val (n1, n2) = (GraphAnnLayerSizes(0), GraphAnnLayerSizes(1))
+    graphAnnSqlSeeded(
+      extraCtes =
+        s"""ly1 AS (SELECT vec_id AS cand, v FROM ke
+           |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n1),
+           |ly2 AS (SELECT cand, v FROM ly1
+           |        ORDER BY md5(CAST(cand AS VARCHAR)), cand LIMIT $n2),
+           |la2 AS (SELECT query_id, cand, cluster FROM (
+           |    SELECT q.query_id, ly2.cand, easg.cluster,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY ${cosSql("q.qv", "ly2.v")} DESC, ly2.cand) AS rk
+           |    FROM q CROSS JOIN ly2 JOIN easg ON easg.cand = ly2.cand)
+           |  WHERE rk <= $GraphAnnLayerProbe),
+           |lc1 AS (SELECT DISTINCT la2.query_id, ly1.cand, ly1.v
+           |       FROM (SELECT DISTINCT query_id, cluster FROM la2) la2
+           |       JOIN easg lg ON lg.cluster = la2.cluster
+           |       JOIN ly1 ON ly1.cand = lg.cand),
+           |la1 AS (SELECT query_id, cand FROM (
+           |    SELECT lc1.query_id, lc1.cand,
+           |           row_number() OVER (PARTITION BY lc1.query_id
+           |             ORDER BY ${cosSql("q.qv", "lc1.v")} DESC, lc1.cand) AS rk
+           |    FROM lc1 JOIN q USING (query_id))
+           |  WHERE rk <= $GraphAnnLayerProbe),""".stripMargin,
+      x0Sql =
+        """SELECT DISTINCT query_id, cand FROM (
+          |    SELECT query_id, cand FROM qc JOIN med USING (cluster)
+          |    UNION ALL SELECT query_id, cand FROM la1)""".stripMargin)
+  }
+
+  private def graphAnnSqlSeeded(extraCtes: String, x0Sql: String): String = {
       def scoreCte(i: Int): String =
         s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
            |    SELECT query_id, cand, cos_sim,
@@ -402,7 +457,8 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cluster) AS crk
          |    FROM q, cents c)
          |  WHERE crk <= $GraphAnnEntryProbe),
-         |x0 AS (SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)),
+         |$extraCtes
+         |x0 AS ($x0Sql),
          |${scoreCte(0)},
          |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")}
          |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -617,6 +673,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // the d17/d18 discipline.
     "s26_graph_ann" -> graphAnnSql,
     "s27_graph_ann_saved" -> graphAnnSql,
+    "s34_graph_ann_layered" -> layeredGraphAnnSql,
 
 
     // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each

@@ -953,13 +953,28 @@ object Similarity {
       rounds: Int = 2,
       entryProbe: Int = 4
   ): DataFrame = {
-    val vecs = prep.vecs
-    val adj = prep.adj
-    val model = prep.model
-    val ent = prep.entries
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
       .localCheckpoint(true)
+    beamWalk(qs, graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe),
+      prep.vecs, prep.adj, k, beam, rounds)
+  }
+
+  /** The beam-walk core shared by [[graphAnnSearchPrepared]] (medoid seeds) and
+    * [[graphAnnSearchLayered]] (medoid ∪ layer-descent seeds): score the seed
+    * set, then `rounds` of expand-via-adjacency / exact-rescore / keep-top-beam,
+    * then the top-`k` non-self survivors. `qs` = (query_id, qv, qn), `seed` =
+    * (query_id, cand).
+    */
+  private def beamWalk(
+      qs: DataFrame,
+      seed: DataFrame,
+      vecs: DataFrame,
+      adj: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int
+  ): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     def scoreBeam(cands: DataFrame): DataFrame =
       cands.join(qs, Seq("query_id"))
@@ -969,8 +984,7 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("cand"), col("cos_sim"))
-    var beamRel = scoreBeam(graphAnnSeedCandidates(qs, model, ent, entryProbe))
-      .localCheckpoint(true)
+    var beamRel = scoreBeam(seed).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val expanded = beamRel.select(col("query_id"), col("cand"))
         .join(adj, Seq("cand"))
@@ -983,6 +997,121 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** The FIXED-SIZE md5 layer stack of [[graphAnnSearchLayered]]: layer i
+    * (1-based, sizes DECREASING so the last is the top) is the first
+    * `layerSizes(i-1)` nonzero corpus vectors in (md5(id), id) order — the
+    * deterministic analog of HNSW's geometric level sampling (Malkov–Yashunin
+    * 2016 §4: each node's max level is sampled with an exponentially decaying
+    * distribution; a hash-order prefix realizes the same "each level is a
+    * ~1/M subsample of the one below" shape without randomness), and the
+    * same corpus-INDEPENDENT-size rule the r13 entry-set fix pinned for s26.
+    * Because every layer is a PREFIX of the same ordering, upper layers are
+    * subsets of lower ones — the HNSW nesting invariant — so a descent never
+    * loses its anchor when it drops a level. Each member is stamped with its
+    * trained coarse cell (the s22/s33 assignment), which serves as the
+    * INTER-LAYER link structure: level l+1's anchors connect to level l's
+    * members through shared cells, replacing HNSW's per-level link lists with
+    * a relation the oracle can reproduce.
+    *
+    * Output: (layer, cand, cv, cn, cluster) — Σ layerSizes rows at ANY corpus
+    * size. The md5-order prefix is a bounded top-N (heap per partition), never
+    * a global sort materialization.
+    */
+  private[graft] def graphAnnLayers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      layerSizes: Seq[Int]
+  ): DataFrame = {
+    require(layerSizes.nonEmpty && layerSizes == layerSizes.sorted(Ordering[Int].reverse),
+      s"graphAnnLayers: layer sizes must decrease toward the top, got $layerSizes")
+    val cents = broadcast(withCentroidNorm(model)
+      .select(col("cluster").cast("long").as("cluster"), col("cv").as("ccv"), col("cn").as("ccn")))
+    val base = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+      .filter(col("cn") > 0)
+    val stack = layerSizes.zipWithIndex.map { case (n, i) =>
+      base.orderBy(md5(col("cand").cast("string")).asc, col("cand").asc).limit(n)
+        .withColumn("layer", lit(i + 1))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("layer"), col("cand"))
+      .orderBy(col("ccos").desc, col("cluster").asc)
+    stack.crossJoin(cents)
+      .select(col("layer"), col("cand"), col("cv"), col("cn"), col("cluster"),
+        round(cosineFromNorms(dot(col("cv"), col("ccv")), col("cn"), col("ccn")), 6).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("layer"), col("cand"), col("cv"), col("cn"), col("cluster"))
+  }
+
+  /** s34 — MULTI-LAYER graph-ANN: [[graphAnnSearch]] with an HNSW-flavored
+    * descent ADDED to the trained medoid entry. The query first scores the
+    * tiny top layer in full (fixed rows, broadcast), keeps its `layerProbe`
+    * anchors, then at each lower layer scores only the members sharing a
+    * trained COARSE CELL with a current anchor (the inter-layer link; anchors
+    * themselves persist downward because layers are nested prefixes) and keeps
+    * the new top `layerProbe`. The bottom layer's anchors join the s26 medoid
+    * seeds in the base-layer beam walk — the seed set is a SUPERSET of s26's,
+    * and RoundFifteenOpsSpec measures recall@k ≥ s26's at equal beam width on
+    * the s30-style diagnostic.
+    *
+    * Scale shape: every layer relation is corpus-INDEPENDENT in size
+    * (Σ layerSizes rows, PlanSpec-pinned via [[graphAnnLayers]]); descent cost
+    * per query is ≤ |top layer| + layers·layerProbe·|cell ∩ layer| scored
+    * rows — model-sized, never corpus-sized; the base walk is [[beamWalk]]
+    * unchanged. Build once per index generation like the medoid entries.
+    *
+    * Determinism: layer membership is the md5-order prefix, anchors and beams
+    * break ties (cos desc, id asc) — oracle-mirrorable end to end.
+    */
+  def graphAnnSearchLayered(
+      queries: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      model: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      layerSizes: Seq[Int] = Seq(32, 8),
+      layerProbe: Int = 2,
+      entries: Option[DataFrame] = None
+  ): DataFrame = {
+    val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
+    val layers = graphAnnLayers(df, idCol, vecCol, model, layerSizes)
+      .localCheckpoint(true) // Σ layerSizes rows — model-sized
+    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .localCheckpoint(true)
+    val wAnchor = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand").asc)
+    def topAnchors(cands: DataFrame): DataFrame =
+      cands.join(qs, Seq("query_id"))
+        .select(col("query_id"), col("cand"), col("cluster"),
+          round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("acos"))
+        .withColumn("rk", row_number().over(wAnchor))
+        .filter(col("rk") <= layerProbe)
+        .select(col("query_id"), col("cand"), col("cluster"))
+    val topLayer = layers.filter(col("layer") === layerSizes.length)
+    var anchors = topAnchors(
+      qs.select(col("query_id"))
+        .crossJoin(broadcast(topLayer.select(col("cand"), col("cv"), col("cn"), col("cluster")))))
+    for (l <- (layerSizes.length - 1) to 1 by -1) {
+      val lay = layers.filter(col("layer") === l)
+      val cands = anchors.select(col("query_id"), col("cluster")).distinct()
+        .join(lay, Seq("cluster"))
+        .select(col("query_id"), col("cand"), col("cv"), col("cn"), col("cluster"))
+        .distinct()
+      anchors = topAnchors(cands)
+    }
+    val seeds = graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe)
+      .unionByName(anchors.select(col("query_id"), col("cand")))
+      .distinct()
+    beamWalk(qs, seeds, prep.vecs, prep.adj, k, beam, rounds)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by

@@ -1097,6 +1097,25 @@ class PlanSpec extends SparkSpec {
       s"cross-doc flag must be a hash aggregate:\n$p")
   }
 
+  test("layered graph-ANN (s34): layer relations are corpus-independent in size, bounded top-N") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = pipeline.Similarity.kmeansRounds(e, "vec_id", "embedding",
+      k = 8, dims = 64, rounds = 1)
+    val layers = pipeline.Similarity.graphAnnLayers(e, "vec_id", "embedding", model, Seq(32, 8))
+    // the md5-order prefix must compile to a bounded top-N (heap per
+    // partition), never a full global sort materialization of the corpus
+    val p = plan(layers)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"md5 prefix must be a bounded top-N:\n$p")
+    // corpus-independence, measured: doubling the corpus leaves the stack at
+    // exactly Σ layerSizes rows
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000L))
+    val n1 = layers.count()
+    val n2 = pipeline.Similarity.graphAnnLayers(doubled, "vec_id", "embedding", model, Seq(32, 8))
+      .count()
+    assert(n1 == 40L && n2 == 40L, s"layer stack must stay fixed-size: $n1 vs $n2")
+  }
+
   test("probe-recall curve (s32): widening the sweep adds NO corpus scans") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     def scansAt(levels: Seq[Int]): Int = {

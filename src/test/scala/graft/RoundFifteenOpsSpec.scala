@@ -156,6 +156,53 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s34: layered descent recall@k >= s26's at equal beam width (real embeddings)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = 5).localCheckpoint(true)
+    val model = Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+    def recallOf(res: Array[(Long, Long)]): Double = {
+      val truth = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val byQ = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = truth.map { case (q, t) =>
+        t.count(byQ.getOrElse(q, Set.empty).contains).toDouble / t.size
+      }
+      recalls.sum / recalls.size
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val base = recallOf(rows(Similarity.graphAnnSearch(queries, e, "vec_id", "embedding",
+      graph, model, k = 5, beam = 8, rounds = 2, entryProbe = 4)))
+    val layered = recallOf(rows(Similarity.graphAnnSearchLayered(queries, e, "vec_id", "embedding",
+      graph, model, k = 5, beam = 8, rounds = 2, entryProbe = 4,
+      layerSizes = Seq(32, 8), layerProbe = 2)))
+    assert(layered >= base,
+      s"layered recall $layered must not trail the single-layer $base at equal beam")
+  }
+
+  test("s34: layer stack is nested md5-order prefixes with fixed sizes") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+    val layers = Similarity.graphAnnLayers(e, "vec_id", "embedding", model, Seq(32, 8))
+      .collect().map(r => (r.getAs[Int]("layer"), r.getAs[Long]("cand")))
+    val l1 = layers.filter(_._1 == 1).map(_._2).toSet
+    val l2 = layers.filter(_._1 == 2).map(_._2).toSet
+    assert(l1.size == 32 && l2.size == 8, "fixed sizes at any corpus size")
+    assert(l2.subsetOf(l1), "upper layer nests inside the lower (HNSW invariant)")
+    // independent mirror of the md5-order prefix rule
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = e.select(col("vec_id")).collect().map(_.getLong(0))
+      .sortBy(v => (md5hex(v.toString), v)).take(32).toSet
+    assert(l1 == want, "layer 1 is exactly the md5-smallest 32 ids")
+    // decreasing-size contract enforced
+    intercept[IllegalArgumentException] {
+      Similarity.graphAnnLayers(e, "vec_id", "embedding", model, Seq(8, 32))
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
