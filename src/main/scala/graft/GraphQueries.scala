@@ -712,6 +712,135 @@ object GraphQueries {
         floor(lit(1000000.0) * qPart + lit(0.5)).cast("long").as("q_part_micro"))
   }
 
+  /** g65 — MODULARITY-GUARDED LOCAL-MOVE REFINEMENT of the g40 partition: one
+    * (or a few) synchronous Louvain-style local-move rounds (Blondel et al.
+    * 2008's phase-1 step, run once over the LPA labels), each round ACCEPTED
+    * only if g46's exact modularity does not decrease. LPA optimizes nothing —
+    * its majority vote with label-asc tie-breaks mislabels tied boundary
+    * vertices (a vertex with equal pull from two communities always joins the
+    * lower label, even when the modularity gain points the other way); this
+    * pass re-places every vertex by the actual Q gain and keeps the result
+    * only when the score agrees.
+    *
+    * The per-vertex move rule, exact-integer end to end: moving v (degree d_v)
+    * into community c scores `2m·k_{v,c} − d_v·Σ'_c` (the standard ΔQ
+    * numerator ×2m², so the argmax needs no floats), where Σ'_c is c's degree
+    * mass with v's own excluded when c is v's current home; v moves only on a
+    * STRICT improvement over staying (ties stay put — the synchronous-swap
+    * oscillation guard), tie-broken (score desc, community asc). The
+    * acceptance gate then compares Σ q_part_micro (g46's exact micro sum)
+    * before and after: a round with no moves or a non-improving score ends the
+    * loop with the previous partition (the g57/g61 bounded-round discipline;
+    * the probes are 1-row driver reads). Overflow bound (the g62/s33
+    * convention): 2·m·k and d_v·Σ_c stay inside int64 while m·max_degree
+    * < 4.6·10¹⁸ — any real graph; past that, DecimalType both sides.
+    *
+    * Output: the accepted partition in g46's exact shape (community,
+    * n_vertices, e_in, d_sum, q_part_micro).
+    *
+    * Scale shape: one k_{v,c} map-side-combinable count per round (the LPA
+    * join's own shape), two catalog-thin joins for the score, a per-vertex
+    * argmax window, and the g46 scoring kernel — nothing beyond the LPA
+    * round's own cost; every round's partition is checkpointed.
+    */
+  def modularityRefined(
+      spark: SparkSession,
+      dir: String,
+      lpaRounds: Int = 4,
+      refineRounds: Int = 1
+  ): DataFrame = {
+    require(refineRounds >= 1, s"modularityRefined: refineRounds must be >= 1, got $refineRounds")
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val und = snap.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint(true)
+    val lpa = lpaImpl(adj, lpaRounds, _.localCheckpoint(true))
+      .select(col("vertex_id").as("v"), col("community"))
+      .localCheckpoint(true)
+    refineByModularity(und, lpa, refineRounds)
+  }
+
+  /** Kernel form of [[modularityRefined]] over an explicit (lo, hi) edge set
+    * and a starting (v, community) partition — the planted-boundary test and
+    * the monotone-law property enter here.
+    */
+  private[graft] def refineByModularity(
+      und: DataFrame,
+      start: DataFrame,
+      refineRounds: Int
+  ): DataFrame = {
+    def qOf(comm: DataFrame): Long =
+      modularityOf(und, comm)
+        .agg(coalesce(sum(col("q_part_micro")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+    var comm = start.localCheckpoint(true)
+    var q = qOf(comm)
+    var done = false
+    var r = 0
+    while (r < refineRounds && !done) {
+      val moved = localMoveRound(und, comm).localCheckpoint(true)
+      val nMoves = moved
+        .join(comm.select(col("v"), col("community").as("old_c")), Seq("v"))
+        .filter(col("community") =!= col("old_c"))
+        .count() // 1-row probe, the g57 convergence-signature discipline
+      if (nMoves == 0L) done = true
+      else {
+        val q2 = qOf(moved)
+        if (q2 >= q) { comm = moved; q = q2 } else done = true
+      }
+      r += 1
+    }
+    modularityOf(und, comm)
+  }
+
+  /** One synchronous local-move round: every vertex to its strict-best
+    * community by the exact-integer score (see [[modularityRefined]]); the
+    * returned relation is the FULL partition (unmoved vertices keep their
+    * label).
+    */
+  private[graft] def localMoveRound(und: DataFrame, comm: DataFrame): DataFrame = {
+    val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(comm, "v")
+      .groupBy(col("community")).agg(sum(col("d")).as("d_c"))
+    val k = adj
+      .join(comm.select(col("v").as("dst"), col("community").as("c")), "dst")
+      .groupBy(col("src").as("v"), col("c")).agg(count(lit(1)).as("k"))
+    val stay = comm.select(col("v"), col("community").as("a"))
+      .join(deg, "v")
+      .join(dc.select(col("community").as("a"), col("d_c").as("d_a")), "a")
+      .join(k.select(col("v"), col("c").as("a"), col("k").as("k_a")), Seq("v", "a"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("v"), col("a"), col("d"),
+        (lit(2L) * col("m") * coalesce(col("k_a"), lit(0L))
+          - col("d") * (col("d_a") - col("d"))).as("stay_score"))
+    val wBest = Window.partitionBy(col("v")).orderBy(col("score").desc, col("c").asc)
+    val best = k
+      .join(stay, Seq("v"))
+      .filter(col("c") =!= col("a"))
+      .join(dc.select(col("community").as("c"), col("d_c")), "c")
+      .crossJoin(broadcast(mRow))
+      .select(col("v"), col("c"),
+        (lit(2L) * col("m") * col("k") - col("d") * col("d_c")).as("score"),
+        col("stay_score"))
+      .filter(col("score") > col("stay_score")) // strict: ties stay put
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("v"), col("c"))
+    comm.join(best, Seq("v"), "left")
+      .select(col("v"), coalesce(col("c"), col("community")).as("community"))
+  }
+
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1
     * vertex ≡0 (mod 7) (writing its forward LWW register and archiving its live edges);
     * batch 2 then replays single-edge adds from every vertex ≡0 (mod 3). Adds whose

@@ -72,6 +72,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.randomWalks(s, dir, steps = WalkSteps, seedMod = WalkSeedMod)),
     "g46_modularity" -> ((s: SparkSession, dir: String) =>
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
+    "g65_modularity_refined" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.modularityRefined(s, dir, lpaRounds = LpaRounds, refineRounds = 1)),
     "g47_katz" -> ((s: SparkSession, dir: String) =>
       GraphQueries.katzCentrality(s, dir, betaPct = KatzBetaPct)),
     "g48_betweenness" -> ((s: SparkSession, dir: String) =>
@@ -918,6 +920,83 @@ private[graft] object GraphOracles extends OracleFragments {
          |    - (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)) * (ds.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
          |    + 0.5) AS BIGINT) AS q_part_micro
          |FROM ds LEFT JOIN ei USING (community), mt""".stripMargin
+    },
+
+    // g46's partition refined by one modularity-guarded synchronous local-move
+    // round (exact-integer 2m·k − d·Σ scores, strict improvement only, argmax
+    // tie score desc / community asc), ACCEPTED via the gated-UNION mirror:
+    // both partitions are scored, scalar subqueries compare the exact micro-Q
+    // sums and the move count, and only the accepted branch emits rows — a
+    // drifted Spark-side decision fails the hash (the s31/d28 discipline).
+    // Mirror of GraphQueries.modularityRefined at refineRounds = 1.
+    "g65_modularity_refined" -> {
+      def roundCtes(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+           |        FROM adj JOIN $prev l ON l.v = adj.dst
+           |        GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT v, label FROM (
+           |       SELECT v, label,
+           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+           |       FROM n$i)
+           |     WHERE rk = 1)""".stripMargin
+      }
+      def scoreCtes(tag: String, commCte: String): String =
+        s"""ds$tag AS (SELECT community, COUNT(*) AS n_vertices, CAST(SUM(degree) AS BIGINT) AS d_sum
+           |       FROM deg JOIN $commCte USING (v) GROUP BY 1),
+           |ei$tag AS (SELECT a.community, COUNT(*) AS e_in
+           |       FROM und JOIN $commCte a ON a.v = und.lo JOIN $commCte b ON b.v = und.hi
+           |       WHERE a.community = b.community GROUP BY 1),
+           |rows$tag AS (SELECT ds$tag.community, ds$tag.n_vertices,
+           |    CAST(COALESCE(ei$tag.e_in, 0) AS BIGINT) AS e_in, ds$tag.d_sum,
+           |    CAST(floor(1000000.0 * (COALESCE(ei$tag.e_in, 0)::DOUBLE / m::DOUBLE
+           |      - (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE))
+           |        * (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
+           |      + 0.5) AS BIGINT) AS q_part_micro
+           |  FROM ds$tag LEFT JOIN ei$tag USING (community), mt)""".stripMargin
+      s"""$snap,
+         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+         |                        GREATEST(source_id, destination_id) AS hi
+         |        FROM edges
+         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")},
+         |comm0 AS (SELECT v, label AS community FROM l$LpaRounds),
+         |mt AS (SELECT COUNT(*) AS m FROM und),
+         |deg AS (SELECT v, COUNT(*) AS degree
+         |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+         |${scoreCtes("0", "comm0")},
+         |dc0 AS (SELECT community, CAST(SUM(degree) AS BIGINT) AS d_c
+         |        FROM deg JOIN comm0 USING (v) GROUP BY 1),
+         |kk AS (SELECT adj.src AS v, c.community AS c, COUNT(*) AS k
+         |       FROM adj JOIN comm0 c ON c.v = adj.dst GROUP BY 1, 2),
+         |st AS (SELECT c0.v, c0.community AS a, deg.degree AS d,
+         |          CAST(2 * mt.m * COALESCE(kk.k, 0)
+         |               - deg.degree * (dc0.d_c - deg.degree) AS BIGINT) AS stay_score
+         |       FROM comm0 c0
+         |       JOIN deg ON deg.v = c0.v
+         |       JOIN dc0 ON dc0.community = c0.community
+         |       LEFT JOIN kk ON kk.v = c0.v AND kk.c = c0.community, mt),
+         |mvc AS (SELECT kk.v, kk.c,
+         |          CAST(2 * mt.m * kk.k - st.d * dc0.d_c AS BIGINT) AS score, st.stay_score
+         |        FROM kk JOIN st ON st.v = kk.v AND kk.c <> st.a
+         |        JOIN dc0 ON dc0.community = kk.c, mt),
+         |mv AS (SELECT v, c FROM (
+         |    SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC, c) AS rk
+         |    FROM mvc WHERE score > stay_score) WHERE rk = 1),
+         |comm1 AS (SELECT c0.v, COALESCE(mv.c, c0.community) AS community
+         |          FROM comm0 c0 LEFT JOIN mv ON mv.v = c0.v),
+         |${scoreCtes("1", "comm1")},
+         |qq0 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows0),
+         |qq1 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows1),
+         |nm AS (SELECT COUNT(*) AS n FROM comm0 c0
+         |       JOIN comm1 c1 ON c1.v = c0.v AND c1.community <> c0.community),
+         |acc AS (SELECT ((SELECT n FROM nm) > 0
+         |                AND (SELECT q FROM qq1) >= (SELECT q FROM qq0)) AS ok)
+         |SELECT * FROM rows1 WHERE (SELECT ok FROM acc)
+         |UNION ALL
+         |SELECT * FROM rows0 WHERE NOT (SELECT ok FROM acc)""".stripMargin
     },
 
     // TIME-TRAVEL snapshot: the LWW fold over the log prefix updated_at <= AsOfTs —

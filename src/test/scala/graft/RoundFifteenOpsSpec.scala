@@ -203,6 +203,48 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g65: a tie-mislabeled boundary vertex is corrected by the guarded local move") {
+    // A = 4-clique {1..4}, B = triangle {10,11,12}, bridge 8 with ONE edge to
+    // each side. LPA's tie-break (count desc, LABEL ASC) files 8 under A's
+    // lower label even though B's smaller degree mass makes 8∈B the strictly
+    // better partition — exactly the boundary case the refinement exists for.
+    val cliqueA = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val cliqueB = for { a <- 10 to 12; b <- (a + 1) to 12 } yield (a.toLong, b.toLong)
+    val edges = cliqueA ++ cliqueB ++ Seq((1L, 8L), (8L, 10L))
+    val und = edges.toDF("lo", "hi")
+    val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+    val lpa = GraphQueries.plannedLpa(adj, rounds = 4)
+      .select(col("vertex_id").as("v"), col("community"))
+    val lpaMap = lpa.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bLabel = lpaMap(10L)
+    assert(lpaMap(8L) == lpaMap(1L) && lpaMap(8L) != bLabel,
+      s"planted premise: LPA must file the bridge under A, got $lpaMap")
+    assert(Set(10L, 11L, 12L).map(lpaMap) == Set(bLabel), "B intact under one label")
+    def qSum(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("q_part_micro")).sum
+    val before = GraphQueries.modularityOf(und, lpa).collect()
+    val after = GraphQueries.refineByModularity(und, lpa, refineRounds = 1).collect()
+    // the move pass relocates EXACTLY the bridge into B's community…
+    val bAfter = after.find(_.getAs[Long]("community") == bLabel).get
+    assert(bAfter.getAs[Long]("n_vertices") == 4L, s"bridge joined B: ${after.mkString(", ")}")
+    assert(after.map(_.getAs[Long]("n_vertices")).sum == 8L)
+    // …and the g46 score strictly improves (the acceptance gate held)
+    assert(qSum(after) > qSum(before), s"${qSum(before)} -> ${qSum(after)}")
+    // a second round finds no further strict improvement: output identical
+    // (the bounded-round early exit is invisible — the g57/g61 discipline)
+    val two = GraphQueries.refineByModularity(und, lpa, refineRounds = 2).collect()
+    assert(two.map(_.toString).sorted.sameElements(after.map(_.toString).sorted))
+  }
+
+  test("g65: monotone law on the real graph — refined Q never trails g46's") {
+    def qSum(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("q_part_micro")).sum
+    val base = qSum(GraphQueries.modularity(spark, dir, rounds = 4))
+    val refined = qSum(GraphQueries.modularityRefined(spark, dir, lpaRounds = 4, refineRounds = 1))
+    assert(refined >= base, s"refined $refined must not trail LPA's $base")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
