@@ -360,13 +360,14 @@ private[graft] trait OracleParams {
   private[graft] val DecontamMod = 10L
   private[graft] val DecontamShingle = 5
 
-  /** d30's pinned anchor width and minimum reportable span, shared by
-    * registration and the SQL mirror. The published substring-dedup runs use
-    * ~50-token spans on real web documents; the synthetic corpus's documents
-    * are 10–99 tokens, so the pins sit where the planted near-dup spans
-    * (observed 11–93 tokens across scale factors) stay discriminating: an
-    * 8-token anchor is wide enough that random same-vocabulary collisions
-    * vanish, and 16 tokens keeps only genuinely long shared runs.
+  /** d30's pinned window width and minimum registrable span (the shared d14
+    * kernel run at a WIDER window and a LONGER bar than d14's 5/8 inventory
+    * pins — the registry only wants spans worth cutting). The published
+    * substring-dedup runs use ~50-token spans on real web documents; the
+    * synthetic corpus's documents are 10–99 tokens, so the pins sit where the
+    * planted near-dup spans (observed 11–93 tokens across scale factors) stay
+    * discriminating: an 8-token window makes random same-vocabulary
+    * collisions vanish, and 16 tokens keeps only genuinely long shared runs.
     */
   private[graft] val RepeatedSpanShingle = 8
   private[graft] val RepeatedSpanMinTokens = 16

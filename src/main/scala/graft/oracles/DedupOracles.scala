@@ -366,11 +366,12 @@ private[graft] object DedupOracles extends OracleFragments {
       Dedup.dedupSavings(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source",
         shingleSize = 3, bands = 16, rowsPerBand = 1, rounds = 3)),
-    // substring-level exact dedup: maximal cross-doc repeated token spans via
-    // the shingle-run kernel (no pair relation; cross-doc = min≠max per anchor)
+    // substring-dedup decision layer: d14's span inventory (shared kernel, the
+    // d15:d05 relationship) stamped with exact span identity, sharing census,
+    // canonical keeper, per-occurrence cut verdict
     "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
-      Dedup.repeatedSpans(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        shingleSize = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+      Dedup.repeatedSpanRegistry(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
     // SemDeDup with the engine's TRAINED cells: s22 codebook → s33 assignment
     // → within-cell cosine pairs → d05 label prop → d15 keep-longest manifest
     "d31_semantic_dedup" -> ((s: SparkSession, dir: String) =>
@@ -1314,34 +1315,41 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST((2 * 1000000 * (r.n_tokens - COALESCE(a.n_tokens_kept, 0)) + r.n_tokens)
          |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
          |FROM raw r LEFT JOIN aft a USING (source)""".stripMargin,
-    // maximal cross-doc repeated token spans: per-position shingle anchors,
-    // cross-doc flag = MIN(doc) <> MAX(doc) per anchor hash, gaps-and-islands
-    // per doc, min-length cut, span text re-hashed — mirror of
-    // Dedup.repeatedSpans
+    // the d14 span kernel (same CTE chain at d30's wider window/longer bar),
+    // then span identity (exact-text 60-bit md5), sharing census, canonical
+    // keeper (doc asc, start asc) and per-occurrence cut — mirror of
+    // Dedup.repeatedSpanRegistry
     "d30_repeated_spans" -> {
       val w = RepeatedSpanShingle
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |tl AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= $w),
-         |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
-         |        FROM tl),
-         |sh AS (SELECT doc_id, i,
+         |pg AS (SELECT doc_id, i AS pos,
          |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
-         |       FROM pos),
-         |dfh AS (SELECT h FROM sh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
-         |dup AS (SELECT doc_id, i FROM sh WHERE h IN (SELECT h FROM dfh)),
-         |isl AS (SELECT doc_id, i,
-         |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
-         |        FROM dup),
-         |runs AS (SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
-         |           CAST(MAX(i) - MIN(i) + $w AS BIGINT) AS span_tokens,
-         |           CAST(COUNT(*) AS BIGINT) AS n_anchors
-         |         FROM isl GROUP BY doc_id, g),
-         |keep AS (SELECT * FROM runs WHERE span_tokens >= $RepeatedSpanMinTokens)
-         |SELECT k.doc_id, k.span_start, k.span_tokens, k.n_anchors,
-         |  ('0x' || substr(md5(array_to_string(
-         |     t.ts[k.span_start:k.span_start + k.span_tokens - 1], ' ')), 1, 15))::BIGINT
-         |    AS span_h
-         |FROM keep k JOIN tl t USING (doc_id)""".stripMargin
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+         |             FROM toks)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg) GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM pg JOIN dup USING (h)),
+         |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
+         |       FROM st GROUP BY doc_id, grp),
+         |keep AS (SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |           CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |         FROM sp WHERE span_end - span_start + 1 >= $RepeatedSpanMinTokens),
+         |stp AS (SELECT k.doc_id, k.span_start, k.span_tokens,
+         |          ('0x' || substr(md5(array_to_string(
+         |             t.ts[k.span_start:k.span_start + k.span_tokens - 1], ' ')), 1, 15))::BIGINT
+         |            AS span_h
+         |        FROM keep k JOIN toks t USING (doc_id)),
+         |reg AS (SELECT span_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing,
+         |               MIN(doc_id) AS keep_doc
+         |        FROM stp GROUP BY 1),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY span_h
+         |                                    ORDER BY doc_id, span_start) AS rk
+         |       FROM stp)
+         |SELECT rk.doc_id, rk.span_start, rk.span_tokens, rk.span_h,
+         |  reg.n_docs_sharing, reg.keep_doc,
+         |  CAST(CASE WHEN rk.rk > 1 THEN 1 ELSE 0 END AS INTEGER) AS cut
+         |FROM rk JOIN reg USING (span_h)""".stripMargin
     },
     // trained-cell SemDeDup manifest: keep-longest survivor per semantic
     // cluster — mirror of Dedup.semanticDedupClusters

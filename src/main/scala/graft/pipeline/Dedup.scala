@@ -273,86 +273,65 @@ object Dedup {
           " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
   }
 
-  /** d30 — SUBSTRING-LEVEL exact dedup: the span inventory of long token runs
-    * repeated ACROSS documents — the published complement to doc-level dedup
-    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-    * Better": removing duplicated substrings ≥ ~50 tokens is the
-    * highest-cited dedup gain after doc-level), re-derived Spark-first as a
-    * SHINGLE-RUN kernel instead of the paper's suffix array: anchor every
-    * token position with its `shingleSize`-gram, flag positions whose anchor
-    * occurs in MORE THAN ONE document, and merge consecutive flagged
-    * positions per document into maximal spans (gaps-and-islands over a
-    * per-DOCUMENT window). A span of m consecutive flagged anchors covers
-    * m + shingleSize − 1 tokens; spans shorter than `minSpanTokens` are
-    * noise and dropped. Output per (doc, span): 1-based token start, token
-    * length, anchor count, and the 60-bit md5 of the span text — the removal
-    * manifest a substring-dedup pass actuates, span-addressable so the
-    * surviving document keeps its unique prefix/suffix.
+  /** d30 — the SUBSTRING-dedup DECISION layer over the d14 span inventory
+    * (exactly the relationship d15 has to d05): [[dupSpans]] reports which
+    * (doc, start, length) runs are repeated across documents; this registry
+    * turns that inventory into the removal manifest the published pipeline
+    * step actuates (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": remove every occurrence of a long duplicated
+    * substring EXCEPT ONE). Each long span is stamped with the 60-bit md5 of
+    * its exact text — the span's cross-document IDENTITY — then per identity:
+    * how many documents share it verbatim, the canonical keeper (minimum
+    * doc id, then minimum start within it — one surviving occurrence
+    * corpus-wide), and per occurrence the `cut` verdict a curation pass
+    * filters on. Identity is EXACT-substring equality of maximal spans: two
+    * documents sharing only part of a run carry different maximal spans and
+    * different hashes by design (partial-overlap clustering is the fuzzy
+    * operators' job, d02–d05).
     *
-    * NO PAIR RELATION EXISTS in this kernel — stronger than a capped bucket
-    * join: cross-doc detection is `min(doc) ≠ max(doc)` per anchor hash (a
-    * map-side-combinable 2-scalar aggregate, NOT a distinct-count), so a
-    * boilerplate shingle shared by 10⁷ documents costs one group row, never a
-    * quadratic cell, and no doc-freq cap is even needed for boundedness. No
-    * suffix array, nothing driver-side: the only window is per-document
-    * (bounded by document length).
+    * Scale shape: rides the shared [[dupSpanRuns]] kernel (one checkpointed
+    * positioned-hash pass, no pairs, per-document windows only) at its own
+    * longer window/span bar; the stamp join re-reads the corpus text once
+    * with the output-sized span relation broadcast into it; the registry
+    * census and keeper window partition by span hash — output-sized
+    * relations, never corpus-sized.
     *
-    * Scale shape: the anchor relation (doc, pos, hash — one row per token
-    * position, the corpus's dominant cost: tokenize + md5) is computed ONCE
-    * and checkpointed, because it has two consumers — the cross-doc census
-    * and the island probe — and recomputing it would double the expensive
-    * pass (the d02 bandSigs discipline; the checkpoint is position-rows of
-    * three fixed-width columns, spill-friendly). Then one map-side-combinable
-    * hash-keyed aggregate, one semi-join back on the anchor hash (AQE
-    * skew-splittable — never a window over the hash key, whose hot
-    * boilerplate shingles would skew a partition), and a span-stamp pass
-    * that re-reads the corpus text once; the runs relation is output-sized
-    * (tiny) and broadcasts into the span-stamp join.
-    *
-    * Determinism: anchors and span hashes are the repo's 60-bit md5 integer
-    * convention; positions are exact; islands group on `i − row_number()`
-    * with unique per-doc positions — both engines derive identical rows.
+    * Determinism: positions and counts exact, hashes the repo's 60-bit md5
+    * integer convention, keeper rank (doc asc, start asc) — a total order.
     */
-  def repeatedSpans(
+  def repeatedSpanRegistry(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 8,
+      windowTokens: Int = 8,
       minSpanTokens: Int = 16
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = shingleSize
-    require(w >= 2, s"repeatedSpans: shingleSize must be >= 2, got $w")
-    require(minSpanTokens >= w,
-      s"repeatedSpans: minSpanTokens ($minSpanTokens) must be >= shingleSize ($w)")
-    def toksOf(rel: DataFrame): DataFrame = rel
-      .select(col(idCol).as("doc"), split(col(textCol), " ", -1).as("ts"))
-      .filter(size(col("ts")) >= w) // guards sequence(1, n): n >= 1, ascending
-    val anchors = toksOf(Scans.fanOut(df))
-      .select(col("doc"), col("ts"),
-        explode(sequence(lit(1), size(col("ts")) - lit(w - 1))).as("i"))
-      .select(col("doc"), col("i"),
-        conv(substring(md5(array_join(slice(col("ts"), col("i"), lit(w)), " ")), 1, 15),
-          16, 10).cast("long").as("h"))
-      .localCheckpoint(true) // two consumers: cross-doc census + island probe
-    val crossDoc = anchors.groupBy(col("h"))
-      .agg(min(col("doc")).as("mn"), max(col("doc")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("h"))
-    val byDoc = Window.partitionBy(col("doc")).orderBy(col("i").asc)
-    val runs = anchors.join(crossDoc, Seq("h"), "left_semi")
-      .withColumn("g", col("i") - row_number().over(byDoc))
-      .groupBy(col("doc"), col("g"))
-      .agg(min(col("i")).cast("long").as("span_start"),
-        (max(col("i")) - min(col("i")) + lit(w)).cast("long").as("span_tokens"),
-        count(lit(1)).as("n_anchors"))
-      .filter(col("span_tokens") >= minSpanTokens)
-    runs.join(toksOf(df), Seq("doc"))
-      .select(col("doc").as(idCol), col("span_start"), col("span_tokens"),
-        col("n_anchors"),
+    require(windowTokens >= 2,
+      s"repeatedSpanRegistry: windowTokens must be >= 2, got $windowTokens")
+    require(minSpanTokens >= windowTokens,
+      s"repeatedSpanRegistry: minSpanTokens ($minSpanTokens) must be >= " +
+        s"windowTokens ($windowTokens)")
+    val spans = dupSpanRuns(df, idCol, textCol, windowTokens)
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col(idCol).as("doc"), col("span_start").cast("long").as("span_start"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+    val toks = df.select(col(idCol).as("doc"), split(col(textCol), " ", -1).as("ts"))
+    val stamped = spans.join(toks, Seq("doc"))
+      .select(col("doc"), col("span_start"), col("span_tokens"),
         conv(substring(md5(array_join(
             slice(col("ts"), col("span_start").cast("int"), col("span_tokens").cast("int")),
             " ")), 1, 15), 16, 10).cast("long").as("span_h"))
+      .localCheckpoint(true) // output-sized; two consumers: census + keeper rank
+    val registry = stamped.groupBy(col("span_h"))
+      .agg(countDistinct(col("doc")).as("n_docs_sharing"), min(col("doc")).as("keep_doc"))
+    val wKeep = Window.partitionBy(col("span_h"))
+      .orderBy(col("doc").asc, col("span_start").asc)
+    stamped.withColumn("rk", row_number().over(wKeep))
+      .join(registry, Seq("span_h"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_tokens"), col("span_h"),
+        col("n_docs_sharing"), col("keep_doc"),
+        (col("rk") > 1).cast("int").as("cut"))
   }
 
   /** d31 — CORPUS-LEVEL SEMANTIC dedup (the SemDeDup shape, Abbas et al.
@@ -1125,6 +1104,10 @@ object Dedup {
     * only window function partitions by document (bounded by doc length). The df agg
     * and the dup-hash join both move hashed longs. A 60-bit collision merges two
     * windows corpus-wide (odds ~|windows|²/2⁶¹, mirrored exactly by the oracle).
+    *
+    * This is the INVENTORY; the removal decision (span identity, sharing
+    * census, canonical keeper, cut verdicts) is [[repeatedSpanRegistry]] (d30),
+    * which rides the same [[dupSpanRuns]] kernel.
     */
   def dupSpans(
       df: DataFrame,
@@ -1132,6 +1115,24 @@ object Dedup {
       textCol: String,
       windowTokens: Int = 5,
       minSpanTokens: Int = 8
+  ): DataFrame =
+    dupSpanRuns(df, idCol, textCol, windowTokens)
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col(idCol), col("span_start"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+
+  /** The ONE rendition of the duplicated-span kernel, shared by the d14
+    * inventory ([[dupSpans]]) and the d30 registry ([[repeatedSpanRegistry]]):
+    * positioned window hashes → doc-frequency ≥ 2 marks duplicated starts →
+    * the gaps-and-islands fold merges adjacent starts into maximal
+    * (id, span_start, span_end) runs. No min-length cut here — each consumer
+    * applies its own bar.
+    */
+  private[graft] def dupSpanRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pg = Scans.fanOut(df)
@@ -1152,9 +1153,6 @@ object Dedup {
       .agg(
         min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(windowTokens.toLong - 1)).as("span_end"))
-      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
-      .select(col(idCol), col("span_start"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =

@@ -1075,26 +1075,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"exact route joins are broadcast/semi only:\n$p")
   }
 
-  test("repeated spans (d30): one pruned span-stamp scan, no pair join, per-doc window only") {
-    val p = plan(pipeline.Dedup.repeatedSpans(
+  test("repeated spans (d30): one pruned span-stamp scan, no pair join, bounded windows") {
+    val p = plan(pipeline.Dedup.repeatedSpanRegistry(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
-    // the kernel's whole point: substring dedup WITHOUT a doc×doc relation —
-    // cross-doc detection is a min/max aggregate on the anchor hash, so the
-    // plan must carry no SortMergeJoin (the semi-join and the span-stamp join
-    // are hash/broadcast) and no global window
+    // substring dedup WITHOUT a doc×doc relation: cross-doc detection is a
+    // hash aggregate on the window hash inside the shared d14 kernel, so the
+    // plan must carry no pair-shaped join
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no pair relation may exist:\n$p")
-    // the anchor relation is checkpointed at construction (two consumers:
-    // census + island probe), so the lazily-planned part re-scans the corpus
-    // exactly once — for the span stamp
+    // both corpus passes (the d14 kernel's positioned hashes; the stamped
+    // output-sized span relation) are checkpointed at construction, so the
+    // lazily-planned registry fold touches NO corpus scan at all
     val scans = "FileScan".r.findAllMatchIn(p).size
-    assert(scans == 1, s"span-stamp pass = exactly 1 un-checkpointed corpus scan, got $scans:\n$p")
-    val scanLines = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(scanLines.forall(l => l.contains("doc_id") && l.contains("text") && !l.contains("source")),
-      s"scans must prune to (doc_id, text):\n${scanLines.mkString("\n")}")
-    // map-side partial aggregation on the anchor hash (the min≠max flag)
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      s"cross-doc flag must be a hash aggregate:\n$p")
+    assert(scans == 0, s"registry fold reads only checkpointed relations, got $scans scans:\n$p")
   }
 
   test("layered graph-ANN (s34): layer relations are corpus-independent in size, bounded top-N") {

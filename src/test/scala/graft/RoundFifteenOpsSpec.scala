@@ -64,8 +64,8 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(rootHas(err), s"poison did not propagate: $err")
   }
 
-  test("d30: a planted 200-token shared span is found exactly; disjoint docs stay empty") {
-    // globally unique fillers so no accidental cross-doc shingle exists
+  test("d30: a planted 200-token shared span registers once, keeper kept, copy cut") {
+    // globally unique fillers so no accidental cross-doc window exists
     val shared = (1 to 200).map(i => s"sh$i").mkString(" ")
     val docA = ((1 to 50).map(i => s"ua$i") :+ shared) ++ (1 to 30).map(i => s"za$i")
     val docB = ((1 to 70).map(i => s"ub$i") :+ shared)
@@ -73,22 +73,26 @@ class RoundFifteenOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, docA.mkString(" ")), (2L, docB.mkString(" ")), (3L, docC.mkString(" ")))
       .toDF("doc_id", "text")
-    val out = Dedup.repeatedSpans(docs, "doc_id", "text",
-        shingleSize = 8, minSpanTokens = 16)
+    val out = Dedup.repeatedSpanRegistry(docs, "doc_id", "text",
+        windowTokens = 8, minSpanTokens = 16)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
-        r.getAs[Long]("span_tokens"), r.getAs[Long]("span_h")))
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("span_h"),
+        r.getAs[Long]("n_docs_sharing"), r.getAs[Long]("keep_doc"),
+        r.getAs[Int]("cut")))
       .sortBy(r => (r._1, r._2))
     // exactly the planted span, at its 1-based start in each doc, nothing in C
-    assert(out.length == 2, s"want the two planted spans, got ${out.mkString(", ")}")
+    assert(out.length == 2, s"want the two planted occurrences, got ${out.mkString(", ")}")
     assert(out(0)._1 == 1L && out(0)._2 == 51L && out(0)._3 == 200L)
     assert(out(1)._1 == 2L && out(1)._2 == 71L && out(1)._3 == 200L)
-    // both sides carry the SAME span text hash — the cross-doc link
-    assert(out(0)._4 == out(1)._4)
+    // one identity shared by both docs; doc 1 is the canonical keeper, doc 2 cut
+    assert(out(0)._4 == out(1)._4, "same exact text, same identity")
+    assert(out.forall(r => r._5 == 2L && r._6 == 1L))
+    assert(out(0)._7 == 0 && out(1)._7 == 1, s"keep first occurrence only: $out")
     // fully disjoint corpus → empty output
     val disjoint = Seq((1L, docC.mkString(" ")), (2L, (1 to 90).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
-    assert(Dedup.repeatedSpans(disjoint, "doc_id", "text").isEmpty)
+    assert(Dedup.repeatedSpanRegistry(disjoint, "doc_id", "text").isEmpty)
   }
 
   test("d30: spans shorter than minSpanTokens are dropped, boundary length kept") {
@@ -100,11 +104,13 @@ class RoundFifteenOpsSpec extends SparkSpec {
           (2L, (1 to 20).map(i => s"b$i").mkString(" ") + " " + shared))
         .toDF("doc_id", "text")
     }
-    val kept = Dedup.repeatedSpans(corpus(16), "doc_id", "text",
-      shingleSize = 8, minSpanTokens = 16).collect()
+    val kept = Dedup.repeatedSpanRegistry(corpus(16), "doc_id", "text",
+      windowTokens = 8, minSpanTokens = 16).collect()
     assert(kept.length == 2 && kept.forall(_.getAs[Long]("span_tokens") == 16L))
-    assert(Dedup.repeatedSpans(corpus(15), "doc_id", "text",
-      shingleSize = 8, minSpanTokens = 16).isEmpty)
+    // exactly one occurrence survives the cut across the whole corpus
+    assert(kept.count(_.getAs[Int]("cut") == 0) == 1)
+    assert(Dedup.repeatedSpanRegistry(corpus(15), "doc_id", "text",
+      windowTokens = 8, minSpanTokens = 16).isEmpty)
   }
 
   test("d31: a planted paraphrase pair dedups (longest kept); a distinct-topic pair survives") {

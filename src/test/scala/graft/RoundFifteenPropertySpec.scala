@@ -47,15 +47,16 @@ class RoundFifteenPropertySpec extends SparkSpec {
   private def h60(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
 
-  /** Sequential mirror of the d30 shingle-run kernel: per-position w-grams,
-    * cross-doc = seen in ≥ 2 distinct docs, consecutive-position islands,
-    * min-length cut, span re-hash — a direct transcription of the definition,
-    * no windows, no hashing shortcuts shared with the kernel.
+  /** Sequential mirror of the d30 registry: per-position w-grams, cross-doc =
+    * seen in ≥ 2 distinct docs, consecutive-position islands, min-length cut,
+    * span re-hash, then the registry fold (distinct-doc census, min-doc
+    * keeper, first-(doc, start)-occurrence keep) — a direct transcription of
+    * the definition, no windows, no hashing shortcuts shared with the kernel.
     */
-  private def mirrorSpans(
+  private def mirrorRegistry(
       docs: List[(Long, String)],
       w: Int,
-      minSpan: Int): Set[(Long, Long, Long, Long, Long)] = {
+      minSpan: Int): Set[(Long, Long, Long, Long, Long, Long, Int)] = {
     val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
       .filter(_._2.length >= w)
     val anchors = toks.flatMap { case (id, ts) =>
@@ -64,18 +65,26 @@ class RoundFifteenPropertySpec extends SparkSpec {
     val crossDoc = anchors.groupBy(_._3)
       .filter { case (_, as) => as.map(_._1).distinct.size >= 2 }
       .keySet
-    toks.flatMap { case (id, ts) =>
+    val spans = toks.flatMap { case (id, ts) =>
       val dupPos = anchors.collect { case (d, i, s) if d == id && crossDoc(s) => i }.sorted
       val runs = dupPos.foldLeft(List.empty[List[Int]]) {
-        case (acc @ (run :: rest), i) if i == run.head + 1 => (i :: run) :: rest
+        case ((run :: rest), i) if i == run.head + 1 => (i :: run) :: rest
         case (acc, i) => List(i) :: acc
       }
       runs.map { run =>
         val start = run.last // runs are built head-prepended: last = min
         val len = run.head - run.last + w
-        (id, start.toLong, len.toLong, run.size.toLong,
+        (id, start.toLong, len.toLong,
           h60(ts.slice(start - 1, start - 1 + len).mkString(" ")))
       }.filter(_._3 >= minSpan)
+    }
+    spans.groupBy(_._4).flatMap { case (h, occ) =>
+      val nDocs = occ.map(_._1).distinct.size.toLong
+      val keepDoc = occ.map(_._1).min
+      val first = occ.map(o => (o._1, o._2)).min
+      occ.map { case (id, start, len, _) =>
+        (id, start, len, h, nDocs, keepDoc, if ((id, start) == first) 0 else 1)
+      }
     }.toSet
   }
 
@@ -89,17 +98,18 @@ class RoundFifteenPropertySpec extends SparkSpec {
     })
   } yield docs
 
-  test("d30 repeatedSpans equals the sequential shingle-run mirror on random docs") {
+  test("d30 repeatedSpanRegistry equals the sequential span-registry mirror on random docs") {
     check("d30-mirror", Prop.forAll(docsGen) { docs =>
-      val got = graft.pipeline.Dedup.repeatedSpans(
+      val got = graft.pipeline.Dedup.repeatedSpanRegistry(
         docs.toDF("doc_id", "text"), "doc_id", "text",
-        shingleSize = 3, minSpanTokens = 4)
+        windowTokens = 3, minSpanTokens = 4)
         .collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
-          r.getAs[Long]("span_tokens"), r.getAs[Long]("n_anchors"),
-          r.getAs[Long]("span_h")))
+          r.getAs[Long]("span_tokens"), r.getAs[Long]("span_h"),
+          r.getAs[Long]("n_docs_sharing"), r.getAs[Long]("keep_doc"),
+          r.getAs[Int]("cut")))
         .toSet
-      val want = mirrorSpans(docs, w = 3, minSpan = 4)
+      val want = mirrorRegistry(docs, w = 3, minSpan = 4)
       (got == want) :| s"got $got want $want docs $docs"
     }, cases = 8)
   }
