@@ -14,9 +14,8 @@ object Bench {
     "g18_vertex_domination", "g20_metadata_registers",
     "g37_decayed_pagerank",
     "d05_dedup_clusters", "d08_curation_funnel",
-    "d10_fuzzy_pairs",
     "s17_hybrid_rrf", "s18_hybrid_rrf_capped",
-    "s22_kmeans_train", "s23_ivf_pq_trained", "s24_ivf_pq_saved",
+    "s24_ivf_pq_saved",
     // rotated out for line-length headroom (still in the total): t01_lang_id,
     // t13_chunk, ev3_hourly_rollup, m03_frame_sample, q01_pricing_summary,
     // ev8_asof_join, o01_zorder, s01_ann_bruteforce, t06_corpus_stats,
@@ -104,6 +103,20 @@ object Bench {
     // s26-s28) — all 1.6-2.4s flat, and BENCH_SEED.json now gives every
     // non-headline query min-of-history anyway.
     "dc20_release_epoch", "d28_autotuned_clusters",
+    // r15: four slots for the new composites — d31 runs the trained-kmeans +
+    // within-cell pair + label-prop + keep-longest chain, d32 runs d31 again
+    // into the per-source rollup, s34 adds the layer descent on top of s26's
+    // full build, g65 runs the LPA + TWO g46 scorings + the move round.
+    // Rotated to pay for them (all ≤2s flat, families still priced):
+    // g46_modularity (g65 RUNS the full g46 scoring — the g54→g55 one-slot-
+    // prices-both precedent), s22_kmeans_train (the kmeans loop runs inside
+    // s23/s24/s26/s34/d31), s23_ivf_pq_trained (s24 runs the identical trained
+    // pipeline plus the artifact round trip), d10_fuzzy_pairs (the
+    // band-bucket candidate kernel rides in d05/d15/d18/d26). d30 stays
+    // non-headline (two cheap text scans, the d14 kernel; the fam field
+    // reports the d-family's worst query regardless).
+    "d31_semantic_dedup", "d32_semantic_savings", "s34_graph_ann_layered",
+    "g65_modularity_refined",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
