@@ -372,6 +372,16 @@ private[graft] object DedupOracles extends OracleFragments {
     "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpanRegistry(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // the d30 verdicts actuated: per cut document the overlap-safe position
+    // surgery, before/after token counts, rebuilt-text hash
+    "d33_span_cut" -> ((s: SparkSession, dir: String) =>
+      Dedup.repeatedSpanCut(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // per-source substring-dedup ROI (the d29/d32 savings convention)
+    "d34_span_savings" -> ((s: SparkSession, dir: String) =>
+      Dedup.repeatedSpanSavings(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source",
+        windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
     // SemDeDup with the engine's TRAINED cells: s22 codebook → s33 assignment
     // → within-cell cosine pairs → d05 label prop → d15 keep-longest manifest
     "d31_semantic_dedup" -> ((s: SparkSession, dir: String) =>
@@ -482,6 +492,58 @@ private[graft] object DedupOracles extends OracleFragments {
       } finally deleteRecursively(scratch)
     }),
   )
+
+  /** Shared by d30/d33/d34 — the d14 span kernel at the d30 window/bar, the
+    * span-identity stamp, and the keeper rank. Ends at `stp` (doc_id,
+    * span_start, span_tokens, span_h) and `rk` (stp + keeper rank).
+    */
+  private lazy val repeatedSpanCtes: String = {
+    val w = RepeatedSpanShingle
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |pg AS (SELECT doc_id, i AS pos,
+       |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+       |             FROM toks)),
+       |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg) GROUP BY h HAVING count(*) >= 2),
+       |st AS (SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |       FROM pg JOIN dup USING (h)),
+       |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
+       |       FROM st GROUP BY doc_id, grp),
+       |keep AS (SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |           CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+       |         FROM sp WHERE span_end - span_start + 1 >= $RepeatedSpanMinTokens),
+       |stp AS (SELECT k.doc_id, k.span_start, k.span_tokens,
+       |          ('0x' || substr(md5(array_to_string(
+       |             t.ts[k.span_start:k.span_start + k.span_tokens - 1], ' ')), 1, 15))::BIGINT
+       |            AS span_h
+       |        FROM keep k JOIN toks t USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY span_h
+       |                                    ORDER BY doc_id, span_start) AS rk
+       |       FROM stp)""".stripMargin
+  }
+
+  /** Shared by d33 and d34 — the position-set surgery over [[repeatedSpanCtes]]'
+    * cut occurrences: `nc` (per-doc cut-span count) and `ag` (per cut doc the
+    * before/after token counts and rebuilt text, grid-completed so a fully-cut
+    * document reports 0 survivors and the empty string).
+    */
+  private lazy val spanCutCtes: String =
+    s"""cut AS (SELECT doc_id, span_start AS s, span_start + span_tokens - 1 AS e
+       |        FROM rk WHERE rk > 1),
+       |nc AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM cut GROUP BY 1),
+       |ptok AS (SELECT t.doc_id, u.i AS pos, t.ts[u.i] AS tok
+       |         FROM toks t JOIN nc USING (doc_id),
+       |              unnest(generate_series(1, len(t.ts))) AS u(i)),
+       |keptp AS (SELECT p.* FROM ptok p WHERE NOT EXISTS (
+       |            SELECT 1 FROM cut r
+       |            WHERE r.doc_id = p.doc_id AND p.pos >= r.s AND p.pos <= r.e)),
+       |ag AS (SELECT nc.doc_id, len(t.ts) AS tokens_before,
+       |         COALESCE(k.n_after, 0) AS tokens_after, COALESCE(k.kept, '') AS kept
+       |       FROM nc JOIN toks t USING (doc_id)
+       |       LEFT JOIN (SELECT doc_id, COUNT(*) AS n_after,
+       |                    array_to_string(list(tok ORDER BY pos), ' ') AS kept
+       |                  FROM keptp GROUP BY 1) k USING (doc_id))""".stripMargin
 
   /** Shared by d31 and d32 — the SemDeDup chain: trained k-means cells
     * (kmeansCtes, the s22/s33 discipline), nearest-cell assignment, within-cell
@@ -1319,38 +1381,48 @@ private[graft] object DedupOracles extends OracleFragments {
     // then span identity (exact-text 60-bit md5), sharing census, canonical
     // keeper (doc asc, start asc) and per-occurrence cut — mirror of
     // Dedup.repeatedSpanRegistry
-    "d30_repeated_spans" -> {
-      val w = RepeatedSpanShingle
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |pg AS (SELECT doc_id, i AS pos,
-         |         ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
-         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
-         |             FROM toks)),
-         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg) GROUP BY h HAVING count(*) >= 2),
-         |st AS (SELECT doc_id, pos,
-         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |       FROM pg JOIN dup USING (h)),
-         |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
-         |       FROM st GROUP BY doc_id, grp),
-         |keep AS (SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
-         |           CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
-         |         FROM sp WHERE span_end - span_start + 1 >= $RepeatedSpanMinTokens),
-         |stp AS (SELECT k.doc_id, k.span_start, k.span_tokens,
-         |          ('0x' || substr(md5(array_to_string(
-         |             t.ts[k.span_start:k.span_start + k.span_tokens - 1], ' ')), 1, 15))::BIGINT
-         |            AS span_h
-         |        FROM keep k JOIN toks t USING (doc_id)),
+    "d30_repeated_spans" ->
+      s"""WITH $repeatedSpanCtes,
          |reg AS (SELECT span_h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing,
          |               MIN(doc_id) AS keep_doc
-         |        FROM stp GROUP BY 1),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY span_h
-         |                                    ORDER BY doc_id, span_start) AS rk
-         |       FROM stp)
+         |        FROM stp GROUP BY 1)
          |SELECT rk.doc_id, rk.span_start, rk.span_tokens, rk.span_h,
          |  reg.n_docs_sharing, reg.keep_doc,
          |  CAST(CASE WHEN rk.rk > 1 THEN 1 ELSE 0 END AS INTEGER) AS cut
-         |FROM rk JOIN reg USING (span_h)""".stripMargin
-    },
+         |FROM rk JOIN reg USING (span_h)""".stripMargin,
+
+    // the cut actuated: per cut document the exact position-set surgery
+    // (overlap-safe via NOT EXISTS over the range set) and the rebuilt-text
+    // hash — mirror of Dedup.repeatedSpanCut
+    "d33_span_cut" ->
+      s"""WITH $repeatedSpanCtes,
+         |$spanCutCtes
+         |SELECT ag.doc_id, CAST(nc.n_spans_cut AS BIGINT) AS n_spans_cut,
+         |  CAST(ag.tokens_before AS BIGINT) AS tokens_before,
+         |  CAST(ag.tokens_before - ag.tokens_after AS BIGINT) AS tokens_cut,
+         |  CAST(ag.tokens_after AS BIGINT) AS tokens_after,
+         |  ('0x' || substr(md5(ag.kept), 1, 15))::BIGINT AS kept_text_h
+         |FROM ag JOIN nc USING (doc_id)""".stripMargin,
+
+    // per-source raw vs post-cut token mass — mirror of Dedup.repeatedSpanSavings
+    "d34_span_savings" ->
+      s"""WITH $repeatedSpanCtes,
+         |$spanCutCtes,
+         |stk AS (SELECT doc_id, source,
+         |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |        FROM documents),
+         |raw AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |        FROM stk GROUP BY 1),
+         |ca AS (SELECT s.source, COUNT(*) AS n_docs_cut,
+         |         CAST(SUM(ag.tokens_before - ag.tokens_after) AS BIGINT) AS tokens_cut
+         |       FROM ag JOIN stk s USING (doc_id) GROUP BY 1)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.n_tokens,
+         |  CAST(COALESCE(ca.n_docs_cut, 0) AS BIGINT) AS n_docs_cut,
+         |  CAST(COALESCE(ca.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+         |  CAST(r.n_tokens - COALESCE(ca.tokens_cut, 0) AS BIGINT) AS n_tokens_after,
+         |  CAST((2 * 1000000 * COALESCE(ca.tokens_cut, 0) + r.n_tokens)
+         |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
+         |FROM raw r LEFT JOIN ca USING (source)""".stripMargin,
     // trained-cell SemDeDup manifest: keep-longest survivor per semantic
     // cluster — mirror of Dedup.semanticDedupClusters
     "d31_semantic_dedup" ->

@@ -1155,6 +1155,89 @@ object Dedup {
         (max(col("pos")) + lit(windowTokens.toLong - 1)).as("span_end"))
   }
 
+  /** d33 — the CUT actuated: apply the d30 registry's verdicts and materialize
+    * the post-cut document surgery — for every document that loses at least
+    * one span, the token counts before/after, the number of spans cut, and
+    * the 60-bit md5 of the REBUILT text (cut positions removed, survivors
+    * re-joined in order) — the per-document receipt of the Lee-et-al.
+    * remove-all-but-one step, content-addressable so a downstream sink can
+    * verify the surgery it applied matches the manifest. Overlapping cut
+    * ranges in one document (two maximal spans whose token ranges intersect —
+    * possible when islands sit closer than the window width) are handled by
+    * POSITION-set semantics: a token is cut if ANY cut range covers it, so
+    * `tokens_cut` is exact, never double-counted. A fully-cut document
+    * reports tokens_after = 0 with the hash of the empty string.
+    *
+    * Scale shape: the registry is output-sized and its per-doc cut ranges
+    * broadcast into ONE corpus text pass; the rebuild is a codegen'd
+    * higher-order filter/transform over the token array (no explode, no
+    * shuffle past the broadcast join); only documents WITH cuts are emitted.
+    */
+  def repeatedSpanCut(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minSpanTokens: Int = 16
+  ): DataFrame = {
+    val cuts = repeatedSpanRegistry(df, idCol, textCol, windowTokens, minSpanTokens)
+      .filter(col("cut") === 1)
+      .select(col(idCol).as("doc"), col("span_start").as("s"),
+        (col("span_start") + col("span_tokens") - 1L).as("e"))
+    val ranges = cuts.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans_cut"),
+        collect_list(struct(col("s"), col("e"))).as("rs"))
+    df.select(col(idCol).as("doc"), split(col(textCol), " ", -1).as("ts"))
+      .join(broadcast(ranges), Seq("doc")) // inner: only documents with cuts
+      .withColumn("kept", expr(
+        "filter(transform(sequence(1, size(ts)), " +
+          "i -> IF(exists(rs, r -> i >= r.s AND i <= r.e), NULL, element_at(ts, i))), " +
+          "x -> x IS NOT NULL)"))
+      .select(col("doc").as(idCol),
+        col("n_spans_cut"),
+        size(col("ts")).cast("long").as("tokens_before"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("tokens_cut"),
+        size(col("kept")).cast("long").as("tokens_after"),
+        conv(substring(md5(array_join(col("kept"), " ")), 1, 15), 16, 10)
+          .cast("long").as("kept_text_h"))
+  }
+
+  /** d34 — the d29 ROI line for SUBSTRING dedup: per source, raw token mass vs
+    * the mass surviving the d33 cut, with the saved-token share — what the
+    * repeated-span pass buys on this corpus, read beside d29 (doc-level
+    * near-dup savings) and d32 (semantic savings); the three reports price the
+    * three dedup POLICIES on the same raw mass.
+    *
+    * Scale shape: d33's kernels plus one checkpointed token-count scan and two
+    * map-side-combinable rollups; |sources|-row output.
+    */
+  def repeatedSpanSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      windowTokens: Int = 8,
+      minSpanTokens: Int = 16
+  ): DataFrame = {
+    val perDoc = df.select(col(idCol).as("doc"), col(sourceCol).as("source"),
+        TextStats.tokenCount(col(textCol)).as("n_toks"))
+      .localCheckpoint(true) // raw rollup + cut join off one text scan
+    val cut = repeatedSpanCut(df, idCol, textCol, windowTokens, minSpanTokens)
+      .select(col(idCol).as("doc"), col("tokens_cut"))
+    val raw = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val ca = perDoc.join(cut, Seq("doc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_cut"), sum(col("tokens_cut")).as("tokens_cut"))
+    raw.join(ca, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_docs_cut"), lit(0L)).as("n_docs_cut"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"),
+        (col("n_tokens") - coalesce(col("tokens_cut"), lit(0L))).as("n_tokens_after"),
+        expr("(2 * 1000000 * coalesce(tokens_cut, 0) + n_tokens)" +
+          " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
+  }
+
   /** n-gram Jaccard near-dup: inverted-index self-join on HASHED shingles (candidates =
     * pairs sharing ≥1 shingle, with the intersection count falling out of the same
     * groupBy), then |∩| / |∪| ≥ threshold. The only float is one final division of two

@@ -251,6 +251,67 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(refined >= base, s"refined $refined must not trail LPA's $base")
   }
 
+  test("d33: overlapping cut spans are position-set cut, never double-counted; keepers untouched") {
+    // doc 3 carries c1..c60; doc 1 = c1..c20 exactly, doc 2 = c17..c50 exactly.
+    // Doc 3's two maximal spans [1,20] (shared with 1) and [17,50] (shared
+    // with 2) OVERLAP on tokens 17..20; docs 1 and 2 are the min-id keepers of
+    // their identities, so doc 3 loses both spans — 50 distinct tokens, not 54
+    val c = (1 to 60).map(i => s"c$i")
+    val docs = Seq(
+      (1L, c.take(20).mkString(" ")),
+      (2L, c.slice(16, 50).mkString(" ")),
+      (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanCut(docs, "doc_id", "text",
+        windowTokens = 8, minSpanTokens = 16)
+      .collect()
+    assert(out.length == 1, s"only doc 3 is cut: ${out.mkString(", ")}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 3L)
+    assert(r.getAs[Long]("n_spans_cut") == 2L)
+    assert(r.getAs[Long]("tokens_before") == 60L)
+    assert(r.getAs[Long]("tokens_cut") == 50L, s"position-set, not 20+34: $r")
+    assert(r.getAs[Long]("tokens_after") == 10L)
+    // the rebuilt text is exactly the surviving suffix
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantH = java.lang.Long.parseLong(
+      md5hex(c.drop(50).mkString(" ")).substring(0, 15), 16)
+    assert(r.getAs[Long]("kept_text_h") == wantH)
+  }
+
+  test("d33: a fully-cut document reports zero survivors and the empty-string hash") {
+    val shared = (1 to 20).map(i => s"f$i")
+    val docs = Seq(
+      (1L, "u1 u2 u3 " + shared.mkString(" ")), // keeper (min doc)
+      (2L, shared.mkString(" ")))               // IS the span — fully cut
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanCut(docs, "doc_id", "text",
+        windowTokens = 8, minSpanTokens = 16)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 2L)
+    assert(out.head.getAs[Long]("tokens_after") == 0L)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head.getAs[Long]("kept_text_h") ==
+      java.lang.Long.parseLong(md5hex("").substring(0, 15), 16))
+  }
+
+  test("d34: savings totals are consistent with the d33 manifest on real data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = Dedup.repeatedSpanCut(docs, "doc_id", "text").collect()
+    val savings = Dedup.repeatedSpanSavings(docs, "doc_id", "text", "source").collect()
+    assert(savings.map(_.getAs[Long]("n_docs_cut")).sum == cut.length.toLong)
+    assert(savings.map(_.getAs[Long]("tokens_cut")).sum ==
+      cut.map(_.getAs[Long]("tokens_cut")).sum)
+    savings.foreach { r =>
+      assert(r.getAs[Long]("n_tokens_after") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("tokens_cut"))
+      val m = r.getAs[Long]("saved_tokens_micro")
+      assert(m >= 0L && m <= 1000000L)
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
