@@ -114,6 +114,80 @@ class RoundFifteenPropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  /** Sequential mirror of one g65 local-move round: exact-integer scores
+    * 2m·k_{v,c} − d_v·Σ'_c, strict improvement over staying, argmax ties
+    * (score desc, community asc) — a direct per-vertex transcription.
+    */
+  private def mirrorLocalMove(
+      edges: List[(Long, Long)],
+      lab: Map[Long, Long]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val m = und.size.toLong
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dsum = adj.toSeq.groupBy { case (v, _) => lab(v) }
+      .view.mapValues(_.map(_._2.size.toLong).sum).toMap
+    adj.map { case (v, nbrs) =>
+      val dv = nbrs.size.toLong
+      val a = lab(v)
+      val k = nbrs.groupBy(lab).view.mapValues(_.size.toLong).toMap
+      val stay = 2L * m * k.getOrElse(a, 0L) - dv * (dsum(a) - dv)
+      val cands = k.keys.filter(_ != a).toSeq
+        .map(c => (2L * m * k(c) - dv * dsum(c), c))
+        .filter(_._1 > stay)
+      v -> (if (cands.isEmpty) a else cands.minBy { case (s, c) => (-s, c) }._2)
+    }
+  }
+
+  private def graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(4, 12)
+    mEdges <- Gen.choose(4, 30)
+    edges <- Gen.listOfN(mEdges, for {
+      a <- Gen.choose(1L, n.toLong)
+      b <- Gen.choose(1L, n.toLong) if b != a
+    } yield (a, b))
+  } yield edges
+
+  test("g65 localMoveRound equals the sequential strict-improvement mirror on random graphs") {
+    check("g65-move-mirror", Prop.forAll(graphGen) { edges =>
+      edges.nonEmpty ==> {
+        val undPairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .filter(e => e._1 != e._2).distinct
+        undPairs.nonEmpty ==> {
+          val und = undPairs.toDF("lo", "hi")
+          val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+            .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+          val start = GraphQueries.plannedLpa(adj, rounds = 2)
+            .select(col("vertex_id").as("v"), col("community"))
+          val startMap = start.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val got = GraphQueries.localMoveRound(und, start)
+            .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("community")).toMap
+          val want = mirrorLocalMove(undPairs, startMap)
+          (got == want) :| s"got $got want $want start $startMap edges $undPairs"
+        }
+      }
+    }, cases = 6)
+  }
+
+  test("g65 refineByModularity never decreases the exact micro-Q sum (random graphs)") {
+    check("g65-monotone", Prop.forAll(graphGen) { edges =>
+      val undPairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      undPairs.nonEmpty ==> {
+        val und = undPairs.toDF("lo", "hi")
+        val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+          .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+        val start = GraphQueries.plannedLpa(adj, rounds = 2)
+          .select(col("vertex_id").as("v"), col("community"))
+        def q(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.getAs[Long]("q_part_micro")).sum
+        val before = q(GraphQueries.modularityOf(und, start))
+        val after = q(GraphQueries.refineByModularity(und, start, refineRounds = 2))
+        (after >= before) :| s"q $before -> $after edges $undPairs"
+      }
+    }, cases = 6)
+  }
+
   private def funnelGen: Gen[(Int, Int, Int)] = for {
     nv <- Gen.choose(1, 40)
     nc <- Gen.choose(0, nv)
