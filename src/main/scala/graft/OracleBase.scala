@@ -172,6 +172,9 @@ private[graft] trait OracleParams {
   private[graft] val GraphAnnLayerSizes = Seq(32, 8)
   private[graft] val GraphAnnLayerProbe = 2
 
+  /** s35/s36's pinned coarse-stage overfetch (shortlist = k · this). */
+  private[graft] val Int8Overfetch = 4
+
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the
     * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus

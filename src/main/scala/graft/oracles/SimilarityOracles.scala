@@ -38,6 +38,26 @@ private[graft] object SimilarityOracles extends OracleFragments {
           k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // SQ8 serving: corpus held as int8 codes + raw scale, coarse cosine on the
+    // reconstruction, k·overfetch shortlist, exact rerank
+    "s35_int8_search" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.int8TopK(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+        k = 5, overfetch = Int8Overfetch)
+    }),
+    // the artifact round trip: quantize, persist, reload, serve — must
+    // reproduce s35 verbatim, so it shares s35's oracle SQL (d17/d18 rule)
+    "s36_int8_saved" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-int8-index")
+      try {
+        val path = scratch.toString + "/int8"
+        Similarity.saveInt8Index(Similarity.int8Quantize(e, "vec_id", "embedding"), path)
+        val idx = Similarity.loadInt8Index(s, path).localCheckpoint(eager = true)
+        Similarity.int8TopKWith(e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+          k = 5, index = idx, overfetch = Int8Overfetch)
+      } finally deleteRecursively(scratch)
+    }),
     // the HNSW-flavored descent added to s26's entry: fixed md5-prefix layers
     // routed through shared trained cells, bottom anchors unioned into the
     // medoid seeds — recall ≥ s26 at equal beam (RoundFifteenOpsSpec measures)
@@ -358,6 +378,34 @@ private[graft] object SimilarityOracles extends OracleFragments {
       .stripMargin
   }
 
+  /** Shared by s35 and s36 (the reload must reproduce the in-session search
+    * verbatim): symmetric int8 codes against the RAW scale (maxabs/127 — the
+    * s08 quantization), coarse cosine on code×scale reconstructions,
+    * k·overfetch shortlist (coarse desc, id asc), exact-cosine rerank.
+    */
+  private lazy val int8SearchSql: String =
+    s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM a WHERE vec_id % 50 = 0),
+       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM a),
+       |rc AS (SELECT vec_id AS neighbor_id,
+       |         list_transform(v, x ->
+       |           greatest(-127.0, least(127.0, floor(x / (maxabs / 127.0) + 0.5)))
+       |             * (maxabs / 127.0)) AS rv
+       |       FROM m WHERE maxabs > 0),
+       |sc AS (SELECT q.query_id, rc.neighbor_id, ${cosSql("q.qv", "rc.rv")} AS qcos
+       |       FROM q, rc WHERE rc.neighbor_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qcos DESC, neighbor_id) AS crk
+       |    FROM sc)
+       |  WHERE crk <= ${5 * Int8Overfetch})
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT s.query_id, s.neighbor_id, ${cosSql("q.qv", "c.v")} AS cos_sim,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${cosSql("q.qv", "c.v")} DESC, s.neighbor_id) AS rank
+       |  FROM short s JOIN q ON q.query_id = s.query_id JOIN a c ON c.vec_id = s.neighbor_id)
+       |WHERE rank <= 5""".stripMargin
+
   private lazy val graphAnnSql: String =
     graphAnnSqlSeeded(
       extraCtes = "",
@@ -674,6 +722,8 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s26_graph_ann" -> graphAnnSql,
     "s27_graph_ann_saved" -> graphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
+    "s35_int8_search" -> int8SearchSql,
+    "s36_int8_saved" -> int8SearchSql,
 
 
     // IVF ANN (mirror of Similarity.ivfTopK): centroids = vec_id ≡ 0 (mod 97); each

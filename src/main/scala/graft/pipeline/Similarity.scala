@@ -1290,6 +1290,111 @@ object Similarity {
       )
   }
 
+  /** The int8 index artifact behind [[int8TopK]] (s35/s36): per nonzero vector
+    * its clamped symmetric int8 codes and the RAW double scale (max|x|/127 —
+    * not the 6-digit display rounding; quantizing against a rounded scale is
+    * the [[quantizeError]] shadowing bug this column naming guards). Codes are
+    * ints and the scale a double, so the artifact round-trips parquet
+    * bit-exactly and a reloaded index searches identically (s24 discipline).
+    * At 100 TB this relation IS the serving footprint win: 1 byte/dim + one
+    * double against 8 bytes/dim.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def quant(x: Column, scale: Column): Column =
+      greatest(lit(-127.0), least(lit(127.0), floor(x / scale + lit(0.5))))
+    df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("dv"))
+      .withColumn("maxabs", array_max(transform(col("dv"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale_raw", col("maxabs") / lit(127.0))
+      .select(col("vec_id"),
+        transform(col("dv"), x => quant(x, col("scale_raw")).cast("int")).as("qcodes"),
+        col("scale_raw").as("qscale"))
+  }
+
+  /** Persist / reload the [[int8Quantize]] artifact (one generation, the
+    * saveCentroids layout; ints and doubles round-trip parquet bit-exactly).
+    */
+  def saveInt8Index(index: DataFrame, path: String, nFiles: Int = 16): Unit =
+    index.repartitionByRange(math.max(nFiles, 1), col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def loadInt8Index(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** s35 — INT8 scalar-quantized search (the Faiss SQ8 serving shape): the
+    * corpus is held as the [[int8Quantize]] artifact, each candidate scored by
+    * the cosine against its RECONSTRUCTION (code × scale — the exact double
+    * both engines derive), the per-query shortlist overfetched at
+    * `k · overfetch`, and the final top-k reranked by EXACT cosine on the true
+    * vectors — the s11/s15 two-stage discipline with compression instead of a
+    * prefix as the coarse stage. The quantized stage's ranking error is
+    * bounded by the reconstruction error [[quantizeError]] reports — the two
+    * operators are the measure/serve pair of the same compression decision.
+    *
+    * Scale shape: the query side broadcasts (|Q| rows); the quantized scan
+    * streams the 1-byte/dim artifact (at 100 TB the coarse stage reads ~8×
+    * fewer bytes than a float scan — this is the point); the rerank touches
+    * only |Q|·k·overfetch true vectors via an id equi-join. Production
+    * composes the same scorer inside IVF cells (s16/s23's pruning) — pinned
+    * brute here so the oracle prices the quantization exactly.
+    *
+    * Determinism: codes are exact ints, reconstruction is one double multiply,
+    * cosines round(,6) with id tie-breaks — both stages oracle-mirrored.
+    */
+  def int8TopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      overfetch: Int = 4
+  ): DataFrame =
+    int8TopKWith(queries, candidates, idCol, vecCol, k,
+      int8Quantize(candidates, idCol, vecCol), overfetch)
+
+  /** The serving half of [[int8TopK]] over an explicit (possibly RELOADED)
+    * quantized index — s36's round trip enters here and must reproduce s35
+    * verbatim (they share the oracle SQL, the d17/d18 discipline).
+    */
+  def int8TopKWith(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      index: DataFrame,
+      overfetch: Int = 4
+  ): DataFrame = {
+    val recon = index.select(col("vec_id").as("neighbor_id"),
+        transform(col("qcodes"), x => x.cast("double") * col("qscale")).as("rv"))
+      .withColumn("rn", norm2(col("rv")))
+    val qs = broadcast(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", norm2(col("qv"))))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val shortlist = qs.crossJoin(recon)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("rv")), col("qn"), col("rn")), 6).as("qcos"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(exact, Seq("neighbor_id"))
+      .join(qs, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Product-quantization code assignment: each vector splits into `nSub` contiguous
     * `subDim`-dim subvectors; each subvector is assigned to its nearest of `nCodes`
     * codebook entries by squared L2 — the index-compression step of IVF-PQ ANN (a

@@ -312,6 +312,47 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s35: int8 coarse stage + exact rerank recovers nearly all of the exact top-k") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val truth = pairs(Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = pairs(Similarity.int8TopK(queries, e, "vec_id", "embedding", k = 5))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      t.count(got.getOrElse(q, Set.empty).contains).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"int8+rerank mean recall@5 $mean < 0.9")
+    assert(got.keySet == truth.keySet)
+  }
+
+  test("s35/s36: the persisted int8 index reloads and serves identically") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-int8-test")
+    try {
+      val path = scratch.toString + "/int8"
+      val built = Similarity.int8Quantize(e, "vec_id", "embedding")
+      // codes are genuinely byte-ranged ints, scale the raw double
+      val row = built.head()
+      assert(row.getAs[Seq[Int]]("qcodes").forall(c => c >= -127 && c <= 127))
+      Similarity.saveInt8Index(built, path)
+      val reloaded = Similarity.loadInt8Index(spark, path)
+      def rows(idx: org.apache.spark.sql.DataFrame) =
+        Similarity.int8TopKWith(q, e, "vec_id", "embedding", k = 5, index = idx)
+          .collect().map(_.toString).sorted.toSeq
+      assert(rows(reloaded) == rows(built), "load must reproduce the in-session search")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
