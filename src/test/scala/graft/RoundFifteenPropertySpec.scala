@@ -188,6 +188,101 @@ class RoundFifteenPropertySpec extends SparkSpec {
     }, cases = 6)
   }
 
+  /** Spark's round(col, 6) semantics: HALF_UP over the canonical decimal rep. */
+  private def r6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Sequential mirror of the WHOLE d31 chain on dyadic vectors (sums exact,
+    * so the distributed means are reproducible): kmeansRounds (k-lowest-id
+    * seeds, rounded-cosine argmax assignment with cluster-asc ties, round-6
+    * per-dim means, zero-norm centroids dropped), final-cell assignment of
+    * every vector, within-cell micro-cosine pairs, min-label propagation, and
+    * the keep-longest manifest.
+    */
+  private def mirrorSemanticDedup(
+      vecs: List[(Long, Vector[Double])],
+      toks: Map[Long, Long],
+      kCells: Int,
+      trainRounds: Int,
+      thrMicro: Long,
+      lpRounds: Int): Set[(Long, Long, Long, Long, Long)] = {
+    def dot(a: Vector[Double], b: Vector[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Vector[Double], b: Vector[Double]) =
+      r6(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+    val nz = vecs.filter { case (_, v) => dot(v, v) > 0 }
+    var cents: List[(Long, Vector[Double])] =
+      nz.sortBy(_._1).take(kCells).map { case (id, v) => (id, v) }
+        .filter { case (_, v) => dot(v, v) > 0 }
+    for (_ <- 1 to trainRounds) {
+      val assigned = nz.map { case (id, v) =>
+        val best = cents.map { case (c, cv) => (cos(v, cv), c) }
+          .minBy { case (s, c) => (-s, c) }._2
+        (best, v)
+      }
+      cents = assigned.groupBy(_._1).toList.map { case (c, vs) =>
+        val n = vs.size
+        val mean = vs.map(_._2).transpose.map(ds => r6(ds.sum / n)).toVector
+        (c, mean)
+      }.filter { case (_, cv) => dot(cv, cv) > 0 }.sortBy(_._1)
+    }
+    val cells = vecs.map { case (id, v) =>
+      val best = cents.map { case (c, cv) => (cos(v, cv), c) }
+        .minBy { case (s, c) => (-s, c) }._2
+      (id, best, v)
+    }
+    val pairs = for {
+      (a, ca, va) <- cells
+      (b, cb, vb) <- cells
+      if a < b && ca == cb &&
+        math.floor(1e6 * cos(va, vb) + 0.5).toLong >= thrMicro
+    } yield (a, b)
+    var labels = vecs.map(_._1).map(v => v -> v).toMap
+    val und = pairs ++ pairs.map(_.swap)
+    for (_ <- 1 to lpRounds) {
+      val nbrMin = und.groupBy(_._1).view
+        .mapValues(_.map { case (_, b) => labels(b) }.min).toMap
+      labels = labels.map { case (v, l) => v -> math.min(l, nbrMin.getOrElse(v, l)) }
+    }
+    labels.groupBy(_._2).map { case (cl, members) =>
+      val ms = members.keys.toSeq
+      val kept = ms.maxBy(id => (toks(id), -id))
+      (cl, kept, toks(kept), ms.size.toLong, ms.size.toLong - 1L)
+    }.toSet
+  }
+
+  private def semGen: Gen[List[(Long, Vector[Double])]] = for {
+    n <- Gen.choose(4, 9)
+    vs <- Gen.sequence[List[(Long, Vector[Double])], (Long, Vector[Double])](
+      (1 to n).map { i =>
+        Gen.listOfN(4, Gen.oneOf(0.0, 0.25, 0.5, 0.75, 1.0))
+          .retryUntil(_.exists(_ != 0.0))
+          .map(ds => (i.toLong, ds.toVector))
+      })
+  } yield vs
+
+  test("d31 semanticDedupClusters equals the sequential SemDeDup mirror on random vectors") {
+    check("d31-mirror", Prop.forAll(semGen) { vecs =>
+      val toks = vecs.map { case (id, _) => id -> (id % 5 + 1) }.toMap
+      val docs = vecs.map { case (id, _) =>
+        (id, Seq.fill(toks(id).toInt)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val emb = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val got = graft.pipeline.Dedup.semanticDedupClusters(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        thresholdMicro = 900000L, kCells = 2, dims = 4, trainRounds = 2, rounds = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("kept_doc"),
+          r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_dropped")))
+        .toSet
+      val want = mirrorSemanticDedup(vecs, toks, kCells = 2, trainRounds = 2,
+        thrMicro = 900000L, lpRounds = 3)
+      (got == want) :| s"got $got want $want vecs $vecs"
+    }, cases = 6)
+  }
+
   private def funnelGen: Gen[(Int, Int, Int)] = for {
     nv <- Gen.choose(1, 40)
     nc <- Gen.choose(0, nv)
