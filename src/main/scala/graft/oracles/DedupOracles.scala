@@ -372,6 +372,18 @@ private[graft] object DedupOracles extends OracleFragments {
     "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpanRegistry(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // semantic dedup at ingestion: codebook trained on the pre-cut corpus,
+    // post-cut arrivals assigned and probed within their cell — the d17
+    // incremental posture in the embedding direction
+    "d35_semantic_probe" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = e.filter(col("vec_id") < SourceDriftCut)
+      Dedup.semanticDedupProbe(
+        e.filter(col("vec_id") >= SourceDriftCut), corpus, "vec_id", "embedding",
+        Similarity.kmeansRounds(corpus, "vec_id", "embedding",
+          k = SemanticDedupCells, dims = 64, rounds = IvfPqTrainRounds),
+        thresholdMicro = SemanticDedupMicro)
+    }),
     // the d30 verdicts actuated: per cut document the overlap-safe position
     // surgery, before/after token counts, rebuilt-text hash
     "d33_span_cut" -> ((s: SparkSession, dir: String) =>
@@ -1446,6 +1458,37 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST((2 * 1000000 * (r.n_tokens - COALESCE(a.n_tokens_kept, 0)) + r.n_tokens)
          |       // (2 * r.n_tokens) AS BIGINT) AS saved_tokens_micro
          |FROM raw r LEFT JOIN aft a USING (source)""".stripMargin,
+    // pre-cut-trained cells, post-cut arrivals probed within their cell:
+    // per arrival the close-member count, min dup id, verdict — mirror of
+    // Dedup.semanticDedupProbe
+    "d35_semantic_probe" ->
+      s"""WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM a0 WHERE vec_id < $SourceDriftCut),
+         |${kmeansCtes("e", SemanticDedupCells, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM c$IvfPqTrainRounds),
+         |cellasg AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, cents.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.v", "cents.cv")} DESC, cents.cid) AS rk
+         |    FROM e, cents)
+         |  WHERE rk = 1),
+         |arr AS (SELECT vec_id, v FROM a0 WHERE vec_id >= $SourceDriftCut),
+         |arrasg AS (SELECT vec_id, v, cid FROM (
+         |    SELECT arr.vec_id, arr.v, cents.cid,
+         |           row_number() OVER (PARTITION BY arr.vec_id
+         |             ORDER BY ${cosSql("arr.v", "cents.cv")} DESC, cents.cid) AS rk
+         |    FROM arr, cents)
+         |  WHERE rk = 1),
+         |close AS (SELECT a.vec_id, COUNT(*) AS n_close, MIN(c.vec_id) AS dup_of
+         |          FROM arrasg a JOIN cellasg c USING (cid)
+         |          WHERE CAST(floor(1000000.0 * ${cosSql("a.v", "c.v")} + 0.5) AS BIGINT)
+         |                >= $SemanticDedupMicro
+         |          GROUP BY 1)
+         |SELECT a.vec_id, a.cid,
+         |  CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,
+         |  CAST(COALESCE(cl.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(CASE WHEN COALESCE(cl.n_close, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         |FROM arrasg a LEFT JOIN close cl USING (vec_id)""".stripMargin,
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

@@ -440,6 +440,81 @@ object Dedup {
           " DIV (2 * n_tokens)").cast("long").as("saved_tokens_micro"))
   }
 
+  /** The hot-cell cap of the d35 probe, paid ONCE per index generation (the
+    * capDedupIndex discipline): cells above `maxCellMembers` are excluded from
+    * the pairwise probe — their arrivals default-admit and fall to the exact
+    * d01/d17 screens — so the corpus-sized census never runs per micro-batch.
+    */
+  def capSemanticCells(cells: DataFrame, maxCellMembers: Long = 10000L): DataFrame = {
+    val smallCells = cells.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxCellMembers)
+      .select(col("cid"))
+    cells.join(smallCells, Seq("cid"))
+  }
+
+  /** d35 — SEMANTIC dedup at INGESTION time (the d17 incremental posture
+    * applied to d31's direction): arrivals are assigned to the TRAINED cells
+    * of the existing corpus (the saved s24 codebook — never retrained per
+    * batch) and probed against that cell's members only; an arrival whose
+    * micro-cosine reaches the threshold against any corpus member is flagged a
+    * semantic duplicate of the minimum such id. One verdict row per arrival
+    * (explicit zeros for clean ones) — the gate a production ingest runs
+    * beside the d17 minhash probe, catching the paraphrase copies the band
+    * index cannot see.
+    *
+    * Scale shape: the codebook is a broadcast k-row relation; arrival
+    * assignment is one map pass with a per-arrival k-row window; the probe is
+    * an ingest-sized equi-join on cell id against the capped cell relation
+    * ([[capSemanticCells]] — paid once, not per batch); the verdict rollup is
+    * map-side-combinable. The corpus is never rescanned.
+    */
+  def semanticDedupProbe(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      thresholdMicro: Long = 400000L,
+      maxCellMembers: Long = 10000L
+  ): DataFrame = {
+    val cells = capSemanticCells(
+      Similarity.assignToCells(corpus, idCol, vecCol, model), maxCellMembers)
+      .localCheckpoint(true)
+    semanticDedupProbeWith(newVecs, idCol, vecCol, model, cells, thresholdMicro)
+  }
+
+  /** The per-batch half of [[semanticDedupProbe]] over an ALREADY-capped,
+    * checkpointed cell relation — the streaming twin enters here every
+    * micro-batch (the streamingIncrementalDedup index-is-the-state shape).
+    */
+  def semanticDedupProbeWith(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      cells: DataFrame,
+      thresholdMicro: Long = 400000L
+  ): DataFrame = {
+    val arr = Similarity.assignToCells(newVecs, idCol, vecCol, model)
+      .select(col("rid").as("new_id"), col("cid"), col("v").as("av"), col("nv").as("an"))
+      .localCheckpoint(true) // two consumers: the probe and the verdict grid
+    val close = arr
+      .join(cells.select(col("cid"), col("rid").as("corpus_id"),
+        col("v").as("cv2"), col("nv").as("cn2")), Seq("cid"))
+      .filter(floor(lit(1000000.0) *
+        round(Similarity.cosineFromNorms(
+          Similarity.dot(col("av"), col("cv2")), col("an"), col("cn2")), 6)
+        + lit(0.5)).cast("long") >= thresholdMicro)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_close"), min(col("corpus_id")).as("dup_of"))
+    arr.select(col("new_id"), col("cid"))
+      .join(close, Seq("new_id"), "left")
+      .select(col("new_id").as(idCol), col("cid"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("n_close"), lit(0L)) > 0L).cast("int").as("is_dup"))
+  }
+
   /** d16 — leakage-safe train/val/test split: the split is a function of the
     * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
     * never land on opposite sides of the train/eval boundary — the failure mode

@@ -43,7 +43,7 @@ object Similarity {
     * `dot / sqrt(na * nb)` (not `sqrt(na)·sqrt(nb)`) — the exact double-op sequence is
     * pinned by the oracle.
     */
-  private def cosineFromNorms(dotAB: Column, na: Column, nb: Column): Column =
+  private[graft] def cosineFromNorms(dotAB: Column, na: Column, nb: Column): Column =
     dotAB / sqrt(na * nb)
 
   /** Brute-force cosine top-k: `queries` (small) × `candidates`, ranked per query.

@@ -601,6 +601,43 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Streaming twin of the d35 semantic-dedup probe: arriving EMBEDDINGS are
+    * assigned to the loaded trained cells and probed against the capped corpus
+    * cell relation inside `foreachBatch` — the paraphrase-catching gate
+    * running beside [[streamingIncrementalDedup]]'s verbatim one. Same
+    * stateless index-is-the-state shape: the codebook and the capped cell
+    * relation are built ONCE at stream setup (the corpus-sized census never
+    * runs per micro-batch — [[graft.pipeline.Dedup.capSemanticCells]] is paid
+    * here), arrivals are whole rows, and the per-batch emissions ARE
+    * `Dedup.semanticDedupProbeWith` over the arrivals (StreamOpsSpec pins it
+    * verbatim).
+    *
+    * Scale shape: per batch one broadcast-codebook assignment pass over the
+    * arrivals plus an ingest-sized cell-id equi-join against the checkpointed
+    * cells.
+    */
+  def streamingSemanticDedup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      cells: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      thresholdMicro: Long = 400000L,
+      maxCellMembers: Long = 10000L
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val capped = graft.pipeline.Dedup.capSemanticCells(cells, maxCellMembers)
+      .localCheckpoint(true)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Dedup.semanticDedupProbeWith(
+            batch, idCol, vecCol, model, capped, thresholdMicro),
+          batchId)
+      }
+  }
+
   /** Streaming twin of the d19/d20 decontamination probe: each ingest micro-batch
     * of TRAINING documents is probed against the loaded benchmark n-gram index
     * ([[graft.pipeline.Dedup.loadBenchIndex]]) inside `foreachBatch`, flagging

@@ -1125,6 +1125,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic dedup probes arrivals against the trained corpus cells (batch parity)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus: two orthogonal directions; trained 2-cell codebook + cells built
+    // once at stream setup, exactly the serving posture
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val model = graft.pipeline.Similarity.kmeansRounds(
+      corpus, "vec_id", "embedding", k = 2, dims = 2, rounds = 2)
+    val cells = graft.pipeline.Similarity.assignToCells(
+      corpus, "vec_id", "embedding", model)
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Long, Long, Int)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamOps.streamingSemanticDedup(
+        stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        model, cells,
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r => verdicts(r.getAs[Long]("vec_id")) =
+            ((r.getAs[Long]("n_close"), r.getAs[Long]("dup_of"),
+              r.getAs[Int]("is_dup"))))
+        },
+        thresholdMicro = 950000L)
+      .start()
+    try {
+      val arrivals = Seq(
+        (20L, Array(0.95f, 0.05f)), // paraphrase of corpus direction 1 -> dup
+        (21L, Array(-0.7f, 0.7f)))  // near-orthogonal to its cell -> clean
+      stream.addData(arrivals.take(1): _*)
+      query.processAllAvailable()
+      stream.addData(arrivals.drop(1): _*)
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      val batch = graft.pipeline.Dedup.semanticDedupProbe(
+          arrivals.toDF("vec_id", "embedding"), corpus, "vec_id", "embedding",
+          model, thresholdMicro = 950000L)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_close"), r.getAs[Long]("dup_of"),
+            r.getAs[Int]("is_dup")))).toMap
+      assert(got == batch, s"$got vs $batch")
+      assert(got(20L)._3 == 1 && got(20L)._2 >= 1L, got.toString)
+      assert(got(21L)._3 == 0 && got(21L)._2 == -1L, got.toString)
+    } finally query.stop()
+  }
+
   test("streaming gopher gate emits the full batch t48 filter per micro-batch of arrivals") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
