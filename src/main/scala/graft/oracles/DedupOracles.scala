@@ -372,6 +372,19 @@ private[graft] object DedupOracles extends OracleFragments {
     "d30_repeated_spans" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpanRegistry(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // which dedup pass catches what: unique-contribution sets for the exact /
+    // near-dup / semantic policies (the dc22 calculus over dedup). The
+    // near-dup leg runs at the d26-CHOSEN (4,4) banding — the 16×1 default is
+    // recall-1.0/precision-0.017 by design and would report "near-dup removes
+    // everything", which is a banding artifact, not a policy comparison
+    "d36_dedup_policy_ablation" -> ((s: SparkSession, dir: String) =>
+      Dedup.dedupPolicyAblation(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        shingleSize = 3, bands = 4, rowsPerBand = 4, rounds = 3,
+        thresholdMicro = SemanticDedupMicro, kCells = SemanticDedupCells,
+        dims = 64, trainRounds = IvfPqTrainRounds)),
     // semantic dedup at ingestion: codebook trained on the pre-cut corpus,
     // post-cut arrivals assigned and probed within their cell — the d17
     // incremental posture in the embedding direction
@@ -1489,6 +1502,64 @@ private[graft] object DedupOracles extends OracleFragments {
          |  CAST(COALESCE(cl.dup_of, -1) AS BIGINT) AS dup_of,
          |  CAST(CASE WHEN COALESCE(cl.n_close, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS is_dup
          |FROM arrasg a LEFT JOIN close cl USING (vec_id)""".stripMargin,
+    // removal sets of the three dedup policies (exact min-id keeper, d15
+    // near-dup keep-longest, d31 semantic keep-longest), each's unique
+    // contribution via anti-exists over the other two — mirror of
+    // Dedup.dedupPolicyAblation
+    "d36_dedup_policy_ablation" -> {
+      val policies = Seq("exact_min_id" -> "rexact",
+        "near_keep_longest" -> "rnear", "semantic_keep_longest" -> "rsem")
+      val rows = policies.map { case (name, r) =>
+        val others = policies.collect { case (_, o) if o != r => s"SELECT doc_id FROM $o" }
+          .mkString(" UNION ")
+        s"""SELECT '$name' AS policy,
+           |  (SELECT COUNT(*) FROM $r) AS n_removed,
+           |  (SELECT COUNT(*) FROM $r WHERE NOT EXISTS (
+           |     SELECT 1 FROM ($others) o WHERE o.doc_id = $r.doc_id)) AS n_unique,
+           |  (SELECT CAST(COALESCE(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |       % 1000000), 0) AS BIGINT)
+           |   FROM $r WHERE NOT EXISTS (
+           |     SELECT 1 FROM ($others) o WHERE o.doc_id = $r.doc_id)) AS unique_id_check"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shinglesCte,
+         |$minhashCtes,
+         |bsn AS (SELECT doc_id, k // 4 AS band,
+         |          string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k) AS sig
+         |        FROM mh GROUP BY doc_id, k // 4),
+         |npair AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bsn a JOIN bsn b ON a.band = b.band AND a.sig = b.sig
+         |            AND a.doc_id < b.doc_id),
+         |nu AS (SELECT id_a AS a, id_b AS b FROM npair
+         |       UNION ALL SELECT id_b, id_a FROM npair),
+         |nl0 AS (SELECT DISTINCT doc_id AS v, doc_id AS label FROM documents),
+         |nn1 AS (SELECT u.a, MIN(l.label) AS m FROM nu u JOIN nl0 l ON l.v = u.b GROUP BY u.a),
+         |nl1 AS (SELECT nl0.v, LEAST(nl0.label, COALESCE(nn1.m, nl0.label)) AS label
+         |        FROM nl0 LEFT JOIN nn1 ON nn1.a = nl0.v),
+         |nn2 AS (SELECT u.a, MIN(l.label) AS m FROM nu u JOIN nl1 l ON l.v = u.b GROUP BY u.a),
+         |nl2 AS (SELECT nl1.v, LEAST(nl1.label, COALESCE(nn2.m, nl1.label)) AS label
+         |        FROM nl1 LEFT JOIN nn2 ON nn2.a = nl1.v),
+         |nn3 AS (SELECT u.a, MIN(l.label) AS m FROM nu u JOIN nl2 l ON l.v = u.b GROUP BY u.a),
+         |nl3 AS (SELECT nl2.v, LEAST(nl2.label, COALESCE(nn3.m, nl2.label)) AS label
+         |        FROM nl2 LEFT JOIN nn3 ON nn3.a = nl2.v),
+         |ncl AS (SELECT v AS doc_id, label AS cluster_id FROM nl3),
+         |ntk AS (SELECT doc_id,
+         |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |        FROM documents),
+         |nmm AS (SELECT ncl.cluster_id, ncl.doc_id,
+         |          row_number() OVER (PARTITION BY ncl.cluster_id
+         |                             ORDER BY ntk.n_toks DESC, ncl.doc_id) AS rk
+         |        FROM ncl JOIN ntk USING (doc_id)),
+         |rnear AS (SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+         |            SELECT 1 FROM nmm WHERE nmm.rk = 1 AND nmm.doc_id = d.doc_id)),
+         |kp AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |rexact AS (SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+         |             SELECT 1 FROM kp WHERE kp.doc_id = d.doc_id)),
+         |$semanticDedupCtes,
+         |rsem AS (SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+         |           SELECT 1 FROM smm WHERE smm.rk = 1 AND smm.did = d.doc_id))
+         |$rows""".stripMargin
+    },
     "d27_minhash_estimate" -> minhashEstimateSql,
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,

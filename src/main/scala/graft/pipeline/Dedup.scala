@@ -515,6 +515,69 @@ object Dedup {
         (coalesce(col("n_close"), lit(0L)) > 0L).cast("int").as("is_dup"))
   }
 
+  /** d36 — DEDUP POLICY ABLATION: the dc22 unique-contribution calculus
+    * pointed at the three dedup POLICIES the engine prices separately (d29
+    * near-dup, d32 semantic, d34 substring savings answer "how much"; this
+    * answers "who catches what"). Per policy — exact min-id keeper (d01),
+    * near-dup keep-longest (d15), semantic keep-longest (d31) — the total
+    * removed set, the UNIQUE set (documents ONLY that policy removes — what
+    * re-enters the corpus if it is dropped), and the unique set's id
+    * checksum. Σ unique ≤ Σ removed and the gap is the inter-policy overlap:
+    * a near-dup pass whose removals are all inside exact's is shadowed — the
+    * post-mortem that decides which dedup passes a pipeline actually runs.
+    *
+    * Scale shape: each policy's keeper kernel runs ONCE (checkpointed id-thin
+    * removal sets — the gateAblation discipline); uniqueness is one anti-join
+    * per policy against the union of the other two; the report is 3 rows.
+    */
+  def dedupPolicyAblation(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 1,
+      rounds: Int = 3,
+      maxBucketMembers: Long = 10000L,
+      thresholdMicro: Long = 400000L,
+      kCells: Int = 8,
+      dims: Int = 64,
+      trainRounds: Int = 2
+  ): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val all = base.select(col(idCol)).localCheckpoint(true)
+    def removed(kept: DataFrame): DataFrame = all.join(kept, Seq(idCol), "left_anti")
+    val rExact = removed(exact(base, idCol, textCol).select(col("keep_id").as(idCol)))
+      .localCheckpoint(true)
+    val rNear = removed(clusterKeepLongest(base, idCol, textCol,
+        shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
+      .select(col("kept_doc").as(idCol)))
+      .localCheckpoint(true)
+    val rSem = removed(semanticDedupClusters(docs, embeddings, idCol, textCol,
+        vecIdCol, vecCol, thresholdMicro, kCells, dims, trainRounds, rounds)
+      .select(col("kept_doc").as(idCol)))
+      .localCheckpoint(true)
+    val policies = Seq(
+      "exact_min_id" -> rExact,
+      "near_keep_longest" -> rNear,
+      "semantic_keep_longest" -> rSem)
+    policies.map { case (name, r) =>
+      val others = policies.collect { case (n, o) if n != name => o }
+        .reduce(_ unionByName _)
+      val unique = r.join(others, Seq(idCol), "left_anti")
+      r.agg(count(lit(1)).as("n_removed"))
+        .crossJoin(unique.agg(
+          count(lit(1)).as("n_unique"),
+          coalesce(sum(pmod(Sketches.h32(col(idCol).cast("string")), lit(1000000L))),
+            lit(0L)).as("unique_id_check")))
+        .select(lit(name).as("policy"), col("n_removed"), col("n_unique"),
+          col("unique_id_check"))
+    }.reduce(_ unionByName _)
+  }
+
   /** d16 — leakage-safe train/val/test split: the split is a function of the
     * NEAR-DUP CLUSTER id, not the document id, so two near-duplicate documents can
     * never land on opposite sides of the train/eval boundary — the failure mode

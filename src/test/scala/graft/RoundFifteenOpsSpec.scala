@@ -354,6 +354,42 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("d36: policy ablation laws — exact ⊆ near, semantic-only pair lands in semantic's unique set") {
+    // 1,2: identical text AND identical vectors (exact+near+semantic all see it)
+    // 5,6: different texts, identical vectors (semantic-ONLY near-dups)
+    // 7: unique in both directions
+    val t12 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, t12), (2L, t12),
+      (5L, (1 to 25).map(i => s"c$i").mkString(" ")),
+      (6L, (1 to 15).map(i => s"d$i").mkString(" ")),
+      (7L, (1 to 18).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (6L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupPolicyAblation(docs, emb, "doc_id", "text",
+        "vec_id", "embedding",
+        shingleSize = 3, bands = 4, rowsPerBand = 4, rounds = 3,
+        thresholdMicro = 990000L, kCells = 2, dims = 4, trainRounds = 1)
+      .collect()
+      .map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[Long]("n_unique"))))
+      .toMap
+    // identical texts also tie on tokens, so near's keep-longest keeps the
+    // SAME min-id keeper exact does: exact's removals are never unique
+    assert(out("exact_min_id") == ((1L, 0L)), out.toString)
+    // near = exactly the identical pair at (4,4) banding (nothing else shares
+    // a full band); its removal is shared with exact and semantic → unique 0
+    assert(out("near_keep_longest") == ((1L, 0L)), out.toString)
+    // semantic removes the identical-vector copies: doc 2 (shared with the
+    // others) and doc 6 (the semantic-ONLY catch — its text is unrelated)
+    assert(out("semantic_keep_longest") == ((2L, 1L)), out.toString)
+    out.values.foreach { case (r, u) => assert(u <= r) }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
