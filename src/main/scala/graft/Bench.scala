@@ -115,8 +115,14 @@ object Bench {
     // band-bucket candidate kernel rides in d05/d15/d18/d26). d30 stays
     // non-headline (two cheap text scans, the d14 kernel; the fam field
     // reports the d-family's worst query regardless).
-    "d31_semantic_dedup", "d32_semantic_savings", "s34_graph_ann_layered",
+    "d31_semantic_dedup", "s34_graph_ann_layered",
     "g65_modularity_refined",
+    // r15b: d36 runs the exact + d15(4,4) + d31 keeper chains end-to-end —
+    // the round's heaviest composite. d32_semantic_savings rotated out to pay
+    // for it (d32 = the d31 chain + two rollups; with d31 AND d36 both
+    // headline, its marginal cost is priced twice over, and BENCH_SEED carries
+    // its floor).
+    "d36_dedup_policy_ablation",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
