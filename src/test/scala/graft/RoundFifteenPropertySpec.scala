@@ -283,6 +283,63 @@ class RoundFifteenPropertySpec extends SparkSpec {
     }, cases = 6)
   }
 
+  /** Sequential mirror of the s35 two-stage search: symmetric int8 clamp
+    * against the raw maxabs/127 scale, coarse cosine on code×scale
+    * reconstructions (round 6), k·overfetch shortlist (coarse desc, id asc),
+    * exact-cosine rerank (round 6, same ties).
+    */
+  private def mirrorInt8TopK(
+      vecs: List[(Long, Vector[Double])],
+      queries: List[Long],
+      k: Int,
+      overfetch: Int): Set[(Long, Long, Double, Int)] = {
+    def dotv(a: Vector[Double], b: Vector[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cosv(a: Vector[Double], b: Vector[Double]) =
+      r6(dotv(a, b) / math.sqrt(dotv(a, a) * dotv(b, b)))
+    val recon = vecs.flatMap { case (id, v) =>
+      val maxabs = v.map(math.abs).max
+      if (maxabs <= 0) None
+      else {
+        val scale = maxabs / 127.0
+        Some(id -> v.map(x =>
+          math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5))) * scale))
+      }
+    }.toMap
+    val byId = vecs.toMap
+    queries.flatMap { q =>
+      val qv = byId(q)
+      val short = recon.toSeq.filter(_._1 != q)
+        .map { case (id, rv) => (cosv(qv, rv), id) }
+        .sortBy { case (s, id) => (-s, id) }
+        .take(k * overfetch).map(_._2)
+      short.map(id => (id, cosv(qv, byId(id))))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), i) => (q, id, s, i + 1) }
+    }.toSet
+  }
+
+  test("s35 int8TopK equals the sequential quantize-shortlist-rerank mirror") {
+    check("s35-mirror", Prop.forAll(semGen) { vecs =>
+      (vecs.size >= 4) ==> {
+        val emb = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+          .toDF("vec_id", "embedding")
+        val queries = vecs.map(_._1).filter(_ % 2 == 0)
+        queries.nonEmpty ==> {
+          val got = graft.pipeline.Similarity.int8TopK(
+            emb.filter(col("vec_id") % 2 === 0), emb, "vec_id", "embedding",
+            k = 2, overfetch = 2)
+            .collect()
+            .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+              r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
+            .toSet
+          val want = mirrorInt8TopK(vecs, queries, k = 2, overfetch = 2)
+          (got == want) :| s"got $got want $want vecs $vecs"
+        }
+      }
+    }, cases = 6)
+  }
+
   private def funnelGen: Gen[(Int, Int, Int)] = for {
     nv <- Gen.choose(1, 40)
     nc <- Gen.choose(0, nv)
