@@ -390,6 +390,37 @@ class RoundFifteenOpsSpec extends SparkSpec {
     out.values.foreach { case (r, u) => assert(u <= r) }
   }
 
+  test("substring-dedup lifecycle e2e: registry verdicts ≡ cut manifest ≡ savings totals") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val registry = Dedup.repeatedSpanRegistry(docs, "doc_id", "text").collect()
+    val cut = Dedup.repeatedSpanCut(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans_cut"), r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("tokens_cut"), r.getAs[Long]("tokens_after"))))
+      .toMap
+    // every registry cut verdict lands in the manifest, with matching counts
+    val cutByDoc = registry.filter(_.getAs[Int]("cut") == 1)
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length.toLong).toMap
+    assert(cutByDoc.keySet == cut.keySet, "cut docs ≡ manifest docs")
+    cutByDoc.foreach { case (doc, n) =>
+      assert(cut(doc)._1 == n, s"doc $doc: registry says $n cut spans, manifest ${cut(doc)._1}")
+    }
+    // surgery arithmetic: after = before − cut, and cut ≤ Σ span_tokens of the
+    // doc's cut spans (strictly less when spans overlap)
+    cut.values.foreach { case (_, before, tcut, after) =>
+      assert(after == before - tcut && tcut > 0L)
+    }
+    registry.filter(_.getAs[Int]("cut") == 1)
+      .groupBy(_.getAs[Long]("doc_id"))
+      .foreach { case (doc, spans) =>
+        assert(cut(doc)._3 <= spans.map(_.getAs[Long]("span_tokens")).sum)
+      }
+    // every span group keeps exactly one occurrence corpus-wide
+    registry.groupBy(_.getAs[Long]("span_h")).foreach { case (_, occ) =>
+      assert(occ.count(_.getAs[Int]("cut") == 0) == 1)
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
