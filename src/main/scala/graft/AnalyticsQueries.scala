@@ -1497,4 +1497,88 @@ object AnalyticsQueries {
         floor(lit(1000000.0) * col("cum_events").cast("double") /
           col("total_events").cast("double") + lit(0.5)).cast("long").as("cum_share_micro"))
   }
+
+  /** ev25 — KAPLAN–MEIER survival + NELSON–AALEN cumulative hazard over SESSION
+    * durations: sessions are the ev2/ev12 maximal ≤1h-gap runs, each observed for
+    * `duration = last − first` event time (bucketed to whole minutes — the curve's
+    * time axis); a session whose last event falls within one session gap of the
+    * corpus end is right-CENSORED (it may still be open — ending it at the window
+    * edge would bias short), every other session genuinely ended. The curve is the
+    * product-limit estimator Ŝ(t) = Π_{t'≤t} (1 − d/n) over durations with at least
+    * one ended session, with the deaths-before-censoring convention (n_t counts
+    * every session with duration ≥ t). This is THE dwell-time curve behind "how
+    * long does a session last", with proper censoring — [[sessionStats]]'s detail
+    * rolled into the estimator those distributions feed.
+    *
+    * Cross-engine float contract (the ev17/ev24 discipline, one step further): the
+    * running product is NEVER accumulated in floats. Each step contributes
+    * `ln_micro = ⌊10⁶·ln((n−d)/n) + ½⌋` — ONE ln on the identical exact-rational
+    * double in both engines — and the accumulation is an exact BIGINT window sum of
+    * those micro terms; Ŝ surfaces as one final `exp(cum/10⁶)`. The Nelson–Aalen
+    * hazard Ĥ(t) = Σ d/n accumulates the same way (per-row micro term, integer
+    * cumsum). A step that extinguishes the curve (d = n, ln 0 undefined) emits a
+    * NULL term and a sticky zero flag instead — survival reads 0 from there on.
+    *
+    * Scale shape: sessionization is the canonical per-user-partition window sort
+    * (state never leaves the user's partition) + one map-side-combinable hash-agg;
+    * the corpus end rides in as a broadcast 1-row max; all cumulative windows run
+    * over the DISTINCT-DURATION relation (minutes within the gap bound — a catalog,
+    * not a fact table), so the unpartitioned windows are bounded regardless of
+    * corpus size.
+    */
+  def survivalCurve(spark: SparkSession, dir: String, censorUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc, col("event_id").asc)
+    val sessions = eventsTsu(spark, dir, "user_id", "event_id")
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > 3600000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((max(col("tsu")) - min(col("tsu"))).as("duration_us"), max(col("tsu")).as("last_tsu"))
+    val corpusEnd = sessions.agg(max(col("last_tsu")).as("corpus_last"))
+    val obs = sessions.crossJoin(broadcast(corpusEnd))
+      .select(
+        expr("duration_us DIV 60000000").as("t"),
+        when(col("last_tsu") >= col("corpus_last") - lit(censorUs), 1L).otherwise(0L)
+          .as("censored"))
+    survivalCurveOf(obs)
+  }
+
+  /** The ev25 estimator kernel over explicit per-subject observations
+    * `(t, censored ∈ {0,1})` — the planted-lifetime test and the monotonicity law
+    * enter here.
+    */
+  private[graft] def survivalCurveOf(obs: DataFrame): DataFrame = {
+    val byT = obs
+      .groupBy(col("t"))
+      .agg(
+        sum(lit(1L) - col("censored")).as("n_events"),
+        sum(col("censored")).as("n_censored"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("n_events") + col("n_censored")).over(wDesc))
+      .filter(col("n_events") > 0) // KM steps only at event times (both engines filter here)
+      .withColumn("ln_micro",
+        when(col("n_events") === col("n_risk"), lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) *
+            log((col("n_risk") - col("n_events")).cast("double") / col("n_risk").cast("double"))
+            + lit(0.5)).cast("long")))
+      .withColumn("haz_micro",
+        floor(lit(1000000.0) * col("n_events").cast("double") / col("n_risk").cast("double")
+          + lit(0.5)).cast("long"))
+      .withColumn("cum_ln", sum(col("ln_micro")).over(wAsc))
+      .withColumn("dead", max(when(col("ln_micro").isNull, 1).otherwise(0)).over(wAsc))
+      .select(
+        col("t").as("duration_days"),
+        col("n_risk"), col("n_events"), col("n_censored"),
+        when(col("dead") === 1, lit(0L))
+          .otherwise(floor(lit(1000000.0) * exp(col("cum_ln").cast("double") / lit(1000000.0))
+            + lit(0.5)).cast("long"))
+          .as("survival_micro"),
+        sum(col("haz_micro")).over(wAsc).as("cum_hazard_micro"))
+  }
 }

@@ -397,6 +397,13 @@ private[graft] trait OracleParams {
     */
   private[graft] val MarkovRounds = 5
 
+  /** ev25's pinned right-censoring window: a session whose last event falls within
+    * `KmCensorUs` µs (one ev2 session gap) of the corpus end is censored (it may
+    * still be open), not counted as an ended session. Shared by registration and
+    * oracle.
+    */
+  private[graft] val KmCensorUs = 3600000000L
+
   /** s31's two pinned filters and the routing threshold: the tight filter
     * (label % 10 = 0, ~10% of the corpus) routes to the exact-prefilter scan,
     * the broad one (label % 2 = 0, ~49%) keeps the s29 IVF path; the 25%

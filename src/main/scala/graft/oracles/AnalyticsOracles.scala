@@ -51,6 +51,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev23_markov_stationary" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.markovStationary(s, d, rounds = MarkovRounds)),
     "ev24_funnel_wilson" -> (AnalyticsQueries.funnelWilson _),
+    "ev25_survival" -> ((s: SparkSession, d: String) =>
+      AnalyticsQueries.survivalCurve(s, d, censorUs = KmCensorUs)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -742,6 +744,50 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     // activity Pareto: exact decile cut of the per-user activity ranks, integer event
     // totals, micro-quantized shares, 10-row cumulative window — mirror of
     // AnalyticsQueries.activityPareto
+    // ev25 — Kaplan–Meier / Nelson–Aalen mirror of AnalyticsQueries.survivalCurve:
+    // identical per-row micro ln/hazard terms (ONE libm call on the same exact-
+    // rational double per row), exact BIGINT cumulative sums, one final exp —
+    // never a float accumulation (see the survivalCurve scaladoc float contract).
+    "ev25_survival" ->
+      s"""WITH t0 AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |s AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 3600000000
+         |                     THEN 1 ELSE 0 END AS brk
+         |      FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (SELECT user_id, tsu,
+         |        SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |      FROM s),
+         |sess AS (SELECT user_id, session_idx, MAX(tsu) - MIN(tsu) AS duration_us,
+         |                MAX(tsu) AS last_tsu
+         |         FROM g GROUP BY 1, 2),
+         |mx AS (SELECT MAX(last_tsu) AS corpus_last FROM sess),
+         |byt AS (SELECT duration_us // 60000000 AS t,
+         |          CAST(SUM(CASE WHEN last_tsu >= corpus_last - ${KmCensorUs} THEN 0 ELSE 1 END) AS BIGINT) AS n_events,
+         |          CAST(SUM(CASE WHEN last_tsu >= corpus_last - ${KmCensorUs} THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+         |        FROM sess, mx GROUP BY 1),
+         |risk AS (SELECT *, CAST(SUM(n_events + n_censored) OVER (ORDER BY t DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         |         FROM byt),
+         |term AS (SELECT t, n_risk, n_events, n_censored,
+         |           CASE WHEN n_events = n_risk THEN NULL
+         |                ELSE CAST(floor(1000000.0 *
+         |                  ln((n_risk - n_events)::DOUBLE / n_risk::DOUBLE) + 0.5) AS BIGINT)
+         |           END AS ln_micro,
+         |           CAST(floor(1000000.0 * n_events::DOUBLE / n_risk::DOUBLE + 0.5) AS BIGINT)
+         |             AS haz_micro
+         |         FROM risk WHERE n_events > 0),
+         |cum AS (SELECT *,
+         |          CAST(SUM(ln_micro) OVER w AS BIGINT) AS cum_ln,
+         |          MAX(CASE WHEN ln_micro IS NULL THEN 1 ELSE 0 END) OVER w AS dead,
+         |          CAST(SUM(haz_micro) OVER w AS BIGINT) AS cum_hazard_micro
+         |        FROM term
+         |        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t AS duration_days, n_risk, n_events, n_censored,
+         |  CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(floor(1000000.0 * exp(cum_ln::DOUBLE / 1000000.0) + 0.5) AS BIGINT)
+         |  END AS survival_micro,
+         |  cum_hazard_micro
+         |FROM cum""".stripMargin,
     "ev17_activity_pareto" ->
       """WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,

@@ -421,6 +421,49 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev25: planted lifetimes reproduce the hand-computed Kaplan-Meier curve") {
+    // four subjects: two churn at t=2, two censored at t=10 → the curve has ONE
+    // step: t=2 with n_risk=4, d=2, S = 1 - 2/4 = 0.5 (the t=10 censored rows are
+    // not event times and must not emit)
+    val obs = Seq((2L, 0L), (2L, 0L), (10L, 1L), (10L, 1L)).toDF("t", "censored")
+    val rows = AnalyticsQueries.survivalCurveOf(obs).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("duration_days") == 2L)
+    assert(r.getAs[Long]("n_risk") == 4L && r.getAs[Long]("n_events") == 2L &&
+      r.getAs[Long]("n_censored") == 0L)
+    assert(r.getAs[Long]("survival_micro") == 500000L)
+    assert(r.getAs[Long]("cum_hazard_micro") == 500000L)
+  }
+
+  test("ev25: extinction step (d = n) pins survival to exactly zero, hazard keeps accumulating") {
+    // t=1: d=1 of n=3 → S=2/3; t=5: d=2 of n=2 → extinction, S=0 exactly
+    val obs = Seq((1L, 0L), (5L, 0L), (5L, 0L)).toDF("t", "censored")
+    val rows = AnalyticsQueries.survivalCurveOf(obs).collect()
+      .sortBy(_.getAs[Long]("duration_days"))
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("survival_micro") == 666667L) // floor(1e6*exp(ln(2/3))+.5)
+    assert(rows(1).getAs[Long]("survival_micro") == 0L)
+    assert(rows(1).getAs[Long]("cum_hazard_micro") ==
+      rows(0).getAs[Long]("cum_hazard_micro") + 1000000L)
+  }
+
+  test("ev25: survival is non-increasing, hazard non-decreasing, risk set shrinking on the real corpus") {
+    val rows = AnalyticsQueries.survivalCurve(spark, dir, censorUs = 3600000000L)
+      .collect().sortBy(_.getAs[Long]("duration_days"))
+    assert(rows.length > 5, "expected a real curve on the sf0.001 sessions")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("survival_micro") <= a.getAs[Long]("survival_micro"))
+      assert(b.getAs[Long]("cum_hazard_micro") >= a.getAs[Long]("cum_hazard_micro"))
+      assert(b.getAs[Long]("n_risk") < a.getAs[Long]("n_risk"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1L)
+      assert(r.getAs[Long]("n_risk") >= r.getAs[Long]("n_events") + r.getAs[Long]("n_censored"))
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
