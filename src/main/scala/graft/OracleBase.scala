@@ -419,6 +419,11 @@ private[graft] trait OracleParams {
     */
   private[graft] val ProbeCurveLevels: Seq[Int] = Seq(1, 2, 4)
 
+  /** s37's pinned matryoshka prefix widths — the truncation levels the s11
+    * coarse stage is priced at, shared by registration and oracle.
+    */
+  private[graft] val PrefixCurveLevels: Seq[Int] = Seq(8, 16, 32, 64)
+
   /** dc18's "next release" gate knobs, diffed against the pinned dc16/dc17
     * configuration: the quality gate LOOSENS (one required-word hit instead of
     * [[GopherMinRequiredHits]] — admits documents the old release dropped) and

@@ -38,6 +38,13 @@ private[graft] object SimilarityOracles extends OracleFragments {
           k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the matryoshka truncation dial: coarse-only recall at each prefix width
+    // vs the exact top-k — prices what s11's coarseDims can be set to per tier
+    "s37_prefix_recall_curve" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.prefixRecallCurve(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, prefixLevels = PrefixCurveLevels)
+    }),
     // SQ8 serving: corpus held as int8 codes + raw scale, coarse cosine on the
     // reconstruction, k·overfetch shortlist, exact rerank
     "s35_int8_search" -> ((s: SparkSession, dir: String) => {
@@ -375,6 +382,42 @@ private[graft] object SimilarityOracles extends OracleFragments {
        |  round(COALESCE(h.n_hit, 0)::DOUBLE / 5.0, 6) AS recall_at_k
        |FROM q CROSS JOIN lv
        |LEFT JOIN hits h ON h.n_probe = lv.n_probe AND h.query_id = q.query_id"""
+      .stripMargin
+  }
+
+  /** s37's mirror: per matryoshka prefix width, the coarse-only top-5 by prefix
+    * cosine (zero-norm prefixes excluded both sides), semi-joined against the
+    * exact full-dimension truth — the s32 curve shape with `prefix_dims` as the
+    * dial instead of `n_probe`.
+    */
+  private lazy val prefixCurveSql: String = {
+    val levelsSql = PrefixCurveLevels.mkString(", ")
+    s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM a WHERE vec_id % 50 = 0),
+       |lv AS (SELECT unnest([$levelsSql]) AS prefix_dims),
+       |qp AS (SELECT prefix_dims, query_id, qv[1:prefix_dims] AS qp FROM q, lv
+       |       WHERE list_dot_product(qv[1:prefix_dims], qv[1:prefix_dims]) > 0),
+       |cp AS (SELECT prefix_dims, vec_id AS neighbor_id, v[1:prefix_dims] AS cp FROM a, lv
+       |       WHERE list_dot_product(v[1:prefix_dims], v[1:prefix_dims]) > 0),
+       |ap AS (SELECT prefix_dims, query_id, neighbor_id FROM (
+       |    SELECT qp.prefix_dims, qp.query_id, cp.neighbor_id,
+       |           row_number() OVER (PARTITION BY qp.prefix_dims, qp.query_id
+       |             ORDER BY ${cosSql("qp.qp", "cp.cp")} DESC, cp.neighbor_id) AS rk
+       |    FROM qp JOIN cp USING (prefix_dims)
+       |    WHERE cp.neighbor_id <> qp.query_id)
+       |  WHERE rk <= 5),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN a c WHERE c.vec_id <> query_id)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT prefix_dims, query_id, COUNT(*) AS n_hit
+       |         FROM ap SEMI JOIN truth USING (query_id, neighbor_id) GROUP BY 1, 2)
+       |SELECT lv.prefix_dims, q.query_id,
+       |  round(COALESCE(h.n_hit, 0)::DOUBLE / 5.0, 6) AS recall_at_k
+       |FROM q CROSS JOIN lv
+       |LEFT JOIN hits h ON h.prefix_dims = lv.prefix_dims AND h.query_id = q.query_id"""
       .stripMargin
   }
 
@@ -723,6 +766,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s27_graph_ann_saved" -> graphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,
+    "s37_prefix_recall_curve" -> prefixCurveSql,
     "s36_int8_saved" -> int8SearchSql,
 
 

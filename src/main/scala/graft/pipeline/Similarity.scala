@@ -1395,6 +1395,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** s37 — the PREFIX-RECALL curve: coarse-only top-k under each matryoshka prefix
+    * width vs the exact full-dimension top-k — the dial sweep that decides which
+    * truncation [[rerankTopK]]'s coarse stage (s11, `coarseDims`) can afford per
+    * serving tier (the s32 probe-curve discipline applied to the s11 dial; Kusupati
+    * et al. 2022's MRL deployment question). No rerank inside the measured stage:
+    * the curve prices the truncation itself, worst case — a width that reads 1.0
+    * here needs no rerank at all, and anything below it gets exactly the s11
+    * overfetch treatment.
+    *
+    * Scale shape: ONE corpus pass computes every prefix norm (prefixes nest — the
+    * level relation is a broadcast explode over the widths); the truth set is one
+    * [[bruteForceTopK]]; per (width, query) hits are a left-semi join counted
+    * map-side. Output one row per (prefix_dims, query) — the grid keeps zero-hit
+    * queries explicit (the s32/s33 grid discipline).
+    */
+  def prefixRecallCurve(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixLevels: Seq[Int]
+  ): DataFrame = {
+    require(prefixLevels.nonEmpty, "prefixRecallCurve: no prefix levels")
+    val levels = queries.sparkSession.range(1)
+      .select(explode(array(prefixLevels.map(lit(_)): _*)).as("prefix_dims"))
+    val qs = broadcast(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .crossJoin(levels)
+        .withColumn("qp", slice(col("qv"), lit(1), col("prefix_dims")))
+        .withColumn("qpn", norm2(col("qp")))
+        .filter(col("qpn") > 0)
+        .select(col("prefix_dims"), col("query_id"), col("qp"), col("qpn")))
+    val cand = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(levels))
+      .select(col("prefix_dims"), col("neighbor_id"),
+        slice(col("cv"), lit(1), col("prefix_dims")).as("cp"))
+      .withColumn("cpn", norm2(col("cp")))
+      .filter(col("cpn") > 0)
+    val wCoarse = Window.partitionBy(col("prefix_dims"), col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val approx = qs.join(cand, Seq("prefix_dims"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("prefix_dims"), col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qp"), col("cp")), col("qpn"), col("cpn")), 6).as("pcos"))
+      .withColumn("rk", row_number().over(wCoarse))
+      .filter(col("rk") <= k)
+      .select(col("prefix_dims"), col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("prefix_dims"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).as("query_id")).crossJoin(broadcast(levels))
+      .join(hits, Seq("prefix_dims", "query_id"), "left")
+      .select(col("prefix_dims"), col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+  }
+
   /** Product-quantization code assignment: each vector splits into `nSub` contiguous
     * `subDim`-dim subvectors; each subvector is assigned to its nearest of `nCodes`
     * codebook entries by squared L2 — the index-compression step of IVF-PQ ANN (a

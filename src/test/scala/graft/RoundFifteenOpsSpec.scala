@@ -464,6 +464,32 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s37: a planted prefix-misleading neighbor reads recall 0 at the narrow width, 1 at full") {
+    // q's 2-dim prefix matches B exactly while the full vector matches A —
+    // truncation at width 2 MUST miss, full width must recover
+    val qdf = Seq((100L, Seq(2f, 1f, 0f, 10f))).toDF("vec_id", "embedding")
+    val cdf = Seq(
+      (1L, Seq(1f, 0f, 0f, 10f)), // true nearest (dominated by dim 4)
+      (2L, Seq(2f, 1f, 0f, 0f))   // prefix-perfect decoy
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.prefixRecallCurve(qdf, cdf, "vec_id", "embedding",
+      k = 1, prefixLevels = Seq(2, 4)).collect()
+      .map(r => r.getAs[Int]("prefix_dims") -> r.getAs[Double]("recall_at_k")).toMap
+    assert(rows(2) == 0.0 && rows(4) == 1.0)
+  }
+
+  test("s37: full-width recall is exactly 1 for every query and the grid is complete") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val rows = Similarity.prefixRecallCurve(q, e, "vec_id", "embedding",
+      k = 5, prefixLevels = Seq(8, 64)).collect()
+    val nq = q.count()
+    assert(rows.length == 2 * nq, s"grid incomplete: ${rows.length} rows for $nq queries")
+    // width 64 = the full dimension: the coarse stage IS the exact ranking
+    rows.filter(_.getAs[Int]("prefix_dims") == 64)
+      .foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
