@@ -404,6 +404,9 @@ private[graft] trait OracleParams {
     */
   private[graft] val KmCensorUs = 3600000000L
 
+  /** dc23's pinned per-source sample size, shared by registration and oracle. */
+  private[graft] val WeightedSampleK = 10
+
   /** s31's two pinned filters and the routing threshold: the tight filter
     * (label % 10 = 0, ~10% of the corpus) routes to the exact-prefilter scan,
     * the broad one (label % 2 = 0, ~49%) keeps the s29 IVF path; the 25%

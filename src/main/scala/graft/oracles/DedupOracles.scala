@@ -225,6 +225,12 @@ private[graft] object DedupOracles extends OracleFragments {
           newAdmitted, "doc_id", "source", docs)
       } finally deleteRecursively(scratch)
     }),
+    // weighted sampling without replacement (A-ES): k docs per source with the
+    // largest md5-derived u^(1/w) priority, w = character mass — deterministic
+    // weighted reservoir, the weighted generalization of t09's uniform cap
+    "dc23_weighted_sample" -> ((s: SparkSession, dir: String) =>
+      Sampling.weightedSample(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", "n_chars", k = WeightedSampleK)),
     // the dc14 shuffle with an end-of-run ANNEAL phase: the AnnealDocs best
     // documents by the t02 quality heuristic train LAST, quality-ascending —
     // the published decay-phase curriculum derived from the same manifest
@@ -1564,6 +1570,27 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc13_epoch_pack_decontaminated" -> epochPackDecontaminatedSql,
     "dc14_epoch_shuffle" -> epochShuffleSql,
     "dc15_epoch_anneal" -> epochAnnealSql,
+    // dc23 — A-ES mirror of Sampling.weightedSample: the same 60-bit md5 prefix,
+    // the same per-row micro ln on the same exact-rational double, the same
+    // nano-quantized ln(u)/w priority (rounding only creates ties, id breaks them)
+    "dc23_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+         |           FROM documents WHERE n_chars > 0),
+         |h AS (SELECT doc_id, source, weight,
+         |        CAST(floor(1000000.0 * ln(
+         |          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+         |            / 1152921504606846976.0) + 0.5) AS BIGINT) AS lnu_micro
+         |      FROM d),
+         |kk AS (SELECT source, doc_id, weight,
+         |         CAST(floor(1000000000.0 * lnu_micro::DOUBLE / weight::DOUBLE + 0.5) AS BIGINT)
+         |           AS key_nano
+         |       FROM h),
+         |rk AS (SELECT source, doc_id, weight, key_nano,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY key_nano DESC, doc_id) AS sel_rank
+         |       FROM kk)
+         |SELECT source, doc_id, weight, key_nano, CAST(sel_rank AS INTEGER) AS sel_rank
+         |FROM rk WHERE sel_rank <= $WeightedSampleK""".stripMargin,
     "dc16_release_funnel" -> releaseFunnelSql,
     "dc17_release_saved" -> releaseCensusSql,
 

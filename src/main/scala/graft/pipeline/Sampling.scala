@@ -813,4 +813,64 @@ object Sampling {
             (col("n_feats") * lit(1000000L)).cast("double"), 6))
           .as("avg_log_ratio"))
   }
+
+  /** dc23 — WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * 2006): per source, the k documents with the largest priority u^(1/w), where
+    * u is a deterministic md5-derived uniform and w the document's weight — the
+    * exact distributed analogue of the weighted reservoir every curation pipeline
+    * reaches for ("sample k docs per source ∝ token mass / quality score") and the
+    * weighted generalization of [[sourceCap]]'s uniform cap. Because u is a pure
+    * function of (salt, id), the sample is reproducible across engines, runs, and
+    * cluster sizes, and different salts give independent draws of the same design.
+    *
+    * Determinism (the ev25 per-row-ln discipline): rank by u^(1/w) ⇔ rank by
+    * ln(u)/w, so each row contributes `lnu_micro = ⌊10⁶·ln((h+1)/2⁶⁰) + ½⌋` — ONE
+    * ln on the identical exact-rational double (h is the 60-bit md5 prefix, the
+    * [[bucketCol]] hash un-moduloed) — then the priority is quantized once more,
+    * `key_nano = ⌊10⁹·lnu_micro/w + ½⌋`: rounding can only create TIES, never
+    * reorder, and ties break on id — so the selected set is bit-stable.
+    *
+    * Scale shape: the t09/[[sourceCap]] lesson — NO global or per-source full
+    * window. The per-source kth priority is one [[KthSmallest]] hash-agg
+    * (map-side-combinable, catalog-sized result, broadcast back); only the ≤k
+    * survivors per source enter the rank window. One corpus pass end to end.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val rows = df
+      .filter(col(weightCol) > 0) // zero/negative mass cannot be drawn
+      .select(col(idCol), col(sourceCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("lnu_micro",
+        floor(lit(1000000.0) *
+          log((h + lit(1L)).cast("double") / lit(1152921504606846976.0)) + lit(0.5))
+          .cast("long"))
+      .withColumn("key_nano",
+        floor(lit(1000000000.0) * col("lnu_micro").cast("double") / col("weight").cast("double")
+          + lit(0.5)).cast("long"))
+    val thresholds = rows
+      .groupBy(col(sourceCol))
+      .agg(org.apache.spark.sql.graft.KthSmallest
+        .column(-col("key_nano"), col(idCol), k).as("thr"))
+    val kept = rows
+      .join(broadcast(thresholds), Seq(sourceCol))
+      .filter(
+        -col("key_nano") < col("thr.major") ||
+          (-col("key_nano") === col("thr.major") && col(idCol) <= col("thr.minor")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("key_nano").desc, col(idCol).asc)
+    kept
+      .withColumn("sel_rank", row_number().over(w))
+      .filter(col("sel_rank") <= k) // defensive trim if ids are not unique within a source
+      .select(col(sourceCol), col(idCol), col("weight"), col("key_nano"), col("sel_rank"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity}
 
 /** Round-15 operator pins. The s31 census-routing pair proves the r14 ADVICE
   * fix: a supplied index census replaces the corpus `count()` in the routing
@@ -488,6 +488,60 @@ class RoundFifteenOpsSpec extends SparkSpec {
     // width 64 = the full dimension: the coarse stage IS the exact ranking
     rows.filter(_.getAs[Int]("prefix_dims") == 64)
       .foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+  }
+
+  test("dc23: the distributed A-ES sample equals the sequential priority sort exactly") {
+    // sequential mirror of the kernel's whole priority chain (md5 prefix → micro
+    // ln → nano key → sort desc, id asc → top k), computed in plain Scala
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    def keyNano(id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val lnuMicro = math.floor(1000000.0 * math.log((h + 1).toDouble / 1152921504606846976.0) + 0.5).toLong
+      math.floor(1000000000.0 * lnuMicro.toDouble / w.toDouble + 0.5).toLong
+    }
+    val expected = docs.filter(_._3 > 0)
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (src, rows) =>
+        rows.map { case (id, _, w) => (id, w, keyNano(id, w)) }
+          .sortBy { case (id, _, k) => (-k, id) }
+          .take(10)
+          .zipWithIndex
+          .map { case ((id, w, k), i) => (src, id, w, k, i + 1) }
+      }.toSet
+    val got = Sampling.weightedSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", "n_chars", k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("key_nano"), r.getAs[Int]("sel_rank")))
+      .toSet
+    assert(got == expected,
+      s"A-ES divergence: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
+  test("dc23: a heavyweight document always outdraws featherweights; zero weight never draws") {
+    // one doc carries 10^9 weight vs 1-weight peers: P(excluded) = (1 - w/W)^... ~ 0,
+    // and with the deterministic hash this is a hard pin, not a probability
+    val rows = (1L to 50L).map(i => (i, "s", if (i == 7L) 1000000000L else 1L)) :+ ((51L, "s", 0L))
+    val df = rows.toDF("doc_id", "source", "wt")
+    val out = Sampling.weightedSample(df, "doc_id", "source", "wt", k = 5).collect()
+    assert(out.length == 5)
+    assert(out.exists(_.getAs[Long]("doc_id") == 7L), "the 10^9-weight doc must be drawn")
+    assert(!out.exists(_.getAs[Long]("doc_id") == 51L), "zero weight must never be drawn")
+    // ranks are exactly 1..5 with keys non-increasing
+    val byRank = out.sortBy(_.getAs[Int]("sel_rank"))
+    assert(byRank.map(_.getAs[Int]("sel_rank")).toSeq == (1 to 5))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("key_nano") >= b.getAs[Long]("key_nano"))
+      case _ => ()
+    }
   }
 
   test("s31: a census without n_members fails loudly") {
