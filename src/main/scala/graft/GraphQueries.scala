@@ -776,13 +776,27 @@ object GraphQueries {
       und: DataFrame,
       start: DataFrame,
       refineRounds: Int
+  ): DataFrame =
+    modularityOf(und, refinePartition(und, start, refineRounds))
+
+  /** The exact micro-Q sum of a partition — the g65/g66 acceptance probe (1-row
+    * driver read, the g57 convergence-signature discipline).
+    */
+  private def qSumOf(und: DataFrame, comm: DataFrame): Long =
+    modularityOf(und, comm)
+      .agg(coalesce(sum(col("q_part_micro")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+
+  /** [[refineByModularity]]'s accepted PARTITION (v, community) — g66's level-2
+    * aggregation starts from this relation rather than the scored rollup.
+    */
+  private[graft] def refinePartition(
+      und: DataFrame,
+      start: DataFrame,
+      refineRounds: Int
   ): DataFrame = {
-    def qOf(comm: DataFrame): Long =
-      modularityOf(und, comm)
-        .agg(coalesce(sum(col("q_part_micro")), lit(0L)).cast("long"))
-        .collect()(0).getLong(0)
     var comm = start.localCheckpoint(true)
-    var q = qOf(comm)
+    var q = qSumOf(und, comm)
     var done = false
     var r = 0
     while (r < refineRounds && !done) {
@@ -793,12 +807,12 @@ object GraphQueries {
         .count() // 1-row probe, the g57 convergence-signature discipline
       if (nMoves == 0L) done = true
       else {
-        val q2 = qOf(moved)
+        val q2 = qSumOf(und, moved)
         if (q2 >= q) { comm = moved; q = q2 } else done = true
       }
       r += 1
     }
-    modularityOf(und, comm)
+    comm
   }
 
   /** One synchronous local-move round: every vertex to its strict-best
@@ -839,6 +853,114 @@ object GraphQueries {
       .select(col("v"), col("c"))
     comm.join(best, Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("community")).as("community"))
+  }
+
+  /** g66 — LOUVAIN LEVEL-2: the aggregation step that makes [[modularityRefined]]
+    * the full multi-level algorithm (Blondel et al. 2008's phase 2 + one phase-1
+    * round on the condensed graph). The accepted g65 partition is collapsed into a
+    * SUPER-GRAPH — one vertex per community, inter-community edge weights w_CL =
+    * the count of original edges between them (each community's OWN weighted
+    * degree is exactly its member-degree mass d_C, so no self-loop relation is
+    * materialized) — and one strict-improvement weighted local-move round runs at
+    * that level: merging C into L scores `2m·w_CL − d_C·d_L` (the weighted ΔQ
+    * numerator ×2m²; staying scores 0 because a singleton super-vertex has no
+    * in-community mass besides itself), argmax tie-broken (score desc, L asc).
+    * Merges are ORIENTED — only the larger-id community may merge into the
+    * smaller (the parallel-Louvain anti-swap rule): the pair score is symmetric,
+    * so an unoriented synchronous round would fire both directions of every
+    * profitable pair and SWAP the labels instead of merging them.
+    * Whole-community merges repair exactly what vertex-local moves cannot: two
+    * halves of one true community that LPA split are glued in ONE move, where g65
+    * would have to migrate members one by one (and each lone migration can score
+    * negative). The merged labels project back to vertices, and the same
+    * acceptance gate as g65 keeps the result only if the exact micro-Q sum does
+    * not decrease (synchronous A→B while B→C merges can in principle regress; the
+    * gate makes the output monotone by construction).
+    *
+    * Exact-integer end to end: m, w_CL, d_C are counts; `2m·w` and `d_C·d_L` stay
+    * inside int64 while m² < 9.2·10¹⁸ (m < 3·10⁹ edges — the g62/s33 documented
+    * bound; past that, DecimalType both sides).
+    *
+    * Output: the accepted partition in g46's exact shape (community, n_vertices,
+    * e_in, d_sum, q_part_micro).
+    *
+    * Scale shape: the super-graph is CATALOG-sized (|communities|² worst case,
+    * |communities| ≈ hundreds) — built by one fact-side double-join + hash-agg;
+    * the move round, argmax window, and gate probes all run on that catalog. The
+    * expensive relations (und, adj, the LPA rounds, the level-1 refinement) are
+    * exactly g65's own cost, checkpointed at each step.
+    */
+  def louvainAggregated(
+      spark: SparkSession,
+      dir: String,
+      lpaRounds: Int = 4
+  ): DataFrame = {
+    val snap = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("src"), col("destination_id").as("dst"))
+    val und = snap.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint(true)
+    val lpa = lpaImpl(adj, lpaRounds, _.localCheckpoint(true))
+      .select(col("vertex_id").as("v"), col("community"))
+      .localCheckpoint(true)
+    val p1 = refinePartition(und, lpa, refineRounds = 1).localCheckpoint(true)
+    val q1 = qSumOf(und, p1)
+    val p2 = aggregateMoveRound(und, p1).localCheckpoint(true)
+    val nMerges = p2
+      .join(p1.select(col("v"), col("community").as("old_c")), Seq("v"))
+      .filter(col("community") =!= col("old_c"))
+      .count() // 1-row probe, the g57 discipline
+    val accepted =
+      if (nMerges > 0L && qSumOf(und, p2) >= q1) p2 else p1
+    modularityOf(und, accepted)
+  }
+
+  /** One weighted local-move round on the community super-graph of `comm` —
+    * the level-2 kernel of [[louvainAggregated]]; the planted split-community
+    * test enters here. Returns the FULL vertex partition with merged labels.
+    */
+  private[graft] def aggregateMoveRound(und: DataFrame, comm: DataFrame): DataFrame = {
+    val adj = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    // the super-vertex weighted degree = its member-degree mass (2·intra + inter)
+    val dc = deg.join(comm, "v")
+      .groupBy(col("community")).agg(sum(col("d")).as("d_c"))
+      .localCheckpoint(true) // catalog-sized; consumed by both sides of the score
+    // inter-community super-edges: one fact-side double-join, then catalog agg
+    val e2 = und
+      .join(comm.select(col("v").as("lo"), col("community").as("c_lo")), "lo")
+      .join(comm.select(col("v").as("hi"), col("community").as("c_hi")), "hi")
+      .filter(col("c_lo") =!= col("c_hi"))
+      .select(least(col("c_lo"), col("c_hi")).as("l2"),
+        greatest(col("c_lo"), col("c_hi")).as("h2"))
+      .groupBy(col("l2"), col("h2")).agg(count(lit(1)).as("w"))
+    // ORIENTED merges — only the larger-id community may merge into the smaller
+    // (the parallel-Louvain anti-swap rule): the score is symmetric in (C, L), so
+    // an unoriented synchronous round would fire BOTH directions of a profitable
+    // pair and swap their labels instead of merging them
+    val pairs = e2.select(col("h2").as("c"), col("l2").as("l"), col("w"))
+    val wBest = Window.partitionBy(col("c")).orderBy(col("score").desc, col("l").asc)
+    val merges = pairs
+      .join(dc.select(col("community").as("c"), col("d_c")), "c")
+      .join(dc.select(col("community").as("l"), col("d_c").as("d_l")), "l")
+      .crossJoin(broadcast(mRow))
+      .select(col("c"), col("l"),
+        (lit(2L) * col("m") * col("w") - col("d_c") * col("d_l")).as("score"))
+      .filter(col("score") > 0L) // strict: a singleton's stay score is exactly 0
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("c"), col("l"))
+    comm.join(merges.select(col("c").as("community"), col("l")), Seq("community"), "left")
+      .select(col("v"), coalesce(col("l"), col("community")).as("community"))
   }
 
   /** W2 — vertex-state domination end-to-end: batch 1 wildcard-archives every graph-1

@@ -74,6 +74,8 @@ private[graft] object GraphOracles extends OracleFragments {
       GraphQueries.modularity(s, dir, rounds = LpaRounds)),
     "g65_modularity_refined" -> ((s: SparkSession, dir: String) =>
       GraphQueries.modularityRefined(s, dir, lpaRounds = LpaRounds, refineRounds = 1)),
+    "g66_louvain_agg" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.louvainAggregated(s, dir, lpaRounds = LpaRounds)),
     "g47_katz" -> ((s: SparkSession, dir: String) =>
       GraphQueries.katzCentrality(s, dir, betaPct = KatzBetaPct)),
     "g48_betweenness" -> ((s: SparkSession, dir: String) =>
@@ -156,6 +158,84 @@ private[graft] object GraphOracles extends OracleFragments {
          |    AS frac_micro
          |FROM nfr""".stripMargin
   }
+
+  /** One LPA majority-vote round (label-asc tie-break) over `adj`, CTE l(i-1) -> l(i)
+    * — the g65/g66 shared rendition.
+    */
+  private def lpaMoveRoundCte(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
+       |        FROM adj JOIN $prev l ON l.v = adj.dst
+       |        GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (SELECT v, label FROM (
+       |       SELECT v, label,
+       |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
+       |       FROM n$i)
+       |     WHERE rk = 1)""".stripMargin
+  }
+
+  /** g46's exact partition score (community, n_vertices, e_in, d_sum, q_part_micro)
+    * of partition CTE `commCte`, emitted as rows$tag — the g65/g66 shared rendition.
+    */
+  private def partitionScoreCtes(tag: String, commCte: String): String =
+    s"""ds$tag AS (SELECT community, COUNT(*) AS n_vertices, CAST(SUM(degree) AS BIGINT) AS d_sum
+       |       FROM deg JOIN $commCte USING (v) GROUP BY 1),
+       |ei$tag AS (SELECT a.community, COUNT(*) AS e_in
+       |       FROM und JOIN $commCte a ON a.v = und.lo JOIN $commCte b ON b.v = und.hi
+       |       WHERE a.community = b.community GROUP BY 1),
+       |rows$tag AS MATERIALIZED (SELECT ds$tag.community, ds$tag.n_vertices,
+       |    CAST(COALESCE(ei$tag.e_in, 0) AS BIGINT) AS e_in, ds$tag.d_sum,
+       |    CAST(floor(1000000.0 * (COALESCE(ei$tag.e_in, 0)::DOUBLE / m::DOUBLE
+       |      - (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE))
+       |        * (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
+       |      + 0.5) AS BIGINT) AS q_part_micro
+       |  FROM ds$tag LEFT JOIN ei$tag USING (community), mt)""".stripMargin
+
+  /** The g65 refinement chain — undirected edges, LPA rounds, the exact-integer
+    * 2m·k − d·Σ local-move round, both partition scores, and the acceptance gate
+    * (CTEs comm0, comm1, rows0, rows1, acc) — shared VERBATIM by the g65 and g66
+    * mirrors: one SQL rendition, not two hand-synced copies (the d05 lesson).
+    */
+  private lazy val refineChainCtes: String =
+    s"""und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
+       |                        GREATEST(source_id, destination_id) AS hi
+       |        FROM edges
+       |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+       |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
+       |${(1 to LpaRounds).map(lpaMoveRoundCte).mkString(",\n")},
+       |comm0 AS MATERIALIZED (SELECT v, label AS community FROM l$LpaRounds),
+       |mt AS (SELECT COUNT(*) AS m FROM und),
+       |deg AS MATERIALIZED (SELECT v, COUNT(*) AS degree
+       |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+       |${partitionScoreCtes("0", "comm0")},
+       |dc0 AS MATERIALIZED (SELECT community, CAST(SUM(degree) AS BIGINT) AS d_c
+       |        FROM deg JOIN comm0 USING (v) GROUP BY 1),
+       |kk AS MATERIALIZED (SELECT adj.src AS v, c.community AS c, COUNT(*) AS k
+       |       FROM adj JOIN comm0 c ON c.v = adj.dst GROUP BY 1, 2),
+       |st AS (SELECT c0.v, c0.community AS a, deg.degree AS d,
+       |          CAST(2 * mt.m * COALESCE(kk.k, 0)
+       |               - deg.degree * (dc0.d_c - deg.degree) AS BIGINT) AS stay_score
+       |       FROM comm0 c0
+       |       JOIN deg ON deg.v = c0.v
+       |       JOIN dc0 ON dc0.community = c0.community
+       |       LEFT JOIN kk ON kk.v = c0.v AND kk.c = c0.community, mt),
+       |mvc AS (SELECT kk.v, kk.c,
+       |          CAST(2 * mt.m * kk.k - st.d * dc0.d_c AS BIGINT) AS score, st.stay_score
+       |        FROM kk JOIN st ON st.v = kk.v AND kk.c <> st.a
+       |        JOIN dc0 ON dc0.community = kk.c, mt),
+       |mv AS (SELECT v, c FROM (
+       |    SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC, c) AS rk
+       |    FROM mvc WHERE score > stay_score) WHERE rk = 1),
+       |comm1 AS MATERIALIZED (SELECT c0.v, COALESCE(mv.c, c0.community) AS community
+       |          FROM comm0 c0 LEFT JOIN mv ON mv.v = c0.v),
+       |${partitionScoreCtes("1", "comm1")},
+       |qq0 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows0),
+       |qq1 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows1),
+       |nm AS (SELECT COUNT(*) AS n FROM comm0 c0
+       |       JOIN comm1 c1 ON c1.v = c0.v AND c1.community <> c0.community),
+       |acc AS (SELECT ((SELECT n FROM nm) > 0
+       |                AND (SELECT q FROM qq1) >= (SELECT q FROM qq0)) AS ok)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -923,82 +1003,59 @@ private[graft] object GraphOracles extends OracleFragments {
     },
 
     // g46's partition refined by one modularity-guarded synchronous local-move
-    // round (exact-integer 2m·k − d·Σ scores, strict improvement only, argmax
-    // tie score desc / community asc), ACCEPTED via the gated-UNION mirror:
-    // both partitions are scored, scalar subqueries compare the exact micro-Q
-    // sums and the move count, and only the accepted branch emits rows — a
-    // drifted Spark-side decision fails the hash (the s31/d28 discipline).
-    // Mirror of GraphQueries.modularityRefined at refineRounds = 1.
-    "g65_modularity_refined" -> {
-      def roundCtes(i: Int): String = {
-        val prev = s"l${i - 1}"
-        s"""n$i AS (SELECT adj.src AS v, l.label, COUNT(*) AS c
-           |        FROM adj JOIN $prev l ON l.v = adj.dst
-           |        GROUP BY 1, 2),
-           |l$i AS MATERIALIZED (SELECT v, label FROM (
-           |       SELECT v, label,
-           |              row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rk
-           |       FROM n$i)
-           |     WHERE rk = 1)""".stripMargin
-      }
-      def scoreCtes(tag: String, commCte: String): String =
-        s"""ds$tag AS (SELECT community, COUNT(*) AS n_vertices, CAST(SUM(degree) AS BIGINT) AS d_sum
-           |       FROM deg JOIN $commCte USING (v) GROUP BY 1),
-           |ei$tag AS (SELECT a.community, COUNT(*) AS e_in
-           |       FROM und JOIN $commCte a ON a.v = und.lo JOIN $commCte b ON b.v = und.hi
-           |       WHERE a.community = b.community GROUP BY 1),
-           |rows$tag AS (SELECT ds$tag.community, ds$tag.n_vertices,
-           |    CAST(COALESCE(ei$tag.e_in, 0) AS BIGINT) AS e_in, ds$tag.d_sum,
-           |    CAST(floor(1000000.0 * (COALESCE(ei$tag.e_in, 0)::DOUBLE / m::DOUBLE
-           |      - (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE))
-           |        * (ds$tag.d_sum::DOUBLE / (2.0 * m::DOUBLE)))
-           |      + 0.5) AS BIGINT) AS q_part_micro
-           |  FROM ds$tag LEFT JOIN ei$tag USING (community), mt)""".stripMargin
+    // round — the shared refineChainCtes (see below) gated-UNIONed: only the
+    // accepted branch emits rows, so a drifted Spark-side decision fails the
+    // hash (the s31/d28 discipline). Mirror of GraphQueries.modularityRefined
+    // at refineRounds = 1.
+    "g65_modularity_refined" ->
       s"""$snap,
-         |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,
-         |                        GREATEST(source_id, destination_id) AS hi
-         |        FROM edges
-         |        WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
-         |adj AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
-         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM adj),
-         |${(1 to LpaRounds).map(roundCtes).mkString(",\n")},
-         |comm0 AS (SELECT v, label AS community FROM l$LpaRounds),
-         |mt AS (SELECT COUNT(*) AS m FROM und),
-         |deg AS (SELECT v, COUNT(*) AS degree
-         |        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
-         |${scoreCtes("0", "comm0")},
-         |dc0 AS (SELECT community, CAST(SUM(degree) AS BIGINT) AS d_c
-         |        FROM deg JOIN comm0 USING (v) GROUP BY 1),
-         |kk AS (SELECT adj.src AS v, c.community AS c, COUNT(*) AS k
-         |       FROM adj JOIN comm0 c ON c.v = adj.dst GROUP BY 1, 2),
-         |st AS (SELECT c0.v, c0.community AS a, deg.degree AS d,
-         |          CAST(2 * mt.m * COALESCE(kk.k, 0)
-         |               - deg.degree * (dc0.d_c - deg.degree) AS BIGINT) AS stay_score
-         |       FROM comm0 c0
-         |       JOIN deg ON deg.v = c0.v
-         |       JOIN dc0 ON dc0.community = c0.community
-         |       LEFT JOIN kk ON kk.v = c0.v AND kk.c = c0.community, mt),
-         |mvc AS (SELECT kk.v, kk.c,
-         |          CAST(2 * mt.m * kk.k - st.d * dc0.d_c AS BIGINT) AS score, st.stay_score
-         |        FROM kk JOIN st ON st.v = kk.v AND kk.c <> st.a
-         |        JOIN dc0 ON dc0.community = kk.c, mt),
-         |mv AS (SELECT v, c FROM (
-         |    SELECT v, c, row_number() OVER (PARTITION BY v ORDER BY score DESC, c) AS rk
-         |    FROM mvc WHERE score > stay_score) WHERE rk = 1),
-         |comm1 AS (SELECT c0.v, COALESCE(mv.c, c0.community) AS community
-         |          FROM comm0 c0 LEFT JOIN mv ON mv.v = c0.v),
-         |${scoreCtes("1", "comm1")},
-         |qq0 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows0),
-         |qq1 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows1),
-         |nm AS (SELECT COUNT(*) AS n FROM comm0 c0
-         |       JOIN comm1 c1 ON c1.v = c0.v AND c1.community <> c0.community),
-         |acc AS (SELECT ((SELECT n FROM nm) > 0
-         |                AND (SELECT q FROM qq1) >= (SELECT q FROM qq0)) AS ok)
+         |$refineChainCtes
          |SELECT * FROM rows1 WHERE (SELECT ok FROM acc)
          |UNION ALL
-         |SELECT * FROM rows0 WHERE NOT (SELECT ok FROM acc)""".stripMargin
-    },
+         |SELECT * FROM rows0 WHERE NOT (SELECT ok FROM acc)""".stripMargin,
 
+    // g66 — Louvain level-2 on the ACCEPTED g65 partition: commA is the gated
+    // branch pick, the super-graph is the inter-community edge rollup (a
+    // community's own weighted degree is exactly its member-degree mass, so no
+    // self-loop relation exists), one strict-improvement ORIENTED weighted
+    // merge round (larger id into smaller — the anti-swap rule; 2m·w − d_C·d_L,
+    // argmax score desc / target asc), projected back and
+    // gated AGAIN against commA's exact micro-Q sum — two nested gated UNIONs,
+    // every decision hash-checked. Mirror of GraphQueries.louvainAggregated.
+    "g66_louvain_agg" ->
+      s"""$snap,
+         |$refineChainCtes,
+         |commA AS MATERIALIZED (SELECT v, community FROM comm1 WHERE (SELECT ok FROM acc)
+         |          UNION ALL
+         |          SELECT v, community FROM comm0 WHERE NOT (SELECT ok FROM acc)),
+         |${partitionScoreCtes("A", "commA")},
+         |dA AS (SELECT community, CAST(SUM(degree) AS BIGINT) AS d_c
+         |       FROM deg JOIN commA USING (v) GROUP BY 1),
+         |e2 AS MATERIALIZED (SELECT LEAST(a.community, b.community) AS l2,
+         |              GREATEST(a.community, b.community) AS h2, COUNT(*) AS w
+         |       FROM und JOIN commA a ON a.v = und.lo JOIN commA b ON b.v = und.hi
+         |       WHERE a.community <> b.community GROUP BY 1, 2),
+         |prs AS (SELECT h2 AS c, l2 AS l, w FROM e2),
+         |mg AS (SELECT c, l FROM (
+         |    SELECT p.c, p.l,
+         |           CAST(2 * mt.m * p.w - da.d_c * db.d_c AS BIGINT) AS score,
+         |           row_number() OVER (PARTITION BY p.c
+         |             ORDER BY (2 * mt.m * p.w - da.d_c * db.d_c) DESC, p.l) AS rk
+         |    FROM prs p JOIN dA da ON da.community = p.c
+         |    JOIN dA db ON db.community = p.l, mt)
+         |  WHERE rk = 1 AND score > 0),
+         |comm2 AS MATERIALIZED (SELECT commA.v, COALESCE(mg.l, commA.community) AS community
+         |          FROM commA LEFT JOIN mg ON mg.c = commA.community),
+         |${partitionScoreCtes("2", "comm2")},
+         |qqA AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rowsA),
+         |qq2 AS (SELECT CAST(SUM(q_part_micro) AS BIGINT) AS q FROM rows2),
+         |nm2 AS (SELECT COUNT(*) AS n FROM commA ca
+         |        JOIN comm2 c2 ON c2.v = ca.v AND c2.community <> ca.community),
+         |acc2 AS (SELECT ((SELECT n FROM nm2) > 0
+         |                 AND (SELECT q FROM qq2) >= (SELECT q FROM qqA)) AS ok)
+         |SELECT * FROM rows2 WHERE (SELECT ok FROM acc2)
+         |UNION ALL
+         |SELECT * FROM rowsA WHERE NOT (SELECT ok FROM acc2)""".stripMargin,
     // TIME-TRAVEL snapshot: the LWW fold over the log prefix updated_at <= AsOfTs —
     // mirror of GraphQueries.snapshotAsOf / EdgeStore.asOf (the cut constant is shared
     // so a retune cannot diverge the mirror)

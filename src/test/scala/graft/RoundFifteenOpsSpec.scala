@@ -544,6 +544,32 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g66: a split clique merges in one level-2 move; the anti-swap orientation holds") {
+    // two 4-cliques bridged by one edge; community 1's clique is SPLIT {1,2}|{3,4}
+    // while B={5,6,7,8} is intact. Level-2 must glue the split (score
+    // 2·13·4 − 6·7 = 62 > 0, oriented 3→1) and must NOT merge B across the
+    // bridge (2·13·1 − 7·13 < 0)
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val und = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ ((4L, 5L)))
+      .toDF("lo", "hi")
+    val start = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 5L)).toDF("v", "community")
+    val merged = GraphQueries.aggregateMoveRound(und, start).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("community")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(merged(_) == 1L),
+      s"the split clique must reunite under the smaller label: $merged")
+    assert(Seq(5L, 6L, 7L, 8L).forall(merged(_) == 5L),
+      s"the intact clique must not merge across the bridge: $merged")
+  }
+
+  test("g66: accepted level-2 modularity is never below the level-1 score on the real graph") {
+    def qSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("q_part_micro")), lit(0L)).cast("long")).collect()(0).getLong(0)
+    val q1 = qSum(GraphQueries.modularityRefined(spark, dir, lpaRounds = 4, refineRounds = 1))
+    val q2 = qSum(GraphQueries.louvainAggregated(spark, dir, lpaRounds = 4))
+    assert(q2 >= q1, s"level-2 gate violated: $q2 < $q1")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
