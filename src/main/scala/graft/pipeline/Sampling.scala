@@ -835,6 +835,24 @@ object Sampling {
     * (map-side-combinable, catalog-sized result, broadcast back); only the ≤k
     * survivors per source enter the rank window. One corpus pass end to end.
     */
+  /** The dc23 priority as a plain JVM scalar — the ONE non-column rendition,
+    * consumed by the streaming reservoir twin ([[graft.streaming.StreamOps]]
+    * streamingWeightedSample) so batch and stream share the identical key;
+    * RoundFifteenOpsSpec's sequential mirror pins it against the column form.
+    * Callers pass a reusable MessageDigest (the streamingDedup per-partition
+    * discipline — no per-row JCA lookup).
+    */
+  private[graft] def aesKeyNano(
+      id: Long, weight: Long, salt: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val hex = md.digest((salt + id.toString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val lnuMicro =
+      math.floor(1000000.0 * math.log((h + 1).toDouble / 1152921504606846976.0) + 0.5).toLong
+    math.floor(1000000000.0 * lnuMicro.toDouble / weight.toDouble + 0.5).toLong
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,

@@ -557,6 +557,63 @@ object StreamOps extends Serializable {
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("docId").as("doc_id"), col("text_hash"), col("tsUs"))
 
+  /** A weighted document arrival — the input surface of
+    * [[streamingWeightedSample]].
+    */
+  case class WeightedDoc(docId: Long, source: String, weight: Long)
+
+  /** One reservoir membership row — [[streamingWeightedSample]]'s output; the
+    * whole current reservoir re-emits per source per batch (Update mode), so
+    * the sink's latest rows ARE the sample.
+    */
+  case class ReservoirRow(source: String, docId: Long, weight: Long, keyNano: Long, selRank: Int)
+
+  /** Streaming twin of the dc23 batch sampler — and the setting A-ES was
+    * DESIGNED for (Efraimidis–Spirakis 2006 is a one-pass weighted-reservoir
+    * algorithm): per source, keep the k arrivals with the largest
+    * [[graft.pipeline.Sampling.aesKeyNano]] priority. Because the priority is a
+    * pure function of (salt, id, weight), the reservoir after ANY prefix of the
+    * stream equals the batch [[graft.pipeline.Sampling.weightedSample]] over
+    * exactly those arrivals — the batch-parity contract StreamOpsSpec pins
+    * across micro-batch boundaries, and the property that makes the sample
+    * insensitive to arrival order and batch cuts.
+    *
+    * State bound: exactly k (priority, id, weight) triples per source — a
+    * catalog, never the stream; each batch merges its arrivals into the top-k
+    * and re-emits the reservoir. Zero/negative weights are dropped at the door
+    * (the batch kernel's rule).
+    */
+  def streamingWeightedSample(
+      docs: Dataset[WeightedDoc],
+      k: Int,
+      salt: String = ""
+  ): Dataset[ReservoirRow] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, s"streamingWeightedSample: k must be >= 1, got $k")
+
+    def fold(
+        source: String,
+        batch: Iterator[WeightedDoc],
+        state: GroupState[Seq[(Long, Long, Long)]] // (keyNano, docId, weight), top-k sorted
+    ): Iterator[ReservoirRow] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arrivals = batch.filter(_.weight > 0)
+        .map(d => (graft.pipeline.Sampling.aesKeyNano(d.docId, d.weight, salt, md), d.docId, d.weight))
+      val merged = (state.getOption.getOrElse(Seq.empty) ++ arrivals)
+        .distinct // an id replayed within the horizon re-derives the identical triple
+        .sortBy { case (key, id, _) => (-key, id) }
+        .take(k)
+      state.update(merged)
+      merged.iterator.zipWithIndex.map { case ((key, id, w), i) =>
+        ReservoirRow(source, id, w, key, i + 1)
+      }
+    }
+
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Streaming twin of the d17 incremental-dedup probe: each ingest micro-batch
     * runs the BATCH probe against the loaded corpus index
     * ([[graft.pipeline.Dedup.loadDedupIndex]]) inside `foreachBatch` — documents

@@ -1471,4 +1471,49 @@ class StreamOpsSpec extends SparkSpec {
       check(first ++ second)
     } finally query.stop()
   }
+
+  test("streaming weighted reservoir equals the batch A-ES sample after every prefix") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.WeightedDoc
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[WeightedDoc]
+    val query = StreamOps.streamingWeightedSample(stream.toDS(), k = 3)
+      .toDF().writeStream.format("memory").queryName("wres")
+      .outputMode(OutputMode.Update()).start()
+    // arrival order scrambled vs id order on purpose: the sample must not care
+    val first = Seq(WeightedDoc(9L, "a", 40L), WeightedDoc(2L, "a", 1L),
+      WeightedDoc(5L, "a", 900L), WeightedDoc(11L, "b", 7L), WeightedDoc(4L, "a", 0L))
+    val second = Seq(WeightedDoc(1L, "a", 5000L), WeightedDoc(3L, "a", 2L),
+      WeightedDoc(8L, "b", 60L), WeightedDoc(6L, "b", 3L), WeightedDoc(7L, "b", 3L))
+    def check(prefix: Seq[WeightedDoc]): Unit = {
+      // a re-emitted reservoir replaces the previous one; the memory sink appends,
+      // so the LAST row per (source, doc) is the current membership
+      val latest = spark.sql(
+        """SELECT source, docId, weight, keyNano, selRank FROM wres""")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .groupBy(t => (t._1, t._2)).map { case (_, rows) => rows.last }
+        .toSet
+      val batch = graft.pipeline.Sampling.weightedSample(
+          prefix.toDF("doc_id", "source", "wt"), "doc_id", "source", "wt", k = 3)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("weight"), r.getAs[Long]("key_nano"), r.getAs[Int]("sel_rank")))
+        .toSet
+      // batch rows ⊆ latest emissions with identical (key, rank); stale memory-sink
+      // rows from earlier batches may linger for ids that since fell out, so
+      // compare on the batch winner set per source
+      batch.foreach { row =>
+        assert(latest.contains(row), s"missing reservoir row $row in $latest")
+      }
+    }
+    try {
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
 }
