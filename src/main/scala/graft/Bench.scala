@@ -116,7 +116,14 @@ object Bench {
     // non-headline (two cheap text scans, the d14 kernel; the fam field
     // reports the d-family's worst query regardless).
     "d31_semantic_dedup", "s34_graph_ann_layered",
-    "g65_modularity_refined",
+    // r15c: g65's slot passes to g66 — louvainAggregated RUNS the full g65
+    // chain (LPA + refinement + both gate scorings) and adds the level-2
+    // merge round + a third scoring, so one slot prices both (the g54→g55
+    // precedent); BENCH_SEED carries g65's floor. The other r15c adds (ev25
+    // Kaplan-Meier, s37 prefix curve, dc23 weighted sample) stay non-headline:
+    // all are catalog-windowed single-scan shapes, and the fam field reports
+    // each family's worst query regardless.
+    "g66_louvain_agg",
     // r15b: d36 runs the exact + d15(4,4) + d31 keeper chains end-to-end —
     // the round's heaviest composite. d32_semantic_savings rotated out to pay
     // for it (d32 = the d31 chain + two rollups; with d31 AND d36 both
