@@ -370,4 +370,71 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want) :| s"got $got want $want (nv=$nv nc=$nc nb=$nb)"
     }, cases = 8)
   }
+
+  /** The ev25 estimator re-derived sequentially in plain Scala — the same
+    * per-row micro ln terms, exact Long cumsums, one final exp (the float
+    * contract documented on [[AnalyticsQueries.survivalCurveOf]]).
+    */
+  private def mirrorKm(obs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val byT = obs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      (t, rows.count(_._2 == 0L).toLong, rows.count(_._2 == 1L).toLong)
+    }
+    val total = obs.size.toLong
+    var seen = 0L
+    var cumLn = 0L
+    var cumHaz = 0L
+    var dead = false
+    byT.flatMap { case (t, d, c) =>
+      val nRisk = total - seen
+      seen += d + c
+      if (d == 0L) None
+      else {
+        if (d == nRisk) dead = true
+        else cumLn += math.floor(
+          1000000.0 * math.log((nRisk - d).toDouble / nRisk.toDouble) + 0.5).toLong
+        cumHaz += math.floor(1000000.0 * d.toDouble / nRisk.toDouble + 0.5).toLong
+        val surv =
+          if (dead) 0L
+          else math.floor(1000000.0 * math.exp(cumLn.toDouble / 1000000.0) + 0.5).toLong
+        Some((t, nRisk, d, c, surv, cumHaz))
+      }
+    }
+  }
+
+  test("ev25: the distributed Kaplan-Meier equals the sequential mirror on random censored cohorts") {
+    val genObs = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 12L), Gen.oneOf(0L, 1L)))
+      .suchThat(_.nonEmpty)
+    check("km-mirror", Prop.forAll(genObs) { obs =>
+      val got = AnalyticsQueries.survivalCurveOf(obs.toDF("t", "censored"))
+        .collect()
+        .map(r => (r.getAs[Long]("duration_days"), r.getAs[Long]("n_risk"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"),
+          r.getAs[Long]("survival_micro"), r.getAs[Long]("cum_hazard_micro")))
+        .sortBy(_._1).toSeq
+      val want = mirrorKm(obs)
+      (got == want) :| s"got $got\nwant $want\nobs $obs"
+    }, cases = 6)
+  }
+
+  test("g66: the level-2 merge round always emits a valid partition over inherited labels") {
+    val genGraph = for {
+      n <- Gen.choose(6, 14)
+      edges <- Gen.listOfN(2 * n,
+        Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    check("g66-partition", Prop.forAll(genGraph.suchThat(_.size >= 3)) { es =>
+      val und = es.toDF("lo", "hi")
+      val verts = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // start: labels = v mod 3 buckets mapped to the minimum member id (a
+      // deliberately bad partition so merges actually fire)
+      val start = verts.map(v => (v, verts.filter(_ % 3 == v % 3).min)).toDF("v", "community")
+      val out = GraphQueries.aggregateMoveRound(und, start).collect()
+        .map(r => (r.getAs[Long]("v"), r.getAs[Long]("community")))
+      val startLabels = verts.map(v => verts.filter(_ % 3 == v % 3).min).toSet
+      val exactlyOnce = out.map(_._1).toSet == verts.toSet && out.length == verts.size
+      val inherited = out.map(_._2).toSet.subsetOf(startLabels)
+      (exactlyOnce && inherited) :| s"out ${out.toSeq} start labels $startLabels"
+    }, cases = 6)
+  }
 }
