@@ -175,6 +175,11 @@ private[graft] trait OracleParams {
   /** s35/s36's pinned coarse-stage overfetch (shortlist = k · this). */
   private[graft] val Int8Overfetch = 4
 
+  /** s38's pinned tombstone predicate (vec_id ≡ 0 mod this ⇒ deleted), shared
+    * by registration and oracle.
+    */
+  private[graft] val Int8TombstoneMod = 7
+
   /** o03's pinned tuning, shared by registration and oracle: group target in rows,
     * and the tile shift — FINER than o01's write-bucket shift (26) because the
     * planner needs enough tiles to pack (shift 26 collapses the synthetic corpus

@@ -65,6 +65,26 @@ private[graft] object SimilarityOracles extends OracleFragments {
           k = 5, index = idx, overfetch = Int8Overfetch)
       } finally deleteRecursively(scratch)
     }),
+    // the delete/compact leg of the s35/s36 lifecycle: tombstoned ids
+    // anti-joined out of the persisted artifact, compacted, reloaded — must
+    // search exactly like an index built fresh on the survivors
+    "s38_int8_deleted" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val survivors = e.filter(col("vec_id") % Int8TombstoneMod =!= 0)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-int8-del")
+      try {
+        val full = scratch.toString + "/full"
+        val compacted = scratch.toString + "/compacted"
+        Similarity.saveInt8Index(Similarity.int8Quantize(e, "vec_id", "embedding"), full)
+        val tomb = e.filter(col("vec_id") % Int8TombstoneMod === 0).select(col("vec_id"))
+        Similarity.saveInt8Index(
+          Similarity.deleteFromInt8Index(Similarity.loadInt8Index(s, full), tomb, "vec_id"),
+          compacted)
+        val idx = Similarity.loadInt8Index(s, compacted).localCheckpoint(eager = true)
+        Similarity.int8TopKWith(e.filter(col("vec_id") % 50 === 0), survivors,
+          "vec_id", "embedding", k = 5, index = idx, overfetch = Int8Overfetch)
+      } finally deleteRecursively(scratch)
+    }),
     // the HNSW-flavored descent added to s26's entry: fixed md5-prefix layers
     // routed through shared trained cells, bottom anchors unioned into the
     // medoid seeds — recall ≥ s26 at equal beam (RoundFifteenOpsSpec measures)
@@ -426,10 +446,20 @@ private[graft] object SimilarityOracles extends OracleFragments {
     * s08 quantization), coarse cosine on code×scale reconstructions,
     * k·overfetch shortlist (coarse desc, id asc), exact-cosine rerank.
     */
-  private lazy val int8SearchSql: String =
+  private lazy val int8SearchSql: String = int8SearchSqlOver(candWhere = "")
+
+  /** s38's mirror = s35's with the tombstone predicate restricting the CORPUS
+    * side (quantized scan and candidates) — queries stay the full service set;
+    * the rerank join can only see shortlist survivors, so no tombstone can
+    * resurface there.
+    */
+  private lazy val int8DeletedSql: String =
+    int8SearchSqlOver(candWhere = s" WHERE vec_id % $Int8TombstoneMod <> 0")
+
+  private def int8SearchSqlOver(candWhere: String): String =
     s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM a WHERE vec_id % 50 = 0),
-       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM a),
+       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM a$candWhere),
        |rc AS (SELECT vec_id AS neighbor_id,
        |         list_transform(v, x ->
        |           greatest(-127.0, least(127.0, floor(x / (maxabs / 127.0) + 0.5)))
@@ -767,6 +797,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,
     "s37_prefix_recall_curve" -> prefixCurveSql,
+    "s38_int8_deleted" -> int8DeletedSql,
     "s36_int8_saved" -> int8SearchSql,
 
 

@@ -1322,6 +1322,22 @@ object Similarity {
   def loadInt8Index(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** s38 — DELETE from the serving artifact: drop tombstoned vectors from the
+    * [[int8Quantize]] index by one anti-join, the compaction-rewrite half of the
+    * index lifecycle (the d21/d22 append/compact discipline applied to ANN
+    * serving: GDPR erasure and re-crawl retractions arrive as id lists, and a
+    * 100-TB index answers them by rewriting the survivors — never by rebuilding
+    * the quantization, whose codes are per-vector and therefore unaffected).
+    * Persist the result with [[saveInt8Index]] and the reloaded artifact must
+    * search EXACTLY like an index built fresh on the surviving corpus — the
+    * identity RoundFifteenOpsSpec pins and the s38 oracle hash-checks.
+    *
+    * Scale shape: one broadcast-able anti-join on the id (tombstone lists are
+    * catalogs); the rewrite streams the 1-byte/dim artifact once.
+    */
+  def deleteFromInt8Index(index: DataFrame, tombstones: DataFrame, idCol: String): DataFrame =
+    index.join(tombstones.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti")
+
   /** s35 — INT8 scalar-quantized search (the Faiss SQ8 serving shape): the
     * corpus is held as the [[int8Quantize]] artifact, each candidate scored by
     * the cosine against its RECONSTRUCTION (code × scale — the exact double

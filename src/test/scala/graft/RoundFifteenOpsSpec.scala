@@ -570,6 +570,25 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(q2 >= q1, s"level-2 gate violated: $q2 < $q1")
   }
 
+  test("s38: the compacted index searches exactly like a fresh build on the survivors; no tombstone resurfaces") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tomb = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val survivors = e.filter(col("vec_id") % 7 =!= 0)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val deleted = Similarity.deleteFromInt8Index(
+      Similarity.int8Quantize(e, "vec_id", "embedding"), tomb, "vec_id")
+    val viaDelete = rows(Similarity.int8TopKWith(
+      queries, survivors, "vec_id", "embedding", k = 5, index = deleted))
+    val viaFresh = rows(Similarity.int8TopK(
+      queries, survivors, "vec_id", "embedding", k = 5))
+    assert(viaDelete.nonEmpty && viaDelete == viaFresh,
+      s"delete path diverged: ${viaDelete.diff(viaFresh)} vs ${viaFresh.diff(viaDelete)}")
+    assert(!viaDelete.exists(_._2 % 7 == 0), "a tombstoned id resurfaced as a neighbor")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
