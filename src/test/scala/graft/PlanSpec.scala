@@ -1135,4 +1135,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("HashAggregate"),
       s"map-side combinable aggregate expected:\n$p")
   }
+
+  test("weighted sample (dc23): the corpus never enters a window — only the kth-threshold agg") {
+    val p = plan(pipeline.Sampling.weightedSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", "n_chars", k = 10))
+    // the t09/sourceCap lesson, structural: the per-source selection is the
+    // KthSmallest hash aggregate (map-side combinable) + a broadcast threshold
+    // join; the only window runs over the ≤k-per-source survivors AFTER the
+    // threshold filter, so exactly one Window may appear and it must sit above
+    // the broadcast join, never directly over the corpus scan
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 1, s"exactly one survivor-trim window expected, got $windows:\n$p")
+    // and the rank-limit pushdown must engage on it (partial top-k per map task
+    // before the survivor shuffle — the Spark-4 WindowGroupLimit rewrite)
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown expected:\n$p")
+    assert(p.contains("kth_smallest") || p.contains("KthSmallest"),
+      s"the kth-threshold aggregate must drive the selection:\n$p")
+    assert(p.contains("BroadcastExchange"), s"thresholds must broadcast back:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global single-partition shuffle may exist:\n$p")
+  }
 }
