@@ -1140,6 +1140,115 @@ object AnalyticsQueries {
         col("s.wilson_low_micro"), col("s.wilson_high_micro"))
   }
 
+  /** ev26 — A/B LIFT: the two-proportion experiment readout over a
+    * deterministic hash split. Every user with a `view` event is "exposed" and
+    * lands in arm 0 (control) or arm 1 (variant) by md5-parity of their id
+    * (the t07 salted-hash-split idiom — at serving time the assignment is a
+    * pure function of the id, reproducible on any engine, no coordination);
+    * a user CONVERTS when a `purchase` follows their first view (the ev19
+    * step-2 semantics). One row reports both arms' exact counts, the half-up
+    * integer conversion rates, the absolute and relative lift, the pooled
+    * two-proportion z statistic, and a significance verdict at |z| ≥ 1.96.
+    *
+    * Cross-engine float contract (the ev24 discipline): z is ONE double
+    * expression over exact integer counts — pooled p̂ = (x₀+x₁)/(n₀+n₁),
+    * z = (p₁−p₀)/sqrt(p̂·(1−p̂)·(1/n₀+1/n₁)) — written with the same operation
+    * sequence on both engines and micro-quantized once; the 1.96 gate compares
+    * in micro space (|z_micro| ≥ 1960000), so the verdict is an exact integer
+    * compare.
+    *
+    * Scale shape: two map-side-combinable per-user aggregates (first view,
+    * first later purchase — the ev19 kernel), one groupBy().agg() conditional
+    * fold to a single row; no window, no data-sized join. The arm column never
+    * shuffles alone — it rides the user-keyed aggregate.
+    */
+  def abLift(spark: SparkSession, dir: String): DataFrame =
+    abLiftOf(eventsTsu(spark, dir, "user_id", "event_type"))
+
+  private[graft] def abLiftOf(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val converted = events.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("tsu") > col("t1"))
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 2L).as("arm")
+    val perUser = firstView.join(converted, Seq("user_id"), "left")
+      .select(arm, coalesce(col("conv"), lit(0L)).as("conv"))
+    val counts = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_control"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_variant"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_variant"))
+    def rate(x: String, n: String): Column =
+      when(col(n) === 0L, 0L)
+        .otherwise(expr(s"(2 * 1000000 * $x + $n) DIV (2 * $n)").cast("long"))
+    val n0 = col("n_control").cast("double")
+    val n1 = col("n_variant").cast("double")
+    val x0 = col("conv_control").cast("double")
+    val x1 = col("conv_variant").cast("double")
+    val pHat = (x0 + x1) / (n0 + n1)
+    val z = (x1 / n1 - x0 / n0) / sqrt(pHat * (lit(1.0) - pHat) * (lit(1.0) / n0 + lit(1.0) / n1))
+    val zMicro = when(
+      col("n_control") === 0L || col("n_variant") === 0L ||
+        col("conv_control") + col("conv_variant") === 0L ||
+        col("conv_control") + col("conv_variant") === col("n_control") + col("n_variant"),
+      0L).otherwise(floor(lit(1000000.0) * z + lit(0.5)).cast("long"))
+    counts.select(
+      col("n_control"), col("conv_control"), col("n_variant"), col("conv_variant"),
+      rate("conv_control", "n_control").as("rate_control_micro"),
+      rate("conv_variant", "n_variant").as("rate_variant_micro"),
+      (rate("conv_variant", "n_variant") - rate("conv_control", "n_control"))
+        .as("lift_micro"),
+      zMicro.as("z_micro"),
+      (abs(zMicro) >= 1960000L).cast("int").as("significant"))
+  }
+
+  /** ev27 — HOUR-OF-DAY PERIODICITY per event type: the 24-bin diurnal profile
+    * and a chi-square uniformity statistic — the standard screen for scheduled
+    * traffic (a cron-driven `error` type spikes one bin; organic `view` traffic
+    * spreads). Hours come from pure integer arithmetic on epoch micros
+    * (`(tsu div 3600µs) mod 24` — timezone-free, identical on both engines).
+    *
+    * Chi-square against uniform reduces EXACTLY: with E = n/24,
+    * Σ_h (O_h − E)²/E  =  (24·ΣO_h² − n²) / n — so the numerator is one exact
+    * BIGINT per type (zero-count hours contribute 0 to ΣO² and the algebra
+    * already accounts for them) and the single double division is the only
+    * float op, micro-quantized once (overflow bound: n² stays in BIGINT up to
+    * n ≈ 3·10⁹ events per type; beyond that move the numerator to decimal —
+    * the g62/s33 documented-bound convention). The peak bin is an argmax with
+    * the smallest-hour tie-break, read off one `max(struct(o, 23−hour))`
+    * aggregate — no window.
+    *
+    * Scale shape: one map-side-combinable groupBy(type, hour) → a 24·|types|
+    * relation, then one groupBy(type) fold; no window, no join, no data-sized
+    * state.
+    */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame =
+    hourProfileOf(eventsTsu(spark, dir, "event_type"))
+
+  private[graft] def hourProfileOf(events: DataFrame): DataFrame = {
+    val perHour = events
+      .groupBy(col("event_type"), expr("(tsu DIV 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("o"))
+    perHour.groupBy(col("event_type"))
+      .agg(
+        sum(col("o")).as("n_events"),
+        count(lit(1)).as("n_hours_active"),
+        sum(col("o") * col("o")).as("s2"),
+        max(struct(col("o").as("o"), (lit(23L) - col("hour")).as("nh"))).as("pk"))
+      .select(
+        col("event_type"), col("n_events"), col("n_hours_active"),
+        (lit(23L) - col("pk.nh")).as("peak_hour"),
+        expr("(2 * 1000000 * pk.o + n_events) DIV (2 * n_events)").cast("long")
+          .as("peak_share_micro"),
+        floor((lit(1000000.0)
+          * (lit(24L) * col("s2") - col("n_events") * col("n_events")).cast("double"))
+          / col("n_events").cast("double") + lit(0.5)).cast("long").as("chi2_micro"))
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

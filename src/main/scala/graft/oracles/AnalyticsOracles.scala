@@ -53,6 +53,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev24_funnel_wilson" -> (AnalyticsQueries.funnelWilson _),
     "ev25_survival" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.survivalCurve(s, d, censorUs = KmCensorUs)),
+    "ev26_ab_lift" -> (AnalyticsQueries.abLift _),
+    "ev27_hour_profile" -> (AnalyticsQueries.hourProfile _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -227,6 +229,70 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |  ${w("n_buy", "n_click")}
          |FROM nn""".stripMargin
     },
+
+    // two-proportion A/B readout: md5-parity arm split over view-exposed users,
+    // conversion = purchase after first view (ev19 step-2 semantics), pooled z
+    // as ONE double sequence over exact counts (the ev24 foldable-constant
+    // convention), half-up integer rates — mirror of AnalyticsQueries.abLift
+    "ev26_ab_lift" -> {
+      def rate(x: String, n: String) =
+        s"CAST(CASE WHEN $n = 0 THEN 0 ELSE (2 * 1000000 * $x + $n) // (2 * $n) END AS BIGINT)"
+      val pHat = "(conv_control + conv_variant)::DOUBLE / (n_control + n_variant)::DOUBLE"
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, MIN(tsu) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |cv AS (SELECT DISTINCT ev.user_id
+         |       FROM ev JOIN v USING (user_id)
+         |       WHERE ev.event_type = 'purchase' AND ev.tsu > v.t1),
+         |pu AS (SELECT
+         |         ('0x' || substr(md5(CAST(v.user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         |         CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv
+         |       FROM v LEFT JOIN cv ON cv.user_id = v.user_id),
+         |cnt AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_variant,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_variant
+         |  FROM pu),
+         |z AS (SELECT *,
+         |    CAST(CASE WHEN n_control = 0 OR n_variant = 0
+         |           OR conv_control + conv_variant = 0
+         |           OR conv_control + conv_variant = n_control + n_variant THEN 0
+         |      ELSE floor(1000000.0 * (
+         |        (conv_variant::DOUBLE / n_variant::DOUBLE
+         |          - conv_control::DOUBLE / n_control::DOUBLE)
+         |        / sqrt($pHat * (1.0 - $pHat)
+         |            * (1.0 / n_control::DOUBLE + 1.0 / n_variant::DOUBLE))) + 0.5)
+         |      END AS BIGINT) AS z_micro
+         |  FROM cnt)
+         |SELECT n_control, conv_control, n_variant, conv_variant,
+         |  ${rate("conv_control", "n_control")} AS rate_control_micro,
+         |  ${rate("conv_variant", "n_variant")} AS rate_variant_micro,
+         |  ${rate("conv_variant", "n_variant")} - ${rate("conv_control", "n_control")}
+         |    AS lift_micro,
+         |  z_micro,
+         |  CAST(CASE WHEN abs(z_micro) >= 1960000 THEN 1 ELSE 0 END AS INTEGER) AS significant
+         |FROM z""".stripMargin
+    },
+
+    // 24-bin diurnal profile per type: integer epoch-hour bins, exact-integer
+    // chi-square numerator (24·ΣO² − n²) with ONE double division, argmax peak
+    // with smallest-hour tie-break — mirror of AnalyticsQueries.hourProfile
+    "ev27_hour_profile" ->
+      """WITH t AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |a AS (SELECT event_type, hour, COUNT(*) AS o FROM t GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_events,
+        |        CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+        |        CAST(SUM(o * o) AS BIGINT) AS s2,
+        |        CAST(MAX(o) AS BIGINT) AS max_o
+        |      FROM a GROUP BY 1),
+        |pk AS (SELECT a.event_type, CAST(MIN(a.hour) AS BIGINT) AS peak_hour
+        |       FROM a JOIN g USING (event_type) WHERE a.o = g.max_o GROUP BY 1)
+        |SELECT g.event_type, n_events, n_hours_active, peak_hour,
+        |  CAST((2 * 1000000 * max_o + n_events) // (2 * n_events) AS BIGINT)
+        |    AS peak_share_micro,
+        |  CAST(floor((1000000.0 * (24 * s2 - n_events * n_events)) / n_events::DOUBLE + 0.5)
+        |    AS BIGINT) AS chi2_micro
+        |FROM g JOIN pk USING (event_type)""".stripMargin,
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

@@ -165,6 +165,9 @@ private[graft] object TextOracles extends OracleFragments {
         minWords = GopherMinWords, maxWords = GopherMaxWords,
         requiredWords = GopherRequiredWords,
         minRequiredHits = GopherMinRequiredHits)),
+    "t49_readability" -> ((s: SparkSession, dir: String) =>
+      TextStats.readability(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")),
     "t42_gate_swap" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.gateSwapDecision(
@@ -781,6 +784,38 @@ private[graft] object TextOracles extends OracleFragments {
          |  pred_micro - actual_micro AS gap_micro
          |FROM agg""".stripMargin
     },
+
+    // Flesch reading ease off three exact integer counts (whitespace words,
+    // terminator sentences floored at 1, vowel-run syllables via the two-
+    // regexp_replace length difference), ONE double expression with the
+    // published constants as identical literals (ev24 foldable-constant
+    // convention), micro-quantized once — mirror of TextStats.readability
+    "t49_readability" ->
+      """WITH base AS (SELECT doc_id, text, lower(text) AS low FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_words,
+        |        greatest(CAST(
+        |            (length(text) - length(replace(text, '.', '')))
+        |          + (length(text) - length(replace(text, '!', '')))
+        |          + (length(text) - length(replace(text, '?', ''))) AS BIGINT),
+        |          CAST(1 AS BIGINT)) AS n_sentences,
+        |        greatest(CAST(
+        |            length(regexp_replace(low, '[aeiou]+', 'a', 'g'))
+        |          - length(regexp_replace(low, '[aeiou]+', '', 'g')) AS BIGINT),
+        |          CAST(1 AS BIGINT)) AS n_syllables
+        |      FROM base),
+        |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |        CAST(floor(1000000.0 * (206.835
+        |            - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |            - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)) + 0.5) AS BIGINT)
+        |          AS flesch_micro
+        |      FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_micro,
+        |  CASE WHEN flesch_micro >= 70000000 THEN 'easy'
+        |       WHEN flesch_micro >= 50000000 THEN 'standard'
+        |       WHEN flesch_micro >= 30000000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f""".stripMargin,
 
     // Gopher repetition battery: word n-grams unrolled per (position, n), top
     // n-gram (n = 2..4) and duplicated n-gram (n = 5..10) character coverage as

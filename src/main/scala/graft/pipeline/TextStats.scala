@@ -1923,4 +1923,61 @@ object TextStats {
       floor((syD - slope * sxD) / nD + lit(0.5)).cast("long").as("intercept_micro"),
       floor(lit(1000000.0) * r2 + lit(0.5)).cast("long").as("r2_micro"))
   }
+
+  /** t49 — READABILITY (Flesch 1948 reading ease): the classic surface-form
+    * difficulty score, the third axis of the quality toolkit next to t02's
+    * stopword-density heuristic and t45's LM perplexity — readability needs no
+    * trained model and no reference corpus, so it is the gate a pipeline can run
+    * on day one over any source.
+    *
+    *   F = 206.835 − 1.015 · (words / sentences) − 84.6 · (syllables / words)
+    *
+    * All three inputs are EXACT integers per document:
+    *   - words      — [[tokenCount]] (whitespace tokens, ≥ 1 by construction)
+    *   - sentences  — terminator count (`.` + `!` + `?` via the codegen'd
+    *                  [[occurrences]] expression), floored at 1 so a fragment
+    *                  without punctuation still scores
+    *   - syllables  — VOWEL-RUN count, the standard deterministic heuristic:
+    *                  each maximal `[aeiou]+` run in the lowercased text is one
+    *                  syllable nucleus. Counted WITHOUT materializing a rewrite
+    *                  of the text: len(collapse runs to 1 char) − len(strip
+    *                  runs) = number of runs; both engines evaluate the same
+    *                  two regexp_replace calls.
+    *
+    * The score itself is ONE double expression over those integers with the
+    * published constants written as identical literals on both engines (the
+    * ev24 foldable-constant convention — do NOT pre-fold or re-associate on one
+    * side only), micro-quantized once per row so any downstream per-source
+    * aggregate sums order-free. A banded label (easy / standard / difficult /
+    * very_difficult at 70/50/30) makes the score directly gateable.
+    *
+    * Scale shape: a pure per-row map over one (id, text) scan — no shuffle, no
+    * window, no join; whole-stage-codegen'd end to end. At 100 TB this is the
+    * cheapest gate in the battery and composes into dc16-style release chains
+    * as an id-keyed semi-join like every other gate.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val low = lower(t)
+    val words = tokenCount(t)
+    val sentences = greatest(
+      occ(t, ".") + occ(t, "!") + occ(t, "?"), lit(1L))
+    val syllables = greatest(
+      (length(regexp_replace(low, "[aeiou]+", "a")) -
+        length(regexp_replace(low, "[aeiou]+", ""))).cast("long"), lit(1L))
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    val fMicro = floor(lit(1000000.0) * flesch + lit(0.5)).cast("long")
+    Scans.fanOut(df).select(
+      col(idCol),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      fMicro.as("flesch_micro"),
+      when(fMicro >= 70000000L, "easy")
+        .when(fMicro >= 50000000L, "standard")
+        .when(fMicro >= 30000000L, "difficult")
+        .otherwise("very_difficult").as("band"))
+  }
 }
