@@ -337,6 +337,14 @@ private[graft] trait OracleParams {
   /** dc02's pinned per-source quality-cap budget. */
   private[graft] val QualityCapK = 10
 
+  /** dc24's pinned per-source token budget and quality-bucket width (micro),
+    * shared by registration and oracle. The bucket width is the boundary-window
+    * cost knob: candidates = fully-admitted buckets + ONE boundary bucket, so
+    * the per-source window never sees more than budget + one bucket of tokens.
+    */
+  private[graft] val BudgetFillTokens = 600L
+  private[graft] val BudgetFillBucketMicro = 100000L
+
   /** s25's pinned arrival split: vec_id % mod == 0 are the vectors that "arrived
     * after training"; the rest train the codebook.
     */

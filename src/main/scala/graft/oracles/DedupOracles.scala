@@ -41,6 +41,10 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc02_quality_cap" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.qualityCap(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source", k = QualityCapK)),
+    "dc24_budget_fill" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.budgetFill(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        budgetTokens = BudgetFillTokens, bucketMicro = BudgetFillBucketMicro)),
     "dc03_corpus_churn" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.corpusChurn(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
@@ -1655,6 +1659,30 @@ private[graft] object DedupOracles extends OracleFragments {
          |    row_number() OVER (PARTITION BY source ORDER BY quality_micro DESC, doc_id) AS rk
          |  FROM pd)
          |WHERE rk <= $QualityCapK""".stripMargin,
+
+    // greedy token-budget fill per source: quality-desc window cumsum with an
+    // explicit ROWS frame, keep while cum <= budget — the PLAIN full window,
+    // proving the Spark side's bucket-prefix optimization exact — mirror of
+    // Curation.budgetFill
+    "dc24_budget_fill" ->
+      s"""WITH pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source, n_toks,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT) AS quality_micro
+         |  FROM pd0),
+         |w AS (SELECT doc_id, source, quality_micro, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY quality_micro DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_micro DESC, doc_id) AS fill_rank
+         |  FROM pd)
+         |SELECT doc_id, source, quality_micro, n_toks, cum_tokens,
+         |  CAST(fill_rank AS INTEGER) AS fill_rank
+         |FROM w WHERE cum_tokens <= $BudgetFillTokens""".stripMargin,
 
     // snapshot churn: per-source early/late doc counts + share deltas + status,
     // joined with t35's vocabulary KL — mirror of Curation.corpusChurn

@@ -564,6 +564,60 @@ object Curation {
       .select(col(idCol), col("source"), col("quality_micro"), col("rk"))
   }
 
+  /** dc24 — per-source TOKEN-BUDGET FILL: the budgeted form of dc02's doc-count
+    * cap. Each source's documents are admitted in quality order (micro-quantized
+    * t02 score desc, doc-id tie-break) until the source's token budget is
+    * exhausted — "spend the budget on the best tokens", the greedy knapsack
+    * every mix plan actually executes once targets are fixed in TOKENS rather
+    * than documents (dc04 plans the budget; this fills it).
+    *
+    * Scale shape — the cumulative sum never runs over the full corpus: a
+    * map-side-combinable groupBy(source, quality-bucket) computes catalog-sized
+    * token masses; a catalog-sized running sum finds each bucket's
+    * strictly-above mass; rows join that (broadcast) relation and only rows
+    * whose bucket STARTS before budget exhaustion survive as candidates —
+    * fully-admitted buckets plus ONE boundary bucket, ≤ budget + one bucket of
+    * tokens per source. The per-source ordered window (explicit ROWS frame —
+    * the unique (quality, id) key makes RANGE ≡ ROWS, but the frame is pinned
+    * anyway) runs over that candidate prefix only, so its state is
+    * budget-bounded, not corpus-bounded, at any scale factor. Because the
+    * candidate set is exactly a prefix of the global per-source order, the
+    * restricted window's cumulative sums and ranks EQUAL the full-corpus
+    * window's — the oracle mirrors the plain full window and the hash proves
+    * the prefix optimization exact.
+    */
+  def budgetFill(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      bucketMicro: Long
+  ): DataFrame = {
+    val rows = Scans.fanOut(df).select(
+      col(idCol), col(sourceCol).as("source"),
+      TextStats.qualityMicro(col(textCol)).as("quality_micro"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .withColumn("qb", expr(s"quality_micro DIV $bucketMicro"))
+    val mass = rows.groupBy(col("source"), col("qb")).agg(sum(col("n_toks")).as("m"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = mass
+      .withColumn("above", coalesce(sum(col("m")).over(wb), lit(0L)))
+      .select(col("source"), col("qb"), col("above"))
+    val cands = rows.join(broadcast(above), Seq("source", "qb"))
+      .filter(col("above") < budgetTokens)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_micro").desc, col(idCol).asc)
+    cands
+      .withColumn("cum_tokens",
+        sum(col("n_toks")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("fill_rank", row_number().over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("source"), col("quality_micro"), col("n_toks"),
+        col("cum_tokens"), col("fill_rank"))
+  }
+
   /** dc03 — corpus churn between two snapshots (the g42 churn diff applied to
     * documents): per source, doc counts in the early/late `cutId` windows, the
     * corpus-share each held (micro), the share delta, a status label

@@ -589,6 +589,45 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(!viaDelete.exists(_._2 % 7 == 0), "a tombstoned id resurfaced as a neighbor")
   }
 
+  test("dc24: budget admits the quality prefix, cuts at the boundary, zeroes an over-budget source") {
+    // same token count (10) and char mass per doc, quality ordered by planted
+    // stopword hits alone: d1 (4× the) > d2 (2×) > d3 (0×)
+    val d1 = "w01 the w02 the w03 the w04 the w05 w06"
+    val d2 = "w07 the w08 the w09 w10 w11 w12 w13 w14"
+    val d3 = "w15 w16 w17 w18 w19 w20 w21 w22 w23 w24"
+    // source b's single doc alone exceeds the budget → whole source empty
+    val big = (1 to 30).map(i => f"x$i%02d").mkString(" ")
+    val docs = Seq((1L, d1, "a"), (2L, d2, "a"), (3L, d3, "a"), (4L, big, "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation.budgetFill(docs, "doc_id", "text", "source",
+        budgetTokens = 25L, bucketMicro = 100000L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Int]("fill_rank")))
+      .sortBy(_._5)
+    // d1 then d2 admitted (cum 10, 20 ≤ 25); d3 would reach 30 → cut; b empty
+    assert(out.toSeq == Seq((1L, "a", 10L, 10L, 1), (2L, "a", 10L, 20L, 2)),
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("dc24: the admitted set is invariant to the bucket width (prefix optimization exact)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(bucket: Long) =
+      graft.pipeline.Curation.budgetFill(docs, "doc_id", "text", "source",
+          budgetTokens = 600L, bucketMicro = bucket)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("quality_micro"), r.getAs[Long]("n_toks"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Int]("fill_rank")))
+        .toSet
+    val fine = rows(1L)            // every micro value its own bucket
+    val mid = rows(100000L)        // the registered width
+    val one = rows(10000000000L)   // everything in one bucket = the plain window
+    assert(fine.nonEmpty && fine == mid && mid == one,
+      s"bucket width changed the admitted set: fine=${fine.size} mid=${mid.size} one=${one.size}")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")

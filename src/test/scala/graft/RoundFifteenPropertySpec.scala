@@ -437,4 +437,44 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (exactlyOnce && inherited) :| s"out ${out.toSeq} start labels $startLabels"
     }, cases = 6)
   }
+
+  test("dc24: budget fill equals the sequential greedy knapsack on random corpora") {
+    val word = Gen.oneOf(Gen.oneOf("the", "a", "of", "and"),
+      Gen.choose(100, 999).map(n => s"w$n"))
+    val doc = Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val genCorpus = for {
+      nDocs <- Gen.choose(4, 18)
+      texts <- Gen.listOfN(nDocs, doc)
+      srcs <- Gen.listOfN(nDocs, Gen.oneOf("cc", "web", "book"))
+      budget <- Gen.choose(10L, 120L)
+      bucket <- Gen.oneOf(1L, 7L, 100000L, 1000000000L)
+    } yield (texts.zip(srcs).zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) },
+      budget, bucket)
+    check("dc24-mirror", Prop.forAll(genCorpus) { case (rows, budget, bucket) =>
+      val df = rows.toDF("doc_id", "text", "source")
+      // the measured per-doc inputs off the SAME column expressions the
+      // operator uses — the mirror pins the fill logic, not the t02 formula
+      val measured = df.select(col("doc_id"), col("source"),
+          graft.pipeline.TextStats.qualityMicro(col("text")).as("q"),
+          graft.pipeline.TextStats.tokenCount(col("text")).cast("long").as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val want = measured.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+        val ordered = ds.sortBy { case (id, _, q, _) => (-q, id) }
+        val cums = ordered.scanLeft(0L)(_ + _._4).tail
+        ordered.zip(cums).zipWithIndex
+          .takeWhile { case (((_, _, _, _), cum), _) => cum <= budget }
+          .map { case (((id, s, q, n), cum), i) => (id, s, q, n, cum, i + 1) }
+      }.toSet
+      val got = graft.pipeline.Curation.budgetFill(df, "doc_id", "text", "source",
+          budgetTokens = budget, bucketMicro = bucket)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("quality_micro"), r.getAs[Long]("n_toks"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Int]("fill_rank").toLong))
+        .map(t => (t._1, t._2, t._3, t._4, t._5, t._6.toInt))
+        .toSet
+      (got == want) :| s"budget=$budget bucket=$bucket got=$got want=$want"
+    }, cases = 8)
+  }
 }
