@@ -345,6 +345,13 @@ private[graft] trait OracleParams {
   private[graft] val BudgetFillTokens = 600L
   private[graft] val BudgetFillBucketMicro = 100000L
 
+  /** d37's pinned re-crawl wave: pre-cut documents with id % mod == 0 are
+    * re-ingested under id + offset — the planted true-duplicate source the
+    * bloom screen must pass. Offset clears every real doc id at any SF.
+    */
+  private[graft] val BloomReingestMod = 13L
+  private[graft] val BloomReingestOffset = 10000000L
+
   /** s25's pinned arrival split: vec_id % mod == 0 are the vectors that "arrived
     * after training"; the rest train the codebook.
     */

@@ -34,6 +34,48 @@ private[graft] object DedupOracles extends OracleFragments {
         shingleSize = 3, minDocFreq = 25)),
     "d08_curation_funnel" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.funnel(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // bloom-screened exact probe: the ingest batch is the post-cut wave PLUS a
+    // re-crawl wave (pre-cut content re-ingested under fresh ids — the realistic
+    // duplicate source for an exact index); the bloom screen must pass exactly
+    // the true dups + the FP trickle, and the output must equal the unscreened
+    // probe's (no false negatives — the oracle mirrors screen AND dup join)
+    "d37_bloom_probe" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val batch = docs.filter(col("doc_id") >= SourceDriftCut)
+        .unionByName(docs
+          .filter(col("doc_id") < SourceDriftCut &&
+            col("doc_id") % BloomReingestMod === 0)
+          .withColumn("doc_id", col("doc_id") + BloomReingestOffset))
+      Dedup.bloomPrefilteredExactProbe(batch, "doc_id", "text",
+        Dedup.exactHashIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"))
+    }),
+    // the saved-artifact cadence (the d18 discipline): index persisted hp-bucket-
+    // partitioned, reloaded, probed with the same planted batch — persistence and
+    // the DPP-pruned read must be invisible, so d38 shares d37's oracle verbatim.
+    // The result is materialized BEFORE the scratch dir is deleted (the probe must
+    // run against the real parquet artifact — checkpointing the index instead
+    // would erase the partition-pruned scan this leg exists to exercise).
+    "d38_bloom_probe_saved" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-exact-index")
+      try {
+        val path = scratch.toString + "/index"
+        Dedup.saveExactIndex(
+          Dedup.exactHashIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"),
+          path)
+        val idx = Dedup.loadExactIndex(s, path)
+        val batch = docs.filter(col("doc_id") >= SourceDriftCut)
+          .unionByName(docs
+            .filter(col("doc_id") < SourceDriftCut &&
+              col("doc_id") % BloomReingestMod === 0)
+            .withColumn("doc_id", col("doc_id") + BloomReingestOffset))
+        Dedup.probeSavedExactIndex(
+          batch.select(col("doc_id"), md5(col("text")).as("text_hash")),
+          "doc_id", idx,
+          Dedup.exactBloomBits(idx.select(col("existing_id"), col("text_hash"))))
+          .localCheckpoint(eager = true)
+      } finally deleteRecursively(scratch)
+    }),
     // --- domain-level curation surface (the C4/RefinedWeb triage discipline) ---
     "dc01_domain_stats" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.domainStats(
@@ -662,6 +704,39 @@ private[graft] object DedupOracles extends OracleFragments {
 
   private lazy val incrementalDedupSql: String = incrementalDedupSqlAt(SourceDriftCut)
 
+  /** Shared by d37 and d38 (the saved-artifact leg must be invisible): the
+    * bloom-screened exact probe — index = pre-cut corpus, batch = post-cut wave
+    * plus the planted re-crawl wave; a batch row is bloom-positive iff ALL its
+    * within-row-distinct bit positions (3 disjoint md5 fields, the sk03 idiom)
+    * are set by some index hash; only positives join the index for dup_of.
+    */
+  private lazy val bloomProbeSql: String = {
+    def posList(h: String) =
+      s"""[('0x' || substr($h, 1, 8))::BIGINT % 262144,
+         | ('0x' || substr($h, 9, 8))::BIGINT % 262144,
+         | ('0x' || substr($h, 17, 8))::BIGINT % 262144]""".stripMargin
+    s"""WITH ix AS (SELECT doc_id AS existing_id, md5(text) AS h
+       |  FROM documents WHERE doc_id < $SourceDriftCut),
+       |bt AS (SELECT doc_id, md5(text) AS h
+       |  FROM (SELECT doc_id, text FROM documents WHERE doc_id >= $SourceDriftCut
+       |        UNION ALL
+       |        SELECT doc_id + $BloomReingestOffset, text FROM documents
+       |        WHERE doc_id < $SourceDriftCut AND doc_id % $BloomReingestMod = 0)),
+       |bits AS (SELECT DISTINCT unnest(${posList("h")}) AS pos FROM ix),
+       |ps AS (SELECT doc_id, unnest(list_distinct(${posList("h")})) AS pos FROM bt),
+       |np AS (SELECT doc_id, count(*) AS n_pos FROM ps GROUP BY 1),
+       |ht AS (SELECT doc_id, count(*) AS n_hit FROM ps JOIN bits USING (pos) GROUP BY 1),
+       |pd AS (SELECT doc_id FROM np JOIN ht USING (doc_id) WHERE n_hit = n_pos),
+       |dups AS (SELECT bt.doc_id, MIN(existing_id) AS dup_of,
+       |    CAST(count(*) AS BIGINT) AS n_index_copies
+       |  FROM bt JOIN pd USING (doc_id) JOIN ix ON bt.h = ix.h GROUP BY 1)
+       |SELECT bt.doc_id,
+       |  CAST(CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS bloom_pos,
+       |  COALESCE(dup_of, -1) AS dup_of,
+       |  COALESCE(n_index_copies, 0) AS n_index_copies
+       |FROM bt LEFT JOIN pd USING (doc_id) LEFT JOIN dups USING (doc_id)""".stripMargin
+  }
+
   /** Shared by dc11 and dc12: the upsampled epoch packing fold (dc10 manifest,
     * replayed-symbol cuts, per-pack slot counts) — mirror of
     * Sampling.epochPackUpsampled, and of the dc12 save→load→rollup round trip
@@ -1140,6 +1215,15 @@ private[graft] object DedupOracles extends OracleFragments {
     // d22 probes the same corpus split through the COMPACTED index — compaction
     // must be invisible to the probe, so the oracle is d21's verbatim
     "d22_dedup_index_compact" -> incrementalDedupSqlAt(DedupAppendCut),
+
+    // bloom-screened exact probe: batch = post-cut wave + the planted re-crawl
+    // wave; bits = 3 disjoint md5 fields per INDEX hash (the sk03 idiom); a batch
+    // row is bloom-positive iff all its (within-row distinct) positions are set;
+    // dups join only the positives — mirror of Dedup.bloomPrefilteredExactProbe
+    "d37_bloom_probe" -> bloomProbeSql,
+    // d38 = d37 through the saved hp-partitioned artifact; persistence and the
+    // DPP-pruned read must be invisible to the result
+    "d38_bloom_probe_saved" -> bloomProbeSql,
 
     // distinct word 5-grams per doc on 60-bit md5 hashes; benchmark = doc_id % mod
     // = 0; flagged training docs with hit counts, micro overlap fraction and the

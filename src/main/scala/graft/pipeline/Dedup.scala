@@ -1712,4 +1712,177 @@ object Dedup {
     }
     fs.delete(old, true)
   }
+
+  /** The d01-style EXACT content-hash index of a corpus: (existing_id, text_hash)
+    * rows — the artifact [[bloomPrefilteredExactProbe]] probes. One md5 per
+    * document; persist/partition like any hash relation.
+    */
+  def exactHashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("existing_id"), md5(col(textCol)).as("text_hash"))
+
+  /** The BIT SET of an exact index: each index hash sets 3 bit positions drawn
+    * from disjoint 8-hex-char fields of the hash itself (the sk03 discipline —
+    * one hash pass, no second digest). ≤ `mBits` distinct ints, computed ONCE
+    * per index generation and checkpointed by a standing cadence, exactly like
+    * [[capDedupIndex]] amortizes the band-cell census. At production scale this
+    * relation is exchanged as Spark's `bloomFilter` aggregate literal; the
+    * equi-join form here keeps the bit arithmetic oracle-reproducible, and AQE
+    * picks broadcast vs shuffle by the bit set's actual size.
+    */
+  def exactBloomBits(index: DataFrame, mBits: Int = 1 << 18): DataFrame =
+    index
+      .select(explode(bloomPositions(col("text_hash"), mBits)).as("pos"))
+      .distinct()
+
+  /** The 3 bloom bit positions of one content hash, deduped WITHIN the row. */
+  private def bloomPositions(h: Column, mBits: Int): Column = {
+    def pos(start: Int): Column =
+      pmod(conv(substring(h, start, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    array_distinct(array(pos(1), pos(9), pos(17)))
+  }
+
+  /** d37 — BLOOM-PREFILTERED exact-dedup probe: the d17 ingest posture applied to
+    * EXACT dedup, with a bloom screen in front of the index join. Every ingest
+    * batch must be checked against the corpus-wide content-hash index; at 10⁹+
+    * indexed documents that equi-join repartitions the index (or at least the
+    * batch) EVERY batch, even though almost every arrival is novel. The bloom bit
+    * set answers "provably novel?" first: a batch row probes its 3 bit positions
+    * against [[exactBloomBits]], and only the bloom-POSITIVE rows — true
+    * duplicates plus the false-positive trickle (≈ fill³ of the batch, ~10⁻⁵ at
+    * 10 bits/key) — reach the real index join. Bloom negatives are provably
+    * absent (no false negatives: every indexed hash set all 3 of its bits), so
+    * the output is IDENTICAL to the unscreened probe — the oracle mirrors the
+    * screen and the dup join, and the d37 hash proves the screen lossless.
+    *
+    * Output: one row per batch document — `bloom_pos` (did the screen pass it),
+    * `dup_of` (min colliding existing id, −1 when novel), `n_index_copies`
+    * (how many index rows share its content). `dup_of ≠ −1 ⇒ bloom_pos = 1`
+    * structurally.
+    *
+    * Scale shape: the bit set is ONE corpus-sized pass at setup
+    * ([[exactBloomBits]], checkpointed across batches by a standing cadence).
+    * Per batch, the probe side of the index join is the positives-sized
+    * filter — tiny enough that AQE broadcasts it, so the index is never
+    * REPARTITIONED for a batch (the unscreened probe shuffles one side every
+    * batch). The index-side scan that remains is a layout job: persist the
+    * artifact partitioned by a hash PREFIX and put the prefix in the join key,
+    * and dynamic partition pruning reads only the buckets the positives name
+    * ([[saveExactIndex]]/[[probeSavedExactIndex]] — the d38 leg).
+    */
+  def bloomPrefilteredExactProbe(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      mBits: Int = 1 << 18
+  ): DataFrame =
+    bloomPrefilteredProbeAgainst(
+      batch.select(col(idCol), md5(col(textCol)).as("text_hash")),
+      idCol, index, exactBloomBits(index, mBits), mBits)
+
+  /** The per-batch half of [[bloomPrefilteredExactProbe]], separated so a standing
+    * cadence (or the streaming twin) reuses one checkpointed bit set and index
+    * across batches. `batchHashes` is (id, text_hash); `bits` is the (pos) relation.
+    */
+  def bloomPrefilteredProbeAgainst(
+      batchHashes: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      bits: DataFrame,
+      mBits: Int = 1 << 18
+  ): DataFrame = {
+    val bh = batchHashes
+      .select(col(idCol), col("text_hash"), bloomPositions(col("text_hash"), mBits).as("ps"))
+      .localCheckpoint(true) // consumed by the probe chain and the final left joins
+    val positives = bh
+      .select(col(idCol), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
+      .join(bits, Seq("pos"))
+      .groupBy(col(idCol), col("n_pos"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_pos")) // all probed bits set => bloom positive
+      .select(col(idCol))
+    val flagged = bh
+      .join(positives.withColumn("bloom_pos", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("text_hash"), coalesce(col("bloom_pos"), lit(0)).as("bloom_pos"))
+      .localCheckpoint(true) // bloom chain runs ONCE; dup join + final report both read this
+    val dups = flagged
+      .filter(col("bloom_pos") === 1) // ONLY positives reach the index join
+      .join(index, Seq("text_hash"))
+      .groupBy(col(idCol))
+      .agg(min(col("existing_id")).as("dup_of"), count(lit(1)).as("n_index_copies"))
+    flagged
+      .join(dups, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("bloom_pos"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_index_copies"), lit(0L)).as("n_index_copies"))
+  }
+
+  /** Persist an [[exactHashIndex]] PARTITIONED by the first two hex chars of the
+    * content hash (256 uniform buckets — md5 is uniform by construction, so no
+    * bucket skews). The partition column is what turns the per-batch index scan
+    * into a pruned read: [[probeSavedExactIndex]] joins on (hp, text_hash), the
+    * positives side broadcasts, and Catalyst's dynamic partition pruning reads
+    * ONLY the hp buckets the positives actually name — a batch with p positives
+    * touches ≤ p of 256 bucket directories, not the corpus.
+    */
+  def saveExactIndex(index: DataFrame, path: String): Unit =
+    index
+      .withColumn("hp", substring(col("text_hash"), 1, 2))
+      .repartition(col("hp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("hp")
+      .parquet(path)
+
+  def loadExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** d38 — the [[bloomPrefilteredExactProbe]] cadence against the SAVED artifact:
+    * identical output (the d18 discipline — persistence must be invisible to the
+    * probe, d38 shares d37's oracle verbatim), but the index join carries the
+    * `hp` partition prefix so the surviving corpus-sized cost of d37 — scanning
+    * the index for the dup join — collapses to a dynamic-partition-pruned read
+    * of just the buckets the bloom positives name. `savedIndex` must come from
+    * [[loadExactIndex]] (it carries the hp partition column).
+    */
+  def probeSavedExactIndex(
+      batchHashes: DataFrame,
+      idCol: String,
+      savedIndex: DataFrame,
+      bits: DataFrame,
+      mBits: Int = 1 << 18
+  ): DataFrame = {
+    require(savedIndex.columns.contains("hp"),
+      "probeSavedExactIndex: savedIndex must be a loadExactIndex artifact (hp partition column)")
+    val bh = batchHashes
+      .select(col(idCol), col("text_hash"), bloomPositions(col("text_hash"), mBits).as("ps"))
+      .localCheckpoint(true)
+    val positives = bh
+      .select(col(idCol), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
+      .join(bits, Seq("pos"))
+      .groupBy(col(idCol), col("n_pos"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_pos"))
+      .select(col(idCol))
+    val flagged = bh
+      .join(positives.withColumn("bloom_pos", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("text_hash"), coalesce(col("bloom_pos"), lit(0)).as("bloom_pos"))
+      .localCheckpoint(true)
+    val dups = flagged
+      .filter(col("bloom_pos") === 1)
+      .withColumn("hp", substring(col("text_hash"), 1, 2))
+      // the hp equi-key is what hands DPP its pruning subquery; text_hash alone
+      // would join identically but scan every bucket
+      .join(savedIndex, Seq("hp", "text_hash"))
+      .groupBy(col(idCol))
+      .agg(min(col("existing_id")).as("dup_of"), count(lit(1)).as("n_index_copies"))
+    flagged
+      .join(dups, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("bloom_pos"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_index_copies"), lit(0L)).as("n_index_copies"))
+  }
 }

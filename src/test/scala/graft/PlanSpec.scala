@@ -1136,6 +1136,52 @@ class PlanSpec extends SparkSpec {
       s"map-side combinable aggregate expected:\n$p")
   }
 
+  test("bloom probe (d37): the index join sees only the positives filter; one parquet scan total") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(pipeline.Dedup.bloomPrefilteredExactProbe(
+      docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      pipeline.Dedup.exactHashIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")))
+    // bh and flagged are checkpointed, so the FINAL plan's only parquet scan is
+    // the index side of the dup join; its probe side is the bloom_pos=1 filter
+    // over the checkpointed flags — the batch never re-scans, the bloom chain
+    // never re-runs, and nothing but positives reaches the index
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"exactly one parquet scan (the index) expected, got $scans:\n$p")
+    assert("\\(bloom_pos#\\d+ = 1\\)".r.findFirstIn(p).isDefined,
+      s"the dup join's probe side must be the positives filter:\n$p")
+    // the hash join must broadcast one side (at bench scale the small index; at
+    // production scale AQE flips the build to the tinier positives) — either
+    // way the text_hash join never shuffle-repartitions the index per batch
+    assert(p.contains("BroadcastHashJoin"),
+      s"the index dup join must be a broadcast hash join:\n$p")
+  }
+
+  test("bloom probe saved (d38): dynamic partition pruning reads only the buckets the positives name") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-planspec-exact-index")
+    try {
+      val path = scratch.toString + "/index"
+      pipeline.Dedup.saveExactIndex(
+        pipeline.Dedup.exactHashIndex(docs.filter(col("doc_id") < 250), "doc_id", "text"), path)
+      val idx = pipeline.Dedup.loadExactIndex(spark, path)
+      val p = plan(pipeline.Dedup.probeSavedExactIndex(
+        docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), md5(col("text")).as("text_hash")),
+        "doc_id", idx,
+        pipeline.Dedup.exactBloomBits(idx.select(col("existing_id"), col("text_hash")))))
+      // the whole point of the hp partition key: the artifact scan must carry a
+      // dynamicpruningexpression partition filter fed by the positives subquery
+      assert(p.toLowerCase.contains("dynamicpruningexpression"),
+        s"DPP must prune the saved index read:\n$p")
+      val scans = "Scan parquet".r.findAllMatchIn(p).size
+      assert(scans == 1, s"exactly one parquet scan (the artifact) expected, got $scans:\n$p")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("weighted sample (dc23): the corpus never enters a window — only the kth-threshold agg") {
     val p = plan(pipeline.Sampling.weightedSample(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", "n_chars", k = 10))

@@ -628,6 +628,62 @@ class RoundFifteenOpsSpec extends SparkSpec {
       s"bucket width changed the admitted set: fine=${fine.size} mid=${mid.size} one=${one.size}")
   }
 
+  test("d37: dups always pass the screen; a saturated bloom shows FPs without changing dup columns") {
+    import graft.pipeline.Dedup
+    val index = Dedup.exactHashIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = (Seq((10L, "alpha beta gamma"), (11L, "delta epsilon")) ++ // re-crawls
+      (20 to 69).map(i => (i.toLong, s"novel text number $i"))).toDF("doc_id", "text")
+    def rows(mBits: Int) =
+      Dedup.bloomPrefilteredExactProbe(batch, "doc_id", "text", index, mBits)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("bloom_pos"), r.getAs[Long]("dup_of"), r.getAs[Long]("n_index_copies"))))
+        .toMap
+    val wide = rows(1 << 18)
+    // true dups pass the screen and resolve; the 50 novel docs are (deterministically,
+    // for these strings) bloom-negative — the screen actually screens
+    assert(wide(10L) == ((1, 1L, 1L)) && wide(11L) == ((1, 2L, 1L)), s"$wide")
+    assert((20L to 69L).forall(wide(_) == ((0, -1L, 0L))), s"novel rows must screen out: $wide")
+    // mBits = 1: the single bit is set by any index hash, so EVERYTHING is
+    // bloom-positive — the false-positive path, exercised deterministically; the
+    // dup columns must not change (the screen is lossless in both directions)
+    val sat = rows(1)
+    assert(sat.values.forall(_._1 == 1), s"saturated bloom must pass every row: $sat")
+    assert(sat(10L)._2 == 1L && sat(11L)._2 == 2L)
+    assert((20L to 69L).forall(sat(_)._2 == -1L), "an FP must still resolve as novel")
+  }
+
+  test("d38: the saved hp-partitioned artifact probes exactly like the in-memory index") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = Dedup.exactHashIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 250 && col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bloom_pos"),
+        r.getAs[Long]("dup_of"), r.getAs[Long]("n_index_copies"))).toSet
+    val direct = keyed(Dedup.bloomPrefilteredExactProbe(batch, "doc_id", "text", index))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-r15-exact-index")
+    try {
+      val path = scratch.toString + "/index"
+      Dedup.saveExactIndex(index, path)
+      val idx = Dedup.loadExactIndex(spark, path)
+      val saved = keyed(Dedup.probeSavedExactIndex(
+        batch.select(col("doc_id"), md5(col("text")).as("text_hash")), "doc_id", idx,
+        Dedup.exactBloomBits(idx.select(col("existing_id"), col("text_hash")))))
+      assert(direct.nonEmpty && saved == direct,
+        s"saved-artifact probe diverged: ${saved.diff(direct)} vs ${direct.diff(saved)}")
+      assert(direct.exists(_._3 != -1L), "the planted re-crawl wave must resolve as dups")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")

@@ -477,4 +477,42 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want) :| s"budget=$budget bucket=$bucket got=$got want=$want"
     }, cases = 8)
   }
+
+  test("d37: the bloom-screened probe equals the sequential mirror at any bloom width") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def positions(h: String, mBits: Long): Set[Long] =
+      Set(0, 8, 16).map(o =>
+        new java.math.BigInteger(h.substring(o, o + 8), 16).longValue() % mBits)
+    val word = Gen.oneOf("red", "blue", "ox", "owl", "fig", "yam")
+    val doc = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val genCase = for {
+      nIx <- Gen.choose(2, 10)
+      nBt <- Gen.choose(2, 12)
+      ixTexts <- Gen.listOfN(nIx, doc)
+      btTexts <- Gen.listOfN(nBt, doc) // tiny vocab → real dups occur often
+      mBits <- Gen.oneOf(1, 2, 64, 1 << 18)
+    } yield (ixTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      btTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }, mBits)
+    check("d37-mirror", Prop.forAll(genCase) { case (ix, bt, mBits) =>
+      val bits = ix.flatMap { case (_, t) => positions(md5hex(t), mBits.toLong) }.toSet
+      val want = bt.map { case (id, t) =>
+        val pos = positions(md5hex(t), mBits.toLong).subsetOf(bits)
+        val copies = ix.filter(_._2 == t)
+        val dupOf = if (copies.nonEmpty) copies.map(_._1).min else -1L
+        (id, if (pos) 1 else 0, dupOf, copies.size.toLong)
+      }.toSet
+      val got = graft.pipeline.Dedup.bloomPrefilteredExactProbe(
+          bt.toDF("doc_id", "text"), "doc_id", "text",
+          graft.pipeline.Dedup.exactHashIndex(ix.toDF("doc_id", "text"), "doc_id", "text"),
+          mBits)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bloom_pos"),
+          r.getAs[Long]("dup_of"), r.getAs[Long]("n_index_copies")))
+        .toSet
+      (got == want) :| s"mBits=$mBits got=$got want=$want"
+    }, cases = 6)
+  }
 }
