@@ -66,10 +66,46 @@ private[graft] object MultimodalOracles extends OracleFragments {
         "doc_id", "source", "media",
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         dims = AlignDims, thresholdMicro = AlignThresholdMicro)
-        .withColumnRenamed("asset_id", "doc_id"))
+        .withColumnRenamed("asset_id", "doc_id")),
+    // perceptual-hash near-dup: the asset table plus a planted re-stamp wave
+    // (the d37 convention — copies under fresh ids are what an image-dedup pass
+    // actually catches); the stub hash is md5-derived (no locality), so the
+    // oracle-checked pairs are the exact copies; the band/hamming kernel is
+    // pinned on controlled hashes in RoundFifteenOpsSpec
+    "m09_phash_near_dup" -> ((s: SparkSession, dir: String) => {
+      val assets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.phashNearDup(
+        assets.unionByName(assets
+          .filter(col("doc_id") % BloomReingestMod === 0)
+          .withColumn("doc_id", col("doc_id") + BloomReingestOffset)),
+        "doc_id", "source", "media")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // 60-bit md5-prefix phash, 4×15-bit bands for candidates (pigeonhole-complete
+    // for hamming ≤ 3), member-capped cells, exact bit_count verification —
+    // mirror of Multimodal.phashNearDup over the re-stamped asset table
+    "m09_phash_near_dup" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $BloomReingestOffset,
+         |    ('0x' || substr(md5(text), 1, 15))::BIGINT FROM documents
+         |  WHERE doc_id % $BloomReingestMod = 0),
+         |bk AS (SELECT asset_id, phash, band,
+         |    (phash >> (band * 15)) & 32767 AS bval
+         |  FROM (SELECT asset_id, phash, unnest(generate_series(0, 3)) AS band FROM a)),
+         |ok AS (SELECT band, bval FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |ad AS (SELECT bk.asset_id, bk.phash, bk.band, bk.bval
+         |  FROM bk JOIN ok USING (band, bval))
+         |SELECT DISTINCT l.asset_id AS id_a, r.asset_id AS id_b,
+         |  CAST(bit_count(xor(l.phash, r.phash)) AS INTEGER) AS hamming
+         |FROM ad l JOIN ad r ON l.band = r.band AND l.bval = r.bval
+         |WHERE l.asset_id < r.asset_id
+         |  AND bit_count(xor(l.phash, r.phash)) <= 3""".stripMargin,
+
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -358,4 +358,111 @@ object Multimodal {
         cos.as("align_cos"),
         (cos >= lit(thresholdMicro.toDouble / 1000000.0)).cast("int").as("aligned"))
   }
+
+  case class PhashRow(asset_id: Long, phash: Long)
+
+  /** Perceptual-hash interface: 60 bits (so the value is always a positive
+    * BIGINT in both engines — the repo-wide 15-hex-char discipline). A real
+    * deployment plugs a DCT pHash / aHash here; similar images then land within
+    * a few bits of each other and [[phashNearDup]]'s banding finds them.
+    */
+  trait MediaHasher extends Serializable {
+    def phash(mediaType: String, bytes: Array[Byte]): Long
+  }
+
+  /** STUB hasher — first 15 hex chars of md5(bytes) (deterministic, oracle-
+    * reproducible; the [[DecodeStub]] discipline). It has NO locality, so with
+    * this stub only EXACT payload copies collide — the banding/hamming kernel is
+    * pinned on controlled hashes in the unit suite instead.
+    */
+  object PhashStub extends MediaHasher {
+    // a singleton `object` deserializes to THE one JVM instance, so every task
+    // thread shares it — the digest must be per-thread, not per-instance (the
+    // EmbedStub form is safe only because each task deserializes its own class
+    // instance)
+    @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    def phash(mediaType: String, bytes: Array[Byte]): Long = {
+      val d = md.get()
+      d.reset()
+      val hex = d.digest(bytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+  }
+
+  /** Batch perceptual hashing: one hasher instance per partition (the
+    * [[featurize]] shape — codec init amortized, binary never on the driver).
+    */
+  def phashDF(
+      df: DataFrame, idCol: String, typeCol: String, binCol: String,
+      hasher: MediaHasher = PhashStub
+  ): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("asset_id"), col(typeCol).as("media_type"), col(binCol).as("media"))
+      .as[MediaAsset]
+      .mapPartitions(it => it.map(a => PhashRow(a.asset_id, hasher.phash(a.media_type, a.media))))
+      .toDF()
+  }
+
+  /** m09 — PERCEPTUAL-HASH near-dup pairs: the published image-dedup kernel
+    * (LAION/DataComp run exactly this shape over pHashes). Candidates come from
+    * EXACT equality on one of `bands` disjoint bit-fields of the 60-bit hash —
+    * pigeonhole-complete for hamming ≤ maxDist whenever maxDist < bands (≤ maxDist
+    * differing bits can touch at most maxDist bands, so at least one band is
+    * untouched) — then the exact `bit_count(xor)` verifies. The d12 simhash
+    * banding applied to media, plus the hot-bucket member cap the image corpora
+    * need (a solid-color/test-card hash bucket at web scale would otherwise fan
+    * out quadratically; over-cap cells fall to exact passes by design, the d02
+    * recall contract).
+    *
+    * Scale shape: band buckets shuffle-partition the work (never all-pairs); the
+    * cap bounds every bucket's fan-out; output pairs deduplicate AFTER the
+    * hamming filter so the distinct only carries survivors (the d12 ordering).
+    */
+  def phashNearDup(
+      df: DataFrame, idCol: String, typeCol: String, binCol: String,
+      bands: Int = 4,
+      maxDist: Int = 3,
+      maxAssetsPerBucket: Long = 1000L,
+      hasher: MediaHasher = PhashStub
+  ): DataFrame =
+    phashNearDupOf(phashDF(df, idCol, typeCol, binCol, hasher), bands, maxDist, maxAssetsPerBucket)
+
+  /** The banding kernel of [[phashNearDup]] over an already-hashed (asset_id,
+    * phash) relation — separated so the unit suite pins hamming/band/cap
+    * semantics on controlled hashes (the md5 stub has no locality to plant).
+    */
+  private[graft] def phashNearDupOf(
+      hashes: DataFrame,
+      bands: Int,
+      maxDist: Int,
+      maxAssetsPerBucket: Long
+  ): DataFrame = {
+    require(60 % bands == 0 && maxDist < bands,
+      "banding finds all pairs only when maxDist < bands and bands divides 60")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val banded = hashes
+      .select(col("asset_id"), col("phash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))): _*)).as("bk"))
+      .select(col("asset_id"), col("phash"), col("bk.band"), col("bk.bval"))
+      .localCheckpoint(true) // cell census + both sides of the band self-join
+    val smallCells = banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") <= maxAssetsPerBucket)
+      .select(col("band"), col("bval"))
+    val admitted = banded.join(smallCells, Seq("band", "bval"))
+    val left = admitted.select(col("asset_id").as("id_a"), col("phash").as("ph_a"), col("band"), col("bval"))
+    val right = admitted.select(col("asset_id").as("id_b"), col("phash").as("ph_b"), col("band"), col("bval"))
+    left.join(right, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

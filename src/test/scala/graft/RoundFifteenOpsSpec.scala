@@ -684,6 +684,30 @@ class RoundFifteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("m09: banding finds every pair within maxDist and only those; over-cap cells fall out") {
+    import graft.pipeline.Multimodal
+    def pairs(hs: Seq[(Long, Long)], cap: Long = 1000L) =
+      Multimodal.phashNearDupOf(hs.toDF("asset_id", "phash"),
+          bands = 4, maxDist = 3, maxAssetsPerBucket = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+        .toSet
+    val got = pairs(Seq(
+      1L -> 0L,                                   // base
+      2L -> 1L,                                   // hamming 1 from base
+      3L -> 15L,                                  // 4 bits in ONE band: candidate via bands 1-3, hamming 4 → cut
+      4L -> ((1L << 0) + (1L << 15) + (1L << 30) + (1L << 45)), // 4 bits, one per band: no band matches base, hamming 4
+      5L -> ((1L << 0) + (1L << 15) + (1L << 30))))             // 3 bits in 3 bands: band 3 matches, hamming 3 → kept
+    // within-maxDist pairs and nothing else: 1-2 (d1), 1-5 (d3), 2-3 (1^15 = 0b1110,
+    // d3), 2-4 (d3), 2-5 (d2), 4-5 (d1); 1-3/1-4 at d4 cut, 3-4/3-5 far
+    assert(got == Set((1L, 2L, 1), (1L, 5L, 3), (2L, 3L, 3),
+      (2L, 4L, 3), (2L, 5L, 2), (4L, 5L, 1)), s"got $got")
+    // the hot-cell cap: two exact copies share every cell; cap 1 drops all their
+    // cells (recall falls to the exact pass by design), cap 2 admits the pair
+    assert(pairs(Seq(1L -> 7L, 2L -> 7L), cap = 1L).isEmpty)
+    assert(pairs(Seq(1L -> 7L, 2L -> 7L), cap = 2L) == Set((1L, 2L, 0)))
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")

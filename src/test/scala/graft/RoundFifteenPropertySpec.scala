@@ -515,4 +515,27 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want) :| s"mBits=$mBits got=$got want=$want"
     }, cases = 6)
   }
+
+  test("m09: banded candidates + exact verify equal the brute-force hamming truth") {
+    // hashes are a base with ≤5 random bit flips, so distances cluster around
+    // the maxDist=3 boundary — the pigeonhole completeness claim does real work
+    val genCase = for {
+      base <- Gen.choose(0L, (1L << 60) - 1)
+      n <- Gen.choose(3, 12)
+      hs <- Gen.listOfN(n, Gen.choose(0, 5).flatMap(k =>
+        Gen.listOfN(k, Gen.choose(0, 59)).map(_.foldLeft(base)((h, b) => h ^ (1L << b)))))
+    } yield hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    check("m09-mirror", Prop.forAll(genCase) { hs =>
+      val want = (for {
+        (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (ia, ib, d)).toSet
+      val got = graft.pipeline.Multimodal.phashNearDupOf(
+          hs.toDF("asset_id", "phash"), bands = 4, maxDist = 3, maxAssetsPerBucket = 1000L)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+        .toSet
+      (got == want) :| s"got=$got want=$want"
+    }, cases = 6)
+  }
 }
