@@ -1249,6 +1249,52 @@ object AnalyticsQueries {
           / col("n_events").cast("double") + lit(0.5)).cast("long").as("chi2_micro"))
   }
 
+  /** ev28 — GINI concentration of events over users, per event type: the scalar
+    * inequality coefficient behind ev17's decile curve ("is `purchase` traffic
+    * spread or whale-driven?"), computed per type so the per-user sampling-cap
+    * decision can differ by type. G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with users
+    * ranked by count ascending — ties contribute the same Σ i·xᵢ under any
+    * tie order, so the statistic is deterministic without a tie-break column.
+    *
+    * Scale shape: the per-user counts reduce to a groupBy(type, count)
+    * HISTOGRAM (catalog-sized: |types| × |distinct counts|, hundreds of rows at
+    * any corpus size); the rank-sum folds per tied block as
+    * v·(m·C + m(m+1)/2) where C = users with strictly smaller counts — so the
+    * only window runs over the histogram, never over users. The oracle mirrors
+    * the PLAIN per-user rank window, proving the histogram reduction exact
+    * (the dc24 discipline). All sums are exact BIGINTs; the one double division
+    * is micro-quantized once (overflow bound: Σ i·xᵢ ≤ n·total stays in BIGINT
+    * up to n·total ≈ 9·10¹⁸ — the g62/s33 documented-bound convention; beyond
+    * that move the rank-sum to decimal).
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame =
+    giniConcentrationOf(table(spark, dir, "events").select(col("event_type"), col("user_id")))
+
+  private[graft] def giniConcentrationOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = perUser
+      .groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("m"))
+    val below = Window.partitionBy(col("event_type")).orderBy(col("cnt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("c_below", coalesce(sum(col("m")).over(below), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("m")).as("n_users"),
+        sum(col("cnt") * col("m")).as("total_events"),
+        sum(expr("cnt * (m * c_below + (m * (m + 1)) DIV 2)")).as("s"))
+      .select(
+        col("event_type"), col("n_users"), col("total_events"),
+        floor(lit(1000000.0)
+          * (lit(2L) * col("s") - (col("n_users") + 1L) * col("total_events")).cast("double")
+          / (col("n_users").cast("double") * col("total_events").cast("double"))
+          + lit(0.5)).cast("long").as("gini_micro"))
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

@@ -55,6 +55,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
       AnalyticsQueries.survivalCurve(s, d, censorUs = KmCensorUs)),
     "ev26_ab_lift" -> (AnalyticsQueries.abLift _),
     "ev27_hour_profile" -> (AnalyticsQueries.hourProfile _),
+    "ev28_gini" -> (AnalyticsQueries.giniConcentration _),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -293,6 +294,26 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |  CAST(floor((1000000.0 * (24 * s2 - n_events * n_events)) / n_events::DOUBLE + 0.5)
         |    AS BIGINT) AS chi2_micro
         |FROM g JOIN pk USING (event_type)""".stripMargin,
+
+    // per-type Gini over per-user event counts, the PLAIN per-user rank window
+    // (proving the Spark side's histogram rank-sum reduction exact — the dc24
+    // discipline); ties ranked arbitrarily contribute the same Σ i·x —
+    // mirror of AnalyticsQueries.giniConcentration
+    "ev28_gini" ->
+      """WITH pu AS (SELECT event_type, user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS i
+        |  FROM pu),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |    CAST(SUM(i * cnt) AS BIGINT) AS s
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n_users, total_events,
+        |  CAST(floor(1000000.0 * CAST(2 * s - (n_users + 1) * total_events AS BIGINT)
+        |    / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) + 0.5)
+        |    AS BIGINT) AS gini_micro
+        |FROM g""".stripMargin,
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

@@ -708,6 +708,21 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(pairs(Seq(1L -> 7L, 2L -> 7L), cap = 2L) == Set((1L, 2L, 0)))
   }
 
+  test("ev28: hand-computed Gini — uniform type scores 0, whale type scores 0.4") {
+    // type a: four users × 1 event (perfect equality, G = 0)
+    // type b: counts [1, 9] → s = 1·1 + 2·9 = 19, G = (38 − 3·10)/(2·10) = 0.4
+    val events = (Seq.fill(1)(("a", 1L)) ++ Seq(("a", 2L), ("a", 3L), ("a", 4L)) ++
+      Seq(("b", 10L)) ++ Seq.fill(9)(("b", 20L)))
+      .toDF("event_type", "user_id")
+    val out = AnalyticsQueries.giniConcentrationOf(events)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events"), r.getAs[Long]("gini_micro"))))
+      .toMap
+    assert(out("a") == ((4L, 4L, 0L)), s"$out")
+    assert(out("b") == ((2L, 10L, 400000L)), s"$out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")

@@ -538,4 +538,27 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want) :| s"got=$got want=$want"
     }, cases = 6)
   }
+
+  test("ev28: the histogram rank-sum Gini equals the sequential per-user formula") {
+    val genEvents = for {
+      n <- Gen.choose(5, 60)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("view", "click", "buy"), Gen.choose(1L, 8L)))
+    } yield evs
+    check("ev28-mirror", Prop.forAll(genEvents) { evs =>
+      val want = evs.groupBy(_._1).map { case (t, es) =>
+        val counts = es.groupBy(_._2).values.map(_.size.toLong).toSeq.sorted
+        val n = counts.size.toLong
+        val tot = counts.sum
+        val s = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+        val g = math.floor(1e6 * (2 * s - (n + 1) * tot).toDouble / (n.toDouble * tot.toDouble) + 0.5).toLong
+        t -> ((n, tot, g))
+      }
+      val got = AnalyticsQueries.giniConcentrationOf(evs.toDF("event_type", "user_id"))
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events"), r.getAs[Long]("gini_micro"))))
+        .toMap
+      (got == want) :| s"got=$got want=$want"
+    }, cases = 8)
+  }
 }
