@@ -345,6 +345,11 @@ private[graft] trait OracleParams {
   private[graft] val BudgetFillTokens = 600L
   private[graft] val BudgetFillBucketMicro = 100000L
 
+  /** dc25's pinned holdout percentage (the quality-bucket width is shared with
+    * dc24 — one quantization for the strata both operators see).
+    */
+  private[graft] val HoldoutPct = 10
+
   /** d37's pinned re-crawl wave: pre-cut documents with id % mod == 0 are
     * re-ingested under id + offset — the planted true-duplicate source the
     * bloom screen must pass. Offset clears every real doc id at any SF.

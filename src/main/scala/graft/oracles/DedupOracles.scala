@@ -87,6 +87,10 @@ private[graft] object DedupOracles extends OracleFragments {
       graft.pipeline.Curation.budgetFill(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
         budgetTokens = BudgetFillTokens, bucketMicro = BudgetFillBucketMicro)),
+    "dc25_stratified_holdout" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curation.stratifiedHoldout(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        holdoutPct = HoldoutPct, bucketMicro = BudgetFillBucketMicro)),
     "dc03_corpus_churn" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Curation.corpusChurn(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
@@ -1767,6 +1771,29 @@ private[graft] object DedupOracles extends OracleFragments {
          |SELECT doc_id, source, quality_micro, n_toks, cum_tokens,
          |  CAST(fill_rank AS INTEGER) AS fill_rank
          |FROM w WHERE cum_tokens <= $BudgetFillTokens""".stripMargin,
+
+    // per-(source, quality-bucket) exact holdout: the PLAIN per-stratum rank
+    // window over (md5 key, id) with a half-up quota — proving the Spark side's
+    // hb-cell decomposition exact — mirror of Curation.stratifiedHoldout
+    "dc25_stratified_holdout" ->
+      s"""WITH pd0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |pd AS (SELECT doc_id, source,
+         |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT)
+         |      // $BudgetFillBucketMicro AS qb,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+         |  FROM pd0),
+         |rk AS (SELECT doc_id, source, qb, hkey,
+         |    row_number() OVER (PARTITION BY source, qb ORDER BY hkey, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY source, qb) AS n
+         |  FROM pd)
+         |SELECT doc_id, source, qb, CAST(n AS BIGINT) AS n_stratum,
+         |  CAST((n * $HoldoutPct + 50) // 100 AS BIGINT) AS quota,
+         |  CASE WHEN rnk <= (n * $HoldoutPct + 50) // 100 THEN 'holdout' ELSE 'train' END AS split
+         |FROM rk""".stripMargin,
 
     // snapshot churn: per-source early/late doc counts + share deltas + status,
     // joined with t35's vocabulary KL — mirror of Curation.corpusChurn

@@ -618,6 +618,71 @@ object Curation {
         col("cum_tokens"), col("fill_rank"))
   }
 
+  /** dc25 — QUALITY-STRATIFIED exact holdout split: every (source, quality-bucket)
+    * stratum contributes EXACTLY `(n·pct + 50) DIV 100` documents (half-up) to the
+    * holdout, chosen deterministically by salted-md5 order — the held-out eval
+    * slice every release needs, with the guarantee t07's binomial hash split can't
+    * give: no stratum is over- or under-sampled by luck, so per-source/per-quality
+    * eval metrics are computed on proportional slices. Re-running with the same
+    * salt reproduces the split; changing the salt redraws it.
+    *
+    * Scale shape — no stratum-wide window: each row's md5 key is coarsened to its
+    * first-2-hex-chars bucket `hb` (lexicographic key order ≡ (hb, key) order, so
+    * the 256 hb buckets partition each stratum's rank range contiguously); a
+    * catalog-sized (stratum × 256) cell census finds each cell's strictly-below
+    * count and the stratum quota; rows join that broadcast relation and decide
+    * map-only for every cell that falls entirely inside (holdout) or outside
+    * (train) the quota — ONLY the single boundary cell per stratum ranks in a
+    * window, whose state is one 256th of a stratum at any corpus size. The oracle
+    * mirrors the PLAIN per-stratum rank window, proving the cell decomposition
+    * exact (the dc24 discipline).
+    */
+  def stratifiedHoldout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      holdoutPct: Int,
+      bucketMicro: Long,
+      salt: String = ""
+  ): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100,
+      s"stratifiedHoldout: holdoutPct must be in [0, 100], got $holdoutPct")
+    val rows = Scans.fanOut(df).select(
+      col(idCol), col(sourceCol).as("source"),
+      md5(concat(lit(salt), col(idCol).cast("string"))).as("hkey"),
+      TextStats.qualityMicro(col(textCol)).as("quality_micro"))
+      .withColumn("qb", expr(s"quality_micro DIV $bucketMicro"))
+      .withColumn("hb", conv(substring(col("hkey"), 1, 2), 16, 10).cast("long"))
+    val cells = rows.groupBy(col("source"), col("qb"), col("hb"))
+      .agg(count(lit(1)).as("bn"))
+    val totals = cells.groupBy(col("source"), col("qb"))
+      .agg(sum(col("bn")).as("n_stratum"))
+      .withColumn("quota", expr(s"(n_stratum * $holdoutPct + 50) DIV 100"))
+    val wb = Window.partitionBy(col("source"), col("qb")).orderBy(col("hb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val info = cells
+      .withColumn("c_below", coalesce(sum(col("bn")).over(wb), lit(0L)))
+      .join(totals, Seq("source", "qb"))
+      .select(col("source"), col("qb"), col("hb"), col("bn"), col("c_below"),
+        col("n_stratum"), col("quota"))
+    val joined = rows.join(broadcast(info), Seq("source", "qb", "hb"))
+    val base = Seq(col(idCol), col("source"), col("qb"), col("n_stratum"), col("quota"))
+    // whole-cell verdicts are map-only; only the boundary cell ranks
+    val wholeIn = joined.filter(col("c_below") + col("bn") <= col("quota"))
+      .select(base :+ lit("holdout").as("split"): _*)
+    val wholeOut = joined.filter(col("c_below") >= col("quota"))
+      .select(base :+ lit("train").as("split"): _*)
+    val wcell = Window.partitionBy(col("source"), col("qb"), col("hb"))
+      .orderBy(col("hkey").asc, col(idCol).asc)
+    val boundary = joined
+      .filter(col("c_below") < col("quota") && col("c_below") + col("bn") > col("quota"))
+      .withColumn("rnk", row_number().over(wcell))
+      .select(base :+ when(col("c_below") + col("rnk") <= col("quota"), lit("holdout"))
+        .otherwise(lit("train")).as("split"): _*)
+    wholeIn.unionByName(wholeOut).unionByName(boundary)
+  }
+
   /** dc03 — corpus churn between two snapshots (the g42 churn diff applied to
     * documents): per source, doc counts in the early/late `cutId` windows, the
     * corpus-share each held (micro), the share delta, a status label

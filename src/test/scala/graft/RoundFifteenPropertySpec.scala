@@ -561,4 +561,48 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want) :| s"got=$got want=$want"
     }, cases = 8)
   }
+
+  test("dc25: the hb-cell split equals the plain per-stratum rank window; quotas land exactly") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val word = Gen.oneOf(Gen.oneOf("the", "a", "of", "and"),
+      Gen.choose(100, 999).map(n => s"w$n"))
+    val doc = Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val genCorpus = for {
+      nDocs <- Gen.choose(6, 30)
+      texts <- Gen.listOfN(nDocs, doc)
+      srcs <- Gen.listOfN(nDocs, Gen.oneOf("cc", "web"))
+      pct <- Gen.choose(0, 100)
+      salt <- Gen.oneOf("", "s1")
+    } yield (texts.zip(srcs).zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }, pct, salt)
+    check("dc25-mirror", Prop.forAll(genCorpus) { case (rows, pct, salt) =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val measured = df.select(col("doc_id"), col("source"),
+          graft.pipeline.TextStats.qualityMicro(col("text")).as("q"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 100000L))
+      val want = measured.groupBy { case (_, s, qb) => (s, qb) }.toSeq.flatMap {
+        case ((s, qb), ds) =>
+          val n = ds.length.toLong
+          val quota = (n * pct + 50) / 100
+          ds.sortBy { case (id, _, _) => (md5hex(salt + id.toString), id) }
+            .zipWithIndex
+            .map { case ((id, _, _), i) =>
+              (id, s, qb, n, quota, if (i + 1 <= quota) "holdout" else "train") }
+      }.toSet
+      val got = graft.pipeline.Curation.stratifiedHoldout(df, "doc_id", "text", "source",
+          holdoutPct = pct, bucketMicro = 100000L, salt = salt)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("qb"),
+          r.getAs[Long]("n_stratum"), r.getAs[Long]("quota"), r.getAs[String]("split")))
+        .toSet
+      // exact-count law on top of the row-for-row mirror
+      val exact = got.groupBy(t => (t._2, t._3)).forall { case (_, g) =>
+        g.count(_._6 == "holdout") == g.head._5
+      }
+      (got == want && exact) :| s"pct=$pct salt=$salt got=$got want=$want"
+    }, cases = 8)
+  }
 }
