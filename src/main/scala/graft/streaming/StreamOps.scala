@@ -695,6 +695,37 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Streaming twin of the d37 bloom-prefiltered EXACT probe: the bit set and
+    * the index are materialized ONCE at stream setup (the corpus-sized pass a
+    * standing cadence pays a single time — the [[streamingIncrementalDedup]]
+    * index-is-the-state shape), and each micro-batch's arrivals hash once,
+    * screen against the checkpointed bits, and send only bloom POSITIVES into
+    * the index join. Per-batch cost is arrival-sized no matter how big the
+    * archive is; the emissions ARE `Dedup.bloomPrefilteredProbeAgainst` over
+    * the arrivals, so batch parity is definitional (StreamOpsSpec pins it
+    * across micro-batch cuts).
+    */
+  def streamingBloomProbe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      mBits: Int = 1 << 18
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bits = graft.pipeline.Dedup.exactBloomBits(index, mBits).localCheckpoint(true)
+    val ix = index.localCheckpoint(true)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Dedup.bloomPrefilteredProbeAgainst(
+            batch.select(col(idCol), md5(col(textCol)).as("text_hash")),
+            idCol, ix, bits, mBits),
+          batchId)
+      }
+  }
+
   /** Streaming twin of the d19/d20 decontamination probe: each ingest micro-batch
     * of TRAINING documents is probed against the loaded benchmark n-gram index
     * ([[graft.pipeline.Dedup.loadBenchIndex]]) inside `foreachBatch`, flagging

@@ -914,6 +914,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bloom probe emits the d37 verdicts; parity holds across micro-batch cuts") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different existing content with its own words"))
+      .toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.exactHashIndex(archive, "doc_id", "text")
+    val verdicts = scala.collection.mutable.Map[Long, (Int, Long, Long)]()
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingBloomProbe(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+        onBatch = (out, _) => verdicts.synchronized {
+          out.collect().foreach(r => verdicts(r.getAs[Long]("doc_id")) =
+            (r.getAs[Int]("bloom_pos"), r.getAs[Long]("dup_of"), r.getAs[Long]("n_index_copies")))
+        })
+      .start()
+    try {
+      stream.addData(
+        (101L, "the quick brown fox jumps over the lazy dog again and again"), // exact copy of 1
+        (102L, "fresh novel text sharing nothing with the archive"))
+      query.processAllAvailable()
+      stream.addData((103L, "completely different existing content with its own words")) // copy of 2
+      query.processAllAvailable()
+      val got = verdicts.synchronized(verdicts.toMap)
+      // batch parity across the micro-batch cut: the same arrivals, one batch probe
+      val arrivals = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog again and again"),
+        (102L, "fresh novel text sharing nothing with the archive"),
+        (103L, "completely different existing content with its own words"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup
+        .bloomPrefilteredExactProbe(arrivals, "doc_id", "text", index)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("bloom_pos"), r.getAs[Long]("dup_of"), r.getAs[Long]("n_index_copies"))))
+        .toMap
+      assert(got == batch, s"$got vs $batch")
+      // the copies screen in and resolve; the novel arrival screens out
+      assert(got(101L) == ((1, 1L, 1L)) && got(103L) == ((1, 2L, 1L)), got.toString)
+      assert(got(102L) == ((0, -1L, 0L)), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming incremental dedup emits the d17 verdicts against a loaded static index") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
