@@ -72,6 +72,13 @@ private[graft] object MultimodalOracles extends OracleFragments {
     // actually catches); the stub hash is md5-derived (no locality), so the
     // oracle-checked pairs are the exact copies; the band/hamming kernel is
     // pinned on controlled hashes in RoundFifteenOpsSpec
+    // scene segmentation over m03's frame grid: per-asset lag window on frame
+    // phashes, cut on hamming ≥ 8, running scene ordinal (the keyframe index)
+    "m10_scene_cuts" -> ((s: SparkSession, dir: String) =>
+      Multimodal.sceneCuts(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+        "doc_id", "media", frameBytes = 64, stride = 2)),
     "m09_phash_near_dup" -> ((s: SparkSession, dir: String) => {
       val assets = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
@@ -105,6 +112,30 @@ private[graft] object MultimodalOracles extends OracleFragments {
          |FROM ad l JOIN ad r ON l.band = r.band AND l.bval = r.bval
          |WHERE l.asset_id < r.asset_id
          |  AND bit_count(xor(l.phash, r.phash)) <= 3""".stripMargin,
+
+    // per-asset lag window over frame phashes on the m03 grid; first frame and
+    // hamming ≥ 8 jumps open scenes; running cut count is the scene ordinal —
+    // mirror of Multimodal.sceneCuts(64, 2, 8)
+    "m10_scene_cuts" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_index,
+         |    CAST(i * 64 AS BIGINT) AS frame_offset,
+         |    ('0x' || substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)), 1, 15))::BIGINT AS ph
+         |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 64 - 1)) AS i
+         |        FROM documents)
+         |  WHERE i % 2 = 0),
+         |l AS (SELECT asset_id, frame_index, frame_offset, ph,
+         |    lag(ph) OVER (PARTITION BY asset_id ORDER BY frame_index) AS pph
+         |  FROM f),
+         |c AS (SELECT asset_id, frame_index, frame_offset,
+         |    CAST(CASE WHEN pph IS NULL THEN -1
+         |         ELSE bit_count(xor(ph, pph)) END AS INTEGER) AS hamming_prev,
+         |    CAST(CASE WHEN pph IS NULL OR bit_count(xor(ph, pph)) >= 8 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS is_cut
+         |  FROM l)
+         |SELECT asset_id, frame_index, frame_offset, hamming_prev, is_cut,
+         |  CAST(SUM(is_cut) OVER (PARTITION BY asset_id ORDER BY frame_index
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_no
+         |FROM c""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

@@ -170,6 +170,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** m10 — SCENE CUTS / keyframe index: consecutive sampled frames are compared by
+    * perceptual-hash hamming distance; a jump ≥ `cutHamming` opens a new scene (the
+    * keyframe-selection step every video curation pipeline runs before the
+    * expensive per-frame models — only scene-opening frames go to captioning/
+    * embedding). Every frame is labeled with its scene ordinal, so downstream can
+    * take `is_cut = 1` rows as the keyframe index or group by (asset, scene) for
+    * per-scene budgets. With the md5 stub hash ANY content change clears the
+    * threshold (no locality), so stub scenes = runs of byte-identical frames; a
+    * real pHash ([[MediaHasher]]) makes the same plan detect gradual-vs-jump
+    * transitions — the plumbing, windows, and arithmetic don't change.
+    *
+    * Scale shape: the only windows are per-asset ordered by frame index (lag +
+    * running cut count) — state bounded by one asset's sampled frames, never
+    * corpus-sized; frames never leave their asset's partition.
+    */
+  def sceneCuts(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int,
+      cutHamming: Int = 8
+  ): DataFrame =
+    sceneCutsOf(
+      frameSampleDF(df, idCol, binCol, frameBytes, stride)
+        .select(col("asset_id"), col("frame_index"), col("frame_offset"),
+          conv(substring(md5(col("frame")), 1, 15), 16, 10).cast("long").as("phash")),
+      cutHamming)
+
+  /** The windowed half of [[sceneCuts]] over an already-hashed (asset_id,
+    * frame_index, frame_offset, phash) relation — separated so the unit suite
+    * pins cut/scene semantics on controlled hashes.
+    */
+  private[graft] def sceneCutsOf(frames: DataFrame, cutHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFrame = Window.partitionBy(col("asset_id")).orderBy(col("frame_index").asc)
+    frames
+      .withColumn("prev_ph", lag(col("phash"), 1).over(byFrame))
+      .select(
+        col("asset_id"), col("frame_index"), col("frame_offset"),
+        when(col("prev_ph").isNull, lit(-1))
+          .otherwise(expr("CAST(bit_count(phash ^ prev_ph) AS INT)")).as("hamming_prev"),
+        when(col("prev_ph").isNull ||
+          expr("bit_count(phash ^ prev_ph)") >= cutHamming, lit(1))
+          .otherwise(lit(0)).as("is_cut"))
+      .withColumn("scene_no",
+        sum(col("is_cut")).over(byFrame.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+  }
+
   /** Cross-asset frame dedup — the video-dedup primitive: sample frames from every
     * asset ([[frameSampleDF]]), hash the frame payloads, and report each frame content
     * seen in more than one asset (keeper = smallest (asset, index)). At corpus scale

@@ -723,6 +723,25 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out("b") == ((2L, 10L, 400000L)), s"$out")
   }
 
+  test("m10: cuts open at the first frame and on hamming >= threshold; scenes number cumulatively") {
+    import graft.pipeline.Multimodal
+    val frames = Seq(
+      (1L, 0, 0L, 0L), (1L, 2, 128L, 0L),     // identical pair → one scene
+      (1L, 4, 256L, 255L), (1L, 6, 384L, 255L), // 8-bit jump → scene 2
+      (1L, 8, 512L, 254L),                     // hamming 1 < 8 → still scene 2
+      (2L, 0, 0L, 42L))                        // single-frame asset → its own scene 1
+      .toDF("asset_id", "frame_index", "frame_offset", "phash")
+    val out = Multimodal.sceneCutsOf(frames, cutHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_index"),
+        r.getAs[Int]("hamming_prev"), r.getAs[Int]("is_cut"), r.getAs[Long]("scene_no")))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, -1, 1, 1L), (1L, 2, 0, 0, 1L),
+      (1L, 4, 8, 1, 2L), (1L, 6, 0, 0, 2L), (1L, 8, 1, 0, 2L),
+      (2L, 0, -1, 1, 1L)), s"got ${out.mkString(", ")}")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
