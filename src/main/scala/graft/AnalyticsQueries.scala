@@ -1295,6 +1295,92 @@ object AnalyticsQueries {
           + lit(0.5)).cast("long").as("gini_micro"))
   }
 
+  /** ev29 — BOT-DETECTION battery: the per-user behavioral screen every event
+    * pipeline runs before its data feeds anything downstream (m08's bit-battery
+    * discipline applied to users). Three published automation signatures, each a
+    * reason bit so the verdict is auditable:
+    *
+    *   - bit 0 — machine speed: the whole history inside one microsecond
+    *     (span 0) or ≥ `rateMaxPerHour` events/hour over the active span
+    *   - bit 1 — metronome regularity: squared coefficient of variation of the
+    *     inter-event gaps ≤ `cv2MaxMicro` (humans are bursty, CV² ≈ 1+;
+    *     schedulers sit near 0). CV² = (n_g·Σg² − S²)/S² over whole-second
+    *     gaps — exact integers, one double division, micro-quantized
+    *   - bit 2 — single-window automation: peak hour holds ≥ `peakShareMinMicro`
+    *     of the user's events (the ev27 share idiom per user)
+    *
+    * Gaps quantize to whole seconds BEFORE squaring so Σg² stays in BIGINT
+    * (bound: n_g·Σg² ≤ 9·10¹⁸ holds to ~10⁴ events over a month-long span — the
+    * g62/s33 documented-bound convention; µs gaps would overflow at one large
+    * gap). Gap aggregates are invariant under tie order (equal timestamps
+    * permute equal values), so no tie-break column is needed for cross-engine
+    * determinism. Users with < 3 events carry too little signal and are not
+    * scored.
+    *
+    * Scale shape: one lag window per user ordered by event time (state bounded
+    * by a user's history, the ev2/ev12 shape) + map-side-combinable
+    * (user, hour) and per-user folds; no join wider than the user catalog.
+    */
+  def botBattery(
+      spark: SparkSession,
+      dir: String,
+      rateMaxPerHour: Long = 120L,
+      cv2MaxMicro: Long = 100000L,
+      peakShareMinMicro: Long = 500000L
+  ): DataFrame =
+    botBatteryOf(eventsTsu(spark, dir, "user_id"), rateMaxPerHour, cv2MaxMicro, peakShareMinMicro)
+
+  private[graft] def botBatteryOf(
+      events: DataFrame,
+      rateMaxPerHour: Long = 120L,
+      cv2MaxMicro: Long = 100000L,
+      peakShareMinMicro: Long = 500000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc)
+    val stats = events
+      .select(col("user_id"), col("tsu"))
+      .withColumn("gs", ((col("tsu") - lag(col("tsu"), 1).over(byUser)) / 1000000L).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("span_us"),
+        sum(col("gs")).as("s"),
+        sum(col("gs") * col("gs")).as("s2"),
+        count(col("gs")).as("ng"))
+      .filter(col("n_events") >= 3)
+    val peak = events
+      .groupBy(col("user_id"), expr("(tsu DIV 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("o"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("o")).as("n"), max(col("o")).as("mo"))
+      .select(col("user_id"),
+        expr("(2 * 1000000 * mo + n) DIV (2 * n)").cast("long").as("peak_share_micro"))
+    val scored = stats.join(peak, Seq("user_id"))
+      .select(
+        col("user_id"), col("n_events"), col("span_us"),
+        when(col("span_us") > 0,
+          expr("(n_events * 3600000000) DIV span_us").cast("long"))
+          .otherwise(lit(-1L)).as("rate_per_hour"),
+        when(col("s") > 0,
+          floor(lit(1000000.0) * (col("ng") * col("s2") - col("s") * col("s")).cast("double")
+            / (col("s").cast("double") * col("s").cast("double")) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("cv2_micro"),
+        col("s"),
+        col("peak_share_micro"))
+    scored
+      .withColumn("reasons",
+        (when(col("span_us") === 0 || col("rate_per_hour") >= rateMaxPerHour, lit(1L))
+          .otherwise(lit(0L))
+          + when(col("s") > 0 && col("cv2_micro") <= cv2MaxMicro, lit(2L)).otherwise(lit(0L))
+          + when(col("peak_share_micro") >= peakShareMinMicro, lit(4L)).otherwise(lit(0L)))
+          .as("reasons"))
+      .select(
+        col("user_id"), col("n_events"), col("span_us"), col("rate_per_hour"),
+        col("cv2_micro"), col("peak_share_micro"), col("reasons"),
+        (col("reasons") =!= 0L).cast("int").as("bot"))
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

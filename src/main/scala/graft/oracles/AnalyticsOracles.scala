@@ -56,6 +56,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev26_ab_lift" -> (AnalyticsQueries.abLift _),
     "ev27_hour_profile" -> (AnalyticsQueries.hourProfile _),
     "ev28_gini" -> (AnalyticsQueries.giniConcentration _),
+    "ev29_bot_battery" -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.botBattery(s, dir)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -314,6 +316,42 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |    / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)) + 0.5)
         |    AS BIGINT) AS gini_micro
         |FROM g""".stripMargin,
+
+    // per-user automation screen: lag-window whole-second gaps (tie order
+    // cannot change the aggregates — equal timestamps permute equal gaps),
+    // exact CV² and rate, ev27's peak-share idiom, m08-style reason bits —
+    // mirror of AnalyticsQueries.botBattery defaults (120/h, 0.1, 0.5)
+    "ev29_bot_battery" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (SELECT user_id, tsu,
+        |    (tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)) // 1000000 AS gs
+        |  FROM e),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(tsu) - min(tsu) AS BIGINT) AS span_us,
+        |    CAST(sum(gs) AS BIGINT) AS s, CAST(sum(gs * gs) AS BIGINT) AS s2,
+        |    CAST(count(gs) AS BIGINT) AS ng
+        |  FROM g GROUP BY 1 HAVING count(*) >= 3),
+        |h AS (SELECT user_id, (tsu // 3600000000) % 24 AS hour, count(*) AS o
+        |  FROM e GROUP BY 1, 2),
+        |pk AS (SELECT user_id,
+        |    CAST((2 * 1000000 * max(o) + sum(o)) // (2 * sum(o)) AS BIGINT) AS peak_share_micro
+        |  FROM h GROUP BY 1),
+        |sc AS (SELECT st.user_id, n_events, span_us,
+        |    CAST(CASE WHEN span_us > 0 THEN (n_events * 3600000000) // span_us
+        |         ELSE -1 END AS BIGINT) AS rate_per_hour,
+        |    CAST(CASE WHEN s > 0 THEN floor(1000000.0 * CAST(ng * s2 - s * s AS BIGINT)
+        |           / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + 0.5)
+        |         ELSE 0 END AS BIGINT) AS cv2_micro,
+        |    s, peak_share_micro
+        |  FROM st JOIN pk USING (user_id)),
+        |rs AS (SELECT *,
+        |    CAST(CASE WHEN span_us = 0 OR rate_per_hour >= 120 THEN 1 ELSE 0 END
+        |      + CASE WHEN s > 0 AND cv2_micro <= 100000 THEN 2 ELSE 0 END
+        |      + CASE WHEN peak_share_micro >= 500000 THEN 4 ELSE 0 END AS BIGINT) AS reasons
+        |  FROM sc)
+        |SELECT user_id, n_events, span_us, rate_per_hour, cv2_micro, peak_share_micro,
+        |  reasons, CAST(CASE WHEN reasons <> 0 THEN 1 ELSE 0 END AS INTEGER) AS bot
+        |FROM rs""".stripMargin,
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

@@ -742,6 +742,31 @@ class RoundFifteenOpsSpec extends SparkSpec {
       (2L, 0, -1, 1, 1L)), s"got ${out.mkString(", ")}")
   }
 
+  test("ev29: metronome bot, bursty human, and machine-speed burst score hand-computed batteries") {
+    // user 1: perfect 60 s metronome inside one hour → regular (bit 1) + single-
+    // window (bit 2); rate 66/h stays under the 120/h line
+    val metronome = (0 until 10).map(i => (1L, i * 60000000L))
+    // user 2: bursty gaps (CV² ≈ 1.076) spread over four hours, peak share 2/6
+    val human = Seq(0L, 10000000L, 3700000000L, 15060000000L, 15160000000L, 20000000000L)
+      .map(t => (2L, t))
+    // user 3: three events in the same microsecond → span 0 (bit 0) + bit 2; CV²
+    // unscored (s = 0)
+    val burst = Seq.fill(3)((3L, 42L))
+    val twoEvents = Seq((4L, 0L), (4L, 1000000L)) // under the n >= 3 floor
+    val out = AnalyticsQueries.botBatteryOf(
+        (metronome ++ human ++ burst ++ twoEvents).toDF("user_id", "tsu"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("span_us"), r.getAs[Long]("rate_per_hour"),
+          r.getAs[Long]("cv2_micro"), r.getAs[Long]("peak_share_micro"),
+          r.getAs[Long]("reasons"), r.getAs[Int]("bot"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"$out")
+    assert(out(1L) == ((10L, 540000000L, 66L, 0L, 1000000L, 6L, 1)), s"${out(1L)}")
+    assert(out(2L) == ((6L, 20000000000L, 1L, 1076268L, 333333L, 0L, 0)), s"${out(2L)}")
+    assert(out(3L) == ((3L, 0L, -1L, 0L, 1000000L, 5L, 1)), s"${out(3L)}")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
