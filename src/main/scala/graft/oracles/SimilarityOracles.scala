@@ -265,6 +265,21 @@ private[graft] object SimilarityOracles extends OracleFragments {
           e.filter(col("vec_id") % AssignNewMod === 0), "vec_id", "embedding", model)
       } finally deleteRecursively(scratch)
     }),
+    // geometric staleness beside s25's membership leg: frozen codebook vs the
+    // current cell means over the FULL corpus (trained split + arrivals), read
+    // through the persisted artifact like the cadence it feeds
+    "s39_centroid_drift" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-centroid-drift")
+      try {
+        val path = scratch.toString + "/centroids"
+        Similarity.saveCentroids(
+          Similarity.kmeansRounds(e.filter(col("vec_id") % AssignNewMod =!= 0),
+            "vec_id", "embedding", k = 8, dims = 64, rounds = IvfPqTrainRounds), path)
+        val model = Similarity.loadCentroids(s, path).localCheckpoint(true)
+        Similarity.centroidDrift(e, "vec_id", "embedding", model, dims = 64)
+      } finally deleteRecursively(scratch)
+    }),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Retrieval.hybridTopK(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -1049,6 +1064,36 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // reproduce the in-session result to the hash
     "s23_ivf_pq_trained" -> ivfPqTrainedSql,
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+    // frozen codebook (trained split) vs current cell means over the full
+    // corpus; dead/degenerate cells report maximal drift — mirror of
+    // Similarity.centroidDrift(dims = 64, driftMax 1000µ)
+    "s39_centroid_drift" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id % $AssignNewMod <> 0),
+         |${kmeansCtes("base", 8, IvfPqTrainRounds)},
+         |cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv,
+         |    CAST(n_members AS BIGINT) AS n_trained FROM c$IvfPqTrainRounds),
+         |cur AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |sc AS (SELECT cur.vec_id AS rid, cur.v, cents.cid,
+         |    ${cosSql("cur.v", "cents.cv")} AS cc FROM cur, cents),
+         |asg AS (SELECT rid, cid, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS rk FROM sc)
+         |  WHERE rk = 1),
+         |md AS (SELECT cid, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS m,
+         |    COUNT(*) AS n_now
+         |  FROM asg, unnest(generate_series(1, len(v))) AS t(i) GROUP BY cid, i),
+         |ma AS (SELECT cid, list(m ORDER BY dim) AS mv, max(n_now) AS n_now
+         |  FROM md GROUP BY cid),
+         |dr AS (SELECT cents.cid AS cluster, n_trained,
+         |    CAST(COALESCE(ma.n_now, 0) AS BIGINT) AS n_now,
+         |    CAST(CASE WHEN ma.cid IS NULL OR list_dot_product(ma.mv, ma.mv) <= 0 THEN 1000000
+         |         ELSE floor(1000000.0 * (1.0 - ${cosSql("cents.cv", "ma.mv")}) + 0.5)
+         |         END AS BIGINT) AS drift_micro
+         |  FROM cents LEFT JOIN ma ON cents.cid = ma.cid)
+         |SELECT cluster, n_trained, n_now, drift_micro,
+         |  CAST(CASE WHEN drift_micro >= 1000 THEN 1 ELSE 0 END AS INTEGER) AS stale
+         |FROM dr""".stripMargin,
     "s29_ann_filtered" -> ivfPqTrainedSqlWith(
       Some(s"SELECT vec_id FROM embeddings WHERE label % $FilteredAnnLabelMod = 0")),
     // recall of the filtered path against the brute-force truth under the same

@@ -2076,6 +2076,57 @@ object Similarity {
           .as("share_new_micro"))
   }
 
+  /** s39 — CENTROID DRIFT monitor: the GEOMETRIC staleness leg beside s25's
+    * membership one. s25/retrainTrigger catch the codebook mismatching the data
+    * by COUNT (hot cells, starved cells); a distribution that rotates while
+    * keeping cell populations balanced slips past both — this op catches it by
+    * comparing each frozen centroid against the CURRENT mean of the vectors the
+    * cell attracts. Per cell: the trained census, the current membership, and
+    * `drift_micro` = 10⁶·(1 − cos(stored centroid, current cell mean)) from the
+    * rounded cosine (the s-family round-6 contract, so both engines quantize the
+    * same double); a cell no current vector lands in (or a degenerate zero-norm
+    * mean) reports maximal drift — the codebook region is dead. `stale` flags
+    * cells at ≥ `driftMaxMicro`; any stale cell is the retrain signal this
+    * monitor feeds a cadence.
+    *
+    * Scale shape: one broadcast-codebook assignment pass over the corpus (the
+    * [[assignToCells]] kernel — per-vector window of k rows), one
+    * map-side-combinable wide-sum per cell for the means, then a k-row join —
+    * nothing data-sized ever shuffles twice, the s25 cadence cost.
+    */
+  def centroidDrift(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: DataFrame,
+      dims: Int,
+      driftMaxMicro: Long = 1000L
+  ): DataFrame = {
+    require(model.columns.contains("n_members"),
+      "centroidDrift: model has no n_members column — legacy centroid artifact " +
+        "(pre-census saveCentroids); retrain with kmeansRounds and re-save")
+    val cells = assignToCells(corpus, idCol, vecCol, model)
+    val aggs = count(lit(1)).as("n_now") +:
+      (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
+    val means = cells.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cid"), col("n_now"),
+        array((0 until dims).map(i => round(col(s"s$i") / col("n_now"), 6)): _*).as("mv"))
+      .withColumn("mn", norm2(col("mv")))
+    val cents = withCentroidNorm(model).select(
+      col("cluster").cast("long").as("cid"), col("cv"), col("cn"),
+      col("n_members").cast("long").as("n_trained"))
+    val driftCos = round(cosineFromNorms(dot(col("cv"), col("mv")), col("cn"), col("mn")), 6)
+    cents
+      .join(broadcast(means), Seq("cid"), "left") // k-row join, the ivfAssignNew shape
+      .select(
+        col("cid").as("cluster"), col("n_trained"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        when(col("mv").isNull || col("mn") <= lit(0.0), lit(1000000L))
+          .otherwise(floor(lit(1000000.0) * (lit(1.0) - driftCos) + lit(0.5)).cast("long"))
+          .as("drift_micro"))
+      .withColumn("stale", (col("drift_micro") >= driftMaxMicro).cast("int"))
+  }
+
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
     * when the new mass is SKEWED onto a hot cell (`maxShareMicro · k ≥
     * hotFactorMicro` — a cell drawing ≥ hotFactor× its uniform 1/k share) or when

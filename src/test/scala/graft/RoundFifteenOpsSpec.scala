@@ -767,6 +767,30 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, -1L, 0L, 1000000L, 5L, 1)), s"${out(3L)}")
   }
 
+  test("s39: an aligned cell reads drift 0, a rotated cell its exact cosine gap, a dead cell max") {
+    val model = Seq(
+      (0, Array(1.0, 0.0, 0.0, 0.0), 5L),
+      (1, Array(0.0, 1.0, 0.0, 0.0), 5L),
+      (2, Array(0.0, 0.0, 1.0, 0.0), 5L))
+      .toDF("cluster", "cv", "n_members")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // cell 0, exactly on the centroid
+      (11L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 0.8f, 0.6f, 0.0f)), // cell 1 (cos 0.8 beats cell 2's 0.6), rotated
+      (21L, Array(0.0f, 0.8f, 0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidDrift(corpus, "vec_id", "embedding", model,
+        dims = 4, driftMaxMicro = 1000L)
+      .collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("n_trained"), r.getAs[Long]("n_now"),
+          r.getAs[Long]("drift_micro"), r.getAs[Int]("stale"))))
+      .toMap
+    assert(out(0L) == ((5L, 2L, 0L, 0)), s"$out")       // aligned → fresh
+    assert(out(1L) == ((5L, 2L, 200000L, 1)), s"$out")  // 1 − 0.8 exactly
+    assert(out(2L) == ((5L, 0L, 1000000L, 1)), s"$out") // dead region → max drift
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
