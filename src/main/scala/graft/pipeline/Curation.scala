@@ -599,6 +599,7 @@ object Curation {
       TextStats.qualityMicro(col(textCol)).as("quality_micro"),
       TextStats.tokenCount(col(textCol)).cast("long").as("n_toks"))
       .withColumn("qb", expr(s"quality_micro DIV $bucketMicro"))
+      .localCheckpoint(true) // one text scan feeds both the mass census and the fill
     val mass = rows.groupBy(col("source"), col("qb")).agg(sum(col("n_toks")).as("m"))
     val wb = Window.partitionBy(col("source")).orderBy(col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -630,12 +631,12 @@ object Curation {
     * first-2-hex-chars bucket `hb` (lexicographic key order ≡ (hb, key) order, so
     * the 256 hb buckets partition each stratum's rank range contiguously); a
     * catalog-sized (stratum × 256) cell census finds each cell's strictly-below
-    * count and the stratum quota; rows join that broadcast relation and decide
-    * map-only for every cell that falls entirely inside (holdout) or outside
-    * (train) the quota — ONLY the single boundary cell per stratum ranks in a
-    * window, whose state is one 256th of a stratum at any corpus size. The oracle
-    * mirrors the PLAIN per-stratum rank window, proving the cell decomposition
-    * exact (the dc24 discipline).
+    * count and the stratum quota, broadcast back; a row's stratum rank is then
+    * its cell's strictly-below count plus its IN-CELL rank, so the only window
+    * partitions by (stratum, hb) — its state is one 256th of a stratum at any
+    * corpus size — and one comparison against the quota is the verdict for
+    * interior and boundary cells alike. The oracle mirrors the PLAIN per-stratum
+    * rank window, proving the cell decomposition exact (the dc24 discipline).
     */
   def stratifiedHoldout(
       df: DataFrame,
@@ -654,8 +655,10 @@ object Curation {
       TextStats.qualityMicro(col(textCol)).as("quality_micro"))
       .withColumn("qb", expr(s"quality_micro DIV $bucketMicro"))
       .withColumn("hb", conv(substring(col("hkey"), 1, 2), 16, 10).cast("long"))
+      .localCheckpoint(true) // one text scan feeds the cell census and the verdict join
     val cells = rows.groupBy(col("source"), col("qb"), col("hb"))
       .agg(count(lit(1)).as("bn"))
+      .localCheckpoint(true) // catalog-sized; read by the totals fold and the cumsum
     val totals = cells.groupBy(col("source"), col("qb"))
       .agg(sum(col("bn")).as("n_stratum"))
       .withColumn("quota", expr(s"(n_stratum * $holdoutPct + 50) DIV 100"))
@@ -667,20 +670,19 @@ object Curation {
       .select(col("source"), col("qb"), col("hb"), col("bn"), col("c_below"),
         col("n_stratum"), col("quota"))
     val joined = rows.join(broadcast(info), Seq("source", "qb", "hb"))
-    val base = Seq(col(idCol), col("source"), col("qb"), col("n_stratum"), col("quota"))
-    // whole-cell verdicts are map-only; only the boundary cell ranks
-    val wholeIn = joined.filter(col("c_below") + col("bn") <= col("quota"))
-      .select(base :+ lit("holdout").as("split"): _*)
-    val wholeOut = joined.filter(col("c_below") >= col("quota"))
-      .select(base :+ lit("train").as("split"): _*)
+    // ONE uniform verdict: stratum rank = cell's strictly-below count + in-cell
+    // rank, holdout iff it lands under the quota. Interior cells satisfy or fail
+    // it wholesale (c_below + bn ≤ quota ⇒ every rank passes; c_below ≥ quota ⇒
+    // none does), so no branch split is needed — one corpus pass, one window
+    // whose state is a single hb cell (1/256th of a stratum) at any scale
     val wcell = Window.partitionBy(col("source"), col("qb"), col("hb"))
       .orderBy(col("hkey").asc, col(idCol).asc)
-    val boundary = joined
-      .filter(col("c_below") < col("quota") && col("c_below") + col("bn") > col("quota"))
+    joined
       .withColumn("rnk", row_number().over(wcell))
-      .select(base :+ when(col("c_below") + col("rnk") <= col("quota"), lit("holdout"))
-        .otherwise(lit("train")).as("split"): _*)
-    wholeIn.unionByName(wholeOut).unionByName(boundary)
+      .select(
+        col(idCol), col("source"), col("qb"), col("n_stratum"), col("quota"),
+        when(col("c_below") + col("rnk") <= col("quota"), lit("holdout"))
+          .otherwise(lit("train")).as("split"))
   }
 
   /** dc03 — corpus churn between two snapshots (the g42 churn diff applied to

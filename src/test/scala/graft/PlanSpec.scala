@@ -1136,6 +1136,58 @@ class PlanSpec extends SparkSpec {
       s"map-side combinable aggregate expected:\n$p")
   }
 
+  test("budget fill (dc24): the ordered window runs above the broadcast bucket-prefix filter") {
+    val p = plan(pipeline.Curation.budgetFill(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+      budgetTokens = 600L, bucketMicro = 100000L))
+    // two windows exactly: the catalog-sized strictly-above cumsum over the
+    // (source, qb) mass relation, and the per-source fill window — which must
+    // consume the broadcast-join prefix filter (above < budget), never the raw
+    // corpus; the mass relation broadcasts back
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 2, s"mass cumsum + fill window expected, got $windows:\n$p")
+    // the strict prefix filter (above < budget) survives — Catalyst pushes it
+    // into the mass relation's window output (rendered as coalesce(_we0, 0) <
+    // 600), distinct from the final cum filter's <= 600
+    assert(p.contains(" < 600)"),
+      s"the prefix filter must gate the fill window's input:\n$p")
+    assert(p.contains(" <= 600)"),
+      s"the budget cum filter must close the fill:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the bucket-mass relation must broadcast:\n$p")
+    // the per-row relation is checkpointed: the final plan re-reads it, never
+    // the parquet (one text scan total, paid once at the checkpoint)
+    assert(!p.contains("Scan parquet"), s"the corpus must not re-scan past the checkpoint:\n$p")
+  }
+
+  test("stratified holdout (dc25): the only row window partitions by the hb cell; one corpus scan") {
+    val p = plan(pipeline.Curation.stratifiedHoldout(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+      holdoutPct = 10, bucketMicro = 100000L))
+    // the catalog-sized cell cumsum + the in-cell rank window — whose partition
+    // spec must include hb (state = one cell, 1/256th of a stratum), never
+    // (source, qb) alone (that would be the stratum-wide window the cell
+    // decomposition exists to avoid)
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 2, s"cell cumsum + in-cell rank expected, got $windows:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, qb#\\d+L?, hb#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"the rank window must partition by (source, qb, hb):\n$p")
+    assert(p.contains("BroadcastExchange"), s"the cell-info relation must broadcast:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus must not re-scan past the checkpoint (one text scan total):\n$p")
+  }
+
+  test("gini (ev28): the rank-sum window runs over the histogram aggregate, never the events") {
+    val p = plan(AnalyticsQueries.giniConcentration(spark, dir))
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 1, s"exactly the histogram cumsum window expected, got $windows:\n$p")
+    // the window's input is the (type, cnt) histogram: two HashAggregates sit
+    // between the scan and the window (per-user counts, then the histogram)
+    val aggs = "HashAggregate".r.findAllMatchIn(p).size
+    assert(aggs >= 4, s"per-user + histogram aggs (partial+final) expected below the window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("bloom probe (d37): the index join sees only the positives filter; one parquet scan total") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(pipeline.Dedup.bloomPrefilteredExactProbe(
