@@ -199,6 +199,30 @@ private[graft] object DedupOracles extends OracleFragments {
           budgetTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
     }),
+    // the eval-hygiene epoch: dc25's holdout carved OUT of the corpus before
+    // tokenizer training and packing — holdout leakage into the epoch is zero
+    // by construction (pinned e2e in RoundFifteenOpsSpec), the dc13 shape with
+    // the benchmark set replaced by the engine's own eval slice
+    "dc26_epoch_pack_holdout" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-holdout")
+      try {
+        val holdout = graft.pipeline.Curation.stratifiedHoldout(
+            docs, "doc_id", "text", "source",
+            holdoutPct = HoldoutPct, bucketMicro = BudgetFillBucketMicro)
+          .filter(col("split") === "holdout")
+          .select(col("doc_id"))
+        val train = docs.join(holdout, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds tokenizer training AND the pack chain
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(train, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPackUpsampled(train, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs,
+          budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     // the dc11 manifest shuffled for epochs 0 and 1: same docs, same replayed
     // symbol mass, different deterministic order and bin cuts per epoch — the
     // between-epoch shuffle a trainer derives from the manifest + epoch number
@@ -1210,7 +1234,32 @@ private[graft] object DedupOracles extends OracleFragments {
        |${epochPackUpsampledBody("clean")}"""
       .stripMargin
 
+  /** dc26 = dc13's composition with the excluded set swapped to dc25's holdout:
+    * the quality-stratified exact slice is re-derived (same CTE chain as the
+    * dc25 mirror), anti-joined out, and the dc11 pack body runs on the rest.
+    */
+  private lazy val epochPackHoldoutSql: String =
+    s"""WITH hq0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+       |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |hq AS (SELECT doc_id, source,
+       |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+       |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT)
+       |      // $BudgetFillBucketMicro AS qb,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM hq0),
+       |hrk AS (SELECT doc_id, source, qb, hkey,
+       |    row_number() OVER (PARTITION BY source, qb ORDER BY hkey, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY source, qb) AS n
+       |  FROM hq),
+       |hold AS (SELECT doc_id FROM hrk WHERE rnk <= (n * $HoldoutPct + 50) // 100),
+       |clean AS (SELECT d.* FROM documents d LEFT JOIN hold h USING (doc_id)
+       |          WHERE h.doc_id IS NULL),
+       |${epochPackUpsampledBody("clean")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dc26_epoch_pack_holdout" -> epochPackHoldoutSql,
     "d17_incremental_dedup" -> incrementalDedupSql,
     "d18_dedup_saved_index" -> incrementalDedupSql,
     // append(save(archive), wave1) must probe like the rebuilt archive ∪ wave1

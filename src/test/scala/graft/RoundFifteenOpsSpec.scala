@@ -791,6 +791,28 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out(2L) == ((5L, 0L, 1000000L, 1)), s"$out") // dead region → max drift
   }
 
+  test("dc26: the holdout never leaks into the epoch manifest; an unhygienic pack WOULD leak") {
+    import graft.pipeline.{Curation, Sampling}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val holdoutIds = Curation.stratifiedHoldout(docs, "doc_id", "text", "source",
+        holdoutPct = 10, bucketMicro = 100000L)
+      .filter(col("split") === "holdout")
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val merges = graft.pipeline.TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 2)
+    def packedIds(pool: org.apache.spark.sql.DataFrame) =
+      Sampling.epochManifestUpsampled(pool, "doc_id", "source", "text", merges,
+        alphaMicro = 300000L, budgetDocs = 200L, budgetTokens = 512L, nGroups = 8)
+        .select(col("doc_id"))
+    val train = docs.join(holdoutIds, Seq("doc_id"), "left_anti")
+    // hygiene: the dc26 pool cannot emit a held-out doc
+    assert(packedIds(train).join(holdoutIds, Seq("doc_id")).isEmpty,
+      "a held-out doc leaked into the clean epoch")
+    // contrast: the SAME pack over the full corpus does leak — the audit is not vacuous
+    assert(!packedIds(docs).join(holdoutIds, Seq("doc_id")).isEmpty,
+      "expected the unhygienic pack to draw held-out docs at this budget")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
