@@ -1381,6 +1381,85 @@ object AnalyticsQueries {
         (col("reasons") =!= 0L).cast("int").as("bot"))
   }
 
+  /** ev30 — CUSUM changepoint detection per event type (Page's test): the screen
+    * for SUSTAINED level shifts that ev7's trailing z-score is blind to (a +20%
+    * step forever never spikes any single hour, but its drift accumulates). The
+    * recursion S_t = max(0, S_{t−1} + x_t − μ − k) is not window-expressible as
+    * written, but the classical identity S_t = Z_t − min_{0≤j≤t} Z_j (Z =
+    * running sum of deviations, Z₀ = 0 — the EMPTY prefix must stay in the min
+    * or a first-hour spike reads 0; the max(0,·) reset IS subtracting the
+    * running minimum) turns it into TWO plain prefix windows — cumsum and
+    * running min clamped at 0 — so both engines compute it exactly, in
+    * integers, with no recursion. The identity itself is pinned against a
+    * literal sequential Page recursion in RoundFifteenPropertySpec.
+    *
+    * Frame: the GLOBAL hour grid [min, max] of the corpus, zero-filled per type
+    * (a quiet hour accumulates negative drift; skipping it would hide the very
+    * shift being hunted). Reference μ = the type's own mean hourly count
+    * (half-up micro), slack k = μ/2, alarm at S ≥ 5μ — the standard
+    * "five mean-units" tuning, all pinned foldable-integer arithmetic.
+    *
+    * Scale shape: one map-side-combinable (type, hour) count, a broadcast 1-row
+    * hour-bounds relation, a catalog-sized grid (|types| × corpus hour span —
+    * time-bounded, never event-bounded), and per-type windows over that grid
+    * only. Overflow: |Z| ≤ span·10⁶·max-hourly-count stays in BIGINT to ~10⁹
+    * event-hours per type (the g62/s33 documented-bound convention).
+    */
+  def cusumChangepoint(
+      spark: SparkSession,
+      dir: String,
+      slackDenom: Long = 2L,
+      alarmFactor: Long = 5L
+  ): DataFrame =
+    cusumChangepointOf(eventsTsu(spark, dir, "event_type"), slackDenom, alarmFactor)
+
+  private[graft] def cusumChangepointOf(
+      events: DataFrame,
+      slackDenom: Long = 2L,
+      alarmFactor: Long = 5L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hours = events.select(col("event_type"), expr("tsu DIV 3600000000").as("h"))
+    val counts = hours.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // catalog-sized; feeds the grid join and the per-type means
+    val bounds = counts.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val means = counts.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("total_events"))
+    val grid = means
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("total_events"), col("hmin"), col("hmax"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("total_events"), col("hmin"), col("hmax"), col("h"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .withColumn("n_hours", col("hmax") - col("hmin") + 1L)
+      .withColumn("mean_micro",
+        expr("(2 * 1000000 * total_events + n_hours) DIV (2 * n_hours)").cast("long"))
+      .withColumn("dev",
+        lit(1000000L) * col("o") - col("mean_micro")
+          - (col("mean_micro") / slackDenom).cast("long"))
+    val byHour = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("z", sum(col("dev")).over(byHour))
+      // the running min must include the EMPTY prefix Z₀ = 0 (a first-hour
+      // spike has nothing below it to subtract), hence the least(·, 0) clamp
+      .withColumn("cusum", col("z") - least(min(col("z")).over(byHour), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_hours")).as("n_hours"),
+        max(col("total_events")).as("total_events"),
+        max(col("mean_micro")).as("mean_micro"),
+        max(col("hmax")).as("hmax"),
+        // peak = max cusum, smallest-hour tie-break (the ev27 argmax idiom)
+        max(struct(col("cusum").as("c"), (col("hmax") - col("h")).as("nh"))).as("pk"))
+      .select(
+        col("event_type"), col("n_hours"), col("total_events"), col("mean_micro"),
+        col("pk.c").as("max_cusum_micro"),
+        (col("hmax") - col("pk.nh")).as("peak_hour_index"),
+        (col("pk.c") >= col("mean_micro") * alarmFactor).cast("int").as("alarm"))
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

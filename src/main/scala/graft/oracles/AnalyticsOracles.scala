@@ -58,6 +58,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     "ev28_gini" -> (AnalyticsQueries.giniConcentration _),
     "ev29_bot_battery" -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.botBattery(s, dir)),
+    "ev30_cusum" -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.cusumChangepoint(s, dir)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -352,6 +354,40 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |SELECT user_id, n_events, span_us, rate_per_hour, cv2_micro, peak_share_micro,
         |  reasons, CAST(CASE WHEN reasons <> 0 THEN 1 ELSE 0 END AS INTEGER) AS bot
         |FROM rs""".stripMargin,
+
+    // Page's CUSUM per type via the cumsum − running-min identity (the max(0,·)
+    // reset IS subtracting the running minimum), zero-filled global hour grid,
+    // μ half-up micro, slack μ//2, alarm at 5μ — mirror of
+    // AnalyticsQueries.cusumChangepoint defaults
+    "ev30_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        |c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+        |m AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS total_events FROM c GROUP BY 1),
+        |gr AS (SELECT unnest(generate_series((SELECT hmin FROM b), (SELECT hmax FROM b))) AS h),
+        |g AS (SELECT m.event_type, m.total_events, gr.h,
+        |    (SELECT hmax FROM b) - (SELECT hmin FROM b) + 1 AS n_hours,
+        |    (SELECT hmax FROM b) AS hmax
+        |  FROM m CROSS JOIN gr),
+        |gx AS (SELECT g.*, COALESCE(c.o, 0) AS o,
+        |    CAST((2 * 1000000 * total_events + n_hours) // (2 * n_hours) AS BIGINT) AS mean_micro
+        |  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h),
+        |d AS (SELECT *, 1000000 * o - mean_micro - mean_micro // 2 AS dev FROM gx),
+        |z AS (SELECT *, CAST(SUM(dev) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS z FROM d),
+        |cs AS (SELECT *, z - least(CAST(MIN(z) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS cusum FROM z),
+        |mx AS (SELECT event_type, CAST(max(cusum) AS BIGINT) AS mc FROM cs GROUP BY 1),
+        |pk AS (SELECT cs.event_type, CAST(min(cs.h) AS BIGINT) AS peak_hour_index
+        |  FROM cs JOIN mx ON cs.event_type = mx.event_type AND cs.cusum = mx.mc
+        |  GROUP BY 1),
+        |st AS (SELECT DISTINCT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        |    total_events, mean_micro FROM cs)
+        |SELECT st.event_type, n_hours, total_events, mean_micro,
+        |  mc AS max_cusum_micro, peak_hour_index,
+        |  CAST(CASE WHEN mc >= mean_micro * 5 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+        |FROM st JOIN mx ON st.event_type = mx.event_type
+        |JOIN pk ON st.event_type = pk.event_type""".stripMargin,
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

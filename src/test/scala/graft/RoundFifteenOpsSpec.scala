@@ -813,6 +813,25 @@ class RoundFifteenOpsSpec extends SparkSpec {
       "expected the unhygienic pack to draw held-out docs at this budget")
   }
 
+  test("ev30: a sustained step alarms at its hand-computed CUSUM peak; a flat series reads zero") {
+    // "shift": 15 quiet hours (1/h) then 5 hours at 50/h — μ = 13.25, k = μ/2,
+    // dev_high = 30,125,000µ, peak S = 5·dev_high = 150,625,000 ≥ 5μ → alarm.
+    // "flat": 2/h throughout — Z strictly falls, S ≡ 0, peak at the first hour.
+    val shift = (0 until 15).map(h => Seq(("shift", h * 3600000000L))) ++
+      (15 until 20).map(h => Seq.fill(50)(("shift", h * 3600000000L)))
+    val flat = (0 until 20).map(h => Seq.fill(2)(("flat", h * 3600000000L)))
+    val out = AnalyticsQueries.cusumChangepointOf(
+        (shift ++ flat).flatten.toDF("event_type", "tsu"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_hours"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("mean_micro"), r.getAs[Long]("max_cusum_micro"),
+          r.getAs[Long]("peak_hour_index"), r.getAs[Int]("alarm"))))
+      .toMap
+    assert(out("shift") == ((20L, 265L, 13250000L, 150625000L, 19L, 1)), s"${out("shift")}")
+    assert(out("flat") == ((20L, 40L, 2000000L, 0L, 0L, 0)), s"${out("flat")}")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")

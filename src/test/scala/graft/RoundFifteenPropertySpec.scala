@@ -605,4 +605,35 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == want && exact) :| s"pct=$pct salt=$salt got=$got want=$want"
     }, cases = 8)
   }
+
+  test("ev30: the cumsum − running-min identity equals Page's sequential recursion") {
+    val genSeries = for {
+      nHours <- Gen.choose(4, 30)
+      counts <- Gen.listOfN(nHours, Gen.frequency(
+        (4, Gen.choose(0L, 3L)), (1, Gen.choose(10L, 40L))))
+    } yield counts
+    check("ev30-identity", Prop.forAll(genSeries.suchThat(_.sum > 0)) { counts =>
+      val events = counts.zipWithIndex.flatMap { case (c, h) =>
+        Seq.fill(c.toInt)(("t", h * 3600000000L)) }
+      // the engine's grid spans OBSERVED hours only — trim the empty edges
+      val lo = counts.indexWhere(_ > 0)
+      val hi = counts.lastIndexWhere(_ > 0)
+      val series = counts.slice(lo, hi + 1)
+      val n = series.length.toLong
+      val total = series.sum
+      val mean = (2L * 1000000L * total + n) / (2L * n)
+      val slack = mean / 2L
+      // Page's recursion, literally
+      var s = 0L; var best = 0L; var bestH = lo.toLong
+      series.zipWithIndex.foreach { case (c, h) =>
+        s = math.max(0L, s + (1000000L * c - mean - slack))
+        if (s > best) { best = s; bestH = (lo + h).toLong }
+      }
+      val row = AnalyticsQueries.cusumChangepointOf(events.toDF("event_type", "tsu"))
+        .collect().head
+      val got = (row.getAs[Long]("mean_micro"), row.getAs[Long]("max_cusum_micro"),
+        row.getAs[Long]("peak_hour_index"))
+      (got == ((mean, best, bestH))) :| s"counts=$counts got=$got want=(${mean}, $best, $bestH)"
+    }, cases = 8)
+  }
 }
