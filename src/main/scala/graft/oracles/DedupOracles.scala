@@ -223,6 +223,9 @@ private[graft] object DedupOracles extends OracleFragments {
           budgetTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
     }),
+    "dc27_length_buckets" -> ((s: SparkSession, dir: String) =>
+      Sampling.lengthBucketPlan(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // the dc11 manifest shuffled for epochs 0 and 1: same docs, same replayed
     // symbol mass, different deterministic order and bin cuts per epoch — the
     // between-epoch shuffle a trainer derives from the manifest + epoch number
@@ -1260,6 +1263,26 @@ private[graft] object DedupOracles extends OracleFragments {
 
   val oracleSql: Map[String, String] = Map(
     "dc26_epoch_pack_holdout" -> epochPackHoldoutSql,
+    // power-of-two length buckets (fixed CASE chain, no float log), per-bucket
+    // real/padded token mass and waste vs the pad-to-maxLen naive contrast —
+    // mirror of Sampling.lengthBucketPlan defaults (B=32, maxLen=512, min=16)
+    "dc27_length_buckets" ->
+      """WITH t AS (SELECT least(CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT), 512) AS n_toks FROM documents),
+        |b AS (SELECT CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+        |    WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
+        |    WHEN n_toks <= 256 THEN 256 ELSE 512 END AS bucket, n_toks FROM t),
+        |pb AS (SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS tokens_real FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs,
+        |    CAST(sum(tokens_real) AS BIGINT) AS all_real FROM pb)
+        |SELECT bucket, n_docs, CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+        |  tokens_real, CAST(n_docs * bucket AS BIGINT) AS tokens_padded,
+        |  CAST(floor(1000000.0 * CAST(n_docs * bucket - tokens_real AS DOUBLE)
+        |    / CAST(n_docs * bucket AS DOUBLE) + 0.5) AS BIGINT) AS waste_micro,
+        |  CAST(floor(1000000.0 * CAST(all_docs * 512 - all_real AS DOUBLE)
+        |    / CAST(all_docs * 512 AS DOUBLE) + 0.5) AS BIGINT) AS naive_waste_micro
+        |FROM pb CROSS JOIN tt""".stripMargin,
     "d17_incremental_dedup" -> incrementalDedupSql,
     "d18_dedup_saved_index" -> incrementalDedupSql,
     // append(save(archive), wave1) must probe like the rebuilt archive ∪ wave1

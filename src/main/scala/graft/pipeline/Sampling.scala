@@ -891,4 +891,60 @@ object Sampling {
       .filter(col("sel_rank") <= k) // defensive trim if ids are not unique within a source
       .select(col(sourceCol), col(idCol), col("weight"), col("key_nano"), col("sel_rank"))
   }
+
+  /** dc27 — LENGTH-BUCKETED batching with padding-waste accounting: group
+    * documents into power-of-two length buckets (the standard "length-grouped
+    * batching" every trainer runs so a 20-token doc never pads to the corpus
+    * max), then price exactly how many pad tokens the bucketing saves. Per
+    * bucket: doc count, batch count at `batchSize`, real token mass, padded
+    * mass (every sequence pads to its bucket width), and the waste share —
+    * beside the NAIVE waste the same docs would pay padded to `maxLen`
+    * (constant contrast column, the d29 savings-report convention). Documents
+    * over `maxLen` truncate to it (their overflow is neither real nor padding —
+    * it never enters a batch).
+    *
+    * Scale shape: one text scan → a |buckets|-row hash aggregate (map-side
+    * combinable) + a broadcast 1-row total; no window, no join wider than the
+    * 6-row bucket catalog. Batch counts are ⌈n/B⌉ arithmetic, not an
+    * assignment pass — the bucket relation IS the batch plan.
+    */
+  def lengthBucketPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Long = 32L,
+      maxLen: Long = 512L,
+      minBucket: Long = 16L
+  ): DataFrame = {
+    require(batchSize >= 1 && minBucket >= 1 && maxLen >= minBucket,
+      s"lengthBucketPlan: need batchSize/minBucket >= 1 and maxLen >= minBucket")
+    val widths = Iterator.iterate(minBucket)(_ * 2L).takeWhile(_ < maxLen).toSeq :+ maxLen
+    val trunc = least(TextStats.tokenCount(col(textCol)).cast("long"), lit(maxLen))
+    // smallest admitted width ≥ the truncated length — a fixed CASE chain, so
+    // both engines bucket identically with no log/pow float arithmetic
+    val bucket = widths.init.foldRight(lit(maxLen): Column) { (w, rest) =>
+      when(trunc <= w, lit(w)).otherwise(rest)
+    }
+    val perBucket = Scans.fanOut(df)
+      .select(bucket.as("bucket"), trunc.as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_real"))
+    val totals = perBucket.agg(
+      sum(col("n_docs")).as("all_docs"), sum(col("tokens_real")).as("all_real"))
+    perBucket
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("n_docs"),
+        expr(s"(n_docs + $batchSize - 1) DIV $batchSize").cast("long").as("n_batches"),
+        col("tokens_real"),
+        (col("n_docs") * col("bucket")).as("tokens_padded"),
+        floor(lit(1000000.0)
+          * (col("n_docs") * col("bucket") - col("tokens_real")).cast("double")
+          / (col("n_docs") * col("bucket")).cast("double") + lit(0.5)).cast("long")
+          .as("waste_micro"),
+        floor(lit(1000000.0)
+          * (col("all_docs") * maxLen - col("all_real")).cast("double")
+          / (col("all_docs") * maxLen).cast("double") + lit(0.5)).cast("long")
+          .as("naive_waste_micro"))
+  }
 }

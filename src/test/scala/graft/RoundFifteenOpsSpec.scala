@@ -832,6 +832,28 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out("flat") == ((20L, 40L, 2000000L, 0L, 0L, 0)), s"${out("flat")}")
   }
 
+  test("dc27: hand-computed buckets, batch counts, truncation, and waste vs the naive contrast") {
+    import graft.pipeline.Sampling
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 3 docs of 10 tokens (bucket 16), 1 of 20 (bucket 32), 1 of 600 → truncates
+    // to 512 (bucket 512, zero padding)
+    val docs = Seq((1L, words(10)), (2L, words(10)), (3L, words(10)),
+      (4L, words(20)), (5L, words(600)))
+      .toDF("doc_id", "text")
+    val out = Sampling.lengthBucketPlan(docs, "doc_id", "text", batchSize = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"), r.getAs[Long]("tokens_real"),
+          r.getAs[Long]("tokens_padded"), r.getAs[Long]("waste_micro"),
+          r.getAs[Long]("naive_waste_micro"))))
+      .toMap
+    // naive: 5 docs × 512 = 2560 padded for 30+20+512 = 562 real → 78.047% waste
+    val naive = math.floor(1e6 * (2560.0 - 562.0) / 2560.0 + 0.5).toLong
+    assert(out(16L) == ((3L, 2L, 30L, 48L, 375000L, naive)), s"$out")
+    assert(out(32L) == ((1L, 1L, 20L, 32L, 375000L, naive)), s"$out")
+    assert(out(512L) == ((1L, 1L, 512L, 512L, 0L, naive)), s"$out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
