@@ -49,6 +49,18 @@ private[graft] object DedupOracles extends OracleFragments {
       Dedup.bloomPrefilteredExactProbe(batch, "doc_id", "text",
         Dedup.exactHashIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"))
     }),
+    // the d26 tuning discipline for the d37 screen: measured FP per candidate
+    // bit-array size on the labeled planted batch, smallest-sufficient chosen
+    "d39_bloom_sizing" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val batch = docs.filter(col("doc_id") >= SourceDriftCut)
+        .unionByName(docs
+          .filter(col("doc_id") < SourceDriftCut &&
+            col("doc_id") % BloomReingestMod === 0)
+          .withColumn("doc_id", col("doc_id") + BloomReingestOffset))
+      Dedup.bloomSizingReport(batch, "doc_id", "text",
+        Dedup.exactHashIndex(docs.filter(col("doc_id") < SourceDriftCut), "doc_id", "text"))
+    }),
     // the saved-artifact cadence (the d18 discipline): index persisted hp-bucket-
     // partitioned, reloaded, probed with the same planted batch — persistence and
     // the DPP-pruned read must be invisible, so d38 shares d37's oracle verbatim.
@@ -1261,8 +1273,56 @@ private[graft] object DedupOracles extends OracleFragments {
        |          WHERE h.doc_id IS NULL),
        |${epochPackUpsampledBody("clean")}""".stripMargin
 
+  /** d39's mirror: the d37 bt/ix CTEs, truth labeling once, then one CTE block
+    * per grid size (positions re-derived from the same md5 fields mod m),
+    * unioned, with the smallest-sufficient pick.
+    */
+  private lazy val bloomSizingSql: String = {
+    def posList(h: String, m: Long) =
+      s"""[('0x' || substr($h, 1, 8))::BIGINT % $m,
+         | ('0x' || substr($h, 9, 8))::BIGINT % $m,
+         | ('0x' || substr($h, 17, 8))::BIGINT % $m]""".stripMargin
+    val grid = Seq(1L << 10, 1L << 12, 1L << 16, 1L << 18)
+    val blocks = grid.map { m =>
+      s"""bits_$m AS (SELECT DISTINCT unnest(${posList("h", m)}) AS pos FROM ix),
+         |ns_$m AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM bits_$m),
+         |ps_$m AS (SELECT doc_id, unnest(list_distinct(${posList("h", m)})) AS pos FROM bt),
+         |np_$m AS (SELECT doc_id, count(*) AS n_pos FROM ps_$m GROUP BY 1),
+         |ht_$m AS (SELECT doc_id, count(*) AS n_hit FROM ps_$m JOIN bits_$m USING (pos) GROUP BY 1),
+         |pd_$m AS (SELECT doc_id FROM np_$m JOIN ht_$m USING (doc_id) WHERE n_hit = n_pos),
+         |fp_$m AS (SELECT CAST(count(*) AS BIGINT) AS n_fp FROM novel JOIN pd_$m USING (doc_id)),
+         |row_$m AS (SELECT CAST($m AS BIGINT) AS m_bits, n_set,
+         |    CAST(floor(1000000.0 * CAST(n_set AS DOUBLE) / $m.0 + 0.5) AS BIGINT) AS fill_micro,
+         |    n_novel, n_fp,
+         |    CAST(CASE WHEN n_novel = 0 THEN 0
+         |         ELSE floor(1000000.0 * CAST(n_fp AS DOUBLE) / CAST(n_novel AS DOUBLE) + 0.5)
+         |         END AS BIGINT) AS fp_measured_micro,
+         |    CAST(floor(1000000.0 * (CAST(n_set AS DOUBLE) / $m.0)
+         |      * (CAST(n_set AS DOUBLE) / $m.0) * (CAST(n_set AS DOUBLE) / $m.0) + 0.5)
+         |      AS BIGINT) AS fp_theory_micro
+         |  FROM ns_$m, nn, fp_$m)""".stripMargin
+    }.mkString(",\n")
+    val union = grid.map(m => s"SELECT * FROM row_$m").mkString(" UNION ALL ")
+    s"""WITH ix AS (SELECT doc_id AS existing_id, md5(text) AS h
+       |  FROM documents WHERE doc_id < $SourceDriftCut),
+       |bt AS (SELECT doc_id, md5(text) AS h
+       |  FROM (SELECT doc_id, text FROM documents WHERE doc_id >= $SourceDriftCut
+       |        UNION ALL
+       |        SELECT doc_id + $BloomReingestOffset, text FROM documents
+       |        WHERE doc_id < $SourceDriftCut AND doc_id % $BloomReingestMod = 0)),
+       |novel AS (SELECT bt.doc_id FROM bt LEFT JOIN ix ON bt.h = ix.h WHERE ix.h IS NULL),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_novel FROM novel),
+       |$blocks,
+       |rows_all AS ($union),
+       |pick AS (SELECT COALESCE(MIN(CASE WHEN fp_measured_micro <= 1000 THEN m_bits END),
+       |    MAX(m_bits)) AS chosen_m FROM rows_all)
+       |SELECT rows_all.*, CAST(CASE WHEN m_bits = chosen_m THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM rows_all, pick""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dc26_epoch_pack_holdout" -> epochPackHoldoutSql,
+    "d39_bloom_sizing" -> bloomSizingSql,
     // power-of-two length buckets (fixed CASE chain, no float log), per-bucket
     // real/padded token mass and waste vs the pad-to-maxLen naive contrast —
     // mirror of Sampling.lengthBucketPlan defaults (B=32, maxLen=512, min=16)

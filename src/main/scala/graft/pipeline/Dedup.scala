@@ -1819,6 +1819,87 @@ object Dedup {
         coalesce(col("n_index_copies"), lit(0L)).as("n_index_copies"))
   }
 
+  /** d39 — BLOOM SIZING report: the d26 measure-then-actuate discipline applied
+    * to the d37 screen. For each candidate bit-array size: the exact set-bit
+    * census and fill ratio, the MEASURED false-positive rate on the labeled
+    * probe batch (truth = the exact hash join, computed once), and the
+    * theoretical fill³ rate beside it — then ONE config is `chosen`: the
+    * smallest array whose measured FP rate meets `targetFpMicro` (the memory
+    * bill scales with the array, so smallest-sufficient is the decision rule),
+    * falling back to the largest candidate when none qualifies. The chosen row
+    * is what a cadence feeds [[exactBloomBits]].
+    *
+    * Scale shape: index and batch hashes are computed ONCE and checkpointed;
+    * each config re-derives bit positions from the SAME md5 fields (mod is the
+    * only per-config arithmetic — no re-hashing) and pays one set-census + one
+    * batch-sized probe; the report and the choice are |grid|-row relations.
+    * At production scale the exact-truth labeling runs on a SAMPLED batch (the
+    * d26 sample-first posture) — the FP rate is a ratio estimate, not a
+    * corpus-sized join.
+    */
+  def bloomSizingReport(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      grid: Seq[Int] = Seq(1 << 10, 1 << 12, 1 << 16, 1 << 18),
+      targetFpMicro: Long = 1000L
+  ): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), "bloomSizingReport: grid must be positive")
+    val ix = index.localCheckpoint(true)
+    val bh = batch
+      .select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .localCheckpoint(true)
+    // truth once: a batch row is a TRUE dup iff its content hash is indexed
+    val novel = bh.join(ix.select(col("text_hash")), Seq("text_hash"), "left_anti")
+      .select(col(idCol))
+      .localCheckpoint(true)
+    val perConfig = grid.sorted.map { m =>
+      val bits = exactBloomBits(ix, m).localCheckpoint(true)
+      val positives = bh
+        .select(col(idCol), bloomPositions(col("text_hash"), m).as("ps"))
+        .select(col(idCol), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
+        .join(bits, Seq("pos"))
+        .groupBy(col(idCol), col("n_pos"))
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === col("n_pos"))
+        .select(col(idCol))
+      val fp = novel.join(positives, Seq(idCol))
+        .agg(count(lit(1)).as("n_fp"))
+      val counts = novel.agg(count(lit(1)).as("n_novel"))
+      bits.agg(count(lit(1)).as("n_set"))
+        .crossJoin(counts)
+        .crossJoin(fp)
+        .select(
+          lit(m.toLong).as("m_bits"),
+          col("n_set"),
+          floor(lit(1000000.0) * col("n_set").cast("double") / lit(m.toDouble) + lit(0.5))
+            .cast("long").as("fill_micro"),
+          col("n_novel"),
+          col("n_fp"),
+          when(col("n_novel") === 0L, lit(0L))
+            .otherwise(floor(lit(1000000.0) * col("n_fp").cast("double")
+              / col("n_novel").cast("double") + lit(0.5)).cast("long"))
+            .as("fp_measured_micro"),
+          floor(lit(1000000.0)
+            * (col("n_set").cast("double") / lit(m.toDouble))
+            * (col("n_set").cast("double") / lit(m.toDouble))
+            * (col("n_set").cast("double") / lit(m.toDouble)) + lit(0.5))
+            .cast("long").as("fp_theory_micro"))
+    }.reduce(_.unionByName(_))
+      .localCheckpoint(true) // |grid| rows; read twice (report + choice)
+    val pick = perConfig
+      .select(col("m_bits"), col("fp_measured_micro"))
+      .agg(
+        min(when(col("fp_measured_micro") <= targetFpMicro, col("m_bits"))).as("ok_m"),
+        max(col("m_bits")).as("max_m"))
+      .select(coalesce(col("ok_m"), col("max_m")).as("chosen_m"))
+    perConfig
+      .crossJoin(broadcast(pick))
+      .withColumn("chosen", (col("m_bits") === col("chosen_m")).cast("int"))
+      .drop("chosen_m")
+  }
+
   /** Persist an [[exactHashIndex]] PARTITIONED by the first two hex chars of the
     * content hash (256 uniform buckets — md5 is uniform by construction, so no
     * bucket skews). The partition column is what turns the per-batch index scan

@@ -854,6 +854,32 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out(512L) == ((1L, 1L, 512L, 512L, 0L, naive)), s"$out")
   }
 
+  test("d39: saturated grids fall back to the largest array; a clean one is chosen smallest-first") {
+    import graft.pipeline.Dedup
+    val index = Dedup.exactHashIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = ((10L, "alpha beta gamma") +:
+      (20 to 49).map(i => (i.toLong, s"novel text number $i"))).toDF("doc_id", "text")
+    def report(grid: Seq[Int]) =
+      Dedup.bloomSizingReport(batch, "doc_id", "text", index, grid, targetFpMicro = 1000L)
+        .collect()
+        .map(r => (r.getAs[Long]("m_bits"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("fp_measured_micro"), r.getAs[Int]("chosen")))
+        .sortBy(_._1)
+    // 2- and 4-bit arrays saturate (every novel row is an FP) → nothing meets
+    // the target → the fallback picks the LARGEST candidate
+    val sat = report(Seq(2, 4))
+    assert(sat.forall(_._2 == 30L), s"$sat")
+    assert(sat.forall(_._3 == 1000000L), s"all novel rows must be FPs on a saturated array: $sat")
+    assert(sat.collect { case (m, _, _, 1) => m }.toSeq == Seq(4L), s"$sat")
+    // a wide array is clean; with a saturated one beside it the CLEAN one wins
+    // even though both are "available" — smallest sufficient, not largest
+    val mixed = report(Seq(4, 1 << 18))
+    assert(mixed.collect { case (m, _, _, 1) => m }.toSeq == Seq(262144L), s"$mixed")
+    assert(mixed.find(_._1 == 262144L).get._3 == 0L, s"$mixed")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
