@@ -238,6 +238,10 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc27_length_buckets" -> ((s: SparkSession, dir: String) =>
       Sampling.lengthBucketPlan(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "dc28_dedup_aware_mix" -> ((s: SparkSession, dir: String) =>
+      Sampling.dedupAwareMix(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        alphaMicro = MixAlphaMicro)),
     // the dc11 manifest shuffled for epochs 0 and 1: same docs, same replayed
     // symbol mass, different deterministic order and bin cuts per epoch — the
     // between-epoch shuffle a trainer derives from the manifest + epoch number
@@ -1506,6 +1510,36 @@ private[graft] object DedupOracles extends OracleFragments {
       s"""WITH $shinglesCte,
          |$dedupClusterCtes
          |SELECT v AS doc_id, label AS cluster_id FROM l3""".stripMargin,
+
+    // temperature weights over per-source CLUSTER counts (the d05 chain) beside
+    // the raw-count ones; one pow per source immediately micro-quantized, exact
+    // integer normalization — mirror of Sampling.dedupAwareMix
+    "dc28_dedup_aware_mix" -> {
+      val a = MixAlphaMicro.toDouble / 1000000.0
+      s"""WITH $shinglesCte,
+         |$dedupClusterCtes,
+         |cl AS (SELECT v AS doc_id, label AS cluster_id FROM l3),
+         |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_eff
+         |  FROM documents d JOIN cl USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |    CAST(sum(n_eff) AS BIGINT) AS e_total FROM ct),
+         |w AS (SELECT ct.*, n_total, e_total,
+         |    CAST(floor(1000000.0 * pow(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), $a)
+         |      + 0.5) AS BIGINT) AS w_raw,
+         |    CAST(floor(1000000.0 * pow(CAST(n_eff AS DOUBLE) / CAST(e_total AS DOUBLE), $a)
+         |      + 0.5) AS BIGINT) AS w_eff
+         |  FROM ct, tt),
+         |wt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS wr_total,
+         |    CAST(sum(w_eff) AS BIGINT) AS we_total FROM w)
+         |SELECT source, n_docs, n_eff,
+         |  CAST((2 * 1000000 * n_docs + n_eff) // (2 * n_eff) AS BIGINT) AS dup_inflation_micro,
+         |  round(CAST(w_raw AS DOUBLE) / CAST(wr_total AS DOUBLE), 6) AS p_raw,
+         |  round(CAST(w_eff AS DOUBLE) / CAST(we_total AS DOUBLE), 6) AS p_eff,
+         |  round(CAST(w_eff AS DOUBLE) / CAST(we_total AS DOUBLE)
+         |    - CAST(w_raw AS DOUBLE) / CAST(wr_total AS DOUBLE), 6) AS shift
+         |FROM w, wt""".stripMargin
+    },
 
     // per-source triage table: doc/token counts + corpus token share, d05 dup rate
     // (non-keeper members under the min-id convention), mean per-row-micro-quantized

@@ -892,6 +892,62 @@ object Sampling {
       .select(col(sourceCol), col(idCol), col("weight"), col("key_nano"), col("sel_rank"))
   }
 
+  /** dc28 — DEDUP-AWARE temperature mix: the [[temperatureMix]] weights computed
+    * over each source's near-dup CLUSTER count instead of its raw document
+    * count — the published correction for sources that inflate their sampling
+    * share with internal duplication (a mirror-heavy crawl counts its variety
+    * once, not once per copy). Per source: raw and effective counts, the
+    * duplication inflation (half-up micro of raw/effective), the raw-count
+    * sampling probability, the cluster-counted one, and the shift between them —
+    * the measured answer to "how much was this source's share riding on dups".
+    * A cluster spanning sources counts toward EVERY source holding a member
+    * (each source's variety is what it can contribute).
+    *
+    * Scale shape: the d05 cluster chain (band-bucketed, member-capped, bounded
+    * label-prop rounds) is the only corpus-sized work; everything after is a
+    * |sources|-row relation with 1-row broadcast totals, the temperatureMix
+    * float contract (ONE pow per source, immediately micro-quantized; all
+    * normalization in exact integers).
+    */
+  def dedupAwareMix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      alphaMicro: Long = 300000L
+  ): DataFrame = {
+    val alpha = alphaMicro.toDouble / 1000000.0
+    val labels = graft.pipeline.Dedup.dedupClusters(df, idCol, textCol)
+    val counts = df.select(col(idCol), col(sourceCol))
+      .join(labels, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_eff"))
+      .localCheckpoint(true) // catalog-sized; feeds totals + weights
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"), sum(col("n_eff")).as("e_total"))
+    val weighted = counts
+      .crossJoin(broadcast(totals))
+      .withColumn("w_raw",
+        floor(lit(1000000.0)
+          * pow(col("n_docs").cast("double") / col("n_total").cast("double"), alpha)
+          + lit(0.5)).cast("long"))
+      .withColumn("w_eff",
+        floor(lit(1000000.0)
+          * pow(col("n_eff").cast("double") / col("e_total").cast("double"), alpha)
+          + lit(0.5)).cast("long"))
+      .localCheckpoint(true) // catalog-sized; read by the weight totals and the report
+    val wt = weighted.agg(sum(col("w_raw")).as("wr_total"), sum(col("w_eff")).as("we_total"))
+    weighted
+      .crossJoin(broadcast(wt))
+      .select(
+        col(sourceCol), col("n_docs"), col("n_eff"),
+        expr("(2 * 1000000 * n_docs + n_eff) DIV (2 * n_eff)").cast("long")
+          .as("dup_inflation_micro"),
+        round(col("w_raw").cast("double") / col("wr_total").cast("double"), 6).as("p_raw"),
+        round(col("w_eff").cast("double") / col("we_total").cast("double"), 6).as("p_eff"),
+        round(col("w_eff").cast("double") / col("we_total").cast("double")
+          - col("w_raw").cast("double") / col("wr_total").cast("double"), 6).as("shift"))
+  }
+
   /** dc27 — LENGTH-BUCKETED batching with padding-waste accounting: group
     * documents into power-of-two length buckets (the standard "length-grouped
     * batching" every trainer runs so a 20-token doc never pads to the corpus

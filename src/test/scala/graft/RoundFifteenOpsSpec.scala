@@ -880,6 +880,27 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(mixed.find(_._1 == 262144L).get._3 == 0L, s"$mixed")
   }
 
+  test("dc28: a mirror-heavy source demotes, a variety-rich one boosts; inflation is exact") {
+    import graft.pipeline.Sampling
+    val copy = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to 4).map(i => (i.toLong, copy, "dup")) ++
+      (5 to 8).map(i => (i.toLong, (1 to 8).map(j => s"u$i$j").mkString(" "), "var")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.dedupAwareMix(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_eff"),
+          r.getAs[Long]("dup_inflation_micro"), r.getAs[Double]("p_raw"),
+          r.getAs[Double]("p_eff"), r.getAs[Double]("shift"))))
+      .toMap
+    val (dup, vr) = (out("dup"), out("var"))
+    assert(dup._1 == 4L && dup._2 == 1L && dup._3 == 4000000L, s"$dup")
+    assert(vr._1 == 4L && vr._2 == 4L && vr._3 == 1000000L, s"$vr")
+    // raw shares tie at 0.5; cluster-counted shares split 1/5 vs 4/5 pre-pow
+    assert(dup._4 == vr._4 && dup._4 == 0.5, s"$out")
+    assert(vr._5 > dup._5 && vr._6 > 0.0 && dup._6 < 0.0, s"$out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
