@@ -1460,6 +1460,54 @@ object AnalyticsQueries {
         (col("pk.c") >= col("mean_micro") * alarmFactor).cast("int").as("alarm"))
   }
 
+  /** ev31 — TOP EVENT PATHS: the most-travelled three-step sequences
+    * (t₁ → t₂ → t₃) across user histories — the path-mining readout product
+    * analytics runs to DISCOVER funnels before wiring them into ev19's fixed
+    * stages. Steps must be consecutive events of one user with each hop inside
+    * the ev2 session gap (≤ 1 h), so a path never spans a session boundary.
+    * Order within a user is (event time, event id) — the explicit tie-break
+    * MATTERS here (unlike ev29's gap aggregates, consecutive triples are not
+    * permutation-invariant), so both engines walk the identical sequence.
+    *
+    * Scale shape: two `lead`s over the per-user window (state = one user's
+    * history, the ev2 shape) → a map-side-combinable path count (≤ |types|³
+    * rows, catalog-sized) → the top-k rank window over that catalog only.
+    */
+  def topEventPaths(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 20,
+      sessionGapUs: Long = 3600000000L
+  ): DataFrame =
+    topEventPathsOf(eventsTsu(spark, dir, "user_id", "event_id", "event_type"), k, sessionGapUs)
+
+  private[graft] def topEventPathsOf(
+      events: DataFrame,
+      k: Int = 20,
+      sessionGapUs: Long = 3600000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val paths = events
+      .select(col("user_id"), col("event_id"), col("tsu"), col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(byUser))
+      .withColumn("t3", lead(col("t1"), 2).over(byUser))
+      .withColumn("ts2", lead(col("tsu"), 1).over(byUser))
+      .withColumn("ts3", lead(col("tsu"), 2).over(byUser))
+      .filter(col("t3").isNotNull
+        && col("ts2") - col("tsu") <= sessionGapUs
+        && col("ts3") - col("ts2") <= sessionGapUs)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+    val byCount = Window.orderBy(
+      col("n_paths").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+    // the global window runs over the ≤|types|³ path catalog, never event rows
+    paths
+      .withColumn("rank", row_number().over(byCount).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ev20 — funnel STAGE LATENCIES: exact p50/p90/p99 of the per-user
     * conversion delays (first view → first later click, that click → first
     * later purchase), in whole seconds — the time-to-convert telemetry read

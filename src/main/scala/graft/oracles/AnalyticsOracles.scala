@@ -60,6 +60,8 @@ private[graft] object AnalyticsOracles extends OracleFragments {
       AnalyticsQueries.botBattery(s, dir)),
     "ev30_cusum" -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.cusumChangepoint(s, dir)),
+    "ev31_top_paths" -> ((s: SparkSession, dir: String) =>
+      AnalyticsQueries.topEventPaths(s, dir)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
     "q11_small_qty_revenue" -> ((s: SparkSession, d: String) =>
       AnalyticsQueries.smallQuantityRevenue(s, d)),
@@ -388,6 +390,24 @@ private[graft] object AnalyticsOracles extends OracleFragments {
         |  CAST(CASE WHEN mc >= mean_micro * 5 THEN 1 ELSE 0 END AS INTEGER) AS alarm
         |FROM st JOIN mx ON st.event_type = mx.event_type
         |JOIN pk ON st.event_type = pk.event_type""".stripMargin,
+
+    // consecutive (tsu, event_id)-ordered triples per user, each hop within the
+    // 1 h session gap, counted and top-20 ranked with the lexicographic
+    // tie-break — mirror of AnalyticsQueries.topEventPaths defaults
+    "ev31_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |w AS (SELECT user_id, tsu, event_type AS t1,
+        |    lead(event_type, 1) OVER u AS t2, lead(event_type, 2) OVER u AS t3,
+        |    lead(tsu, 1) OVER u AS ts2, lead(tsu, 2) OVER u AS ts3
+        |  FROM e WINDOW u AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |p AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM w
+        |  WHERE t3 IS NOT NULL AND ts2 - tsu <= 3600000000 AND ts3 - ts2 <= 3600000000
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_paths DESC, t1, t2, t3) AS rank
+        |  FROM p)
+        |SELECT t1, t2, t3, n_paths, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     // bounded power iteration over the ev21 matrix: uniform v0 over the type
     // catalog, each round one exact BIGINT matrix-vector product + floor div,

@@ -901,6 +901,32 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(vr._5 > dup._5 && vr._6 > 0.0 && dup._6 < 0.0, s"$out")
   }
 
+  test("ev31: paths never cross users or session gaps; ties rank lexicographically") {
+    // user 1: view->click->buy twice in-session, then a >1h gap before 'view' —
+    // the triple (buy,view,click) spanning the gap must NOT count
+    val h = 3600000000L
+    val u1 = Seq(("view", 0L), ("click", 10L), ("buy", 20L),
+      ("view", 30L), ("click", 40L), ("buy", 50L),
+      ("view", 50L + 2 * h), ("click", 51L + 2 * h), ("buy", 52L + 2 * h))
+    // user 2 contributes one in-session triple; crossing into user 1 is impossible
+    val u2 = Seq(("view", 0L), ("click", 5L), ("buy", 9L))
+    val events = (u1.map { case (t, ts) => (1L, t, ts) } ++ u2.map { case (t, ts) => (2L, t, ts) })
+      .zipWithIndex.map { case ((u, t, ts), i) => (u, i.toLong, ts, t) }
+      .toDF("user_id", "event_id", "tsu", "event_type")
+    val out = AnalyticsQueries.topEventPathsOf(events, k = 20)
+      .collect()
+      .map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3")),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("rank")))
+      .sortBy(_._3)
+    // (view,click,buy): u1 ×3 (third session included — its hops are in-gap) + u2 = 4
+    assert(out.head == ((("view", "click", "buy"), 4L, 1L)), s"${out.toSeq}")
+    // the overlapping shifted triples: (click,buy,view) and (buy,view,click)
+    // exist only INSIDE session 1+2 of user 1 (1 each); the gap kills the rest
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m(("click", "buy", "view")) == 1L && m(("buy", "view", "click")) == 1L, s"$m")
+    assert(!m.contains(("buy", "buy", "view")) && out.map(_._2).sum == 4 + 2, s"$m")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
