@@ -79,6 +79,17 @@ private[graft] object MultimodalOracles extends OracleFragments {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
         "doc_id", "media", frameBytes = 64, stride = 2)),
+    // asset-store dedup ROI over the re-stamped table (the planted copies are
+    // the duplicate mass): one content-hash groupBy, per-type rollup
+    "m11_media_savings" -> ((s: SparkSession, dir: String) => {
+      val assets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.mediaDedupSavings(
+        assets.unionByName(assets
+          .filter(col("doc_id") % BloomReingestMod === 0)
+          .withColumn("doc_id", col("doc_id") + BloomReingestOffset)),
+        "doc_id", "source", "media")
+    }),
     "m09_phash_near_dup" -> ((s: SparkSession, dir: String) => {
       val assets = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("media"))
@@ -136,6 +147,26 @@ private[graft] object MultimodalOracles extends OracleFragments {
          |  CAST(SUM(is_cut) OVER (PARTITION BY asset_id ORDER BY frame_index
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_no
          |FROM c""".stripMargin,
+
+    // per-type blob dedup ledger over the re-stamped asset table — mirror of
+    // Multimodal.mediaDedupSavings
+    "m11_media_savings" ->
+      s"""WITH a AS (SELECT doc_id, source AS media_type, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $BloomReingestOffset, source, text FROM documents
+         |  WHERE doc_id % $BloomReingestMod = 0),
+         |pc AS (SELECT media_type, md5(text) AS content_h,
+         |    CAST(count(*) AS BIGINT) AS n_copies,
+         |    CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes
+         |  FROM a GROUP BY 1, 2)
+         |SELECT media_type, CAST(sum(n_copies) AS BIGINT) AS n_assets,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(sum(n_copies * n_bytes) AS BIGINT) AS bytes_raw,
+         |  CAST(sum(n_bytes) AS BIGINT) AS bytes_dedup,
+         |  CAST(floor(1000000.0
+         |    * CAST(sum(n_copies * n_bytes) - sum(n_bytes) AS DOUBLE)
+         |    / CAST(sum(n_copies * n_bytes) AS DOUBLE) + 0.5) AS BIGINT) AS savings_micro
+         |FROM pc GROUP BY 1""".stripMargin,
 
     "m01_media_features" ->
       s"""SELECT doc_id AS asset_id, source AS media_type,

@@ -216,6 +216,38 @@ object Multimodal {
         sum(col("is_cut")).over(byFrame.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
   }
 
+  /** m11 — MEDIA DEDUP SAVINGS: the d29 ROI convention for the asset store.
+    * Assets group by content hash (byte-identical payloads — the blob-store
+    * dedup every object store runs); per media type: asset and unique counts,
+    * raw byte mass, the deduplicated mass (each distinct payload stored once),
+    * and the savings share in micro. One hash-groupBy over the binary column —
+    * no pairs, no windows; the per-type rollup is catalog-sized.
+    */
+  def mediaDedupSavings(
+      df: DataFrame, idCol: String, typeCol: String, binCol: String
+  ): DataFrame = {
+    val perContent = df
+      .select(col(typeCol).as("media_type"),
+        md5(col(binCol)).as("content_h"),
+        length(col(binCol)).cast("long").as("n_bytes"))
+      .groupBy(col("media_type"), col("content_h"))
+      .agg(count(lit(1)).as("n_copies"), max(col("n_bytes")).as("n_bytes"))
+    perContent
+      .groupBy(col("media_type"))
+      .agg(
+        sum(col("n_copies")).as("n_assets"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies") * col("n_bytes")).as("bytes_raw"),
+        sum(col("n_bytes")).as("bytes_dedup"))
+      .select(
+        col("media_type"), col("n_assets"), col("n_unique"),
+        col("bytes_raw"), col("bytes_dedup"),
+        floor(lit(1000000.0)
+          * (col("bytes_raw") - col("bytes_dedup")).cast("double")
+          / col("bytes_raw").cast("double") + lit(0.5)).cast("long")
+          .as("savings_micro"))
+  }
+
   /** Cross-asset frame dedup — the video-dedup primitive: sample frames from every
     * asset ([[frameSampleDF]]), hash the frame payloads, and report each frame content
     * seen in more than one asset (keeper = smallest (asset, index)). At corpus scale

@@ -927,6 +927,25 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(!m.contains(("buy", "buy", "view")) && out.map(_._2).sum == 4 + 2, s"$m")
   }
 
+  test("m11: copies collapse to one stored payload; distinct payloads save nothing") {
+    import graft.pipeline.Multimodal
+    val docs = Seq(
+      (1L, "img", "aaaa"), (2L, "img", "aaaa"), (3L, "img", "aaaa"), // 3 copies of 4 bytes
+      (4L, "img", "bbbbbbbb"),                                      // unique 8 bytes
+      (5L, "vid", "cccc"), (6L, "vid", "dddd"))                     // all-unique type
+      .toDF("doc_id", "source", "payload")
+      .select(col("doc_id"), col("source"), encode(col("payload"), "UTF-8").as("media"))
+    val out = Multimodal.mediaDedupSavings(docs, "doc_id", "source", "media")
+      .collect()
+      .map(r => r.getAs[String]("media_type") ->
+        ((r.getAs[Long]("n_assets"), r.getAs[Long]("n_unique"), r.getAs[Long]("bytes_raw"),
+          r.getAs[Long]("bytes_dedup"), r.getAs[Long]("savings_micro"))))
+      .toMap
+    // img: raw 3·4 + 8 = 20, dedup 4 + 8 = 12 → 40% saved
+    assert(out("img") == ((4L, 2L, 20L, 12L, 400000L)), s"$out")
+    assert(out("vid") == ((2L, 2L, 8L, 8L, 0L)), s"$out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
