@@ -53,6 +53,9 @@ private[graft] object SketchOracles extends OracleFragments {
     "sk08_ams_f2" -> ((s: SparkSession, dir: String) =>
       Sketches.amsF2(s.read.parquet(s"$dir/events.parquet"), "user_id",
         width = AmsWidth)),
+    "sk10_heavy_hitters" -> ((s: SparkSession, dir: String) =>
+      Sketches.heavyHitters(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "sk09_moments" -> ((s: SparkSession, dir: String) =>
       Sketches.momentsSketch(s.read.parquet(s"$dir/documents.parquet"),
         "source", "n_chars")),
@@ -124,6 +127,32 @@ private[graft] object SketchOracles extends OracleFragments {
 
     // count-min doc-frequency estimates for the top-100 shingles — mirror of
     // Sketches.countMin (depth 4, width 256; salt 'r:' prepended before the md5)
+    // CMS-screened φ-heavy tokens: bucket totals over the raw token stream,
+    // min-row estimate per DISTINCT token, candidates at cms ≥ ⌈φN⌉ (one-sided
+    // error ⇒ no false negatives), exact verify on candidates only — mirror of
+    // Sketches.heavyHitters defaults (φ = 2%, depth 4, width 256)
+    "sk10_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk),
+         |bc AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 256 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS bucket_n
+         |  FROM (SELECT token, unnest(generate_series(0, 3)) AS r FROM tk) GROUP BY 1, 2),
+         |es AS (SELECT token, CAST(min(bucket_n) AS BIGINT) AS cms_n
+         |  FROM (SELECT d.token, rr.r,
+         |      ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || d.token), 1, 8))::BIGINT % 256 AS bucket
+         |    FROM (SELECT DISTINCT token FROM tk) d
+         |    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr) p
+         |  JOIN bc ON bc.r = p.r AND bc.bucket = p.bucket
+         |  GROUP BY token),
+         |cand AS (SELECT token, cms_n, n_total FROM es, tt
+         |  WHERE cms_n >= (20000 * n_total + 999999) // 1000000),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |ex AS (SELECT tk.token, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM tk JOIN (SELECT token FROM cand) c ON tk.token = c.token GROUP BY 1)
+         |SELECT ex.token, exact_n, cms_n, n_total, n_candidates
+         |FROM ex JOIN cand ON ex.token = cand.token, nc
+         |WHERE exact_n >= (20000 * n_total + 999999) // 1000000""".stripMargin,
+
     "sk02_countmin" ->
       s"""WITH $shinglesCte,
          |ex AS (SELECT shingle, count(*) AS exact_n FROM sh GROUP BY 1),

@@ -139,6 +139,66 @@ object Sketches {
       .select(col(itemCol), col("exact_n"), col("cms_n"), (col("cms_n") - col("exact_n")).as("overcount"))
   }
 
+  /** sk10 — HEAVY HITTERS with a CMS screen: every token holding ≥ φ of the
+    * corpus token mass, found without ever shuffling the long tail at full
+    * count precision. The screen is the d37 no-false-negative discipline in
+    * sketch form: CMS estimates only OVER-count (each row's bucket total ≥ the
+    * item's true count), so a true φ-heavy item can never fall below the
+    * threshold at the screen — candidates ⊇ hitters structurally, and only the
+    * candidate set (Zipf head, tiny) pays the exact verification join. The
+    * report carries `n_candidates` beside the confirmed hitters — the measured
+    * screen efficiency (candidates − hitters = the FP bill paid to avoid the
+    * tail).
+    *
+    * Thresholding is the exact integer comparison `count ≥ ⌈φ·N⌉` (one ceil
+    * division, no floats; overflow bound: φ_micro·N stays in BIGINT to ~10¹³
+    * tokens at φ = 2% — the g62/s33 convention).
+    *
+    * Scale shape: the bucket table aggregates the RAW token stream map-side
+    * (depth·width rows out — broadcastable); the distinct-token relation probes
+    * it broadcast; only candidates reach the exact count. The one vocab-sized
+    * shuffle is the distinct itself — the exact-count shuffle the screen
+    * avoids would carry the full stream's tail.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phiMicro: Long = 20000L,
+      depth: Int = 4,
+      width: Int = 256
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 1 && phiMicro >= 1,
+      s"heavyHitters: bad params depth=$depth width=$width phi=$phiMicro")
+    val toks = graft.pipeline.TextStats.tokens(docs, idCol, textCol)
+      .select(col("token"))
+      .localCheckpoint(true) // three consumers: total, bucket table, exact verify
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bucketCounts = toks
+      .select(col("token"), explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("token"), width))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val candidates = toks.distinct()
+      .select(col("token"), explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("token"), width))
+      .join(broadcast(bucketCounts), Seq("r", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("bucket_n")).as("cms_n"))
+      .crossJoin(broadcast(total))
+      .filter(col("cms_n") >= expr(s"($phiMicro * n_total + 999999) DIV 1000000"))
+      .localCheckpoint(true) // Zipf-head-sized; read by the verify join and the census
+    val nCand = candidates.agg(count(lit(1)).as("n_candidates"))
+    toks
+      .join(broadcast(candidates.select(col("token"))), Seq("token")) // tail never joins
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .join(candidates.select(col("token"), col("cms_n"), col("n_total")), Seq("token"))
+      .filter(col("exact_n") >= expr(s"($phiMicro * n_total + 999999) DIV 1000000"))
+      .crossJoin(broadcast(nCand))
+      .select(col("token"), col("exact_n"), col("cms_n"), col("n_total"), col("n_candidates"))
+  }
+
   /** Pairwise set-overlap estimates between keys via HLL register algebra — the
     * source-overlap matrix of corpus curation ("how much does crawl A duplicate
     * crawl B") WITHOUT ever joining item sets: HLL registers merge by max, unions

@@ -946,6 +946,28 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out("vid") == ((2L, 2L, 8L, 8L, 0L)), s"$out")
   }
 
+  test("sk10: the screen never loses a true hitter; tail FPs are verified away") {
+    import graft.pipeline.Sketches
+    // one true hitter (50 of 90 tokens) and a 40-token unique tail; width 2
+    // forces the tail into the hitter's buckets, so the screen admits FPs —
+    // which the exact pass must then reject
+    val docs = Seq(
+      (1L, Seq.fill(50)("hot").mkString(" ")),
+      (2L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sketches.heavyHitters(docs, "doc_id", "text",
+        phiMicro = 200000L, depth = 2, width = 2)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("n_candidates")))
+    // thr = ceil(0.2 * 90) = 18: only "hot" survives the exact verify
+    assert(out.map(_._1).toSeq == Seq("hot"), s"${out.toSeq}")
+    val hot = out.head
+    assert(hot._2 == 50L && hot._4 == 90L, s"$hot")
+    assert(hot._3 >= hot._2, "CMS must never under-count")
+    assert(hot._5 > 1L, s"width 2 must admit tail FPs for the verify to reject: $hot")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
