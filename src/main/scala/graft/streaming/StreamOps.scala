@@ -695,6 +695,29 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Streaming half of the sk10 heavy-hitter loop: the count-min BUCKET TOTALS
+    * as a plain streaming aggregation — a sketch is mergeable state, and
+    * mergeable state is exactly what Structured Streaming's built-in aggregate
+    * maintains, so there is ZERO custom state code (the `session_window`
+    * adopt-the-built-in discipline applied to sketches). State cardinality is
+    * depth·width rows FOREVER — corpus-unbounded by construction — and the
+    * Complete-mode output is the live bucket table a cadence snapshots and
+    * feeds to the sk10 candidate screen ([[graft.pipeline.Sketches]]); batch
+    * parity with the batch bucket census is pinned in StreamOpsSpec.
+    */
+  def streamingCmsBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 256
+  ): DataFrame =
+    graft.pipeline.TextStats.tokens(docs, idCol, textCol)
+      .select(col("token"), explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", graft.pipeline.Sketches.cmsBucket(col("r"), col("token"), width))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+
   /** Streaming twin of the d37 bloom-prefiltered EXACT probe: the bit set and
     * the index are materialized ONCE at stream setup (the corpus-sized pass a
     * standing cadence pays a single time — the [[streamingIncrementalDedup]]

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, count, explode, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.model._
@@ -954,6 +954,37 @@ class StreamOpsSpec extends SparkSpec {
       // the copies screen in and resolve; the novel arrival screens out
       assert(got(101L) == ((1, 1L, 1L)) && got(103L) == ((1, 2L, 1L)), got.toString)
       assert(got(102L) == ((0, -1L, 0L)), got.toString)
+    } finally query.stop()
+  }
+
+  test("streaming CMS buckets equal the batch census across micro-batch cuts") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingCmsBuckets(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", depth = 2, width = 8)
+      .writeStream.outputMode("complete").format("memory").queryName("cms_live")
+      .start()
+    try {
+      stream.addData((1L, "the quick brown fox the fox"), (2L, "lazy dog"))
+      query.processAllAvailable()
+      stream.addData((3L, "the dog barks at the fox"))
+      query.processAllAvailable()
+      val live = spark.table("cms_live").collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket"), r.getAs[Long]("bucket_n")))
+        .toSet
+      // the batch census over ALL arrivals — mergeable state means the cut
+      // placement cannot matter
+      val arrivals = Seq((1L, "the quick brown fox the fox"), (2L, "lazy dog"),
+        (3L, "the dog barks at the fox")).toDF("doc_id", "text")
+      val batch = graft.pipeline.TextStats.tokens(arrivals, "doc_id", "text")
+        .select(col("token"), explode(array(lit(0), lit(1))).as("r"))
+        .withColumn("bucket", graft.pipeline.Sketches.cmsBucket(col("r"), col("token"), 8))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("bucket_n"))
+        .collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket"), r.getAs[Long]("bucket_n")))
+        .toSet
+      assert(live.nonEmpty && live == batch, s"$live vs $batch")
     } finally query.stop()
   }
 
