@@ -15,6 +15,8 @@ private[graft] object TextOracles extends OracleFragments {
   val queries: Map[String, Q] = Map[String, Q](
     "t01_lang_id" -> ((s: SparkSession, dir: String) =>
       TextStats.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", Some("lang"))),
+    "t51_langid_eval" -> ((s: SparkSession, dir: String) =>
+      TextStats.langIdEval(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang")),
     "t02_quality_score" -> ((s: SparkSession, dir: String) =>
       TextStats.qualityScore(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     "t03_token_stats" -> ((s: SparkSession, dir: String) =>
@@ -231,19 +233,10 @@ private[graft] object TextOracles extends OracleFragments {
        |    AS agreement_micro
        |FROM c)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-
-    // char-class profile via class-strip length differences — mirror of
-    // TextStats.charClassProfile ('g' flag: DuckDB replaces first match by default)
-    "t19_char_classes" ->
-      s"""SELECT doc_id, length(text) AS n_chars,
-         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-         |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
-         |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-         |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
-         |FROM documents""".stripMargin,
-    "t01_lang_id" ->
+  /** t01's marker-word argmax chain - shared by the t01 mirror and the t51
+    * confusion-matrix eval (one SQL rendition of the classifier).
+    */
+  private lazy val langIdSql: String =
       s"""WITH scores AS (
          |  SELECT doc_id, lang,
          |    CAST(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" of ")} AS BIGINT) AS s_en,
@@ -262,7 +255,37 @@ private[graft] object TextOracles extends OracleFragments {
          |       CASE WHEN s_zh > b3s THEN 'zh' ELSE b3 END AS predicted_lang,
          |       lang,
          |       CAST(CASE WHEN s_zh > b3s THEN 'zh' ELSE b3 END = lang AS INTEGER) AS correct
-         |FROM f3""".stripMargin,
+         |FROM f3""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    // char-class profile via class-strip length differences — mirror of
+    // TextStats.charClassProfile ('g' flag: DuckDB replaces first match by default)
+    "t19_char_classes" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
+         |FROM documents""".stripMargin,
+    "t01_lang_id" -> langIdSql,
+    // t01's confusion matrix + the share-idiom class metrics off it — mirror
+    // of TextStats.langIdEval (t01's chain reused verbatim as the subquery)
+    "t51_langid_eval" ->
+      s"""WITH p AS ($langIdSql),
+         |cm AS (SELECT lang AS gold, predicted_lang AS pred,
+         |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |gt AS (SELECT gold, CAST(sum(n) AS BIGINT) AS n_gold FROM cm GROUP BY 1),
+         |pt AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM cm)
+         |SELECT gold, pred, n, n_gold, n_pred,
+         |  CAST((2 * 1000000 * n + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro,
+         |  CAST((2 * 1000000 * n + n_pred) // (2 * n_pred) AS BIGINT) AS precision_micro,
+         |  CAST((2 * 1000000 * n_correct + n_total) // (2 * n_total) AS BIGINT) AS accuracy_micro
+         |FROM cm JOIN gt USING (gold) JOIN pt USING (pred), tot""".stripMargin,
     "t02_quality_score" ->
       s"""SELECT doc_id, n_tokens, stop_hits,
          |  round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)

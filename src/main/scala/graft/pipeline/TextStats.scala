@@ -114,6 +114,42 @@ object TextStats {
     }
   }
 
+  /** t51 — LANGUAGE-ID EVALUATION card: the confusion matrix of [[langId]]'s
+    * marker-word classifier against the corpus' gold language labels, with the
+    * class metrics read off it — per (gold, predicted) cell: the count, the
+    * gold-row and predicted-column totals, recall and precision (the half-up
+    * share idiom — on the diagonal these ARE the class recall/precision), and
+    * overall accuracy as the constant audit column. This is the eval loop the
+    * t42 gate-swap decision needs before trusting t01 as a gate: WHERE the
+    * heuristic fails (which gold class bleeds into which prediction), not just
+    * how often.
+    *
+    * Scale shape: one classified corpus pass → a |langs|²-cell hash aggregate;
+    * row/column totals and the accuracy row are folds over that catalog —
+    * nothing after the first aggregate sees the corpus.
+    */
+  def langIdEval(df: DataFrame, idCol: String, textCol: String, truthCol: String): DataFrame = {
+    val cm = langId(df, idCol, textCol, Some(truthCol))
+      .groupBy(col(truthCol).as("gold"), col("predicted_lang").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // |langs|² rows; feeds 3 folds + the report join
+    val goldTotals = cm.groupBy(col("gold")).agg(sum(col("n")).as("n_gold"))
+    val predTotals = cm.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+    val totals = cm.agg(
+      sum(col("n")).as("n_total"),
+      sum(when(col("gold") === col("pred"), col("n")).otherwise(lit(0L))).as("n_correct"))
+    cm
+      .join(broadcast(goldTotals), Seq("gold"))
+      .join(broadcast(predTotals), Seq("pred"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("gold"), col("pred"), col("n"), col("n_gold"), col("n_pred"),
+        expr("(2 * 1000000 * n + n_gold) DIV (2 * n_gold)").cast("long").as("recall_micro"),
+        expr("(2 * 1000000 * n + n_pred) DIV (2 * n_pred)").cast("long").as("precision_micro"),
+        expr("(2 * 1000000 * n_correct + n_total) DIV (2 * n_total)").cast("long")
+          .as("accuracy_micro"))
+  }
+
   /** C4-style quality FILTER: each heuristic sets a bit in `reasons`; `kept` = no bits.
     * Bit 0: too few tokens (< minTokens). Bit 1: stopword hits below minStopHits
     * (non-language-like). Bit 2: mean token length > maxMeanTokenLen (gibberish /

@@ -968,6 +968,24 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(hot._5 > 1L, s"width 2 must admit tail FPs for the verify to reject: $hot")
   }
 
+  test("t51: the confusion card reads hand-computed class metrics off a planted mislabel") {
+    val docs = Seq(
+      (1L, "x the y and z of w", "en"),  // correctly English
+      (2L, "x der y und z das w", "de"), // correctly German
+      (3L, "x the y and z of w", "de"))  // German-labeled English text → (de, en) cell
+      .toDF("doc_id", "text", "lang")
+    val out = graft.pipeline.TextStats.langIdEval(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getAs[String]("gold"), r.getAs[String]("pred")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("recall_micro"),
+          r.getAs[Long]("precision_micro"), r.getAs[Long]("accuracy_micro"))))
+      .toMap
+    assert(out.keySet == Set(("en", "en"), ("de", "de"), ("de", "en")), s"$out")
+    assert(out(("en", "en")) == ((1L, 1000000L, 500000L, 666667L)), s"$out")
+    assert(out(("de", "de")) == ((1L, 500000L, 1000000L, 666667L)), s"$out")
+    assert(out(("de", "en")) == ((1L, 500000L, 500000L, 666667L)), s"$out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
