@@ -3094,4 +3094,74 @@ object GraphQueries {
         sum(col("state").cast("long")).as("sum_state")
       )
   }
+
+  /** g67 — the GRAPH DATASHEET: one row of structural vitals for the live
+    * snapshot — the dc21 release-card discipline applied to the graph side.
+    * Size (vertices, directed and undirected edge counts), reciprocity (the
+    * mutual-follow share — THE flockdb-shaped health number), degree posture
+    * (max, half-up mean), connectivity (exact component count + giant share,
+    * the g29 kernel), and closure (triangles, wedges from the degree fold
+    * Σd(d−1)/2, transitivity = 3△/wedges). Every number is either an exact
+    * integer or one half-up micro ratio of exact integers.
+    *
+    * Scale shape: composes the bounded kernels it reports on — one snapshot
+    * pass for degrees/reciprocity (self-joins on edge keys), the g29
+    * size-dispatched component loop, the oriented g21 triangle join; every
+    * rollup is a 1-row aggregate crossJoined broadcast, the card itself is one
+    * row. Honest composite cost, like dc21.
+    */
+  def graphCard(spark: SparkSession, dir: String, maxCcRounds: Int = 50): DataFrame = {
+    val de = TestGraph.store(spark, dir).snapshot
+      .filter(col("graph_id") === 1 && col("state") === State.Normal &&
+        col("source_id") =!= col("destination_id"))
+      .select(col("source_id").as("s"), col("destination_id").as("d"))
+      .distinct()
+    graphCardOf(de, connectedComponents(spark, dir, maxCcRounds))
+  }
+
+  /** The rollup half of [[graphCard]] over an explicit directed-edge relation and
+    * a component labeling — separated so the unit suite pins the card arithmetic
+    * on a hand-computed graph (the component kernel has its own suites).
+    */
+  private[graft] def graphCardOf(deIn: DataFrame, components: DataFrame): DataFrame = {
+    val de = deIn.localCheckpoint(true) // edge counts, reciprocity probe, und derivation
+    val und = de.select(least(col("s"), col("d")).as("lo"), greatest(col("s"), col("d")).as("hi"))
+      .distinct()
+      .localCheckpoint(true) // degrees, triangle join, und count
+    val degStats = und.select(col("lo").as("v"))
+      .unionByName(und.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .agg(
+        count(lit(1)).as("n_vertices"),
+        max(col("dg")).as("max_degree"),
+        sum(col("dg")).as("sum_d"),
+        sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+    val eDir = de.agg(count(lit(1)).as("n_edges_directed"))
+    val eUnd = und.agg(count(lit(1)).as("n_edges_und"))
+    val recip = de.alias("a")
+      .join(de.alias("b"), col("a.s") === col("b.d") && col("a.d") === col("b.s"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val comps = components
+      .groupBy(col("component")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_components"), max(col("cnt")).as("giant"))
+    val tris = triangleCountsOf(und)
+      .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3")) // Σ per-vertex = 3·△
+    degStats
+      .crossJoin(eDir).crossJoin(eUnd).crossJoin(recip).crossJoin(comps).crossJoin(tris)
+      .select(
+        col("n_vertices"), col("n_edges_directed"), col("n_edges_und"),
+        expr("(2 * 1000000 * n_recip + n_edges_directed) DIV (2 * n_edges_directed)")
+          .cast("long").as("reciprocity_micro"),
+        col("max_degree"),
+        expr("(2 * 1000000 * sum_d + n_vertices) DIV (2 * n_vertices)").cast("long")
+          .as("avg_degree_micro"),
+        col("n_components"),
+        expr("(2 * 1000000 * giant + n_vertices) DIV (2 * n_vertices)").cast("long")
+          .as("giant_share_micro"),
+        expr("tri3 DIV 3").cast("long").as("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0L, lit(0L))
+          .otherwise(expr("(2 * 1000000 * tri3 + n_wedges) DIV (2 * n_wedges)").cast("long"))
+          .as("transitivity_micro"))
+  }
 }

@@ -47,6 +47,8 @@ private[graft] object GraphOracles extends OracleFragments {
     "g28_clustering_coeff"  -> (GraphQueries.clusteringCoefficient _),
     "g29_connected_components" -> ((s: SparkSession, dir: String) =>
       GraphQueries.connectedComponents(s, dir)),
+    "g67_graph_card" -> ((s: SparkSession, dir: String) =>
+      GraphQueries.graphCard(s, dir)),
     "g30_assortativity"     -> (GraphQueries.assortativity _),
     "g31_adamic_adar"       -> (GraphQueries.adamicAdar _),
     "g32_personalized_pagerank" -> (GraphQueries.personalizedPageRank _),
@@ -1568,6 +1570,54 @@ private[graft] object GraphOracles extends OracleFragments {
     // connected components to fixpoint — the oracle computes TRUE reachability with a
     // recursive CTE (component = min reachable id), so a hash match proves the Spark
     // fixpoint loop converged, not merely that both ran the same number of rounds
+    // one-row structural datasheet: sizes, reciprocity, degree posture, the
+    // exact recursive component census, triangles + degree-fold wedges —
+    // mirror of GraphQueries.graphCard (graph 1, Normal, no self-loops)
+    "g67_graph_card" ->
+      s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |de AS (SELECT DISTINCT source_id AS s, destination_id AS d FROM edges
+         |       WHERE graph_id = 1 AND state = 0 AND source_id <> destination_id),
+         |und AS (SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi FROM de),
+         |deg AS (SELECT v, COUNT(*) AS dg FROM (
+         |          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+         |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |         CAST(MAX(dg) AS BIGINT) AS max_degree,
+         |         CAST(SUM(dg) AS BIGINT) AS sum_d,
+         |         CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_directed FROM de),
+         |eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_und FROM und),
+         |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM de a
+         |       WHERE EXISTS (SELECT 1 FROM de b WHERE b.s = a.d AND b.d = a.s)),
+         |adj AS (SELECT lo AS a, hi AS b FROM und UNION SELECT hi, lo FROM und),
+         |verts AS (SELECT DISTINCT a AS v FROM adj),
+         |reach AS (SELECT v, v AS r FROM verts
+         |          UNION
+         |          SELECT adj.b AS v, reach.r FROM reach JOIN adj ON adj.a = reach.v),
+         |comp AS (SELECT v, MIN(r) AS c FROM reach GROUP BY v),
+         |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+         |         CAST(MAX(cnt) AS BIGINT) AS giant
+         |       FROM (SELECT c, COUNT(*) AS cnt FROM comp GROUP BY c)),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e2.lo = e1.hi
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |ts AS (SELECT CAST(3 * COUNT(*) AS BIGINT) AS tri3 FROM tri)
+         |SELECT n_vertices, n_edges_directed, n_edges_und,
+         |  CAST((2 * 1000000 * n_recip + n_edges_directed) // (2 * n_edges_directed)
+         |    AS BIGINT) AS reciprocity_micro,
+         |  max_degree,
+         |  CAST((2 * 1000000 * sum_d + n_vertices) // (2 * n_vertices) AS BIGINT)
+         |    AS avg_degree_micro,
+         |  n_components,
+         |  CAST((2 * 1000000 * giant + n_vertices) // (2 * n_vertices) AS BIGINT)
+         |    AS giant_share_micro,
+         |  CAST(tri3 // 3 AS BIGINT) AS n_triangles,
+         |  n_wedges,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE (2 * 1000000 * tri3 + n_wedges) // (2 * n_wedges) END AS BIGINT)
+         |    AS transitivity_micro
+         |FROM ds, ec, eu, rc, cs, ts""".stripMargin,
+
     "g29_connected_components" ->
       s"""${snap.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |und AS (SELECT DISTINCT LEAST(source_id, destination_id) AS lo,

@@ -986,6 +986,24 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(out(("de", "en")) == ((1L, 500000L, 500000L, 666667L)), s"$out")
   }
 
+  test("g67: the datasheet arithmetic matches a fully hand-computed graph") {
+    // triangle 1-2-3 (one mutual pair 1<->2), pendant 4, separate pair 5-6
+    val de = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L))
+      .toDF("s", "d")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("vertex_id", "component")
+    val r = GraphQueries.graphCardOf(de, comps).collect().head
+    val got = (r.getAs[Long]("n_vertices"), r.getAs[Long]("n_edges_directed"),
+      r.getAs[Long]("n_edges_und"), r.getAs[Long]("reciprocity_micro"),
+      r.getAs[Long]("max_degree"), r.getAs[Long]("avg_degree_micro"),
+      r.getAs[Long]("n_components"), r.getAs[Long]("giant_share_micro"),
+      r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("transitivity_micro"))
+    // recip 2/6, avg 10/6, giant 4/6, transitivity 3·1/5
+    assert(got == ((6L, 6L, 5L, 333333L, 3L, 1666667L, 2L, 666667L, 1L, 5L, 600000L)),
+      s"$got")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
