@@ -1188,6 +1188,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("heavy hitters (sk10): no window anywhere; the verify join broadcasts the candidate head") {
+    val p = plan(pipeline.Sketches.heavyHitters(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    // the whole op is aggregates + joins: the screen is a broadcast probe, the
+    // exact verify builds the (checkpointed, Zipf-head-sized) candidates side
+    // broadcast — the token tail never enters a join or a window
+    assert(!p.contains("Window"), s"no window may appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the verify join must broadcast:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the token stream is checkpointed — no re-scan past it:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to sort-merge:\n$p")
+  }
+
+  test("centroid drift (s39): codebook stamps broadcast; the only window is the per-vector argmax") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = pipeline.Similarity.kmeansRounds(
+      e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+    val p = plan(pipeline.Similarity.centroidDrift(e, "vec_id", "embedding", model, dims = 64))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the codebook must broadcast onto the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join may survive:\n$p")
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 1, s"exactly the per-vector argmax window expected, got $windows:\n$p")
+    // the crank = 1 filter must engage the rank-limit pushdown (partial top-1
+    // per map task before the per-vector shuffle)
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown expected:\n$p")
+  }
+
   test("bloom probe (d37): the index join sees only the positives filter; one parquet scan total") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(pipeline.Dedup.bloomPrefilteredExactProbe(

@@ -636,4 +636,71 @@ class RoundFifteenPropertySpec extends SparkSpec {
       (got == ((mean, best, bestH))) :| s"counts=$counts got=$got want=(${mean}, $best, $bestH)"
     }, cases = 8)
   }
+
+  test("m10: the windowed scene labeling equals the sequential walk on random hash tracks") {
+    val genTracks = for {
+      nAssets <- Gen.choose(1, 4)
+      tracks <- Gen.listOfN(nAssets, for {
+        nFrames <- Gen.choose(1, 12)
+        // base-walk hashes: mostly repeats with occasional jumps
+        hs <- Gen.listOfN(nFrames, Gen.frequency(
+          (3, Gen.const(-1L)), (1, Gen.choose(0L, 1L << 40))))
+      } yield hs)
+    } yield tracks.zipWithIndex.map { case (hs, a) =>
+      // -1 sentinel = "repeat previous hash" (scan-carry), seeded at 7
+      val resolved = hs.scanLeft(7L)((p, h) => if (h == -1L) p else h).tail
+      (a.toLong, resolved)
+    }
+    check("m10-mirror", Prop.forAll(genTracks) { tracks =>
+      val rows = tracks.flatMap { case (a, hs) =>
+        hs.zipWithIndex.map { case (h, i) => (a, i * 2, i * 128L, h) } }
+      val want = tracks.flatMap { case (a, hs) =>
+        var scene = 0L
+        hs.zipWithIndex.map { case (h, i) =>
+          val prev = if (i == 0) None else Some(hs(i - 1))
+          val ham = prev.map(p => java.lang.Long.bitCount(p ^ h)).getOrElse(-1)
+          val cut = if (prev.isEmpty || ham >= 8) 1 else 0
+          scene += cut
+          (a, i * 2, ham, cut, scene)
+        }
+      }.toSet
+      val got = graft.pipeline.Multimodal.sceneCutsOf(
+          rows.toDF("asset_id", "frame_index", "frame_offset", "phash"), cutHamming = 8)
+        .collect()
+        .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_index"),
+          r.getAs[Int]("hamming_prev"), r.getAs[Int]("is_cut"), r.getAs[Long]("scene_no")))
+        .toSet
+      (got == want) :| s"got=$got want=$want"
+    }, cases = 6)
+  }
+
+  test("dc27: the bucket plan equals the sequential ledger on random corpora") {
+    val word = Gen.choose(100, 999).map(n => s"w$n")
+    val doc = Gen.choose(1, 600).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val genDocs = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check("dc27-mirror", Prop.forAll(genDocs) { docs =>
+      val widths = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+      val trunc = docs.map { case (_, t) => math.min(t.count(_ == ' ') + 1L, 512L) }
+      val byBucket = trunc.groupBy(n => widths.find(n <= _).get)
+      val allDocs = trunc.size.toLong
+      val allReal = trunc.sum
+      val naive = math.floor(1e6 * (allDocs * 512L - allReal).toDouble
+        / (allDocs * 512L).toDouble + 0.5).toLong
+      val want = byBucket.map { case (b, ns) =>
+        val nd = ns.size.toLong
+        val real = ns.sum
+        (b, nd, (nd + 31L) / 32L, real, nd * b,
+          math.floor(1e6 * (nd * b - real).toDouble / (nd * b).toDouble + 0.5).toLong, naive)
+      }.toSet
+      val got = graft.pipeline.Sampling.lengthBucketPlan(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("tokens_real"), r.getAs[Long]("tokens_padded"),
+          r.getAs[Long]("waste_micro"), r.getAs[Long]("naive_waste_micro")))
+        .toSet
+      (got == want) :| s"got=$got want=$want"
+    }, cases = 8)
+  }
 }
