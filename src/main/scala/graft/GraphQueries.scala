@@ -3108,7 +3108,10 @@ object GraphQueries {
     * pass for degrees/reciprocity (self-joins on edge keys), the g29
     * size-dispatched component loop, the oriented g21 triangle join; every
     * rollup is a 1-row aggregate crossJoined broadcast, the card itself is one
-    * row. Honest composite cost, like dc21.
+    * row. Honest composite cost, like dc21. Overflow: the wedge fold
+    * Σ d(d−1)/2 stays in BIGINT while max-degree² · |V| ≲ 9·10¹⁸ (a 10⁸-degree
+    * hub is safe in a 10³-hub graph; beyond that move the fold to decimal —
+    * the g62/s33 documented-bound convention).
     */
   def graphCard(spark: SparkSession, dir: String, maxCcRounds: Int = 50): DataFrame = {
     val de = TestGraph.store(spark, dir).snapshot
@@ -3147,7 +3150,8 @@ object GraphQueries {
     val tris = triangleCountsOf(und)
       .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3")) // Σ per-vertex = 3·△
     degStats
-      .crossJoin(eDir).crossJoin(eUnd).crossJoin(recip).crossJoin(comps).crossJoin(tris)
+      .crossJoin(broadcast(eDir)).crossJoin(broadcast(eUnd)).crossJoin(broadcast(recip))
+      .crossJoin(broadcast(comps)).crossJoin(broadcast(tris))
       .select(
         col("n_vertices"), col("n_edges_directed"), col("n_edges_und"),
         expr("(2 * 1000000 * n_recip + n_edges_directed) DIV (2 * n_edges_directed)")

@@ -1868,8 +1868,8 @@ object Dedup {
         .agg(count(lit(1)).as("n_fp"))
       val counts = novel.agg(count(lit(1)).as("n_novel"))
       bits.agg(count(lit(1)).as("n_set"))
-        .crossJoin(counts)
-        .crossJoin(fp)
+        .crossJoin(broadcast(counts))
+        .crossJoin(broadcast(fp))
         .select(
           lit(m.toLong).as("m_bits"),
           col("n_set"),
