@@ -280,6 +280,12 @@ private[graft] object SimilarityOracles extends OracleFragments {
         Similarity.centroidDrift(e, "vec_id", "embedding", model, dims = 64)
       } finally deleteRecursively(scratch)
     }),
+    // every persisted-index family priced against ONE exact truth on the
+    // standard service query set — the serving-tier decision table
+    "s40_serving_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.servingRecallCard(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        k = 5, trainRounds = IvfPqTrainRounds, int8Overfetch = Int8Overfetch)),
     "s17_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Retrieval.hybridTopK(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -1064,6 +1070,37 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // reproduce the in-session result to the hash
     "s23_ivf_pq_trained" -> ivfPqTrainedSql,
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+    // one exact truth, every arm joined to it; the s23 and s35 chains ride as
+    // subqueries (one SQL rendition each), pooled recall in the share idiom —
+    // mirror of Similarity.servingRecallCard
+    "s40_serving_recall" -> {
+      def row(m: String, hits: String) =
+        s"""SELECT '$m' AS method, n_queries, $hits.n_hits,
+           |  CAST((2 * 1000000 * $hits.n_hits + n_queries * 5) // (2 * n_queries * 5)
+           |    AS BIGINT) AS recall_micro FROM $hits, nq""".stripMargin
+      s"""WITH tr0 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q0.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q0.query_id
+         |        ORDER BY ${cosSql("q0.qv", "c.v")} DESC, c.vec_id) AS rk
+         |    FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |          FROM embeddings WHERE vec_id % 50 = 0) q0
+         |    CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+         |    WHERE c.vec_id <> q0.query_id)
+         |  WHERE rk <= 5),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |iv AS (SELECT query_id, neighbor_id FROM ($ivfPqTrainedSql) ivq),
+         |i8 AS (SELECT query_id, neighbor_id FROM ($int8SearchSql) i8q),
+         |hx AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM tr0),
+         |hi AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM iv JOIN tr0 USING (query_id, neighbor_id)),
+         |h8 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM i8 JOIN tr0 USING (query_id, neighbor_id))
+         |${row("exact", "hx")}
+         |UNION ALL ${row("ivf_pq_trained", "hi")}
+         |UNION ALL ${row("int8", "h8")}""".stripMargin
+    },
+
     // frozen codebook (trained split) vs current cell means over the full
     // corpus; dead/degenerate cells report maximal drift — mirror of
     // Similarity.centroidDrift(dims = 64, driftMax 1000µ)

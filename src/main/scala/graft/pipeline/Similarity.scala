@@ -2127,6 +2127,55 @@ object Similarity {
       .withColumn("stale", (col("drift_micro") >= driftMaxMicro).cast("int"))
   }
 
+  /** s40 — the SERVING RECALL CARD: every approximate index family priced
+    * against the ONE exact truth on the standard service query set — the table
+    * a serving owner reads to pick the index tier (the g67/dc21/t51 card
+    * discipline applied to ANN serving). Per method: query count, hits against
+    * the brute-force top-k, and pooled recall@k in half-up micro. Methods here
+    * are the two persisted-artifact families (trained IVF-PQ at the s23
+    * configuration, int8 scalar quantization at the s35 one); the exact arm
+    * rides along at recall 1.0 as the calibration row.
+    *
+    * Scale shape: ONE truth computation (broadcast-queries brute force,
+    * checkpointed) shared by every arm; each arm is its own bounded search
+    * kernel; the card folds to |methods| rows. Honest composite cost — it runs
+    * the searches it prices, like dc21 runs its gates.
+    */
+  def servingRecallCard(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      queryMod: Int = 50,
+      kCells: Int = 8,
+      trainRounds: Int = 2,
+      int8Overfetch: Int = 4
+  ): DataFrame = {
+    val queries = corpus.filter(col(idCol) % queryMod === 0)
+    val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // one truth, every arm joins it
+    // the query census rides as a broadcast 1-row relation — no eager count on
+    // a derived relation (the s31 census lesson)
+    val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+    def arm(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQueries))
+        .select(
+          lit(method).as("method"),
+          col("n_queries"),
+          col("n_hits"),
+          expr(s"(2 * 1000000 * n_hits + n_queries * $k) DIV (2 * n_queries * $k)")
+            .cast("long").as("recall_micro"))
+    arm("exact", truth)
+      .unionByName(arm("ivf_pq_trained",
+        ivfPqTrainedTopK(queries, corpus, idCol, vecCol, k, kCells, trainRounds)))
+      .unionByName(arm("int8",
+        int8TopK(queries, corpus, idCol, vecCol, k, overfetch = int8Overfetch)))
+  }
+
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
     * when the new mass is SKEWED onto a hot cell (`maxShareMicro · k ≥
     * hotFactorMicro` — a cell drawing ≥ hotFactor× its uniform 1/k share) or when

@@ -1004,6 +1004,21 @@ class RoundFifteenOpsSpec extends SparkSpec {
       s"$got")
   }
 
+  test("s40: the exact arm calibrates at 1.0; every arm's hits stay within the pool") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.servingRecallCard(e, "vec_id", "embedding",
+        k = 5, trainRounds = 2, int8Overfetch = 4)
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"), r.getAs[Long]("recall_micro"))))
+      .toMap
+    assert(out.keySet == Set("exact", "ivf_pq_trained", "int8"), s"$out")
+    val nq = out("exact")._1
+    assert(out("exact") == ((nq, nq * 5, 1000000L)), s"the calibration row must read 1.0: $out")
+    assert(out.values.forall { case (q, h, r) => h <= q * 5 && r <= 1000000L && r >= 0L },
+      s"hits/recall out of range: $out")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
