@@ -447,6 +447,11 @@ private[graft] trait OracleParams {
     */
   private[graft] val ProbeCurveLevels: Seq[Int] = Seq(1, 2, 4)
 
+  /** s41's pinned pooled-recall target: the smallest probe level meeting it
+    * wins (largest as fallback), shared by the kernel and the gated mirror.
+    */
+  private[graft] val TunedProbeTargetMicro = 400000L
+
   /** s37's pinned matryoshka prefix widths — the truncation levels the s11
     * coarse stage is priced at, shared by registration and oracle.
     */
@@ -653,7 +658,13 @@ private[graft] trait OracleFragments extends OracleParams {
     * same pre-filter placement as the Spark kernel's semi-join, so the index
     * CTEs (trained cells, codes, LUT) stay built on the full corpus.
     */
-  protected def ivfPqTrainedSqlWith(allowedSql: Option[String]): String = {
+  protected def ivfPqTrainedSqlWith(allowedSql: Option[String]): String =
+    ivfPqTrainedSqlAt(2, allowedSql)
+
+  /** [[ivfPqTrainedSqlWith]] further parameterized by the probe level — s41's
+    * gated arms replay the SAME chain at each candidate nProbe.
+    */
+  protected def ivfPqTrainedSqlAt(nProbe: Int, allowedSql: Option[String]): String = {
     val cellFilter = allowedSql.map(sub => s" AND rid IN ($sub)").getOrElse("")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |${kmeansCtes("base", 8, IvfPqTrainRounds)},
@@ -670,7 +681,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |  SELECT rid AS query_id, cid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
          |    FROM scored_cells WHERE rid % 50 = 0)
-         |  WHERE crank <= 2),
+         |  WHERE crank <= $nProbe),
          |cp AS (SELECT query_id, neighbor_id FROM probes JOIN cells USING (cid)
          |       WHERE query_id <> neighbor_id),
          |sub AS (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv

@@ -280,6 +280,15 @@ private[graft] object SimilarityOracles extends OracleFragments {
         Similarity.centroidDrift(e, "vec_id", "embedding", model, dims = 64)
       } finally deleteRecursively(scratch)
     }),
+    // the s32 curve pooled per level, smallest level meeting the target chosen,
+    // one search at the winning nProbe — the d26 loop on the serving dial
+    "s41_tuned_probe" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.tunedProbeSearch(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, probeLevels = ProbeCurveLevels,
+        targetRecallMicro = TunedProbeTargetMicro,
+        kCells = 8, trainRounds = IvfPqTrainRounds)
+    }),
     // every persisted-index family priced against ONE exact truth on the
     // standard service query set — the serving-tier decision table
     "s40_serving_recall" -> ((s: SparkSession, dir: String) =>
@@ -1070,6 +1079,28 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // reproduce the in-session result to the hash
     "s23_ivf_pq_trained" -> ivfPqTrainedSql,
     "s24_ivf_pq_saved" -> ivfPqTrainedSql,
+    // the curve pooled per level back to exact hit counts, smallest-sufficient
+    // pick, and |levels| gated arms each replaying the trained chain at its
+    // nProbe — only the chosen arm emits, so a drifted pick fails the hash —
+    // mirror of Similarity.tunedProbeSearch
+    "s41_tuned_probe" -> {
+      val arms = ProbeCurveLevels.map { l =>
+        s"""SELECT arm$l.*, CAST($l AS INTEGER) AS n_probe
+           |FROM (${ivfPqTrainedSqlAt(l, None)}) arm$l
+           |WHERE (SELECT chosen FROM pk) = $l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cq AS (SELECT n_probe,
+         |    CAST(floor(recall_at_k * 5 + 0.5) AS BIGINT) AS h
+         |  FROM ($ivfProbeCurveSql) c0),
+         |p AS (SELECT n_probe, CAST(SUM(h) AS BIGINT) AS hits,
+         |    CAST(COUNT(*) AS BIGINT) AS nq FROM cq GROUP BY 1),
+         |pk AS (SELECT COALESCE(
+         |    MIN(CASE WHEN (2 * 1000000 * hits + nq * 5) // (2 * nq * 5)
+         |             >= $TunedProbeTargetMicro THEN n_probe END),
+         |    MAX(n_probe)) AS chosen FROM p)
+         |$arms""".stripMargin
+    },
+
     // one exact truth, every arm joined to it; the s23 and s35 chains ride as
     // subqueries (one SQL rendition each), pooled recall in the share idiom —
     // mirror of Similarity.servingRecallCard

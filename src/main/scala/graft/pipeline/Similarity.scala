@@ -1893,6 +1893,50 @@ object Similarity {
           .as("recall_at_k"))
   }
 
+  /** s41 — TUNED-PROBE search: the d26→d28 measure-then-actuate loop applied
+    * to the serving dial. The s32 probe-recall curve is computed ONCE (shared
+    * quantizer/codes/LUT, level fan-out on the bounded pair relation), pooled
+    * per level in exact integers (per-query recalls fold back to hit counts —
+    * round-6 recall·k re-quantizes exactly for k ≪ 10³), and the SMALLEST
+    * probe level meeting `targetRecallMicro` is chosen (largest as fallback —
+    * the d39 decision rule: the candidate bill scales with nProbe, so
+    * smallest-sufficient). Then ONE search runs at the winning level; every
+    * output row carries `n_probe` so the oracle's gated-UNION mirror fails the
+    * hash if the pick ever drifts. The pick itself is a |levels|-row driver
+    * decision (the d26/retrainTrigger bounded-collect discipline).
+    */
+  def tunedProbeSearch(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      probeLevels: Seq[Int] = Seq(1, 2, 4),
+      targetRecallMicro: Long = 400000L,
+      kCells: Int = 8,
+      trainRounds: Int = 2
+  ): DataFrame = {
+    require(probeLevels.nonEmpty, "tunedProbeSearch: no probe levels")
+    val curve = ivfProbeRecallCurve(queries, candidates, idCol, vecCol, k,
+      probeLevels, kCells, trainRounds)
+    val pooled = curve
+      .select(col("n_probe"),
+        floor(col("recall_at_k") * k + lit(0.5)).cast("long").as("h"))
+      .groupBy(col("n_probe"))
+      .agg(sum(col("h")).as("hits"), count(lit(1)).as("nq"))
+      .select(col("n_probe"),
+        expr(s"(2 * 1000000 * hits + nq * $k) DIV (2 * nq * $k)").cast("long")
+          .as("pooled_micro"))
+      .collect() // |levels| rows — bounded by the dial grid, never the data
+    val qualifying = pooled.filter(_.getAs[Long]("pooled_micro") >= targetRecallMicro)
+      .map(_.getAs[Int]("n_probe"))
+    val chosen =
+      if (qualifying.nonEmpty) qualifying.min else pooled.map(_.getAs[Int]("n_probe")).max
+    ivfPqTrainedTopK(queries, candidates, idCol, vecCol, k, kCells, trainRounds,
+        nProbe = chosen)
+      .withColumn("n_probe", lit(chosen))
+  }
+
   /** s33 — IVF INDEX-HEALTH census: every vector assigned to its nearest
     * trained cell (the serving path's own cells relation), then per cell the
     * membership count and corpus share, plus the published imbalance factor

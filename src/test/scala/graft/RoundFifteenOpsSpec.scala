@@ -1019,6 +1019,28 @@ class RoundFifteenOpsSpec extends SparkSpec {
       s"hits/recall out of range: $out")
   }
 
+  test("s41: the dial picks smallest-sufficient, falls back to largest, and actuates exactly") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def rows(target: Long) =
+      Similarity.tunedProbeSearch(q, e, "vec_id", "embedding", k = 5,
+        probeLevels = Seq(1, 2, 4), targetRecallMicro = target,
+        kCells = 8, trainRounds = 2)
+    // target 0: every level qualifies → the SMALLEST wins
+    val loose = rows(0L)
+    assert(loose.select(col("n_probe")).distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // unreachable target: none qualifies → the LARGEST is the fallback
+    val strict = rows(1000001L)
+    assert(strict.select(col("n_probe")).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+    // actuation identity: the chosen arm IS the trained search at that nProbe
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = keyed(Similarity.ivfPqTrainedTopK(q, e, "vec_id", "embedding",
+      k = 5, kCells = 8, trainRounds = 2, nProbe = 4))
+    assert(keyed(strict) == direct, "the actuated search must equal the direct one")
+  }
+
   test("s31: a census without n_members fails loudly") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = Seq(1L).toDF("n_rows")
