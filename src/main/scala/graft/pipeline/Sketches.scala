@@ -193,7 +193,7 @@ object Sketches {
       .join(broadcast(candidates.select(col("token"))), Seq("token")) // tail never joins
       .groupBy(col("token"))
       .agg(count(lit(1)).as("exact_n"))
-      .join(candidates.select(col("token"), col("cms_n"), col("n_total")), Seq("token"))
+      .join(broadcast(candidates.select(col("token"), col("cms_n"), col("n_total"))), Seq("token"))
       .filter(col("exact_n") >= expr(s"($phiMicro * n_total + 999999) DIV 1000000"))
       .crossJoin(broadcast(nCand))
       .select(col("token"), col("exact_n"), col("cms_n"), col("n_total"), col("n_candidates"))
