@@ -485,8 +485,26 @@ object Bench {
     // BENCH_SEED.json refresh recipe — run once on an idle box after adding
     // heavy queries; see benchHistory)
     sys.env.get("SPARK_GRAFT_SEED_OUT").foreach { path =>
+      // MIN-MERGE with an existing seed: a refresh on a contended box must
+      // never regress a floor a pristine run already established (floors only
+      // ratchet down; a query absent from the old seed enters at this run's
+      // cost and heals on later refreshes)
+      val prior: Map[String, Double] = {
+        val f = new java.io.File(path)
+        if (!f.exists()) Map.empty
+        else {
+          val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
+          """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (k, _) => okNames.contains(k) }
+            .toMap
+        }
+      }
       val qs = okNames.toSeq.sorted
-        .map(k => "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, secByName(k)))
+        .map { k =>
+          val v = math.min(secByName(k), prior.getOrElse(k, Double.MaxValue))
+          "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        }
         .mkString("{", ",", "}")
       val seed = s"""{"metric":"seed","note":"idle-run per-query seconds (cal ${"%.3f".formatLocal(java.util.Locale.ROOT, cal)} / cal_max ${"%.3f".formatLocal(java.util.Locale.ROOT, calMax)}) committed as history floor for outlier adjudication","queries":$qs}"""
       val w = new java.io.FileWriter(path)
