@@ -1340,7 +1340,11 @@ object AnalyticsQueries {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu").asc)
     val stats = events
       .select(col("user_id"), col("tsu"))
-      .withColumn("gs", ((col("tsu") - lag(col("tsu"), 1).over(byUser)) / 1000000L).cast("long"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(byUser))
+      // DIV, not double `/`+cast: exact integer semantics independent of
+      // magnitude (the repo's integer-division discipline — `/` matches the
+      // oracle's `//` only while quotients sit well inside double precision)
+      .withColumn("gs", expr("gap_us DIV 1000000"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -1436,8 +1440,11 @@ object AnalyticsQueries {
       .withColumn("mean_micro",
         expr("(2 * 1000000 * total_events + n_hours) DIV (2 * n_hours)").cast("long"))
       .withColumn("dev",
+        // DIV, not double `/`+cast: exact slack independent of magnitude (the
+        // integer-division discipline; mean_micro is non-negative so floor =
+        // truncation here, matching the oracle's `//` at every scale)
         lit(1000000L) * col("o") - col("mean_micro")
-          - (col("mean_micro") / slackDenom).cast("long"))
+          - expr(s"mean_micro DIV ${slackDenom}L"))
     val byHour = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     grid

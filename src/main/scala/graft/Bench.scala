@@ -488,7 +488,11 @@ object Bench {
       // MIN-MERGE with an existing seed: a refresh on a contended box must
       // never regress a floor a pristine run already established (floors only
       // ratchet down; a query absent from the old seed enters at this run's
-      // cost and heals on later refreshes)
+      // cost and heals on later refreshes). Prior floors are kept for EVERY
+      // key, including queries that failed or were skipped this run — a
+      // partial refresh must not silently delete history (the r15 advisory:
+      // filtering prior keys to okNames broke the ratchet-down invariant for
+      // any query absent from the refresh run).
       val prior: Map[String, Double] = {
         val f = new java.io.File(path)
         if (!f.exists()) Map.empty
@@ -496,17 +500,22 @@ object Bench {
           val text = try scala.io.Source.fromFile(f, "UTF-8").mkString catch { case _: Throwable => "" }
           """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(text)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, _) => okNames.contains(k) }
             .toMap
         }
       }
-      val qs = okNames.toSeq.sorted
+      val carried = (prior.keySet -- okNames).toSeq.sorted
+      if (carried.nonEmpty)
+        System.err.println(s"[bench] seed carries ${carried.size} prior floor(s) for " +
+          s"queries absent/failed this run: ${carried.mkString(", ")}")
+      val qs = (okNames ++ prior.keySet).toSeq.sorted
         .map { k =>
-          val v = math.min(secByName(k), prior.getOrElse(k, Double.MaxValue))
+          val v = math.min(
+            if (okNames.contains(k)) secByName(k) else Double.MaxValue,
+            prior.getOrElse(k, Double.MaxValue))
           "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
         }
         .mkString("{", ",", "}")
-      val seed = s"""{"metric":"seed","note":"idle-run per-query seconds (cal ${"%.3f".formatLocal(java.util.Locale.ROOT, cal)} / cal_max ${"%.3f".formatLocal(java.util.Locale.ROOT, calMax)}) committed as history floor for outlier adjudication","queries":$qs}"""
+      val seed = s"""{"metric":"seed","note":"idle-run per-query seconds, min-merged with prior floors (this refresh ran at cal ${"%.3f".formatLocal(java.util.Locale.ROOT, cal)} / cal_max ${"%.3f".formatLocal(java.util.Locale.ROOT, calMax)}; merged values may come from earlier runs) committed as history floor for outlier adjudication","queries":$qs}"""
       val w = new java.io.FileWriter(path)
       try w.write(seed) finally w.close()
       System.err.println(s"[bench] seed map written to $path")

@@ -99,6 +99,34 @@ private[graft] object SimilarityOracles extends OracleFragments {
         entryProbe = GraphAnnEntryProbe,
         layerSizes = GraphAnnLayerSizes, layerProbe = GraphAnnLayerProbe)
     }),
+    // the delete/compact leg of the GRAPH index lifecycle (the s38 discipline
+    // applied to s27's artifact): tombstoned ids anti-joined out of the
+    // adjacency, survivors that lost a ranked neighbor (or sit in a
+    // newly-admitted cell) re-paired, codebook retrained and medoids
+    // re-derived on the survivors, the compacted artifact persisted and
+    // reloaded — must search exactly like an index built FRESH on the
+    // survivors (the oracle replays the fresh build)
+    "s42_graph_ann_compacted" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val tomb = e.filter(col("vec_id") % Int8TombstoneMod === 0).select(col("vec_id"))
+      val survivors = e.filter(col("vec_id") % Int8TombstoneMod =!= 0)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-graph-compact")
+      try {
+        val path = scratch.toString + "/index"
+        val compacted = Similarity.compactGraphAnnAdjacency(
+          e, tomb, Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+          "vec_id", "embedding", k = KnnGraphK)
+        val model = Similarity.kmeansRounds(survivors, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds)
+        Similarity.saveGraphAnnIndex(compacted, model,
+          Similarity.graphAnnEntryPoints(survivors, "vec_id", "embedding", model), path)
+        val (adj, loadedModel, loadedEntries) = Similarity.loadGraphAnnIndex(s, path)
+        Similarity.graphAnnSearch(survivors.filter(col("vec_id") % 50 === 0), survivors,
+          "vec_id", "embedding", adj, loadedModel,
+          k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds,
+          entryProbe = GraphAnnEntryProbe, entries = Some(loadedEntries))
+      } finally deleteRecursively(scratch)
+    }),
     // the artifact round trip for the search index (the d18/s24 discipline):
     // build graph + codebook + entry medoids, persist (adj vec_id-clustered,
     // model and entries k-row), reload all three, search — must reproduce s26's
@@ -550,7 +578,21 @@ private[graft] object SimilarityOracles extends OracleFragments {
           |    UNION ALL SELECT query_id, cand FROM la1)""".stripMargin)
   }
 
-  private def graphAnnSqlSeeded(extraCtes: String, x0Sql: String): String = {
+  /** s42's mirror: the s26 search replayed as a FRESH build on the survivor
+    * corpus (graph, codebook, medoids, beam — every CTE sees only survivors).
+    * The Spark side answers through the INCREMENTAL compact path
+    * (tombstone anti-join + affected-node re-pair over the pre-delete graph),
+    * so the hash match IS the fresh-build-equivalence proof at the search
+    * surface.
+    */
+  private lazy val compactedGraphAnnSql: String =
+    graphAnnSqlSeeded(
+      extraCtes = "",
+      x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)",
+      eWhere = s" WHERE vec_id % $Int8TombstoneMod <> 0")
+
+  private def graphAnnSqlSeeded(
+      extraCtes: String, x0Sql: String, eWhere: String = ""): String = {
       def scoreCte(i: Int): String =
         s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
            |    SELECT query_id, cand, cos_sim,
@@ -571,7 +613,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
       // nonzero vector to its nearest cell, med keeps each cell's medoid, qc
       // routes each query to its GraphAnnEntryProbe nearest cells, and x0 seeds
       // the beam at those cells' medoids — |Q|·entryProbe rows, never corpus-sized
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$eWhere),
          |b AS (SELECT vec_id,
          |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
          |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
@@ -824,6 +866,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // the d17/d18 discipline.
     "s26_graph_ann" -> graphAnnSql,
     "s27_graph_ann_saved" -> graphAnnSql,
+    "s42_graph_ann_compacted" -> compactedGraphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,
     "s37_prefix_recall_curve" -> prefixCurveSql,

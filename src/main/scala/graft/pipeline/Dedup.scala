@@ -1306,10 +1306,14 @@ object Dedup {
     * `tokens_cut` is exact, never double-counted. A fully-cut document
     * reports tokens_after = 0 with the hash of the empty string.
     *
-    * Scale shape: the registry is output-sized and its per-doc cut ranges
-    * broadcast into ONE corpus text pass; the rebuild is a codegen'd
-    * higher-order filter/transform over the token array (no explode, no
-    * shuffle past the broadcast join); only documents WITH cuts are emitted.
+    * Scale shape: the cut-ranges relation is one row per document WITH cuts —
+    * at published web-corpus duplication rates (1–10% of documents carry
+    * repeated spans, the rate this operator exists for) that is
+    * corpus-PROPORTIONAL, so the join must not be hint-forced to broadcast
+    * (the r15-verdict scale-killer): it is a plain equi-join on the doc id
+    * and AQE picks the build side, broadcasting only when the ranges side
+    * actually fits. The rebuild is a codegen'd higher-order filter/transform
+    * over the token array (no explode); only documents WITH cuts are emitted.
     */
   def repeatedSpanCut(
       df: DataFrame,
@@ -1326,7 +1330,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans_cut"),
         collect_list(struct(col("s"), col("e"))).as("rs"))
     df.select(col(idCol).as("doc"), split(col(textCol), " ", -1).as("ts"))
-      .join(broadcast(ranges), Seq("doc")) // inner: only documents with cuts
+      .join(ranges, Seq("doc")) // inner: only documents with cuts; AQE sizes the build side
       .withColumn("kept", expr(
         "filter(transform(sequence(1, size(ts)), " +
           "i -> IF(exists(rs, r -> i >= r.s AND i <= r.e), NULL, element_at(ts, i))), " +
@@ -1733,6 +1737,30 @@ object Dedup {
     index
       .select(explode(bloomPositions(col("text_hash"), mBits)).as("pos"))
       .distinct()
+      // the build width rides the artifact: positions are only meaningful mod
+      // the mBits they were computed at, and the probes require agreement
+      .withColumn("m_bits", lit(mBits.toLong))
+
+  /** The d37/d38 width guard: probing a bit set at a different `mBits` than it
+    * was BUILT with computes positions mod the wrong width, so true duplicates
+    * silently screen out as bloom negatives — a false-negative breach of the
+    * "provably novel" contract. [[exactBloomBits]] stamps its build width on
+    * the artifact; every probe calls this first and fails loudly on mismatch.
+    * Cost: one artifact-sized distinct (≤ mBits rows, never the corpus) —
+    * the retrainTrigger bounded-aggregate discipline. A legacy width-less bit
+    * relation passes unchecked (the caller's consistency is then on them, as
+    * before the stamp existed).
+    */
+  private def requireBitsWidth(bits: DataFrame, mBits: Int): DataFrame =
+    if (!bits.columns.contains("m_bits")) bits
+    else {
+      val ws = bits.select(col("m_bits")).distinct().collect().map(_.getLong(0))
+      require(ws.length <= 1 && ws.forall(_ == mBits.toLong),
+        s"bloom bit-set width mismatch: probing at mBits=$mBits but the artifact " +
+          s"was built at [${ws.mkString(", ")}] — positions would be computed mod " +
+          "the wrong width and true duplicates would silently screen out")
+      bits.drop("m_bits")
+    }
 
   /** The 3 bloom bit positions of one content hash, deduped WITHIN the row. */
   private def bloomPositions(h: Column, mBits: Int): Column = {
@@ -1791,12 +1819,13 @@ object Dedup {
       bits: DataFrame,
       mBits: Int = 1 << 18
   ): DataFrame = {
+    val checkedBits = requireBitsWidth(bits, mBits)
     val bh = batchHashes
       .select(col(idCol), col("text_hash"), bloomPositions(col("text_hash"), mBits).as("ps"))
       .localCheckpoint(true) // consumed by the probe chain and the final left joins
     val positives = bh
       .select(col(idCol), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
-      .join(bits, Seq("pos"))
+      .join(checkedBits, Seq("pos"))
       .groupBy(col(idCol), col("n_pos"))
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("n_pos")) // all probed bits set => bloom positive
@@ -1936,12 +1965,13 @@ object Dedup {
   ): DataFrame = {
     require(savedIndex.columns.contains("hp"),
       "probeSavedExactIndex: savedIndex must be a loadExactIndex artifact (hp partition column)")
+    val checkedBits = requireBitsWidth(bits, mBits)
     val bh = batchHashes
       .select(col(idCol), col("text_hash"), bloomPositions(col("text_hash"), mBits).as("ps"))
       .localCheckpoint(true)
     val positives = bh
       .select(col(idCol), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
-      .join(bits, Seq("pos"))
+      .join(checkedBits, Seq("pos"))
       .groupBy(col(idCol), col("n_pos"))
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("n_pos"))

@@ -25,6 +25,16 @@ object Similarity {
 
   private def toDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Test-pin instrumentation: invocation counters for the two expensive
+    * shared index-build stages (coarse-quantizer training runs eagerly at
+    * composition; PQ code assignment is one corpus map pass per composition
+    * site). The s41 pin in RoundSixteenOpsSpec asserts [[tunedProbeSearch]]
+    * pays each exactly ONCE for curve + actuated search combined (the
+    * r15-verdict double-training fix). Zero cost outside tests.
+    */
+  private[graft] val kmeansTrainInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val pqCodeInvocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The one rendition of the legacy-artifact rule for loaded centroid models:
     * codebooks saved before `cn` (squared centroid norm) was persisted are
     * backfilled on load; newer artifacts keep their stored column. Every
@@ -394,6 +404,7 @@ object Similarity {
       dims: Int,
       rounds: Int
   ): DataFrame = {
+    kmeansTrainInvocations.incrementAndGet()
     val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
       .filter(col("nv") > 0)
@@ -721,6 +732,104 @@ object Similarity {
     fwd.unionByName(fwd.select(
       col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
       col("cos_sim"), col("rank")))
+  }
+
+  /** s42 — DELETE/COMPACT for the graph-ANN adjacency: the s38 lifecycle leg
+    * the graph index was missing (an index you can add to but not delete from
+    * is half a lifecycle — GDPR erasure and re-crawl retractions arrive as id
+    * catalogs). The compacted adjacency is PROVABLY identical to
+    * [[knnGraph]] rebuilt fresh on the survivors, without re-pairing the
+    * archive with itself:
+    *
+    *   - tombstoned nodes' lists are anti-joined out;
+    *   - a surviving list that contains NO tombstoned neighbor carries over
+    *     VERBATIM — its fresh-build candidate set is its old one minus
+    *     vectors that weren't in its top-k, so cosines and ranks are
+    *     unchanged;
+    *   - survivors that LOST a ranked neighbor (the stale-half-edge case)
+    *     are re-paired against their surviving admitted cell-mates and
+    *     re-ranked — exactly the fresh build's list for those nodes;
+    *   - cells whose pre-delete membership exceeded `maxBucketMembers` but
+    *     whose SURVIVOR membership fits are newly admitted by a fresh build
+    *     (deletes can only shrink cells, so admission only flips over→under):
+    *     their surviving members gain candidates and re-pair too.
+    *
+    * That affected-set characterization is exhaustive — candidate sets only
+    * change via a removed member or a flipped cell — which is what makes the
+    * equivalence exact (the RoundSixteenOpsSpec pin, and the s42 oracle
+    * replays the FRESH build on survivors against this incremental path).
+    *
+    * Scale shape: one corpus bucket pass (map + catalog-sized cell census),
+    * tombstones broadcast as a catalog, and re-pairing restricted to the
+    * affected × admitted-cell-mates relation — at published deletion rates a
+    * tiny fraction of the full self-join a cadence rebuild pays. `corpus` is
+    * the PRE-delete relation the current graph was built on.
+    */
+  def compactGraphAnnAdjacency(
+      corpus: DataFrame,
+      tombstones: DataFrame,
+      graph: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nTables: Int = 2,
+      planesPerTable: Int = 6,
+      dims: Int = 64,
+      maxBucketMembers: Long = 10000L
+  ): DataFrame = {
+    val tomb = tombstones.select(col(tombstones.columns.head).as("tid")).distinct()
+      .localCheckpoint(true) // id catalog; broadcast into every cut below
+    val vecs = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm2(col("v")))
+      .localCheckpoint(true)
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket"))
+    }
+    val buckets = vecs.select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .join(broadcast(tomb), col("id") === col("tid"), "left")
+      .select(col("id"), col("tbl"), col("bucket"), col("tid").isNotNull.as("is_tomb"))
+      .localCheckpoint(true) // feeds the census, the flipped-cell cut, and re-pairing
+    val census = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(col("is_tomb"), 0L).otherwise(1L)).as("n_surv"))
+      .localCheckpoint(true) // cell catalog — two consumers
+    val admittedSurv = census.filter(col("n_surv") <= maxBucketMembers)
+      .select(col("tbl"), col("bucket"))
+    val flipped = census
+      .filter(col("n_full") > maxBucketMembers && col("n_surv") <= maxBucketMembers)
+      .select(col("tbl"), col("bucket"))
+    val lostEdge = graph
+      .join(broadcast(tomb.select(col("tid").as("neighbor_id"))), Seq("neighbor_id"), "left_semi")
+      .select(col("vec_id").as("id")).distinct()
+    val inFlipped = buckets.filter(!col("is_tomb"))
+      .join(flipped, Seq("tbl", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+    val affected = lostEdge.unionByName(inFlipped).distinct()
+      .join(broadcast(tomb.select(col("tid").as("id"))), Seq("id"), "left_anti")
+      .localCheckpoint(true) // consumed by the carry-over cut and the re-pair probe
+    val keep = graph
+      .join(broadcast(tomb.select(col("tid").as("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(affected.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+    val survBuckets = buckets.filter(!col("is_tomb"))
+      .join(admittedSurv, Seq("tbl", "bucket"))
+    val cand = survBuckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(affected.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(survBuckets.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val repaired = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), Seq("id_b"))
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    keep.unionByName(repaired)
   }
 
   /** Persist a built kNN graph ([[knnGraph]] output) as the search-index
@@ -1496,6 +1605,7 @@ object Similarity {
       subDim: Int = 8,
       nCodes: Int = 16
   ): DataFrame = {
+    pqCodeInvocations.incrementAndGet()
     val subs = subspaces(df, idCol, vecCol, nSub, subDim)
       .withColumnRenamed("rid", "vec_id")
     val codebook = broadcast(
@@ -1828,8 +1938,38 @@ object Similarity {
       overfetch: Int = 4
   ): DataFrame = {
     require(probeLevels.nonEmpty, "ivfProbeRecallCurve: no probe levels")
-    val maxProbe = probeLevels.max
     val model = kmeansRounds(candidates, idCol, vecCol, kCells, nSub * subDim, trainRounds)
+    probeRecallGrid(
+      probeLevelRanked(queries, candidates, idCol, vecCol, k, probeLevels, model,
+        nSub, subDim, nCodes, overfetch),
+      queries, candidates, idCol, vecCol, k, probeLevels)
+  }
+
+  /** The level-fanned ranked-search relation shared by s32 and s41: top-k per
+    * (n_probe, query) at EVERY probe level from ONE quantizer / cell / code /
+    * LUT computation — level p's candidate pairs are level max's pairs
+    * filtered by probe rank, so widening the sweep multiplies only the
+    * bounded pair relation. At a FIXED level the chain (assignment tie-break,
+    * ADC shortlist window, rerank rounding) is stage-for-stage identical to
+    * [[ivfPqWithModel]]'s, which is what lets [[tunedProbeSearch]] actuate
+    * the winning level by SLICING this relation instead of re-running the
+    * search. Output: (n_probe, query_id, neighbor_id, approx_d2m, cos_sim,
+    * rank) with rank ≤ k — |queries|·|levels|·k rows, never corpus-sized.
+    */
+  private def probeLevelRanked(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeLevels: Seq[Int],
+      model: DataFrame,
+      nSub: Int,
+      subDim: Int,
+      nCodes: Int,
+      overfetch: Int
+  ): DataFrame = {
+    val maxProbe = probeLevels.max
     val cents = broadcast(withCentroidNorm(model)
       .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
     def withNorm(df: DataFrame): DataFrame =
@@ -1872,20 +2012,39 @@ object Similarity {
       .withColumn("cn2", norm2(col("nv2")))
     val wFinal = Window.partitionBy(col("n_probe"), col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    val res = short
+    short
       .join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
-      .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"), col("approx_d2m"),
         round(cosineFromNorms(dot(col("qv"), col("nv2")), col("qn"), col("cn2")), 6)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
-      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+  }
+
+  /** Recall@k grid over a [[probeLevelRanked]] relation: hits vs the exact
+    * brute-force truth, with explicit zero rows for starved (level, query)
+    * cells (the grid discipline). Split out of [[ivfProbeRecallCurve]] so
+    * s41 can pool the grid over a CHECKPOINTED ranked relation it then also
+    * slices for the actuated search.
+    */
+  private def probeRecallGrid(
+      ranked: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeLevels: Seq[Int]
+  ): DataFrame = {
     val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = res.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+    val hits = ranked.select(col("n_probe"), col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("n_probe"), col("query_id"))
       .agg(count(lit(1)).as("n_hit"))
+    val levels = queries.sparkSession.range(1)
+      .select(explode(array(probeLevels.map(lit(_)): _*)).as("n_probe"))
     val grid = queries.select(col(idCol).as("query_id")).crossJoin(broadcast(levels))
     grid.join(hits, Seq("n_probe", "query_id"), "left")
       .select(col("n_probe"), col("query_id"),
@@ -1900,10 +2059,17 @@ object Similarity {
     * round-6 recall·k re-quantizes exactly for k ≪ 10³), and the SMALLEST
     * probe level meeting `targetRecallMicro` is chosen (largest as fallback —
     * the d39 decision rule: the candidate bill scales with nProbe, so
-    * smallest-sufficient). Then ONE search runs at the winning level; every
-    * output row carries `n_probe` so the oracle's gated-UNION mirror fails the
-    * hash if the pick ever drifts. The pick itself is a |levels|-row driver
-    * decision (the d26/retrainTrigger bounded-collect discipline).
+    * smallest-sufficient). The actuated search then costs NOTHING beyond the
+    * curve: the quantizer is trained once, the cells/codes/LUT are computed
+    * once, the level-fanned ranked relation is checkpointed
+    * (|queries|·|levels|·k rows), and the winning level's results are a
+    * FILTER of that relation — [[probeLevelRanked]]'s fixed-level chain is
+    * stage-identical to [[ivfPqWithModel]], so the slice IS the search (the
+    * r15-verdict fix: the previous rendition retrained the quantizer and
+    * re-assigned PQ codes for the final search). Every output row carries
+    * `n_probe` so the oracle's gated-UNION mirror fails the hash if the pick
+    * ever drifts. The pick itself is a |levels|-row driver decision (the
+    * d26/retrainTrigger bounded-collect discipline).
     */
   def tunedProbeSearch(
       queries: DataFrame,
@@ -1917,8 +2083,11 @@ object Similarity {
       trainRounds: Int = 2
   ): DataFrame = {
     require(probeLevels.nonEmpty, "tunedProbeSearch: no probe levels")
-    val curve = ivfProbeRecallCurve(queries, candidates, idCol, vecCol, k,
-      probeLevels, kCells, trainRounds)
+    val model = kmeansRounds(candidates, idCol, vecCol, kCells, 64, trainRounds) // dims = nSub·subDim = 64
+    val ranked = probeLevelRanked(queries, candidates, idCol, vecCol, k, probeLevels,
+        model, nSub = 8, subDim = 8, nCodes = 16, overfetch = 4)
+      .localCheckpoint(true) // |queries|·|levels|·k rows; consumers: grid pooling + the actuated slice
+    val curve = probeRecallGrid(ranked, queries, candidates, idCol, vecCol, k, probeLevels)
     val pooled = curve
       .select(col("n_probe"),
         floor(col("recall_at_k") * k + lit(0.5)).cast("long").as("h"))
@@ -1928,12 +2097,15 @@ object Similarity {
         expr(s"(2 * 1000000 * hits + nq * $k) DIV (2 * nq * $k)").cast("long")
           .as("pooled_micro"))
       .collect() // |levels| rows — bounded by the dial grid, never the data
+    require(pooled.nonEmpty,
+      "tunedProbeSearch: empty query relation — no pooled curve to actuate")
     val qualifying = pooled.filter(_.getAs[Long]("pooled_micro") >= targetRecallMicro)
       .map(_.getAs[Int]("n_probe"))
     val chosen =
       if (qualifying.nonEmpty) qualifying.min else pooled.map(_.getAs[Int]("n_probe")).max
-    ivfPqTrainedTopK(queries, candidates, idCol, vecCol, k, kCells, trainRounds,
-        nProbe = chosen)
+    ranked.filter(col("n_probe") === chosen)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2m"), col("cos_sim"),
+        col("rank"))
       .withColumn("n_probe", lit(chosen))
   }
 
@@ -2149,7 +2321,12 @@ object Similarity {
     require(model.columns.contains("n_members"),
       "centroidDrift: model has no n_members column — legacy centroid artifact " +
         "(pre-census saveCentroids); retrain with kmeansRounds and re-save")
-    val cells = assignToCells(corpus, idCol, vecCol, model)
+    // zero-norm vectors carry no direction: they are excluded BEFORE cell
+    // assignment (the oracle's `WHERE list_dot_product(v,v) > 0` is the same
+    // rule — one shared rendition, not a latent zero-division/NaN-assignment
+    // divergence; kmeansRounds applies the identical cut at training)
+    val cells = assignToCells(
+      corpus.filter(norm2(toDouble(col(vecCol))) > 0), idCol, vecCol, model)
     val aggs = count(lit(1)).as("n_now") +:
       (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
     val means = cells.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)

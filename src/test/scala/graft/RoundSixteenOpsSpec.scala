@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Round-16 pins for the two r15-verdict `weak` items and the r15 ADVICE
+  * advisories:
+  *
+  *   - s41 single-training: `tunedProbeSearch` must pay quantizer training
+  *     and PQ code assignment exactly ONCE for the curve AND the actuated
+  *     search combined (the previous rendition retrained for the final
+  *     search), and the actuated result must still be row-identical to the
+  *     standalone trained search at the chosen level — the slice IS the
+  *     search.
+  *   - d33 no forced broadcast: the cut-ranges join must not be hint-forced
+  *     (the ranges relation is corpus-proportional at published duplication
+  *     rates; AQE picks the build side).
+  *   - bloom width guard: probing a bit set at a different mBits than it was
+  *     built with must fail loudly, not silently screen out true duplicates.
+  *   - centroidDrift zero-vector rule: zero-norm vectors are excluded from
+  *     the current-mean census (the oracle's `dot(v,v) > 0` filter, one
+  *     shared rendition).
+  */
+class RoundSixteenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s41: tuned-probe pays ONE quantizer training and ONE code assignment total") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    Similarity.kmeansTrainInvocations.set(0L)
+    Similarity.pqCodeInvocations.set(0L)
+    val out = Similarity.tunedProbeSearch(q, e, "vec_id", "embedding", k = 5,
+      probeLevels = Seq(1, 2), targetRecallMicro = 400000L, kCells = 8, trainRounds = 1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(Similarity.kmeansTrainInvocations.get() == 1L,
+      s"curve + actuated search must share ONE trained quantizer, " +
+        s"got ${Similarity.kmeansTrainInvocations.get()} trainings")
+    assert(Similarity.pqCodeInvocations.get() == 1L,
+      s"curve + actuated search must share ONE PQ code assignment, " +
+        s"got ${Similarity.pqCodeInvocations.get()} passes")
+    // the actuated search is a SLICE of the checkpointed curve relation — its
+    // plan re-reads the checkpoint, it never re-scans the corpus parquet
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"the actuated search must slice the checkpointed curve relation, not re-scan:\n$p")
+  }
+
+  test("s41: the actuated slice is row-identical to the standalone trained search") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val tuned = Similarity.tunedProbeSearch(q, e, "vec_id", "embedding", k = 5,
+      probeLevels = Seq(1, 2), targetRecallMicro = 400000L, kCells = 8, trainRounds = 1)
+      .collect()
+    val chosen = tuned.map(_.getAs[Int]("n_probe")).distinct
+    assert(chosen.length == 1, s"one winning level expected, got ${chosen.mkString(",")}")
+    val standalone = Similarity.ivfPqTrainedTopK(q, e, "vec_id", "embedding", k = 5,
+        kCells = 8, trainRounds = 1, nProbe = chosen.head)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("approx_d2m"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
+      .toSet
+    val sliced = tuned
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("approx_d2m"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
+      .toSet
+    assert(sliced == standalone,
+      s"slice != standalone search at level ${chosen.head}: " +
+        s"${sliced.diff(standalone)} vs ${standalone.diff(sliced)}")
+  }
+
+  test("s41: an empty query relation fails loudly, not with an opaque empty-max throw") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.tunedProbeSearch(e.filter(lit(false)), e, "vec_id", "embedding",
+        k = 5, probeLevels = Seq(1, 2), kCells = 8, trainRounds = 1)
+    }
+    assert(ex.getMessage.contains("empty query relation"), ex.getMessage)
+  }
+
+  test("d33: the cut-ranges join is not hint-forced — AQE picks the build side") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = Dedup.repeatedSpanCut(d, "doc_id", "text")
+    val analyzed = cut.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"the ranges relation is corpus-proportional at published duplication rates; " +
+        s"the join must not carry a forced-broadcast hint:\n$analyzed")
+  }
+
+  test("bloom probes refuse a bit set built at a different width") {
+    val idx = Dedup.exactHashIndex(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), "doc_id", "text")
+    val bitsSmall = Dedup.exactBloomBits(idx, mBits = 1 << 10)
+    val batch = Seq((10L, "alpha"), (11L, "novel text")).toDF("doc_id", "text")
+    val bh = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilteredProbeAgainst(bh, "doc_id", idx, bitsSmall, mBits = 1 << 12)
+    }
+    assert(ex.getMessage.contains("width mismatch"), ex.getMessage)
+    // matching widths still screen losslessly: the true duplicate survives
+    val ok = Dedup.bloomPrefilteredProbeAgainst(bh, "doc_id", idx, bitsSmall, mBits = 1 << 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(ok(10L) == 1L && ok(11L) == -1L, ok.toString)
+  }
+
+  test("s42: compacted adjacency is row-identical to a fresh build on the survivors") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tomb = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val survivors = e.filter(col("vec_id") % 7 =!= 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
+    val compacted = Similarity.compactGraphAnnAdjacency(
+        e, tomb, Similarity.knnGraph(e, "vec_id", "embedding", k = 5),
+        "vec_id", "embedding", k = 5)
+      .collect().map(key).toSet
+    val fresh = Similarity.knnGraph(survivors, "vec_id", "embedding", k = 5)
+      .collect().map(key).toSet
+    assert(compacted.nonEmpty && compacted == fresh,
+      s"compact != fresh: only-compact ${compacted.diff(fresh).take(5)}, " +
+        s"only-fresh ${fresh.diff(compacted).take(5)}")
+  }
+
+  test("s42: a flipped bucket cap (over-cap -> under-cap) still matches the fresh build") {
+    // force the cap subtlety: cells sized so deletions flip admission — with
+    // maxBucketMembers tiny, several pre-delete cells exceed it and their
+    // survivor membership fits, so the incremental path must re-pair those
+    // members to stay fresh-equivalent
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(300)
+      .localCheckpoint(true)
+    val tomb = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val survivors = e.join(tomb, Seq("vec_id"), "left_anti")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
+    val cap = 20L
+    val compacted = Similarity.compactGraphAnnAdjacency(
+        e, tomb, Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxBucketMembers = cap),
+        "vec_id", "embedding", k = 5, maxBucketMembers = cap)
+      .collect().map(key).toSet
+    val fresh = Similarity.knnGraph(survivors, "vec_id", "embedding", k = 5,
+        maxBucketMembers = cap)
+      .collect().map(key).toSet
+    assert(compacted == fresh,
+      s"cap-flip divergence: only-compact ${compacted.diff(fresh).take(5)}, " +
+        s"only-fresh ${fresh.diff(compacted).take(5)}")
+  }
+
+  test("s39: zero-norm vectors are excluded from the current-mean census") {
+    val dims = 4
+    def vec(xs: Double*) = xs.toArray
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0, 0.0, 0.0)),
+      (2L, vec(0.9, 0.1, 0.0, 0.0)),
+      (3L, vec(0.0, 0.0, 0.0, 0.0)) // zero vector: no direction, no census vote
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.kmeansRounds(
+      corpus.filter(col("vec_id") =!= 3L), "vec_id", "embedding", k = 1,
+      dims = dims, rounds = 1)
+    val drift = Similarity.centroidDrift(corpus, "vec_id", "embedding", model, dims = dims)
+      .collect()
+    assert(drift.length == 1)
+    assert(drift.head.getAs[Long]("n_now") == 2L,
+      s"the zero vector must not be censused: ${drift.head}")
+  }
+}
