@@ -400,6 +400,11 @@ private[graft] trait OracleParams {
   private[graft] val RepeatedSpanShingle = 8
   private[graft] val RepeatedSpanMinTokens = 16
 
+  /** d40/d41's pinned archive/arrival split: doc_id ≡ 0 (mod 5) = the ingest
+    * batch probed against the span-hash index of the rest (the archive).
+    */
+  private[graft] val SpanProbeArrivalMod = 5L
+
   /** d24's pinned cosine threshold in micro units. The published practice uses
     * ~0.95 on real text embeddings; the synthetic corpus's similarity spread
     * tops out near 0.49, so the pinned value sits inside that spread (≥ 0.40)

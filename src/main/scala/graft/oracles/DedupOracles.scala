@@ -501,6 +501,34 @@ private[graft] object DedupOracles extends OracleFragments {
     "d33_span_cut" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpanCut(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)),
+    // ingest-time substring dedup: the archive's span-hash index persisted
+    // (range-clustered on h) and reloaded, arrivals' windows probed against
+    // it, consecutive hits folded to maximal archived spans — the d19/d20
+    // probe posture closing the third dedup policy's ingest loop
+    "d40_span_probe" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-span-index")
+      try {
+        val path = scratch.toString + "/spans"
+        Dedup.saveSpanHashIndex(
+          Dedup.spanHashIndex(docs.filter(col("doc_id") % SpanProbeArrivalMod =!= 0),
+            "doc_id", "text", windowTokens = RepeatedSpanShingle), path)
+        val ix = Dedup.loadSpanHashIndex(s, path).localCheckpoint(true)
+        Dedup.probeSpanIndex(docs.filter(col("doc_id") % SpanProbeArrivalMod === 0),
+          "doc_id", "text", ix,
+          windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)
+      } finally deleteRecursively(scratch)
+    }),
+    // the d40 probe actuated: every archived span cut from the arrivals (the
+    // archive holds the keeper), d33's overlap-safe surgery + receipts
+    "d41_span_probe_cut" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.probeSpanCut(docs.filter(col("doc_id") % SpanProbeArrivalMod === 0),
+        "doc_id", "text",
+        Dedup.spanHashIndex(docs.filter(col("doc_id") % SpanProbeArrivalMod =!= 0),
+          "doc_id", "text", windowTokens = RepeatedSpanShingle),
+        windowTokens = RepeatedSpanShingle, minSpanTokens = RepeatedSpanMinTokens)
+    }),
     // per-source substring-dedup ROI (the d29/d32 savings convention)
     "d34_span_savings" -> ((s: SparkSession, dir: String) =>
       Dedup.repeatedSpanSavings(s.read.parquet(s"$dir/documents.parquet"),
@@ -647,14 +675,42 @@ private[graft] object DedupOracles extends OracleFragments {
        |       FROM stp)""".stripMargin
   }
 
+  /** Shared by d40/d41 — the probe split of the span kernel: `ix` = the
+    * archive's distinct window hashes (the d40 span-hash index), `npg` = the
+    * arrivals' positioned window hashes, `keep40` = the arrivals' maximal
+    * archived-span runs at the d30 bar — mirror of `Dedup.spanHashIndex` +
+    * `Dedup.probeSpanIndex` over the pinned mod-[[SpanProbeArrivalMod]] split.
+    */
+  private lazy val spanProbeCtes: String = {
+    val w = RepeatedSpanShingle
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |apg AS (SELECT doc_id, i AS pos,
+       |          ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+       |              FROM toks WHERE doc_id % $SpanProbeArrivalMod <> 0)),
+       |ix AS (SELECT DISTINCT h FROM apg),
+       |npg AS (SELECT doc_id, i AS pos,
+       |          ('0x' || substr(md5(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${w - 1})) AS i
+       |              FROM toks WHERE doc_id % $SpanProbeArrivalMod = 0)),
+       |nst AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM npg JOIN ix USING (h)),
+       |nsp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${w - 1} AS span_end
+       |        FROM nst GROUP BY doc_id, grp),
+       |keep40 AS (SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |             CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+       |           FROM nsp WHERE span_end - span_start + 1 >= $RepeatedSpanMinTokens)""".stripMargin
+  }
+
   /** Shared by d33 and d34 — the position-set surgery over [[repeatedSpanCtes]]'
     * cut occurrences: `nc` (per-doc cut-span count) and `ag` (per cut doc the
     * before/after token counts and rebuilt text, grid-completed so a fully-cut
-    * document reports 0 survivors and the empty string).
+    * document reports 0 survivors and the empty string). The cut-source SQL is
+    * a parameter so d41 reuses the identical surgery over the PROBE spans.
     */
-  private lazy val spanCutCtes: String =
-    s"""cut AS (SELECT doc_id, span_start AS s, span_start + span_tokens - 1 AS e
-       |        FROM rk WHERE rk > 1),
+  private def spanCutCtesFrom(cutSql: String): String =
+    s"""cut AS ($cutSql),
        |nc AS (SELECT doc_id, COUNT(*) AS n_spans_cut FROM cut GROUP BY 1),
        |ptok AS (SELECT t.doc_id, u.i AS pos, t.ts[u.i] AS tok
        |         FROM toks t JOIN nc USING (doc_id),
@@ -668,6 +724,9 @@ private[graft] object DedupOracles extends OracleFragments {
        |       LEFT JOIN (SELECT doc_id, COUNT(*) AS n_after,
        |                    array_to_string(list(tok ORDER BY pos), ' ') AS kept
        |                  FROM keptp GROUP BY 1) k USING (doc_id))""".stripMargin
+
+  private lazy val spanCutCtes: String = spanCutCtesFrom(
+    "SELECT doc_id, span_start AS s, span_start + span_tokens - 1 AS e FROM rk WHERE rk > 1")
 
   /** Shared by d31 and d32 — the SemDeDup chain: trained k-means cells
     * (kmeansCtes, the s22/s33 discipline), nearest-cell assignment, within-cell
@@ -1686,6 +1745,26 @@ private[graft] object DedupOracles extends OracleFragments {
     "d33_span_cut" ->
       s"""WITH $repeatedSpanCtes,
          |$spanCutCtes
+         |SELECT ag.doc_id, CAST(nc.n_spans_cut AS BIGINT) AS n_spans_cut,
+         |  CAST(ag.tokens_before AS BIGINT) AS tokens_before,
+         |  CAST(ag.tokens_before - ag.tokens_after AS BIGINT) AS tokens_cut,
+         |  CAST(ag.tokens_after AS BIGINT) AS tokens_after,
+         |  ('0x' || substr(md5(ag.kept), 1, 15))::BIGINT AS kept_text_h
+         |FROM ag JOIN nc USING (doc_id)""".stripMargin,
+
+    // arrivals' archived spans: the archive's distinct window-hash index
+    // probed by the arrival windows, consecutive hits folded to maximal runs
+    // at the d30 bar — mirror of spanHashIndex + probeSpanIndex through the
+    // save/load round trip
+    "d40_span_probe" ->
+      s"""WITH $spanProbeCtes
+         |SELECT doc_id, span_start, span_tokens FROM keep40""".stripMargin,
+
+    // the probe spans cut from the arrivals via the d33 surgery (every probed
+    // span is cut — the archive holds the keeper occurrence)
+    "d41_span_probe_cut" ->
+      s"""WITH $spanProbeCtes,
+         |${spanCutCtesFrom("SELECT doc_id, span_start AS s, span_start + span_tokens - 1 AS e FROM keep40")}
          |SELECT ag.doc_id, CAST(nc.n_spans_cut AS BIGINT) AS n_spans_cut,
          |  CAST(ag.tokens_before AS BIGINT) AS tokens_before,
          |  CAST(ag.tokens_before - ag.tokens_after AS BIGINT) AS tokens_cut,

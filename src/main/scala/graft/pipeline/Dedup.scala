@@ -1266,6 +1266,23 @@ object Dedup {
     * (id, span_start, span_end) runs. No min-length cut here — each consumer
     * applies its own bar.
     */
+  /** The one rendition of the POSITIONED window-hash relation (id, pos, h) —
+    * the d14/d30 span kernel's first stage, shared with the d40 index/probe
+    * split: every `windowTokens`-word window of every document, 1-based
+    * position, first 60 md5 bits as the window's integer identity.
+    */
+  private def positionedSpanHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int
+  ): DataFrame =
+    Scans.fanOut(df)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), windowTokens))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+
   private[graft] def dupSpanRuns(
       df: DataFrame,
       idCol: String,
@@ -1273,11 +1290,7 @@ object Dedup {
       windowTokens: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pg = Scans.fanOut(df)
-      .select(col(idCol),
-        org.apache.spark.sql.graft.PositionedWordShingles.column(col(textCol), windowTokens))
-      .select(col(idCol), col("pos"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val pg = positionedSpanHashes(df, idCol, textCol, windowTokens)
       .localCheckpoint(true) // two consumers: the doc-frequency agg and the span fold
     val dup = pg.select(col(idCol), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
@@ -1322,10 +1335,25 @@ object Dedup {
       windowTokens: Int = 8,
       minSpanTokens: Int = 16
   ): DataFrame = {
-    val cuts = repeatedSpanRegistry(df, idCol, textCol, windowTokens, minSpanTokens)
-      .filter(col("cut") === 1)
-      .select(col(idCol).as("doc"), col("span_start").as("s"),
-        (col("span_start") + col("span_tokens") - 1L).as("e"))
+    applySpanCuts(df, idCol, textCol,
+      repeatedSpanRegistry(df, idCol, textCol, windowTokens, minSpanTokens)
+        .filter(col("cut") === 1)
+        .select(col(idCol).as("doc"), col("span_start").as("s"),
+          (col("span_start") + col("span_tokens") - 1L).as("e")))
+  }
+
+  /** The one rendition of the POSITION-SET surgery (shared by d33's
+    * registry-driven cut and d40's probe-driven cut): `cuts` is (doc, s, e)
+    * token ranges; a token is cut if ANY range covers it (overlap-safe, never
+    * double-counted), and only documents WITH cuts are emitted, each with the
+    * before/after counts and the 60-bit hash of the rebuilt text.
+    */
+  private def applySpanCuts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cuts: DataFrame
+  ): DataFrame = {
     val ranges = cuts.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_spans_cut"),
         collect_list(struct(col("s"), col("e"))).as("rs"))
@@ -1343,6 +1371,113 @@ object Dedup {
         conv(substring(md5(array_join(col("kept"), " ")), 1, 15), 16, 10)
           .cast("long").as("kept_text_h"))
   }
+
+  /** d40's artifact half — the SPAN-HASH INDEX of an archive: every distinct
+    * positioned-window hash the corpus contains, the substring-dedup analog of
+    * [[benchIndex]]/[[exactHashIndex]] (the d19/d20 index discipline applied
+    * to the d30 kernel). An arrival that repeats ANY archived text — even text
+    * the archive holds only once — creates a duplicate span (archive copy +
+    * arrival copy), and the Lee-et-al. remove-all-but-one rule keeps the
+    * archive's: so the index is the archive's FULL window-hash set, not just
+    * its internally-duplicated windows. Built once per corpus generation on a
+    * standing cadence; probed per ingest batch by [[probeSpanIndex]].
+    *
+    * Scale shape: one text map pass + one distinct — corpus-window-sized, the
+    * same order as the suffix-array/window indexes the published substring
+    * dedup pipelines maintain. Persist with [[saveSpanHashIndex]] (h
+    * range-clustered so the probe join row-group-skips).
+    */
+  def spanHashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8
+  ): DataFrame =
+    positionedSpanHashes(df, idCol, textCol, windowTokens)
+      .select(col("h"))
+      .distinct()
+
+  /** Persist a [[spanHashIndex]] range-clustered and sorted on `h`: the d38
+    * layout discipline — a batch's probe join prunes to the row groups its
+    * window hashes actually name.
+    */
+  def saveSpanHashIndex(index: DataFrame, path: String, nFiles: Int = 16): Unit =
+    index.select(col("h")).distinct()
+      .repartitionByRange(math.max(nFiles, 1), col("h"))
+      .sortWithinPartitions(col("h"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def loadSpanHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** d40 — INGEST-TIME substring-dedup probe: which token spans of an arriving
+    * batch already exist verbatim in the archive's [[spanHashIndex]] — the
+    * d19/d20 probe posture applied to the d30 span kernel, closing the third
+    * dedup policy's streaming loop (exact dedup probes d37's bloom+index,
+    * semantic dedup probes d35's trained cells, and substring dedup probes
+    * this). Each arrival's positioned window hashes are semi-joined against
+    * the index, consecutive hits fold into maximal runs (the same
+    * pos − row_number() grouping as [[dupSpanRuns]] — a probe-side rendition
+    * of the published matching-window union), and runs of at least
+    * `minSpanTokens` report as (id, span_start, span_tokens). Flag with this,
+    * or actuate the cut with [[probeSpanCut]], BEFORE the corpus sink.
+    *
+    * A span the batch duplicates INTERNALLY but the archive has never seen is
+    * NOT reported — that is d30's job on the next corpus cadence; this probe
+    * answers only "does the archive already have it", which is what decides
+    * whether the arrival's copy is redundant on arrival.
+    *
+    * Scale shape: the probe side is batch-sized (one text map pass over the
+    * arrivals); the join keys by the 8-byte window hash against the
+    * range-clustered artifact (pruned read, the d38 posture); run folding is
+    * a per-document window over the batch's HIT rows only. Nothing
+    * corpus-sized moves per batch.
+    */
+  def probeSpanIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      windowTokens: Int = 8,
+      minSpanTokens: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2,
+      s"probeSpanIndex: windowTokens must be >= 2, got $windowTokens")
+    require(minSpanTokens >= windowTokens,
+      s"probeSpanIndex: minSpanTokens ($minSpanTokens) must be >= " +
+        s"windowTokens ($windowTokens)")
+    val hits = positionedSpanHashes(batch, idCol, textCol, windowTokens)
+      .join(index.select(col(index.columns.head).as("h")), Seq("h"), "left_semi")
+    hits
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(windowTokens.toLong - 1)).as("e"))
+      .filter(col("e") - col("s") + 1 >= minSpanTokens)
+      .select(col(idCol), col("s").cast("long").as("span_start"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** d41 — the d40 probe ACTUATED: cut every archived span from the arrivals
+    * before the sink ([[applySpanCuts]], the d33 surgery — overlap-safe
+    * position sets, rebuilt-text receipts). Every probed span is cut: the
+    * archive holds the keeper occurrence by definition, so an arrival never
+    * wins the Lee-et-al. keep-one rule against it.
+    */
+  def probeSpanCut(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      windowTokens: Int = 8,
+      minSpanTokens: Int = 16
+  ): DataFrame =
+    applySpanCuts(batch, idCol, textCol,
+      probeSpanIndex(batch, idCol, textCol, index, windowTokens, minSpanTokens)
+        .select(col(idCol).as("doc"), col("span_start").as("s"),
+          (col("span_start") + col("span_tokens") - 1L).as("e")))
 
   /** d34 — the d29 ROI line for SUBSTRING dedup: per source, raw token mass vs
     * the mass surviving the d33 cut, with the saved-token share — what the

@@ -778,6 +778,38 @@ object StreamOps extends Serializable {
           batchId)
       }
 
+  /** Streaming twin of the d40 span probe: each ingest micro-batch's arrivals
+    * are probed against the archive's span-hash index
+    * ([[graft.pipeline.Dedup.spanHashIndex]], checkpointed once at stream
+    * setup — the index-is-the-state shape of [[streamingBloomProbe]]),
+    * flagging archived spans BEFORE the corpus sink — the third dedup
+    * policy's ingest loop (exact = bloom probe, semantic = cell probe,
+    * substring = this). Documents arrive whole, so a document's windows are
+    * complete within its batch; the emissions ARE
+    * `Dedup.probeSpanIndex` over the arrivals, so batch parity is
+    * definitional (StreamOpsSpec pins it across micro-batch cuts). The index
+    * rebuilds on the corpus cadence, never per batch.
+    */
+  def streamingSpanProbe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      windowTokens: Int = 8,
+      minSpanTokens: Int = 16
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ix = index.localCheckpoint(true)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Dedup.probeSpanIndex(
+            batch, idCol, textCol, ix, windowTokens, minSpanTokens),
+          batchId)
+      }
+  }
+
   /** Streaming twin of the m08 media quality gate: each micro-batch of arriving
     * assets runs `Multimodal.mediaQualityGate` inside `foreachBatch` — the media
     * leg of the ingest gauntlet's filter battery, stateless like the Gopher

@@ -914,6 +914,56 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming span probe emits the d40 archived spans; parity holds across micro-batch cuts") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val archive = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique archive tail"),
+      (2L, "totally different archived content"))
+      .toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.spanHashIndex(archive, "doc_id", "text", windowTokens = 2)
+    val spans = scala.collection.mutable.Map[(Long, Long), Long]()
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingSpanProbe(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+        onBatch = (out, _) => spans.synchronized {
+          out.collect().foreach(r =>
+            spans((r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"))) =
+              r.getAs[Long]("span_tokens"))
+        },
+        windowTokens = 2, minSpanTokens = 4)
+      .start()
+    try {
+      stream.addData(
+        (101L, "prefix words then alpha beta gamma delta epsilon and more"),
+        (102L, "nothing shared here at all"))
+      query.processAllAvailable()
+      stream.addData((103L, "x alpha beta gamma delta y"))
+      query.processAllAvailable()
+      val got = spans.synchronized(spans.toMap)
+      // batch parity across the micro-batch cut: same arrivals, one batch probe
+      val arrivals = Seq(
+        (101L, "prefix words then alpha beta gamma delta epsilon and more"),
+        (102L, "nothing shared here at all"),
+        (103L, "x alpha beta gamma delta y"))
+        .toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup
+        .probeSpanIndex(arrivals, "doc_id", "text", index,
+          windowTokens = 2, minSpanTokens = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start")) ->
+          r.getAs[Long]("span_tokens"))
+        .toMap
+      assert(got == batch, s"$got vs $batch")
+      // 101 embeds "alpha beta gamma delta epsilon" (5 tokens, start 4);
+      // 103's run "alpha beta gamma delta" just meets the 4-token bar; a
+      // sub-bar overlap or no overlap (102) reports nothing
+      assert(got((101L, 4L)) == 5L, got.toString)
+      assert(got((103L, 2L)) == 4L, got.toString)
+      assert(!got.keys.exists(_._1 == 102L), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming bloom probe emits the d37 verdicts; parity holds across micro-batch cuts") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
