@@ -269,6 +269,15 @@ private[graft] trait OracleParams {
     */
   private[graft] val CcnetOovLpMicro = -20000000L
 
+  /** dc29's pinned DoReMi loop dials: EG rounds, hash minibatches per sweep
+    * (the t43 machinery), step size η and uniform-smoothing mass in micro
+    * units — shared by registration and oracle.
+    */
+  private[graft] val DoremiRounds = 4
+  private[graft] val DoremiBatches = 4
+  private[graft] val DoremiEtaMicro = 500000L
+  private[graft] val DoremiSmoothMicro = 100000L
+
   /** t46's pinned Gopher repetition thresholds in micro units (Rae et al. 2021
     * appendix A: top n-gram char fraction for n = 2..4, duplicate n-gram char
     * fraction for n = 5..10), shared by registration and oracle.

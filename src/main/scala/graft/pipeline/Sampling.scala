@@ -1003,4 +1003,126 @@ object Sampling {
           / (col("all_docs") * maxLen).cast("double") + lit(0.5)).cast("long")
           .as("naive_waste_micro"))
   }
+
+  /** dc29 — LEARNED domain-mix weights: the DoReMi loop (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    * re-expressed over the engine's own measured-loss machinery. Group DRO's
+    * exponentiated-gradient ascent reweights domains by their EXCESS LOSS;
+    * here the loss oracle is the t45 CCNet reference LM (stupid-backoff
+    * bigram NLL in exact micro-nats, [[graft.pipeline.TextStats]]'
+    * `ccnetDocScores` — the published proxy/reference pairing collapsed to
+    * the reference model the engine already trains), and a round's
+    * measurement batch is t43's deterministic hash minibatch (round r reads
+    * batch (r−1) mod `nBatches`, so nBatches rounds sweep the corpus once).
+    *
+    * Per round, per domain: mean NLL over the round's batch slice; EXCESS =
+    * its lift over the batch-wide mean, floored at 0 — a domain the
+    * reference model already predicts well (duplicated, boilerplate,
+    * over-represented text) measures no headroom and its weight FALLS after
+    * normalization, exactly DoReMi's published behavior on memorized
+    * domains. The EG update multiplies by exp(η·(excess − max excess)): the
+    * max-shift keeps every factor in (0, 10⁶] so the integer registers never
+    * overflow, and the subsequent normalization cancels the shift. Weights
+    * renormalize to Σ ≈ 10⁶ and mix in `smoothMicro` of uniform (DoReMi's
+    * (1−c)·α + c·u smoothing — which also keeps every domain revivable: a
+    * weight can never hit an absorbing 0). A domain absent from a round's
+    * batch measures excess 0 for that round (no evidence, no headroom), the
+    * grid discipline keeping its row explicit.
+    *
+    * Output: the full ROUND TRAJECTORY (the d26 measure-then-actuate
+    * receipt) — (round, source, n_batch_docs, mean_nll_micro, excess_micro,
+    * factor_micro, w_micro), round 0 carrying the uniform start. Feed the
+    * final round's `w_micro` to the dc04/dc08 actuation exactly as
+    * temperature weights are fed today.
+    *
+    * Determinism: NLL sums/means are exact integers (half-up divisions); the
+    * only float per round is one exp(), quantized straight back to micro
+    * (the t43 sigmoid discipline); normalization and smoothing are exact
+    * integer products and divisions — every intermediate bounded: factor ≤
+    * 10⁶, w_raw = w·factor ≤ 10¹², 2·10⁶·w_raw ≤ 2·10¹⁸ < 2⁶³.
+    *
+    * Scale shape: ONE corpus scoring pass (the t45 scorer, checkpointed
+    * id-thin with source/batch stamps); per round two map-side-combinable
+    * batch aggregates (|sources|-row + 1-row) and |sources|-row register
+    * arithmetic — the corpus is never rescanned inside the loop.
+    */
+  def doremiMixWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      refSource: String,
+      rounds: Int = 4,
+      nBatches: Int = 4,
+      etaMicro: Long = 500000L,
+      smoothMicro: Long = 100000L,
+      oovLpMicro: Long = -20000000L
+  ): DataFrame = {
+    require(rounds >= 1, s"doremiMixWeights: rounds must be >= 1, got $rounds")
+    require(nBatches >= 1, s"doremiMixWeights: nBatches must be >= 1, got $nBatches")
+    require(smoothMicro >= 0L && smoothMicro < 1000000L,
+      s"doremiMixWeights: smoothMicro must be in [0, 1e6), got $smoothMicro")
+    val scored = graft.pipeline.TextStats
+      .ccnetDocScores(df, idCol, textCol, sourceCol, refSource, oovLpMicro)
+      .select(col(idCol), col("avg_lp_micro"))
+    val docs = df.select(col(idCol), col(sourceCol).as("source"))
+      .join(scored, Seq(idCol))
+      .select(col("source"), (-col("avg_lp_micro")).as("nll_micro"),
+        (bucketCol(col(idCol)) % nBatches).as("batch"))
+      .localCheckpoint(true) // id-thin; every round reads a batch slice of this
+    val cat = docs.select(col("source")).distinct().localCheckpoint(true)
+    val kDomains = cat.count() // |sources|-row catalog census, paid once
+    require(kDomains > 0, "doremiMixWeights: no scored documents — empty corpus?")
+    val uniform = 1000000L / kDomains
+    val eta = etaMicro.toDouble / 1000000.0
+    var w = cat.withColumn("w_micro", lit(uniform)).localCheckpoint(true)
+    var trail = cat.select(lit(0).as("round"), col("source"),
+      lit(0L).as("n_batch_docs"), lit(0L).as("mean_nll_micro"),
+      lit(0L).as("excess_micro"), lit(1000000L).as("factor_micro"),
+      lit(uniform).as("w_micro"))
+    for (r <- 1 to rounds) {
+      val b = (r - 1) % nBatches
+      val batchRows = docs.filter(col("batch") === b)
+      val dom = batchRows.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_b"), sum(col("nll_micro")).as("s_b"))
+        .select(col("source"), col("n_b"),
+          expr("(2 * s_b + n_b) DIV (2 * n_b)").cast("long").as("mean_nll_micro"))
+      val bMean = batchRows
+        .agg(count(lit(1)).as("n_all"), sum(col("nll_micro")).as("s_all"))
+        .select(when(col("n_all") === 0L, lit(0L))
+          .otherwise(expr("(2 * s_all + n_all) DIV (2 * n_all)").cast("long"))
+          .as("batch_mean_micro"))
+      val grid = cat.join(dom, Seq("source"), "left")
+        .crossJoin(broadcast(bMean))
+        .select(col("source"),
+          coalesce(col("n_b"), lit(0L)).as("n_batch_docs"),
+          coalesce(col("mean_nll_micro"), col("batch_mean_micro")).as("mean_nll_micro"),
+          greatest(lit(0L),
+            coalesce(col("mean_nll_micro"), col("batch_mean_micro"))
+              - col("batch_mean_micro")).as("excess_micro"))
+      val mx = grid.agg(max(col("excess_micro")).as("max_excess"))
+      val upd = grid.crossJoin(broadcast(mx))
+        .withColumn("factor_micro",
+          floor(lit(1000000.0) *
+            exp(lit(eta) *
+              (col("excess_micro") - col("max_excess")).cast("double") / lit(1000000.0))
+            + lit(0.5)).cast("long"))
+      val raw = w.join(upd, Seq("source"))
+        .withColumn("w_raw", col("w_micro") * col("factor_micro"))
+      val tot = raw.agg(sum(col("w_raw")).as("w_tot"))
+      w = raw.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_batch_docs"), col("mean_nll_micro"),
+          col("excess_micro"), col("factor_micro"),
+          expr(s"(((2 * 1000000 * w_raw + w_tot) DIV (2 * w_tot))" +
+            s" * ${1000000L - smoothMicro}L + ${smoothMicro}L * ${uniform}L) DIV 1000000")
+            .cast("long").as("w_micro"))
+        .localCheckpoint(true) // |sources| rows; next round's register + the trail
+      trail = trail.unionByName(w.withColumn("round", lit(r))
+        .select(col("round"), col("source"), col("n_batch_docs"),
+          col("mean_nll_micro"), col("excess_micro"), col("factor_micro"),
+          col("w_micro")))
+      w = w.select(col("source"), col("w_micro"))
+    }
+    trail
+  }
 }

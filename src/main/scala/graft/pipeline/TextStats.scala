@@ -1623,6 +1623,29 @@ object TextStats {
       maxGlobalWindowDocs: Long = 2000000L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val perDoc = ccnetDocScores(df, idCol, textCol, sourceCol, refSource, oovLpMicro)
+      .localCheckpoint(true) // two jobs: the dispatch count and the ranked chain
+    val n = perDoc.count()
+    val ord = Seq(col("avg_lp_micro").desc, col(idCol).asc)
+    ccnetRankTail(perDoc, idCol, n, ord, maxGlobalWindowDocs)
+  }
+
+  /** The t45 reference-LM scorer half of [[ccnetTertiles]], shared with dc29's
+    * DoReMi loop ([[graft.pipeline.Sampling.doremiMixWeights]]): per document,
+    * the bigram count and the average stupid-backoff log-score in exact
+    * micro-nats against the `refSource`-trained model. One rendition — the
+    * CTE chain, the quantization, and the OOV rule can never drift between
+    * the tertile split and the mix loop.
+    */
+  private[graft] def ccnetDocScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      refSource: String,
+      oovLpMicro: Long = -20000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val alpha = 0.4 // Brants et al. 2007's backoff constant, shared with the oracle
     val toks = tokens(df, idCol, textCol)
       .localCheckpoint(true) // two consumers: the bigram window and reference unigrams
@@ -1668,15 +1691,25 @@ object TextStats {
       .select(col(idCol), col("tf"), lp.as("lp_micro"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("lp_micro")).as("sum_lp"))
-    val perDoc = df.select(col(idCol)).join(scored, Seq(idCol), "left")
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(col("n_bigrams").isNull, lit(oovLpMicro))
           .otherwise(floor(col("sum_lp").cast("double") / col("n_bigrams").cast("double")
             + lit(0.5)).cast("long")).as("avg_lp_micro"))
-      .localCheckpoint(true) // two jobs: the dispatch count and the ranked chain
-    val n = perDoc.count()
-    val ord = Seq(col("avg_lp_micro").desc, col(idCol).asc)
+  }
+
+  /** The tertile-ranking tail of [[ccnetTertiles]] over a checkpointed
+    * [[ccnetDocScores]] relation — split out so the scorer stays reusable.
+    */
+  private def ccnetRankTail(
+      perDoc: DataFrame,
+      idCol: String,
+      n: Long,
+      ord: Seq[Column],
+      maxGlobalWindowDocs: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ranked =
       if (n <= maxGlobalWindowDocs)
         perDoc.withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))

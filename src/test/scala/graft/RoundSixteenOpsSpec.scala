@@ -150,6 +150,35 @@ class RoundSixteenOpsSpec extends SparkSpec {
         s"only-fresh ${fresh.diff(compacted).take(5)}")
   }
 
+  test("dc29: a planted over-represented domain's weight falls; a high-headroom domain's rises") {
+    import graft.pipeline.Sampling
+    // "ref" trains the reference LM; "dup" is verbatim copies of ref content
+    // (the model predicts it perfectly -> no excess loss -> DoReMi downweights,
+    // the published behavior on memorized/duplicated domains); "fresh" is
+    // out-of-vocabulary text (maximal excess -> upweighted)
+    val refText = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val rows =
+      (1L to 8L).map(i => (i, refText, "ref")) ++
+        (11L to 18L).map(i => (i, refText, "dup")) ++
+        (21L to 28L).map(i => (i, s"zxqv blorp wug${i} flim glorb snib quax vorn trelm dask", "fresh"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val trail = Sampling.doremiMixWeights(df, "doc_id", "text", "source",
+        refSource = "ref", rounds = 4, nBatches = 2,
+        etaMicro = 500000L, smoothMicro = 100000L)
+      .collect()
+    val uniform = 1000000L / 3
+    val last = trail.filter(_.getAs[Int]("round") == 4)
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_micro")).toMap
+    assert(last("dup") < uniform,
+      s"the duplicated domain must be downweighted from uniform $uniform: $last")
+    assert(last("fresh") > uniform,
+      s"the OOV domain must be upweighted from uniform $uniform: $last")
+    assert(last("dup") > 0L, s"smoothing must keep every domain revivable: $last")
+    // round 0 carries the uniform start for every domain
+    val r0 = trail.filter(_.getAs[Int]("round") == 0).map(_.getAs[Long]("w_micro")).distinct
+    assert(r0.toSeq == Seq(uniform), r0.mkString(","))
+  }
+
   test("s39: zero-norm vectors are excluded from the current-mean census") {
     val dims = 4
     def vec(xs: Double*) = xs.toArray
