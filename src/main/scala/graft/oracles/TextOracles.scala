@@ -146,6 +146,31 @@ private[graft] object TextOracles extends OracleFragments {
           buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro),
         buckets = LrBuckets, nBins = CalibrationBins)
     }),
+    // SentencePiece-style unigram trainer in its hard-EM/Viterbi form:
+    // substring-seeded candidate vocab, per-round Viterbi segmentation of the
+    // word-frequency dictionary, count-based re-estimation, coverage-safe prune
+    "t52_unigram_train" -> ((s: SparkSession, dir: String) =>
+      TextStats.unigramTrain(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", rounds = UnigramRounds, maxPieceLen = UnigramMaxPieceLen,
+        seedVocab = UnigramSeedVocab, vocabTarget = UnigramVocabTarget,
+        floorLpMicro = UnigramFloorLpMicro)),
+    // the trained vocabulary persisted, reloaded, and used to Viterbi-price
+    // every document (the t26 artifact round-trip discipline)
+    "t53_unigram_encode" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-uni-vocab")
+      try {
+        val path = scratch.toString + "/vocab"
+        TextStats.uniSaveVocab(
+          TextStats.unigramTrain(docs, "doc_id", "text",
+            rounds = UnigramRounds, maxPieceLen = UnigramMaxPieceLen,
+            seedVocab = UnigramSeedVocab, vocabTarget = UnigramVocabTarget,
+            floorLpMicro = UnigramFloorLpMicro), path)
+        val vocab = TextStats.uniLoadVocab(s, path).localCheckpoint(true)
+        TextStats.unigramEncodeWith(docs, "doc_id", "text", vocab,
+          maxPieceLen = UnigramMaxPieceLen, floorLpMicro = UnigramFloorLpMicro)
+      } finally deleteRecursively(scratch)
+    }),
     "t45_ccnet_tertiles" -> ((s: SparkSession, dir: String) =>
       TextStats.ccnetTertiles(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source", refSource = DsirTargetSource,
@@ -256,6 +281,91 @@ private[graft] object TextOracles extends OracleFragments {
          |       lang,
          |       CAST(CASE WHEN s_zh > b3s THEN 'zh' ELSE b3 END = lang AS INTEGER) AS correct
          |FROM f3""".stripMargin
+
+  /** One Viterbi E-step as a recursive forward-DP + backtrack CTE pair over
+    * `dict` under the vocab CTE `vsrc` (piece, lp): `fwd$i` carries the growing
+    * dp list per token (dps[k] = best score of the first k−1 chars), `bt$i`
+    * walks back from the end taking the SMALLEST start achieving the optimum
+    * (= the longest piece — the tie-break TextStats.uniPath pins). Ends at
+    * `bt$i` (token, cnt, pos, piece).
+    */
+  private def unigramViterbiPair(i: Int, vsrc: String): String = {
+    val ml = UnigramMaxPieceLen
+    // the vocab rides as a 1-row MAP cross-joined into each recursion step, and
+    // the per-position max/argmin are list folds — NOT correlated scalar
+    // subqueries: DuckDB 1.0 silently returns NULL from a correlated subquery
+    // inside a recursive CTE whenever that CTE (or a consumer of it) is
+    // MATERIALIZED, and without materialization the nested per-round vocab
+    // chains re-evaluate exponentially. The map form is immune to both.
+    s"""vk$i AS (SELECT MAP(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m
+       |         FROM $vsrc),
+       |fwd$i(token, cnt, pos, dps) AS (
+       |  SELECT token, cnt, 0, [CAST(0 AS BIGINT)] FROM dict
+       |  UNION ALL
+       |  SELECT token, cnt, pos + 1,
+       |    list_append(dps, list_aggregate(list_transform(
+       |      generate_series(GREATEST(1, f.pos + 2 - $ml), f.pos + 1),
+       |      s -> f.dps[s] + vk$i.m[substr(f.token, s, f.pos + 2 - s)][1]), 'max'))
+       |  FROM fwd$i f CROSS JOIN vk$i WHERE pos < len(token)),
+       |fin$i AS (SELECT token, cnt, dps FROM fwd$i WHERE pos = len(token)),
+       |bt$i(token, cnt, pos, dps, piece) AS (
+       |  SELECT token, cnt, len(token), dps, NULL::VARCHAR FROM fin$i
+       |  UNION ALL
+       |  SELECT b.token, b.cnt, sstar - 1, b.dps,
+       |    substr(b.token, sstar, b.pos - sstar + 1)
+       |  FROM (
+       |    SELECT b.*, list_aggregate(list_filter(list_transform(
+       |      generate_series(GREATEST(1, b.pos - $ml + 1), b.pos),
+       |      s -> CASE WHEN b.dps[s] + vk$i.m[substr(b.token, s, b.pos - s + 1)][1]
+       |                     = b.dps[b.pos + 1] THEN s END),
+       |      x -> x IS NOT NULL), 'min') AS sstar
+       |    FROM bt$i b CROSS JOIN vk$i WHERE b.pos > 0) b)""".stripMargin
+  }
+
+  /** One M-step + prune: counts from `bt$i`, top-`keepMulti` multi-char pieces
+    * (count desc, piece asc), all corpus single chars kept (unused ones at the
+    * pinned floor), log-probs over the kept mass — mirror of TextStats.uniKept.
+    */
+  private def unigramPrune(i: Int, countsCte: String, keepMulti: Int): String =
+    s"""mul$i AS (SELECT piece, n_uses FROM (
+       |    SELECT piece, n_uses, row_number() OVER (ORDER BY n_uses DESC, piece) AS rk
+       |    FROM $countsCte WHERE len(piece) > 1) WHERE rk <= $keepMulti),
+       |kept$i AS (SELECT c.piece, COALESCE(u.n_uses, 0) AS n_uses
+       |           FROM charset c LEFT JOIN (SELECT piece, n_uses FROM $countsCte
+       |                                     WHERE len(piece) = 1) u ON u.piece = c.piece
+       |           UNION ALL SELECT piece, n_uses FROM mul$i),
+       |v$i AS MATERIALIZED (SELECT piece, n_uses,
+       |          CASE WHEN n_uses > 0 THEN
+       |            CAST(floor(1000000.0 * ln(n_uses::DOUBLE / tot::DOUBLE) + 0.5) AS BIGINT)
+       |          ELSE $UnigramFloorLpMicro END AS lp
+       |        FROM kept$i CROSS JOIN
+       |          (SELECT CAST(SUM(n_uses) AS BIGINT) AS tot FROM kept$i) t)""".stripMargin
+
+  /** The t52/t53 shared chain: word-frequency dictionary, substring-seeded
+    * candidates, seed prune (v0), then `rounds` unrolled Viterbi/re-estimate/
+    * prune cycles. Ends at `v$rounds` (piece, n_uses, lp).
+    */
+  private def unigramCtes(rounds: Int): String = {
+    val ml = UnigramMaxPieceLen
+    val roundBlocks = (1 to rounds).map { r =>
+      s"""${unigramViterbiPair(r, s"v${r - 1}")},
+         |cnt$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses
+         |          FROM bt$r WHERE piece IS NOT NULL GROUP BY 1),
+         |${unigramPrune(r, s"cnt$r", UnigramVocabTarget)}""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dict AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM toks WHERE len(token) >= 1 GROUP BY 1),
+       |sub1 AS (SELECT token, cnt, unnest(generate_series(1, len(token))) AS s FROM dict),
+       |sub2 AS (SELECT cnt, substr(token, s, e - s + 1) AS piece
+       |         FROM (SELECT token, cnt, s,
+       |                 unnest(generate_series(s, least(len(token), s + $ml - 1))) AS e
+       |               FROM sub1)),
+       |cands AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses FROM sub2 GROUP BY 1),
+       |charset AS (SELECT piece FROM cands WHERE len(piece) = 1),
+       |${unigramPrune(0, "cands", UnigramSeedVocab)},
+       |$roundBlocks""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -860,6 +970,27 @@ private[graft] object TextOracles extends OracleFragments {
          |    AS kept
          |FROM ($gopherQualitySql) q JOIN ($gopherRepetitionSql) r USING (doc_id)""".stripMargin,
 
+
+    // unigram trainer: substring-seeded vocab, per-round Viterbi forward DP +
+    // smallest-start backtrack (recursive CTEs carrying the dp list), exact
+    // count re-estimation, coverage-safe prune — mirror of TextStats.unigramTrain
+    "t52_unigram_train" ->
+      s"""WITH RECURSIVE ${unigramCtes(UnigramRounds)}
+         |SELECT piece, n_uses, lp AS lp_micro FROM v$UnigramRounds""".stripMargin,
+
+    // the trained vocab Viterbi-pricing every document (t26 round-trip: integer
+    // micro-nats survive parquet bit-exactly, so the mirror replays in-session)
+    "t53_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramCtes(UnigramRounds)},
+         |${unigramViterbiPair(UnigramRounds + 1, s"v$UnigramRounds")},
+         |nsym AS (SELECT token, CAST(COUNT(piece) AS BIGINT) AS n_sym
+         |         FROM bt${UnigramRounds + 1} WHERE piece IS NOT NULL GROUP BY 1),
+         |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks WHERE len(token) >= 1 GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |FROM dtf JOIN nsym USING (token) GROUP BY 1""".stripMargin,
 
     // CCNet perplexity tertiles: stupid-backoff bigram LM trained on the
     // reference source only, every document scored against it (seen-bigram /

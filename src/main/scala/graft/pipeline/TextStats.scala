@@ -765,6 +765,220 @@ object TextStats {
     bpePrice(tf, repr, idCol)
   }
 
+  // ---- t52/t53: unigram-LM (SentencePiece-style) tokenizer ----
+
+  /** The (doc, token, tf) relation for the unigram family — [[bpeTf]] without
+    * the BPE separator exclusion ('|' is an ordinary character to a substring
+    * vocabulary). One corpus pass, checkpointed: the dictionary rollup and the
+    * per-doc pricing join both read it.
+    */
+  private def uniTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .filter(length(col("token")) >= 1)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+
+  /** Piece log-prob lookup under a LITERAL vocab map, with the single-char UNK
+    * fallback (SentencePiece's coverage rule: every single character scores —
+    * trained charsets cover the training corpus, so the fallback only fires on
+    * unseen characters at encode time). ONE rendition shared by the DP, the
+    * backtrack, and the encoder — the tie conditions can never drift.
+    */
+  private def uniLp(m: Column, piece: Column, floorLpMicro: Long): Column =
+    coalesce(element_at(m, piece),
+      when(length(piece) === 1, lit(floorLpMicro)))
+
+  /** Viterbi forward scores per token: dps(k) = best Σ lp over segmentations of
+    * the first k−1 characters (dps(1) = 0), each step maximizing over pieces of
+    * length ≤ maxPieceLen ending at that character — a codegen'd higher-order
+    * fold, no UDF, no shuffle (the published unigram-LM Viterbi, Kudo 2018 §3).
+    */
+  private def uniDps(tok: Column, m: Column, maxPieceLen: Int, floorLpMicro: Long): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(array_max(transform(
+        sequence(greatest(lit(1), i - maxPieceLen + 1), i),
+        s => element_at(acc, s) + uniLp(m, tok.substr(s, i - s + lit(1)), floorLpMicro))))))
+
+  /** The Viterbi PATH over a precomputed [[uniDps]] column: walk from the end,
+    * at each position taking the SMALLEST start achieving the optimum (= the
+    * longest piece — the deterministic tie-break the oracle mirrors), emitting
+    * the pieces in reverse document order (order is irrelevant to counts).
+    */
+  private def uniPath(
+      tok: Column, dps: Column, m: Column, maxPieceLen: Int, floorLpMicro: Long): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      struct(length(tok).cast("int").as("p"), typedlit(Seq.empty[String]).as("ps")),
+      (acc, _) => {
+        val p = acc.getField("p")
+        val sStar = array_min(filter(
+          transform(sequence(greatest(lit(1), p - maxPieceLen + 1), p),
+            s => when(element_at(dps, s)
+              + uniLp(m, tok.substr(s, p - s + lit(1)), floorLpMicro)
+              === element_at(dps, p + 1), s)),
+          x => x.isNotNull))
+        when(p === 0, acc).otherwise(
+          struct((sStar - 1).cast("int").as("p"),
+            concat(acc.getField("ps"),
+              array(tok.substr(sStar, p - sStar + lit(1)))).as("ps")))
+      },
+      acc => acc.getField("ps"))
+
+  /** Close a round: keep ALL corpus single characters (the coverage guarantee —
+    * a Viterbi path must always exist) plus the top `keepMulti` multi-character
+    * pieces by use count (count desc, piece asc — a total order), then re-score:
+    * lp = ⌊10⁶·ln(n/Σn)+0.5⌋ micro-nats over the KEPT mass, unused survivors at
+    * the pinned floor (ln(0) has no finite value; the floor is the mirrored
+    * convention, like t45's OOV penalty).
+    */
+  private def uniKept(
+      counts: DataFrame,
+      charset: DataFrame,
+      keepMulti: Int,
+      floorLpMicro: Long
+  ): DataFrame = {
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("n_uses").desc, col("piece").asc)
+      .limit(keepMulti) // bounded top-N (heap per partition), never a global sort
+    val singles = charset
+      .join(counts.filter(length(col("piece")) === 1), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))
+    val kept = singles.unionByName(multi.select(col("piece"), col("n_uses")))
+      .localCheckpoint(true) // vocab-sized; the total and the rows both read it
+    val tot = kept.agg(sum(col("n_uses")).as("tot"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_uses"),
+        when(col("n_uses") > 0,
+          floor(lit(1000000.0)
+            * log(col("n_uses").cast("double") / col("tot").cast("double"))
+            + lit(0.5)).cast("long"))
+          .otherwise(lit(floorLpMicro)).as("lp_micro"))
+  }
+
+  /** Collect a vocab relation into the literal map the DP folds consume — a
+    * bounded tokenizer-artifact collect (≤ seed-vocab + charset rows), the
+    * [[bpeEncodeWith]] discipline.
+    */
+  private def uniVocabMap(vocab: DataFrame): Column =
+    typedlit(vocab.select(col("piece"), col("lp_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** t52 — UNIGRAM-LM tokenizer trainer (the SentencePiece complement to
+    * t24–t26's BPE; Kudo 2018, "Subword Regularization", §3.2's trainer in its
+    * hard-EM/Viterbi form): seed a bounded candidate-piece vocabulary from
+    * occurrence-weighted substring counts (the published frequent-substring
+    * seeding), then per round (E) Viterbi-segment the word-frequency dictionary
+    * under the current piece log-probs and count piece uses weighted by word
+    * frequency, (M) re-estimate log-probs from the counts, and PRUNE to the
+    * target vocabulary — single characters never pruned (the coverage
+    * guarantee), multi-character pieces kept by use count. Viterbi (hard-EM)
+    * replaces the paper's forward–backward expectations: it is the same
+    * algorithm SentencePiece serves inference with, keeps every count an exact
+    * integer, and makes the loop oracle-replayable (the d05/g27
+    * bounded-fixpoint discipline — soft-EM's float expectations would not
+    * cross engines bit-exactly).
+    *
+    * Output: the trained vocabulary (piece, n_uses, lp_micro) — the artifact
+    * [[unigramEncodeWith]] prices corpora with (persist via
+    * [[uniSaveVocab]]/[[uniLoadVocab]]; integer micro-nats round-trip parquet
+    * bit-exactly, the t26/s24 discipline).
+    *
+    * Scale shape: the corpus collapses ONCE to the word-frequency dictionary
+    * (the same structure the BPE trainer iterates over); seeding explodes
+    * dictionary tokens into ≤ len·maxPieceLen substrings folded map-side to
+    * piece counts with a bounded top-N keep; each round is one dictionary-sized
+    * map pass (two codegen'd folds per distinct token, O(len·maxPieceLen) map
+    * probes against the broadcast literal vocab) + one map-side-combinable
+    * count rollup. The per-round vocab collect is tokenizer-artifact-sized by
+    * construction.
+    */
+  def unigramTrain(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int = 2,
+      maxPieceLen: Int = 5,
+      seedVocab: Int = 300,
+      vocabTarget: Int = 120,
+      floorLpMicro: Long = -20000000L
+  ): DataFrame = {
+    require(rounds >= 1, s"unigramTrain: rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 2, s"unigramTrain: maxPieceLen must be >= 2, got $maxPieceLen")
+    val dict = uniTf(df, idCol, textCol)
+      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(true) // every round re-reads the dictionary, never the corpus
+    val tok = col("token")
+    val subs = flatten(transform(
+      sequence(lit(1), length(tok)),
+      s => transform(
+        sequence(s, least(length(tok), s + maxPieceLen - 1)),
+        e => tok.substr(s, e - s + lit(1)))))
+    val cands = dict.select(col("cnt"), explode(subs).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_uses"))
+      .localCheckpoint(true) // two consumers: the charset and the seed keep
+    val charset = cands.filter(length(col("piece")) === 1).select(col("piece"))
+      .localCheckpoint(true)
+    require(!charset.isEmpty, "unigramTrain: empty dictionary — no tokens to train on")
+    var vocab = uniKept(cands, charset, seedVocab, floorLpMicro).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val m = uniVocabMap(vocab)
+      val counts = dict
+        .withColumn("dps", uniDps(tok, m, maxPieceLen, floorLpMicro))
+        .select(col("cnt"),
+          explode(uniPath(tok, col("dps"), m, maxPieceLen, floorLpMicro)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n_uses"))
+      vocab = uniKept(counts, charset, vocabTarget, floorLpMicro).localCheckpoint(true)
+    }
+    vocab
+  }
+
+  /** Persist a trained unigram vocabulary ([[unigramTrain]] output) — the
+    * tokenizer artifact, one small file like [[bpeSaveMerges]].
+    */
+  def uniSaveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def uniLoadVocab(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** t53 — unigram ENCODING with a trained/loaded vocabulary: price every
+    * document in Viterbi-segmented pieces (the SentencePiece inference step —
+    * the same DP and tie-breaks as training, one shared rendition). Output per
+    * doc: whitespace-token count, character count, piece count — the
+    * [[bpeEncodeWith]] shape, so packing/budgeting consumers compose unchanged.
+    * Unseen single characters score the pinned floor (the UNK coverage rule);
+    * encoding a corpus with its own trained vocabulary never exercises it.
+    *
+    * Scale shape: each DISTINCT token is segmented once (dictionary-sized DP
+    * pass against the broadcast literal vocab); per-doc totals are the tf
+    * equi-join + one map-side-combinable rollup — the t25 pricing path.
+    */
+  def unigramEncodeWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 5,
+      floorLpMicro: Long = -20000000L
+  ): DataFrame = {
+    val tf = uniTf(df, idCol, textCol)
+    val m = uniVocabMap(vocab)
+    val tok = col("token")
+    val nSym = tf.select(tok).distinct()
+      .withColumn("dps", uniDps(tok, m, maxPieceLen, floorLpMicro))
+      .select(tok,
+        size(uniPath(tok, col("dps"), m, maxPieceLen, floorLpMicro)).as("n_sym"))
+    tf
+      .join(nSym, "token")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(col("token"))).as("n_chars"),
+        sum(col("tf") * col("n_sym")).as("n_syms"))
+  }
+
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text
     * signal (natural prose sits near the language's typical bits/char; random bytes
     * score high, repeated filler scores low). Terms are pinned to integer micro-bits

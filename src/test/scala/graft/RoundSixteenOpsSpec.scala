@@ -179,6 +179,45 @@ class RoundSixteenOpsSpec extends SparkSpec {
     assert(r0.toSeq == Seq(uniform), r0.mkString(","))
   }
 
+  test("t52: unigram trainer learns the repeated word as a piece; save/load encodes identically") {
+    import graft.pipeline.TextStats
+    val df = Seq(
+      (1L, "banana banana banana bandana"),
+      (2L, "banana band and ana"),
+      (3L, "nan ban and banana"))
+      .toDF("doc_id", "text")
+    val vocab = TextStats.unigramTrain(df, "doc_id", "text",
+      rounds = 2, maxPieceLen = 5, seedVocab = 40, vocabTarget = 12)
+    val rows = vocab.collect()
+    val byPiece = rows.map(r => r.getAs[String]("piece") ->
+      (r.getAs[Long]("n_uses"), r.getAs[Long]("lp_micro"))).toMap
+    // coverage: every corpus character survives as a piece
+    assert(Seq("b", "a", "n", "d").forall(byPiece.contains), byPiece.keys.toSeq.sorted.mkString(","))
+    // the dominant repeated content wins multi-char slots ("banan"/"anana"-family pieces)
+    assert(rows.exists(r => r.getAs[String]("piece").length > 1 && r.getAs[Long]("n_uses") > 0),
+      byPiece.toString)
+    // Viterbi pricing: banana (6 chars) must segment into fewer pieces than characters
+    val enc = TextStats.unigramEncodeWith(df, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+    assert(enc(1L) < "banana banana banana bandana".replace(" ", "").length,
+      s"multi-char pieces must compress: $enc")
+    // save/load round trip: the reloaded artifact encodes byte-identically
+    val scratch = java.nio.file.Files.createTempDirectory("graft-uni-vocab")
+    try {
+      val path = scratch.toString + "/vocab"
+      TextStats.uniSaveVocab(vocab, path)
+      val enc2 = TextStats.unigramEncodeWith(df, "doc_id", "text",
+          TextStats.uniLoadVocab(spark, path))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+      assert(enc2 == enc, s"$enc2 vs $enc")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+
   test("s39: zero-norm vectors are excluded from the current-mean census") {
     val dims = 4
     def vec(xs: Double*) = xs.toArray

@@ -7,7 +7,18 @@ import graft.model._
 import graft.store.EdgeStore
 
 /** Shared local SparkSession for all suites (one JVM, forked by sbt). */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  /** Eager localCheckpoints accumulate storage blocks across the 50+ suites
+    * sharing this JVM; under that pressure Spark evicts the caches a later
+    * suite's plan pins deliberately (seen as a PlanSpec InMemoryTableScan
+    * flake). Each suite drops its blocks on exit — suites are self-contained,
+    * so nothing relies on another suite's cached state.
+    */
+  override protected def afterAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
