@@ -218,6 +218,21 @@ class RoundSixteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("dc29/t52: the returned loop artifacts ride checkpoints — zero parquet re-scans") {
+    import graft.pipeline.{Sampling, TextStats}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val trail = Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+      refSource = "src0", rounds = 2, nBatches = 2)
+    val pTrail = trail.queryExecution.executedPlan.toString
+    assert(!pTrail.contains("FileScan"),
+      s"the dc29 trajectory must read checkpointed registers, not re-scan the corpus:\n$pTrail")
+    val vocab = TextStats.unigramTrain(docs, "doc_id", "text",
+      rounds = 1, maxPieceLen = 5, seedVocab = 20, vocabTarget = 10)
+    val pVocab = vocab.queryExecution.executedPlan.toString
+    assert(!pVocab.contains("FileScan"),
+      s"the t52 vocabulary must read checkpointed rounds, not re-scan the corpus:\n$pVocab")
+  }
+
   test("s39: zero-norm vectors are excluded from the current-mean census") {
     val dims = 4
     def vec(xs: Double*) = xs.toArray
