@@ -1037,7 +1037,14 @@ private[graft] trait OracleFragments extends OracleParams {
   /** [[bpeEncodeCtes]] over an arbitrary source CTE/table — dc13 trains and
     * prices the tokenizer on the decontaminated pool through the same chain.
     */
-  protected def bpeEncodeCtesFrom(src: String): String = {
+  protected def bpeEncodeCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src),
+       |${bpeEncodeCtesOverToks()}""".stripMargin
+
+  /** The BPE chain over an ALREADY-DEFINED `toks` CTE — t54 shares one toks
+    * between the BPE and unigram chains in a single query.
+    */
+  protected def bpeEncodeCtesOverToks(): String = {
     def roundCtes(i: Int): String = {
       val prev = s"e${i - 1}"
       s"""es$i AS (SELECT list_filter(string_split(repr, '||'), x -> x <> '') AS syms, cnt FROM $prev),
@@ -1051,8 +1058,7 @@ private[graft] trait OracleFragments extends OracleParams {
          |         '|' || (SELECT l FROM em$i) || '||' || (SELECT r FROM em$i) || '|',
          |         '|' || (SELECT l FROM em$i) || (SELECT r FROM em$i) || '|'), repr) AS repr, cnt FROM $prev)""".stripMargin
     }
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src),
-       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+    s"""tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
        |       WHERE length(token) >= 1 AND token NOT LIKE '%|%' GROUP BY 1, 2),
        |wf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
        |e0 AS MATERIALIZED (SELECT token, '||' || array_to_string(

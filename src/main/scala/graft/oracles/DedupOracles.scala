@@ -450,6 +450,14 @@ private[graft] object DedupOracles extends OracleFragments {
         rounds = DoremiRounds, nBatches = DoremiBatches,
         etaMicro = DoremiEtaMicro, smoothMicro = DoremiSmoothMicro,
         oovLpMicro = CcnetOovLpMicro)),
+    // the dc29 weights actuated into per-source epoch budgets (the d26->d28
+    // measure-then-actuate loop closed for the learned mix)
+    "dc30_doremi_plan" -> ((s: SparkSession, dir: String) =>
+      Sampling.doremiMixPlan(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source", refSource = DsirTargetSource,
+        budgetDocs = MixBudgetDocs, rounds = DoremiRounds, nBatches = DoremiBatches,
+        etaMicro = DoremiEtaMicro, smoothMicro = DoremiSmoothMicro,
+        oovLpMicro = CcnetOovLpMicro)),
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
         alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
@@ -1392,6 +1400,81 @@ private[graft] object DedupOracles extends OracleFragments {
        |FROM rows_all, pick""".stripMargin
   }
 
+  /** The dc29/dc30 shared chain: t45 reference-LM per-doc NLL (the ccnet score
+    * CTEs), t43 hash-batch stamps, the uniform start w0, and DoremiRounds
+    * unrolled EG rounds — ends at `w$DoremiRounds` (source, n_b, mean_nll,
+    * excess, factor, w) with `cat`/`kk` still in scope.
+    */
+  private lazy val doremiChainCtes: String = {
+    val eta = DoremiEtaMicro.toDouble / 1000000.0
+    val keepMicro = 1000000L - DoremiSmoothMicro
+    def roundCtes(r: Int): String = {
+      val b = (r - 1) % DoremiBatches
+      s"""dm$r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+         |           CAST((2 * CAST(sum(nll) AS BIGINT) + count(*)) // (2 * count(*))
+         |             AS BIGINT) AS mean_nll
+         |         FROM db WHERE batch = $b GROUP BY 1),
+         |bmn$r AS (SELECT CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST((2 * CAST(sum(nll) AS BIGINT) + count(*)) // (2 * count(*))
+         |              AS BIGINT) END AS bmean
+         |          FROM db WHERE batch = $b),
+         |g$r AS (SELECT cat.source, COALESCE(n_b, 0) AS n_b,
+         |          COALESCE(mean_nll, bmean) AS mean_nll,
+         |          GREATEST(CAST(0 AS BIGINT), COALESCE(mean_nll, bmean) - bmean) AS excess
+         |        FROM cat LEFT JOIN dm$r USING (source) CROSS JOIN bmn$r),
+         |mx$r AS (SELECT MAX(excess) AS mxe FROM g$r),
+         |f$r AS (SELECT g$r.source, n_b, mean_nll, excess,
+         |          CAST(floor(1000000.0 * exp($eta * (excess - mxe)::DOUBLE / 1000000.0)
+         |            + 0.5) AS BIGINT) AS factor
+         |        FROM g$r CROSS JOIN mx$r),
+         |raw$r AS (SELECT f.source, f.n_b, f.mean_nll, f.excess, f.factor,
+         |            wp.w * f.factor AS w_raw
+         |          FROM f$r f JOIN w${r - 1} wp ON wp.source = f.source),
+         |tt$r AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM raw$r),
+         |w$r AS (SELECT source, n_b, mean_nll, excess, factor,
+         |          CAST((((2 * 1000000 * w_raw + w_tot) // (2 * w_tot)) * $keepMicro
+         |            + $DoremiSmoothMicro * uni) // 1000000 AS BIGINT) AS w
+         |        FROM raw$r CROSS JOIN tt$r CROSS JOIN kk)""".stripMargin
+    }
+    s"""base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |big AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+       |        FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |              FROM base)),
+       |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+       |bm AS (SELECT w1, w2, count(*) AS cb FROM big
+       |       WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
+       |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bm GROUP BY 1),
+       |un AS (SELECT token AS w2, count(*) AS cu
+       |       FROM (SELECT unnest(w) AS token FROM base WHERE source = '$DsirTargetSource')
+       |       GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_ref FROM un),
+       |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(tf * CASE
+       |           WHEN cb IS NOT NULL THEN
+       |             CAST(floor(1000000.0 * ln(cb::DOUBLE / cw1::DOUBLE) + 0.5) AS BIGINT)
+       |           WHEN cu IS NOT NULL THEN
+       |             CAST(floor(1000000.0 * ln(0.4 * (cu::DOUBLE / n_ref::DOUBLE)) + 0.5)
+       |               AS BIGINT)
+       |           ELSE $CcnetOovLpMicro END) AS BIGINT) AS sum_lp
+       |       FROM docb
+       |         LEFT JOIN (SELECT bm.w1, bm.w2, cb, cw1 FROM bm JOIN cm USING (w1)) m
+       |           USING (w1, w2)
+       |         LEFT JOIN un USING (w2) CROSS JOIN tot
+       |       GROUP BY 1),
+       |per AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |          CASE WHEN n_bigrams IS NULL THEN $CcnetOovLpMicro
+       |               ELSE CAST(floor(sum_lp::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT)
+       |          END AS avg_lp_micro
+       |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
+       |db AS (SELECT d.source, -per.avg_lp_micro AS nll,
+       |         ${bucketSql("per.doc_id")} % $DoremiBatches AS batch
+       |       FROM per JOIN documents d USING (doc_id)),
+       |cat AS (SELECT DISTINCT source FROM db),
+       |kk AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS uni FROM cat),
+       |w0 AS (SELECT source, uni AS w FROM cat CROSS JOIN kk),
+       |${(1 to DoremiRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dc26_epoch_pack_holdout" -> epochPackHoldoutSql,
     "d39_bloom_sizing" -> bloomSizingSql,
@@ -1509,83 +1592,36 @@ private[graft] object DedupOracles extends OracleFragments {
     // excess over the batch mean, max-shifted exp factors, exact-integer
     // normalize + uniform smoothing — mirror of Sampling.doremiMixWeights
     "dc29_doremi_mix" -> {
-      val eta = DoremiEtaMicro.toDouble / 1000000.0
-      val keepMicro = 1000000L - DoremiSmoothMicro
-      def roundCtes(r: Int): String = {
-        val b = (r - 1) % DoremiBatches
-        s"""dm$r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b,
-           |           CAST((2 * CAST(sum(nll) AS BIGINT) + count(*)) // (2 * count(*))
-           |             AS BIGINT) AS mean_nll
-           |         FROM db WHERE batch = $b GROUP BY 1),
-           |bmn$r AS (SELECT CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-           |            ELSE CAST((2 * CAST(sum(nll) AS BIGINT) + count(*)) // (2 * count(*))
-           |              AS BIGINT) END AS bmean
-           |          FROM db WHERE batch = $b),
-           |g$r AS (SELECT cat.source, COALESCE(n_b, 0) AS n_b,
-           |          COALESCE(mean_nll, bmean) AS mean_nll,
-           |          GREATEST(CAST(0 AS BIGINT), COALESCE(mean_nll, bmean) - bmean) AS excess
-           |        FROM cat LEFT JOIN dm$r USING (source) CROSS JOIN bmn$r),
-           |mx$r AS (SELECT MAX(excess) AS mxe FROM g$r),
-           |f$r AS (SELECT g$r.source, n_b, mean_nll, excess,
-           |          CAST(floor(1000000.0 * exp($eta * (excess - mxe)::DOUBLE / 1000000.0)
-           |            + 0.5) AS BIGINT) AS factor
-           |        FROM g$r CROSS JOIN mx$r),
-           |raw$r AS (SELECT f.source, f.n_b, f.mean_nll, f.excess, f.factor,
-           |            wp.w * f.factor AS w_raw
-           |          FROM f$r f JOIN w${r - 1} wp ON wp.source = f.source),
-           |tt$r AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM raw$r),
-           |w$r AS (SELECT source, n_b, mean_nll, excess, factor,
-           |          CAST((((2 * 1000000 * w_raw + w_tot) // (2 * w_tot)) * $keepMicro
-           |            + $DoremiSmoothMicro * uni) // 1000000 AS BIGINT) AS w
-           |        FROM raw$r CROSS JOIN tt$r CROSS JOIN kk)""".stripMargin
-      }
       def roundSelect(r: Int): String =
         s"""SELECT CAST($r AS INTEGER) AS round, source,
            |  CAST(n_b AS BIGINT) AS n_batch_docs, CAST(mean_nll AS BIGINT) AS mean_nll_micro,
            |  CAST(excess AS BIGINT) AS excess_micro, factor AS factor_micro, w AS w_micro
            |FROM w$r""".stripMargin
-      s"""WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-         |big AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
-         |        FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
-         |              FROM base)),
-         |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
-         |bm AS (SELECT w1, w2, count(*) AS cb FROM big
-         |       WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
-         |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bm GROUP BY 1),
-         |un AS (SELECT token AS w2, count(*) AS cu
-         |       FROM (SELECT unnest(w) AS token FROM base WHERE source = '$DsirTargetSource')
-         |       GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_ref FROM un),
-         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |         CAST(sum(tf * CASE
-         |           WHEN cb IS NOT NULL THEN
-         |             CAST(floor(1000000.0 * ln(cb::DOUBLE / cw1::DOUBLE) + 0.5) AS BIGINT)
-         |           WHEN cu IS NOT NULL THEN
-         |             CAST(floor(1000000.0 * ln(0.4 * (cu::DOUBLE / n_ref::DOUBLE)) + 0.5)
-         |               AS BIGINT)
-         |           ELSE $CcnetOovLpMicro END) AS BIGINT) AS sum_lp
-         |       FROM docb
-         |         LEFT JOIN (SELECT bm.w1, bm.w2, cb, cw1 FROM bm JOIN cm USING (w1)) m
-         |           USING (w1, w2)
-         |         LEFT JOIN un USING (w2) CROSS JOIN tot
-         |       GROUP BY 1),
-         |per AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-         |          CASE WHEN n_bigrams IS NULL THEN $CcnetOovLpMicro
-         |               ELSE CAST(floor(sum_lp::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT)
-         |          END AS avg_lp_micro
-         |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
-         |db AS (SELECT d.source, -per.avg_lp_micro AS nll,
-         |         ${bucketSql("per.doc_id")} % $DoremiBatches AS batch
-         |       FROM per JOIN documents d USING (doc_id)),
-         |cat AS (SELECT DISTINCT source FROM db),
-         |kk AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS uni FROM cat),
-         |w0 AS (SELECT source, uni AS w FROM cat CROSS JOIN kk),
-         |${(1 to DoremiRounds).map(roundCtes).mkString(",\n")}
+      s"""WITH $doremiChainCtes
          |SELECT CAST(0 AS INTEGER) AS round, source, CAST(0 AS BIGINT) AS n_batch_docs,
          |  CAST(0 AS BIGINT) AS mean_nll_micro, CAST(0 AS BIGINT) AS excess_micro,
          |  CAST(1000000 AS BIGINT) AS factor_micro, w AS w_micro FROM w0
          |${(1 to DoremiRounds).map(r => "UNION ALL " + roundSelect(r)).mkString("\n")}""".stripMargin
     },
+
+    // the dc29 loop actuated: final-round learned weights -> per-source epoch
+    // budgets (mixPlan's arithmetic with DoReMi weights) — mirror of
+    // Sampling.doremiMixPlan
+    "dc30_doremi_plan" ->
+      s"""WITH $doremiChainCtes,
+         |cnts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         |wtot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM w$DoremiRounds),
+         |ntot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM cnts)
+         |SELECT w.source, c.n_docs, w.w AS w_micro,
+         |  CAST((w.w * $MixBudgetDocs) // w_tot AS BIGINT) AS target_docs,
+         |  CAST((c.n_docs * $MixBudgetDocs) // n_tot AS BIGINT) AS prop_docs,
+         |  CASE WHEN (w.w * $MixBudgetDocs) // w_tot > (c.n_docs * $MixBudgetDocs) // n_tot
+         |         THEN 'upsample'
+         |       WHEN (w.w * $MixBudgetDocs) // w_tot < (c.n_docs * $MixBudgetDocs) // n_tot
+         |         THEN 'downsample'
+         |       ELSE 'hold' END AS verdict
+         |FROM w$DoremiRounds w JOIN cnts c ON c.source = w.source
+         |CROSS JOIN wtot CROSS JOIN ntot""".stripMargin,
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

@@ -171,6 +171,13 @@ private[graft] object TextOracles extends OracleFragments {
           maxPieceLen = UnigramMaxPieceLen, floorLpMicro = UnigramFloorLpMicro)
       } finally deleteRecursively(scratch)
     }),
+    // the tokenizer-family decision card: trained BPE vs trained unigram on
+    // the same corpus (pieces/token, chars/piece — the s40 card discipline)
+    "t54_tokenizer_card" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenizerCompareCard(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", bpeRounds = BpeMergeRounds, uniRounds = UnigramRounds,
+        maxPieceLen = UnigramMaxPieceLen, seedVocab = UnigramSeedVocab,
+        vocabTarget = UnigramVocabTarget, floorLpMicro = UnigramFloorLpMicro)),
     "t45_ccnet_tertiles" -> ((s: SparkSession, dir: String) =>
       TextStats.ccnetTertiles(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source", refSource = DsirTargetSource,
@@ -991,6 +998,38 @@ private[graft] object TextOracles extends OracleFragments {
          |  CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
          |  CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
          |FROM dtf JOIN nsym USING (token) GROUP BY 1""".stripMargin,
+
+    // the two trained tokenizer families priced on one corpus, one row each —
+    // BPE chain and unigram chain share the toks CTE, totals are 1-row rollups
+    "t54_tokenizer_card" ->
+      s"""WITH RECURSIVE ${unigramCtes(UnigramRounds)},
+         |${unigramViterbiPair(UnigramRounds + 1, s"v$UnigramRounds")},
+         |nsym AS (SELECT token, CAST(COUNT(piece) AS BIGINT) AS n_sym
+         |         FROM bt${UnigramRounds + 1} WHERE piece IS NOT NULL GROUP BY 1),
+         |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks WHERE len(token) >= 1 GROUP BY 1, 2),
+         |${bpeEncodeCtesOverToks()},
+         |ub AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
+         |         CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |       FROM dtf JOIN nsym USING (token)),
+         |bb AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+         |         CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |       FROM tf JOIN enc USING (token))
+         |SELECT 'bpe' AS tokenizer, n_tokens, n_chars, n_syms,
+         |  CAST((2 * 1000000 * n_syms + n_tokens) // (2 * n_tokens) AS BIGINT)
+         |    AS syms_per_token_micro,
+         |  CAST((2 * 1000000 * n_chars + n_syms) // (2 * n_syms) AS BIGINT)
+         |    AS chars_per_sym_micro
+         |FROM bb
+         |UNION ALL
+         |SELECT 'unigram' AS tokenizer, n_tokens, n_chars, n_syms,
+         |  CAST((2 * 1000000 * n_syms + n_tokens) // (2 * n_tokens) AS BIGINT)
+         |    AS syms_per_token_micro,
+         |  CAST((2 * 1000000 * n_chars + n_syms) // (2 * n_syms) AS BIGINT)
+         |    AS chars_per_sym_micro
+         |FROM ub""".stripMargin,
 
     // CCNet perplexity tertiles: stupid-backoff bigram LM trained on the
     // reference source only, every document scored against it (seen-bigram /

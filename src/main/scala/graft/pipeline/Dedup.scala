@@ -1880,22 +1880,24 @@ object Dedup {
     * was BUILT with computes positions mod the wrong width, so true duplicates
     * silently screen out as bloom negatives — a false-negative breach of the
     * "provably novel" contract. [[exactBloomBits]] stamps its build width on
-    * the artifact; every probe calls this first and fails loudly on mismatch.
-    * Cost: one artifact-sized distinct (≤ mBits rows, never the corpus) —
-    * the retrainTrigger bounded-aggregate discipline. A legacy width-less bit
-    * relation passes unchecked (the caller's consistency is then on them, as
-    * before the stamp existed).
+    * the artifact; the probes verify it as a codegen'd `raise_error` guard
+    * INSIDE the existing screen join — zero extra jobs (an eager distinct
+    * here measured +0.5 s of pure job overhead per probe at sf0.1), and any
+    * mismatched row still fails the action loudly before a single verdict is
+    * emitted. A legacy width-less bit relation passes unchecked (the caller's
+    * consistency is then on them, as before the stamp existed).
     */
   private def requireBitsWidth(bits: DataFrame, mBits: Int): DataFrame =
     if (!bits.columns.contains("m_bits")) bits
-    else {
-      val ws = bits.select(col("m_bits")).distinct().collect().map(_.getLong(0))
-      require(ws.length <= 1 && ws.forall(_ == mBits.toLong),
-        s"bloom bit-set width mismatch: probing at mBits=$mBits but the artifact " +
-          s"was built at [${ws.mkString(", ")}] — positions would be computed mod " +
-          "the wrong width and true duplicates would silently screen out")
-      bits.drop("m_bits")
-    }
+    else bits.select(
+      when(col("m_bits") === lit(mBits.toLong), col("pos"))
+        .otherwise(raise_error(concat(
+          lit(s"bloom bit-set width mismatch: probing at mBits=$mBits but the " +
+            "artifact was built at "),
+          col("m_bits").cast("string"),
+          lit(" — positions would be computed mod the wrong width and true " +
+            "duplicates would silently screen out"))))
+        .as("pos"))
 
   /** The 3 bloom bit positions of one content hash, deduped WITHIN the row. */
   private def bloomPositions(h: Column, mBits: Int): Column = {

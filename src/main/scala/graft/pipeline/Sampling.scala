@@ -1125,4 +1125,51 @@ object Sampling {
     }
     trail
   }
+
+  /** dc30 — the dc29 loop ACTUATED (the d26→d28 measure-then-actuate
+    * discipline): the FINAL round's learned weights turned into the concrete
+    * per-source epoch budgets a curation run executes — exactly [[mixPlan]]'s
+    * arithmetic with DoReMi weights in place of temperature weights
+    * (`target_docs` = ⌊w·budget / Σw⌋, `prop_docs` the proportional contrast,
+    * up/down/hold verdict). Feed the output to [[sourceCap]]/[[hashSplit]] or
+    * the [[mixExecute]] admission exactly as a dc04 plan is fed today.
+    *
+    * Scale shape: the dc29 loop (one corpus scoring pass + |sources|-row
+    * rounds) plus one map-side-combinable per-source count and |sources|-row
+    * arithmetic with two 1-row broadcast totals.
+    */
+  def doremiMixPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      refSource: String,
+      budgetDocs: Long = 1000L,
+      rounds: Int = 4,
+      nBatches: Int = 4,
+      etaMicro: Long = 500000L,
+      smoothMicro: Long = 100000L,
+      oovLpMicro: Long = -20000000L
+  ): DataFrame = {
+    val wFinal = doremiMixWeights(df, idCol, textCol, sourceCol, refSource,
+        rounds, nBatches, etaMicro, smoothMicro, oovLpMicro)
+      .filter(col("round") === rounds)
+      .select(col("source"), col("w_micro"))
+      .localCheckpoint(true) // |sources| rows; the total and the plan rows
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val wTot = wFinal.agg(sum(col("w_micro")).as("w_tot"))
+    val nTot = counts.agg(sum(col("n_docs")).as("n_tot"))
+    wFinal.join(counts, Seq("source"))
+      .crossJoin(broadcast(wTot))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        expr(s"(w_micro * ${budgetDocs}L) DIV w_tot").cast("long").as("target_docs"),
+        expr(s"(n_docs * ${budgetDocs}L) DIV n_tot").cast("long").as("prop_docs"))
+      .withColumn("verdict",
+        when(col("target_docs") > col("prop_docs"), "upsample")
+          .when(col("target_docs") < col("prop_docs"), "downsample")
+          .otherwise("hold"))
+  }
 }

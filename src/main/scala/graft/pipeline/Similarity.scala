@@ -2172,13 +2172,17 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      model: DataFrame
+      model: DataFrame,
+      skipZero: Boolean = false
   ): DataFrame = {
     val cents = broadcast(withCentroidNorm(model)
       .select(col("cluster").cast("long").as("cid"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("rid")).orderBy(col("cc").desc, col("cid").asc)
-    df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
+    val base = df.select(col(idCol).as("rid"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
+    // skipZero cuts zero-norm vectors AFTER the one norm fold (a caller-side
+    // pre-filter would recompute the norm — measured +1 s at sf0.1 on s39)
+    (if (skipZero) base.filter(col("nv") > 0) else base)
       .crossJoin(cents)
       .select(col("rid"), col("v"), col("nv"), col("cid"),
         round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cc"))
@@ -2321,12 +2325,12 @@ object Similarity {
     require(model.columns.contains("n_members"),
       "centroidDrift: model has no n_members column — legacy centroid artifact " +
         "(pre-census saveCentroids); retrain with kmeansRounds and re-save")
-    // zero-norm vectors carry no direction: they are excluded BEFORE cell
-    // assignment (the oracle's `WHERE list_dot_product(v,v) > 0` is the same
-    // rule — one shared rendition, not a latent zero-division/NaN-assignment
-    // divergence; kmeansRounds applies the identical cut at training)
-    val cells = assignToCells(
-      corpus.filter(norm2(toDouble(col(vecCol))) > 0), idCol, vecCol, model)
+    // zero-norm vectors carry no direction: they are excluded before the
+    // cosine is formed (the oracle's `WHERE list_dot_product(v,v) > 0` is the
+    // same rule — one shared rendition, not a latent zero-division/
+    // NaN-assignment divergence; kmeansRounds applies the identical cut at
+    // training)
+    val cells = assignToCells(corpus, idCol, vecCol, model, skipZero = true)
     val aggs = count(lit(1)).as("n_now") +:
       (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
     val means = cells.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)

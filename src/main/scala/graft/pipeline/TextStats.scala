@@ -979,6 +979,50 @@ object TextStats {
         sum(col("tf") * col("n_sym")).as("n_syms"))
   }
 
+  /** t54 — the TOKENIZER-FAMILY decision card: the trained BPE (t24/t25) and
+    * the trained unigram-LM (t52/t53) priced on the SAME corpus, one row per
+    * family — total whitespace tokens / characters / emitted pieces, plus
+    * pieces-per-token and chars-per-piece in half-up micro (the s40
+    * serving-recall-card discipline applied to the tokenizer choice: the two
+    * published families, one corpus, one table a pipeline owner reads before
+    * freezing the vocabulary). Each family prices on its own token basis —
+    * BPE excludes '|'-containing tokens (its separator encoding), unigram
+    * does not; identical on any corpus without literal pipes.
+    *
+    * Scale shape: each family's train+encode chain unchanged (dictionary-
+    * sized loops, one corpus tf pass each); the card is two 1-row rollups.
+    * The micro ratios overflow int64 past ~4·10¹² pieces — at that scale lift
+    * the two products to DecimalType (documented knob, same as s33).
+    */
+  def tokenizerCompareCard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpeRounds: Int = 4,
+      uniRounds: Int = 2,
+      maxPieceLen: Int = 5,
+      seedVocab: Int = 300,
+      vocabTarget: Int = 120,
+      floorLpMicro: Long = -20000000L
+  ): DataFrame = {
+    def card(name: String, enc: DataFrame): DataFrame =
+      enc.agg(
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_syms")).as("n_syms"))
+        .select(lit(name).as("tokenizer"), col("n_tokens"), col("n_chars"), col("n_syms"),
+          expr("(2 * 1000000 * n_syms + n_tokens) DIV (2 * n_tokens)").cast("long")
+            .as("syms_per_token_micro"),
+          expr("(2 * 1000000 * n_chars + n_syms) DIV (2 * n_syms)").cast("long")
+            .as("chars_per_sym_micro"))
+    card("bpe", bpeEncode(df, idCol, textCol, bpeRounds))
+      .unionByName(card("unigram",
+        unigramEncodeWith(df, idCol, textCol,
+          unigramTrain(df, idCol, textCol, uniRounds, maxPieceLen, seedVocab,
+            vocabTarget, floorLpMicro),
+          maxPieceLen, floorLpMicro)))
+  }
+
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text
     * signal (natural prose sits near the language's typical bits/char; random bytes
     * score high, repeated filler scores low). Terms are pinned to integer micro-bits

@@ -96,10 +96,15 @@ class RoundSixteenOpsSpec extends SparkSpec {
     val bitsSmall = Dedup.exactBloomBits(idx, mBits = 1 << 10)
     val batch = Seq((10L, "alpha"), (11L, "novel text")).toDF("doc_id", "text")
     val bh = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val ex = intercept[IllegalArgumentException] {
+    // the guard is a codegen'd raise_error inside the screen join (zero extra
+    // jobs), so the mismatch surfaces at the action, before any verdict
+    val ex = intercept[Exception] {
       Dedup.bloomPrefilteredProbeAgainst(bh, "doc_id", idx, bitsSmall, mBits = 1 << 12)
+        .collect()
     }
-    assert(ex.getMessage.contains("width mismatch"), ex.getMessage)
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("width mismatch"), s"$ex")
     // matching widths still screen losslessly: the true duplicate survives
     val ok = Dedup.bloomPrefilteredProbeAgainst(bh, "doc_id", idx, bitsSmall, mBits = 1 << 10)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
