@@ -477,6 +477,14 @@ private[graft] trait OracleParams {
     */
   private[graft] val TunedProbeTargetMicro = 400000L
 
+  /** s44's pinned pooled-recall target for the tuned PREFIX width, placed so
+    * the smallest-sufficient rule picks an interior width on the synthetic
+    * corpus (the sf0.01 pooled curve reads ~0.08/0.08/0.34/1.0 across
+    * 8/16/32/64 — neither the min nor the fallback max), shared by
+    * registration and oracle.
+    */
+  private[graft] val TunedPrefixTargetMicro = 300000L
+
   /** s37's pinned matryoshka prefix widths — the truncation levels the s11
     * coarse stage is priced at, shared by registration and oracle.
     */

@@ -317,6 +317,15 @@ private[graft] object SimilarityOracles extends OracleFragments {
         targetRecallMicro = TunedProbeTargetMicro,
         kCells = 8, trainRounds = IvfPqTrainRounds)
     }),
+    // the s41 loop on the matryoshka dial: one width-fanned coarse shortlist,
+    // curve pooled to exact hits, smallest width meeting the target chosen,
+    // the actuated search = exact rerank of the winning width's shortlist
+    "s44_tuned_prefix" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.tunedPrefixSearch(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", k = 5, prefixLevels = PrefixCurveLevels,
+        targetRecallMicro = TunedPrefixTargetMicro)
+    }),
     // every persisted-index family priced against ONE exact truth on the
     // standard service query set — the serving-tier decision table
     "s40_serving_recall" -> ((s: SparkSession, dir: String) =>
@@ -468,6 +477,56 @@ private[graft] object SimilarityOracles extends OracleFragments {
     * exact full-dimension truth — the s32 curve shape with `prefix_dims` as the
     * dial instead of `n_probe`.
     */
+  /** s44's mirror: the s37 width-fanned coarse relation held at the k·overfetch
+    * shortlist, pooled to exact hit counts (grid-complete), the
+    * smallest-sufficient width chosen, and ONE gated exact rerank of the
+    * chosen width's shortlist — a drifted pick fails the hash.
+    */
+  private lazy val tunedPrefixSql: String = {
+    val levelsSql = PrefixCurveLevels.mkString(", ")
+    val shortCap = 5 * 4 // k · overfetch, the pinned s11 defaults
+    s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM a WHERE vec_id % 50 = 0),
+       |lv AS (SELECT unnest([$levelsSql]) AS prefix_dims),
+       |qp AS (SELECT prefix_dims, query_id, qv[1:prefix_dims] AS qp FROM q, lv
+       |       WHERE list_dot_product(qv[1:prefix_dims], qv[1:prefix_dims]) > 0),
+       |cpr AS (SELECT prefix_dims, vec_id AS neighbor_id, v[1:prefix_dims] AS cp FROM a, lv
+       |        WHERE list_dot_product(v[1:prefix_dims], v[1:prefix_dims]) > 0),
+       |sh AS (SELECT prefix_dims, query_id, neighbor_id, rk FROM (
+       |    SELECT qp.prefix_dims, qp.query_id, cpr.neighbor_id,
+       |           row_number() OVER (PARTITION BY qp.prefix_dims, qp.query_id
+       |             ORDER BY ${cosSql("qp.qp", "cpr.cp")} DESC, cpr.neighbor_id) AS rk
+       |    FROM qp JOIN cpr USING (prefix_dims)
+       |    WHERE cpr.neighbor_id <> qp.query_id)
+       |  WHERE rk <= $shortCap),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN a c WHERE c.vec_id <> query_id)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT prefix_dims, query_id, COUNT(*) AS n_hit
+       |         FROM (SELECT * FROM sh WHERE rk <= 5) s
+       |         SEMI JOIN truth USING (query_id, neighbor_id) GROUP BY 1, 2),
+       |p AS (SELECT lv.prefix_dims, CAST(SUM(COALESCE(h.n_hit, 0)) AS BIGINT) AS hits,
+       |        CAST(COUNT(*) AS BIGINT) AS nq
+       |      FROM q CROSS JOIN lv LEFT JOIN hits h
+       |        ON h.prefix_dims = lv.prefix_dims AND h.query_id = q.query_id
+       |      GROUP BY 1),
+       |pk AS (SELECT COALESCE(
+       |    MIN(CASE WHEN (2 * 1000000 * hits + nq * 5) // (2 * nq * 5)
+       |             >= $TunedPrefixTargetMicro THEN prefix_dims END),
+       |    MAX(prefix_dims)) AS chosen FROM p),
+       |res AS (SELECT s.query_id, s.neighbor_id, ${cosSql("q.qv", "c.v")} AS cos_sim,
+       |          row_number() OVER (PARTITION BY s.query_id
+       |            ORDER BY ${cosSql("q.qv", "c.v")} DESC, s.neighbor_id) AS rank
+       |        FROM sh s JOIN q ON q.query_id = s.query_id JOIN a c ON c.vec_id = s.neighbor_id
+       |        WHERE s.prefix_dims = (SELECT chosen FROM pk))
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank,
+       |  CAST((SELECT chosen FROM pk) AS INTEGER) AS prefix_dims
+       |FROM res WHERE rank <= 5""".stripMargin
+  }
+
   private lazy val prefixCurveSql: String = {
     val levelsSql = PrefixCurveLevels.mkString(", ")
     s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -870,6 +929,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,
     "s37_prefix_recall_curve" -> prefixCurveSql,
+    "s44_tuned_prefix" -> tunedPrefixSql,
     "s38_int8_deleted" -> int8DeletedSql,
     "s36_int8_saved" -> int8SearchSql,
 

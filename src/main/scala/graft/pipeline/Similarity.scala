@@ -1581,6 +1581,106 @@ object Similarity {
           .as("recall_at_k"))
   }
 
+  /** s44 — TUNED-PREFIX search: the s41 measure-then-actuate loop on the OTHER
+    * serving dial — the matryoshka truncation width (s11's `coarseDims`,
+    * priced by the s37 curve). Built single-pass from the start (the lesson
+    * the r15 verdict taught s41): ONE width-fanned coarse shortlist is
+    * computed over one corpus pass (prefixes nest; every width's scores ride
+    * the same pair relation) and checkpointed at k·overfetch rows per
+    * (width, query); the recall curve reads its ≤ k prefix against the exact
+    * truth, pools per width in exact integers, and the SMALLEST width meeting
+    * `targetRecallMicro` wins (largest as fallback — the candidate bill and
+    * the bytes read scale with the width, so smallest-sufficient). The
+    * actuated search then pays ONLY the exact rerank of the winning width's
+    * already-computed shortlist — the s11 two-stage shape with its coarse
+    * stage pre-paid by the curve. Every output row carries `prefix_dims` so
+    * the oracle's gated-UNION mirror fails the hash if the pick drifts.
+    *
+    * Scale shape: the fan-out multiplies only the bounded shortlist relation
+    * (|Q|·|widths|·k·overfetch); queries broadcast at every stage; the pick
+    * is a |widths|-row driver decision (the d26 bounded-collect discipline).
+    * Like s37, the coarse sweep scores |Q|·corpus pairs per width — this op
+    * prices the dial AND serves from the priced relation; a standing serving
+    * tier then runs s11 at the chosen width without the sweep.
+    */
+  def tunedPrefixSearch(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      prefixLevels: Seq[Int] = Seq(8, 16, 32, 64),
+      targetRecallMicro: Long = 400000L,
+      overfetch: Int = 4
+  ): DataFrame = {
+    require(prefixLevels.nonEmpty, "tunedPrefixSearch: no prefix levels")
+    val levels = queries.sparkSession.range(1)
+      .select(explode(array(prefixLevels.map(lit(_)): _*)).as("prefix_dims"))
+    val qs = broadcast(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .crossJoin(broadcast(levels))
+        .withColumn("qp", slice(col("qv"), lit(1), col("prefix_dims")))
+        .withColumn("qpn", norm2(col("qp")))
+        .filter(col("qpn") > 0)
+        .select(col("prefix_dims"), col("query_id"), col("qp"), col("qpn")))
+    val cand = candidates
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(levels))
+      .select(col("prefix_dims"), col("neighbor_id"),
+        slice(col("cv"), lit(1), col("prefix_dims")).as("cp"))
+      .withColumn("cpn", norm2(col("cp")))
+      .filter(col("cpn") > 0)
+    val wCoarse = Window.partitionBy(col("prefix_dims"), col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val shortlist = qs.join(cand, Seq("prefix_dims"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("prefix_dims"), col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qp"), col("cp")), col("qpn"), col("cpn")), 6)
+          .as("pcos"))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= k * overfetch)
+      .localCheckpoint(true) // |Q|·|widths|·k·overfetch; curve + the actuated arm
+    val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = shortlist.filter(col("crk") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("prefix_dims"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val pooled = queries.select(col(idCol).as("query_id")).crossJoin(broadcast(levels))
+      .join(hits, Seq("prefix_dims", "query_id"), "left")
+      .select(col("prefix_dims"), coalesce(col("n_hit"), lit(0L)).as("h"))
+      .groupBy(col("prefix_dims"))
+      .agg(sum(col("h")).as("hits"), count(lit(1)).as("nq"))
+      .select(col("prefix_dims"),
+        expr(s"(2 * 1000000 * hits + nq * $k) DIV (2 * nq * $k)").cast("long")
+          .as("pooled_micro"))
+      .collect() // |widths| rows — bounded by the dial grid, never the data
+    require(pooled.nonEmpty,
+      "tunedPrefixSearch: empty query relation — no pooled curve to actuate")
+    val qualifying = pooled.filter(_.getAs[Long]("pooled_micro") >= targetRecallMicro)
+      .map(_.getAs[Int]("prefix_dims"))
+    val chosen =
+      if (qualifying.nonEmpty) qualifying.min
+      else pooled.map(_.getAs[Int]("prefix_dims")).max
+    val qv = broadcast(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", norm2(col("qv"))))
+    val cv = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist.filter(col("prefix_dims") === chosen)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .withColumn("prefix_dims", lit(chosen))
+  }
+
   /** Product-quantization code assignment: each vector splits into `nSub` contiguous
     * `subDim`-dim subvectors; each subvector is assigned to its nearest of `nCodes`
     * codebook entries by squared L2 — the index-compression step of IVF-PQ ANN (a

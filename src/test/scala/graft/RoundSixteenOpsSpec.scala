@@ -223,6 +223,35 @@ class RoundSixteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s44: smallest-sufficient width wins when the prefix carries the signal; fallback is the max") {
+    // all signal in the first 4 dims: the width-4 coarse order IS the exact
+    // order, so recall@k = 1 at every width and the smallest must win
+    val dims = 16
+    val corpus = (1L to 60L).map { i =>
+      val head = Array.tabulate(4)(d => math.sin(i.toDouble * (d + 1)) + 2.0)
+      (i, head ++ Array.fill(dims - 4)(0.0))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val tuned = Similarity.tunedPrefixSearch(q, corpus, "vec_id", "embedding",
+      k = 3, prefixLevels = Seq(4, 8, 16), targetRecallMicro = 999999L)
+    val widths = tuned.select(col("prefix_dims")).distinct().collect().map(_.getInt(0))
+    assert(widths.toSeq == Seq(4), s"smallest sufficient width must win: ${widths.mkString(",")}")
+    // the actuated slice equals the standalone two-stage search at that width
+    val viaRerank = Similarity.rerankTopK(q, corpus, "vec_id", "embedding",
+        k = 3, coarseDims = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val viaTuned = tuned.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(viaTuned == viaRerank,
+      s"slice != s11 at width 4: ${viaTuned.diff(viaRerank)} vs ${viaRerank.diff(viaTuned)}")
+    // an unreachable target falls back to the largest width
+    val fb = Similarity.tunedPrefixSearch(q, corpus, "vec_id", "embedding",
+        k = 3, prefixLevels = Seq(4, 8, 16), targetRecallMicro = 1000001L)
+      .select(col("prefix_dims")).distinct().collect().map(_.getInt(0))
+    assert(fb.toSeq == Seq(16), s"fallback must be the max width: ${fb.mkString(",")}")
+  }
+
   test("dc29/t52: the returned loop artifacts ride checkpoints — zero parquet re-scans") {
     import graft.pipeline.{Sampling, TextStats}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
