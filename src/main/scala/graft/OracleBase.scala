@@ -269,10 +269,6 @@ private[graft] trait OracleParams {
     */
   private[graft] val CcnetOovLpMicro = -20000000L
 
-  /** dc29's pinned DoReMi loop dials: EG rounds, hash minibatches per sweep
-    * (the t43 machinery), step size η and uniform-smoothing mass in micro
-    * units — shared by registration and oracle.
-    */
   /** t52/t53's pinned unigram-LM tokenizer dials: EM(Viterbi) rounds, max piece
     * length, seed and target vocabulary sizes (binding on the synthetic
     * 31-token dictionary), and the unused-piece floor log-prob in micro-nats —
@@ -284,6 +280,10 @@ private[graft] trait OracleParams {
   private[graft] val UnigramVocabTarget = 25
   private[graft] val UnigramFloorLpMicro = -20000000L
 
+  /** dc29's pinned DoReMi loop dials: EG rounds, hash minibatches per sweep
+    * (the t43 machinery), step size η and uniform-smoothing mass in micro
+    * units — shared by registration and oracle.
+    */
   private[graft] val DoremiRounds = 4
   private[graft] val DoremiBatches = 4
   private[graft] val DoremiEtaMicro = 500000L

@@ -1447,8 +1447,14 @@ object Dedup {
     require(minSpanTokens >= windowTokens,
       s"probeSpanIndex: minSpanTokens ($minSpanTokens) must be >= " +
         s"windowTokens ($windowTokens)")
+    // the artifact-shape guard of the sibling probes (probeSavedExactIndex's
+    // hp require): a wrong-shaped relation would silently probe non-hashes
+    // and wave every duplicate through as novel
+    require(index.columns.contains("h"),
+      s"probeSpanIndex: index must be a spanHashIndex artifact (h column), " +
+        s"got [${index.columns.mkString(", ")}]")
     val hits = positionedSpanHashes(batch, idCol, textCol, windowTokens)
-      .join(index.select(col(index.columns.head).as("h")), Seq("h"), "left_semi")
+      .join(index.select(col("h")), Seq("h"), "left_semi")
     hits
       .withColumn("grp",
         col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))

@@ -903,10 +903,25 @@ object TextStats {
       seedVocab: Int = 300,
       vocabTarget: Int = 120,
       floorLpMicro: Long = -20000000L
+  ): DataFrame =
+    unigramTrainFromTf(uniTf(df, idCol, textCol), rounds, maxPieceLen, seedVocab,
+      vocabTarget, floorLpMicro)
+
+  /** [[unigramTrain]] over an already-computed (doc, token, tf) relation — the
+    * shared-pass entry [[tokenizerCompareCard]] uses so training and pricing
+    * pay the corpus tokenize ONCE.
+    */
+  private[graft] def unigramTrainFromTf(
+      tf: DataFrame,
+      rounds: Int,
+      maxPieceLen: Int,
+      seedVocab: Int,
+      vocabTarget: Int,
+      floorLpMicro: Long
   ): DataFrame = {
     require(rounds >= 1, s"unigramTrain: rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 2, s"unigramTrain: maxPieceLen must be >= 2, got $maxPieceLen")
-    val dict = uniTf(df, idCol, textCol)
+    val dict = tf
       .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
       .localCheckpoint(true) // every round re-reads the dictionary, never the corpus
     val tok = col("token")
@@ -962,8 +977,22 @@ object TextStats {
       vocab: DataFrame,
       maxPieceLen: Int = 5,
       floorLpMicro: Long = -20000000L
+  ): DataFrame =
+    unigramEncodeWithTf(uniTf(df, idCol, textCol), idCol, vocab, maxPieceLen, floorLpMicro)
+
+  /** [[unigramEncodeWith]] over an already-computed (doc, token, tf) relation —
+    * pairs with [[unigramTrainFromTf]] so a fused train+price flow tokenizes
+    * the corpus once (the registry's t53 keeps the two separate deliberately:
+    * it represents the production split of a training job and a later encode
+    * job reading the persisted artifact).
+    */
+  private[graft] def unigramEncodeWithTf(
+      tf: DataFrame,
+      idCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 5,
+      floorLpMicro: Long = -20000000L
   ): DataFrame = {
-    val tf = uniTf(df, idCol, textCol)
     val m = uniVocabMap(vocab)
     val tok = col("token")
     val nSym = tf.select(tok).distinct()
@@ -1015,10 +1044,13 @@ object TextStats {
             .as("syms_per_token_micro"),
           expr("(2 * 1000000 * n_chars + n_syms) DIV (2 * n_syms)").cast("long")
             .as("chars_per_sym_micro"))
+    // one unigram tokenize pass: training and pricing share the tf relation
+    // (the r16 review finding — the df-level entries would pay it twice)
+    val tf = uniTf(df, idCol, textCol)
     card("bpe", bpeEncode(df, idCol, textCol, bpeRounds))
       .unionByName(card("unigram",
-        unigramEncodeWith(df, idCol, textCol,
-          unigramTrain(df, idCol, textCol, uniRounds, maxPieceLen, seedVocab,
+        unigramEncodeWithTf(tf, idCol,
+          unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab,
             vocabTarget, floorLpMicro),
           maxPieceLen, floorLpMicro)))
   }
