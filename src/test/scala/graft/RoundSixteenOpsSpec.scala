@@ -88,6 +88,12 @@ class RoundSixteenOpsSpec extends SparkSpec {
     assert(!analyzed.contains("ResolvedHint"),
       s"the ranges relation is corpus-proportional at published duplication rates; " +
         s"the join must not carry a forced-broadcast hint:\n$analyzed")
+    // ...and at THIS size AQE still picks a broadcast on its own — the hint
+    // was redundant where it was safe and a scale hazard where it wasn't
+    cut.collect()
+    val p = cut.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should size the small ranges side into a broadcast here:\n$p")
   }
 
   test("bloom probes refuse a bit set built at a different width") {
