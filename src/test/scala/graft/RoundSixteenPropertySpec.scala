@@ -143,9 +143,9 @@ class RoundSixteenPropertySpec extends SparkSpec {
             !archived.contains(toks.slice(start - 2, start - 2 + w).mkString(" "))
           val nextS = start + len - w + 1
           val rightMax = nextS + w - 1 > toks.length ||
-            !archived.contains(toks.slice(nextS, nextS + w).mkString(" "))
+            !archived.contains(toks.slice(nextS - 1, nextS - 1 + w).mkString(" "))
           covered && leftMax && rightMax
         }
-    }, cases = 6)
+    }, cases = 300)
   }
 }
