@@ -204,6 +204,17 @@ object Bench {
     // queries are added OR when honest costs legitimately rise (the stderr
     // "confirmed honest" note flags exactly this): one idle
     // SPARK_GRAFT_SEED_OUT=BENCH_SEED.json `runMain graft.Bench` at sf0.1.
+    //
+    // The seed is ADJUDICATED history, so for a query it covers, driver-line
+    // readings BELOW the seed floor are discarded (the r17 fix): a floor
+    // adjudication sometimes RAISES a floor (a one-time best-ever reading
+    // 1.5-2x under the query's honest idle spread, locked in forever by the
+    // min ratchet, burns a re-run slot every round — dc20 read 8.1 exactly
+    // once against 9.5-13.6 on every other idle run), and without the
+    // discard any stale lucky line would silently undo the adjudication.
+    // Readings ABOVE the seed stay: they are the honest-spread evidence the
+    // `.size >= 2` history checks rely on, and min-of-history still lands on
+    // the seed value.
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_SEED.json")
       .sortBy(_.getName)
@@ -218,12 +229,18 @@ object Bench {
       // the capped re-run list), so each round's failed names are dropped
       val failed = failedList.findAllMatchIn(text)
         .flatMap(m => nameLit.findAllMatchIn(m.group(1)).map(_.group(1))).toSet
-      pair.findAllMatchIn(text)
+      val parsed = pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => known.contains(k) && !failed.contains(k) }
         .toMap // one value per query per round (later duplicate wins — lines never repeat keys)
+      (f.getName == "BENCH_SEED.json", parsed)
     }
-    perFile.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seed = perFile.collectFirst { case (true, m) => m }.getOrElse(Map.empty)
+    perFile.flatMap(_._2).groupBy(_._1).map { case (k, vs) =>
+      // seed-covered queries: the adjudicated floor wins over any lucky
+      // driver-line reading below it (see the discard note above)
+      k -> seed.get(k).fold(vs.map(_._2))(fl => vs.map(_._2).filter(_ > fl) :+ fl)
+    }
   }
 
   /** The sub-cadence-contamination fix (r10 blind spot, see [[microCalibrate]]):

@@ -138,6 +138,30 @@ class BenchContractSpec extends AnyFunSuite {
     assert(contaminated == Seq("dc15_epoch_anneal"), contaminated.toString)
   }
 
+  test("an adjudicated seed floor discards lucky driver-line readings below it (r17 raise)") {
+    // the dc20/t25 pattern: one best-ever line reading 1.5-2x under the honest
+    // idle spread, locked in by the min ratchet, flags every honest run; the
+    // adjudication RAISES the seed floor, and history readings below the
+    // adjudicated value must not resurrect the stale minimum
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-adj").toFile
+    val line = """{"metric":"total","queries":{"t25_bpe_encode":1.103,"g17_pagerank":1.2},"failed":[],"sf":"x"}"""
+    val fw1 = new java.io.FileWriter(new java.io.File(dir, "BENCH_r98.json"))
+    try fw1.write("{\n \"tail\": \"" + line.replace("\"", "\\\"") + "\"\n}") finally fw1.close()
+    val fw2 = new java.io.FileWriter(new java.io.File(dir, "BENCH_SEED.json"))
+    try fw2.write("""{"metric":"seed","queries":{"t25_bpe_encode":2.044}}""") finally fw2.close()
+    val hist = Bench.benchHistory(dir, Set("t25_bpe_encode", "g17_pagerank"))
+    assert(hist("t25_bpe_encode").min == 2.044, hist.toString)
+    // readings ABOVE the seed survive as spread evidence; uncovered queries keep
+    // raw line history
+    assert(hist("g17_pagerank") == Seq(1.2), hist.toString)
+    // an honest 2.0-2.6 s run no longer burns a re-run slot...
+    val (clean, _) = Bench.flagOutliers(Map("t25_bpe_encode" -> 2.566), hist, runMedian = 1.4)
+    assert(clean.isEmpty, clean.toString)
+    // ...and real contamination still flags against the adjudicated floor
+    val (dirty, _) = Bench.flagOutliers(Map("t25_bpe_encode" -> 6.398), hist, runMedian = 1.4)
+    assert(dirty == Seq("t25_bpe_encode"), dirty.toString)
+  }
+
   test("the r10 contamination pattern is flagged and corrected by the end-of-run re-run") {
     // The literal BENCH_r10 failure: cal_max 1.395 read under the ~2 reject line,
     // yet these six queries were 2.5-4x their clean cost (judge idle numbers in
