@@ -280,6 +280,20 @@ private[graft] trait OracleParams {
   private[graft] val UnigramVocabTarget = 25
   private[graft] val UnigramFloorLpMicro = -20000000L
 
+  /** t55's pinned subword-regularization dials: the sampling sharpness α in
+    * micro units (0.5 — the published smoothing regime; exactly representable
+    * so both engines scale with the same double) and the epoch seed string
+    * keying the md5-derived draws — shared by registration and oracle.
+    */
+  private[graft] val UnigramSampleAlphaMicro = 500000L
+  private[graft] val UnigramSampleSeed = "e0"
+
+  /** t56's pinned tokenizer-swap margin in micro pieces-per-token: the
+    * challenger must beat the incumbent's fertility by at least this to
+    * deploy — shared by registration, oracle, and the driver-side trigger.
+    */
+  private[graft] val TokenizerSwapMarginMicro = 50000L
+
   /** dc29's pinned DoReMi loop dials: EG rounds, hash minibatches per sweep
     * (the t43 machinery), step size η and uniform-smoothing mass in micro
     * units — shared by registration and oracle.
@@ -288,6 +302,14 @@ private[graft] trait OracleParams {
   private[graft] val DoremiBatches = 4
   private[graft] val DoremiEtaMicro = 500000L
   private[graft] val DoremiSmoothMicro = 100000L
+
+  /** dc31's pinned reference source: the dc13 benchmark-split convention cuts
+    * every doc_id ≡ 0 (mod DecontamMod), which on the testdata's interleaved id
+    * layout removes src0 (dc29's reference) and src10 ENTIRELY from the
+    * training pool — so the hygienic epoch measures excess against a source
+    * that survives the cut. Shared by registration and oracle.
+    */
+  private[graft] val DoremiEpochRefSource = "src1"
 
   /** t46's pinned Gopher repetition thresholds in micro units (Rae et al. 2021
     * appendix A: top n-gram char fraction for n = 2..4, duplicate n-gram char
@@ -662,22 +684,29 @@ private[graft] trait OracleFragments extends OracleParams {
     sb.toString
   }
 
-  protected def kmeansCtes(src: String, k: Int, rounds: Int): String = {
+  protected def kmeansCtes(src: String, k: Int, rounds: Int): String =
+    kmeansCtesP("", src, k, rounds)
+
+  /** [[kmeansCtes]] with every CTE name prefixed — s45 trains three codebooks
+    * (full / archive / survivor corpora) inside one query, so the fixed names
+    * would collide. Ends at `${p}c$rounds`.
+    */
+  protected def kmeansCtesP(p: String, src: String, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"ke AS (SELECT vec_id, v FROM $src WHERE list_dot_product(v, v) > 0),\n"
-    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv, CAST(0 AS BIGINT) AS n_members\n"
-    sb ++= s"      FROM (SELECT vec_id, v FROM ke ORDER BY vec_id LIMIT $k)\n"
+    sb ++= s"${p}ke AS (SELECT vec_id, v FROM $src WHERE list_dot_product(v, v) > 0),\n"
+    sb ++= s"${p}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv, CAST(0 AS BIGINT) AS n_members\n"
+    sb ++= s"      FROM (SELECT vec_id, v FROM ${p}ke ORDER BY vec_id LIMIT $k)\n"
     sb ++= s"      WHERE list_dot_product(v, v) > 0)"
     for (r <- 1 to rounds) {
       sb ++= ",\n"
-      sb ++= s"sc$r AS (SELECT ke.vec_id, c.cluster, ke.v, ${cosSql("ke.v", "c.cv")} AS cos FROM ke, c${r - 1} c),\n"
-      sb ++= s"b$r AS (SELECT vec_id, cluster, v FROM (\n"
-      sb ++= s"    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk FROM sc$r)\n"
+      sb ++= s"${p}sc$r AS (SELECT ${p}ke.vec_id, c.cluster, ${p}ke.v, ${cosSql(s"${p}ke.v", "c.cv")} AS cos FROM ${p}ke, ${p}c${r - 1} c),\n"
+      sb ++= s"${p}b$r AS (SELECT vec_id, cluster, v FROM (\n"
+      sb ++= s"    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk FROM ${p}sc$r)\n"
       sb ++= s"  WHERE rk = 1),\n"
-      sb ++= s"m$r AS (SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid, COUNT(*) AS n_members\n"
-      sb ++= s"  FROM b$r, unnest(generate_series(1, len(v))) AS t(i) GROUP BY cluster, i),\n"
-      sb ++= s"c$r AS (SELECT cluster, cv, n_members FROM (\n"
-      sb ++= s"    SELECT cluster, list(centroid ORDER BY dim) AS cv, max(n_members) AS n_members FROM m$r GROUP BY cluster)\n"
+      sb ++= s"${p}m$r AS (SELECT cluster, CAST(i AS INTEGER) AS dim, round(avg(v[i]), 6) AS centroid, COUNT(*) AS n_members\n"
+      sb ++= s"  FROM ${p}b$r, unnest(generate_series(1, len(v))) AS t(i) GROUP BY cluster, i),\n"
+      sb ++= s"${p}c$r AS (SELECT cluster, cv, n_members FROM (\n"
+      sb ++= s"    SELECT cluster, list(centroid ORDER BY dim) AS cv, max(n_members) AS n_members FROM ${p}m$r GROUP BY cluster)\n"
       sb ++= s"  WHERE list_dot_product(cv, cv) > 0)"
     }
     sb.toString

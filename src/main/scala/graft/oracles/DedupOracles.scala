@@ -461,6 +461,39 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
         alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
+    // the DoReMi-weighted epoch end-to-end: the dc13/dc26-hygienic pool
+    // (benchmark-decontaminated AND holdout-carved), the dc29 loop learning
+    // weights ON that pool, dc30's budget arithmetic, and the dc11 pack chain
+    // materializing the epoch — learned weights flow to packs with slot
+    // conservation pinned against the dc30-shaped plan (RoundSeventeenOpsSpec)
+    "dc31_doremi_epoch" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-doremi")
+      try {
+        val train = docs.filter(col("doc_id") % DecontamMod =!= 0)
+        val contaminated = Dedup.benchmarkDecontaminate(docs, "doc_id", "text",
+          benchmarkMod = DecontamMod, shingleSize = DecontamShingle)
+          .select(col("doc_id"))
+        val holdout = graft.pipeline.Curation.stratifiedHoldout(
+            docs, "doc_id", "text", "source",
+            holdoutPct = HoldoutPct, bucketMicro = BudgetFillBucketMicro)
+          .filter(col("split") === "holdout")
+          .select(col("doc_id"))
+        val clean = train
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(holdout, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // feeds scoring, tokenizer training, AND the pack chain
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.epochPackDoremi(clean, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          refSource = DoremiEpochRefSource, budgetDocs = MixBudgetDocs,
+          rounds = DoremiRounds, nBatches = DoremiBatches,
+          etaMicro = DoremiEtaMicro, smoothMicro = DoremiSmoothMicro,
+          oovLpMicro = CcnetOovLpMicro, budgetTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     // verbatim n-gram overlap of training docs against the benchmark split — the
     // exact-evidence decontamination direction d06's minhash bands don't cover
     "d19_benchmark_decontam" -> ((s: SparkSession, dir: String) =>
@@ -877,7 +910,16 @@ private[graft] object DedupOracles extends OracleFragments {
     */
   private def upsampledProwsBody(src: String): String =
     s"""${mixManifestCtesFrom(src)},
-       |manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
+       |${packAfterBudgetsBody(src)}""".stripMargin
+
+  /** The admission/pricing/pack-row half AFTER the budgets: expects `tgt`
+    * (source, n_docs, target_docs) and `ranked` (doc_id, source, bucket, rk)
+    * already in scope — the temperature chain ([[upsampledProwsBody]]) and the
+    * DoReMi chain (dc31) both end in this one rendition, mirroring the Spark
+    * split (mixExecuteUpsampledWith).
+    */
+  private def packAfterBudgetsBody(src: String): String =
+    s"""manifest AS (SELECT doc_id, source, bucket, CAST(rk AS INTEGER) AS rk,
        |    CASE WHEN target_docs <= n_docs THEN CAST(1 AS BIGINT)
        |         ELSE target_docs // n_docs
        |              + (CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END)
@@ -892,17 +934,23 @@ private[graft] object DedupOracles extends OracleFragments {
        |                 COALESCE(p.n_syms, 0) * m.repeat_factor AS n_syms
        |          FROM manifest m LEFT JOIN priced p USING (doc_id))""".stripMargin
 
+  /** The concat-and-cut tail over `prows` — shared by every upsampled pack
+    * mirror so the bin arithmetic has one rendition.
+    */
+  private val packCutTailSql: String =
+    """cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
+      |          SUM(n_syms) OVER (PARTITION BY source, pack_group
+      |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
+      |        FROM prows)
+      |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+      |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
+      |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
+      |FROM cum GROUP BY 1, 2, 3""".stripMargin
+
   private def epochPackUpsampledBody(src: String): String =
     s"""${upsampledProwsBody(src)},
-       |cum AS (SELECT source, pack_group, rk, repeat_factor, n_syms,
-       |          SUM(n_syms) OVER (PARTITION BY source, pack_group
-       |            ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) - n_syms AS tok_before
-       |        FROM prows)
-       |SELECT source, pack_group, CAST(tok_before // 512 AS BIGINT) AS bin,
-       |       COUNT(*) AS n_docs, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
-       |       MIN(rk) AS rk_first, MAX(rk) AS rk_last,
-       |       CAST(SUM(repeat_factor) AS BIGINT) AS n_slots
-       |FROM cum GROUP BY 1, 2, 3""".stripMargin
+       |$packCutTailSql""".stripMargin
 
   // the dc11 manifest's per-shard remainder past the mid-run watermark
   // (max bin // 2), explicit done rows — mirror of Sampling.epochResume
@@ -1353,6 +1401,54 @@ private[graft] object DedupOracles extends OracleFragments {
        |          WHERE h.doc_id IS NULL),
        |${epochPackUpsampledBody("clean")}""".stripMargin
 
+  /** dc31's mirror: dc13's decontamination chain AND dc26's holdout carve cut
+    * the pool (d-/h-prefixed CTEs — the pack chain's toks/tf would collide),
+    * the DoReMi loop learns weights ON that clean pool
+    * ([[doremiChainCtesFrom]]), the dc30 budget arithmetic turns the final
+    * round's weights into `tgt`, and the identical upsampled pack body
+    * ([[packAfterBudgetsBody]] + [[packCutTailSql]]) materializes the epoch —
+    * learned weights flowing to packs through one shared rendition.
+    */
+  private lazy val doremiEpochSql: String =
+    s"""WITH dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |dsh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+${DecontamShingle - 1}], ' ') AS shingle
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${DecontamShingle - 1})) AS i
+       |              FROM dtoks)),
+       |dh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM dsh),
+       |dbench AS (SELECT DISTINCT h FROM dh WHERE doc_id % $DecontamMod = 0),
+       |contam AS (SELECT DISTINCT dh.doc_id FROM dh JOIN dbench USING (h)
+       |           WHERE dh.doc_id % $DecontamMod <> 0),
+       |hq0 AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS c,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+       |    CAST(${occSql(" the ")} + ${occSql(" a ")} + ${occSql(" of ")} + ${occSql(" and ")} AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |hq AS (SELECT doc_id, source,
+       |    CAST(floor(1000000.0 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE)
+       |      + CAST(n_toks AS DOUBLE) / CAST(c AS DOUBLE) * 10.0) + 0.5) AS BIGINT)
+       |      // $BudgetFillBucketMicro AS qb,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM hq0),
+       |hrk AS (SELECT doc_id, source, qb, hkey,
+       |    row_number() OVER (PARTITION BY source, qb ORDER BY hkey, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY source, qb) AS n
+       |  FROM hq),
+       |hold AS (SELECT doc_id FROM hrk WHERE rnk <= (n * $HoldoutPct + 50) // 100),
+       |clean AS MATERIALIZED (SELECT d.* FROM documents d
+       |          LEFT JOIN contam c USING (doc_id) LEFT JOIN hold h USING (doc_id)
+       |          WHERE d.doc_id % $DecontamMod <> 0
+       |            AND c.doc_id IS NULL AND h.doc_id IS NULL),
+       |${doremiChainCtesFrom("clean", DoremiEpochRefSource)},
+       |cnts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM clean GROUP BY 1),
+       |wtot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM w$DoremiRounds),
+       |tgt AS (SELECT w.source, c.n_docs,
+       |          CAST((w.w * $MixBudgetDocs) // w_tot AS BIGINT) AS target_docs
+       |        FROM w$DoremiRounds w JOIN cnts c ON c.source = w.source CROSS JOIN wtot),
+       |ranked AS (SELECT doc_id, source, bucket,
+       |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+       |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket FROM clean)),
+       |${packAfterBudgetsBody("clean")},
+       |$packCutTailSql""".stripMargin
+
   /** d39's mirror: the d37 bt/ix CTEs, truth labeling once, then one CTE block
     * per grid size (positions re-derived from the same md5 fields mod m),
     * unioned, with the smallest-sufficient pick.
@@ -1405,7 +1501,12 @@ private[graft] object DedupOracles extends OracleFragments {
     * unrolled EG rounds — ends at `w$DoremiRounds` (source, n_b, mean_nll,
     * excess, factor, w) with `cat`/`kk` still in scope.
     */
-  private lazy val doremiChainCtes: String = {
+  private lazy val doremiChainCtes: String = doremiChainCtesFrom("documents")
+
+  /** [[doremiChainCtes]] over an arbitrary source CTE/table — dc31 learns the
+    * mix on the decontaminated+holdout-carved pool through the same chain.
+    */
+  private def doremiChainCtesFrom(src: String, refSource: String = DsirTargetSource): String = {
     val eta = DoremiEtaMicro.toDouble / 1000000.0
     val keepMicro = 1000000L - DoremiSmoothMicro
     def roundCtes(r: Int): String = {
@@ -1436,16 +1537,16 @@ private[graft] object DedupOracles extends OracleFragments {
          |            + $DoremiSmoothMicro * uni) // 1000000 AS BIGINT) AS w
          |        FROM raw$r CROSS JOIN tt$r CROSS JOIN kk)""".stripMargin
     }
-    s"""base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    s"""base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM $src),
        |big AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
        |        FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
        |              FROM base)),
        |docb AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
        |bm AS (SELECT w1, w2, count(*) AS cb FROM big
-       |       WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
+       |       WHERE source = '$refSource' GROUP BY 1, 2),
        |cm AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bm GROUP BY 1),
        |un AS (SELECT token AS w2, count(*) AS cu
-       |       FROM (SELECT unnest(w) AS token FROM base WHERE source = '$DsirTargetSource')
+       |       FROM (SELECT unnest(w) AS token FROM base WHERE source = '$refSource')
        |       GROUP BY 1),
        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_ref FROM un),
        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
@@ -1465,10 +1566,10 @@ private[graft] object DedupOracles extends OracleFragments {
        |          CASE WHEN n_bigrams IS NULL THEN $CcnetOovLpMicro
        |               ELSE CAST(floor(sum_lp::DOUBLE / n_bigrams::DOUBLE + 0.5) AS BIGINT)
        |          END AS avg_lp_micro
-       |        FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
-       |db AS (SELECT d.source, -per.avg_lp_micro AS nll,
+       |        FROM (SELECT doc_id FROM $src) d LEFT JOIN sc USING (doc_id)),
+       |db AS MATERIALIZED (SELECT d.source, -per.avg_lp_micro AS nll,
        |         ${bucketSql("per.doc_id")} % $DoremiBatches AS batch
-       |       FROM per JOIN documents d USING (doc_id)),
+       |       FROM per JOIN $src d USING (doc_id)),
        |cat AS (SELECT DISTINCT source FROM db),
        |kk AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS uni FROM cat),
        |w0 AS (SELECT source, uni AS w FROM cat CROSS JOIN kk),
@@ -1622,6 +1723,11 @@ private[graft] object DedupOracles extends OracleFragments {
          |       ELSE 'hold' END AS verdict
          |FROM w$DoremiRounds w JOIN cnts c ON c.source = w.source
          |CROSS JOIN wtot CROSS JOIN ntot""".stripMargin,
+
+    // the hygienic pool cut (dc13 decontam + dc26 holdout), DoReMi weights
+    // learned on it, dc30 budgets, the dc11 pack body — mirror of the dc31
+    // composed job (one rendition per stage, shared with its parents)
+    "dc31_doremi_epoch" -> doremiEpochSql,
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

@@ -170,6 +170,19 @@ private[graft] object SimilarityOracles extends OracleFragments {
         Similarity.loadKnnGraph(s, path).localCheckpoint(true)
       } finally deleteRecursively(scratch)
     }),
+    // the s40 card discipline applied to index AGE: an s28-extended and an
+    // s42-compacted graph-ANN artifact priced against fresh rebuilds on the
+    // same corpora (pooled recall@k, the exact arm as calibration) — the
+    // rebuild cadence becomes a measured dial; compaction must tie fresh
+    // exactly (s42's theorem), extension may trail (the documented staleness)
+    "s45_aged_index_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.agedIndexRecallCard(e, "vec_id", "embedding",
+        arrivalCut = KnnExtendCut, tombstoneMod = Int8TombstoneMod.toLong,
+        k = 5, queryMod = 50L, graphK = KnnGraphK, cells = GraphAnnCells,
+        trainRounds = GraphAnnTrainRounds, beam = GraphAnnBeam,
+        rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
+    }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
@@ -650,6 +663,123 @@ private[graft] object SimilarityOracles extends OracleFragments {
       x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)",
       eWhere = s" WHERE vec_id % $Int8TombstoneMod <> 0")
 
+  /** One prefixed graph-ANN serving arm for the s45 card: codebook + entry
+    * medoids trained on `modelSrc` ([[kmeansCtesP]]), queries from `qCte`
+    * routed through them, beam walked over `gCte` scoring against `vecSrc` —
+    * ends at `${p}res` (query_id, neighbor_id). The extended arm's staleness
+    * is exactly `modelSrc` ≠ `vecSrc` (the aged artifact's entry layer).
+    */
+  private def annArmCtes(
+      p: String, vecSrc: String, modelSrc: String, gCte: String, qCte: String): String = {
+    def scoreCte(i: Int): String =
+      s"""${p}s$i AS (SELECT query_id, cand, cos_sim FROM (
+         |    SELECT query_id, cand, cos_sim,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
+         |    FROM (SELECT x.query_id, x.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
+         |          FROM ${p}x$i x JOIN $qCte q USING (query_id) JOIN $vecSrc e ON e.vec_id = x.cand))
+         |  WHERE rk <= $GraphAnnBeam)""".stripMargin
+    def roundCtes(i: Int): String =
+      s"""${p}x$i AS (SELECT DISTINCT query_id, cand FROM (
+         |    SELECT s.query_id, g.neighbor_id AS cand
+         |    FROM ${p}s${i - 1} s JOIN $gCte g ON g.vec_id = s.cand
+         |    UNION ALL SELECT query_id, cand FROM ${p}s${i - 1})),
+         |${scoreCte(i)}""".stripMargin
+    s"""${kmeansCtesP(p, modelSrc, GraphAnnCells, GraphAnnTrainRounds)},
+       |${p}cents AS (SELECT CAST(cluster AS BIGINT) AS cluster, cv FROM ${p}c$GraphAnnTrainRounds),
+       |${p}easg AS (SELECT cand, cluster, cos FROM (
+       |    SELECT ${p}ke.vec_id AS cand, c.cluster, ${cosSql(s"${p}ke.v", "c.cv")} AS cos,
+       |           row_number() OVER (PARTITION BY ${p}ke.vec_id
+       |             ORDER BY ${cosSql(s"${p}ke.v", "c.cv")} DESC, c.cluster) AS rk
+       |    FROM ${p}ke, ${p}cents c)
+       |  WHERE rk = 1),
+       |${p}med AS (SELECT cluster, cand FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY cos DESC, cand) AS mrk
+       |    FROM ${p}easg)
+       |  WHERE mrk = 1),
+       |${p}qc AS (SELECT query_id, cluster FROM (
+       |    SELECT q.query_id, c.cluster,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cluster) AS crk
+       |    FROM $qCte q, ${p}cents c)
+       |  WHERE crk <= $GraphAnnEntryProbe),
+       |${p}x0 AS (SELECT DISTINCT query_id, cand FROM ${p}qc JOIN ${p}med USING (cluster)),
+       |${scoreCte(0)},
+       |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")},
+       |${p}res AS (SELECT query_id, cand AS neighbor_id FROM (
+       |    SELECT query_id, cand,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+       |    FROM ${p}s$GraphAnnRounds WHERE cand <> query_id)
+       |  WHERE rank <= 5)""".stripMargin
+  }
+
+  /** s45's mirror: ONE shared bucket/pair-scoring spine serves every graph
+    * (full / archive / arrival-extension / survivor — a pair's cosine does not
+    * depend on which corpus cut ranks it), three [[annArmCtes]] serving arms
+    * (the compacted arm shares the survivor-fresh arm's relation — s42's
+    * fresh-build equivalence IS the pin), two brute-force truths, pooled
+    * recall rollups.
+    */
+  private lazy val agedRecallSql: String = {
+    def topk(src: String, where: String): String =
+      s"""SELECT vec_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM $src$where)
+         |  WHERE rank <= $KnnGraphK""".stripMargin
+    def truth(q: String, c: String): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM $q CROSS JOIN $c c WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5""".stripMargin
+    def armRow(scenario: String, method: String, res: String, tr: String, nq: String): String =
+      s"""SELECT '$scenario' AS scenario, '$method' AS method, $nq.nq AS n_queries,
+         |  h.n AS n_hits,
+         |  CAST((2 * 1000000 * h.n + $nq.nq * 5) // (2 * $nq.nq * 5) AS BIGINT) AS recall_micro
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n
+         |      FROM $res rr SEMI JOIN $tr tt USING (query_id, neighbor_id)) h, $nq""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |earch AS (SELECT vec_id, v FROM e WHERE vec_id < $KnnExtendCut),
+       |esurv AS (SELECT vec_id, v FROM e WHERE vec_id % $Int8TombstoneMod <> 0),
+       |qa AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |qb AS (SELECT vec_id AS query_id, v AS qv FROM esurv WHERE vec_id % 50 = 0),
+       |b AS (SELECT vec_id,
+       |             ${lshBucketSql("v", 6, 64, offset = 0)} AS b0,
+       |             ${lshBucketSql("v", 6, 64, offset = 6)} AS b1
+       |      FROM e),
+       |kcand AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id),
+       |kscored AS MATERIALIZED (
+       |  SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+       |  FROM kcand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+       |ksym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM kscored
+       |         UNION ALL SELECT id_b, id_a, cos_sim FROM kscored),
+       |fg AS MATERIALIZED (${topk("ksym", "")}),
+       |ag AS (${topk("ksym",
+          s" WHERE vec_id < $KnnExtendCut AND neighbor_id < $KnnExtendCut")}),
+       |ng AS MATERIALIZED (${topk("ksym", s" WHERE vec_id >= $KnnExtendCut")}),
+       |gext AS MATERIALIZED (SELECT vec_id, neighbor_id FROM ag
+       |  UNION ALL SELECT vec_id, neighbor_id FROM ng
+       |  UNION ALL SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM ng),
+       |sg AS MATERIALIZED (${topk("ksym",
+          s" WHERE vec_id % $Int8TombstoneMod <> 0 AND neighbor_id % $Int8TombstoneMod <> 0")}),
+       |${annArmCtes("fa", "e", "e", "fg", "qa")},
+       |${annArmCtes("xa", "e", "earch", "gext", "qa")},
+       |${annArmCtes("fb", "esurv", "esurv", "sg", "qb")},
+       |trutha AS MATERIALIZED (${truth("qa", "e")}),
+       |truthb AS MATERIALIZED (${truth("qb", "esurv")}),
+       |nqa AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qa),
+       |nqb AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qb)
+       |${armRow("extend", "exact", "trutha", "trutha", "nqa")}
+       |UNION ALL ${armRow("extend", "fresh", "fares", "trutha", "nqa")}
+       |UNION ALL ${armRow("extend", "extended", "xares", "trutha", "nqa")}
+       |UNION ALL ${armRow("compact", "exact", "truthb", "truthb", "nqb")}
+       |UNION ALL ${armRow("compact", "fresh", "fbres", "truthb", "nqb")}
+       |UNION ALL ${armRow("compact", "compacted", "fbres", "truthb", "nqb")}""".stripMargin
+  }
+
   private def graphAnnSqlSeeded(
       extraCtes: String, x0Sql: String, eWhere: String = ""): String = {
       def scoreCte(i: Int): String =
@@ -925,6 +1055,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     // the d17/d18 discipline.
     "s26_graph_ann" -> graphAnnSql,
     "s27_graph_ann_saved" -> graphAnnSql,
+    "s45_aged_index_recall" -> agedRecallSql,
     "s42_graph_ann_compacted" -> compactedGraphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,

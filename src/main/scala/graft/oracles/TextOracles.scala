@@ -178,6 +178,35 @@ private[graft] object TextOracles extends OracleFragments {
         "doc_id", "text", bpeRounds = BpeMergeRounds, uniRounds = UnigramRounds,
         maxPieceLen = UnigramMaxPieceLen, seedVocab = UnigramSeedVocab,
         vocabTarget = UnigramVocabTarget, floorLpMicro = UnigramFloorLpMicro)),
+    // Kudo 2018's subword regularization over the t52 lattice: forward
+    // filtering / backward sampling (α-scaled, micro-quantized), draws
+    // md5-derived per (token, boundary, seed) — the g45 no-rand discipline;
+    // α→∞ reduces exactly to t53's Viterbi argmax (property-pinned)
+    "t55_unigram_sampled" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-uni-sample")
+      try {
+        val path = scratch.toString + "/vocab"
+        TextStats.uniSaveVocab(
+          TextStats.unigramTrain(docs, "doc_id", "text",
+            rounds = UnigramRounds, maxPieceLen = UnigramMaxPieceLen,
+            seedVocab = UnigramSeedVocab, vocabTarget = UnigramVocabTarget,
+            floorLpMicro = UnigramFloorLpMicro), path)
+        val vocab = TextStats.uniLoadVocab(s, path).localCheckpoint(true)
+        TextStats.unigramEncodeSampled(docs, "doc_id", "text", vocab,
+          maxPieceLen = UnigramMaxPieceLen, floorLpMicro = UnigramFloorLpMicro,
+          alphaMicro = UnigramSampleAlphaMicro, seed = UnigramSampleSeed)
+      } finally deleteRecursively(scratch)
+    }),
+    // the t54 card ACTUATED (the t42 swap/block/hold discipline): the corpus
+    // is priced by whichever family the pinned fertility margin chooses — a
+    // gated UNION over the two per-doc arms, the decision relational
+    "t56_tokenizer_swap" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenizerSwapEpoch(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", bpeRounds = BpeMergeRounds, uniRounds = UnigramRounds,
+        maxPieceLen = UnigramMaxPieceLen, seedVocab = UnigramSeedVocab,
+        vocabTarget = UnigramVocabTarget, floorLpMicro = UnigramFloorLpMicro,
+        marginMicro = TokenizerSwapMarginMicro)),
     "t45_ccnet_tertiles" -> ((s: SparkSession, dir: String) =>
       TextStats.ccnetTertiles(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source", refSource = DsirTargetSource,
@@ -347,6 +376,67 @@ private[graft] object TextOracles extends OracleFragments {
        |          ELSE $UnigramFloorLpMicro END AS lp
        |        FROM kept$i CROSS JOIN
        |          (SELECT CAST(SUM(n_uses) AS BIGINT) AS tot FROM kept$i) t)""".stripMargin
+
+  /** t55's FFBS pair under the vocab CTE `vsrc`: `vks$i` holds the α-scaled
+    * clamped piece scores as a 1-row MAP (the unigramViterbiPair map-carried
+    * discipline — see the correlated-subquery note there), `fs$i` is the
+    * forward filter (Viterbi's max replaced by a max-shifted log-sum-exp,
+    * micro-quantized at every position), and `bs$i` walks back sampling each
+    * boundary's piece with weight ∝ exp(score − max), the draw an md5-derived
+    * uniform mod Σw. Ends at `nsyms$i` (token, n_sym).
+    */
+  private def unigramSampledPair(i: Int, vsrc: String): String = {
+    val ml = UnigramMaxPieceLen
+    val alpha = UnigramSampleAlphaMicro.toDouble / 1000000.0
+    s"""vks$i AS (SELECT MAP(list(piece ORDER BY piece),
+       |            list(GREATEST(CAST(floor($alpha * lp + 0.5) AS BIGINT),
+       |                          CAST(-40000000000000000 AS BIGINT)) ORDER BY piece)) AS m
+       |          FROM $vsrc),
+       |fs$i(token, cnt, pos, dps) AS (
+       |  SELECT token, cnt, 0, [CAST(0 AS BIGINT)] FROM dict
+       |  UNION ALL
+       |  SELECT token, cnt, pos + 1,
+       |    list_append(dps, mx + CAST(floor(1000000.0 * ln(
+       |        list_aggregate(list_transform(qs, q -> exp((q - mx)::DOUBLE / 1000000.0)),
+       |          'sum')) + 0.5) AS BIGINT))
+       |  FROM (SELECT token, cnt, pos, dps, qs, list_aggregate(qs, 'max') AS mx
+       |        FROM (SELECT f.token, f.cnt, f.pos, f.dps,
+       |                list_filter(list_transform(
+       |                  generate_series(GREATEST(1, f.pos + 2 - $ml), f.pos + 1),
+       |                  s -> f.dps[s] + vks$i.m[substr(f.token, s, f.pos + 2 - s)][1]),
+       |                  q -> q IS NOT NULL) AS qs
+       |              FROM fs$i f CROSS JOIN vks$i WHERE f.pos < len(f.token)))),
+       |fsf$i AS (SELECT token, cnt, dps FROM fs$i WHERE pos = len(token)),
+       |bs$i(token, cnt, pos, dps, n) AS (
+       |  SELECT token, cnt, len(token), dps, CAST(0 AS BIGINT) FROM fsf$i
+       |  UNION ALL
+       |  SELECT token, cnt, GREATEST(1, pos - $ml + 1) + j - 2, dps, n + 1
+       |  FROM (
+       |    SELECT token, cnt, pos, dps, n,
+       |      list_aggregate(list_filter(list_transform(
+       |        generate_series(1, len(ws)),
+       |        jj -> CASE WHEN list_aggregate(list_slice(ws, 1, jj), 'sum') > u
+       |              THEN jj END),
+       |        x -> x IS NOT NULL), 'min') AS j
+       |    FROM (
+       |      SELECT token, cnt, pos, dps, n, ws,
+       |        ('0x' || substr(md5(token || ':' || CAST(pos AS VARCHAR) ||
+       |            ':$UnigramSampleSeed'), 1, 15))::BIGINT
+       |          % CAST(list_aggregate(ws, 'sum') AS BIGINT) AS u
+       |      FROM (
+       |        SELECT token, cnt, pos, dps, n,
+       |          list_transform(qs, q -> CASE WHEN q IS NULL THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(floor(1000000.0 * exp((q - mxb)::DOUBLE / 1000000.0) + 0.5)
+       |                 AS BIGINT) END) AS ws
+       |        FROM (
+       |          SELECT token, cnt, pos, dps, n, qs, list_aggregate(qs, 'max') AS mxb
+       |          FROM (
+       |            SELECT b.token, b.cnt, b.pos, b.dps, b.n,
+       |              list_transform(generate_series(GREATEST(1, b.pos - $ml + 1), b.pos),
+       |                s -> b.dps[s] + vks$i.m[substr(b.token, s, b.pos - s + 1)][1]) AS qs
+       |            FROM bs$i b CROSS JOIN vks$i WHERE b.pos > 0)))))),
+       |nsyms$i AS (SELECT token, n AS n_sym FROM bs$i WHERE pos = 0)""".stripMargin
+  }
 
   /** The t52/t53 shared chain: word-frequency dictionary, substring-seeded
     * candidates, seed prune (v0), then `rounds` unrolled Viterbi/re-estimate/
@@ -998,6 +1088,57 @@ private[graft] object TextOracles extends OracleFragments {
          |  CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
          |  CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
          |FROM dtf JOIN nsym USING (token) GROUP BY 1""".stripMargin,
+
+    // the trained vocab SAMPLING-pricing every document: forward filter
+    // (α-scaled log-sum-exp, micro-quantized) + md5-draw backward sampling —
+    // mirror of TextStats.unigramEncodeSampled through the artifact round trip
+    "t55_unigram_sampled" ->
+      s"""WITH RECURSIVE ${unigramCtes(UnigramRounds)},
+         |${unigramSampledPair(UnigramRounds + 1, s"v$UnigramRounds")},
+         |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks WHERE len(token) >= 1 GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |FROM dtf JOIN nsyms${UnigramRounds + 1} USING (token) GROUP BY 1""".stripMargin,
+
+    // the t54 totals deciding, then the CHOSEN family's per-doc pricing — a
+    // gated UNION over the two arms; mirror of TextStats.tokenizerSwapEpoch
+    "t56_tokenizer_swap" ->
+      s"""WITH RECURSIVE ${unigramCtes(UnigramRounds)},
+         |${unigramViterbiPair(UnigramRounds + 1, s"v$UnigramRounds")},
+         |nsym AS (SELECT token, CAST(COUNT(piece) AS BIGINT) AS n_sym
+         |         FROM bt${UnigramRounds + 1} WHERE piece IS NOT NULL GROUP BY 1),
+         |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks WHERE len(token) >= 1 GROUP BY 1, 2),
+         |${bpeEncodeCtesOverToks()},
+         |ub AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |       FROM dtf JOIN nsym USING (token)),
+         |bb AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |       FROM tf JOIN enc USING (token)),
+         |dec AS (SELECT CASE
+         |    WHEN ub.n_tokens IS NULL OR ub.n_tokens = 0
+         |      OR bb.n_tokens IS NULL OR bb.n_tokens = 0 THEN 'hold'
+         |    WHEN (2 * 1000000 * ub.n_syms + ub.n_tokens) // (2 * ub.n_tokens)
+         |         + $TokenizerSwapMarginMicro
+         |         <= (2 * 1000000 * bb.n_syms + bb.n_tokens) // (2 * bb.n_tokens)
+         |      THEN 'swap'
+         |    ELSE 'block' END AS action FROM ub, bb),
+         |uarm AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |           CAST(SUM(tf * len(token)) AS BIGINT) AS n_chars,
+         |           CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |         FROM dtf JOIN nsym USING (token) GROUP BY 1),
+         |barm AS (SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |           CAST(SUM(tf * length(token)) AS BIGINT) AS n_chars,
+         |           CAST(SUM(tf * n_sym) AS BIGINT) AS n_syms
+         |         FROM tf JOIN enc USING (token) GROUP BY 1)
+         |SELECT doc_id, 'unigram' AS tokenizer, n_tokens, n_chars, n_syms, action
+         |FROM uarm, dec WHERE action = 'swap'
+         |UNION ALL
+         |SELECT doc_id, 'bpe' AS tokenizer, n_tokens, n_chars, n_syms, action
+         |FROM barm, dec WHERE action <> 'swap'""".stripMargin,
 
     // the two trained tokenizer families priced on one corpus, one row each —
     // BPE chain and unigram chain share the toks CTE, totals are 1-row rollups

@@ -1882,6 +1882,26 @@ object Dedup {
       // the mBits they were computed at, and the probes require agreement
       .withColumn("m_bits", lit(mBits.toLong))
 
+  /** Persist an [[exactBloomBits]] bit set WITH its width stamp — the sanctioned
+    * artifact path (r16 advisory: a user who hand-writes `bits.select("pos")` to
+    * parquet and reloads it sheds the `m_bits` stamp and silently reverts to the
+    * unchecked legacy probe, reopening the false-negative hazard the stamp
+    * closed). The relation is ≤ mBits rows of two small ints — one file.
+    */
+  def saveBloomBits(bits: DataFrame, path: String): Unit = {
+    require(bits.columns.contains("m_bits"),
+      "saveBloomBits: refusing to persist a width-less bit set — build it with " +
+        "exactBloomBits so the m_bits stamp rides the artifact")
+    bits.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Reload a [[saveBloomBits]] artifact (positions and the width stamp are exact
+    * integers — the round trip is bit-exact, and the [[requireBitsWidth]] guard
+    * keeps firing on the reloaded relation).
+    */
+  def loadBloomBits(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The d37/d38 width guard: probing a bit set at a different `mBits` than it
     * was BUILT with computes positions mod the wrong width, so true duplicates
     * silently screen out as bloom negatives — a false-negative breach of the
@@ -1894,8 +1914,16 @@ object Dedup {
     * consistency is then on them, as before the stamp existed).
     */
   private def requireBitsWidth(bits: DataFrame, mBits: Int): DataFrame =
-    if (!bits.columns.contains("m_bits")) bits
-    else bits.select(
+    if (!bits.columns.contains("m_bits")) {
+      // legacy width-less relation: accepted for compatibility, but say so —
+      // the caller has silently opted out of the false-negative guard
+      // (persist via saveBloomBits/loadBloomBits to keep the stamp)
+      System.err.println(
+        s"[dedup] WARNING: probing a width-less bloom bit set at mBits=$mBits — " +
+          "the build-width guard is OFF for this probe; persist the bit set with " +
+          "saveBloomBits so the m_bits stamp rides the artifact")
+      bits
+    } else bits.select(
       when(col("m_bits") === lit(mBits.toLong), col("pos"))
         .otherwise(raise_error(concat(
           lit(s"bloom bit-set width mismatch: probing at mBits=$mBits but the " +

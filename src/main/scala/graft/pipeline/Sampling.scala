@@ -320,8 +320,25 @@ object Sampling {
       alphaMicro: Long = 300000L,
       budgetDocs: Long = 1000L,
       salt: String = ""
+  ): DataFrame =
+    mixExecuteUpsampledWith(df, idCol, sourceCol,
+      mixPlan(df, sourceCol, alphaMicro, budgetDocs)
+        .select(col(sourceCol), col("n_docs"), col("target_docs")),
+      salt)
+
+  /** [[mixExecuteUpsampled]] with an EXPLICIT budgets relation
+    * (source, n_docs, target_docs) — the admission/repeat arithmetic decoupled
+    * from the temperature plan so learned budgets ([[doremiMixPlan]] — dc31)
+    * flow through the identical manifest kernel.
+    */
+  private[graft] def mixExecuteUpsampledWith(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      planBudgets: DataFrame,
+      salt: String = ""
   ): DataFrame = {
-    val budgets = mixPlan(df, sourceCol, alphaMicro, budgetDocs)
+    val budgets = planBudgets
       .select(col(sourceCol), col("n_docs"), col("target_docs"))
       .localCheckpoint(true)
     val kMax = budgets.agg(max(least(col("target_docs"), col("n_docs")))).collect()
@@ -451,8 +468,27 @@ object Sampling {
       budgetTokens: Long = 512L,
       nGroups: Int = 8,
       salt: String = ""
+  ): DataFrame =
+    epochManifestUpsampledWith(df, idCol, sourceCol, textCol, merges,
+      mixPlan(df, sourceCol, alphaMicro, budgetDocs)
+        .select(col(sourceCol), col("n_docs"), col("target_docs")),
+      budgetTokens, nGroups, salt)
+
+  /** [[epochManifestUpsampled]] over an EXPLICIT budgets relation — the pack
+    * chain decoupled from the temperature plan (dc31 feeds DoReMi budgets).
+    */
+  private[graft] def epochManifestUpsampledWith(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      planBudgets: DataFrame,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
   ): DataFrame = {
-    val manifest = mixExecuteUpsampled(df, idCol, sourceCol, alphaMicro, budgetDocs, salt)
+    val manifest = mixExecuteUpsampledWith(df, idCol, sourceCol, planBudgets, salt)
       .localCheckpoint(true)
     val admitted = df.select(col(idCol), col(textCol))
       .join(manifest.select(col(idCol)), Seq(idCol))
@@ -1041,6 +1077,22 @@ object Sampling {
     * integer products and divisions — every intermediate bounded: factor ≤
     * 10⁶, w_raw = w·factor ≤ 10¹², 2·10⁶·w_raw ≤ 2·10¹⁸ < 2⁶³.
     *
+    * FROZEN-REFERENCE divergence from the paper (deliberate, the r16 verdict
+    * item): published DoReMi trains a PROXY model under the evolving mixture
+    * and measures each domain's excess against a FIXED reference model —
+    * the reference never updates inside the loop; only the proxy does. This
+    * engine has no trainable proxy (it is a data engine, not a trainer), so
+    * the loop measures excess of the corpus against the fixed t45 reference
+    * directly: equivalent to the paper's round 0 gradient repeated over
+    * fresh minibatches, i.e. the excess signal never sharpens as a proxy
+    * would sharpen it. That is the sound choice here — re-fitting the t45
+    * reference per sweep would move the YARDSTICK, not emulate the proxy
+    * (the reference would drift toward whatever mixture scored it, which is
+    * the instability the paper's fixed reference exists to prevent) — and
+    * it keeps every round's measurement oracle-replayable. A trainer that
+    * wants the full proxy loop feeds its own per-domain proxy losses in as
+    * `mean_nll_micro` and reuses the register arithmetic unchanged.
+    *
     * Scale shape: ONE corpus scoring pass (the t45 scorer, checkpointed
     * id-thin with source/batch stamps); per round two map-side-combinable
     * batch aggregates (|sources|-row + 1-row) and |sources|-row register
@@ -1062,6 +1114,13 @@ object Sampling {
     require(nBatches >= 1, s"doremiMixWeights: nBatches must be >= 1, got $nBatches")
     require(smoothMicro >= 0L && smoothMicro < 1000000L,
       s"doremiMixWeights: smoothMicro must be in [0, 1e6), got $smoothMicro")
+    // eta bounds (r16 advisory): with smoothMicro = 0 a huge eta floors
+    // factor_micro to 0 for every non-max-excess domain, and once the
+    // max-excess domain's own weight has collapsed, w_tot = 0 turns the
+    // normalization DIV into silent NULLs that poison every later round.
+    // Published DoReMi runs eta ~ 1; 100 is already far outside the regime.
+    require(etaMicro > 0L && etaMicro <= 100000000L,
+      s"doremiMixWeights: etaMicro must be in (0, 1e8], got $etaMicro")
     val scored = graft.pipeline.TextStats
       .ccnetDocScores(df, idCol, textCol, sourceCol, refSource, oovLpMicro)
       .select(col(idCol), col("avg_lp_micro"))
@@ -1109,7 +1168,17 @@ object Sampling {
             + lit(0.5)).cast("long"))
       val raw = w.join(upd, Seq("source"))
         .withColumn("w_raw", col("w_micro") * col("factor_micro"))
+      // the zero-mass guard (r16 advisory): if every register collapsed
+      // (smoothMicro = 0 + an extreme eta/nll regime the require above does
+      // not provably exclude), fail loudly INSIDE the normalization instead
+      // of letting a 0-denominator DIV emit NULL weights that silently ride
+      // through every remaining round and into doremiMixPlan
       val tot = raw.agg(sum(col("w_raw")).as("w_tot"))
+        .select(when(col("w_tot") > 0L, col("w_tot"))
+          .otherwise(raise_error(lit(
+            s"doremiMixWeights: all domain weights collapsed to 0 at round $r " +
+              "(w_tot = 0) — raise smoothMicro or lower etaMicro")))
+          .as("w_tot"))
       w = raw.crossJoin(broadcast(tot))
         .select(col("source"), col("n_batch_docs"), col("mean_nll_micro"),
           col("excess_micro"), col("factor_micro"),
@@ -1172,4 +1241,49 @@ object Sampling {
           .when(col("target_docs") < col("prop_docs"), "downsample")
           .otherwise("hold"))
   }
+
+  /** dc31 — the DoReMi-weighted EPOCH, end-to-end: [[doremiMixPlan]]'s learned
+    * budgets composed into the dc11-grade pack materializer — admission is the
+    * identical bounded-KthSmallest hash-prefix manifest
+    * ([[mixExecuteUpsampledWith]]), pricing the identical saved-BPE replay,
+    * packing the identical replayed-symbol concat-and-cut — with DoReMi
+    * weights in place of temperature weights. Slot conservation holds by the
+    * same dc10 exact-integer law: per source, Σ n_slots over all packs equals
+    * the dc30 plan's `target_docs` (capped at n_docs only when a source is
+    * exhausted — upsampling repeats close the rest), pinned in
+    * RoundSeventeenOpsSpec against the plan relation itself.
+    *
+    * The registry's dc31 entry runs this over the dc13/dc26-hygienic pool
+    * (benchmark-decontaminated AND holdout-carved) so the epoch a trainer
+    * reads is clean, leak-free, AND learned-mixed — the full published
+    * pipeline in one composed job.
+    *
+    * Scale shape: dc29's one corpus scoring pass + |sources|-row rounds, then
+    * the dc11 chain unchanged (one admitted-text tokenize, epoch-sized pack
+    * windows with nGroups the knob).
+    */
+  def epochPackDoremi(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      refSource: String,
+      budgetDocs: Long = 1000L,
+      rounds: Int = 4,
+      nBatches: Int = 4,
+      etaMicro: Long = 500000L,
+      smoothMicro: Long = 100000L,
+      oovLpMicro: Long = -20000000L,
+      budgetTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame =
+    epochPackRollup(
+      epochManifestUpsampledWith(df, idCol, sourceCol, textCol, merges,
+        doremiMixPlan(df, idCol, textCol, sourceCol, refSource, budgetDocs,
+          rounds, nBatches, etaMicro, smoothMicro, oovLpMicro)
+          .select(col("source").as(sourceCol), col("n_docs"), col("target_docs")),
+        budgetTokens, nGroups, salt),
+      sourceCol)
 }

@@ -775,8 +775,22 @@ object Similarity {
       nTables: Int = 2,
       planesPerTable: Int = 6,
       dims: Int = 64,
-      maxBucketMembers: Long = 10000L
+      maxBucketMembers: Long = 10000L,
+      builtWith: Option[GraphAnnDials] = None
   ): DataFrame = {
+    // the dial-agreement guard (r16 advisory, the probeSpanIndex 'h' discipline):
+    // the fresh-build equivalence is a theorem ONLY at the dials the input graph
+    // was built with — a mismatched caller gets a quietly divergent adjacency,
+    // not an error. When the graph came off a stamped artifact
+    // ([[saveGraphAnnIndex]] with dials / [[loadGraphAnnDials]]), require
+    // agreement before compacting.
+    builtWith.foreach { d =>
+      val asked = GraphAnnDials(k, nTables, planesPerTable, dims, maxBucketMembers)
+      require(d == asked,
+        s"compactGraphAnnAdjacency: dial mismatch — the graph artifact was built " +
+          s"with $d but compaction was asked for $asked; the fresh-build " +
+          "equivalence only holds at the build dials")
+    }
     val tomb = tombstones.select(col(tombstones.columns.head).as("tid")).distinct()
       .localCheckpoint(true) // id catalog; broadcast into every cut below
     val vecs = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
@@ -883,6 +897,48 @@ object Similarity {
     saveCentroids(model, s"$path/model")
     entries.select(col("cluster"), col("cand")).coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/entries")
+  }
+
+  /** The build dials of a [[knnGraph]] adjacency — stamped on the saved index so
+    * lifecycle jobs (s42's delete/compact above all) can verify they run at the
+    * dials the structure was built with instead of silently diverging (r16
+    * advisory; the probeSavedExactIndex 'hp' / probeSpanIndex 'h' guard
+    * discipline applied to the graph artifact).
+    */
+  final case class GraphAnnDials(
+      k: Int, nTables: Int, planesPerTable: Int, dims: Int, maxBucketMembers: Long)
+
+  /** [[saveGraphAnnIndex]] WITH the build-dial stamp (`dials/`, one row). */
+  def saveGraphAnnIndex(
+      graph: DataFrame,
+      model: DataFrame,
+      entries: DataFrame,
+      path: String,
+      dials: GraphAnnDials,
+      nFiles: Int
+  ): Unit = {
+    saveGraphAnnIndex(graph, model, entries, path, nFiles)
+    val spark = graph.sparkSession
+    import spark.implicits._
+    Seq(dials).toDF().coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/dials")
+  }
+
+  /** Read the dial stamp of a [[saveGraphAnnIndex]] artifact — None for a legacy
+    * index saved before the stamp existed (the caller's dial consistency is then
+    * on them, as before).
+    */
+  def loadGraphAnnDials(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[GraphAnnDials] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/dials")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(s"$path/dials")
+      .select(col("k"), col("nTables"), col("planesPerTable"), col("dims"),
+        col("maxBucketMembers"))
+      .collect() // 1 row — the artifact stamp, bounded by construction
+      .headOption
+      .map(r => GraphAnnDials(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
   }
 
   /** Reload a [[saveGraphAnnIndex]] artifact: (adjacency, codebook, entries). */
@@ -2499,6 +2555,101 @@ object Similarity {
         ivfPqTrainedTopK(queries, corpus, idCol, vecCol, k, kCells, trainRounds)))
       .unionByName(arm("int8",
         int8TopK(queries, corpus, idCol, vecCol, k, overfetch = int8Overfetch)))
+  }
+
+  /** s45 — the AGED-INDEX recall card: the s40 serving-card discipline applied
+    * to index AGE, so the documented staleness of incrementally-maintained
+    * graph-ANN artifacts (s28's "archive links stay stale until the cadence
+    * rebuild") becomes a MEASURED rebuild-cadence dial instead of a doc note.
+    * Two lifecycle scenarios, each priced against its own brute-force truth
+    * (the exact arm riding along as calibration):
+    *
+    *   - EXTEND aging (`scenario = 'extend'`, corpus = archive ∪ arrivals):
+    *     `fresh` rebuilds everything on the full corpus; `extended` serves the
+    *     honest aged stack — the archive-built adjacency plus
+    *     [[knnGraphExtend]]'s arrival lists, with the ARCHIVE's codebook and
+    *     entry medoids (a real serving process keeps the saved artifact's
+    *     entry layer until the rebuild). The recall gap between the two rows
+    *     IS the price of deferring the cadence rebuild at this arrival
+    *     fraction.
+    *   - COMPACT aging (`scenario = 'compact'`, corpus = survivors):
+    *     `fresh` rebuilds on the survivors; `compacted` serves
+    *     [[compactGraphAnnAdjacency]]'s incremental result. s42 proves the two
+    *     adjacencies IDENTICAL, so these rows must tie exactly — the card
+    *     shows delete-compaction costs zero recall, in the same table that
+    *     shows extension costs some.
+    *
+    * Output: (scenario, method, n_queries, n_hits, recall_micro) — 6 rows.
+    *
+    * Scale shape: each truth is ONE broadcast-queries brute-force pass over
+    * its corpus (checkpointed, shared by its scenario's arms); the graph
+    * builds are the s20/s28/s42 kernels unchanged (band-bucketed, capped);
+    * searches are |Q|-sided beam walks. Honest composite cost — it runs the
+    * lifecycles it prices, like s42 and dc20 run theirs.
+    */
+  def agedIndexRecallCard(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      arrivalCut: Long,
+      tombstoneMod: Long,
+      k: Int = 5,
+      queryMod: Long = 50L,
+      graphK: Int = 5,
+      cells: Int = 8,
+      trainRounds: Int = 1,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4
+  ): DataFrame = {
+    def recallArm(
+        scenario: String, method: String, approx: DataFrame,
+        truth: DataFrame, nQueries: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQueries))
+        .select(
+          lit(scenario).as("scenario"), lit(method).as("method"),
+          col("n_queries"), col("n_hits"),
+          expr(s"(2 * 1000000 * n_hits + n_queries * $k) DIV (2 * n_queries * $k)")
+            .cast("long").as("recall_micro"))
+    def scenario(
+        name: String,
+        serveCorpus: DataFrame,
+        agedMethod: String,
+        agedAdj: DataFrame,
+        agedModelCorpus: DataFrame): DataFrame = {
+      val queries = serveCorpus.filter(col(idCol) % queryMod === 0)
+      val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+      val truth = bruteForceTopK(queries, serveCorpus, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // one truth per scenario, every arm joins it
+      val freshModel = kmeansRounds(serveCorpus, idCol, vecCol, cells, dims = 64,
+        rounds = trainRounds)
+      val fresh = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
+        knnGraph(serveCorpus, idCol, vecCol, k = graphK), freshModel,
+        k = k, beam = beam, rounds = rounds, entryProbe = entryProbe)
+      val agedModel = kmeansRounds(agedModelCorpus, idCol, vecCol, cells, dims = 64,
+        rounds = trainRounds)
+      val aged = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
+        agedAdj, agedModel,
+        k = k, beam = beam, rounds = rounds, entryProbe = entryProbe,
+        entries = Some(graphAnnEntryPoints(agedModelCorpus, idCol, vecCol, agedModel)))
+      recallArm(name, "exact", truth, truth, nQueries)
+        .unionByName(recallArm(name, "fresh", fresh, truth, nQueries))
+        .unionByName(recallArm(name, agedMethod, aged, truth, nQueries))
+    }
+    val archive = corpus.filter(col(idCol) < arrivalCut)
+    val arrivals = corpus.filter(col(idCol) >= arrivalCut)
+    val extendedAdj = knnGraph(archive, idCol, vecCol, k = graphK)
+      .unionByName(knnGraphExtend(arrivals, corpus, idCol, vecCol, k = graphK))
+    val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
+    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0)
+    val compactedAdj = compactGraphAnnAdjacency(corpus, tomb,
+      knnGraph(corpus, idCol, vecCol, k = graphK), idCol, vecCol, k = graphK)
+    scenario("extend", corpus, "extended", extendedAdj, archive)
+      .unionByName(scenario("compact", survivors, "compacted", compactedAdj, survivors))
   }
 
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain

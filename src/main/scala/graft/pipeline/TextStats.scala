@@ -1008,6 +1008,141 @@ object TextStats {
         sum(col("tf") * col("n_sym")).as("n_syms"))
   }
 
+  // ---- t55: sampled (subword-regularization) unigram encoding ----
+
+  /** α-scaled piece scores as the literal map the SAMPLED DP consumes:
+    * slp = ⌊α·lp + 0.5⌋ micro-nats, clamped at −4·10¹⁶ so a worst-case forward
+    * sum (≤ ~200 pieces · |slp|) stays inside int64 at any α the require
+    * admits. One rendition shared by the forward filter and the backward
+    * sampler — the same can't-drift discipline as [[uniLp]].
+    */
+  private def uniScaledVocabMap(vocab: DataFrame, alphaMicro: Long): Column = {
+    val alpha = alphaMicro.toDouble / 1000000.0
+    typedlit(vocab.select(col("piece"), col("lp_micro")).collect()
+      .map(r => r.getString(0) ->
+        math.max(math.floor(alpha * r.getLong(1) + 0.5), -4.0e16).toLong)
+      .toMap)
+  }
+
+  private def uniScaledFloor(alphaMicro: Long, floorLpMicro: Long): Long =
+    math.max(math.floor(alphaMicro.toDouble / 1000000.0 * floorLpMicro + 0.5), -4.0e16).toLong
+
+  /** FORWARD FILTERING scores for the sampled segmenter (Kudo 2018 §4.2's FFBS,
+    * α-scaled): F(k) = α-scaled log-sum-exp over all segmentations of the first
+    * k−1 characters — the Viterbi fold with max replaced by logsumexp,
+    * micro-quantized at every position so the recursion is deterministic across
+    * engines (the one ln/exp set per position is the t20 float exposure,
+    * max-shifted so the doubles only ever see small differences).
+    */
+  private def uniDpsLse(tok: Column, m: Column, maxPieceLen: Int, floorSlp: Long): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      array(lit(0L)),
+      (acc, i) => {
+        val qs = filter(
+          transform(sequence(greatest(lit(1), i - maxPieceLen + 1), i),
+            s => element_at(acc, s) + uniLp(m, tok.substr(s, i - s + lit(1)), floorSlp)),
+          q => q.isNotNull)
+        val mx = array_max(qs)
+        concat(acc, array(mx + floor(lit(1000000.0) * log(
+            aggregate(qs, lit(0.0),
+              (a, q) => a + exp((q - mx).cast("double") / lit(1000000.0))))
+          + lit(0.5)).cast("long")))
+      })
+
+  /** BACKWARD SAMPLING over precomputed [[uniDpsLse]] scores: at boundary p the
+    * piece ending there is drawn with weight ∝ exp(α·(F(s−1) + lp(piece)) −
+    * max), weights micro-quantized to exact integers, the draw an md5-derived
+    * uniform `h(token:p:seed) mod Σw` (the g45 no-rand discipline — stable
+    * under partitioning and retries where `rand()` never is). Returns the
+    * sampled piece COUNT (the pricing consumers need nothing else). The
+    * max-weight candidate always quantizes to 10⁶, so Σw ≥ 10⁶ — the modulus
+    * is never zero.
+    */
+  private def uniPathSampledLen(
+      tok: Column, dps: Column, m: Column, maxPieceLen: Int,
+      floorSlp: Long, seed: String): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      struct(length(tok).cast("int").as("p"), lit(0L).as("n")),
+      (acc, _) => {
+        val p = acc.getField("p")
+        val sLo = greatest(lit(1), p - maxPieceLen + 1)
+        val qs = transform(sequence(sLo, p),
+          s => element_at(dps, s) + uniLp(m, tok.substr(s, p - s + lit(1)), floorSlp))
+        val mx = array_max(qs)
+        val ws = transform(qs, q => coalesce(
+          floor(lit(1000000.0) * exp((q - mx).cast("double") / lit(1000000.0)) + lit(0.5))
+            .cast("long"),
+          lit(0L)))
+        val tot = aggregate(ws, lit(0L), (a, w) => a + w)
+        val u = conv(substring(md5(concat(
+            tok, lit(":"), p.cast("string"), lit(":"), lit(seed))), 1, 15), 16, 10)
+          .cast("long") % tot
+        val j = array_min(filter(
+          transform(sequence(lit(1), size(ws)),
+            jj => when(aggregate(slice(ws, lit(1), jj), lit(0L), (a, w) => a + w) > u, jj)),
+          x => x.isNotNull))
+        val sStar = sLo + j - 1
+        when(p === lit(0), acc).otherwise(
+          struct((sStar - 1).cast("int").as("p"), (acc.getField("n") + 1).as("n")))
+      },
+      acc => acc.getField("n"))
+
+  /** t55 — SAMPLED unigram encoding: Kudo 2018's subword regularization (§4.2,
+    * the l = ∞ case) — instead of the Viterbi argmax (t53), each token's
+    * segmentation is DRAWN from P(seg | token)^α over the full lattice by
+    * forward-filtering / backward-sampling, the published trick that turns one
+    * deterministic tokenization into a regularizing distribution of
+    * tokenizations. α is the sharpness dial: α→∞ concentrates on the Viterbi
+    * path (pinned: with well-separated path scores this reduces EXACTLY to
+    * [[unigramEncodeWith]], RoundSeventeenPropertySpec), α→0 approaches
+    * uniform over coverable segmentations.
+    *
+    * Determinism (the g45 no-rand discipline): draws are md5-derived,
+    * keyed (token, boundary position, seed) — a given (vocab, seed) prices a
+    * corpus identically on any cluster layout, and an epoch loop varies `seed`
+    * per epoch to get the paper's fresh per-epoch samples. Two deliberate
+    * divergences from the reference implementation, both documented knobs:
+    * draws are per DISTINCT token (all occurrences in one epoch share a
+    * segmentation — keeps the dictionary-sized scale shape; vary seed to
+    * resample), and the lattice scores are micro-quantized integers (cross-
+    * engine replayability; the sampling distribution shifts by < 1e-6 nat per
+    * boundary).
+    *
+    * Scale shape: identical to t53 — each DISTINCT token pays one forward fold
+    * and one backward fold against the broadcast literal vocab
+    * (O(len·maxPieceLen) map probes), per-doc totals ride the tf equi-join.
+    */
+  def unigramEncodeSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 5,
+      floorLpMicro: Long = -20000000L,
+      alphaMicro: Long = 500000L,
+      seed: String = ""
+  ): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000000000L,
+      s"unigramEncodeSampled: alphaMicro must be in (0, 1e12], got $alphaMicro")
+    val tf = uniTf(df, idCol, textCol)
+    val m = uniScaledVocabMap(vocab, alphaMicro)
+    val floorSlp = uniScaledFloor(alphaMicro, floorLpMicro)
+    val tok = col("token")
+    val nSym = tf.select(tok).distinct()
+      .withColumn("dps", uniDpsLse(tok, m, maxPieceLen, floorSlp))
+      .select(tok,
+        uniPathSampledLen(tok, col("dps"), m, maxPieceLen, floorSlp, seed).as("n_sym"))
+    tf
+      .join(nSym, "token")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(col("token"))).as("n_chars"),
+        sum(col("tf") * col("n_sym")).as("n_syms"))
+  }
+
   /** t54 — the TOKENIZER-FAMILY decision card: the trained BPE (t24/t25) and
     * the trained unigram-LM (t52/t53) priced on the SAME corpus, one row per
     * family — total whitespace tokens / characters / emitted pieces, plus
@@ -1053,6 +1188,100 @@ object TextStats {
           unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab,
             vocabTarget, floorLpMicro),
           maxPieceLen, floorLpMicro)))
+  }
+
+  /** t56 — the t54 card's decision ACTUATED (the t42 swap/block/hold discipline
+    * applied to the tokenizer family, closing the loop the way dc30 closes
+    * dc29's): BPE is the incumbent family, unigram the challenger, and the
+    * corpus is priced by WHICHEVER the pinned thresholds choose —
+    *
+    *   - `swap` when the challenger's fertility (pieces per whitespace token,
+    *     micro) beats the incumbent's by at least `marginMicro` — the
+    *     published tokenizer-selection criterion (fewer pieces = more text
+    *     per context window at equal vocab budget);
+    *   - `block` when it does not (ties and losses keep the incumbent — a
+    *     swap needs affirmative evidence);
+    *   - `hold` when either family priced ZERO tokens (an empty/unscorable
+    *     corpus is NO EVIDENCE, never a swap — the s25 quiet-cadence
+    *     convention); the incumbent keeps serving.
+    *
+    * Output: one row per document of the CHOSEN family's pricing (the
+    * [[bpeEncodeWith]] shape) stamped with the family name and the decision —
+    * a gated UNION of the two arms, so the decision is relational and the
+    * oracle replays it (no driver-side branching in the data path; the
+    * driver-side twin for schedulers is [[tokenizerSwapTrigger]]).
+    *
+    * Scale shape: t54's card cost (both families train + price once, the
+    * unigram side sharing ONE tf pass) — the arms are already materialized
+    * per-doc relations, the gate a 1-row broadcast filter. Each arm prices on
+    * its own token basis (BPE excludes '|'-containing tokens), identical on
+    * any corpus without literal pipes — the t54 note.
+    */
+  def tokenizerSwapEpoch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpeRounds: Int = 4,
+      uniRounds: Int = 2,
+      maxPieceLen: Int = 5,
+      seedVocab: Int = 300,
+      vocabTarget: Int = 120,
+      floorLpMicro: Long = -20000000L,
+      marginMicro: Long = 50000L
+  ): DataFrame = {
+    val tf = uniTf(df, idCol, textCol)
+    val bpeDoc = bpeEncode(df, idCol, textCol, bpeRounds).localCheckpoint(true)
+    val uniDoc = unigramEncodeWithTf(tf, idCol,
+        unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab, vocabTarget, floorLpMicro),
+        maxPieceLen, floorLpMicro)
+      .localCheckpoint(true) // each arm feeds its total AND the gated union
+    val bTot = bpeDoc.agg(sum(col("n_tokens")).as("b_nt"), sum(col("n_syms")).as("b_ns"))
+    val uTot = uniDoc.agg(sum(col("n_tokens")).as("u_nt"), sum(col("n_syms")).as("u_ns"))
+    val decision = bTot.crossJoin(uTot)
+      .select(
+        when(col("b_nt").isNull || col("b_nt") === 0L ||
+          col("u_nt").isNull || col("u_nt") === 0L, lit("hold"))
+          .when(
+            expr("(2 * 1000000 * u_ns + u_nt) DIV (2 * u_nt)") + marginMicro
+              <= expr("(2 * 1000000 * b_ns + b_nt) DIV (2 * b_nt)"), lit("swap"))
+          .otherwise(lit("block")).as("action"))
+      .localCheckpoint(true) // 1 row; gates both arms
+    def arm(name: String, doc: DataFrame, serveWhen: Column => Column): DataFrame =
+      doc.crossJoin(broadcast(decision))
+        .filter(serveWhen(col("action")))
+        .select(col(idCol), lit(name).as("tokenizer"),
+          col("n_tokens"), col("n_chars"), col("n_syms"), col("action"))
+    arm("unigram", uniDoc, _ === "swap")
+      .unionByName(arm("bpe", bpeDoc, _ =!= "swap"))
+  }
+
+  /** Driver-side form of [[tokenizerSwapEpoch]]'s gate for schedulers (the
+    * gateSwapTrigger discipline: the t54 card is 2 rows — family-sized, never
+    * data-sized — so the job that acts on it reads a scalar).
+    */
+  final case class TokenizerSwapDecision(
+      action: String, reason: String, chosen: String,
+      bpeSymsPerTokenMicro: Long, uniSymsPerTokenMicro: Long)
+
+  def tokenizerSwapTrigger(card: DataFrame, marginMicro: Long = 50000L): TokenizerSwapDecision = {
+    val rows = card
+      .select(col("tokenizer"), coalesce(col("n_tokens").cast("long"), lit(0L)),
+        coalesce(col("syms_per_token_micro").cast("long"), lit(0L)))
+      .collect() // 2 rows — the t54 card, bounded by construction
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (rows.get("bpe"), rows.get("unigram")) match {
+      case (Some((bn, bs)), Some((un, us))) if bn > 0L && un > 0L =>
+        if (us + marginMicro <= bs)
+          TokenizerSwapDecision("swap",
+            s"unigram fertility ${us}µ beats bpe ${bs}µ by ≥ ${marginMicro}µ",
+            "unigram", bs, us)
+        else
+          TokenizerSwapDecision("block",
+            s"unigram fertility ${us}µ does not beat bpe ${bs}µ by ${marginMicro}µ",
+            "bpe", bs, us)
+      case _ =>
+        TokenizerSwapDecision("hold", "zero scored tokens — no evidence", "bpe", 0L, 0L)
+    }
   }
 
   /** Per-document character-level Shannon entropy — the gibberish/degenerate-text

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sampling, Similarity, TextStats}
+
+/** Round-17 pins for the r16 ADVICE advisories:
+  *
+  *   - doremiMixWeights dial bounds: etaMicro outside (0, 1e8] is rejected at
+  *     construction (a huge eta with smoothMicro = 0 can zero every register
+  *     and make the normalization DIV emit silently-propagating NULLs).
+  *   - bloom bit-set artifact: saveBloomBits/loadBloomBits round-trips the
+  *     m_bits width stamp bit-exactly, so the width guard keeps firing on a
+  *     reloaded relation; a hand-rolled width-less persist is refused.
+  *   - graph-ANN dial stamp: the saved index carries its build dials, and
+  *     compaction at mismatched dials fails loudly instead of quietly
+  *     diverging from the fresh-build equivalence.
+  */
+class RoundSeventeenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dc29: etaMicro dial bounds are enforced at construction") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    intercept[IllegalArgumentException] {
+      Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+        refSource = "web", etaMicro = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+        refSource = "web", etaMicro = 100000001L)
+    }
+  }
+
+  test("d37: bloom bit-set artifact round-trips its width stamp and keeps the guard live") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(40)
+      .localCheckpoint(true)
+    val index = Dedup.exactHashIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val bits = Dedup.exactBloomBits(index, mBits = 1 << 12)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bloom-bits")
+    try {
+      val path = scratch.toString + "/bits"
+      Dedup.saveBloomBits(bits, path)
+      val loaded = Dedup.loadBloomBits(spark, path).localCheckpoint(true)
+      // the stamp survives the round trip bit-exactly
+      assert(loaded.columns.contains("m_bits"))
+      assert(loaded.select(max(col("m_bits"))).head.getLong(0) == (1L << 12))
+      assert(loaded.count() == bits.count())
+      // the guard still fires on the RELOADED relation: probing at a different
+      // width must fail loudly, not silently screen out true duplicates
+      val batchHashes = docs
+        .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("text_hash"))
+      val probedOk = Dedup.bloomPrefilteredProbeAgainst(batchHashes, "doc_id",
+        index, loaded, mBits = 1 << 12)
+      assert(probedOk.count() == batchHashes.count())
+      // every batch row duplicates an indexed document, so all must resolve
+      assert(probedOk.filter(col("dup_of") === -1L).count() == 0)
+      val ex = intercept[Exception] {
+        Dedup.bloomPrefilteredProbeAgainst(batchHashes, "doc_id",
+          index, loaded, mBits = 1 << 13).count()
+      }
+      assert(ex.getMessage != null)
+      // a width-less hand persist is refused at save time
+      intercept[IllegalArgumentException] {
+        Dedup.saveBloomBits(bits.select(col("pos")), scratch.toString + "/bad")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+
+  test("t56: a long-word corpus swaps to unigram; a unit-word corpus blocks; pipes hold") {
+    // 12-char words: 4 global BPE merges leave ≥ 6 pieces/word, unigram's
+    // 5-char pieces cover each word in 3 — the challenger clears the margin
+    val uniWins = (0L until 30L).map(i => (i, "weatherproof unbelievable weatherproof"))
+      .toDF("doc_id", "text")
+    val swap = TextStats.tokenizerSwapEpoch(uniWins, "doc_id", "text",
+      bpeRounds = 4, uniRounds = 1, maxPieceLen = 5, seedVocab = 60, vocabTarget = 25)
+    val swapRows = swap.select(col("tokenizer"), col("action")).distinct().collect()
+    assert(swapRows.map(r => (r.getString(0), r.getString(1))).toSet == Set(("unigram", "swap")),
+      swapRows.mkString(", "))
+    // single-char words: both families price 1 piece/token — a tie keeps the
+    // incumbent (a swap needs affirmative evidence past the margin)
+    val tie = (0L until 20L).map(i => (i, "a b c a b c")).toDF("doc_id", "text")
+    val block = TextStats.tokenizerSwapEpoch(tie, "doc_id", "text",
+      bpeRounds = 4, uniRounds = 1, maxPieceLen = 5, seedVocab = 60, vocabTarget = 25)
+    val blockRows = block.select(col("tokenizer"), col("action")).distinct().collect()
+    assert(blockRows.map(r => (r.getString(0), r.getString(1))).toSet == Set(("bpe", "block")),
+      blockRows.mkString(", "))
+    // pipe-only corpus: the BPE basis excludes every token (its separator
+    // encoding), zero scored tokens is NO EVIDENCE — hold, incumbent serves
+    val pipes = (0L until 5L).map(i => (i, "||| |||")).toDF("doc_id", "text")
+    val dec = TextStats.tokenizerSwapTrigger(
+      TextStats.tokenizerCompareCard(pipes, "doc_id", "text",
+        bpeRounds = 4, uniRounds = 1, maxPieceLen = 5, seedVocab = 60, vocabTarget = 25))
+    assert(dec.action == "hold" && dec.chosen == "bpe", dec.toString)
+  }
+
+  test("t56: the gated union equals the standalone pricing of the chosen family") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(60).localCheckpoint(true)
+    val epoch = TextStats.tokenizerSwapEpoch(docs, "doc_id", "text",
+      bpeRounds = 2, uniRounds = 1, maxPieceLen = 4, seedVocab = 40, vocabTarget = 20)
+      .localCheckpoint(true)
+    val families = epoch.select(col("tokenizer")).distinct().collect().map(_.getString(0))
+    assert(families.length == 1, s"mixed families served: ${families.mkString(",")}")
+    val served = epoch.select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_syms"))
+    val standalone =
+      if (families.head == "bpe") TextStats.bpeEncode(docs, "doc_id", "text", rounds = 2)
+      else TextStats.unigramEncodeWith(docs, "doc_id", "text",
+        TextStats.unigramTrain(docs, "doc_id", "text",
+          rounds = 1, maxPieceLen = 4, seedVocab = 40, vocabTarget = 20),
+        maxPieceLen = 4)
+    assert(served.exceptAll(standalone).isEmpty && standalone.exceptAll(served).isEmpty)
+  }
+
+  test("dc31: learned weights flow to packs with slot conservation against the dc30 plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0).localCheckpoint(true)
+    val merges = TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 2)
+      .localCheckpoint(true)
+    val plan = Sampling.doremiMixPlan(docs, "doc_id", "text", "source",
+        refSource = "src1", budgetDocs = 600L, rounds = 2, nBatches = 2)
+      .localCheckpoint(true)
+    val packs = Sampling.epochPackDoremi(docs, "doc_id", "source", "text", merges,
+        refSource = "src1", budgetDocs = 600L, rounds = 2, nBatches = 2,
+        budgetTokens = 256L, nGroups = 4)
+      .localCheckpoint(true)
+    // per source, the packs' slot mass equals the learned plan's target
+    // (exhausted sources cap at n_docs — the mixExecuteUpsampled law lifts
+    // that cap via repeat factors, so equality is exact)
+    val slots = packs.groupBy(col("source")).agg(sum(col("n_slots")).as("slots"))
+    val diff = plan.join(slots, Seq("source"), "left")
+      .filter(coalesce(col("slots"), lit(0L)) =!= col("target_docs"))
+      .collect()
+    assert(diff.isEmpty, diff.mkString("\n"))
+    // and at least one source is genuinely upsampled (slots > docs) so the
+    // conservation law is exercised on the repeat path, not vacuously
+    val upsampled = plan.filter(col("target_docs") > col("n_docs")).count()
+    assert(upsampled > 0, "plan exercised no upsampling — weaken the budget split")
+  }
+
+  test("s45: a planted arrival cluster makes the extended index measurably trail fresh") {
+    // archive (ids 0..59): vectors living in dims 0..9; arrivals (ids 100..119):
+    // a tight new cluster on dim 40 the archive never saw — the distribution
+    // shift that ages an entry layer. Queries (id % 20 == 0) include archive
+    // members AND the arrival 100/120: an arrival query's true top-k are other
+    // arrivals, but the extended index's entry medoids come from the ARCHIVE
+    // codebook, so its beam starts orthogonal to the answer; the fresh rebuild
+    // gives the arrival cluster its own cell and medoid.
+    def vec(active: Seq[(Int, Double)]): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      active.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val archive = (0 until 60).map { i =>
+      (i.toLong, vec(Seq((i % 10, 1.0), ((i % 10 + 1) % 10, 0.2 + 0.01 * (i / 10)))))
+    }
+    val arrivals = (0 until 20).map { i =>
+      (100L + i, vec(Seq((40, 1.0), (41, 0.05 + 0.002 * i))))
+    }
+    val e = (archive ++ arrivals).toDF("vec_id", "embedding").localCheckpoint(true)
+    val card = Similarity.agedIndexRecallCard(e, "vec_id", "embedding",
+        arrivalCut = 100L, tombstoneMod = 7L, k = 5, queryMod = 20L,
+        graphK = 4, cells = 8, trainRounds = 1, beam = 4, rounds = 2, entryProbe = 2)
+      .localCheckpoint(true)
+    val byArm = card.collect()
+      .map(r => (r.getAs[String]("scenario"), r.getAs[String]("method")) ->
+        r.getAs[Long]("recall_micro")).toMap
+    // the staleness is MEASURED: extension trails its fresh rebuild
+    assert(byArm(("extend", "extended")) < byArm(("extend", "fresh")),
+      s"extended ${byArm(("extend", "extended"))} !< fresh ${byArm(("extend", "fresh"))}")
+    // and delete-compaction costs exactly nothing (s42's theorem, at the
+    // search surface, in the same card)
+    assert(byArm(("compact", "compacted")) == byArm(("compact", "fresh")), byArm.toString)
+    val hits = card.filter(col("scenario") === "compact").collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hits")).toMap
+    assert(hits("compacted") == hits("fresh"), hits.toString)
+  }
+
+  test("s42: compaction at mismatched build dials fails loudly; stamp round-trips") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 120).localCheckpoint(true)
+    val dials = Similarity.GraphAnnDials(
+      k = 4, nTables = 2, planesPerTable = 6, dims = 64, maxBucketMembers = 10000L)
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = dials.k)
+      .localCheckpoint(true)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ann-dials")
+    try {
+      val path = scratch.toString + "/index"
+      val model = Similarity.kmeansRounds(e, "vec_id", "embedding",
+        k = 4, dims = 64, rounds = 1)
+      Similarity.saveGraphAnnIndex(graph, model,
+        Similarity.graphAnnEntryPoints(e, "vec_id", "embedding", model),
+        path, dials, nFiles = 2)
+      // the stamp round-trips exactly
+      assert(Similarity.loadGraphAnnDials(spark, path).contains(dials))
+      // a legacy artifact (no dials/) reads None
+      val legacy = scratch.toString + "/legacy"
+      Similarity.saveGraphAnnIndex(graph, model,
+        Similarity.graphAnnEntryPoints(e, "vec_id", "embedding", model), legacy)
+      assert(Similarity.loadGraphAnnDials(spark, legacy).isEmpty)
+      val tomb = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      // mismatched k: refused before any work
+      intercept[IllegalArgumentException] {
+        Similarity.compactGraphAnnAdjacency(e, tomb, graph, "vec_id", "embedding",
+          k = 5, builtWith = Some(dials))
+      }
+      // matching dials: the guard is transparent — identical to the unchecked call
+      val checked = Similarity.compactGraphAnnAdjacency(e, tomb, graph,
+        "vec_id", "embedding", k = dials.k, builtWith = Some(dials))
+      val unchecked = Similarity.compactGraphAnnAdjacency(e, tomb, graph,
+        "vec_id", "embedding", k = dials.k)
+      assert(checked.exceptAll(unchecked).isEmpty && unchecked.exceptAll(checked).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+}

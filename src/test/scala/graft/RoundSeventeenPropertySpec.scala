@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.pipeline.TextStats
+
+/** Round-17 randomized law: t55's α→∞ reduction to t53.
+  *
+  * Kudo 2018's FFBS sampler at a large α must reproduce the Viterbi argmax
+  * EXACTLY (piece count for piece count) whenever the lattice is
+  * well-separated — every position's candidate continuation scores pairwise
+  * ≥ the quantization threshold apart, so the max-shifted log-sum-exp rounds
+  * to the max and every non-optimal backward weight quantizes to zero. The
+  * separation precondition is checked per generated instance from an
+  * independent sequential DP (near-ties and exact ties are the sampler's
+  * legitimate probability mass — the law quantifies over the rest).
+  */
+class RoundSeventeenPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int): Unit = {
+    val params = ScTest.Parameters.default.withMinSuccessfulTests(cases)
+    val result = ScTest.check(params, prop)
+    assert(result.passed, s"$name: $result")
+  }
+
+  private val maxPieceLen = 3
+  // alphaMicro = 1e9 (α = 1000): a raw gap g survives quantization when
+  // α·g/1e6 > 15.6 nats (mpl·exp(−x) < 5e-7), i.e. g > 15600 — the
+  // precondition uses 25000 to also absorb the ≤ len micro-nats of forward
+  // rounding drift between the sampled F and the Viterbi dp
+  private val bigAlphaMicro = 1000000000L
+  private val sepMicro = 25000L
+
+  /** Viterbi forward scores (position i = best score of the first i chars). */
+  private def dpScores(tok: String, vocab: Map[String, Long]): Array[Option[Long]] = {
+    val dp = Array.fill[Option[Long]](tok.length + 1)(None)
+    dp(0) = Some(0L)
+    for (i <- 1 to tok.length; l <- 1 to math.min(maxPieceLen, i)) {
+      for (lp <- vocab.get(tok.substring(i - l, i)); prev <- dp(i - l)) {
+        val cand = prev + lp
+        if (dp(i).forall(_ < cand)) dp(i) = Some(cand)
+      }
+    }
+    dp
+  }
+
+  /** Every position's candidate continuation scores pairwise > sepMicro apart
+    * (both the forward logsumexp and the backward weights see exactly these
+    * candidate lists, so separation here is separation everywhere).
+    */
+  private def wellSeparated(tok: String, vocab: Map[String, Long]): Boolean = {
+    val dp = dpScores(tok, vocab)
+    (1 to tok.length).forall { i =>
+      val cands = for {
+        s <- math.max(1, i - maxPieceLen + 1) to i
+        lp <- vocab.get(tok.substring(s - 1, i))
+        prev <- dp(s - 1)
+      } yield prev + lp
+      cands.combinations(2).forall { case Seq(a, b) => math.abs(a - b) > sepMicro }
+    }
+  }
+
+  test("t55 law: at large α the sampled encoding reduces exactly to t53's Viterbi argmax") {
+    val tokGen = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val lpGen = Gen.choose(-9000000000L, -1000000000L)
+    val pieces = Seq("a", "b", "c", "ab", "bc", "ca", "aa", "abc", "bca", "cab", "bb", "cc")
+    check("t55-alpha-reduction", Prop.forAll(
+      Gen.listOfN(4, tokGen), Gen.listOfN(pieces.size, lpGen)) {
+      (toks: List[String], lps: List[Long]) =>
+        val vocab = pieces.zip(lps).toMap
+        toks.distinct.forall(t => wellSeparated(t, vocab)) ==> {
+          val docs = toks.distinct.zipWithIndex
+            .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+          val vocabDf = vocab.toSeq.toDF("piece", "lp_micro")
+            .withColumn("n_uses", lit(1L))
+          val viterbi = TextStats.unigramEncodeWith(docs, "doc_id", "text", vocabDf,
+              maxPieceLen = maxPieceLen)
+            .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+          val sampled = TextStats.unigramEncodeSampled(docs, "doc_id", "text", vocabDf,
+              maxPieceLen = maxPieceLen, alphaMicro = bigAlphaMicro, seed = "law")
+            .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+          sampled == viterbi
+        }
+    }, cases = 12)
+  }
+
+  test("t55: at moderate α the sampler genuinely leaves the argmax path (planted near-tie)") {
+    // "ab" as one piece scores -1.0; "a"+"b" scores -2.2 — the Viterbi path is
+    // always the single piece, but at α = 0.5 the two-piece segmentation keeps
+    // ~26% of the quantized weight, so across these seeds at least one token
+    // draws it (deterministically, given the pinned seeds)
+    val vocab = Seq(
+      ("ab", -1000000L, 1L), ("a", -1100000L, 1L), ("b", -1100000L, 1L))
+      .toDF("piece", "lp_micro", "n_uses")
+    val docs = Seq((0L, "ab abab ababab abababab ab ab"), (1L, "abab ab ababab"))
+      .toDF("doc_id", "text")
+    val viterbiTotal = TextStats.unigramEncodeWith(docs, "doc_id", "text", vocab,
+        maxPieceLen = 2)
+      .agg(sum(col("n_syms"))).head.getLong(0)
+    val drifted = (0 to 4).exists { i =>
+      TextStats.unigramEncodeSampled(docs, "doc_id", "text", vocab,
+          maxPieceLen = 2, alphaMicro = 500000L, seed = s"drift$i")
+        .agg(sum(col("n_syms"))).head.getLong(0) != viterbiTotal
+    }
+    assert(drifted, "five seeds all reproduced the Viterbi piece count on a near-tie lattice")
+    // and the same lattice at large α stays exactly on the argmax path: the
+    // 100000-micro gap clears the quantization threshold at α = 1000
+    val reduced = TextStats.unigramEncodeSampled(docs, "doc_id", "text", vocab,
+        maxPieceLen = 2, alphaMicro = bigAlphaMicro, seed = "drift0")
+      .agg(sum(col("n_syms"))).head.getLong(0)
+    assert(reduced == viterbiTotal, s"large-α total $reduced != Viterbi $viterbiTotal")
+  }
+}
