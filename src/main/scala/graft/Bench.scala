@@ -70,15 +70,14 @@ object Bench {
     // t45_ccnet_tertiles and for g54_hyperanf -> g55_effective_diameter (g55
     // RUNS the full g54 register fixpoint and adds a 4-row reduction, so one
     // headline slot prices both and g54 had no committed history to lose)
-    "t25_bpe_encode", "t29_kneser_ney", "t31_dsir_scores",
+    "t25_bpe_encode", "t31_dsir_scores",
     "g46_modularity",
     "d15_cluster_keep",
-    "d18_dedup_saved_index",
     "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled", "g50_condensation",
-    "g52_scc_reachability", "dc12_epoch_manifest_saved", "s28_knn_graph_extend",
+    "g52_scc_reachability", "dc12_epoch_manifest_saved",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
     "g55_effective_diameter", "dc14_epoch_shuffle", "t45_ccnet_tertiles",
-    "t46_gopher_repetition", "g56_coreness",
+    "t46_gopher_repetition",
     // r14: five slots for the new composites — dc18 runs the full dc16 gate
     // chain TWICE (old artifact + candidate config), d26 prices three LSH
     // grids against the shared exact truth, s32 the trained probe sweep, dc19
@@ -130,6 +129,19 @@ object Bench {
     // headline, its marginal cost is priced twice over, and BENCH_SEED carries
     // its floor).
     "d36_dedup_policy_ablation",
+    // r17: four slots for the new composites — s45 prices FIVE index
+    // lifecycles against two brute-force truths (and RUNS the full s28
+    // extension chain, so s28_knn_graph_extend rotates out on the g54->g55
+    // one-slot-prices-both precedent), dc31 runs decontam + holdout + the
+    // DoReMi loop + the dc11 pack chain end-to-end, t56 trains and prices
+    // BOTH tokenizer families before gating, t55 adds the FFBS sampling fold
+    // on top of t52's training chain. Also rotated to pay for them:
+    // t29_kneser_ney (~2.1s flat; t25/t31/t45/t46 + the two new t slots keep
+    // the family), d18_dedup_saved_index (~1.6s flat; d15/d22/d26/d28/d31/d36
+    // keep it), g56_coreness (~1.5s flat; g46/g50/g52/g55/g66 keep it) — the
+    // fam field reports every family's worst query regardless.
+    "s45_aged_index_recall", "dc31_doremi_epoch", "t56_tokenizer_swap",
+    "t55_unigram_sampled",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
