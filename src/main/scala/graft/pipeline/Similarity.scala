@@ -2617,6 +2617,7 @@ object Similarity {
     def scenario(
         name: String,
         serveCorpus: DataFrame,
+        freshAdj: DataFrame,
         agedMethod: String,
         agedAdj: DataFrame,
         agedModelCorpus: DataFrame): DataFrame = {
@@ -2628,10 +2629,15 @@ object Similarity {
       val freshModel = kmeansRounds(serveCorpus, idCol, vecCol, cells, dims = 64,
         rounds = trainRounds)
       val fresh = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
-        knnGraph(serveCorpus, idCol, vecCol, k = graphK), freshModel,
+        freshAdj, freshModel,
         k = k, beam = beam, rounds = rounds, entryProbe = entryProbe)
-      val agedModel = kmeansRounds(agedModelCorpus, idCol, vecCol, cells, dims = 64,
-        rounds = trainRounds)
+      // when the aged artifact's model corpus IS the serving corpus (the
+      // compaction scenario — s42 retrains codebook and medoids on the
+      // survivors), the model is the fresh one: train it once
+      val agedModel =
+        if (agedModelCorpus eq serveCorpus) freshModel
+        else kmeansRounds(agedModelCorpus, idCol, vecCol, cells, dims = 64,
+          rounds = trainRounds)
       val aged = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
         agedAdj, agedModel,
         k = k, beam = beam, rounds = rounds, entryProbe = entryProbe,
@@ -2646,10 +2652,15 @@ object Similarity {
       .unionByName(knnGraphExtend(arrivals, corpus, idCol, vecCol, k = graphK))
     val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
     val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0)
+    // the full-corpus graph serves twice — scenario A's fresh arm and the
+    // compaction input — so it is built once and checkpointed
+    val gFull = knnGraph(corpus, idCol, vecCol, k = graphK).localCheckpoint(true)
     val compactedAdj = compactGraphAnnAdjacency(corpus, tomb,
-      knnGraph(corpus, idCol, vecCol, k = graphK), idCol, vecCol, k = graphK)
-    scenario("extend", corpus, "extended", extendedAdj, archive)
-      .unionByName(scenario("compact", survivors, "compacted", compactedAdj, survivors))
+      gFull, idCol, vecCol, k = graphK)
+    scenario("extend", corpus, gFull, "extended", extendedAdj, archive)
+      .unionByName(
+        scenario("compact", survivors, knnGraph(survivors, idCol, vecCol, k = graphK),
+          "compacted", compactedAdj, survivors))
   }
 
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
