@@ -303,6 +303,15 @@ private[graft] trait OracleParams {
   private[graft] val DoremiEtaMicro = 500000L
   private[graft] val DoremiSmoothMicro = 100000L
 
+  /** dc32's pinned data-constrained-budget dials: the token budget, per-epoch
+    * geometric value decay of repeated data in micro (the Muennighoff 2023
+    * repeated-tokens law collapsed to one dial), and the useful-epoch cap —
+    * shared by registration and oracle.
+    */
+  private[graft] val RepeatBudgetTokens = 120000L
+  private[graft] val RepeatDecayMicro = 800000L
+  private[graft] val RepeatMaxEpochs = 16
+
   /** dc31's pinned reference source: the dc13 benchmark-split convention cuts
     * every doc_id ≡ 0 (mod DecontamMod), which on the testdata's interleaved id
     * layout removes src0 (dc29's reference) and src10 ENTIRELY from the

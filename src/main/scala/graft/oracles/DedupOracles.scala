@@ -461,6 +461,19 @@ private[graft] object DedupOracles extends OracleFragments {
     "dc04_mix_plan" -> ((s: SparkSession, dir: String) =>
       Sampling.mixPlan(s.read.parquet(s"$dir/documents.parquet"), "source",
         alphaMicro = MixAlphaMicro, budgetDocs = MixBudgetDocs)),
+    // the data-constrained repeat-budget card (Muennighoff 2023): epochs the
+    // budget buys over the corpus' unique mass, effective (decay-discounted)
+    // vs raw token mass per source, fresh/repeat/data_constrained verdict
+    "dc32_repeat_budget" -> ((s: SparkSession, dir: String) =>
+      Sampling.repeatBudgetCard(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source", budgetTokens = RepeatBudgetTokens,
+        decayMicro = RepeatDecayMicro, maxUsefulEpochs = RepeatMaxEpochs)),
+    // per-snapshot vs global exact-dedup census (the FineWeb ablation): what
+    // each policy keeps per source, and the cross-snapshot duplicate mass
+    // that separates them
+    "d42_snapshot_dedup_census" -> ((s: SparkSession, dir: String) =>
+      Dedup.snapshotDedupCensus(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source")),
     // the DoReMi-weighted epoch end-to-end: the dc13/dc26-hygienic pool
     // (benchmark-decontaminated AND holdout-carved), the dc29 loop learning
     // weights ON that pool, dc30's budget arithmetic, and the dc11 pack chain
@@ -1728,6 +1741,74 @@ private[graft] object DedupOracles extends OracleFragments {
     // learned on it, dc30 budgets, the dc11 pack body — mirror of the dc31
     // composed job (one rendition per stage, shared with its parents)
     "dc31_doremi_epoch" -> doremiEpochSql,
+
+    // epochs = budget / unique mass (half-up micro, capped), per-epoch
+    // geometric value decay with fractional last epoch pro-rated, one pow per
+    // epoch index — mirror of Sampling.repeatBudgetCard
+    "dc32_repeat_budget" -> {
+      val decay = RepeatDecayMicro.toDouble / 1000000.0
+      s"""WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+         |      AS unique_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u_tot FROM ps),
+         |we AS (SELECT ps.*,
+         |    CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT)
+         |      AS epochs_micro_raw,
+         |    LEAST(CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT),
+         |      ${RepeatMaxEpochs * 1000000L}) AS epochs_micro
+         |  FROM ps CROSS JOIN tot),
+         |powg AS (SELECT j, CAST(floor(1000000.0 * pow($decay, j) + 0.5) AS BIGINT) AS p
+         |         FROM (SELECT unnest(generate_series(0, $RepeatMaxEpochs)) AS j)),
+         |cumg AS (SELECT j, CAST(COALESCE(SUM(p) OVER (ORDER BY j
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |         FROM powg),
+         |fe AS (SELECT we.*, CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
+         |         CAST(epochs_micro % 1000000 AS BIGINT) AS frac_micro FROM we),
+         |em AS (SELECT fe.*, CAST(cum + (frac_micro * p) // 1000000 AS BIGINT)
+         |         AS effective_mult_micro
+         |       FROM fe JOIN cumg ON cumg.j = fe.full_epochs
+         |                JOIN powg ON powg.j = fe.full_epochs)
+         |SELECT source, n_docs, unique_tokens, epochs_micro,
+         |  CASE WHEN epochs_micro_raw <= 1000000 THEN 'fresh'
+         |       WHEN epochs_micro_raw <= ${RepeatMaxEpochs * 1000000L} THEN 'repeat'
+         |       ELSE 'data_constrained' END AS verdict,
+         |  CAST((unique_tokens * epochs_micro) // 1000000 AS BIGINT) AS raw_tokens,
+         |  CAST((unique_tokens * effective_mult_micro) // 1000000 AS BIGINT)
+         |    AS effective_tokens,
+         |  CAST((2 * 1000000 * effective_mult_micro + greatest(epochs_micro, 1))
+         |       // (2 * greatest(epochs_micro, 1)) AS BIGINT) AS value_ratio_micro,
+         |  CAST((unique_tokens * (epochs_micro_raw - epochs_micro)) // 1000000 AS BIGINT)
+         |    AS excess_tokens
+         |FROM em""".stripMargin
+    },
+
+    // global vs per-snapshot min-id keepers off ONE md5/token pass — mirror
+    // of Dedup.snapshotDedupCensus
+    "d42_snapshot_dedup_census" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS text_hash,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+        |  FROM documents),
+        |gk AS (SELECT text_hash, MIN(doc_id) AS doc_id FROM h GROUP BY 1),
+        |sk AS (SELECT source, text_hash, MIN(doc_id) AS doc_id FROM h GROUP BY 1, 2),
+        |cg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_global,
+        |         CAST(SUM(n_toks) AS BIGINT) AS tokens_global
+        |       FROM h SEMI JOIN gk USING (doc_id) GROUP BY 1),
+        |cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_snapshot,
+        |         CAST(SUM(n_toks) AS BIGINT) AS tokens_snapshot
+        |       FROM h SEMI JOIN (SELECT doc_id FROM sk) sk2 USING (doc_id) GROUP BY 1),
+        |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM h GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.n_tokens,
+        |  CAST(COALESCE(kept_global, 0) AS BIGINT) AS kept_global,
+        |  CAST(COALESCE(tokens_global, 0) AS BIGINT) AS tokens_global,
+        |  CAST(COALESCE(kept_snapshot, 0) AS BIGINT) AS kept_snapshot,
+        |  CAST(COALESCE(tokens_snapshot, 0) AS BIGINT) AS tokens_snapshot,
+        |  CAST(COALESCE(kept_snapshot, 0) - COALESCE(kept_global, 0) AS BIGINT)
+        |    AS cross_dup_docs,
+        |  CAST(COALESCE(tokens_snapshot, 0) - COALESCE(tokens_global, 0) AS BIGINT)
+        |    AS cross_dup_tokens
+        |FROM base b LEFT JOIN cg USING (source) LEFT JOIN cs USING (source)""".stripMargin,
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

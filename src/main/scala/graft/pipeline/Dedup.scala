@@ -2167,4 +2167,60 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         coalesce(col("n_index_copies"), lit(0L)).as("n_index_copies"))
   }
+
+  /** d42 — per-SNAPSHOT vs GLOBAL exact-dedup census (the FineWeb ablation,
+    * Penedo et al. 2024 §3.2: deduplicating each crawl snapshot internally
+    * retains more unique, higher-quality content than one global pass, because
+    * cross-snapshot repeats are disproportionately the boilerplate that
+    * survives every crawl). Scope here is the measurement that DECIDES that
+    * policy for a corpus: per source (the snapshot axis), how many documents
+    * and tokens each policy keeps —
+    *
+    *   - `kept_global`: this source's documents that win the CORPUS-wide
+    *     min-id-per-content-hash (the d01 keeper rule);
+    *   - `kept_snapshot`: winners of the same rule scoped WITHIN the source;
+    *   - `cross_dup_docs` = kept_snapshot − kept_global: content this source
+    *     would keep under per-snapshot dedup but loses to an earlier snapshot
+    *     under global — exactly the mass the published ablation found
+    *     valuable to keep (token column beside it prices the difference).
+    *
+    * One md5 pass; two map-side-combinable rollups (corpus-wide keepers via a
+    * (hash → min id) aggregation, snapshot keepers via (source, hash → min
+    * id)); the census is |sources| rows. No pairing, no shuffle beyond the
+    * two hash-keyed aggregations — the 100-TB shape of exact dedup itself.
+    */
+  def snapshotDedupCensus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    val hashed = df.select(
+        col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        md5(col(textCol)).as("text_hash"),
+        graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .localCheckpoint(true) // one md5/token pass; three rollups read it
+    val globalKeep = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val snapKeep = hashed.groupBy(col("source"), col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    def census(keep: DataFrame, docsName: String, toksName: String): DataFrame =
+      hashed.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(docsName), sum(col("n_toks")).as(toksName))
+    hashed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .join(census(globalKeep, "kept_global", "tokens_global"), Seq("source"), "left")
+      .join(census(snapKeep, "kept_snapshot", "tokens_snapshot"), Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("kept_global"), lit(0L)).as("kept_global"),
+        coalesce(col("tokens_global"), lit(0L)).as("tokens_global"),
+        coalesce(col("kept_snapshot"), lit(0L)).as("kept_snapshot"),
+        coalesce(col("tokens_snapshot"), lit(0L)).as("tokens_snapshot"),
+        (coalesce(col("kept_snapshot"), lit(0L))
+          - coalesce(col("kept_global"), lit(0L))).as("cross_dup_docs"),
+        (coalesce(col("tokens_snapshot"), lit(0L))
+          - coalesce(col("tokens_global"), lit(0L))).as("cross_dup_tokens"))
+  }
 }

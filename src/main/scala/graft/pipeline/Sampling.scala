@@ -1242,6 +1242,102 @@ object Sampling {
           .otherwise("hold"))
   }
 
+  /** dc32 — the REPEAT-BUDGET card for data-constrained training (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models"): when the token
+    * budget exceeds the corpus' unique mass, the corpus is repeated for
+    * multiple epochs, and the paper's central finding is that repeated tokens
+    * are worth LESS than fresh ones — near-full value for the first few
+    * epochs, decaying toward zero after (~4 epochs of repeats cost almost
+    * nothing; ~16+ are worthless). This card prices a (budget, corpus) pair
+    * under that law with a per-epoch geometric value decay (`decayMicro` — the
+    * dial standing in for the paper's fitted R* half-life):
+    *
+    *   - corpus-level: epochs = budget / Σ unique tokens (micro), capped at
+    *     `maxUsefulEpochs`; verdict `fresh` (budget fits in one pass),
+    *     `repeat` (repetition within the useful regime), or
+    *     `data_constrained` (the cap binds — `excess_tokens` reports the
+    *     budget mass that buys nothing and should fund new data instead);
+    *   - per source: raw allocated tokens (unique mass × served epochs) and
+    *     EFFECTIVE tokens (Σ_e unique · decay^(e−1), fractional last epoch
+    *     pro-rated) — the fresh-data equivalent the budget actually buys —
+    *     plus `value_ratio_micro` = effective / raw (equal across sources
+    *     under uniform epochs; it becomes the audit column when a caller
+    *     feeds weighted per-source epoch counts through the same arithmetic).
+    *
+    * Determinism: one pow() per epoch index (bounded by `maxUsefulEpochs`),
+    * each micro-quantized immediately (the t43 float discipline); everything
+    * else exact integer products and half-up divisions.
+    *
+    * Scale shape: ONE map-side-combinable per-source token rollup; the decay
+    * grid is |epochs| literals; the card is |sources| rows with two 1-row
+    * totals broadcast in.
+    */
+  def repeatBudgetCard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16
+  ): DataFrame = {
+    require(budgetTokens > 0L, s"repeatBudgetCard: budgetTokens must be > 0, got $budgetTokens")
+    // 2·10⁶·budget must stay inside int64 for the half-up epoch division —
+    // past ~4·10¹² tokens (the largest published pretraining budgets) lift the
+    // epoch arithmetic to DecimalType (the s33/t54 documented knob) rather
+    // than letting the product wrap
+    require(budgetTokens <= 4000000000000L,
+      s"repeatBudgetCard: budgetTokens $budgetTokens exceeds the int64-safe 4e12 — " +
+        "lift the epoch arithmetic to DecimalType for larger budgets")
+    require(decayMicro > 0L && decayMicro <= 1000000L,
+      s"repeatBudgetCard: decayMicro must be in (0, 1e6], got $decayMicro")
+    require(maxUsefulEpochs >= 1,
+      s"repeatBudgetCard: maxUsefulEpochs must be >= 1, got $maxUsefulEpochs")
+    val decay = decayMicro.toDouble / 1000000.0
+    // decay^j in micro, one pow per epoch index — a bounded literal grid
+    val powMicro: IndexedSeq[Long] =
+      (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
+      .localCheckpoint(true) // |sources| rows; the total and the card rows
+    val tot = perSource.agg(sum(col("unique_tokens")).as("u_tot"))
+      .select(when(col("u_tot") > 0L, col("u_tot"))
+        .otherwise(raise_error(lit(
+          "repeatBudgetCard: corpus has zero unique tokens — nothing to repeat")))
+        .as("u_tot"))
+    val withEpochs = perSource.crossJoin(broadcast(tot))
+      .withColumn("epochs_micro_raw",
+        expr(s"(2 * 1000000 * ${budgetTokens}L + u_tot) DIV (2 * u_tot)").cast("long"))
+      .withColumn("epochs_micro",
+        least(col("epochs_micro_raw"), lit(maxUsefulEpochs * 1000000L)))
+    // effective multiplier for e = full + frac/1e6 epochs:
+    //   Σ_{j<full} decay^j + frac·decay^full / 1e6   (micro)
+    val cumPow: IndexedSeq[Long] = powMicro.scanLeft(0L)(_ + _) // cum(j) = Σ_{i<j} decay^i
+    withEpochs
+      .withColumn("full_epochs", expr("epochs_micro DIV 1000000").cast("int"))
+      .withColumn("frac_micro", expr("epochs_micro % 1000000").cast("long"))
+      .withColumn("cum_micro", element_at(typedlit(cumPow), col("full_epochs") + 1))
+      .withColumn("pow_micro", element_at(typedlit(powMicro), col("full_epochs") + 1))
+      .withColumn("effective_mult_micro",
+        expr("cum_micro + (frac_micro * pow_micro) DIV 1000000").cast("long"))
+      .select(
+        col("source"), col("n_docs"), col("unique_tokens"),
+        col("epochs_micro"),
+        when(col("epochs_micro_raw") <= 1000000L, lit("fresh"))
+          .when(col("epochs_micro_raw") <= maxUsefulEpochs * 1000000L, lit("repeat"))
+          .otherwise(lit("data_constrained")).as("verdict"),
+        expr("(unique_tokens * epochs_micro) DIV 1000000").cast("long").as("raw_tokens"),
+        expr("(unique_tokens * effective_mult_micro) DIV 1000000").cast("long")
+          .as("effective_tokens"),
+        // a sub-micro-epoch budget reads ratio 0 (no mass served — 0/0 pinned
+        // to 0 by the greatest guard, the d25 explicit-zero convention)
+        expr("(2 * 1000000 * effective_mult_micro + greatest(epochs_micro, 1))" +
+          " DIV (2 * greatest(epochs_micro, 1))").cast("long").as("value_ratio_micro"),
+        expr("(unique_tokens * (epochs_micro_raw - epochs_micro)) DIV 1000000")
+          .cast("long").as("excess_tokens"))
+  }
+
   /** dc31 — the DoReMi-weighted EPOCH, end-to-end: [[doremiMixPlan]]'s learned
     * budgets composed into the dc11-grade pack materializer — admission is the
     * identical bounded-KthSmallest hash-prefix manifest

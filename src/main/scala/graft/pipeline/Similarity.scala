@@ -2663,6 +2663,46 @@ object Similarity {
           "compacted", compactedAdj, survivors))
   }
 
+  /** The rebuild decision over an [[agedIndexRecallCard]] — the
+    * [[retrainTrigger]] discipline applied to index AGE, closing s45's loop
+    * the way dc30 closes dc29's: REBUILD when the aged artifact's measured
+    * recall trails its fresh rebuild by more than `maxGapMicro` (the card
+    * priced the staleness; past the tolerance the cadence rebuild is due),
+    * HOLD otherwise, and a zero-query card is explicitly "no evidence" —
+    * never a rebuild (the s25 quiet-cadence convention: an idle scheduler
+    * must not rebuild an unmeasured index every cycle). Driver-side by
+    * design: the card is 6 rows (scenario-sized, never data-sized).
+    */
+  final case class RebuildDecision(
+      rebuild: Boolean, reason: String,
+      freshRecallMicro: Long, agedRecallMicro: Long, gapMicro: Long)
+
+  def rebuildTrigger(
+      card: DataFrame,
+      scenario: String = "extend",
+      agedMethod: String = "extended",
+      maxGapMicro: Long = 50000L
+  ): RebuildDecision = {
+    val rows = card
+      .filter(col("scenario") === scenario)
+      .select(col("method"), col("n_queries").cast("long"), col("recall_micro").cast("long"))
+      .collect() // ≤ 3 rows — the scenario's slice of the 6-row card
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (rows.get("fresh"), rows.get(agedMethod)) match {
+      case (Some((nq, fresh)), Some((_, aged))) if nq > 0L =>
+        val gap = fresh - aged
+        if (gap > maxGapMicro)
+          RebuildDecision(rebuild = true,
+            s"aged '$agedMethod' trails fresh by ${gap}µ > ${maxGapMicro}µ — rebuild due",
+            fresh, aged, gap)
+        else
+          RebuildDecision(rebuild = false,
+            s"aged '$agedMethod' within ${maxGapMicro}µ of fresh", fresh, aged, gap)
+      case _ =>
+        RebuildDecision(rebuild = false, "no measured queries — no evidence", 0L, 0L, 0L)
+    }
+  }
+
   /** The retrain decision over [[ivfAssignNew]]'s per-cell growth table: retrain
     * when the new mass is SKEWED onto a hot cell (`maxShareMicro · k ≥
     * hotFactorMicro` — a cell drawing ≥ hotFactor× its uniform 1/k share) or when

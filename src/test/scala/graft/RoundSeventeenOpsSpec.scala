@@ -179,6 +179,74 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     val hits = card.filter(col("scenario") === "compact").collect()
       .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hits")).toMap
     assert(hits("compacted") == hits("fresh"), hits.toString)
+    // s46 closes the loop: the planted staleness trips the rebuild trigger,
+    // the compaction scenario holds, and an unmeasured card is "no evidence"
+    val ext = Similarity.rebuildTrigger(card, "extend", "extended", maxGapMicro = 10000L)
+    assert(ext.rebuild && ext.gapMicro > 10000L, ext.toString)
+    val comp = Similarity.rebuildTrigger(card, "compact", "compacted")
+    assert(!comp.rebuild && comp.gapMicro == 0L, comp.toString)
+    val empty = Seq(("extend", "fresh", 0L, 0L, 0L), ("extend", "extended", 0L, 0L, 0L))
+      .toDF("scenario", "method", "n_queries", "n_hits", "recall_micro")
+    val dec = Similarity.rebuildTrigger(empty, "extend", "extended")
+    assert(!dec.rebuild && dec.reason.contains("no evidence"), dec.toString)
+  }
+
+  test("d42: planted cross-snapshot duplicate separates the two dedup policies exactly") {
+    // A holds X (id 0) and Y twice (1, 2); B holds the SAME X (10) and a
+    // unique Z (11). Global keeps {0, 1, 11}; per-snapshot keeps {0, 1, 10, 11}
+    // — B's X copy is exactly the cross-snapshot mass the policies disagree on.
+    val docs = Seq(
+      (0L, "A", "x x x"), (1L, "A", "y y"), (2L, "A", "y y"),
+      (10L, "B", "x x x"), (11L, "B", "z"))
+      .toDF("doc_id", "source", "text")
+    val census = graft.pipeline.Dedup.snapshotDedupCensus(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = census("A")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_tokens") == 7)
+    assert(a.getAs[Long]("kept_global") == 2 && a.getAs[Long]("kept_snapshot") == 2)
+    assert(a.getAs[Long]("cross_dup_docs") == 0 && a.getAs[Long]("cross_dup_tokens") == 0)
+    val b = census("B")
+    assert(b.getAs[Long]("kept_global") == 1 && b.getAs[Long]("tokens_global") == 1)
+    assert(b.getAs[Long]("kept_snapshot") == 2 && b.getAs[Long]("tokens_snapshot") == 4)
+    assert(b.getAs[Long]("cross_dup_docs") == 1 && b.getAs[Long]("cross_dup_tokens") == 3)
+  }
+
+  test("dc32: the three budget regimes and the repeated-value laws") {
+    // 2 sources × 10 tokens = 20 unique tokens total
+    val docs = (0L until 4L).map(i =>
+      (i, if (i % 2 == 0) "s0" else "s1", "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "source", "text")
+    def card(budget: Long) = Sampling.repeatBudgetCard(docs, "doc_id", "text", "source",
+      budgetTokens = budget, decayMicro = 500000L, maxUsefulEpochs = 4)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // budget 10 over 20 unique: half an epoch — fresh, no discount
+    val fresh = card(10L)("s0")
+    assert(fresh.getAs[String]("verdict") == "fresh", fresh.toString)
+    assert(fresh.getAs[Long]("epochs_micro") == 500000L)
+    // half an epoch at decay 0.5: first epoch is full value — effective == raw
+    assert(fresh.getAs[Long]("effective_tokens") == fresh.getAs[Long]("raw_tokens"))
+    assert(fresh.getAs[Long]("excess_tokens") == 0L)
+    // budget 50 over 20: 2.5 epochs — repeat regime, repeats discounted:
+    // mult = 1 + 0.5 + 0.5·0.25 = 1.625 vs 2.5 raw
+    val rep = card(50L)("s1")
+    assert(rep.getAs[String]("verdict") == "repeat", rep.toString)
+    assert(rep.getAs[Long]("epochs_micro") == 2500000L)
+    assert(rep.getAs[Long]("raw_tokens") == 25L)
+    assert(rep.getAs[Long]("effective_tokens") == 16L, // floor(10 · 1.625)
+      rep.toString)
+    assert(rep.getAs[Long]("value_ratio_micro") < 1000000L)
+    // budget 200 over 20: 10 epochs > cap 4 — data-constrained, the excess
+    // priced explicitly
+    val con = card(200L)("s0")
+    assert(con.getAs[String]("verdict") == "data_constrained", con.toString)
+    assert(con.getAs[Long]("epochs_micro") == 4000000L)
+    assert(con.getAs[Long]("excess_tokens") == 60L) // (10·(10−4)·1e6)/1e6
+    // law: effective never exceeds raw
+    Seq(10L, 50L, 200L).foreach { b =>
+      card(b).values.foreach { r =>
+        assert(r.getAs[Long]("effective_tokens") <= r.getAs[Long]("raw_tokens"), r.toString)
+      }
+    }
   }
 
   test("s42: compaction at mismatched build dials fails loudly; stamp round-trips") {

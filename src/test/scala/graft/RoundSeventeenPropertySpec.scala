@@ -88,6 +88,51 @@ class RoundSeventeenPropertySpec extends SparkSpec {
     }, cases = 12)
   }
 
+  test("d42 law: census equals an independent sequential mirror on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val srcGen = Gen.oneOf("s0", "s1", "s2")
+    check("d42-mirror", Prop.forAll(Gen.listOfN(12, Gen.zip(srcGen, docGen))) {
+      (rows: List[(String, String)]) =>
+        val docs = rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+        val df = docs.toDF("doc_id", "source", "text")
+        val got = graft.pipeline.Dedup.snapshotDedupCensus(df, "doc_id", "text", "source")
+          .collect()
+          .map(r => r.getAs[String]("source") ->
+            (r.getAs[Long]("kept_global"), r.getAs[Long]("kept_snapshot"),
+              r.getAs[Long]("cross_dup_docs"))).toMap
+        // sequential mirror: min-id keeper per hash, globally and per source
+        val globalKeep = docs.groupBy(_._3).map { case (_, ds) => ds.map(_._1).min }.toSet
+        val snapKeep = docs.groupBy(d => (d._2, d._3))
+          .map { case (_, ds) => ds.map(_._1).min }.toSet
+        docs.groupBy(_._2).forall { case (s, ds) =>
+          val g = ds.count(d => globalKeep(d._1)).toLong
+          val sn = ds.count(d => snapKeep(d._1)).toLong
+          got(s) == ((g, sn, sn - g)) && g <= sn && sn <= ds.size.toLong
+        }
+    }, cases = 25)
+  }
+
+  test("dc32 law: effective tokens are monotone in budget and never exceed raw") {
+    val docs = (0L until 6L).map(i => (i, s"s${i % 3}", "w1 w2 w3 w4"))
+      .toDF("doc_id", "source", "text").localCheckpoint(true)
+    def eff(budget: Long): Map[String, (Long, Long)] =
+      graft.pipeline.Sampling.repeatBudgetCard(docs, "doc_id", "text", "source",
+          budgetTokens = budget, decayMicro = 700000L, maxUsefulEpochs = 6)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("effective_tokens"), r.getAs[Long]("raw_tokens"))).toMap
+    val budgets = Seq(3L, 10L, 24L, 60L, 150L, 400L)
+    val cards = budgets.map(eff)
+    cards.foreach(_.values.foreach { case (e, r) => assert(e <= r, s"effective $e > raw $r") })
+    budgets.indices.drop(1).foreach { i =>
+      cards(i - 1).keys.foreach { s =>
+        assert(cards(i)(s)._1 >= cards(i - 1)(s)._1,
+          s"effective tokens fell when the budget grew: $s ${cards(i - 1)(s)} -> ${cards(i)(s)}")
+      }
+    }
+  }
+
   test("t55: at moderate α the sampler genuinely leaves the argmax path (planted near-tie)") {
     // "ab" as one piece scores -1.0; "a"+"b" scores -2.2 — the Viterbi path is
     // always the single piece, but at α = 0.5 the two-piece segmentation keeps
