@@ -1956,4 +1956,41 @@ object AnalyticsQueries {
           .as("survival_micro"),
         sum(col("haz_micro")).over(wAsc).as("cum_hazard_micro"))
   }
+
+  /** ev32 — the FIRST-OCCURRENCE PRECEDENCE matrix: for every ordered event-type
+    * pair (a, b), among users who exhibit BOTH types, how often a's first
+    * occurrence precedes b's — the funnel-ordering diagnostic ("do users see
+    * onboarding before purchase?") that general sequential-pattern mining
+    * (PrefixSpan, Pei et al. 2001) answers with combinatorial per-user
+    * candidate fans. First-occurrence semantics make it state-bounded: one
+    * (user, type) row per user per type (|types| is a catalog), pairs fan
+    * |types|² per user, counts roll up map-side. Precedence is strict on
+    * (tsu, event_id) — the ev21 ordering key — so equal-timestamp ties break
+    * deterministically and precede(a,b) + precede(b,a) = n_both exactly
+    * (antisymmetry, property-pinned).
+    */
+  def typePrecedence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val firsts = eventsTsu(spark, dir, "user_id", "event_id", "event_type")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("tsu"), col("event_id"))
+      .localCheckpoint(true) // both sides of the per-user pair join read it
+    firsts.as("a")
+      .join(firsts.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .select(
+        col("a.event_type").as("from_type"), col("b.event_type").as("to_type"),
+        when(col("a.tsu") < col("b.tsu") ||
+          (col("a.tsu") === col("b.tsu") && col("a.event_id") < col("b.event_id")), 1L)
+          .otherwise(0L).as("prec"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_both"), sum(col("prec")).as("n_precede"))
+      .select(col("from_type"), col("to_type"), col("n_both"), col("n_precede"),
+        expr("(2 * 1000000 * n_precede + n_both) DIV (2 * n_both)")
+          .cast("long").as("precede_micro"))
+  }
 }

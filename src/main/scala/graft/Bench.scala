@@ -70,10 +70,10 @@ object Bench {
     // t45_ccnet_tertiles and for g54_hyperanf -> g55_effective_diameter (g55
     // RUNS the full g54 register fixpoint and adds a 4-row reduction, so one
     // headline slot prices both and g54 had no committed history to lose)
-    "t25_bpe_encode", "t31_dsir_scores",
+    "t25_bpe_encode",
     "g46_modularity",
     "d15_cluster_keep",
-    "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled", "g50_condensation",
+    "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled",
     "g52_scc_reachability", "dc12_epoch_manifest_saved",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
     "g55_effective_diameter", "dc14_epoch_shuffle", "t45_ccnet_tertiles",
@@ -142,6 +142,12 @@ object Bench {
     // fam field reports every family's worst query regardless.
     "s45_aged_index_recall", "dc31_doremi_epoch", "t56_tokenizer_swap",
     "t55_unigram_sampled",
+    // r17b: s47 runs the full s26 build plus the harvest walk (~6s honest);
+    // ev32/d42/dc32 stay non-headline (sub-1s catalog-bounded shapes, seeded).
+    // Rotated for line headroom (the worst-case-line pin): t31_dsir_scores
+    // (~1.8s flat; t25/t45/t46 + the two new t slots keep the family) and
+    // g50_condensation (g52 RUNS the g49+g50 chain — one slot prices both).
+    "s47_graph_ann_filtered",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

@@ -60,6 +60,11 @@ private[graft] object AnalyticsOracles extends OracleFragments {
       AnalyticsQueries.botBattery(s, dir)),
     "ev30_cusum" -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.cusumChangepoint(s, dir)),
+    // first-occurrence precedence matrix: among users with both types, how
+    // often a's first occurrence precedes b's (strict (tsu, event_id) order) —
+    // the state-bounded funnel-ordering alternative to sequential-pattern
+    // mining's combinatorial candidate fan
+    "ev32_type_precedence" -> (AnalyticsQueries.typePrecedence _),
     "ev31_top_paths" -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.topEventPaths(s, dir)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
@@ -183,6 +188,25 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |       CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
          |UNION ALL SELECT 3, 'purchase', COUNT(*),
          |       CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
+
+    // per-(user, type) first occurrence by (tsu, event_id), |types|²-per-user
+    // pair fan, strict-precedence counts — mirror of AnalyticsQueries.typePrecedence
+    "ev32_type_precedence" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT user_id, event_type, tsu, event_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY tsu, event_id) AS rn FROM t)
+         |  WHERE rn = 1),
+         |p AS (SELECT a.event_type AS from_type, b.event_type AS to_type,
+         |        CASE WHEN a.tsu < b.tsu OR (a.tsu = b.tsu AND a.event_id < b.event_id)
+         |             THEN 1 ELSE 0 END AS prec
+         |      FROM f a JOIN f b ON a.user_id = b.user_id
+         |                       AND a.event_type <> b.event_type)
+         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_both,
+         |  CAST(SUM(prec) AS BIGINT) AS n_precede,
+         |  CAST((2 * 1000000 * CAST(SUM(prec) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+         |    AS BIGINT) AS precede_micro
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     // first-order Markov transition matrix: per-user (tsu, event_id)-ordered
     // lead() steps, |types|² counts, per-from-type rate in the shared half-up

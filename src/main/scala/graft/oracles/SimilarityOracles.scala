@@ -183,6 +183,20 @@ private[graft] object SimilarityOracles extends OracleFragments {
         trainRounds = GraphAnnTrainRounds, beam = GraphAnnBeam,
         rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the predicate-aware graph-ANN serving leg (filtered-DiskANN/ACORN):
+    // the beam traverses the FULL graph (pruning the frontier would
+    // disconnect it), every allowed candidate the walk scores is banked,
+    // top-k comes from the pool — dominates post-filtering the final beam
+    "s47_graph_ann_filtered" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.graphAnnSearchFiltered(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding",
+        Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+        Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
+        allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
+        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
+    }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
@@ -780,15 +794,50 @@ private[graft] object SimilarityOracles extends OracleFragments {
        |UNION ALL ${armRow("compact", "compacted", "fbres", "truthb", "nqb")}""".stripMargin
   }
 
+  /** s47's mirror = s26's chain in bank-all form (every round's SCORED set
+    * a$i kept beside the beam cut s$i), the pool a distinct union of the a$i
+    * (cosines are deterministic per pair), the allowed catalog semi-joined at
+    * harvest, top-5 from the pool.
+    */
+  private lazy val filteredGraphAnnSql: String =
+    graphAnnSqlSeeded(
+      extraCtes =
+        s"al AS (SELECT vec_id AS cand FROM embeddings WHERE label % $FilteredAnnLabelMod = 0),",
+      x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)",
+      bankAll = true,
+      tailSql = Some(
+        s""",
+           |pool AS (SELECT DISTINCT query_id, cand, cos_sim FROM (
+           |  ${(0 to GraphAnnRounds).map(i => s"SELECT query_id, cand, cos_sim FROM a$i")
+              .mkString("\n  UNION ALL ")}))
+           |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT query_id, cand, cos_sim,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+           |  FROM pool SEMI JOIN al USING (cand) WHERE cand <> query_id)
+           |WHERE rank <= 5""".stripMargin))
+
   private def graphAnnSqlSeeded(
-      extraCtes: String, x0Sql: String, eWhere: String = ""): String = {
+      extraCtes: String, x0Sql: String, eWhere: String = "",
+      tailSql: Option[String] = None, bankAll: Boolean = false): String = {
+      // bankAll (s47): keep every round's SCORED set as its own CTE a$i beside
+      // the beam cut s$i, so a harvest tail can pool everything the walk
+      // touched; the default emits the fused form the other mirrors pin
       def scoreCte(i: Int): String =
-        s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
-           |    SELECT query_id, cand, cos_sim,
-           |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
-           |    FROM (SELECT x$i.query_id, x$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
-           |          FROM x$i JOIN q USING (query_id) JOIN e ON e.vec_id = x$i.cand))
-           |  WHERE rk <= $GraphAnnBeam)""".stripMargin
+        if (bankAll)
+          s"""a$i AS (SELECT x$i.query_id, x$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
+             |        FROM x$i JOIN q USING (query_id) JOIN e ON e.vec_id = x$i.cand),
+             |s$i AS (SELECT query_id, cand, cos_sim FROM (
+             |    SELECT query_id, cand, cos_sim,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
+             |    FROM a$i)
+             |  WHERE rk <= $GraphAnnBeam)""".stripMargin
+        else
+          s"""s$i AS (SELECT query_id, cand, cos_sim FROM (
+             |    SELECT query_id, cand, cos_sim,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rk
+             |    FROM (SELECT x$i.query_id, x$i.cand, ${cosSql("q.qv", "e.v")} AS cos_sim
+             |          FROM x$i JOIN q USING (query_id) JOIN e ON e.vec_id = x$i.cand))
+             |  WHERE rk <= $GraphAnnBeam)""".stripMargin
       def roundCtes(i: Int): String =
         s"""x$i AS (SELECT DISTINCT query_id, cand FROM (
            |    SELECT s${i - 1}.query_id, g.neighbor_id AS cand
@@ -843,11 +892,12 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |x0 AS ($x0Sql),
          |${scoreCte(0)},
          |${(1 to GraphAnnRounds).map(roundCtes).mkString(",\n")}
-         |SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT query_id, cand, cos_sim,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
-         |  FROM s$GraphAnnRounds WHERE cand <> query_id)
-         |WHERE rank <= 5""".stripMargin
+         |${tailSql.getOrElse(
+           s"""SELECT query_id, cand AS neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+              |  SELECT query_id, cand, cos_sim,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+              |  FROM s$GraphAnnRounds WHERE cand <> query_id)
+              |WHERE rank <= 5""".stripMargin)}""".stripMargin
     }
 
   val oracleSql: Map[String, String] = Map(
@@ -1056,6 +1106,7 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s26_graph_ann" -> graphAnnSql,
     "s27_graph_ann_saved" -> graphAnnSql,
     "s45_aged_index_recall" -> agedRecallSql,
+    "s47_graph_ann_filtered" -> filteredGraphAnnSql,
     "s42_graph_ann_compacted" -> compactedGraphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,

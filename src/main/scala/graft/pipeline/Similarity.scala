@@ -1125,6 +1125,79 @@ object Similarity {
       prep.vecs, prep.adj, k, beam, rounds)
   }
 
+  /** s47 — FILTERED graph-ANN search: the predicate-aware serving leg of the
+    * graph index (the IVF side has s29/s31; graphs need their own strategy).
+    * The published answer (filtered-DiskANN, Gollapudi et al. 2023; ACORN,
+    * Patel et al. 2024) is to TRAVERSE UNFILTERED and HARVEST FILTERED: the
+    * beam walks the full graph — pruning disallowed nodes from the frontier
+    * would disconnect it exactly when the filter is selective — while every
+    * scored candidate that PASSES the predicate is banked in a per-query
+    * result pool, and the top-k comes from the pool. The result therefore
+    * dominates post-filtering a plain search's final beam (the naive
+    * alternative): every allowed candidate the walk ever touched competes,
+    * not just the last round's `beam` survivors — RoundSeventeenOpsSpec pins
+    * the domination on the s26 corpus.
+    *
+    * Scale shape: identical to [[graphAnnSearch]] plus one |allowed|-catalog
+    * semi-join at harvest; the pool is ≤ |Q|·(rounds+1)·beam·fanout rows —
+    * query-batch-sized, never corpus-sized. A filter selective enough to
+    * starve even the pool below k is the s31 routing case (scan the allowed
+    * subset exactly); this operator is the broad-filter arm of that router.
+    */
+  def graphAnnSearchFiltered(
+      queries: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      model: DataFrame,
+      allowed: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      entries: Option[DataFrame] = None
+  ): DataFrame = {
+    val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
+    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .localCheckpoint(true)
+    val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
+      .localCheckpoint(true) // id catalog; one harvest semi-join
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
+    // score EVERYTHING the walk touches (exact cosine — banking a candidate
+    // the beam cut still ranks it correctly); the beam cut gates TRAVERSAL only
+    def scoreAll(cands: DataFrame): DataFrame =
+      cands.join(qs, Seq("query_id"))
+        .join(prep.vecs, Seq("cand"))
+        .select(col("query_id"), col("cand"),
+          round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
+    def cutBeam(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand"), col("cos_sim"))
+    var scored = scoreAll(
+      graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe)).localCheckpoint(true)
+    var pool = scored
+    var beamRel = cutBeam(scored)
+    for (_ <- 1 to rounds) {
+      val expanded = beamRel.select(col("query_id"), col("cand"))
+        .join(prep.adj, Seq("cand"))
+        .select(col("query_id"), col("neighbor_id").as("cand"))
+        .unionByName(beamRel.select(col("query_id"), col("cand")))
+        .distinct()
+      scored = scoreAll(expanded).localCheckpoint(true)
+      pool = pool.unionByName(scored)
+      beamRel = cutBeam(scored)
+    }
+    pool.distinct() // (query, cand) cosines are deterministic — distinct is exact
+      .join(allow, Seq("cand"), "left_semi")
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** The beam-walk core shared by [[graphAnnSearchPrepared]] (medoid seeds) and
     * [[graphAnnSearchLayered]] (medoid ∪ layer-descent seeds): score the seed
     * set, then `rounds` of expand-via-adjacency / exact-rescore / keep-top-beam,

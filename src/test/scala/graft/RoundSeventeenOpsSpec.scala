@@ -249,6 +249,67 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s47: filtered walk dominates post-filtering a plain search; results all pass the predicate") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val allowed = e.filter(col("label") % 2 === 0).select(col("vec_id")).localCheckpoint(true)
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = 5).localCheckpoint(true)
+    val model = Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1)
+    val filtered = Similarity.graphAnnSearchFiltered(queries, e, "vec_id", "embedding",
+      graph, model, allowed, k = 5, beam = 8, rounds = 2, entryProbe = 4)
+      .localCheckpoint(true)
+    // every reported neighbor passes the predicate
+    assert(filtered.join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() == 0)
+    // domination: against the brute-force truth UNDER THE PREDICATE, the
+    // harvest pool hits at least as often as post-filtering the plain top-k
+    val truth = Similarity.bruteForceTopK(queries,
+        e.join(allowed, Seq("vec_id"), "left_semi"), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val plainPost = Similarity.graphAnnSearch(queries, e, "vec_id", "embedding",
+        graph, model, k = 5, beam = 8, rounds = 2, entryProbe = 4)
+      .join(allowed.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val (hf, hp) = (hits(filtered.select(col("query_id"), col("neighbor_id"))), hits(plainPost))
+    assert(hf >= hp, s"filtered hits $hf < post-filtered plain hits $hp")
+    assert(hf > 0, "filtered search found nothing — dial problem in the pin")
+  }
+
+  test("ev32: precedence is antisymmetric and a planted order reads exactly") {
+    val prec = AnalyticsQueries.typePrecedence(spark, dir).localCheckpoint(true)
+    // precede(a,b) + precede(b,a) == n_both for every pair (strict total order
+    // on (tsu, event_id) — no pair can tie)
+    val sym = prec.as("x").join(prec.as("y"),
+      col("x.from_type") === col("y.to_type") && col("x.to_type") === col("y.from_type"))
+    assert(sym.filter(col("x.n_both") =!= col("y.n_both")).count() == 0)
+    assert(sym.filter(col("x.n_precede") + col("y.n_precede") =!= col("x.n_both")).count() == 0)
+    // planted: one user sees a->b->a, another b only; among both-type users
+    // (just user 1), a's FIRST precedes b's
+    import org.apache.spark.sql.types._
+    val planted = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "b"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "a"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev32")
+    try {
+      planted.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .write.parquet(tmp.toString + "/events.parquet")
+      val got = AnalyticsQueries.typePrecedence(spark, tmp.toString).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n_both"), r.getAs[Long]("n_precede"))).toMap
+      assert(got(("a", "b")) == ((1L, 1L)) && got(("b", "a")) == ((1L, 0L)), got.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("s42: compaction at mismatched build dials fails loudly; stamp round-trips") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
