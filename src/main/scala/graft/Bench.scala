@@ -143,7 +143,8 @@ object Bench {
     "s45_aged_index_recall", "dc31_doremi_epoch", "t56_tokenizer_swap",
     "t55_unigram_sampled",
     // r17b: s47 runs the full s26 build plus the harvest walk (~6s honest);
-    // ev32/d42/dc32 stay non-headline (sub-1s catalog-bounded shapes, seeded).
+    // ev32/d42/dc32 stay non-headline (sub-1s catalog-bounded shapes, seeded)
+    // and dc33 (~5s, seeded) reports through the dc-family maximum.
     // Rotated for line headroom (the worst-case-line pin): t31_dsir_scores
     // (~1.8s flat; t25/t45/t46 + the two new t slots keep the family) and
     // g50_condensation (g52 RUNS the g49+g50 chain — one slot prices both).

@@ -474,6 +474,21 @@ private[graft] object DedupOracles extends OracleFragments {
     "d42_snapshot_dedup_census" -> ((s: SparkSession, dir: String) =>
       Dedup.snapshotDedupCensus(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source")),
+    // dc32's uniform epoch count actuated into per-source doc budgets and
+    // materialized through the dc11 pack chain — the data-constrained epoch
+    "dc33_repeat_epoch" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-repeat")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.repeatBudgetEpoch(docs, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          budgetTokens = RepeatBudgetTokens, decayMicro = RepeatDecayMicro,
+          maxUsefulEpochs = RepeatMaxEpochs, packTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     // the DoReMi-weighted epoch end-to-end: the dc13/dc26-hygienic pool
     // (benchmark-decontaminated AND holdout-carved), the dc29 loop learning
     // weights ON that pool, dc30's budget arithmetic, and the dc11 pack chain
@@ -1462,6 +1477,37 @@ private[graft] object DedupOracles extends OracleFragments {
        |${packAfterBudgetsBody("clean")},
        |$packCutTailSql""".stripMargin
 
+  /** The dc32/dc33 shared chain: per-source unique token mass, half-up capped
+    * epoch count, the decay power/cumulative grids (one pow per epoch index),
+    * and the effective multiplier with the fractional last epoch pro-rated —
+    * ends at `em` (ps columns + epochs_micro(_raw) + effective_mult_micro).
+    */
+  private lazy val repeatBudgetCtes: String = {
+    val decay = RepeatDecayMicro.toDouble / 1000000.0
+    s"""ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+       |      AS unique_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u_tot FROM ps),
+       |we AS (SELECT ps.*,
+       |    CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT)
+       |      AS epochs_micro_raw,
+       |    LEAST(CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT),
+       |      ${RepeatMaxEpochs * 1000000L}) AS epochs_micro
+       |  FROM ps CROSS JOIN tot),
+       |powg AS (SELECT j, CAST(floor(1000000.0 * pow($decay, j) + 0.5) AS BIGINT) AS p
+       |         FROM (SELECT unnest(generate_series(0, $RepeatMaxEpochs)) AS j)),
+       |cumg AS (SELECT j, CAST(COALESCE(SUM(p) OVER (ORDER BY j
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |         FROM powg),
+       |fe AS (SELECT we.*, CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
+       |         CAST(epochs_micro % 1000000 AS BIGINT) AS frac_micro FROM we),
+       |em AS (SELECT fe.*, CAST(cum + (frac_micro * p) // 1000000 AS BIGINT)
+       |         AS effective_mult_micro
+       |       FROM fe JOIN cumg ON cumg.j = fe.full_epochs
+       |                JOIN powg ON powg.j = fe.full_epochs)""".stripMargin
+  }
+
   /** d39's mirror: the d37 bt/ix CTEs, truth labeling once, then one CTE block
     * per grid size (positions re-derived from the same md5 fields mod m),
     * unioned, with the smallest-sufficient pick.
@@ -1745,30 +1791,8 @@ private[graft] object DedupOracles extends OracleFragments {
     // epochs = budget / unique mass (half-up micro, capped), per-epoch
     // geometric value decay with fractional last epoch pro-rated, one pow per
     // epoch index — mirror of Sampling.repeatBudgetCard
-    "dc32_repeat_budget" -> {
-      val decay = RepeatDecayMicro.toDouble / 1000000.0
-      s"""WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
-         |      AS unique_tokens
-         |  FROM documents GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u_tot FROM ps),
-         |we AS (SELECT ps.*,
-         |    CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT)
-         |      AS epochs_micro_raw,
-         |    LEAST(CAST((2 * 1000000 * CAST($RepeatBudgetTokens AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT),
-         |      ${RepeatMaxEpochs * 1000000L}) AS epochs_micro
-         |  FROM ps CROSS JOIN tot),
-         |powg AS (SELECT j, CAST(floor(1000000.0 * pow($decay, j) + 0.5) AS BIGINT) AS p
-         |         FROM (SELECT unnest(generate_series(0, $RepeatMaxEpochs)) AS j)),
-         |cumg AS (SELECT j, CAST(COALESCE(SUM(p) OVER (ORDER BY j
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-         |         FROM powg),
-         |fe AS (SELECT we.*, CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
-         |         CAST(epochs_micro % 1000000 AS BIGINT) AS frac_micro FROM we),
-         |em AS (SELECT fe.*, CAST(cum + (frac_micro * p) // 1000000 AS BIGINT)
-         |         AS effective_mult_micro
-         |       FROM fe JOIN cumg ON cumg.j = fe.full_epochs
-         |                JOIN powg ON powg.j = fe.full_epochs)
+    "dc32_repeat_budget" ->
+      s"""WITH $repeatBudgetCtes
          |SELECT source, n_docs, unique_tokens, epochs_micro,
          |  CASE WHEN epochs_micro_raw <= 1000000 THEN 'fresh'
          |       WHEN epochs_micro_raw <= ${RepeatMaxEpochs * 1000000L} THEN 'repeat'
@@ -1780,8 +1804,22 @@ private[graft] object DedupOracles extends OracleFragments {
          |       // (2 * greatest(epochs_micro, 1)) AS BIGINT) AS value_ratio_micro,
          |  CAST((unique_tokens * (epochs_micro_raw - epochs_micro)) // 1000000 AS BIGINT)
          |    AS excess_tokens
-         |FROM em""".stripMargin
-    },
+         |FROM em""".stripMargin,
+
+    // the card's uniform epoch count as per-source doc budgets through the
+    // dc11 pack body — mirror of Sampling.repeatBudgetEpoch (one rendition per
+    // stage, shared with dc32 and the dc11 family)
+    "dc33_repeat_epoch" ->
+      s"""WITH $repeatBudgetCtes,
+         |tgt AS (SELECT source, n_docs,
+         |          CAST((n_docs * epochs_micro) // 1000000 AS BIGINT) AS target_docs
+         |        FROM em),
+         |ranked AS (SELECT doc_id, source, bucket,
+         |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+         |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket
+         |                 FROM documents)),
+         |${packAfterBudgetsBody("documents")},
+         |$packCutTailSql""".stripMargin,
 
     // global vs per-snapshot min-id keepers off ONE md5/token pass — mirror
     // of Dedup.snapshotDedupCensus

@@ -1338,6 +1338,44 @@ object Sampling {
           .cast("long").as("excess_tokens"))
   }
 
+  /** dc33 — the repeat budget ACTUATED (dc32 → dc33 as dc29 → dc30 → dc31):
+    * the card's uniform epoch count becomes per-source document budgets
+    * (`target_docs = ⌊n_docs · epochs⌋` — every source repeats equally, the
+    * data-constrained training regime the card priced), and the identical
+    * dc10/dc11 machinery materializes the epoch: hash-prefix admission, exact
+    * integer repeat factors whose per-source sum equals the budget, saved-BPE
+    * pricing, replayed-symbol concat-and-cut packs. A budget below one epoch
+    * degenerates to a prefix SUBSAMPLE (target < n_docs — the mixExecute
+    * behavior), above one to the upsample path with fractional epochs served
+    * by the +1-repeat prefix — both exactly the dc10 law, pinned against the
+    * dc32-derived targets in RoundSeventeenOpsSpec.
+    *
+    * Scale shape: dc32's one per-source token rollup, then the dc11 chain
+    * unchanged.
+    */
+  def repeatBudgetEpoch(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16,
+      packTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    val budgets = repeatBudgetCard(df, idCol, textCol, sourceCol,
+        budgetTokens, decayMicro, maxUsefulEpochs)
+      .select(col("source").as(sourceCol), col("n_docs"),
+        expr("(n_docs * epochs_micro) DIV 1000000").cast("long").as("target_docs"))
+    epochPackRollup(
+      epochManifestUpsampledWith(df, idCol, sourceCol, textCol, merges,
+        budgets, packTokens, nGroups, salt),
+      sourceCol)
+  }
+
   /** dc31 — the DoReMi-weighted EPOCH, end-to-end: [[doremiMixPlan]]'s learned
     * budgets composed into the dc11-grade pack materializer — admission is the
     * identical bounded-KthSmallest hash-prefix manifest

@@ -249,6 +249,28 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     }
   }
 
+  test("dc33: the repeat budget flows to packs — slots equal floor(n_docs · epochs) per source") {
+    // 4 docs × 5 tokens = 20 unique; budget 50 → epochs 2.5 (fractional, > 1,
+    // so BOTH halves of the dc10 repeat law are exercised: base repeats + the
+    // +1 hash-order prefix)
+    val docs = (0L until 4L).map(i => (i, if (i % 2 == 0) "s0" else "s1", "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "source", "text").localCheckpoint(true)
+    val merges = TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 1)
+    val card = Sampling.repeatBudgetCard(docs, "doc_id", "text", "source",
+      budgetTokens = 50L, decayMicro = 500000L, maxUsefulEpochs = 4)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("epochs_micro"))).toMap
+    assert(card.values.forall { case (_, e) => e == 2500000L }, card.toString)
+    val packs = Sampling.repeatBudgetEpoch(docs, "doc_id", "source", "text", merges,
+      budgetTokens = 50L, decayMicro = 500000L, maxUsefulEpochs = 4,
+      packTokens = 8L, nGroups = 2)
+    val slots = packs.groupBy(col("source")).agg(sum(col("n_slots")).as("slots"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("slots")).toMap
+    card.foreach { case (s, (n, e)) =>
+      assert(slots(s) == n * e / 1000000L, s"$s: slots ${slots(s)} != floor(${n}·${e}µ)")
+    }
+  }
+
   test("s47: filtered walk dominates post-filtering a plain search; results all pass the predicate") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
     val queries = e.filter(col("vec_id") % 50 === 0)
