@@ -231,9 +231,11 @@ object Bench {
     // min ratchet, burns a re-run slot every round — dc20 read 8.1 exactly
     // once against 9.5-13.6 on every other idle run), and without the
     // discard any stale lucky line would silently undo the adjudication.
-    // Readings ABOVE the seed stay: they are the honest-spread evidence the
-    // `.size >= 2` history checks rely on, and min-of-history still lands on
-    // the seed value.
+    // Readings AT or ABOVE the seed stay: flagOutliers only consumes
+    // min-of-history (which still lands on the seed value), but the kept
+    // spread is the evidence a future manual floor adjudication reads — a
+    // thinned history would make every re-adjudication look like a single
+    // lucky reading again.
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_SEED.json")
       .sortBy(_.getName)
@@ -257,8 +259,14 @@ object Bench {
     val seed = perFile.collectFirst { case (true, m) => m }.getOrElse(Map.empty)
     perFile.flatMap(_._2).groupBy(_._1).map { case (k, vs) =>
       // seed-covered queries: the adjudicated floor wins over any lucky
-      // driver-line reading below it (see the discard note above)
-      k -> seed.get(k).fold(vs.map(_._2))(fl => vs.map(_._2).filter(_ > fl) :+ fl)
+      // driver-line reading below it (see the discard note above); readings
+      // EQUAL to the floor are honest confirmations and stay (r17 advisory —
+      // the strict filter collapsed them into the one appended floor value),
+      // with the floor itself appended only when no reading already sits on it
+      k -> seed.get(k).fold(vs.map(_._2)) { fl =>
+        val kept = vs.map(_._2).filter(_ >= fl)
+        if (kept.contains(fl)) kept else kept :+ fl
+      }
     }
   }
 

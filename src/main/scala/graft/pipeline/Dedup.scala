@@ -1897,10 +1897,23 @@ object Dedup {
 
   /** Reload a [[saveBloomBits]] artifact (positions and the width stamp are exact
     * integers — the round trip is bit-exact, and the [[requireBitsWidth]] guard
-    * keeps firing on the reloaded relation).
+    * keeps firing on the reloaded relation). Symmetric with the save-side
+    * refusal (r17 advisory): a parquet dir that lacks the `m_bits` stamp is not
+    * a saveBloomBits artifact — loading it here would silently hand back a
+    * width-less relation that reverts to the unguarded legacy probe, so it
+    * fails loudly at load instead. Hand-rolled legacy bit sets can still be
+    * probed directly (the probes themselves accept width-less relations with a
+    * warning); this loader is the sanctioned artifact path and keeps its
+    * guarantee.
     */
-  def loadBloomBits(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def loadBloomBits(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("m_bits"),
+      s"loadBloomBits: $path is not a saveBloomBits artifact (no m_bits width " +
+        "stamp) — probing it would silently skip the build-width guard; persist " +
+        "bit sets with saveBloomBits, or read legacy relations explicitly")
+    df
+  }
 
   /** The d37/d38 width guard: probing a bit set at a different `mBits` than it
     * was BUILT with computes positions mod the wrong width, so true duplicates

@@ -950,6 +950,48 @@ object Similarity {
       loadCentroids(spark, s"$path/model"),
       spark.read.parquet(s"$path/entries"))
 
+  /** A loaded graph-ANN index WITH its build-dial stamp — what a lifecycle job
+    * should hold, so the dial-agreement guard fires by default instead of only
+    * for callers who remember to thread [[loadGraphAnnDials]] through (r17
+    * advisory: the `builtWith` opt-in left every existing load path compacting
+    * unguarded). `dials` is None only for a legacy artifact saved before the
+    * stamp existed.
+    */
+  final case class GraphAnnIndex(
+      adj: DataFrame, model: DataFrame, entries: DataFrame, dials: Option[GraphAnnDials])
+
+  /** [[loadGraphAnnIndex]] + the dial stamp in one artifact handle — the load
+    * path lifecycle jobs should use: [[compactGraphAnnAdjacency]]'s index
+    * overload threads `dials` into the agreement guard automatically.
+    */
+  def loadGraphAnnIndexStamped(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): GraphAnnIndex = {
+    val (adj, model, entries) = loadGraphAnnIndex(spark, path)
+    GraphAnnIndex(adj, model, entries, loadGraphAnnDials(spark, path))
+  }
+
+  /** Compact a LOADED index ([[loadGraphAnnIndexStamped]]): the dial stamp the
+    * artifact carries is required to agree with the compaction dials — guarded
+    * by DEFAULT, no `builtWith` threading for the caller to forget. A legacy
+    * stamp-less artifact compacts unguarded exactly as before (dials = None).
+    */
+  def compactGraphAnnAdjacency(
+      corpus: DataFrame,
+      tombstones: DataFrame,
+      index: GraphAnnIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nTables: Int,
+      planesPerTable: Int,
+      dims: Int,
+      maxBucketMembers: Long
+  ): DataFrame =
+    compactGraphAnnAdjacency(corpus, tombstones, index.adj, idCol, vecCol,
+      k, nTables, planesPerTable, dims, maxBucketMembers, builtWith = index.dials)
+
   /** The ENTRY layer of the graph-ANN index: one representative corpus vector
     * (medoid) per trained coarse-quantizer cell — the batch analog of HNSW's
     * upper layers (Malkov–Yashunin 2016), where a query descends a FIXED-size

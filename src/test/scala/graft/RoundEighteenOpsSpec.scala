@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Round-18 pins for the r17 ADVICE advisories:
+  *
+  *   - loadBloomBits is now symmetric with saveBloomBits: a parquet dir
+  *     without the m_bits width stamp is refused at load instead of silently
+  *     yielding a width-less relation that reverts to the unguarded probe.
+  *   - benchHistory keeps driver-line readings EQUAL to an adjudicated seed
+  *     floor (the strict > filter collapsed honest confirmations into the one
+  *     appended floor value, thinning the spread future adjudications read).
+  *   - loadGraphAnnIndexStamped + the GraphAnnIndex compaction overload make
+  *     the dial-agreement guard fire by DEFAULT for lifecycle jobs working
+  *     off a stamped artifact — no builtWith threading to forget.
+  */
+class RoundEighteenOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("loadBloomBits refuses a width-less parquet dir (save/load symmetry)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
+      .localCheckpoint(true)
+    val index = Dedup.exactHashIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val bits = Dedup.exactBloomBits(index, mBits = 1 << 12)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bloom-load")
+    try {
+      // the sanctioned round trip still works
+      Dedup.saveBloomBits(bits, scratch.toString + "/good")
+      val loaded = Dedup.loadBloomBits(spark, scratch.toString + "/good")
+      assert(loaded.columns.contains("m_bits"))
+      // a hand-written stamp-less artifact fails loudly AT LOAD, not later
+      bits.select(col("pos")).write.parquet(scratch.toString + "/legacy")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.loadBloomBits(spark, scratch.toString + "/legacy")
+      }
+      assert(ex.getMessage.contains("m_bits"), ex.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+
+  test("benchHistory keeps readings equal to the adjudicated floor as spread evidence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-eq").toFile
+    // one line reading BELOW the floor (lucky — discarded), one EXACTLY ON the
+    // floor (honest confirmation — must survive), one above (spread — survives)
+    val line =
+      """{"metric":"total","queries":{"t25_bpe_encode":1.103},"failed":[],"sf":"x"}"""
+    val line2 =
+      """{"metric":"total","queries":{"t25_bpe_encode":2.044},"failed":[],"sf":"x"}"""
+    val line3 =
+      """{"metric":"total","queries":{"t25_bpe_encode":2.566},"failed":[],"sf":"x"}"""
+    def write(name: String, tail: String): Unit = {
+      val fw = new java.io.FileWriter(new java.io.File(dir, name))
+      try fw.write("{\n \"tail\": \"" + tail.replace("\"", "\\\"") + "\"\n}")
+      finally fw.close()
+    }
+    write("BENCH_r97.json", line)
+    write("BENCH_r98.json", line2)
+    write("BENCH_r99.json", line3)
+    val fw = new java.io.FileWriter(new java.io.File(dir, "BENCH_SEED.json"))
+    try fw.write("""{"metric":"seed","queries":{"t25_bpe_encode":2.044}}""")
+    finally fw.close()
+    val hist = Bench.benchHistory(dir, Set("t25_bpe_encode"))
+    // seed's own 2.044 + the equal line reading + the above reading; the lucky
+    // 1.103 is discarded; no synthetic floor append (a real reading sits on it)
+    assert(hist("t25_bpe_encode").sorted == Seq(2.044, 2.044, 2.566), hist.toString)
+    assert(hist("t25_bpe_encode").min == 2.044)
+  }
+
+  test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 120).localCheckpoint(true)
+    val dials = Similarity.GraphAnnDials(
+      k = 4, nTables = 2, planesPerTable = 6, dims = 64, maxBucketMembers = 10000L)
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = dials.k)
+      .localCheckpoint(true)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ann-stamped")
+    try {
+      val path = scratch.toString + "/index"
+      val model = Similarity.kmeansRounds(e, "vec_id", "embedding",
+        k = 4, dims = 64, rounds = 1)
+      Similarity.saveGraphAnnIndex(graph, model,
+        Similarity.graphAnnEntryPoints(e, "vec_id", "embedding", model),
+        path, dials, nFiles = 2)
+      val idx = Similarity.loadGraphAnnIndexStamped(spark, path)
+      assert(idx.dials.contains(dials))
+      val tomb = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      // wrong k against the loaded artifact: refused WITHOUT any opt-in
+      intercept[IllegalArgumentException] {
+        Similarity.compactGraphAnnAdjacency(e, tomb, idx, "vec_id", "embedding",
+          k = 5, nTables = 2, planesPerTable = 6, dims = 64, maxBucketMembers = 10000L)
+      }
+      // at the build dials the overload is transparent: identical adjacency to
+      // the direct call on the loaded adj
+      val viaIndex = Similarity.compactGraphAnnAdjacency(e, tomb, idx,
+        "vec_id", "embedding", k = dials.k, nTables = dials.nTables,
+        planesPerTable = dials.planesPerTable, dims = dials.dims,
+        maxBucketMembers = dials.maxBucketMembers)
+      val direct = Similarity.compactGraphAnnAdjacency(e, tomb, idx.adj,
+        "vec_id", "embedding", k = dials.k)
+      assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+      // a legacy stamp-less artifact loads with dials = None and compacts
+      // unguarded, exactly as before the stamp existed
+      val legacy = scratch.toString + "/legacy"
+      Similarity.saveGraphAnnIndex(graph, model,
+        Similarity.graphAnnEntryPoints(e, "vec_id", "embedding", model), legacy)
+      val legacyIdx = Similarity.loadGraphAnnIndexStamped(spark, legacy)
+      assert(legacyIdx.dials.isEmpty)
+      val unguarded = Similarity.compactGraphAnnAdjacency(e, tomb, legacyIdx,
+        "vec_id", "embedding", k = 5, nTables = 2, planesPerTable = 6,
+        dims = 64, maxBucketMembers = 10000L)
+      assert(unguarded.columns.contains("neighbor_id"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+}
