@@ -197,6 +197,27 @@ private[graft] object SimilarityOracles extends OracleFragments {
         allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the GRAPH-side router (s31's discipline for the s47 arm): both pinned
+    // filters through graphAnnFilteredRouted in one relation — the tight one
+    // must take the exact allowed-subset scan (the starved-walk case s47's
+    // contract names), the broad one the traverse-unfiltered harvest, and the
+    // route label is hash-checked
+    "s48_graph_ann_routed" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      def run(name: String, mod: Int) =
+        Similarity.graphAnnFilteredRouted(q, e, "vec_id", "embedding",
+          Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+          Similarity.kmeansRounds(e, "vec_id", "embedding",
+            k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
+          allowed = e.filter(col("label") % mod === 0).select(col("vec_id")),
+          k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds,
+          entryProbe = GraphAnnEntryProbe,
+          selThresholdMicro = AdaptiveAnnSelMicro)
+          .withColumn("filter_name", lit(name))
+      run("tight", AdaptiveAnnTightMod)
+        .unionByName(run("broad", AdaptiveAnnBroadMod))
+    }),
     "s21_mmr_rerank" -> ((s: SparkSession, dir: String) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.mmrRerank(e.filter(col("vec_id") % MmrQueryMod === 0), e, "vec_id",
@@ -800,9 +821,12 @@ private[graft] object SimilarityOracles extends OracleFragments {
     * harvest, top-5 from the pool.
     */
   private lazy val filteredGraphAnnSql: String =
+    filteredGraphAnnSqlWith(FilteredAnnLabelMod)
+
+  private def filteredGraphAnnSqlWith(mod: Int): String =
     graphAnnSqlSeeded(
       extraCtes =
-        s"al AS (SELECT vec_id AS cand FROM embeddings WHERE label % $FilteredAnnLabelMod = 0),",
+        s"al AS (SELECT vec_id AS cand FROM embeddings WHERE label % $mod = 0),",
       x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)",
       bankAll = true,
       tailSql = Some(
@@ -815,6 +839,35 @@ private[graft] object SimilarityOracles extends OracleFragments {
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
            |  FROM pool SEMI JOIN al USING (cand) WHERE cand <> query_id)
            |WHERE rank <= 5""".stripMargin))
+
+  /** One filter's half of the s48 mirror (the adaptiveAnnSql discipline on the
+    * GRAPH side): the exact allowed-subset scan and the s47 traverse-unfiltered
+    * arm gated by the same half-up selectivity scalar — only the branch on the
+    * winning side of the threshold emits rows, mirroring the Spark router's
+    * driver decision.
+    */
+  private def routedGraphAnnSql(name: String, mod: Int): String =
+    s"""SELECT * FROM (
+       |WITH al AS (SELECT vec_id FROM embeddings WHERE label % $mod = 0),
+       |n AS (SELECT COUNT(*) AS nc FROM embeddings),
+       |sel AS (SELECT CAST((2 * 1000000 * (SELECT COUNT(*) FROM al) + (SELECT nc FROM n))
+       |           // (2 * (SELECT nc FROM n)) AS BIGINT) AS s),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |brute AS (SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       |    SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.v")} AS cos_sim,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN e c JOIN al ON al.vec_id = c.vec_id
+       |    WHERE c.vec_id <> query_id)
+       |  WHERE rank <= 5),
+       |graph AS (SELECT * FROM (${filteredGraphAnnSqlWith(mod)}))
+       |SELECT '$name' AS filter_name, 'exact_allowed_scan' AS route,
+       |       (SELECT s FROM sel) AS selectivity_micro, b.*
+       |FROM brute b WHERE (SELECT s FROM sel) <= $AdaptiveAnnSelMicro
+       |UNION ALL
+       |SELECT '$name', 'graph_harvest', (SELECT s FROM sel), g.*
+       |FROM graph g WHERE (SELECT s FROM sel) > $AdaptiveAnnSelMicro)""".stripMargin
 
   private def graphAnnSqlSeeded(
       extraCtes: String, x0Sql: String, eWhere: String = "",
@@ -1107,6 +1160,12 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s27_graph_ann_saved" -> graphAnnSql,
     "s45_aged_index_recall" -> agedRecallSql,
     "s47_graph_ann_filtered" -> filteredGraphAnnSql,
+    // Similarity.graphAnnFilteredRouted — the s31 gated-UNION shape on the
+    // graph side: each filter's arm emits only on its side of the threshold
+    "s48_graph_ann_routed" ->
+      s"""${routedGraphAnnSql("tight", AdaptiveAnnTightMod)}
+         |UNION ALL
+         |${routedGraphAnnSql("broad", AdaptiveAnnBroadMod)}""".stripMargin,
     "s42_graph_ann_compacted" -> compactedGraphAnnSql,
     "s34_graph_ann_layered" -> layeredGraphAnnSql,
     "s35_int8_search" -> int8SearchSql,

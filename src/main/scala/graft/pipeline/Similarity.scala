@@ -1240,6 +1240,80 @@ object Similarity {
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** s48 — the GRAPH-side filtered-search ROUTER: [[graphAnnSearchFiltered]]
+    * (traverse unfiltered, harvest filtered — the broad-filter arm) composed
+    * with an exact scan of the allowed subset (the selective arm), routed by
+    * the same census-fed selectivity scalar [[filteredTopKAdaptive]] uses on
+    * the IVF side. s47's own contract names the starvation case this closes:
+    * a filter selective enough to starve even the harvest pool below k makes
+    * graph traversal pointless — the walk pays the full beam cost to touch
+    * mostly-disallowed nodes, while the allowed subset is small enough
+    * (≤ `selThresholdMicro` of the corpus, by premise) to score exactly.
+    * The route and the measured selectivity ride every output row, so a
+    * result is always attributable to the plan that produced it (the s31
+    * discipline; filtered-DiskANN §5 and ACORN §4.3 publish exactly this
+    * two-regime split for graph indexes).
+    *
+    * Selectivity = |allowed| / |corpus| in half-up integer micro units — two
+    * driver scalars that choose the plan BEFORE it is built; only the chosen
+    * branch ever runs. `census` short-circuits the corpus count from any
+    * maintained per-cell relation carrying `n_members` (the trained codebook's
+    * own member counts, or the s33 census rows — the artifact the graph index
+    * already keeps next to its adjacency); `allowedSize` likewise when the
+    * tenant catalog knows its cardinality. The raw `.count()`s are the
+    * census-less fallback only (metadata-cheap on parquet relations).
+    *
+    * Scale shape: the exact arm is a broadcast-queries × allowed-semi-join
+    * scan, linear in |allowed| which the threshold caps; the graph arm is
+    * s47's plan unchanged. At 100 TB the routing is per query-batch against
+    * the shared artifact — tenant filters hit whichever plan their
+    * selectivity earns, and the starved walk is never paid.
+    */
+  def graphAnnFilteredRouted(
+      queries: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      model: DataFrame,
+      allowed: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      selThresholdMicro: Long = 250000L,
+      census: Option[DataFrame] = None,
+      allowedSize: Option[Long] = None,
+      entries: Option[DataFrame] = None
+  ): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"graphAnnFilteredRouted: allowed must be a single-id-column relation, " +
+        s"got [${allowed.columns.mkString(", ")}]")
+    census.foreach(c => require(c.columns.contains("n_members"),
+      s"graphAnnFilteredRouted: census must carry n_members (the codebook/s33 " +
+        s"artifact shape), got [${c.columns.mkString(", ")}]"))
+    val nCorpus = census
+      .map(_.agg(coalesce(sum(col("n_members")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)) // k-row artifact aggregate, never a corpus pass
+      .getOrElse(df.count())
+    require(nCorpus > 0, "graphAnnFilteredRouted: empty corpus — nothing to search")
+    val nAllowed = allowedSize.getOrElse(allowed.count())
+    val selMicro = (2L * 1000000L * nAllowed + nCorpus) / (2L * nCorpus)
+    val routed =
+      if (selMicro <= selThresholdMicro) {
+        val allowedCands = df.join(
+          allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi")
+        bruteForceTopK(queries, allowedCands, idCol, vecCol, k)
+          .withColumn("route", lit("exact_allowed_scan"))
+      } else {
+        graphAnnSearchFiltered(queries, df, idCol, vecCol, graph, model, allowed,
+            k, beam, rounds, entryProbe, entries)
+          .withColumn("route", lit("graph_harvest"))
+      }
+    routed.select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"),
+      col("route"), lit(selMicro).as("selectivity_micro"))
+  }
+
   /** The beam-walk core shared by [[graphAnnSearchPrepared]] (medoid seeds) and
     * [[graphAnnSearchLayered]] (medoid ∪ layer-descent seeds): score the seed
     * set, then `rounds` of expand-via-adjacency / exact-rescore / keep-top-beam,

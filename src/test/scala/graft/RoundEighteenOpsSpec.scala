@@ -73,6 +73,43 @@ class RoundEighteenOpsSpec extends SparkSpec {
     assert(hist("t25_bpe_encode").min == 2.044)
   }
 
+  test("s48: the graph-side router sends a starving filter to the exact scan, a broad one to the harvest walk") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 300).localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val graph = Similarity.knnGraph(e, "vec_id", "embedding", k = 4).localCheckpoint(true)
+    val model = Similarity.kmeansRounds(e, "vec_id", "embedding", k = 4, dims = 64, rounds = 1)
+      .localCheckpoint(true)
+    def route(allowed: org.apache.spark.sql.DataFrame) =
+      Similarity.graphAnnFilteredRouted(q, e, "vec_id", "embedding", graph, model,
+        allowed, k = 3, beam = 4, rounds = 2, entryProbe = 2,
+        selThresholdMicro = 250000L)
+    // the starvation case s47's contract names: |allowed| = 4 of ~300 — even
+    // the full harvest pool cannot hold k allowed candidates per query, so the
+    // walk would return short; the router must scan the allowed subset exactly
+    val tiny = route(e.filter(col("vec_id") % 97 === 0).select(col("vec_id")))
+      .localCheckpoint(true)
+    assert(tiny.select(col("route")).distinct().collect().map(_.getString(0)).toSeq
+      == Seq("exact_allowed_scan"))
+    // exact arm: no starvation — every query gets its full k from the allowed
+    // subset (a pool-starved walk would return short for most queries)
+    assert(tiny.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 3L).count() == 0)
+    assert(tiny.count() == q.count() * 3)
+    // the broad filter (≈half the corpus) must take the s47 harvest walk
+    val broad = route(e.filter(col("label") % 2 === 0).select(col("vec_id")))
+      .localCheckpoint(true)
+    assert(broad.select(col("route")).distinct().collect().map(_.getString(0)).toSeq
+      == Seq("graph_harvest"))
+    // the selectivity scalar rides every row and matches the half-up formula
+    val nCorpus = e.count()
+    val nB = e.filter(col("label") % 2 === 0).count()
+    val expect = (2L * 1000000L * nB + nCorpus) / (2L * nCorpus)
+    assert(broad.select(col("selectivity_micro")).distinct().head.getLong(0) == expect)
+    // both arms emit the shared serving schema — a result is attributable
+    assert(tiny.columns.toSeq == broad.columns.toSeq)
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
