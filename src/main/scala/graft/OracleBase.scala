@@ -498,6 +498,14 @@ private[graft] trait OracleParams {
   private[graft] val AdaptiveAnnBroadMod = 2
   private[graft] val AdaptiveAnnSelMicro = 250000L
 
+  /** s49's planted starvation filter (~1% of the corpus): selective enough
+    * that even the harvest pool usually holds fewer than k allowed candidates,
+    * so the card's starved arm reads < 1.0 and post-filtering reads worse —
+    * the regime the s48 router exists to route around. Shared by registration,
+    * oracle, and the RoundEighteenOpsSpec pin.
+    */
+  private[graft] val StarvedFilterMod = 97
+
   /** s32's pinned probe sweep — the serving-dial levels the recall curve is
     * priced at, shared by registration and oracle.
     */

@@ -197,6 +197,22 @@ private[graft] object SimilarityOracles extends OracleFragments {
         allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the s30 recall discipline for the s47 walk: harvest vs naive postfilter
+    // against the under-predicate truth, one shared traversal for both filter
+    // arms; the starved arm (~1% allowed) is the planted case that reads < 1.0
+    // with postfilter worse — what the s48 router routes around
+    "s49_filtered_graph_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.filteredGraphAnnRecallCard(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding",
+        Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+        Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
+        filters = Seq(
+          "broad" -> e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
+          "starved" -> e.filter(col("vec_id") % StarvedFilterMod === 0).select(col("vec_id"))),
+        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
+    }),
     // the GRAPH-side router (s31's discipline for the s47 arm): both pinned
     // filters through graphAnnFilteredRouted in one relation — the tight one
     // must take the exact allowed-subset scan (the starved-walk case s47's
@@ -840,6 +856,57 @@ private[graft] object SimilarityOracles extends OracleFragments {
            |  FROM pool SEMI JOIN al USING (cand) WHERE cand <> query_id)
            |WHERE rank <= 5""".stripMargin))
 
+  /** s49's mirror: ONE bank-all s26 chain (the traversal is filter-independent),
+    * pool and the plain top-5 MATERIALIZED (each feeds every filter arm), then
+    * per filter: the brute-force truth under the predicate, the harvest top-5
+    * from pool ∩ allowed, the plain top-5 post-filtered, hits per (method,
+    * query), and the |queries|×|methods| grid with explicit 0 rows.
+    */
+  private def filteredRecallCardSql(filters: Seq[(String, String)]): String = {
+    def armCtes(name: String, where: String): String =
+      s"""al_$name AS (SELECT vec_id AS cand FROM embeddings WHERE $where),
+         |truth_$name AS (SELECT query_id, cand FROM (
+         |    SELECT query_id, c.vec_id AS cand,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM q CROSS JOIN e c JOIN al_$name a ON a.cand = c.vec_id
+         |    WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5),
+         |harv_$name AS (SELECT query_id, cand FROM (
+         |    SELECT query_id, cand,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+         |    FROM pool SEMI JOIN al_$name USING (cand) WHERE cand <> query_id)
+         |  WHERE rank <= 5),
+         |appr_$name AS (SELECT 'harvest' AS method, query_id, cand FROM harv_$name
+         |  UNION ALL
+         |  SELECT 'postfilter', query_id, cand FROM plain SEMI JOIN al_$name USING (cand)),
+         |hits_$name AS (SELECT method, query_id, count(*) AS n_hit
+         |  FROM appr_$name SEMI JOIN truth_$name USING (query_id, cand)
+         |  GROUP BY method, query_id)""".stripMargin
+    def armRow(name: String): String =
+      s"""SELECT '$name' AS filter_name, g.method, g.query_id,
+         |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall_at_k
+         |FROM grid g LEFT JOIN hits_$name h USING (method, query_id)""".stripMargin
+    graphAnnSqlSeeded(
+      extraCtes = "",
+      x0Sql = "SELECT DISTINCT query_id, cand FROM qc JOIN med USING (cluster)",
+      bankAll = true,
+      tailSql = Some(
+        s""",
+           |pool AS MATERIALIZED (SELECT DISTINCT query_id, cand, cos_sim FROM (
+           |  ${(0 to GraphAnnRounds).map(i => s"SELECT query_id, cand, cos_sim FROM a$i")
+              .mkString("\n  UNION ALL ")})),
+           |plain AS MATERIALIZED (SELECT query_id, cand FROM (
+           |    SELECT query_id, cand,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
+           |    FROM s$GraphAnnRounds WHERE cand <> query_id)
+           |  WHERE rank <= 5),
+           |grid AS (SELECT query_id, m.method
+           |         FROM q, (SELECT unnest(['harvest', 'postfilter']) AS method) m),
+           |${filters.map { case (n, w) => armCtes(n, w) }.mkString(",\n")}
+           |${filters.map { case (n, _) => armRow(n) }.mkString("\nUNION ALL\n")}""".stripMargin))
+  }
+
   /** One filter's half of the s48 mirror (the adaptiveAnnSql discipline on the
     * GRAPH side): the exact allowed-subset scan and the s47 traverse-unfiltered
     * arm gated by the same half-up selectivity scalar — only the branch on the
@@ -1160,6 +1227,11 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s27_graph_ann_saved" -> graphAnnSql,
     "s45_aged_index_recall" -> agedRecallSql,
     "s47_graph_ann_filtered" -> filteredGraphAnnSql,
+    // Similarity.filteredGraphAnnRecallCard — one bank-all chain, per-filter
+    // truth/harvest/postfilter arms, explicit 0 rows via the query×method grid
+    "s49_filtered_graph_recall" -> filteredRecallCardSql(Seq(
+      "broad" -> s"label % $FilteredAnnLabelMod = 0",
+      "starved" -> s"vec_id % $StarvedFilterMod = 0")),
     // Similarity.graphAnnFilteredRouted — the s31 gated-UNION shape on the
     // graph side: each filter's arm emits only on its side of the threshold
     "s48_graph_ann_routed" ->

@@ -1207,8 +1207,32 @@ object Similarity {
     val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
       .localCheckpoint(true) // id catalog; one harvest semi-join
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
-    // score EVERYTHING the walk touches (exact cosine — banking a candidate
-    // the beam cut still ranks it correctly); the beam cut gates TRAVERSAL only
+    val (pool, _) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
+    pool
+      .join(allow, Seq("cand"), "left_semi")
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** The banked beam traversal shared by [[graphAnnSearchFiltered]] and
+    * [[filteredGraphAnnRecallCard]]: run the UNFILTERED walk once and return
+    * both everything it ever scored (the distinct harvest pool) and the final
+    * beam relation (what a plain search's top-k is cut from). Scoring is exact
+    * rounded cosine on every touched candidate — banking a candidate the beam
+    * cut still ranks it correctly; the beam cut gates TRAVERSAL only. Each
+    * round's scored set is checkpointed (it feeds both the next expansion and
+    * the pool union), so the pool costs no recomputation over the plain walk.
+    */
+  private def graphAnnPoolWalk(
+      qs: DataFrame,
+      prep: GraphAnnPrepared,
+      beam: Int,
+      rounds: Int,
+      entryProbe: Int
+  ): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     def scoreAll(cands: DataFrame): DataFrame =
       cands.join(qs, Seq("query_id"))
         .join(prep.vecs, Seq("cand"))
@@ -1232,12 +1256,91 @@ object Similarity {
       pool = pool.unionByName(scored)
       beamRel = cutBeam(scored)
     }
-    pool.distinct() // (query, cand) cosines are deterministic — distinct is exact
-      .join(allow, Seq("cand"), "left_semi")
-      .filter(col("cand") =!= col("query_id"))
+    // (query, cand) cosines are deterministic — distinct is exact
+    (pool.distinct(), beamRel)
+  }
+
+  /** s49 — the FILTERED graph-ANN recall card: [[filteredAnnRecall]]'s (s30)
+    * discipline pointed at the GRAPH index — recall@k of the s47 harvest walk
+    * against the brute-force top-k UNDER THE SAME PREDICATE, with the naive
+    * alternative (post-filtering a plain search's top-k) priced beside it in
+    * the same card. One row per (filter, method, query), misses kept as
+    * explicit 0 rows (the s07 convention), so a tenant filter on the graph
+    * index tunes beam/rounds from a measurement instead of blind — and the
+    * starvation regime is legible: a filter whose allowed mass barely reaches
+    * the pool reads < 1.0 on the harvest arm and WORSE on the postfilter arm
+    * (the domination RoundSeventeenOpsSpec pins, here measured per query).
+    *
+    * Scale shape: the expensive side — the unfiltered traversal — runs ONCE
+    * for all filter arms ([[graphAnnPoolWalk]]; the pool and plain top-k are
+    * filter-independent and checkpointed), so adding a tenant's filter to the
+    * card costs one |allowed|-subset brute-force truth (the recall-card cost
+    * every diagnostic here pays, s07/s30/s45 precedent — query-batch ×
+    * allowed-subset, pruned before scoring) plus two catalog semi-joins and
+    * one (query, neighbor) equi-join. Nothing corpus-quadratic; the grid is
+    * |queries|·|methods| rows per filter.
+    */
+  def filteredGraphAnnRecallCard(
+      queries: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graph: DataFrame,
+      model: DataFrame,
+      filters: Seq[(String, DataFrame)],
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      entries: Option[DataFrame] = None
+  ): DataFrame = {
+    require(filters.nonEmpty, "filteredGraphAnnRecallCard: no filter arms")
+    filters.foreach { case (name, a) =>
+      require(a.columns.length == 1,
+        s"filteredGraphAnnRecallCard: filter '$name' must be a single-id-column " +
+          s"relation, got [${a.columns.mkString(", ")}]")
+    }
+    val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
+    val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
+    val (pool, beamRel) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
+    val poolC = pool.localCheckpoint(true) // shared by every filter arm
+    // the plain search's answer (s26's top-k cut of the final beam) — what the
+    // naive postfilter arm filters; also filter-independent, so computed once
+    val plainTopK = beamRel.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("cand"))
+      .localCheckpoint(true)
+    val qids = qs.select(col("query_id")).localCheckpoint(true)
+    filters.map { case (name, allowed) =>
+      val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
+        .localCheckpoint(true)
+      val truth = bruteForceTopK(queries,
+          df.join(allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi"),
+          idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val harvest = poolC.join(allow, Seq("cand"), "left_semi")
+        .filter(col("cand") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit("harvest").as("method"), col("query_id"), col("cand").as("neighbor_id"))
+      val post = plainTopK.join(allow, Seq("cand"), "left_semi")
+        .select(lit("postfilter").as("method"), col("query_id"), col("cand").as("neighbor_id"))
+      val hits = harvest.unionByName(post)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("method"), col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      qids
+        .select(col("query_id"), explode(array(lit("harvest"), lit("postfilter"))).as("method"))
+        .join(hits, Seq("method", "query_id"), "left")
+        .select(lit(name).as("filter_name"), col("method"), col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+            .as("recall_at_k"))
+    }.reduce(_ unionByName _)
   }
 
   /** s48 — the GRAPH-side filtered-search ROUTER: [[graphAnnSearchFiltered]]

@@ -110,6 +110,50 @@ class RoundEighteenOpsSpec extends SparkSpec {
     assert(tiny.columns.toSeq == broad.columns.toSeq)
   }
 
+  test("s49: the recall card reads starvation — harvest < 1.0 and postfilter strictly worse") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val card = Similarity.filteredGraphAnnRecallCard(q, e, "vec_id", "embedding",
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5),
+      Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1),
+      filters = Seq(
+        "broad" -> e.filter(col("label") % 3 === 0).select(col("vec_id")),
+        "starved" -> e.filter(col("vec_id") % 97 === 0).select(col("vec_id"))),
+      k = 5, beam = 8, rounds = 2, entryProbe = 4).localCheckpoint(true)
+    // grid completeness: every (filter, method, query) present, misses as 0s
+    assert(card.count() == q.count() * 2 * 2)
+    // exact hit space (recall·k is an integer at k=5) — a double mean would
+    // turn a genuine tie into a summation-order epsilon
+    def hitSum(f: String, m: String): Long = card
+      .filter(col("filter_name") === f && col("method") === m)
+      .agg(sum((col("recall_at_k") * 5.0).cast("long"))).head.getLong(0)
+    // the planted starvation case: the harvest arm reads < 1.0 (the pool
+    // cannot hold k allowed candidates) and post-filtering reads STRICTLY
+    // worse — the measured gap the s48 router's exact arm exists to close
+    assert(hitSum("starved", "harvest") < q.count() * 5)
+    assert(hitSum("starved", "harvest") > hitSum("starved", "postfilter"),
+      s"harvest ${hitSum("starved", "harvest")} !> postfilter ${hitSum("starved", "postfilter")}")
+    // domination holds on the broad arm too (≥ — the r17 pin, now per the card)
+    assert(hitSum("broad", "harvest") >= hitSum("broad", "postfilter"))
+    // the card's harvest arm IS s47's serving result measured: recomputing
+    // recall from graphAnnSearchFiltered's own output matches row-for-row
+    val allowed = e.filter(col("label") % 3 === 0).select(col("vec_id")).localCheckpoint(true)
+    val truth = Similarity.bruteForceTopK(q,
+        e.join(allowed, Seq("vec_id"), "left_semi"), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val served = Similarity.graphAnnSearchFiltered(q, e, "vec_id", "embedding",
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5),
+      Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1),
+      allowed, k = 5, beam = 8, rounds = 2, entryProbe = 4)
+    val recomputed = served.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val fromCard = card.filter(col("filter_name") === "broad" && col("method") === "harvest")
+      .select(col("query_id"), (col("recall_at_k") * 5.0).cast("long").as("n_hit"))
+    assert(fromCard.filter(col("n_hit") > 0)
+      .exceptAll(recomputed).isEmpty)
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
