@@ -197,6 +197,17 @@ private[graft] object SimilarityOracles extends OracleFragments {
         allowed = e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // the s45 aging card for the IVF-PQ and int8 families: frozen-archive
+    // codebook serving the grown corpus (s25's aged state) vs fresh retrain,
+    // and delete-compacted int8 vs fresh quantize (must tie exactly — the
+    // per-vector-code equivalence measured at the search surface)
+    "s50_aged_quant_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.agedQuantIndexRecallCard(e, "vec_id", "embedding",
+        arrivalCut = KnnExtendCut, tombstoneMod = Int8TombstoneMod.toLong,
+        k = 5, queryMod = 50L, kCells = 8, trainRounds = IvfPqTrainRounds,
+        overfetch = Int8Overfetch)
+    }),
     // the s30 recall discipline for the s47 walk: harvest vs naive postfilter
     // against the under-predicate truth, one shared traversal for both filter
     // arms; the starved arm (~1% allowed) is the planted case that reads < 1.0
@@ -831,6 +842,120 @@ private[graft] object SimilarityOracles extends OracleFragments {
        |UNION ALL ${armRow("compact", "compacted", "fbres", "truthb", "nqb")}""".stripMargin
   }
 
+  /** s50's mirror: two codebooks off one base (kmeansCtesP prefixes f/g —
+    * full corpus vs pre-cut archive), ONE shared PQ side (sub/cb/codes/lut —
+    * the PQ codebook is corpus-trained in both arms), the s23 serving chain
+    * replayed per codebook; the int8 side is the s35 chain over the survivors
+    * ONCE (per-vector codes make delete-from-full ≡ fresh-on-survivors, so
+    * both Spark construction paths hash into the same CTE — the s38
+    * equivalence measured at the search surface). armRow = s45's pooled
+    * half-up recall_micro.
+    */
+  private lazy val agedQuantRecallSql: String = {
+    def ivfArm(p: String, trained: String): String =
+      s"""${p}cents AS (SELECT CAST(cluster AS BIGINT) AS cid, cv FROM $trained),
+         |${p}scc AS MATERIALIZED (
+         |  SELECT base.vec_id AS rid, base.v, c.cid, ${cosSql("base.v", "c.cv")} AS cc
+         |  FROM base, ${p}cents c),
+         |${p}cells AS (SELECT rid AS neighbor_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM ${p}scc)
+         |  WHERE crank <= 1),
+         |${p}probes AS (SELECT rid AS query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rid ORDER BY cc DESC, cid) AS crank
+         |    FROM ${p}scc WHERE rid % 50 = 0)
+         |  WHERE crank <= 2),
+         |${p}cp AS (SELECT query_id, neighbor_id FROM ${p}probes JOIN ${p}cells USING (cid)
+         |       WHERE query_id <> neighbor_id),
+         |${p}approx AS (SELECT cp.query_id, cp.neighbor_id, CAST(SUM(l.d2m) AS BIGINT) AS approx_d2m
+         |  FROM ${p}cp cp
+         |  JOIN codes c ON c.neighbor_id = cp.neighbor_id
+         |  JOIN lut l ON l.query_id = cp.query_id AND l.s = c.s AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |${p}short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_d2m, neighbor_id) AS crank
+         |    FROM ${p}approx)
+         |  WHERE crank <= ${5 * Int8Overfetch}),
+         |${p}top AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT sh.query_id, sh.neighbor_id,
+         |           row_number() OVER (PARTITION BY sh.query_id
+         |             ORDER BY ${cosSql("xq.v", "xn.v")} DESC, sh.neighbor_id) AS rank
+         |    FROM ${p}short sh
+         |    JOIN base xq ON xq.vec_id = sh.query_id
+         |    JOIN base xn ON xn.vec_id = sh.neighbor_id)
+         |  WHERE rank <= 5)""".stripMargin
+    def armRow(scenario: String, method: String, res: String, tr: String, nq: String): String =
+      s"""SELECT '$scenario' AS scenario, '$method' AS method, $nq.nq AS n_queries,
+         |  h.n AS n_hits,
+         |  CAST((2 * 1000000 * h.n + $nq.nq * 5) // (2 * $nq.nq * 5) AS BIGINT) AS recall_micro
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n
+         |      FROM $res rr SEMI JOIN $tr tt USING (query_id, neighbor_id)) h, $nq""".stripMargin
+    def truth(q: String, c: String): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM $q CROSS JOIN $c c WHERE c.vec_id <> query_id)
+         |  WHERE rank <= 5""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |barch AS (SELECT vec_id, v FROM base WHERE vec_id < $KnnExtendCut),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 50 = 0),
+       |${kmeansCtesP("f", "base", 8, IvfPqTrainRounds)},
+       |${kmeansCtesP("g", "barch", 8, IvfPqTrainRounds)},
+       |sub AS MATERIALIZED (SELECT vec_id, s, list_slice(v, 8 * s + 1, 8 * s + 8) AS sv
+       |        FROM (SELECT vec_id, v, unnest(generate_series(0, 7)) AS s FROM base)),
+       |cb AS (SELECT s, CAST(vec_id AS INTEGER) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+       |pqscored AS (SELECT t.vec_id, t.s, cb.code,
+       |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+       |      + list_dot_product(cv, cv) AS d2
+       |  FROM sub t JOIN cb ON cb.s = t.s),
+       |codes AS MATERIALIZED (SELECT vec_id AS neighbor_id, s, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY round(d2, 6), code) AS rn
+       |    FROM pqscored)
+       |  WHERE rn = 1),
+       |lut AS MATERIALIZED (SELECT qq.vec_id AS query_id, qq.s, cb.code,
+       |    CAST(round(1000000 * (list_dot_product(qq.sv, qq.sv)
+       |      - 2 * list_dot_product(qq.sv, cb.cv)
+       |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS d2m
+       |  FROM sub qq JOIN cb ON cb.s = qq.s WHERE qq.vec_id % 50 = 0),
+       |${ivfArm("f", s"fc$IvfPqTrainRounds")},
+       |${ivfArm("g", s"gc$IvfPqTrainRounds")},
+       |surv AS (SELECT vec_id, v FROM base WHERE vec_id % $Int8TombstoneMod <> 0),
+       |qs8 AS (SELECT vec_id AS query_id, v AS qv FROM surv WHERE vec_id % 50 = 0),
+       |m8 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM surv),
+       |rc8 AS (SELECT vec_id AS neighbor_id,
+       |         list_transform(v, x ->
+       |           greatest(-127.0, least(127.0, floor(x / (maxabs / 127.0) + 0.5)))
+       |             * (maxabs / 127.0)) AS rv
+       |       FROM m8 WHERE maxabs > 0),
+       |sc8 AS (SELECT q8.query_id, rc8.neighbor_id, ${cosSql("q8.qv", "rc8.rv")} AS qcos
+       |       FROM qs8 q8, rc8 WHERE rc8.neighbor_id <> q8.query_id),
+       |short8 AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qcos DESC, neighbor_id) AS crk
+       |    FROM sc8)
+       |  WHERE crk <= ${5 * Int8Overfetch}),
+       |top8 AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |    SELECT s8.query_id, s8.neighbor_id,
+       |           row_number() OVER (PARTITION BY s8.query_id
+       |             ORDER BY ${cosSql("q8.qv", "c8.v")} DESC, s8.neighbor_id) AS rank
+       |    FROM short8 s8
+       |    JOIN qs8 q8 ON q8.query_id = s8.query_id
+       |    JOIN surv c8 ON c8.vec_id = s8.neighbor_id)
+       |  WHERE rank <= 5),
+       |trutha AS MATERIALIZED (${truth("q", "base")}),
+       |truthb AS MATERIALIZED (${truth("qs8", "surv")}),
+       |nqa AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+       |nqb AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qs8)
+       |${armRow("ivf_extend", "exact", "trutha", "trutha", "nqa")}
+       |UNION ALL ${armRow("ivf_extend", "fresh", "ftop", "trutha", "nqa")}
+       |UNION ALL ${armRow("ivf_extend", "aged", "gtop", "trutha", "nqa")}
+       |UNION ALL ${armRow("int8_compact", "exact", "truthb", "truthb", "nqb")}
+       |UNION ALL ${armRow("int8_compact", "fresh", "top8", "truthb", "nqb")}
+       |UNION ALL ${armRow("int8_compact", "compacted", "top8", "truthb", "nqb")}""".stripMargin
+  }
+
   /** s47's mirror = s26's chain in bank-all form (every round's SCORED set
     * a$i kept beside the beam cut s$i), the pool a distinct union of the a$i
     * (cosines are deterministic per pair), the allowed catalog semi-joined at
@@ -1227,6 +1352,9 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s27_graph_ann_saved" -> graphAnnSql,
     "s45_aged_index_recall" -> agedRecallSql,
     "s47_graph_ann_filtered" -> filteredGraphAnnSql,
+    // Similarity.agedQuantIndexRecallCard — two kmeansCtesP codebooks, one
+    // shared PQ side, one int8 chain serving both construction paths
+    "s50_aged_quant_recall" -> agedQuantRecallSql,
     // Similarity.filteredGraphAnnRecallCard — one bank-all chain, per-filter
     // truth/harvest/postfilter arms, explicit 0 rows via the query×method grid
     "s49_filtered_graph_recall" -> filteredRecallCardSql(Seq(

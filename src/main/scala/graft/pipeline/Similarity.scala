@@ -2897,15 +2897,7 @@ object Similarity {
     def recallArm(
         scenario: String, method: String, approx: DataFrame,
         truth: DataFrame, nQueries: DataFrame): DataFrame =
-      approx.select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(broadcast(nQueries))
-        .select(
-          lit(scenario).as("scenario"), lit(method).as("method"),
-          col("n_queries"), col("n_hits"),
-          expr(s"(2 * 1000000 * n_hits + n_queries * $k) DIV (2 * n_queries * $k)")
-            .cast("long").as("recall_micro"))
+      recallCardArm(scenario, method, approx, truth, nQueries, k)
     def scenario(
         name: String,
         serveCorpus: DataFrame,
@@ -2953,6 +2945,92 @@ object Similarity {
       .unionByName(
         scenario("compact", survivors, knnGraph(survivors, idCol, vecCol, k = graphK),
           "compacted", compactedAdj, survivors))
+  }
+
+  /** One (scenario, method) row of an aged-index recall card: pooled hits of
+    * `approx` against `truth`, recall as the half-up integer micro ratio —
+    * shared by [[agedIndexRecallCard]] (graph family) and
+    * [[agedQuantIndexRecallCard]] (IVF-PQ / int8 families) so the two cards
+    * cannot diverge in how they price an arm.
+    */
+  private def recallCardArm(
+      scenario: String, method: String, approx: DataFrame,
+      truth: DataFrame, nQueries: DataFrame, k: Int): DataFrame =
+    approx.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nQueries))
+      .select(
+        lit(scenario).as("scenario"), lit(method).as("method"),
+        col("n_queries"), col("n_hits"),
+        expr(s"(2 * 1000000 * n_hits + n_queries * $k) DIV (2 * n_queries * $k)")
+          .cast("long").as("recall_micro"))
+
+  /** s50 — the s45 aging card for the OTHER persisted families: the
+    * s25-appended IVF-PQ artifact and the s38-compacted int8 artifact, each
+    * priced against a fresh rebuild and the brute-force truth at the SEARCH
+    * surface (recall@k pooled over the query batch, the exact arm as
+    * calibration). Scenario `ivf_extend` serves the honest s25 aged state —
+    * the codebook trained on the pre-cut archive and FROZEN while arrivals
+    * were only assigned, so queries landing in the new region probe cells
+    * that never learned it and the aged arm may trail fresh (the gap is the
+    * rebuild-cadence price, fed to [[rebuildTrigger]] exactly like s45's).
+    * Scenario `int8_compact` serves the s38 lifecycle both ways —
+    * delete-from-full-then-compact vs quantize-fresh-on-survivors; int8
+    * codes are PER-VECTOR (scale = own maxabs), so the two arms must tie
+    * EXACTLY — the s38 equivalence, here measured where it matters instead
+    * of asserted on the artifact relation.
+    *
+    * Scale shape: one brute-force truth per scenario (the dial-bounded
+    * recall-card cost, s07/s40/s45 precedent), each serving arm is the
+    * production plan unchanged (model-sized broadcasts, bounded shortlists),
+    * and the card is 6 rows. Nothing here is corpus-quadratic beyond the
+    * truth passes the card exists to pay.
+    */
+  def agedQuantIndexRecallCard(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      arrivalCut: Long,
+      tombstoneMod: Long,
+      k: Int = 5,
+      queryMod: Long = 50L,
+      kCells: Int = 8,
+      trainRounds: Int = 2,
+      overfetch: Int = 4
+  ): DataFrame = {
+    // scenario A — the s25 lifecycle at the search surface
+    val queriesA = corpus.filter(col(idCol) % queryMod === 0)
+    val nqA = queriesA.agg(count(lit(1)).as("n_queries"))
+    val truthA = bruteForceTopK(queriesA, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // one truth per scenario, every arm joins it
+    val freshModel = kmeansRounds(corpus, idCol, vecCol, kCells, dims = 64,
+      rounds = trainRounds)
+    val agedModel = kmeansRounds(corpus.filter(col(idCol) < arrivalCut), idCol, vecCol,
+      kCells, dims = 64, rounds = trainRounds) // the frozen archive codebook
+    val freshA = ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, freshModel,
+      overfetch = overfetch)
+    val agedA = ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, agedModel,
+      overfetch = overfetch)
+    // scenario B — the s38 lifecycle, both construction paths
+    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0).localCheckpoint(true)
+    val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
+    val queriesB = survivors.filter(col(idCol) % queryMod === 0)
+    val nqB = queriesB.agg(count(lit(1)).as("n_queries"))
+    val truthB = bruteForceTopK(queriesB, survivors, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val freshB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
+      int8Quantize(survivors, idCol, vecCol), overfetch)
+    val compB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
+      deleteFromInt8Index(int8Quantize(corpus, idCol, vecCol), tomb, idCol), overfetch)
+    recallCardArm("ivf_extend", "exact", truthA, truthA, nqA, k)
+      .unionByName(recallCardArm("ivf_extend", "fresh", freshA, truthA, nqA, k))
+      .unionByName(recallCardArm("ivf_extend", "aged", agedA, truthA, nqA, k))
+      .unionByName(recallCardArm("int8_compact", "exact", truthB, truthB, nqB, k))
+      .unionByName(recallCardArm("int8_compact", "fresh", freshB, truthB, nqB, k))
+      .unionByName(recallCardArm("int8_compact", "compacted", compB, truthB, nqB, k))
   }
 
   /** The rebuild decision over an [[agedIndexRecallCard]] — the

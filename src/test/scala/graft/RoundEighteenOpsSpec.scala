@@ -154,6 +154,47 @@ class RoundEighteenOpsSpec extends SparkSpec {
       .exceptAll(recomputed).isEmpty)
   }
 
+  test("s50: the IVF aged arm trails fresh, the int8 compacted arm ties exactly, and the trigger reads the card") {
+    // sf0.01: the arrivals past the cut measurably move the corpus, so the
+    // frozen archive codebook trails the fresh retrain AT THE SEARCH SURFACE
+    // (sf0.001's arrivals happen to land inside the archive's cells — no gap
+    // to read there); the card is 500 vectors, cheap at any sf
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .localCheckpoint(true)
+    val card = Similarity.agedQuantIndexRecallCard(e01, "vec_id", "embedding",
+      arrivalCut = 450L, tombstoneMod = 7L, k = 5, queryMod = 50L,
+      kCells = 8, trainRounds = 2, overfetch = 4).localCheckpoint(true)
+    def micro(s: String, m: String): Long = card
+      .filter(col("scenario") === s && col("method") === m)
+      .head.getAs[Long]("recall_micro")
+    assert(micro("ivf_extend", "exact") == 1000000L)
+    assert(micro("int8_compact", "exact") == 1000000L)
+    // the append-side gap: the frozen codebook never learned the arrivals
+    assert(micro("ivf_extend", "aged") < micro("ivf_extend", "fresh"),
+      s"aged ${micro("ivf_extend", "aged")} !< fresh ${micro("ivf_extend", "fresh")}")
+    // the compact-side equivalence, measured where it matters
+    assert(micro("int8_compact", "compacted") == micro("int8_compact", "fresh"))
+    // rebuildTrigger reads this card exactly like s45's (same schema)
+    val dec = Similarity.rebuildTrigger(card, scenario = "ivf_extend",
+      agedMethod = "aged", maxGapMicro = 10000L)
+    assert(dec.rebuild && dec.gapMicro == micro("ivf_extend", "fresh") - micro("ivf_extend", "aged"))
+    val hold = Similarity.rebuildTrigger(card, scenario = "int8_compact",
+      agedMethod = "compacted", maxGapMicro = 10000L)
+    assert(!hold.rebuild && hold.gapMicro == 0L)
+    // the equivalence is row-for-row, not just pooled: serving through the
+    // delete-compacted artifact returns the identical relation to fresh
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val survivors = e.filter(col("vec_id") % 7 =!= 0).localCheckpoint(true)
+    val q = survivors.filter(col("vec_id") % 50 === 0)
+    val tomb = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val fresh = Similarity.int8TopKWith(q, survivors, "vec_id", "embedding", 5,
+      Similarity.int8Quantize(survivors, "vec_id", "embedding"), 4)
+    val comp = Similarity.int8TopKWith(q, survivors, "vec_id", "embedding", 5,
+      Similarity.deleteFromInt8Index(
+        Similarity.int8Quantize(e, "vec_id", "embedding"), tomb, "vec_id"), 4)
+    assert(fresh.exceptAll(comp).isEmpty && comp.exceptAll(fresh).isEmpty)
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
