@@ -489,6 +489,44 @@ private[graft] object DedupOracles extends OracleFragments {
           maxUsefulEpochs = RepeatMaxEpochs, packTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
     }),
+    // dc34: the repeat budget allocated by VALUE — the dc29 loop's learned
+    // weights price each source's marginal epoch (w·decay^j per token),
+    // greedy descending-marginal fill (exact for the geometric decay), with
+    // dc32's uniform allocation riding as the audit contrast
+    "dc34_value_repeat" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
+        weights = Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+          refSource = DsirTargetSource, rounds = DoremiRounds,
+          nBatches = DoremiBatches, etaMicro = DoremiEtaMicro,
+          smoothMicro = DoremiSmoothMicro, oovLpMicro = CcnetOovLpMicro)
+          .filter(col("round") === DoremiRounds)
+          .select(col("source"), col("w_micro")),
+        budgetTokens = RepeatBudgetTokens, decayMicro = RepeatDecayMicro,
+        maxUsefulEpochs = RepeatMaxEpochs)
+    }),
+    // dc35: dc34's per-source epoch counts actuated through the dc11 pack
+    // chain (targets = ⌊n_docs·epochs_s⌋ by the dc10 law) — the
+    // value-weighted data-constrained epoch
+    "dc35_value_repeat_epoch" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-value")
+      try {
+        val path = scratch.toString + "/merges"
+        TextStats.bpeSaveMerges(
+          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+        Sampling.valueWeightedRepeatEpoch(docs, "doc_id", "source", "text",
+          TextStats.bpeLoadMerges(s, path),
+          weights = Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+            refSource = DsirTargetSource, rounds = DoremiRounds,
+            nBatches = DoremiBatches, etaMicro = DoremiEtaMicro,
+            smoothMicro = DoremiSmoothMicro, oovLpMicro = CcnetOovLpMicro)
+            .filter(col("round") === DoremiRounds)
+            .select(col("source"), col("w_micro")),
+          budgetTokens = RepeatBudgetTokens, decayMicro = RepeatDecayMicro,
+          maxUsefulEpochs = RepeatMaxEpochs, packTokens = 512L, nGroups = 8)
+      } finally deleteRecursively(scratch)
+    }),
     // the DoReMi-weighted epoch end-to-end: the dc13/dc26-hygienic pool
     // (benchmark-decontaminated AND holdout-carved), the dc29 loop learning
     // weights ON that pool, dc30's budget arithmetic, and the dc11 pack chain
@@ -1508,6 +1546,56 @@ private[graft] object DedupOracles extends OracleFragments {
        |                JOIN powg ON powg.j = fe.full_epochs)""".stripMargin
   }
 
+  /** dc34/dc35's shared allocation chain (all names v-prefixed — the dc29
+    * chain owns tot/sc/cat): the dc29 loop's final weights, the dc32 decay
+    * grids, |sources|·maxEpochs marginal-value slices, ONE global
+    * cumulative-cost window (marg desc, source, epoch — a total order), the
+    * boundary slice pro-rated half-up — ends at `vem` (ps columns + w_micro +
+    * epochs_micro + effective_mult_micro) with `vue` (uniform contrast) and
+    * `vsct` (total slice cost) alongside.
+    */
+  private lazy val valueRepeatCtes: String = {
+    val decay = RepeatDecayMicro.toDouble / 1000000.0
+    val b = RepeatBudgetTokens
+    s"""$doremiChainCtes,
+       |vps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+       |      AS unique_tokens
+       |  FROM documents GROUP BY 1),
+       |vtot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u_tot FROM vps),
+       |vpowg AS (SELECT j, CAST(floor(1000000.0 * pow($decay, j) + 0.5) AS BIGINT) AS p
+       |         FROM (SELECT unnest(generate_series(0, $RepeatMaxEpochs)) AS j)),
+       |vcumg AS (SELECT j, CAST(COALESCE(SUM(p) OVER (ORDER BY j
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |         FROM vpowg),
+       |wfin AS (SELECT source, CAST(w AS BIGINT) AS w_micro FROM w$DoremiRounds),
+       |vsl AS (SELECT vps.source, vps.unique_tokens, vpowg.j, wfin.w_micro * vpowg.p AS marg
+       |       FROM vps JOIN wfin USING (source), vpowg
+       |       WHERE vpowg.j < $RepeatMaxEpochs AND vps.unique_tokens > 0),
+       |voc AS (SELECT *, CAST(SUM(unique_tokens) OVER (ORDER BY marg DESC, source, j
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vsl),
+       |valc AS (SELECT source,
+       |    CAST(1000000 * COUNT(CASE WHEN cum <= $b THEN 1 END)
+       |      + COALESCE(MAX(CASE WHEN cum > $b AND cum - unique_tokens < $b
+       |          THEN (2 * 1000000 * ($b - (cum - unique_tokens)) + unique_tokens)
+       |               // (2 * unique_tokens) END), 0) AS BIGINT) AS epochs_micro
+       |  FROM voc GROUP BY 1),
+       |vsct AS (SELECT CAST(COALESCE(SUM(unique_tokens), 0) AS BIGINT) AS slice_cost_tot
+       |         FROM vsl),
+       |vue AS (SELECT LEAST(
+       |    CAST((2 * 1000000 * CAST($b AS BIGINT) + u_tot) // (2 * u_tot) AS BIGINT),
+       |    ${RepeatMaxEpochs * 1000000L}) AS ue FROM vtot),
+       |vfe AS (SELECT vps.source, vps.n_docs, vps.unique_tokens, wfin.w_micro,
+       |         CAST(COALESCE(valc.epochs_micro, 0) AS BIGINT) AS epochs_micro
+       |       FROM vps JOIN wfin USING (source) LEFT JOIN valc USING (source)),
+       |vfx AS (SELECT vfe.*, CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
+       |         CAST(epochs_micro % 1000000 AS BIGINT) AS frac_micro FROM vfe),
+       |vem AS (SELECT vfx.*, CAST(cum + (frac_micro * p) // 1000000 AS BIGINT)
+       |         AS effective_mult_micro
+       |       FROM vfx JOIN vcumg ON vcumg.j = vfx.full_epochs
+       |                JOIN vpowg ON vpowg.j = vfx.full_epochs)""".stripMargin
+  }
+
   /** d39's mirror: the d37 bt/ix CTEs, truth labeling once, then one CTE block
     * per grid size (positions re-derived from the same md5 fields mod m),
     * unioned, with the smallest-sufficient pick.
@@ -1814,6 +1902,38 @@ private[graft] object DedupOracles extends OracleFragments {
          |tgt AS (SELECT source, n_docs,
          |          CAST((n_docs * epochs_micro) // 1000000 AS BIGINT) AS target_docs
          |        FROM em),
+         |ranked AS (SELECT doc_id, source, bucket,
+         |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+         |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket
+         |                 FROM documents)),
+         |${packAfterBudgetsBody("documents")},
+         |$packCutTailSql""".stripMargin,
+
+    // greedy descending-marginal-value fill (w·decay^j per token per slice),
+    // boundary slice pro-rated half-up, dc32's uniform allocation as the
+    // audit contrast — mirror of Sampling.valueWeightedRepeatCard
+    "dc34_value_repeat" ->
+      s"""WITH $valueRepeatCtes
+         |SELECT vem.source, vem.n_docs, vem.unique_tokens, vem.w_micro, vem.epochs_micro,
+         |  CAST((unique_tokens * epochs_micro) // 1000000 AS BIGINT) AS raw_tokens,
+         |  CAST((unique_tokens * effective_mult_micro) // 1000000 AS BIGINT)
+         |    AS effective_tokens,
+         |  vue.ue AS uniform_epochs_micro,
+         |  CASE WHEN epochs_micro > vue.ue THEN 'more_epochs'
+         |       WHEN epochs_micro < vue.ue THEN 'fewer_epochs'
+         |       ELSE 'hold' END AS verdict,
+         |  GREATEST(CAST(0 AS BIGINT),
+         |    CAST($RepeatBudgetTokens AS BIGINT) - slice_cost_tot) AS leftover_tokens
+         |FROM vem CROSS JOIN vsct CROSS JOIN vue""".stripMargin,
+
+    // dc34's allocation as per-source doc budgets through the dc11 pack body
+    // — mirror of Sampling.valueWeightedRepeatEpoch (one rendition per stage,
+    // shared with dc33/dc31 and the dc11 family)
+    "dc35_value_repeat_epoch" ->
+      s"""WITH $valueRepeatCtes,
+         |tgt AS (SELECT source, n_docs,
+         |          CAST((n_docs * epochs_micro) // 1000000 AS BIGINT) AS target_docs
+         |        FROM vem),
          |ranked AS (SELECT doc_id, source, bucket,
          |             row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
          |           FROM (SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket

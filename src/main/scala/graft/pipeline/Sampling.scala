@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split / corpus-composition operators for training-data
@@ -1367,6 +1368,156 @@ object Sampling {
       salt: String = ""
   ): DataFrame = {
     val budgets = repeatBudgetCard(df, idCol, textCol, sourceCol,
+        budgetTokens, decayMicro, maxUsefulEpochs)
+      .select(col("source").as(sourceCol), col("n_docs"),
+        expr("(n_docs * epochs_micro) DIV 1000000").cast("long").as("target_docs"))
+    epochPackRollup(
+      epochManifestUpsampledWith(df, idCol, sourceCol, textCol, merges,
+        budgets, packTokens, nGroups, salt),
+      sourceCol)
+  }
+
+  /** dc34 — VALUE-WEIGHTED repeat allocation: [[repeatBudgetCard]] (dc32)
+    * prices a budget under Muennighoff's repeated-data decay with UNIFORM
+    * epochs; the paper's data-constrained optimum instead allocates repeats
+    * where unique mass has VALUE. This card composes the decay pricing with
+    * learned per-source value weights (the dc29 DoReMi loop's final round —
+    * the same weights dc31 packs by): the marginal value of source s's
+    * (j+1)-th epoch is w_s·decay^j per token at a cost of u_s tokens, and a
+    * greedy descending-marginal fill — EXACT for a concave (geometrically
+    * decaying) per-source value — spends the budget slice by slice until it
+    * is gone, pro-rating the boundary slice as a fractional epoch. A
+    * high-value small source therefore earns MORE epochs than a low-value
+    * large one (pinned in RoundEighteenOpsSpec on a planted pair), which is
+    * precisely the reallocation the uniform dc32 card cannot express; the
+    * `uniform_epochs_micro` column carries dc32's allocation as the audit
+    * contrast, `verdict` the more/fewer/hold delta per source, and
+    * `leftover_tokens` the budget mass even maxUsefulEpochs of everything
+    * cannot usefully absorb (fund new data).
+    *
+    * Determinism: marginal values are exact long products (micro·micro), the
+    * fill order a total order (marg desc, source asc, epoch asc), fractions
+    * half-up micro divisions, and the effective multiplier reuses dc32's
+    * micro-quantized decay grids verbatim.
+    *
+    * Scale shape: one map-side-combinable per-source token rollup; the slice
+    * relation is |sources|·maxUsefulEpochs rows — a driver-bounded PLAN
+    * relation, so its single-partition cumulative window is fine at any
+    * corpus scale; everything else is |sources|-row arithmetic with two
+    * 1-row broadcast totals.
+    */
+  def valueWeightedRepeatCard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      weights: DataFrame,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16
+  ): DataFrame = {
+    require(budgetTokens > 0L,
+      s"valueWeightedRepeatCard: budgetTokens must be > 0, got $budgetTokens")
+    require(budgetTokens <= 4000000000000L,
+      s"valueWeightedRepeatCard: budgetTokens $budgetTokens exceeds the int64-safe 4e12 — " +
+        "lift the allocation arithmetic to DecimalType for larger budgets")
+    require(decayMicro > 0L && decayMicro <= 1000000L,
+      s"valueWeightedRepeatCard: decayMicro must be in (0, 1e6], got $decayMicro")
+    require(maxUsefulEpochs >= 1,
+      s"valueWeightedRepeatCard: maxUsefulEpochs must be >= 1, got $maxUsefulEpochs")
+    val decay = decayMicro.toDouble / 1000000.0
+    val powMicro: IndexedSeq[Long] =
+      (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
+    val cumPow: IndexedSeq[Long] = powMicro.scanLeft(0L)(_ + _)
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
+      .localCheckpoint(true) // |sources| rows; totals, slices, and card rows
+    // a corpus source the weight relation never learned is a wiring bug (the
+    // card would silently allocate it nothing) — fail loudly at the join
+    val ws = perSource
+      .join(weights.select(col("source"), col("w_micro").cast("long").as("w_micro")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("unique_tokens"),
+        when(col("w_micro").isNotNull, col("w_micro"))
+          .otherwise(raise_error(concat(
+            lit("valueWeightedRepeatCard: source '"), col("source"),
+            lit("' has no learned weight — pass the dc29 final round"))))
+          .as("w_micro"))
+      .localCheckpoint(true)
+    val slices = ws.filter(col("unique_tokens") > 0L)
+      .select(col("source"), col("unique_tokens"), col("w_micro"),
+        posexplode(typedlit(powMicro.take(maxUsefulEpochs))).as(Seq("j", "p")))
+      .withColumn("marg", col("w_micro") * col("p")) // exact pico units
+    // |sources|·maxUsefulEpochs rows — plan-sized, see the scale note above
+    val wOrd = Window.orderBy(col("marg").desc, col("source").asc, col("j").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oc = slices.withColumn("cum", sum(col("unique_tokens")).over(wOrd))
+    val b = budgetTokens
+    val alloc = oc.groupBy(col("source")).agg(
+      (lit(1000000L) * count(when(col("cum") <= b, lit(1))) +
+        coalesce(max(when(col("cum") > b && (col("cum") - col("unique_tokens")) < b,
+          expr(s"(2 * 1000000 * (${b}L - (cum - unique_tokens)) + unique_tokens)" +
+            " DIV (2 * unique_tokens)"))), lit(0L))).cast("long").as("epochs_micro"))
+    val tot = perSource.agg(sum(col("unique_tokens")).as("u_tot"))
+      .select(when(col("u_tot") > 0L, col("u_tot"))
+        .otherwise(raise_error(lit(
+          "valueWeightedRepeatCard: corpus has zero unique tokens — nothing to repeat")))
+        .as("u_tot"))
+    val slTot = slices.agg(coalesce(sum(col("unique_tokens")), lit(0L)).as("slice_cost_tot"))
+    ws.join(alloc, Seq("source"), "left")
+      .withColumn("epochs_micro", coalesce(col("epochs_micro"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(slTot))
+      .withColumn("full_epochs", expr("epochs_micro DIV 1000000").cast("int"))
+      .withColumn("frac_micro", expr("epochs_micro % 1000000").cast("long"))
+      .withColumn("cum_micro", element_at(typedlit(cumPow), col("full_epochs") + 1))
+      .withColumn("pow_micro", element_at(typedlit(powMicro), col("full_epochs") + 1))
+      .withColumn("effective_mult_micro",
+        expr("cum_micro + (frac_micro * pow_micro) DIV 1000000").cast("long"))
+      .withColumn("uniform_epochs_micro",
+        least(expr(s"(2 * 1000000 * ${b}L + u_tot) DIV (2 * u_tot)"),
+          lit(maxUsefulEpochs * 1000000L)).cast("long"))
+      .select(
+        col("source"), col("n_docs"), col("unique_tokens"), col("w_micro"),
+        col("epochs_micro"),
+        expr("(unique_tokens * epochs_micro) DIV 1000000").cast("long").as("raw_tokens"),
+        expr("(unique_tokens * effective_mult_micro) DIV 1000000").cast("long")
+          .as("effective_tokens"),
+        col("uniform_epochs_micro"),
+        when(col("epochs_micro") > col("uniform_epochs_micro"), lit("more_epochs"))
+          .when(col("epochs_micro") < col("uniform_epochs_micro"), lit("fewer_epochs"))
+          .otherwise(lit("hold")).as("verdict"),
+        greatest(lit(0L), lit(b) - col("slice_cost_tot")).cast("long").as("leftover_tokens"))
+  }
+
+  /** dc35 — the value-weighted repeat budget ACTUATED (dc34 → dc35 exactly as
+    * dc32 → dc33): the card's PER-SOURCE epoch counts become per-source doc
+    * budgets (`target_docs = ⌊n_docs · epochs_s⌋`, the dc10 law) and the
+    * identical dc11 machinery materializes the epoch — hash-prefix admission,
+    * exact integer repeat factors, saved-BPE pricing, replayed-symbol
+    * concat-and-cut packs. Slot conservation holds per source against the
+    * JOINT plan (weights × decay × budget): Σ n_slots over all packs equals
+    * the card-derived target_docs, pinned in RoundEighteenOpsSpec.
+    *
+    * Scale shape: the dc29 scoring pass + dc34's plan-sized allocation, then
+    * the dc11 chain unchanged.
+    */
+  def valueWeightedRepeatEpoch(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      merges: DataFrame,
+      weights: DataFrame,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16,
+      packTokens: Long = 512L,
+      nGroups: Int = 8,
+      salt: String = ""
+  ): DataFrame = {
+    val budgets = valueWeightedRepeatCard(df, idCol, textCol, sourceCol, weights,
         budgetTokens, decayMicro, maxUsefulEpochs)
       .select(col("source").as(sourceCol), col("n_docs"),
         expr("(n_docs * epochs_micro) DIV 1000000").cast("long").as("target_docs"))

@@ -195,6 +195,65 @@ class RoundEighteenOpsSpec extends SparkSpec {
     assert(fresh.exceptAll(comp).isEmpty && comp.exceptAll(fresh).isEmpty)
   }
 
+  test("dc34/dc35: a high-value small source out-earns a low-value large one; slots conserve against the joint plan") {
+    import spark.implicits._
+    import graft.pipeline.{Sampling, TextStats}
+    // planted pair: 'small' = 5 docs × 4 tokens (u=20) at weight 0.9;
+    // 'big' = 40 docs × 8 tokens (u=320) at weight 0.1; budget 400 tokens.
+    // Greedy marginal fill: small's epochs 1..10 (cost 200) all out-rank
+    // big's first epoch (0.9·0.8⁹ ≈ 0.121 > 0.1), big's epoch 1 is the
+    // boundary slice (frac = 200/320 = 0.625), nothing after it is affordable.
+    val docs = ((0L until 5L).map(i => (i, "a b c d", "small")) ++
+      (100L until 140L).map(i => (i, "e f g h i j k l", "big")))
+      .toDF("doc_id", "text", "source").localCheckpoint(true)
+    val weights = Seq(("small", 900000L), ("big", 100000L)).toDF("source", "w_micro")
+    val card = Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
+      weights, budgetTokens = 400L, decayMicro = 800000L, maxUsefulEpochs = 16)
+      .localCheckpoint(true)
+    val bySrc = card.collect().map(r => r.getString(0) -> r).toMap
+    assert(bySrc("small").getAs[Long]("epochs_micro") == 10000000L)
+    assert(bySrc("big").getAs[Long]("epochs_micro") == 625000L)
+    // the reallocation dc32 cannot express: 25× less unique mass, 16× more epochs
+    assert(bySrc("small").getAs[Long]("epochs_micro") > bySrc("big").getAs[Long]("epochs_micro"))
+    assert(bySrc("small").getAs[String]("verdict") == "more_epochs")
+    assert(bySrc("big").getAs[String]("verdict") == "fewer_epochs")
+    // the greedy fill spends the budget exactly when nothing is left over
+    assert(card.agg(sum(col("raw_tokens"))).head.getLong(0) == 400L)
+    assert(card.select(max(col("leftover_tokens"))).head.getLong(0) == 0L)
+    // a budget past every useful slice caps at maxUsefulEpochs and reports
+    // the worthless excess explicitly
+    val capped = Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
+      weights, budgetTokens = 100000L, decayMicro = 800000L, maxUsefulEpochs = 16)
+    assert(capped.filter(col("epochs_micro") =!= 16000000L).count() == 0)
+    assert(capped.select(max(col("leftover_tokens"))).head.getLong(0) == 100000L - 340L * 16L)
+    // an unweighted source fails loudly, not silently zero-allocated
+    intercept[Exception] {
+      Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
+        weights.filter(col("source") =!= "big"), budgetTokens = 400L).collect()
+    }
+    // dc35: slots conserve per source against the JOINT plan's targets
+    // (⌊n_docs·epochs⌋ = 50 for small, 25 for big — the dc10 law)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-dc35")
+    try {
+      val path = scratch.toString + "/merges"
+      TextStats.bpeSaveMerges(
+        TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = 4), path)
+      val rollup = Sampling.valueWeightedRepeatEpoch(docs, "doc_id", "source", "text",
+        TextStats.bpeLoadMerges(spark, path), weights,
+        budgetTokens = 400L, decayMicro = 800000L, maxUsefulEpochs = 16,
+        packTokens = 16L, nGroups = 4).localCheckpoint(true)
+      val slots = rollup.groupBy(col("source")).agg(sum(col("n_slots")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(slots("small") == 50L, slots.toString)
+      assert(slots("big") == 25L, slots.toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch.toFile)
+    }
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
