@@ -1993,4 +1993,60 @@ object AnalyticsQueries {
         expr("(2 * 1000000 * n_precede + n_both) DIV (2 * n_both)")
           .cast("long").as("precede_micro"))
   }
+
+  /** ev33 — the precedence matrix ACTUATED into a funnel (the d26→d28
+    * measure-then-actuate discipline applied to stage ordering): among all
+    * ordered 3-chains of distinct types, pick the one the ev32 matrix
+    * supports with the most pairwise first-occurrence precedence evidence —
+    * score = n_precede(s1,s2) + n_precede(s2,s3) + n_precede(s1,s3), the
+    * pairwise likelihood of the linear order s1<s2<s3; ties break
+    * (s1,s2,s3) ascending — then run the ev19 first-touch funnel OVER THE
+    * CHOSEN CHAIN. Stage predicates are a relational join against the
+    * broadcast 1-row decision, never a collected literal, so the DuckDB
+    * oracle replays decision AND funnel in one statement (the t42/t56 gated
+    * actuation discipline); the chain and its score ride every output row.
+    *
+    * Scale shape: the decision side fans the |types|²-row matrix to a
+    * |types|³-row triple relation — type catalogs are tiny by construction,
+    * so the global rank window is plan-sized, never event-sized; the funnel
+    * side is ev19's chained per-user min-aggregations unchanged plus one
+    * broadcast 1-row join per stage.
+    */
+  def precedenceFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prec = typePrecedence(spark, dir).localCheckpoint(true)
+    val trip = prec.as("ab")
+      .join(prec.as("bc"), col("ab.to_type") === col("bc.from_type"))
+      .join(prec.as("ac"),
+        col("ac.from_type") === col("ab.from_type") &&
+          col("ac.to_type") === col("bc.to_type"))
+      .filter(col("ab.from_type") =!= col("bc.to_type"))
+      .select(col("ab.from_type").as("s1"), col("ab.to_type").as("s2"),
+        col("bc.to_type").as("s3"),
+        (col("ab.n_precede") + col("bc.n_precede") + col("ac.n_precede")).as("score"))
+    val wT = Window.orderBy(col("score").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+    val decision = trip.withColumn("rk", row_number().over(wT)).filter(col("rk") === 1)
+      .select(col("s1"), col("s2"), col("s3"), col("score"))
+      .localCheckpoint(true) // 1 row — every stage and every output row reads it
+    val ev = eventsTsu(spark, dir, "user_id", "event_type").localCheckpoint(true)
+    val d = broadcast(decision)
+    val v = ev.join(d, col("event_type") === col("s1"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+      .localCheckpoint(true)
+    val c = ev.join(d, col("event_type") === col("s2"))
+      .join(v, Seq("user_id")).filter(col("tsu") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tsu")).as("t2"))
+      .localCheckpoint(true)
+    val p = ev.join(d, col("event_type") === col("s3"))
+      .join(c, Seq("user_id")).filter(col("tsu") > col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("tsu")).as("t3"))
+    def stepRow(step: Int, typeCol: String, df: DataFrame, gap: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), coalesce(sum(gap), lit(0L)).as("sum_gap_us"))
+        .crossJoin(d)
+        .select(lit(step).as("step"), col(typeCol).as("event_type"),
+          col("n_users"), col("sum_gap_us"), col("score"))
+    stepRow(1, "s1", v, lit(0L))
+      .unionByName(stepRow(2, "s2", c, col("t2") - col("t1")))
+      .unionByName(stepRow(3, "s3", p, col("t3") - col("t2")))
+  }
 }

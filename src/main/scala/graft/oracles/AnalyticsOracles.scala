@@ -65,6 +65,7 @@ private[graft] object AnalyticsOracles extends OracleFragments {
     // the state-bounded funnel-ordering alternative to sequential-pattern
     // mining's combinatorial candidate fan
     "ev32_type_precedence" -> (AnalyticsQueries.typePrecedence _),
+    "ev33_precedence_funnel" -> (AnalyticsQueries.precedenceFunnel _),
     "ev31_top_paths" -> ((s: SparkSession, dir: String) =>
       AnalyticsQueries.topEventPaths(s, dir)),
     "q10_waiting_suppliers" -> (AnalyticsQueries.waitingSuppliers _),
@@ -207,6 +208,53 @@ private[graft] object AnalyticsOracles extends OracleFragments {
          |  CAST((2 * 1000000 * CAST(SUM(prec) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
          |    AS BIGINT) AS precede_micro
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // the ev32 matrix actuated: max-evidence ordered 3-chain (pairwise
+    // precedence sum, lexicographic ties) picked relationally, then the ev19
+    // funnel joined against the 1-row decision — mirror of
+    // AnalyticsQueries.precedenceFunnel (the gated-actuation discipline)
+    "ev33_precedence_funnel" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT user_id, event_type, tsu, event_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY tsu, event_id) AS rn FROM t)
+         |  WHERE rn = 1),
+         |pr AS (SELECT a.event_type AS from_type, b.event_type AS to_type,
+         |        CASE WHEN a.tsu < b.tsu OR (a.tsu = b.tsu AND a.event_id < b.event_id)
+         |             THEN 1 ELSE 0 END AS prec
+         |      FROM f a JOIN f b ON a.user_id = b.user_id
+         |                       AND a.event_type <> b.event_type),
+         |pm AS (SELECT from_type, to_type, CAST(SUM(prec) AS BIGINT) AS n_precede
+         |       FROM pr GROUP BY 1, 2),
+         |tri AS (SELECT ab.from_type AS s1, ab.to_type AS s2, bc.to_type AS s3,
+         |          ab.n_precede + bc.n_precede + ac.n_precede AS score
+         |        FROM pm ab
+         |        JOIN pm bc ON ab.to_type = bc.from_type
+         |        JOIN pm ac ON ac.from_type = ab.from_type AND ac.to_type = bc.to_type
+         |        WHERE ab.from_type <> bc.to_type),
+         |dec AS (SELECT s1, s2, s3, score FROM (
+         |    SELECT *, row_number() OVER (ORDER BY score DESC, s1, s2, s3) AS rk FROM tri)
+         |  WHERE rk = 1),
+         |ev AS (SELECT user_id, event_type, tsu FROM t),
+         |v AS (SELECT user_id, MIN(tsu) AS t1
+         |      FROM ev JOIN dec ON ev.event_type = dec.s1 GROUP BY 1),
+         |c AS (SELECT ev.user_id, v.t1, MIN(ev.tsu) AS t2
+         |      FROM ev JOIN dec ON ev.event_type = dec.s2
+         |      JOIN v USING (user_id) WHERE ev.tsu > v.t1 GROUP BY 1, 2),
+         |pp AS (SELECT ev.user_id, c.t2, MIN(ev.tsu) AS t3
+         |      FROM ev JOIN dec ON ev.event_type = dec.s3
+         |      JOIN c USING (user_id) WHERE ev.tsu > c.t2 GROUP BY 1, 2)
+         |SELECT 1 AS step, d.s1 AS event_type, x.n_users, x.sum_gap_us, d.score
+         |FROM dec d CROSS JOIN
+         |  (SELECT COUNT(*) AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM v) x
+         |UNION ALL SELECT 2, d.s2, x.n_users, x.sum_gap_us, d.score
+         |FROM dec d CROSS JOIN
+         |  (SELECT COUNT(*) AS n_users,
+         |          CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) AS sum_gap_us FROM c) x
+         |UNION ALL SELECT 3, d.s3, x.n_users, x.sum_gap_us, d.score
+         |FROM dec d CROSS JOIN
+         |  (SELECT COUNT(*) AS n_users,
+         |          CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) AS sum_gap_us FROM pp) x""".stripMargin,
 
     // first-order Markov transition matrix: per-user (tsu, event_id)-ordered
     // lead() steps, |types|² counts, per-from-type rate in the shared half-up

@@ -254,6 +254,41 @@ class RoundEighteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev33: a planted stage order is recovered and the funnel runs over it") {
+    import spark.implicits._
+    // three users march x → y → z (1s apart); a distractor type w fires
+    // BEFORE everything for one user only, so every chain through w loses
+    // pairwise evidence to the unanimous x<y<z
+    val rows = (1L to 3L).flatMap { u =>
+      Seq(
+        (u * 10 + 1, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$u"), u, "x"),
+        (u * 10 + 2, java.sql.Timestamp.valueOf(s"2024-01-01 00:01:0$u"), u, "y"),
+        (u * 10 + 3, java.sql.Timestamp.valueOf(s"2024-01-01 00:02:0$u"), u, "z"))
+    } :+ ((99L, java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 1L, "w"))
+    val planted = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev33")
+    try {
+      planted.write.parquet(tmp.toString + "/events.parquet")
+      val got = AnalyticsQueries.precedenceFunnel(spark, tmp.toString)
+        .orderBy(col("step")).collect()
+      // the chain is recovered: x, y, z at steps 1..3, score = 3 users × 3 pairs
+      assert(got.map(_.getString(1)).toSeq == Seq("x", "y", "z"), got.mkString("; "))
+      assert(got.forall(_.getAs[Long]("score") == 9L))
+      // the ev19 funnel over the chosen chain: all 3 users clear every step,
+      // each stage gap is exactly 60 s per user
+      assert(got.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 3L, 3L))
+      assert(got(0).getAs[Long]("sum_gap_us") == 0L)
+      assert(got(1).getAs[Long]("sum_gap_us") == 3L * 60000000L)
+      assert(got(2).getAs[Long]("sum_gap_us") == 3L * 60000000L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
