@@ -1281,6 +1281,26 @@ object Sampling {
       budgetTokens: Long,
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
+  ): DataFrame =
+    repeatBudgetCardFrom(
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
+        .localCheckpoint(true), // |sources| rows; the total and the card rows
+      budgetTokens, decayMicro, maxUsefulEpochs)
+
+  /** [[repeatBudgetCard]]'s arithmetic over an ALREADY-ROLLED per-source
+    * register relation (source, n_docs, unique_tokens) — the split that lets
+    * the streaming twin ([[graft.streaming.StreamOps.streamingRepeatRegisters]])
+    * price its live registers through the ONE card rendition: the card is a
+    * pure |sources|-row function of the registers and the dials, so streamed
+    * registers + this function equal the batch card on any prefix exactly.
+    */
+  def repeatBudgetCardFrom(
+      perSource: DataFrame,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16
   ): DataFrame = {
     require(budgetTokens > 0L, s"repeatBudgetCard: budgetTokens must be > 0, got $budgetTokens")
     // 2·10⁶·budget must stay inside int64 for the half-up epoch division —
@@ -1298,10 +1318,6 @@ object Sampling {
     // decay^j in micro, one pow per epoch index — a bounded literal grid
     val powMicro: IndexedSeq[Long] =
       (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
-    val perSource = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
-      .localCheckpoint(true) // |sources| rows; the total and the card rows
     val tot = perSource.agg(sum(col("unique_tokens")).as("u_tot"))
       .select(when(col("u_tot") > 0L, col("u_tot"))
         .otherwise(raise_error(lit(

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1655,6 +1656,121 @@ object StreamOps extends Serializable {
   }
 
   case class DomainRegister(source: String, nDocs: Long, nTokens: Long, meanQualityMicro: Long)
+
+  case class RepeatRegister(source: String, nDocs: Long, uniqueTokens: Long)
+
+  /** Streaming twin of dc32's per-source rollup: doc count and unique token
+    * mass — TWO longs of state per source forever, the dc01 register
+    * discipline. The repeat-budget card itself (epochs, effective tokens,
+    * verdict) needs the GLOBAL unique total, which no per-source register can
+    * hold, so it stays a batch read over the register table:
+    * [[graft.pipeline.Sampling.repeatBudgetCardFrom]] over a snapshot of
+    * these registers equals [[graft.pipeline.Sampling.repeatBudgetCard]] over
+    * the same stream prefix EXACTLY — the card arithmetic has one rendition
+    * and the tokenizer is the identical codegen'd expression
+    * ([[graft.pipeline.TextStats.tokenCount]]). StreamOpsSpec pins the parity
+    * on every prefix.
+    */
+  def streamingRepeatRegisters(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String
+  ): Dataset[RepeatRegister] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(sourceCol).cast("string").as("source"),
+        graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long").as("toks"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, batch: Iterator[(String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val st = state.getOption.getOrElse((0L, 0L))
+          val merged = batch.foldLeft(st) { case ((n, t), (_, tk)) => (n + 1L, t + tk) }
+          state.update(merged)
+          RepeatRegister(source, merged._1, merged._2)
+      }
+  }
+
+  /** Streaming twin of d42's per-snapshot-vs-global dedup census: the
+    * index-is-the-state foreachBatch shape (the d17/d37 discipline) carrying
+    * THREE evolving relations across micro-batches — the globally-seen hash
+    * catalog, the per-(source, hash) seen catalog, and the per-source census
+    * registers (SIX longs per source). Per batch: one md5/token pass over the
+    * arrivals, within-batch first-occurrence cuts (min doc_id — on an
+    * id-ordered stream prefix this IS d42's min-id keeper), two anti-join
+    * probes against the catalogs, one register merge; the emitted census
+    * (with the derived cross-dup columns) equals
+    * [[graft.pipeline.Dedup.snapshotDedupCensus]] over the same prefix
+    * exactly (StreamOpsSpec pins it).
+    *
+    * Scale shape: per batch everything is arrival-sized except the two
+    * hash-catalog anti-joins (hash-keyed equi-joins against relations that
+    * grow with DISTINCT content, the d17 index cost); the census itself stays
+    * |sources| rows.
+    */
+  def streamingSnapshotCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      onBatch: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var globalSeen: Option[DataFrame] = None
+    var snapSeen: Option[DataFrame] = None
+    var census: Option[DataFrame] = None
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val h = batch.select(
+            col(idCol).cast("long").as("doc_id"),
+            col(sourceCol).cast("string").as("source"),
+            md5(col(textCol)).as("text_hash"),
+            graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long").as("n_toks"))
+          .localCheckpoint(true) // one md5/token pass; every cut reads it
+        val wG = Window.partitionBy(col("text_hash")).orderBy(col("doc_id").asc)
+        val wS = Window.partitionBy(col("source"), col("text_hash")).orderBy(col("doc_id").asc)
+        def firsts(w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+          h.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        val gNew = globalSeen.foldLeft(firsts(wG))(
+          (d, seen) => d.join(seen, Seq("text_hash"), "left_anti"))
+        val sNew = snapSeen.foldLeft(firsts(wS))(
+          (d, seen) => d.join(seen, Seq("source", "text_hash"), "left_anti"))
+        def roll(d: DataFrame, docsName: String, toksName: String): DataFrame =
+          d.groupBy(col("source"))
+            .agg(count(lit(1)).as(docsName), sum(col("n_toks")).as(toksName))
+        val delta = roll(h, "n_docs", "n_tokens")
+          .join(roll(gNew, "kept_global", "tokens_global"), Seq("source"), "left")
+          .join(roll(sNew, "kept_snapshot", "tokens_snapshot"), Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            coalesce(col("kept_global"), lit(0L)).as("kept_global"),
+            coalesce(col("tokens_global"), lit(0L)).as("tokens_global"),
+            coalesce(col("kept_snapshot"), lit(0L)).as("kept_snapshot"),
+            coalesce(col("tokens_snapshot"), lit(0L)).as("tokens_snapshot"))
+        val merged = census.fold(delta)(prev => prev.unionByName(delta)
+            .groupBy(col("source"))
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+              sum(col("kept_global")).as("kept_global"),
+              sum(col("tokens_global")).as("tokens_global"),
+              sum(col("kept_snapshot")).as("kept_snapshot"),
+              sum(col("tokens_snapshot")).as("tokens_snapshot")))
+          .localCheckpoint(true)
+        census = Some(merged)
+        globalSeen = Some(globalSeen.fold(gNew.select(col("text_hash")))(
+          _.unionByName(gNew.select(col("text_hash")))).localCheckpoint(true))
+        snapSeen = Some(snapSeen.fold(sNew.select(col("source"), col("text_hash")))(
+          _.unionByName(sNew.select(col("source"), col("text_hash")))).localCheckpoint(true))
+        onBatch(
+          merged.select(col("source"), col("n_docs"), col("n_tokens"),
+            col("kept_global"), col("tokens_global"),
+            col("kept_snapshot"), col("tokens_snapshot"),
+            (col("kept_snapshot") - col("kept_global")).as("cross_dup_docs"),
+            (col("tokens_snapshot") - col("tokens_global")).as("cross_dup_tokens")),
+          batchId)
+      }
+  }
 
   /** Streaming twin of dc01's per-source stats (`Curation.domainStats` minus the
     * cluster-dependent dup rate and the global-total share, neither of which a

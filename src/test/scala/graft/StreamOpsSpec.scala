@@ -1640,4 +1640,97 @@ class StreamOpsSpec extends SparkSpec {
       check(first ++ second)
     } finally query.stop()
   }
+
+  test("streaming repeat registers price to dc32's card on every prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val query = StreamOps.streamingRepeatRegisters(
+        stream.toDS().toDF("doc_id", "text", "source"), "source", "text")
+      .toDF().writeStream.format("memory").queryName("repreg")
+      .outputMode(OutputMode.Update()).start()
+    val first = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "one two three four five six", "s2"),
+      (3L, "seven more words arrive for source one here", "s1"))
+    val second = Seq(
+      (4L, "late tokens", "s1"),
+      (5L, "and a final batch of arrivals for source two", "s2"))
+    try {
+      def check(prefix: Seq[(Long, String, String)]): Unit = {
+        // latest register per source (memory sink keeps every update)
+        val regs = spark.sql(
+          """SELECT source, nDocs AS n_docs, uniqueTokens AS unique_tokens FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY nDocs DESC) AS rk
+            |  FROM repreg)
+            |WHERE rk = 1""".stripMargin)
+        def card(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("n_docs"), r.getAs[Long]("unique_tokens"),
+              r.getAs[Long]("epochs_micro"), r.getAs[Long]("effective_tokens"),
+              r.getAs[String]("verdict")))).toMap
+        // the ONE card rendition over live registers vs the batch card on the
+        // same prefix — exact equality, column for column
+        val streamed = card(graft.pipeline.Sampling.repeatBudgetCardFrom(
+          regs, budgetTokens = 60L, decayMicro = 800000L, maxUsefulEpochs = 4))
+        val batch = card(graft.pipeline.Sampling.repeatBudgetCard(
+          prefix.toDF("doc_id", "text", "source"), "doc_id", "text", "source",
+          budgetTokens = 60L, decayMicro = 800000L, maxUsefulEpochs = 4))
+        assert(streamed == batch, s"prefix of ${prefix.size}: $streamed vs $batch")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
+
+  test("streaming snapshot census reproduces d42 on every id-ordered prefix") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    @volatile var latest: Map[String, Seq[Long]] = Map.empty
+    val query = StreamOps.streamingSnapshotCensus(
+        stream.toDS().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source",
+        onBatch = (census, _) => latest = census.collect()
+          .map(r => r.getAs[String]("source") -> Seq(
+            r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("kept_global"), r.getAs[Long]("tokens_global"),
+            r.getAs[Long]("kept_snapshot"), r.getAs[Long]("tokens_snapshot"),
+            r.getAs[Long]("cross_dup_docs"), r.getAs[Long]("cross_dup_tokens"))).toMap)
+      .start()
+    // dup inside one source (1,3), across sources (1,4 / 2,5), and a
+    // cross-batch dup (6 repeats doc 2's text from the other source)
+    val first = Seq(
+      (1L, "shared duplicate text", "s1"),
+      (2L, "unique first text", "s1"),
+      (3L, "shared duplicate text", "s1"),
+      (4L, "shared duplicate text", "s2"))
+    val second = Seq(
+      (5L, "shared duplicate text", "s2"),
+      (6L, "unique first text", "s2"),
+      (7L, "brand new arrival", "s2"))
+    try {
+      def check(prefix: Seq[(Long, String, String)]): Unit = {
+        val batch = graft.pipeline.Dedup.snapshotDedupCensus(
+            prefix.toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+          .collect()
+          .map(r => r.getAs[String]("source") -> Seq(
+            r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("kept_global"), r.getAs[Long]("tokens_global"),
+            r.getAs[Long]("kept_snapshot"), r.getAs[Long]("tokens_snapshot"),
+            r.getAs[Long]("cross_dup_docs"), r.getAs[Long]("cross_dup_tokens"))).toMap
+        assert(latest == batch, s"prefix of ${prefix.size}: $latest vs $batch")
+      }
+      stream.addData(first: _*)
+      query.processAllAvailable()
+      check(first)
+      stream.addData(second: _*)
+      query.processAllAvailable()
+      check(first ++ second)
+    } finally query.stop()
+  }
 }
