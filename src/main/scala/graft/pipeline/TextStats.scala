@@ -771,12 +771,21 @@ object TextStats {
     * the BPE separator exclusion ('|' is an ordinary character to a substring
     * vocabulary). One corpus pass, checkpointed: the dictionary rollup and the
     * per-doc pricing join both read it.
+    *
+    * `excludePipes = true` is the STRICT-SHARED-BASIS variant (r17 ADVICE):
+    * the t54/t56 comparison is like-for-like only if both families price the
+    * same token set, so on pipe-heavy corpora the card can opt the unigram
+    * arm into the BPE pipe-exclusion. Default OFF — t52/t53's published
+    * semantics ('|' is an ordinary character) are unchanged.
     */
-  private def uniTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(df, idCol, textCol)
-      .filter(length(col("token")) >= 1)
+  private def uniTf(
+      df: DataFrame, idCol: String, textCol: String,
+      excludePipes: Boolean = false): DataFrame = {
+    val base = tokens(df, idCol, textCol).filter(length(col("token")) >= 1)
+    (if (excludePipes) base.filter(!col("token").contains("|")) else base)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+  }
 
   /** Piece log-prob lookup under a LITERAL vocab map, with the single-char UNK
     * fallback (SentencePiece's coverage rule: every single character scores —
@@ -1151,7 +1160,10 @@ object TextStats {
     * published families, one corpus, one table a pipeline owner reads before
     * freezing the vocabulary). Each family prices on its own token basis —
     * BPE excludes '|'-containing tokens (its separator encoding), unigram
-    * does not; identical on any corpus without literal pipes.
+    * does not; identical on any corpus without literal pipes, and
+    * `strictSharedBasis = true` opts the unigram arm into the same exclusion
+    * for like-for-like pricing on pipe-heavy corpora (default off — t53's
+    * published semantics unchanged).
     *
     * Scale shape: each family's train+encode chain unchanged (dictionary-
     * sized loops, one corpus tf pass each); the card is two 1-row rollups.
@@ -1167,7 +1179,8 @@ object TextStats {
       maxPieceLen: Int = 5,
       seedVocab: Int = 300,
       vocabTarget: Int = 120,
-      floorLpMicro: Long = -20000000L
+      floorLpMicro: Long = -20000000L,
+      strictSharedBasis: Boolean = false
   ): DataFrame = {
     def card(name: String, enc: DataFrame): DataFrame =
       enc.agg(
@@ -1180,8 +1193,11 @@ object TextStats {
           expr("(2 * 1000000 * n_chars + n_syms) DIV (2 * n_syms)").cast("long")
             .as("chars_per_sym_micro"))
     // one unigram tokenize pass: training and pricing share the tf relation
-    // (the r16 review finding — the df-level entries would pay it twice)
-    val tf = uniTf(df, idCol, textCol)
+    // (the r16 review finding — the df-level entries would pay it twice);
+    // strictSharedBasis opts the unigram arm into the BPE pipe-exclusion so
+    // pipe-heavy corpora compare like-for-like (r17 ADVICE; default off —
+    // t53's published semantics unchanged)
+    val tf = uniTf(df, idCol, textCol, excludePipes = strictSharedBasis)
     card("bpe", bpeEncode(df, idCol, textCol, bpeRounds))
       .unionByName(card("unigram",
         unigramEncodeWithTf(tf, idCol,
@@ -1215,7 +1231,8 @@ object TextStats {
     * unigram side sharing ONE tf pass) — the arms are already materialized
     * per-doc relations, the gate a 1-row broadcast filter. Each arm prices on
     * its own token basis (BPE excludes '|'-containing tokens), identical on
-    * any corpus without literal pipes — the t54 note.
+    * any corpus without literal pipes — the t54 note; `strictSharedBasis`
+    * aligns the bases when they would diverge.
     */
   def tokenizerSwapEpoch(
       df: DataFrame,
@@ -1227,9 +1244,13 @@ object TextStats {
       seedVocab: Int = 300,
       vocabTarget: Int = 120,
       floorLpMicro: Long = -20000000L,
-      marginMicro: Long = 50000L
+      marginMicro: Long = 50000L,
+      strictSharedBasis: Boolean = false
   ): DataFrame = {
-    val tf = uniTf(df, idCol, textCol)
+    // strictSharedBasis: the unigram arm adopts the BPE pipe-exclusion so the
+    // swap decision compares fertilities on ONE token basis (r17 ADVICE;
+    // default off — the published t53 basis serves)
+    val tf = uniTf(df, idCol, textCol, excludePipes = strictSharedBasis)
     val bpeDoc = bpeEncode(df, idCol, textCol, bpeRounds).localCheckpoint(true)
     val uniDoc = unigramEncodeWithTf(tf, idCol,
         unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab, vocabTarget, floorLpMicro),

@@ -289,6 +289,33 @@ class RoundEighteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("t54/t56 strict-shared-basis flag aligns the fertility bases on a pipe-heavy corpus") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    // every doc carries pipe tokens: BPE's basis drops them, default unigram's keeps them
+    val pipey = (0L until 20L)
+      .map(i => (i, "alpha|beta gamma delta|eps plain words here"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    def basis(card: org.apache.spark.sql.DataFrame): Map[String, Long] = card
+      .collect().map(r => r.getAs[String]("tokenizer") -> r.getAs[Long]("n_tokens")).toMap
+    val loose = basis(TextStats.tokenizerCompareCard(pipey, "doc_id", "text"))
+    // the r17-flagged asymmetry is real: divergent token bases by default
+    assert(loose("bpe") != loose("unigram"), loose.toString)
+    val strict = basis(TextStats.tokenizerCompareCard(pipey, "doc_id", "text",
+      strictSharedBasis = true))
+    // under the flag both families price the SAME token set
+    assert(strict("bpe") == strict("unigram"), strict.toString)
+    assert(strict("bpe") == loose("bpe")) // the BPE basis itself is untouched
+    // default-off means t53's published semantics are unchanged: the flagless
+    // card is bit-identical to pre-flag behavior (the unigram basis keeps pipes)
+    assert(loose("unigram") > loose("bpe"))
+    // the actuated epoch accepts the same flag and its arms share the basis
+    val epoch = TextStats.tokenizerSwapEpoch(pipey, "doc_id", "text",
+      strictSharedBasis = true).localCheckpoint(true)
+    assert(epoch.select(col("action")).distinct().count() == 1)
+    assert(epoch.count() == 20L)
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
