@@ -72,7 +72,9 @@ object Bench {
     // headline slot prices both and g54 had no committed history to lose)
     "t25_bpe_encode",
     "g46_modularity",
-    "d15_cluster_keep",
+    // d15_cluster_keep rotated r18 for line headroom: d36 RUNS the full
+    // d15(4,4) keeper chain end-to-end (one slot prices both, the g54->g55
+    // precedent) and BENCH_SEED carries d15's adjudicated floor.
     "dc09_epoch_pack", "s26_graph_ann", "dc11_epoch_pack_upsampled",
     "g52_scc_reachability", "dc12_epoch_manifest_saved",
     "d22_dedup_index_compact", "dc13_epoch_pack_decontaminated",
@@ -142,13 +144,21 @@ object Bench {
     // fam field reports every family's worst query regardless.
     "s45_aged_index_recall", "dc31_doremi_epoch", "t56_tokenizer_swap",
     "t55_unigram_sampled",
-    // r17b: s47 runs the full s26 build plus the harvest walk (~6s honest);
+    // r17b: s47 ran the full s26 build plus the harvest walk (~6s honest);
     // ev32/d42/dc32 stay non-headline (sub-1s catalog-bounded shapes, seeded)
     // and dc33 (~5s, seeded) reports through the dc-family maximum.
     // Rotated for line headroom (the worst-case-line pin): t31_dsir_scores
     // (~1.8s flat; t25/t45/t46 + the two new t slots keep the family) and
     // g50_condensation (g52 RUNS the g49+g50 chain — one slot prices both).
-    "s47_graph_ann_filtered",
+    // r18: s47's slot passes to s48 — the router's broad arm RUNS the full
+    // s47 chain and adds the routed exact arm (the g54->g55 one-slot-prices-
+    // both precedent; BENCH_SEED carries s47's floor). s49 runs the s26 build
+    // + the banked pool walk + TWO brute-force truths (the round's heaviest
+    // new composite), s50 runs two kmeans trains + both IVF-PQ servings +
+    // both int8 servings + two truths. dc34/dc35 stay non-headline (dc31
+    // already prices the doremi loop + pack chain; the fam field reports the
+    // dc-family maximum), ev33 likewise (the ev funnel shapes are sub-1s).
+    "s48_graph_ann_routed", "s49_filtered_graph_recall", "s50_aged_quant_recall",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a
