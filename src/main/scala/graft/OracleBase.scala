@@ -498,6 +498,13 @@ private[graft] trait OracleParams {
   private[graft] val AdaptiveAnnBroadMod = 2
   private[graft] val AdaptiveAnnSelMicro = 250000L
 
+  /** d43's policy dial: deduplicate per snapshot once the cross-snapshot
+    * duplicate mass reaches 10% of the snapshot-kept tokens (the FineWeb
+    * ablation regime where that mass is worth keeping). Shared by
+    * registration, oracle, and the RoundEighteenOpsSpec planted cases.
+    */
+  private[graft] val SnapshotPolicyThresholdMicro = 100000L
+
   /** s49's planted starvation filter (~1% of the corpus): selective enough
     * that even the harvest pool usually holds fewer than k allowed candidates,
     * so the card's starved arm reads < 1.0 and post-filtering reads worse —

@@ -474,6 +474,13 @@ private[graft] object DedupOracles extends OracleFragments {
     "d42_snapshot_dedup_census" -> ((s: SparkSession, dir: String) =>
       Dedup.snapshotDedupCensus(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", "source")),
+    // d43: the d42 census actuated — one corpus policy from the
+    // cross-snapshot duplicate share, the kept set under the chosen policy
+    // emitted through a gated union the oracle replays
+    "d43_snapshot_policy_apply" -> ((s: SparkSession, dir: String) =>
+      Dedup.snapshotPolicyApply(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "source",
+        keepShareThresholdMicro = SnapshotPolicyThresholdMicro)),
     // dc32's uniform epoch count actuated into per-source doc budgets and
     // materialized through the dc11 pack chain — the data-constrained epoch
     "dc33_repeat_epoch" -> ((s: SparkSession, dir: String) => {
@@ -1967,6 +1974,34 @@ private[graft] object DedupOracles extends OracleFragments {
         |  CAST(COALESCE(tokens_snapshot, 0) - COALESCE(tokens_global, 0) AS BIGINT)
         |    AS cross_dup_tokens
         |FROM base b LEFT JOIN cg USING (source) LEFT JOIN cs USING (source)""".stripMargin,
+
+    // the census actuated: cross-snapshot duplicate share decides one corpus
+    // policy, kept set under it emitted via the gated union — mirror of
+    // Dedup.snapshotPolicyApply
+    "d43_snapshot_policy_apply" ->
+      s"""WITH h AS (SELECT doc_id, source, md5(text) AS text_hash,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |  FROM documents),
+         |gk AS (SELECT text_hash, MIN(doc_id) AS doc_id FROM h GROUP BY 1),
+         |sk AS (SELECT source, text_hash, MIN(doc_id) AS doc_id FROM h GROUP BY 1, 2),
+         |ts AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t_snap
+         |       FROM h SEMI JOIN (SELECT doc_id FROM sk) s2 USING (doc_id)),
+         |tg AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t_glob
+         |       FROM h SEMI JOIN gk USING (doc_id)),
+         |dec AS (SELECT cross_share_micro,
+         |          CASE WHEN cross_share_micro >= $SnapshotPolicyThresholdMicro
+         |               THEN 'per_snapshot' ELSE 'global' END AS policy
+         |        FROM (SELECT CASE WHEN t_snap IS NULL OR t_snap = 0 THEN CAST(0 AS BIGINT)
+         |                 ELSE CAST((2 * 1000000 * (t_snap - t_glob) + t_snap)
+         |                      // (2 * t_snap) AS BIGINT) END AS cross_share_micro
+         |              FROM ts, tg))
+         |SELECT h.doc_id, h.source, h.n_toks, d.policy, d.cross_share_micro
+         |FROM h SEMI JOIN gk USING (doc_id) CROSS JOIN dec d
+         |WHERE d.policy = 'global'
+         |UNION ALL
+         |SELECT h.doc_id, h.source, h.n_toks, d.policy, d.cross_share_micro
+         |FROM h SEMI JOIN (SELECT doc_id FROM sk) s2 USING (doc_id) CROSS JOIN dec d
+         |WHERE d.policy = 'per_snapshot'""".stripMargin,
 
     // temperature weights -> per-epoch budgets; integer division both sides —
     // mirror of Sampling.mixPlan over the shared α and budget constants

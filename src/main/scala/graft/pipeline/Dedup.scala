@@ -2236,4 +2236,66 @@ object Dedup {
         (coalesce(col("tokens_snapshot"), lit(0L))
           - coalesce(col("tokens_global"), lit(0L))).as("cross_dup_tokens"))
   }
+
+  /** d43 — the d42 census ACTUATED (the d26→d28 measure-then-actuate
+    * discipline closing the FineWeb-ablation loop): ONE dedup policy for the
+    * corpus, decided by the share of snapshot-kept token mass that a GLOBAL
+    * pass would additionally discard — the published finding is that this
+    * cross-snapshot mass is disproportionately content worth keeping, so when
+    * `cross_share_micro = (t_snap − t_glob)/t_snap` reaches
+    * `keepShareThresholdMicro` the corpus deduplicates PER SNAPSHOT, and
+    * below it the stronger global pass wins (the extra dedup is nearly
+    * free). The output is the KEPT document relation under the chosen
+    * policy — a gated union of the two keeper arms filtered by the broadcast
+    * 1-row decision, so the DuckDB oracle replays decision and application in
+    * one statement (the t42/ev33 actuation shape); policy and share ride
+    * every row. An empty/zero-token corpus reads share 0 and keeps the
+    * global policy (no evidence never flips a policy — the s25 convention).
+    *
+    * Scale shape: d42's one md5/token pass and two hash-keyed min
+    * aggregations, two 1-row token totals, and per arm one keeper semi-join —
+    * nothing beyond the census's own 100-TB shape.
+    */
+  def snapshotPolicyApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      keepShareThresholdMicro: Long = 100000L
+  ): DataFrame = {
+    require(keepShareThresholdMicro >= 0L && keepShareThresholdMicro <= 1000000L,
+      s"snapshotPolicyApply: keepShareThresholdMicro must be in [0, 1e6], " +
+        s"got $keepShareThresholdMicro")
+    val hashed = df.select(
+        col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        md5(col(textCol)).as("text_hash"),
+        graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .localCheckpoint(true) // one md5/token pass; totals and both arms read it
+    val globalKeep = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val snapKeep = hashed.groupBy(col("source"), col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val tots = hashed.join(snapKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .agg(sum(col("n_toks")).as("t_snap"))
+      .crossJoin(
+        hashed.join(globalKeep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(sum(col("n_toks")).as("t_glob")))
+    val decision = tots
+      .select(
+        when(col("t_snap").isNull || col("t_snap") === 0L, lit(0L))
+          .otherwise(expr("(2 * 1000000 * (t_snap - t_glob) + t_snap) DIV (2 * t_snap)"))
+          .cast("long").as("cross_share_micro"))
+      .select(col("cross_share_micro"),
+        when(col("cross_share_micro") >= keepShareThresholdMicro, lit("per_snapshot"))
+          .otherwise(lit("global")).as("policy"))
+      .localCheckpoint(true) // 1 row; gates both arms
+    val d = broadcast(decision)
+    def arm(name: String, keep: DataFrame): DataFrame =
+      hashed.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .crossJoin(d)
+        .filter(col("policy") === name)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("policy"), col("cross_share_micro"))
+    arm("global", globalKeep).unionByName(arm("per_snapshot", snapKeep))
+  }
 }

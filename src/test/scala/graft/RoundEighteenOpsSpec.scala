@@ -316,6 +316,40 @@ class RoundEighteenOpsSpec extends SparkSpec {
     assert(epoch.count() == 20L)
   }
 
+  test("d43: the cross-snapshot share picks the policy and the kept set matches the census") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // heavy cross-snapshot duplication: the same boilerplate in both sources —
+    // global dedup would discard s2's copy (share 3/10 = 30% ≥ 10%)
+    val heavy = Seq(
+      (1L, "shared boilerplate row", "s1"),
+      (2L, "unique one", "s1"),
+      (3L, "shared boilerplate row", "s2"),
+      (4L, "unique two", "s2")).toDF("doc_id", "text", "source").localCheckpoint(true)
+    val keptH = Dedup.snapshotPolicyApply(heavy, "doc_id", "text", "source",
+      keepShareThresholdMicro = 100000L).localCheckpoint(true)
+    assert(keptH.select(col("policy")).distinct().head.getString(0) == "per_snapshot")
+    assert(keptH.select(col("cross_share_micro")).distinct().head.getLong(0) == 300000L)
+    // per-snapshot keeps every source's own copy — all four docs survive
+    assert(keptH.count() == 4L)
+    // the applied set agrees with the d42 census, per source
+    val census = Dedup.snapshotDedupCensus(heavy, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_snapshot")).toMap
+    val applied = keptH.groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(applied == census, s"$applied vs $census")
+    // only WITHIN-source duplication: both policies keep the same set, the
+    // share reads 0, and the stronger global pass wins
+    val clean = Seq(
+      (1L, "a b", "s1"), (2L, "c d", "s2"), (3L, "a b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val keptC = Dedup.snapshotPolicyApply(clean, "doc_id", "text", "source",
+      keepShareThresholdMicro = 100000L).localCheckpoint(true)
+    assert(keptC.select(col("policy")).distinct().head.getString(0) == "global")
+    assert(keptC.select(col("cross_share_micro")).distinct().head.getLong(0) == 0L)
+    assert(keptC.select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
