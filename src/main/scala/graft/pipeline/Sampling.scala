@@ -1431,6 +1431,29 @@ object Sampling {
       budgetTokens: Long,
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
+  ): DataFrame =
+    valueWeightedRepeatCardFrom(
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
+        .localCheckpoint(true), // |sources| rows; totals, slices, and card rows
+      weights, budgetTokens, decayMicro, maxUsefulEpochs)
+
+  /** [[valueWeightedRepeatCard]]'s allocation over an ALREADY-ROLLED
+    * per-source register relation (source, n_docs, unique_tokens) — the
+    * [[repeatBudgetCardFrom]] split applied to the value-weighted card, so
+    * the SAME dc32 streaming registers
+    * ([[graft.streaming.StreamOps.streamingRepeatRegisters]]) price through
+    * the one greedy-fill rendition: streamed registers + learned weights +
+    * this function equal the batch dc34 card on any prefix exactly
+    * (StreamOpsSpec pins it).
+    */
+  def valueWeightedRepeatCardFrom(
+      perSource: DataFrame,
+      weights: DataFrame,
+      budgetTokens: Long,
+      decayMicro: Long = 800000L,
+      maxUsefulEpochs: Int = 16
   ): DataFrame = {
     require(budgetTokens > 0L,
       s"valueWeightedRepeatCard: budgetTokens must be > 0, got $budgetTokens")
@@ -1445,10 +1468,6 @@ object Sampling {
     val powMicro: IndexedSeq[Long] =
       (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
     val cumPow: IndexedSeq[Long] = powMicro.scanLeft(0L)(_ + _)
-    val perSource = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
-      .localCheckpoint(true) // |sources| rows; totals, slices, and card rows
     // a corpus source the weight relation never learned is a wiring bug (the
     // card would silently allocate it nothing) — fail loudly at the join
     val ws = perSource

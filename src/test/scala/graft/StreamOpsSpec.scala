@@ -1677,6 +1677,19 @@ class StreamOpsSpec extends SparkSpec {
           prefix.toDF("doc_id", "text", "source"), "doc_id", "text", "source",
           budgetTokens = 60L, decayMicro = 800000L, maxUsefulEpochs = 4))
         assert(streamed == batch, s"prefix of ${prefix.size}: $streamed vs $batch")
+        // the SAME registers price the dc34 value-weighted card through its
+        // From split — one greedy-fill rendition, batch and stream
+        val weights = Seq(("s1", 700000L), ("s2", 300000L)).toDF("source", "w_micro")
+        def vcard(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[String]("source") ->
+            ((r.getAs[Long]("epochs_micro"), r.getAs[Long]("effective_tokens"),
+              r.getAs[String]("verdict")))).toMap
+        val vStreamed = vcard(graft.pipeline.Sampling.valueWeightedRepeatCardFrom(
+          regs, weights, budgetTokens = 60L, decayMicro = 800000L, maxUsefulEpochs = 4))
+        val vBatch = vcard(graft.pipeline.Sampling.valueWeightedRepeatCard(
+          prefix.toDF("doc_id", "text", "source"), "doc_id", "text", "source",
+          weights, budgetTokens = 60L, decayMicro = 800000L, maxUsefulEpochs = 4))
+        assert(vStreamed == vBatch, s"prefix of ${prefix.size}: $vStreamed vs $vBatch")
       }
       stream.addData(first: _*)
       query.processAllAvailable()
