@@ -271,12 +271,11 @@ object Bench {
       // seed-covered queries: the adjudicated floor wins over any lucky
       // driver-line reading below it (see the discard note above); readings
       // EQUAL to the floor are honest confirmations and stay (r17 advisory —
-      // the strict filter collapsed them into the one appended floor value),
-      // with the floor itself appended only when no reading already sits on it
-      k -> seed.get(k).fold(vs.map(_._2)) { fl =>
-        val kept = vs.map(_._2).filter(_ >= fl)
-        if (kept.contains(fl)) kept else kept :+ fl
-      }
+      // the strict filter collapsed them into one appended floor value). No
+      // synthetic append is needed: the seed file's own reading is in `vs`
+      // (BENCH_SEED.json parses through the same perFile pass) and always
+      // survives the >= filter, so min-of-history lands on the floor.
+      k -> seed.get(k).fold(vs.map(_._2))(fl => vs.map(_._2).filter(_ >= fl))
     }
   }
 

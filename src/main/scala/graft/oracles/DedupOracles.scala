@@ -1578,7 +1578,8 @@ private[graft] object DedupOracles extends OracleFragments {
        |wfin AS (SELECT source, CAST(w AS BIGINT) AS w_micro FROM w$DoremiRounds),
        |vsl AS (SELECT vps.source, vps.unique_tokens, vpowg.j, wfin.w_micro * vpowg.p AS marg
        |       FROM vps JOIN wfin USING (source), vpowg
-       |       WHERE vpowg.j < $RepeatMaxEpochs AND vps.unique_tokens > 0),
+       |       WHERE vpowg.j < $RepeatMaxEpochs AND vps.unique_tokens > 0
+       |         AND wfin.w_micro * vpowg.p > 0),
        |voc AS (SELECT *, CAST(SUM(unique_tokens) OVER (ORDER BY marg DESC, source, j
        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vsl),
        |valc AS (SELECT source,

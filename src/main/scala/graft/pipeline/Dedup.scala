@@ -2283,6 +2283,13 @@ object Dedup {
     val decision = tots
       .select(
         when(col("t_snap").isNull || col("t_snap") === 0L, lit(0L))
+          // int64 guard (the repeatBudgetCard discipline, here on the DERIVED
+          // token mass): past ~4e12 kept tokens the 2·10⁶ product wraps and
+          // the policy would silently flip — fail loudly; lift the share
+          // arithmetic to DecimalType for larger corpora (the s33/t54 knob)
+          .when(col("t_snap") > 4000000000000L, raise_error(lit(
+            "snapshotPolicyApply: t_snap exceeds the int64-safe 4e12 — lift the " +
+              "share arithmetic to DecimalType for larger corpora")))
           .otherwise(expr("(2 * 1000000 * (t_snap - t_glob) + t_snap) DIV (2 * t_snap)"))
           .cast("long").as("cross_share_micro"))
       .select(col("cross_share_micro"),

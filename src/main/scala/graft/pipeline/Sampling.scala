@@ -1282,12 +1282,50 @@ object Sampling {
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
   ): DataFrame =
-    repeatBudgetCardFrom(
-      df.groupBy(col(sourceCol).as("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
-        .localCheckpoint(true), // |sources| rows; the total and the card rows
+    repeatBudgetCardFrom(repeatPerSourceRollup(df, textCol, sourceCol),
       budgetTokens, decayMicro, maxUsefulEpochs)
+
+  /** Shared dial validation + micro decay grids of the repeat-budget family
+    * (dc32 uniform, dc34 value-weighted): powMicro(j) = ⌊1e6·decay^j⌉ and its
+    * exclusive prefix sums. ONE rendition so a bound or rounding fix cannot
+    * silently diverge dc34's uniform-contrast column from the real dc32 card.
+    */
+  private def repeatDecayGrids(
+      caller: String,
+      budgetTokens: Long,
+      decayMicro: Long,
+      maxUsefulEpochs: Int
+  ): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    require(budgetTokens > 0L, s"$caller: budgetTokens must be > 0, got $budgetTokens")
+    // 2·10⁶·budget must stay inside int64 for the half-up epoch division —
+    // past ~4·10¹² tokens (the largest published pretraining budgets) lift the
+    // epoch arithmetic to DecimalType (the s33/t54 documented knob) rather
+    // than letting the product wrap
+    require(budgetTokens <= 4000000000000L,
+      s"$caller: budgetTokens $budgetTokens exceeds the int64-safe 4e12 — " +
+        "lift the epoch arithmetic to DecimalType for larger budgets")
+    require(decayMicro > 0L && decayMicro <= 1000000L,
+      s"$caller: decayMicro must be in (0, 1e6], got $decayMicro")
+    require(maxUsefulEpochs >= 1,
+      s"$caller: maxUsefulEpochs must be >= 1, got $maxUsefulEpochs")
+    val decay = decayMicro.toDouble / 1000000.0
+    // decay^j in micro, one pow per epoch index — a bounded literal grid
+    val pow = (0 to maxUsefulEpochs)
+      .map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
+    (pow, pow.scanLeft(0L)(_ + _))
+  }
+
+  /** The one per-source (n_docs, unique_tokens) rollup every repeat card runs
+    * (and [[graft.streaming.StreamOps.streamingRepeatRegisters]] mirrors as
+    * its two-long state). |sources| rows, checkpointed — totals, slices, and
+    * card rows all read it.
+    */
+  private def repeatPerSourceRollup(
+      df: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
+      .localCheckpoint(true)
 
   /** [[repeatBudgetCard]]'s arithmetic over an ALREADY-ROLLED per-source
     * register relation (source, n_docs, unique_tokens) — the split that lets
@@ -1302,22 +1340,8 @@ object Sampling {
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
   ): DataFrame = {
-    require(budgetTokens > 0L, s"repeatBudgetCard: budgetTokens must be > 0, got $budgetTokens")
-    // 2·10⁶·budget must stay inside int64 for the half-up epoch division —
-    // past ~4·10¹² tokens (the largest published pretraining budgets) lift the
-    // epoch arithmetic to DecimalType (the s33/t54 documented knob) rather
-    // than letting the product wrap
-    require(budgetTokens <= 4000000000000L,
-      s"repeatBudgetCard: budgetTokens $budgetTokens exceeds the int64-safe 4e12 — " +
-        "lift the epoch arithmetic to DecimalType for larger budgets")
-    require(decayMicro > 0L && decayMicro <= 1000000L,
-      s"repeatBudgetCard: decayMicro must be in (0, 1e6], got $decayMicro")
-    require(maxUsefulEpochs >= 1,
-      s"repeatBudgetCard: maxUsefulEpochs must be >= 1, got $maxUsefulEpochs")
-    val decay = decayMicro.toDouble / 1000000.0
-    // decay^j in micro, one pow per epoch index — a bounded literal grid
-    val powMicro: IndexedSeq[Long] =
-      (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
+    val (powMicro, cumPow) =
+      repeatDecayGrids("repeatBudgetCard", budgetTokens, decayMicro, maxUsefulEpochs)
     val tot = perSource.agg(sum(col("unique_tokens")).as("u_tot"))
       .select(when(col("u_tot") > 0L, col("u_tot"))
         .otherwise(raise_error(lit(
@@ -1330,7 +1354,6 @@ object Sampling {
         least(col("epochs_micro_raw"), lit(maxUsefulEpochs * 1000000L)))
     // effective multiplier for e = full + frac/1e6 epochs:
     //   Σ_{j<full} decay^j + frac·decay^full / 1e6   (micro)
-    val cumPow: IndexedSeq[Long] = powMicro.scanLeft(0L)(_ + _) // cum(j) = Σ_{i<j} decay^i
     withEpochs
       .withColumn("full_epochs", expr("epochs_micro DIV 1000000").cast("int"))
       .withColumn("frac_micro", expr("epochs_micro % 1000000").cast("long"))
@@ -1432,11 +1455,7 @@ object Sampling {
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
   ): DataFrame =
-    valueWeightedRepeatCardFrom(
-      df.groupBy(col(sourceCol).as("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.pipeline.TextStats.tokenCount(col(textCol)).cast("long")).as("unique_tokens"))
-        .localCheckpoint(true), // |sources| rows; totals, slices, and card rows
+    valueWeightedRepeatCardFrom(repeatPerSourceRollup(df, textCol, sourceCol),
       weights, budgetTokens, decayMicro, maxUsefulEpochs)
 
   /** [[valueWeightedRepeatCard]]'s allocation over an ALREADY-ROLLED
@@ -1455,24 +1474,25 @@ object Sampling {
       decayMicro: Long = 800000L,
       maxUsefulEpochs: Int = 16
   ): DataFrame = {
-    require(budgetTokens > 0L,
-      s"valueWeightedRepeatCard: budgetTokens must be > 0, got $budgetTokens")
-    require(budgetTokens <= 4000000000000L,
-      s"valueWeightedRepeatCard: budgetTokens $budgetTokens exceeds the int64-safe 4e12 — " +
-        "lift the allocation arithmetic to DecimalType for larger budgets")
-    require(decayMicro > 0L && decayMicro <= 1000000L,
-      s"valueWeightedRepeatCard: decayMicro must be in (0, 1e6], got $decayMicro")
-    require(maxUsefulEpochs >= 1,
-      s"valueWeightedRepeatCard: maxUsefulEpochs must be >= 1, got $maxUsefulEpochs")
-    val decay = decayMicro.toDouble / 1000000.0
-    val powMicro: IndexedSeq[Long] =
-      (0 to maxUsefulEpochs).map(j => math.floor(1000000.0 * math.pow(decay, j) + 0.5).toLong)
-    val cumPow: IndexedSeq[Long] = powMicro.scanLeft(0L)(_ + _)
+    val (powMicro, cumPow) =
+      repeatDecayGrids("valueWeightedRepeatCard", budgetTokens, decayMicro, maxUsefulEpochs)
     // a corpus source the weight relation never learned is a wiring bug (the
-    // card would silently allocate it nothing) — fail loudly at the join
+    // card would silently allocate it nothing) — fail loudly at the join; so
+    // is a MULTI-ROW weight relation (e.g. the raw multi-round dc29 trail
+    // without the final-round filter), which would fan every source's slices
+    // out once per row and double-charge the budget — fail loudly, not fan
+    val oneW = weights.select(col("source"), col("w_micro").cast("long").as("w_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_w"), max(col("w_micro")).as("w_micro"))
+      .select(col("source"),
+        when(col("n_w") === 1L, col("w_micro"))
+          .otherwise(raise_error(concat(
+            lit("valueWeightedRepeatCard: source '"), col("source"),
+            lit("' has multiple weight rows — pass ONE final-round row per source " +
+              "(filter the dc29 trail to its last round)"))))
+          .as("w_micro"))
     val ws = perSource
-      .join(weights.select(col("source"), col("w_micro").cast("long").as("w_micro")),
-        Seq("source"), "left")
+      .join(oneW, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("unique_tokens"),
         when(col("w_micro").isNotNull, col("w_micro"))
           .otherwise(raise_error(concat(
@@ -1480,10 +1500,16 @@ object Sampling {
             lit("' has no learned weight — pass the dc29 final round"))))
           .as("w_micro"))
       .localCheckpoint(true)
+    // a slice whose micro-quantized marginal value is exactly 0 (deep epochs
+    // at a small decay, or a zero weight) buys NOTHING the decay model can
+    // price — funding it would spend budget for zero effective mass while
+    // leftover_tokens read 0, so zero-value slices never enter the fill and
+    // their mass surfaces in leftover_tokens ("fund new data") instead
     val slices = ws.filter(col("unique_tokens") > 0L)
       .select(col("source"), col("unique_tokens"), col("w_micro"),
         posexplode(typedlit(powMicro.take(maxUsefulEpochs))).as(Seq("j", "p")))
       .withColumn("marg", col("w_micro") * col("p")) // exact pico units
+      .filter(col("marg") > 0L)
     // |sources|·maxUsefulEpochs rows — plan-sized, see the scale note above
     val wOrd = Window.orderBy(col("marg").desc, col("source").asc, col("j").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

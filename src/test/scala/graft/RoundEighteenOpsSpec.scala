@@ -231,6 +231,12 @@ class RoundEighteenOpsSpec extends SparkSpec {
       Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
         weights.filter(col("source") =!= "big"), budgetTokens = 400L).collect()
     }
+    // so does a multi-row weight relation (the raw dc29 trail without the
+    // final-round filter) — it would fan the slices and double-charge the fill
+    intercept[Exception] {
+      Sampling.valueWeightedRepeatCard(docs, "doc_id", "text", "source",
+        weights.unionByName(weights), budgetTokens = 400L).collect()
+    }
     // dc35: slots conserve per source against the JOINT plan's targets
     // (⌊n_docs·epochs⌋ = 50 for small, 25 for big — the dc10 law)
     val scratch = java.nio.file.Files.createTempDirectory("graft-dc35")
