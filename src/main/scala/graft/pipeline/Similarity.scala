@@ -1200,17 +1200,60 @@ object Similarity {
       entryProbe: Int = 4,
       entries: Option[DataFrame] = None
   ): DataFrame = {
-    val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
+    val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
+      .localCheckpoint(true) // id catalog; one harvest semi-join
+    graphAnnSearchFilteredPrepared(queries, idCol, vecCol,
+      graphAnnPrepare(df, idCol, vecCol, graph, model, entries),
+      allow, k, beam, rounds, entryProbe)
+  }
+
+  /** The per-batch half of [[graphAnnSearchFiltered]] (the
+    * [[graphAnnSearchPrepared]] split applied to the filtered walk): the
+    * prepared index and the distinct single-column `allow` catalog (column
+    * `cand`, already checkpointed) come in batch-invariant; each call pays
+    * only the query-batch-sized banked walk and one harvest semi-join —
+    * what [[graft.streaming.StreamOps.streamingRoutedAnnSearch]] runs per
+    * micro-batch.
+    */
+  def graphAnnSearchFilteredPrepared(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prep: GraphAnnPrepared,
+      allow: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4
+  ): DataFrame = {
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
       .localCheckpoint(true)
-    val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
-      .localCheckpoint(true) // id catalog; one harvest semi-join
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     val (pool, _) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
     pool
       .join(allow, Seq("cand"), "left_semi")
       .filter(col("cand") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** The selective arm both routers serve: exact rounded-cosine top-k of the
+    * query batch against the allowed subset of a (cand, cv, cn) vector
+    * relation — ONE rendition (value-identical to [[bruteForceTopK]] on the
+    * same rows: same dot/norm/round chain, same (cos desc, id asc) order), so
+    * the batch router, the prepared router, and the recall card's routed arm
+    * cannot drift.
+    */
+  private def exactAllowedScan(
+      qs: DataFrame, vecs: DataFrame, allow: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
+    vecs.join(allow, Seq("cand"), "left_semi")
+      .crossJoin(broadcast(qs))
+      .filter(col("cand") =!= col("query_id"))
+      .select(col("query_id"), col("cand"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos_sim"), col("rank"))
@@ -1404,13 +1447,57 @@ object Similarity {
     val selMicro = (2L * 1000000L * nAllowed + nCorpus) / (2L * nCorpus)
     val routed =
       if (selMicro <= selThresholdMicro) {
-        val allowedCands = df.join(
-          allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi")
-        bruteForceTopK(queries, allowedCands, idCol, vecCol, k)
+        val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+          .withColumn("qn", norm2(col("qv")))
+        val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
+          .withColumn("cn", norm2(col("cv")))
+        exactAllowedScan(qs, vecs,
+          allowed.select(col(allowed.columns.head).as("cand")).distinct(), k)
           .withColumn("route", lit("exact_allowed_scan"))
       } else {
         graphAnnSearchFiltered(queries, df, idCol, vecCol, graph, model, allowed,
             k, beam, rounds, entryProbe, entries)
+          .withColumn("route", lit("graph_harvest"))
+      }
+    routed.select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"),
+      col("route"), lit(selMicro).as("selectivity_micro"))
+  }
+
+  /** The per-batch half of [[graphAnnFilteredRouted]]: the prepared index,
+    * the checkpointed single-column `allow` catalog (column `cand`), and the
+    * two routing scalars come in batch-invariant — corpus size and tenant
+    * catalog size do not change per query micro-batch, so the route is
+    * decided once per batch from two longs and only the chosen arm runs.
+    * The exact arm scans `prep.vecs` (the same (cand, cv, cn) relation the
+    * walk scores against) through [[exactAllowedScan]] — the one selective-arm
+    * rendition — so a streamed batch and [[graphAnnFilteredRouted]] on the
+    * identical batch return identical rows (StreamOpsSpec pins it).
+    */
+  def graphAnnFilteredRoutedPrepared(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prep: GraphAnnPrepared,
+      allow: DataFrame,
+      nCorpus: Long,
+      nAllowed: Long,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      selThresholdMicro: Long = 250000L
+  ): DataFrame = {
+    require(nCorpus > 0, "graphAnnFilteredRoutedPrepared: empty corpus — nothing to search")
+    val selMicro = (2L * 1000000L * nAllowed + nCorpus) / (2L * nCorpus)
+    val routed =
+      if (selMicro <= selThresholdMicro) {
+        val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+          .withColumn("qn", norm2(col("qv")))
+        exactAllowedScan(qs, prep.vecs, allow, k)
+          .withColumn("route", lit("exact_allowed_scan"))
+      } else {
+        graphAnnSearchFilteredPrepared(queries, idCol, vecCol, prep, allow,
+            k, beam, rounds, entryProbe)
           .withColumn("route", lit("graph_harvest"))
       }
     routed.select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"),

@@ -965,6 +965,52 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Streaming twin of the s48 ROUTER — tenant-filtered ANN serving at
+    * ingestion time: the prepared graph index, the tenant's allowed-id
+    * catalog, and the two routing scalars (corpus size from the prepared
+    * vector relation, catalog size — both stream-lifetime invariants) are
+    * built ONCE at stream setup; each query micro-batch then pays only the
+    * arm its selectivity earns — the exact allowed-subset scan for a starving
+    * filter, the s47 traverse-unfiltered harvest walk otherwise. Every
+    * emission equals [[graft.pipeline.Similarity.graphAnnFilteredRouted]] on
+    * the identical query batch (one selective-arm rendition, one harvest
+    * kernel — StreamOpsSpec pins both routes).
+    */
+  def streamingRoutedAnnSearch(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpus: DataFrame,
+      graph: DataFrame,
+      model: DataFrame,
+      entries: DataFrame,
+      allowed: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      entryProbe: Int = 4,
+      selThresholdMicro: Long = 250000L
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val prepared = graft.pipeline.Similarity.graphAnnPrepare(
+      corpus, idCol, vecCol, graph, model, entries = Some(entries))
+    val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
+      .localCheckpoint(true)
+    // two stream-lifetime scalars; prep.vecs is already checkpointed so the
+    // count is register-cheap, never a per-batch corpus pass
+    val nCorpus = prepared.vecs.count()
+    val nAllowed = allow.count()
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.pipeline.Similarity.graphAnnFilteredRoutedPrepared(
+            batch, idCol, vecCol, prepared, allow, nCorpus, nAllowed,
+            k, beam, rounds, entryProbe, selThresholdMicro),
+          batchId)
+      }
+  }
+
   /** Streaming twin of the m07 frame-index probe: each micro-batch of arriving
     * media assets is probed against the loaded archive frame index inside
     * `foreachBatch` — the media leg of the ingest gauntlet, running beside the

@@ -1452,6 +1452,73 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming routed ANN serves each tenant filter through the s48 arm its selectivity earns") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val corpus = (for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * c) = 1.0f
+      for (i <- 0 until 8) v(i) = v(i) + 0.05f * (((i * 7 + j * 13 + c * 3) % 5) - 2)
+      (c * 10L + j, v)
+    }).toDF("vec_id", "embedding").localCheckpoint(true)
+    val model = Similarity.kmeansRounds(corpus, "vec_id", "embedding", k = 8, dims = 8, rounds = 2)
+      .localCheckpoint(true)
+    val adjC = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 5, dims = 8)
+      .localCheckpoint(true)
+    val entC = Similarity.graphAnnEntryPoints(corpus, "vec_id", "embedding", model)
+      .localCheckpoint(true)
+    // broad tenant (50% of ids -> harvest walk) and starving tenant
+    // (2 of 40 ids -> exact allowed scan), each its own serving stream
+    def runStream(allowed: org.apache.spark.sql.DataFrame): Map[(Long, Int), (Long, String)] = {
+      val stream = MemoryStream[(Long, Array[Float])]
+      val answers = scala.collection.mutable.Map.empty[(Long, Int), (Long, String)]
+      val query = StreamOps.streamingRoutedAnnSearch(
+          stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          corpus, adjC, model, entC, allowed,
+          onBatch = (out, _) => answers.synchronized {
+            out.collect().foreach(r => answers(
+              (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))) =
+              ((r.getAs[Long]("neighbor_id"), r.getAs[String]("route"))))
+          }, k = 3, beam = 8, rounds = 2, entryProbe = 4)
+        .start()
+      try {
+        val qs = corpus.filter(col("vec_id") % 10 === 7)
+          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+        stream.addData(qs.take(2).toIndexedSeq)
+        query.processAllAvailable()
+        stream.addData(qs.drop(2).toIndexedSeq)
+        query.processAllAvailable()
+        answers.synchronized(answers.toMap)
+      } finally query.stop()
+    }
+    def runBatch(allowed: org.apache.spark.sql.DataFrame): Map[(Long, Int), (Long, String)] =
+      Similarity.graphAnnFilteredRouted(
+          corpus.filter(col("vec_id") % 10 === 7), corpus, "vec_id", "embedding",
+          adjC, model, allowed, k = 3, beam = 8, rounds = 2, entryProbe = 4,
+          entries = Some(entC))
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("neighbor_id"), r.getAs[String]("route"))))
+        .toMap
+    val broad = corpus.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      .localCheckpoint(true)
+    val starved = corpus.filter(col("vec_id") % 37 === 0).select(col("vec_id"))
+      .localCheckpoint(true)
+    val gotBroad = runStream(broad)
+    assert(gotBroad.values.map(_._2).toSet == Set("graph_harvest"), gotBroad.toString)
+    assert(gotBroad == runBatch(broad), "broad-filter stream/batch divergence")
+    val gotStarved = runStream(starved)
+    assert(gotStarved.values.map(_._2).toSet == Set("exact_allowed_scan"), gotStarved.toString)
+    assert(gotStarved == runBatch(starved), "starved-filter stream/batch divergence")
+    // the starving tenant still gets answers — the routed exact arm serves
+    // what the starved harvest pool could not
+    assert(gotStarved.nonEmpty)
+  }
+
   test("streaming frame dedup emits the m07 verdicts against a loaded frame index") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
