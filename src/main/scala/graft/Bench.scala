@@ -158,7 +158,11 @@ object Bench {
     // both int8 servings + two truths. dc34/dc35 stay non-headline (dc31
     // already prices the doremi loop + pack chain; the fam field reports the
     // dc-family maximum), ev33 likewise (the ev funnel shapes are sub-1s).
-    "s48_graph_ann_routed", "s49_filtered_graph_recall", "s50_aged_quant_recall",
+    // r18b: s49's slot passes to s51 — the routed card RUNS the full s49
+    // card (same traversal, truths, and arms) plus the router's arm, so one
+    // slot prices both (the g54->g55 precedent; BENCH_SEED carries s49's
+    // floor).
+    "s48_graph_ann_routed", "s51_routed_graph_recall", "s50_aged_quant_recall",
   )
 
   /** Fixed calibration workload, timed AFTER warmup and BEFORE the query loop: a

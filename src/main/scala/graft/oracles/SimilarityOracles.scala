@@ -224,6 +224,23 @@ private[graft] object SimilarityOracles extends OracleFragments {
           "starved" -> e.filter(col("vec_id") % StarvedFilterMod === 0).select(col("vec_id"))),
         k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe)
     }),
+    // s51: the s49 card with the ROUTER's arm measured beside harvest and
+    // postfilter — the starving filter's routed recall reads the maximum its
+    // allowed mass admits (the exact scan), the broad one's reads the walk;
+    // what s48 buys becomes a read-off
+    "s51_routed_graph_recall" -> ((s: SparkSession, dir: String) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.filteredGraphAnnRecallCard(e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding",
+        Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+        Similarity.kmeansRounds(e, "vec_id", "embedding",
+          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds),
+        filters = Seq(
+          "broad" -> e.filter(col("label") % FilteredAnnLabelMod === 0).select(col("vec_id")),
+          "starved" -> e.filter(col("vec_id") % StarvedFilterMod === 0).select(col("vec_id"))),
+        k = 5, beam = GraphAnnBeam, rounds = GraphAnnRounds, entryProbe = GraphAnnEntryProbe,
+        routedThresholdMicro = Some(AdaptiveAnnSelMicro))
+    }),
     // the GRAPH-side router (s31's discipline for the s47 arm): both pinned
     // filters through graphAnnFilteredRouted in one relation — the tight one
     // must take the exact allowed-subset scan (the starved-walk case s47's
@@ -987,7 +1004,8 @@ private[graft] object SimilarityOracles extends OracleFragments {
     * from pool ∩ allowed, the plain top-5 post-filtered, hits per (method,
     * query), and the |queries|×|methods| grid with explicit 0 rows.
     */
-  private def filteredRecallCardSql(filters: Seq[(String, String)]): String = {
+  private def filteredRecallCardSql(
+      filters: Seq[(String, String)], routedThr: Option[Long] = None): String = {
     def armCtes(name: String, where: String): String =
       s"""al_$name AS (SELECT vec_id AS cand FROM embeddings WHERE $where),
          |truth_$name AS (SELECT query_id, cand FROM (
@@ -1001,10 +1019,26 @@ private[graft] object SimilarityOracles extends OracleFragments {
          |    SELECT query_id, cand,
          |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand) AS rank
          |    FROM pool SEMI JOIN al_$name USING (cand) WHERE cand <> query_id)
-         |  WHERE rank <= 5),
+         |  WHERE rank <= 5),${routedThr.map(thr =>
+        // the routed arm: the exact allowed scan IS the truth CTE's relation
+        // (same brute chain over the same subset), so a starving filter's
+        // routed rows are truth rows; a broad one's are the harvest rows
+        s"""
+         |sel_$name AS (SELECT CAST((2 * 1000000 * (SELECT COUNT(*) FROM al_$name)
+         |           + (SELECT COUNT(*) FROM e))
+         |           // (2 * (SELECT COUNT(*) FROM e)) AS BIGINT) AS s),
+         |rout_$name AS (
+         |  SELECT query_id, cand FROM truth_$name WHERE (SELECT s FROM sel_$name) <= $thr
+         |  UNION ALL
+         |  SELECT query_id, cand FROM harv_$name WHERE (SELECT s FROM sel_$name) > $thr),""")
+        .getOrElse("")}
          |appr_$name AS (SELECT 'harvest' AS method, query_id, cand FROM harv_$name
          |  UNION ALL
-         |  SELECT 'postfilter', query_id, cand FROM plain SEMI JOIN al_$name USING (cand)),
+         |  SELECT 'postfilter', query_id, cand FROM plain SEMI JOIN al_$name USING (cand)${
+        routedThr.map(_ =>
+          s"""
+         |  UNION ALL
+         |  SELECT 'routed', query_id, cand FROM rout_$name""").getOrElse("")}),
          |hits_$name AS (SELECT method, query_id, count(*) AS n_hit
          |  FROM appr_$name SEMI JOIN truth_$name USING (query_id, cand)
          |  GROUP BY method, query_id)""".stripMargin
@@ -1027,7 +1061,9 @@ private[graft] object SimilarityOracles extends OracleFragments {
            |    FROM s$GraphAnnRounds WHERE cand <> query_id)
            |  WHERE rank <= 5),
            |grid AS (SELECT query_id, m.method
-           |         FROM q, (SELECT unnest(['harvest', 'postfilter']) AS method) m),
+           |         FROM q, (SELECT unnest([${
+        (Seq("'harvest'", "'postfilter'") ++ routedThr.map(_ => "'routed'").toSeq)
+          .mkString(", ")}]) AS method) m),
            |${filters.map { case (n, w) => armCtes(n, w) }.mkString(",\n")}
            |${filters.map { case (n, _) => armRow(n) }.mkString("\nUNION ALL\n")}""".stripMargin))
   }
@@ -1352,6 +1388,13 @@ private[graft] object SimilarityOracles extends OracleFragments {
     "s27_graph_ann_saved" -> graphAnnSql,
     "s45_aged_index_recall" -> agedRecallSql,
     "s47_graph_ann_filtered" -> filteredGraphAnnSql,
+    // Similarity.filteredGraphAnnRecallCard with the routed arm: the exact
+    // allowed scan is the truth CTE's own relation, gated by the per-filter
+    // selectivity scalar (the s48 route replayed inside the card)
+    "s51_routed_graph_recall" -> filteredRecallCardSql(Seq(
+      "broad" -> s"label % $FilteredAnnLabelMod = 0",
+      "starved" -> s"vec_id % $StarvedFilterMod = 0"),
+      routedThr = Some(AdaptiveAnnSelMicro)),
     // Similarity.agedQuantIndexRecallCard — two kmeansCtesP codebooks, one
     // shared PQ side, one int8 chain serving both construction paths
     "s50_aged_quant_recall" -> agedQuantRecallSql,

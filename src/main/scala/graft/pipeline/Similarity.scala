@@ -1313,6 +1313,11 @@ object Similarity {
     * starvation regime is legible: a filter whose allowed mass barely reaches
     * the pool reads < 1.0 on the harvest arm and WORSE on the postfilter arm
     * (the domination RoundSeventeenOpsSpec pins, here measured per query).
+    * With `routedThresholdMicro` set (s51), a third arm measures the s48
+    * ROUTER's answer per filter — the starving filter served by the exact
+    * allowed scan (recall = the maximum the allowed mass admits), the broad
+    * one by the harvest walk — so what routing BUYS over serving the raw walk
+    * is a read-off, not an inference.
     *
     * Scale shape: the expensive side — the unfiltered traversal — runs ONCE
     * for all filter arms ([[graphAnnPoolWalk]]; the pool and plain top-k are
@@ -1335,7 +1340,8 @@ object Similarity {
       beam: Int = 8,
       rounds: Int = 2,
       entryProbe: Int = 4,
-      entries: Option[DataFrame] = None
+      entries: Option[DataFrame] = None,
+      routedThresholdMicro: Option[Long] = None
   ): DataFrame = {
     require(filters.nonEmpty, "filteredGraphAnnRecallCard: no filter arms")
     filters.foreach { case (name, a) =>
@@ -1358,6 +1364,11 @@ object Similarity {
       .select(col("query_id"), col("cand"))
       .localCheckpoint(true)
     val qids = qs.select(col("query_id")).localCheckpoint(true)
+    // the routed arm's corpus scalar — one register read off the checkpointed
+    // vector relation, paid only when the routed arm is requested (s51)
+    val nCorpus = routedThresholdMicro.map(_ => prep.vecs.count())
+    val methods = Seq("harvest", "postfilter") ++
+      routedThresholdMicro.map(_ => "routed").toSeq
     filters.map { case (name, allowed) =>
       val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
         .localCheckpoint(true)
@@ -1371,14 +1382,28 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(lit("harvest").as("method"), col("query_id"), col("cand").as("neighbor_id"))
+        .localCheckpoint(true) // the routed broad arm re-reads it
       val post = plainTopK.join(allow, Seq("cand"), "left_semi")
         .select(lit("postfilter").as("method"), col("query_id"), col("cand").as("neighbor_id"))
-      val hits = harvest.unionByName(post)
+      // the s48 ROUTER's answer, measured in the same card: a starving filter
+      // is served by the exact allowed scan (one rendition with the router's
+      // arm), a broad one by the harvest walk already priced above — so the
+      // card reads what routing BUYS over serving the raw walk
+      val routed = routedThresholdMicro.toSeq.map { thr =>
+        val selMicro = (2L * 1000000L * allow.count() + nCorpus.get) / (2L * nCorpus.get)
+        val arm =
+          if (selMicro <= thr) exactAllowedScan(qs, prep.vecs, allow, k)
+            .select(col("query_id"), col("neighbor_id"))
+          else harvest.select(col("query_id"), col("neighbor_id"))
+        arm.select(lit("routed").as("method"), col("query_id"), col("neighbor_id"))
+      }
+      val hits = (Seq(harvest, post) ++ routed).reduce(_ unionByName _)
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("method"), col("query_id"))
         .agg(count(lit(1)).as("n_hit"))
       qids
-        .select(col("query_id"), explode(array(lit("harvest"), lit("postfilter"))).as("method"))
+        .select(col("query_id"),
+          explode(array(methods.map(lit): _*)).as("method"))
         .join(hits, Seq("method", "query_id"), "left")
         .select(lit(name).as("filter_name"), col("method"), col("query_id"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)

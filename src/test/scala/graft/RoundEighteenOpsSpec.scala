@@ -356,6 +356,33 @@ class RoundEighteenOpsSpec extends SparkSpec {
     assert(keptC.select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("s51: the routed arm reads what s48 buys — max recall on the starved filter, the walk on the broad one") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val card = Similarity.filteredGraphAnnRecallCard(q, e, "vec_id", "embedding",
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5),
+      Similarity.kmeansRounds(e, "vec_id", "embedding", k = 8, dims = 64, rounds = 1),
+      filters = Seq(
+        "broad" -> e.filter(col("label") % 3 === 0).select(col("vec_id")),
+        "starved" -> e.filter(col("vec_id") % 97 === 0).select(col("vec_id"))),
+      k = 5, beam = 8, rounds = 2, entryProbe = 4,
+      routedThresholdMicro = Some(250000L)).localCheckpoint(true)
+    assert(card.count() == q.count() * 3 * 2) // three methods now
+    def rows(f: String, m: String): Map[Long, Double] = card
+      .filter(col("filter_name") === f && col("method") === m)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall_at_k")).toMap
+    // the starving filter's routed arm is the exact scan: with ≥ k+1 allowed
+    // ids it reads FULL recall where the walk starved at ~0.1
+    assert(rows("starved", "routed").values.forall(_ == 1.0), rows("starved", "routed").toString)
+    // routed dominates harvest per query on BOTH filters (exact ≥ walk;
+    // broad routed IS the walk)
+    for (f <- Seq("broad", "starved")) {
+      val (r, h) = (rows(f, "routed"), rows(f, "harvest"))
+      assert(r.forall { case (qid, v) => v >= h(qid) }, s"$f: $r vs $h")
+    }
+    assert(rows("broad", "routed") == rows("broad", "harvest"))
+  }
+
   test("a stamped loaded index compacts guarded by default (no builtWith threading)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 120).localCheckpoint(true)
