@@ -1960,48 +1960,69 @@ object TextStats {
       topThresholdsMicro: Seq[Long] = Seq(200000L, 180000L, 160000L),
       dupThresholdsMicro: Seq[Long] = Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(topThresholdsMicro.size == 3 && dupThresholdsMicro.size == 6,
       "gopher thresholds are the published n = 2..4 top and n = 5..10 dup batteries")
-    // n_chars deliberately NOT carried through the fan-out (the operator's
-    // dominant relation) — the final select re-derives it from df by id-join
-    val grams = Scans.fanOut(df)
-      .select(col(idCol), split(col(textCol), " ", -1).as("w"))
-      // (n, i) pairs built by FILTER, not by sequence(1, size - n + 1): Spark's
-      // sequence(1, 0) is a DESCENDING range, so a doc shorter than n would
-      // reach slice() with start 0 instead of contributing nothing
-      .select(col(idCol), col("w"),
-        explode(expr(
-          "flatten(transform(sequence(2, 10), n -> " +
-            "filter(transform(sequence(1, size(w)), i -> struct(n AS n, i AS i)), " +
-            "p -> p.i + p.n - 1 <= size(w))))")).as("p"))
-      .select(col(idCol), col("p.n").as("n"),
-        expr("array_join(slice(w, p.i, p.n), ' ')").as("gram"))
-      .groupBy(col(idCol), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // two consumers: the top-gram window and the dup rollup
-    val wTop = Window.partitionBy(col(idCol), col("n"))
-      .orderBy(col("c").desc, length(col("gram")).desc, col("gram").asc)
-    val top = grams.filter(col("n") <= 4)
-      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
-      .select(col(idCol), col("n"), (col("c") * length(col("gram")).cast("long")).as("chars_in"))
-    val dup = grams.filter(col("n") >= 5 && col("c") >= 2)
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(col("c") * length(col("gram")).cast("long")).as("chars_in"))
-    val fracs = top.unionByName(dup)
-      .groupBy(col(idCol))
-      .pivot("n", (2 to 10).map(Integer.valueOf))
-      .agg(first(col("chars_in")))
-      .select(col(idCol) +: (2 to 10).map(n => col(s"$n").as(s"g$n")): _*)
+    // r18 shape: every gram group of the battery lives INSIDE one document row
+    // (counts are per (doc, n, gram)), so the whole battery is computable as
+    // ONE codegen'd map pass — sort each n's gram array, run-length-encode the
+    // sorted runs, and reduce the runs per rule. The previous shape exploded a
+    // 9·tokens-per-doc gram relation, hash-aggregated it corpus-wide, shuffled
+    // it twice more (per-(doc,n) window + dup rollup, unioned), pivoted, and
+    // joined back to the corpus — all of it shuffle traffic over data that
+    // never needed to leave its row. Value-identical: run counts over a sorted
+    // array ARE the group counts, and the old gram-asc tie-break only chose
+    // WHICH gram reported chars_in = c·len — ties on (c, len) all report the
+    // same product, so max(struct(c, len)) over runs is the rank-1 value.
+    // `fanOut` stays: at bench scale the corpus arrives as one input split and
+    // the per-doc compute is the whole cost, so it must spread (at cluster
+    // scale the scan has real splits and fanOut is a no-op).
     val thresholds = topThresholdsMicro ++ dupThresholdsMicro
-    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
-      .join(fracs, Seq(idCol), "left")
+    // ONE self-contained expression computes all nine chars_in values, with
+    // every intermediate bound exactly once as a higher-order-function lambda
+    // variable (the `element_at(transform(array(e), v -> body), 1)` binding
+    // idiom): HOFs evaluate interpreted and are invisible to codegen CSE, so
+    // naming intermediates as projection columns lets CollapseProject inline
+    // them per REFERENCE — the first cut of this rewrite re-ran split(text)
+    // per element access and was ~100× slower than the shuffle it replaced.
+    //   w  — the split word array (bound once per doc)
+    //   s  — n's sorted gram array (run-length grouping needs any total order)
+    //   st — 1-based positions opening a new distinct gram run
+    //   runs — (count, char length) per distinct gram: count = next start −
+    //          this start (last run closed by size(s) + 1)
+    val runs = "transform(st, (x, ri) -> named_struct(" +
+      "'c', cast(if(ri + 2 <= size(st), element_at(st, ri + 2), size(s) + 1) - x as bigint), " +
+      "'len', cast(length(element_at(s, x)) as bigint)))"
+    val charsInExpr =
+      "element_at(transform(array(split(t, ' ', -1)), w -> " +
+        "transform(sequence(2, 10), n -> " +
+          "element_at(transform(array(case when size(w) >= n then " +
+              "array_sort(transform(sequence(1, size(w) - n + 1), i -> array_join(slice(w, i, n), ' ')))" +
+              " else cast(array() as array<string>) end), s -> " +
+            "element_at(transform(array(case when size(s) = 0 then cast(array() as array<int>) else " +
+                "filter(sequence(1, size(s)), j -> j = 1 or element_at(s, j) != element_at(s, j - 1)) end), st -> " +
+              // top battery (n ≤ 4): argmax over (c, len) — chars_in = c·len is
+              // tie-invariant, so any (c, len) argmax equals the old rank-1 row;
+              // dup battery (n ≥ 5): Σ c·len over runs with c ≥ 2
+              s"if(n <= 4, aggregate($runs, named_struct('c', 0L, 'len', 0L), " +
+                "(a, x) -> if(x.c > a.c or (x.c = a.c and x.len > a.len), x, a), a -> a.c * a.len), " +
+              s"aggregate($runs, 0L, (a, x) -> a + if(x.c >= 2, x.c * x.len, 0L)))" +
+            "), 1)" +
+          "), 1)" +
+        ")" +
+      "), 1)"
+    // explode(array(…)) is a Generate barrier: CollapseProject cannot merge
+    // across it, so the battery runs once per doc and the fraction columns
+    // below extract from the bound `g` attribute instead of re-deriving it
+    Scans.fanOut(df)
+      .select(col(idCol), col(textCol).as("t"))
+      .select(col(idCol), length(col("t")).cast("long").as("n_chars"),
+        explode(array(expr(charsInExpr))).as("g"))
       .select(
         col(idCol) +: col("n_chars") +:
           (2 to 10).map { n =>
             // exact floor(1e6·a/b + ½) = (2·1e6·a + b) div 2b; greatest guards the
             // empty-text doc (a = 0 there, so the clamped denominator is harmless)
-            expr(s"(2 * 1000000 * coalesce(g$n, 0) + greatest(n_chars, 1)) div " +
+            expr(s"(2 * 1000000 * element_at(g, ${n - 1}) + greatest(n_chars, 1)) div " +
               "(2 * greatest(n_chars, 1))").cast("long").as(fracName(n - 2))
           }: _*)
       .select(

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Run a graft main directly against the compiled classes + Spark jars,
+# bypassing sbt (same JVM flags as build.sbt's javaOptions).
+# Usage: tools/run_main.sh graft.Verify /root/testdata/sf0.001 /tmp/verify_out
+set -e
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
