@@ -50,6 +50,7 @@ object Profile {
     }
     Thread.sleep(500)
     jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
+    stageNames.clear(); stageMs.clear(); stageTasks.clear()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9

@@ -47,11 +47,21 @@ object Dedup {
     * (an explode(sequence(0, k-1)) form shuffles k× the shingle rows), and md5 — the
     * dominant per-row cost — runs once per shingle, not once per (shingle, k).
     */
-  def minhashWide(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val hashed = sh.select(
-      col(idCol),
-      (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashPrime).as("hm")
-    )
+  def minhashWide(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    minhashWideFromHm(
+      sh.select(
+        col(idCol),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashPrime)
+          .as("hm")),
+      idCol, numHashes)
+
+  /** The aggregation half of [[minhashWide]] over a pre-hashed (id, hm) relation —
+    * shared so a multi-config sweep ([[lshAutoTune]]) hashes the corpus ONCE and
+    * derives every config's signatures from the same base relation. Permutation k's
+    * definition is global (the affine map depends only on k), so a config using
+    * fewer hashes reads a prefix of the same mh columns.
+    */
+  private[pipeline] def minhashWideFromHm(hashed: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { k =>
       min((lit(2L * k + 1) * col("hm") + lit(12289L * k + 1)) % MinhashPrime).as(s"mh$k")
     }
@@ -81,9 +91,17 @@ object Dedup {
       shingleSize: Int,
       bands: Int,
       rowsPerBand: Int
-  ): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val wide = minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, numHashes)
+  ): DataFrame =
+    bandSigsOfWide(
+      minhashWide(shingles(df, idCol, textCol, shingleSize), idCol, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+
+  /** The banding half of [[bandSignatures]] over a pre-built wide signature row —
+    * shared with the sweep ([[lshTuneSweep]]), which derives every config's bands
+    * from ONE wide relation.
+    */
+  private def bandSigsOfWide(
+      wide: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val sig = concat_ws("_",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k").cast("string")): _*)
@@ -119,11 +137,19 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       maxBucketMembers: Long = 10000L
-  ): DataFrame = {
+  ): DataFrame =
+    pairsFromBandSigs(
+      bandSignatures(df, idCol, textCol, shingleSize, bands, rowsPerBand), idCol,
+      maxBucketMembers)
+
+  /** The census + capped self-join half of [[minhashLshPairs]] over an explicit
+    * band-signature relation — shared with the sweep.
+    */
+  private def pairsFromBandSigs(
+      sigs: DataFrame, idCol: String, maxBucketMembers: Long): DataFrame = {
     // one band-sig row per (doc, band) — tiny; materialized once so the self-join below
     // doesn't re-run the whole shingle+minhash pipeline for each side
-    val bandSigs = bandSignatures(df, idCol, textCol, shingleSize, bands, rowsPerBand)
-      .localCheckpoint(true)
+    val bandSigs = sigs.localCheckpoint(true)
     // membership census per cell — map-side-combinable count, then an equi-join that
     // admits only bounded cells into the quadratic step (never a global sort/window)
     val smallCells = bandSigs.groupBy(col("band"), col("sig"))
@@ -837,8 +863,20 @@ object Dedup {
       maxBucketMembers: Long
   ): (DataFrame, Seq[((Int, Int), DataFrame)]) = {
     import org.apache.spark.sql.expressions.Window
-    val truth = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold,
-        maxShingleDocFreq)
+    // r18: hash the corpus ONCE — the (id, h) shingle-hash relation feeds the
+    // exact-Jaccard truth AND (reduced mod p) the shared wide minhash row every
+    // config's band signatures slice from. The old sweep re-ran the
+    // WordShingles + md5 pipeline once for the truth and once PER config
+    // (1 + |configs| corpus hash passes; this is the dominant per-pass cost).
+    val hs = shingleHashes(df, idCol, textCol, shingleSize)
+      .localCheckpoint(true) // truth + the wide signature aggregation
+    val truth = sharedItemPairCounts(hs, idCol, maxShingleDocFreq.toLong)
+      .withColumn(
+        "jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+      )
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // one count + one hit join per config
     val t = truth.agg(count(lit(1)).as("n_true"))
@@ -846,9 +884,13 @@ object Dedup {
       when(den === 0L, 0L)
         .otherwise(floor(lit(1000000.0) * num.cast("double") / den.cast("double")
           + lit(0.5)).cast("long"))
+    val wide = minhashWideFromHm(
+        hs.select(col(idCol), (col("h") % MinhashPrime).as("hm")),
+        idCol, configs.map { case (b, r) => b * r }.max)
+      .localCheckpoint(true) // each config's band explode reads this row
     val cands = configs.map { case (b, r) =>
       ((b, r),
-        minhashLshPairs(df, idCol, textCol, shingleSize, b, r, maxBucketMembers)
+        pairsFromBandSigs(bandSigsOfWide(wide, idCol, b, r), idCol, maxBucketMembers)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint(true)) // count + hit join (+ d28's clustering reuse)
     }

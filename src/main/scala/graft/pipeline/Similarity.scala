@@ -405,34 +405,67 @@ object Similarity {
       rounds: Int
   ): DataFrame = {
     kmeansTrainInvocations.incrementAndGet()
+    val spark = df.sparkSession
     val v = df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
       .filter(col("nv") > 0)
-      .localCheckpoint(true)
-    var cents = v.orderBy(col("vec_id").asc).limit(k)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-      .withColumn("cn", norm2(col("cv")))
-      .filter(col("cn") > 0)
-      .withColumn("n_members", lit(0L))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster").asc)
-      val best = v.crossJoin(broadcast(cents.select(col("cluster"), col("cv"), col("cn"))))
-        .select(col("vec_id"), col("cluster"), col("v"),
-          round(cosineFromNorms(dot(col("v"), col("cv")), col("nv"), col("cn")), 6).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      .localCheckpoint(false)
+    // r18: the k-row centroid state lives on the DRIVER between rounds (bounded
+    // by the cells dial — the t55 vocab-literal pattern, never corpus-sized).
+    // Each round is then ONE shuffle-free codegen'd corpus map (argmax over k
+    // LITERAL centroids via greatest over (cos, -cluster) structs — identical
+    // rounded-cosine sequence, identical cos-desc/cluster-asc tie-break) plus
+    // one map-side-combinable wide-sum agg collected back to k rows. The old
+    // loop paid, per round: a broadcast build job, a k×|corpus| crossJoin, a
+    // per-vector window sort (an Exchange + sort of the corpus with vectors
+    // aboard), and an eager k-row checkpoint job.
+    def collectCents(cents: DataFrame): Array[(Int, Long, Seq[Double], Double)] =
+      cents.select(col("cluster").cast("int"), col("n_members").cast("long"),
+          col("cv"), col("cn"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))
+        .sortBy(_._1)
+    var cents = collectCents(
+      v.orderBy(col("vec_id").asc).limit(k)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+        .withColumn("cn", norm2(col("cv")))
+        .filter(col("cn") > 0)
+        .withColumn("n_members", lit(0L)))
+    for (_ <- 1 to rounds if cents.nonEmpty) {
+      val bestStruct = cents.map { case (cl, _, cv, cn) =>
+        struct(
+          round(cosineFromNorms(dot(col("v"), lit(cv.toArray)), col("nv"), lit(cn)), 6)
+            .as("cos"),
+          lit(-cl).as("negc"))
+      }.toSeq
+      val bs = if (bestStruct.size == 1) bestStruct.head else greatest(bestStruct: _*)
+      val best = v.select((-bs.getField("negc")).as("cluster"), col("v"))
       val aggs = count(lit(1)).as("n_members") +:
         (0 until dims).map(i => sum(col("v")(i)).as(s"s$i"))
-      cents = best.groupBy(col("cluster"))
+      cents = collectCents(best.groupBy(col("cluster"))
         .agg(aggs.head, aggs.tail: _*)
         .select(col("cluster"), col("n_members"),
           array((0 until dims).map(i => round(col(s"s$i") / col("n_members"), 6)): _*).as("cv"))
         .withColumn("cn", norm2(col("cv")))
-        .filter(col("cn") > 0)
-        .localCheckpoint(true)
+        .filter(col("cn") > 0))
     }
-    cents
+    // hand the final k-row state back as a local relation (same columns the
+    // checkpointed loop used to return; broadcasts downstream are unchanged)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toSeq.map { case (cl, n, cv, cn) =>
+          org.apache.spark.sql.Row(cl, n, cv, cn)
+        }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_members",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false),
+            nullable = false),
+          org.apache.spark.sql.types.StructField("cn",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** s22 — the trained model in [[kmeansStep]]'s long form: (cluster, dim, centroid,
@@ -476,7 +509,7 @@ object Similarity {
   ): DataFrame = {
     val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val approx = lshTopK(queries, candidates, idCol, vecCol, k, nPlanes, dims)
       .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
       .unionByName(
@@ -590,27 +623,41 @@ object Similarity {
     // candidate pairs) and the bucket relation self-joins; materialize each once
     val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
-      .localCheckpoint(true)
-    val tables = (0 until nTables).map { t =>
-      struct(
-        lit(t).as("tbl"),
-        lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket")
-      )
-    }
-    val buckets = vecs
-      .select(col("id"), explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(true)
-    val smallCells = buckets.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
-      .filter(col("cell_n") <= maxBucketMembers)
-      .select(col("tbl"), col("bucket"))
-    val admitted = buckets.join(smallCells, Seq("tbl", "bucket"))
-    val cand = admitted.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(admitted.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      .localCheckpoint(false)
+    // r18: each unordered pair is emitted by its EARLIEST admitted colliding
+    // table instead of by every colliding table with a distinct() afterwards —
+    // the cross-table dedup becomes a filter on the join output (earlier-table
+    // buckets ride along on the per-id row), removing the pairs-sized Exchange
+    // the distinct paid. Same pair set by construction: a pair survives iff
+    // some table's cell holds both ids under the cap, and it is generated
+    // exactly once, at the first such table.
+    val wide = vecs.select(col("id") +: (0 until nTables).map(t =>
+      lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable)
+        .as(s"b$t")): _*)
+    // per-table admitted flag from the cell census (catalog-sized, broadcast);
+    // an over-cap cell's members keep adm=false and generate nothing there
+    val flagged = (0 until nTables).foldLeft(wide) { (acc, t) =>
+      val cells = wide.groupBy(col(s"b$t")).agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") <= maxBucketMembers)
+        .select(col(s"b$t"), lit(true).as(s"adm$t"))
+      acc.join(broadcast(cells), Seq(s"b$t"), "left")
+    }.select(col("id") +: (0 until nTables).flatMap(t =>
+        Seq(col(s"b$t"), coalesce(col(s"adm$t"), lit(false)).as(s"adm$t"))): _*)
+      .localCheckpoint(false) // self-joins once per table
+    val cand = (0 until nTables).map { t =>
+      val l = flagged.filter(col(s"adm$t")).select(
+        col("id").as("id_a") +: col(s"b$t").as("bucket") +:
+          (0 until t).flatMap(i => Seq(col(s"b$i").as(s"a_b$i"), col(s"adm$i").as(s"a_adm$i"))): _*)
+      val r = flagged.filter(col(s"adm$t")).select(
+        col("id").as("id_b") +: col(s"b$t").as("bucket") +:
+          (0 until t).map(i => col(s"b$i").as(s"b_b$i")): _*)
+      val firstTable = (0 until t)
+        .map(i => !(col(s"a_adm$i") && col(s"a_b$i") === col(s"b_b$i")))
+        .foldLeft(lit(true))(_ && _)
+      l.join(r, Seq("bucket"))
+        .filter(col("id_a") < col("id_b") && firstTable)
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _)
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), Seq("id_b"))
@@ -649,7 +696,7 @@ object Similarity {
       maxBucketMembers: Long = 10000L
   ): DataFrame = {
     val scored = scoredLshPairs(df, idCol, vecCol, nTables, planesPerTable, dims, maxBucketMembers)
-      .localCheckpoint(true) // consumed twice (both directions of the symmetric edge)
+      .localCheckpoint(false) // consumed twice (both directions of the symmetric edge)
     val sym = scored
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos_sim"))
       .unionByName(scored
@@ -705,7 +752,7 @@ object Similarity {
       v.select(col("id"), explode(array(tables: _*)).as("tb"))
         .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     }
-    val corpusBuckets = bucketed(corpus).localCheckpoint(true)
+    val corpusBuckets = bucketed(corpus).localCheckpoint(false)
     val smallCells = corpusBuckets.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") <= maxBucketMembers)
@@ -792,10 +839,10 @@ object Similarity {
           "equivalence only holds at the build dials")
     }
     val tomb = tombstones.select(col(tombstones.columns.head).as("tid")).distinct()
-      .localCheckpoint(true) // id catalog; broadcast into every cut below
+      .localCheckpoint(false) // id catalog; broadcast into every cut below
     val vecs = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm2(col("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         lshBucket(col("v"), planesPerTable, dims, planeOffset = t * planesPerTable).as("bucket"))
@@ -804,11 +851,11 @@ object Similarity {
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .join(broadcast(tomb), col("id") === col("tid"), "left")
       .select(col("id"), col("tbl"), col("bucket"), col("tid").isNotNull.as("is_tomb"))
-      .localCheckpoint(true) // feeds the census, the flipped-cell cut, and re-pairing
+      .localCheckpoint(false) // feeds the census, the flipped-cell cut, and re-pairing
     val census = buckets.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("n_full"),
         sum(when(col("is_tomb"), 0L).otherwise(1L)).as("n_surv"))
-      .localCheckpoint(true) // cell catalog — two consumers
+      .localCheckpoint(false) // cell catalog — two consumers
     val admittedSurv = census.filter(col("n_surv") <= maxBucketMembers)
       .select(col("tbl"), col("bucket"))
     val flipped = census
@@ -822,7 +869,7 @@ object Similarity {
       .select(col("id")).distinct()
     val affected = lostEdge.unionByName(inFlipped).distinct()
       .join(broadcast(tomb.select(col("tid").as("id"))), Seq("id"), "left_anti")
-      .localCheckpoint(true) // consumed by the carry-over cut and the re-pair probe
+      .localCheckpoint(false) // consumed by the carry-over cut and the re-pair probe
     val keep = graph
       .join(broadcast(tomb.select(col("tid").as("vec_id"))), Seq("vec_id"), "left_anti")
       .join(affected.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
@@ -1133,16 +1180,16 @@ object Similarity {
   ): GraphAnnPrepared = {
     val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ent = entries.getOrElse(graphAnnEntryPoints(df, idCol, vecCol, model))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // both are model-sized relations — the emptiness probe is a k-row job, and
     // an all-miss search that LOOKS like recall 0 becomes a named error instead
     require(!ent.isEmpty,
       "graphAnnSearch: empty entry set — the trained model matched no nonzero corpus " +
         "vector (empty/zero corpus, or an entries artifact from a different corpus); " +
         "rebuild with graphAnnEntryPoints")
-    val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(true)
+    val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(false)
     GraphAnnPrepared(vecs, adj, model, ent)
   }
 
@@ -1162,7 +1209,7 @@ object Similarity {
   ): DataFrame = {
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     beamWalk(qs, graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe),
       prep.vecs, prep.adj, k, beam, rounds)
   }
@@ -1201,7 +1248,7 @@ object Similarity {
       entries: Option[DataFrame] = None
   ): DataFrame = {
     val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
-      .localCheckpoint(true) // id catalog; one harvest semi-join
+      .localCheckpoint(false) // id catalog; one harvest semi-join
     graphAnnSearchFilteredPrepared(queries, idCol, vecCol,
       graphAnnPrepare(df, idCol, vecCol, graph, model, entries),
       allow, k, beam, rounds, entryProbe)
@@ -1228,7 +1275,7 @@ object Similarity {
   ): DataFrame = {
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     val (pool, _) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
     pool
@@ -1286,7 +1333,7 @@ object Similarity {
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("cand"), col("cos_sim"))
     var scored = scoreAll(
-      graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe)).localCheckpoint(true)
+      graphAnnSeedCandidates(qs, prep.model, prep.entries, entryProbe)).localCheckpoint(false)
     var pool = scored
     var beamRel = cutBeam(scored)
     for (_ <- 1 to rounds) {
@@ -1295,7 +1342,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("cand"))
         .unionByName(beamRel.select(col("query_id"), col("cand")))
         .distinct()
-      scored = scoreAll(expanded).localCheckpoint(true)
+      scored = scoreAll(expanded).localCheckpoint(false)
       pool = pool.unionByName(scored)
       beamRel = cutBeam(scored)
     }
@@ -1352,18 +1399,18 @@ object Similarity {
     val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     val (pool, beamRel) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
-    val poolC = pool.localCheckpoint(true) // shared by every filter arm
+    val poolC = pool.localCheckpoint(false) // shared by every filter arm
     // the plain search's answer (s26's top-k cut of the final beam) — what the
     // naive postfilter arm filters; also filter-independent, so computed once
     val plainTopK = beamRel.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand"))
-      .localCheckpoint(true)
-    val qids = qs.select(col("query_id")).localCheckpoint(true)
+      .localCheckpoint(false)
+    val qids = qs.select(col("query_id")).localCheckpoint(false)
     // the routed arm's corpus scalar — one register read off the checkpointed
     // vector relation, paid only when the routed arm is requested (s51)
     val nCorpus = routedThresholdMicro.map(_ => prep.vecs.count())
@@ -1371,18 +1418,18 @@ object Similarity {
       routedThresholdMicro.map(_ => "routed").toSeq
     filters.map { case (name, allowed) =>
       val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val truth = bruteForceTopK(queries,
           df.join(allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi"),
           idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val harvest = poolC.join(allow, Seq("cand"), "left_semi")
         .filter(col("cand") =!= col("query_id"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(lit("harvest").as("method"), col("query_id"), col("cand").as("neighbor_id"))
-        .localCheckpoint(true) // the routed broad arm re-reads it
+        .localCheckpoint(false) // the routed broad arm re-reads it
       val post = plainTopK.join(allow, Seq("cand"), "left_semi")
         .select(lit("postfilter").as("method"), col("query_id"), col("cand").as("neighbor_id"))
       // the s48 ROUTER's answer, measured in the same card: a starving filter
@@ -1553,14 +1600,14 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("cand"), col("cos_sim"))
-    var beamRel = scoreBeam(seed).localCheckpoint(true)
+    var beamRel = scoreBeam(seed).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val expanded = beamRel.select(col("query_id"), col("cand"))
         .join(adj, Seq("cand"))
         .select(col("query_id"), col("neighbor_id").as("cand"))
         .unionByName(beamRel.select(col("query_id"), col("cand")))
         .distinct()
-      beamRel = scoreBeam(expanded).localCheckpoint(true)
+      beamRel = scoreBeam(expanded).localCheckpoint(false)
     }
     beamRel.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
@@ -1653,10 +1700,10 @@ object Similarity {
   ): DataFrame = {
     val prep = graphAnnPrepare(df, idCol, vecCol, graph, model, entries)
     val layers = graphAnnLayers(df, idCol, vecCol, model, layerSizes)
-      .localCheckpoint(true) // Σ layerSizes rows — model-sized
+      .localCheckpoint(false) // Σ layerSizes rows — model-sized
     val qs = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wAnchor = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand").asc)
     def topAnchors(cands: DataFrame): DataFrame =
       cands.join(qs, Seq("query_id"))
@@ -1796,7 +1843,7 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("cid"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the mega-cell guard the scale note promises: a cell above `maxCellMembers` is
     // excluded from the pairwise pass (its members keep by default and fall to the
     // exact d01/d02 screens) — one such cell is quadratic in its membership, and the
@@ -2099,7 +2146,7 @@ object Similarity {
           .as("pcos"))
       .withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= k * overfetch)
-      .localCheckpoint(true) // |Q|·|widths|·k·overfetch; curve + the actuated arm
+      .localCheckpoint(false) // |Q|·|widths|·k·overfetch; curve + the actuated arm
     val truth = bruteForceTopK(queries, candidates, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     val hits = shortlist.filter(col("crk") <= k)
@@ -2646,7 +2693,7 @@ object Similarity {
     val model = kmeansRounds(candidates, idCol, vecCol, kCells, 64, trainRounds) // dims = nSub·subDim = 64
     val ranked = probeLevelRanked(queries, candidates, idCol, vecCol, k, probeLevels,
         model, nSub = 8, subDim = 8, nCodes = 16, overfetch = 4)
-      .localCheckpoint(true) // |queries|·|levels|·k rows; consumers: grid pooling + the actuated slice
+      .localCheckpoint(false) // |queries|·|levels|·k rows; consumers: grid pooling + the actuated slice
     val curve = probeRecallGrid(ranked, queries, candidates, idCol, vecCol, k, probeLevels)
     val pooled = curve
       .select(col("n_probe"),
@@ -2707,7 +2754,7 @@ object Similarity {
     val cells = cents.select(col("cid"))
       .join(counts, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("n"), lit(0L)).as("n_members"))
-      .localCheckpoint(true) // two consumers: the rows and the 1-row total
+      .localCheckpoint(false) // two consumers: the rows and the 1-row total
     val tot = cells.agg(
       count(lit(1)).as("k_cells"),
       sum(col("n_members")).as("n_total"),
@@ -2939,7 +2986,7 @@ object Similarity {
     val queries = corpus.filter(col(idCol) % queryMod === 0)
     val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // one truth, every arm joins it
+      .localCheckpoint(false) // one truth, every arm joins it
     // the query census rides as a broadcast 1-row relation — no eager count on
     // a derived relation (the s31 census lesson)
     val nQueries = queries.agg(count(lit(1)).as("n_queries"))
@@ -3021,7 +3068,7 @@ object Similarity {
       val nQueries = queries.agg(count(lit(1)).as("n_queries"))
       val truth = bruteForceTopK(queries, serveCorpus, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true) // one truth per scenario, every arm joins it
+        .localCheckpoint(false) // one truth per scenario, every arm joins it
       val freshModel = kmeansRounds(serveCorpus, idCol, vecCol, cells, dims = 64,
         rounds = trainRounds)
       val fresh = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
@@ -3050,7 +3097,7 @@ object Similarity {
     val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0)
     // the full-corpus graph serves twice — scenario A's fresh arm and the
     // compaction input — so it is built once and checkpointed
-    val gFull = knnGraph(corpus, idCol, vecCol, k = graphK).localCheckpoint(true)
+    val gFull = knnGraph(corpus, idCol, vecCol, k = graphK).localCheckpoint(false)
     val compactedAdj = compactGraphAnnAdjacency(corpus, tomb,
       gFull, idCol, vecCol, k = graphK)
     scenario("extend", corpus, gFull, "extended", extendedAdj, archive)
@@ -3116,7 +3163,7 @@ object Similarity {
     val nqA = queriesA.agg(count(lit(1)).as("n_queries"))
     val truthA = bruteForceTopK(queriesA, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // one truth per scenario, every arm joins it
+      .localCheckpoint(false) // one truth per scenario, every arm joins it
     val freshModel = kmeansRounds(corpus, idCol, vecCol, kCells, dims = 64,
       rounds = trainRounds)
     val agedModel = kmeansRounds(corpus.filter(col(idCol) < arrivalCut), idCol, vecCol,
@@ -3126,13 +3173,13 @@ object Similarity {
     val agedA = ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, agedModel,
       overfetch = overfetch)
     // scenario B — the s38 lifecycle, both construction paths
-    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0).localCheckpoint(true)
+    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0).localCheckpoint(false)
     val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
     val queriesB = survivors.filter(col(idCol) % queryMod === 0)
     val nqB = queriesB.agg(count(lit(1)).as("n_queries"))
     val truthB = bruteForceTopK(queriesB, survivors, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val freshB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
       int8Quantize(survivors, idCol, vecCol), overfetch)
     val compB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
@@ -3452,7 +3499,7 @@ object Similarity {
     val cand = bruteForceTopK(queries, candidates, idCol, vecCol, candK)
       .select(col("query_id"), col("neighbor_id"), micro(col("cos_sim")).as("rel_micro"),
         col("rank"))
-      .localCheckpoint(true) // consumed every greedy round
+      .localCheckpoint(false) // consumed every greedy round
     val vecs = candidates
       .select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
       .withColumn("vn", norm2(col("v")))
@@ -3465,7 +3512,7 @@ object Similarity {
       .select(col("query_id"), col("id_a"), col("id_b"),
         micro(round(cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
           .as("sim_micro"))
-      .localCheckpoint(true) // consumed every greedy round
+      .localCheckpoint(false) // consumed every greedy round
     // round 1: the empty-selection MMR score is λ·rel, so the pick IS the top-ranked
     var sel = cand
       .filter(col("rank") === 1)
@@ -3492,7 +3539,7 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel_micro"), col("score_micro"),
           lit(r).as("mmr_rank"))
-      sel = sel.unionByName(pick).localCheckpoint(true) // selection feeds the next round
+      sel = sel.unionByName(pick).localCheckpoint(false) // selection feeds the next round
     }
     sel
   }
