@@ -22,8 +22,15 @@ object Profile {
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = j.stageInfos.flatMap(_.details.linesIterator
+            .filter(l => l.contains("at graft.") && !l.contains("Profile")))
+          .headOption.map(_.trim.take(110)).getOrElse("?")
+        jobSites.computeIfAbsent(site, _ => new AtomicInteger(0)).incrementAndGet()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         stageNames.put(s.stageInfo.stageId,
@@ -50,7 +57,7 @@ object Profile {
     }
     Thread.sleep(500)
     jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
-    stageNames.clear(); stageMs.clear(); stageTasks.clear()
+    stageNames.clear(); stageMs.clear(); stageTasks.clear(); jobSites.clear()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -60,6 +67,9 @@ object Profile {
     stageMs.asScala.toSeq.sortBy(-_._2.get).take(20).foreach { case (sid, ms) =>
       val n = Option(stageTasks.get(sid)).map(_.get).getOrElse(0)
       println(f"[stage] ${ms.get / 1e3}%7.2fs  $n%4d tasks  ${stageNames.getOrDefault(sid, "?")}")
+    }
+    jobSites.asScala.toSeq.sortBy(-_._2.get).take(20).foreach { case (site, n) =>
+      println(f"[jobs ] ${n.get}%4d  $site")
     }
     spark.stop()
   }

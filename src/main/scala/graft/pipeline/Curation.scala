@@ -124,24 +124,34 @@ object Curation {
     val base = docs.select(col(idCol), col(sourceCol), col(textCol)).localCheckpoint(true)
     val s0 = base.select(col(idCol), col(sourceCol))
     val s1 = s0.filter(col(idCol) % benchmarkMod =!= 0)
-    // both batteries off the SHARED checkpoint (not via gopherGate, whose own
-    // internal checkpoint would materialize the corpus text a second time)
-    val gq = TextStats.gopherQuality(base, idCol, textCol,
-        requiredWords = requiredWords, minRequiredHits = minRequiredHits)
-      .filter(col("reasons") === 0L).select(col(idCol))
-    val gr = TextStats.gopherRepetition(base, idCol, textCol)
-      .filter(col("reasons") === 0L).select(col(idCol))
+    // r18: the five gate RELATIONS are independent functions of the shared
+    // checkpoint (the stage sets below are just id-set intersections of them)
+    // — materialize each gate in its own thread (the s45 Par shape) so their
+    // jobs overlap instead of serializing on the driver. Both Gopher
+    // batteries run off the SHARED checkpoint (not via gopherGate, whose own
+    // internal checkpoint would materialize the corpus text a second time).
+    val Seq(gq, gr, keepers, ngramContam, semContam) = Par.seq(Seq(
+      () => TextStats.gopherQuality(base, idCol, textCol,
+          requiredWords = requiredWords, minRequiredHits = minRequiredHits)
+        .filter(col("reasons") === 0L).select(col(idCol))
+        .localCheckpoint(true),
+      () => TextStats.gopherRepetition(base, idCol, textCol)
+        .filter(col("reasons") === 0L).select(col(idCol))
+        .localCheckpoint(true),
+      () => Dedup.exact(base, idCol, textCol).select(col("keep_id").as(idCol))
+        .localCheckpoint(true),
+      () => Dedup.benchmarkDecontaminate(base, idCol, textCol,
+          benchmarkMod, shingleSize).select(col(idCol))
+        .localCheckpoint(true),
+      () => Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
+          benchmarkMod, semanticThresholdMicro)
+        .filter(col("contaminated") === 1)
+        .select(col("vec_id").as(idCol))
+        .localCheckpoint(true)))
     val s2 = s1.join(gq, Seq(idCol), "left_semi")
       .join(gr, Seq(idCol), "left_semi").localCheckpoint(true)
-    val keepers = Dedup.exact(base, idCol, textCol).select(col("keep_id").as(idCol))
     val s3 = s2.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
-    val ngramContam = Dedup.benchmarkDecontaminate(base, idCol, textCol,
-      benchmarkMod, shingleSize).select(col(idCol))
     val s4 = s3.join(ngramContam, Seq(idCol), "left_anti").localCheckpoint(true)
-    val semContam = Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
-        benchmarkMod, semanticThresholdMicro)
-      .filter(col("contaminated") === 1)
-      .select(col("vec_id").as(idCol))
     val s5 = s4.join(semContam, Seq(idCol), "left_anti")
     Seq("00_total" -> s0, "01_train_split" -> s1, "02_gopher" -> s2,
       "03_exact_keeper" -> s3, "04_ngram_clean" -> s4, "05_semantic_clean" -> s5)
@@ -258,23 +268,25 @@ object Curation {
     val s1 = base.select(col(idCol), col(sourceCol))
       .filter(col(idCol) % benchmarkMod =!= 0)
     // minRequiredHits = 0 disarms the hits bit (req_hits < 0 never fires), so
-    // reasons carries only the config-invariant rules
-    val gq = TextStats.gopherQuality(base, idCol, textCol,
-        requiredWords = requiredWords, minRequiredHits = 0)
-      .select(col(idCol), col("reasons"), col("req_hits"))
-      .localCheckpoint(true)
-    val gr = TextStats.gopherRepetition(base, idCol, textCol)
-      .filter(col("reasons") === 0L).select(col(idCol)).localCheckpoint(true)
-    val keepers = Dedup.exact(base, idCol, textCol)
-      .select(col("keep_id").as(idCol)).localCheckpoint(true)
-    val ncon = Dedup.benchmarkDecontaminate(base, idCol, textCol,
-        benchmarkMod, shingleSize)
-      .select(col(idCol)).localCheckpoint(true)
-    // threshold 0 is ignored — only the per-vector argmax is kept
-    val sem = Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
-        benchmarkMod, thresholdMicro = 0L)
-      .select(col("vec_id").as(idCol), col("max_cos_micro"))
-      .localCheckpoint(true)
+    // reasons carries only the config-invariant rules. The five gates are
+    // independent off the shared checkpoint — overlapped (the s45 Par shape).
+    val Seq(gq, gr, keepers, ncon, sem) = Par.seq(Seq(
+      () => TextStats.gopherQuality(base, idCol, textCol,
+          requiredWords = requiredWords, minRequiredHits = 0)
+        .select(col(idCol), col("reasons"), col("req_hits"))
+        .localCheckpoint(true),
+      () => TextStats.gopherRepetition(base, idCol, textCol)
+        .filter(col("reasons") === 0L).select(col(idCol)).localCheckpoint(true),
+      () => Dedup.exact(base, idCol, textCol)
+        .select(col("keep_id").as(idCol)).localCheckpoint(true),
+      () => Dedup.benchmarkDecontaminate(base, idCol, textCol,
+          benchmarkMod, shingleSize)
+        .select(col(idCol)).localCheckpoint(true),
+      // threshold 0 is ignored — only the per-vector argmax is kept
+      () => Similarity.semanticDecontaminate(embeddings, vecIdCol, vecCol,
+          benchmarkMod, thresholdMicro = 0L)
+        .select(col("vec_id").as(idCol), col("max_cos_micro"))
+        .localCheckpoint(true)))
     def admitted(minHits: Int, semMicro: Long): DataFrame =
       s1
         .join(gq.filter(col("reasons") === 0L && col("req_hits") >= minHits)

@@ -576,16 +576,19 @@ object Dedup {
     val base = docs.select(col(idCol), col(textCol)).localCheckpoint(true)
     val all = base.select(col(idCol)).localCheckpoint(true)
     def removed(kept: DataFrame): DataFrame = all.join(kept, Seq(idCol), "left_anti")
-    val rExact = removed(exact(base, idCol, textCol).select(col("keep_id").as(idCol)))
-      .localCheckpoint(true)
-    val rNear = removed(clusterKeepLongest(base, idCol, textCol,
-        shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
-      .select(col("kept_doc").as(idCol)))
-      .localCheckpoint(true)
-    val rSem = removed(semanticDedupClusters(docs, embeddings, idCol, textCol,
-        vecIdCol, vecCol, thresholdMicro, kCells, dims, trainRounds, rounds)
-      .select(col("kept_doc").as(idCol)))
-      .localCheckpoint(true)
+    // r18: the three policy chains are independent — overlap them (the s45
+    // Par shape; each materializes eagerly at its own boundary)
+    val Seq(rExact, rNear, rSem) = Par.seq(Seq(
+      () => removed(exact(base, idCol, textCol).select(col("keep_id").as(idCol)))
+        .localCheckpoint(true),
+      () => removed(clusterKeepLongest(base, idCol, textCol,
+          shingleSize, bands, rowsPerBand, rounds, maxBucketMembers)
+        .select(col("kept_doc").as(idCol)))
+        .localCheckpoint(true),
+      () => removed(semanticDedupClusters(docs, embeddings, idCol, textCol,
+          vecIdCol, vecCol, thresholdMicro, kCells, dims, trainRounds, rounds)
+        .select(col("kept_doc").as(idCol)))
+        .localCheckpoint(true)))
     val policies = Seq(
       "exact_min_id" -> rExact,
       "near_keep_longest" -> rNear,
@@ -870,30 +873,36 @@ object Dedup {
     // (1 + |configs| corpus hash passes; this is the dominant per-pass cost).
     val hs = shingleHashes(df, idCol, textCol, shingleSize)
       .localCheckpoint(true) // truth + the wide signature aggregation
-    val truth = sharedItemPairCounts(hs, idCol, maxShingleDocFreq.toLong)
-      .withColumn(
-        "jaccard",
-        round(col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
-      )
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true) // one count + one hit join per config
-    val t = truth.agg(count(lit(1)).as("n_true"))
     def rate(num: Column, den: Column): Column =
       when(den === 0L, 0L)
         .otherwise(floor(lit(1000000.0) * num.cast("double") / den.cast("double")
           + lit(0.5)).cast("long"))
-    val wide = minhashWideFromHm(
-        hs.select(col(idCol), (col("h") % MinhashPrime).as("hm")),
-        idCol, configs.map { case (b, r) => b * r }.max)
-      .localCheckpoint(true) // each config's band explode reads this row
-    val cands = configs.map { case (b, r) =>
-      ((b, r),
-        pairsFromBandSigs(bandSigsOfWide(wide, idCol, b, r), idCol, maxBucketMembers)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true)) // count + hit join (+ d28's clustering reuse)
-    }
+    // r18: the exact truth and the minhash side are independent off the shared
+    // hash checkpoint — overlap them, and the per-config pair relations too
+    // (the s45 Par shape)
+    val (truth, cands) = Par.join2(
+      sharedItemPairCounts(hs, idCol, maxShingleDocFreq.toLong)
+        .withColumn(
+          "jaccard",
+          round(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+        )
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true), // one count + one hit join per config
+      {
+        val wide = minhashWideFromHm(
+            hs.select(col(idCol), (col("h") % MinhashPrime).as("hm")),
+            idCol, configs.map { case (b, r) => b * r }.max)
+          .localCheckpoint(true) // each config's band explode reads this row
+        val pairRels = Par.seq(configs.map { case (b, r) => () =>
+          pairsFromBandSigs(bandSigsOfWide(wide, idCol, b, r), idCol, maxBucketMembers)
+            .select(col("id_a"), col("id_b"))
+            .localCheckpoint(true) // count + hit join (+ d28's clustering reuse)
+        })
+        configs.zip(pairRels)
+      })
+    val t = truth.agg(count(lit(1)).as("n_true"))
     val report = cands.map { case ((b, r), cand) =>
       val c = cand.agg(count(lit(1)).as("n_candidates"))
       val h = cand.join(truth, Seq("id_a", "id_b"), "left_semi")

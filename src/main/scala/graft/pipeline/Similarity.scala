@@ -1402,23 +1402,27 @@ object Similarity {
       .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("cand").asc)
     val (pool, beamRel) = graphAnnPoolWalk(qs, prep, beam, rounds, entryProbe)
-    val poolC = pool.localCheckpoint(false) // shared by every filter arm
+    // r18: the shared (filter-independent) relations materialize EAGERLY here —
+    // the pool walk, the plain top-k, and the prepared index behind them — so
+    // the per-filter arms below can run as parallel threads over small plans
+    // (the s45 Par shape) without racing to compute a shared lazy checkpoint
+    val poolC = pool.localCheckpoint(true) // shared by every filter arm
     // the plain search's answer (s26's top-k cut of the final beam) — what the
     // naive postfilter arm filters; also filter-independent, so computed once
     val plainTopK = beamRel.filter(col("cand") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand"))
-      .localCheckpoint(false)
-    val qids = qs.select(col("query_id")).localCheckpoint(false)
+      .localCheckpoint(true)
+    val qids = qs.select(col("query_id")).localCheckpoint(true)
     // the routed arm's corpus scalar — one register read off the checkpointed
     // vector relation, paid only when the routed arm is requested (s51)
     val nCorpus = routedThresholdMicro.map(_ => prep.vecs.count())
     val methods = Seq("harvest", "postfilter") ++
       routedThresholdMicro.map(_ => "routed").toSeq
-    filters.map { case (name, allowed) =>
+    Par.seq(filters.map { case (name, allowed) => () =>
       val allow = allowed.select(col(allowed.columns.head).as("cand")).distinct()
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val truth = bruteForceTopK(queries,
           df.join(allowed.select(col(allowed.columns.head).as(idCol)), Seq(idCol), "left_semi"),
           idCol, vecCol, k)
@@ -1455,7 +1459,8 @@ object Similarity {
         .select(lit(name).as("filter_name"), col("method"), col("query_id"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble), 6)
             .as("recall_at_k"))
-    }.reduce(_ unionByName _)
+        .localCheckpoint(true) // the arm's card slice — grid-sized
+    }).reduce(_ unionByName _)
   }
 
   /** s48 — the GRAPH-side filtered-search ROUTER: [[graphAnnSearchFiltered]]
@@ -3057,6 +3062,11 @@ object Similarity {
         scenario: String, method: String, approx: DataFrame,
         truth: DataFrame, nQueries: DataFrame): DataFrame =
       recallCardArm(scenario, method, approx, truth, nQueries, k)
+    // r18: arms materialize EAGERLY at their boundaries but in PARALLEL
+    // threads (Par — guide §2.6). One fused lazy plan for the whole card made
+    // AQE re-optimize a giant tree once per stage (171 driver-bound jobs, wall
+    // ≫ task time); per-arm checkpoints keep every plan small while the
+    // threads overlap the arms' jobs on the executors.
     def scenario(
         name: String,
         serveCorpus: DataFrame,
@@ -3066,14 +3076,8 @@ object Similarity {
         agedModelCorpus: DataFrame): DataFrame = {
       val queries = serveCorpus.filter(col(idCol) % queryMod === 0)
       val nQueries = queries.agg(count(lit(1)).as("n_queries"))
-      val truth = bruteForceTopK(queries, serveCorpus, idCol, vecCol, k)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(false) // one truth per scenario, every arm joins it
       val freshModel = kmeansRounds(serveCorpus, idCol, vecCol, cells, dims = 64,
         rounds = trainRounds)
-      val fresh = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
-        freshAdj, freshModel,
-        k = k, beam = beam, rounds = rounds, entryProbe = entryProbe)
       // when the aged artifact's model corpus IS the serving corpus (the
       // compaction scenario — s42 retrains codebook and medoids on the
       // survivors), the model is the fresh one: train it once
@@ -3081,29 +3085,44 @@ object Similarity {
         if (agedModelCorpus eq serveCorpus) freshModel
         else kmeansRounds(agedModelCorpus, idCol, vecCol, cells, dims = 64,
           rounds = trainRounds)
-      val aged = graphAnnSearch(queries, serveCorpus, idCol, vecCol,
-        agedAdj, agedModel,
-        k = k, beam = beam, rounds = rounds, entryProbe = entryProbe,
-        entries = Some(graphAnnEntryPoints(agedModelCorpus, idCol, vecCol, agedModel)))
+      val (truth, fresh, aged) = Par.join3(
+        bruteForceTopK(queries, serveCorpus, idCol, vecCol, k)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true), // one truth per scenario, every arm joins it
+        graphAnnSearch(queries, serveCorpus, idCol, vecCol,
+          freshAdj, freshModel,
+          k = k, beam = beam, rounds = rounds, entryProbe = entryProbe)
+          .localCheckpoint(true),
+        graphAnnSearch(queries, serveCorpus, idCol, vecCol,
+          agedAdj, agedModel,
+          k = k, beam = beam, rounds = rounds, entryProbe = entryProbe,
+          entries = Some(graphAnnEntryPoints(agedModelCorpus, idCol, vecCol, agedModel)))
+          .localCheckpoint(true))
       recallArm(name, "exact", truth, truth, nQueries)
         .unionByName(recallArm(name, "fresh", fresh, truth, nQueries))
         .unionByName(recallArm(name, agedMethod, aged, truth, nQueries))
     }
     val archive = corpus.filter(col(idCol) < arrivalCut)
     val arrivals = corpus.filter(col(idCol) >= arrivalCut)
-    val extendedAdj = knnGraph(archive, idCol, vecCol, k = graphK)
-      .unionByName(knnGraphExtend(arrivals, corpus, idCol, vecCol, k = graphK))
     val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
     val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0)
     // the full-corpus graph serves twice — scenario A's fresh arm and the
-    // compaction input — so it is built once and checkpointed
-    val gFull = knnGraph(corpus, idCol, vecCol, k = graphK).localCheckpoint(false)
+    // compaction input — so it is built once and checkpointed; the three
+    // independent adjacency builds run concurrently
+    val (gFull, extendedAdj, gSurv) = Par.join3(
+      knnGraph(corpus, idCol, vecCol, k = graphK).localCheckpoint(true),
+      knnGraph(archive, idCol, vecCol, k = graphK)
+        .unionByName(knnGraphExtend(arrivals, corpus, idCol, vecCol, k = graphK))
+        .localCheckpoint(true),
+      knnGraph(survivors, idCol, vecCol, k = graphK).localCheckpoint(true))
     val compactedAdj = compactGraphAnnAdjacency(corpus, tomb,
       gFull, idCol, vecCol, k = graphK)
-    scenario("extend", corpus, gFull, "extended", extendedAdj, archive)
-      .unionByName(
-        scenario("compact", survivors, knnGraph(survivors, idCol, vecCol, k = graphK),
-          "compacted", compactedAdj, survivors))
+    val (cardA, cardB) = Par.join2(
+      scenario("extend", corpus, gFull, "extended", extendedAdj, archive)
+        .localCheckpoint(true),
+      scenario("compact", survivors, gSurv, "compacted", compactedAdj, survivors)
+        .localCheckpoint(true))
+    cardA.unionByName(cardB)
   }
 
   /** One (scenario, method) row of an aged-index recall card: pooled hits of
@@ -3158,32 +3177,37 @@ object Similarity {
       trainRounds: Int = 2,
       overfetch: Int = 4
   ): DataFrame = {
+    // r18: the six arms are independent — materialize each eagerly at its
+    // boundary but in parallel threads (the s45 Par shape: small plans, AQE
+    // never re-optimizes one fused card tree, jobs overlap on the executors)
     // scenario A — the s25 lifecycle at the search surface
     val queriesA = corpus.filter(col(idCol) % queryMod === 0)
     val nqA = queriesA.agg(count(lit(1)).as("n_queries"))
-    val truthA = bruteForceTopK(queriesA, corpus, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(false) // one truth per scenario, every arm joins it
     val freshModel = kmeansRounds(corpus, idCol, vecCol, kCells, dims = 64,
       rounds = trainRounds)
     val agedModel = kmeansRounds(corpus.filter(col(idCol) < arrivalCut), idCol, vecCol,
       kCells, dims = 64, rounds = trainRounds) // the frozen archive codebook
-    val freshA = ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, freshModel,
-      overfetch = overfetch)
-    val agedA = ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, agedModel,
-      overfetch = overfetch)
     // scenario B — the s38 lifecycle, both construction paths
-    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0).localCheckpoint(false)
+    val survivors = corpus.filter(col(idCol) % tombstoneMod =!= 0).localCheckpoint(true)
     val tomb = corpus.filter(col(idCol) % tombstoneMod === 0).select(col(idCol))
     val queriesB = survivors.filter(col(idCol) % queryMod === 0)
     val nqB = queriesB.agg(count(lit(1)).as("n_queries"))
-    val truthB = bruteForceTopK(queriesB, survivors, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(false)
-    val freshB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
-      int8Quantize(survivors, idCol, vecCol), overfetch)
-    val compB = int8TopKWith(queriesB, survivors, idCol, vecCol, k,
-      deleteFromInt8Index(int8Quantize(corpus, idCol, vecCol), tomb, idCol), overfetch)
+    val Seq(truthA, freshA, agedA, truthB, freshB, compB) = Par.seq(Seq(
+      () => bruteForceTopK(queriesA, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true), // one truth per scenario, every arm joins it
+      () => ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, freshModel,
+        overfetch = overfetch).localCheckpoint(true),
+      () => ivfPqWithModel(queriesA, corpus, idCol, vecCol, k, agedModel,
+        overfetch = overfetch).localCheckpoint(true),
+      () => bruteForceTopK(queriesB, survivors, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true),
+      () => int8TopKWith(queriesB, survivors, idCol, vecCol, k,
+        int8Quantize(survivors, idCol, vecCol), overfetch).localCheckpoint(true),
+      () => int8TopKWith(queriesB, survivors, idCol, vecCol, k,
+        deleteFromInt8Index(int8Quantize(corpus, idCol, vecCol), tomb, idCol), overfetch)
+        .localCheckpoint(true)))
     recallCardArm("ivf_extend", "exact", truthA, truthA, nqA, k)
       .unionByName(recallCardArm("ivf_extend", "fresh", freshA, truthA, nqA, k))
       .unionByName(recallCardArm("ivf_extend", "aged", agedA, truthA, nqA, k))

@@ -1198,12 +1198,16 @@ object TextStats {
     // pipe-heavy corpora compare like-for-like (r17 ADVICE; default off —
     // t53's published semantics unchanged)
     val tf = uniTf(df, idCol, textCol, excludePipes = strictSharedBasis)
-    card("bpe", bpeEncode(df, idCol, textCol, bpeRounds))
-      .unionByName(card("unigram",
-        unigramEncodeWithTf(tf, idCol,
-          unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab,
-            vocabTarget, floorLpMicro),
-          maxPieceLen, floorLpMicro)))
+    // r18: the two families train independently — overlap them (the s45 Par
+    // shape; both trainers run driver-side collect loops that otherwise
+    // serialize back-to-back)
+    val (bpeEnc, uniEnc) = Par.join2(
+      bpeEncode(df, idCol, textCol, bpeRounds).localCheckpoint(true),
+      unigramEncodeWithTf(tf, idCol,
+        unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab,
+          vocabTarget, floorLpMicro),
+        maxPieceLen, floorLpMicro).localCheckpoint(true))
+    card("bpe", bpeEnc).unionByName(card("unigram", uniEnc))
   }
 
   /** t56 — the t54 card's decision ACTUATED (the t42 swap/block/hold discipline
@@ -1251,11 +1255,13 @@ object TextStats {
     // swap decision compares fertilities on ONE token basis (r17 ADVICE;
     // default off — the published t53 basis serves)
     val tf = uniTf(df, idCol, textCol, excludePipes = strictSharedBasis)
-    val bpeDoc = bpeEncode(df, idCol, textCol, bpeRounds).localCheckpoint(true)
-    val uniDoc = unigramEncodeWithTf(tf, idCol,
+    // r18: the two families train independently — overlap them (the s45 Par shape)
+    val (bpeDoc, uniDoc) = Par.join2(
+      bpeEncode(df, idCol, textCol, bpeRounds).localCheckpoint(true),
+      unigramEncodeWithTf(tf, idCol,
         unigramTrainFromTf(tf, uniRounds, maxPieceLen, seedVocab, vocabTarget, floorLpMicro),
         maxPieceLen, floorLpMicro)
-      .localCheckpoint(true) // each arm feeds its total AND the gated union
+        .localCheckpoint(true)) // each arm feeds its total AND the gated union
     val bTot = bpeDoc.agg(sum(col("n_tokens")).as("b_nt"), sum(col("n_syms")).as("b_ns"))
     val uTot = uniDoc.agg(sum(col("n_tokens")).as("u_nt"), sum(col("n_syms")).as("u_ns"))
     val decision = bTot.crossJoin(uTot)
