@@ -520,16 +520,23 @@ private[graft] object DedupOracles extends OracleFragments {
       val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-value")
       try {
         val path = scratch.toString + "/merges"
-        TextStats.bpeSaveMerges(
-          TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
-        Sampling.valueWeightedRepeatEpoch(docs, "doc_id", "source", "text",
-          TextStats.bpeLoadMerges(s, path),
-          weights = Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
-            refSource = DsirTargetSource, rounds = DoremiRounds,
-            nBatches = DoremiBatches, etaMicro = DoremiEtaMicro,
-            smoothMicro = DoremiSmoothMicro, oovLpMicro = CcnetOovLpMicro)
+        // r18: tokenizer training and the DoReMi scoring loop are independent
+        // corpus passes — overlap them (the dc31 shape)
+        val (merges, weights) = graft.pipeline.Par.join2(
+          {
+            TextStats.bpeSaveMerges(
+              TextStats.bpeMergeLoop(docs, "doc_id", "text", rounds = BpeMergeRounds), path)
+            TextStats.bpeLoadMerges(s, path)
+          },
+          Sampling.doremiMixWeights(docs, "doc_id", "text", "source",
+              refSource = DsirTargetSource, rounds = DoremiRounds,
+              nBatches = DoremiBatches, etaMicro = DoremiEtaMicro,
+              smoothMicro = DoremiSmoothMicro, oovLpMicro = CcnetOovLpMicro)
             .filter(col("round") === DoremiRounds)
-            .select(col("source"), col("w_micro")),
+            .select(col("source"), col("w_micro"))
+            .localCheckpoint(true))
+        Sampling.valueWeightedRepeatEpoch(docs, "doc_id", "source", "text",
+          merges, weights,
           budgetTokens = RepeatBudgetTokens, decayMicro = RepeatDecayMicro,
           maxUsefulEpochs = RepeatMaxEpochs, packTokens = 512L, nGroups = 8)
       } finally deleteRecursively(scratch)
@@ -544,27 +551,43 @@ private[graft] object DedupOracles extends OracleFragments {
       val scratch = java.nio.file.Files.createTempDirectory("graft-epoch-doremi")
       try {
         val train = docs.filter(col("doc_id") % DecontamMod =!= 0)
-        val contaminated = Dedup.benchmarkDecontaminate(docs, "doc_id", "text",
-          benchmarkMod = DecontamMod, shingleSize = DecontamShingle)
-          .select(col("doc_id"))
-        val holdout = graft.pipeline.Curation.stratifiedHoldout(
-            docs, "doc_id", "text", "source",
-            holdoutPct = HoldoutPct, bucketMicro = BudgetFillBucketMicro)
-          .filter(col("split") === "holdout")
-          .select(col("doc_id"))
+        // r18: the two hygiene gates are independent — overlap them, then
+        // overlap tokenizer training with the DoReMi plan loop (both read
+        // only the clean pool; epochPackDoremi IS this plan->manifest->rollup
+        // composition, unrolled here so the two halves can run concurrently)
+        val (contaminated, holdout) = graft.pipeline.Par.join2(
+          Dedup.benchmarkDecontaminate(docs, "doc_id", "text",
+            benchmarkMod = DecontamMod, shingleSize = DecontamShingle)
+            .select(col("doc_id"))
+            .localCheckpoint(true),
+          graft.pipeline.Curation.stratifiedHoldout(
+              docs, "doc_id", "text", "source",
+              holdoutPct = HoldoutPct, bucketMicro = BudgetFillBucketMicro)
+            .filter(col("split") === "holdout")
+            .select(col("doc_id"))
+            .localCheckpoint(true))
         val clean = train
           .join(contaminated, Seq("doc_id"), "left_anti")
           .join(holdout, Seq("doc_id"), "left_anti")
           .localCheckpoint(true) // feeds scoring, tokenizer training, AND the pack chain
         val path = scratch.toString + "/merges"
-        TextStats.bpeSaveMerges(
-          TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = BpeMergeRounds), path)
-        Sampling.epochPackDoremi(clean, "doc_id", "source", "text",
-          TextStats.bpeLoadMerges(s, path),
-          refSource = DoremiEpochRefSource, budgetDocs = MixBudgetDocs,
-          rounds = DoremiRounds, nBatches = DoremiBatches,
-          etaMicro = DoremiEtaMicro, smoothMicro = DoremiSmoothMicro,
-          oovLpMicro = CcnetOovLpMicro, budgetTokens = 512L, nGroups = 8)
+        val (merges, plan) = graft.pipeline.Par.join2(
+          {
+            TextStats.bpeSaveMerges(
+              TextStats.bpeMergeLoop(clean, "doc_id", "text", rounds = BpeMergeRounds), path)
+            TextStats.bpeLoadMerges(s, path)
+          },
+          Sampling.doremiMixPlan(clean, "doc_id", "text", "source",
+              refSource = DoremiEpochRefSource, budgetDocs = MixBudgetDocs,
+              rounds = DoremiRounds, nBatches = DoremiBatches,
+              etaMicro = DoremiEtaMicro, smoothMicro = DoremiSmoothMicro,
+              oovLpMicro = CcnetOovLpMicro)
+            .select(col("source"), col("n_docs"), col("target_docs"))
+            .localCheckpoint(true))
+        Sampling.epochPackRollup(
+          Sampling.epochManifestUpsampledWith(clean, "doc_id", "source", "text",
+            merges, plan, budgetTokens = 512L, nGroups = 8),
+          "source")
       } finally deleteRecursively(scratch)
     }),
     // verbatim n-gram overlap of training docs against the benchmark split — the

@@ -1178,18 +1178,23 @@ object Similarity {
       model: DataFrame,
       entries: Option[DataFrame] = None
   ): GraphAnnPrepared = {
+    // EAGER checkpoints by contract: callers load these relations from scratch
+    // artifacts and delete the files as soon as this returns (the s27/s42
+    // oracle shape) — a lazy checkpoint here would read deleted paths at the
+    // first downstream action. This is the one prepare-side exception to the
+    // r18 lazy-checkpoint default.
     val vecs = df.select(col(idCol).as("cand"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val ent = entries.getOrElse(graphAnnEntryPoints(df, idCol, vecCol, model))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // both are model-sized relations — the emptiness probe is a k-row job, and
     // an all-miss search that LOOKS like recall 0 becomes a named error instead
     require(!ent.isEmpty,
       "graphAnnSearch: empty entry set — the trained model matched no nonzero corpus " +
         "vector (empty/zero corpus, or an entries artifact from a different corpus); " +
         "rebuild with graphAnnEntryPoints")
-    val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(false)
+    val adj = graph.select(col("vec_id").as("cand"), col("neighbor_id")).localCheckpoint(true)
     GraphAnnPrepared(vecs, adj, model, ent)
   }
 
