@@ -113,13 +113,20 @@ private[graft] object SimilarityOracles extends OracleFragments {
       val scratch = java.nio.file.Files.createTempDirectory("graft-graph-compact")
       try {
         val path = scratch.toString + "/index"
-        val compacted = Similarity.compactGraphAnnAdjacency(
-          e, tomb, Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
-          "vec_id", "embedding", k = KnnGraphK)
-        val model = Similarity.kmeansRounds(survivors, "vec_id", "embedding",
-          k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds)
-        Similarity.saveGraphAnnIndex(compacted, model,
-          Similarity.graphAnnEntryPoints(survivors, "vec_id", "embedding", model), path)
+        // r18: the compaction chain and the survivor codebook+medoids are
+        // independent — overlap them (the s45 Par shape) before the save
+        val (compacted, modelAndEntries) = graft.pipeline.Par.join2(
+          Similarity.compactGraphAnnAdjacency(
+            e, tomb, Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK),
+            "vec_id", "embedding", k = KnnGraphK).localCheckpoint(true),
+          {
+            val model = Similarity.kmeansRounds(survivors, "vec_id", "embedding",
+              k = GraphAnnCells, dims = 64, rounds = GraphAnnTrainRounds)
+            (model,
+              Similarity.graphAnnEntryPoints(survivors, "vec_id", "embedding", model)
+                .localCheckpoint(true))
+          })
+        Similarity.saveGraphAnnIndex(compacted, modelAndEntries._1, modelAndEntries._2, path)
         val (adj, loadedModel, loadedEntries) = Similarity.loadGraphAnnIndex(s, path)
         Similarity.graphAnnSearch(survivors.filter(col("vec_id") % 50 === 0), survivors,
           "vec_id", "embedding", adj, loadedModel,

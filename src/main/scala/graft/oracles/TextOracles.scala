@@ -249,11 +249,18 @@ private[graft] object TextOracles extends OracleFragments {
       val scratch = java.nio.file.Files.createTempDirectory("graft-lr-weights")
       try {
         val path = scratch.toString + "/weights"
+        // r18: ONE tokenize+hash pass serves training and scoring (the same
+        // corpus — the tf relation is identical on both sides by definition)
+        val tf = TextStats.hashedTf(docs, "doc_id", "text", LrBuckets)
+          .localCheckpoint(true)
         TextStats.saveLrWeights(
-          TextStats.lrQualityTrain(docs, "doc_id", "text",
-            buckets = LrBuckets, rounds = LrRounds, lrMicro = LrRateMicro), path)
-        TextStats.lrScoreWith(docs, "doc_id", "text",
-          TextStats.loadLrWeights(s, path).localCheckpoint(true), buckets = LrBuckets)
+          TextStats.lrQualityTrainFromTf(tf,
+            TextStats.qualityFilter(docs, "doc_id", "text")
+              .select(col("doc_id"), col("kept").cast("double").as("y"))
+              .localCheckpoint(true),
+            "doc_id", rounds = LrRounds, lrMicro = LrRateMicro), path)
+        TextStats.lrScoreWithTf(tf, "doc_id",
+          TextStats.loadLrWeights(s, path).localCheckpoint(true))
       } finally deleteRecursively(scratch)
     }),
     "t30_temperature_mix" -> ((s: SparkSession, dir: String) =>

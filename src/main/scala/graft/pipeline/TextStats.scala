@@ -1537,11 +1537,25 @@ object TextStats {
       buckets: Int = 256,
       rounds: Int = 3,
       lrMicro: Long = 500000L
+  ): DataFrame =
+    lrQualityTrainFromTf(
+      hashedTf(df, idCol, textCol, buckets).localCheckpoint(true),
+      qualityFilter(df, idCol, textCol)
+        .select(col(idCol), col("kept").cast("double").as("y"))
+        .localCheckpoint(true),
+      idCol, rounds, lrMicro)
+
+  /** The training loop of [[lrQualityTrain]] over pre-materialized (doc, slot,
+    * tf) and label relations — shared so a train-then-score entry (t39)
+    * tokenizes the corpus ONCE for both halves.
+    */
+  private[graft] def lrQualityTrainFromTf(
+      tf: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      rounds: Int = 3,
+      lrMicro: Long = 500000L
   ): DataFrame = {
-    val tf = hashedTf(df, idCol, textCol, buckets).localCheckpoint(true)
-    val labels = qualityFilter(df, idCol, textCol)
-      .select(col(idCol), col("kept").cast("double").as("y"))
-      .localCheckpoint(true)
     val n = tf.select(col(idCol)).distinct().count()
     val lr = lrMicro.toDouble / 1000000.0
     var w = tf.select(col("slot")).distinct()
@@ -1664,7 +1678,15 @@ object TextStats {
       weights: DataFrame,
       buckets: Int = 256
   ): DataFrame =
-    hashedTf(df, idCol, textCol, buckets)
+    lrScoreWithTf(hashedTf(df, idCol, textCol, buckets), idCol, weights)
+
+  /** [[lrScoreWith]] over a pre-materialized tf relation — the t39 sharing. */
+  private[graft] def lrScoreWithTf(
+      tf: DataFrame,
+      idCol: String,
+      weights: DataFrame
+  ): DataFrame =
+    tf
       .join(broadcast(weights), Seq("slot"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("tf") * coalesce(col("w_micro"), lit(0L))).as("margin_micro"))
