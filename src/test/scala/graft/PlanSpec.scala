@@ -1050,15 +1050,13 @@ class PlanSpec extends SparkSpec {
       "doc_id", "text", "source", "vec_id", "embedding",
       requiredWords = Seq("the", "a", "value", "line")))
     // the (id, source, text) projection checkpoints once and feeds every text
-    // gate; the only parquet left in the answer plan is the semantic gate's
-    // embeddings relation (scanned once per side: train probe + broadcast
-    // benchmark — both prune to (vec_id, embedding))
+    // gate, and since r18 every GATE relation (including the semantic gate's
+    // embeddings side) is itself materialized before the stage-set joins —
+    // the answer plan must re-scan NO parquet at all: the funnel is id-set
+    // joins over checkpointed gate relations
     val scans = "FileScan".r.findAllMatchIn(p).size
-    assert(scans == 2, s"only the semantic gate's embeddings scans expected, got $scans:\n$p")
-    val scanLines = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(scanLines.nonEmpty && scanLines.forall(l =>
-      !l.contains("text") && l.contains("embedding")),
-      s"every remaining scan must be the embeddings relation:\n${scanLines.mkString("\n")}")
+    assert(scans == 0, s"no parquet re-scan expected (gates are checkpointed), got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("adaptive ANN (s31): the tight route builds ONLY the exact branch") {
